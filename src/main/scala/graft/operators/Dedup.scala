@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication family for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
+  *
+  * All variants follow the shuffle-frugal shape that survives 100 TB:
+  * never compare all pairs — build compact per-doc signatures (one
+  * exploded pass + one groupBy), bucket candidates with LSH so the
+  * self-join only touches colliding buckets, and verify only candidates.
+  * Hashing uses the sha256-derived 32-bit hash so results are
+  * reproducible in any engine (the correctness oracle recomputes them).
+  */
+object Dedup {
+  /** Mersenne prime 2^31-1 for the MinHash permutation family. */
+  val P: Long = 2147483647L
+
+  /** Deterministic (a, b) parameters for k hash permutations
+    * h_j(x) = (a_j * x + b_j) mod P. `a` stays below 2^30 so a*x fits a
+    * signed 64-bit integer for any 32-bit x. */
+  def hashParams(k: Int): Seq[(Long, Long)] =
+    (1 to k).map { j =>
+      val a = (1103515245L * j + 12345L) % (1L << 30) max 1L
+      val b = (1013904223L * j) % P
+      (a, b)
+    }
+
+  /** Exact dedup by content hash: one group per distinct text, keeping the
+    * smallest id (A9/A6 generalized). Hash-groupBy, map-side combinable. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("text_sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc (id, shingle-hash) pairs: word-`n`-gram shingles, 32-bit
+    * hashed, distinct within doc. The single exploded intermediate every
+    * signature build shares. */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(wordNgrams(tokens(col(textCol)), n))).as("sh"))
+      .select(col("id"), shaHash32(col("sh")).as("h"))
+
+  /** MinHash signature: k min-hash columns m0..m{k-1} per doc. One
+    * explode + one groupBy — the k permutations are k expressions over the
+    * same exploded rows, not k passes. */
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 16, n: Int = 3): DataFrame = {
+    val mins = hashParams(k).zipWithIndex.map { case ((a, b), j) =>
+      min((col("h") * a + b) % P).as(s"m$j")
+    }
+    shingleHashes(docs, idCol, textCol, n).groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over a MinHash signature: emit (band, band_hash, id),
+    * where colliding (band, band_hash) buckets are near-dup candidates.
+    * Band hash folds the band's rows with the same portable arithmetic. */
+  def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val perBand = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      val folded = cols.reduce((acc, c) => (acc * 31L + c) % P)
+      sig.select(lit(b).as("band"), folded.as("band_hash"), col("id"))
+    }
+    perBand.reduce(_ union _)
+  }
+
+  /** Candidate pairs (a < b) from LSH buckets. The self-join keys on
+    * (band, band_hash), so only same-bucket rows shuffle together. */
+  def candidatePairs(bandDf: DataFrame): DataFrame =
+    bandDf.alias("x")
+      .join(bandDf.alias("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+  /** Exact Jaccard over shingle-hash sets for candidate pairs only. */
+  def jaccardVerify(pairs: DataFrame, shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = shingles.alias("sa")
+      .join(pairs, col("sa.id") === col("id_a"))
+      .join(shingles.alias("sb"),
+        col("sb.id") === col("id_b") && col("sa.h") === col("sb.h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.alias("za"), col("id_a") === col("za.id")).withColumnRenamed("sz", "sz_a")
+      .drop("id")
+      .join(sizes.alias("zb"), col("id_b") === col("zb.id")).withColumnRenamed("sz", "sz_b")
+      .drop("id")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"), 4))
+  }
+
+  /** End-to-end MinHash+LSH near-dup: signatures → bands → candidates →
+    * exact-Jaccard verify → pairs above threshold. */
+  def nearDupMinhash(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 16, bands: Int = 4, n: Int = 3,
+                     threshold: Double = 0.8): DataFrame = {
+    val sh = shingleHashes(docs, idCol, textCol, n)
+    val sig = minhashSignature(docs, idCol, textCol, k, n)
+    val cands = candidatePairs(lshBands(sig, bands, k / bands))
+    jaccardVerify(cands, sh)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash fingerprint per doc: token-frequency-weighted bit
+    * votes. One explode + one groupBy with 32 conditional-sum columns —
+    * stays inside whole-stage codegen. */
+  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), shaHash32(col("tok")).as("h"))
+    val votes = (0 until 32).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i")
+    }
+    val fp = (0 until 32).map { i =>
+      when(col(s"v$i") > 0, 1L << i).otherwise(0L)
+    }.reduce(_ + _)
+    tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: band on the fingerprint's 4 bytes (any
+    * shared byte ⇒ candidate), verify by Hamming distance ≤ maxHamming. */
+  def simhashPairs(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bandDf = (0 until 4).map { b =>
+      sig.select(lit(b).as("band"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(255).as("band_hash"),
+        col("id"), col("simhash"))
+    }.reduce(_ union _)
+    bandDf.alias("x").join(bandDf.alias("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram-Jaccard near-dup via inverted index: join docs that share a
+    * shingle (never all pairs), count shared shingles, Jaccard-filter. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingleHashes(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.alias("a").join(sh.alias("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.alias("za"), col("id_a") === col("za.id")).withColumnRenamed("sz", "sz_a").drop("id")
+      .join(sizes.alias("zb"), col("id_b") === col("zb.id")).withColumnRenamed("sz", "sz_b").drop("id")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — one broadcast of the query
+  * vector(s), one scan, one TopK (Spark plans `orderBy().limit(k)` as a
+  * per-partition TakeOrdered + driver merge, no full sort/shuffle).
+  *
+  * Scale path: sign-random-projection LSH — bucket every vector by the
+  * sign pattern of `nPlanes` fixed hyperplane dot products, then search
+  * only the query's bucket. At 100 TB the bucketed table is written
+  * partitioned by bucket so a query prunes to one partition.
+  */
+object Similarity {
+  /** Cosine similarity between two array<float/double> columns, computed
+    * in double. Pure `zip_with`/`aggregate` expressions — codegen'd, no UDF. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Top-k most-similar vectors to a single query vector.
+    * @param query one-row frame with the query vector column named `qv` */
+  def bruteForceKnn(emb: DataFrame, idCol: String, vecCol: String,
+                    query: DataFrame, k: Int): DataFrame =
+    emb.crossJoin(broadcast(query))
+      .withColumn("sim", round(cosine(col(vecCol), col("qv")), 4))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .drop("qv")
+
+  /** Deterministic pseudo-random hyperplanes (seeded, data-independent). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-random-projection bucket id for a vector column. */
+  def srpBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = aggregate(
+        zip_with(vec, typedLit(p), (u, v) => u.cast("double") * v),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, 1L << i).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: search only vectors sharing the query's SRP bucket,
+    * then exact-cosine rank within the bucket. Recall < 1 by construction;
+    * callers trade planes for recall. */
+  def lshKnn(emb: DataFrame, idCol: String, vecCol: String,
+             query: DataFrame, k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val bucketed = emb.withColumn("bucket", srpBucket(col(vecCol), planes))
+    val q = query.withColumn("qbucket", srpBucket(col("qv"), planes))
+    bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
+      .withColumn("sim", round(cosine(col(vecCol), col("qv")), 4))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .drop("qv", "qbucket")
+  }
+}
