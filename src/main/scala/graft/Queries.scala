@@ -1,0 +1,592 @@
+package graft
+
+import graft.core.Tables.load
+import graft.functions.{Barcode, DateNorm, ExactAgg}
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Lineage, Multimodal, Sequencing, Similarity}
+import graft.streaming.Ingest
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The declared query surface (SURVEY §2.11 + the training-data-pipeline
+  * extensions): every entry is a Spark query paired with ANSI/DuckDB SQL
+  * that must hash-match it on the same parquet tables.
+  *
+  * Determinism rules used throughout, so 32 local threads, 1000
+  * executors, and the DuckDB oracle all agree bit-for-bit:
+  *   - money sums go through [[ExactAgg.moneySum]] (integral fixed-point,
+  *     associative) instead of raw double sums;
+  *   - ratios/similarities are rounded to 4 decimals on both sides;
+  *   - hashes are sha256-derived (engine-portable), never xxhash;
+  *   - every result ends in a total order on a unique key set.
+  */
+object Queries {
+  private val P = 2147483647L // Mersenne 2^31-1, shared with Dedup
+
+  // ---------------------------------------------------------------- SQL
+  // fragments (DuckDB dialect) mirroring TextFunctions/Dedup expressions.
+  /** tokens(text): whitespace split, no empties. */
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0)"
+  /** shaHash32(e): first 8 sha256 hex chars as a 32-bit integer. */
+  private def sqlSh32(e: String) =
+    s"CAST(concat('0x', substr(sha256($e), 1, 8)) AS BIGINT)"
+  /** wordNgrams(tk, 3) — short docs collapse to one whole-text shingle. */
+  private val SqlShingles3 =
+    "CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] " +
+      "ELSE list_transform(generate_series(1, len(tk) - 2), i -> array_to_string(tk[i:i+2], ' ')) END"
+  /** Shared CTE: per-doc distinct hashed 3-gram shingles (id, h). */
+  private val SqlShCte =
+    s"""WITH toks AS (SELECT doc_id AS id, $SqlToks AS tk FROM documents),
+       |sh0 AS (SELECT id, unnest(list_distinct($SqlShingles3)) AS s FROM toks),
+       |sh AS (SELECT id, ${sqlSh32("s")} AS h FROM sh0)""".stripMargin
+
+  private def moneySumSql(c: String) =
+    s"sum(CAST(round($c * 100) AS BIGINT)) / 100.0"
+
+  // ------------------------------------------------------------ Q-lookup
+  // J6/P7: point lookup by key (barcode→sample analog).
+  def lookup(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "customer").filter(col("c_custkey") === 42)
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+
+  private val lookupSql =
+    "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer WHERE c_custkey = 42"
+
+  // ------------------------------------------------------------- Q-route
+  // P3/F2: suffix/type routing into tags, counts per route.
+  def route(s: SparkSession, dir: String): DataFrame = {
+    val tag = when(col("event_type") === "click", "interactive")
+      .when(col("event_type") === "view", "passive")
+      .when(col("event_type") === "error", "alert")
+      .otherwise("other")
+    load(s, dir, "events")
+      .groupBy(tag.as("route"))
+      .agg(count(lit(1)).as("n_events"),
+        ExactAgg.moneySum(col("value"), 100).as("sum_value"))
+      .orderBy("route")
+  }
+
+  private val routeSql =
+    s"""SELECT CASE WHEN event_type = 'click' THEN 'interactive'
+       |            WHEN event_type = 'view' THEN 'passive'
+       |            WHEN event_type = 'error' THEN 'alert'
+       |            ELSE 'other' END AS route,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       ${moneySumSql("value")} AS sum_value
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------- Q-validate
+  // P2/P9: paired-completeness (odd group sizes) + checksum-char derivation
+  // (register-iontorrent-data.py:79-94 algorithm over zero-padded keys).
+  def validate(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") % 2 =!= 0)
+      .withColumn("code9", lpad(col("l_orderkey").cast("string"), 9, "0"))
+      .withColumn("check_char", Barcode.checksumChar(col("code9")))
+      .orderBy("l_orderkey")
+
+  private val validateSql =
+    """SELECT l_orderkey, n, code9,
+      |       CASE WHEN s > 57 THEN chr(s + 7) ELSE chr(s) END AS check_char
+      |FROM (SELECT l_orderkey, n, code9,
+      |             CAST(list_aggregate(list_transform(generate_series(1, 9),
+      |               i -> ord(substr(code9, i, 1)) * i), 'sum') % 34 + 48 AS INTEGER) AS s
+      |      FROM (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+      |                   lpad(CAST(l_orderkey AS VARCHAR), 9, '0') AS code9
+      |            FROM lineitem GROUP BY 1 HAVING count(*) % 2 = 1))
+      |ORDER BY l_orderkey""".stripMargin
+
+  // ---------------------------------------------------------- Q-join-hash
+  // J1/J2/P4: hash equi-join + band filter + explode of a split array.
+  def joinHash(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+    val o = load(s, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .filter((col("l_discount") > 0.02 && col("l_discount") < 0.04) ||
+        (col("l_discount") > 0.06 && col("l_discount") < 0.08))
+      .select(explode(split(col("o_orderpriority"), "-")).as("token"),
+        col("l_extendedprice"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"),
+        ExactAgg.moneySum(col("l_extendedprice"), 100).as("revenue"))
+      .orderBy("token")
+  }
+
+  private val joinHashSql =
+    s"""SELECT token, CAST(count(*) AS BIGINT) AS n,
+       |       ${moneySumSql("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |     CROSS JOIN unnest(string_split(o_orderpriority, '-')) AS u(token)
+       |WHERE (l_discount > 0.02 AND l_discount < 0.04)
+       |   OR (l_discount > 0.06 AND l_discount < 0.08)
+       |GROUP BY token ORDER BY token""".stripMargin
+
+  // -------------------------------------------------------------- Q-anti
+  // J3/SO2: left-anti "VARIANTABSENT" analog.
+  def anti(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "part")
+      .join(load(s, dir, "lineitem").select("l_partkey"),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"), lit("VARIANTABSENT").as("status"))
+      .orderBy("p_partkey")
+
+  private val antiSql =
+    """SELECT p_partkey, p_name, 'VARIANTABSENT' AS status FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |ORDER BY p_partkey""".stripMargin
+
+  // ----------------------------------------------------------- Q-lineage
+  // J7/J8: fixpoint ancestor walk over a customer→nation→region DAG.
+  private def edgeTable(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "customer").select(
+      concat(lit("C"), col("c_custkey")).as("child"),
+      concat(lit("N"), col("c_nationkey")).as("parent"))
+      .union(load(s, dir, "nation").select(
+        concat(lit("N"), col("n_nationkey")).as("child"),
+        concat(lit("R"), col("n_regionkey")).as("parent")))
+
+  private val edgeSql =
+    """edges AS (
+      |  SELECT 'C' || CAST(c_custkey AS VARCHAR) AS child,
+      |         'N' || CAST(c_nationkey AS VARCHAR) AS parent FROM customer
+      |  UNION ALL
+      |  SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+      |         'R' || CAST(n_regionkey AS VARCHAR) FROM nation),
+      |walk AS (
+      |  SELECT child AS node, parent AS anc, CAST(1 AS BIGINT) AS depth FROM edges
+      |  UNION ALL
+      |  SELECT w.node, e.parent, w.depth + 1 FROM walk w JOIN edges e ON w.anc = e.child)""".stripMargin
+
+  def lineage(s: SparkSession, dir: String): DataFrame =
+    Lineage.ancestors(edgeTable(s, dir)).orderBy("node", "anc", "depth")
+
+  private val lineageSql =
+    s"""WITH RECURSIVE $edgeSql
+       |SELECT node, anc, depth FROM walk ORDER BY node, anc, depth""".stripMargin
+
+  // J9: root-finding walk.
+  def lineageRoots(s: SparkSession, dir: String): DataFrame =
+    Lineage.roots(edgeTable(s, dir)).orderBy("node", "root")
+
+  private val lineageRootsSql =
+    s"""WITH RECURSIVE $edgeSql
+       |SELECT node, anc AS root, depth FROM walk
+       |WHERE anc NOT IN (SELECT child FROM edges)
+       |ORDER BY node, root""".stripMargin
+
+  // -------------------------------------------------------- Q-groupcount
+  // A1/A5/A7: group counts + deterministic collect_list.
+  def groupCount(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        array_join(sort_array(collect_list(col("o_orderpriority"))), ",").as("prios"))
+      .orderBy("o_custkey")
+
+  private val groupCountSql =
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |       array_to_string(list_sort(list(o_orderpriority)), ',') AS prios
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------- Q-maxid
+  // A2/A4/W2: max existing id per group + gap-free next-id for new rows.
+  def maxId(s: SparkSession, dir: String): DataFrame = {
+    val existing = load(s, dir, "customer")
+      .select(col("c_nationkey").as("group"), col("c_custkey").as("num"))
+    val fresh = load(s, dir, "supplier")
+    Sequencing.nextIds(existing, fresh, "s_nationkey", col("s_suppkey"))
+      .select("s_suppkey", "s_nationkey", "new_id")
+      .orderBy("s_suppkey")
+  }
+
+  private val maxIdSql =
+    """WITH maxes AS (SELECT c_nationkey AS g, max(c_custkey) AS mx FROM customer GROUP BY 1)
+      |SELECT s_suppkey, s_nationkey,
+      |       COALESCE(mx, 0) + row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS new_id
+      |FROM supplier LEFT JOIN maxes ON s_nationkey = g
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ------------------------------------------------------------ Q-report
+  // K3/S13/W5: multi-dim ordered report (broadcast dims × fact rollup).
+  def report(s: SparkSession, dir: String): DataFrame = {
+    val c = load(s, dir, "customer")
+    val n = broadcast(load(s, dir, "nation"))
+    val r = broadcast(load(s, dir, "region"))
+    val o = load(s, dir, "orders")
+    c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .join(o, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(countDistinct(col("c_custkey")).as("n_customers"),
+        count(col("o_orderkey")).as("n_orders"),
+        ExactAgg.moneySum(col("o_totalprice"), 100).as("sum_total"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val reportSql =
+    s"""SELECT r_name, n_name,
+       |       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+       |       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+       |       ${moneySumSql("o_totalprice")} AS sum_total
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |LEFT JOIN orders ON o_custkey = c_custkey
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------- Q-dates
+  // F4: render each date in one of 7 reference formats, normalize back.
+  // Oracle = the original date, so this verifies a true round-trip.
+  def dates(s: SparkSession, dir: String): DataFrame = {
+    val d = col("o_orderdate")
+    val k = pmod(col("o_orderkey"), lit(7))
+    val rendered = when(k === 0, date_format(d, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .when(k === 1, date_format(d, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      .when(k === 2, date_format(d, "yyyy-MM-dd"))
+      .when(k === 3, date_format(d, "dd.MM.yyyy"))
+      .when(k === 4, date_format(d, "dd-MM-yyyy"))
+      .when(k === 5, date_format(d, "yyyyMMdd"))
+      .otherwise(date_format(d, "yyMMdd"))
+    load(s, dir, "orders")
+      .select(col("o_orderkey"), DateNorm.normalize(rendered).as("d"))
+      .orderBy("o_orderkey")
+  }
+
+  private val datesSql =
+    "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders ORDER BY o_orderkey"
+
+  // ------------------------------------------------------------- Q-dedup
+  // A9/A6: exact dedup by content hash.
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(load(s, dir, "documents"), "doc_id", "text").orderBy("text_sha")
+
+  private val dedupExactSql =
+    """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id,
+      |       CAST(count(*) AS BIGINT) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------- Q-neardup-ngram
+  // n-gram Jaccard near-dup via inverted shingle index (never all pairs).
+  def nearDupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(load(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  private val nearDupNgramSql =
+    s"""$SqlShCte,
+       |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+       |inter AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+       |          FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |       round(CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE), 4) AS jaccard
+       |FROM inter JOIN sizes za ON id_a = za.id JOIN sizes zb ON id_b = zb.id
+       |WHERE round(CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE), 4) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------- Q-minhash
+  // MinHash(k=16) + LSH(4 bands) candidates, exact-Jaccard verified.
+  // The oracle replays the identical permutation constants and band folds.
+  def nearDupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupMinhash(load(s, dir, "documents"), "doc_id", "text",
+        k = 16, bands = 4, n = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  private val nearDupMinhashSql: String = {
+    val mins = Dedup.hashParams(16).zipWithIndex
+      .map { case ((a, b), j) => s"min((h * $a + $b) % $P) AS m$j" }
+      .mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val fold = (0 until 4).map(r => s"m${b * 4 + r}")
+        .reduce((acc, c) => s"(($acc * 31 + $c) % $P)")
+      s"SELECT $b AS band, $fold AS band_hash, id FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""$SqlShCte,
+       |sig AS (SELECT id, $mins FROM sh GROUP BY id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b FROM bands x
+       |         JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash AND x.id < y.id),
+       |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+       |inter AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_inter
+       |          FROM cand JOIN sh sa ON sa.id = id_a
+       |                    JOIN sh sb ON sb.id = id_b AND sa.h = sb.h GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |       round(CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE), 4) AS jaccard
+       |FROM inter JOIN sizes za ON id_a = za.id JOIN sizes zb ON id_b = zb.id
+       |WHERE round(CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE), 4) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------- Q-simhash
+  // 32-bit SimHash fingerprint per document.
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash32(load(s, dir, "documents"), "doc_id", "text").orderBy("id")
+
+  private val simhashSql: String = {
+    val votes = (0 until 32)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(", ")
+    val fp = (0 until 32)
+      .map(i => s"CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id AS id, unnest($SqlToks) AS t FROM documents),
+       |h AS (SELECT id, ${sqlSh32("t")} AS h FROM tok),
+       |v AS (SELECT id, $votes FROM h GROUP BY id)
+       |SELECT id, CAST($fp AS BIGINT) AS simhash FROM v ORDER BY id""".stripMargin
+  }
+
+  // -------------------------------------------------------------- Q-knn
+  // Brute-force cosine top-k against a broadcast query vector.
+  def knn(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    Similarity.bruteForceKnn(emb, "vec_id", "embedding", query, 10)
+      .select("vec_id", "label", "sim")
+  }
+
+  private val knnSql: String = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, 64),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |  (acc, v) -> acc + v)""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, label,
+       |       round(${dot("embedding", "qv")} /
+       |             (sqrt(${dot("embedding", "embedding")}) * sqrt(${dot("qv", "qv")})), 4) AS sim
+       |FROM embeddings CROSS JOIN q
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  // ------------------------------------------------------------ Q-tokens
+  // Token counting: whitespace + BPE-ish subword regex.
+  def tokensQ(s: SparkSession, dir: String): DataFrame = {
+    val tk = tokens(col("text"))
+    load(s, dir, "documents").select(
+        col("doc_id"),
+        size(tk).cast("long").as("n_tokens"),
+        size(array_distinct(tk)).cast("long").as("n_distinct"),
+        size(subtokens(col("text"))).cast("long").as("n_subtokens"))
+      .orderBy("doc_id")
+  }
+
+  private val tokensSql =
+    s"""SELECT doc_id, CAST(len($SqlToks) AS BIGINT) AS n_tokens,
+       |       CAST(len(list_distinct($SqlToks)) AS BIGINT) AS n_distinct,
+       |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subtokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- Q-quality
+  // Quality scoring: length / punctuation / stopword ratios.
+  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val tk = tokens(col("text"))
+    val nChars = length(col("text")).cast("long")
+    val nTokens = size(tk).cast("long")
+    val nPunct = size(regexp_extract_all(lower(col("text")),
+      lit("[^a-z0-9\\s]"), lit(0))).cast("long")
+    val nStop = size(filter(tk,
+      t => array_contains(typedLit(StopEn), t))).cast("long")
+    val sumLen = aggregate(tk, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    load(s, dir, "documents").select(
+        col("doc_id"), nChars.as("n_chars"), nTokens.as("n_tokens"),
+        when(nChars === 0, lit(null)).otherwise(
+          round(nPunct.cast("double") / nChars.cast("double"), 4)).as("punct_ratio"),
+        when(nTokens === 0, lit(null)).otherwise(
+          round(nStop.cast("double") / nTokens.cast("double"), 4)).as("stop_ratio"),
+        when(nTokens === 0, lit(null)).otherwise(
+          round(sumLen.cast("double") / nTokens.cast("double"), 4)).as("mean_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  private val qualitySql = {
+    val stopList = StopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+       |  CAST(len($SqlToks) AS BIGINT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS BIGINT) AS n_punct,
+       |  CAST(len(list_filter($SqlToks, t -> list_contains($stopList, t))) AS BIGINT) AS n_stop,
+       |  CAST(list_aggregate(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform($SqlToks, t -> CAST(len(t) AS BIGINT))), 'sum') AS BIGINT) AS sum_len
+       |FROM documents)
+       |SELECT doc_id, n_chars, n_tokens,
+       |  CASE WHEN n_chars = 0 THEN NULL
+       |       ELSE round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 4) END AS punct_ratio,
+       |  CASE WHEN n_tokens = 0 THEN NULL
+       |       ELSE round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) END AS stop_ratio,
+       |  CASE WHEN n_tokens = 0 THEN NULL
+       |       ELSE round(CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) END AS mean_tok_len
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------ Q-langid
+  // n-gram-heuristic language ID: stopword-hit scores + argmax.
+  private val LangStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"))
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val tk = tokens(lower(col("text")))
+    val scored = load(s, dir, "documents").select(
+      col("doc_id") +: LangStops.map { case (lang, words) =>
+        size(filter(tk, t => array_contains(typedLit(words), t)))
+          .cast("long").as(s"score_$lang")
+      }: _*)
+    scored.withColumn("lang_pred",
+        when(col("score_en") >= col("score_de") && col("score_en") >= col("score_fr"), "en")
+          .when(col("score_de") >= col("score_fr"), "de")
+          .otherwise("fr"))
+      .orderBy("doc_id")
+  }
+
+  private val langIdSql = {
+    val scoreExprs = LangStops.map { case (lang, words) =>
+      val l = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(tk, t -> list_contains($l, t))) AS BIGINT) AS score_$lang"
+    }.mkString(",\n  ")
+    s"""WITH t AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> len(t) > 0) AS tk
+       |FROM documents)
+       |SELECT doc_id, score_en, score_de, score_fr,
+       |  CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+       |       WHEN score_de >= score_fr THEN 'de' ELSE 'fr' END AS lang_pred
+       |FROM (SELECT doc_id, $scoreExprs FROM t)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- Q-fingerprint
+  // Rolling polynomial hash over token hashes (document fingerprint).
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val tk = tokens(col("text"))
+    val fp = aggregate(tk, lit(0L),
+      (acc, t) => pmod(acc * 31L + shaHash32(t), lit(P)))
+    load(s, dir, "documents")
+      .select(col("doc_id"), fp.as("fp"))
+      .orderBy("doc_id")
+  }
+
+  private val fingerprintSql =
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform($SqlToks, t -> ${sqlSh32("t")})),
+       |    (acc, h) -> (acc * 31 + h) % $P) AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- Q-json
+  // S4: JSON metadata extraction + aggregation.
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  private val jsonSql =
+    """SELECT event_type,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- Q-kv
+  // S5: key=value sidecar parsing via str_to_map round-trip.
+  def keyValue(s: SparkSession, dir: String): DataFrame = {
+    val kv = concat(lit("user="), col("user_id"), lit("\n"),
+      lit("type="), col("event_type"))
+    load(s, dir, "events")
+      .select(col("event_id"), str_to_map(kv, lit("\n"), lit("=")).as("m"))
+      .select(col("event_id"), col("m")("user").as("user_str"),
+        col("m")("type").as("type_str"))
+      .orderBy("event_id")
+  }
+
+  private val keyValueSql =
+    """SELECT event_id, CAST(user_id AS VARCHAR) AS user_str,
+      |       event_type AS type_str
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------ Q-stream
+  // S1/S2/§2.10: micro-batch file-source ingest (Trigger.AvailableNow).
+  def stream(s: SparkSession, dir: String): DataFrame =
+    Ingest.groupedCounts(s, dir, "events.parquet", "event_type")
+      .orderBy("event_type")
+
+  private val streamSql =
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY 1"
+
+  // -------------------------------------------------------- Q-multimodal
+  // Opaque binary payload + typed metadata struct (deterministic fake
+  // decode — see Multimodal.decodePartition for the real-codec seam).
+  def multimodal(s: SparkSession, dir: String): DataFrame = {
+    val withMeta = Multimodal.withPayload(load(s, dir, "documents"), "text")
+      .withColumn("meta", Multimodal.fakeDecode(col("payload"), "image/png"))
+    withMeta.select(col("doc_id"),
+        col("meta")("media_type").as("media_type"),
+        col("meta")("size_bytes").as("size_bytes"),
+        col("meta")("width").as("width"),
+        col("meta")("height").as("height"))
+      .orderBy("doc_id")
+  }
+
+  private val multimodalSql =
+    s"""SELECT doc_id, 'image/png' AS media_type,
+       |       CAST(strlen(text) AS BIGINT) AS size_bytes,
+       |       ${sqlSh32("text")} % 1920 + 1 AS width,
+       |       ${sqlSh32("text")} % 1080 + 1 AS height
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- registry
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lookup" -> (lookup _),
+    "q_route" -> (route _),
+    "q_validate" -> (validate _),
+    "q_join_hash" -> (joinHash _),
+    "q_anti" -> (anti _),
+    "q_lineage" -> (lineage _),
+    "q_lineage_roots" -> (lineageRoots _),
+    "q_groupcount" -> (groupCount _),
+    "q_maxid" -> (maxId _),
+    "q_report" -> (report _),
+    "q_dates" -> (dates _),
+    "q_dedup" -> (dedupExact _),
+    "q_neardup_ngram" -> (nearDupNgram _),
+    "q_neardup_minhash" -> (nearDupMinhash _),
+    "q_simhash" -> (simhash _),
+    "q_knn" -> (knn _),
+    "q_tokens" -> (tokensQ _),
+    "q_quality" -> (quality _),
+    "q_langid" -> (langId _),
+    "q_fingerprint" -> (fingerprint _),
+    "q_json" -> (jsonExtract _),
+    "q_kv" -> (keyValue _),
+    "q_stream" -> (stream _),
+    "q_multimodal" -> (multimodal _))
+
+  val oracles: Map[String, String] = Map(
+    "q_lookup" -> lookupSql,
+    "q_route" -> routeSql,
+    "q_validate" -> validateSql,
+    "q_join_hash" -> joinHashSql,
+    "q_anti" -> antiSql,
+    "q_lineage" -> lineageSql,
+    "q_lineage_roots" -> lineageRootsSql,
+    "q_groupcount" -> groupCountSql,
+    "q_maxid" -> maxIdSql,
+    "q_report" -> reportSql,
+    "q_dates" -> datesSql,
+    "q_dedup" -> dedupExactSql,
+    "q_neardup_ngram" -> nearDupNgramSql,
+    "q_neardup_minhash" -> nearDupMinhashSql,
+    "q_simhash" -> simhashSql,
+    "q_knn" -> knnSql,
+    "q_tokens" -> tokensSql,
+    "q_quality" -> qualitySql,
+    "q_langid" -> langIdSql,
+    "q_fingerprint" -> fingerprintSql,
+    "q_json" -> jsonSql,
+    "q_kv" -> keyValueSql,
+    "q_stream" -> streamSql,
+    "q_multimodal" -> multimodalSql)
+}

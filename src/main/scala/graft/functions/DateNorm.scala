@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   * format should be listed first in hot paths.
   */
 object DateNorm {
-  /** Two-digit years parse to 2000-2099 under Java's formatter; the
-    * reference's data predates 2050, so anything above pivots back a
-    * century (matches C strptime's 69-pivot for the observed range). */
-  private val Pivot = 2050
+  /** Two-digit years parse to 2000-2099 under Java's formatter; C strptime
+    * (the reference's `%y%m%d`, etl_msconvert.py:602) pivots at 69: yy 69-99
+    * → 19xx, 00-68 → 20xx. Anything above 2068 pivots back a century. */
+  private val Pivot = 2068
 
   val Formats: Seq[String] = Seq(
     "yyyy-MM-dd'T'HH:mm:ss'Z'",
@@ -30,8 +30,8 @@ object DateNorm {
     "yyyyMMdd")
 
   def normalize(s: Column): Column = {
-    val yy = try_to_date(s, lit("yyMMdd"))
+    val yy = try_to_date(s, "yyMMdd")
     val yyPivoted = when(year(yy) > Pivot, add_months(yy, -1200)).otherwise(yy)
-    coalesce(Formats.map(f => try_to_date(s, lit(f))) :+ yyPivoted: _*)
+    coalesce(Formats.map(f => try_to_date(s, f)) :+ yyPivoted: _*)
   }
 }

@@ -100,6 +100,9 @@ object Dedup {
   def nearDupMinhash(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 16, bands: Int = 4, n: Int = 3,
                      threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must be divisible by bands=$bands " +
+        "(otherwise trailing signature columns are silently ignored)")
     val sh = shingleHashes(docs, idCol, textCol, n)
     val sig = minhashSignature(docs, idCol, textCol, k, n)
     val cands = candidatePairs(lshBands(sig, bands, k / bands))

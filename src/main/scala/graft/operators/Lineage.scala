@@ -57,7 +57,7 @@ object Lineage {
   def descendants(edges: DataFrame, start: DataFrame): DataFrame = {
     val down = edges.select(col("parent").as("child"), col("child").as("parent"))
     ancestors(down)
-      .join(start, col("node") === start.columns.head)
+      .join(start, col("node") === start(start.columns.head), "left_semi")
       .select(col("node").as("start"), col("anc").as("descendant"), col("depth"))
   }
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines: payloads travel as opaque `binary` columns next to a typed
+  * metadata struct, so a 100 TB media table scans/prunes/partitions like
+  * any other table and only the decode stage touches bytes.
+  *
+  * The decode step itself needs a codec library that is not present in
+  * this environment, so [[decodePartition]] is a clearly-marked stub;
+  * the Spark-side plumbing — schema, column shapes, deterministic
+  * metadata derivation, per-partition batching seam — is real and is
+  * what [[fakeDecode]] exercises end-to-end.
+  */
+object Multimodal {
+  /** Metadata struct the decode stage emits alongside the payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("size_bytes", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType)))
+
+  /** Attach an opaque binary payload column (e.g. from `binaryFile`
+    * sources — SURVEY §2.1 S1/S10/S11 pattern generalized). */
+  def withPayload(df: DataFrame, sourceCol: String): DataFrame =
+    df.withColumn("payload", col(sourceCol).cast("binary"))
+
+  /** Deterministic fake decode: metadata derived from the payload's
+    * sha256. Stand-in with the exact schema/shape the real codec UDF
+    * would produce, so downstream plumbing is testable without codecs. */
+  def fakeDecode(payload: Column, mediaType: String): Column = {
+    val h = conv(substring(sha2(payload, 256), 1, 8), 16, 10).cast("long")
+    struct(lit(mediaType).as("media_type"),
+      length(payload).cast("long").as("size_bytes"),
+      (pmod(h, lit(1920L)) + lit(1L)).as("width"),
+      (pmod(h, lit(1080L)) + lit(1L)).as("height"))
+  }
+
+  /** Real decode seam: per-partition batched decode through an image /
+    * audio codec (the `mapPartitions` analog of a Pandas-UDF batch).
+    * STUB — no codec library ships in this environment. */
+  def decodePartition(rows: Iterator[Array[Byte]]): Iterator[Row] =
+    throw new UnsupportedOperationException(
+      "media codec not available in this environment; use fakeDecode for plumbing tests")
+
+  type Row = (String, Long, Long, Long)
+}

@@ -23,14 +23,17 @@ object Sequencing {
     */
   def nextIds(existing: DataFrame, fresh: DataFrame,
               groupCol: String, orderBy: Column): DataFrame = {
+    // Collision-proof key name: a caller's groupCol named "group" must not
+    // be dropped along with the join key.
     val maxes = existing.groupBy(col("group"))
-      .agg(max(col("num")).as("max_num"))
+      .agg(max(col("num")).as("__seq_max"))
+      .withColumnRenamed("group", "__seq_group")
     val w = Window.partitionBy(col(groupCol)).orderBy(orderBy)
     fresh
-      .join(maxes, fresh(groupCol) === maxes("group"), "left")
-      .drop("group")
+      .join(maxes, fresh(groupCol) === maxes("__seq_group"), "left")
+      .drop("__seq_group")
       .withColumn("new_id",
-        coalesce(col("max_num"), lit(0L)) + row_number().over(w).cast("long"))
-      .drop("max_num")
+        coalesce(col("__seq_max"), lit(0L)) + row_number().over(w).cast("long"))
+      .drop("__seq_max")
   }
 }

@@ -31,5 +31,5 @@ object Validate {
 
   /** Assert the frame has all required columns (P8); returns the missing. */
   def missingColumns(df: DataFrame, required: Seq[String]): Seq[String] =
-    required.filterNot(df.columns.map(_.toLowerCase).contains)
+    required.filterNot(r => df.columns.exists(_.equalsIgnoreCase(r)))
 }

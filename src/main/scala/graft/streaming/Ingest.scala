@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** File-arrival stream ingest (SURVEY §2.1 S1/S2, §2.10).
+  *
+  * The reference is an event-driven batch processor: a marker file lands,
+  * one transaction processes the folder, commit is all-or-nothing
+  * (register-fastq-dropbox plugin.properties:8-10). The Spark-native shape
+  * is a Structured Streaming file source driven with
+  * `Trigger.AvailableNow` — batch parity when idle, micro-batches when
+  * running continuously — with aggregation state handled by the engine
+  * and exactly-once via checkpoint + idempotent sink.
+  */
+object Ingest {
+  /** Micro-batch ingest of one parquet table inside `dir`; grouped counts
+    * via the streaming aggregation path (complete mode, memory sink).
+    * `pathGlobFilter` plays the reference's marker-file role (S2): only
+    * the matching upload is picked up. Terminates when all available
+    * input is processed. */
+  def groupedCounts(spark: SparkSession, dir: String, fileGlob: String,
+                    keyCol: String): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", fileGlob).parquet(dir).schema
+    val qn = "graft_stream_counts"
+    val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
+      .parquet(dir)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .writeStream.queryName(qn).outputMode("complete")
+      .format("memory").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qn)
+  }
+}
