@@ -286,19 +286,23 @@ object Queries {
        |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------- Q-minhash
-  // MinHash(k=16) + LSH(4 bands) candidates, exact-Jaccard verified.
+  // MinHash(k) + LSH(band) candidates, exact-Jaccard verified.
   // The oracle replays the identical permutation constants and band folds.
+  private val MhK = 32
+  private val MhBands = 4
+
   def nearDupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupMinhash(load(s, dir, "documents"), "doc_id", "text",
-        k = 16, bands = 4, n = 3, threshold = 0.8)
+        k = MhK, bands = MhBands, n = 3, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
   private val nearDupMinhashSql: String = {
-    val mins = Dedup.hashParams(16).zipWithIndex
+    val r = MhK / MhBands
+    val mins = Dedup.hashParams(MhK).zipWithIndex
       .map { case ((a, b), j) => s"min((h * $a + $b) % $P) AS m$j" }
       .mkString(", ")
-    val bandSelects = (0 until 4).map { b =>
-      val fold = (0 until 4).map(r => s"m${b * 4 + r}")
+    val bandSelects = (0 until MhBands).map { b =>
+      val fold = (0 until r).map(i => s"m${b * r + i}")
         .reduce((acc, c) => s"(($acc * 31 + $c) % $P)")
       s"SELECT $b AS band, $fold AS band_hash, id FROM sig"
     }.mkString(" UNION ALL ")

