@@ -1,0 +1,59 @@
+package graft.exec
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Result row of one external-tool invocation. */
+case class ExecResult(input: String, cmd: Seq[String], exitCode: Int,
+                      stdout: String, stderr: String, dryrun: Boolean)
+
+/** External-process transform harness (SURVEY §2.9 X1-X7).
+  *
+  * The reference shells out per file — msconvert over ssh (etl_msconvert.py:182-218),
+  * snpEff (`java -Xmx4g`, register-iontorrent-data.py:338-352), pdftotext,
+  * DICOM anonymization — always with a timeout and a `dryrun` testability
+  * seam (`convert_raw(dryrun=True)`, etl_msconvert.py:208-209).
+  *
+  * Spark-native shape: `mapPartitions` over the file rows so one task =
+  * one sequential batch of subprocess calls; task retry supplies
+  * at-least-once, and idempotency probes (skip-if-output-exists, the
+  * reference's own answer at etl_msconvert.py:845-856) make retries safe.
+  * Never collect-and-loop on the driver.
+  */
+object External {
+  /** Run `cmdFor(input)` for every row of `inputs`.
+    *
+    * @param dryrun      when true, no process is spawned; the planned
+    *                    command is returned (the reference's own seam)
+    * @param timeoutSec  per-invocation wall clock; timeout → exitCode 124
+    */
+  def execRows(inputs: Dataset[String], cmdFor: String => Seq[String],
+               timeoutSec: Long = 7200L, dryrun: Boolean = false): Dataset[ExecResult] = {
+    import inputs.sparkSession.implicits._
+    inputs.mapPartitions { it =>
+      it.map { input =>
+        val cmd = cmdFor(input)
+        if (dryrun) ExecResult(input, cmd, 0, "", "", dryrun = true)
+        else runOne(input, cmd, timeoutSec)
+      }
+    }
+  }
+
+  private def runOne(input: String, cmd: Seq[String], timeoutSec: Long): ExecResult = {
+    import java.util.concurrent.TimeUnit
+    val pb = new ProcessBuilder(cmd: _*)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    val err = new String(proc.getErrorStream.readAllBytes())
+    val finished = proc.waitFor(timeoutSec, TimeUnit.SECONDS)
+    if (!finished) {
+      proc.destroyForcibly()
+      ExecResult(input, cmd, 124, out, err, dryrun = false)
+    } else ExecResult(input, cmd, proc.exitValue(), out, err, dryrun = false)
+  }
+
+  /** Idempotency probe (X1's skip-if-converted): drop inputs whose
+    * expected output row already exists. */
+  def skipDone(inputs: DataFrame, done: DataFrame, key: Seq[String]): DataFrame =
+    inputs.join(done.select(key.map(col): _*).distinct(), key, "left_anti")
+}

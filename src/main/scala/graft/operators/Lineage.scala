@@ -23,25 +23,32 @@ import org.apache.spark.storage.StorageLevel
 object Lineage {
   val MaxDepth = 30
 
-  /** All (node, ancestor, depth) pairs reachable by walking child→parent. */
+  /** All (node, ancestor, depth) pairs reachable by walking child→parent.
+    *
+    * Each frontier is truncated with an eager `localCheckpoint`: an
+    * iterative self-join otherwise accumulates a plan tree that grows with
+    * depth (re-optimized and re-printed every iteration — measurably
+    * pathological past ~10 levels). On a multi-executor cluster swap in
+    * `checkpoint` against reliable storage; the loop shape is identical. */
   def ancestors(edges: DataFrame): DataFrame = {
     val e = edges.select(col("child"), col("parent"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var walk = e.select(col("child").as("node"), col("parent").as("anc"),
-      lit(1L).as("depth"))
-    var frontier = walk
+    var frontier = e.select(col("child").as("node"), col("parent").as("anc"),
+      lit(1L).as("depth")).localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
     var depth = 1
-    while (depth < MaxDepth && !frontier.isEmpty) {
+    var done = false
+    while (depth < MaxDepth && !done) {
       val next = frontier.alias("f")
         .join(e.alias("e"), col("f.anc") === col("e.child"))
         .select(col("f.node"), col("e.parent").as("anc"),
           (col("f.depth") + 1).as("depth"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      walk = walk.union(next)
-      frontier = next
-      depth += 1
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else { levels += next; frontier = next; depth += 1 }
     }
-    walk
+    e.unpersist()
+    levels.reduce(_ union _)
   }
 
   /** For every node in the DAG, its root ancestor (one with no parent) and
@@ -56,8 +63,9 @@ object Lineage {
   /** Descendants of `start` nodes (down-walk, J8): (start, descendant, depth). */
   def descendants(edges: DataFrame, start: DataFrame): DataFrame = {
     val down = edges.select(col("parent").as("child"), col("child").as("parent"))
+    val startKeys = start.select(col(start.columns.head).as("__start")).distinct()
     ancestors(down)
-      .join(start, col("node") === start(start.columns.head), "left_semi")
+      .join(startKeys, col("node") === col("__start"), "left_semi")
       .select(col("node").as("start"), col("anc").as("descendant"), col("depth"))
   }
 }

@@ -1,0 +1,35 @@
+package graft.exec
+
+import graft.SparkSpec
+
+class ExternalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dryrun plans commands without spawning processes") {
+    val r = External.execRows(Seq("a.raw", "b.raw").toDS(),
+      f => Seq("msconvert", f, "--mzML"), dryrun = true).collect()
+    assert(r.forall(_.dryrun) && r.forall(_.exitCode == 0))
+    assert(r.map(_.cmd).toSet === Set(
+      Seq("msconvert", "a.raw", "--mzML"), Seq("msconvert", "b.raw", "--mzML")))
+  }
+
+  test("real invocation captures exit code and stdout") {
+    val r = External.execRows(Seq("hello").toDS(),
+      f => Seq("echo", f), timeoutSec = 30).collect()
+    assert(r.head.exitCode === 0)
+    assert(r.head.stdout.trim === "hello")
+  }
+
+  test("nonzero exit codes are reported, not thrown") {
+    val r = External.execRows(Seq("x").toDS(),
+      _ => Seq("false"), timeoutSec = 30).collect()
+    assert(r.head.exitCode === 1)
+  }
+
+  test("skipDone drops inputs whose output already exists") {
+    val inputs = Seq("a", "b", "c").toDF("path")
+    val done = Seq("b").toDF("path")
+    val r = External.skipDone(inputs, done, Seq("path"))
+    assert(rows(r).flatten.toSet === Set("a", "c"))
+  }
+}

@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Doc 2 appends one token to doc 1: shingle-Jaccard 7/8 = 0.875, high
+  // enough for an r=8 LSH band to collide. Doc 3 shares nothing.
+  private val base = "the quick brown fox jumps over the lazy dog"
+  private val docs = Seq(
+    (1L, base),
+    (2L, base + " tonight"), // near-dup of 1
+    (3L, "completely different content about spark engines and scale"),
+    (4L, base)               // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val r = Dedup.exact(docs, "doc_id", "text")
+    assert(r.count() === 3)
+    val dup = r.filter(col("n_copies") === 2).select("keep_id")
+    assert(rows(dup).flatten === Seq(1L))
+  }
+
+  test("minhash LSH finds the planted near-dup pair and the exact pair") {
+    val pairs = Dedup.nearDupMinhash(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical → always a candidate
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram Jaccard reports exact duplicates at 1.0 and near-dups at 7/8") {
+    val r = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+    val exact = r.filter(col("id_a") === 1 && col("id_b") === 4)
+    assert(rows(exact.select("jaccard")).flatten === Seq(1.0))
+    val near = r.filter(col("id_a") === 1 && col("id_b") === 2)
+    assert(rows(near.select("jaccard")).flatten === Seq(0.875))
+  }
+
+  test("simhash near-dups have small hamming distance, distinct docs large") {
+    val sig = Dedup.simhash32(docs, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(sig, maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("misconfigured band count fails loudly") {
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupMinhash(docs, "doc_id", "text", k = 16, bands = 5)
+    }
+  }
+}
+
+class LineageSpec extends SparkSpec {
+  import spark.implicits._
+
+  //      r1
+  //     /  \
+  //    a    b
+  //   / \    \
+  //  c   d    e        r2 -> f
+  private val edges = Seq(
+    ("a", "r1"), ("b", "r1"), ("c", "a"), ("d", "a"), ("e", "b"), ("f", "r2")
+  ).toDF("child", "parent")
+
+  test("ancestors walks to fixpoint with depths") {
+    val anc = Lineage.ancestors(edges)
+    val ofC = anc.filter(col("node") === "c").select("anc", "depth")
+      .as[(String, Long)].collect().toSet
+    assert(ofC === Set(("a", 1L), ("r1", 2L)))
+    assert(anc.count() === 6 + 3) // 6 direct edges + 3 grandparent pairs
+  }
+
+  test("roots finds the parentless ancestor for every node") {
+    val r = Lineage.roots(edges).as[(String, String, Long)].collect().toSet
+    assert(r === Set(("a", "r1", 1L), ("b", "r1", 1L), ("c", "r1", 2L),
+      ("d", "r1", 2L), ("e", "r1", 2L), ("f", "r2", 1L)))
+  }
+
+  test("descendants walks down from start nodes (regression: non-empty)") {
+    val start = Seq("a").toDF("node")
+    val d = Lineage.descendants(edges, start)
+      .select("descendant").as[String].collect().toSet
+    assert(d === Set("c", "d"))
+  }
+
+  test("a cycle terminates at the depth cap instead of hanging") {
+    val cyc = Seq(("x", "y"), ("y", "x")).toDF("child", "parent")
+    assert(Lineage.ancestors(cyc).count() > 0) // bounded, returns
+  }
+}
+
+class SequencingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("next ids continue after the group max, 1-based for new groups") {
+    val existing = Seq(("p1", 3L), ("p1", 7L), ("p2", 1L)).toDF("group", "num")
+    val fresh = Seq(("p1", "x"), ("p1", "y"), ("p3", "z")).toDF("proj", "item")
+    val r = Sequencing.nextIds(existing, fresh, "proj", col("item"))
+      .select("proj", "item", "new_id").as[(String, String, Long)].collect().toSet
+    assert(r === Set(("p1", "x", 8L), ("p1", "y", 9L), ("p3", "z", 1L)))
+  }
+
+  test("caller group column named 'group' does not collide (regression)") {
+    val existing = Seq(("p1", 5L)).toDF("group", "num")
+    val fresh = Seq(("p1", "x")).toDF("group", "item")
+    val r = Sequencing.nextIds(existing, fresh, "group", col("item"))
+    assert(rows(r.select("new_id")).flatten === Seq(6L))
+  }
+}
+
+class ValidateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unpaired groups are the odd-count ones") {
+    val df = Seq("a", "a", "b", "b", "b", "c").toDF("k")
+    val r = Validate.unpairedGroups(df, Seq("k")).select("k")
+    assert(rows(r).flatten.toSet === Set("b", "c"))
+  }
+
+  test("duplicated keys are the >1 ones") {
+    val df = Seq("a", "a", "b").toDF("k")
+    assert(rows(Validate.duplicatedKeys(df, Seq("k")).select("k")).flatten === Seq("a"))
+  }
+
+  test("missingRefs returns left rows without a match") {
+    val l = Seq(1, 2, 3).toDF("id")
+    val r = Seq(2, 3).toDF("rid")
+    val miss = Validate.missingRefs(l, r, col("id") === col("rid"))
+    assert(rows(miss).flatten === Seq(1))
+  }
+
+  test("missingColumns is case-insensitive both ways (regression)") {
+    val df = Seq((1, "x")).toDF("ID", "Name")
+    assert(Validate.missingColumns(df, Seq("id", "NAME")) === Seq.empty)
+    assert(Validate.missingColumns(df, Seq("Other")) === Seq("Other"))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine similarity of known vectors") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 2.0), Seq(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(round(Similarity.cosine(col("a"), col("b")), 6).as("c"))
+    assert(rows(df).flatten === Seq(0.0, 1.0))
+  }
+
+  test("brute-force knn returns k rows ranked by similarity") {
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.0, 1.0)), (4L, Seq(-1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Seq(1.0, 0.0))).toDF("qv")
+    val r = Similarity.bruteForceKnn(emb, "vec_id", "embedding", q, 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(r === Seq(1L, 2L))
+  }
+
+  test("lsh knn finds the query's own bucket neighbours") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.99f, 0.1f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Seq(1.0f, 0.0f, 0.0f))).toDF("qv")
+    val r = Similarity.lshKnn(emb, "vec_id", "embedding", q, 3, nPlanes = 4, dim = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(r.contains(1L) && r.contains(2L) && !r.contains(3L))
+  }
+}
+
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert: incoming wins, unmatched existing survives") {
+    val existing = Seq((1, "old"), (2, "keep")).toDF("id", "v")
+    val incoming = Seq((1, "new"), (3, "add")).toDF("id", "v")
+    val r = Catalog.upsert(existing, incoming, Seq("id"))
+      .as[(Int, String)].collect().toSet
+    assert(r === Set((1, "new"), (2, "keep"), (3, "add")))
+  }
+
+  test("appendNew is idempotent on re-submission") {
+    val existing = Seq((1, "a")).toDF("id", "v")
+    val incoming = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val once = Catalog.appendNew(existing, incoming, Seq("id"))
+    val twice = Catalog.appendNew(once, incoming, Seq("id"))
+    assert(twice.count() === 2)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("payload + fake decode produce the documented metadata shape") {
+    val df = Multimodal.withPayload(Seq((1L, "hello")).toDF("id", "text"), "text")
+      .withColumn("meta", Multimodal.fakeDecode(col("payload"), "image/png"))
+      .select("meta.media_type", "meta.size_bytes", "meta.width", "meta.height")
+    val Seq(Seq(mt, sz, w, h)) = rows(df)
+    assert(mt === "image/png" && sz === 5L)
+    assert(w.asInstanceOf[Long] >= 1 && w.asInstanceOf[Long] <= 1920)
+    assert(h.asInstanceOf[Long] >= 1 && h.asInstanceOf[Long] <= 1080)
+  }
+
+  test("decodePartition is an explicit stub") {
+    intercept[UnsupportedOperationException] {
+      Multimodal.decodePartition(Iterator.empty)
+    }
+  }
+}
