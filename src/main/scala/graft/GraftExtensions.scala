@@ -1,0 +1,27 @@
+package graft
+
+import graft.plans.QbicChecksum
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** Engine extension point: registers graft's native Catalyst expressions
+  * so they're callable from SQL and `call_function` in any session built
+  * with `spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * Kept deliberately tiny (SURVEY §7): built-in operators cover the rest,
+  * and every custom surface is one more thing Catalyst can't reason about.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("qbic_checksum"),
+      QbicChecksum.info, exprs => QbicChecksum(exprs.head)))
+  }
+}
+
+object GraftExtensions {
+  /** Imperative registration for sessions already built (tests, shells). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("qbic_checksum"),
+      QbicChecksum.info, exprs => QbicChecksum(exprs.head))
+}

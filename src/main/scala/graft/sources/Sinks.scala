@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Export sinks (SURVEY §2.2 K3/K8, §2.8 F10).
+  *
+  * The reference's reports are `tableBuilder` tables and its exports are
+  * TSV/XML files. Spark-native: the report IS the query's DataFrame;
+  * exports are `df.write` with the right options, or a column expression
+  * rendering XML — no driver-side string building loops.
+  */
+object Sinks {
+  /** K8: variant-TSV-style export (register-iontorrent-data.py:504-518). */
+  def writeTsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite")
+      .option("sep", "\t").option("header", "true").csv(path)
+  }
+
+  /** F10: render one XML element per row from a (tag, attrs, body)
+    * column spec — the declarative form of the reference's PyXB/DOM
+    * building (createGenevarsCxxCVs.py:96-151). Attribute values are
+    * XML-escaped. */
+  def xmlElement(tag: String, attrs: Seq[(String, Column)], body: Column): Column = {
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(c,
+        "&", "&amp;"), "<", "&lt;"), "\"", "&quot;")
+    val attrStr = attrs.map { case (k, v) =>
+      concat(lit(s""" $k=""""), esc(v), lit("\""))
+    }.foldLeft(lit(""): Column)(concat(_, _))
+    concat(lit(s"<$tag"), attrStr, lit(">"), esc(body), lit(s"</$tag>"))
+  }
+}

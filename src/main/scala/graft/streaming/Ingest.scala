@@ -32,4 +32,24 @@ object Ingest {
     q.awaitTermination()
     spark.table(qn)
   }
+
+  /** §2.10 exactly-once commit: file-source stream → parquet file sink
+    * with a checkpoint. The sink's commit log makes re-runs (restart
+    * after crash, accidental double invocation) no-ops instead of
+    * duplicates — the engine-native form of the reference's
+    * one-transaction-per-upload model. Returns the sink row count. */
+  def ingestExactlyOnce(spark: SparkSession, srcDir: String, fileGlob: String,
+                        destDir: String, checkpointDir: String): Long = {
+    val schema = spark.read.option("pathGlobFilter", fileGlob)
+      .parquet(srcDir).schema
+    val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
+      .parquet(srcDir)
+      .writeStream.format("parquet")
+      .option("path", destDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(destDir).count()
+  }
 }
