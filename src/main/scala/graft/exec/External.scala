@@ -56,4 +56,21 @@ object External {
     * expected output row already exists. */
   def skipDone(inputs: DataFrame, done: DataFrame, key: Seq[String]): DataFrame =
     inputs.join(done.select(key.map(col): _*).distinct(), key, "left_anti")
+
+  /** K7: bounded retry with backoff (sample-tracking updates retry 3×1s,
+    * register-fastq-dropbox.py:133-145). For use inside foreachPartition
+    * sinks; throws the last failure when attempts are exhausted. */
+  def withRetry[T](attempts: Int = 3, backoffMs: Long = 1000L)(f: => T): T = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return f
+      catch {
+        case e: Throwable =>
+          last = e; i += 1
+          if (i < attempts) Thread.sleep(backoffMs)
+      }
+    }
+    throw last
+  }
 }

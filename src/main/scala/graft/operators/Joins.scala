@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join idioms from the reference, named (SURVEY §2.4).
+  *
+  * Thin by design: each is one declarative join with the right hint, so
+  * Catalyst/AQE keep full freedom (broadcast vs shuffle, reorder,
+  * runtime skew handling). The value is the contract — which side
+  * broadcasts, what counts as a miss — not cleverness.
+  */
+object Joins {
+  /** J4: whitelist membership via broadcast left-semi join
+    * (vcf2xml.py:27-47 gene-panel filter). */
+  def whitelist(df: DataFrame, panel: DataFrame, keys: Seq[String]): DataFrame =
+    df.join(broadcast(panel.select(keys.map(col): _*).distinct()), keys, "left_semi")
+
+  /** J3/SO2 inverse: members with no occurrence (VARIANTABSENT). */
+  def absent(all: DataFrame, seen: DataFrame, keys: Seq[String]): DataFrame =
+    all.join(seen.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** J5/J6: dictionary lookup join — broadcast dimension, left join,
+    * misses flagged (`__miss`) instead of dropped so callers choose
+    * inner (reference's `continue`) or error (P7) semantics. */
+  def lookup(df: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame = {
+    val probe = dim.columns.diff(keys).head
+    df.join(broadcast(dim), keys, "left")
+      .withColumn("__miss", col(probe).isNull)
+  }
+
+  /** J10: existence probe — does any row of `existing` match? Keeps
+    * `df` rows that have a witness (semi) — the reference's
+    * `isCurrentMSRun` membership test (etl_msconvert.py:449-468). */
+  def existsIn(df: DataFrame, existing: DataFrame, cond: Column): DataFrame =
+    df.join(existing, cond, "left_semi")
+
+  /** J11: join on normalized relative path (metadata row ↔ payload file,
+    * etl_msconvert.py:591-633): strip leading ./, collapse //, trim. */
+  def normPath(c: Column): Column =
+    regexp_replace(regexp_replace(trim(c), "^\\./", ""), "/{2,}", "/")
+
+  def joinOnPath(meta: DataFrame, files: DataFrame,
+                 metaPath: String, filePath: String): DataFrame =
+    meta.withColumn("__p", normPath(col(metaPath)))
+      .join(files.withColumn("__p", normPath(col(filePath))), Seq("__p"))
+      .drop("__p")
+}
