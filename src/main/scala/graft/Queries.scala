@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{Barcode, DateNorm, ExactAgg}
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Lineage, Multimodal, Sequencing, Similarity}
+import graft.operators.{Align, Catalog, Dedup, Lineage, Multimodal, Sequencing, Similarity}
 import graft.streaming.Ingest
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -541,6 +541,35 @@ object Queries {
        |       ${sqlSh32("text")} % 1080 + 1 AS height
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- Q-align
+  // W1: positional pairing of two independently-sorted row sets.
+  def align(s: SparkSession, dir: String): DataFrame =
+    Align.alignSorted(
+        load(s, dir, "supplier").select("s_name"),
+        load(s, dir, "part").select("p_name"),
+        col("s_name"), col("p_name"))
+      .orderBy("s_name")
+
+  private val alignSql =
+    """WITH l AS (SELECT s_name, row_number() OVER (ORDER BY s_name) AS rn FROM supplier),
+      |r AS (SELECT p_name, row_number() OVER (ORDER BY p_name) AS rn FROM part)
+      |SELECT l.s_name, r.p_name FROM l JOIN r USING (rn) ORDER BY l.s_name""".stripMargin
+
+  // ------------------------------------------------------------ Q-upsert
+  // K2: MERGE-style last-wins upsert of a modification batch.
+  def upsert(s: SparkSession, dir: String): DataFrame = {
+    val existing = load(s, dir, "customer").select(col("c_custkey"),
+      col("c_mktsegment").as("seg"))
+    val incoming = existing.filter(col("c_custkey") % 10 === 0)
+      .withColumn("seg", lit("UPDATED"))
+    Catalog.upsert(existing, incoming, Seq("c_custkey")).orderBy("c_custkey")
+  }
+
+  private val upsertSql =
+    """SELECT c_custkey,
+      |       CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS seg
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   // ----------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lookup" -> (lookup _),
@@ -566,7 +595,9 @@ object Queries {
     "q_json" -> (jsonExtract _),
     "q_kv" -> (keyValue _),
     "q_stream" -> (stream _),
-    "q_multimodal" -> (multimodal _))
+    "q_multimodal" -> (multimodal _),
+    "q_align" -> (align _),
+    "q_upsert" -> (upsert _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -592,5 +623,7 @@ object Queries {
     "q_json" -> jsonSql,
     "q_kv" -> keyValueSql,
     "q_stream" -> streamSql,
-    "q_multimodal" -> multimodalSql)
+    "q_multimodal" -> multimodalSql,
+    "q_align" -> alignSql,
+    "q_upsert" -> upsertSql)
 }
