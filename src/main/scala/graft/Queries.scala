@@ -4,7 +4,7 @@ import graft.core.Tables.load
 import graft.functions.{Barcode, DateNorm, ExactAgg}
 import graft.functions.TextFunctions._
 import graft.operators.{Align, Catalog, Dedup, Lineage, Multimodal, Sequencing, Similarity}
-import graft.streaming.Ingest
+import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -570,6 +570,50 @@ object Queries {
       |       CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS seg
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------------------ Q-embdup
+  // Embedding-cosine near-dup pairs (exact baseline; the SRP-bucketed
+  // variant is the scale path, spec-compared for recall).
+  def embeddingDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupExact(load(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  private val embeddingDupSql: String = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, 64),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |  (acc, v) -> acc + v)""".stripMargin
+    s"""WITH p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         round(${dot("a.embedding", "b.embedding")} /
+       |               (sqrt(${dot("a.embedding", "a.embedding")}) *
+       |                sqrt(${dot("b.embedding", "b.embedding")})), 4) AS sim
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------- Q-sessions
+  // §2.10 custom streaming state: gap sessionization per user via
+  // flatMapGroupsWithState; oracle = the equivalent batch window query.
+  private val SessionGapNanos = 30L * 60 * 1000000000L
+
+  def sessions(s: SparkSession, dir: String): DataFrame =
+    Sessionize.userSessions(s, dir, "events.parquet", SessionGapNanos)
+      .orderBy("user_id")
+
+  private val sessionsSql =
+    """WITH e AS (
+      |  SELECT user_id,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                   > INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events)
+      |SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ----------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lookup" -> (lookup _),
@@ -597,7 +641,9 @@ object Queries {
     "q_stream" -> (stream _),
     "q_multimodal" -> (multimodal _),
     "q_align" -> (align _),
-    "q_upsert" -> (upsert _))
+    "q_upsert" -> (upsert _),
+    "q_embdup" -> (embeddingDup _),
+    "q_sessions" -> (sessions _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -625,5 +671,7 @@ object Queries {
     "q_stream" -> streamSql,
     "q_multimodal" -> multimodalSql,
     "q_align" -> alignSql,
-    "q_upsert" -> upsertSql)
+    "q_upsert" -> upsertSql,
+    "q_embdup" -> embeddingDupSql,
+    "q_sessions" -> sessionsSql)
 }

@@ -49,6 +49,33 @@ object Similarity {
       when(d >= 0, 1L << i).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Embedding near-duplicate pairs, exact: all (a < b) pairs with cosine
+    * ≥ threshold. O(n²) compare — the correctness baseline the bucketed
+    * variant is judged against. */
+  def embeddingNearDupExact(emb: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame =
+    emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("vb")),
+        col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+
+  /** Embedding near-duplicate pairs at scale: SRP-bucket both sides and
+    * compare only within buckets (recall < 1, tunable via nPlanes —
+    * fewer planes ⇒ bigger buckets ⇒ higher recall, more compares). */
+  def embeddingNearDupBucketed(emb: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      srpBucket(col(vecCol), planes).as("bucket"))
+    b.alias("x").join(b.alias("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(cosine(col("x.v"), col("y.v")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** LSH-bucketed ANN: search only vectors sharing the query's SRP bucket,
     * then exact-cosine rank within the bucket. Recall < 1 by construction;
     * callers trade planes for recall. */

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SessionizeSpec extends SparkSpec {
+
+  test("stateful sessionization matches the batch window formulation") {
+    val dir = "/root/testdata/sf0.001"
+    val gap = 30L * 60 * 1000000000L
+    val streamed = Sessionize.userSessions(spark, dir, "events.parquet", gap)
+      .orderBy("user_id")
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val batch = e.withColumn("brk",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) > gap, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("brk")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+    assert(rows(streamed) === rows(batch))
+  }
+}
+
+class EmbeddingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed near-dup pairs are a subset of exact, with real recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.embeddingNearDupExact(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bucketed = Similarity.embeddingNearDupBucketed(
+        emb, "vec_id", "embedding", 0.4, nPlanes = 2, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(bucketed.nonEmpty)
+    assert(bucketed.subsetOf(exact))
+    // SRP theory at cos≈0.4: P(2-plane agreement) ≈ (1-acos(0.4)/π)² ≈ 0.4
+    // — the test corpus's similar pairs sit near the threshold, so expect
+    // a meaningful but partial recall.
+    assert(bucketed.size.toDouble / exact.size > 0.15)
+  }
+}
