@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.QbicChecksum
+import graft.plans.{ArrayDot, QbicChecksum}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
@@ -15,13 +15,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("qbic_checksum"),
       QbicChecksum.info, exprs => QbicChecksum(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("array_dot"),
+      ArrayDot.info, exprs => ArrayDot(exprs(0), exprs(1))))
   }
 }
 
 object GraftExtensions {
   /** Imperative registration for sessions already built (tests, shells). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("qbic_checksum"),
       QbicChecksum.info, exprs => QbicChecksum(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("array_dot"),
+      ArrayDot.info, exprs => ArrayDot(exprs(0), exprs(1)))
+  }
 }

@@ -15,14 +15,22 @@ import org.apache.spark.sql.functions._
   * partitioned by bucket so a query prunes to one partition.
   */
 object Similarity {
+  /** Portable dot product: `zip_with`/`aggregate` fold — works on any
+    * session, but higher-order lambdas evaluate interpretively. */
+  def dotPortable(x: Column, y: Column): Column = aggregate(
+    zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+    lit(0.0), (acc, v) => acc + v)
+
+  /** Native dot product (graft's `array_dot` expression — one JIT'd
+    * loop, same left-to-right double accumulation). Requires
+    * [[graft.GraftExtensions]] on the session; every graft entry point
+    * registers it. */
+  def dot(x: Column, y: Column): Column = call_function("array_dot", x, y)
+
   /** Cosine similarity between two array<float/double> columns, computed
-    * in double. Pure `zip_with`/`aggregate` expressions — codegen'd, no UDF. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column = aggregate(
-      zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    * in double via the native kernel. */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
   /** Top-k most-similar vectors to a single query vector.
     * @param query one-row frame with the query vector column named `qv` */
@@ -40,12 +48,11 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-random-projection bucket id for a vector column. */
+  /** Sign-random-projection bucket id for a vector column. Planes are
+    * typed to the vector's element type at the call site via cast. */
   def srpBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val d = aggregate(
-        zip_with(vec, typedLit(p), (u, v) => u.cast("double") * v),
-        lit(0.0), (acc, v) => acc + v)
+      val d = dotPortable(vec, typedLit(p))
       when(d >= 0, 1L << i).otherwise(0L)
     }.reduce(_ + _)
 
@@ -53,13 +60,20 @@ object Similarity {
     * ≥ threshold. O(n²) compare — the correctness baseline the bucketed
     * variant is judged against. */
   def embeddingNearDupExact(emb: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double): DataFrame =
-    emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-      .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("vb")),
-        col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+                            threshold: Double): DataFrame = {
+    // Norms are computed once per vector (n rows), not once per pair
+    // (n² rows); sqrt(dot(v,v)) on the same input bits gives the same
+    // double either way, so oracle parity is preserved.
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("na"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
+  }
 
   /** Embedding near-duplicate pairs at scale: SRP-bucket both sides and
     * compare only within buckets (recall < 1, tunable via nPlanes —
