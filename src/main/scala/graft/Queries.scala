@@ -35,11 +35,13 @@ object Queries {
   private val SqlShingles3 =
     "CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] " +
       "ELSE list_transform(generate_series(1, len(tk) - 2), i -> array_to_string(tk[i:i+2], ' ')) END"
-  /** Shared CTE: per-doc distinct hashed 3-gram shingles (id, h). */
-  private val SqlShCte =
-    s"""WITH toks AS (SELECT doc_id AS id, $SqlToks AS tk FROM documents),
+  /** Shared CTE body (no WITH prefix): per-doc distinct hashed 3-gram
+    * shingles (id, h). */
+  private val SqlShBody =
+    s"""toks AS (SELECT doc_id AS id, $SqlToks AS tk FROM documents),
        |sh0 AS (SELECT id, unnest(list_distinct($SqlShingles3)) AS s FROM toks),
        |sh AS (SELECT id, ${sqlSh32("s")} AS h FROM sh0)""".stripMargin
+  private val SqlShCte = s"WITH $SqlShBody"
 
   private def moneySumSql(c: String) =
     s"sum(CAST(round($c * 100) AS BIGINT)) / 100.0"
@@ -296,7 +298,9 @@ object Queries {
         k = MhK, bands = MhBands, n = 3, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
-  private val nearDupMinhashSql: String = {
+  /** CTE body ending in `pairs` = the verified MinHash near-dup pairs —
+    * shared by q_neardup_minhash and q_dedup_assign. */
+  private val minhashPairsBody: String = {
     val r = MhK / MhBands
     val mins = Dedup.hashParams(MhK).zipWithIndex
       .map { case ((a, b), j) => s"min((h * $a + $b) % $P) AS m$j" }
@@ -306,7 +310,7 @@ object Queries {
         .reduce((acc, c) => s"(($acc * 31 + $c) % $P)")
       s"SELECT $b AS band, $fold AS band_hash, id FROM sig"
     }.mkString(" UNION ALL ")
-    s"""$SqlShCte,
+    s"""$SqlShBody,
        |sig AS (SELECT id, $mins FROM sh GROUP BY id),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b FROM bands x
@@ -314,13 +318,35 @@ object Queries {
        |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
        |inter AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_inter
        |          FROM cand JOIN sh sa ON sa.id = id_a
-       |                    JOIN sh sb ON sb.id = id_b AND sa.h = sb.h GROUP BY 1, 2)
-       |SELECT id_a, id_b,
-       |       round(CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE), 4) AS jaccard
-       |FROM inter JOIN sizes za ON id_a = za.id JOIN sizes zb ON id_b = zb.id
-       |WHERE round(CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE), 4) >= 0.8
-       |ORDER BY id_a, id_b""".stripMargin
+       |                    JOIN sh sb ON sb.id = id_b AND sa.h = sb.h GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |         round(CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE), 4) AS jaccard
+       |  FROM inter JOIN sizes za ON id_a = za.id JOIN sizes zb ON id_b = zb.id
+       |  WHERE round(CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE), 4) >= 0.8)""".stripMargin
   }
+
+  private val nearDupMinhashSql: String =
+    s"""WITH $minhashPairsBody
+       |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------ Q-dedup-assign
+  // Canonical keeper per near-dup cluster: connected components over the
+  // verified pair graph (min reachable id). Oracle: recursive closure.
+  def dedupAssign(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.nearDupMinhash(load(s, dir, "documents"), "doc_id", "text",
+          k = MhK, bands = MhBands, n = 3, threshold = 0.8))
+      .orderBy("id")
+
+  private val dedupAssignSql: String =
+    s"""WITH RECURSIVE $minhashPairsBody,
+       |edges2 AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |           UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT u, v FROM edges2
+       |          UNION SELECT r.u, e.v FROM reach r JOIN edges2 e ON r.v = e.u)
+       |SELECT u AS id, least(u, min(v)) AS component
+       |FROM reach GROUP BY u ORDER BY id""".stripMargin
 
   // ---------------------------------------------------------- Q-simhash
   // 32-bit SimHash fingerprint per document.
@@ -570,6 +596,17 @@ object Queries {
       |       CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS seg
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ----------------------------------------------------------- Q-windows
+  // §2.10 watermark + event-time tumbling window over the stream.
+  def windows(s: SparkSession, dir: String): DataFrame =
+    Ingest.windowedCounts(s, dir, "events.parquet", "event_type")
+      .orderBy("wstart", "event_type")
+
+  private val windowsSql =
+    """SELECT date_trunc('hour', ts) AS wstart, event_type,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ Q-embdup
   // Embedding-cosine near-dup pairs (exact baseline; the SRP-bucketed
   // variant is the scale path, spec-compared for recall).
@@ -643,7 +680,9 @@ object Queries {
     "q_align" -> (align _),
     "q_upsert" -> (upsert _),
     "q_embdup" -> (embeddingDup _),
-    "q_sessions" -> (sessions _))
+    "q_sessions" -> (sessions _),
+    "q_dedup_assign" -> (dedupAssign _),
+    "q_windows" -> (windows _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -673,5 +712,7 @@ object Queries {
     "q_align" -> alignSql,
     "q_upsert" -> upsertSql,
     "q_embdup" -> embeddingDupSql,
-    "q_sessions" -> sessionsSql)
+    "q_sessions" -> sessionsSql,
+    "q_dedup_assign" -> dedupAssignSql,
+    "q_windows" -> windowsSql)
 }

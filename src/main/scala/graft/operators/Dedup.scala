@@ -172,6 +172,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Canonical-keeper assignment over near-dup pairs: connected
+    * components by iterative min-label propagation (each doc's component
+    * is the smallest id reachable through the pair graph). Pair graphs
+    * are tiny relative to the corpus — only dup-cluster members appear —
+    * so the loop converges in O(log(max cluster diameter)) small joins;
+    * frontiers are checkpoint-truncated like [[Lineage.ancestors]].
+    * Returns (id, component). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("component")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 30) {
+      val prop = labels.join(edges, col("id") === col("u"))
+        .select(col("v").as("id"), col("component"))
+        .union(labels)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      changed = prop.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels = prop
+      iter += 1
+    }
+    labels
+  }
+
   /** n-gram-Jaccard near-dup via inverted index: join docs that share a
     * shingle (never all pairs), count shared shingles, Jaccard-filter. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -33,6 +33,29 @@ object Ingest {
     spark.table(qn)
   }
 
+  /** Watermarked tumbling-window aggregation over the event stream —
+    * the standard Structured Streaming shape for event-time analytics.
+    * `ts` is a nanos-epoch long (nanosAsLong read); integer-divided to
+    * micros (never through double — 1e18 nanos exceeds 2^53). Update
+    * mode + AvailableNow: one data batch, so each (window, key) emits
+    * its complete count. */
+  def windowedCounts(spark: SparkSession, dir: String, fileGlob: String,
+                     keyCol: String): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", fileGlob).parquet(dir).schema
+    val qn = "graft_windows"
+    val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
+      .parquet(dir)
+      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour").as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col(keyCol), col("n"))
+      .writeStream.queryName(qn).outputMode("update")
+      .format("memory").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qn)
+  }
+
   /** §2.10 exactly-once commit: file-source stream → parquet file sink
     * with a checkpoint. The sink's commit log makes re-runs (restart
     * after crash, accidental double invocation) no-ops instead of

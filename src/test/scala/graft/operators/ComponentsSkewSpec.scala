@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components assign min reachable id, across chains") {
+    // 1-2, 2-3 chain; 7-9 pair; 5 isolated (not in any pair → absent)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val r = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("a long chain converges (label must propagate multiple hops)") {
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val r = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(r.values.toSet === Set(1L))
+  }
+}
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals the plain join, including hot keys") {
+    val fact = (Seq.fill(500)("hot") ++ Seq("a", "b")).toDF("k")
+    val dim = Seq(("hot", 1), ("a", 2), ("c", 3)).toDF("k", "v")
+    val plain = fact.join(dim, Seq("k")).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val salted = Skew.saltedJoin(fact, dim, "k").groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    assert(rows(plain.orderBy("k")) === rows(salted.orderBy("k")))
+  }
+}
