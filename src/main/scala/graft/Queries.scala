@@ -298,9 +298,10 @@ object Queries {
         k = MhK, bands = MhBands, n = 3, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
-  /** CTE body ending in `pairs` = the verified MinHash near-dup pairs —
-    * shared by q_neardup_minhash and q_dedup_assign. */
-  private val minhashPairsBody: String = {
+  /** CTE body ending in `pairs` = the verified MinHash near-dup pairs
+    * over an arbitrary (id, text) source CTE — shared by
+    * q_neardup_minhash, q_dedup_assign and q_curate. */
+  private def minhashPairsBodyFrom(src: String, idCol: String): String = {
     val r = MhK / MhBands
     val mins = Dedup.hashParams(MhK).zipWithIndex
       .map { case ((a, b), j) => s"min((h * $a + $b) % $P) AS m$j" }
@@ -310,7 +311,9 @@ object Queries {
         .reduce((acc, c) => s"(($acc * 31 + $c) % $P)")
       s"SELECT $b AS band, $fold AS band_hash, id FROM sig"
     }.mkString(" UNION ALL ")
-    s"""$SqlShBody,
+    s"""toks AS (SELECT $idCol AS id, $SqlToks AS tk FROM $src),
+       |sh0 AS (SELECT id, unnest(list_distinct($SqlShingles3)) AS s FROM toks),
+       |sh AS (SELECT id, ${sqlSh32("s")} AS h FROM sh0),
        |sig AS (SELECT id, $mins FROM sh GROUP BY id),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b FROM bands x
@@ -325,6 +328,9 @@ object Queries {
        |  FROM inter JOIN sizes za ON id_a = za.id JOIN sizes zb ON id_b = zb.id
        |  WHERE round(CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE), 4) >= 0.8)""".stripMargin
   }
+
+  private val minhashPairsBody: String =
+    minhashPairsBodyFrom("documents", "doc_id")
 
   private val nearDupMinhashSql: String =
     s"""WITH $minhashPairsBody
@@ -651,6 +657,51 @@ object Queries {
       |       CAST(count(*) AS BIGINT) AS n_events
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------ Q-curate
+  // Capstone: full training-data curation — quality gate → language gate
+  // → exact dedup → near-dup canonicalization — one composed pipeline,
+  // one recursive oracle.
+  private val CurateMinTokens = 20L
+
+  def curate(s: SparkSession, dir: String): DataFrame =
+    graft.pipelines.CurationPipeline.curate(
+        load(s, dir, "documents"), "doc_id", "text", LangStops,
+        minTokens = CurateMinTokens, keepLang = "en", threshold = 0.8)
+      .orderBy("doc_id")
+
+  private val curateSql: String = {
+    val scoreExprs = LangStops.map { case (lang, words) =>
+      val l = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(tk, t -> list_contains($l, t))) AS BIGINT) AS score_$lang"
+    }.mkString(",\n  ")
+    s"""WITH RECURSIVE ann0 AS (
+       |  SELECT doc_id, text,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> len(t) > 0) AS tk
+       |  FROM documents),
+       |ann AS (
+       |  SELECT doc_id, text, CAST(len(tk) AS BIGINT) AS n_tokens, $scoreExprs
+       |  FROM ann0),
+       |gated AS (
+       |  SELECT doc_id, text, n_tokens,
+       |    CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+       |         WHEN score_de >= score_fr THEN 'de' ELSE 'fr' END AS lang_pred
+       |  FROM ann
+       |  WHERE n_tokens >= $CurateMinTokens),
+       |en AS (SELECT * FROM gated WHERE lang_pred = 'en'),
+       |keepers AS (SELECT min(doc_id) AS doc_id FROM en GROUP BY sha256(text)),
+       |exact_kept AS (SELECT e.* FROM en e JOIN keepers USING (doc_id)),
+       |${minhashPairsBodyFrom("exact_kept", "doc_id")},
+       |edges2 AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |           UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT u, v FROM edges2
+       |          UNION SELECT r.u, e.v FROM reach r JOIN edges2 e ON r.v = e.u),
+       |losers AS (SELECT u AS doc_id FROM reach GROUP BY u
+       |           HAVING least(u, min(v)) <> u)
+       |SELECT doc_id, n_tokens, lang_pred FROM exact_kept
+       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lookup" -> (lookup _),
@@ -682,7 +733,8 @@ object Queries {
     "q_embdup" -> (embeddingDup _),
     "q_sessions" -> (sessions _),
     "q_dedup_assign" -> (dedupAssign _),
-    "q_windows" -> (windows _))
+    "q_windows" -> (windows _),
+    "q_curate" -> (curate _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -714,5 +766,6 @@ object Queries {
     "q_embdup" -> embeddingDupSql,
     "q_sessions" -> sessionsSql,
     "q_dedup_assign" -> dedupAssignSql,
-    "q_windows" -> windowsSql)
+    "q_windows" -> windowsSql,
+    "q_curate" -> curateSql)
 }

@@ -1,0 +1,72 @@
+package graft.pipelines
+
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation: the composed large-scale pipeline the
+  * BASELINE.json north star asks for — quality gate → language gate →
+  * exact dedup → near-dup canonicalization, all on one pass over the
+  * corpus plus the dedup joins.
+  *
+  * Shapes that survive 100 TB: the quality/language stage is pure
+  * column expressions on the scan (no shuffle); exact dedup is one
+  * hash-groupBy; near-dup reuses the MinHash pipeline (shingles built
+  * and persisted once); the final keep-set is two semi/anti joins.
+  */
+object CurationPipeline {
+  /** Per-doc quality/language annotation — no shuffle, stays on scan. */
+  def annotate(docs: DataFrame, idCol: String, textCol: String,
+               stopwords: Seq[(String, Seq[String])]): DataFrame = {
+    val tk = tokens(lower(col(textCol)))
+    val scores = stopwords.map { case (lang, words) =>
+      size(filter(tk, t => array_contains(typedLit(words), t)))
+        .cast("long").as(s"score_$lang")
+    }
+    val base = docs.select(
+      (col(idCol) +: col(textCol) +: size(tk).cast("long").as("n_tokens") +: scores): _*)
+    val pred = stopwords.map(_._1) match {
+      case Seq(a, b, c) =>
+        when(col(s"score_$a") >= col(s"score_$b") && col(s"score_$a") >= col(s"score_$c"), a)
+          .when(col(s"score_$b") >= col(s"score_$c"), b)
+          .otherwise(c)
+      case langs => langs.map(l => col(s"score_$l")).zip(langs)
+        .foldLeft((lit(-1L), lit("und"))) { case ((bs, bl), (s, l)) =>
+          (when(s > bs, s).otherwise(bs), when(s > bs, l).otherwise(bl))
+        }._2
+    }
+    base.withColumn("lang_pred", pred)
+  }
+
+  /** Full curation: returns the kept corpus (id, n_tokens, lang_pred).
+    *
+    * @param minTokens  quality gate: minimum whitespace tokens
+    * @param keepLang   language gate: predicted language to keep
+    * @param threshold  near-dup Jaccard threshold for canonicalization
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             stopwords: Seq[(String, Seq[String])],
+             minTokens: Long, keepLang: String,
+             threshold: Double = 0.8): DataFrame = {
+    val annotated = annotate(docs, idCol, textCol, stopwords)
+    val gated = annotated
+      .filter(col("n_tokens") >= minTokens && col("lang_pred") === keepLang)
+
+    // Exact dedup: keep the min id per identical text.
+    val keepers = gated.groupBy(sha2(col(textCol), 256).as("__sha"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__sha")
+    val exactKept = gated.join(keepers, Seq(idCol), "left_semi")
+
+    // Near-dup canonicalization over the exact-kept survivors: a doc in
+    // a dup cluster survives only as the cluster's canonical (min id).
+    val pairs = Dedup.nearDupMinhash(exactKept, idCol, textCol,
+      threshold = threshold)
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    exactKept.join(losers, Seq(idCol), "left_anti")
+      .select(idCol, "n_tokens", "lang_pred")
+  }
+}
