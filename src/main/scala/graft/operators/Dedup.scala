@@ -185,16 +185,23 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("component")).localCheckpoint()
-    var changed = 1L
+    // Labels only ever decrease, so the label sum strictly decreases
+    // until the fixpoint — one cheap scalar agg per iteration instead of
+    // a change-detection join.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("component"))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < 30) {
+    while (!converged && iter < 30) {
       val prop = labels.join(edges, col("id") === col("u"))
         .select(col("v").as("id"), col("component"))
         .union(labels)
         .groupBy("id").agg(min(col("component")).as("component"))
         .localCheckpoint()
-      changed = prop.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).count()
+      val s = labelSum(prop)
+      converged = s == prevSum
+      prevSum = s
       labels = prop
       iter += 1
     }
