@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDot, QbicChecksum}
+import graft.plans.{ArrayDot, QbicChecksum, RewriteDotProduct}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       QbicChecksum.info, exprs => QbicChecksum(exprs.head)))
     ext.injectFunction((FunctionIdentifier("array_dot"),
       ArrayDot.info, exprs => ArrayDot(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }
 
