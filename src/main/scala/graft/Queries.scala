@@ -657,6 +657,24 @@ object Queries {
       |       CAST(count(*) AS BIGINT) AS n_events
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------------- Q-design-report
+  // J9 + vocab dim join: every leaf's root ancestor labeled through a
+  // broadcast dimension — the get-experimental-design-tsv analog.
+  def designReport(s: SparkSession, dir: String): DataFrame =
+    Lineage.roots(edgeTable(s, dir))
+      .filter(col("node").startsWith("C"))
+      .withColumn("rk", expr("CAST(substring(root, 2) AS INT)"))
+      .join(broadcast(load(s, dir, "region")), col("rk") === col("r_regionkey"))
+      .select(col("node"), col("r_name").as("organism"), col("depth"))
+      .orderBy("node")
+
+  private val designReportSql =
+    s"""WITH RECURSIVE $edgeSql
+       |SELECT node, r_name AS organism, depth
+       |FROM walk JOIN region ON CAST(substring(anc, 2) AS INTEGER) = r_regionkey
+       |WHERE anc NOT IN (SELECT child FROM edges) AND node LIKE 'C%'
+       |ORDER BY node""".stripMargin
+
   // ------------------------------------------------------------ Q-curate
   // Capstone: full training-data curation — quality gate → language gate
   // → exact dedup → near-dup canonicalization — one composed pipeline,
@@ -734,7 +752,8 @@ object Queries {
     "q_sessions" -> (sessions _),
     "q_dedup_assign" -> (dedupAssign _),
     "q_windows" -> (windows _),
-    "q_curate" -> (curate _))
+    "q_curate" -> (curate _),
+    "q_design_report" -> (designReport _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -767,5 +786,6 @@ object Queries {
     "q_sessions" -> sessionsSql,
     "q_dedup_assign" -> dedupAssignSql,
     "q_windows" -> windowsSql,
-    "q_curate" -> curateSql)
+    "q_curate" -> curateSql,
+    "q_design_report" -> designReportSql)
 }

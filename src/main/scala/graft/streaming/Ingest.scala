@@ -56,6 +56,39 @@ object Ingest {
     spark.table(qn)
   }
 
+  /** §2.10 foreachBatch + idempotent MERGE: each micro-batch upserts
+    * into a parquet "catalog" table (last-wins on `keys` via
+    * [[graft.operators.Catalog.upsert]]), committed by staging-dir swap.
+    * The checkpoint makes re-runs no-ops; the MERGE makes duplicate
+    * deliveries harmless — together, exactly-once effect on the table. */
+  def upsertExactlyOnce(spark: SparkSession, srcDir: String, fileGlob: String,
+                        destDir: String, checkpointDir: String,
+                        keys: Seq[String]): Long = {
+    import org.apache.hadoop.fs.Path
+    val schema = spark.read.option("pathGlobFilter", fileGlob)
+      .parquet(srcDir).schema
+    val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val dest = new Path(destDir)
+        val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+        val existing =
+          if (fs.exists(dest)) spark.read.parquet(destDir) else batch.limit(0).toDF()
+        val staging = new Path(destDir + ".staging")
+        graft.operators.Catalog.upsert(existing, batch.toDF(), keys)
+          .write.mode("overwrite").parquet(staging.toString)
+        fs.delete(dest, true)
+        fs.rename(staging, dest)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(destDir).count()
+  }
+
   /** §2.10 exactly-once commit: file-source stream → parquet file sink
     * with a checkpoint. The sink's commit log makes re-runs (restart
     * after crash, accidental double invocation) no-ops instead of

@@ -24,6 +24,20 @@ class SessionizeSpec extends SparkSpec {
   }
 }
 
+class UpsertStreamSpec extends SparkSpec {
+
+  test("foreachBatch MERGE commit is exactly-once across re-runs") {
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val src = "/root/testdata/sf0.001"
+    val n1 = Ingest.upsertExactlyOnce(spark, src, "nation.parquet",
+      s"$base/dest", s"$base/ckpt", Seq("n_nationkey"))
+    val n2 = Ingest.upsertExactlyOnce(spark, src, "nation.parquet",
+      s"$base/dest", s"$base/ckpt", Seq("n_nationkey"))
+    val direct = spark.read.parquet(s"$src/nation.parquet").count()
+    assert(n1 === direct && n2 === direct)
+  }
+}
+
 class EmbeddingDedupSpec extends SparkSpec {
   import spark.implicits._
 
