@@ -178,7 +178,32 @@ object Queries {
        |WHERE anc NOT IN (SELECT child FROM edges)
        |ORDER BY node, root""".stripMargin
 
-  // -------------------------------------------------------- Q-groupcount
+  // ------------------------------------------------------- Q-descendants
+  // J8: down-walk from start nodes over the same DAG (patient→descendants
+  // analog: nation N3's descendants are its customers).
+  def descendants(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Lineage.descendants(edgeTable(s, dir), Seq("N3", "R1").toDF("node"))
+      .orderBy("start", "descendant", "depth")
+  }
+
+  private val descendantsSql = {
+    // Same recursive walk as edgeSql but over reversed (down) edges.
+    val downEdges = edgeSql
+      .replace("walk AS (", "down AS (SELECT parent AS c, child AS p FROM edges),\nwalk AS (")
+      .replace("SELECT child AS node, parent AS anc, CAST(1 AS BIGINT) AS depth FROM edges",
+        "SELECT c AS node, p AS anc, CAST(1 AS BIGINT) AS depth FROM down")
+      .replace("FROM walk w JOIN edges e ON w.anc = e.child",
+        "FROM walk w JOIN down e ON w.anc = e.c")
+      .replace("SELECT w.node, e.parent, w.depth + 1",
+        "SELECT w.node, e.p, w.depth + 1")
+    s"""WITH RECURSIVE $downEdges
+       |SELECT node AS start, anc AS descendant, depth FROM walk
+       |WHERE node IN ('N3', 'R1')
+       |ORDER BY start, descendant, depth""".stripMargin
+  }
+
+  // ------------------------------------------------------- Q-groupcount
   // A1/A5/A7: group counts + deterministic collect_list.
   def groupCount(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "orders")
@@ -753,7 +778,8 @@ object Queries {
     "q_dedup_assign" -> (dedupAssign _),
     "q_windows" -> (windows _),
     "q_curate" -> (curate _),
-    "q_design_report" -> (designReport _))
+    "q_design_report" -> (designReport _),
+    "q_descendants" -> (descendants _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -787,5 +813,6 @@ object Queries {
     "q_dedup_assign" -> dedupAssignSql,
     "q_windows" -> windowsSql,
     "q_curate" -> curateSql,
-    "q_design_report" -> designReportSql)
+    "q_design_report" -> designReportSql,
+    "q_descendants" -> descendantsSql)
 }

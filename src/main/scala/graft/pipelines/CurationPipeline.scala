@@ -50,14 +50,19 @@ object CurationPipeline {
              minTokens: Long, keepLang: String,
              threshold: Double = 0.8): DataFrame = {
     val annotated = annotate(docs, idCol, textCol, stopwords)
+    // Persisted: the gate feeds the dedup groupBy AND the semi join, and
+    // the survivors feed shingle-building AND the final anti-join —
+    // without this the annotate scan re-runs once per consumer.
     val gated = annotated
       .filter(col("n_tokens") >= minTokens && col("lang_pred") === keepLang)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Exact dedup: keep the min id per identical text.
     val keepers = gated.groupBy(sha2(col(textCol), 256).as("__sha"))
       .agg(min(col(idCol)).as(idCol))
       .drop("__sha")
     val exactKept = gated.join(keepers, Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Near-dup canonicalization over the exact-kept survivors: a doc in
     // a dup cluster survives only as the cluster's canonical (min id).
