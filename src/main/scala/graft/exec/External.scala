@@ -43,13 +43,22 @@ object External {
     import java.util.concurrent.TimeUnit
     val pb = new ProcessBuilder(cmd: _*)
     val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes())
-    val err = new String(proc.getErrorStream.readAllBytes())
+    // Drain stdout/stderr on daemon threads: reading inline would block
+    // past the timeout on a hung process, and a full stderr pipe buffer
+    // would deadlock the child against an inline stdout read.
+    @volatile var out = Array.emptyByteArray
+    @volatile var err = Array.emptyByteArray
+    def drainer(read: () => Array[Byte], set: Array[Byte] => Unit): Thread = {
+      val t = new Thread(() => try set(read()) catch { case _: Exception => () })
+      t.setDaemon(true); t.start(); t
+    }
+    val to = drainer(() => proc.getInputStream.readAllBytes(), out = _)
+    val te = drainer(() => proc.getErrorStream.readAllBytes(), err = _)
     val finished = proc.waitFor(timeoutSec, TimeUnit.SECONDS)
-    if (!finished) {
-      proc.destroyForcibly()
-      ExecResult(input, cmd, 124, out, err, dryrun = false)
-    } else ExecResult(input, cmd, proc.exitValue(), out, err, dryrun = false)
+    if (!finished) proc.destroyForcibly().waitFor()
+    to.join(5000); te.join(5000)
+    val code = if (!finished) 124 else proc.exitValue()
+    ExecResult(input, cmd, code, new String(out), new String(err), dryrun = false)
   }
 
   /** Idempotency probe (X1's skip-if-converted): drop inputs whose

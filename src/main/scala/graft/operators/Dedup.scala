@@ -188,12 +188,15 @@ object Dedup {
     // Labels only ever decrease, so the label sum strictly decreases
     // until the fixpoint — one cheap scalar agg per iteration instead of
     // a change-detection join.
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("component"))).collect()(0).getLong(0)
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("component"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0) // empty graph: no labels
+    }
     var prevSum = labelSum(labels)
-    var converged = false
+    var converged = labels.isEmpty
     var iter = 0
-    while (!converged && iter < 30) {
+    val maxIters = 1000 // one hop per iteration; loud failure, never silent
+    while (!converged && iter < maxIters) {
       val prop = labels.join(edges, col("id") === col("u"))
         .select(col("v").as("id"), col("component"))
         .union(labels)
@@ -205,6 +208,10 @@ object Dedup {
       labels = prop
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters label-propagation " +
+          "hops — component diameter exceeds the cap; raise it or pre-contract the graph")
     labels
   }
 

@@ -35,12 +35,14 @@ object Similarity {
   /** Top-k most-similar vectors to a single query vector.
     * @param query one-row frame with the query vector column named `qv` */
   def bruteForceKnn(emb: DataFrame, idCol: String, vecCol: String,
-                    query: DataFrame, k: Int): DataFrame =
+                    query: DataFrame, k: Int): DataFrame = {
+    graft.GraftExtensions.register(emb.sparkSession) // standalone sessions
     emb.crossJoin(broadcast(query))
       .withColumn("sim", round(cosine(col(vecCol), col("qv")), 4))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
       .drop("qv")
+  }
 
   /** Deterministic pseudo-random hyperplanes (seeded, data-independent). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
@@ -61,6 +63,7 @@ object Similarity {
     * variant is judged against. */
   def embeddingNearDupExact(emb: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
+    graft.GraftExtensions.register(emb.sparkSession)
     // Norms are computed once per vector (n rows), not once per pair
     // (n² rows); sqrt(dot(v,v)) on the same input bits gives the same
     // double either way, so oracle parity is preserved.
@@ -80,6 +83,7 @@ object Similarity {
     * fewer planes ⇒ bigger buckets ⇒ higher recall, more compares). */
   def embeddingNearDupBucketed(emb: DataFrame, idCol: String, vecCol: String,
                                threshold: Double, nPlanes: Int, dim: Int): DataFrame = {
+    graft.GraftExtensions.register(emb.sparkSession)
     val planes = hyperplanes(nPlanes, dim)
     val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       srpBucket(col(vecCol), planes).as("bucket"))
@@ -95,6 +99,7 @@ object Similarity {
     * callers trade planes for recall. */
   def lshKnn(emb: DataFrame, idCol: String, vecCol: String,
              query: DataFrame, k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    graft.GraftExtensions.register(emb.sparkSession)
     val planes = hyperplanes(nPlanes, dim)
     val bucketed = emb.withColumn("bucket", srpBucket(col(vecCol), planes))
     val q = query.withColumn("qbucket", srpBucket(col("qv"), planes))

@@ -13,12 +13,19 @@ import org.apache.spark.sql.functions._
   * exec harness with the reference's own dryrun seam.
   */
 object MsConvertPipeline {
-  /** Pair vendor-raw files with any existing converted sibling; files
-    * whose pair is incomplete are conversion candidates. */
+  /** Vendor-raw extensions the converter accepts (msconvert's input
+    * formats; the reference routes on the same suffixes). */
+  val RawExtensions: Seq[String] = Seq(".raw", ".d", ".wiff")
+
+  /** Pair vendor-raw files with any existing converted sibling; raw
+    * files whose pair is incomplete are conversion candidates. An orphan
+    * .mzML (raw deleted or not yet uploaded) is NOT a candidate. */
   def conversionCandidates(files: DataFrame, pathCol: String = "path"): DataFrame =
     Align.pairByStem(files, pathCol)
       .filter(!col("complete"))
-      .select(col("stem"), element_at(col("paths"), 1).as("raw_path"))
+      .select(col("stem"), explode(col("paths")).as("raw_path"))
+      .filter(RawExtensions
+        .map(e => lower(col("raw_path")).endsWith(e)).reduce(_ || _))
 
   /** X1: run (or plan, with dryrun) the converter per candidate.
     * Partition-parallel; 7200 s timeout from the reference. */

@@ -9,24 +9,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 /** Tight dot-product kernels over Catalyst array data. One JIT-compiled
   * loop; no per-element lambda interpretation. Accumulation is
   * left-to-right in double — bit-identical to the
-  * `zip_with`/`aggregate` fold and to the oracle's `list_reduce`. */
+  * `zip_with`/`aggregate` fold and to the oracle's `list_reduce`.
+  *
+  * NULL semantics also mirror the fold exactly (so the optimizer rewrite
+  * is sound for every input): `zip_with` pads the shorter array with
+  * nulls and `null * x` poisons the sum, so unequal lengths or any null
+  * element yield SQL NULL (returned here as a null boxed Double). */
 object ArrayDotUtil {
-  def dotFloat(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def dotFloat(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
     acc
   }
 
-  def dotDouble(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def dotDouble(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
@@ -60,6 +69,7 @@ case class ArrayDot(left: Expression, right: Expression)
     }
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "array_dot"
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
@@ -70,7 +80,12 @@ case class ArrayDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fn = if (elemType == FloatType) "dotFloat" else "dotDouble"
-    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.ArrayDotUtil.$fn($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dotResult")
+      s"""java.lang.Double $tmp = graft.plans.ArrayDotUtil.$fn($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(

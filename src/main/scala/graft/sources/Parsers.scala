@@ -36,7 +36,9 @@ object Parsers {
 
   private def annStruct(a: Column): Column = {
     val f = split(a, "\\|")
-    struct(AnnFields.zipWithIndex.map { case (n, i) => f(i).as(n) }: _*)
+    // get(), not apply: truncated ANN entries yield null fields instead
+    // of an ANSI array-index error (same policy as the fixed columns).
+    struct(AnnFields.zipWithIndex.map { case (n, i) => get(f, lit(i)).as(n) }: _*)
   }
 
   /** S6: VCF reader — skips `#` headers, splits the 8 fixed columns,

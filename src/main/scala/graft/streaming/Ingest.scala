@@ -53,7 +53,11 @@ object Ingest {
       .writeStream.queryName(qn).outputMode("update")
       .format("memory").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(qn)
+    // Update mode emits a row per (window, key) per batch it changed in;
+    // counts only grow, so max = the final value (same defense as
+    // Sessionize against multi-micro-batch runs).
+    spark.table(qn).groupBy("wstart", keyCol)
+      .agg(max(col("n")).as("n"))
   }
 
   /** §2.10 foreachBatch + idempotent MERGE: each micro-batch upserts
@@ -72,12 +76,15 @@ object Ingest {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val dest = new Path(destDir)
+        val staging = new Path(destDir + ".staging")
         val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+        recoverSwap(fs, dest, staging)
         val existing =
           if (fs.exists(dest)) spark.read.parquet(destDir) else batch.limit(0).toDF()
-        val staging = new Path(destDir + ".staging")
         graft.operators.Catalog.upsert(existing, batch.toDF(), keys)
           .write.mode("overwrite").parquet(staging.toString)
+        // Commit = delete-then-rename; a crash in between is repaired by
+        // recoverSwap on the next run (staging carries _SUCCESS).
         fs.delete(dest, true)
         fs.rename(staging, dest)
         ()
@@ -86,7 +93,25 @@ object Ingest {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    val dest = new Path(destDir)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverSwap(fs, dest, new Path(destDir + ".staging"))
     spark.read.parquet(destDir).count()
+  }
+
+  /** Repair an interrupted staging swap: a complete staging dir
+    * (`_SUCCESS` present) with no destination means the previous commit
+    * died between delete and rename — finish it. An incomplete staging
+    * dir is a dead partial write — drop it. */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+                          dest: org.apache.hadoop.fs.Path,
+                          staging: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(staging)) {
+      val complete = fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+      if (complete && !fs.exists(dest)) fs.rename(staging, dest)
+      else fs.delete(staging, true)
+    }
+    ()
   }
 
   /** §2.10 exactly-once commit: file-source stream → parquet file sink

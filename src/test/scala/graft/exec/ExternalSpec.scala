@@ -26,6 +26,15 @@ class ExternalSpec extends SparkSpec {
     assert(r.head.exitCode === 1)
   }
 
+  test("a hung process is killed at the timeout with exit code 124") {
+    val t0 = System.nanoTime()
+    val r = External.execRows(Seq("x").toDS(),
+      _ => Seq("sleep", "60"), timeoutSec = 2).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(r.head.exitCode === 124)
+    assert(secs < 30, s"timeout did not fire promptly ($secs s)")
+  }
+
   test("skipDone drops inputs whose output already exists") {
     val inputs = Seq("a", "b", "c").toDF("path")
     val done = Seq("b").toDF("path")

@@ -14,6 +14,11 @@ class ComponentsSpec extends SparkSpec {
     assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("an empty pair graph yields an empty assignment, not a crash") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(pairs).count() === 0)
+  }
+
   test("a long chain converges (label must propagate multiple hops)") {
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val r = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap

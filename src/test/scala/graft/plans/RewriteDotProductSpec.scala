@@ -25,6 +25,19 @@ class RewriteDotProductSpec extends SparkSpec {
     assert(rows(portableOnly.orderBy("vec_id")) === rows(viaRewrite.orderBy("vec_id")))
   }
 
+  test("kernel NULL semantics match the portable fold on ragged/null arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)),       // ragged
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)), // null elem
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0))   // clean
+    ).toDF("a", "b")
+    val both = df.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotPortable(col("a"), col("b")).as("portable"))
+    assert(rows(both) === Seq(Seq(null, null), Seq(null, null), Seq(11.0, 11.0)))
+  }
+
   test("mixed element types are NOT rewritten (would read wrong bytes)") {
     // float vector × double literal plane — must stay a HOF fold.
     val planes = Similarity.hyperplanes(1, 64)
