@@ -94,6 +94,62 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  // ------------------------------------------------------------- IVF ANN
+  /** Deterministic IVF centroids: an evenly-strided seeded sample of the
+    * corpus itself (k-means-free — centroid quality matters less than
+    * determinism for a reproducible index; swap in ml.clustering.KMeans
+    * where recall targets demand it). Collected to the driver: nCells
+    * vectors, not the corpus. */
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int): Seq[(Int, Seq[Double])] = {
+    val n = emb.count()
+    val stride = math.max(1L, n / nCells)
+    emb.select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .filter(pmod(col("id"), lit(stride)) === 0)
+      .orderBy("id").limit(nCells)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toSeq) }.toSeq
+  }
+
+  /** Squared-distance argmin cell assignment: `least` over per-centroid
+    * (dist², cell) structs — pure expressions, one pass, no shuffle.
+    * dist²(v,c) = |v|² - 2·v·c + |c|²; |v|² is common to all cells so
+    * only (-2·v·c + |c|²) is compared. */
+  def ivfCell(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val scored = centroids.map { case (cid, c) =>
+      val cn = c.map(x => x * x).sum
+      struct((dotPortable(vec, typedLit(c)) * -2.0 + cn).as("score"),
+        lit(cid).as("cid"))
+    }
+    least(scored: _*).getField("cid")
+  }
+
+  /** IVF ANN: assign every vector to its nearest centroid cell; a query
+    * probes only its `nProbe` nearest cells, then exact-cosine ranks
+    * within them. At 100 TB the assigned table is written partitioned by
+    * `cell`, so a query reads nProbe/nCells of the data. */
+  def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
+             query: DataFrame, k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    graft.GraftExtensions.register(emb.sparkSession)
+    val cents = ivfCentroids(emb, idCol, vecCol, nCells)
+    val assigned = emb.withColumn("cell", ivfCell(col(vecCol), cents))
+    // One driver-side row: the query's probe cells.
+    val qv = query.select(col("qv").cast("array<double>"))
+      .collect()(0).getSeq[Double](0)
+    val probeCells = cents
+      .map { case (cid, c) =>
+        val d = c.zip(qv).map { case (a, b) => a * b }.sum
+        (cid, c.map(x => x * x).sum - 2.0 * d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    assigned.filter(col("cell").isin(probeCells: _*))
+      .crossJoin(broadcast(query))
+      .withColumn("sim", round(cosine(col(vecCol), col("qv")), 4))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .drop("qv", "cell")
+  }
+
   /** LSH-bucketed ANN: search only vectors sharing the query's SRP bucket,
     * then exact-cosine rank within the bucket. Recall < 1 by construction;
     * callers trade planes for recall. */

@@ -38,6 +38,27 @@ class UpsertStreamSpec extends SparkSpec {
   }
 }
 
+class IvfKnnSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("IVF probe finds most of the brute-force top-k, full probe all of it") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+    val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val fullProbe = Similarity.ivfKnn(emb, "vec_id", "embedding", query, 10,
+      nCells = 8, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(fullProbe === exact) // probing every cell == brute force
+    val partial = Similarity.ivfKnn(emb, "vec_id", "embedding", query, 10,
+      nCells = 8, nProbe = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(partial.subsetOf(exact ++ partial)) // well-formed
+    assert((partial & exact).size >= 3) // meaningful recall at 3/8 cells
+  }
+}
+
 class EmbeddingDedupSpec extends SparkSpec {
   import spark.implicits._
 
