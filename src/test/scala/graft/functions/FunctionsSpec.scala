@@ -62,6 +62,26 @@ class DateNormSpec extends SparkSpec {
       .select(DateNorm.normalize(col("s")).as("d"))
     assert(rows(df).flatten === Seq(null, null))
   }
+
+  test("round-trip property: 200 random dates x all 7 formats") {
+    import java.time.LocalDate
+    import java.time.format.DateTimeFormatter
+    val fmts = Seq("yyyy-MM-dd'T'HH:mm:ss'Z'", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+      "yyyy-MM-dd", "dd.MM.yyyy", "dd-MM-yyyy", "yyyyMMdd", "yyMMdd")
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.fill(200) {
+      // yyMMdd can only represent 1969-2068 under the strptime pivot
+      val d = LocalDate.of(1969 + rnd.nextInt(100), 1 + rnd.nextInt(12), 1 + rnd.nextInt(28))
+      val f = fmts(rnd.nextInt(fmts.length))
+      val rendered = DateTimeFormatter.ofPattern(f)
+        .format(d.atTime(rnd.nextInt(24), rnd.nextInt(60), rnd.nextInt(60), rnd.nextInt(1000000) * 1000))
+      (rendered, d.toString)
+    }
+    val df = cases.toDF("s", "expect")
+      .select(col("expect"), DateNorm.normalize(col("s")).cast("string").as("got"))
+    val bad = df.filter(col("expect") =!= col("got") || col("got").isNull)
+    assert(bad.count() === 0, bad.collect().take(5).mkString(";"))
+  }
 }
 
 class TextFunctionsSpec extends SparkSpec {
