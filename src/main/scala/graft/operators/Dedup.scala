@@ -19,6 +19,10 @@ object Dedup {
   /** Mersenne prime 2^31-1 for the MinHash permutation family. */
   val P: Long = 2147483647L
 
+  /** JVM-unique suffix for convergence-observation names (a Spark
+    * Observation name can't be reused while registered). */
+  private val ccObsId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Deterministic (a, b) parameters for k hash permutations
     * h_j(x) = (a_j * x + b_j) mod P. `a` stays below 2^30 so a*x fits a
     * signed 64-bit integer for any 32-bit x. */
@@ -175,37 +179,56 @@ object Dedup {
   /** Canonical-keeper assignment over near-dup pairs: connected
     * components by iterative min-label propagation (each doc's component
     * is the smallest id reachable through the pair graph). Pair graphs
-    * are tiny relative to the corpus — only dup-cluster members appear —
-    * so the loop converges in O(log(max cluster diameter)) small joins;
-    * frontiers are checkpoint-truncated like [[Lineage.ancestors]].
+    * are tiny relative to the corpus — only dup-cluster members appear.
+    *
+    * Scale/efficiency shape (one Spark job per hop):
+    *   - `pairs` is checkpoint-truncated FIRST, so the (possibly very
+    *     expensive) upstream pipeline that produced it runs exactly once
+    *     — not once per branch of the edge-symmetrization union;
+    *   - `edges` is hash-partitioned on the probe key `u` and pinned, so
+    *     every hop's join reuses the same layout instead of reshuffling
+    *     the edge table per iteration;
+    *   - convergence is detected with an [[org.apache.spark.sql.Observation]]
+    *     riding the hop's own materialization action (count of labels
+    *     that changed) — no second per-iteration job, and no assumption
+    *     that ids are numeric (works for string doc ids / URLs too).
     * Returns (id, component). */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .distinct().localCheckpoint()
+    val p = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .localCheckpoint()
+    val shufflePartitions = p.sparkSession.sessionState.conf.numShufflePartitions
+    val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .repartition(shufflePartitions, col("u"))
+      .localCheckpoint()
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("component")).localCheckpoint()
-    // Labels only ever decrease, so the label sum strictly decreases
-    // until the fixpoint — one cheap scalar agg per iteration instead of
-    // a change-detection join.
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("component"))).collect()(0)
-      if (r.isNullAt(0)) 0L else r.getLong(0) // empty graph: no labels
-    }
-    var prevSum = labelSum(labels)
-    var converged = labels.isEmpty
+    var converged = false
     var iter = 0
     val maxIters = 1000 // one hop per iteration; loud failure, never silent
     while (!converged && iter < maxIters) {
-      val prop = labels.join(edges, col("id") === col("u"))
-        .select(col("v").as("id"), col("component"))
-        .union(labels)
-        .groupBy("id").agg(min(col("component")).as("component"))
-        .localCheckpoint()
-      val s = labelSum(prop)
-      converged = s == prevSum
-      prevSum = s
-      labels = prop
+      // New label = min(own label, labels arriving over edges). The own
+      // row is tagged so the hop also knows the OLD label — `__changed`
+      // falls out of the same aggregate, type-agnostically.
+      val contrib = labels.join(edges, col("id") === col("u"))
+        .select(col("v").as("id"), col("component"), lit(false).as("__self"))
+      val hop = contrib
+        .union(labels.select(col("id"), col("component"), lit(true).as("__self")))
+        .groupBy("id")
+        .agg(min(col("component")).as("component"),
+          min(when(col("__self"), col("component"))).as("__old"))
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_cc_${ccObsId.incrementAndGet()}")
+      val cp = hop
+        .observe(obs, sum(when(col("component") =!= col("__old"), 1L)
+          .otherwise(0L)).as("n_changed"))
+        .localCheckpoint() // the only action this iteration; obs rides it
+      val nChanged = obs.get.get("n_changed") match {
+        case Some(l: java.lang.Long) => l.longValue()
+        case _ => 0L // empty graph: sum over zero rows is NULL
+      }
+      labels = cp.select("id", "component")
+      converged = nChanged == 0L
       iter += 1
     }
     if (!converged)
