@@ -639,26 +639,59 @@ object Queries {
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------ Q-embdup
-  // Embedding-cosine near-dup pairs (exact baseline; the SRP-bucketed
-  // variant is the scale path, spec-compared for recall).
+  // Embedding-cosine near-dup pairs via banded SRP-LSH — the scale path
+  // is the DECLARED query (equi-join on (band, bucket), never all
+  // pairs); the exact O(n²) variant stays a spec-level recall baseline.
+  // The oracle replays the identical hyperplanes as SQL literals, so
+  // both engines bucket — and therefore answer — identically.
+  private val EmbDim = 64
+  private val EmbPlanes = 32
+  private val EmbBands = 8
+  private val EmbThreshold = 0.4
+
   def embeddingDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDupExact(load(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.4)
+    Similarity.embeddingNearDupBucketed(load(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = EmbThreshold,
+        nPlanes = EmbPlanes, dim = EmbDim, bands = EmbBands)
       .orderBy("id_a", "id_b")
 
   private val embeddingDupSql: String = {
     def dot(x: String, y: String) =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |  list_transform(generate_series(1, 64),
+         |  list_transform(generate_series(1, $EmbDim),
          |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
          |  (acc, v) -> acc + v)""".stripMargin
-    s"""WITH p AS (
-       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    // Same left-to-right double fold as Similarity.dotPortable, with the
+    // plane embedded as a literal — bit-identical accumulation, so the
+    // sign (= bucket bit) matches Spark's exactly.
+    def dotPlane(x: String, plane: Seq[Double]) = {
+      val litArr = plane.mkString("[", ", ", "]")
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, $EmbDim),
+         |    i -> CAST($x[i] AS DOUBLE) * ($litArr)[i])),
+         |  (acc, v) -> acc + v)""".stripMargin
+    }
+    val planes = Similarity.hyperplanes(EmbPlanes, EmbDim)
+    val r = EmbPlanes / EmbBands
+    val bandSelects = (0 until EmbBands).map { b =>
+      val bucket = (0 until r).map { i =>
+        s"CASE WHEN ${dotPlane("embedding", planes(b * r + i))} >= 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      s"SELECT $b AS band, $bucket AS bucket, vec_id AS id FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sigs AS (
+       |$bandSelects),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b FROM sigs x
+       |         JOIN sigs y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+       |scored AS (
+       |  SELECT id_a, id_b,
        |         round(${dot("a.embedding", "b.embedding")} /
        |               (sqrt(${dot("a.embedding", "a.embedding")}) *
        |                sqrt(${dot("b.embedding", "b.embedding")})), 4) AS sim
-       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-       |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
+       |  FROM cand JOIN embeddings a ON id_a = a.vec_id
+       |            JOIN embeddings b ON id_b = b.vec_id)
+       |SELECT id_a, id_b, sim FROM scored
+       |WHERE sim >= $EmbThreshold ORDER BY id_a, id_b""".stripMargin
   }
 
   // ---------------------------------------------------------- Q-sessions

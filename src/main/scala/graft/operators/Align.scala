@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-alignment operators (SURVEY §2.6 W1/W3, §2.4 J12).
@@ -13,15 +12,49 @@ import org.apache.spark.sql.functions._
   * side, no driver sort.
   */
 object Align {
+  /** Global 1-based rank by `order` WITHOUT a single-task window: the
+    * zipWithIndex idiom, columnar. Range-repartition by the key, sort
+    * within partitions, pin the layout, then
+    * rank = (rows in earlier partitions) + in-partition ordinal.
+    * The ordinal comes from `monotonically_increasing_id`'s documented
+    * (partitionId << 33 | recordNumber) layout over the pinned scan;
+    * per-partition row counts are one tiny collect (numPartitions rows).
+    * Every stage is balanced across partitions — nothing funnels the
+    * table through one core, at any scale.
+    *
+    * Ties in `order` may land in either of two adjacent range
+    * partitions, so their relative rank is engine-arbitrary — the same
+    * caveat as `row_number` over a non-unique key on any engine. */
+  def withGlobalRank(df: DataFrame, order: Column,
+                     rankCol: String = "__rn"): DataFrame = {
+    val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(numParts, order)
+      .sortWithinPartitions(order)
+      .localCheckpoint() // pin partitions: counts + ordinals read one layout
+    val tagged = parted
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__ord",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+    val counts = tagged.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (counts.isEmpty) 0 else counts.keys.max
+    val offsets = (0 to maxPid).scanLeft(0L) { (acc, pid) =>
+      acc + counts.getOrElse(pid, 0L)
+    }
+    val offsetByPid = offsets.zipWithIndex.map { case (o, pid) => pid -> o }.toMap
+    tagged
+      .withColumn(rankCol,
+        element_at(typedLit(offsetByPid), col("__pid")) + col("__ord") + 1L)
+      .drop("__pid", "__ord")
+  }
+
   /** W1: positional pairing of two frames under their own sort orders.
     * Row i of `left` (by `leftOrder`) joins row i of `right` (by
     * `rightOrder`); unequal lengths keep only the common prefix. */
   def alignSorted(left: DataFrame, right: DataFrame,
                   leftOrder: Column, rightOrder: Column): DataFrame = {
-    val l = left.withColumn("__rn",
-      row_number().over(Window.orderBy(leftOrder)))
-    val r = right.withColumn("__rn",
-      row_number().over(Window.orderBy(rightOrder)))
+    val l = withGlobalRank(left, leftOrder, "__rn")
+    val r = withGlobalRank(right, rightOrder, "__rn")
     l.join(r, "__rn").drop("__rn")
   }
 

@@ -78,20 +78,47 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
-  /** Embedding near-duplicate pairs at scale: SRP-bucket both sides and
-    * compare only within buckets (recall < 1, tunable via nPlanes —
-    * fewer planes ⇒ bigger buckets ⇒ higher recall, more compares). */
+  /** Embedding near-duplicate pairs at scale: banded SRP-LSH. The
+    * `nPlanes` hyperplanes split into `bands` groups of r = nPlanes/bands
+    * planes; each band yields an r-bit bucket, and two vectors are
+    * candidates if ANY band's buckets collide (OR-amplification — the
+    * same band/bucket shape as [[Dedup.lshBands]]). Recall rises with
+    * more bands, candidate volume falls with more planes per band.
+    *
+    * Shuffle shape that survives 100×: the banding self-join carries only
+    * compact (band, bucket, id) rows — never the vectors — and candidate
+    * pairs are deduped BEFORE the verify stage joins the two vectors back
+    * for the exact cosine. No non-equi join anywhere, so Catalyst plans
+    * hash joins, not BroadcastNestedLoop. */
   def embeddingNearDupBucketed(emb: DataFrame, idCol: String, vecCol: String,
-                               threshold: Double, nPlanes: Int, dim: Int): DataFrame = {
+                               threshold: Double, nPlanes: Int, dim: Int,
+                               bands: Int = 1): DataFrame = {
+    require(nPlanes % bands == 0,
+      s"nPlanes=$nPlanes must be divisible by bands=$bands")
     graft.GraftExtensions.register(emb.sparkSession)
     val planes = hyperplanes(nPlanes, dim)
-    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      srpBucket(col(vecCol), planes).as("bucket"))
-    b.alias("x").join(b.alias("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        round(cosine(col("x.v"), col("y.v")), 4).as("sim"))
+    val r = nPlanes / bands
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bandStructs = (0 until bands).map { b =>
+      val bucket = (0 until r).map { i =>
+        when(dotPortable(col("v"), typedLit(planes(b * r + i))) >= 0, 1L << i)
+          .otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    val sigs = vecs.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id"))
+    val cands = sigs.alias("x").join(sigs.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
       .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
   }
 
   // ------------------------------------------------------------- IVF ANN

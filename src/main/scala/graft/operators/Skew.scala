@@ -8,15 +8,18 @@ import org.apache.spark.sql.functions._
   * AQE's skew-join split handles most runtime skew; salting is the
   * explicit fallback when one key dominates so heavily that even split
   * shuffle blocks overwhelm a task (the classic hot-customer /
-  * null-key case at 100 TB). Fact rows get a random salt in [0, n);
-  * the dimension side is replicated n ways, so the hot key spreads
-  * over n tasks. Equivalence to the plain join is exact.
+  * null-key case at 100 TB). Fact rows get a deterministic salt in
+  * [0, n) — a hash of the whole row, never `rand()`: a per-partition-
+  * seeded random re-rolls under AQE replans or task retries with a
+  * different upstream partitioning, silently dropping/duplicating
+  * matches. The dimension side is replicated n ways, so the hot key
+  * spreads over n tasks. Equivalence to the plain join is exact.
   */
 object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  salts: Int = 8): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      (rand(seed = 42) * salts).cast("int"))
+      pmod(xxhash64(fact.columns.map(col): _*), lit(salts)).cast("int"))
     val saltedDim = dim.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")

@@ -24,6 +24,16 @@ class ComponentsSpec extends SparkSpec {
     val r = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
     assert(r.values.toSet === Set(1L))
   }
+
+  test("string doc ids work: convergence must not assume numeric labels") {
+    // URL-ish ids in a 4-hop chain — the old sum(label) convergence
+    // check returned NULL here and stopped after one hop.
+    val pairs = Seq(("url/b", "url/c"), ("url/c", "url/d"),
+      ("url/d", "url/e"), ("url/a", "url/b")).toDF("id_a", "id_b")
+    val r = Dedup.connectedComponents(pairs).as[(String, String)].collect().toMap
+    assert(r.values.toSet === Set("url/a"))
+    assert(r.keySet === Set("url/a", "url/b", "url/c", "url/d", "url/e"))
+  }
 }
 
 class SkewSpec extends SparkSpec {
@@ -37,5 +47,18 @@ class SkewSpec extends SparkSpec {
     val salted = Skew.saltedJoin(fact, dim, "k").groupBy("k")
       .agg(count(lit(1)).as("n"), sum("v").as("s"))
     assert(rows(plain.orderBy("k")) === rows(salted.orderBy("k")))
+  }
+
+  test("salt is deterministic: repeated runs and repartitioned input agree") {
+    val fact = (1 to 300).map(i => (s"k${i % 7}", i)).toDF("k", "x")
+    val dim = (0 until 7).map(i => (s"k$i", i * 10)).toDF("k", "v")
+    val once = rows(Skew.saltedJoin(fact, dim, "k").orderBy("k", "x"))
+    val again = rows(Skew.saltedJoin(fact, dim, "k").orderBy("k", "x"))
+    // A different upstream partitioning is exactly what an AQE replan or
+    // a task retry sees — row-hash salts must not re-roll.
+    val repart = rows(Skew.saltedJoin(fact.repartition(13), dim, "k")
+      .orderBy("k", "x"))
+    assert(once === again)
+    assert(once === repart)
   }
 }

@@ -77,4 +77,17 @@ class EmbeddingDedupSpec extends SparkSpec {
     // a meaningful but partial recall.
     assert(bucketed.size.toDouble / exact.size > 0.15)
   }
+
+  test("banded SRP (OR-amplification) beats a single bucket on recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.embeddingNearDupExact(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // Same banding as the declared q_embdup: 8 bands × 4 planes —
+    // expected recall 1-(1-p⁴)⁸ ≈ 0.75 at p≈0.63 (cos 0.4).
+    val banded = Similarity.embeddingNearDupBucketed(
+        emb, "vec_id", "embedding", 0.4, nPlanes = 32, dim = 64, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded.subsetOf(exact))
+    assert(banded.size.toDouble / exact.size > 0.4)
+  }
 }
