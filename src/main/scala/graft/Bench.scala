@@ -18,17 +18,25 @@ object Bench {
     // local JVMs don't).
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    // BASELINE.md records 57.7-95.1s totals for identical builds on this
+    // host — multi-second noise windows are real. The comparison policy is
+    // best-of-few, so measure each query `reps` times and report the min
+    // (one bad sample then can't fake a regression on untouched code).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Queries persist intermediates (dedup signatures, curation gates)
-      // and leave localCheckpoint blocks behind; drop the cache and let
-      // the ContextCleaner reclaim dead blocks so later queries aren't
-      // measured under another query's storage pressure.
-      spark.catalog.clearCache()
-      System.gc()
-      name -> dt
+      val best = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Queries persist intermediates (dedup signatures, curation gates)
+        // and leave localCheckpoint blocks behind; drop the cache and let
+        // the ContextCleaner reclaim dead blocks so later queries aren't
+        // measured under another query's storage pressure.
+        spark.catalog.clearCache()
+        System.gc()
+        dt
+      }.min
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

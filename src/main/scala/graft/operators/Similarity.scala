@@ -50,13 +50,19 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-random-projection bucket id for a vector column. Planes are
-    * typed to the vector's element type at the call site via cast. */
-  def srpBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+  /** Sign-random-projection bucket id for a vector column. Written as the
+    * portable fold so it works on any session; on a graft session the
+    * [[graft.plans.RewriteDotProduct]] rule turns each plane dot into the
+    * native kernel (widening a float vector with an exact cast). */
+  def srpBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    require(planes.size <= 64,
+      s"srpBucket packs sign bits into a long; ${planes.size} planes > 64 " +
+        "would wrap the shift and silently collide buckets")
     planes.zipWithIndex.map { case (p, i) =>
       val d = dotPortable(vec, typedLit(p))
       when(d >= 0, 1L << i).otherwise(0L)
     }.reduce(_ + _)
+  }
 
   /** Embedding near-duplicate pairs, exact: all (a < b) pairs with cosine
     * ≥ threshold. O(n²) compare — the correctness baseline the bucketed
@@ -95,18 +101,26 @@ object Similarity {
                                bands: Int = 1): DataFrame = {
     require(nPlanes % bands == 0,
       s"nPlanes=$nPlanes must be divisible by bands=$bands")
+    require(nPlanes / bands <= 64,
+      s"r=${nPlanes / bands} sign bits per band > 64 would wrap the long " +
+        "shift and silently collide distinct sign patterns into one bucket")
     graft.GraftExtensions.register(emb.sparkSession)
     val planes = hyperplanes(nPlanes, dim)
     val r = nPlanes / bands
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // The banding dots run against a double-widened copy of the vector,
+    // projected ONCE per row (float→double is exact, so buckets — sign
+    // patterns — are unchanged), and call the native kernel directly: 32
+    // JIT'd loops per row, not 32 interpreted HOF lambdas.
+    val widened = vecs.select(col("id"), col("v").cast("array<double>").as("vd"))
     val bandStructs = (0 until bands).map { b =>
       val bucket = (0 until r).map { i =>
-        when(dotPortable(col("v"), typedLit(planes(b * r + i))) >= 0, 1L << i)
+        when(dot(col("vd"), typedLit(planes(b * r + i))) >= 0, 1L << i)
           .otherwise(0L)
       }.reduce(_ + _)
       struct(lit(b).as("band"), bucket.as("bucket"))
     }
-    val sigs = vecs.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+    val sigs = widened.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id"))
     val cands = sigs.alias("x").join(sigs.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&

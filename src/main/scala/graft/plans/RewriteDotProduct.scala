@@ -14,9 +14,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * after this rule, any user query written in the natural declarative
   * style gets kernel speed without knowing `array_dot` exists.
   *
-  * Guards: both inputs must share the element type (float or double) and
-  * the aggregate must be exactly the left-to-right sum-of-products fold,
-  * so the rewrite is bit-identical (same accumulation order in double).
+  * Guards: inputs must be float/double arrays (a mixed pair widens the
+  * float side with an exact array cast) and the aggregate must be exactly
+  * the left-to-right sum-of-products fold, so the rewrite is bit-identical
+  * (same accumulation order in double).
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 
@@ -25,11 +26,23 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     case other => other
   }
 
-  private def supportedPair(l: Expression, r: Expression): Boolean =
+  /** Align the input pair to a common element type for [[ArrayDot]].
+    * Same-typed float/float and double/double pass through; mixed
+    * float/double widens the float side with an array cast. float→double
+    * widening is exact and the fold already multiplies in double, so the
+    * inserted cast is bit-identical — it just happens once per array
+    * instead of once per element inside an interpreted lambda (the
+    * mixed-type case is exactly the SRP-banding hot path: a float vector
+    * column dotted against a double literal hyperplane). */
+  private def aligned(l: Expression, r: Expression): Option[(Expression, Expression)] =
     (l.dataType, r.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => true
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => true
-      case _ => false
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => Some((l, r))
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => Some((l, r))
+      case (ArrayType(FloatType, cn), ArrayType(DoubleType, _)) =>
+        Some((Cast(l, ArrayType(DoubleType, cn)), r))
+      case (ArrayType(DoubleType, _), ArrayType(FloatType, cn)) =>
+        Some((l, Cast(r, ArrayType(DoubleType, cn))))
+      case _ => None
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -39,10 +52,11 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
             Literal(zero, DoubleType),
             LambdaFunction(add, Seq(acc, el), _),
             LambdaFunction(fin, Seq(finArg), _))
-          if zero == 0.0 && supportedPair(l, r) &&
+          if zero == 0.0 && aligned(l, r).isDefined &&
             isProductOf(mult, x, y) && isSum(add, acc, el) &&
             fin.semanticEquals(finArg) =>
-        ArrayDot(l, r)
+        val (al, ar) = aligned(l, r).get
+        ArrayDot(al, ar)
     }
 
   private def isProductOf(e: Expression, x: Expression, y: Expression): Boolean =

@@ -38,13 +38,21 @@ class RewriteDotProductSpec extends SparkSpec {
     assert(rows(both) === Seq(Seq(null, null), Seq(null, null), Seq(11.0, 11.0)))
   }
 
-  test("mixed element types are NOT rewritten (would read wrong bytes)") {
-    // float vector × double literal plane — must stay a HOF fold.
+  test("mixed float/double pair rewrites via an inserted exact widening cast") {
+    // float vector × double literal plane — the SRP-banding hot path.
     val planes = Similarity.hyperplanes(1, 64)
-    val df = emb.select(
-      Similarity.dotPortable(col("embedding"), typedLit(planes.head)).as("d"))
+    val mixed = Similarity.dotPortable(col("embedding"), typedLit(planes.head))
+    val df = emb.select(mixed.as("d"))
     val optimized = df.queryExecution.optimizedPlan.toString
-    assert(!optimized.contains("array_dot"))
-    assert(df.count() > 0) // and it still evaluates
+    assert(optimized.contains("array_dot"),
+      s"expected array_dot for mixed float/double pair:\n$optimized")
+    // Bit-identical to the unrewritten fold: compare against the same HOF
+    // on a pre-cast double column (which the rule leaves in kernel form
+    // too, but through the double/double path — the anchor is the explicit
+    // per-element cast semantics).
+    val viaDouble = emb.select(col("vec_id"), Similarity.dotPortable(
+      col("embedding").cast("array<double>"), typedLit(planes.head)).as("d"))
+    val viaMixed = emb.select(col("vec_id"), mixed.as("d"))
+    assert(rows(viaDouble.orderBy("vec_id")) === rows(viaMixed.orderBy("vec_id")))
   }
 }
