@@ -778,6 +778,73 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ Q-imaging
+  // Imaging metadata flow (register-omero.py:181-268): dynamic-column
+  // header normalization, per-row property bag with '*' placeholders,
+  // row-level required check on the error channel, and the int/float
+  // coercion probes of getValidationMap — over `part` dressed up as a
+  // metadata_table.tsv (string-typed, spaces, placeholders).
+  def imaging(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipelines.ImagingPipeline
+    val meta = load(s, dir, "part").select(
+      col("p_partkey").cast("string").as("SAMPLE NUM"),
+      col("p_retailprice").cast("string").as("PRICE"),
+      col("p_type").as("IMAGED TISSUE"),
+      when(col("p_partkey") % 7 === 0, lit("*")).otherwise(col("p_brand"))
+        .as("IMAGING MODALITY"),
+      concat(lit("./img/run"), pmod(col("p_partkey"), lit(10)).cast("string"))
+        .as("IMAGE DATA PATH"))
+    val bagged = ImagingPipeline.tagMissingRequired(
+      ImagingPipeline.propertyBag(ImagingPipeline.normalizeHeader(meta)),
+      required = Seq("IMAGING_MODALITY"))
+    ImagingPipeline.withValidationBag(bagged)
+      .select(element_at(col("props"), "SAMPLE_NUM").cast("long").as("id"),
+        size(col("__errors")).cast("long").as("n_errors"),
+        explode(col("vprops")).as(Seq("prop", "tv")))
+      .select(col("id"), col("prop"), col("tv.kind").as("kind"),
+        col("tv.int_val").as("int_val"), col("tv.float_val").as("float_val"),
+        col("tv.str_val").as("str_val"), col("n_errors"))
+      .orderBy("id", "prop")
+  }
+
+  private val imagingSql = {
+    val intRx = "^[+-]?[0-9]+$"
+    val floatRx = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+    s"""WITH base AS (
+       |  SELECT p_partkey,
+       |    CAST(p_partkey AS VARCHAR) AS sample_num,
+       |    CAST(p_retailprice AS VARCHAR) AS price,
+       |    REPLACE(p_type, ' ', '_') AS imaged_tissue,
+       |    CASE WHEN p_partkey % 7 = 0 THEN '*'
+       |         ELSE REPLACE(p_brand, ' ', '_') END AS imaging_modality,
+       |    './img/run' || CAST(p_partkey % 10 AS VARCHAR) AS image_data_path
+       |  FROM part),
+       |kv AS (
+       |  SELECT p_partkey, 'sample_num' AS prop, sample_num AS v FROM base
+       |  UNION ALL SELECT p_partkey, 'price', price FROM base
+       |  UNION ALL SELECT p_partkey, 'imaged_tissue', imaged_tissue FROM base
+       |  UNION ALL SELECT p_partkey, 'imaging_modality', imaging_modality FROM base
+       |  UNION ALL SELECT p_partkey, 'image_data_path', image_data_path FROM base),
+       |err AS (SELECT p_partkey,
+       |  CASE WHEN imaging_modality = '*' THEN 1 ELSE 0 END AS ne FROM base)
+       |SELECT kv.p_partkey AS id, kv.prop,
+       |  CASE WHEN regexp_matches(v, '$intRx') THEN 'int'
+       |       WHEN regexp_matches(v, '$floatRx') THEN 'float'
+       |       ELSE 'string' END AS kind,
+       |  CASE WHEN regexp_matches(v, '$intRx')
+       |       THEN TRY_CAST(v AS BIGINT) END AS int_val,
+       |  CASE WHEN NOT regexp_matches(v, '$intRx')
+       |        AND regexp_matches(v, '$floatRx')
+       |       THEN TRY_CAST(v AS DOUBLE) END AS float_val,
+       |  CASE WHEN NOT regexp_matches(v, '$intRx')
+       |        AND NOT regexp_matches(v, '$floatRx')
+       |       THEN v END AS str_val,
+       |  CAST(err.ne AS BIGINT) AS n_errors
+       |FROM kv JOIN err ON kv.p_partkey = err.p_partkey
+       |WHERE v <> '*'
+       |ORDER BY id, prop""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lookup" -> (lookup _),
@@ -812,7 +879,8 @@ object Queries {
     "q_windows" -> (windows _),
     "q_curate" -> (curate _),
     "q_design_report" -> (designReport _),
-    "q_descendants" -> (descendants _))
+    "q_descendants" -> (descendants _),
+    "q_imaging" -> (imaging _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -847,5 +915,6 @@ object Queries {
     "q_windows" -> windowsSql,
     "q_curate" -> curateSql,
     "q_design_report" -> designReportSql,
-    "q_descendants" -> descendantsSql)
+    "q_descendants" -> descendantsSql,
+    "q_imaging" -> imagingSql)
 }

@@ -23,11 +23,13 @@ object Joins {
   /** J5/J6: dictionary lookup join — broadcast dimension, left join,
     * misses flagged (`__miss`) instead of dropped so callers choose
     * inner (reference's `continue`) or error (P7) semantics. */
-  def lookup(df: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame = {
-    val probe = dim.columns.diff(keys).head
-    df.join(broadcast(dim), keys, "left")
-      .withColumn("__miss", col(probe).isNull)
-  }
+  def lookup(df: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    // A `__hit` sentinel on the dim side is the miss signal: probing a
+    // payload column for NULL would false-positive a legitimately-NULL
+    // payload as SAMPLE_NOT_FOUND.
+    df.join(broadcast(dim.withColumn("__hit", lit(true))), keys, "left")
+      .withColumn("__miss", col("__hit").isNull)
+      .drop("__hit")
 
   /** J10: existence probe — does any row of `existing` match? Keeps
     * `df` rows that have a witness (semi) — the reference's

@@ -33,8 +33,19 @@ object Lineage {
   def ancestors(edges: DataFrame): DataFrame = {
     val e = edges.select(col("child"), col("parent"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = e.select(col("child").as("node"), col("parent").as("anc"),
-      lit(1L).as("depth")).localCheckpoint()
+    val first = e.select(col("child").as("node"), col("parent").as("anc"),
+      lit(1L).as("depth"))
+    val out = walk(e, first)
+    e.unpersist()
+    out
+  }
+
+  /** Iterate `first` (node, anc, depth=1) against the persisted edge table
+    * to fixpoint. Each level is eagerly localCheckpointed, so the returned
+    * union no longer references `e` — callers may unpersist it before
+    * consuming the result. */
+  private def walk(e: DataFrame, first: DataFrame): DataFrame = {
+    var frontier = first.localCheckpoint()
     val levels = scala.collection.mutable.ArrayBuffer(frontier)
     var depth = 1
     var done = false
@@ -47,7 +58,6 @@ object Lineage {
       if (next.isEmpty) done = true
       else { levels += next; frontier = next; depth += 1 }
     }
-    e.unpersist()
     levels.reduce(_ union _)
   }
 
@@ -60,12 +70,24 @@ object Lineage {
       .select(col("node"), col("anc").as("root"), col("depth"))
   }
 
-  /** Descendants of `start` nodes (down-walk, J8): (start, descendant, depth). */
+  /** Descendants of `start` nodes (down-walk, J8): (start, descendant, depth).
+    *
+    * The iteration is SEEDED with the start set — the first join's left
+    * side is the (typically tiny) start frontier, not the whole edge
+    * table, so the work is O(reachable subtree), not O(V·depth). Walking
+    * the entire reversed DAG and filtering afterwards would touch the
+    * whole catalog to answer a one-patient question at 100×. Per-pair
+    * multiplicity (number of distinct paths) is identical to the
+    * unrestricted walk restricted to `start`, so results are unchanged. */
   def descendants(edges: DataFrame, start: DataFrame): DataFrame = {
     val down = edges.select(col("parent").as("child"), col("child").as("parent"))
-    val startKeys = start.select(col(start.columns.head).as("__start")).distinct()
-    ancestors(down)
-      .join(startKeys, col("node") === col("__start"), "left_semi")
-      .select(col("node").as("start"), col("anc").as("descendant"), col("depth"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val startKeys = start.select(col(start.columns.head).as("node")).distinct()
+    val first = startKeys.alias("s")
+      .join(down.alias("e"), col("s.node") === col("e.child"))
+      .select(col("s.node"), col("e.parent").as("anc"), lit(1L).as("depth"))
+    val out = walk(down, first)
+    down.unpersist()
+    out.select(col("node").as("start"), col("anc").as("descendant"), col("depth"))
   }
 }

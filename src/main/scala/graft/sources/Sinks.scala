@@ -31,4 +31,24 @@ object Sinks {
     }.foldLeft(lit(""): Column)(concat(_, _))
     concat(lit(s"<$tag"), attrStr, lit(">"), esc(body), lit(s"</$tag>"))
   }
+
+  /** Q_NOTES append (add-to-xml-note/edit-note.py:17-31): read a
+    * `<notes>…</notes>` property value, drop its closing tag, append one
+    * `<note><comment/><time/><username/></note>` block and re-close. A
+    * NULL (unset) property starts a fresh `<notes>`. Faithful to the
+    * reference line-scan — including its quirk of re-joining the kept
+    * lines without newlines — so n sequential appends produce exactly
+    * what the Jython plugin would have written. */
+  def appendNote(xml: Column, comment: Column, time: Column, user: Column): Column = {
+    val kept = array_join(
+      filter(split(xml, "\n"), l => !l.contains("</notes>")), "")
+    val base = when(xml.isNull, lit("<notes>")).otherwise(kept)
+    concat(base,
+      lit("\n<note>\n"),
+      lit("<comment>"), comment, lit("</comment>\n"),
+      lit("<time>"), time, lit("</time>\n"),
+      lit("<username>"), user, lit("</username>\n"),
+      lit("</note>\n"),
+      lit("</notes>"))
+  }
 }

@@ -65,6 +65,36 @@ class SinksSpec extends SparkSpec {
       .select(Sinks.xmlElement("note", Seq("id" -> col("attr")), col("body")).as("x"))
     assert(rows(df).flatten === Seq("""<note id="a&lt;b">x&amp;y</note>"""))
   }
+
+  /** Scala model of edit-note.py:17-31, the ground truth for appendNote. */
+  private def modelAppend(xml: String, c: String, t: String, u: String): String = {
+    val base = Option(xml)
+      .map(_.split("\n", -1).filterNot(_.contains("</notes>")).mkString(""))
+      .getOrElse("<notes>")
+    base + s"\n<note>\n<comment>$c</comment>\n<time>$t</time>\n<username>$u</username>\n</note>\n</notes>"
+  }
+
+  test("appendNote: n sequential appends reproduce the reference plugin byte-for-byte") {
+    val notes = Seq(("first note", "2024-01-01", "alice"),
+      ("second", "2024-02-02", "bob"), ("third", "2024-03-03", "carol"))
+    // Fold through the engine expression, one append per step (each step
+    // reads the previous property value, as the plugin does)…
+    val viaEngine = notes.foldLeft(null: String) { case (xml, (c, t, u)) =>
+      Seq(Option(xml)).toDF("xml")
+        .select(Sinks.appendNote(col("xml"), lit(c), lit(t), lit(u)).as("x"))
+        .as[String].collect().head
+    }
+    // …and through the Jython model.
+    val viaModel = notes.foldLeft(null: String) { case (xml, (c, t, u)) =>
+      modelAppend(xml, c, t, u)
+    }
+    assert(viaEngine === viaModel)
+    // Well-formed shape: starts/ends with the notes envelope, n note blocks
+    // whose fields replay the inputs in append order.
+    assert(viaEngine.startsWith("<notes>") && viaEngine.endsWith("</notes>"))
+    val cs = "<comment>(.*?)</comment>".r.findAllMatchIn(viaEngine).map(_.group(1)).toSeq
+    assert(cs === notes.map(_._1))
+  }
 }
 
 class IngestExactlyOnceSpec extends SparkSpec {

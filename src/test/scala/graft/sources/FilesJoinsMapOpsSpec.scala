@@ -73,6 +73,15 @@ class JoinsSpec extends SparkSpec {
     assert(m === Map("QA" -> false, "QB" -> true))
   }
 
+  test("lookup does not false-positive a legitimately-NULL payload as a miss") {
+    val df = Seq("QA", "QB").toDF("code")
+    val dim = Seq(("QA", null: String)).toDF("code", "ident") // hit, NULL payload
+    val r = Joins.lookup(df, dim, Seq("code"))
+    val m = r.select("code", "__miss").as[(String, Boolean)].collect().toMap
+    assert(m === Map("QA" -> false, "QB" -> true))
+    assert(!r.columns.contains("__hit")) // sentinel does not leak
+  }
+
   test("joinOnPath normalizes ./ and double slashes") {
     val meta = Seq("./data//f1.raw").toDF("fname")
     val files = Seq("data/f1.raw").toDF("path")
