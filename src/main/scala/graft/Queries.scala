@@ -778,6 +778,53 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- Q-mtb
+  // MTB getpbmc composition (register-mtb-data-dropbox.py:669-724):
+  // property-filtered descendant walk (≤2 levels) + first-child resolve +
+  // 0/>1-found guards on the error channel, over the customer→nation→
+  // region DAG (regions as patients, nations carry the tissue property).
+  def mtb(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipelines.MtbPipeline
+    val props = load(s, dir, "nation").select(
+      concat(lit("N"), col("n_nationkey")).as("node"),
+      when(col("n_nationkey") % 5 === 2, "PBMC").otherwise("TUMOR").as("tissue"))
+    val patients = load(s, dir, "region")
+      .select(concat(lit("R"), col("r_regionkey")).as("node"))
+    MtbPipeline.pbmcTestSamples(edgeTable(s, dir), props, patients, "tissue")
+      .select(col("start"), col("pbmc"), col("test_sample"), col("n_pbmc"),
+        array_join(sort_array(col("__errors")), ",").as("errs"))
+      .orderBy("start")
+  }
+
+  private val mtbSql =
+    s"""WITH RECURSIVE $edgeSql,
+       |pat AS (SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS start FROM region),
+       |props AS (SELECT 'N' || CAST(n_nationkey AS VARCHAR) AS node,
+       |  CASE WHEN n_nationkey % 5 = 2 THEN 'PBMC' ELSE 'TUMOR' END AS tissue
+       |  FROM nation),
+       |down AS (SELECT parent AS c, child AS p FROM edges),
+       |dwalk AS (
+       |  SELECT start AS node, p AS anc, CAST(1 AS BIGINT) AS depth
+       |  FROM pat JOIN down ON start = c
+       |  UNION ALL
+       |  SELECT w.node, e.p, w.depth + 1 FROM dwalk w JOIN down e ON w.anc = e.c
+       |  WHERE w.depth < 2),
+       |hits AS (SELECT DISTINCT w.node AS start, w.anc AS pbmc
+       |  FROM dwalk w JOIN props ON w.anc = props.node WHERE props.tissue = 'PBMC'),
+       |fc AS (SELECT parent AS pbmc, min(child) AS test_sample FROM edges GROUP BY 1),
+       |per AS (SELECT start, CAST(count(*) AS BIGINT) AS n_pbmc,
+       |    min(hits.pbmc) AS pbmc, min(fc.test_sample) AS test_sample
+       |  FROM hits LEFT JOIN fc ON hits.pbmc = fc.pbmc GROUP BY start)
+       |SELECT p.start, per.pbmc, per.test_sample,
+       |  COALESCE(per.n_pbmc, 0) AS n_pbmc,
+       |  CASE WHEN COALESCE(per.n_pbmc, 0) = 0 THEN 'PBMC_NOT_FOUND'
+       |       WHEN per.n_pbmc > 1 THEN 'MANY_PBMC' ELSE '' END AS errs
+       |FROM pat p LEFT JOIN per ON p.start = per.start
+       |ORDER BY p.start""".stripMargin
+
+  // Note on the walk CTE name: DuckDB scopes WITH RECURSIVE per statement;
+  // `dwalk` avoids clashing with lineageSql's `walk` if ever composed.
+
   // ------------------------------------------------------------ Q-imaging
   // Imaging metadata flow (register-omero.py:181-268): dynamic-column
   // header normalization, per-row property bag with '*' placeholders,
@@ -880,7 +927,8 @@ object Queries {
     "q_curate" -> (curate _),
     "q_design_report" -> (designReport _),
     "q_descendants" -> (descendants _),
-    "q_imaging" -> (imaging _))
+    "q_imaging" -> (imaging _),
+    "q_mtb" -> (mtb _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -916,5 +964,6 @@ object Queries {
     "q_curate" -> curateSql,
     "q_design_report" -> designReportSql,
     "q_descendants" -> descendantsSql,
-    "q_imaging" -> imagingSql)
+    "q_imaging" -> imagingSql,
+    "q_mtb" -> mtbSql)
 }
