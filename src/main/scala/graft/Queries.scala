@@ -43,6 +43,19 @@ object Queries {
        |sh AS (SELECT id, ${sqlSh32("s")} AS h FROM sh0)""".stripMargin
   private val SqlShCte = s"WITH $SqlShBody"
 
+  /** Hot-shingle document-frequency cap (boilerplate guard): shingles
+    * shared by more than ShMaxDf docs are dropped before any inverted
+    * join — mirrored between engine (Dedup.capDocFreq) and oracle. At
+    * sf0.01/0.1 the synthetic corpus has no shingle anywhere near the
+    * cap, so results equal the uncapped run; at 100 TB the cap is what
+    * keeps the `a.h = b.h` self-join from going quadratic on template
+    * phrases. */
+  private val ShMaxDf = 1000L
+  /** CTE fragment (expects `sh(id, h)` in scope): `shc` = df-capped sh. */
+  private val SqlShCap =
+    s"""shdf AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= $ShMaxDf),
+       |shc AS (SELECT sh.id, sh.h FROM sh JOIN shdf USING (h)),""".stripMargin
+
   private def moneySumSql(c: String) =
     s"sum(CAST(round($c * 100) AS BIGINT)) / 100.0"
 
@@ -298,14 +311,15 @@ object Queries {
   // n-gram Jaccard near-dup via inverted shingle index (never all pairs).
   def nearDupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(load(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.8)
+        n = 3, threshold = 0.8, maxDf = ShMaxDf)
       .orderBy("id_a", "id_b")
 
   private val nearDupNgramSql =
     s"""$SqlShCte,
-       |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+       |$SqlShCap
+       |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM shc GROUP BY id),
        |inter AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
-       |          FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2)
+       |          FROM shc a JOIN shc b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2)
        |SELECT id_a, id_b,
        |       round(CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE), 4) AS jaccard
        |FROM inter JOIN sizes za ON id_a = za.id JOIN sizes zb ON id_b = zb.id
@@ -320,7 +334,7 @@ object Queries {
 
   def nearDupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupMinhash(load(s, dir, "documents"), "doc_id", "text",
-        k = MhK, bands = MhBands, n = 3, threshold = 0.8)
+        k = MhK, bands = MhBands, n = 3, threshold = 0.8, maxDf = ShMaxDf)
       .orderBy("id_a", "id_b")
 
   /** CTE body ending in `pairs` = the verified MinHash near-dup pairs
@@ -339,14 +353,15 @@ object Queries {
     s"""toks AS (SELECT $idCol AS id, $SqlToks AS tk FROM $src),
        |sh0 AS (SELECT id, unnest(list_distinct($SqlShingles3)) AS s FROM toks),
        |sh AS (SELECT id, ${sqlSh32("s")} AS h FROM sh0),
-       |sig AS (SELECT id, $mins FROM sh GROUP BY id),
+       |$SqlShCap
+       |sig AS (SELECT id, $mins FROM shc GROUP BY id),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b FROM bands x
        |         JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash AND x.id < y.id),
-       |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+       |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM shc GROUP BY id),
        |inter AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_inter
-       |          FROM cand JOIN sh sa ON sa.id = id_a
-       |                    JOIN sh sb ON sb.id = id_b AND sa.h = sb.h GROUP BY 1, 2),
+       |          FROM cand JOIN shc sa ON sa.id = id_a
+       |                    JOIN shc sb ON sb.id = id_b AND sa.h = sb.h GROUP BY 1, 2),
        |pairs AS (
        |  SELECT id_a, id_b,
        |         round(CAST(n_inter AS DOUBLE) / CAST(za.sz + zb.sz - n_inter AS DOUBLE), 4) AS jaccard
@@ -367,7 +382,7 @@ object Queries {
   def dedupAssign(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
         Dedup.nearDupMinhash(load(s, dir, "documents"), "doc_id", "text",
-          k = MhK, bands = MhBands, n = 3, threshold = 0.8))
+          k = MhK, bands = MhBands, n = 3, threshold = 0.8, maxDf = ShMaxDf))
       .orderBy("id")
 
   private val dedupAssignSql: String =
@@ -742,7 +757,8 @@ object Queries {
   def curate(s: SparkSession, dir: String): DataFrame =
     graft.pipelines.CurationPipeline.curate(
         load(s, dir, "documents"), "doc_id", "text", LangStops,
-        minTokens = CurateMinTokens, keepLang = "en", threshold = 0.8)
+        minTokens = CurateMinTokens, keepLang = "en", threshold = 0.8,
+        maxDf = ShMaxDf)
       .orderBy("doc_id")
 
   private val curateSql: String = {

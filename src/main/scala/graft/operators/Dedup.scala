@@ -55,6 +55,20 @@ object Dedup {
         explode(array_distinct(wordNgrams(col("__toks"), n))).as("sh"))
       .select(col("id"), shaHash32(col("sh")).as("h"))
 
+  /** Drop shingle hashes whose document frequency exceeds `maxDf` — the
+    * boilerplate guard every inverted-index join needs at scale: a
+    * shingle shared by d documents contributes O(d²) joined rows to any
+    * `a.h = b.h` self-join, so one template phrase shared by millions of
+    * docs turns the candidate stage quadratic. Capped shingles carry no
+    * near-dup signal anyway (they don't discriminate). The hot set is
+    * tiny by construction (only keys with df > maxDf), so the filter is
+    * a broadcast anti-join; the df aggregate is map-side combinable. */
+  def capDocFreq(sh: DataFrame, maxDf: Long): DataFrame = {
+    val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("h")
+    sh.join(broadcast(hot), Seq("h"), "left_anti")
+  }
+
   /** MinHash signature: k min-hash columns m0..m{k-1} per doc. One
     * explode + one groupBy — the k permutations are k expressions over the
     * same exploded rows, not k passes. */
@@ -126,11 +140,16 @@ object Dedup {
     * candidates. */
   def nearDupMinhash(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 32, bands: Int = 4, n: Int = 3,
-                     threshold: Double = 0.8): DataFrame = {
+                     threshold: Double = 0.8,
+                     maxDf: Long = Long.MaxValue): DataFrame = {
     require(k % bands == 0,
       s"signature length k=$k must be divisible by bands=$bands " +
         "(otherwise trailing signature columns are silently ignored)")
-    val sh = shingleHashes(docs, idCol, textCol, n)
+    // maxDf guards both the signature build AND the verify join below —
+    // applied once, up front, so "similarity" means similarity over
+    // discriminating shingles on every downstream path.
+    val shRaw = shingleHashes(docs, idCol, textCol, n)
+    val sh = (if (maxDf == Long.MaxValue) shRaw else capDocFreq(shRaw, maxDf))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // The band frame feeds both sides of the candidate self-join; persist
     // the signature so the shingle aggregation runs once, not twice.
@@ -241,8 +260,10 @@ object Dedup {
   /** n-gram-Jaccard near-dup via inverted index: join docs that share a
     * shingle (never all pairs), count shared shingles, Jaccard-filter. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleHashes(docs, idCol, textCol, n)
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxDf: Long = Long.MaxValue): DataFrame = {
+    val shRaw = shingleHashes(docs, idCol, textCol, n)
+    val sh = (if (maxDf == Long.MaxValue) shRaw else capDocFreq(shRaw, maxDf))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.alias("a").join(sh.alias("b"),

@@ -44,11 +44,14 @@ object CurationPipeline {
     * @param minTokens  quality gate: minimum whitespace tokens
     * @param keepLang   language gate: predicted language to keep
     * @param threshold  near-dup Jaccard threshold for canonicalization
+    * @param maxDf      hot-shingle document-frequency cap for the
+    *                   near-dup stage (boilerplate guard)
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              stopwords: Seq[(String, Seq[String])],
              minTokens: Long, keepLang: String,
-             threshold: Double = 0.8): DataFrame = {
+             threshold: Double = 0.8,
+             maxDf: Long = Long.MaxValue): DataFrame = {
     val annotated = annotate(docs, idCol, textCol, stopwords)
     // Persisted: the gate feeds the dedup groupBy AND the semi join, and
     // the survivors feed shingle-building AND the final anti-join —
@@ -67,7 +70,7 @@ object CurationPipeline {
     // Near-dup canonicalization over the exact-kept survivors: a doc in
     // a dup cluster survives only as the cluster's canonical (min id).
     val pairs = Dedup.nearDupMinhash(exactKept, idCol, textCol,
-      threshold = threshold)
+      threshold = threshold, maxDf = maxDf)
     val losers = Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))

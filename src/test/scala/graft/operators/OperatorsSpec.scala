@@ -52,6 +52,26 @@ class DedupSpec extends SparkSpec {
       Dedup.nearDupMinhash(docs, "doc_id", "text", k = 16, bands = 5)
     }
   }
+
+  test("hot-shingle df cap bounds candidates on a common-prefix corpus") {
+    // 40 docs sharing a 12-token boilerplate prefix with unique 2-token
+    // tails: every boilerplate shingle has df=40, so the uncapped
+    // inverted join compares all ~40²/2 pairs and reports them all as
+    // near-dups; capping df at 10 drops the boilerplate (it carries no
+    // signal) and the candidate set collapses to nothing.
+    val boiler = "terms of service apply to all content on this web site"
+    val corpus = (1 to 40)
+      .map(i => (i.toLong, s"$boiler unique$i tail$i")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = 0.5)
+    assert(uncapped.count() === 40L * 39 / 2)
+    val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      threshold = 0.5, maxDf = 10)
+    assert(capped.count() === 0)
+    // The capped shingle frame itself is bounded: only tail shingles left.
+    val sh = Dedup.capDocFreq(
+      Dedup.shingleHashes(corpus, "doc_id", "text"), 10)
+    assert(sh.groupBy("h").count().agg(max("count")).head.getLong(0) <= 10)
+  }
 }
 
 class LineageSpec extends SparkSpec {
