@@ -64,10 +64,23 @@ object Ingest {
     * into a parquet "catalog" table (last-wins on `keys` via
     * [[graft.operators.Catalog.upsert]]), committed by staging-dir swap.
     * The checkpoint makes re-runs no-ops; the MERGE makes duplicate
-    * deliveries harmless — together, exactly-once effect on the table. */
+    * deliveries harmless — together, exactly-once effect on the table.
+    *
+    * The dest table is laid out in `nBuckets` fixed hash buckets
+    * (`__bucket=<i>/` partition dirs on `pmod(hash(keys), nBuckets)`),
+    * and a micro-batch rewrites ONLY the buckets its keys fall in: the
+    * read prunes to touched partitions, the merge unions batch rows with
+    * just those buckets' rows, and the commit swaps just those bucket
+    * dirs. Per-batch I/O is O(touched buckets), not O(catalog) — the
+    * read-all + overwrite-all alternative is the one genuine scale-killer
+    * in a streaming MERGE. Crash recovery keeps the staging-swap
+    * semantics: a complete staging dir (`_SUCCESS`) is replayed bucket by
+    * bucket (the per-bucket delete+rename is idempotent — moved buckets
+    * leave staging, so a resumed recovery never double-applies), an
+    * incomplete one is dropped. */
   def upsertExactlyOnce(spark: SparkSession, srcDir: String, fileGlob: String,
                         destDir: String, checkpointDir: String,
-                        keys: Seq[String]): Long = {
+                        keys: Seq[String], nBuckets: Int = 16): Long = {
     import org.apache.hadoop.fs.Path
     val schema = spark.read.option("pathGlobFilter", fileGlob)
       .parquet(srcDir).schema
@@ -79,15 +92,22 @@ object Ingest {
         val staging = new Path(destDir + ".staging")
         val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
         recoverSwap(fs, dest, staging)
+        val bucketed = batch.toDF().withColumn("__bucket",
+          pmod(hash(keys.map(col): _*), lit(nBuckets)))
+        // ≤ nBuckets rows — a bounded driver collect, not O(data).
+        val touched = bucketed.select("__bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
         val existing =
-          if (fs.exists(dest)) spark.read.parquet(destDir) else batch.limit(0).toDF()
-        graft.operators.Catalog.upsert(existing, batch.toDF(), keys)
-          .write.mode("overwrite").parquet(staging.toString)
-        // Commit = delete-then-rename; a crash in between is repaired by
-        // recoverSwap on the next run (staging carries _SUCCESS).
-        fs.delete(dest, true)
-        fs.rename(staging, dest)
-        ()
+          if (fs.exists(dest))
+            // Partition pruning: dest is __bucket=<i>/ dirs, so this scan
+            // reads only the touched buckets' files.
+            spark.read.parquet(destDir)
+              .filter(col("__bucket").isin(touched: _*))
+          else bucketed.limit(0)
+        graft.operators.Catalog.upsert(existing, bucketed, keys)
+          .write.mode("overwrite").partitionBy("__bucket")
+          .parquet(staging.toString)
+        commitBuckets(fs, dest, staging)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -99,16 +119,34 @@ object Ingest {
     spark.read.parquet(destDir).count()
   }
 
+  /** Commit a complete staging write: swap each staged `__bucket=` dir
+    * into dest (delete-then-rename per bucket), then drop staging.
+    * Untouched dest buckets are never read or written. */
+  private def commitBuckets(fs: org.apache.hadoop.fs.FileSystem,
+                            dest: org.apache.hadoop.fs.Path,
+                            staging: org.apache.hadoop.fs.Path): Unit = {
+    fs.mkdirs(dest)
+    fs.listStatus(staging)
+      .filter(_.getPath.getName.startsWith("__bucket="))
+      .foreach { s =>
+        val d = new org.apache.hadoop.fs.Path(dest, s.getPath.getName)
+        fs.delete(d, true)
+        fs.rename(s.getPath, d)
+      }
+    fs.delete(staging, true)
+    ()
+  }
+
   /** Repair an interrupted staging swap: a complete staging dir
-    * (`_SUCCESS` present) with no destination means the previous commit
-    * died between delete and rename — finish it. An incomplete staging
-    * dir is a dead partial write — drop it. */
+    * (`_SUCCESS` present) means the previous commit died mid-swap —
+    * finish moving its remaining bucket dirs. An incomplete staging dir
+    * is a dead partial write — drop it. */
   private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
                           dest: org.apache.hadoop.fs.Path,
                           staging: org.apache.hadoop.fs.Path): Unit = {
     if (fs.exists(staging)) {
       val complete = fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
-      if (complete && !fs.exists(dest)) fs.rename(staging, dest)
+      if (complete) commitBuckets(fs, dest, staging)
       else fs.delete(staging, true)
     }
     ()

@@ -36,6 +36,44 @@ class UpsertStreamSpec extends SparkSpec {
     val direct = spark.read.parquet(s"$src/nation.parquet").count()
     assert(n1 === direct && n2 === direct)
   }
+
+  test("a micro-batch rewrites only the buckets its keys touch") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val src = s"$base/src"
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    nation.write.parquet(src)
+    // Per-bucket file listing of the dest table (part-file names are
+    // unique per write, so a rewritten bucket always shows new names).
+    def listing: Map[String, Set[String]] = {
+      val d = java.nio.file.Paths.get(s"$base/dest")
+      java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("__bucket="))
+        .map { b =>
+          b.getFileName.toString -> java.nio.file.Files.list(b).iterator()
+            .asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("part-")).toSet
+        }.toMap
+    }
+    val n1 = Ingest.upsertExactlyOnce(spark, src, "part-*",
+      s"$base/dest", s"$base/ckpt", Seq("n_nationkey"), nBuckets = 8)
+    val before = listing
+    assert(before.size > 1) // 25 nations spread over several buckets
+    // Second delivery: one updated row for one existing key.
+    nation.filter(col("n_nationkey") === 0)
+      .withColumn("n_name", lit("updated")).write.mode("append").parquet(src)
+    val n2 = Ingest.upsertExactlyOnce(spark, src, "part-*",
+      s"$base/dest", s"$base/ckpt", Seq("n_nationkey"), nBuckets = 8)
+    val after = listing
+    assert(n2 === n1) // MERGE on an existing key: no growth
+    val changed = before.keySet.union(after.keySet)
+      .filter(b => before.get(b) != after.get(b))
+    assert(changed.size === 1, s"expected 1 rewritten bucket, got $changed")
+    val updated = spark.read.parquet(s"$base/dest")
+      .filter(col("n_nationkey") === 0).select("n_name")
+    assert(rows(updated).flatten === Seq("updated"))
+  }
 }
 
 class IvfKnnSpec extends SparkSpec {
