@@ -1,9 +1,10 @@
 package graft
 
 import graft.core.Tables.load
-import graft.functions.{Barcode, DateNorm, ExactAgg}
+import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, Catalog, Dedup, Lineage, Multimodal, Sequencing, Similarity}
+import graft.operators.{Align, Catalog, Dedup, Joins, Lineage, Multimodal, Sequencing, Similarity}
+import graft.sources.{Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -908,6 +909,222 @@ object Queries {
        |ORDER BY id, prop""".stripMargin
   }
 
+  // ---------------------------------------------------------------- Q-vcf
+  // S6/F6/F5/J2: VCF lines rendered from `part`, driven through the real
+  // parse stage (header skip, fixed-column split, INFO map, ANN structs),
+  // annotation exploded, impact-filtered, protein change normalized to
+  // 1-letter form. The oracle computes the expected fields directly from
+  // the base columns — the gate checks that parse inverts render.
+  def vcf(s: SparkSession, dir: String): DataFrame = {
+    val part = load(s, dir, "part")
+    val impact = when(col("p_partkey") % 3 === 0, "HIGH").otherwise("MODERATE")
+    val ann = concat(lit("G|missense_variant|"), impact,
+      lit("|GENE"), pmod(col("p_partkey"), lit(100)).cast("string"),
+      lit("|gid|transcript|ft1|protein_coding|1|c.1A>G|"),
+      lit("p.Val"), col("p_partkey").cast("string"), lit("Glu"))
+    val line = concat_ws("\t",
+      concat(lit("chr"), pmod(col("p_partkey"), lit(5)).cast("string")),
+      col("p_partkey").cast("string"), lit("."), lit("A"), lit("G"),
+      lit("50"), lit("PASS"),
+      concat(lit("DP="), col("p_size").cast("string"), lit(";ANN="), ann))
+    val header = s.range(1)
+      .select(lit("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO").as("value"))
+    Parsers.parseVcfLines(part.select(line.as("value")).unionByName(header))
+      .select(col("chrom"), col("pos"), explode(col("ann")).as("a"))
+      .select(col("chrom"), col("pos"),
+        col("a.gene").as("gene"), col("a.impact").as("impact"),
+        AminoAcid.normalizeProteinChange(col("a.hgvs_p")).as("aa"),
+        col("a.rank").cast("long").as("rnk"))
+      .filter(col("impact") === "HIGH")
+      .orderBy("pos")
+  }
+
+  private val vcfSql =
+    """SELECT 'chr' || CAST(p_partkey % 5 AS VARCHAR) AS chrom,
+      |       p_partkey AS pos,
+      |       'GENE' || CAST(p_partkey % 100 AS VARCHAR) AS gene,
+      |       'HIGH' AS impact,
+      |       'V' || CAST(p_partkey AS VARCHAR) || 'E' AS aa,
+      |       CAST(1 AS BIGINT) AS rnk
+      |FROM part WHERE p_partkey % 3 = 0 ORDER BY pos""".stripMargin
+
+  // ------------------------------------------------------------ Q-manifest
+  // S9/A8/P2: sha256 manifest lines rendered (a few deliberately
+  // corrupted), parsed back, sliced to the docs/ subtree, validated
+  // against recomputed content hashes.
+  def manifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val corrupt = col("doc_id") % 97 === 0
+    val sha = when(corrupt, sha2(concat(col("text"), lit("x")), 256))
+      .otherwise(sha2(col("text"), 256))
+    val line = concat(sha, lit(" *docs/d"), col("doc_id").cast("string"), lit(".txt"))
+    val sliced = Parsers.parseChecksumLines(docs.select(line.as("value")))
+      .filter(col("relpath").startsWith("docs/"))
+      .withColumn("doc_id",
+        regexp_extract(col("relpath"), "docs/d([0-9]+)\\.txt", 1).cast("long"))
+    sliced
+      .join(docs.select(col("doc_id"), sha2(col("text"), 256).as("actual")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("relpath"),
+        (col("sha256") === col("actual")).cast("int").as("ok"))
+      .orderBy("doc_id")
+  }
+
+  private val manifestSql =
+    """SELECT doc_id, 'docs/d' || CAST(doc_id AS VARCHAR) || '.txt' AS relpath,
+      |       CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END AS ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ Q-stempair
+  // J12: raw↔mzML stem pairing with completeness flags (every 10th order
+  // is missing its mzML mate).
+  def stemPair(s: SparkSession, dir: String): DataFrame = {
+    val o = load(s, dir, "orders")
+    val raw = concat(lit("run"), col("o_orderkey").cast("string"), lit(".raw"))
+    val mz = when(col("o_orderkey") % 10 =!= 0,
+      concat(lit("run"), col("o_orderkey").cast("string"), lit(".mzML")))
+    val files = o.select(explode(array(raw, mz)).as("path"))
+      .filter(col("path").isNotNull)
+    Align.pairByStem(files, "path")
+      .select(col("stem"), array_join(col("paths"), ",").as("paths"),
+        col("n"), col("complete").cast("int").as("complete"))
+      .orderBy("stem")
+  }
+
+  private val stemPairSql =
+    """WITH files AS (
+      |  SELECT 'run' || CAST(o_orderkey AS VARCHAR) || '.raw' AS path FROM orders
+      |  UNION ALL
+      |  SELECT 'run' || CAST(o_orderkey AS VARCHAR) || '.mzML' FROM orders
+      |  WHERE o_orderkey % 10 <> 0)
+      |SELECT regexp_replace(path, '\.[^./]+$', '') AS stem,
+      |       array_to_string(list_sort(list(path)), ',') AS paths,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CASE WHEN count(*) = 2 THEN 1 ELSE 0 END AS complete
+      |FROM files GROUP BY 1 ORDER BY stem""".stripMargin
+
+  // -------------------------------------------------------------- Q-latest
+  // W3: latest pick by a sortable column (TakeOrdered, no full sort).
+  def latestQ(s: SparkSession, dir: String): DataFrame =
+    Align.latest(
+      load(s, dir, "events").select("event_id", "event_type", "user_id"),
+      col("event_id"))
+
+  private val latestSql =
+    """SELECT event_id, event_type, user_id FROM events
+      |ORDER BY event_id DESC LIMIT 1""".stripMargin
+
+  // -------------------------------------------------------------- Q-mapops
+  // F11/P6/F7: property-map munging — blacklist drop, placeholder drop,
+  // key lowering, value trimming, URL-decoded values — exploded back to
+  // rows for the gate.
+  def mapOpsQ(s: SparkSession, dir: String): DataFrame = {
+    val m = map(
+      lit("USER"), col("user_id").cast("string"),
+      lit("TYPE"), col("event_type"),
+      lit("NOTE"), lit("*"),
+      lit("SECRET"), lit("hidden"),
+      lit("FILE"), url_decode(concat(lit("report%20"), col("event_type"), lit(".pdf"))),
+      lit("PAD"), lit(" v "))
+    val cleaned = MapOps.trimValues(MapOps.lowerKeys(
+      MapOps.dropPlaceholders(MapOps.dropKeys(m, Seq("SECRET")))))
+    load(s, dir, "events")
+      .select(col("event_id"), explode(cleaned).as(Seq("k", "v")))
+      .orderBy("event_id", "k")
+  }
+
+  private val mapOpsSql =
+    """WITH kv AS (
+      |  SELECT event_id, 'user' AS k, CAST(user_id AS VARCHAR) AS v FROM events
+      |  UNION ALL SELECT event_id, 'type', event_type FROM events
+      |  UNION ALL SELECT event_id, 'file', 'report ' || event_type || '.pdf' FROM events
+      |  UNION ALL SELECT event_id, 'pad', 'v' FROM events)
+      |SELECT event_id, k, v FROM kv ORDER BY event_id, k""".stripMargin
+
+  // ----------------------------------------------------------------- Q-xml
+  // F10/K8: per-row XML element rendering with attribute/body escaping.
+  def xmlQ(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "nation")
+      .select(col("n_nationkey"),
+        Sinks.xmlElement("note",
+          Seq("id" -> concat(col("n_name"), lit("&CO")),
+            "region" -> col("n_regionkey").cast("string")),
+          concat(lit("size<"), col("n_nationkey").cast("string"))).as("xml"))
+      .orderBy("n_nationkey")
+
+  private val xmlSql = {
+    def esc(e: String) =
+      s"replace(replace(replace($e, '&', '&amp;'), '<', '&lt;'), '\"', '&quot;')"
+    s"""SELECT n_nationkey,
+       |  '<note id="' || ${esc("n_name || '&CO'")} ||
+       |  '" region="' || ${esc("CAST(n_regionkey AS VARCHAR)")} ||
+       |  '">' || ${esc("'size<' || CAST(n_nationkey AS VARCHAR)")} || '</note>' AS xml
+       |FROM nation ORDER BY n_nationkey""".stripMargin
+  }
+
+  // ------------------------------------------------------------ Q-pathnorm
+  // J11/S12: metadata↔payload join on normalized relative paths (./ and
+  // // noise on the meta side; every 13th file lives elsewhere) + the
+  // first path segment as the directory-structure entry column.
+  def pathNorm(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val meta = docs.select(col("doc_id"),
+      concat(lit("./docs//d"), col("doc_id").cast("string"), lit(".txt")).as("fname"))
+    val files = docs.select(
+      when(col("doc_id") % 13 === 0,
+        concat(lit("other/d"), col("doc_id").cast("string"), lit(".txt")))
+        .otherwise(concat(lit("docs/d"), col("doc_id").cast("string"), lit(".txt")))
+        .as("path"))
+    Joins.joinOnPath(meta, files, "fname", "path")
+      .select(col("doc_id"), element_at(split(col("path"), "/"), 1).as("entry"))
+      .orderBy("doc_id")
+  }
+
+  private val pathNormSql =
+    """SELECT doc_id, 'docs' AS entry FROM documents
+      |WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- Q-whitelist
+  // J4/J10: broadcast whitelist semi-join + existence probe (parts of
+  // panel brands that actually occur in the fact table).
+  def whitelistQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val panel = Seq("Brand#11", "Brand#22", "Brand#33").toDF("p_brand")
+    val parts = Joins.whitelist(load(s, dir, "part"), panel, Seq("p_brand"))
+    val li = load(s, dir, "lineitem")
+    Joins.existsIn(parts, li, parts("p_partkey") === li("l_partkey"))
+      .select("p_partkey", "p_brand")
+      .orderBy("p_partkey")
+  }
+
+  private val whitelistSql =
+    """SELECT p_partkey, p_brand FROM part
+      |WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------------------ Q-linescan
+  // S10: labeled line-scan over multi-line text — per-line regex field
+  // extraction, aggregated per label for the gate.
+  def lineScanQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val txt = concat(lit("id "), col("doc_id").cast("string"),
+      lit("\nlen "), col("n_chars").cast("string"))
+    Parsers.lineScan(docs.select(txt.as("txt")), "txt",
+        Map("id" -> "^id ([0-9]+)$", "len" -> "^len ([0-9]+)$"))
+      .groupBy("label", "line_no")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("long")).as("sum_v"))
+      .orderBy("label")
+  }
+
+  private val lineScanSql =
+    """SELECT 'id' AS label, 0 AS line_no, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(doc_id) AS BIGINT) AS sum_v FROM documents
+      |UNION ALL
+      |SELECT 'len', 1, CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+      |FROM documents
+      |ORDER BY label""".stripMargin
+
   // ----------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lookup" -> (lookup _),
@@ -944,7 +1161,16 @@ object Queries {
     "q_design_report" -> (designReport _),
     "q_descendants" -> (descendants _),
     "q_imaging" -> (imaging _),
-    "q_mtb" -> (mtb _))
+    "q_mtb" -> (mtb _),
+    "q_vcf" -> (vcf _),
+    "q_manifest" -> (manifest _),
+    "q_stempair" -> (stemPair _),
+    "q_latest" -> (latestQ _),
+    "q_mapops" -> (mapOpsQ _),
+    "q_xml" -> (xmlQ _),
+    "q_pathnorm" -> (pathNorm _),
+    "q_whitelist" -> (whitelistQ _),
+    "q_linescan" -> (lineScanQ _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -981,5 +1207,14 @@ object Queries {
     "q_design_report" -> designReportSql,
     "q_descendants" -> descendantsSql,
     "q_imaging" -> imagingSql,
-    "q_mtb" -> mtbSql)
+    "q_mtb" -> mtbSql,
+    "q_vcf" -> vcfSql,
+    "q_manifest" -> manifestSql,
+    "q_stempair" -> stemPairSql,
+    "q_latest" -> latestSql,
+    "q_mapops" -> mapOpsSql,
+    "q_xml" -> xmlSql,
+    "q_pathnorm" -> pathNormSql,
+    "q_whitelist" -> whitelistSql,
+    "q_linescan" -> lineScanSql)
 }

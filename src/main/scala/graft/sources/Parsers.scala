@@ -41,24 +41,33 @@ object Parsers {
     struct(AnnFields.zipWithIndex.map { case (n, i) => get(f, lit(i)).as(n) }: _*)
   }
 
-  /** S6: VCF reader — skips `#` headers, splits the 8 fixed columns,
-    * parses INFO into a map and `ANN=` into an array of annotation
-    * structs (extractPGMdata.py:53-95 `extractVCFdata` semantics). */
-  def readVcf(spark: SparkSession, path: String): DataFrame = {
+  /** S6 parse stage, over any `value: string` line frame — skips `#`
+    * headers, splits the 8 fixed columns, parses INFO into a map and
+    * `ANN=` into an array of annotation structs (extractPGMdata.py:53-95
+    * `extractVCFdata` semantics). Separated from the file read so
+    * queries can drive the parser on rendered lines. */
+  def parseVcfLines(lines: DataFrame): DataFrame = {
     val fixed = Seq("chrom", "pos", "id", "ref", "alt", "qual", "filter", "info")
-    spark.read.text(path)
+    lines
       .filter(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
       .select(split(col("value"), "\t").as("f"))
       // `get` (not apply): ragged lines yield nulls instead of an ANSI
       // array-index error deep inside a 100 TB scan.
       .select(fixed.zipWithIndex.map { case (n, i) => get(col("f"), lit(i)).as(n) }: _*)
-      .withColumn("pos", col("pos").cast("long"))
+      // try_cast, same policy as `get` above: a malformed POS yields null,
+      // never an ANSI abort mid-scan (also keeps constant folding from
+      // throwing on not-yet-filtered header literals).
+      .withColumn("pos", col("pos").try_cast("long"))
       .withColumn("info_map", str_to_map(col("info"), lit(";"), lit("=")))
       .withColumn("ann",
         when(col("info_map")("ANN").isNull, array().cast("array<string>"))
           .otherwise(split(col("info_map")("ANN"), ",")))
       .withColumn("ann", transform(col("ann"), annStruct(_)))
   }
+
+  /** S6: VCF reader (file form of [[parseVcfLines]]). */
+  def readVcf(spark: SparkSession, path: String): DataFrame =
+    parseVcfLines(spark.read.text(path))
 
   /** S7: VCF header-pragma probe — `##key=value` lines as rows
     * (register-iontorrent-data.py:164-184 greps `##parametersName=` /
@@ -71,14 +80,17 @@ object Parsers {
         regexp_replace(col("value"), "^##[^=]+=", "").as("value"))
       .filter(length(col("key")) > 0)
 
-  /** S9: sha256sum manifest reader — `"<hex> *<relpath>"` lines
+  /** S9 parse stage over a `value: string` line frame — `"<hex> *<relpath>"`
     * (register-nanopore.py:200-207 `fillChecksumMap`). */
-  def readChecksumManifest(spark: SparkSession, path: String): DataFrame =
-    spark.read.text(path)
-      .select(
+  def parseChecksumLines(lines: DataFrame): DataFrame =
+    lines.select(
         regexp_extract(col("value"), "^([0-9a-fA-F]{64})\\s+\\*?(.*)$", 1).as("sha256"),
         regexp_extract(col("value"), "^([0-9a-fA-F]{64})\\s+\\*?(.*)$", 2).as("relpath"))
       .filter(length(col("sha256")) > 0)
+
+  /** S9: sha256sum manifest reader (file form of [[parseChecksumLines]]). */
+  def readChecksumManifest(spark: SparkSession, path: String): DataFrame =
+    parseChecksumLines(spark.read.text(path))
 
   /** S8: mzML stream probe — first run `startTimeStamp` and first
     * instrument cvParam accession WITHOUT parsing the XML document
