@@ -660,6 +660,14 @@ object Queries {
   // pairs); the exact O(n²) variant stays a spec-level recall baseline.
   // The oracle replays the identical hyperplanes as SQL literals, so
   // both engines bucket — and therefore answer — identically.
+  // SEMANTICS NOTE (recorded per round-3 advice): since round 3 the
+  // declared semantics are LSH (expected recall ≈ 1-(1-p⁴)⁸ ≈ 0.75 at
+  // the 0.4 threshold), not exact all-pairs. Because the oracle shares
+  // the banding scheme, this gate alone can't catch a bug in the scheme
+  // itself — ground-truth anchoring lives in EmbeddingDedupSpec, which
+  // asserts the bucketed/banded outputs are SUBSETS of the exact
+  // operator's pairs with meaningful recall, and runs in `sbt test` on
+  // every round.
   private val EmbDim = 64
   private val EmbPlanes = 32
   private val EmbBands = 8

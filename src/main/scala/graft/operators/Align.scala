@@ -16,11 +16,18 @@ object Align {
     * zipWithIndex idiom, columnar. Range-repartition by the key, sort
     * within partitions, pin the layout, then
     * rank = (rows in earlier partitions) + in-partition ordinal.
-    * The ordinal comes from `monotonically_increasing_id`'s documented
-    * (partitionId << 33 | recordNumber) layout over the pinned scan;
-    * per-partition row counts are one tiny collect (numPartitions rows).
+    * The ordinal is `mid - min(mid within partition)`, which relies only
+    * on `monotonically_increasing_id` being dense within a partition
+    * (each task counts rows up from its own base) — NOT on the id's
+    * internal pid<<33 bit layout, which Spark documents as "current
+    * implementation" only. Per-partition (count, min-id) pairs are one
+    * tiny collect (numPartitions rows) off the pinned scan.
     * Every stage is balanced across partitions — nothing funnels the
     * table through one core, at any scale.
+    *
+    * The localCheckpoint blocks live until the returned frame is GC'd
+    * (the ContextCleaner reclaims them); callers running many ranks in
+    * one JVM should drop references or clear the cache between runs.
     *
     * Ties in `order` may land in either of two adjacent range
     * partitions, so their relative rank is engine-arbitrary — the same
@@ -30,22 +37,25 @@ object Align {
     val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val parted = df.repartitionByRange(numParts, order)
       .sortWithinPartitions(order)
-      .localCheckpoint() // pin partitions: counts + ordinals read one layout
+      .localCheckpoint() // pin partitions: stats + ordinals read one layout
     val tagged = parted
       .withColumn("__pid", spark_partition_id())
-      .withColumn("__ord",
-        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-    val counts = tagged.groupBy("__pid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val maxPid = if (counts.isEmpty) 0 else counts.keys.max
+      .withColumn("__mid", monotonically_increasing_id())
+    val stats = tagged.groupBy("__pid")
+      .agg(count(lit(1)).as("cnt"), min(col("__mid")).as("mn"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val maxPid = if (stats.isEmpty) 0 else stats.keys.max
     val offsets = (0 to maxPid).scanLeft(0L) { (acc, pid) =>
-      acc + counts.getOrElse(pid, 0L)
+      acc + stats.get(pid).map(_._1).getOrElse(0L)
     }
     val offsetByPid = offsets.zipWithIndex.map { case (o, pid) => pid -> o }.toMap
+    val minByPid = stats.map { case (pid, (_, mn)) => pid -> mn }
     tagged
       .withColumn(rankCol,
-        element_at(typedLit(offsetByPid), col("__pid")) + col("__ord") + 1L)
-      .drop("__pid", "__ord")
+        element_at(typedLit(offsetByPid), col("__pid")) +
+          (col("__mid") - element_at(typedLit(minByPid), col("__pid"))) + 1L)
+      .drop("__pid", "__mid")
   }
 
   /** W1: positional pairing of two frames under their own sort orders.

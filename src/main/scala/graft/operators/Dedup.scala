@@ -242,7 +242,25 @@ object Dedup {
         .observe(obs, sum(when(col("component") =!= col("__old"), 1L)
           .otherwise(0L)).as("n_changed"))
         .localCheckpoint() // the only action this iteration; obs rides it
-      val nChanged = obs.get.get("n_changed") match {
+      // Observation metrics riding localCheckpoint's action is behavior
+      // of the current Spark (checkpoint runs through withAction → the
+      // listener path). Bound the blocking get with a generous deadline,
+      // so if a future version stops routing checkpoint through the
+      // listener this fails loudly instead of hanging forever.
+      val metrics =
+        try {
+          scala.concurrent.Await.result(
+            scala.concurrent.Future(obs.get)(
+              scala.concurrent.ExecutionContext.global),
+            scala.concurrent.duration.Duration(300, "s"))
+        } catch {
+          case _: java.util.concurrent.TimeoutException =>
+            throw new IllegalStateException(
+              "connectedComponents: convergence metrics never arrived — the " +
+                "Observation no longer rides localCheckpoint's action on this " +
+                "Spark version; switch the convergence probe to an explicit count")
+        }
+      val nChanged = metrics.get("n_changed") match {
         case Some(l: java.lang.Long) => l.longValue()
         case _ => 0L // empty graph: sum over zero rows is NULL
       }

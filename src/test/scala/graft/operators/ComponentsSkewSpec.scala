@@ -61,4 +61,22 @@ class SkewSpec extends SparkSpec {
     assert(once === again)
     assert(once === repart)
   }
+
+  test("rowId salting spreads identical duplicate rows; map columns tolerated") {
+    // 400 byte-identical rows of the hot key: whole-row hashing parks
+    // them all on one salt (documented limitation); hashing (key, rowId)
+    // spreads them across all salts.
+    val fact = (1 to 400).map(i => ("hot", i, Map("a" -> "b"))).toDF("k", "rid", "m")
+    val dim = Seq(("hot", 1)).toDF("k", "v")
+    // Map-typed columns are excluded from the row hash — no
+    // AnalysisException (xxhash64 rejects MapType inputs).
+    val wholeRow = Skew.saltedJoin(fact.select("k", "m"), dim, "k")
+    assert(wholeRow.count() === 400)
+    val spread = fact.withColumn("__salt",
+        pmod(xxhash64(col("k"), col("rid")), lit(8)))
+      .select("__salt").distinct().count()
+    assert(spread > 1) // rowId hash genuinely spreads
+    val byId = Skew.saltedJoin(fact, dim, "k", rowId = Some("rid"))
+    assert(byId.count() === 400) // equivalence holds under rowId salting
+  }
 }
