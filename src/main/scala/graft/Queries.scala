@@ -1133,6 +1133,31 @@ object Queries {
       |FROM documents
       |ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- Q-cel
+  // CEL/microarray composition (register-cel-dropbox.py:48-79): facility
+  // PDF text rendered per part row, scanned for the RIN section, each
+  // barcode paired with its first following German-decimal value line.
+  def cel(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipelines.CelPipeline
+    val part = load(s, dir, "part")
+    val code = concat(lit("QABCD"),
+      lpad(pmod(col("p_partkey"), lit(1000)).cast("string"), 3, "0"), lit("A0"))
+    val rinStr = translate(
+      (pmod(col("p_partkey"), lit(80)) / 10.0).cast("string"), ".", ",")
+    val txt = concat(lit("Auftragsnummer\nI"), col("p_partkey").cast("string"),
+      lit("\nRIN Nummer\n"), code, lit("\n"), rinStr)
+    CelPipeline.rinAssociations(
+        part.select(col("p_partkey").as("pid"), txt.as("txt")), "pid", "txt")
+      .select(col("id"), col("barcode"), col("rin"))
+      .orderBy("id")
+  }
+
+  private val celSql =
+    """SELECT p_partkey AS id,
+      |  'QABCD' || lpad(CAST(p_partkey % 1000 AS VARCHAR), 3, '0') || 'A0' AS barcode,
+      |  (p_partkey % 80) / 10.0 AS rin
+      |FROM part ORDER BY id""".stripMargin
+
   // ----------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lookup" -> (lookup _),
@@ -1178,7 +1203,8 @@ object Queries {
     "q_xml" -> (xmlQ _),
     "q_pathnorm" -> (pathNorm _),
     "q_whitelist" -> (whitelistQ _),
-    "q_linescan" -> (lineScanQ _))
+    "q_linescan" -> (lineScanQ _),
+    "q_cel" -> (cel _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -1224,5 +1250,6 @@ object Queries {
     "q_xml" -> xmlSql,
     "q_pathnorm" -> pathNormSql,
     "q_whitelist" -> whitelistSql,
-    "q_linescan" -> lineScanSql)
+    "q_linescan" -> lineScanSql,
+    "q_cel" -> celSql)
 }

@@ -17,6 +17,11 @@ object Parsers {
   def readTsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("sep", "\t").option("header", "true").csv(path)
 
+  /** S4: JSON metadata reader (register-imgag.py:48-53
+    * `parse_metadata_file` — one whole-file JSON document per upload). */
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+
   /** S5: key=value sidecar reader (`metadata.txt` with `user=`, `info=`,
     * `barcode=` lines, register-attachment-dropbox.py:62-84). Lines
     * without '=' are dropped; value keeps any embedded '='. */
