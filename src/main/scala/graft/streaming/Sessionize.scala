@@ -7,42 +7,70 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 /** Custom streaming state via `flatMapGroupsWithState` (SURVEY §2.10):
   * gap-based sessionization of an event stream per user.
   *
-  * Each key's state is one (lastTs, sessionCount, eventCount) triple —
-  * bounded per key, so 10⁹ users cost gigabytes of state, not a shuffle
-  * of history. Events inside a micro-batch are sorted in-function
-  * (bounded by batch size per key); cross-batch order is carried by the
-  * state. `Trigger.AvailableNow` gives batch parity for the oracle.
+  * Correct across micro-batches AND out-of-order arrival: events are not
+  * folded into the session counts the moment they arrive — they sit in a
+  * small per-key buffer until the event-time watermark passes them, and
+  * only then are they finalized in timestamp order. An event from batch
+  * 3 that lands between two batch-1 events therefore still sessionizes
+  * in the right place, as long as it beats the watermark (later than
+  * that, the engine's watermark filter has already dropped it — the
+  * standard streaming contract).
+  *
+  * State per key = finalized (lastTs, sessions, events) + the pending
+  * buffer, which is bounded by the lateness window × per-key event rate
+  * — NOT by history. Emitted rows preview the totals as if the buffer
+  * were folded now, so a downstream last-wins read always sees complete
+  * counts; `Trigger.AvailableNow` gives batch parity for the oracle.
   */
 object Sessionize {
-  case class Event(user_id: Long, ts: Long)
-  case class SessionState(lastTs: Long, sessions: Long, events: Long)
+  case class Event(user_id: Long, ts: Long, ets: java.sql.Timestamp)
+  case class SessionState(pending: Seq[Long], lastTs: Long,
+                          sessions: Long, events: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  private def fold(gapNanos: Long, lastTs0: Long, sessions0: Long,
+                   events0: Long, ts: Seq[Long]): (Long, Long, Long) = {
+    var (lastTs, sessions, events) = (lastTs0, sessions0, events0)
+    ts.foreach { t =>
+      val newSession = lastTs == Long.MinValue || t - lastTs > gapNanos
+      if (newSession) sessions += 1
+      events += 1
+      lastTs = t
+    }
+    (lastTs, sessions, events)
+  }
 
   def sessionStep(gapNanos: Long)(
       userId: Long, batch: Iterator[Event],
       state: GroupState[SessionState]): Iterator[UserSessions] = {
-    val sorted = batch.toSeq.sortBy(_.ts)
-    var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
-    sorted.foreach { e =>
-      val newSession = st.lastTs == Long.MinValue || e.ts - st.lastTs > gapNanos
-      st = SessionState(e.ts,
-        st.sessions + (if (newSession) 1 else 0), st.events + 1)
-    }
-    state.update(st)
-    Iterator.single(UserSessions(userId, st.sessions, st.events))
+    // Watermark in event-time nanos; 0 during the first batch.
+    val wmNanos = state.getCurrentWatermarkMs() * 1000000L
+    val st = state.getOption.getOrElse(SessionState(Nil, Long.MinValue, 0L, 0L))
+    val merged = (st.pending ++ batch.map(_.ts)).sorted
+    // Finalize only events the watermark has passed — nothing older can
+    // still arrive, so their fold order is now settled.
+    val (ripe, pending) = merged.partition(_ <= wmNanos)
+    val (lastTs, sessions, events) =
+      fold(gapNanos, st.lastTs, st.sessions, st.events, ripe)
+    state.update(SessionState(pending, lastTs, sessions, events))
+    // Preview: totals as if the (still-revisable) buffer folded now.
+    val (_, pSessions, pEvents) = fold(gapNanos, lastTs, sessions, events, pending)
+    Iterator.single(UserSessions(userId, pSessions, pEvents))
   }
 
   /** Run the sessionizer over one parquet table with AvailableNow;
     * returns (user_id, n_sessions, n_events). `ts` is a nanos-epoch
     * long column (the nanosAsLong read of the events table). */
   def userSessions(spark: SparkSession, dir: String, fileGlob: String,
-                   gapNanos: Long): DataFrame = {
+                   gapNanos: Long, lateness: String = "1 hour"): DataFrame = {
     import spark.implicits._
     val schema = spark.read.option("pathGlobFilter", fileGlob).parquet(dir).schema
     val qn = "graft_sessions"
     val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
       .parquet(dir)
-      .select(col("user_id"), col("ts"))
+      .select(col("user_id"), col("ts"),
+        timestamp_micros(expr("ts DIV 1000")).as("ets"))
+      .withWatermark("ets", lateness)
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
@@ -52,7 +80,8 @@ object Sessionize {
       .writeStream.queryName(qn).outputMode("update")
       .format("memory").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    // Update mode can emit a row per batch per key; the last one wins.
+    // Update mode can emit a row per batch per key; counts only grow, so
+    // the max is the final value.
     spark.table(qn).groupBy("user_id")
       .agg(max(col("n_sessions")).as("n_sessions"),
         max(col("n_events")).as("n_events"))

@@ -22,6 +22,40 @@ class SessionizeSpec extends SparkSpec {
       .orderBy("user_id")
     assert(rows(streamed) === rows(batch))
   }
+
+  test("out-of-order events across micro-batches sessionize correctly") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val gap = 100L
+    def ev(ts: Long) = Sessionize.Event(1L, ts, new java.sql.Timestamp(ts / 1000000))
+    // Batch 1 (watermark 0): events at t=1000 and t=5000 — a naive fold
+    // would close a session boundary between them (5000-1000 > gap).
+    val s1 = TestGroupState.create[Sessionize.SessionState](
+      optionalState = Optional.empty(), GroupStateTimeout.NoTimeout(),
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(0L),
+      hasTimedOut = false)
+    val out1 = Sessionize.sessionStep(gap)(1L, Iterator(ev(1000), ev(5000)), s1).toSeq
+    assert(out1.head === Sessionize.UserSessions(1L, 2L, 2L)) // preview
+    // Batch 2 delivers t=1050 — BETWEEN the two batch-1 events (late but
+    // above watermark). With the buffer it chains 1000→1050, leaving
+    // 5000 alone: still 2 sessions, 3 events. The pre-round-4 fold would
+    // have compared 1050 against lastTs=5000 and undercounted.
+    val s2 = TestGroupState.create[Sessionize.SessionState](
+      optionalState = Optional.of(s1.get), GroupStateTimeout.NoTimeout(),
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(0L),
+      hasTimedOut = false)
+    val out2 = Sessionize.sessionStep(gap)(1L, Iterator(ev(1050)), s2).toSeq
+    assert(out2.head === Sessionize.UserSessions(1L, 2L, 3L))
+    // Batch 3: watermark passes everything → buffer finalizes, same totals.
+    val s3 = TestGroupState.create[Sessionize.SessionState](
+      optionalState = Optional.of(s2.get), GroupStateTimeout.NoTimeout(),
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(10L),
+      hasTimedOut = false)
+    val out3 = Sessionize.sessionStep(gap)(1L, Iterator.empty, s3).toSeq
+    assert(out3.head === Sessionize.UserSessions(1L, 2L, 3L))
+    assert(s3.get.pending.isEmpty) // state buffer drained, counts settled
+    assert(s3.get.sessions === 2L && s3.get.events === 3L)
+  }
 }
 
 class UpsertStreamSpec extends SparkSpec {
