@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape guardrails over EVERY declared query: the properties that
+  * keep a plan viable at 100× — no cartesian products, no accidental
+  * BroadcastNestedLoopJoin (only the intentional 1-row-query cross joins
+  * of the ANN operators are exempt), and column pruning reaching the
+  * parquet scans — asserted on the optimized plans at sf0.001, so a
+  * regression fails `sbt test` before any bench run sees it. */
+class PlanAuditSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  // crossJoin(broadcast(one-row query vector)) is the intended shape.
+  private val nestedLoopExempt = Set("q_knn")
+  // Streaming queries execute on construction and return memory-table
+  // reads; their batch plan is not the interesting surface.
+  private val streaming = Set("q_stream", "q_windows", "q_sessions", "q_upsert")
+
+  test("no declared query plans a cartesian or unintended nested-loop join") {
+    val offenders = Queries.all.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => streaming.contains(n) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution
+          .explainString(ExplainMode.fromString("extended"))
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !nestedLoopExempt.contains(name)
+        if (cartesian || bnlj) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"queries with cartesian/nested-loop plans: $offenders")
+  }
+
+  test("column pruning reaches the documents scan (no read-everything scans)") {
+    val plan = Queries.all("q_fingerprint")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val read = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    val cols = read.split(",").map(_.trim.takeWhile(_ != ':')).toSet
+    assert(cols.nonEmpty && cols.subsetOf(Set("doc_id", "text")),
+      s"q_fingerprint should scan only (doc_id, text), got: $cols\n$plan")
+  }
+
+  test("q_lookup pushes its key predicate into the scan") {
+    val plan = Queries.all("q_lookup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("c_custkey"),
+      s"expected c_custkey filter pushed to parquet:\n$plan")
+  }
+}
