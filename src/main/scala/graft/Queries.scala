@@ -1158,6 +1158,23 @@ object Queries {
       |  (p_partkey % 80) / 10.0 AS rin
       |FROM part ORDER BY id""".stripMargin
 
+  // ------------------------------------------------------------ Q-pragmas
+  // S7: ##key=value VCF header pragmas rendered from nation, driven
+  // through the real parse stage (##-only filter excludes the single-#
+  // column header).
+  def pragmas(s: SparkSession, dir: String): DataFrame = {
+    val line = concat(lit("##"), lower(col("n_name")), lit("="),
+      col("n_regionkey").cast("string"))
+    val noise = s.range(1).select(lit("#CHROM not a pragma").as("value"))
+    Parsers.parsePragmaLines(
+        load(s, dir, "nation").select(line.as("value")).unionByName(noise))
+      .orderBy("key")
+  }
+
+  private val pragmasSql =
+    """SELECT lower(n_name) AS key, CAST(n_regionkey AS VARCHAR) AS value
+      |FROM nation ORDER BY key""".stripMargin
+
   // ----------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lookup" -> (lookup _),
@@ -1204,7 +1221,8 @@ object Queries {
     "q_pathnorm" -> (pathNorm _),
     "q_whitelist" -> (whitelistQ _),
     "q_linescan" -> (lineScanQ _),
-    "q_cel" -> (cel _))
+    "q_cel" -> (cel _),
+    "q_pragmas" -> (pragmas _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -1251,5 +1269,6 @@ object Queries {
     "q_pathnorm" -> pathNormSql,
     "q_whitelist" -> whitelistSql,
     "q_linescan" -> lineScanSql,
-    "q_cel" -> celSql)
+    "q_cel" -> celSql,
+    "q_pragmas" -> pragmasSql)
 }

@@ -74,16 +74,20 @@ object Parsers {
   def readVcf(spark: SparkSession, path: String): DataFrame =
     parseVcfLines(spark.read.text(path))
 
-  /** S7: VCF header-pragma probe — `##key=value` lines as rows
-    * (register-iontorrent-data.py:164-184 greps `##parametersName=` /
-    * `##fileUTCtime=`). */
-  def vcfPragmas(spark: SparkSession, path: String): DataFrame =
-    spark.read.text(path)
+  /** S7 parse stage over a `value: string` line frame — `##key=value`
+    * pragma lines as rows (register-iontorrent-data.py:164-184 greps
+    * `##parametersName=` / `##fileUTCtime=`). */
+  def parsePragmaLines(lines: DataFrame): DataFrame =
+    lines
       .filter(col("value").startsWith("##"))
       .select(
         regexp_extract(col("value"), "^##([^=]+)=", 1).as("key"),
         regexp_replace(col("value"), "^##[^=]+=", "").as("value"))
       .filter(length(col("key")) > 0)
+
+  /** S7: VCF header-pragma probe (file form of [[parsePragmaLines]]). */
+  def vcfPragmas(spark: SparkSession, path: String): DataFrame =
+    parsePragmaLines(spark.read.text(path))
 
   /** S9 parse stage over a `value: string` line frame — `"<hex> *<relpath>"`
     * (register-nanopore.py:200-207 `fillChecksumMap`). */
