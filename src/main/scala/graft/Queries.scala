@@ -1175,6 +1175,29 @@ object Queries {
     """SELECT lower(n_name) AS key, CAST(n_regionkey AS VARCHAR) AS value
       |FROM nation ORDER BY key""".stripMargin
 
+  // -------------------------------------------------------------- Q-probe
+  // S8/W4: first-match stream probe over rendered header-ish lines — the
+  // events table supplies noise; each probed attribute occurs exactly
+  // once (the mzML-header property that makes first-match well-defined).
+  def probe(s: SparkSession, dir: String): DataFrame = {
+    val noise = load(s, dir, "events")
+      .select(concat(lit("<spectrum id=\""), col("event_id"), lit("\"/>")).as("value"))
+    val header = s.range(1).select(
+      lit("<run startTimeStamp=\"2024-01-01T10:00:00Z\">").as("value"))
+      .unionByName(s.range(1).select(
+        lit("<cvParam name=\"inst\" accession=\"MS:1000123\"/>").as("value")))
+    Parsers.probeLines(noise.unionByName(header), Seq(
+        "startTimeStamp" -> "startTimeStamp=\"([^\"]+)\"",
+        "instrumentAccession" -> "cvParam[^>]*accession=\"(MS:[0-9]+)\""))
+      .orderBy("key")
+  }
+
+  private val probeSql =
+    """SELECT 'instrumentAccession' AS key, 'MS:1000123' AS value
+      |UNION ALL
+      |SELECT 'startTimeStamp', '2024-01-01T10:00:00Z'
+      |ORDER BY key""".stripMargin
+
   // ----------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lookup" -> (lookup _),
@@ -1222,7 +1245,8 @@ object Queries {
     "q_whitelist" -> (whitelistQ _),
     "q_linescan" -> (lineScanQ _),
     "q_cel" -> (cel _),
-    "q_pragmas" -> (pragmas _))
+    "q_pragmas" -> (pragmas _),
+    "q_probe" -> (probe _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -1270,5 +1294,6 @@ object Queries {
     "q_whitelist" -> whitelistSql,
     "q_linescan" -> lineScanSql,
     "q_cel" -> celSql,
-    "q_pragmas" -> pragmasSql)
+    "q_pragmas" -> pragmasSql,
+    "q_probe" -> probeSql)
 }

@@ -101,20 +101,27 @@ object Parsers {
   def readChecksumManifest(spark: SparkSession, path: String): DataFrame =
     parseChecksumLines(spark.read.text(path))
 
-  /** S8: mzML stream probe — first run `startTimeStamp` and first
-    * instrument cvParam accession WITHOUT parsing the XML document
-    * (etl_msconvert.py:237-280 line-scan + iterparse probe). Returns
-    * (key, value) rows; absent keys yield no row. */
-  def mzmlProbe(spark: SparkSession, path: String): DataFrame = {
-    val lines = spark.read.text(path)
-    def probe(key: String, rx: String): DataFrame =
+  /** S8 probe stage over a `value: string` line frame — first-match
+    * field probes (W4 limit semantics). NOTE: `limit(1)` over a
+    * multi-partition frame picks an engine-arbitrary match when several
+    * lines match; mzML headers carry each probed attribute once, which
+    * is what makes the reference's first-match read well-defined. */
+  def probeLines(lines: DataFrame, fields: Seq[(String, String)]): DataFrame =
+    fields.map { case (key, rx) =>
       lines.select(regexp_extract(col("value"), rx, 1).as("value"))
         .filter(length(col("value")) > 0)
         .limit(1)
         .select(lit(key).as("key"), col("value"))
-    probe("startTimeStamp", "startTimeStamp=\"([^\"]+)\"")
-      .unionByName(probe("instrumentAccession", "cvParam[^>]*accession=\"(MS:[0-9]+)\""))
-  }
+    }.reduce(_ unionByName _)
+
+  /** S8: mzML stream probe — first run `startTimeStamp` and first
+    * instrument cvParam accession WITHOUT parsing the XML document
+    * (etl_msconvert.py:237-280 line-scan + iterparse probe). Returns
+    * (key, value) rows; absent keys yield no row. */
+  def mzmlProbe(spark: SparkSession, path: String): DataFrame =
+    probeLines(spark.read.text(path), Seq(
+      "startTimeStamp" -> "startTimeStamp=\"([^\"]+)\"",
+      "instrumentAccession" -> "cvParam[^>]*accession=\"(MS:[0-9]+)\""))
 
   /** S10 (downstream shape): labeled line-scan over extracted text —
     * regex field extraction per line, one row per (label, match)
