@@ -1198,6 +1198,90 @@ object Queries {
       |SELECT 'startTimeStamp', '2024-01-01T10:00:00Z'
       |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- Q-hla
+  // HLA-typing composition (register-hlatyping.py:95-128): allele result
+  // files rendered from supplier, driven through the REAL pipeline —
+  // binary scan rows → whole-file typing payload → content-based MHC
+  // routing → HLA<class><parent> code → MERGE into the existing store.
+  // Suppliers %5==0 pre-exist as STALE rows; %3==0 never upload, so
+  // those STALE rows must survive the upsert untouched.
+  def hla(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipelines.HlaPipeline
+    val sup = load(s, dir, "supplier")
+    val parent = concat(lit("QHLAS"),
+      lpad(pmod(col("s_suppkey"), lit(1000)).cast("string"), 3, "0"), lit("A0"))
+    val typing = when(col("s_suppkey") % 2 === 0,
+        lit("HLA-A*02:01 HLA-B*07:02"))
+      .otherwise(lit("HLA-DRB1*04:01 HLA-DQB1*03:01"))
+    val scan = sup.filter(col("s_suppkey") % 3 =!= 0)
+      .select(concat(lit("/incoming/run"), col("s_suppkey").cast("string"),
+          lit("/"), parent, lit(".alleles")).as("path"),
+        encode(typing, "UTF-8").as("content"))
+    val existing = sup.filter(col("s_suppkey") % 5 === 0)
+      .select(concat(lit("HLA"),
+          when(col("s_suppkey") % 2 === 0, "1").otherwise("2"), parent)
+          .as("sample_code"),
+        parent.as("parent"), lit("STALE").as("hla_class"),
+        lit("stale").as("typing"))
+    HlaPipeline.register(existing, scan).orderBy("sample_code")
+  }
+
+  private val hlaSql =
+    """WITH sup AS (
+      |  SELECT s_suppkey AS k,
+      |         'QHLAS' || lpad(CAST(s_suppkey % 1000 AS VARCHAR), 3, '0') || 'A0' AS parent
+      |  FROM supplier),
+      |inc AS (
+      |  SELECT CASE WHEN k % 2 = 0 THEN 'HLA1' ELSE 'HLA2' END || parent AS sample_code,
+      |         parent,
+      |         CASE WHEN k % 2 = 0 THEN 'MHC_CLASS_I' ELSE 'MHC_CLASS_II' END AS hla_class,
+      |         CASE WHEN k % 2 = 0 THEN 'HLA-A*02:01 HLA-B*07:02'
+      |              ELSE 'HLA-DRB1*04:01 HLA-DQB1*03:01' END AS typing
+      |  FROM sup WHERE k % 3 <> 0),
+      |ex AS (
+      |  SELECT CASE WHEN k % 2 = 0 THEN 'HLA1' ELSE 'HLA2' END || parent AS sample_code,
+      |         parent, 'STALE' AS hla_class, 'stale' AS typing
+      |  FROM sup WHERE k % 5 = 0)
+      |SELECT * FROM inc
+      |UNION ALL
+      |SELECT * FROM ex WHERE sample_code NOT IN (SELECT sample_code FROM inc)
+      |ORDER BY sample_code""".stripMargin
+
+  // -------------------------------------------------------------- Q-notes
+  // F10 Q_NOTES append (add-to-xml-note/edit-note.py:17-31): three
+  // sequential appendNote calls starting from an unset property — the
+  // oracle replays the reference's exact line-scan quirk (earlier notes
+  // collapse to newline-free blocks on each re-edit).
+  def notes(s: SparkSession, dir: String): DataFrame = {
+    val nation = load(s, dir, "nation")
+    val n1 = Sinks.appendNote(lit(null).cast("string"),
+      lit("created"), lit("2024-01-01"), col("n_name"))
+    val n2 = Sinks.appendNote(n1,
+      concat(lit("region="), col("n_regionkey").cast("string")),
+      lit("2024-01-02"), col("n_name"))
+    val n3 = Sinks.appendNote(n2, lit("closed"), lit("2024-01-03"), lit("admin"))
+    nation.select(col("n_nationkey"), n3.as("notes")).orderBy("n_nationkey")
+  }
+
+  private val notesSql = {
+    // A re-edited note block: the reference drops '</notes>' lines and
+    // re-joins WITHOUT newlines, so prior notes flatten to this.
+    def compact(c: String, t: String, u: String) =
+      s"'<note>' || chr(10) || '<comment>' || $c || '</comment>' || chr(10) || " +
+        s"'<time>' || $t || '</time>' || chr(10) || " +
+        s"'<username>' || $u || '</username>' || chr(10) || '</note>' || chr(10)"
+    def flat(c: String, t: String, u: String) =
+      s"'<note><comment>' || $c || '</comment><time>' || $t || " +
+        s"'</time><username>' || $u || '</username></note>'"
+    s"""SELECT n_nationkey,
+       |  '<notes>'
+       |  || ${flat("'created'", "'2024-01-01'", "n_name")}
+       |  || ${flat("'region=' || CAST(n_regionkey AS VARCHAR)", "'2024-01-02'", "n_name")}
+       |  || chr(10) || ${compact("'closed'", "'2024-01-03'", "'admin'")}
+       |  || '</notes>' AS notes
+       |FROM nation ORDER BY n_nationkey""".stripMargin
+  }
+
   // ----------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lookup" -> (lookup _),
@@ -1246,7 +1330,9 @@ object Queries {
     "q_linescan" -> (lineScanQ _),
     "q_cel" -> (cel _),
     "q_pragmas" -> (pragmas _),
-    "q_probe" -> (probe _))
+    "q_probe" -> (probe _),
+    "q_hla" -> (hla _),
+    "q_notes" -> (notes _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -1295,5 +1381,7 @@ object Queries {
     "q_linescan" -> lineScanSql,
     "q_cel" -> celSql,
     "q_pragmas" -> pragmasSql,
-    "q_probe" -> probeSql)
+    "q_probe" -> probeSql,
+    "q_hla" -> hlaSql,
+    "q_notes" -> notesSql)
 }
