@@ -23,10 +23,18 @@ object Bench {
     // best-of-few, so measure each query `reps` times and report the min
     // (one bad sample then can't fake a regression on untouched code).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // A crashing query must not LOOK fast: its (short) failure time would
+    // read as a speedup. Record the error message per query and exit
+    // nonzero so the harness surfaces it instead of grading the number.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val best = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // Queries persist intermediates (dedup signatures, curation gates)
         // and leave localCheckpoint blocks behind; drop the cache and let
@@ -38,10 +46,20 @@ object Bench {
       }.min
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + (if (errors.contains(k)) "null" else v.toString)
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, m) => s"\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
+    val errField = if (errors.isEmpty) "" else s""","err":$errJson"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -19,14 +19,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
   * State per key = finalized (lastTs, sessions, events) + the pending
   * buffer, which is bounded by the lateness window × per-key event rate
   * — NOT by history. Emitted rows preview the totals as if the buffer
-  * were folded now, so a downstream last-wins read always sees complete
-  * counts; `Trigger.AvailableNow` gives batch parity for the oracle.
+  * were folded now, tagged with a per-key emission sequence so the
+  * read-out can take the LATEST preview (a later batch can lower
+  * `n_sessions` when a late event bridges two previously-separate
+  * sessions, so `max()` is not safe); `Trigger.AvailableNow` gives
+  * batch parity for the oracle.
   */
 object Sessionize {
   case class Event(user_id: Long, ts: Long, ets: java.sql.Timestamp)
   case class SessionState(pending: Seq[Long], lastTs: Long,
-                          sessions: Long, events: Long)
-  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+                          sessions: Long, events: Long, seq: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long,
+                          seq: Long)
 
   private def fold(gapNanos: Long, lastTs0: Long, sessions0: Long,
                    events0: Long, ts: Seq[Long]): (Long, Long, Long) = {
@@ -45,29 +49,35 @@ object Sessionize {
       state: GroupState[SessionState]): Iterator[UserSessions] = {
     // Watermark in event-time nanos; 0 during the first batch.
     val wmNanos = state.getCurrentWatermarkMs() * 1000000L
-    val st = state.getOption.getOrElse(SessionState(Nil, Long.MinValue, 0L, 0L))
+    val st = state.getOption.getOrElse(
+      SessionState(Nil, Long.MinValue, 0L, 0L, 0L))
     val merged = (st.pending ++ batch.map(_.ts)).sorted
     // Finalize only events the watermark has passed — nothing older can
     // still arrive, so their fold order is now settled.
     val (ripe, pending) = merged.partition(_ <= wmNanos)
     val (lastTs, sessions, events) =
       fold(gapNanos, st.lastTs, st.sessions, st.events, ripe)
-    state.update(SessionState(pending, lastTs, sessions, events))
+    val seq = st.seq + 1
+    state.update(SessionState(pending, lastTs, sessions, events, seq))
     // Preview: totals as if the (still-revisable) buffer folded now.
     val (_, pSessions, pEvents) = fold(gapNanos, lastTs, sessions, events, pending)
-    Iterator.single(UserSessions(userId, pSessions, pEvents))
+    Iterator.single(UserSessions(userId, pSessions, pEvents, seq))
   }
 
   /** Run the sessionizer over one parquet table with AvailableNow;
     * returns (user_id, n_sessions, n_events). `ts` is a nanos-epoch
     * long column (the nanosAsLong read of the events table). */
   def userSessions(spark: SparkSession, dir: String, fileGlob: String,
-                   gapNanos: Long, lateness: String = "1 hour"): DataFrame = {
+                   gapNanos: Long, lateness: String = "1 hour",
+                   maxFilesPerTrigger: Int = 0): DataFrame = {
     import spark.implicits._
     val schema = spark.read.option("pathGlobFilter", fileGlob).parquet(dir).schema
     val qn = "graft_sessions"
-    val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
-      .parquet(dir)
+    val reader = spark.readStream.schema(schema)
+      .option("pathGlobFilter", fileGlob)
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val q = reader.parquet(dir)
       .select(col("user_id"), col("ts"),
         timestamp_micros(expr("ts DIV 1000")).as("ets"))
       .withWatermark("ets", lateness)
@@ -80,10 +90,12 @@ object Sessionize {
       .writeStream.queryName(qn).outputMode("update")
       .format("memory").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    // Update mode can emit a row per batch per key; counts only grow, so
-    // the max is the final value.
+    // Update mode emits a row per batch per key. Last-wins by the per-key
+    // emission sequence: a late bridging event can REDUCE the previewed
+    // session count in a later batch, so max(n_sessions) could serve a
+    // stale larger preview — max_by(…, seq) always serves the newest.
     spark.table(qn).groupBy("user_id")
-      .agg(max(col("n_sessions")).as("n_sessions"),
-        max(col("n_events")).as("n_events"))
+      .agg(max_by(col("n_sessions"), col("seq")).as("n_sessions"),
+        max_by(col("n_events"), col("seq")).as("n_events"))
   }
 }

@@ -35,7 +35,7 @@ class SessionizeSpec extends SparkSpec {
       batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(0L),
       hasTimedOut = false)
     val out1 = Sessionize.sessionStep(gap)(1L, Iterator(ev(1000), ev(5000)), s1).toSeq
-    assert(out1.head === Sessionize.UserSessions(1L, 2L, 2L)) // preview
+    assert(out1.head === Sessionize.UserSessions(1L, 2L, 2L, 1L)) // preview
     // Batch 2 delivers t=1050 — BETWEEN the two batch-1 events (late but
     // above watermark). With the buffer it chains 1000→1050, leaving
     // 5000 alone: still 2 sessions, 3 events. The pre-round-4 fold would
@@ -45,16 +45,54 @@ class SessionizeSpec extends SparkSpec {
       batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(0L),
       hasTimedOut = false)
     val out2 = Sessionize.sessionStep(gap)(1L, Iterator(ev(1050)), s2).toSeq
-    assert(out2.head === Sessionize.UserSessions(1L, 2L, 3L))
+    assert(out2.head === Sessionize.UserSessions(1L, 2L, 3L, 2L))
     // Batch 3: watermark passes everything → buffer finalizes, same totals.
     val s3 = TestGroupState.create[Sessionize.SessionState](
       optionalState = Optional.of(s2.get), GroupStateTimeout.NoTimeout(),
       batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(10L),
       hasTimedOut = false)
     val out3 = Sessionize.sessionStep(gap)(1L, Iterator.empty, s3).toSeq
-    assert(out3.head === Sessionize.UserSessions(1L, 2L, 3L))
+    assert(out3.head === Sessionize.UserSessions(1L, 2L, 3L, 3L))
     assert(s3.get.pending.isEmpty) // state buffer drained, counts settled
     assert(s3.get.sessions === 2L && s3.get.events === 3L)
+  }
+
+  test("late bridging event across micro-batches: FINAL table row is last-wins") {
+    import org.apache.spark.sql.functions._
+    // Gap 2500ns. Batch 1 delivers {1000, 5000} → previews 2 sessions;
+    // batch 2 delivers 3000, which BRIDGES them (1000→3000→5000, every
+    // hop ≤ gap) → 1 session. A max(n_sessions) read-out would keep the
+    // stale 2; the seq-based last-wins read-out must report 1.
+    import java.nio.file.{Files => JF, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val dir = JF.createTempDirectory("graft-bridge").toString
+    // Write each delivery as a single parquet FILE (pathGlobFilter matches
+    // leaf names) with a pinned mtime — file-source batch order follows
+    // modification time, so the bridging event genuinely arrives in a
+    // LATER micro-batch.
+    def writeOne(name: String, ts: Seq[Long], mtime: Long): Unit = {
+      import spark.implicits._
+      val stage = s"$dir/stage_$name"
+      ts.map(t => (1L, t)).toDF("user_id", "ts")
+        .coalesce(1).write.parquet(stage)
+      val part = JF.list(Paths.get(stage)).iterator()
+      val src = Iterator.continually(part)
+        .takeWhile(_.hasNext).map(_.next())
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val dst = Paths.get(s"$dir/$name")
+      JF.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      JF.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    }
+    writeOne("b1.parquet", Seq(1000L, 5000L), 1000000L)
+    writeOne("b2.parquet", Seq(3000L), 2000000L)
+    val out = Sessionize.userSessions(spark, dir, "b*.parquet",
+      gapNanos = 2500L, maxFilesPerTrigger = 1)
+    assert(rows(out) === Seq(Seq(1L, 1L, 3L)))
+    // Prove the stale preview really existed in an earlier micro-batch
+    // (i.e. the run was multi-batch and max() would have answered 2).
+    val emitted = spark.table("graft_sessions")
+      .select("n_sessions", "seq").orderBy("seq")
+    assert(rows(emitted) === Seq(Seq(2L, 1L), Seq(1L, 2L)))
   }
 }
 
