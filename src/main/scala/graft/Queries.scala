@@ -1282,6 +1282,35 @@ object Queries {
        |FROM nation ORDER BY n_nationkey""".stripMargin
   }
 
+  // ---------------------------------------------------------------- Q-tsv
+  // S3 + K8 as REAL file I/O: the metadata table is exported with
+  // Sinks.writeTsvFile (the reference's single-file TSV export) and read
+  // back through Parsers.readTsv (the actual spark.read CSV path,
+  // register-omero.py:181-236) — the oracle reads the SAME file with
+  // DuckDB's read_csv, so the reader itself crosses the gate, not a
+  // parquet-rendered stand-in. German-comma decimals exercise the
+  // coercion step (register-cel-dropbox.py:73-75).
+  private val TsvFixturePath = "/tmp/graft_fixtures/metadata_table.tsv"
+
+  def tsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val meta = load(s, dir, "nation").select(
+      col("n_name").as("code"),
+      col("n_regionkey").cast("string").as("region"),
+      translate((col("n_nationkey") / 4.0).cast("string"), ".", ",").as("rin"))
+    Sinks.writeTsvFile(meta, TsvFixturePath)
+    Parsers.readTsv(s, TsvFixturePath)
+      .select(col("code"),
+        col("region").cast("bigint").as("region"),
+        translate(col("rin"), ",", ".").cast("double").as("rin"))
+      .orderBy("code")
+  }
+
+  private val tsvSql =
+    s"""SELECT code, CAST(region AS BIGINT) AS region,
+       |       CAST(replace(rin, ',', '.') AS DOUBLE) AS rin
+       |FROM read_csv('$TsvFixturePath', delim=E'\\t', header=true, all_varchar=true)
+       |ORDER BY code""".stripMargin
+
   // ----------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lookup" -> (lookup _),
@@ -1332,7 +1361,8 @@ object Queries {
     "q_pragmas" -> (pragmas _),
     "q_probe" -> (probe _),
     "q_hla" -> (hla _),
-    "q_notes" -> (notes _))
+    "q_notes" -> (notes _),
+    "q_tsv" -> (tsvRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -1383,5 +1413,6 @@ object Queries {
     "q_pragmas" -> pragmasSql,
     "q_probe" -> probeSql,
     "q_hla" -> hlaSql,
-    "q_notes" -> notesSql)
+    "q_notes" -> notesSql,
+    "q_tsv" -> tsvSql)
 }

@@ -18,6 +18,26 @@ object Sinks {
       .option("sep", "\t").option("header", "true").csv(path)
   }
 
+  /** K8, single-FILE form: stage [[writeTsv]]'s one-part output and
+    * publish it at exactly `file` (the reference's exports are single
+    * named files, register-iontorrent-data.py:504-518). Hadoop FS API,
+    * so the same rename-publish works on a cluster filesystem. */
+  def writeTsvFile(df: DataFrame, file: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(file)
+    val stage = new Path(file + ".stage")
+    val fs = target.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    writeTsv(df, stage.toString, singleFile = true)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file under $stage"))
+    if (!fs.exists(target.getParent)) fs.mkdirs(target.getParent)
+    if (fs.exists(target)) fs.delete(target, false)
+    fs.rename(part, target)
+    fs.delete(stage, true)
+  }
+
   /** F10: render one XML element per row from a (tag, attrs, body)
     * column spec — the declarative form of the reference's PyXB/DOM
     * building (createGenevarsCxxCVs.py:96-151). Attribute values are
