@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoints
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -25,7 +26,7 @@ object Align {
     * Every stage is balanced across partitions — nothing funnels the
     * table through one core, at any scale.
     *
-    * The localCheckpoint blocks live until the returned frame is GC'd
+    * The pinned checkpoint blocks live until the returned frame is GC'd
     * (the ContextCleaner reclaims them); callers running many ranks in
     * one JVM should drop references or clear the cache between runs.
     *
@@ -35,9 +36,8 @@ object Align {
   def withGlobalRank(df: DataFrame, order: Column,
                      rankCol: String = "__rn"): DataFrame = {
     val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val parted = df.repartitionByRange(numParts, order)
-      .sortWithinPartitions(order)
-      .localCheckpoint() // pin partitions: stats + ordinals read one layout
+    val parted = Checkpoints.pin(df.repartitionByRange(numParts, order)
+      .sortWithinPartitions(order)) // pin partitions: stats + ordinals read one layout
     val tagged = parted
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoints
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -213,15 +214,15 @@ object Dedup {
     *     that ids are numeric (works for string doc ids / URLs too).
     * Returns (id, component). */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val p = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .localCheckpoint()
+    val p = Checkpoints.pin(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v")))
     val shufflePartitions = p.sparkSession.sessionState.conf.numShufflePartitions
-    val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
-      .repartition(shufflePartitions, col("u"))
-      .localCheckpoint()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("component")).localCheckpoint()
+    val edges = Checkpoints.pin(
+      p.union(p.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+        .repartition(shufflePartitions, col("u")))
+    var labels = Checkpoints.pin(edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("component")))
     var converged = false
     var iter = 0
     val maxIters = 1000 // one hop per iteration; loud failure, never silent
@@ -238,13 +239,12 @@ object Dedup {
           min(when(col("__self"), col("component"))).as("__old"))
       val obs = org.apache.spark.sql.Observation(
         s"graft_cc_${ccObsId.incrementAndGet()}")
-      val cp = hop
+      val cp = Checkpoints.pin(hop
         .observe(obs, sum(when(col("component") =!= col("__old"), 1L)
-          .otherwise(0L)).as("n_changed"))
-        .localCheckpoint() // the only action this iteration; obs rides it
-      // Observation metrics riding localCheckpoint's action is behavior
-      // of the current Spark (checkpoint runs through withAction → the
-      // listener path). Bound the blocking get with a generous deadline,
+          .otherwise(0L)).as("n_changed"))) // the only action this iteration; obs rides it
+      // Observation metrics riding the pin's action is behavior of the
+      // current Spark (both checkpoint flavors run through withAction →
+      // the listener path). Bound the blocking get with a generous deadline,
       // so if a future version stops routing checkpoint through the
       // listener this fails loudly instead of hanging forever.
       val metrics =
@@ -257,7 +257,7 @@ object Dedup {
           case _: java.util.concurrent.TimeoutException =>
             throw new IllegalStateException(
               "connectedComponents: convergence metrics never arrived — the " +
-                "Observation no longer rides localCheckpoint's action on this " +
+                "Observation no longer rides the checkpoint action on this " +
                 "Spark version; switch the convergence probe to an explicit count")
         }
       val nChanged = metrics.get("n_changed") match {

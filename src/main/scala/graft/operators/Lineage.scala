@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Checkpoints
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -25,11 +26,11 @@ object Lineage {
 
   /** All (node, ancestor, depth) pairs reachable by walking child→parent.
     *
-    * Each frontier is truncated with an eager `localCheckpoint`: an
+    * Each frontier is truncated with an eager [[Checkpoints.pin]]: an
     * iterative self-join otherwise accumulates a plan tree that grows with
     * depth (re-optimized and re-printed every iteration — measurably
-    * pathological past ~10 levels). On a multi-executor cluster swap in
-    * `checkpoint` against reliable storage; the loop shape is identical. */
+    * pathological past ~10 levels). One session conf flips every walk to
+    * reliable `checkpoint` for the multi-executor cluster posture. */
   def ancestors(edges: DataFrame): DataFrame = {
     val e = edges.select(col("child"), col("parent"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -41,20 +42,19 @@ object Lineage {
   }
 
   /** Iterate `first` (node, anc, depth=1) against the persisted edge table
-    * to fixpoint. Each level is eagerly localCheckpointed, so the returned
+    * to fixpoint. Each level is eagerly pinned, so the returned
     * union no longer references `e` — callers may unpersist it before
     * consuming the result. */
   private def walk(e: DataFrame, first: DataFrame): DataFrame = {
-    var frontier = first.localCheckpoint()
+    var frontier = Checkpoints.pin(first)
     val levels = scala.collection.mutable.ArrayBuffer(frontier)
     var depth = 1
     var done = false
     while (depth < MaxDepth && !done) {
-      val next = frontier.alias("f")
+      val next = Checkpoints.pin(frontier.alias("f")
         .join(e.alias("e"), col("f.anc") === col("e.child"))
         .select(col("f.node"), col("e.parent").as("anc"),
-          (col("f.depth") + 1).as("depth"))
-        .localCheckpoint()
+          (col("f.depth") + 1).as("depth")))
       if (next.isEmpty) done = true
       else { levels += next; frontier = next; depth += 1 }
     }

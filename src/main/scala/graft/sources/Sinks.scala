@@ -11,24 +11,27 @@ import org.apache.spark.sql.functions._
   * rendering XML — no driver-side string building loops.
   */
 object Sinks {
-  /** K8: variant-TSV-style export (register-iontorrent-data.py:504-518). */
-  def writeTsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+  /** K8: variant-TSV-style export (register-iontorrent-data.py:504-518).
+    * `header = false` matches the reference's raw headerless exports. */
+  def writeTsv(df: DataFrame, path: String, singleFile: Boolean = false,
+               header: Boolean = true): Unit = {
     val out = if (singleFile) df.coalesce(1) else df
     out.write.mode("overwrite")
-      .option("sep", "\t").option("header", "true").csv(path)
+      .option("sep", "\t").option("header", header.toString).csv(path)
   }
 
   /** K8, single-FILE form: stage [[writeTsv]]'s one-part output and
     * publish it at exactly `file` (the reference's exports are single
     * named files, register-iontorrent-data.py:504-518). Hadoop FS API,
     * so the same rename-publish works on a cluster filesystem. */
-  def writeTsvFile(df: DataFrame, file: String): Unit = {
+  def writeTsvFile(df: DataFrame, file: String,
+                   header: Boolean = true): Unit = {
     import org.apache.hadoop.fs.Path
     val target = new Path(file)
     val stage = new Path(file + ".stage")
     val fs = target.getFileSystem(
       df.sparkSession.sessionState.newHadoopConf())
-    writeTsv(df, stage.toString, singleFile = true)
+    writeTsv(df, stage.toString, singleFile = true, header = header)
     val part = fs.listStatus(stage).map(_.getPath)
       .find(_.getName.startsWith("part-"))
       .getOrElse(sys.error(s"no part file under $stage"))
