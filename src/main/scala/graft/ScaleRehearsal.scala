@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the dedup family: measure q_neardup_minhash,
+  * q_dedup_assign and q_curate at 1x and Nx (default 10x) of sf0.1 and
+  * report wall-time growth vs data growth.
+  *
+  * The Nx corpus is built by replicating `documents` N ways with every
+  * token prefixed by a per-replica salt. The salt is a bijective token
+  * rename WITHIN a replica (shingle frequencies, df-cap behavior and
+  * near-dup clusters are identical to 1x) while making replicas pairwise
+  * DISJOINT in shingle space — so the data's intrinsic pair structure
+  * grows linearly with N. That isolates what the rehearsal is meant to
+  * measure: whether the ENGINE's wall-time is ~linear in data volume.
+  * Naive replication (identical texts, new ids) would instead inflate
+  * candidate pairs ~N^2 by construction and measure the data generator,
+  * not the pipeline.
+  *
+  * Usage: runMain graft.ScaleRehearsal [sfDir] [workDir]
+  * Env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALE (default 10),
+  *      SPARK_GRAFT_BENCH_REPS (default 2, min reported).
+  * Prints one JSON line {"rehearsal":{query:{"x1":s,"xN":s,"growth":r}}}.
+  */
+object ScaleRehearsal {
+  private val Queries = Seq("q_neardup_minhash", "q_dedup_assign", "q_curate")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("/tmp/graft_scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // Id offset per replica keeps ids unique without assuming density.
+    val idStride = docs.agg(max("doc_id")).head.getLong(0) + 1
+    // Replica 0 keeps the original text (1x is a strict subset); replicas
+    // k>0 prefix every token with "zk<k>q" — alphanumeric, so the
+    // whitespace tokenizer still sees one token per original token.
+    val salted = docs
+      .withColumn("k", explode(sequence(lit(0), lit(factor - 1))))
+      .select(
+        (col("doc_id") + col("k") * idStride).as("doc_id"),
+        when(col("k") === 0, col("text")).otherwise(regexp_replace(
+          col("text"), lit("(\\S+)"), format_string("zk%dq$1", col("k"))))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    salted.write.mode("overwrite").parquet(s"$workDir/documents.parquet")
+
+    def time(dir: String, q: String): Double = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      dt
+    }.min
+
+    // Warm up codegen/classloading on the small side first (same policy
+    // as Bench: one-shot local JVMs would bill JIT cost to query one).
+    SparkEntry.queries(Queries.head)(spark, sfDir).count()
+    spark.catalog.clearCache(); System.gc()
+
+    val rows = Queries.map { q =>
+      val t1 = time(sfDir, q)
+      val tN = time(workDir, q)
+      (q, t1, tN, tN / t1)
+    }
+    val body = rows.map { case (q, t1, tN, g) =>
+      f""""$q":{"x1":$t1%.2f,"x$factor":$tN%.2f,"growth":$g%.2f}"""
+    }.mkString(",")
+    println(s"""{"rehearsal":{$body},"factor":$factor,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
