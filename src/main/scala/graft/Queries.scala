@@ -4,7 +4,7 @@ import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps}
 import graft.functions.TextFunctions._
 import graft.operators.{Align, Catalog, Dedup, Joins, Lineage, Multimodal, Sequencing, Similarity}
-import graft.sources.{Parsers, Sinks}
+import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1311,6 +1311,103 @@ object Queries {
        |FROM read_csv('$TsvFixturePath', delim=E'\\t', header=true, all_varchar=true)
        |ORDER BY code""".stripMargin
 
+  // ------------------------------------------------------------- Q-binary
+  // S1 + S2 + S12 + P5 as REAL file I/O: a dropbox run-tree is rendered
+  // from testdata (one file per nation x kind, marker files for completed
+  // runs only), then ingested through the actual file path — binaryScan
+  // (S1, content-on-demand), the marker gate (S2, dot-prefixed markers
+  // via the FileSystem API), pathSegments (S12) and the facility
+  // blacklist (P5, register-nanopore.py:120-132). The oracle reads the
+  // SAME directory with DuckDB's read_blob and replays the gate, so the
+  // binary source itself crosses the gate, not a parquet stand-in.
+  private val DropboxFixtureDir = "/tmp/graft_fixtures/dropbox"
+  private val DropboxKinds = Seq("fast5_pass", "fastq_pass",
+    NanoKinds.head, NanoKinds.last)
+  private def NanoKinds = graft.pipelines.NanoporePipeline.KindBlacklist
+
+  /** Render the fixture tree: runs 0-4 from n_regionkey, kinds from
+    * [[DropboxKinds]] (two data kinds, two blacklisted), markers only for
+    * runs 0-3 — run4 must be dropped by the gate. Bounded driver work:
+    * 25 nations x 4 kinds, re-rendered each call for idempotency. */
+  private def renderDropbox(s: SparkSession, dir: String): Unit = {
+    import java.nio.file.{Files => JFiles, Paths}
+    val base = Paths.get(DropboxFixtureDir)
+    if (JFiles.exists(base)) {
+      val it = JFiles.walk(base).sorted(java.util.Comparator.reverseOrder())
+      it.forEach(p => JFiles.delete(p))
+    }
+    val nations = load(s, dir, "nation")
+      .select("n_name", "n_nationkey", "n_regionkey")
+      .collect() // 25 rows, fixture rendering only
+    nations.foreach { r =>
+      val (name, key, region) =
+        (r.getString(0), r.getInt(1), r.getInt(2))
+      DropboxKinds.foreach { kind =>
+        val d = base.resolve(s"run$region/$kind")
+        JFiles.createDirectories(d)
+        JFiles.write(d.resolve(s"$name.dat"),
+          s"$name|$key|$region".getBytes("UTF-8"))
+      }
+    }
+    (0 to 3).foreach { k =>
+      JFiles.write(base.resolve(s".MARKER_is_finished_run$k"),
+        Array.emptyByteArray)
+    }
+  }
+
+  def binaryDropbox(s: SparkSession, dir: String): DataFrame = {
+    renderDropbox(s, dir)
+    val files = Files.binaryScan(s, DropboxFixtureDir, glob = "*.dat")
+    val gated = Files.markerGated(files, Files.listMarkers(s, DropboxFixtureDir))
+    Files.pathSegments(gated, DropboxFixtureDir, Seq("run", "kind", "member"))
+      .filter(!col("kind").isin(NanoKinds: _*))
+      .select(col("run"), col("kind"), col("member"), col("length"),
+        sha2(col("content"), 256).as("sha"))
+      .orderBy("run", "kind", "member")
+  }
+
+  private val binarySql = {
+    val bl = NanoKinds.map(k => s"'$k'").mkString(", ")
+    s"""WITH files AS (
+       |  SELECT filename, size, sha256(CAST(content AS VARCHAR)) AS sha
+       |  FROM read_blob('$DropboxFixtureDir/**/*.dat')),
+       |segs AS (
+       |  SELECT string_split(replace(filename, '$DropboxFixtureDir/', ''), '/') AS p,
+       |         size, sha FROM files),
+       |r AS (SELECT p[1] AS run, p[2] AS kind, p[3] AS member,
+       |             size AS length, sha FROM segs),
+       |markers AS (
+       |  SELECT replace(string_split(filename, '/')[-1], '.MARKER_is_finished_', '') AS target
+       |  FROM read_blob('$DropboxFixtureDir/.MARKER_is_finished_*'))
+       |SELECT run, kind, member, length, sha FROM r
+       |WHERE kind NOT IN ($bl) AND run IN (SELECT target FROM markers)
+       |ORDER BY run, kind, member""".stripMargin
+  }
+
+  // ------------------------------------------------------------- Q-pathdb
+  // S13 as a REAL JDBC roundtrip: the path-info analog table is published
+  // into an embedded Derby database and read back through Jdbc.readTable
+  // (the actual spark.read.jdbc path, reporting-plugins/query-files/
+  // script.py:1-8), with the predicate pushed into the database. The
+  // oracle runs the equivalent SQL on the source parquet — if the JDBC
+  // write or read mangled anything, the hashes diverge.
+  private val DerbyUrl = "jdbc:derby:/tmp/graft_fixtures/pathdb;create=true"
+
+  def pathDb(s: SparkSession, dir: String): DataFrame = {
+    val src = load(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    src.write.mode("overwrite").jdbc(DerbyUrl, "pathinfo",
+      new java.util.Properties)
+    Jdbc.readTable(s, DerbyUrl, "pathinfo")
+      .filter(col("n_regionkey") < 3) // pushed into Derby by the source
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  private val pathDbSql =
+    s"""SELECT n_nationkey, n_name, n_regionkey FROM nation
+       |WHERE n_regionkey < 3 ORDER BY n_nationkey""".stripMargin
+
   // ----------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lookup" -> (lookup _),
@@ -1362,7 +1459,9 @@ object Queries {
     "q_probe" -> (probe _),
     "q_hla" -> (hla _),
     "q_notes" -> (notes _),
-    "q_tsv" -> (tsvRoundtrip _))
+    "q_tsv" -> (tsvRoundtrip _),
+    "q_binary" -> (binaryDropbox _),
+    "q_pathdb" -> (pathDb _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -1414,5 +1513,7 @@ object Queries {
     "q_probe" -> probeSql,
     "q_hla" -> hlaSql,
     "q_notes" -> notesSql,
-    "q_tsv" -> tsvSql)
+    "q_tsv" -> tsvSql,
+    "q_binary" -> binarySql,
+    "q_pathdb" -> pathDbSql)
 }

@@ -46,26 +46,38 @@ object Files {
   }
 
   /** S2: keep only data files whose upload is complete — i.e. a sibling
-    * `<markerPrefix><entry>` marker names the file itself or its
-    * top-level folder (create-register-textfile/script.py:12-16 writer
-    * side). */
+    * `<markerPrefix><entry>` marker names the file itself or an ancestor
+    * folder (create-register-textfile/script.py:12-16 writer side).
+    *
+    * Shape: each file explodes into its O(depth) (ancestor-dir, next-
+    * segment) pairs, which equi-join the marker keys — the containment
+    * test as a hash join, never a nested-loop scan of files x markers.
+    * Marker count is bounded by upload count, so the key side
+    * broadcasts; matched paths are distinct-ed before the final semi
+    * join so multi-marker matches can't duplicate files. */
   def markerGated(files: DataFrame, markers: DataFrame,
                   markerPrefix: String = ".MARKER_is_finished_"): DataFrame = {
-    val withMeta = files
-      .withColumn("__name", element_at(split(col("path"), "/"), -1))
-      .withColumn("__dir", regexp_replace(col("path"), "/[^/]*$", ""))
     val markerKeys = markers
       .withColumn("__mname", element_at(split(col("marker_path"), "/"), -1))
       .select(
         regexp_replace(col("marker_path"), "/[^/]*$", "").as("__mdir"),
         expr(s"substring(__mname, ${markerPrefix.length + 1})").as("__target"))
       .distinct()
-    withMeta
+    // (prefix-dir, entry) for every split point: i = size-1 is (parent
+    // dir, filename) — a marker naming the file; smaller i are ancestor
+    // folders — a marker naming the enclosing upload.
+    val candidates = files.select(col("path"), explode(expr(
+        """transform(sequence(1, size(split(path, '/')) - 1),
+          |  i -> struct(array_join(slice(split(path, '/'), 1, i), '/') AS d,
+          |              element_at(split(path, '/'), i + 1) AS e))""".stripMargin))
+        .as("__c"))
+      .select(col("path"), col("__c.d").as("__dir"), col("__c.e").as("__entry"))
+    val matched = candidates
       .join(broadcast(markerKeys),
-        col("__dir") === col("__mdir") && col("__name") === col("__target") ||
-          col("path").contains(concat(col("__mdir"), lit("/"), col("__target"), lit("/"))),
+        col("__dir") === col("__mdir") && col("__entry") === col("__target"),
         "left_semi")
-      .drop("__name", "__dir")
+      .select("path").distinct()
+    files.join(matched, Seq("path"), "left_semi")
   }
 
   /** S12: derive structure columns from path segments under a base dir —
