@@ -1,7 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** Result row of one file copy in [[Sinks.copyDataset]]. */
+case class CopyResult(src: String, dest: String, bytes: Long, ok: Boolean)
 
 /** Export sinks (SURVEY §2.2 K3/K8, §2.8 F10).
   *
@@ -40,6 +43,51 @@ object Sinks {
     fs.rename(part, target)
     fs.delete(stage, true)
   }
+
+  /** K9: dataset copy (copy-dataset/script.py:12-27). The reference is a
+    * driver-side `shutil.copytree`; Spark-native shape: enumerate the
+    * source tree as metadata rows (no payload materialized) and copy each
+    * file executor-side in `mapPartitions` — a 100 TB dataset copies with
+    * cluster parallelism, task retry re-copies only the failed partition
+    * (per-file overwrite makes retries idempotent). Relative structure is
+    * preserved under `destDir`; returns one (src, dest, bytes, ok) row
+    * per file for the caller's completeness check. */
+  def copyDataset(spark: SparkSession, srcDir: String, destDir: String): Dataset[CopyResult] = {
+    import spark.implicits._
+    val base = srcDir.stripSuffix("/")
+    val dest = destDir.stripSuffix("/")
+    val files = Files.binaryScan(spark, srcDir)
+      .select(col("path"), col("length")).as[(String, Long)]
+    files.mapPartitions { it =>
+      // Fresh Configuration per task: picks up the cluster's core-site
+      // from the executor classpath, so the same code copies file:// or
+      // hdfs:// URIs.
+      import org.apache.hadoop.conf.Configuration
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      val conf = new Configuration()
+      it.map { case (src, bytes) =>
+        val i = src.indexOf(base)
+        if (i < 0) sys.error(s"copyDataset: $src is not under $base")
+        val rel = src.substring(i + base.length)
+        val to = new Path(dest + rel)
+        val from = new Path(src)
+        val ok = FileUtil.copy(from.getFileSystem(conf), from,
+          to.getFileSystem(conf), to, false, true, conf)
+        CopyResult(src, to.toString, bytes, ok)
+      }
+    }
+  }
+
+  /** K9's ACL grant (copy-dataset/script.py:19-30 `setfacl -m
+    * u:<userid>:r-x <dest>`): an OS side effect, routed through the
+    * external-process harness like every other shell-out (K4-K7) — with
+    * its dryrun seam for environments where setfacl/the target FS do not
+    * exist. One invocation per dataset root, not per file. */
+  def aclGrant(roots: Dataset[String], userid: String,
+               dryrun: Boolean = false): Dataset[graft.exec.ExecResult] =
+    graft.exec.External.execRows(roots,
+      p => Seq("setfacl", "-m", s"u:$userid:r-x", p),
+      timeoutSec = 60L, dryrun = dryrun)
 
   /** F10: render one XML element per row from a (tag, attrs, body)
     * column spec — the declarative form of the reference's PyXB/DOM
