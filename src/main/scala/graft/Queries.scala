@@ -551,6 +551,70 @@ object Queries {
        |    (acc, h) -> (acc * 31 + h) % $P) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- Q-repetition
+  // Repetition quality signals (the Gopher-rule family a pretraining
+  // curation pass runs alongside length/punct gates): duplicate-token
+  // ratio, top-token fraction, top-bigram fraction, and the resulting
+  // repetitive flag. Shape: explode → two-level partial-aggregating
+  // groupBy keyed by doc_id — distributed, codegen'd, no per-element
+  // lambda in the hot path (HOF folds measured ~20x slower here).
+  private val RepTopTok = 0.2
+  private val RepTopBigram = 0.18
+
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val tokStats = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy("doc_id", "tok").count()
+      .groupBy("doc_id").agg(
+        sum("count").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        max("count").cast("long").as("top_tok"))
+    val bgStats = docs.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(wordNgrams(col("tk"), 2)).as("bg"))
+      .groupBy("doc_id", "bg").count()
+      .groupBy("doc_id").agg(
+        max("count").cast("long").as("top_bg"),
+        sum("count").cast("long").as("n_bg"))
+    val dupRatio = round(lit(1.0) -
+      col("n_distinct").cast("double") / col("n_tokens").cast("double"), 4)
+    val topTokRatio =
+      round(col("top_tok").cast("double") / col("n_tokens").cast("double"), 4)
+    val topBgRatio =
+      round(col("top_bg").cast("double") / col("n_bg").cast("double"), 4)
+    tokStats.join(bgStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        dupRatio.as("dup_tok_ratio"),
+        topTokRatio.as("top_tok_ratio"),
+        topBgRatio.as("top_bigram_ratio"),
+        (topTokRatio > RepTopTok ||
+          coalesce(topBgRatio > RepTopBigram, lit(false))).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionSql =
+    s"""WITH t AS (SELECT doc_id, $SqlToks AS tk FROM documents),
+       |tc AS (SELECT doc_id, tok, count(*) AS c
+       |       FROM (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY 1, 2),
+       |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |              CAST(count(*) AS BIGINT) AS n_distinct,
+       |              CAST(max(c) AS BIGINT) AS top_tok FROM tc GROUP BY 1),
+       |bc AS (SELECT doc_id, b, count(*) AS c
+       |       FROM (SELECT doc_id,
+       |               unnest(list_transform(generate_series(1, len(tk) - 1),
+       |                 i -> tk[i] || ' ' || tk[i + 1])) AS b
+       |             FROM t WHERE len(tk) >= 2) GROUP BY 1, 2),
+       |bs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bg,
+       |              CAST(sum(c) AS BIGINT) AS n_bg FROM bc GROUP BY 1)
+       |SELECT ts.doc_id,
+       |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS dup_tok_ratio,
+       |  round(CAST(top_tok AS DOUBLE) / n_tokens, 4) AS top_tok_ratio,
+       |  round(CAST(top_bg AS DOUBLE) / n_bg, 4) AS top_bigram_ratio,
+       |  (round(CAST(top_tok AS DOUBLE) / n_tokens, 4) > $RepTopTok OR
+       |   coalesce(round(CAST(top_bg AS DOUBLE) / n_bg, 4) > $RepTopBigram, false)) AS repetitive
+       |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+       |ORDER BY ts.doc_id""".stripMargin
+
   // -------------------------------------------------------------- Q-json
   // S4: JSON metadata extraction + aggregation.
   def jsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -592,6 +656,17 @@ object Queries {
 
   private val streamSql =
     "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY 1"
+
+  // --------------------------------------------------- Q-stream-dedup
+  // Streaming exact dedup (2.10 + the ingestion-time dedup a training
+  // pipeline runs before anything else): watermark-bounded state, first
+  // sighting emits, duplicates drop. Oracle: DISTINCT over the same keys.
+  def streamDedup(s: SparkSession, dir: String): DataFrame =
+    Ingest.dedupStream(s, dir, "events.parquet", Seq("user_id", "event_type"))
+      .orderBy("user_id", "event_type")
+
+  private val streamDedupSql =
+    "SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2"
 
   // -------------------------------------------------------- Q-multimodal
   // Opaque binary payload + typed metadata struct (deterministic fake
@@ -1461,7 +1536,9 @@ object Queries {
     "q_notes" -> (notes _),
     "q_tsv" -> (tsvRoundtrip _),
     "q_binary" -> (binaryDropbox _),
-    "q_pathdb" -> (pathDb _))
+    "q_pathdb" -> (pathDb _),
+    "q_repetition" -> (repetition _),
+    "q_stream_dedup" -> (streamDedup _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -1515,5 +1592,7 @@ object Queries {
     "q_notes" -> notesSql,
     "q_tsv" -> tsvSql,
     "q_binary" -> binarySql,
-    "q_pathdb" -> pathDbSql)
+    "q_pathdb" -> pathDbSql,
+    "q_repetition" -> repetitionSql,
+    "q_stream_dedup" -> streamDedupSql)
 }

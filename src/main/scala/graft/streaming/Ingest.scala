@@ -60,6 +60,31 @@ object Ingest {
       .agg(max(col("n")).as("n"))
   }
 
+  /** Streaming exact dedup: first sighting of each key tuple passes, later
+    * duplicates are dropped, and `dropDuplicatesWithinWatermark` expires
+    * key state once the watermark passes it — bounded state at any stream
+    * length, vs the unbounded plain `dropDuplicates`. Only the key columns
+    * are emitted: which non-key row a dedup keeps is arrival-order
+    * dependent, so the deterministic contract (and the oracle's DISTINCT)
+    * is the key set itself. Append mode: rows emit on first sight, no
+    * watermark wait. */
+  def dedupStream(spark: SparkSession, dir: String, fileGlob: String,
+                  keys: Seq[String]): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", fileGlob)
+      .parquet(dir).schema
+    val qn = "graft_stream_dedup"
+    val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
+      .parquet(dir)
+      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ets", "1 hour")
+      .dropDuplicatesWithinWatermark(keys)
+      .select(keys.map(col): _*)
+      .writeStream.queryName(qn).outputMode("append")
+      .format("memory").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qn)
+  }
+
   /** §2.10 foreachBatch + idempotent MERGE: each micro-batch upserts
     * into a parquet "catalog" table (last-wins on `keys` via
     * [[graft.operators.Catalog.upsert]]), committed by staging-dir swap.
