@@ -436,6 +436,53 @@ object Queries {
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  // ----------------------------------------------------------- Q-knn-ivf
+  // The IVF ANN *scale path* through the gate (q_knn covers the exact
+  // baseline): deterministic strided centroids, argmin cell assignment,
+  // nProbe-cell probe, exact cosine rank within probed cells. The oracle
+  // replays centroid choice/assignment/probe in SQL — same left-to-right
+  // double folds both sides, so cells and ranks match bit-for-bit. At
+  // 100 TB the assigned table is written partitioned by cell; the probe
+  // reads nProbe/nCells of the data (partition pruning), which is the
+  // point of IVF.
+  private val IvfCells = 16
+  private val IvfProbe = 4
+
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    Similarity.ivfKnn(emb, "vec_id", "embedding", query, 10, IvfCells, IvfProbe)
+      .select("vec_id", "label", "sim")
+  }
+
+  private val knnIvfSql = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, 64),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |  (acc, v) -> acc + v)""".stripMargin
+    s"""WITH cents AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS c
+       |  FROM embeddings
+       |  WHERE vec_id % greatest(1, (SELECT count(*) FROM embeddings) // $IvfCells) = 0
+       |  ORDER BY vec_id LIMIT $IvfCells),
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, cid,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY ${dot("embedding", "c")} * -2 + ${dot("c", "c")}, cid) AS rn
+       |  FROM embeddings CROSS JOIN cents),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cid FROM cents CROSS JOIN q
+       |  ORDER BY ${dot("c", "c")} - 2 * ${dot("c", "qv")}, cid LIMIT $IvfProbe)
+       |SELECT vec_id, label,
+       |       round(${dot("embedding", "qv")} /
+       |             (sqrt(${dot("embedding", "embedding")}) * sqrt(${dot("qv", "qv")})), 4) AS sim
+       |FROM assigned CROSS JOIN q
+       |WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   // ------------------------------------------------------------ Q-tokens
   // Token counting: whitespace + BPE-ish subword regex.
   def tokensQ(s: SparkSession, dir: String): DataFrame = {
@@ -1538,7 +1585,8 @@ object Queries {
     "q_binary" -> (binaryDropbox _),
     "q_pathdb" -> (pathDb _),
     "q_repetition" -> (repetition _),
-    "q_stream_dedup" -> (streamDedup _))
+    "q_stream_dedup" -> (streamDedup _),
+    "q_knn_ivf" -> (knnIvf _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -1594,5 +1642,6 @@ object Queries {
     "q_binary" -> binarySql,
     "q_pathdb" -> pathDbSql,
     "q_repetition" -> repetitionSql,
-    "q_stream_dedup" -> streamDedupSql)
+    "q_stream_dedup" -> streamDedupSql,
+    "q_knn_ivf" -> knnIvfSql)
 }

@@ -12,10 +12,11 @@ class PlanAuditSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   // crossJoin(broadcast(one-row query vector)) is the intended shape.
-  private val nestedLoopExempt = Set("q_knn")
+  private val nestedLoopExempt = Set("q_knn", "q_knn_ivf")
   // Streaming queries execute on construction and return memory-table
   // reads; their batch plan is not the interesting surface.
-  private val streaming = Set("q_stream", "q_windows", "q_sessions", "q_upsert")
+  private val streaming = Set("q_stream", "q_windows", "q_sessions", "q_upsert",
+    "q_stream_dedup")
 
   test("no declared query plans a cartesian or unintended nested-loop join") {
     val offenders = Queries.all.toSeq.sortBy(_._1)
