@@ -413,6 +413,42 @@ object Queries {
        |SELECT id, CAST($fp AS BIGINT) AS simhash FROM v ORDER BY id""".stripMargin
   }
 
+  // ------------------------------------------------------ Q-simhash-pairs
+  // SimHash near-dup PAIRS (q_simhash stops at fingerprints): byte-banded
+  // candidates, Hamming-verified. Any shared fingerprint byte makes a
+  // candidate pair; bit_count(xor) ≤ maxHamming keeps it.
+  private val SimhashMaxHamming = 6
+
+  def simhashPairsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+        Dedup.simhash32(load(s, dir, "documents"), "doc_id", "text"),
+        maxHamming = SimhashMaxHamming)
+      .orderBy("id_a", "id_b")
+
+  private val simhashPairsSql = {
+    val votes = (0 until 32)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(", ")
+    val fp = (0 until 32)
+      .map(i => s"CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT $b AS band, (simhash >> ${b * 8}) & 255 AS band_hash, id, simhash FROM s")
+      .mkString(" UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id AS id, unnest($SqlToks) AS t FROM documents),
+       |hh AS (SELECT id, ${sqlSh32("t")} AS h FROM tok),
+       |v AS (SELECT id, $votes FROM hh GROUP BY id),
+       |s AS (SELECT id, CAST($fp AS BIGINT) AS simhash FROM v),
+       |bands AS ($bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+       |         bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.id < y.id)
+       |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM pairs
+       |WHERE hamming <= $SimhashMaxHamming ORDER BY id_a, id_b""".stripMargin
+  }
+
   // -------------------------------------------------------------- Q-knn
   // Brute-force cosine top-k against a broadcast query vector.
   def knn(s: SparkSession, dir: String): DataFrame = {
@@ -838,6 +874,35 @@ object Queries {
        |            JOIN embeddings b ON id_b = b.vec_id)
        |SELECT id_a, id_b, sim FROM scored
        |WHERE sim >= $EmbThreshold ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ------------------------------------------------------ Q-embdup-exact
+  // The exact O(n²) embedding near-dup baseline as its OWN declared
+  // query: the DuckDB gate now holds the ground truth independently of
+  // any banding scheme (q_embdup's oracle must replay the engine's
+  // hyperplanes; this one shares nothing with the LSH path). Together
+  // with EmbeddingDedupSpec's subset/recall assertions this closes the
+  // round-3 "the gate can't catch a banding bug" caveat at gate level.
+  // Quadratic by definition — the declared scale path remains q_embdup.
+  def embeddingDupExact(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupExact(load(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = EmbThreshold)
+      .orderBy("id_a", "id_b")
+
+  private val embeddingDupExactSql: String = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, $EmbDim),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |  (acc, v) -> acc + v)""".stripMargin
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |             sqrt(${dot("embedding", "embedding")}) AS nm
+       |           FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       round(${dot("a.embedding", "b.embedding")} / (a.nm * b.nm), 4) AS sim
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE round(${dot("a.embedding", "b.embedding")} / (a.nm * b.nm), 4) >= $EmbThreshold
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   // ---------------------------------------------------------- Q-sessions
@@ -1586,7 +1651,9 @@ object Queries {
     "q_pathdb" -> (pathDb _),
     "q_repetition" -> (repetition _),
     "q_stream_dedup" -> (streamDedup _),
-    "q_knn_ivf" -> (knnIvf _))
+    "q_knn_ivf" -> (knnIvf _),
+    "q_simhash_pairs" -> (simhashPairsQ _),
+    "q_embdup_exact" -> (embeddingDupExact _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -1643,5 +1710,7 @@ object Queries {
     "q_pathdb" -> pathDbSql,
     "q_repetition" -> repetitionSql,
     "q_stream_dedup" -> streamDedupSql,
-    "q_knn_ivf" -> knnIvfSql)
+    "q_knn_ivf" -> knnIvfSql,
+    "q_simhash_pairs" -> simhashPairsSql,
+    "q_embdup_exact" -> embeddingDupExactSql)
 }

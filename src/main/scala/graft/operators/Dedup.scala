@@ -179,13 +179,18 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates: band on the fingerprint's 4 bytes (any
-    * shared byte ⇒ candidate), verify by Hamming distance ≤ maxHamming. */
+    * shared byte ⇒ candidate), verify by Hamming distance ≤ maxHamming.
+    * One explode pass over the signature — a bands-way union would
+    * recompute the upstream fingerprint aggregation once per band. */
   def simhashPairs(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val bandDf = (0 until 4).map { b =>
-      sig.select(lit(b).as("band"),
-        shiftright(col("simhash"), b * 8).bitwiseAND(255).as("band_hash"),
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(255).as("band_hash"))
+    }
+    val bandDf = sig
+      .select(col("id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.band_hash").as("band_hash"),
         col("id"), col("simhash"))
-    }.reduce(_ union _)
     bandDf.alias("x").join(bandDf.alias("y"),
         col("x.band") === col("y.band") &&
           col("x.band_hash") === col("y.band_hash") &&

@@ -11,8 +11,10 @@ import org.apache.spark.sql.execution.ExplainMode
 class PlanAuditSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
-  // crossJoin(broadcast(one-row query vector)) is the intended shape.
-  private val nestedLoopExempt = Set("q_knn", "q_knn_ivf")
+  // crossJoin(broadcast(one-row query vector)) is the intended shape for
+  // the ANN queries; q_embdup_exact is the DECLARED quadratic ground-truth
+  // baseline (its scale path, q_embdup, stays equi-join audited).
+  private val nestedLoopExempt = Set("q_knn", "q_knn_ivf", "q_embdup_exact")
   // Streaming queries execute on construction and return memory-table
   // reads; their batch plan is not the interesting surface.
   private val streaming = Set("q_stream", "q_windows", "q_sessions", "q_upsert",
