@@ -698,6 +698,112 @@ object Queries {
        |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
        |ORDER BY ts.doc_id""".stripMargin
 
+  // ------------------------------------------------------------- Q-sample
+  // Deterministic stratified sampling — the mixture-weight step of a
+  // training-data pipeline. Inclusion is decided by a salted sha-derived
+  // hash of the id, NOT rand(): the same doc lands in the same split on
+  // every run, any cluster size, and in the oracle. Per-language rates
+  // play the sampleBy role as a pure expression.
+  private val SampleSalt = "graft-split-1"
+  private val SampleRates: Seq[(String, Int)] = Seq("en" -> 50, "de" -> 20)
+  private val SampleDefaultRate = 10 // percent
+
+  def sampleQ(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(shaHash32(
+      concat(lit(SampleSalt), col("doc_id").cast("string"))), lit(100))
+    val rate = SampleRates.foldLeft(lit(SampleDefaultRate)) {
+      case (acc, (lang, r)) => when(col("lang") === lang, r).otherwise(acc)
+    }
+    load(s, dir, "documents")
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  private val sampleSql = {
+    val rate = SampleRates.reverse.foldLeft(s"$SampleDefaultRate") {
+      case (acc, (lang, r)) => s"CASE WHEN lang = '$lang' THEN $r ELSE $acc END"
+    }
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${sqlSh32(s"concat('$SampleSalt', CAST(doc_id AS VARCHAR))")} % 100 < ($rate)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------- Q-quota
+  // Per-source quality quota — the data-mixing step: keep the top-N docs
+  // of each source by quality score. One window over (source), total
+  // order inside (score desc, doc_id) so ranks are deterministic.
+  private val QuotaPerSource = 100
+
+  def quota(s: SparkSession, dir: String): DataFrame = {
+    val score = round(length(col("text")).cast("double") /
+      (size(tokens(col("text"))) + 1).cast("double"), 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("__score").desc, col("doc_id"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), score.as("__score"))
+      .withColumn("src_rank", row_number().over(w))
+      .filter(col("src_rank") <= QuotaPerSource)
+      .select(col("doc_id"), col("source"), col("__score").as("score"),
+        col("src_rank"))
+      .orderBy("source", "src_rank")
+  }
+
+  private val quotaSql =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |         round(CAST(len(text) AS DOUBLE) /
+       |               (len($SqlToks) + 1), 4) AS score
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, source, score,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY score DESC, doc_id) AS INTEGER) AS src_rank
+       |  FROM scored)
+       |SELECT doc_id, source, score, src_rank FROM ranked
+       |WHERE src_rank <= $QuotaPerSource ORDER BY source, src_rank""".stripMargin
+
+  // ------------------------------------------------------------- Q-contam
+  // Benchmark decontamination: per training doc, the fraction of its
+  // 3-gram shingles that also occur in the eval set (here the doc_id %
+  // 97 == 0 slice plays the benchmark). Scale shape: the eval shingle
+  // set is tiny by construction, so the overlap probe is ONE broadcast
+  // semi-style equi-join against it — the training side streams, nothing
+  // quadratic, no shuffle of the big side.
+  private val ContamThreshold = 0.8
+
+  def contam(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleHashes(load(s, dir, "documents"), "doc_id", "text")
+    val isEval = col("id") % 97 === 0
+    val evalSh = sh.filter(isEval).select("h").distinct()
+    val train = sh.filter(!isEval)
+    val sizes = train.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val hits = train.join(broadcast(evalSh), Seq("h"))
+      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+    val ratio = round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+      col("n_sh").cast("double"), 4)
+    sizes.join(hits, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"), ratio.as("overlap"),
+        (ratio >= ContamThreshold).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  private val contamSql =
+    s"""WITH $SqlShBody,
+       |ev AS (SELECT DISTINCT h FROM sh WHERE id % 97 = 0),
+       |train AS (SELECT id, h FROM sh WHERE id % 97 <> 0),
+       |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sh FROM train GROUP BY id),
+       |hits AS (SELECT id, CAST(count(*) AS BIGINT) AS n_hit
+       |         FROM train JOIN ev USING (h) GROUP BY id)
+       |SELECT sizes.id AS doc_id, n_sh,
+       |       coalesce(n_hit, 0) AS n_hit,
+       |       round(CAST(coalesce(n_hit, 0) AS DOUBLE) / n_sh, 4) AS overlap,
+       |       round(CAST(coalesce(n_hit, 0) AS DOUBLE) / n_sh, 4) >= $ContamThreshold AS contaminated
+       |FROM sizes LEFT JOIN hits ON sizes.id = hits.id
+       |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- Q-json
   // S4: JSON metadata extraction + aggregation.
   def jsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -1653,7 +1759,10 @@ object Queries {
     "q_stream_dedup" -> (streamDedup _),
     "q_knn_ivf" -> (knnIvf _),
     "q_simhash_pairs" -> (simhashPairsQ _),
-    "q_embdup_exact" -> (embeddingDupExact _))
+    "q_embdup_exact" -> (embeddingDupExact _),
+    "q_sample" -> (sampleQ _),
+    "q_quota" -> (quota _),
+    "q_contam" -> (contam _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -1712,5 +1821,8 @@ object Queries {
     "q_stream_dedup" -> streamDedupSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_simhash_pairs" -> simhashPairsSql,
-    "q_embdup_exact" -> embeddingDupExactSql)
+    "q_embdup_exact" -> embeddingDupExactSql,
+    "q_sample" -> sampleSql,
+    "q_quota" -> quotaSql,
+    "q_contam" -> contamSql)
 }
