@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, Catalog, Dedup, Joins, Lineage, Multimodal, Sequencing, Similarity}
+import graft.operators.{Align, Catalog, Dedup, Joins, Lineage, Multimodal, Sequencing, Similarity, Skew}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -803,6 +803,26 @@ object Queries {
        |       round(CAST(coalesce(n_hit, 0) AS DOUBLE) / n_sh, 4) >= $ContamThreshold AS contaminated
        |FROM sizes LEFT JOIN hits ON sizes.id = hits.id
        |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- Q-skew
+  // Salted skew join through the gate: events.user_id is a hot-key-shaped
+  // fact side (10k rows over 150 users); the salted join must be EXACTLY
+  // the plain join — which is what the oracle states. rowId salting
+  // spreads even byte-identical duplicate fact rows.
+  def skewQ(s: SparkSession, dir: String): DataFrame = {
+    val dim = load(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("seg"))
+    Skew.saltedJoin(
+        load(s, dir, "events").select("event_id", "user_id"),
+        dim, "user_id", salts = 8, rowId = Some("event_id"))
+      .groupBy("seg").agg(count(lit(1)).as("n"))
+      .orderBy("seg")
+  }
+
+  private val skewSql =
+    """SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------- Q-json
   // S4: JSON metadata extraction + aggregation.
@@ -1762,7 +1782,8 @@ object Queries {
     "q_embdup_exact" -> (embeddingDupExact _),
     "q_sample" -> (sampleQ _),
     "q_quota" -> (quota _),
-    "q_contam" -> (contam _))
+    "q_contam" -> (contam _),
+    "q_skew" -> (skewQ _))
 
   val oracles: Map[String, String] = Map(
     "q_lookup" -> lookupSql,
@@ -1824,5 +1845,6 @@ object Queries {
     "q_embdup_exact" -> embeddingDupExactSql,
     "q_sample" -> sampleSql,
     "q_quota" -> quotaSql,
-    "q_contam" -> contamSql)
+    "q_contam" -> contamSql,
+    "q_skew" -> skewSql)
 }
