@@ -1603,7 +1603,18 @@ object Queries {
   // DuckDB's read_csv, so the reader itself crosses the gate, not a
   // parquet-rendered stand-in. German-comma decimals exercise the
   // coercion step (register-cel-dropbox.py:73-75).
-  private val TsvFixturePath = "/tmp/graft_fixtures/metadata_table.tsv"
+  /** Root for rendered file fixtures (q_tsv / q_binary / q_pathdb). A
+    * per-JVM temp dir by default so two concurrent gate/bench/test runs
+    * on the same host never race on a shared path (renderDropbox
+    * delete-rewrites its tree; Derby takes an exclusive db lock —
+    * a second JVM on the same db fails with XSDB6). The oracle SQL is
+    * rendered from the same value, so the DuckDB side of the gate reads
+    * the same files this JVM wrote. `GRAFT_FIXTURE_DIR` pins it when a
+    * harness needs a stable location. */
+  private val FixtureRoot: String = sys.env.getOrElse("GRAFT_FIXTURE_DIR",
+    java.nio.file.Files.createTempDirectory("graft_fixtures_").toString)
+
+  private val TsvFixturePath = s"$FixtureRoot/metadata_table.tsv"
 
   def tsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val meta = load(s, dir, "nation").select(
@@ -1633,7 +1644,7 @@ object Queries {
   // blacklist (P5, register-nanopore.py:120-132). The oracle reads the
   // SAME directory with DuckDB's read_blob and replays the gate, so the
   // binary source itself crosses the gate, not a parquet stand-in.
-  private val DropboxFixtureDir = "/tmp/graft_fixtures/dropbox"
+  private val DropboxFixtureDir = s"$FixtureRoot/dropbox"
   private val DropboxKinds = Seq("fast5_pass", "fastq_pass",
     NanoKinds.head, NanoKinds.last)
   private def NanoKinds = graft.pipelines.NanoporePipeline.KindBlacklist
@@ -1704,7 +1715,7 @@ object Queries {
   // script.py:1-8), with the predicate pushed into the database. The
   // oracle runs the equivalent SQL on the source parquet — if the JDBC
   // write or read mangled anything, the hashes diverge.
-  private val DerbyUrl = "jdbc:derby:/tmp/graft_fixtures/pathdb;create=true"
+  private val DerbyUrl = s"jdbc:derby:$FixtureRoot/pathdb;create=true"
 
   def pathDb(s: SparkSession, dir: String): DataFrame = {
     val src = load(s, dir, "nation")

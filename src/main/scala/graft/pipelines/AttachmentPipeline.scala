@@ -47,10 +47,14 @@ object AttachmentPipeline {
     val tagged =
       if (key.nonEmpty) decoded.join(broadcast(sidecar), key, "left")
       else {
-        require(sidecar.count() == 1L,
+        // Pin the pivoted sidecar before counting: the ==1 guard and the
+        // crossJoin below would otherwise each recompute the pivot (two
+        // jobs over the sidecar scan). One cached row is free to keep.
+        val pinned = sidecar.persist()
+        require(pinned.count() == 1L,
           "one-transaction attach expects exactly ONE sidecar row; " +
             "a batched multi-upload ingest must pass the folder/transaction key")
-        decoded.crossJoin(sidecar)
+        decoded.crossJoin(broadcast(pinned))
       }
     Errors.tag(
       Errors.tag(tagged, col("barcode").isNull, Errors.MetadataFormatting),

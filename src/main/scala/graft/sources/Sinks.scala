@@ -40,7 +40,11 @@ object Sinks {
       .getOrElse(sys.error(s"no part file under $stage"))
     if (!fs.exists(target.getParent)) fs.mkdirs(target.getParent)
     if (fs.exists(target)) fs.delete(target, false)
-    fs.rename(part, target)
+    // Hadoop filesystems report many rename failures by returning false
+    // rather than throwing — a silent false here would delete the staged
+    // output below and publish nothing.
+    if (!fs.rename(part, target))
+      sys.error(s"writeTsvFile: rename $part -> $target failed")
     fs.delete(stage, true)
   }
 
@@ -54,7 +58,6 @@ object Sinks {
     * per file for the caller's completeness check. */
   def copyDataset(spark: SparkSession, srcDir: String, destDir: String): Dataset[CopyResult] = {
     import spark.implicits._
-    val base = srcDir.stripSuffix("/")
     val dest = destDir.stripSuffix("/")
     val files = Files.binaryScan(spark, srcDir)
       .select(col("path"), col("length")).as[(String, Long)]
@@ -65,12 +68,22 @@ object Sinks {
       import org.apache.hadoop.conf.Configuration
       import org.apache.hadoop.fs.{FileUtil, Path}
       val conf = new Configuration()
+      // Qualify the caller-spelled base through the FS so it compares
+      // against the scheme-qualified URIs binaryScan returns — a raw
+      // substring match misses on scheme/authority spelling differences
+      // ('file:/x' vs '/x', 'hdfs://nn' vs 'hdfs://nn.fqdn').
+      val basePath = new Path(srcDir.stripSuffix("/"))
+      val baseUri =
+        basePath.getFileSystem(conf).makeQualified(basePath).toUri
       it.map { case (src, bytes) =>
-        val i = src.indexOf(base)
-        if (i < 0) sys.error(s"copyDataset: $src is not under $base")
-        val rel = src.substring(i + base.length)
-        val to = new Path(dest + rel)
         val from = new Path(src)
+        val srcUri = from.getFileSystem(conf).makeQualified(from).toUri
+        val rel = baseUri.relativize(srcUri).getPath
+        // relativize returns the child unchanged (absolute path) when
+        // it is not under the base
+        if (rel.startsWith("/") || rel.isEmpty)
+          sys.error(s"copyDataset: $src is not under $baseUri")
+        val to = new Path(s"$dest/$rel")
         val ok = FileUtil.copy(from.getFileSystem(conf), from,
           to.getFileSystem(conf), to, false, true, conf)
         CopyResult(src, to.toString, bytes, ok)

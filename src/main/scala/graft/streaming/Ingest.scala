@@ -67,16 +67,25 @@ object Ingest {
     * are emitted: which non-key row a dedup keeps is arrival-order
     * dependent, so the deterministic contract (and the oracle's DISTINCT)
     * is the key set itself. Append mode: rows emit on first sight, no
-    * watermark wait. */
+    * watermark wait.
+    *
+    * DISTINCT-equivalence is CONDITIONAL on `watermark`: a duplicate
+    * whose event time trails its first sighting by more than the
+    * watermark arrives after the key's state has expired and re-emits.
+    * The equivalence therefore holds (a) within a single AvailableNow
+    * batch, as here and in the q_stream_dedup oracle, or (b) in a
+    * multi-batch/continuous run only for keys whose duplicate spread in
+    * event time stays within `watermark` — size it to the source's real
+    * out-of-orderness, trading state for dedup reach. */
   def dedupStream(spark: SparkSession, dir: String, fileGlob: String,
-                  keys: Seq[String]): DataFrame = {
+                  keys: Seq[String], watermark: String = "1 hour"): DataFrame = {
     val schema = spark.read.option("pathGlobFilter", fileGlob)
       .parquet(dir).schema
     val qn = "graft_stream_dedup"
     val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
       .parquet(dir)
       .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
-      .withWatermark("ets", "1 hour")
+      .withWatermark("ets", watermark)
       .dropDuplicatesWithinWatermark(keys)
       .select(keys.map(col): _*)
       .writeStream.queryName(qn).outputMode("append")
