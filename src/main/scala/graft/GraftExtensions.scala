@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDot, QbicChecksum, RewriteDotProduct}
+import graft.plans.{ArrayDot, NfcNormalize, QbicChecksum, RewriteDotProduct}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       QbicChecksum.info, exprs => QbicChecksum(exprs.head)))
     ext.injectFunction((FunctionIdentifier("array_dot"),
       ArrayDot.info, exprs => ArrayDot(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      NfcNormalize.info, exprs => NfcNormalize(exprs.head)))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }
@@ -30,5 +32,8 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("array_dot"),
       ArrayDot.info, exprs => ArrayDot(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("nfc_normalize"),
+      NfcNormalize.info, exprs => NfcNormalize(exprs.head))
   }
 }

@@ -804,6 +804,181 @@ object Queries {
        |FROM sizes LEFT JOIN hits ON sizes.id = hits.id
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q-pii
+  // PII detection + redaction — the scrubbing pass a training corpus gets
+  // before anything else sees it. The synthetic corpus carries no PII, so
+  // the query renders a deterministic PII-bearing line per doc from its
+  // columns (same fixture-render pattern as q_vcf/q_linescan), then masks
+  // emails → IPv4s → phone shapes in that order; counts are taken on the
+  // progressively-masked text so a wider pattern's match is never
+  // re-counted by a narrower one. Pure codegen'd regexp expressions in
+  // the scan stage — at 100 TB this runs at read throughput, no UDF, no
+  // shuffle. Patterns are the Java/RE2-portable set in TextFunctions.
+  def pii(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("contact "), col("source"), lit("."), col("doc_id").cast("string"),
+      lit("@example.com"),
+      when(col("doc_id") % 3 === 0, lit(" cc admin@corp.org"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" or 555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+        .otherwise(lit(" or unlisted")),
+      lit(" from 10."), pmod(col("doc_id"), lit(256L)).cast("string"),
+      lit("."), pmod(col("doc_id") * 7, lit(256L)).cast("string"),
+      lit("."), pmod(col("doc_id") * 13, lit(256L)).cast("string"),
+      lit(" re: "), substring(col("text"), 1, 40))
+    val noEmail = regexp_replace(col("t"), EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    load(s, dir, "documents")
+      .select(col("doc_id"), raw.as("t"))
+      .select(col("doc_id"),
+        countMatches(col("t"), EmailRe).as("n_email"),
+        countMatches(noEmail, Ipv4Re).as("n_ip"),
+        countMatches(noIp, PhoneRe).as("n_phone"),
+        sha2(redactPii(col("t")), 256).as("redacted_sha"))
+      .orderBy("doc_id")
+  }
+
+  private val piiSql = {
+    val e = EmailRe; val ip = Ipv4Re; val ph = PhoneRe
+    s"""WITH r AS (SELECT doc_id,
+       |  'contact ' || source || '.' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+       |  CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.org' ELSE '' END ||
+       |  CASE WHEN doc_id % 2 = 0
+       |       THEN ' or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |       ELSE ' or unlisted' END ||
+       |  ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+       |  '.' || CAST(doc_id * 7 % 256 AS VARCHAR) ||
+       |  '.' || CAST(doc_id * 13 % 256 AS VARCHAR) ||
+       |  ' re: ' || substr(text, 1, 40) AS t FROM documents),
+       |m1 AS (SELECT doc_id, t, regexp_replace(t, '$e', '<EMAIL>', 'g') AS t1 FROM r),
+       |m2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM m1)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t,  '$e')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(t1, '$ip')) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all(t2, '$ph')) AS BIGINT) AS n_phone,
+       |  sha256(regexp_replace(t2, '$ph', '<PHONE>', 'g')) AS redacted_sha
+       |FROM m2 ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------- Q-chunk
+  // Context-window chunking: split each doc's token stream into fixed
+  // windows of ChunkW tokens at stride ChunkS (ChunkW - ChunkS overlap) —
+  // how a corpus becomes model-ready sequences. One explode over a
+  // per-doc sequence() of window starts, slices over a tokens array
+  // projected ONCE (re-tokenizing inside the per-window expression was a
+  // measured 5× trap — see Dedup.shingleHashes). No shuffle at all until
+  // the final presentation sort: at 100 TB this is a map-only job whose
+  // output partitioning is inherited from the scan.
+  private val ChunkW = 64
+  private val ChunkS = 48
+
+  def chunkQ(s: SparkSession, dir: String): DataFrame = {
+    // last window start k*S must still cover token n: k ranges 0..K with
+    // K = ceil((n-W)/S) (0 when the doc fits one window) — short final
+    // windows keep their natural short length, nothing is padded.
+    val nChunks = when(col("n") <= ChunkW, lit(0L))
+      .otherwise(floor((col("n") - ChunkW + ChunkS - 1).cast("double") / ChunkS).cast("long"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0L), nChunks)).as("chunk_id"))
+      .withColumn("ck",
+        slice(col("tk"), (col("chunk_id") * ChunkS + 1).cast("int"), lit(ChunkW)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ck")).cast("long").as("n_tok"),
+        sha2(array_join(col("ck"), " "), 256).as("chunk_sha"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val chunkSql =
+    s"""WITH toks AS (SELECT doc_id, $SqlToks AS tk FROM documents),
+       |ch AS (SELECT doc_id, tk,
+       |  unnest(generate_series(0, CASE WHEN len(tk) <= $ChunkW THEN 0
+       |    ELSE CAST(ceil((len(tk) - $ChunkW) / $ChunkS.0) AS BIGINT) END)) AS chunk_id
+       |  FROM toks),
+       |sl AS (SELECT doc_id, chunk_id,
+       |  list_slice(tk, chunk_id * $ChunkS + 1, chunk_id * $ChunkS + $ChunkW) AS ck
+       |  FROM ch)
+       |SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_tok,
+       |  sha256(array_to_string(ck, ' ')) AS chunk_sha
+       |FROM sl ORDER BY doc_id, chunk_id""".stripMargin
+
+  // --------------------------------------------------------------- Q-pack
+  // Sequence packing (concat-and-split): per (lang, shard), docs are laid
+  // end-to-end in doc_id order and each doc's pack is the PackBudget-token
+  // bin its first token lands in. The shard key is the scale story: the
+  // running sum is a window per (lang, shard), so packing is
+  // embarrassingly parallel across shards — there is never a global sort
+  // or a single-partition window, which is the classic packing
+  // scale-killer. pack_offset is the doc's start offset inside its bin.
+  private val PackBudget = 256
+  private val PackShards = 8
+
+  def pack(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(PackShards.toLong)).as("shard"),
+        tokenCount(col("text")).as("n_tok"))
+      .withColumn("prior", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
+        expr(s"prior DIV $PackBudget").as("pack_id"),
+        pmod(col("prior"), lit(PackBudget.toLong)).as("pack_offset"))
+      .orderBy("lang", "shard", "doc_id")
+  }
+
+  private val packSql =
+    s"""WITH t AS (SELECT doc_id, lang, doc_id % $PackShards AS shard,
+       |  CAST(len($SqlToks) AS BIGINT) AS n_tok FROM documents),
+       |p AS (SELECT doc_id, lang, shard, n_tok,
+       |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+       |  FROM t)
+       |SELECT doc_id, lang, shard, n_tok,
+       |  prior // $PackBudget AS pack_id, prior % $PackBudget AS pack_offset
+       |FROM p ORDER BY lang, shard, doc_id""".stripMargin
+
+  // ------------------------------------------------------------ Q-unicode
+  // Unicode NFC normalization + whitespace canonicalization — the cleanup
+  // every dedup/fingerprint hash depends on (decomposed e+U+0301 and
+  // composed é must hash identically). Spark has no NFC built-in; this is
+  // graft's native codegen'd NfcNormalize expression (plans/
+  // NfcNormalizeExpr.scala) running in the scan stage. The rendered text
+  // plants two decomposed accents and an A+ring per row, so len_raw -
+  // len_nfc == 3 proves composition actually happened; the oracle is
+  // DuckDB's own nfc_normalize.
+  def unicode(s: SparkSession, dir: String): DataFrame = {
+    // the string literals below are DECOMPOSED on purpose (e + U+0301,
+    // A + U+030A) — NFC composes them to é / Å, shrinking char length
+    val raw = concat(
+      lit("résumé\t "), col("source"),
+      lit("  Å "), substring(col("text"), 1, 30))
+    def cleaned(c: Column) = trim(regexp_replace(nfc(c), "\\s+", " "))
+    load(s, dir, "documents")
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("len_raw"),
+        length(nfc(col("raw"))).cast("long").as("len_nfc"),
+        sha2(cleaned(col("raw")), 256).as("clean_sha"))
+      .orderBy("doc_id")
+  }
+
+  private val unicodeSql =
+    s"""WITH r AS (SELECT doc_id,
+       |  're' || chr(769) || 'sume' || chr(769) || chr(9) || ' ' || source ||
+       |  '  A' || chr(778) || ' ' || substr(text, 1, 30) AS raw FROM documents)
+       |SELECT doc_id,
+       |  CAST(length(raw) AS BIGINT) AS len_raw,
+       |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+       |  sha256(trim(regexp_replace(nfc_normalize(raw), '\\s+', ' ', 'g'))) AS clean_sha
+       |FROM r ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- Q-skew
   // Salted skew join through the gate: events.user_id is a hot-key-shaped
   // fact side (10k rows over 150 users); the salted join must be EXACTLY
@@ -1794,6 +1969,10 @@ object Queries {
     "q_sample" -> (sampleQ _),
     "q_quota" -> (quota _),
     "q_contam" -> (contam _),
+    "q_pii" -> (pii _),
+    "q_chunk" -> (chunkQ _),
+    "q_pack" -> (pack _),
+    "q_unicode" -> (unicode _),
     "q_skew" -> (skewQ _))
 
   val oracles: Map[String, String] = Map(
@@ -1857,5 +2036,9 @@ object Queries {
     "q_sample" -> sampleSql,
     "q_quota" -> quotaSql,
     "q_contam" -> contamSql,
+    "q_pii" -> piiSql,
+    "q_chunk" -> chunkSql,
+    "q_pack" -> packSql,
+    "q_unicode" -> unicodeSql,
     "q_skew" -> skewSql)
 }

@@ -38,4 +38,36 @@ object TextFunctions {
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
     when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(grams)
   }
+
+  // ------------------------------------------------------------------ PII
+  // Detection/redaction patterns, deliberately restricted to syntax that
+  // Java regex and RE2 (the DuckDB oracle) interpret identically: char
+  // classes, bounded repetition, non-capturing groups, ASCII \b — no
+  // lookaround, no backreferences.
+  /** RFC-casual email address. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 literal. */
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  /** US-local 7-digit phone shape (NNN-NNNN). Matched AFTER emails and
+    * IPs are masked, so digit runs inside those never count twice. */
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** Occurrences of `re` in `text` (0 when none). */
+  def countMatches(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
+  /** Mask emails, then IPv4s, then phone shapes — in that order, so the
+    * narrower numeric patterns never bite fragments of an address that
+    * a wider pattern already owns. Pure codegen'd expressions: this is
+    * a scan-stage rewrite at 100 TB, not a UDF. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Unicode NFC normalization via graft's native codegen'd expression
+    * (requires [[graft.GraftExtensions]] on the session). */
+  def nfc(text: Column): Column = call_function("nfc_normalize", text)
 }
