@@ -280,22 +280,49 @@ object Dedup {
     labels
   }
 
-  /** n-gram-Jaccard near-dup via inverted index: join docs that share a
-    * shingle (never all pairs), count shared shingles, Jaccard-filter. */
+  /** n-gram-Jaccard near-dup via a prefix-filtered inverted index (the
+    * AllPairs/PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08).
+    *
+    * Lossless candidate pruning: J(a,b) ≥ t implies the overlap o
+    * satisfies o ≥ ⌈t·|a|⌉ and o ≥ ⌈t·|b|⌉, so under ANY global shingle
+    * order a true pair must share a shingle inside BOTH docs' first
+    * |d| − ⌈t·|d|⌉ + 1 shingles. Only those prefixes (≈ (1−t)·|d|, so
+    * ~20% at t=0.8) enter the `a.h = b.h` candidate self-join — the
+    * quadratic stage shrinks ~(1−t)² ≈ 25× while the result set is
+    * provably identical, which is why the DuckDB oracle can stay the
+    * plain full-join spec. The global order is rarest-first (df, h):
+    * canonical across docs, and putting rare shingles in prefixes keeps
+    * candidate buckets small. Verification counts the exact intersection
+    * for candidate pairs only, via two equi-joins against the full
+    * shingle set; doc sizes ride along instead of re-joining after the
+    * aggregate. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxDf: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val shRaw = shingleHashes(docs, idCol, textCol, n)
     val sh = (if (maxDf == Long.MaxValue) shRaw else capDocFreq(shRaw, maxDf))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.alias("a").join(sh.alias("b"),
+    val dfs = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byId = Window.partitionBy(col("id"))
+    val ranked = sh.join(dfs, Seq("h"))
+      .withColumn("rank", row_number().over(byId.orderBy(col("df"), col("h"))))
+      .withColumn("sz", count(lit(1)).over(byId))
+    val prefix = ranked
+      .filter(col("rank") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("id"), col("h"), col("sz"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = prefix.alias("a").join(prefix.alias("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .distinct()
+    cand
+      .join(sh.alias("sa"), col("id_a") === col("sa.id"))
+      .join(sh.alias("sb"),
+        col("id_b") === col("sb.id") && col("sa.h") === col("sb.h"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.alias("za"), col("id_a") === col("za.id")).withColumnRenamed("sz", "sz_a").drop("id")
-      .join(sizes.alias("zb"), col("id_b") === col("zb.id")).withColumnRenamed("sz", "sz_b").drop("id")
       .withColumn("jaccard",
         round(col("n_inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_inter")).cast("double"), 4))

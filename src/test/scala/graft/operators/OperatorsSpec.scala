@@ -72,6 +72,42 @@ class DedupSpec extends SparkSpec {
       Dedup.shingleHashes(corpus, "doc_id", "text"), 10)
     assert(sh.groupBy("h").count().agg(max("count")).head.getLong(0) <= 10)
   }
+
+  test("prefix filtering is lossless: matches brute-force Jaccard exactly") {
+    // Random doc mix: exact dups, one-token edits, shuffled halves,
+    // unrelated docs — the shapes where a wrong prefix bound would drop a
+    // pair. Brute force computes Jaccard over ALL pairs from the same
+    // shingle sets; the operator must return exactly the ≥ t subset.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val texts = (0 until 30).map { i =>
+      val base = Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+      i % 3 match {
+        case 0 => base.mkString(" ")
+        case 1 => (base :+ vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        case _ => rnd.shuffle(base).mkString(" ")
+      }
+    }
+    val corpus = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8)) {
+      val got = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+      val shSets = Dedup.shingleHashes(corpus, "doc_id", "text")
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (id, hs) => id -> hs.map(_._2).toSet }
+      val want = (for {
+        a <- shSets.keys; b <- shSets.keys if a < b
+        inter = (shSets(a) & shSets(b)).size
+        j = BigDecimal(inter.toDouble / (shSets(a).size + shSets(b).size - inter))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= t
+      } yield (a, b, j)).toSet
+      assert(got === want, s"threshold $t")
+    }
+  }
 }
 
 class LineageSpec extends SparkSpec {
