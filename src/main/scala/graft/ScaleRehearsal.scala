@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   * Prints one JSON line {"rehearsal":{query:{"x1":s,"xN":s,"growth":r}}}.
   */
 object ScaleRehearsal {
-  private val Queries = Seq("q_neardup_minhash", "q_dedup_assign", "q_curate")
+  private val Queries =
+    Seq("q_neardup_minhash", "q_neardup_ngram", "q_dedup_assign", "q_curate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
