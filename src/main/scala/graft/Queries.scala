@@ -979,6 +979,70 @@ object Queries {
        |  sha256(trim(regexp_replace(nfc_normalize(raw), '\\s+', ' ', 'g'))) AS clean_sha
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- Q-vocab
+  // Corpus vocabulary statistics — the token-frequency table a tokenizer
+  // build (or a stopword/df-cap choice) starts from: per token, total
+  // occurrences and document frequency, top-K by count. Shape at 100 TB:
+  // explode feeds a partial-aggregating groupBy (map-side combine does
+  // most of the work — vocabulary is tiny next to token volume), and the
+  // top-K presentation is a TakeOrdered, never a global sort of the
+  // vocabulary. countDistinct(doc_id) is exact (the oracle demands it);
+  // a production-size vocab scan would swap in approx_count_distinct.
+  private val VocabTopK = 200
+
+  def vocab(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occur"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occur").desc, col("tok"))
+      .limit(VocabTopK)
+
+  private val vocabSql =
+    s"""WITH toks AS (SELECT doc_id, unnest($SqlToks) AS tok FROM documents)
+       |SELECT tok, CAST(count(*) AS BIGINT) AS n_occur,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM toks GROUP BY tok
+       |ORDER BY n_occur DESC, tok LIMIT $VocabTopK""".stripMargin
+
+  // --------------------------------------------------------- Q-bucketjoin
+  // Bucketed co-located join — the fact-to-fact join shape that survives
+  // 100 TB: both sides are published bucketed AND sorted by the join key
+  // (`bucketBy(8).sortBy`), so the join consumes bucket layout instead of
+  // shuffling either side — on a cluster this is the difference between
+  // re-shuffling 100 TB per join and reading pre-partitioned data in
+  // place. BucketedJoinSpec asserts the plan property (zero Exchange with
+  // broadcast off); this query puts the write→read→join round-trip
+  // through the oracle gate, which replays the plain join on the source
+  // parquet — any bucketing/pruning bug that loses or duplicates rows
+  // diverges the hash.
+  def bucketJoin(s: SparkSession, dir: String): DataFrame = {
+    def publish(df: DataFrame, name: String, key: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      df.write.format("parquet").bucketBy(8, key).sortBy(key)
+        .option("path", s"$FixtureRoot/$name")
+        .mode("overwrite").saveAsTable(name)
+    }
+    publish(load(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+      "graft_bucket_orders", "o_orderkey")
+    publish(load(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+      "graft_bucket_lineitem", "l_orderkey")
+    s.table("graft_bucket_orders")
+      .join(s.table("graft_bucket_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        ExactAgg.moneySum(col("l_extendedprice"), 100).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val bucketJoinSql =
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+       |       ${moneySumSql("l_extendedprice")} AS revenue
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- Q-skew
   // Salted skew join through the gate: events.user_id is a hot-key-shaped
   // fact side (10k rows over 150 users); the salted join must be EXACTLY
@@ -1973,6 +2037,8 @@ object Queries {
     "q_chunk" -> (chunkQ _),
     "q_pack" -> (pack _),
     "q_unicode" -> (unicode _),
+    "q_vocab" -> (vocab _),
+    "q_bucketjoin" -> (bucketJoin _),
     "q_skew" -> (skewQ _))
 
   val oracles: Map[String, String] = Map(
@@ -2040,5 +2106,7 @@ object Queries {
     "q_chunk" -> chunkSql,
     "q_pack" -> packSql,
     "q_unicode" -> unicodeSql,
+    "q_vocab" -> vocabSql,
+    "q_bucketjoin" -> bucketJoinSql,
     "q_skew" -> skewSql)
 }
