@@ -1043,6 +1043,39 @@ object Queries {
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------- Q-partprune
+  // Partition-pruned scan — the other half of the 100 TB storage story
+  // next to q_bucketjoin's bucketing: facts land partitioned by day
+  // (`partitionBy(p_date)` directory layout), and a day-scoped query
+  // must read ONE directory, not filter 100 TB post-scan. The engine
+  // side does the full write→read round-trip; PartitionPruneSpec asserts
+  // the plan property (the p_date predicate lands in PartitionFilters,
+  // before the scan); the oracle replays the same day filter on the
+  // source parquet, so a layout bug that drops or duplicates rows
+  // diverges the hash.
+  private val PruneDay = "2024-01-05"
+
+  def partPrune(s: SparkSession, dir: String): DataFrame = {
+    val dest = s"$FixtureRoot/events_by_day"
+    load(s, dir, "events")
+      .withColumn("p_date",
+        to_date(timestamp_micros(expr("ts DIV 1000"))).cast("string"))
+      .write.mode("overwrite").partitionBy("p_date").parquet(dest)
+    s.read.parquet(dest)
+      .filter(col("p_date") === PruneDay)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        ExactAgg.moneySum(col("value"), 100).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val partPruneSql =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |       ${moneySumSql("value")} AS sum_value
+       |FROM events
+       |WHERE CAST(CAST(ts AS DATE) AS VARCHAR) = '$PruneDay'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- Q-skew
   // Salted skew join through the gate: events.user_id is a hot-key-shaped
   // fact side (10k rows over 150 users); the salted join must be EXACTLY
@@ -2039,6 +2072,7 @@ object Queries {
     "q_unicode" -> (unicode _),
     "q_vocab" -> (vocab _),
     "q_bucketjoin" -> (bucketJoin _),
+    "q_partprune" -> (partPrune _),
     "q_skew" -> (skewQ _))
 
   val oracles: Map[String, String] = Map(
@@ -2108,5 +2142,6 @@ object Queries {
     "q_unicode" -> unicodeSql,
     "q_vocab" -> vocabSql,
     "q_bucketjoin" -> bucketJoinSql,
+    "q_partprune" -> partPruneSql,
     "q_skew" -> skewSql)
 }

@@ -1,0 +1,42 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The plan property behind q_partprune: a day predicate over a
+  * `partitionBy(p_date)` layout must land in PartitionFilters (directory
+  * pruning, before any row is read), not in the post-scan Filter. */
+class PartitionPruneSpec extends SparkSpec {
+
+  test("date predicate prunes partitions at the scan, and rows match") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_prune_spec_").toString
+    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("p_date",
+        to_date(timestamp_micros(expr("ts DIV 1000"))).cast("string"))
+    src.write.mode("overwrite").partitionBy("p_date").parquet(work)
+
+    val df = spark.read.parquet(work).filter(col("p_date") === "2024-01-05")
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r
+      .findFirstIn(plan).getOrElse("")
+    assert(pf.contains("p_date") && pf.contains("2024-01-05"),
+      s"day predicate must reach PartitionFilters, got '$pf':\n$plan")
+    // pruning must not change the answer
+    val got = df.collect()
+    assert(got.length ===
+      src.filter(col("p_date") === "2024-01-05").count())
+    // physical check: the executed scan read strictly fewer files than
+    // the layout holds — pruning actually skipped sibling day dirs
+    // (collect() above executed exactly this plan, so its metric is live)
+    val numFiles = df.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    val totalFiles = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try s.filter(_.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    assert(numFiles >= 1 && numFiles < totalFiles,
+      s"expected a pruned scan ($numFiles of $totalFiles files)")
+  }
+}
