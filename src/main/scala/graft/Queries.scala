@@ -1043,6 +1043,52 @@ object Queries {
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------- Q-linededup
+  // Corpus-level boilerplate line removal (CCNet/RefinedWeb-style): lines
+  // that repeat across more than LineMaxDf docs (nav bars, license
+  // footers) are dropped and docs reassembled from surviving lines in
+  // original order. The synthetic docs are single-line, so the query
+  // renders a 3-line page per doc (shared TOS header, unique body,
+  // per-source copyright footer) — header always drops, body always
+  // stays, and the footer's fate depends on per-source doc counts, which
+  // the oracle recomputes rather than assumes. Scale shape is in
+  // Dedup.dropBoilerplateLines: one df aggregate, broadcast anti-join of
+  // the tiny hot set, order carried explicitly through the reassembly.
+  private val LineMaxDf = 10L
+
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val txt = concat(
+      lit("TERMS OF SERVICE apply to all content\n"),
+      lit("doc "), col("doc_id").cast("string"),
+      lit(" body: "), substring(col("text"), 1, 60), lit("\n"),
+      lit("copyright 2024 "), col("source"))
+    val rendered = load(s, dir, "documents")
+      .select(col("doc_id"), txt.as("txt"))
+    Dedup.dropBoilerplateLines(rendered, "doc_id", "txt", maxDf = LineMaxDf)
+      .select(col("id").as("doc_id"), col("n_kept"),
+        sha2(col("text"), 256).as("clean_sha"))
+      .orderBy("doc_id")
+  }
+
+  private val lineDedupSql =
+    s"""WITH r AS (SELECT doc_id,
+       |  'TERMS OF SERVICE apply to all content' || chr(10) ||
+       |  'doc ' || CAST(doc_id AS VARCHAR) || ' body: ' || substr(text, 1, 60) || chr(10) ||
+       |  'copyright 2024 ' || source AS txt FROM documents),
+       |ls AS (SELECT doc_id, string_split(txt, chr(10)) AS la FROM r),
+       |ln AS (SELECT doc_id, la, unnest(generate_series(1, len(la))) AS pos FROM ls),
+       |lines AS (SELECT doc_id, pos, la[pos] AS line FROM ln),
+       |dfs AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM lines GROUP BY line),
+       |kept AS (SELECT l.doc_id, l.pos, l.line
+       |         FROM lines l JOIN dfs USING (line) WHERE line_df <= $LineMaxDf),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |        string_agg(line, chr(10) ORDER BY pos) AS text
+       |        FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(agg.n_kept, 0) AS n_kept,
+       |       sha256(coalesce(agg.text, '')) AS clean_sha
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- Q-partprune
   // Partition-pruned scan — the other half of the 100 TB storage story
   // next to q_bucketjoin's bucketing: facts land partitioned by day
@@ -2073,6 +2119,7 @@ object Queries {
     "q_vocab" -> (vocab _),
     "q_bucketjoin" -> (bucketJoin _),
     "q_partprune" -> (partPrune _),
+    "q_linededup" -> (lineDedup _),
     "q_skew" -> (skewQ _))
 
   val oracles: Map[String, String] = Map(
@@ -2143,5 +2190,6 @@ object Queries {
     "q_vocab" -> vocabSql,
     "q_bucketjoin" -> bucketJoinSql,
     "q_partprune" -> partPruneSql,
+    "q_linededup" -> lineDedupSql,
     "q_skew" -> skewSql)
 }

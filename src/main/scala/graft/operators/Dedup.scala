@@ -40,6 +40,41 @@ object Dedup {
     docs.groupBy(sha2(col(textCol), 256).as("text_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Corpus-level boilerplate line removal (the CCNet/RefinedWeb cleanup
+    * pass): drop every line whose document frequency exceeds `maxDf` —
+    * nav bars, cookie banners, license footers repeat across thousands
+    * of pages while real content lines are (near-)unique — and
+    * reassemble each doc from its surviving lines in original order.
+    *
+    * Scale shape: posexplode → one map-side-combinable df aggregate over
+    * line hashes → broadcast anti-join of the (tiny by construction) hot
+    * set → one groupBy(doc) reassembly. Reassembly order is carried
+    * explicitly (collect_list of (pos, line) then array_sort) — never
+    * rely on collect_list's arrival order surviving a shuffle.
+    *
+    * Returns (id, n_kept, text) with `text` the cleaned document; docs
+    * whose every line was boilerplate come back with n_kept = 0 and
+    * empty text rather than vanishing. */
+  def dropBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                           maxDf: Long): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val hot = lines.groupBy(col("line"))
+      .agg(countDistinct(col("id")).as("line_df"))
+      .filter(col("line_df") > maxDf).select("line")
+    val kept = lines.join(broadcast(hot), Seq("line"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("text"))
+    docs.select(col(idCol).as("id")).join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** Per-doc (id, shingle-hash) pairs: word-`n`-gram shingles, 32-bit
     * hashed, distinct within doc. The single exploded intermediate every
     * signature build shares.

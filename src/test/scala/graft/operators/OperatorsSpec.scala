@@ -73,6 +73,23 @@ class DedupSpec extends SparkSpec {
     assert(sh.groupBy("h").count().agg(max("count")).head.getLong(0) <= 10)
   }
 
+  test("boilerplate lines drop, order survives, emptied docs stay") {
+    // banner appears in 3 docs (> maxDf 2), unique lines in 1 each;
+    // doc 3 is banner-only and must come back empty, not vanish.
+    val banner = "ACCEPT ALL COOKIES"
+    val corpus = Seq(
+      (1L, s"$banner\nfirst alpha\n$banner\nfirst omega"),
+      (2L, s"second alpha\n$banner\nsecond omega"),
+      (3L, banner)
+    ).toDF("doc_id", "text")
+    val r = Dedup.dropBoilerplateLines(corpus, "doc_id", "text", maxDf = 2)
+      .orderBy("id")
+    assert(rows(r) === Seq(
+      Seq(1L, 2L, "first alpha\nfirst omega"),
+      Seq(2L, 2L, "second alpha\nsecond omega"),
+      Seq(3L, 0L, "")))
+  }
+
   test("prefix filtering is lossless: matches brute-force Jaccard exactly") {
     // Random doc mix: exact dups, one-token edits, shuffled halves,
     // unrelated docs — the shapes where a wrong prefix bound would drop a
