@@ -1043,6 +1043,95 @@ object Queries {
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------- Q-winnow
+  // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+  // algorithm): slide a w-hash window over the ORDERED k-gram hashes and
+  // select each window's minimum — guarantees any match of length
+  // ≥ w+k−1 tokens shares a fingerprint, with a ~2/(w+1) sampling rate.
+  // Spark shape: the per-doc window function partitions by doc, so at
+  // 100 TB this is embarrassingly parallel — no global anything. Docs
+  // shorter than a full window keep one all-hash window (the whole-text
+  // collapse rule shared with the shingle family).
+  private val WinnowW = 4
+
+  def winnow(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(0, WinnowW - 1)
+    val grams = load(s, dir, "documents")
+      .select(col("doc_id").as("id"), tokens(col("text")).as("__toks"))
+      .select(col("id"), posexplode(wordNgrams(col("__toks"), 3)).as(Seq("pos", "g")))
+      .select(col("id"), col("pos"), shaHash32(col("g")).as("h"))
+    grams
+      .withColumn("L", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+      .withColumn("wmin", min(col("h")).over(w))
+      .filter(col("pos") <= greatest(lit(0), col("L") - WinnowW))
+      .select(col("id"), col("wmin")).distinct()
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sha2(array_join(
+          transform(array_sort(collect_list(col("wmin"))),
+            x => x.cast("string")), ","), 256).as("fp_sha"))
+      .select(col("id").as("doc_id"), col("n_fp"), col("fp_sha"))
+      .orderBy("doc_id")
+  }
+
+  private val winnowSql =
+    s"""WITH toks AS (SELECT doc_id AS id, $SqlToks AS tk FROM documents),
+       |gr0 AS (SELECT id, $SqlShingles3 AS gs FROM toks),
+       |gr AS (SELECT id, gs, unnest(generate_series(1, len(gs))) AS pos FROM gr0),
+       |hs AS (SELECT id, pos, ${sqlSh32("gs[pos]")} AS h, len(gs) AS L FROM gr),
+       |wm AS (SELECT id, pos, L, min(h) OVER (PARTITION BY id ORDER BY pos
+       |  ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin FROM hs),
+       |sel AS (SELECT DISTINCT id, wmin FROM wm
+       |        WHERE pos <= greatest(1, L - ${WinnowW - 1}))
+       |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+       |       sha256(string_agg(CAST(wmin AS VARCHAR), ',' ORDER BY wmin)) AS fp_sha
+       |FROM sel GROUP BY id ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- Q-keywords
+  // Per-doc keyword extraction: rank a doc's terms by tf/df (rarity-
+  // weighted frequency) and keep the top 3. Deliberately NOT tf·ln(N/df):
+  // ranking by tf/df is monotone-equivalent for a fixed corpus, and
+  // integer-input double DIVISION is bit-identical across engines
+  // (IEEE-exact) while ln() may differ in the last ulp between libm
+  // implementations — the kind of cross-engine nondeterminism this whole
+  // query surface is designed to keep out of 1000-executor runs. Shape:
+  // two partial-agg groupBys + one broadcast-size dim join (vocabulary)
+  // + a per-doc top-k window.
+  private val KeywordsK = 3
+
+  def keywords(s: SparkSession, dir: String): DataFrame = {
+    val tf = load(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("tok"))
+    tf.join(broadcast(dfs), Seq("tok"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KeywordsK)
+      .select(col("doc_id"), col("rank"), col("tok"),
+        round(col("tf").cast("double") / col("df"), 6).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private val keywordsSql =
+    s"""WITH toks AS (SELECT doc_id, unnest($SqlToks) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |       FROM toks GROUP BY 1, 2),
+       |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+       |sc AS (SELECT doc_id, tok,
+       |       round(CAST(tf AS DOUBLE) / df, 6) AS score,
+       |       CAST(row_number() OVER (PARTITION BY doc_id
+       |         ORDER BY CAST(tf AS DOUBLE) / df DESC, tok) AS INTEGER) AS rank
+       |       FROM tf JOIN dfs USING (tok))
+       |SELECT doc_id, rank, tok, score FROM sc
+       |WHERE rank <= $KeywordsK ORDER BY doc_id, rank""".stripMargin
+
   // --------------------------------------------------------- Q-linededup
   // Corpus-level boilerplate line removal (CCNet/RefinedWeb-style): lines
   // that repeat across more than LineMaxDf docs (nav bars, license
@@ -2120,6 +2209,8 @@ object Queries {
     "q_bucketjoin" -> (bucketJoin _),
     "q_partprune" -> (partPrune _),
     "q_linededup" -> (lineDedup _),
+    "q_winnow" -> (winnow _),
+    "q_keywords" -> (keywords _),
     "q_skew" -> (skewQ _))
 
   val oracles: Map[String, String] = Map(
@@ -2191,5 +2282,7 @@ object Queries {
     "q_bucketjoin" -> bucketJoinSql,
     "q_partprune" -> partPruneSql,
     "q_linededup" -> lineDedupSql,
+    "q_winnow" -> winnowSql,
+    "q_keywords" -> keywordsSql,
     "q_skew" -> skewSql)
 }
