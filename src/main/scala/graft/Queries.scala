@@ -1273,6 +1273,25 @@ object Queries {
   private val streamSql =
     "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY 1"
 
+  // -------------------------------------------------- Q-stream-enrich
+  // Stream-static join (§2.10): the event stream enriched per micro-
+  // batch with a broadcast customer dimension, aggregated by segment.
+  // The stream side never shuffles for the lookup — the posture that
+  // matters when events are the 100 TB side.
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val dim = load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    Ingest.enrichStream(s, dir, "events.parquet", dim,
+        "user_id", "c_custkey", "c_mktsegment", "value")
+      .orderBy("c_mktsegment")
+  }
+
+  private val streamEnrichSql =
+    s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       |       ${moneySumSql("value")} AS sum_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------- Q-stream-dedup
   // Streaming exact dedup (2.10 + the ingestion-time dedup a training
   // pipeline runs before anything else): watermark-bounded state, first
@@ -2211,6 +2230,7 @@ object Queries {
     "q_linededup" -> (lineDedup _),
     "q_winnow" -> (winnow _),
     "q_keywords" -> (keywords _),
+    "q_stream_enrich" -> (streamEnrich _),
     "q_skew" -> (skewQ _))
 
   val oracles: Map[String, String] = Map(
@@ -2284,5 +2304,6 @@ object Queries {
     "q_linededup" -> lineDedupSql,
     "q_winnow" -> winnowSql,
     "q_keywords" -> keywordsSql,
+    "q_stream_enrich" -> streamEnrichSql,
     "q_skew" -> skewSql)
 }

@@ -60,6 +60,33 @@ object Ingest {
       .agg(max(col("n")).as("n"))
   }
 
+  /** Stream-static enrichment join (§2.10): every micro-batch of the
+    * file-source stream joins a STATIC dimension — the standard shape
+    * for enriching an event stream with reference data. The dim side is
+    * broadcast: at 100 TB/day of events the stream must never shuffle
+    * for a dimension lookup, and Spark re-plans the broadcast per
+    * micro-batch, so a dim refresh between batches is picked up without
+    * restarting the query. Aggregation runs on the enriched stream
+    * (complete mode, memory sink — same read-out contract as
+    * [[groupedCounts]]). */
+  def enrichStream(spark: SparkSession, dir: String, fileGlob: String,
+                   dim: DataFrame, streamKey: String, dimKey: String,
+                   aggKey: String, valueCol: String): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", fileGlob)
+      .parquet(dir).schema
+    val qn = "graft_stream_enrich"
+    val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
+      .parquet(dir)
+      .join(broadcast(dim), col(streamKey) === col(dimKey))
+      .groupBy(col(aggKey))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.ExactAgg.moneySum(col(valueCol), 100).as("sum_value"))
+      .writeStream.queryName(qn).outputMode("complete")
+      .format("memory").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qn)
+  }
+
   /** Streaming exact dedup: first sighting of each key tuple passes, later
     * duplicates are dropped, and `dropDuplicatesWithinWatermark` expires
     * key state once the watermark passes it — bounded state at any stream
