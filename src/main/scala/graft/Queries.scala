@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, Catalog, Dedup, Joins, Lineage, Multimodal, Sequencing, Similarity, Skew}
+import graft.operators.{Align, AsOf, Catalog, Dedup, Joins, Lineage, Multimodal, Sequencing, Similarity, Skew}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1042,6 +1042,44 @@ object Queries {
        |       ${moneySumSql("l_extendedprice")} AS revenue
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- Q-asof
+  // As-of (temporal) join: each click enriched with the same user's most
+  // recent error at or before it — point-in-time attribution. Engine
+  // side is operators/AsOf (union + ordered carry-forward: ONE shuffle
+  // by user, no per-row probe, no range join); the oracle is DuckDB's
+  // NATIVE `ASOF LEFT JOIN` — a fully independent implementation of the
+  // semantics, so this gate row checks the operator against someone
+  // else's as-of, not a replay of our own. Errors are pre-aggregated to
+  // one row per (user, ts): the operator's determinism contract.
+  def asof(s: SparkSession, dir: String): DataFrame = {
+    // µs time axis on BOTH sides: the parquet carries TIMESTAMP(NANOS),
+    // which Spark reads as full nanos (nanosAsLong) but DuckDB's
+    // TIMESTAMP truncates to µs — sub-µs digits would diverge the lag.
+    val ev = load(s, dir, "events")
+      .withColumn("ts", expr("ts DIV 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("err_value"))
+    AsOf.asofJoin(clicks, errors, "user_id", "ts", Seq("err_value"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("err_value"),
+        (col("ts") - col("__rt")).as("lag_us"))
+      .orderBy("event_id")
+  }
+
+  private val asofSql =
+    s"""WITH clicks AS (SELECT event_id, user_id, epoch_us(ts) AS ts
+       |  FROM events WHERE event_type = 'click'),
+       |errs AS (SELECT user_id, epoch_us(ts) AS tr, max(value) AS err_value
+       |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+       |SELECT c.event_id, c.user_id, c.ts, e.err_value,
+       |       (c.ts - e.tr) AS lag_us
+       |FROM clicks c ASOF LEFT JOIN errs e
+       |  ON c.user_id = e.user_id AND c.ts >= e.tr
+       |ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------- Q-winnow
   // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
@@ -2231,6 +2269,7 @@ object Queries {
     "q_winnow" -> (winnow _),
     "q_keywords" -> (keywords _),
     "q_stream_enrich" -> (streamEnrich _),
+    "q_asof" -> (asof _),
     "q_skew" -> (skewQ _))
 
   val oracles: Map[String, String] = Map(
@@ -2305,5 +2344,6 @@ object Queries {
     "q_winnow" -> winnowSql,
     "q_keywords" -> keywordsSql,
     "q_stream_enrich" -> streamEnrichSql,
+    "q_asof" -> asofSql,
     "q_skew" -> skewSql)
 }
