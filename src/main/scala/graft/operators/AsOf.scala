@@ -23,7 +23,14 @@ object AsOf {
     * aggregate duplicates first, or "latest" at a tied timestamp is not
     * well-defined and results become run-dependent. (Deliberately not
     * enforced here: the check would cost a second aggregate over the
-    * right side on every call.) */
+    * right side on every call.)
+    *
+    * Skew contract: the window runs one ordered pass per key, so a
+    * pathologically hot key (one key holding a large fraction of all
+    * rows) becomes a single-task straggler — work stays linear in that
+    * key's rows (no blowup), but wall-clock is bounded by the hottest
+    * key. For power-law keys, pre-split the key (e.g. salt by coarse
+    * time range and stitch the boundary carry) before calling. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, t: String,
                carry: Seq[String]): DataFrame = {
     // side 0 sorts before side 1 at equal t: a right row AT the left
@@ -35,9 +42,22 @@ object AsOf {
     val w = Window.partitionBy(col(key))
       .orderBy(col(t), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (carry :+ "__rt").foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    // Carry ONE struct of all right-side fields, not one last() per
+    // column: per-column carries would let a NULL in one carry column
+    // fall through to an OLDER right row's value while __rt comes from
+    // the newer row — mixing fields across right rows. The struct is
+    // non-null whenever a right row exists, so last(ignoreNulls) picks
+    // the whole matched row atomically and genuine NULLs inside it
+    // survive (DuckDB/pandas ASOF semantics). Also: one window function
+    // instead of N.
+    val carryCols = "__rt" +: carry
+    val packed = unioned.withColumn("__carry",
+      when(col("__side") === 0, struct(carryCols.map(col): _*)))
+    val carried = packed
+      .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
+    val unpacked = carryCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, col("__carry").getField(c))
     }
-    carried.filter(col("__side") === 1).drop("__side")
+    unpacked.filter(col("__side") === 1).drop("__side", "__carry")
   }
 }

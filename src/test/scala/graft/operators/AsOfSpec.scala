@@ -27,6 +27,37 @@ class AsOfSpec extends SparkSpec {
       Seq(103L, null, null)))
   }
 
+  test("NULL in the matched right row's carry column survives as NULL") {
+    // Right rows for one key: (t=5, v="old", w="W5") then (t=10, v=null,
+    // w="W10"). A left row at t=12 matches the t=10 row; v must be NULL
+    // (that row's actual value), NOT "old" leaked from the t=5 row —
+    // and w/__rt must agree they came from the t=10 row.
+    val l = Seq((1L, 7L, 12L)).toDF("event_id", "k", "t")
+    val r = Seq((7L, 5L, Option("old"), "W5"), (7L, 10L, None: Option[String], "W10"))
+      .toDF("k", "t", "v", "w")
+    val out = AsOf.asofJoin(l, r, "k", "t", Seq("v", "w"))
+      .select("event_id", "v", "w", "__rt")
+    assert(rows(out) === Seq(Seq(1L, null, "W10", 10L)))
+  }
+
+  test("hot key (50% of rows on one key) completes; contract documents skew") {
+    // One key holds half the corpus: the window runs as a single task for
+    // that key — linear in its rows, so it completes, but wall-clock is
+    // bounded by the hottest key (documented straggler bound).
+    val n = 20000
+    val hotLeft = (0 until n).map { i =>
+      (i.toLong, if (i % 2 == 0) 1L else (i % 50).toLong + 2L, (i % 1000).toLong)
+    }.toDF("event_id", "k", "t")
+    val hotRight = (0 until 500 by 10).map(t => (1L, t.toLong, s"v$t")) ++
+      (2L to 51L).map(k => (k, 0L, s"k$k"))
+    val out = AsOf.asofJoin(hotLeft, hotRight.toDF("k", "t", "v"), "k", "t", Seq("v"))
+    assert(out.count() === n)
+    // spot-check hot-key semantics: t=998 -> latest right at t=490
+    val probe = out.filter(col("k") === 1L && col("t") === 998L)
+      .select("v").distinct().as[String].collect()
+    assert(probe === Array("v490"))
+  }
+
   test("left rows and columns survive unchanged; one shuffle by key") {
     val r = AsOf.asofJoin(left, right, "k", "t", Seq("v"))
     assert(r.count() === 4)
