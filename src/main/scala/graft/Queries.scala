@@ -1467,15 +1467,22 @@ object Queries {
   }
 
   // ------------------------------------------------------ Q-embdup-exact
-  // The exact O(n²) embedding near-dup baseline as its OWN declared
-  // query: the DuckDB gate now holds the ground truth independently of
-  // any banding scheme (q_embdup's oracle must replay the engine's
-  // hyperplanes; this one shares nothing with the LSH path). Together
-  // with EmbeddingDedupSpec's subset/recall assertions this closes the
-  // round-3 "the gate can't catch a banding bug" caveat at gate level.
-  // Quadratic by definition — the declared scale path remains q_embdup.
+  // The exact embedding near-dup ground truth as its OWN declared query:
+  // the DuckDB gate holds the truth independently of any banding scheme
+  // (q_embdup's oracle must replay the engine's hyperplanes; this one
+  // shares nothing with the LSH path). Bounded for scale on BOTH axes:
+  // the input is a deterministic hash-rank stratum (fixed EmbExactCap
+  // rows no matter how big the corpus — the same ranking replayed in the
+  // oracle's ORDER BY ... LIMIT), and the pairwise compare is the
+  // blocked all-pairs EQUI-join (triangle distribution), so the declared
+  // plan has no cartesian/BNLJ node and survives 100×. The UNsampled
+  // full-corpus exact compare remains the recall anchor in
+  // EmbeddingDedupSpec (test scale only, by design).
+  private val EmbExactCap = 300
+
   def embeddingDupExact(s: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDupExact(load(s, dir, "embeddings"),
+    Similarity.embeddingNearDupExactBlocked(
+        Similarity.hashStratum(load(s, dir, "embeddings"), "vec_id", EmbExactCap),
         "vec_id", "embedding", threshold = EmbThreshold)
       .orderBy("id_a", "id_b")
 
@@ -1485,9 +1492,12 @@ object Queries {
          |  list_transform(generate_series(1, $EmbDim),
          |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
          |  (acc, v) -> acc + v)""".stripMargin
-    s"""WITH n AS (SELECT vec_id, embedding,
-       |             sqrt(${dot("embedding", "embedding")}) AS nm
-       |           FROM embeddings)
+    s"""WITH s AS (SELECT vec_id, embedding FROM embeddings
+       |           ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+       |           LIMIT $EmbExactCap),
+       |n AS (SELECT vec_id, embedding,
+       |        sqrt(${dot("embedding", "embedding")}) AS nm
+       |      FROM s)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |       round(${dot("a.embedding", "b.embedding")} / (a.nm * b.nm), 4) AS sim
        |FROM n a JOIN n b ON a.vec_id < b.vec_id

@@ -84,6 +84,59 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Deterministic hash-rank stratum: the `cap` vectors with the smallest
+    * Knuth-multiplicative-hash values — a fixed-SIZE sample (unlike a
+    * mod-filter, whose yield grows with the corpus), so any downstream
+    * pairwise compare is bounded no matter how large the input gets.
+    * Plans as per-partition TakeOrdered + merge (no full sort). The hash
+    * `(id * 2654435761) mod 2^32` is chosen over xxhash64 because the
+    * oracle side (any ANSI engine) can replay it with plain integer
+    * arithmetic. Assumes non-negative ids below ~2^42 (no int64 overflow
+    * in the product); ties broken by id for full determinism. */
+  def hashStratum(df: DataFrame, idCol: String, cap: Int): DataFrame = {
+    val h = pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
+    df.withColumn("__h", h).orderBy(col("__h"), col(idCol)).limit(cap)
+      .drop("__h")
+  }
+
+  /** Exact all-pairs cosine compare as a pure EQUI-join — the blocked
+    * "triangle distribution" shape: rows are assigned to one of `blocks`
+    * buckets, and each of the blocks·(blocks+1)/2 bucket-PAIRS becomes
+    * one equi-join key, so the quadratic work spreads evenly over the
+    * cluster as ordinary shuffle-hash-join tasks (no CartesianProduct,
+    * no BroadcastNestedLoopJoin — the two plan shapes that die at scale).
+    * A row in bucket g is replicated to key (g, j) for j ≥ g on the left
+    * and (i, g) for i ≤ g on the right: a cross-bucket pair meets exactly
+    * once (in bucket order, output normalized via least/greatest), a
+    * same-bucket pair meets twice and is kept once by `id_a < id_b`.
+    *
+    * Still O(n²) WORK by definition of "exact" — callers must bound n
+    * first (e.g. [[hashStratum]]); this shape bounds the per-task cost
+    * and keeps the plan equi-join-only. */
+  def embeddingNearDupExactBlocked(emb: DataFrame, idCol: String,
+                                   vecCol: String, threshold: Double,
+                                   blocks: Int = 8): DataFrame = {
+    graft.GraftExtensions.register(emb.sparkSession)
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("nm"))
+      .withColumn("g", pmod(col("id"), lit(blocks)).cast("int"))
+    val lhs = vecs
+      .withColumn("bj", explode(sequence(col("g"), lit(blocks - 1))))
+      .select(col("g").as("bi"), col("bj"),
+        col("id").as("ida"), col("v").as("va"), col("nm").as("na"))
+    val rhs = vecs
+      .withColumn("bi", explode(sequence(lit(0), col("g"))))
+      .select(col("bi"), col("g").as("bj"),
+        col("id").as("idb"), col("v").as("vb"), col("nm").as("nb"))
+    lhs.join(rhs, Seq("bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("ida") < col("idb"))
+      .withColumn("sim",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("sim") >= threshold)
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs at scale: banded SRP-LSH. The
     * `nPlanes` hyperplanes split into `bands` groups of r = nPlanes/bands
     * planes; each band yields an r-bit bucket, and two vectors are

@@ -200,4 +200,36 @@ class EmbeddingDedupSpec extends SparkSpec {
     assert(banded.subsetOf(exact))
     assert(banded.size.toDouble / exact.size > 0.4)
   }
+
+  test("blocked all-pairs equi-join == naive exact, and plans no BNLJ/cartesian") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val naive = Similarity.embeddingNearDupExact(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
+    val blocked = Similarity.embeddingNearDupExactBlocked(
+        emb, "vec_id", "embedding", 0.4, blocks = 8)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(naive.nonEmpty)
+    assert(blocked === naive) // identical pairs AND identical sims
+    val plan = Similarity.embeddingNearDupExactBlocked(
+      emb, "vec_id", "embedding", 0.4, blocks = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"blocked all-pairs must stay an equi-join:\n$plan")
+  }
+
+  test("hashStratum is a fixed-size deterministic sample") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val s1 = Similarity.hashStratum(emb, "vec_id", 100)
+      .select("vec_id").as[Long].collect().toSet
+    val s2 = Similarity.hashStratum(emb, "vec_id", 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(s1.size === 100)
+    assert(s1 === s2) // same ranking every run
+    // replay the Knuth hash rank driver-side: same survivor set
+    val all = emb.select("vec_id").as[Long].collect()
+    val expected = all.sortBy(id => ((id * 2654435761L) % 4294967296L, id))
+      .take(100).toSet
+    assert(s1 === expected)
+  }
 }
