@@ -1857,6 +1857,76 @@ object Queries {
        |FROM nation ORDER BY n_nationkey""".stripMargin
   }
 
+  // --------------------------------------------------------------- Q-props
+  // §1.3 Q_PROPERTIES parse direction: the factor XML the reference
+  // templates per sample (etl_msconvert.py:528) is built per-row from
+  // customer columns, parsed BACK through from_xml into
+  // array<struct<ftype,label,value,unit>>, and exploded. The oracle
+  // builds the IDENTICAL strings and re-parses them with an independent
+  // regexp parser — two different XML readers must agree attribute by
+  // attribute. Every 10th customer carries an empty <qfactors>, proving
+  // the factor-less row survives (explode_outer) with NULL fields.
+  private val PropsDecl =
+    "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
+
+  def propsQ(s: SparkSession, dir: String): DataFrame = {
+    val c = load(s, dir, "customer")
+    val xml = when(pmod(col("c_custkey"), lit(10)) === 0,
+        lit(PropsDecl + " <qproperties> <qfactors> </qfactors> </qproperties>"))
+      .otherwise(format_string(
+        PropsDecl + " <qproperties> <qfactors>" +
+          " <qcategorical label=\"segment\" value=\"%s\"/>" +
+          " <qcategorical label=\"nation\" value=\"%d\"/>" +
+          " <qcontinous label=\"dose\" value=\"%d\" unit=\"mg\"/>" +
+          " </qfactors> </qproperties>",
+        col("c_mktsegment"), col("c_nationkey"), pmod(col("c_custkey"), lit(97))))
+    c.select(col("c_custkey"), xml.as("props"))
+      .select(col("c_custkey"),
+        explode_outer(graft.functions.FactorXml.parseFactors(col("props"))).as("f"))
+      .select(col("c_custkey"), col("f.ftype").as("ftype"),
+        col("f.label").as("label"), col("f.value").as("value"),
+        col("f.unit").as("unit"))
+      .orderBy("c_custkey", "label")
+  }
+
+  private val propsSql = {
+    s"""WITH x AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN c_custkey % 10 = 0 THEN
+       |      '$PropsDecl <qproperties> <qfactors> </qfactors> </qproperties>'
+       |    ELSE
+       |      '$PropsDecl <qproperties> <qfactors>'
+       |      || ' <qcategorical label="segment" value="' || c_mktsegment || '"/>'
+       |      || ' <qcategorical label="nation" value="' || CAST(c_nationkey AS VARCHAR) || '"/>'
+       |      || ' <qcontinous label="dose" value="' || CAST(c_custkey % 97 AS VARCHAR) || '" unit="mg"/>'
+       |      || ' </qfactors> </qproperties>'
+       |    END AS props
+       |  FROM customer),
+       |cat AS (
+       |  SELECT c_custkey,
+       |    unnest(regexp_extract_all(props, '<qcategorical label="[^"]*" value="[^"]*"/>')) AS el
+       |  FROM x),
+       |cont AS (
+       |  SELECT c_custkey,
+       |    unnest(regexp_extract_all(props, '<qcontinous label="[^"]*" value="[^"]*" unit="[^"]*"/>')) AS el
+       |  FROM x)
+       |SELECT c_custkey, 'categorical' AS ftype,
+       |       regexp_extract(el, 'label="([^"]*)"', 1) AS label,
+       |       regexp_extract(el, 'value="([^"]*)"', 1) AS value,
+       |       CAST(NULL AS VARCHAR) AS unit
+       |FROM cat
+       |UNION ALL
+       |SELECT c_custkey, 'continuous' AS ftype,
+       |       regexp_extract(el, 'label="([^"]*)"', 1) AS label,
+       |       regexp_extract(el, 'value="([^"]*)"', 1) AS value,
+       |       regexp_extract(el, 'unit="([^"]*)"', 1) AS unit
+       |FROM cont
+       |UNION ALL
+       |SELECT c_custkey, NULL, NULL, NULL, NULL FROM x
+       |WHERE props NOT LIKE '%<qcategorical%' AND props NOT LIKE '%<qcontinous%'
+       |ORDER BY c_custkey, label NULLS FIRST""".stripMargin
+  }
+
   // ------------------------------------------------------------ Q-pathnorm
   // J11/S12: metadata↔payload join on normalized relative paths (./ and
   // // noise on the meta side; every 13th file lives elsewhere) + the
@@ -2280,6 +2350,7 @@ object Queries {
     "q_keywords" -> (keywords _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_asof" -> (asof _),
+    "q_props" -> (propsQ _),
     "q_skew" -> (skewQ _))
 
   val oracles: Map[String, String] = Map(
@@ -2355,5 +2426,6 @@ object Queries {
     "q_keywords" -> keywordsSql,
     "q_stream_enrich" -> streamEnrichSql,
     "q_asof" -> asofSql,
+    "q_props" -> propsSql,
     "q_skew" -> skewSql)
 }

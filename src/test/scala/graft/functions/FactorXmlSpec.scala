@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FactorXmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val decl =
+    "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
+
+  test("parses the reference template shape: repeated qcategorical") {
+    // exactly etl_msconvert.py:528's template with two factors filled in
+    val xml = decl + " <qproperties> <qfactors> " +
+      "<qcategorical label=\"technical_replicate\" value=\"2\"/> " +
+      "<qcategorical label=\"workflow_type\" value=\"ligandomics\"/> " +
+      "</qfactors> </qproperties>"
+    val out = Seq(xml).toDF("x")
+      .select(explode(FactorXml.parseFactors(col("x"))).as("f"))
+      .select("f.ftype", "f.label", "f.value", "f.unit")
+    assert(rows(out) === Seq(
+      Seq("categorical", "technical_replicate", "2", null),
+      Seq("categorical", "workflow_type", "ligandomics", null)))
+  }
+
+  test("continuous factors carry a unit; kinds concatenate cat-then-cont") {
+    val xml = decl + " <qproperties> <qfactors> " +
+      "<qcontinous label=\"dose\" value=\"5\" unit=\"mg\"/> " +
+      "<qcategorical label=\"arm\" value=\"treated\"/> " +
+      "</qfactors> </qproperties>"
+    val out = Seq(xml).toDF("x")
+      .select(explode(FactorXml.parseFactors(col("x"))).as("f"))
+      .select("f.ftype", "f.label", "f.value", "f.unit")
+    assert(rows(out) === Seq(
+      Seq("categorical", "arm", "treated", null),
+      Seq("continuous", "dose", "5", "mg")))
+  }
+
+  test("empty qfactors and factor-less docs give an empty array, not NULL") {
+    val out = Seq(
+      decl + " <qproperties> <qfactors> </qfactors> </qproperties>",
+      decl + " <qproperties> </qproperties>")
+      .toDF("x").select(size(FactorXml.parseFactors(col("x"))).as("n"))
+    assert(rows(out) === Seq(Seq(0), Seq(0)))
+  }
+
+  test("hasFactor filters rows by a factor value") {
+    val mk = (v: String) => decl + " <qproperties> <qfactors> " +
+      s"""<qcategorical label="arm" value="$v"/> </qfactors> </qproperties>"""
+    val df = Seq(1 -> mk("treated"), 2 -> mk("control"), 3 -> mk("treated"))
+      .toDF("id", "x")
+    val hits = df.filter(FactorXml.hasFactor(col("x"), "arm", "treated"))
+      .select("id").as[Int].collect().toSeq
+    assert(hits === Seq(1, 3))
+  }
+}
