@@ -9,11 +9,15 @@ import org.apache.spark.sql.types._
   * metadata struct, so a 100 TB media table scans/prunes/partitions like
   * any other table and only the decode stage touches bytes.
   *
-  * The decode step itself needs a codec library that is not present in
-  * this environment, so [[decodePartition]] is a clearly-marked stub;
-  * the Spark-side plumbing — schema, column shapes, deterministic
-  * metadata derivation, per-partition batching seam — is real and is
-  * what [[fakeDecode]] exercises end-to-end.
+  * DICOM payloads have a REAL decode: [[graft.sources.Dicom]] is a pure-
+  * JVM tag parser (public PS3.10 format) covering the reference's whole
+  * anonymization field set — no codec library needed, because that set
+  * is all string-VR header data. Pixel-level image/audio decode still
+  * needs codecs absent from this environment, so [[decodePartition]]
+  * remains a clearly-marked stub for those; the Spark-side plumbing —
+  * schema, column shapes, deterministic metadata derivation,
+  * per-partition batching seam — is real and is what [[fakeDecode]]
+  * exercises end-to-end.
   */
 object Multimodal {
   /** Metadata struct the decode stage emits alongside the payload. */

@@ -1,0 +1,157 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Synthetic-fixture tests for the pure-JVM DICOM parser: files are
+  * built byte-by-byte here (PS3.10 layout), never read from disk, so
+  * the suite is hermetic and the expected values are self-evident. */
+class DicomSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------- fixture byte builders
+  private def pad(s: String, padByte: Byte = ' '): Array[Byte] = {
+    val b = s.getBytes(StandardCharsets.US_ASCII)
+    if (b.length % 2 == 0) b else b :+ padByte
+  }
+
+  /** Explicit VR LE element (short form for string VRs). */
+  private def exEl(group: Int, elem: Int, vr: String, value: String): Array[Byte] = {
+    val v = pad(value, if (vr == "UI") 0x00 else ' ')
+    val buf = ByteBuffer.allocate(8 + v.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putShort(group.toShort).putShort(elem.toShort)
+      .put(vr.getBytes(StandardCharsets.US_ASCII))
+      .putShort(v.length.toShort).put(v)
+    buf.array()
+  }
+
+  /** Implicit VR LE element. */
+  private def imEl(group: Int, elem: Int, value: String): Array[Byte] = {
+    val v = pad(value)
+    val buf = ByteBuffer.allocate(8 + v.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putShort(group.toShort).putShort(elem.toShort)
+      .putInt(v.length).put(v)
+    buf.array()
+  }
+
+  /** Explicit VR LE undefined-length SQ with one raw item, delimited. */
+  private def exSqUndefined(group: Int, elem: Int, itemBytes: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(12 + 8 + itemBytes.length + 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putShort(group.toShort).putShort(elem.toShort)
+      .put("SQ".getBytes(StandardCharsets.US_ASCII)).putShort(0.toShort)
+      .putInt(0xFFFFFFFF)                          // undefined length
+    buf.putShort(0xFFFE.toShort).putShort(0xE000.toShort) // item
+      .putInt(itemBytes.length).put(itemBytes)
+    buf.putShort(0xFFFE.toShort).putShort(0xE0DD.toShort) // seq delimiter
+      .putInt(0)
+    buf.array()
+  }
+
+  private def file(transferSyntax: String, body: Array[Byte]*): Array[Byte] = {
+    val meta = exEl(0x0002, 0x0010, "UI", transferSyntax)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(new Array[Byte](128))
+    out.write("DICM".getBytes(StandardCharsets.US_ASCII))
+    out.write(meta)
+    body.foreach(out.write)
+    out.toByteArray
+  }
+
+  private val ExplicitLE = "1.2.840.10008.1.2.1"
+  private val ImplicitLE = "1.2.840.10008.1.2"
+
+  private def explicitFixture: Array[Byte] = file(ExplicitLE,
+    exEl(0x0008, 0x0020, "DA", "20200102"),      // StudyDate (anon set)
+    exEl(0x0008, 0x0060, "CS", "MR"),            // Modality (kept)
+    exSqUndefined(0x0008, 0x1110, imEl(0x0008, 0x1150, "1.2.3.4")),
+    exEl(0x0010, 0x0010, "PN", "DOE^JOHN"),      // PatientsName (anon set)
+    exEl(0x0010, 0x1010, "AS", "045Y"),          // PatientsAge (anon set)
+    exEl(0x0018, 0x1030, "LO", "HeadProtocol"))  // ProtocolName (anon set)
+
+  // ---------------------------------------------------------------- parse
+  test("explicit VR walk returns every top-level tag with rendered values") {
+    val els = Dicom.elements(explicitFixture)
+    val byTag = els.map(e => ((e.group, e.element), e)).toMap
+    assert(byTag((0x0008, 0x0020)).value === Some("20200102"))
+    assert(byTag((0x0008, 0x0060)).value === Some("MR"))
+    assert(byTag((0x0010, 0x0010)).value === Some("DOE^JOHN"))
+    assert(byTag((0x0010, 0x1010)).value === Some("045Y"))
+    assert(byTag((0x0018, 0x1030)).value === Some("HeadProtocol"))
+    // the SQ is walked structurally, not descended into
+    assert(byTag((0x0008, 0x1110)).vr === "SQ")
+    assert(!byTag.contains((0x0008, 0x1150)))
+    // file-meta transfer syntax is an ordinary element
+    assert(byTag((0x0002, 0x0010)).value === Some(ExplicitLE))
+  }
+
+  test("implicit VR dataset parses via the transfer-syntax switch") {
+    val f = file(ImplicitLE,
+      imEl(0x0010, 0x0010, "ROE^JANE"),
+      imEl(0x0010, 0x0040, "F"))
+    val byTag = Dicom.elements(f).map(e => ((e.group, e.element), e)).toMap
+    assert(byTag((0x0010, 0x0010)).value === Some("ROE^JANE"))
+    assert(byTag((0x0010, 0x0040)).value === Some("F"))
+    assert(!byTag((0x0010, 0x0010)).explicitForm)
+  }
+
+  test("unsupported transfer syntax is rejected loudly") {
+    val f = file("1.2.840.10008.1.2.2", exEl(0x0010, 0x0040, "CS", "F"))
+    val ex = intercept[IllegalArgumentException] { Dicom.elements(f) }
+    assert(ex.getMessage.contains("transfer syntax"))
+  }
+
+  test("keyword dictionary covers the reference anonymization set") {
+    assert(Dicom.AnonymizationTags.size === 51) // HCC_dicom_anonymize.py:28-43
+    assert(Dicom.keyword(0x0010, 0x0010) === Some("PatientsName"))
+    assert(Dicom.keyword(0x0008, 0x0060) === None) // Modality not in set
+  }
+
+  // ------------------------------------------------------------ anonymize
+  test("anonymize blanks the field set, renames the patient, keeps the rest") {
+    val anon = Dicom.anonymize(explicitFixture, patientName = "anonymous")
+    val byTag = Dicom.elements(anon).map(e => ((e.group, e.element), e)).toMap
+    assert(byTag((0x0010, 0x0010)).value === Some("anonymous"))
+    assert(byTag((0x0008, 0x0020)).value === Some(""))
+    assert(byTag((0x0010, 0x1010)).value === Some(""))
+    assert(byTag((0x0018, 0x1030)).value === Some(""))
+    // non-PII content byte-identical
+    assert(byTag((0x0008, 0x0060)).value === Some("MR"))
+    assert(byTag((0x0008, 0x1110)).vr === "SQ")
+    // still a valid stream: re-anonymizing is a no-op
+    assert(Dicom.anonymize(anon, "anonymous").toSeq === anon.toSeq)
+  }
+
+  test("anonymize works on implicit VR files too") {
+    val f = file(ImplicitLE,
+      imEl(0x0010, 0x0010, "ROE^JANE"),
+      imEl(0x0008, 0x0060, "CT"))
+    val byTag = Dicom.elements(Dicom.anonymize(f, "px7"))
+      .map(e => ((e.group, e.element), e)).toMap
+    assert(byTag((0x0010, 0x0010)).value === Some("px7")) // padded to 4, stripped
+    assert(byTag((0x0008, 0x0060)).value === Some("CT"))
+  }
+
+  // ----------------------------------------------------------- Spark seam
+  test("dicomTags column decode: real (tag, keyword, value) rows in Spark") {
+    val df = Seq((1L, explicitFixture)).toDF("id", "payload")
+      .select(col("id"), explode(Dicom.dicomTags(col("payload"))).as("t"))
+      .select("id", "t.group", "t.element", "t.keyword", "t.value")
+      .filter(col("t.keyword").isNotNull)
+    val got = rows(df).map(r => (r(3), r(4))).toSet
+    assert(got === Set(("StudyDate", "20200102"), ("PatientsName", "DOE^JOHN"),
+      ("PatientsAge", "045Y"), ("ProtocolName", "HeadProtocol")))
+  }
+
+  test("dicomAnonymize column rewrite round-trips through the parser") {
+    val out = Seq((1L, explicitFixture)).toDF("id", "payload")
+      .select(Dicom.dicomAnonymize(col("payload"), "anonymous").as("clean"))
+      .select(explode(Dicom.dicomTags(col("clean"))).as("t"))
+      .filter(col("t.keyword") === "PatientsName")
+      .select("t.value")
+    assert(rows(out) === Seq(Seq("anonymous")))
+  }
+}
