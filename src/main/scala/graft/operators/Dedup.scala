@@ -47,8 +47,14 @@ object Dedup {
     * reassemble each doc from its surviving lines in original order.
     *
     * Scale shape: posexplode → one map-side-combinable df aggregate over
-    * line hashes → broadcast anti-join of the (tiny by construction) hot
-    * set → one groupBy(doc) reassembly. Reassembly order is carried
+    * line hashes → anti-join of the hot set → one groupBy(doc)
+    * reassembly. The hot side is usually tiny (lines repeated > maxDf
+    * times), but its CARDINALITY is not bounded by maxDf — a
+    * template-heavy corpus can have millions of distinct boilerplate
+    * lines — so the join is deliberately left unhinted: the planner
+    * broadcasts when runtime stats say the hot set fits and falls back
+    * to a shuffled anti-join when it doesn't, instead of a forced
+    * broadcast OOMing the driver at 100 TB. Reassembly order is carried
     * explicitly (collect_list of (pos, line) then array_sort) — never
     * rely on collect_list's arrival order surviving a shuffle.
     *
@@ -63,7 +69,7 @@ object Dedup {
     val hot = lines.groupBy(col("line"))
       .agg(countDistinct(col("id")).as("line_df"))
       .filter(col("line_df") > maxDf).select("line")
-    val kept = lines.join(broadcast(hot), Seq("line"), "left_anti")
+    val kept = lines.join(hot, Seq("line"), "left_anti")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(
