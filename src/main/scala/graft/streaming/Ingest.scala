@@ -37,14 +37,25 @@ object Ingest {
     * the standard Structured Streaming shape for event-time analytics.
     * `ts` is a nanos-epoch long (nanosAsLong read); integer-divided to
     * micros (never through double — 1e18 nanos exceeds 2^53). Update
-    * mode + AvailableNow: one data batch, so each (window, key) emits
-    * its complete count. */
+    * mode emits a (window, key) row per batch it changed in, and counts
+    * only grow, so the max() read-out is the final value whether the run
+    * was one AvailableNow batch or many (`maxFilesPerTrigger` splits the
+    * run into per-file micro-batches; 0 = all available at once).
+    * Multi-batch caveat shared with every watermarked stream: an event
+    * whose WINDOW END falls below the operator's watermark is dropped as
+    * late (and the watermark reaches the operator filter one batch after
+    * it advances — measured in MultiBatchIngestSpec, not assumed), so
+    * batch-splitting equivalence holds for sources whose file order
+    * keeps each window's stragglers within the 1 h bound; the spec
+    * asserts both the equivalence and the drop. */
   def windowedCounts(spark: SparkSession, dir: String, fileGlob: String,
-                     keyCol: String): DataFrame = {
+                     keyCol: String, maxFilesPerTrigger: Int = 0): DataFrame = {
     val schema = spark.read.option("pathGlobFilter", fileGlob).parquet(dir).schema
     val qn = "graft_windows"
-    val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
-      .parquet(dir)
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val q = reader.parquet(dir)
       .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ets", "1 hour")
       .groupBy(window(col("ets"), "1 hour").as("w"), col(keyCol))
@@ -68,15 +79,20 @@ object Ingest {
     * micro-batch, so a dim refresh between batches is picked up without
     * restarting the query. Aggregation runs on the enriched stream
     * (complete mode, memory sink — same read-out contract as
-    * [[groupedCounts]]). */
+    * [[groupedCounts]]: complete mode rewrites the whole table each
+    * micro-batch, so the final table equals the single-batch answer for
+    * any `maxFilesPerTrigger` split; 0 = all available at once). */
   def enrichStream(spark: SparkSession, dir: String, fileGlob: String,
                    dim: DataFrame, streamKey: String, dimKey: String,
-                   aggKey: String, valueCol: String): DataFrame = {
+                   aggKey: String, valueCol: String,
+                   maxFilesPerTrigger: Int = 0): DataFrame = {
     val schema = spark.read.option("pathGlobFilter", fileGlob)
       .parquet(dir).schema
     val qn = "graft_stream_enrich"
-    val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
-      .parquet(dir)
+    val reader = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val q = reader.parquet(dir)
       .join(broadcast(dim), col(streamKey) === col(dimKey))
       .groupBy(col(aggKey))
       .agg(count(lit(1)).as("n"),
