@@ -244,6 +244,54 @@ object Similarity {
       .drop("qv", "cell")
   }
 
+  /** Publish the IVF index on disk: the cell-assigned corpus written
+    * `partitionBy("cell")`, so a probe reads only its nProbe cell
+    * DIRECTORIES — at 100 TB this is the difference between scanning
+    * the corpus per query and reading nProbe/nCells of it. Returns the
+    * centroids for probe-time cell ranking (a real deployment persists
+    * them next to the index; they are nCells rows, driver-sized by
+    * construction). */
+  def ivfPublish(emb: DataFrame, idCol: String, vecCol: String,
+                 nCells: Int, dest: String): Seq[(Int, Seq[Double])] = {
+    val cents = ivfCentroids(emb, idCol, vecCol, nCells)
+    emb.withColumn("cell", ivfCell(col(vecCol), cents))
+      .write.mode("overwrite").partitionBy("cell").parquet(dest)
+    cents
+  }
+
+  /** Probe a published IVF index: rank cells against the query
+    * driver-side (nCells dot products), then read ONLY the nProbe
+    * nearest cell partitions — the `isin` lands in the scan's
+    * PartitionFilters (IvfIndexSpec asserts the plan property) — and
+    * exact-cosine rank within them. Same result contract as [[ivfKnn]]
+    * over the same centroids. */
+  /** The `nProbe` cells nearest a query vector (driver-side: nCells dot
+    * products, nothing distributed to rank). */
+  def ivfProbeCells(cents: Seq[(Int, Seq[Double])], qv: Seq[Double],
+                    nProbe: Int): Seq[Int] = cents
+    .map { case (cid, c) =>
+      val d = c.zip(qv).map { case (a, b) => a * b }.sum
+      (cid, c.map(x => x * x).sum - 2.0 * d)
+    }
+    .sortBy(_._2).take(nProbe).map(_._1)
+
+  def ivfKnnIndexed(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                    cents: Seq[(Int, Seq[Double])], idCol: String,
+                    vecCol: String, query: DataFrame, k: Int,
+                    nProbe: Int): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val qv = query.select(col("qv").cast("array<double>"))
+      .collect()(0).getSeq[Double](0)
+    val probeCells = ivfProbeCells(cents, qv, nProbe)
+    spark.read.parquet(indexDir)
+      .filter(col("cell").isin(probeCells: _*))
+      .crossJoin(broadcast(query))
+      .withColumn("sim", round(cosine(col(vecCol), col("qv")), 4))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .drop("qv", "cell")
+  }
+
   /** LSH-bucketed ANN: search only vectors sharing the query's SRP bucket,
     * then exact-cosine rank within the bucket. Recall < 1 by construction;
     * callers trade planes for recall. */

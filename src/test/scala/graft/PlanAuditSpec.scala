@@ -45,6 +45,33 @@ class PlanAuditSpec extends SparkSpec {
       s"q_fingerprint should scan only (doc_id, text), got: $cols\n$plan")
   }
 
+  test("q_bucketjoin's DECLARED plan consumes bucket layout: no shuffle below the join") {
+    // BucketedJoinSpec proves the property for hand-built tables; this
+    // asserts it on the declared query's own plan. Broadcast is disabled
+    // so the small gate tables can't dodge the question, and AQE is
+    // disabled so the physical tree is inspectable (node collection —
+    // the aggregate ABOVE the join legitimately shuffles, so the
+    // assertion must scope to the join subtree, not the plan string).
+    val conf = spark.conf
+    val savedB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedA = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Queries.all("q_bucketjoin")(spark, dir)
+      val smj = df.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, "declared q_bucketjoin should sort-merge-join")
+      val subtree = smj.head.toString
+      assert(!subtree.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$subtree")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", savedB)
+      conf.set("spark.sql.adaptive.enabled", savedA)
+    }
+  }
+
   test("q_lookup pushes its key predicate into the scan") {
     val plan = Queries.all("q_lookup")(spark, dir)
       .queryExecution.executedPlan.toString
