@@ -1931,6 +1931,57 @@ object Queries {
        |ORDER BY c_custkey, label NULLS FIRST""".stripMargin
   }
 
+  // --------------------------------------------------------------- Q-dicom
+  // S11 decode through the gate: one synthetic DICOM file per nation is
+  // rendered (Dicom.render, pure-JVM Explicit-VR-LE bytes), scanned via
+  // binaryFile, parsed back by Dicom.dicomTags, and the anonymization-
+  // dictionary fields compared to an oracle that derives the SAME values
+  // straight from the seed table — so the byte walk (preamble, VR forms,
+  // even-length padding, trailing-pad strip) is what the hash checks.
+  // The 25-row driver render is a bounded fixture write, same policy as
+  // q_binary's dropbox tree.
+  def dicomQ(s: SparkSession, dir: String): DataFrame = {
+    val dest = s"$FixtureRoot/dicom"
+    publishOnce(dest, dir) {
+      val seed = load(s, dir, "nation")
+        .select("n_nationkey", "n_name").collect()
+      val d = java.nio.file.Paths.get(dest)
+      java.nio.file.Files.createDirectories(d)
+      seed.foreach { r =>
+        val key = r.getInt(0)
+        val bytes = graft.sources.Dicom.render(Seq(
+          (0x0008, 0x0020, "DA", f"202401${key % 28 + 1}%02d"), // StudyDate
+          (0x0008, 0x0060, "CS", "MR"),                         // kept, not extracted
+          (0x0010, 0x0010, "PN", r.getString(1)),               // PatientsName
+          (0x0010, 0x0020, "LO", s"P$key")))                    // PatientID
+        java.nio.file.Files.write(d.resolve(s"d$key.dcm"), bytes)
+        ()
+      }
+    }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.dcm").load(dest)
+      .select(
+        regexp_extract(col("path"), "d(\\d+)\\.dcm", 1).cast("bigint").as("code"),
+        explode(graft.sources.Dicom.dicomTags(col("content"))).as("t"))
+      .filter(col("t.keyword").isNotNull)
+      .select(col("code"), col("t.keyword").as("keyword"),
+        col("t.value").as("value"))
+      .orderBy("code", "keyword")
+  }
+
+  private val dicomSql =
+    """WITH f AS (
+      |  SELECT n_nationkey AS code, 'PatientsName' AS keyword, n_name AS value
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey, 'PatientID', 'P' || CAST(n_nationkey AS VARCHAR)
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey, 'StudyDate',
+      |         '202401' || lpad(CAST(n_nationkey % 28 + 1 AS VARCHAR), 2, '0')
+      |  FROM nation)
+      |SELECT CAST(code AS BIGINT) AS code, keyword, value
+      |FROM f ORDER BY code, keyword""".stripMargin
+
   // ------------------------------------------------------------ Q-pathnorm
   // J11/S12: metadata↔payload join on normalized relative paths (./ and
   // // noise on the meta side; every 13th file lives elsewhere) + the
@@ -2382,6 +2433,7 @@ object Queries {
     "q_stream_enrich" -> (streamEnrich _),
     "q_asof" -> (asof _),
     "q_props" -> (propsQ _),
+    "q_dicom" -> (dicomQ _),
     "q_skew" -> (skewQ _))
 
   val oracles: Map[String, String] = Map(
@@ -2458,5 +2510,6 @@ object Queries {
     "q_stream_enrich" -> streamEnrichSql,
     "q_asof" -> asofSql,
     "q_props" -> propsSql,
+    "q_dicom" -> dicomSql,
     "q_skew" -> skewSql)
 }

@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale rehearsal for the dedup family: measure q_neardup_minhash,
-  * q_dedup_assign and q_curate at 1x and Nx (default 10x) of sf0.1 and
-  * report wall-time growth vs data growth.
+/** Scale rehearsal: measure the heavy document operators (dedup family +
+  * the round-6 text passes) and the as-of join at 1x and Nx (default
+  * 10x) of sf0.1 and report wall-time growth vs data growth.
   *
   * The Nx corpus is built by replicating `documents` N ways with every
   * token prefixed by a per-replica salt. The salt is a bijective token
@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   * measure: whether the ENGINE's wall-time is ~linear in data volume.
   * Naive replication (identical texts, new ids) would instead inflate
   * candidate pairs ~N^2 by construction and measure the data generator,
-  * not the pipeline.
+  * not the pipeline. `events` is replicated the same way for q_asof —
+  * per-replica user/event id offsets keep the key space disjoint, so the
+  * carry-forward window's per-key work is constant and only the key
+  * COUNT grows (the honest linear axis for a keyed window).
   *
   * Usage: runMain graft.ScaleRehearsal [sfDir] [workDir]
   * Env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALE (default 10),
@@ -24,8 +27,10 @@ import org.apache.spark.sql.functions._
   * Prints one JSON line {"rehearsal":{query:{"x1":s,"xN":s,"growth":r}}}.
   */
 object ScaleRehearsal {
-  private val Queries =
-    Seq("q_neardup_minhash", "q_neardup_ngram", "q_dedup_assign", "q_curate")
+  private val Queries = Seq(
+    "q_neardup_minhash", "q_neardup_ngram", "q_dedup_assign", "q_curate",
+    // round-6 additions: the text passes + the as-of join
+    "q_linededup", "q_winnow", "q_keywords", "q_vocab", "q_asof")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -38,6 +43,7 @@ object ScaleRehearsal {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -57,6 +63,21 @@ object ScaleRehearsal {
           .as("text"),
         col("lang"), col("source"), col("n_chars"))
     salted.write.mode("overwrite").parquet(s"$workDir/documents.parquet")
+
+    // events for q_asof: N replicas on disjoint key/id ranges, ts kept
+    // (read as nanos-long here; written back as plain long, which the
+    // queries' `ts DIV 1000` handles identically).
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val evStride = events.agg(max("event_id")).head.getLong(0) + 1
+    val userStride = events.agg(max("user_id")).head.getLong(0) + 1
+    events
+      .withColumn("k", explode(sequence(lit(0), lit(factor - 1))))
+      .select(
+        (col("event_id") + col("k") * evStride).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("k") * userStride).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$workDir/events.parquet")
 
     def time(dir: String, q: String): Double = (1 to reps).map { _ =>
       val t0 = System.nanoTime()

@@ -254,6 +254,31 @@ object Dicom {
     out.write(b.array(), 0, lenFieldBytes)
   }
 
+  /** Render an Explicit-VR-LE DICOM file (preamble + DICM + file-meta
+    * transfer syntax + the given string elements) — the write direction,
+    * used to produce fixtures and synthetic payloads. Short-form string
+    * VRs only; values are padded to even length per PS3.5 §6.2 (UI with
+    * NUL, others with space). */
+  def render(els: Seq[(Int, Int, String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(new Array[Byte](128))
+    out.write("DICM".getBytes(StandardCharsets.US_ASCII))
+    def el(g: Int, e: Int, vr: String, v: String): Unit = {
+      require(!LongFormVrs.contains(vr), s"render supports short-form VRs, got $vr")
+      val raw = v.getBytes(StandardCharsets.US_ASCII)
+      val vb = if (raw.length % 2 == 0) raw
+        else raw :+ (if (vr == "UI") 0x00.toByte else ' '.toByte)
+      val bb = ByteBuffer.allocate(8 + vb.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(g.toShort).putShort(e.toShort)
+        .put(vr.getBytes(StandardCharsets.US_ASCII))
+        .putShort(vb.length.toShort).put(vb)
+      out.write(bb.array(), 0, bb.capacity())
+    }
+    el(0x0002, 0x0010, "UI", ExplicitLE)
+    els.foreach { case (g, e, vr, v) => el(g, e, vr, v) }
+    out.toByteArray
+  }
+
   // --------------------------------------------------------- Spark seam
   /** Tag row the decode UDF emits per element. */
   final case class TagRow(group: Int, element: Int, vr: String,
