@@ -58,6 +58,45 @@ class AsOfSpec extends SparkSpec {
     assert(probe === Array("v490"))
   }
 
+  test("chunked variant is row-identical to the single-window operator") {
+    // chunk=7 forces range boundaries through the fixture (t spans 4-99):
+    // in-range carries, cross-range inheritance and the no-predecessor
+    // case all exercise
+    val plain = AsOf.asofJoin(left, right, "k", "t", Seq("v"))
+      .select("event_id", "v", "__rt").orderBy("event_id")
+    val chunked = AsOf.asofJoinChunked(left, right, "k", "t", Seq("v"), chunk = 7L)
+      .select("event_id", "v", "__rt").orderBy("event_id")
+    assert(rows(chunked) === rows(plain))
+  }
+
+  test("chunked variant: NULL carry values survive across range boundaries") {
+    val l = Seq((1L, 7L, 12L), (2L, 7L, 30L)).toDF("event_id", "k", "t")
+    val r = Seq((7L, 5L, Option("old"), "W5"), (7L, 10L, None: Option[String], "W10"))
+      .toDF("k", "t", "v", "w")
+    // chunk=8: right rows land in ranges 0 and 1; left t=30 is in range 3
+    // with NO right rows — its carry must come from range 1's last right
+    // row, with the NULL v intact (not range 0's "old").
+    val out = AsOf.asofJoinChunked(l, r, "k", "t", Seq("v", "w"), chunk = 8L)
+      .select("event_id", "v", "w", "__rt").orderBy("event_id")
+    assert(rows(out) === Seq(
+      Seq(1L, null, "W10", 10L),
+      Seq(2L, null, "W10", 10L)))
+  }
+
+  test("chunked variant matches on the hot-key corpus") {
+    val n = 20000
+    val hotLeft = (0 until n).map { i =>
+      (i.toLong, if (i % 2 == 0) 1L else (i % 50).toLong + 2L, (i % 1000).toLong)
+    }.toDF("event_id", "k", "t")
+    val hotRight = ((0 until 500 by 10).map(t => (1L, t.toLong, s"v$t")) ++
+      (2L to 51L).map(k => (k, 0L, s"k$k"))).toDF("k", "t", "v")
+    val plain = AsOf.asofJoin(hotLeft, hotRight, "k", "t", Seq("v"))
+      .select("event_id", "v").orderBy("event_id")
+    val chunked = AsOf.asofJoinChunked(hotLeft, hotRight, "k", "t", Seq("v"), 100L)
+      .select("event_id", "v").orderBy("event_id")
+    assert(rows(chunked) === rows(plain))
+  }
+
   test("left rows and columns survive unchanged; one shuffle by key") {
     val r = AsOf.asofJoin(left, right, "k", "t", Seq("v"))
     assert(r.count() === 4)
