@@ -1083,6 +1083,30 @@ object Queries {
        |  ON c.user_id = e.user_id AND c.ts >= e.tr
        |ORDER BY event_id""".stripMargin
 
+  // -------------------------------------------------------- Q-asof-chunked
+  // The SAME as-of semantics through the range-chunked carry variant
+  // (AsOf.asofJoinChunked — the hot-key scale path: per-(key, range)
+  // windows + a cumulated range summary instead of one window per key),
+  // against the SAME independent DuckDB native-ASOF oracle. Two engine
+  // plans, one gate truth: a boundary-stitch bug in the chunked variant
+  // diverges this row while q_asof stays green. Chunk = 1 hour of
+  // microseconds, so sf0.01's event span crosses many boundaries.
+  def asofChunked(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+      .withColumn("ts", expr("ts DIV 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("err_value"))
+    AsOf.asofJoinChunked(clicks, errors, "user_id", "ts", Seq("err_value"),
+        chunk = 3600L * 1000000L)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("err_value"),
+        (col("ts") - col("__rt")).as("lag_us"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------- Q-winnow
   // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
   // algorithm): slide a w-hash window over the ORDERED k-gram hashes and
@@ -2432,6 +2456,7 @@ object Queries {
     "q_keywords" -> (keywords _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_asof" -> (asof _),
+    "q_asof_chunked" -> (asofChunked _),
     "q_props" -> (propsQ _),
     "q_dicom" -> (dicomQ _),
     "q_skew" -> (skewQ _))
@@ -2509,6 +2534,7 @@ object Queries {
     "q_keywords" -> keywordsSql,
     "q_stream_enrich" -> streamEnrichSql,
     "q_asof" -> asofSql,
+    "q_asof_chunked" -> asofSql, // same truth, different engine plan
     "q_props" -> propsSql,
     "q_dicom" -> dicomSql,
     "q_skew" -> skewSql)

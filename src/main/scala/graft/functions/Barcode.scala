@@ -25,8 +25,20 @@ object Barcode {
     (1 to 9).map(i => ascii(substring(code, i, 1)) * lit(i)).reduce(_ + _)
 
   /** Checksum character for a code's 9-char prefix
-    * (register-iontorrent-data.py:84-94 `map_to_char`/`create_checksum`). */
-  def checksumChar(code: Column): Column = {
+    * (register-iontorrent-data.py:84-94 `map_to_char`/`create_checksum`).
+    * Routed through the native `qbic_checksum` expression: ONE codegen'd
+    * call whose child is evaluated once. The pure-column alternative
+    * ([[checksumCharColumnar]]) duplicates its child into all 9 weighted
+    * positions, which multiplies generated code when composed —
+    * `isValid(make(...))` chains breached Janino's 64 KB method limit
+    * and fell out of whole-stage codegen. Requires the `qbic_checksum`
+    * registration every graft entry point performs (GraftExtensions). */
+  def checksumChar(code: Column): Column = call_function("qbic_checksum", code)
+
+  /** The checksum as pure built-in columns — works WITHOUT
+    * GraftExtensions, at the cost of 9 duplicated child evaluations;
+    * QbicChecksumSpec holds the two implementations equal. */
+  def checksumCharColumnar(code: Column): Column = {
     val m = weightedSum(code) % 34 + 48
     char(when(m > 57, m + 7).otherwise(m))
   }

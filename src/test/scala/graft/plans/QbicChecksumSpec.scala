@@ -17,7 +17,7 @@ class QbicChecksumSpec extends SparkSpec {
     }
     val df = codes.toDF("code").select(
       call_function("qbic_checksum", col("code")).as("native"),
-      Barcode.checksumChar(col("code")).as("columnar"))
+      Barcode.checksumCharColumnar(col("code")).as("columnar"))
     assert(df.filter(col("native") =!= col("columnar")).count() === 0)
   }
 
