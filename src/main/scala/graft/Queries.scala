@@ -2006,6 +2006,52 @@ object Queries {
       |SELECT CAST(code AS BIGINT) AS code, keyword, value
       |FROM f ORDER BY code, keyword""".stripMargin
 
+  // ---------------------------------------------------------------- Q-mail
+  // K4's engine half through the gate: the inquiry-mail render
+  // (mail-inquiry.py message assembly — headers, templated body, base64
+  // TSV attachment) built per nation with synthetic addresses, against
+  // an oracle that re-assembles the identical RFC-2822 string with SQL
+  // concatenation and its own base64. Transport stays the K4 exec seam.
+  def mailQ(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "nation")
+      .select(col("n_nationkey"),
+        Sinks.renderInquiryMail(
+          from = lit("noreply@example.org"),
+          to = lit("pm@example.org,lead@example.org,"),
+          user = concat(lit("user_"), col("n_nationkey").cast("string")),
+          project = concat(lit("Q"), substring(col("n_name"), 1, 4)),
+          space = concat(lit("SPACE_"), col("n_regionkey").cast("string")),
+          tsv = concat(lit("sample\tcount\n"), col("n_name"), lit("\t"),
+            col("n_nationkey").cast("string"), lit("\n"))).as("msg"))
+      .orderBy("n_nationkey")
+
+  private val mailSql =
+    """SELECT n_nationkey,
+      |  'From: noreply@example.org' || chr(10) ||
+      |  'To: pm@example.org,lead@example.org,' || chr(10) ||
+      |  'Subject: user_' || CAST(n_nationkey AS VARCHAR) ||
+      |  ' would like to register the new project Q' || substr(n_name, 1, 4) || chr(10) ||
+      |  'MIME-Version: 1.0' || chr(10) ||
+      |  'Content-Type: multipart/mixed; boundary="=_graft_part"' || chr(10) || chr(10) ||
+      |  '--=_graft_part' || chr(10) ||
+      |  'Content-Type: text/plain' || chr(10) || chr(10) ||
+      |  'Hi,' || chr(10) || chr(10) ||
+      |  'user_' || CAST(n_nationkey AS VARCHAR) ||
+      |  ' would like to register the Project Q' || substr(n_name, 1, 4) ||
+      |  ' in Space SPACE_' || CAST(n_regionkey AS VARCHAR) || '.' || chr(10) ||
+      |  'I''ve attached the project TSV for you.' || chr(10) || chr(10) ||
+      |  'Have a nice day,' || chr(10) ||
+      |  'Your friendly mail service plugin.' || chr(10) || chr(10) ||
+      |  '--=_graft_part' || chr(10) ||
+      |  'Content-Type: application/octet-stream' || chr(10) ||
+      |  'Content-Transfer-Encoding: base64' || chr(10) ||
+      |  'Content-Disposition: attachment; filename="Q' || substr(n_name, 1, 4) ||
+      |  '_plan.tsv"' || chr(10) || chr(10) ||
+      |  to_base64(encode('sample' || chr(9) || 'count' || chr(10) || n_name ||
+      |    chr(9) || CAST(n_nationkey AS VARCHAR) || chr(10))) || chr(10) ||
+      |  '--=_graft_part--' AS msg
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   // ------------------------------------------------------------ Q-pathnorm
   // J11/S12: metadata↔payload join on normalized relative paths (./ and
   // // noise on the meta side; every 13th file lives elsewhere) + the
@@ -2459,6 +2505,7 @@ object Queries {
     "q_asof_chunked" -> (asofChunked _),
     "q_props" -> (propsQ _),
     "q_dicom" -> (dicomQ _),
+    "q_mail" -> (mailQ _),
     "q_skew" -> (skewQ _))
 
   val oracles: Map[String, String] = Map(
@@ -2537,5 +2584,6 @@ object Queries {
     "q_asof_chunked" -> asofSql, // same truth, different engine plan
     "q_props" -> propsSql,
     "q_dicom" -> dicomSql,
+    "q_mail" -> mailSql,
     "q_skew" -> skewSql)
 }

@@ -116,6 +116,43 @@ object Sinks {
     concat(lit(s"<$tag"), attrStr, lit(">"), esc(body), lit(s"</$tag>"))
   }
 
+  /** K4 engine-side: the project-inquiry mail the reference's reporting
+    * plugin assembles (mail-inquiry.py:22-41 — MIMEMultipart with a
+    * templated text part and a base64 TSV attachment named
+    * `<project>_plan.tsv`) rendered as a deterministic RFC-2822 string
+    * column. Differences from Python's mime lib, by design: the
+    * multipart boundary is a CALLER-SUPPLIED constant (Python draws a
+    * random one — useless for exactly-once sinks and replay tests) and
+    * base64 is unchunked. SMTP transport stays external (exec harness,
+    * K4's by-design seam); this is the message-construction half, which
+    * is the reference logic worth gating. */
+  def renderInquiryMail(from: Column, to: Column, user: Column,
+                        project: Column, space: Column, tsv: Column,
+                        boundary: String = "=_graft_part"): Column = {
+    val nl = lit("\n")
+    val bd = lit(s"--$boundary")
+    concat(
+      lit("From: "), from, nl,
+      lit("To: "), to, nl,
+      lit("Subject: "), user,
+      lit(" would like to register the new project "), project, nl,
+      lit("MIME-Version: 1.0\n"),
+      lit(s"""Content-Type: multipart/mixed; boundary="$boundary"""" + "\n\n"),
+      bd, nl,
+      lit("Content-Type: text/plain\n\nHi,\n\n"),
+      user, lit(" would like to register the Project "), project,
+      lit(" in Space "), space,
+      lit(".\nI've attached the project TSV for you.\n\n" +
+        "Have a nice day,\nYour friendly mail service plugin.\n\n"),
+      bd, nl,
+      lit("Content-Type: application/octet-stream\n" +
+        "Content-Transfer-Encoding: base64\n" +
+        "Content-Disposition: attachment; filename=\""),
+      project, lit("_plan.tsv\"\n\n"),
+      base64(tsv.cast("binary")), nl,
+      bd, lit("--"))
+  }
+
   /** Q_NOTES append (add-to-xml-note/edit-note.py:17-31): read a
     * `<notes>…</notes>` property value, drop its closing tag, append one
     * `<note><comment/><time/><username/></note>` block and re-close. A
