@@ -1431,11 +1431,20 @@ object Queries {
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------ Q-embdup
-  // Embedding-cosine near-dup pairs via banded SRP-LSH — the scale path
-  // is the DECLARED query (equi-join on (band, bucket), never all
-  // pairs); the exact O(n²) variant stays a spec-level recall baseline.
-  // The oracle replays the identical hyperplanes as SQL literals, so
-  // both engines bucket — and therefore answer — identically.
+  // Embedding-cosine near-dup pairs via banded SRP-LSH (equi-join on
+  // (band, bucket), never all pairs); the exact variant stays a
+  // spec-level recall baseline. The oracle replays the identical
+  // hyperplanes as SQL literals, so both engines bucket — and therefore
+  // answer — identically.
+  // SCALE NOTE (r7, from ScaleRehearsal): this FIXED banding (r = 4
+  // bits/band) is sized for the gate corpus; its random-pair admission
+  // rate bands·2^-r turns the candidate join quadratic once n outgrows
+  // the 16-bucket band space (measured 158x wall for 10x data). The
+  // parameters must be static here because the oracle replays them as
+  // SQL literals. The shape that scales is Similarity.
+  // embeddingNearDupAuto (r grows with log2 n → linear candidates,
+  // documented recall trade), which is what ScaleRehearsal measures;
+  // low-threshold similarity at scale belongs to the IVF index instead.
   // SEMANTICS NOTE (recorded per round-3 advice): since round 3 the
   // declared semantics are LSH (expected recall ≈ 1-(1-p⁴)⁸ ≈ 0.75 at
   // the 0.4 threshold), not exact all-pairs. Because the oracle shares

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale rehearsal: measure the heavy document operators (dedup family +
@@ -30,7 +30,9 @@ object ScaleRehearsal {
   private val Queries = Seq(
     "q_neardup_minhash", "q_neardup_ngram", "q_dedup_assign", "q_curate",
     // round-6 additions: the text passes + the as-of join
-    "q_linededup", "q_winnow", "q_keywords", "q_vocab", "q_asof")
+    "q_linededup", "q_winnow", "q_keywords", "q_vocab", "q_asof",
+    // round-7: simhash over the salted documents corpus
+    "q_simhash_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -63,6 +65,26 @@ object ScaleRehearsal {
           .as("text"),
         col("lang"), col("source"), col("n_chars"))
     salted.write.mode("overwrite").parquet(s"$workDir/documents.parquet")
+
+    // embeddings for q_embdup: N replicas, each transformed by a
+    // per-replica ±1 diagonal (sign pattern from bits of k·(i+7)) — an
+    // ORTHOGONAL map, so intra-replica cosines (and thus the replica's
+    // near-dup structure) are EXACTLY preserved while cross-replica
+    // pairs decorrelate; the corpus's intrinsic pair count grows
+    // linearly with N, same honesty argument as the token salting.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val vecStride = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val signs = (k: Column) => array((0 until dim).map { i =>
+      when(pmod(k * (i + 7), lit(3)) === 0, lit(-1.0f)).otherwise(lit(1.0f))
+    }: _*)
+    emb.withColumn("k", explode(sequence(lit(0), lit(factor - 1))))
+      .select(
+        (col("vec_id") + col("k") * vecStride).as("vec_id"),
+        when(col("k") === 0, col("embedding"))
+          .otherwise(zip_with(col("embedding"), signs(col("k")),
+            (v, s) => v * s)).as("embedding"))
+      .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
 
     // events for q_asof: N replicas on disjoint key/id ranges, ts kept
     // (read as nanos-long here; written back as plain long, which the
@@ -97,7 +119,30 @@ object ScaleRehearsal {
       val tN = time(workDir, q)
       (q, t1, tN, tN / t1)
     }
-    val body = rows.map { case (q, t1, tN, g) =>
+
+    // Embedding near-dup is rehearsed through the ADAPTIVE-r variant:
+    // the gate config (fixed r=4 bits/band, sized for its corpus) admits
+    // bands·2^-r of all random pairs as candidates and therefore turns
+    // quadratic once n outgrows the 16-bucket band space (measured 158x
+    // for 10x — recorded in BASELINE.md). embeddingNearDupAuto grows r
+    // with log2(n), holding candidates linear; THAT is the shape whose
+    // scaling a 100 TB run cares about.
+    def timeAuto(dir: String): Double = (1 to reps).map { _ =>
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val t0 = System.nanoTime()
+      graft.operators.Similarity.embeddingNearDupAuto(
+        emb, "vec_id", "embedding", threshold = 0.4, dim = 64).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      dt
+    }.min
+    val autoRow = {
+      val t1 = timeAuto(sfDir)
+      val tN = timeAuto(workDir)
+      ("embdup_auto", t1, tN, tN / t1)
+    }
+
+    val body = (rows :+ autoRow).map { case (q, t1, tN, g) =>
       f""""$q":{"x1":$t1%.2f,"x$factor":$tN%.2f,"growth":$g%.2f}"""
     }.mkString(",")
     println(s"""{"rehearsal":{$body},"factor":$factor,"sf":"$sfDir"}""")

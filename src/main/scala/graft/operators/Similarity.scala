@@ -188,6 +188,31 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Corpus-size-adaptive banding: planes per band r = log2(n /
+    * occupancy), so each band's expected bucket occupancy — and with it
+    * the candidate volume — stays CONSTANT per row as the corpus grows
+    * (candidates ~ bands · n · occupancy, i.e. LINEAR), instead of the
+    * fixed-r config whose random-pair admission rate bands·2^-r turns
+    * quadratic once n outgrows the bucket space (measured: the 4-bit
+    * gate config grew 158x for 10x data in ScaleRehearsal).
+    *
+    * The trade is per-band recall p^r decaying as n grows — SRP-LSH
+    * cannot hold BOTH linear candidates and flat recall at a low
+    * threshold (p(sim=0.4)=0.63 vs p=0.5 for random pairs: the
+    * separation (p/0.5)^r is the whole signal, and it is thin). At
+    * near-dup thresholds worth the name (sim ≥ 0.8, p ≥ 0.8) the decay
+    * is mild; for low-threshold similarity at scale, the partitioned
+    * IVF index ([[ivfPublish]]/[[ivfKnnIndexed]]) is the right tool. */
+  def embeddingNearDupAuto(emb: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, dim: Int, bands: Int = 8,
+                           targetOccupancy: Int = 8): DataFrame = {
+    val n = emb.count()
+    val r = math.min(24, math.max(4,
+      math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2)).toInt))
+    embeddingNearDupBucketed(emb, idCol, vecCol, threshold,
+      nPlanes = r * bands, dim = dim, bands = bands)
+  }
+
   // ------------------------------------------------------------- IVF ANN
   /** Deterministic IVF centroids: an evenly-strided seeded sample of the
     * corpus itself (k-means-free — centroid quality matters less than

@@ -44,6 +44,13 @@ class FactorXmlSpec extends SparkSpec {
     assert(rows(out) === Seq(Seq(0), Seq(0)))
   }
 
+  test("malformed and NULL input degrade to an empty array, never throw") {
+    val out = Seq(Some("<qproperties><qfactors><qcategorical label=\"x\""), // truncated
+        Some("not xml at all"), None)
+      .toDF("x").select(size(FactorXml.parseFactors(col("x"))).as("n"))
+    assert(rows(out) === Seq(Seq(0), Seq(0), Seq(0)))
+  }
+
   test("hasFactor filters rows by a factor value") {
     val mk = (v: String) => decl + " <qproperties> <qfactors> " +
       s"""<qcategorical label="arm" value="$v"/> </qfactors> </qproperties>"""

@@ -248,6 +248,20 @@ class EmbeddingDedupSpec extends SparkSpec {
     assert(banded.size.toDouble / exact.size > 0.4)
   }
 
+  test("adaptive-r banding stays a subset of exact with non-trivial recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.embeddingNearDupExact(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val auto = Similarity.embeddingNearDupAuto(
+        emb, "vec_id", "embedding", 0.4, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto.subsetOf(exact))
+    // n=500, occupancy 8 → r=6: per-band recall p^6 ≈ 0.06, OR over 8
+    // bands ≈ 0.4 — the documented low-threshold decay; assert it stays
+    // meaningfully above zero at this corpus size
+    assert(auto.size.toDouble / exact.size > 0.15)
+  }
+
   test("blocked all-pairs equi-join == naive exact, and plans no BNLJ/cartesian") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val naive = Similarity.embeddingNearDupExact(emb, "vec_id", "embedding", 0.4)
