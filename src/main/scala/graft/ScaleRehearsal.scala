@@ -142,7 +142,26 @@ object ScaleRehearsal {
       ("embdup_auto", t1, tN, tN / t1)
     }
 
-    val body = (rows :+ autoRow).map { case (q, t1, tN, g) =>
+    // Same rationale for simhash: the 32-bit gate config bands into 256
+    // buckets (admission bands·2^-8 of n² — corpus-sized); the 64-bit
+    // variant's 16-bit bands are the deployable shape, measured here.
+    def timeSimhash64(dir: String): Double = (1 to reps).map { _ =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.simhashPairs(
+        graft.operators.Dedup.simhash64(docs, "doc_id", "text"),
+        maxHamming = 3, bits = 64).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      dt
+    }.min
+    val sim64Row = {
+      val t1 = timeSimhash64(sfDir)
+      val tN = timeSimhash64(workDir)
+      ("simhash64", t1, tN, tN / t1)
+    }
+
+    val body = (rows :+ autoRow :+ sim64Row).map { case (q, t1, tN, g) =>
       f""""$q":{"x1":$t1%.2f,"x$factor":$tN%.2f,"growth":$g%.2f}"""
     }.mkString(",")
     println(s"""{"rehearsal":{$body},"factor":$factor,"sf":"$sfDir"}""")

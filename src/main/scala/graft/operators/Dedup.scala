@@ -219,14 +219,45 @@ object Dedup {
       .select(col("id"), fp.as("simhash"))
   }
 
-  /** SimHash near-dup candidates: band on the fingerprint's 4 bytes (any
-    * shared byte ⇒ candidate), verify by Hamming distance ≤ maxHamming.
-    * One explode pass over the signature — a bands-way union would
-    * recompute the upstream fingerprint aggregation once per band. */
-  def simhashPairs(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** 64-bit SimHash fingerprint — the SCALE variant of [[simhash32]]:
+    * same frequency-weighted bit votes, token hashes from xxhash64.
+    * With the 4-band split this gives 16-bit bands (65 536 buckets per
+    * band vs 256 for 32-bit): the band space, which bounds how many
+    * random pairs the candidate join admits (≈ bands · 2^-bandBits of
+    * n²/2), grows 256x — the same fixed-band-space lesson the
+    * ScaleRehearsal taught for SRP banding. 32-bit stays the gate
+    * config (its oracle replays shaHash32 in SQL; xxhash64 has no
+    * DuckDB twin), 64-bit is the one to deploy at corpus scale. */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i")
+    }
+    val fp = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, 1L << i).otherwise(0L)
+    }.reduce(_ + _)
+    tok.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: band the fingerprint into 4 equal
+    * slices (any shared slice ⇒ candidate — pigeonhole-complete for
+    * Hamming ≤ 3: a pair differing in ≤ 3 bits cannot touch all 4
+    * bands), verify by Hamming distance ≤ maxHamming. One explode pass
+    * over the signature — a bands-way union would recompute the
+    * upstream fingerprint aggregation once per band. `bits` selects the
+    * fingerprint width: 32 ([[simhash32]], 8-bit bands — gate config)
+    * or 64 ([[simhash64]], 16-bit bands — corpus scale). */
+  def simhashPairs(sig: DataFrame, maxHamming: Int = 3,
+                   bits: Int = 32): DataFrame = {
+    require(bits == 32 || bits == 64, s"bits must be 32 or 64, got $bits")
+    val bandBits = bits / 4
+    val mask = (1L << bandBits) - 1
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 8).bitwiseAND(255).as("band_hash"))
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(mask).as("band_hash"))
     }
     val bandDf = sig
       .select(col("id"), col("simhash"), explode(array(bandStructs: _*)).as("bb"))

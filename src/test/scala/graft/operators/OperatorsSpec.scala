@@ -47,6 +47,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("simhash64 banding is pigeonhole-COMPLETE for Hamming ≤ 3") {
+    // real corpus signatures, brute-force ground truth computed driver-
+    // side (500 sigs → 125k pairs, trivial): every Hamming ≤ 3 pair must
+    // share one of the 4 16-bit bands and therefore appear in the
+    // operator's output, and nothing above the bound may pass the verify
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sig = Dedup.simhash64(corpus, "doc_id", "text")
+    val got = Dedup.simhashPairs(sig, maxHamming = 3, bits = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sigs = sig.as[(Long, Long)].collect()
+    val want = (for {
+      i <- sigs.indices.iterator; j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 3
+    } yield {
+      val (a, b) = (sigs(i)._1, sigs(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    assert(got === want)
+  }
+
   test("misconfigured band count fails loudly") {
     intercept[IllegalArgumentException] {
       Dedup.nearDupMinhash(docs, "doc_id", "text", k = 16, bands = 5)
