@@ -13,8 +13,11 @@ import org.apache.spark.storage.StorageLevel
   * Here the DAG is an edge table `(child, parent)` and every walk is an
   * iterated self-join to fixpoint — the standard Spark shape for recursive
   * CTEs. Each frontier is cached and the loop stops when the frontier is
-  * empty; a depth cap guards against cycles (the reference implicitly
-  * assumes acyclicity).
+  * empty. A graph still live at `MaxDepth` — a cycle, or a catalog far
+  * deeper than any the reference produces (4-5 levels) — FAILS LOUDLY
+  * instead of silently truncating: on a cycle the per-pair path counts
+  * inflate every lap, so a truncated answer is not an approximation, it
+  * is garbage with a green status.
   *
   * Scale notes: the frontier shrinks monotonically for DAGs of bounded
   * depth (the reference's is 4-5 levels), so the expensive join is the
@@ -58,6 +61,11 @@ object Lineage {
       if (next.isEmpty) done = true
       else { levels += next; frontier = next; depth += 1 }
     }
+    if (!done && depth >= MaxDepth)
+      throw new IllegalStateException(
+        s"lineage walk still live at depth $MaxDepth — cycle in the edge " +
+          "table or a graph deeper than the supported bound; refusing to " +
+          "return a silently truncated result")
     levels.reduce(_ union _)
   }
 

@@ -180,9 +180,12 @@ class LineageSpec extends SparkSpec {
     assert(d === Set("c", "d"))
   }
 
-  test("a cycle terminates at the depth cap instead of hanging") {
+  test("a cycle fails loudly at the depth cap instead of silently truncating") {
+    // on a cycle the walk's per-pair path counts inflate every lap, so a
+    // depth-capped answer is wrong, not approximate — refuse it (r7)
     val cyc = Seq(("x", "y"), ("y", "x")).toDF("child", "parent")
-    assert(Lineage.ancestors(cyc).count() > 0) // bounded, returns
+    val ex = intercept[IllegalStateException] { Lineage.ancestors(cyc).count() }
+    assert(ex.getMessage.contains("cycle"))
   }
 }
 
