@@ -66,6 +66,19 @@ object External {
   def skipDone(inputs: DataFrame, done: DataFrame, key: Seq[String]): DataFrame =
     inputs.join(done.select(key.map(col): _*).distinct(), key, "left_anti")
 
+  /** K6/X7 stdout glue: omero-bifrost answers `--to-xml` on stdout and
+    * the reference digs the first child element's `id` attribute out
+    * with ElementTree (`image_registration_process.py:69-74`). Same
+    * extraction as a codegen'd xpath column over the harness's
+    * `stdout` — no driver-side parse loop; -1 when no id element is
+    * present (the reference's own sentinel). */
+  def firstXmlId(stdout: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // xpath_string (not xpath_long): the numeric form maps "no match"
+    // to 0, indistinguishable from a real id 0 — the empty string isn't
+    val s = xpath_string(stdout, lit("string((//*[@id])[1]/@id)"))
+    when(s.isNull || s === "", lit(-1L)).otherwise(s.cast("long"))
+  }
+
   /** K7: bounded retry with backoff (sample-tracking updates retry 3×1s,
     * register-fastq-dropbox.py:133-145). For use inside foreachPartition
     * sinks; throws the last failure when attempts are exhausted. */

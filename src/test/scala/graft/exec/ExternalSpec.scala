@@ -35,6 +35,22 @@ class ExternalSpec extends SparkSpec {
     assert(secs < 30, s"timeout did not fire promptly ($secs s)")
   }
 
+  test("firstXmlId digs the tool's dataset id out of XML stdout (K6 glue)") {
+    import org.apache.spark.sql.functions._
+    // a REAL subprocess emitting the omero-bifrost --to-xml shape: the
+    // reference takes the first child element's id attribute
+    val xml = "<omero><dataset id=\"4711\" name=\"QABCD\"/></omero>"
+    val r = External.execRows(Seq("QABCD").toDS(), _ => Seq("echo", xml),
+        timeoutSec = 30)
+      .withColumn("ds_id", External.firstXmlId(col("stdout")))
+    assert(rows(r.select("ds_id")).flatten === Seq(4711L))
+    // no id element → the reference's -1 sentinel
+    val none = External.execRows(Seq("x").toDS(), _ => Seq("echo", "<omero/>"),
+        timeoutSec = 30)
+      .withColumn("ds_id", External.firstXmlId(col("stdout")))
+    assert(rows(none.select("ds_id")).flatten === Seq(-1L))
+  }
+
   test("skipDone drops inputs whose output already exists") {
     val inputs = Seq("a", "b", "c").toDF("path")
     val done = Seq("b").toDF("path")
