@@ -52,7 +52,7 @@ object ScaleRehearsal {
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // Id offset per replica keeps ids unique without assuming density.
-    val idStride = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val idStride = docs.agg(max("doc_id")).head().getLong(0) + 1
     // Replica 0 keeps the original text (1x is a strict subset); replicas
     // k>0 prefix every token with "zk<k>q" — alphanumeric, so the
     // whitespace tokenizer still sees one token per original token.
@@ -73,8 +73,8 @@ object ScaleRehearsal {
     // pairs decorrelate; the corpus's intrinsic pair count grows
     // linearly with N, same honesty argument as the token salting.
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
-    val vecStride = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val vecStride = emb.agg(max("vec_id")).head().getLong(0) + 1
     val signs = (k: Column) => array((0 until dim).map { i =>
       when(pmod(k * (i + 7), lit(3)) === 0, lit(-1.0f)).otherwise(lit(1.0f))
     }: _*)
@@ -90,8 +90,8 @@ object ScaleRehearsal {
     // (read as nanos-long here; written back as plain long, which the
     // queries' `ts DIV 1000` handles identically).
     val events = spark.read.parquet(s"$sfDir/events.parquet")
-    val evStride = events.agg(max("event_id")).head.getLong(0) + 1
-    val userStride = events.agg(max("user_id")).head.getLong(0) + 1
+    val evStride = events.agg(max("event_id")).head().getLong(0) + 1
+    val userStride = events.agg(max("user_id")).head().getLong(0) + 1
     events
       .withColumn("k", explode(sequence(lit(0), lit(factor - 1))))
       .select(

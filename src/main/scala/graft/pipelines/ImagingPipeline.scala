@@ -37,7 +37,8 @@ object ImagingPipeline {
   /** Normalize a dynamic TSV header the way `getPropertyNames` does:
     * trim, uppercase, spaces→underscores. */
   def normalizeHeader(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(c => c.trim.toUpperCase.replace(" ", "_")): _*)
+    df.toDF(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      df.columns.map(c => c.trim.toUpperCase.replace(" ", "_"))): _*)
 
   /** Read a `metadata_table.tsv` (dynamic columns, header row). */
   def readMetadataTable(spark: SparkSession, path: String): DataFrame =
