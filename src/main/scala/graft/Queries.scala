@@ -2061,6 +2061,37 @@ object Queries {
       |  '--=_graft_part--' AS msg
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  // ------------------------------------------------------------- Q-urlnorm
+  // URL-keyed dedup prep: messy URLs (random scheme/host casing, default
+  // :80 port, utm/gclid tracking params, fragments) are constructed
+  // per-event, canonicalized by TextFunctions.canonicalizeUrl (staged
+  // RE2-portable regexps, scan-stage codegen), and counted by canonical
+  // key. The oracle does NOT replay the regexps — it derives the
+  // canonical form independently from the seed columns, so the whole
+  // normalize pipeline is checked against ground truth, stage by stage.
+  def urlNorm(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+    val messy = concat(
+      when(col("event_id") % 2 === 0, lit("HTTP://")).otherwise(lit("http://")),
+      when(col("event_id") % 3 === 0, lit("Example")).otherwise(lit("example")),
+      (col("user_id") % 5).cast("string"),
+      when(col("event_id") % 3 === 0, lit(".COM:80")).otherwise(lit(".com")),
+      lit("/p/"), col("event_type"),
+      when(col("event_id") % 2 === 0, lit("?utm_source=x&id=")).otherwise(lit("?id=")),
+      (col("event_id") % 100).cast("string"),
+      when(col("event_id") % 5 === 0, lit("&gclid=abc")).otherwise(lit("")),
+      when(col("event_id") % 4 === 0, lit("#sec")).otherwise(lit("")))
+    ev.select(graft.functions.TextFunctions.canonicalizeUrl(messy).as("url"))
+      .groupBy("url").agg(count(lit(1)).as("n"))
+      .orderBy("url")
+  }
+
+  private val urlNormSql =
+    """SELECT 'http://example' || CAST(user_id % 5 AS VARCHAR) || '.com/p/' ||
+      |       event_type || '?id=' || CAST(event_id % 100 AS VARCHAR) AS url,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------ Q-pathnorm
   // J11/S12: metadata↔payload join on normalized relative paths (./ and
   // // noise on the meta side; every 13th file lives elsewhere) + the
@@ -2515,6 +2546,7 @@ object Queries {
     "q_props" -> (propsQ _),
     "q_dicom" -> (dicomQ _),
     "q_mail" -> (mailQ _),
+    "q_urlnorm" -> (urlNorm _),
     "q_skew" -> (skewQ _))
 
   val oracles: Map[String, String] = Map(
@@ -2594,5 +2626,6 @@ object Queries {
     "q_props" -> propsSql,
     "q_dicom" -> dicomSql,
     "q_mail" -> mailSql,
+    "q_urlnorm" -> urlNormSql,
     "q_skew" -> skewSql)
 }

@@ -70,4 +70,29 @@ object TextFunctions {
   /** Unicode NFC normalization via graft's native codegen'd expression
     * (requires [[graft.GraftExtensions]] on the session). */
   def nfc(text: Column): Column = call_function("nfc_normalize", text)
+
+  /** Canonical URL for dedup keying — the standard web-corpus cleanup:
+    * lowercase scheme+authority, strip the fragment, strip default ports
+    * (http:80 / https:443), drop tracking params (utm_*, fbclid, gclid,
+    * msclkid) and tidy the leftover separators. Staged RE2-portable
+    * regexps (no lookaround, global), same portability contract as
+    * [[redactPii]]: URL-keyed exact dedup at 100 TB is a scan-stage
+    * rewrite, and the oracle engine must be able to replay every stage.
+    * Deliberately NOT touched: query-param order (reordering changes
+    * semantics for some sites) and percent-encoding (decode belongs to a
+    * fetch layer that knows the charset). */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // lowercase scheme://authority, leave path+query casing alone
+    val prefix = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val joined = concat(prefix, rest)
+    val noPort = regexp_replace(
+      regexp_replace(joined, "^(http://[^/:?#]+):80([/?]|$)", "$1$2"),
+      "^(https://[^/:?#]+):443([/?]|$)", "$1$2")
+    val noTrack = regexp_replace(noPort,
+      "(utm_[a-z]+|fbclid|gclid|msclkid)=[^&#]*&?", "")
+    // tidy: '?&' -> '?', trailing '?' or '&' dropped
+    regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]$", "")
+  }
 }

@@ -51,6 +51,19 @@ class FactorXmlSpec extends SparkSpec {
     assert(rows(out) === Seq(Seq(0), Seq(0), Seq(0)))
   }
 
+  test("canonicalizeUrl: case, ports, tracking params, fragments") {
+    val cases = Seq(
+      "HTTP://Example.COM:80/P/x?utm_source=a&id=5#frag" ->
+        "http://example.com/P/x?id=5",
+      "https://a.b:443/x?id=1&gclid=zz" -> "https://a.b/x?id=1",
+      "http://h/p?utm_campaign=c" -> "http://h/p",
+      "http://h:8080/p?id=2" -> "http://h:8080/p?id=2", // non-default port kept
+      "https://H.I/p" -> "https://h.i/p")
+    val out = cases.map(_._1).toDF("u")
+      .select(TextFunctions.canonicalizeUrl(col("u")).as("c"))
+    assert(rows(out).flatten === cases.map(_._2))
+  }
+
   test("hasFactor filters rows by a factor value") {
     val mk = (v: String) => decl + " <qproperties> <qfactors> " +
       s"""<qcategorical label="arm" value="$v"/> </qfactors> </qproperties>"""
