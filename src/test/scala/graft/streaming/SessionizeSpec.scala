@@ -109,6 +109,47 @@ class UpsertStreamSpec extends SparkSpec {
     assert(n1 === direct && n2 === direct)
   }
 
+  test("a crash mid-swap is repaired: complete staging applies, partial drops") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-recover").toString
+    val src = s"$base/src"
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .write.parquet(src)
+    Ingest.upsertExactlyOnce(spark, src, "part-*",
+      s"$base/dest", s"$base/ckpt", Seq("n_nationkey"), nBuckets = 8)
+    // Simulate a commit that died AFTER writing staging (with _SUCCESS)
+    // but BEFORE swapping: one updated row for key 0, laid out exactly
+    // as the foreachBatch writes it.
+    val staged = spark.read.parquet(s"$base/dest")
+      .filter(col("n_nationkey") === 0)
+      .withColumn("n_name", lit("recovered"))
+    staged.write.partitionBy("__bucket").parquet(s"$base/dest.staging")
+    // parquet write emits _SUCCESS at the staging root → "complete"
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/dest.staging/_SUCCESS")))
+    // Next run (no new input — the checkpoint makes the batch a no-op)
+    // must finish the interrupted swap before reading.
+    Ingest.upsertExactlyOnce(spark, src, "part-*",
+      s"$base/dest", s"$base/ckpt", Seq("n_nationkey"), nBuckets = 8)
+    val after = spark.read.parquet(s"$base/dest")
+      .filter(col("n_nationkey") === 0).select("n_name")
+    assert(rows(after).flatten === Seq("recovered"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/dest.staging")))
+    // An INCOMPLETE staging dir (no _SUCCESS — a dead partial write)
+    // must be dropped, not applied.
+    val p = java.nio.file.Paths.get(s"$base/dest.staging/__bucket=0")
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(p.resolve("part-zzz.parquet"), Array[Byte](1, 2))
+    Ingest.upsertExactlyOnce(spark, src, "part-*",
+      s"$base/dest", s"$base/ckpt", Seq("n_nationkey"), nBuckets = 8)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/dest.staging")))
+    val still = spark.read.parquet(s"$base/dest")
+      .filter(col("n_nationkey") === 0).select("n_name")
+    assert(rows(still).flatten === Seq("recovered")) // garbage not applied
+  }
+
   test("a micro-batch rewrites only the buckets its keys touch") {
     import org.apache.spark.sql.functions._
     import scala.jdk.CollectionConverters._
