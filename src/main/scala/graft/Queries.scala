@@ -2332,12 +2332,25 @@ object Queries {
     val tmp = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
-    try Files.list(tmp).forEach { sib =>
-      if (sib.getFileName.toString.startsWith("graft_fixtures_") &&
-          Files.getLastModifiedTime(sib).toMillis < cutoff)
-        Files.walk(sib).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => { Files.deleteIfExists(p); () })
-    } catch { case _: java.io.IOException => () } // sweep is best-effort
+    // best-effort sweep: catch Exception, not just IOException — stream
+    // traversal surfaces races as UncheckedIOException (a RuntimeException),
+    // and a failed sweep must never take down object init (this is a val
+    // initializer; an escape here becomes ExceptionInInitializerError for
+    // every query). Streams are closed explicitly (they hold dir handles).
+    try {
+      val siblings = Files.list(tmp)
+      try siblings.forEach { sib =>
+        try {
+          if (sib.getFileName.toString.startsWith("graft_fixtures_") &&
+              Files.getLastModifiedTime(sib).toMillis < cutoff) {
+            val walk = Files.walk(sib)
+            try walk.sorted(Comparator.reverseOrder[Path]())
+              .forEach(p => { Files.deleteIfExists(p); () })
+            finally walk.close()
+          }
+        } catch { case _: Exception => () } // per-sibling: skip and go on
+      } finally siblings.close()
+    } catch { case _: Exception => () }
     Files.createTempDirectory("graft_fixtures_").toString
   }
 
@@ -2345,10 +2358,17 @@ object Queries {
     * repeated spec runs reuse the first rep's write, so timed reps
     * measure the read+join, not the publish. A different source dir
     * re-publishes (same dest path — last writer wins, which is the
-    * correct freshness rule within one JVM). */
+    * correct freshness rule within one JVM). The Spark write runs under
+    * a plain monitor, NOT inside ConcurrentHashMap.compute: compute
+    * holds the bin lock for the body's whole (minutes-long) duration,
+    * stalls unrelated keys that share the bin, and forbids re-entrant
+    * map updates outright. */
   private val published = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val publishLock = new Object
   private def publishOnce(dest: String, dir: String)(body: => Unit): Unit =
-    published.compute(dest, (_, prev) => { if (prev != dir) body; dir })
+    if (published.get(dest) != dir) publishLock.synchronized {
+      if (published.get(dest) != dir) { body; published.put(dest, dir); () }
+    }
 
   private val TsvFixturePath = s"$FixtureRoot/metadata_table.tsv"
 

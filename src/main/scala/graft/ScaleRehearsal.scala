@@ -67,16 +67,20 @@ object ScaleRehearsal {
     salted.write.mode("overwrite").parquet(s"$workDir/documents.parquet")
 
     // embeddings for q_embdup: N replicas, each transformed by a
-    // per-replica ±1 diagonal (sign pattern from bits of k·(i+7)) — an
-    // ORTHOGONAL map, so intra-replica cosines (and thus the replica's
-    // near-dup structure) are EXACTLY preserved while cross-replica
-    // pairs decorrelate; the corpus's intrinsic pair count grows
-    // linearly with N, same honesty argument as the token salting.
+    // per-replica ±1 diagonal — an ORTHOGONAL map, so intra-replica
+    // cosines (and thus the replica's near-dup structure) are EXACTLY
+    // preserved while cross-replica pairs decorrelate; the corpus's
+    // intrinsic pair count grows linearly with N, same honesty argument
+    // as the token salting. The sign for (replica k, dim i) comes from a
+    // HASH of (k, i): an arithmetic pattern like k·(i+7) mod 3 collapses
+    // to the same vector for every k coprime to 3 (bit-identical
+    // replicas — a super-linear pair structure that measures the
+    // generator, not the engine).
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val vecStride = emb.agg(max("vec_id")).head().getLong(0) + 1
     val signs = (k: Column) => array((0 until dim).map { i =>
-      when(pmod(k * (i + 7), lit(3)) === 0, lit(-1.0f)).otherwise(lit(1.0f))
+      when(pmod(hash(k, lit(i)), lit(2)) === 0, lit(-1.0f)).otherwise(lit(1.0f))
     }: _*)
     emb.withColumn("k", explode(sequence(lit(0), lit(factor - 1))))
       .select(
@@ -131,7 +135,7 @@ object ScaleRehearsal {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val t0 = System.nanoTime()
       graft.operators.Similarity.embeddingNearDupAuto(
-        emb, "vec_id", "embedding", threshold = 0.4, dim = 64).count()
+        emb, "vec_id", "embedding", threshold = 0.4, dim = dim).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache(); System.gc()
       dt

@@ -76,7 +76,11 @@ object External {
     // xpath_string (not xpath_long): the numeric form maps "no match"
     // to 0, indistinguishable from a real id 0 — the empty string isn't
     val s = xpath_string(stdout, lit("string((//*[@id])[1]/@id)"))
-    when(s.isNull || s === "", lit(-1L)).otherwise(s.cast("long"))
+    // try_cast + coalesce: a PRESENT but non-numeric id must fold to the
+    // sentinel on ANY session — ANSI mode would make a plain cast THROW
+    // on it, non-ANSI would emit NULL; neither is the contract
+    when(s.isNull || s === "", lit(-1L))
+      .otherwise(coalesce(s.try_cast("long"), lit(-1L)))
   }
 
   /** K7: bounded retry with backoff (sample-tracking updates retry 3×1s,

@@ -90,9 +90,15 @@ object TextFunctions {
     val noPort = regexp_replace(
       regexp_replace(joined, "^(http://[^/:?#]+):80([/?]|$)", "$1$2"),
       "^(https://[^/:?#]+):443([/?]|$)", "$1$2")
+    // [?&] left boundary so 'my_utm_source' / 'xgclid' style params are
+    // NOT corrupted; the separator is restored ($1) and duplicates are
+    // tidied afterwards (an unanchored match would also bite inside path
+    // segments — with the boundary only a literal '&' in a path can
+    // still trigger, an accepted rarity documented here)
     val noTrack = regexp_replace(noPort,
-      "(utm_[a-z]+|fbclid|gclid|msclkid)=[^&#]*&?", "")
-    // tidy: '?&' -> '?', trailing '?' or '&' dropped
-    regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]$", "")
+      "([?&])(utm_[a-z]+|fbclid|gclid|msclkid)=[^&#]*", "$1")
+    // tidy: collapse '&&', then '?&' -> '?', then trailing '?'/'&' drop
+    regexp_replace(regexp_replace(regexp_replace(noTrack,
+      "&&+", "&"), "\\?&", "?"), "[?&]$", "")
   }
 }

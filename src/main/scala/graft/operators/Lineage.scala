@@ -61,11 +61,19 @@ object Lineage {
       if (next.isEmpty) done = true
       else { levels += next; frontier = next; depth += 1 }
     }
-    if (!done && depth >= MaxDepth)
-      throw new IllegalStateException(
-        s"lineage walk still live at depth $MaxDepth — cycle in the edge " +
-          "table or a graph deeper than the supported bound; refusing to " +
-          "return a silently truncated result")
+    if (!done) {
+      // the loop ended by the depth bound, not by an empty frontier — but
+      // nodes EXISTING at MaxDepth is legal (a chain of exactly that
+      // length); only an EXPANDABLE frontier there proves a cycle or an
+      // over-deep graph. One extra probe join distinguishes the two.
+      val probe = frontier.alias("f")
+        .join(e.alias("e"), col("f.anc") === col("e.child"))
+      if (!probe.isEmpty)
+        throw new IllegalStateException(
+          s"lineage walk still live at depth $MaxDepth — cycle in the edge " +
+            "table or a graph deeper than the supported bound; refusing to " +
+            "return a silently truncated result")
+    }
     levels.reduce(_ union _)
   }
 

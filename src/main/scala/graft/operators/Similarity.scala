@@ -91,8 +91,10 @@ object Similarity {
     * Plans as per-partition TakeOrdered + merge (no full sort). The hash
     * `(id * 2654435761) mod 2^32` is chosen over xxhash64 because the
     * oracle side (any ANSI engine) can replay it with plain integer
-    * arithmetic. Assumes non-negative ids below ~2^42 (no int64 overflow
-    * in the product); ties broken by id for full determinism. */
+    * arithmetic. Assumes non-negative ids below ~3.4e9 (≈ 2^63 /
+    * 2654435761 — beyond that the product overflows int64: ANSI engines
+    * error, non-ANSI Spark silently wraps); ties broken by id for full
+    * determinism. */
   def hashStratum(df: DataFrame, idCol: String, cap: Int): DataFrame = {
     val h = pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
     df.withColumn("__h", h).orderBy(col("__h"), col(idCol)).limit(cap)

@@ -129,9 +129,12 @@ object Dicom {
         len = buf.getInt(pos + 4) & 0xFFFFFFFFL; valOff = pos + 8
       }
       if (len == 0xFFFFFFFFL) {
-        // undefined length (sequences/encapsulation): scan to the
-        // sequence delimitation item (FFFE,E0DD)
-        val end = findDelimiter(buf, bytes.length, valOff)
+        // undefined length (sequences/encapsulation): STRUCTURAL walk of
+        // the item stream to this sequence's own (FFFE,E0DD) delimiter —
+        // a raw byte scan would stop at a NESTED sequence's delimiter,
+        // or at value bytes that merely look like one, and misalign the
+        // rest of the parse
+        val end = skipSequenceContent(buf, bytes, valOff, useExplicit)
         out += Element(group, element, vr, pos, valOff, end - valOff,
           useExplicit, None)
         pos = end + 8 // delimiter item: tag(4) + zero length(4)
@@ -166,15 +169,57 @@ object Dicom {
     StringVrs.contains(v) || LongFormVrs.contains(v) || OtherVrs.contains(v)
   }
 
-  private def findDelimiter(buf: ByteBuffer, total: Int, from: Int): Int = {
+  /** Walk an undefined-length SEQUENCE's item stream; returns the
+    * position of this sequence's own (FFFE,E0DD) delimiter. Items with
+    * defined length are skipped exactly; undefined-length items recurse
+    * into [[skipItemContent]]. */
+  private def skipSequenceContent(buf: ByteBuffer, bytes: Array[Byte],
+                                  from: Int, explicit: Boolean): Int = {
     var p = from
-    while (p + 8 <= total) {
-      if ((buf.getShort(p) & 0xFFFF) == 0xFFFE &&
-          (buf.getShort(p + 2) & 0xFFFF) == 0xE0DD) return p
-      p += 2 // elements are even-aligned in valid streams
+    while (p + 8 <= bytes.length) {
+      val g = buf.getShort(p) & 0xFFFF
+      val e = buf.getShort(p + 2) & 0xFFFF
+      if (g == 0xFFFE && e == 0xE0DD) return p
+      if (g != 0xFFFE || e != 0xE000)
+        throw new IllegalArgumentException(
+          f"malformed DICOM sequence: expected item tag at $p, got ($g%04x,$e%04x)")
+      val l = buf.getInt(p + 4) & 0xFFFFFFFFL
+      p = if (l == 0xFFFFFFFFL) skipItemContent(buf, bytes, p + 8, explicit)
+          else p + 8 + l.toInt
     }
     throw new IllegalArgumentException(
       "unterminated undefined-length DICOM sequence")
+  }
+
+  /** Walk an undefined-length ITEM's element stream; returns the
+    * position just past its (FFFE,E00D) item delimiter. Nested
+    * undefined-length sequences recurse into [[skipSequenceContent]]. */
+  private def skipItemContent(buf: ByteBuffer, bytes: Array[Byte],
+                              from: Int, explicit: Boolean): Int = {
+    var p = from
+    while (p + 8 <= bytes.length) {
+      val g = buf.getShort(p) & 0xFFFF
+      val e = buf.getShort(p + 2) & 0xFFFF
+      if (g == 0xFFFE && e == 0xE00D) return p + 8
+      // ordinary element header, same form rules as the top-level walk
+      var l = 0L
+      var valOff = 0
+      if (explicit) {
+        val vr = new String(bytes, p + 4, 2, StandardCharsets.US_ASCII)
+        if (LongFormVrs.contains(vr)) {
+          l = buf.getInt(p + 8) & 0xFFFFFFFFL; valOff = p + 12
+        } else {
+          l = buf.getShort(p + 6) & 0xFFFFL; valOff = p + 8
+        }
+      } else {
+        l = buf.getInt(p + 4) & 0xFFFFFFFFL; valOff = p + 8
+      }
+      p = if (l == 0xFFFFFFFFL)
+            skipSequenceContent(buf, bytes, valOff, explicit) + 8
+          else valOff + l.toInt
+    }
+    throw new IllegalArgumentException(
+      "unterminated undefined-length DICOM item")
   }
 
   private def isPrintable(bytes: Array[Byte], off: Int, len: Int): Boolean = {
@@ -205,7 +250,11 @@ object Dicom {
   def anonymize(bytes: Array[Byte], patientName: String = "anonymous"): Array[Byte] = {
     val els = elements(bytes)
     val out = new java.io.ByteArrayOutputStream(bytes.length)
-    val hasPreamble = bytes.length >= 132 && bytes(131) == 'M'
+    // same 4-byte magic check as elements() — testing only bytes(131)
+    // would mistake a preamble-less stream with 'M' at offset 131 for a
+    // preambled one and duplicate its first 132 bytes
+    val hasPreamble = bytes.length >= 132 &&
+      bytes(128) == 'D' && bytes(129) == 'I' && bytes(130) == 'C' && bytes(131) == 'M'
     if (hasPreamble) out.write(bytes, 0, 132)
     for (e <- els) {
       val anon = keywordByTag.contains((e.group, e.element)) && e.value.isDefined

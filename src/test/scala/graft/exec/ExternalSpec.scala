@@ -49,6 +49,11 @@ class ExternalSpec extends SparkSpec {
         timeoutSec = 30)
       .withColumn("ds_id", External.firstXmlId(col("stdout")))
     assert(rows(none.select("ds_id")).flatten === Seq(-1L))
+    // present but NON-NUMERIC id → sentinel too, never NULL
+    val junk = External.execRows(Seq("x").toDS(),
+        _ => Seq("echo", "<o><d id=\"abc-123\"/></o>"), timeoutSec = 30)
+      .withColumn("ds_id", External.firstXmlId(col("stdout")))
+    assert(rows(junk.select("ds_id")).flatten === Seq(-1L))
   }
 
   test("skipDone drops inputs whose output already exists") {

@@ -58,7 +58,13 @@ class FactorXmlSpec extends SparkSpec {
       "https://a.b:443/x?id=1&gclid=zz" -> "https://a.b/x?id=1",
       "http://h/p?utm_campaign=c" -> "http://h/p",
       "http://h:8080/p?id=2" -> "http://h:8080/p?id=2", // non-default port kept
-      "https://H.I/p" -> "https://h.i/p")
+      "https://H.I/p" -> "https://h.i/p",
+      // look-alike param names must survive untouched (boundary regression)
+      "http://h/p?my_utm_source=5&id=2" -> "http://h/p?my_utm_source=5&id=2",
+      "http://h/p?a=1&xgclid=keep" -> "http://h/p?a=1&xgclid=keep",
+      // adjacent tracking params both drop, separators tidy up
+      "http://h/p?utm_a=1&utm_b=2&id=3" -> "http://h/p?id=3",
+      "http://h/p?a=1&gclid=x&b=2" -> "http://h/p?a=1&b=2")
     val out = cases.map(_._1).toDF("u")
       .select(TextFunctions.canonicalizeUrl(col("u")).as("c"))
     assert(rows(out).flatten === cases.map(_._2))

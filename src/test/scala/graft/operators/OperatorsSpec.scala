@@ -187,6 +187,18 @@ class LineageSpec extends SparkSpec {
     val ex = intercept[IllegalStateException] { Lineage.ancestors(cyc).count() }
     assert(ex.getMessage.contains("cycle"))
   }
+
+  test("a chain of exactly MaxDepth completes; one deeper fails loudly") {
+    // depth == MaxDepth with nothing left to expand is a LEGAL input —
+    // only an expandable frontier there may throw
+    def chain(n: Int) =
+      (0 until n).map(i => (s"n$i", s"n${i + 1}")).toDF("child", "parent")
+    val exact = Lineage.ancestors(chain(Lineage.MaxDepth))
+    assert(exact.count() > 0) // completes, no throw
+    intercept[IllegalStateException] {
+      Lineage.ancestors(chain(Lineage.MaxDepth + 2)).count()
+    }
+  }
 }
 
 class SequencingSpec extends SparkSpec {

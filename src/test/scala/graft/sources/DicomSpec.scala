@@ -72,6 +72,24 @@ class DicomSpec extends SparkSpec {
     exEl(0x0010, 0x1010, "AS", "045Y"),          // PatientsAge (anon set)
     exEl(0x0018, 0x1030, "LO", "HeadProtocol"))  // ProtocolName (anon set)
 
+  /** Undefined-length SQ whose single UNDEFINED-length item nests another
+    * undefined-length SQ — the shape a raw delimiter scan truncates at
+    * the INNER (FFFE,E0DD). */
+  private def exSqNested(group: Int, elem: Int): Array[Byte] = {
+    val inner = exSqUndefined(0x0008, 0x9215, imEl(0x0008, 0x0100, "C1"))
+    val buf = ByteBuffer.allocate(12 + 8 + inner.length + 8 + 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putShort(group.toShort).putShort(elem.toShort)
+      .put("SQ".getBytes(StandardCharsets.US_ASCII)).putShort(0.toShort)
+      .putInt(0xFFFFFFFF)                           // outer SQ: undefined
+    buf.putShort(0xFFFE.toShort).putShort(0xE000.toShort)
+      .putInt(0xFFFFFFFF)                           // item: undefined
+    buf.put(inner)                                  // nested undefined SQ
+    buf.putShort(0xFFFE.toShort).putShort(0xE00D.toShort).putInt(0) // item delim
+    buf.putShort(0xFFFE.toShort).putShort(0xE0DD.toShort).putInt(0) // seq delim
+    buf.array()
+  }
+
   // ---------------------------------------------------------------- parse
   test("explicit VR walk returns every top-level tag with rendered values") {
     val els = Dicom.elements(explicitFixture)
@@ -86,6 +104,24 @@ class DicomSpec extends SparkSpec {
     assert(!byTag.contains((0x0008, 0x1150)))
     // file-meta transfer syntax is an ordinary element
     assert(byTag((0x0002, 0x0010)).value === Some(ExplicitLE))
+  }
+
+  test("nested undefined-length sequences are walked structurally, not scanned") {
+    // elements AFTER the nested SQ must still parse correctly — a raw
+    // byte scan for (FFFE,E0DD) stops at the INNER delimiter and
+    // misaligns everything that follows
+    val f = file(ExplicitLE,
+      exEl(0x0008, 0x0060, "CS", "MR"),
+      exSqNested(0x0008, 0x1115),
+      exEl(0x0010, 0x0010, "PN", "AFTER^NEST"))
+    val byTag = Dicom.elements(f).map(e => ((e.group, e.element), e)).toMap
+    assert(byTag((0x0008, 0x1115)).vr === "SQ")
+    assert(byTag((0x0010, 0x0010)).value === Some("AFTER^NEST"))
+    // anonymize must survive the same structure byte-exactly outside PII
+    val anon = Dicom.elements(Dicom.anonymize(f, "anon"))
+      .map(e => ((e.group, e.element), e)).toMap
+    assert(anon((0x0010, 0x0010)).value === Some("anon"))
+    assert(anon((0x0008, 0x0060)).value === Some("MR"))
   }
 
   test("implicit VR dataset parses via the transfer-syntax switch") {
