@@ -449,6 +449,54 @@ object Queries {
        |WHERE hamming <= $SimhashMaxHamming ORDER BY id_a, id_b""".stripMargin
   }
 
+  // --------------------------------------------------- Q-simhash64-pairs
+  // The DEPLOYABLE 64-bit SimHash config under the hash gate: 16-bit
+  // bands (65 536 buckets/band vs 256 for 32-bit — the band space that
+  // keeps the candidate join sub-quadratic at corpus scale), token
+  // hashes from shaHash64 so the oracle replays them bit-for-bit
+  // (signed(hi32)·2^32 + lo32 from sha256 hex — pure arithmetic, no
+  // unsigned types; xxhash64 stays the engine-internal fast path).
+  def simhash64PairsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+        Dedup.simhash64(load(s, dir, "documents"), "doc_id", "text",
+          tokenHash = graft.functions.TextFunctions.shaHash64),
+        maxHamming = SimhashMaxHamming, bits = 64)
+      .orderBy("id_a", "id_b")
+
+  private val simhash64PairsSql = {
+    val votes = (0 until 64)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(", ")
+    // bit 63's weight is Long.MinValue; every partial sum stays inside
+    // signed-64 range (bits 0..62 total at most 2^63-1, the negative
+    // term only lowers it), so DuckDB's checked BIGINT + never trips
+    val fp = (0 until 64)
+      .map(i => s"CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT $b AS band, (simhash >> ${b * 16}) & 65535 AS band_hash, id, simhash FROM s")
+      .mkString(" UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id AS id, unnest($SqlToks) AS t FROM documents),
+       |hh0 AS (SELECT id,
+       |          CAST(concat('0x', substr(sha256(t), 1, 8)) AS BIGINT) AS hi,
+       |          CAST(concat('0x', substr(sha256(t), 9, 8)) AS BIGINT) AS lo
+       |        FROM tok),
+       |hh AS (SELECT id,
+       |         (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+       |           * 4294967296 + lo AS h
+       |       FROM hh0),
+       |v AS (SELECT id, $votes FROM hh GROUP BY id),
+       |s AS (SELECT id, CAST($fp AS BIGINT) AS simhash FROM v),
+       |bands AS ($bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+       |         bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.id < y.id)
+       |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM pairs
+       |WHERE hamming <= $SimhashMaxHamming ORDER BY id_a, id_b""".stripMargin
+  }
+
   // -------------------------------------------------------------- Q-knn
   // Brute-force cosine top-k against a broadcast query vector.
   def knn(s: SparkSession, dir: String): DataFrame = {
@@ -1024,7 +1072,9 @@ object Queries {
         .option("path", s"$FixtureRoot/$name")
         .mode("overwrite").saveAsTable(name)
     }
-    publishOnce("graft_bucket", dir) {
+    publishOnce("graft_bucket", dir,
+      valid = s.catalog.tableExists("graft_bucket_orders") &&
+        s.catalog.tableExists("graft_bucket_lineitem")) {
       publish(load(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
         "graft_bucket_orders", "o_orderkey")
       publish(load(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
@@ -1464,22 +1514,27 @@ object Queries {
         nPlanes = EmbPlanes, dim = EmbDim, bands = EmbBands)
       .orderBy("id_a", "id_b")
 
+  /** Oracle-side vector dot: same left-to-right double fold as
+    * Similarity.dotPortable — bit-identical accumulation. */
+  private def sqlEmbDot(x: String, y: String) =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(generate_series(1, $EmbDim),
+       |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  /** Oracle-side plane dot with the hyperplane embedded as a literal —
+    * the sign (= bucket bit) matches Spark's exactly. */
+  private def sqlPlaneDot(x: String, plane: Seq[Double]) = {
+    val litArr = plane.mkString("[", ", ", "]")
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(generate_series(1, $EmbDim),
+       |    i -> CAST($x[i] AS DOUBLE) * ($litArr)[i])),
+       |  (acc, v) -> acc + v)""".stripMargin
+  }
+
   private val embeddingDupSql: String = {
-    def dot(x: String, y: String) =
-      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |  list_transform(generate_series(1, $EmbDim),
-         |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
-         |  (acc, v) -> acc + v)""".stripMargin
-    // Same left-to-right double fold as Similarity.dotPortable, with the
-    // plane embedded as a literal — bit-identical accumulation, so the
-    // sign (= bucket bit) matches Spark's exactly.
-    def dotPlane(x: String, plane: Seq[Double]) = {
-      val litArr = plane.mkString("[", ", ", "]")
-      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |  list_transform(generate_series(1, $EmbDim),
-         |    i -> CAST($x[i] AS DOUBLE) * ($litArr)[i])),
-         |  (acc, v) -> acc + v)""".stripMargin
-    }
+    def dot(x: String, y: String) = sqlEmbDot(x, y)
+    def dotPlane(x: String, plane: Seq[Double]) = sqlPlaneDot(x, plane)
     val planes = Similarity.hyperplanes(EmbPlanes, EmbDim)
     val r = EmbPlanes / EmbBands
     val bandSelects = (0 until EmbBands).map { b =>
@@ -1497,6 +1552,55 @@ object Queries {
        |         round(${dot("a.embedding", "b.embedding")} /
        |               (sqrt(${dot("a.embedding", "a.embedding")}) *
        |                sqrt(${dot("b.embedding", "b.embedding")})), 4) AS sim
+       |  FROM cand JOIN embeddings a ON id_a = a.vec_id
+       |            JOIN embeddings b ON id_b = b.vec_id)
+       |SELECT id_a, id_b, sim FROM scored
+       |WHERE sim >= $EmbThreshold ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ------------------------------------------------------- Q-embdup-auto
+  // The ADAPTIVE-r embedding near-dup — the 100×-safe shape ScaleRehearsal
+  // measured (3.4×/4.7× wall at 10×/30× where fixed banding went 98.6×) —
+  // as a DECLARED oracle row. r = smallest integer with 2^r·occupancy ≥ n
+  // (clamped [4, rMax]) resolves per corpus; the oracle replays it with
+  // the same integer search over count(*), and covers every possible r by
+  // embedding each band's FULL rMax-plane pool as literals and masking
+  // `i < r` at query time — sound because band pools are per-band seeded
+  // streams whose first r planes are a stable prefix (hyperplanePool).
+  // rMax=16 here bounds the oracle's literal budget: 2^16·8 rows ≈ 500k —
+  // far beyond any gate corpus; the engine clamps identically.
+  private val EmbAutoBands = 8
+  private val EmbAutoOcc = 8
+  private val EmbAutoRMax = 16
+
+  def embeddingDupAuto(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupAuto(load(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = EmbThreshold, dim = EmbDim,
+        bands = EmbAutoBands, targetOccupancy = EmbAutoOcc,
+        rMax = EmbAutoRMax)
+      .orderBy("id_a", "id_b")
+
+  private val embeddingDupAutoSql: String = {
+    val pool = Similarity.hyperplanePool(EmbAutoBands, EmbAutoRMax, EmbDim)
+    val bandSelects = (0 until EmbAutoBands).map { b =>
+      val bucket = (0 until EmbAutoRMax).map { i =>
+        s"CASE WHEN $i < r AND ${sqlPlaneDot("embedding", pool(b)(i))} >= 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      s"SELECT $b AS band, $bucket AS bucket, vec_id AS id FROM embeddings, cfg"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cfg AS (
+       |  SELECT coalesce(list_min(list_filter(generate_series(4, $EmbAutoRMax),
+       |           i -> (1 << i) * $EmbAutoOcc >= n)), $EmbAutoRMax) AS r
+       |  FROM (SELECT count(*) AS n FROM embeddings)),
+       |sigs AS (
+       |$bandSelects),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b FROM sigs x
+       |         JOIN sigs y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |         round(${sqlEmbDot("a.embedding", "b.embedding")} /
+       |               (sqrt(${sqlEmbDot("a.embedding", "a.embedding")}) *
+       |                sqrt(${sqlEmbDot("b.embedding", "b.embedding")})), 4) AS sim
        |  FROM cand JOIN embeddings a ON id_a = a.vec_id
        |            JOIN embeddings b ON id_b = b.vec_id)
        |SELECT id_a, id_b, sim FROM scored
@@ -2077,9 +2181,13 @@ object Queries {
       (col("user_id") % 5).cast("string"),
       when(col("event_id") % 3 === 0, lit(".COM:80")).otherwise(lit(".com")),
       lit("/p/"), col("event_type"),
-      when(col("event_id") % 2 === 0, lit("?utm_source=x&id=")).otherwise(lit("?id=")),
+      when(col("event_id") % 4 === 0, lit("?UTM_Source=x&id="))  // cased name
+        .when(col("event_id") % 2 === 0, lit("?utm_source=x&id="))
+        .otherwise(lit("?id=")),
       (col("event_id") % 100).cast("string"),
-      when(col("event_id") % 5 === 0, lit("&gclid=abc")).otherwise(lit("")),
+      when(col("event_id") % 5 === 0, lit("&Gclid=abc")).otherwise(lit("")),
+      when(col("event_id") % 7 === 0, lit("&utm_source_id=z")) // suffixed name
+        .otherwise(lit("")),
       when(col("event_id") % 4 === 0, lit("#sec")).otherwise(lit("")))
     ev.select(graft.functions.TextFunctions.canonicalizeUrl(messy).as("url"))
       .groupBy("url").agg(count(lit(1)).as("n"))
@@ -2341,12 +2449,24 @@ object Queries {
       val siblings = Files.list(tmp)
       try siblings.forEach { sib =>
         try {
-          if (sib.getFileName.toString.startsWith("graft_fixtures_") &&
-              Files.getLastModifiedTime(sib).toMillis < cutoff) {
-            val walk = Files.walk(sib)
-            try walk.sorted(Comparator.reverseOrder[Path]())
-              .forEach(p => { Files.deleteIfExists(p); () })
-            finally walk.close()
+          // staleness = newest mtime of the tree's CONTENTS, not the
+          // root dir's — a dir's mtime doesn't move when files inside
+          // are rewritten, so a >24h-running concurrent driver that's
+          // still refreshing fixtures would look stale by root mtime
+          // and lose them mid-run (advice r7)
+          if (sib.getFileName.toString.startsWith("graft_fixtures_")) {
+            var newest = 0L
+            val scan = Files.walk(sib)
+            try scan.forEach { p =>
+              val t = Files.getLastModifiedTime(p).toMillis
+              if (t > newest) newest = t
+            } finally scan.close()
+            if (newest < cutoff) {
+              val walk = Files.walk(sib)
+              try walk.sorted(Comparator.reverseOrder[Path]())
+                .forEach(p => { Files.deleteIfExists(p); () })
+              finally walk.close()
+            }
           }
         } catch { case _: Exception => () } // per-sibling: skip and go on
       } finally siblings.close()
@@ -2365,9 +2485,16 @@ object Queries {
     * map updates outright. */
   private val published = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val publishLock = new Object
-  private def publishOnce(dest: String, dir: String)(body: => Unit): Unit =
-    if (published.get(dest) != dir) publishLock.synchronized {
-      if (published.get(dest) != dir) { body; published.put(dest, dir); () }
+  /** `valid` guards the skip for artifacts whose visibility is NARROWER
+    * than the JVM-global map — q_bucketjoin's saveAsTable publishes into
+    * a session-scoped catalog, so a second SparkSession in this JVM must
+    * re-publish even though the map says done (advice r7). */
+  private def publishOnce(dest: String, dir: String, valid: => Boolean = true)
+                         (body: => Unit): Unit =
+    if (published.get(dest) != dir || !valid) publishLock.synchronized {
+      if (published.get(dest) != dir || !valid) {
+        body; published.put(dest, dir); ()
+      }
     }
 
   private val TsvFixturePath = s"$FixtureRoot/metadata_table.tsv"
@@ -2517,6 +2644,7 @@ object Queries {
     "q_align" -> (align _),
     "q_upsert" -> (upsert _),
     "q_embdup" -> (embeddingDup _),
+    "q_embdup_auto" -> (embeddingDupAuto _),
     "q_sessions" -> (sessions _),
     "q_dedup_assign" -> (dedupAssign _),
     "q_windows" -> (windows _),
@@ -2546,6 +2674,7 @@ object Queries {
     "q_stream_dedup" -> (streamDedup _),
     "q_knn_ivf" -> (knnIvf _),
     "q_simhash_pairs" -> (simhashPairsQ _),
+    "q_simhash64_pairs" -> (simhash64PairsQ _),
     "q_embdup_exact" -> (embeddingDupExact _),
     "q_sample" -> (sampleQ _),
     "q_quota" -> (quota _),
@@ -2597,6 +2726,7 @@ object Queries {
     "q_align" -> alignSql,
     "q_upsert" -> upsertSql,
     "q_embdup" -> embeddingDupSql,
+    "q_embdup_auto" -> embeddingDupAutoSql,
     "q_sessions" -> sessionsSql,
     "q_dedup_assign" -> dedupAssignSql,
     "q_windows" -> windowsSql,
@@ -2626,6 +2756,7 @@ object Queries {
     "q_stream_dedup" -> streamDedupSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_simhash_pairs" -> simhashPairsSql,
+    "q_simhash64_pairs" -> simhash64PairsSql,
     "q_embdup_exact" -> embeddingDupExactSql,
     "q_sample" -> sampleSql,
     "q_quota" -> quotaSql,

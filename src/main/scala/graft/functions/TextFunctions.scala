@@ -26,6 +26,21 @@ object TextFunctions {
   def shaHash32(c: Column): Column =
     conv(substring(sha2(c, 256), 1, 8), 16, 10).cast("long")
 
+  /** 64-bit cross-engine token hash from sha256 hex chars 1–16: the full
+    * 16-char slice can exceed BIGINT range, so the value is assembled
+    * from two 32-bit halves as signed(hi)·2^32 + lo — pure arithmetic
+    * (no unsigned types, no 64-bit shifts), which any oracle engine
+    * replays exactly: both factors stay inside signed-64 range at every
+    * step (hi' ∈ [-2^31, 2^31), so hi'·2^32 + lo ∈ [-2^63, 2^63-1]).
+    * This is the GATE-CHECKABLE twin of xxhash64 for 64-bit SimHash;
+    * use [[fastHash]]/xxhash64 where cross-engine parity isn't needed. */
+  def shaHash64(c: Column): Column = {
+    val hex = sha2(c, 256)
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    when(hi >= 2147483648L, hi - 4294967296L).otherwise(hi) * 4294967296L + lo
+  }
+
   /** Cheap non-cryptographic hash for engine-internal paths (MinHash
     * permutations, LSH banding). */
   def fastHash(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
@@ -94,9 +109,14 @@ object TextFunctions {
     // NOT corrupted; the separator is restored ($1) and duplicates are
     // tidied afterwards (an unanchored match would also bite inside path
     // segments — with the boundary only a literal '&' in a path can
-    // still trigger, an accepted rarity documented here)
+    // still trigger, an accepted rarity documented here). (?i) because
+    // param NAMES are case-insensitively duplicated in the wild
+    // (UTM_SOURCE=/Gclid= variants would otherwise survive and split
+    // dedup keys), and [a-z0-9_]+ so suffixed names (utm_source_id)
+    // strip whole instead of leaving '_id=...' residue; param VALUES
+    // keep their case — only the name match is case-blind.
     val noTrack = regexp_replace(noPort,
-      "([?&])(utm_[a-z]+|fbclid|gclid|msclkid)=[^&#]*", "$1")
+      "(?i)([?&])(utm_[a-z0-9_]+|fbclid|gclid|msclkid)=[^&#]*", "$1")
     // tidy: collapse '&&', then '?&' -> '?', then trailing '?'/'&' drop
     regexp_replace(regexp_replace(regexp_replace(noTrack,
       "&&+", "&"), "\\?&", "?"), "[?&]$", "")

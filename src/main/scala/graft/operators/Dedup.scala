@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.Checkpoints
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -225,13 +225,16 @@ object Dedup {
     * band vs 256 for 32-bit): the band space, which bounds how many
     * random pairs the candidate join admits (≈ bands · 2^-bandBits of
     * n²/2), grows 256x — the same fixed-band-space lesson the
-    * ScaleRehearsal taught for SRP banding. 32-bit stays the gate
-    * config (its oracle replays shaHash32 in SQL; xxhash64 has no
-    * DuckDB twin), 64-bit is the one to deploy at corpus scale. */
-  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * ScaleRehearsal taught for SRP banding. `tokenHash` picks the token
+    * hash: xxhash64 (default — fastest, engine-internal) or
+    * [[graft.functions.TextFunctions.shaHash64]] (cross-engine
+    * replayable, the q_simhash64_pairs gate config — same banding, same
+    * verify, only the hash source differs). */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String,
+                tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
         explode(tokens(col(textCol))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
+      .select(col("id"), tokenHash(col("tok")).as("h"))
     val votes = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i")
     }

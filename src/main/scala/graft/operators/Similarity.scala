@@ -156,12 +156,20 @@ object Similarity {
                                bands: Int = 1): DataFrame = {
     require(nPlanes % bands == 0,
       s"nPlanes=$nPlanes must be divisible by bands=$bands")
-    require(nPlanes / bands <= 64,
-      s"r=${nPlanes / bands} sign bits per band > 64 would wrap the long " +
-        "shift and silently collide distinct sign patterns into one bucket")
+    embeddingNearDupBanded(emb, idCol, vecCol, threshold,
+      hyperplanes(nPlanes, dim).grouped(nPlanes / bands).toSeq)
+  }
+
+  /** [[embeddingNearDupBucketed]] with the planes given explicitly per
+    * band — the shared body behind the fixed and adaptive configs. */
+  def embeddingNearDupBanded(emb: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double,
+                             bandPlanes: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(bandPlanes.forall(_.size <= 64),
+      s"r=${bandPlanes.map(_.size).max} sign bits per band > 64 would wrap " +
+        "the long shift and silently collide distinct sign patterns into one bucket")
     graft.GraftExtensions.register(emb.sparkSession)
-    val planes = hyperplanes(nPlanes, dim)
-    val r = nPlanes / bands
+    val bands = bandPlanes.size
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     // The banding dots run against a double-widened copy of the vector,
     // projected ONCE per row (float→double is exact, so buckets — sign
@@ -169,9 +177,8 @@ object Similarity {
     // JIT'd loops per row, not 32 interpreted HOF lambdas.
     val widened = vecs.select(col("id"), col("v").cast("array<double>").as("vd"))
     val bandStructs = (0 until bands).map { b =>
-      val bucket = (0 until r).map { i =>
-        when(dot(col("vd"), typedLit(planes(b * r + i))) >= 0, 1L << i)
-          .otherwise(0L)
+      val bucket = bandPlanes(b).zipWithIndex.map { case (p, i) =>
+        when(dot(col("vd"), typedLit(p)) >= 0, 1L << i).otherwise(0L)
       }.reduce(_ + _)
       struct(lit(b).as("band"), bucket.as("bucket"))
     }
@@ -207,13 +214,29 @@ object Similarity {
     * IVF index ([[ivfPublish]]/[[ivfKnnIndexed]]) is the right tool. */
   def embeddingNearDupAuto(emb: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, dim: Int, bands: Int = 8,
-                           targetOccupancy: Int = 8): DataFrame = {
+                           targetOccupancy: Int = 8, rMax: Int = 24): DataFrame = {
     val n = emb.count()
-    val r = math.min(24, math.max(4,
-      math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2)).toInt))
-    embeddingNearDupBucketed(emb, idCol, vecCol, threshold,
-      nPlanes = r * bands, dim = dim, bands = bands)
+    embeddingNearDupBanded(emb, idCol, vecCol, threshold,
+      hyperplanePool(bands, autoR(n, targetOccupancy, rMax), dim))
   }
+
+  /** Adaptive planes-per-band: the smallest r with 2^r · occupancy ≥ n,
+    * clamped to [4, rMax]. Integer search, not ceil(log2(n/occ)) — a
+    * float log at a power-of-two boundary can flip the ceil between
+    * engines, and the q_embdup_auto oracle must resolve the SAME r from
+    * the same count with plain integer arithmetic. */
+  def autoR(n: Long, targetOccupancy: Int, rMax: Int): Int =
+    (4 to rMax).find(i => (1L << i) * targetOccupancy >= n).getOrElse(rMax)
+
+  /** Per-band hyperplane pools: band b draws from its OWN seeded stream,
+    * so a band's first r planes are a stable prefix as r grows with the
+    * corpus — the property that lets q_embdup_auto's static oracle embed
+    * rMax plane literals per band and mask `i < r` at query time while
+    * the engine generates exactly r. (A single shared stream sliced into
+    * contiguous bands would reassign every plane whenever r changes.) */
+  def hyperplanePool(bands: Int, r: Int, dim: Int,
+                     seed: Long = 42L): Seq[Seq[Seq[Double]]] =
+    (0 until bands).map(b => hyperplanes(r, dim, seed + 1000L * (b + 1)))
 
   // ------------------------------------------------------------- IVF ANN
   /** Deterministic IVF centroids: an evenly-strided seeded sample of the

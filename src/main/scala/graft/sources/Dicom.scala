@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions.udf
   * Implicit VR LE (transfer syntaxes 1.2.840.10008.1.2.1 /
   * 1.2.840.10008.1.2), chosen by (0002,0010) or, preamble-less, by
   * whether the first element carries a well-known VR code. Big-endian
-  * and deflated syntaxes are rejected loudly. Sequences are walked
-  * structurally (defined lengths skipped exactly; undefined lengths
-  * scanned to their (FFFE,E0DD) delimiter) but not descended into —
-  * the anonymization set is all top-level.
+  * and deflated syntaxes are rejected loudly. [[elements]] walks
+  * sequences structurally (defined lengths skipped exactly; undefined
+  * lengths scanned to their (FFFE,E0DD) delimiter) without descending —
+  * it reports top-level tags. [[anonymize]] DOES descend into SQ items
+  * (PS3.5 §7.5) so nested anonymization-set attributes are blanked too.
   */
 object Dicom {
   /** One top-level data element. `value` is rendered only for string
@@ -98,6 +99,42 @@ object Dicom {
 
   private val ExplicitLE = "1.2.840.10008.1.2.1"
   private val ImplicitLE = "1.2.840.10008.1.2"
+  private val UndefLen = 0xFFFFFFFFL
+
+  /** Parsed element header: tag, VR (UN when implicit), raw 32-bit
+    * length (may be [[UndefLen]]), and the value's byte offset. */
+  private final case class Header(group: Int, element: Int, vr: String,
+                                  len: Long, valOff: Int)
+
+  /** Decode one element header at `pos` under the given form. Defined
+    * lengths are validated in Long arithmetic against the buffer size —
+    * a 32-bit length in [2^31, 0xFFFFFFFE] would otherwise turn negative
+    * under `.toInt`, slip past an `valOff + l > bytes.length` guard, and
+    * walk the cursor backwards (an infinite loop on crafted/corrupt
+    * payload bytes, not an exception). */
+  private def parseHeader(buf: ByteBuffer, bytes: Array[Byte], pos: Int,
+                          explicit: Boolean): Header = {
+    val group = buf.getShort(pos) & 0xFFFF
+    val element = buf.getShort(pos + 2) & 0xFFFF
+    var vr = "UN"
+    var len = 0L
+    var valOff = 0
+    if (explicit) {
+      vr = new String(bytes, pos + 4, 2, StandardCharsets.US_ASCII)
+      if (LongFormVrs.contains(vr)) {
+        len = buf.getInt(pos + 8) & 0xFFFFFFFFL; valOff = pos + 12
+      } else {
+        len = buf.getShort(pos + 6) & 0xFFFFL; valOff = pos + 8
+      }
+    } else {
+      len = buf.getInt(pos + 4) & 0xFFFFFFFFL; valOff = pos + 8
+    }
+    if (len != UndefLen && valOff + len > bytes.length)
+      throw new IllegalArgumentException(
+        f"truncated DICOM element ($group%04x,$element%04x) at $pos " +
+          s"(declared length $len exceeds buffer)")
+    Header(group, element, vr, len, valOff)
+  }
 
   /** Parse all top-level elements (file-meta + main dataset). */
   def elements(bytes: Array[Byte]): Seq[Element] = {
@@ -111,24 +148,17 @@ object Dicom {
     var mainExplicit = explicit // until (0002,0010) says otherwise
 
     while (pos + 8 <= bytes.length) {
-      val group = buf.getShort(pos) & 0xFFFF
-      val element = buf.getShort(pos + 2) & 0xFFFF
-      if (inMeta && group != 0x0002) { inMeta = false; explicit = mainExplicit }
-      val useExplicit = if (inMeta) true else explicit
-      var vr = "UN"
-      var len = 0L
-      var valOff = 0
-      if (useExplicit) {
-        vr = new String(bytes, pos + 4, 2, StandardCharsets.US_ASCII)
-        if (LongFormVrs.contains(vr)) {
-          len = buf.getInt(pos + 8) & 0xFFFFFFFFL; valOff = pos + 12
-        } else {
-          len = buf.getShort(pos + 6) & 0xFFFFL; valOff = pos + 8
-        }
-      } else {
-        len = buf.getInt(pos + 4) & 0xFFFFFFFFL; valOff = pos + 8
+      if (inMeta && (buf.getShort(pos) & 0xFFFF) != 0x0002) {
+        inMeta = false; explicit = mainExplicit
       }
-      if (len == 0xFFFFFFFFL) {
+      val useExplicit = if (inMeta) true else explicit
+      val h = parseHeader(buf, bytes, pos, useExplicit)
+      val group = h.group
+      val element = h.element
+      val vr = h.vr
+      val len = h.len
+      val valOff = h.valOff
+      if (len == UndefLen) {
         // undefined length (sequences/encapsulation): STRUCTURAL walk of
         // the item stream to this sequence's own (FFFE,E0DD) delimiter —
         // a raw byte scan would stop at a NESTED sequence's delimiter,
@@ -139,10 +169,7 @@ object Dicom {
           useExplicit, None)
         pos = end + 8 // delimiter item: tag(4) + zero length(4)
       } else {
-        val l = len.toInt
-        if (valOff + l > bytes.length)
-          throw new IllegalArgumentException(
-            f"truncated DICOM element ($group%04x,$element%04x) at $pos")
+        val l = len.toInt // safe: parseHeader bounded len by bytes.length
         val value =
           if (StringVrs.contains(vr) || (!useExplicit && isPrintable(bytes, valOff, l)))
             Some(renderString(bytes, valOff, l))
@@ -184,7 +211,10 @@ object Dicom {
         throw new IllegalArgumentException(
           f"malformed DICOM sequence: expected item tag at $p, got ($g%04x,$e%04x)")
       val l = buf.getInt(p + 4) & 0xFFFFFFFFL
-      p = if (l == 0xFFFFFFFFL) skipItemContent(buf, bytes, p + 8, explicit)
+      if (l != UndefLen && p + 8 + l > bytes.length)
+        throw new IllegalArgumentException(
+          s"truncated DICOM sequence item at $p (declared length $l exceeds buffer)")
+      p = if (l == UndefLen) skipItemContent(buf, bytes, p + 8, explicit)
           else p + 8 + l.toInt
     }
     throw new IllegalArgumentException(
@@ -202,21 +232,12 @@ object Dicom {
       val e = buf.getShort(p + 2) & 0xFFFF
       if (g == 0xFFFE && e == 0xE00D) return p + 8
       // ordinary element header, same form rules as the top-level walk
-      var l = 0L
-      var valOff = 0
-      if (explicit) {
-        val vr = new String(bytes, p + 4, 2, StandardCharsets.US_ASCII)
-        if (LongFormVrs.contains(vr)) {
-          l = buf.getInt(p + 8) & 0xFFFFFFFFL; valOff = p + 12
-        } else {
-          l = buf.getShort(p + 6) & 0xFFFFL; valOff = p + 8
-        }
-      } else {
-        l = buf.getInt(p + 4) & 0xFFFFFFFFL; valOff = p + 8
-      }
-      p = if (l == 0xFFFFFFFFL)
-            skipSequenceContent(buf, bytes, valOff, explicit) + 8
-          else valOff + l.toInt
+      // (parseHeader rejects defined lengths past the buffer, so the
+      // cursor below always moves forward)
+      val h = parseHeader(buf, bytes, p, explicit)
+      p = if (h.len == UndefLen)
+            skipSequenceContent(buf, bytes, h.valOff, explicit) + 8
+          else h.valOff + h.len.toInt
     }
     throw new IllegalArgumentException(
       "unterminated undefined-length DICOM item")
@@ -244,11 +265,24 @@ object Dicom {
     * anonymization-set element with a rendered string value is replaced
     * by '' (PatientsName by `patientName`), lengths re-encoded, every
     * other byte preserved verbatim. Values are space-padded to even
-    * length per PS3.5 §6.2. Stale (gggg,0000) group-length elements
-    * outside file-meta are dropped (retired in the standard; a length
-    * rewrite would invalidate them anyway). */
+    * length per PS3.5 §6.2 — padding computed on the ENCODED bytes, not
+    * the char count, so a multi-byte patient name can't emit an
+    * odd-length value. Stale (gggg,0000) group-length elements outside
+    * file-meta are dropped (retired in the standard; a length rewrite
+    * would invalidate them anyway).
+    *
+    * Sequences are DESCENDED (PS3.5 §7.5): anonymization-set tags inside
+    * SQ items are blanked just like top-level ones, so a person name
+    * nested in e.g. a content sequence can't survive; anonymization-set
+    * tags that are THEMSELVES sequences (the *IDSequence attributes) are
+    * emptied outright, matching the reference's set-to-'' semantics.
+    * Rewritten items/sequences are re-encoded with defined lengths
+    * recomputed from the rewritten content (undefined-length runs keep
+    * their delimiters). Explicit-VR undefined-length non-SQ runs (e.g.
+    * encapsulated pixel data, whose items are raw fragments rather than
+    * element streams) are copied verbatim. */
   def anonymize(bytes: Array[Byte], patientName: String = "anonymous"): Array[Byte] = {
-    val els = elements(bytes)
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val out = new java.io.ByteArrayOutputStream(bytes.length)
     // same 4-byte magic check as elements() — testing only bytes(131)
     // would mistake a preamble-less stream with 'M' at offset 131 for a
@@ -256,45 +290,141 @@ object Dicom {
     val hasPreamble = bytes.length >= 132 &&
       bytes(128) == 'D' && bytes(129) == 'I' && bytes(130) == 'C' && bytes(131) == 'M'
     if (hasPreamble) out.write(bytes, 0, 132)
-    for (e <- els) {
-      val anon = keywordByTag.contains((e.group, e.element)) && e.value.isDefined
-      val dropGroupLen = e.element == 0x0000 && e.group != 0x0002
-      if (dropGroupLen) { /* skip stale group length */ }
-      else if (!anon) {
-        // verbatim copy: header + value (covers undefined-length runs too,
-        // whose delimiter sits in the 8 bytes after the value slice)
-        val end = e.valueOffset + e.valueLength +
-          (if (wasUndefinedLength(e, bytes)) 8 else 0)
-        out.write(bytes, e.headerOffset, end - e.headerOffset)
-      } else {
-        val replacement =
-          if (e.group == 0x0010 && e.element == 0x0010) patientName else ""
-        val padded =
-          if (replacement.length % 2 == 0) replacement else replacement + " "
-        val vbytes = padded.getBytes(StandardCharsets.UTF_8)
-        val lenFieldBytes = lengthFieldSize(e)
-        out.write(bytes, e.headerOffset,
-          (e.valueOffset - lenFieldBytes) - e.headerOffset)
-        writeLength(out, lenFieldBytes, vbytes.length)
-        out.write(vbytes)
+    var pos = if (hasPreamble) 132 else 0
+    var inMeta = hasPreamble
+    var explicit = if (hasPreamble) true else looksExplicit(bytes, 0)
+    var mainExplicit = explicit
+    while (pos + 8 <= bytes.length) {
+      if (inMeta && (buf.getShort(pos) & 0xFFFF) != 0x0002) {
+        inMeta = false; explicit = mainExplicit
       }
+      val useExplicit = if (inMeta) true else explicit
+      val h = parseHeader(buf, bytes, pos, useExplicit)
+      if (inMeta && h.group == 0x0002 && h.element == 0x0010) {
+        renderString(bytes, h.valOff, h.len.toInt) match {
+          case ExplicitLE => mainExplicit = true
+          case ImplicitLE => mainExplicit = false
+          case other => throw new IllegalArgumentException(
+            s"unsupported DICOM transfer syntax: $other")
+        }
+      }
+      pos = rewriteElement(buf, bytes, h, pos, useExplicit, out, patientName)
     }
     out.toByteArray
   }
 
-  private def wasUndefinedLength(e: Element, bytes: Array[Byte]): Boolean = {
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val rawLen =
-      if (!e.explicitForm) buf.getInt(e.headerOffset + 4)
-      else if (e.valueOffset - e.headerOffset == 12) buf.getInt(e.headerOffset + 8)
-      else buf.getShort(e.headerOffset + 6).toInt
-    rawLen == -1 // 0xFFFFFFFF as signed int (2-byte form can't encode it)
+  /** Rewrite one element (at `pos`, header `h`) into `out`; returns the
+    * position just past it in the SOURCE bytes. Recursion root for the
+    * sequence descent. */
+  private def rewriteElement(buf: ByteBuffer, bytes: Array[Byte], h: Header,
+                             pos: Int, explicit: Boolean,
+                             out: java.io.ByteArrayOutputStream,
+                             patientName: String): Int = {
+    val inAnonSet = keywordByTag.contains((h.group, h.element))
+    val lenFieldBytes = if (!explicit || h.valOff - pos == 12) 4 else 2
+    def writeHeaderWithLength(n: Int): Unit = {
+      out.write(bytes, pos, (h.valOff - lenFieldBytes) - pos)
+      writeLength(out, lenFieldBytes, n)
+    }
+    if (h.element == 0x0000 && h.group != 0x0002) {
+      // stale group length: drop
+      if (h.len == UndefLen)
+        throw new IllegalArgumentException(
+          f"group-length element (${h.group}%04x,0000) with undefined length at $pos")
+      h.valOff + h.len.toInt
+    } else if (h.len == UndefLen) {
+      val delim = skipSequenceContent(buf, bytes, h.valOff, explicit)
+      // implicit-VR undefined length is necessarily SQ (encapsulation
+      // needs explicit VR); explicit non-SQ undefined runs are fragment
+      // streams, copied verbatim
+      val isSeq = h.vr == "SQ" || !explicit
+      if (inAnonSet && isSeq) {
+        writeHeaderWithLength(0) // empty the sequence (set-to-'' semantics)
+      } else if (isSeq) {
+        out.write(bytes, pos, h.valOff - pos) // header, undefined length kept
+        rewriteItemStream(buf, bytes, h.valOff, delim, explicit, out, patientName)
+        out.write(bytes, delim, 8)            // (FFFE,E0DD) delimiter
+      } else {
+        out.write(bytes, pos, delim + 8 - pos)
+      }
+      delim + 8
+    } else if (h.vr == "SQ") {
+      // defined-length sequence: rewrite items, re-encode the length
+      if (inAnonSet) writeHeaderWithLength(0)
+      else {
+        val content = new java.io.ByteArrayOutputStream()
+        rewriteItemStream(buf, bytes, h.valOff, h.valOff + h.len.toInt,
+          explicit, content, patientName)
+        writeHeaderWithLength(content.size())
+        content.writeTo(out)
+      }
+      h.valOff + h.len.toInt
+    } else {
+      val l = h.len.toInt
+      val hasStringValue = StringVrs.contains(h.vr) ||
+        (!explicit && isPrintable(bytes, h.valOff, l))
+      if (inAnonSet && hasStringValue) {
+        val replacement =
+          if (h.group == 0x0010 && h.element == 0x0010) patientName else ""
+        val raw = replacement.getBytes(StandardCharsets.UTF_8)
+        val vbytes = if (raw.length % 2 == 0) raw else raw :+ ' '.toByte
+        writeHeaderWithLength(vbytes.length)
+        out.write(vbytes)
+      } else {
+        out.write(bytes, pos, h.valOff + l - pos) // verbatim
+      }
+      h.valOff + l
+    }
   }
 
-  private def lengthFieldSize(e: Element): Int =
-    if (!e.explicitForm) 4
-    else if (e.valueOffset - e.headerOffset == 12) 4
-    else 2
+  /** Rewrite a sequence's item stream in [from, until): each item's
+    * element content recurses through [[rewriteElement]]; defined item
+    * lengths are recomputed from the rewritten content. */
+  private def rewriteItemStream(buf: ByteBuffer, bytes: Array[Byte],
+                                from: Int, until: Int, explicit: Boolean,
+                                out: java.io.ByteArrayOutputStream,
+                                patientName: String): Unit = {
+    var p = from
+    while (p + 8 <= until) {
+      val g = buf.getShort(p) & 0xFFFF
+      val e = buf.getShort(p + 2) & 0xFFFF
+      if (g != 0xFFFE || e != 0xE000)
+        throw new IllegalArgumentException(
+          f"malformed DICOM sequence: expected item tag at $p, got ($g%04x,$e%04x)")
+      val l = buf.getInt(p + 4) & 0xFFFFFFFFL
+      if (l == UndefLen) {
+        val end = skipItemContent(buf, bytes, p + 8, explicit) // past (FFFE,E00D)
+        out.write(bytes, p, 8) // item header, undefined length kept
+        rewriteElements(buf, bytes, p + 8, end - 8, explicit, out, patientName)
+        out.write(bytes, end - 8, 8) // item delimiter
+        p = end
+      } else {
+        if (p + 8 + l > bytes.length)
+          throw new IllegalArgumentException(
+            s"truncated DICOM sequence item at $p (declared length $l exceeds buffer)")
+        val content = new java.io.ByteArrayOutputStream()
+        rewriteElements(buf, bytes, p + 8, p + 8 + l.toInt, explicit,
+          content, patientName)
+        out.write(bytes, p, 4) // (FFFE,E000)
+        writeLength(out, 4, content.size())
+        content.writeTo(out)
+        p = p + 8 + l.toInt
+      }
+    }
+  }
+
+  /** Rewrite an ordinary element run in [from, until) (an item's
+    * content) through [[rewriteElement]]. */
+  private def rewriteElements(buf: ByteBuffer, bytes: Array[Byte],
+                              from: Int, until: Int, explicit: Boolean,
+                              out: java.io.ByteArrayOutputStream,
+                              patientName: String): Unit = {
+    var p = from
+    while (p + 8 <= until) {
+      val h = parseHeader(buf, bytes, p, explicit)
+      p = rewriteElement(buf, bytes, h, p, explicit, out, patientName)
+    }
+  }
 
   private def writeLength(out: java.io.ByteArrayOutputStream,
                           lenFieldBytes: Int, n: Int): Unit = {

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** File-arrival stream ingest (SURVEY §2.1 S1/S2, §2.10).
   *
@@ -49,12 +49,16 @@ object Ingest {
     * keeps each window's stragglers within the 1 h bound; the spec
     * asserts both the equivalence and the drop. */
   def windowedCounts(spark: SparkSession, dir: String, fileGlob: String,
-                     keyCol: String, maxFilesPerTrigger: Int = 0): DataFrame = {
+                     keyCol: String, maxFilesPerTrigger: Int = 0,
+                     trigger: Trigger = Trigger.AvailableNow(),
+                     finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
     val schema = spark.read.option("pathGlobFilter", fileGlob).parquet(dir).schema
     val qn = "graft_windows"
-    val reader = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
-    if (maxFilesPerTrigger > 0)
-      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val reader0 = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
+    // reassigned, not mutated in place: DataStreamReader happens to
+    // return `this`, but the code must not lean on that
+    val reader = if (maxFilesPerTrigger > 0)
+      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
     val q = reader.parquet(dir)
       .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ets", "1 hour")
@@ -62,8 +66,8 @@ object Ingest {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("wstart"), col(keyCol), col("n"))
       .writeStream.queryName(qn).outputMode("update")
-      .format("memory").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      .format("memory").trigger(trigger).start()
+    finish(q)
     // Update mode emits a row per (window, key) per batch it changed in;
     // counts only grow, so max = the final value (same defense as
     // Sessionize against multi-micro-batch runs).
@@ -89,9 +93,11 @@ object Ingest {
     val schema = spark.read.option("pathGlobFilter", fileGlob)
       .parquet(dir).schema
     val qn = "graft_stream_enrich"
-    val reader = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
-    if (maxFilesPerTrigger > 0)
-      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val reader0 = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
+    // reassigned, not mutated in place: DataStreamReader happens to
+    // return `this`, but the code must not lean on that
+    val reader = if (maxFilesPerTrigger > 0)
+      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
     val q = reader.parquet(dir)
       .join(broadcast(dim), col(streamKey) === col(dimKey))
       .groupBy(col(aggKey))
@@ -157,7 +163,10 @@ object Ingest {
     * incomplete one is dropped. */
   def upsertExactlyOnce(spark: SparkSession, srcDir: String, fileGlob: String,
                         destDir: String, checkpointDir: String,
-                        keys: Seq[String], nBuckets: Int = 16): Long = {
+                        keys: Seq[String], nBuckets: Int = 16,
+                        tieBreak: Seq[String] = Nil,
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        finish: StreamingQuery => Unit = _.awaitTermination()): Long = {
     import org.apache.hadoop.fs.Path
     val schema = spark.read.option("pathGlobFilter", fileGlob)
       .parquet(srcDir).schema
@@ -181,15 +190,18 @@ object Ingest {
             spark.read.parquet(destDir)
               .filter(col("__bucket").isin(touched: _*))
           else bucketed.limit(0)
-        graft.operators.Catalog.upsert(existing, bucketed, keys)
+        // without tieBreak, a micro-batch with a repeated key fails
+        // loudly (Catalog.upsert's uniqueness guard) rather than
+        // committing an arbitrary winner that a replay could flip
+        graft.operators.Catalog.upsert(existing, bucketed, keys, tieBreak)
           .write.mode("overwrite").partitionBy("__bucket")
           .parquet(staging.toString)
         commitBuckets(fs, dest, staging)
       }
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
-    q.awaitTermination()
+    finish(q)
     val dest = new Path(destDir)
     val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
     recoverSwap(fs, dest, new Path(destDir + ".staging"))

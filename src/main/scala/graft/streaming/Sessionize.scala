@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
 
 /** Custom streaming state via `flatMapGroupsWithState` (SURVEY §2.10):
   * gap-based sessionization of an event stream per user.
@@ -69,14 +69,17 @@ object Sessionize {
     * long column (the nanosAsLong read of the events table). */
   def userSessions(spark: SparkSession, dir: String, fileGlob: String,
                    gapNanos: Long, lateness: String = "1 hour",
-                   maxFilesPerTrigger: Int = 0): DataFrame = {
+                   maxFilesPerTrigger: Int = 0,
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
     import spark.implicits._
     val schema = spark.read.option("pathGlobFilter", fileGlob).parquet(dir).schema
     val qn = "graft_sessions"
-    val reader = spark.readStream.schema(schema)
-      .option("pathGlobFilter", fileGlob)
-    if (maxFilesPerTrigger > 0)
-      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val reader0 = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
+    // reassigned, not mutated in place: DataStreamReader happens to
+    // return `this`, but the code must not lean on that
+    val reader = if (maxFilesPerTrigger > 0)
+      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
     val q = reader.parquet(dir)
       .select(col("user_id"), col("ts"),
         timestamp_micros(expr("ts DIV 1000")).as("ets"))
@@ -88,8 +91,8 @@ object Sessionize {
         GroupStateTimeout.NoTimeout())(sessionStep(gapNanos))
       .toDF()
       .writeStream.queryName(qn).outputMode("update")
-      .format("memory").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      .format("memory").trigger(trigger).start()
+    finish(q)
     // Update mode emits a row per batch per key. Last-wins by the per-key
     // emission sequence: a late bridging event can REDUCE the previewed
     // session count in a later batch, so max(n_sessions) could serve a

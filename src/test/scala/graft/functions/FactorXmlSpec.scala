@@ -64,7 +64,16 @@ class FactorXmlSpec extends SparkSpec {
       "http://h/p?a=1&xgclid=keep" -> "http://h/p?a=1&xgclid=keep",
       // adjacent tracking params both drop, separators tidy up
       "http://h/p?utm_a=1&utm_b=2&id=3" -> "http://h/p?id=3",
-      "http://h/p?a=1&gclid=x&b=2" -> "http://h/p?a=1&b=2")
+      "http://h/p?a=1&gclid=x&b=2" -> "http://h/p?a=1&b=2",
+      // cased variants canonicalize to the same key (advice r7): the
+      // NAME match is case-blind, param VALUES keep their case
+      "http://h/p?UTM_SOURCE=a&id=5" -> "http://h/p?id=5",
+      "http://h/p?id=1&Gclid=zz" -> "http://h/p?id=1",
+      "http://h/p?id=1&FBCLID=Qq" -> "http://h/p?id=1",
+      "http://h/p?id=9&other=KeepCase" -> "http://h/p?id=9&other=KeepCase",
+      // digit/underscore suffixes strip whole, no '_id=' residue
+      "http://h/p?utm_source_id=7&id=4" -> "http://h/p?id=4",
+      "http://h/p?utm_term2=x&id=6" -> "http://h/p?id=6")
     val out = cases.map(_._1).toDF("u")
       .select(TextFunctions.canonicalizeUrl(col("u")).as("c"))
     assert(rows(out).flatten === cases.map(_._2))

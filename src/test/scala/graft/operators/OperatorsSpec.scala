@@ -291,6 +291,30 @@ class CatalogSpec extends SparkSpec {
     assert(r === Set((1, "new"), (2, "keep"), (3, "add")))
   }
 
+  test("upsert: duplicate incoming keys fail loudly without a tieBreak") {
+    val existing = Seq((1, "old")).toDF("id", "v")
+    val incoming = Seq((1, "a"), (1, "b")).toDF("id", "v")
+    val ex = intercept[Exception] {
+      Catalog.upsert(existing, incoming, Seq("id")).collect()
+    }
+    // raise_error surfaces wrapped in Spark's execution exception chain
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("duplicate incoming rows")))
+  }
+
+  test("upsert: tieBreak makes the same-key winner deterministic") {
+    val existing = Seq((1, "old", 0L)).toDF("id", "v", "ts")
+    val incoming = Seq((1, "early", 10L), (1, "late", 20L), (2, "x", 5L))
+      .toDF("id", "v", "ts")
+    // run repeatedly: the winner must be stable, not partition-luck
+    (1 to 3).foreach { _ =>
+      val r = Catalog.upsert(existing, incoming, Seq("id"), tieBreak = Seq("ts"))
+        .as[(Int, String, Long)].collect().toSet
+      assert(r === Set((1, "late", 20L), (2, "x", 5L)))
+    }
+  }
+
   test("appendNew is idempotent on re-submission") {
     val existing = Seq((1, "a")).toDF("id", "v")
     val incoming = Seq((1, "a"), (2, "b")).toDF("id", "v")

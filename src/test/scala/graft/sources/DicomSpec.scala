@@ -67,7 +67,8 @@ class DicomSpec extends SparkSpec {
   private def explicitFixture: Array[Byte] = file(ExplicitLE,
     exEl(0x0008, 0x0020, "DA", "20200102"),      // StudyDate (anon set)
     exEl(0x0008, 0x0060, "CS", "MR"),            // Modality (kept)
-    exSqUndefined(0x0008, 0x1110, imEl(0x0008, 0x1150, "1.2.3.4")),
+    // item content uses the dataset transfer syntax (explicit here)
+    exSqUndefined(0x0008, 0x1110, exEl(0x0008, 0x1150, "UI", "1.2.3.4")),
     exEl(0x0010, 0x0010, "PN", "DOE^JOHN"),      // PatientsName (anon set)
     exEl(0x0010, 0x1010, "AS", "045Y"),          // PatientsAge (anon set)
     exEl(0x0018, 0x1030, "LO", "HeadProtocol"))  // ProtocolName (anon set)
@@ -76,7 +77,7 @@ class DicomSpec extends SparkSpec {
     * undefined-length SQ — the shape a raw delimiter scan truncates at
     * the INNER (FFFE,E0DD). */
   private def exSqNested(group: Int, elem: Int): Array[Byte] = {
-    val inner = exSqUndefined(0x0008, 0x9215, imEl(0x0008, 0x0100, "C1"))
+    val inner = exSqUndefined(0x0008, 0x9215, exEl(0x0008, 0x0100, "SH", "C1"))
     val buf = ByteBuffer.allocate(12 + 8 + inner.length + 8 + 8)
       .order(ByteOrder.LITTLE_ENDIAN)
     buf.putShort(group.toShort).putShort(elem.toShort)
@@ -159,6 +160,85 @@ class DicomSpec extends SparkSpec {
     assert(byTag((0x0008, 0x1110)).vr === "SQ")
     // still a valid stream: re-anonymizing is a no-op
     assert(Dicom.anonymize(anon, "anonymous").toSeq === anon.toSeq)
+  }
+
+  test("anonymize descends into sequence items: nested person-name is blanked") {
+    // PatientsName (PN, anon set) hidden INSIDE a non-anon-set sequence
+    // item — PS3.5 §7.5 descent; a top-level-only rewrite leaks it
+    val f = file(ExplicitLE,
+      exEl(0x0008, 0x0060, "CS", "MR"),
+      exSqUndefined(0x0040, 0x0275, // RequestAttributesSequence (kept)
+        exEl(0x0010, 0x0010, "PN", "HIDDEN^NAME") ++
+          exEl(0x0008, 0x0050, "SH", "ACC123") ++   // AccessionNumber (anon set)
+          exEl(0x0008, 0x0060, "CS", "CT")),        // kept verbatim
+      exEl(0x0010, 0x0010, "PN", "TOP^LEVEL"))
+    val anon = Dicom.anonymize(f, "anon")
+    assert(!new String(anon, StandardCharsets.ISO_8859_1).contains("HIDDEN"))
+    assert(!new String(anon, StandardCharsets.ISO_8859_1).contains("ACC123"))
+    assert(new String(anon, StandardCharsets.ISO_8859_1).contains("CT"))
+    // the rewritten stream is still structurally valid
+    val byTag = Dicom.elements(anon).map(e => ((e.group, e.element), e)).toMap
+    assert(byTag((0x0010, 0x0010)).value === Some("anon"))
+    assert(byTag((0x0040, 0x0275)).vr === "SQ")
+    // defined-length item was re-encoded: re-anonymizing is a no-op
+    assert(Dicom.anonymize(anon, "anon").toSeq === anon.toSeq)
+  }
+
+  test("anonymization-set sequence tags are emptied outright") {
+    // ReferringPhysicianIDSequence (0008,0096) is IN the anon set: the
+    // reference sets the attribute to '' — the whole item stream goes
+    val f = file(ExplicitLE,
+      exSqUndefined(0x0008, 0x0096, exEl(0x0008, 0x0100, "SH", "DRWHO")),
+      exEl(0x0008, 0x0060, "CS", "MR"))
+    val anon = Dicom.anonymize(f, "anon")
+    assert(!new String(anon, StandardCharsets.ISO_8859_1).contains("DRWHO"))
+    val byTag = Dicom.elements(anon).map(e => ((e.group, e.element), e)).toMap
+    assert(byTag((0x0008, 0x0096)).valueLength === 0)
+    assert(byTag((0x0008, 0x0060)).value === Some("MR"))
+  }
+
+  test("declared length past the buffer fails loudly instead of hanging") {
+    // a 32-bit length in [2^31, 0xFFFFFFFE] turned negative under .toInt
+    // in older walks and moved the cursor BACKWARDS — infinite loop, not
+    // an error (advice r7). All three walks must throw.
+    def withLen(raw: Long): Array[Byte] = {
+      val el = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      el.putShort(0x0008.toShort).putShort(0x0008.toShort)
+        .put("UN".getBytes(StandardCharsets.US_ASCII)).putShort(0.toShort)
+        .putInt((raw & 0xFFFFFFFFL).toInt)
+      file(ExplicitLE, el.array())
+    }
+    for (bad <- Seq(0xFFFFFFF8L, 0x80000000L, 1000000L)) {
+      val ex = intercept[IllegalArgumentException] { Dicom.elements(withLen(bad)) }
+      assert(ex.getMessage.contains("truncated"))
+      intercept[IllegalArgumentException] { Dicom.anonymize(withLen(bad)) }
+    }
+    // same guard inside a sequence item header
+    val seqBuf = ByteBuffer.allocate(12 + 8).order(ByteOrder.LITTLE_ENDIAN)
+    seqBuf.putShort(0x0008.toShort).putShort(0x1110.toShort)
+      .put("SQ".getBytes(StandardCharsets.US_ASCII)).putShort(0.toShort)
+      .putInt(0xFFFFFFFF)
+    seqBuf.putShort(0xFFFE.toShort).putShort(0xE000.toShort)
+      .putInt(0x80000004)                        // item length ≥ 2^31
+    val ex2 = intercept[IllegalArgumentException] {
+      Dicom.elements(file(ExplicitLE, seqBuf.array()))
+    }
+    assert(ex2.getMessage.contains("truncated"))
+  }
+
+  test("non-ASCII patient name pads to even BYTE length (PS3.5 §6.2)") {
+    // "Ä" is 1 char / 2 UTF-8 bytes: char-count padding would append a
+    // space and emit an odd 3-byte value
+    val f = file(ExplicitLE, exEl(0x0010, 0x0010, "PN", "DOE^JOHN"))
+    val anon = Dicom.anonymize(f, "Ä")
+    val e = Dicom.elements(anon).find(x => x.group == 0x0010 && x.element == 0x0010).get
+    assert(e.valueLength % 2 === 0)
+    assert(e.valueLength === 2)
+    // and a 3-byte ASCII name still pads with one space to 4
+    val anon2 = Dicom.anonymize(f, "px7")
+    val e2 = Dicom.elements(anon2).find(x => x.group == 0x0010 && x.element == 0x0010).get
+    assert(e2.valueLength === 4)
+    assert(e2.value === Some("px7"))
   }
 
   test("anonymize works on implicit VR files too") {

@@ -1,0 +1,148 @@
+package graft.streaming
+
+import java.util.concurrent.CountDownLatch
+import java.util.concurrent.atomic.AtomicReference
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Continuous-trigger soak: the three stateful streaming entry points
+  * driven under `Trigger.ProcessingTime` — a long-lived query consuming
+  * files AS THEY LAND from a concurrent writer thread — must end in the
+  * same final state as one-shot ingestion of the finished directory.
+  * This is the deployment mode (the gate runs AvailableNow for
+  * determinism); nothing in the soak path uses a one-shot trigger.
+  *
+  * Batch boundaries are made deterministic, not sleep-lucky: the writer
+  * calls `processAllAvailable()` after each file (thread-safe; Spark's
+  * own streaming tests drive queries this way), so every delivery lands
+  * in its own micro-batch and the multi-batch read-out contracts are
+  * genuinely exercised. */
+class ContinuousSoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600L * 1000000000L // one hour in nanos
+
+  /** Write `df` as ONE parquet file named `name`, staged then atomically
+    * moved so the running file source never sees a partial file. */
+  private def writeOne(dir: String, name: String, df: DataFrame): Unit = {
+    import java.nio.file.{Files => JF, Paths, StandardCopyOption}
+    val stage = s"$dir/.stage_$name"
+    df.coalesce(1).write.parquet(stage)
+    val part = JF.list(Paths.get(stage)).iterator()
+    val src = Iterator.continually(part)
+      .takeWhile(_.hasNext).map(_.next())
+      .find(_.getFileName.toString.startsWith("part-")).get
+    JF.move(src, Paths.get(s"$dir/$name"), StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Drip rig: returns (trigger, finish) where `finish` releases the
+    * writer thread (which needs the live query handle to force per-file
+    * batches), joins it, drains, and stops the query. */
+  private def dripRig(writer: StreamingQuery => Unit): (Trigger, StreamingQuery => Unit) = {
+    val qRef = new AtomicReference[StreamingQuery]()
+    val ready = new CountDownLatch(1)
+    val err = new AtomicReference[Throwable]()
+    val t = new Thread(() => {
+      try { ready.await(); writer(qRef.get()) }
+      catch { case e: Throwable => err.set(e) }
+    })
+    t.setDaemon(true)
+    t.start()
+    val finish: StreamingQuery => Unit = { q =>
+      qRef.set(q); ready.countDown()
+      t.join(120000)
+      assert(!t.isAlive, "drip writer did not finish in time")
+      if (err.get() != null) throw err.get()
+      q.processAllAvailable()
+      q.stop()
+    }
+    (Trigger.ProcessingTime("50 milliseconds"), finish)
+  }
+
+  test("windowedCounts soak: dripped ProcessingTime run equals one-shot state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-soak-win").toString
+    // f1 exists up front (schema inference needs one file); f2/f3 land
+    // while the query runs. f3 carries a window-0 straggler that stays
+    // inside the 1 h watermark (max event 1.2 h → watermark 0.2 h <
+    // window end 1 h), so continuous and one-shot answers coincide.
+    writeOne(dir, "f1.parquet",
+      Seq((1L, H / 10), (2L, H * 3 / 20)).toDF("user_id", "ts"))
+    val (trigger, finish) = dripRig { q =>
+      writeOne(dir, "f2.parquet",
+        Seq((1L, H * 3 / 10), (1L, H + H / 10)).toDF("user_id", "ts"))
+      q.processAllAvailable()
+      writeOne(dir, "f3.parquet",
+        Seq((2L, H + H / 5), (1L, H / 2)).toDF("user_id", "ts"))
+    }
+    val soaked = rows(Ingest.windowedCounts(spark, dir, "f*.parquet", "user_id",
+      trigger = trigger, finish = finish).orderBy("wstart", "user_id"))
+    // proof of multi-batch: some (window, key) was re-emitted in a later
+    // micro-batch, so a naive (non-max) read-out would have been stale
+    val raw = rows(spark.table("graft_windows"))
+    assert(raw.size > raw.map(r => (r(0), r(1))).distinct.size)
+    val oneShot = rows(Ingest.windowedCounts(spark, dir, "f*.parquet", "user_id")
+      .orderBy("wstart", "user_id"))
+    assert(soaked === oneShot)
+    assert(soaked.map(r => (r(1), r(2))) ===
+      Seq((1L, 3L), (2L, 1L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("sessionize soak: dripped ProcessingTime run equals one-shot state") {
+    val gap = H / 2
+    val dir = java.nio.file.Files.createTempDirectory("graft-soak-sess").toString
+    writeOne(dir, "f1.parquet",
+      Seq((1L, H / 10), (2L, H * 3 / 10)).toDF("user_id", "ts"))
+    val (trigger, finish) = dripRig { q =>
+      // u1 gets a same-session event, then a new session beyond the gap
+      writeOne(dir, "f2.parquet",
+        Seq((1L, H / 5), (1L, H * 3 / 2)).toDF("user_id", "ts"))
+      q.processAllAvailable()
+      // a later event pushes the watermark so earlier sessions finalize
+      writeOne(dir, "f3.parquet",
+        Seq((2L, H * 2)).toDF("user_id", "ts"))
+    }
+    val soaked = rows(Sessionize.userSessions(spark, dir, "f*.parquet", gap,
+      trigger = trigger, finish = finish).orderBy("user_id"))
+    val oneShot = rows(Sessionize.userSessions(spark, dir, "f*.parquet", gap)
+      .orderBy("user_id"))
+    assert(soaked === oneShot)
+    // u1: sessions {0.1h, 0.2h} and {1.5h}; u2: {0.3h} and {2h}
+    assert(soaked === Seq(Seq(1L, 2L, 3L), Seq(2L, 2L, 2L)))
+  }
+
+  test("upsertExactlyOnce soak: dripped ProcessingTime run equals one-shot state") {
+    val src = java.nio.file.Files.createTempDirectory("graft-soak-up-src").toString
+    val base = java.nio.file.Files.createTempDirectory("graft-soak-up").toString
+    // overlapping keys across deliveries; ts grows with delivery order so
+    // the cross-batch winner (latest batch) and the tieBreak winner
+    // (max ts) agree — which is exactly what makes continuous and
+    // one-shot ingestion converge on the same final table
+    writeOne(src, "f1.parquet",
+      Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("id", "v", "ts"))
+    val (trigger, finish) = dripRig { q =>
+      writeOne(src, "f2.parquet",
+        Seq((2L, "b2", 20L), (3L, "c", 20L)).toDF("id", "v", "ts"))
+      q.processAllAvailable()
+      writeOne(src, "f3.parquet",
+        Seq((1L, "a3", 30L), (4L, "d", 30L)).toDF("id", "v", "ts"))
+    }
+    val n = Ingest.upsertExactlyOnce(spark, src, "f*.parquet",
+      s"$base/dest_soak", s"$base/ckpt_soak", keys = Seq("id"),
+      tieBreak = Seq("ts"), trigger = trigger, finish = finish)
+    assert(n === 4)
+    val soaked = rows(spark.read.parquet(s"$base/dest_soak")
+      .select("id", "v", "ts").orderBy("id"))
+    Ingest.upsertExactlyOnce(spark, src, "f*.parquet",
+      s"$base/dest_one", s"$base/ckpt_one", keys = Seq("id"),
+      tieBreak = Seq("ts"))
+    val oneShot = rows(spark.read.parquet(s"$base/dest_one")
+      .select("id", "v", "ts").orderBy("id"))
+    assert(soaked === oneShot)
+    assert(soaked === Seq(Seq(1L, "a3", 30L), Seq(2L, "b2", 20L),
+      Seq(3L, "c", 20L), Seq(4L, "d", 30L)))
+  }
+}
