@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleRehearsal [sfDir] [workDir]
   * Env: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALE (default 10),
-  *      SPARK_GRAFT_BENCH_REPS (default 2, min reported).
+  *      SPARK_GRAFT_BENCH_REPS (default 2, min reported),
+  *      SPARK_GRAFT_REHEARSAL_QUERIES (comma list; subset for the big-N
+  *      spot checks — the special rows answer to "embdup_auto" and
+  *      "simhash64").
   * Prints one JSON line {"rehearsal":{query:{"x1":s,"xN":s,"growth":r}}}.
   */
 object ScaleRehearsal {
@@ -31,8 +34,9 @@ object ScaleRehearsal {
     "q_neardup_minhash", "q_neardup_ngram", "q_dedup_assign", "q_curate",
     // round-6 additions: the text passes + the as-of join
     "q_linededup", "q_winnow", "q_keywords", "q_vocab", "q_asof",
-    // round-7: simhash over the salted documents corpus
-    "q_simhash_pairs")
+    // round-7: simhash over the salted documents corpus; round-8: the
+    // skew-safe chunked as-of over the replicated events
+    "q_simhash_pairs", "q_asof_chunked")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -113,12 +117,22 @@ object ScaleRehearsal {
       dt
     }.min
 
+    // Optional subset for big-N spot checks (a 100x pass over the full
+    // list would mostly re-measure what the 10x pass already pinned).
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_REHEARSAL_QUERIES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(q: String): Boolean = only.forall(_.contains(q))
+    val picked = Queries.filter(wanted)
+
     // Warm up codegen/classloading on the small side first (same policy
     // as Bench: one-shot local JVMs would bill JIT cost to query one).
-    SparkEntry.queries(Queries.head)(spark, sfDir).count()
-    spark.catalog.clearCache(); System.gc()
+    picked.headOption.foreach { q =>
+      SparkEntry.queries(q)(spark, sfDir).count()
+      spark.catalog.clearCache(); System.gc()
+    }
 
-    val rows = Queries.map { q =>
+    val rows = picked.map { q =>
       val t1 = time(sfDir, q)
       val tN = time(workDir, q)
       (q, t1, tN, tN / t1)
@@ -140,7 +154,7 @@ object ScaleRehearsal {
       spark.catalog.clearCache(); System.gc()
       dt
     }.min
-    val autoRow = {
+    val autoRow = if (!wanted("embdup_auto")) Nil else Seq {
       val t1 = timeAuto(sfDir)
       val tN = timeAuto(workDir)
       ("embdup_auto", t1, tN, tN / t1)
@@ -159,13 +173,13 @@ object ScaleRehearsal {
       spark.catalog.clearCache(); System.gc()
       dt
     }.min
-    val sim64Row = {
+    val sim64Row = if (!wanted("simhash64")) Nil else Seq {
       val t1 = timeSimhash64(sfDir)
       val tN = timeSimhash64(workDir)
       ("simhash64", t1, tN, tN / t1)
     }
 
-    val body = (rows :+ autoRow :+ sim64Row).map { case (q, t1, tN, g) =>
+    val body = (rows ++ autoRow ++ sim64Row).map { case (q, t1, tN, g) =>
       f""""$q":{"x1":$t1%.2f,"x$factor":$tN%.2f,"growth":$g%.2f}"""
     }.mkString(",")
     println(s"""{"rehearsal":{$body},"factor":$factor,"sf":"$sfDir"}""")

@@ -59,4 +59,75 @@ object DicomProps extends Properties("Dicom") {
         }
       }
     }
+
+  // ------------------------------------------------ sequence descent props
+  // Hand-built explicit-VR bytes (render() is deliberately top-level-only):
+  // a defined-length item inside an undefined-length SQ, holding random
+  // elements with UNIQUE sentinel values, so presence/absence in the
+  // anonymized byte stream is unambiguous.
+  import java.nio.{ByteBuffer, ByteOrder}
+  import java.nio.charset.StandardCharsets
+
+  private def exEl(g: Int, e: Int, vr: String, v: String): Array[Byte] = {
+    val raw = v.getBytes(StandardCharsets.US_ASCII)
+    val vb = if (raw.length % 2 == 0) raw else raw :+ ' '.toByte
+    val b = ByteBuffer.allocate(8 + vb.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(g.toShort).putShort(e.toShort)
+      .put(vr.getBytes(StandardCharsets.US_ASCII))
+      .putShort(vb.length.toShort).put(vb)
+    b.array()
+  }
+
+  private def exSq(g: Int, e: Int, item: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(12 + 8 + item.length + 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(g.toShort).putShort(e.toShort)
+      .put("SQ".getBytes(StandardCharsets.US_ASCII)).putShort(0.toShort)
+      .putInt(0xFFFFFFFF)
+    b.putShort(0xFFFE.toShort).putShort(0xE000.toShort)
+      .putInt(item.length).put(item)
+    b.putShort(0xFFFE.toShort).putShort(0xE0DD.toShort).putInt(0)
+    b.array()
+  }
+
+  private def explicitFile(body: Array[Byte]*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(new Array[Byte](128))
+    out.write("DICM".getBytes(StandardCharsets.US_ASCII))
+    out.write(exEl(0x0002, 0x0010, "UI", "1.2.840.10008.1.2.1"))
+    body.foreach(out.write)
+    out.toByteArray
+  }
+
+  // sentinel values are unique per position and ≥ 8 chars, so a plain
+  // byte-scan cannot confuse one value for a fragment of another
+  private val nestedFile: Gen[(Array[Byte], List[(Int, Int, String)])] = for {
+    n <- Gen.choose(1, 6)
+    raw <- Gen.listOfN(n, element)
+  } yield {
+    val els = raw.distinctBy(x => (x._1, x._2)).zipWithIndex
+      .map { case ((g, e, vr, _), i) => (g, e, vr, f"sentinel$i%04dv") }
+    val item = els.flatMap { case (g, e, vr, v) => exEl(g, e, vr, v) }.toArray
+    val f = explicitFile(
+      exEl(0x0008, 0x0060, "CS", "MR"),
+      exSq(0x0040, 0x0275, item), // RequestAttributesSequence: NOT in dict
+      exEl(0x0010, 0x0010, "PN", "TOP^NAME"))
+    (f, els.map { case (g, e, _, v) => (g, e, v) })
+  }
+
+  property("descent blanks dictionary tags inside items, keeps the rest") =
+    Prop.forAll(nestedFile) { case (f, nested) =>
+      val anon = new String(Dicom.anonymize(f, "anon"), StandardCharsets.ISO_8859_1)
+      nested.forall { case (g, e, v) =>
+        if (Dicom.keyword(g, e).isDefined) !anon.contains(v) else anon.contains(v)
+      } && !anon.contains("TOP^NAME")
+    }
+
+  property("anonymize stays idempotent and parseable with nested sequences") =
+    Prop.forAll(nestedFile) { case (f, _) =>
+      val once = Dicom.anonymize(f, "anon")
+      val stable = Dicom.anonymize(once, "anon").toSeq == once.toSeq
+      val tags = Dicom.elements(once).map(e => (e.group, e.element))
+      stable && tags.contains((0x0040, 0x0275)) && tags.contains((0x0010, 0x0010))
+    }
 }
