@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, AsOf, Catalog, Dedup, Joins, Lineage, Multimodal, Sequencing, Similarity, Skew}
+import graft.operators.{Align, AsOf, Catalog, Dedup, Joins, Lineage, Multimodal, Sequencing, Similarity, Skew, Stats}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -776,6 +776,61 @@ object Queries {
        |WHERE ${sqlSh32(s"concat('$SampleSalt', CAST(doc_id AS VARCHAR))")} % 100 < ($rate)
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------- Q-quantiles
+  // Ordered statistics per group (Stats.exactQuantiles): discrete
+  // quantiles by rank arithmetic — value at row_number ceil(p·n) — so any
+  // ANSI engine replays them bit-for-bit from the same parquet doubles
+  // (no interpolation, no arithmetic on the value). ONE window shuffle;
+  // the group agg after it reuses the partitioning. The deployable twin
+  // is Stats.approxQuantiles (approx_percentile sketch, single pass, no
+  // per-group sort); StatsSpec pins it to this exact operator within the
+  // sketch's rank-error bound — same gate-config/deploy-config split as
+  // simhash32/64.
+  private val QuantilePs = Seq(0.5, 0.9, 0.99)
+
+  def quantilesQ(s: SparkSession, dir: String): DataFrame =
+    Stats.exactQuantiles(
+        load(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            col("l_extendedprice").as("price")),
+        "flag", "price", QuantilePs)
+      .orderBy("flag")
+
+  private val quantilesSql =
+    """WITH ranked AS (
+      |  SELECT l_returnflag AS flag, l_extendedprice AS price,
+      |         row_number() OVER (PARTITION BY l_returnflag
+      |           ORDER BY l_extendedprice) AS rn,
+      |         count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT flag,
+      |       max(CASE WHEN rn = ceil(n * 0.5) THEN price END) AS p50,
+      |       max(CASE WHEN rn = ceil(n * 0.9) THEN price END) AS p90,
+      |       max(CASE WHEN rn = ceil(n * 0.99) THEN price END) AS p99
+      |FROM ranked GROUP BY flag ORDER BY flag""".stripMargin
+
+  // --------------------------------------------------------- Q-groupsample
+  // Per-source deterministic k-sample (Stats.groupSample): the "cap every
+  // source at k docs" corpus-mixing step, reproducible by portable hash
+  // rank — the oracle replays the same Knuth-multiplicative rank in plain
+  // integer arithmetic.
+  private val GroupSampleK = 10
+
+  def groupSampleQ(s: SparkSession, dir: String): DataFrame =
+    Stats.groupSample(
+        load(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id", GroupSampleK)
+      .orderBy("source", "doc_id")
+
+  private val groupSampleSql =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+       |  FROM documents)
+       |SELECT doc_id, source FROM ranked
+       |WHERE rn <= $GroupSampleK ORDER BY source, doc_id""".stripMargin
 
   // -------------------------------------------------------------- Q-quota
   // Per-source quality quota — the data-mixing step: keep the top-N docs
@@ -2678,6 +2733,8 @@ object Queries {
     "q_embdup_exact" -> (embeddingDupExact _),
     "q_sample" -> (sampleQ _),
     "q_quota" -> (quota _),
+    "q_quantiles" -> (quantilesQ _),
+    "q_groupsample" -> (groupSampleQ _),
     "q_contam" -> (contam _),
     "q_pii" -> (pii _),
     "q_chunk" -> (chunkQ _),
@@ -2760,6 +2817,8 @@ object Queries {
     "q_embdup_exact" -> embeddingDupExactSql,
     "q_sample" -> sampleSql,
     "q_quota" -> quotaSql,
+    "q_quantiles" -> quantilesSql,
+    "q_groupsample" -> groupSampleSql,
     "q_contam" -> contamSql,
     "q_pii" -> piiSql,
     "q_chunk" -> chunkSql,

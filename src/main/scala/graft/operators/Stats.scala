@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered statistics per group — the data-profiling step of a curation
+  * pipeline (score distributions per source, length percentiles per
+  * language, price spreads per class).
+  *
+  * Two shapes, one contract, same dual pattern as simhash32/64:
+  *
+  *  - [[exactQuantiles]]: discrete quantiles by RANK ARITHMETIC — the
+  *    value at row_number ceil(p·n) in (value, then value-identical tie)
+  *    order. Engine-portable by construction: rank positions are integer
+  *    math and the picked VALUE is unique even when the tied row identity
+  *    is not, so any ANSI engine (the DuckDB gate included) reproduces it
+  *    bit-for-bit. Cost: one window shuffle on the group key — the group
+  *    aggregation after it reuses the same partitioning, so the plan has
+  *    exactly ONE Exchange.
+  *  - [[approxQuantiles]]: `approx_percentile` (Greenwald–Khanna
+  *    sketch), the 100 TB shape — a single partial-aggregation pass, no
+  *    per-group sort, mergeable across 1000 executors. Engine-internal
+  *    (sketches have no cross-engine twin); StatsSpec pins it to the
+  *    exact operator within the sketch's rank-error bound rather than by
+  *    hash.
+  *
+  * At gate scale both run in milliseconds; at corpus scale the exact
+  * variant's window sort is the bottleneck and the sketch is the one to
+  * deploy — same "oracle-checkable config vs deployable config" split
+  * the rest of the engine uses.
+  */
+object Stats {
+  /** (group, p«NN»…) — one row per group, one column per requested
+    * quantile. `ps` are (0,1] fractions; column name p50 ⇔ 0.50. */
+  def exactQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                     ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"quantile fractions must lie in (0, 1], got $ps")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    val ranked = df.select(col(groupCol), col(valCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val picks = ps.map { p =>
+      // rank ceil(p·n): n·p is exact IEEE for n < 2^53, identical in any
+      // engine; max(when…) collapses the one hit per group (ties share a
+      // value, so the pick is well-defined even with arbitrary rn order)
+      max(when(col("__rn") === ceil(col("__n") * lit(p)), col(valCol)))
+        .as(colName(p))
+    }
+    ranked.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
+  }
+
+  /** Sketch-based quantiles, single partial-agg pass (the deployable
+    * shape). `accuracy` is approx_percentile's 1/rank-error knob. */
+  def approxQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                      ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val arr = array(ps.map(lit): _*)
+    df.groupBy(col(groupCol))
+      .agg(approx_percentile(col(valCol), arr, lit(accuracy)).as("__q"))
+      .select(col(groupCol) +:
+        ps.zipWithIndex.map { case (p, i) =>
+          element_at(col("__q"), i + 1).as(colName(p))
+        }: _*)
+  }
+
+  private def colName(p: Double): String = {
+    val pct = p * 100
+    if (pct == pct.round.toDouble) s"p${pct.round}" else s"p${(p * 1000).round}"
+  }
+
+  /** Per-group deterministic k-sample by portable hash rank — bounded,
+    * reproducible, engine-replayable (the same Knuth-multiplicative rank
+    * as Similarity.hashStratum, applied per group): the "cap every
+    * source at k docs" step of corpus mixing without a global sort. One
+    * window shuffle on the group key. */
+  def groupSample(df: DataFrame, groupCol: String, idCol: String,
+                  k: Int): DataFrame = {
+    val h = pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
+    val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sampleDf = {
+    // two groups with known order statistics: g=a holds 1..100,
+    // g=b holds 1000, 2000, ..., 10000
+    val a = (1 to 100).map(i => ("a", i.toDouble))
+    val b = (1 to 10).map(i => ("b", i * 1000.0))
+    (a ++ b).toDF("g", "v")
+  }
+
+  test("exactQuantiles picks the value at rank ceil(p*n)") {
+    val r = rows(Stats.exactQuantiles(sampleDf, "g", "v", Seq(0.5, 0.9, 0.99))
+      .orderBy("g"))
+    // a: n=100 → ranks 50, 90, 99; b: n=10 → ranks 5, 9, 10
+    assert(r === Seq(Seq("a", 50.0, 90.0, 99.0),
+      Seq("b", 5000.0, 9000.0, 10000.0)))
+  }
+
+  test("exactQuantiles: ties make the picked VALUE deterministic anyway") {
+    val df = Seq.fill(10)(("g", 7.0)).toDF("g", "v")
+    val r = rows(Stats.exactQuantiles(df, "g", "v", Seq(0.5)))
+    assert(r === Seq(Seq("g", 7.0)))
+  }
+
+  test("exactQuantiles plans ONE exchange: the agg reuses the window partitioning") {
+    val plan = Stats.exactQuantiles(sampleDf, "g", "v", Seq(0.5))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one shuffle, plan:\n$plan")
+  }
+
+  test("approxQuantiles tracks the exact operator within sketch rank error") {
+    // GK sketch with accuracy A guarantees rank error ≤ n/A; with
+    // A=10000 and n=100 the answer is rank-exact here, but assert the
+    // CONTRACT (value between the p±ε order statistics), not equality,
+    // so a sketch-implementation change doesn't flap the suite
+    val exact = Stats.exactQuantiles(sampleDf, "g", "v", Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Stats.approxQuantiles(sampleDf, "g", "v", Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val sorted = sampleDf.collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    for ((g, (a50, a90)) <- approx) {
+      val vs = sorted(g)
+      val n = vs.length
+      def bound(p: Double, got: Double) = {
+        val eps = math.max(1, n / 10000) // rank slack at this accuracy
+        val lo = vs(math.max(0, math.ceil(p * n).toInt - 1 - eps))
+        val hi = vs(math.min(n - 1, math.ceil(p * n).toInt - 1 + eps))
+        got >= lo && got <= hi
+      }
+      assert(bound(0.5, a50) && bound(0.9, a90),
+        s"approx quantiles out of rank bound for $g: $a50/$a90 vs ${exact(g)}")
+    }
+  }
+
+  test("groupSample caps each group at k, deterministically") {
+    val df = (1L to 500L).map(i => (s"s${i % 3}", i)).toDF("src", "id")
+    val once = rows(Stats.groupSample(df, "src", "id", 20).orderBy("src", "id"))
+    val twice = rows(Stats.groupSample(df, "src", "id", 20).orderBy("src", "id"))
+    assert(once === twice)
+    val sizes = Stats.groupSample(df, "src", "id", 20)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ == 20L))
+    // hash-rank, not head-of-table: the sample is not just ids 1..k
+    val ids = once.map(_(1).asInstanceOf[Long])
+    assert(ids.exists(_ > 100L))
+  }
+}
