@@ -127,10 +127,12 @@ object ScaleRehearsal {
 
     // Warm up codegen/classloading on the small side first (same policy
     // as Bench: one-shot local JVMs would bill JIT cost to query one).
-    picked.headOption.foreach { q =>
-      SparkEntry.queries(q)(spark, sfDir).count()
-      spark.catalog.clearCache(); System.gc()
-    }
+    // Unconditional — a subset naming only the special rows would
+    // otherwise skip it and bill JIT to the first x1 cell, deflating the
+    // growth ratio this tool exists to measure honestly.
+    SparkEntry.queries(picked.headOption.getOrElse("q_dedup"))(spark, sfDir)
+      .count()
+    spark.catalog.clearCache(); System.gc()
 
     val rows = picked.map { q =>
       val t1 = time(sfDir, q)

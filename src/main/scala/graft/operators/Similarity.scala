@@ -95,11 +95,19 @@ object Similarity {
     * 2654435761 — beyond that the product overflows int64: ANSI engines
     * error, non-ANSI Spark silently wraps); ties broken by id for full
     * determinism. */
-  def hashStratum(df: DataFrame, idCol: String, cap: Int): DataFrame = {
-    val h = pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
-    df.withColumn("__h", h).orderBy(col("__h"), col(idCol)).limit(cap)
+  /** The Knuth-multiplicative rank `(id · 2654435761) mod 2^32` shared
+    * by [[hashStratum]] and [[Stats.groupSample]] — ONE definition so
+    * the documented portability contract (non-negative ids below
+    * ~3.4e9; ANSI engines error beyond, non-ANSI Spark silently wraps;
+    * negative ids split pmod-vs-% between engines) can't drift between
+    * call sites. */
+  def knuthRank(id: Column): Column =
+    pmod(id * lit(2654435761L), lit(4294967296L))
+
+  def hashStratum(df: DataFrame, idCol: String, cap: Int): DataFrame =
+    df.withColumn("__h", knuthRank(col(idCol)))
+      .orderBy(col("__h"), col(idCol)).limit(cap)
       .drop("__h")
-  }
 
   /** Exact all-pairs cosine compare as a pure EQUI-join — the blocked
     * "triangle distribution" shape: rows are assigned to one of `blocks`

@@ -39,7 +39,12 @@ object Stats {
       s"quantile fractions must lie in (0, 1], got $ps")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
     val wAll = Window.partitionBy(col(groupCol))
+    // Order statistics are over the NON-NULL values (the convention every
+    // quantile function shares). Without this filter Spark ranks nulls
+    // FIRST while an oracle engine's default is NULLS LAST — shifted
+    // ranks, and a pick landing on the null row would return null.
     val ranked = df.select(col(groupCol), col(valCol))
+      .filter(col(valCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
     val picks = ps.map { p =>
@@ -71,14 +76,16 @@ object Stats {
   }
 
   /** Per-group deterministic k-sample by portable hash rank — bounded,
-    * reproducible, engine-replayable (the same Knuth-multiplicative rank
-    * as Similarity.hashStratum, applied per group): the "cap every
+    * reproducible, engine-replayable ([[Similarity.knuthRank]], the one
+    * shared definition — see its doc for the id-range contract: ids must
+    * be non-negative and below ~3.4e9, or engines diverge on overflow
+    * and negative-modulo semantics), applied per group: the "cap every
     * source at k docs" step of corpus mixing without a global sort. One
     * window shuffle on the group key. */
   def groupSample(df: DataFrame, groupCol: String, idCol: String,
                   k: Int): DataFrame = {
-    val h = pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
-    val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(Similarity.knuthRank(col(idCol)), col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")

@@ -36,16 +36,35 @@ object HlaPipeline {
   /** One HLA sample row per allele file: code = HLA + suffix + parent
     * barcode (extracted from the path), whole-file typing payload. */
   def hlaSamples(scan: DataFrame): DataFrame =
+    hlaSamplesWithPath(scan)
+      .select("sample_code", "parent", "hla_class", "typing")
+
+  private def hlaSamplesWithPath(scan: DataFrame): DataFrame =
     alleleFiles(scan)
       .withColumn("parent", Barcode.extract(col("path")))
       .withColumn("hla_class", mhcClass(col("typing")))
       .withColumn("sample_code",
         concat(lit("HLA"), mhcSuffix(col("typing")), col("parent")))
-      .select("sample_code", "parent", "hla_class", "typing")
 
   /** The dropbox flow: derive sample rows from the scan and MERGE them
     * into the existing HLA sample table (same schema), new samples
-    * created, existing ones re-typed (:119-128). */
-  def register(existing: DataFrame, scan: DataFrame): DataFrame =
-    Catalog.upsert(existing, hlaSamples(scan), Seq("sample_code"))
+    * created, existing ones re-typed (:119-128).
+    *
+    * One batch CAN carry two result files for the same parent (a
+    * re-upload of `X.alleles` plus `X/alleles.txt`): the reference's
+    * sequential loop keeps whichever its directory walk served last —
+    * an ORDER the distributed MERGE doesn't have. The winner is pinned
+    * deterministically instead (lexicographically greatest source path
+    * per sample_code), so the batch stays key-unique and a rerun can't
+    * flap; [[Catalog.upsert]]'s uniqueness guard backstops the
+    * invariant loudly if this reduction is ever bypassed. */
+  def register(existing: DataFrame, scan: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sample_code")).orderBy(col("path").desc)
+    val incoming = hlaSamplesWithPath(scan)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("sample_code", "parent", "hla_class", "typing")
+    Catalog.upsert(existing, incoming, Seq("sample_code"))
+  }
 }

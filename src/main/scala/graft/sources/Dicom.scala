@@ -333,16 +333,19 @@ object Dicom {
           f"group-length element (${h.group}%04x,0000) with undefined length at $pos")
       h.valOff + h.len.toInt
     } else if (h.len == UndefLen) {
-      val delim = skipSequenceContent(buf, bytes, h.valOff, explicit)
+      // UN with undefined length is an implicit-VR-encoded SQ per PS3.5
+      // §6.2.2 — its item CONTENT is implicit even in an explicit file
+      val childExplicit = if (h.vr == "UN") false else explicit
+      val delim = skipSequenceContent(buf, bytes, h.valOff, childExplicit)
       // implicit-VR undefined length is necessarily SQ (encapsulation
-      // needs explicit VR); explicit non-SQ undefined runs are fragment
+      // needs explicit VR); explicit OB/OW undefined runs are fragment
       // streams, copied verbatim
-      val isSeq = h.vr == "SQ" || !explicit
+      val isSeq = h.vr == "SQ" || h.vr == "UN" || !explicit
       if (inAnonSet && isSeq) {
         writeHeaderWithLength(0) // empty the sequence (set-to-'' semantics)
       } else if (isSeq) {
         out.write(bytes, pos, h.valOff - pos) // header, undefined length kept
-        rewriteItemStream(buf, bytes, h.valOff, delim, explicit, out, patientName)
+        rewriteItemStream(buf, bytes, h.valOff, delim, childExplicit, out, patientName)
         out.write(bytes, delim, 8)            // (FFFE,E0DD) delimiter
       } else {
         out.write(bytes, pos, delim + 8 - pos)
@@ -361,20 +364,64 @@ object Dicom {
       h.valOff + h.len.toInt
     } else {
       val l = h.len.toInt
-      val hasStringValue = StringVrs.contains(h.vr) ||
-        (!explicit && isPrintable(bytes, h.valOff, l))
-      if (inAnonSet && hasStringValue) {
-        val replacement =
-          if (h.group == 0x0010 && h.element == 0x0010) patientName else ""
-        val raw = replacement.getBytes(StandardCharsets.UTF_8)
-        val vbytes = if (raw.length % 2 == 0) raw else raw :+ ' '.toByte
-        writeHeaderWithLength(vbytes.length)
-        out.write(vbytes)
+      // Implicit VR (and explicit UN, whose content is implicit-encoded
+      // per PS3.5 §6.2.2) can carry a DEFINED-length sequence that is
+      // indistinguishable from a scalar without a full data dictionary.
+      // Structure-sniff it — the standard fallback: a well-formed item
+      // stream filling the value exactly is a sequence; anything that
+      // merely starts with item-tag-like bytes but doesn't validate to
+      // the end is copied verbatim as data.
+      val seqLike = (!explicit || h.vr == "UN") && l >= 8 &&
+        isItemStream(buf, bytes, h.valOff, h.valOff + l)
+      if (seqLike) {
+        if (inAnonSet) writeHeaderWithLength(0)
+        else {
+          val content = new java.io.ByteArrayOutputStream()
+          rewriteItemStream(buf, bytes, h.valOff, h.valOff + l,
+            explicit = false, content, patientName)
+          writeHeaderWithLength(content.size())
+          content.writeTo(out)
+        }
       } else {
-        out.write(bytes, pos, h.valOff + l - pos) // verbatim
+        val hasStringValue = StringVrs.contains(h.vr) ||
+          (!explicit && isPrintable(bytes, h.valOff, l))
+        if (inAnonSet && hasStringValue) {
+          val replacement =
+            if (h.group == 0x0010 && h.element == 0x0010) patientName else ""
+          val raw = replacement.getBytes(StandardCharsets.UTF_8)
+          val vbytes = if (raw.length % 2 == 0) raw else raw :+ ' '.toByte
+          writeHeaderWithLength(vbytes.length)
+          out.write(vbytes)
+        } else {
+          out.write(bytes, pos, h.valOff + l - pos) // verbatim
+        }
       }
       h.valOff + l
     }
+  }
+
+  /** True iff [from, until) is a WELL-FORMED item stream: consecutive
+    * (FFFE,E000) items whose lengths (or delimiters, walked implicitly)
+    * land exactly on `until`. Used to detect defined-length sequences in
+    * implicit-VR / UN elements, where the header alone can't say. */
+  private def isItemStream(buf: ByteBuffer, bytes: Array[Byte],
+                           from: Int, until: Int): Boolean = {
+    var p = from
+    try {
+      while (p < until) {
+        if (p + 8 > until) return false
+        val g = buf.getShort(p) & 0xFFFF
+        val e = buf.getShort(p + 2) & 0xFFFF
+        if (g != 0xFFFE || e != 0xE000) return false
+        val l = buf.getInt(p + 4) & 0xFFFFFFFFL
+        if (l == UndefLen) p = skipItemContent(buf, bytes, p + 8, explicit = false)
+        else {
+          if (p + 8 + l > until) return false
+          p = p + 8 + l.toInt
+        }
+      }
+      p == until
+    } catch { case _: IllegalArgumentException => false }
   }
 
   /** Rewrite a sequence's item stream in [from, until): each item's

@@ -15,6 +15,21 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * and exactly-once via checkpoint + idempotent sink.
   */
 object Ingest {
+  /** File-source stream reader with the marker-glob filter and optional
+    * per-file batching — the one shared definition behind every file
+    * stream here and in [[Sessionize]] (the builder is REASSIGNED, not
+    * mutated in place: DataStreamReader happens to return `this`, but
+    * callers must not lean on that). */
+  private[streaming] def fileStream(spark: SparkSession,
+                                    schema: org.apache.spark.sql.types.StructType,
+                                    fileGlob: String, dir: String,
+                                    maxFilesPerTrigger: Int): DataFrame = {
+    val reader0 = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
+    val reader = if (maxFilesPerTrigger > 0)
+      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
+    reader.parquet(dir)
+  }
+
   /** Micro-batch ingest of one parquet table inside `dir`; grouped counts
     * via the streaming aggregation path (complete mode, memory sink).
     * `pathGlobFilter` plays the reference's marker-file role (S2): only
@@ -54,12 +69,7 @@ object Ingest {
                      finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
     val schema = spark.read.option("pathGlobFilter", fileGlob).parquet(dir).schema
     val qn = "graft_windows"
-    val reader0 = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
-    // reassigned, not mutated in place: DataStreamReader happens to
-    // return `this`, but the code must not lean on that
-    val reader = if (maxFilesPerTrigger > 0)
-      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
-    val q = reader.parquet(dir)
+    val q = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
       .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ets", "1 hour")
       .groupBy(window(col("ets"), "1 hour").as("w"), col(keyCol))
@@ -93,12 +103,7 @@ object Ingest {
     val schema = spark.read.option("pathGlobFilter", fileGlob)
       .parquet(dir).schema
     val qn = "graft_stream_enrich"
-    val reader0 = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
-    // reassigned, not mutated in place: DataStreamReader happens to
-    // return `this`, but the code must not lean on that
-    val reader = if (maxFilesPerTrigger > 0)
-      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
-    val q = reader.parquet(dir)
+    val q = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
       .join(broadcast(dim), col(streamKey) === col(dimKey))
       .groupBy(col(aggKey))
       .agg(count(lit(1)).as("n"),

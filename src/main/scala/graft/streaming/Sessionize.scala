@@ -75,12 +75,7 @@ object Sessionize {
     import spark.implicits._
     val schema = spark.read.option("pathGlobFilter", fileGlob).parquet(dir).schema
     val qn = "graft_sessions"
-    val reader0 = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
-    // reassigned, not mutated in place: DataStreamReader happens to
-    // return `this`, but the code must not lean on that
-    val reader = if (maxFilesPerTrigger > 0)
-      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
-    val q = reader.parquet(dir)
+    val q = Ingest.fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
       .select(col("user_id"), col("ts"),
         timestamp_micros(expr("ts DIV 1000")).as("ets"))
       .withWatermark("ets", lateness)

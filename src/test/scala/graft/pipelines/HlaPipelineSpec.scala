@@ -34,6 +34,26 @@ class HlaPipelineSpec extends SparkSpec {
       (("QABCD002B4", "MHC_CLASS_II", "DQB1*02:01\nDQB1*03:01\n")))
   }
 
+  test("register: two result files for one parent pick a deterministic winner") {
+    // a re-upload scenario: result.alleles AND alleles.txt for the SAME
+    // parent in one batch → same sample_code twice; the reference's
+    // sequential loop keeps an order-dependent winner, register pins the
+    // lexicographically greatest path ('result.alleles' > 'alleles.txt')
+    val d = JFiles.createTempDirectory("graft-hla-dup")
+    JFiles.createDirectory(d.resolve("QABCD009X9_typing"))
+    JFiles.writeString(d.resolve("QABCD009X9_typing/alleles.txt"),
+      "A*11:11\n")
+    JFiles.writeString(d.resolve("QABCD009X9_typing/result.alleles"),
+      "A*22:22\n")
+    val existing = Seq.empty[(String, String, String, String)]
+      .toDF("sample_code", "parent", "hla_class", "typing")
+    (1 to 3).foreach { _ =>
+      val merged = HlaPipeline.register(existing, Files.binaryScan(spark, d.toString))
+        .select("sample_code", "typing").as[(String, String)].collect()
+      assert(merged.toSeq === Seq(("HLA1QABCD009X9", "A*22:22\n")))
+    }
+  }
+
   test("register upserts: creates new samples, re-types existing ones") {
     val existing = Seq(
       ("HLA1QABCD001A0", "QABCD001A0", "MHC_CLASS_I", "A*99:99 stale"),

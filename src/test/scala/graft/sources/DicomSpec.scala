@@ -241,6 +241,64 @@ class DicomSpec extends SparkSpec {
     assert(e2.value === Some("px7"))
   }
 
+  /** Implicit VR LE element whose value is raw bytes (sequence bodies). */
+  private def imElRaw(group: Int, elem: Int, value: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8 + value.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putShort(group.toShort).putShort(elem.toShort)
+      .putInt(value.length).put(value)
+    buf.array()
+  }
+
+  /** One defined-length (FFFE,E000) item wrapping `content`. */
+  private def imItem(content: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8 + content.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putShort(0xFFFE.toShort).putShort(0xE000.toShort)
+      .putInt(content.length).put(content)
+    buf.array()
+  }
+
+  test("implicit-VR DEFINED-length sequences are structure-sniffed and descended") {
+    // no VR and no undefined length to give the sequence away — only the
+    // well-formed item stream filling the value exactly; a top-level-only
+    // (or undefined-length-only) rewrite leaks the nested person name
+    val item = imItem(imEl(0x0010, 0x0010, "HIDDEN^IMP") ++ imEl(0x0008, 0x0060, "CT"))
+    val f = file(ImplicitLE,
+      imElRaw(0x0040, 0x0275, item),      // RequestAttributesSequence (kept)
+      imEl(0x0010, 0x0010, "TOP^NAME"))
+    val anon = Dicom.anonymize(f, "anon")
+    val s = new String(anon, StandardCharsets.ISO_8859_1)
+    assert(!s.contains("HIDDEN"))
+    assert(s.contains("CT"))
+    assert(Dicom.anonymize(anon, "anon").toSeq === anon.toSeq) // idempotent
+    // anon-set sequence tag in the same encoding is emptied outright
+    val f2 = file(ImplicitLE,
+      imElRaw(0x0008, 0x0096, imItem(imEl(0x0008, 0x0100, "DRWHO"))),
+      imEl(0x0008, 0x0060, "MR"))
+    val anon2 = new String(Dicom.anonymize(f2, "anon"), StandardCharsets.ISO_8859_1)
+    assert(!anon2.contains("DRWHO"))
+    assert(anon2.contains("MR"))
+  }
+
+  test("item-tag-looking binary that fails stream validation stays verbatim") {
+    // starts with (FFFE,E000) but its declared item length overruns the
+    // value — NOT a sequence; the sniff must reject it and the bytes
+    // must survive untouched (a false positive would corrupt pixel data)
+    val fake = {
+      val b = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(0xFFFE.toShort).putShort(0xE000.toShort)
+        .putInt(9999).putInt(0xCAFEBABE)
+      b.array()
+    }
+    val f = file(ImplicitLE,
+      imElRaw(0x7FE0, 0x0010, fake),      // PixelData-ish payload
+      imEl(0x0008, 0x0060, "US"))
+    val anon = Dicom.anonymize(f, "anon")
+    val els = Dicom.elements(anon).map(e => ((e.group, e.element), e)).toMap
+    val e = els((0x7FE0, 0x0010))
+    assert(anon.slice(e.valueOffset, e.valueOffset + e.valueLength).toSeq
+      === fake.toSeq)
+  }
+
   test("anonymize works on implicit VR files too") {
     val f = file(ImplicitLE,
       imEl(0x0010, 0x0010, "ROE^JANE"),

@@ -16,7 +16,14 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 fails = 0
+skipped = []
 for name, sql in sorted(oracle.items()):
+    # oracle_sql.json always records the FULL surface; a subset Verify run
+    # (SPARK_GRAFT_VERIFY_QUERIES) dumps only some parquet dirs — skip the
+    # rest LOUDLY rather than failing, and never report them as covered
+    import os
+    if not os.path.isdir(f"{OUT}/{name}"):
+        skipped.append(name); continue
     try:
         got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
     except Exception as e:
@@ -51,5 +58,11 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: col={bad[0]} row={bad[1]} spark={bad[2]!r} oracle={bad[3]!r}"); fails += 1
     else:
         print(f"OK   {name} ({len(g)} rows)")
-print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
+checked = len(oracle) - len(skipped)
+if skipped:
+    print(f"\nNOTE: {len(skipped)} oracle entries had no dump (subset run?) "
+          f"and were NOT checked: {', '.join(skipped[:8])}"
+          f"{'...' if len(skipped) > 8 else ''}")
+print(f"\n{checked - fails}/{checked} dumped queries match "
+      f"({len(oracle)} total on the gate surface)")
 sys.exit(1 if fails else 0)
