@@ -132,19 +132,21 @@ object Ingest {
     * event time stays within `watermark` — size it to the source's real
     * out-of-orderness, trading state for dedup reach. */
   def dedupStream(spark: SparkSession, dir: String, fileGlob: String,
-                  keys: Seq[String], watermark: String = "1 hour"): DataFrame = {
+                  keys: Seq[String], watermark: String = "1 hour",
+                  maxFilesPerTrigger: Int = 0,
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
     val schema = spark.read.option("pathGlobFilter", fileGlob)
       .parquet(dir).schema
     val qn = "graft_stream_dedup"
-    val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
-      .parquet(dir)
+    val q = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
       .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ets", watermark)
       .dropDuplicatesWithinWatermark(keys)
       .select(keys.map(col): _*)
       .writeStream.queryName(qn).outputMode("append")
-      .format("memory").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      .format("memory").trigger(trigger).start()
+    finish(q)
     spark.table(qn)
   }
 

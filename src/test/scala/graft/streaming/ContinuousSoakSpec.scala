@@ -114,6 +114,28 @@ class ContinuousSoakSpec extends SparkSpec {
     assert(soaked === Seq(Seq(1L, 2L, 3L), Seq(2L, 2L, 2L)))
   }
 
+  test("dedupStream soak: dripped ProcessingTime run equals one-shot key set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-soak-dedup").toString
+    // duplicates land in LATER deliveries, within the 1 h watermark of
+    // their first sighting, so state hasn't expired and they drop in the
+    // continuous run exactly as in the one-shot run
+    writeOne(dir, "f1.parquet",
+      Seq((1L, H / 10), (2L, H / 8)).toDF("user_id", "ts"))
+    val (trigger, finish) = dripRig { q =>
+      writeOne(dir, "f2.parquet",
+        Seq((1L, H / 5), (3L, H / 4)).toDF("user_id", "ts")) // u1 dup
+      q.processAllAvailable()
+      writeOne(dir, "f3.parquet",
+        Seq((2L, H / 3), (3L, H / 2)).toDF("user_id", "ts")) // u2,u3 dups
+    }
+    val soaked = rows(Ingest.dedupStream(spark, dir, "f*.parquet",
+      Seq("user_id"), trigger = trigger, finish = finish).orderBy("user_id"))
+    val oneShot = rows(Ingest.dedupStream(spark, dir, "f*.parquet",
+      Seq("user_id")).orderBy("user_id"))
+    assert(soaked === oneShot)
+    assert(soaked === Seq(Seq(1L), Seq(2L), Seq(3L)))
+  }
+
   test("upsertExactlyOnce soak: dripped ProcessingTime run equals one-shot state") {
     val src = java.nio.file.Files.createTempDirectory("graft-soak-up-src").toString
     val base = java.nio.file.Files.createTempDirectory("graft-soak-up").toString
