@@ -185,25 +185,32 @@ object Ingest {
         val staging = new Path(destDir + ".staging")
         val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
         recoverSwap(fs, dest, staging)
+        // The batch feeds TWO passes (touched-bucket collect, then the
+        // merge write); without a persist each pass re-scans the micro-
+        // batch's source files — doubled ingest I/O at scale (measured:
+        // numInputRows exactly 2x the delivered rows).
         val bucketed = batch.toDF().withColumn("__bucket",
           pmod(hash(keys.map(col): _*), lit(nBuckets)))
-        // ≤ nBuckets rows — a bounded driver collect, not O(data).
-        val touched = bucketed.select("__bucket").distinct()
-          .collect().map(_.getInt(0)).toSeq
-        val existing =
-          if (fs.exists(dest))
-            // Partition pruning: dest is __bucket=<i>/ dirs, so this scan
-            // reads only the touched buckets' files.
-            spark.read.parquet(destDir)
-              .filter(col("__bucket").isin(touched: _*))
-          else bucketed.limit(0)
-        // without tieBreak, a micro-batch with a repeated key fails
-        // loudly (Catalog.upsert's uniqueness guard) rather than
-        // committing an arbitrary winner that a replay could flip
-        graft.operators.Catalog.upsert(existing, bucketed, keys, tieBreak)
-          .write.mode("overwrite").partitionBy("__bucket")
-          .parquet(staging.toString)
-        commitBuckets(fs, dest, staging)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // ≤ nBuckets rows — a bounded driver collect, not O(data).
+          val touched = bucketed.select("__bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val existing =
+            if (fs.exists(dest))
+              // Partition pruning: dest is __bucket=<i>/ dirs, so this scan
+              // reads only the touched buckets' files.
+              spark.read.parquet(destDir)
+                .filter(col("__bucket").isin(touched: _*))
+            else bucketed.limit(0)
+          // without tieBreak, a micro-batch with a repeated key fails
+          // loudly (Catalog.upsert's uniqueness guard) rather than
+          // committing an arbitrary winner that a replay could flip
+          graft.operators.Catalog.upsert(existing, bucketed, keys, tieBreak)
+            .write.mode("overwrite").partitionBy("__bucket")
+            .parquet(staging.toString)
+          commitBuckets(fs, dest, staging)
+        } finally { bucketed.unpersist(); () }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

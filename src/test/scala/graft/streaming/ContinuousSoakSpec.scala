@@ -136,6 +136,43 @@ class ContinuousSoakSpec extends SparkSpec {
     assert(soaked === Seq(Seq(1L), Seq(2L), Seq(3L)))
   }
 
+  test("upsertExactlyOnce restart: a resumed query replays offsets, not data") {
+    val src = java.nio.file.Files.createTempDirectory("graft-restart-src").toString
+    val base = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    writeOne(src, "f1.parquet",
+      Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("id", "v", "ts"))
+    // run 1: continuous trigger, sees f1, stopped — a deploy restart
+    val (t1, fin1) = dripRig { q => q.processAllAvailable() }
+    Ingest.upsertExactlyOnce(spark, src, "f*.parquet",
+      s"$base/dest", s"$base/ckpt", keys = Seq("id"), tieBreak = Seq("ts"),
+      trigger = t1, finish = fin1)
+    // run 2: SAME checkpoint, f2 drips in while the resumed query runs
+    val (t2, fin2) = dripRig { q =>
+      writeOne(src, "f2.parquet",
+        Seq((1L, "a2", 20L), (3L, "c", 20L)).toDF("id", "v", "ts"))
+      q.processAllAvailable()
+    }
+    val n = Ingest.upsertExactlyOnce(spark, src, "f*.parquet",
+      s"$base/dest", s"$base/ckpt", keys = Seq("id"), tieBreak = Seq("ts"),
+      trigger = t2, finish = fin2)
+    assert(n === 3)
+    // the checkpoint's per-batch source log is the ground truth for what
+    // the resumed source ADMITTED (numInputRows would double-count the
+    // foreachBatch's two passes): batch 0 = exactly f1, batch 1 = exactly
+    // f2 — the restart replayed offsets, it did not re-ingest files
+    def admitted(b: Int): Seq[String] =
+      java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$base/ckpt/sources/0/$b"))
+        .linesIterator.filter(_.startsWith("{"))
+        .map(l => "\"path\":\"(.*?)\"".r.findFirstMatchIn(l).get.group(1))
+        .map(_.split('/').last).toSeq
+    assert(admitted(0) === Seq("f1.parquet"))
+    assert(admitted(1) === Seq("f2.parquet"))
+    val fin = rows(spark.read.parquet(s"$base/dest")
+      .select("id", "v").orderBy("id"))
+    assert(fin === Seq(Seq(1L, "a2"), Seq(2L, "b"), Seq(3L, "c")))
+  }
+
   test("upsertExactlyOnce soak: dripped ProcessingTime run equals one-shot state") {
     val src = java.nio.file.Files.createTempDirectory("graft-soak-up-src").toString
     val base = java.nio.file.Files.createTempDirectory("graft-soak-up").toString
