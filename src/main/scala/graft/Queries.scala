@@ -777,6 +777,40 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------- Q-range
+  // Binned interval-containment join (Joins.rangeJoinBinned): every 101st
+  // event seeds a 2-hour window; count the events falling inside each.
+  // The engine side is a pure equi-join on 1-hour bins (each window
+  // explodes to 2-3 bin rows, each point keeps its one bin) + exact
+  // containment filter — NO inequality join, so PlanAuditSpec's
+  // no-BNLJ/no-cartesian sweep covers it like any other row. The oracle
+  // answers the same question with DuckDB's native inequality join
+  // (IEJoin): two unrelated plans, one truth.
+  private val RangeWindowUs = 7200000000L // 2 h in micros
+  private val RangeBinUs = 3600000000L    // 1 h bins
+
+  def rangeQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+      .select(col("event_id"), expr("ts DIV 1000").as("t"))
+    val windows = ev.filter(col("event_id") % 101 === 0)
+      .select(col("event_id").as("window_id"), col("t").as("ws"),
+        (col("t") + RangeWindowUs).as("we"))
+    Joins.rangeJoinBinned(ev.select(col("t")), windows,
+        "t", "ws", "we", binWidth = RangeBinUs)
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("window_id")
+  }
+
+  private val rangeSql =
+    s"""WITH pts AS (SELECT epoch_us(ts) AS t FROM events),
+       |win AS (SELECT event_id AS window_id, epoch_us(ts) AS ws,
+       |               epoch_us(ts) + $RangeWindowUs AS we
+       |        FROM events WHERE event_id % 101 = 0)
+       |SELECT window_id, CAST(count(*) AS BIGINT) AS n_events
+       |FROM win JOIN pts ON t >= ws AND t < we
+       |GROUP BY window_id ORDER BY window_id""".stripMargin
+
   // ---------------------------------------------------------- Q-quantiles
   // Ordered statistics per group (Stats.exactQuantiles): discrete
   // quantiles by rank arithmetic — value at row_number ceil(p·n) — so any
@@ -2734,6 +2768,7 @@ object Queries {
     "q_sample" -> (sampleQ _),
     "q_quota" -> (quota _),
     "q_quantiles" -> (quantilesQ _),
+    "q_range" -> (rangeQ _),
     "q_groupsample" -> (groupSampleQ _),
     "q_contam" -> (contam _),
     "q_pii" -> (pii _),
@@ -2818,6 +2853,7 @@ object Queries {
     "q_sample" -> sampleSql,
     "q_quota" -> quotaSql,
     "q_quantiles" -> quantilesSql,
+    "q_range" -> rangeSql,
     "q_groupsample" -> groupSampleSql,
     "q_contam" -> contamSql,
     "q_pii" -> piiSql,

@@ -47,4 +47,37 @@ object Joins {
     meta.withColumn("__p", normPath(col(metaPath)))
       .join(files.withColumn("__p", normPath(col(filePath))), Seq("__p"))
       .drop("__p")
+
+  /** Interval-containment join as a pure EQUI-join — the binned range
+    * join. A naive `t >= start && t < end` join has no equality
+    * predicate, so Catalyst plans BroadcastNestedLoopJoin (or worse, a
+    * cartesian) — the two shapes that die at corpus scale. Instead both
+    * sides map onto fixed-width bins of the point domain: a point lands
+    * in its one bin, an interval explodes to every bin it overlaps, the
+    * join is a plain shuffle on `__bin`, and the exact containment
+    * predicate filters the candidates after. A point meets an interval
+    * in EXACTLY the point's own bin, so no dedup pass is needed.
+    *
+    * Cost scales with bin occupancy × interval span in bins: pick
+    * `binWidth` near the typical interval length so each interval
+    * explodes to ~2 rows and each candidate list stays bin-local —
+    * the standard time-domain co-location trick (same family as the
+    * as-of join's range chunking, AsOf.asofJoinChunked).
+    *
+    * Intervals are [start, end) — empty ones (end <= start) are dropped
+    * up front, which also keeps the bin `sequence()` ascending. Column
+    * names must be disjoint between the two frames. */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, startCol: String, endCol: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val p = points.withColumn("__bin", floor(col(pointCol) / binWidth))
+    val iv = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bin", explode(sequence(
+        floor(col(startCol) / binWidth), floor((col(endCol) - 1) / binWidth))))
+    iv.join(p, Seq("__bin"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bin")
+  }
 }
