@@ -844,6 +844,34 @@ object Queries {
       |       max(CASE WHEN rn = ceil(n * 0.99) THEN price END) AS p99
       |FROM ranked GROUP BY flag ORDER BY flag""".stripMargin
 
+  // ---------------------------------------------------------- Q-histogram
+  // Fixed-width price histogram per return flag (Stats.histogram): one
+  // partial-aggregated groupBy over scan-stage IEEE arithmetic — both
+  // engines compute floor((price - lo)/width) bit-for-bit. Underflow/
+  // overflow edge bins are part of the contract (unused on this data;
+  // StatsSpec exercises them).
+  private val HistLo = 0.0
+  private val HistWidth = 5000.0
+  private val HistBins = 25
+
+  def histogramQ(s: SparkSession, dir: String): DataFrame =
+    Stats.histogram(
+        load(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            col("l_extendedprice").as("price")),
+        "flag", "price", HistLo, HistWidth, HistBins)
+      .orderBy("flag", "bin")
+
+  private val histogramSql =
+    s"""SELECT l_returnflag AS flag,
+       |       CASE WHEN l_extendedprice < $HistLo THEN -1
+       |            WHEN l_extendedprice >= $HistLo + $HistBins * $HistWidth
+       |              THEN $HistBins
+       |            ELSE CAST(floor((CAST(l_extendedprice AS DOUBLE) - $HistLo)
+       |                             / $HistWidth) AS BIGINT) END AS bin,
+       |       CAST(count(*) AS BIGINT) AS n
+       |FROM lineitem GROUP BY 1, 2 ORDER BY flag, bin""".stripMargin
+
   // --------------------------------------------------------- Q-groupsample
   // Per-source deterministic k-sample (Stats.groupSample): the "cap every
   // source at k docs" corpus-mixing step, reproducible by portable hash
@@ -2769,6 +2797,7 @@ object Queries {
     "q_quota" -> (quota _),
     "q_quantiles" -> (quantilesQ _),
     "q_range" -> (rangeQ _),
+    "q_histogram" -> (histogramQ _),
     "q_groupsample" -> (groupSampleQ _),
     "q_contam" -> (contam _),
     "q_pii" -> (pii _),
@@ -2854,6 +2883,7 @@ object Queries {
     "q_quota" -> quotaSql,
     "q_quantiles" -> quantilesSql,
     "q_range" -> rangeSql,
+    "q_histogram" -> histogramSql,
     "q_groupsample" -> groupSampleSql,
     "q_contam" -> contamSql,
     "q_pii" -> piiSql,

@@ -75,6 +75,38 @@ object Stats {
     if (pct == pct.round.toDouble) s"p${pct.round}" else s"p${(p * 1000).round}"
   }
 
+  /** Fixed-width histogram per group: bin = floor((v - lo) / width),
+    * with explicit underflow (-1) / overflow (`nBins`) edge bins so no
+    * row silently disappears. Pure scan-stage arithmetic (an IEEE
+    * subtract/divide/floor every engine replays bit-for-bit) + ONE
+    * partial-aggregated groupBy — the profiling pass that costs a
+    * single map-side-combined shuffle no matter the corpus size. NULLs
+    * are excluded, same convention as [[exactQuantiles]]. */
+  def histogram(df: DataFrame, groupCol: String, valCol: String,
+                lo: Double, width: Double, nBins: Int): DataFrame = {
+    require(width > 0 && nBins > 0, s"need width>0, nBins>0; got $width/$nBins")
+    val v = col(valCol).cast("double")
+    val bin = when(v < lo, lit(-1L))
+      .when(v >= lo + nBins * width, lit(nBins.toLong))
+      .otherwise(floor((v - lo) / width))
+    df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-group approximate distinct count (HyperLogLog++) — the
+    * cardinality-profiling twin of [[approxQuantiles]]: one mergeable
+    * sketch pass instead of the exact `count(DISTINCT …)` whose
+    * de-duplicating shuffle carries every distinct value. `rsd` is the
+    * relative standard deviation; StatsSpec pins the estimate to the
+    * exact count within a multiple of it. Engine-internal (sketches
+    * have no cross-engine oracle); the exact distinct is already gated
+    * via q_groupcount. */
+  def approxDistinct(df: DataFrame, groupCol: String, valCol: String,
+                     rsd: Double = 0.05): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(approx_count_distinct(col(valCol), rsd).as("n_distinct"))
+
   /** Per-group deterministic k-sample by portable hash rank — bounded,
     * reproducible, engine-replayable ([[Similarity.knuthRank]], the one
     * shared definition — see its doc for the id-range contract: ids must

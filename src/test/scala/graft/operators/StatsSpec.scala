@@ -60,6 +60,33 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("histogram bins by fixed width with explicit under/overflow bins") {
+    val df = Seq(("g", -5.0), ("g", 0.0), ("g", 9.9), ("g", 10.0), ("g", 25.0),
+      ("g", 99.9), ("g", 100.0), ("g", 250.0)).toDF("g", "v")
+    val r = Stats.histogram(df, "g", "v", lo = 0.0, width = 10.0, nBins = 10)
+      .orderBy("bin").as[(String, Long, Long)].collect().toSeq
+    assert(r === Seq(("g", -1L, 1L),  // -5 underflows
+      ("g", 0L, 2L),                  // 0.0, 9.9
+      ("g", 1L, 1L),                  // 10.0 lands in the NEXT bin (floor)
+      ("g", 2L, 1L),                  // 25.0
+      ("g", 9L, 1L),                  // 99.9 in the last real bin
+      ("g", 10L, 2L)))                // 100.0 and 250.0 overflow
+  }
+
+  test("approxDistinct tracks exact count(DISTINCT) within rsd tolerance") {
+    val df = (0L until 20000L).map(i => (s"g${i % 2}", i % (1000 + (i % 2).toInt * 2000)))
+      .toDF("g", "v")
+    val exact = df.groupBy("g").agg(countDistinct(col("v")).as("n"))
+      .as[(String, Long)].collect().toMap
+    val approx = Stats.approxDistinct(df, "g", "v", rsd = 0.02)
+      .as[(String, Long)].collect().toMap
+    for ((g, n) <- exact) {
+      val a = approx(g)
+      assert(math.abs(a - n).toDouble / n <= 0.06, // 3x rsd — never flaps
+        s"group $g: approx $a vs exact $n")
+    }
+  }
+
   test("groupSample caps each group at k, deterministically") {
     val df = (1L to 500L).map(i => (s"s${i % 3}", i)).toDF("src", "id")
     val once = rows(Stats.groupSample(df, "src", "id", 20).orderBy("src", "id"))
