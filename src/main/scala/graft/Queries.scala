@@ -837,7 +837,8 @@ object Queries {
       |         row_number() OVER (PARTITION BY l_returnflag
       |           ORDER BY l_extendedprice) AS rn,
       |         count(*) OVER (PARTITION BY l_returnflag) AS n
-      |  FROM lineitem)
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL)
       |SELECT flag,
       |       max(CASE WHEN rn = ceil(n * 0.5) THEN price END) AS p50,
       |       max(CASE WHEN rn = ceil(n * 0.9) THEN price END) AS p90,
@@ -870,7 +871,8 @@ object Queries {
        |            ELSE CAST(floor((CAST(l_extendedprice AS DOUBLE) - $HistLo)
        |                             / $HistWidth) AS BIGINT) END AS bin,
        |       CAST(count(*) AS BIGINT) AS n
-       |FROM lineitem GROUP BY 1, 2 ORDER BY flag, bin""".stripMargin
+       |FROM lineitem WHERE l_extendedprice IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY flag, bin""".stripMargin
 
   // --------------------------------------------------------- Q-groupsample
   // Per-source deterministic k-sample (Stats.groupSample): the "cap every

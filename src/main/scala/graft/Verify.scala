@@ -48,8 +48,19 @@ object Verify {
     } + "\""
     // ALWAYS the full oracle map, even when a subset of queries was
     // dumped: a subset run into a shared outDir must not shrink the
-    // recorded gate surface (the checker skips entries whose parquet
-    // dump is absent and says so).
+    // recorded gate surface. The subset itself is recorded in
+    // subset.json so the checker (a) checks ONLY those names — stale
+    // dumps from earlier builds are never presented as current coverage
+    // — and (b) still FAILS on a missing dump inside the subset. A full
+    // run removes the marker: there, every missing dump is a crashed
+    // query and must fail the gate.
+    only match {
+      case Some(names) =>
+        Files.writeString(Paths.get(s"$outDir/subset.json"),
+          names.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      case None =>
+        Files.deleteIfExists(Paths.get(s"$outDir/subset.json"))
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

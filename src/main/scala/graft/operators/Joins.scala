@@ -71,11 +71,19 @@ object Joins {
                       pointCol: String, startCol: String, endCol: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val p = points.withColumn("__bin", floor(col(pointCol) / binWidth))
+    // Integer floor-division, NEVER through double: `x / w` on longs
+    // promotes to double, and above 2^53 (raw nanos timestamps are
+    // ~1.7e18) the conversion loses low bits — a point near a bin
+    // boundary lands in the wrong bin and the pair is silently dropped.
+    // (x - pmod(x, w)) is an exact multiple of w with floor semantics
+    // for negatives too, so DIV (truncating) equals floor here.
+    def binOf(c: Column): Column =
+      call_function("div", c - pmod(c, lit(binWidth)), lit(binWidth))
+    val p = points.withColumn("__bin", binOf(col(pointCol)))
     val iv = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("__bin", explode(sequence(
-        floor(col(startCol) / binWidth), floor((col(endCol) - 1) / binWidth))))
+        binOf(col(startCol)), binOf(col(endCol) - 1))))
     iv.join(p, Seq("__bin"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bin")

@@ -402,8 +402,14 @@ object Dicom {
 
   /** True iff [from, until) is a WELL-FORMED item stream: consecutive
     * (FFFE,E000) items whose lengths (or delimiters, walked implicitly)
-    * land exactly on `until`. Used to detect defined-length sequences in
-    * implicit-VR / UN elements, where the header alone can't say. */
+    * land exactly on `until`, AND whose item CONTENT parses as an
+    * implicit element stream to exactly the item end. Framing alone is
+    * not enough — the rewrite will parse the content as elements, so
+    * binary data that merely frames like an item (e.g. pixel bytes
+    * starting FFFE E000) must be rejected here and copied verbatim, not
+    * crashed on or silently truncated. Used to detect defined-length
+    * sequences in implicit-VR / UN elements, where the header can't
+    * say. */
   private def isItemStream(buf: ByteBuffer, bytes: Array[Byte],
                            from: Int, until: Int): Boolean = {
     var p = from
@@ -417,11 +423,35 @@ object Dicom {
         if (l == UndefLen) p = skipItemContent(buf, bytes, p + 8, explicit = false)
         else {
           if (p + 8 + l > until) return false
+          if (!isElementStream(buf, bytes, p + 8, p + 8 + l.toInt)) return false
           p = p + 8 + l.toInt
         }
       }
       p == until
     } catch { case _: IllegalArgumentException => false }
+  }
+
+  /** True iff [from, until) parses as an IMPLICIT-VR element run whose
+    * headers and lengths land exactly on `until` — the same walk
+    * [[rewriteElements]] will take, validated up front. Nested
+    * undefined-length runs are walked structurally; nested
+    * defined-length values are treated as opaque (if they are in turn
+    * sequences, the rewrite re-sniffs them with this same check). */
+  private def isElementStream(buf: ByteBuffer, bytes: Array[Byte],
+                              from: Int, until: Int): Boolean = {
+    var p = from
+    while (p + 8 <= until) {
+      val h = parseHeader(buf, bytes, p, explicit = false)
+      if (h.len == UndefLen) {
+        val delim = skipSequenceContent(buf, bytes, h.valOff, explicit = false)
+        if (delim + 8 > until) return false
+        p = delim + 8
+      } else {
+        if (h.valOff + h.len > until) return false
+        p = h.valOff + h.len.toInt
+      }
+    }
+    p == until
   }
 
   /** Rewrite a sequence's item stream in [from, until): each item's

@@ -42,6 +42,28 @@ class RangeJoinSpec extends SparkSpec {
       naivePlan.contains("CartesianProduct"))
   }
 
+  test("nanos-scale longs above 2^53 bin exactly (no double-precision loss)") {
+    // raw nanos epochs ~1.7e18 lose low bits through a double; points are
+    // placed ON and 1ns AROUND bin boundaries where a lossy quotient
+    // flips the bin and silently drops the pair
+    val w = 3600L * 1000000000L // 1 h in nanos
+    val base = 1700000000000000000L - (1700000000000000000L % w) // exact boundary
+    val points = Seq(
+      (1L, base - 1L), (2L, base), (3L, base + 1L),
+      (4L, base + w - 1L), (5L, base + w), (6L, base + 2 * w + 12345L))
+      .toDF("pid", "t")
+    val intervals = Seq((10L, base, base + w), (11L, base - w, base),
+      (12L, base + w, base + 3 * w)).toDF("iid", "ws", "we")
+    val binned = Joins.rangeJoinBinned(points, intervals, "t", "ws", "we", w)
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    val naive = intervals.as("i").join(points.as("p"),
+        col("p.t") >= col("i.ws") && col("p.t") < col("i.we"))
+      .select(col("i.iid"), col("p.pid")).as[(Long, Long)].collect().toSet
+    assert(binned === naive)
+    assert(binned === Set((10L, 2L), (10L, 3L), (10L, 4L), (11L, 1L),
+      (12L, 5L), (12L, 6L)))
+  }
+
   test("a point pairs with a spanning interval exactly once (no dedup pass needed)") {
     val points = Seq((1L, 100L)).toDF("pid", "t")
     val intervals = Seq((7L, 0L, 1000L)).toDF("iid", "ws", "we") // spans many bins

@@ -279,6 +279,37 @@ class DicomSpec extends SparkSpec {
     assert(anon2.contains("MR"))
   }
 
+  test("binary that FRAMES like an item but has non-element content stays verbatim") {
+    // frames as one well-formed 8-byte item, but the content is garbage:
+    // parsed as an implicit element header it declares undefined length,
+    // which would crash the descent's structural walk — the sniff must
+    // validate CONTENT, not just framing, and fall back to verbatim
+    val fakeUndef = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(0xFFFE.toShort).putShort(0xE000.toShort).putInt(8)
+      b.putInt(0xFFFFFFFF).putInt(0xFFFFFFFF) // 8 content bytes of 0xFF
+      b.array()
+    }
+    // frames as one 4-byte item: too short to be an element run — a
+    // framing-only sniff would descend and silently DROP the 4 bytes
+    val fakeShort = {
+      val b = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(0xFFFE.toShort).putShort(0xE000.toShort).putInt(4)
+      b.putInt(0xCAFEBABE)
+      b.array()
+    }
+    for (fake <- Seq(fakeUndef, fakeShort)) {
+      val f = file(ImplicitLE,
+        imElRaw(0x7FE0, 0x0010, fake),
+        imEl(0x0008, 0x0060, "US"))
+      val anon = Dicom.anonymize(f, "anon") // must not throw
+      val els = Dicom.elements(anon).map(e => ((e.group, e.element), e)).toMap
+      val e = els((0x7FE0, 0x0010))
+      assert(anon.slice(e.valueOffset, e.valueOffset + e.valueLength).toSeq
+        === fake.toSeq)
+    }
+  }
+
   test("item-tag-looking binary that fails stream validation stays verbatim") {
     // starts with (FFFE,E000) but its declared item length overruns the
     // value — NOT a sequence; the sniff must reject it and the bytes

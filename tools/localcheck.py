@@ -14,16 +14,24 @@ con = duckdb.connect()
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
+import os
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# oracle_sql.json always records the FULL surface; a subset Verify run
+# (SPARK_GRAFT_VERIFY_QUERIES) records WHICH queries it dumped in
+# subset.json. Entries outside the subset are skipped loudly (stale dumps
+# from earlier builds are never presented as coverage); a missing dump
+# INSIDE the subset — or any missing dump on a full run — is a crashed
+# query and fails the gate.
+subset = None
+if os.path.exists(f"{OUT}/subset.json"):
+    subset = set(json.load(open(f"{OUT}/subset.json")))
 fails = 0
 skipped = []
 for name, sql in sorted(oracle.items()):
-    # oracle_sql.json always records the FULL surface; a subset Verify run
-    # (SPARK_GRAFT_VERIFY_QUERIES) dumps only some parquet dirs — skip the
-    # rest LOUDLY rather than failing, and never report them as covered
-    import os
-    if not os.path.isdir(f"{OUT}/{name}"):
+    if subset is not None and name not in subset:
         skipped.append(name); continue
+    if not os.path.isdir(f"{OUT}/{name}"):
+        print(f"FAIL {name}: no spark result (dump missing)"); fails += 1; continue
     try:
         got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
     except Exception as e:
