@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, AsOf, Catalog, Dedup, Joins, Lineage, Multimodal, Sequencing, Similarity, Skew, Stats}
+import graft.operators.{Align, AsOf, Catalog, Dedup, InvertedIndex, Joins, Lineage, Multimodal, Sequencing, Similarity, Skew, Stats}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1172,6 +1172,82 @@ object Queries {
        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
        |FROM toks GROUP BY tok
        |ORDER BY n_occur DESC, tok LIMIT $VocabTopK""".stripMargin
+
+  // ---------------------------------------------------------- Q-invindex
+  // Token → posting-list inverted index (InvertedIndex.build): exact df
+  // for EVERY token, sorted doc-id posting lists only for tokens at or
+  // under the df cap — hot (stop-word) tokens keep a NULL list, the row-
+  // width bound that survives 100 TB (a stop-word's postings are "most
+  // of the corpus"). The cap is corpus-relative — floor(78% of n), in
+  // INTEGER arithmetic so both engines resolve the same threshold — and
+  // sits inside the synthetic corpus's df band (77±1% of docs), so the
+  // gate exercises BOTH behaviors: real postings below it, NULL above.
+  // Posting lists serialize as comma-joined strings (numeric sort BEFORE
+  // join) — the q_groupcount convention for hashable list columns.
+  private val IndexDfPct = 78L
+
+  private def buildIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    // Bounded driver read: one count — resolves the corpus-relative cap
+    // (the q_embdup_auto pattern for data-dependent config).
+    val maxDf = docs.count() * IndexDfPct / 100
+    InvertedIndex.build(docs, "doc_id", tokens(col("text")), maxDf)
+  }
+
+  def invIndex(s: SparkSession, dir: String): DataFrame =
+    buildIndex(s, dir)
+      .select(col("tok"), col("df"),
+        array_join(col("postings"), ",").as("postings"))
+      .orderBy("tok")
+
+  private val SqlIndexCte =
+    s"""toks AS (SELECT doc_id AS id, unnest(list_distinct($SqlToks)) AS tok
+       |          FROM documents),
+       |cfg AS (SELECT count(*) * $IndexDfPct // 100 AS maxdf FROM documents),
+       |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+       |        FROM toks GROUP BY tok)""".stripMargin
+
+  private val invIndexSql =
+    s"""WITH $SqlIndexCte,
+       |posts AS (SELECT tok, array_to_string(list_sort(list(id)), ',') AS postings
+       |          FROM toks GROUP BY tok)
+       |SELECT dfs.tok, dfs.df,
+       |       CASE WHEN dfs.df <= (SELECT maxdf FROM cfg)
+       |            THEN posts.postings END AS postings
+       |FROM dfs JOIN posts USING (tok) ORDER BY tok""".stripMargin
+
+  // ------------------------------------------------------------ Q-search
+  // Conjunctive retrieval over the index (InvertedIndex.searchAll): docs
+  // containing ALL queried terms, resolved purely from posting lists —
+  // the corpus is never rescanned. Terms are the two RAREST cold tokens
+  // ((df, tok) order — deterministic and scale-portable), resolved from
+  // the index by a bounded 2-row read. The oracle replays the selection
+  // AND derives the hit set independently from `documents`, so a posting
+  // list that lost or duplicated a doc id diverges the hash even if the
+  // index's own gate row were somehow consistent with it.
+  def searchQ(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildIndex(s, dir).persist()
+    try {
+      val terms = idx.filter(col("postings").isNotNull)
+        .orderBy(col("df"), col("tok")).limit(2)
+        .select("tok").collect().map(_.getString(0)).toSeq
+      InvertedIndex.searchAll(idx, terms)
+        .select(col("id").as("doc_id")).orderBy("doc_id")
+        // materialize before unpersist: collect-free queries return lazy
+        // plans, but the gate dump writes immediately after return; the
+        // local checkpoint pins the resolved rows instead
+        .localCheckpoint()
+    } finally idx.unpersist()
+  }
+
+  private val searchSql =
+    s"""WITH $SqlIndexCte,
+       |terms AS (SELECT tok FROM dfs
+       |          WHERE df <= (SELECT maxdf FROM cfg)
+       |          ORDER BY df, tok LIMIT 2)
+       |SELECT id AS doc_id FROM toks JOIN terms USING (tok)
+       |GROUP BY id HAVING count(*) = (SELECT count(*) FROM terms)
+       |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------- Q-bucketjoin
   // Bucketed co-located join — the fact-to-fact join shape that survives
@@ -2807,6 +2883,8 @@ object Queries {
     "q_pack" -> (pack _),
     "q_unicode" -> (unicode _),
     "q_vocab" -> (vocab _),
+    "q_invindex" -> (invIndex _),
+    "q_search" -> (searchQ _),
     "q_bucketjoin" -> (bucketJoin _),
     "q_partprune" -> (partPrune _),
     "q_linededup" -> (lineDedup _),
@@ -2893,6 +2971,8 @@ object Queries {
     "q_pack" -> packSql,
     "q_unicode" -> unicodeSql,
     "q_vocab" -> vocabSql,
+    "q_invindex" -> invIndexSql,
+    "q_search" -> searchSql,
     "q_bucketjoin" -> bucketJoinSql,
     "q_partprune" -> partPruneSql,
     "q_linededup" -> lineDedupSql,

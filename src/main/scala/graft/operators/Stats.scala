@@ -107,6 +107,65 @@ object Stats {
     df.groupBy(col(groupCol))
       .agg(approx_count_distinct(col(valCol), rsd).as("n_distinct"))
 
+  /** Misra–Gries heavy hitters: every value with frequency > n/(k+1),
+    * in ONE pass with a k-entry summary per partition and NO shuffle at
+    * all — the deployable twin of q_vocab's exact top-K (whose groupBy
+    * shuffles the whole vocabulary and whose exactness a 100 TB token
+    * stream doesn't need for stopword/df-cap decisions).
+    *
+    * Contract (Misra–Gries + mergeability, Agarwal et al., "Mergeable
+    * Summaries", PODS'12): returned counts UNDERESTIMATE true frequency
+    * by at most n/(k+1); any value with true frequency above n/(k+1) is
+    * guaranteed present. Which sub-threshold values ALSO appear depends
+    * on partition merge order — callers filter by the bound, not by
+    * presence (StatsSpec pins exactly the guarantees, not the noise).
+    *
+    * treeAggregate keeps the driver out of the hot path: partition
+    * summaries merge in a tree, each merge O(k log k), and only one
+    * k-entry map ever reaches the driver. RDD-level on purpose — the
+    * summary is genuinely per-partition imperative state with a custom
+    * merge, the one case the DataFrame API can't express without a
+    * full shuffle. */
+  def heavyHitters(df: DataFrame, valCol: String, k: Int): Seq[(String, Long)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vals = df.select(col(valCol).cast("string"))
+      .filter(col(valCol).isNotNull)
+      .rdd.map(_.getString(0))
+    val merged = vals.treeAggregate(Map.empty[String, Long])(
+      seqOp = (m, x) => mgAdd(m, x, k),
+      combOp = (a, b) => mgMerge(a, b, k))
+    merged.toSeq.sortBy { case (v, c) => (-c, v) }
+  }
+
+  /** MG insert: bump a tracked value, open a slot if one is free, else
+    * decrement every counter (dropping zeros) — the classic step that
+    * charges each untracked arrival against k tracked ones. */
+  private def mgAdd(m: Map[String, Long], x: String, k: Int): Map[String, Long] =
+    m.get(x) match {
+      case Some(c) => m.updated(x, c + 1)
+      case None if m.size < k => m.updated(x, 1L)
+      case None =>
+        m.flatMap { case (v, c) => if (c > 1) Some(v -> (c - 1)) else None }
+    }
+
+  /** MG merge: sum counts, then restore the k-entry bound by subtracting
+    * the (k+1)-largest count from everything and dropping non-positives
+    * — the mergeable-summaries rule that preserves the n/(k+1) error
+    * bound across a treeAggregate of any shape. */
+  private def mgMerge(a: Map[String, Long], b: Map[String, Long],
+                      k: Int): Map[String, Long] = {
+    val sum = b.foldLeft(a) { case (m, (v, c)) =>
+      m.updated(v, m.getOrElse(v, 0L) + c)
+    }
+    if (sum.size <= k) sum
+    else {
+      val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      sum.flatMap { case (v, c) =>
+        if (c - cut > 0) Some(v -> (c - cut)) else None
+      }
+    }
+  }
+
   /** Per-group deterministic k-sample by portable hash rank — bounded,
     * reproducible, engine-replayable ([[Similarity.knuthRank]], the one
     * shared definition — see its doc for the id-range contract: ids must

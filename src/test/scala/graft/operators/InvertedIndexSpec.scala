@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 6 docs; "the" is in all of them (hot at maxDf=4), "rare" in two,
+  // "once" in one, and repeats within a doc must not inflate df
+  private def docs = Seq(
+    (1L, "the rare cat"),
+    (2L, "the the dog"),
+    (3L, "the bird rare"),
+    (4L, "the fish"),
+    (5L, "the once fish"),
+    (6L, "the dog")).toDF("doc_id", "text")
+
+  private def toks = filter(split(trim(col("text")), "\\s+"), t => length(t) > 0)
+
+  private def idx = InvertedIndex.build(docs, "doc_id", toks, maxDf = 4L)
+
+  test("df is exact per-document frequency; postings sorted; hot tokens NULL") {
+    val r = idx.orderBy("tok")
+      .as[(String, Long, Option[Seq[Long]])].collect().toSeq
+    assert(r === Seq(
+      ("bird", 1L, Some(Seq(3L))),
+      ("cat", 1L, Some(Seq(1L))),
+      ("dog", 2L, Some(Seq(2L, 6L))),
+      ("fish", 2L, Some(Seq(4L, 5L))),
+      ("once", 1L, Some(Seq(5L))),
+      ("rare", 2L, Some(Seq(1L, 3L))),
+      ("the", 6L, None))) // hot: exact df kept, postings not materialized
+  }
+
+  test("searchAll intersects posting lists (AND semantics)") {
+    val hits = InvertedIndex.searchAll(idx, Seq("rare", "cat"))
+      .as[Long].collect().toSeq.sorted
+    assert(hits === Seq(1L))
+    val dogFish = InvertedIndex.searchAll(idx, Seq("dog", "fish"))
+      .as[Long].collect().toSeq
+    assert(dogFish.isEmpty) // both exist, no doc has both
+  }
+
+  test("a term absent from the corpus empties the conjunction") {
+    val hits = InvertedIndex.searchAll(idx, Seq("rare", "unicorn"))
+    assert(hits.count() === 0)
+    assert(hits.columns.toSeq === Seq("id"))
+  }
+
+  test("hot terms are dropped as non-selective; all-hot queries refuse") {
+    // "the" is hot: conjunction must equal the cold-only query
+    val withHot = InvertedIndex.searchAll(idx, Seq("the", "fish"))
+      .as[Long].collect().toSeq.sorted
+    assert(withHot === Seq(4L, 5L))
+    val ex = intercept[IllegalArgumentException] {
+      InvertedIndex.searchAll(idx, Seq("the"))
+    }
+    assert(ex.getMessage.contains("hot"))
+  }
+
+  test("build plans a broadcast anti-join for the hot set, no cartesian") {
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast hot-set anti-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+}

@@ -87,6 +87,39 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters finds every value above n/(k+1) within the MG error bound") {
+    // zipf-ish: value i appears 2^(12-i) times for i in 1..8, plus a tail
+    // of 500 singletons — n = 8160, so with k=9 the threshold n/(k+1)=816
+    // guarantees values 1..3 (4096/2048/1024); 4 (512) may or may not
+    // surface depending on merge order, and that's the contract
+    val rows = (1 to 8).flatMap(i => Seq.fill(1 << (12 - i))(s"v$i")) ++
+      (1 to 500).map(i => s"tail$i")
+    val n = rows.size.toLong
+    val k = 9
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("v")
+    val hh = Stats.heavyHitters(df, "v", k).toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = n / (k + 1)
+    for (v <- Seq("v1", "v2", "v3")) {
+      assert(hh.contains(v), s"$v (freq ${exact(v)} > $bound) must be present")
+    }
+    for ((v, c) <- hh) {
+      // counts underestimate by at most n/(k+1), never overestimate
+      assert(c <= exact(v), s"$v overestimated: $c > ${exact(v)}")
+      assert(exact(v) - c <= bound, s"$v error ${exact(v) - c} > $bound")
+    }
+    assert(hh.size <= k)
+  }
+
+  test("heavyHitters summary stays k-bounded on all-distinct input") {
+    val df = (1L to 5000L).map(i => s"u$i").toDF("v")
+    val hh = Stats.heavyHitters(df, "v", 5)
+    assert(hh.size <= 5)
+    // no value exceeds n/(k+1), so NOTHING is guaranteed — but whatever
+    // survives must respect the no-overestimate rule (true freq 1)
+    assert(hh.forall(_._2 <= 1L))
+  }
+
   test("groupSample caps each group at k, deterministically") {
     val df = (1L to 500L).map(i => (s"s${i % 3}", i)).toDF("src", "id")
     val once = rows(Stats.groupSample(df, "src", "id", 20).orderBy("src", "id"))
