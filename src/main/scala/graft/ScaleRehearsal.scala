@@ -36,7 +36,14 @@ object ScaleRehearsal {
     "q_linededup", "q_winnow", "q_keywords", "q_vocab", "q_asof",
     // round-7: simhash over the salted documents corpus; round-8: the
     // skew-safe chunked as-of over the replicated events
-    "q_simhash_pairs", "q_asof_chunked")
+    "q_simhash_pairs", "q_asof_chunked",
+    // round-8: inverted index build + conjunctive search. On the salted
+    // corpus the vocabulary grows Nx (each replica's tokens are its own)
+    // while per-token df stays flat — so posting-row width is bounded
+    // and the corpus-relative cap goes slack (every token cold): the
+    // rehearsal measures the LINEAR axis (token stream -> partial-agg ->
+    // bounded collect_list), which is exactly the build's scale claim.
+    "q_invindex", "q_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
