@@ -1216,6 +1216,34 @@ object Queries {
        |            THEN posts.postings END AS postings
        |FROM dfs JOIN posts USING (tok) ORDER BY tok""".stripMargin
 
+  // ----------------------------------------------------- Q-index-refresh
+  // Incremental index maintenance end-to-end: publish the index of the
+  // even-doc_id half, refresh with the odd half (InvertedIndex.refresh:
+  // delta-only build, touched buckets read partition-pruned and
+  // rewritten via dynamic partition overwrite), read the result back.
+  // The oracle is the SAME independent full-corpus derivation as
+  // q_invindex — publish→refresh must be indistinguishable from a full
+  // rebuild, including cold→hot transitions at the shared cap (a token
+  // cold in the published half whose merged df crosses the cap must
+  // come back NULL). A fresh scratch dir per invocation keeps the query
+  // re-runnable (refresh's append-only contract); FixtureRoot's startup
+  // sweep bounds the disk.
+  def indexRefreshQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val maxDf = docs.count() * IndexDfPct / 100
+    val dest = s"$FixtureRoot/invindex_${java.util.UUID.randomUUID()}"
+    val toks = tokens(col("text"))
+    InvertedIndex.publish(
+      InvertedIndex.build(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", toks, maxDf), dest)
+    InvertedIndex.refresh(s, dest,
+      docs.filter(col("doc_id") % 2 =!= 0), "doc_id", toks, maxDf)
+    s.read.parquet(dest)
+      .select(col("tok"), col("df"),
+        array_join(col("postings"), ",").as("postings"))
+      .orderBy("tok")
+  }
+
   // ------------------------------------------------------------ Q-search
   // Conjunctive retrieval over the index (InvertedIndex.searchAll): docs
   // containing ALL queried terms, resolved purely from posting lists —
@@ -2884,6 +2912,7 @@ object Queries {
     "q_unicode" -> (unicode _),
     "q_vocab" -> (vocab _),
     "q_invindex" -> (invIndex _),
+    "q_index_refresh" -> (indexRefreshQ _),
     "q_search" -> (searchQ _),
     "q_bucketjoin" -> (bucketJoin _),
     "q_partprune" -> (partPrune _),
@@ -2972,6 +3001,7 @@ object Queries {
     "q_unicode" -> unicodeSql,
     "q_vocab" -> vocabSql,
     "q_invindex" -> invIndexSql,
+    "q_index_refresh" -> invIndexSql, // refresh must equal the full rebuild
     "q_search" -> searchSql,
     "q_bucketjoin" -> bucketJoinSql,
     "q_partprune" -> partPruneSql,

@@ -57,6 +57,85 @@ object InvertedIndex {
     dfs.join(postings, Seq("tok"), "left")
   }
 
+  /** Publish an index to disk, hash-partitioned on `tok` into
+    * `__bucket=` dirs — the layout [[refresh]] and [[lookupTerms]]
+    * consume: a delta refresh rewrites only the buckets its tokens hash
+    * into, and a term lookup reads only the queried terms' buckets
+    * (directory-level pruning, never a full index scan). Same
+    * published-layout pattern as [[Similarity.ivfPublish]]. */
+  def publish(index: DataFrame, dest: String, nBuckets: Int = 16): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    index.withColumn("__bucket", pmod(hash(col("tok")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(dest)
+  }
+
+  /** Merge a batch of NEW documents into a published index without
+    * rescanning the indexed corpus: the delta index is built from
+    * `newDocs` alone, only the buckets its tokens hash into are read
+    * back (partition-pruned) and rewritten (dynamic partition
+    * overwrite) — at corpus scale the refresh cost is the DELTA's
+    * token stream plus the touched buckets, not the index.
+    *
+    * Contract: `newDocs` ids are disjoint from the indexed ones (an
+    * append-only corpus — re-registering a doc would double-count its
+    * df), and `maxDf` equals the publish-time cap. df only grows, so
+    * cold→hot transitions drop posting lists consistently; the reverse
+    * (a RAISED cap turning a hot token cold) cannot be answered from
+    * the index — the hot token's postings were never materialized —
+    * and needs the rebuild path. A crash mid-write can leave partially
+    * rewritten buckets; a streaming deployment wraps this merge in
+    * [[graft.streaming.Ingest]]'s staged-swap commit (recoverSwap),
+    * which is exactly-once per micro-batch. */
+  def refresh(spark: org.apache.spark.sql.SparkSession, dest: String,
+              newDocs: DataFrame, idCol: String, tokCol: Column,
+              maxDf: Long, nBuckets: Int = 16): Unit = {
+    val delta = build(newDocs, idCol, tokCol, maxDf)
+      .withColumn("__bucket", pmod(hash(col("tok")), lit(nBuckets)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ≤ nBuckets rows — a bounded driver collect, not O(delta).
+      val touched = delta.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val existing = spark.read.parquet(dest)
+        .filter(col("__bucket").isin(touched: _*))
+      val dfSum = coalesce(col("o.df"), lit(0L)) + coalesce(col("d.df"), lit(0L))
+      // When dfSum ≤ maxDf, BOTH sides are cold (df is monotone), so a
+      // NULL side here means "token absent from that side", never "hot".
+      val posts = when(dfSum > maxDf, lit(null))
+        .when(col("o.postings").isNull, col("d.postings"))
+        .when(col("d.postings").isNull, col("o.postings"))
+        .otherwise(sort_array(concat(col("o.postings"), col("d.postings"))))
+      val merged = existing.as("o")
+        .join(delta.as("d"), Seq("tok", "__bucket"), "full_outer")
+        .select(col("tok"), dfSum.as("df"), posts.as("postings"),
+          col("__bucket"))
+        // materialize BEFORE the overwrite below — the plan reads the
+        // very bucket dirs the write replaces
+        .localCheckpoint()
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket").parquet(dest)
+    } finally { delta.unpersist(); () }
+  }
+
+  /** Point-read index rows for `terms` from a published index: the
+    * terms' bucket ids resolve through the SAME hash expression the
+    * layout was written with (bounded |terms|-row job), and the literal
+    * `isin` lands in the scan's PartitionFilters — only the queried
+    * buckets' directories are listed or read. Feed the result straight
+    * to [[searchAll]]. */
+  def lookupTerms(spark: org.apache.spark.sql.SparkSession, dest: String,
+                  terms: Seq[String], nBuckets: Int = 16): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    val buckets = spark.createDataFrame(terms.distinct.map(Tuple1.apply))
+      .toDF("tok")
+      .select(pmod(hash(col("tok")), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(dest)
+      .filter(col("__bucket").isin(buckets: _*) && col("tok").isin(terms: _*))
+      .drop("__bucket")
+  }
+
   /** Doc ids whose documents contain ALL the given terms (conjunctive
     * query over [[build]]'s output). Terms missing from the index make
     * the result empty (they appear in no document); hot terms are

@@ -59,6 +59,62 @@ class InvertedIndexSpec extends SparkSpec {
     assert(ex.getMessage.contains("hot"))
   }
 
+  test("publish + refresh == full rebuild (including cold→hot transitions)") {
+    val dest = java.nio.file.Files.createTempDirectory("graft_idx").toString + "/idx"
+    val old = docs.filter(col("doc_id") <= 3)
+    val fresh = docs.filter(col("doc_id") > 3)
+    // maxDf=4: "the" is cold at publish time (df 3) and crosses to hot
+    // after the refresh (df 6 > 4) — its postings must be DROPPED
+    InvertedIndex.publish(InvertedIndex.build(old, "doc_id", toks, 4L), dest)
+    InvertedIndex.refresh(spark, dest, fresh, "doc_id", toks, 4L)
+    val got = spark.read.parquet(dest).drop("__bucket").orderBy("tok")
+      .as[(String, Long, Option[Seq[Long]])].collect().toSeq
+    val want = idx.orderBy("tok")
+      .as[(String, Long, Option[Seq[Long]])].collect().toSeq
+    assert(got === want)
+  }
+
+  test("refresh rewrites ONLY the buckets the delta's tokens hash into") {
+    val dest = java.nio.file.Files.createTempDirectory("graft_idx").toString + "/idx"
+    InvertedIndex.publish(InvertedIndex.build(docs, "doc_id", toks, 4L), dest)
+    val before = new java.io.File(dest).listFiles()
+      .filter(_.getName.startsWith("__bucket="))
+      .map(d => d.getName ->
+        d.listFiles().map(f => (f.getName, f.length, f.lastModified)).toSet)
+      .toMap
+    // delta introduces one brand-new token: exactly its bucket changes
+    val delta = Seq((100L, "newtoken")).toDF("doc_id", "text")
+    InvertedIndex.refresh(spark, dest, delta, "doc_id", toks, 4L)
+    val touched = spark.range(1).select(
+      pmod(hash(lit("newtoken")), lit(16)).as("b")).head().getInt(0)
+    val after = new java.io.File(dest).listFiles()
+      .filter(_.getName.startsWith("__bucket="))
+      .map(d => d.getName ->
+        d.listFiles().map(f => (f.getName, f.length, f.lastModified)).toSet)
+      .toMap
+    for ((name, files) <- before if name != s"__bucket=$touched")
+      assert(after(name) === files, s"untouched $name was rewritten")
+    assert(after(s"__bucket=$touched") !== before.get(s"__bucket=$touched"))
+    // and the new token is queryable
+    val row = spark.read.parquet(dest).filter(col("tok") === "newtoken")
+      .select("df").as[Long].collect().toSeq
+    assert(row === Seq(1L))
+  }
+
+  test("lookupTerms prunes to the queried terms' bucket partitions") {
+    val dest = java.nio.file.Files.createTempDirectory("graft_idx").toString + "/idx"
+    InvertedIndex.publish(InvertedIndex.build(docs, "doc_id", toks, 4L), dest)
+    val looked = InvertedIndex.lookupTerms(spark, dest, Seq("rare", "cat"))
+    val plan = looked.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(pf.contains("__bucket"),
+      s"bucket literals must reach PartitionFilters, got '$pf':\n$plan")
+    // and the pruned subset answers the conjunction like the full index
+    val hits = InvertedIndex.searchAll(looked, Seq("rare", "cat"))
+      .as[Long].collect().toSeq
+    assert(hits === Seq(1L))
+  }
+
   test("build plans a broadcast anti-join for the hot set, no cartesian") {
     val plan = idx.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
