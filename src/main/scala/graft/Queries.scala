@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, AsOf, Catalog, Dedup, InvertedIndex, Joins, Lineage, Multimodal, Sequencing, Similarity, Skew, Stats}
+import graft.operators.{Align, AsOf, Catalog, Dedup, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Sequencing, Similarity, Skew, Stats}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1469,6 +1469,38 @@ object Queries {
        |SELECT doc_id, rank, tok, score FROM sc
        |WHERE rank <= $KeywordsK ORDER BY doc_id, rank""".stripMargin
 
+  // ------------------------------------------------------------ Q-lmscore
+  // Corpus-trained bigram LM fluency scoring (KenLM-style perplexity
+  // filtering without the external model artifact): docs whose token
+  // transitions are improbable under the corpus's own bigram statistics
+  // score low. The gate row is the ln-free mean-probability form — every
+  // arithmetic step (integer counts → IEEE divide → a pos-ordered
+  // left-to-right fold) replays bit-exactly in DuckDB; the log2
+  // deployable form is pinned by LanguageModelSpec instead (libm ln has
+  // no cross-engine twin). Shape: LanguageModel.scala — one persisted
+  // explode feeds two partial-agg count tables + a one-row V read.
+  def lmScoreQ(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.bigramScore(load(s, dir, "documents"), "doc_id", "text")
+      .orderBy("id")
+
+  private val lmScoreSql =
+    s"""WITH toks AS (SELECT doc_id AS id, $SqlToks AS tk FROM documents),
+       |bi AS (SELECT id, i - 1 AS pos, tk[i] AS w1, tk[i + 1] AS w2
+       |       FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+       |             FROM toks WHERE len(tk) >= 2)),
+       |c2 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
+       |cfg AS (SELECT count(DISTINCT w2) AS v FROM bi),
+       |term AS (SELECT id, pos, (n12 + 1.0) / (n1 + 1.0 * v) AS t
+       |         FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+       |         CROSS JOIN cfg),
+       |ag AS (SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |              list(t ORDER BY pos) AS ts FROM term GROUP BY id)
+       |SELECT id, n_bigrams,
+       |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ts),
+       |             (a, x) -> a + x) / n_bigrams, 4) AS lm_score
+       |FROM ag ORDER BY id""".stripMargin
+
   // --------------------------------------------------------- Q-linededup
   // Corpus-level boilerplate line removal (CCNet/RefinedWeb-style): lines
   // that repeat across more than LineMaxDf docs (nav bars, license
@@ -2919,6 +2951,7 @@ object Queries {
     "q_linededup" -> (lineDedup _),
     "q_winnow" -> (winnow _),
     "q_keywords" -> (keywords _),
+    "q_lmscore" -> (lmScoreQ _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_asof" -> (asof _),
     "q_asof_chunked" -> (asofChunked _),
@@ -3008,6 +3041,7 @@ object Queries {
     "q_linededup" -> lineDedupSql,
     "q_winnow" -> winnowSql,
     "q_keywords" -> keywordsSql,
+    "q_lmscore" -> lmScoreSql,
     "q_stream_enrich" -> streamEnrichSql,
     "q_asof" -> asofSql,
     "q_asof_chunked" -> asofSql, // same truth, different engine plan
