@@ -1474,8 +1474,9 @@ object Queries {
   // filtering without the external model artifact): docs whose token
   // transitions are improbable under the corpus's own bigram statistics
   // score low. The gate row is the ln-free mean-probability form — every
-  // arithmetic step (integer counts → IEEE divide → a pos-ordered
-  // left-to-right fold) replays bit-exactly in DuckDB; the log2
+  // arithmetic step (integer counts → IEEE divide → a (w1,w2)-ordered
+  // left-to-right fold of per-bigram-type terms) replays bit-exactly in
+  // DuckDB; the log2
   // deployable form is pinned by LanguageModelSpec instead (libm ln has
   // no cross-engine twin). Shape: LanguageModel.scala — one persisted
   // explode feeds two partial-agg count tables + a one-row V read.
@@ -1485,17 +1486,19 @@ object Queries {
 
   private val lmScoreSql =
     s"""WITH toks AS (SELECT doc_id AS id, $SqlToks AS tk FROM documents),
-       |bi AS (SELECT id, i - 1 AS pos, tk[i] AS w1, tk[i + 1] AS w2
+       |bi AS (SELECT id, tk[i] AS w1, tk[i + 1] AS w2
        |       FROM (SELECT id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
        |             FROM toks WHERE len(tk) >= 2)),
-       |c2 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
-       |c1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
-       |cfg AS (SELECT count(DISTINCT w2) AS v FROM bi),
-       |term AS (SELECT id, pos, (n12 + 1.0) / (n1 + 1.0 * v) AS t
-       |         FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+       |d2 AS (SELECT id, w1, w2, count(*) AS m FROM bi GROUP BY 1, 2, 3),
+       |c2 AS (SELECT w1, w2, CAST(sum(m) AS BIGINT) AS n12
+       |       FROM d2 GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c2 GROUP BY 1),
+       |cfg AS (SELECT count(DISTINCT w2) AS v FROM c2),
+       |term AS (SELECT id, w1, w2, m * ((n12 + 1.0) / (n1 + 1.0 * v)) AS t, m
+       |         FROM d2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
        |         CROSS JOIN cfg),
-       |ag AS (SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       |              list(t ORDER BY pos) AS ts FROM term GROUP BY id)
+       |ag AS (SELECT id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+       |              list(t ORDER BY w1, w2) AS ts FROM term GROUP BY id)
        |SELECT id, n_bigrams,
        |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ts),
        |             (a, x) -> a + x) / n_bigrams, 4) AS lm_score

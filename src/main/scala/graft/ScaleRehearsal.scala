@@ -37,6 +37,11 @@ object ScaleRehearsal {
     // round-7: simhash over the salted documents corpus; round-8: the
     // skew-safe chunked as-of over the replicated events
     "q_simhash_pairs", "q_asof_chunked",
+    // round-8: bigram LM scoring. Token salting makes each replica's
+    // bigram vocabulary disjoint, so the count tables grow Nx while
+    // per-key counts stay flat — the rehearsal measures the linear
+    // axis (explode -> two partial-agg groupBys -> equi-joins).
+    "q_lmscore",
     // round-8: inverted index build + conjunctive search. On the salted
     // corpus the vocabulary grows Nx (each replica's tokens are its own)
     // while per-token df stays flat — so posting-row width is bounded

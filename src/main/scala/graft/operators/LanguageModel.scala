@@ -18,23 +18,27 @@ import org.apache.spark.storage.StorageLevel
   *  - [[bigramScore]] (gate: q_lmscore): mean Laplace-smoothed
   *    transition PROBABILITY per document. Deliberately ln-free, same
   *    rationale as q_keywords' tf/df ranking: every arithmetic step
-  *    (integer counts → IEEE divide/add → a fixed LEFT-TO-RIGHT fold of
-  *    the per-position terms) is bit-identical across engines, so the
-  *    DuckDB gate replays it hash-exactly — while libm's ln may differ
-  *    in the last ulp between engines.
+  *    (integer counts → IEEE divide/multiply → a fixed left-to-right
+  *    fold of per-bigram-TYPE terms in (w1, w2) order) is bit-identical
+  *    across engines, so the DuckDB gate replays it hash-exactly —
+  *    while libm's ln may differ in the last ulp between engines.
   *  - [[bigramLogScore]]: mean log2 transition probability — the
   *    standard LM filtering form (monotone to perplexity: ppl =
   *    2^(-score)). Engine-internal (log has no cross-engine twin);
   *    LanguageModelSpec pins it to a driver-side recomputation instead.
   *
-  * Scale shape: one explode over the token stream feeds two
-  * partial-aggregated groupBys (bigram and left-context counts — the
-  * shuffled volume is the bigram VOCABULARY, not the corpus), and the
-  * stream joins both count tables by key (plain equi-joins: at corpus
-  * scale the bigram table outgrows a broadcast, and nothing here needs
-  * one). The per-document mean re-shuffles by doc id once. Smoothing's
-  * vocabulary size V resolves through a bounded one-row driver read
-  * (the data-dependent-config pattern of q_embdup_auto).
+  * Scale shape: mean p over positions equals Σ m·p / Σ m over bigram
+  * TYPES (m = in-doc multiplicity), so the token stream is collapsed to
+  * per-(doc, w1, w2) counts by ONE partial-aggregated full-stream
+  * shuffle and everything downstream — corpus counts, the probability
+  * joins, the per-doc fold — runs at type granularity, a small fraction
+  * of stream size on natural text. (A first positional draft joined the
+  * count tables back onto the raw stream: three full-stream shuffles,
+  * measured 12.3x wall for 10x data; this form is what holds linear.)
+  * The count-table joins stay plain equi-joins: at corpus scale the
+  * bigram table outgrows a broadcast, and nothing here needs one.
+  * Smoothing's vocabulary size V resolves through a bounded one-row
+  * driver read (the data-dependent-config pattern of q_embdup_auto).
   */
 object LanguageModel {
 
@@ -56,44 +60,59 @@ object LanguageModel {
   private def scored(docs: DataFrame, idCol: String, textCol: String,
                      alpha: Double, logBase2: Boolean): DataFrame = {
     require(alpha >= 0, s"alpha must be non-negative, got $alpha")
-    // The bigram stream feeds four consumers (both count tables, the V
-    // read, and the probe side of the joins) — materialize it once.
-    val bi = bigrams(docs, idCol, textCol)
+    // ONE full-stream shuffle: collapse the token stream to in-doc
+    // bigram-type multiplicities (map-side combine absorbs in-partition
+    // repeats). d2 then feeds three type-granularity consumers — the
+    // corpus count rollups and the probe side of the joins.
+    val d2 = bigrams(docs, idCol, textCol)
+      .groupBy(col("id"), col("w1"), col("w2")).agg(count(lit(1)).as("m"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
-    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val c2 = d2.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("n12"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
     // Bounded driver read: ONE row — the smoothing denominator's V.
-    val v = bi.agg(countDistinct(col("w2"))).head().getLong(0)
+    val v = c2.agg(countDistinct(col("w2"))).head().getLong(0)
     val p = (col("n12") + lit(alpha)) / (col("n1") + lit(alpha) * lit(v))
     val term = if (logBase2) log2(p) else p
-    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-      .select(col("id"), col("pos"), term.as("t"))
+    d2.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("id"), col("w1"), col("w2"),
+        (col("m") * term).as("t"), col("m"))
       .groupBy(col("id"))
-      .agg(collect_list(struct(col("pos"), col("t"))).as("ts"),
-        count(lit(1)).as("n_bigrams"))
+      .agg(collect_list(struct(col("w1"), col("w2"), col("t"))).as("ts"),
+        sum(col("m")).as("n_bigrams"))
       .select(col("id"), col("n_bigrams"),
-        // positions are unique per doc, so the struct sort is total and
+        // (w1, w2) is unique per doc, so the struct sort is total and
         // the fold order — hence the float sum — is deterministic AND
-        // engine-replayable (list(t ORDER BY pos) + list_reduce in the
-        // oracle walks the same sequence)
+        // engine-replayable (list(t ORDER BY w1, w2) + list_reduce in
+        // the oracle walks the same sequence; both engines compare
+        // strings bytewise)
         round(aggregate(transform(array_sort(col("ts")), s => s.getField("t")),
           lit(0.0), (acc, x) => acc + x) / col("n_bigrams"), 4).as("lm_score"))
   }
 
-  /** (id, pos, w1, w2) — positional bigrams from the whitespace token
-    * stream; documents with fewer than two tokens have none. Array-side
-    * pairing (transform over an index sequence): no window shuffle, the
-    * pairs materialize inside the scan stage. */
+  /** (id, w1, w2) — the bigram stream from the whitespace tokens;
+    * documents with fewer than two tokens have none. Array-side pairing
+    * (transform over an index sequence): no window shuffle, the pairs
+    * materialize inside the scan stage and flow straight into the
+    * grouped shuffle's map-side combine.
+    *
+    * The token array is projected into its OWN column first — element_at
+    * inside the lambda must index a materialized attribute, not the
+    * tokens() expression tree: Catalyst does not CSE subexpressions
+    * into lambdas, so indexing the raw expression re-runs the regex
+    * split per bigram position, O(tokens²) regex work per document
+    * (measured 16x on this very operator: 7.0 s -> 0.43 s at sf0.1).
+    * The projection survives CollapseProject because the alias is
+    * multiply referenced and non-cheap. */
   private def bigrams(docs: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
-    val tks = tokens(col(textCol))
-    docs.filter(size(tks) >= 2)
-      .select(col(idCol).as("id"),
-        explode(transform(sequence(lit(0), size(tks) - 2), i =>
-          struct(i.as("pos"),
-            element_at(tks, i + 1).as("w1"),
-            element_at(tks, i + 2).as("w2")))).as("b"))
-      .select(col("id"), col("b.pos").as("pos"),
-        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tk = col("tk")
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .filter(size(tk) >= 2)
+      .select(col("id"),
+        explode(transform(sequence(lit(0), size(tk) - 2), i =>
+          struct(element_at(tk, i + 1).as("w1"),
+            element_at(tk, i + 2).as("w2")))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
   }
 }
