@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, AsOf, Catalog, Dedup, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Sequencing, Similarity, Skew, Stats}
+import graft.operators.{Align, AsOf, Catalog, Clustering, Dedup, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Sequencing, Similarity, Skew, Stats}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1904,6 +1904,72 @@ object Queries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ------------------------------------------------------------ Q-kmeans
+  // Corpus clustering (Clustering.kmeansAssign): k-means over the
+  // embedding table — the grouping stage of SemDeDup-style
+  // cluster-then-curate and domain-mix weighting. Deterministic and
+  // hash-replayable because every float hazard is engineered out:
+  // vectors quantized to integral fixed-point (update sums are BIGINT —
+  // order-independent), strided no-RNG init, argmin ties to the smaller
+  // cid, empty cells carry forward. The oracle replays all
+  // KmeansIters Lloyd iterations as chained CTEs over the same
+  // arithmetic; output is pure integers so the hash can't catch float
+  // dust. See Clustering.scala for the 100 TB shape (per iteration: one
+  // shuffle-free assignment scan + a k·dim-bounded partial-agg update).
+  private val KmeansK = 8
+  private val KmeansIters = 3
+
+  def kmeansQ(s: SparkSession, dir: String): DataFrame =
+    Clustering.kmeansAssign(load(s, dir, "embeddings"), "vec_id",
+        "embedding", k = KmeansK, iters = KmeansIters)
+      .orderBy("id")
+
+  private def kmeansSql: String = {
+    val k = KmeansK
+    // Fold-identical twins of Similarity.dotPortable / the driver-side
+    // |c|² sum: left-to-right over positions.
+    def dotD(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(generate_series(1, $EmbDim), i -> $x[i] * $y[i])),
+         |  (acc, v) -> acc + v)""".stripMargin
+    def nsq(c: String) = dotD(c, c)
+    val iterCtes = (1 to KmeansIters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""s$i AS (SELECT e.id, e.q, c.cid,
+         |  row_number() OVER (PARTITION BY e.id
+         |    ORDER BY ${dotD("e.vd", "c.c")} * -2.0 + c.nsq, c.cid) AS rn
+         |  FROM emb e CROSS JOIN $prev c),
+         |a$i AS (SELECT id, q, cid FROM s$i WHERE rn = 1),
+         |u$i AS (SELECT cid, t.i AS pos, CAST(sum(q[t.i]) AS BIGINT) AS s,
+         |          CAST(count(*) AS BIGINT) AS cnt
+         |        FROM a$i CROSS JOIN
+         |          (SELECT unnest(generate_series(1, $EmbDim)) AS i) t
+         |        GROUP BY cid, t.i),
+         |b$i AS (SELECT p.cid, coalesce(m.c, p.c) AS c
+         |        FROM c${i - 1} p LEFT JOIN
+         |          (SELECT cid, list(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS c
+         |           FROM u$i GROUP BY cid) m USING (cid)),
+         |c$i AS (SELECT cid, c, ${nsq("c")} AS nsq FROM b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb0 AS (SELECT vec_id AS id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |emb AS (SELECT id, q,
+       |    list_transform(q, x -> CAST(x AS DOUBLE)) AS vd FROM emb0),
+       |cfg AS (SELECT greatest(1, CAST(count(*) AS BIGINT) // $k) AS stride
+       |        FROM emb),
+       |i0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, vd AS c
+       |       FROM emb, cfg WHERE id % stride = 0 ORDER BY id LIMIT $k),
+       |c0 AS (SELECT cid, c, ${nsq("c")} AS nsq FROM i0),
+       |$iterCtes,
+       |fs AS (SELECT e.id, c.cid,
+       |  row_number() OVER (PARTITION BY e.id
+       |    ORDER BY ${dotD("e.vd", "c.c")} * -2.0 + c.nsq, c.cid) AS rn
+       |  FROM emb e CROSS JOIN c$KmeansIters c)
+       |SELECT id, cid AS cluster FROM fs WHERE rn = 1 ORDER BY id""".stripMargin
+  }
+
   // ---------------------------------------------------------- Q-sessions
   // §2.10 custom streaming state: gap sessionization per user via
   // flatMapGroupsWithState; oracle = the equivalent batch window query.
@@ -2955,6 +3021,7 @@ object Queries {
     "q_winnow" -> (winnow _),
     "q_keywords" -> (keywords _),
     "q_lmscore" -> (lmScoreQ _),
+    "q_kmeans" -> (kmeansQ _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_asof" -> (asof _),
     "q_asof_chunked" -> (asofChunked _),
@@ -3045,6 +3112,7 @@ object Queries {
     "q_winnow" -> winnowSql,
     "q_keywords" -> keywordsSql,
     "q_lmscore" -> lmScoreSql,
+    "q_kmeans" -> kmeansSql,
     "q_stream_enrich" -> streamEnrichSql,
     "q_asof" -> asofSql,
     "q_asof_chunked" -> asofSql, // same truth, different engine plan

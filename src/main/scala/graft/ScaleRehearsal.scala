@@ -42,6 +42,11 @@ object ScaleRehearsal {
     // per-key counts stay flat — the rehearsal measures the linear
     // axis (explode -> two partial-agg groupBys -> equi-joins).
     "q_lmscore",
+    // round-8: k-means corpus clustering. The measured axis is Lloyd's
+    // per-iteration cost — a shuffle-free assignment scan (k·dim literal
+    // centroids) plus the k·dim-bounded posexplode partial-agg update —
+    // which must grow linearly in corpus size at fixed k.
+    "q_kmeans",
     // round-8: inverted index build + conjunctive search. On the salted
     // corpus the vocabulary grows Nx (each replica's tokens are its own)
     // while per-token df stays flat — so posting-row width is bounded

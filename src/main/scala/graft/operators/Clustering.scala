@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus clustering over embedding columns — the grouping stage of
+  * cluster-conditional curation (SemDeDup-style cluster-then-dedup,
+  * domain discovery for mixture weighting): k-means partitions the
+  * corpus into semantic cells; downstream passes then dedup, score, or
+  * sample WITHIN cells instead of across the whole corpus.
+  *
+  * Deterministic and engine-replayable by construction (gate: q_kmeans):
+  *
+  *  - Vectors are quantized to integral fixed-point (×1e6, the money-sum
+  *    trick) so the centroid-update sums are BIGINT — exact and
+  *    ORDER-INDEPENDENT, immune to float partial-aggregation order,
+  *    which is what lets a shuffled 1000-executor run, a local[4] test
+  *    and the DuckDB oracle agree bit-for-bit.
+  *  - Init = the evenly-strided sample of [[Similarity.ivfCentroids]]
+  *    (id % stride == 0, k smallest ids), no RNG.
+  *  - Assignment = argmin over -2·v·c + |c|² per centroid — pure
+  *    codegen'd expressions via [[Similarity.ivfCell]], centroids
+  *    broadcast as plan literals, ties to the smaller cid.
+  *  - Update = per-dimension BIGINT sums / count (ONE IEEE division per
+  *    cell×dim); empty cells carry their previous centroid forward.
+  *
+  * Scale shape, per iteration: one scan of the persisted quantized
+  * corpus (assignment is shuffle-free) + one posexplode→groupBy(cell,
+  * pos) whose map-side combine reduces the shuffle to k·dim rows per
+  * partition; the driver reads k·dim rows (bounded, the
+  * data-dependent-config pattern). Lloyd at 100 TB is T scans — the
+  * standard cost — and the final assignment writes partitioned by
+  * `cluster` for cell-local downstream passes.
+  */
+object Clustering {
+
+  /** Fixed-point quantization: array<float/double> → array<long> at
+    * `scale`. round() ties away from zero in both Spark (BigDecimal
+    * HALF_UP) and DuckDB, so the grids agree. */
+  def quantize(vec: Column, scale: Double = 1e6): Column =
+    transform(vec.cast("array<double>"),
+      x => round(x * lit(scale), 0).cast("long"))
+
+  /** (id, cluster) for every vector: `iters` Lloyd iterations from the
+    * strided init, then a final assignment with the converged centroids.
+    * Cluster ids are 0 until k (dense by construction of the init;
+    * cells can be empty in the ASSIGNMENT if Lloyd moved their centroid
+    * onto another's mass). */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    // Quantized longs drive the exact update sums; their double image
+    // (exact: |q| << 2^53) drives the distance folds.
+    val v = emb.select(col(idCol).cast("long").as("id"),
+        quantize(col(vecCol)).as("q"))
+      .withColumn("vd", transform(col("q"), x => x.cast("double")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = v.count()
+    require(n >= k, s"need at least k=$k vectors, have $n")
+    val stride = math.max(1L, n / k)
+    var cents: IndexedSeq[Seq[Double]] = v
+      .filter(pmod(col("id"), lit(stride)) === 0)
+      .orderBy("id").limit(k)
+      .collect().map(_.getSeq[Double](2).toSeq).toIndexedSeq
+    for (_ <- 1 to iters) {
+      val assigned = v.withColumn("cell", cellFor(col("vd"), cents))
+      // Bounded driver read: k·dim rows of (cell, pos, sum, count).
+      val upd = assigned
+        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (prev, cid) =>
+        upd.get(cid) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(r =>
+              r.getLong(2).toDouble / r.getLong(3)).toSeq
+          case None => prev // empty cell: carry the centroid forward
+        }
+      }
+    }
+    v.withColumn("cluster", cellFor(col("vd"), cents))
+      .select(col("id"), col("cluster"))
+  }
+
+  /** Per-cluster sizes and mean in-cluster quantized-L2 cost — the
+    * inertia readout that picks k or flags a degenerate clustering. */
+  def clusterProfile(assign: DataFrame): DataFrame =
+    assign.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+
+  private def cellFor(vec: Column, cents: Seq[Seq[Double]]): Column =
+    Similarity.ivfCell(vec, cents.zipWithIndex.map { case (c, i) => (i, c) })
+}
