@@ -1924,7 +1924,11 @@ object Queries {
         "embedding", k = KmeansK, iters = KmeansIters)
       .orderBy("id")
 
-  private def kmeansSql: String = {
+  /** The WITH-body replaying [[Clustering.kmeansAssign]] in DuckDB, up
+    * through `asg` = the final (id, cid) assignment — shared by the
+    * q_kmeans and q_semdedup oracles so the Lloyd replay can't drift
+    * between them. */
+  private def kmeansCtes: String = {
     val k = KmeansK
     // Fold-identical twins of Similarity.dotPortable / the driver-side
     // |c|² sum: left-to-right over positions.
@@ -1951,7 +1955,7 @@ object Queries {
          |           FROM u$i GROUP BY cid) m USING (cid)),
          |c$i AS (SELECT cid, c, ${nsq("c")} AS nsq FROM b$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH emb0 AS (SELECT vec_id AS id,
+    s"""emb0 AS (SELECT vec_id AS id,
        |    list_transform(embedding,
        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS q
        |  FROM embeddings),
@@ -1966,9 +1970,40 @@ object Queries {
        |fs AS (SELECT e.id, c.cid,
        |  row_number() OVER (PARTITION BY e.id
        |    ORDER BY ${dotD("e.vd", "c.c")} * -2.0 + c.nsq, c.cid) AS rn
-       |  FROM emb e CROSS JOIN c$KmeansIters c)
-       |SELECT id, cid AS cluster FROM fs WHERE rn = 1 ORDER BY id""".stripMargin
+       |  FROM emb e CROSS JOIN c$KmeansIters c),
+       |asg AS (SELECT id, cid FROM fs WHERE rn = 1)""".stripMargin
   }
+
+  private def kmeansSql: String =
+    s"""WITH $kmeansCtes
+       |SELECT id, cid AS cluster FROM asg ORDER BY id""".stripMargin
+
+  // ----------------------------------------------------------- Q-semdedup
+  // SemDeDup (Clustering.semDedup): cluster-conditional near-dup removal —
+  // pairwise cosine runs only WITHIN each k-means cluster, and a vector is
+  // dropped when a smaller-id cluster-mate scores ≥ threshold. The oracle
+  // replays the full Lloyd chain (shared CTEs, kmeansCtes) and the pair
+  // predicate with the fold-identical dot, then anti-joins the dropped
+  // set. Engine-side the per-cluster triangle is spread over (cluster,
+  // block, block) equi-join keys — no cartesian node; see semDedup's doc
+  // for the Σ n_c² cost argument.
+  def semDedupQ(s: SparkSession, dir: String): DataFrame =
+    Clustering.semDedup(load(s, dir, "embeddings"), "vec_id", "embedding",
+        k = KmeansK, iters = KmeansIters, threshold = EmbThreshold)
+      .orderBy("id")
+
+  private def semDedupSql: String =
+    s"""WITH $kmeansCtes,
+       |nv AS (SELECT a.id, a.cid, e.embedding,
+       |         sqrt(${sqlEmbDot("e.embedding", "e.embedding")}) AS nm
+       |       FROM asg a JOIN embeddings e ON a.id = e.vec_id),
+       |dropped AS (SELECT DISTINCT b.id
+       |  FROM nv a JOIN nv b ON a.cid = b.cid AND a.id < b.id
+       |  WHERE round(${sqlEmbDot("a.embedding", "b.embedding")} /
+       |              (a.nm * b.nm), 4) >= $EmbThreshold)
+       |SELECT n.id, n.cid AS cluster FROM nv n
+       |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = n.id)
+       |ORDER BY id""".stripMargin
 
   // ---------------------------------------------------------- Q-sessions
   // §2.10 custom streaming state: gap sessionization per user via
@@ -3022,6 +3057,7 @@ object Queries {
     "q_keywords" -> (keywords _),
     "q_lmscore" -> (lmScoreQ _),
     "q_kmeans" -> (kmeansQ _),
+    "q_semdedup" -> (semDedupQ _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_asof" -> (asof _),
     "q_asof_chunked" -> (asofChunked _),
@@ -3113,6 +3149,7 @@ object Queries {
     "q_keywords" -> keywordsSql,
     "q_lmscore" -> lmScoreSql,
     "q_kmeans" -> kmeansSql,
+    "q_semdedup" -> semDedupSql,
     "q_stream_enrich" -> streamEnrichSql,
     "q_asof" -> asofSql,
     "q_asof_chunked" -> asofSql, // same truth, different engine plan

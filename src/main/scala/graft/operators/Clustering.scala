@@ -91,6 +91,55 @@ object Clustering {
   def clusterProfile(assign: DataFrame): DataFrame =
     assign.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
 
+  /** SemDeDup-style cluster-conditional near-duplicate removal: k-means
+    * partitions the corpus, then pairwise cosine runs ONLY within each
+    * cluster and a vector is dropped when any smaller-id cluster-mate
+    * sits at or above `threshold` (one-pass pairwise semantics — no
+    * transitive chaining, matching the published algorithm; the
+    * connected-components path in [[Dedup]] is the chaining alternative).
+    * Returns the survivors as (id, cluster).
+    *
+    * Scale shape: the quadratic compare that would be O(n²) corpus-wide
+    * becomes Σ n_c² over clusters — the whole point of clustering first —
+    * and each cluster's triangle is spread as pure EQUI-join tasks via
+    * the same blocked (bi, bj) scheme as
+    * [[Similarity.embeddingNearDupExactBlocked]], keyed by (cluster, bi,
+    * bj) so one big cluster becomes blocks·(blocks+1)/2 independent
+    * tasks instead of one straggler. No cartesian/BNLJ node anywhere.
+    * At 100 TB, k grows with the corpus to bound n_c (the paper's
+    * sqrt-scaling); the pair stage never sees a cross-cluster pair. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+               iters: Int, threshold: Double, blocks: Int = 4): DataFrame = {
+    graft.GraftExtensions.register(emb.sparkSession)
+    require(blocks > 0, s"blocks must be positive, got $blocks")
+    val assign = kmeansAssign(emb, idCol, vecCol, k, iters)
+    val vecs = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("nm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .join(assign, "id")
+    val g = vecs.withColumn("g", pmod(col("id"), lit(blocks)).cast("int"))
+    val lhs = g
+      .withColumn("bj", explode(sequence(col("g"), lit(blocks - 1))))
+      .select(col("cluster"), col("g").as("bi"), col("bj"),
+        col("id").as("ida"), col("v").as("va"), col("nm").as("na"))
+    val rhs = g
+      .withColumn("bi", explode(sequence(lit(0), col("g"))))
+      .select(col("cluster"), col("bi"), col("g").as("bj"),
+        col("id").as("idb"), col("v").as("vb"), col("nm").as("nb"))
+    // try_divide: a zero-norm vector's cosine is NULL (0/0 errors under
+    // ANSI), and NULL ≥ threshold is never true — degenerate vectors
+    // survive rather than crash the pass or match everything.
+    val dropped = lhs.join(rhs, Seq("cluster", "bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("ida") < col("idb"))
+      .withColumn("sim",
+        round(try_divide(Similarity.dot(col("va"), col("vb")),
+          col("na") * col("nb")), 4))
+      .filter(col("sim") >= threshold)
+      .select(greatest(col("ida"), col("idb")).as("id"))
+      .distinct()
+    vecs.join(dropped, Seq("id"), "left_anti").select("id", "cluster")
+  }
+
   private def cellFor(vec: Column, cents: Seq[Seq[Double]]): Column =
     Similarity.ivfCell(vec, cents.zipWithIndex.map { case (c, i) => (i, c) })
 }

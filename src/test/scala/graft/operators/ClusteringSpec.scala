@@ -60,6 +60,54 @@ class ClusteringSpec extends SparkSpec {
     assert(r === Seq(3L, -3L, 0L))
   }
 
+  test("semDedup drops the larger id of a within-cluster near-dup pair") {
+    // ids 1 and 2 are near-identical (cos ≈ 1) and co-cluster; 5 and 6
+    // likewise in the other group. Survivors keep the smaller ids.
+    val r = Clustering.semDedup(twoGroups, "vec_id", "embedding",
+      k = 2, iters = 2, threshold = 0.999).orderBy("id").collect()
+    val kept = r.map(_.getLong(0)).toSet
+    // Group A pairwise cosines top out at 0.949 (2 vs 3) and the zero
+    // vector's NULL cosine never clears the bar — all four survive. Group
+    // B's vectors all point at ~(1,1): every pair ≥ 0.999, so only the
+    // smallest id (4) survives.
+    assert(kept === Set(0L, 1L, 2L, 3L, 4L))
+    // survivors' clusters match their kmeans assignment
+    val asg = Clustering.kmeansAssign(twoGroups, "vec_id", "embedding",
+      k = 2, iters = 2).collect().map(r2 => r2.getLong(0) -> r2.getInt(1)).toMap
+    assert(r.forall(row => asg(row.getLong(0)) == row.getInt(1)))
+  }
+
+  test("semDedup at a low threshold keeps one representative per tight group") {
+    // threshold 0.9: within each group every pair with cos ≥ .9 drops the
+    // larger id. Group B's vectors (all ~(10,10)) are mutually ≥ .999 so
+    // only id 4 survives group B.
+    val r = Clustering.semDedup(twoGroups, "vec_id", "embedding",
+      k = 2, iters = 2, threshold = 0.9).collect()
+    val kept = r.map(_.getLong(0)).toSet
+    assert(kept.contains(4L) && !kept.contains(5L) && !kept.contains(6L) &&
+      !kept.contains(7L))
+  }
+
+  test("semDedup never drops across clusters") {
+    // Identical vectors in DIFFERENT clusters must both survive: build
+    // two far-apart groups and give each one copy of the same direction?
+    // Cross-cluster pairs are simply never compared — verify by running
+    // with threshold 0 (every non-degenerate in-cluster pair collides):
+    // one survivor per cluster plus the zero vector, whose NULL cosine
+    // exempts it from ever matching.
+    val r = Clustering.semDedup(twoGroups, "vec_id", "embedding",
+      k = 2, iters = 2, threshold = 0.0).collect()
+    assert(r.map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 4L))
+  }
+
+  test("semDedup is invariant to the block count (plan shape, not result)") {
+    val r2 = Clustering.semDedup(twoGroups, "vec_id", "embedding",
+      k = 2, iters = 2, threshold = 0.9, blocks = 2).orderBy("id").collect().toSeq
+    val r7 = Clustering.semDedup(twoGroups, "vec_id", "embedding",
+      k = 2, iters = 2, threshold = 0.9, blocks = 7).orderBy("id").collect().toSeq
+    assert(r2 === r7)
+  }
+
   test("clusterProfile returns per-cluster sizes") {
     val a = Clustering.kmeansAssign(twoGroups, "vec_id", "embedding",
       k = 2, iters = 2)
