@@ -1277,6 +1277,68 @@ object Queries {
        |GROUP BY id HAVING count(*) = (SELECT count(*) FROM terms)
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- Q-bm25
+  // Ranked (disjunctive) retrieval over the scored index
+  // (InvertedIndex.buildScored + bm25TopN): top-10 documents for the
+  // three most-common COLD terms ((df DESC, tok) — deterministic and
+  // scale-portable), scored by the rational BM25 surrogate — k1/b folded
+  // into exact BIGINT numerator/denominator, one double division per
+  // (term, doc), per-doc sum an order-independent BIGINT — so the
+  // ranking replays bit-for-bit in DuckDB from the raw corpus (full
+  // independent derivation: tf/df/dl/N/L all recomputed from
+  // `documents`, never from the index). The ln=true twin is the
+  // deployment form; same candidate shape, not hash-replayable (ln ulps
+  // differ across libm builds). Postings carry (tf, dl) precisely so
+  // this query touches the corpus only at build time.
+  private val Bm25Terms = 3
+  private val Bm25TopK = 10
+
+  def bm25Q(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    // Bounded driver read: one aggregate row (N docs, L tokens).
+    val st = docs.agg(count(lit(1)), sum(size(tokens(col("text"))))).head()
+    val n = st.getLong(0)
+    val l = st.getLong(1)
+    val idx = InvertedIndex.buildScored(docs, "doc_id",
+      tokens(col("text")), n * IndexDfPct / 100).persist()
+    try {
+      // Bounded driver read: the Bm25Terms selected term strings.
+      val terms = idx.filter(col("postings").isNotNull)
+        .orderBy(col("df").desc, col("tok")).limit(Bm25Terms)
+        .select("tok").collect().map(_.getString(0)).toSeq
+      InvertedIndex.bm25TopN(idx, terms, n, l, Bm25TopK)
+        .select(col("id").as("doc_id"), col("score"))
+        .localCheckpoint()
+    } finally idx.unpersist()
+  }
+
+  private val bm25Sql =
+    s"""WITH rawtoks AS (SELECT doc_id AS id, unnest($SqlToks) AS tok
+       |                 FROM documents),
+       |cfg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |               count(*) * $IndexDfPct // 100 AS maxdf
+       |        FROM documents),
+       |ltot AS (SELECT CAST(count(*) AS BIGINT) AS l FROM rawtoks),
+       |tfs AS (SELECT tok, id, CAST(count(*) AS BIGINT) AS tf
+       |        FROM rawtoks GROUP BY tok, id),
+       |lens AS (SELECT id, CAST(count(*) AS BIGINT) AS dl
+       |         FROM rawtoks GROUP BY id),
+       |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+       |        FROM tfs GROUP BY tok),
+       |terms AS (SELECT tok, df FROM dfs
+       |          WHERE df <= (SELECT maxdf FROM cfg)
+       |          ORDER BY df DESC, tok LIMIT $Bm25Terms),
+       |sc AS (SELECT t.id,
+       |  CAST(round(1000000.0 *
+       |    (CAST((2*n - 2*tm.df + 1) * 22 * l * t.tf AS DOUBLE) /
+       |     CAST((2*tm.df + 1) * (10*l*t.tf + 3*l + 9*ln2.dl*n) AS DOUBLE)),
+       |    0) AS BIGINT) AS c
+       |  FROM tfs t JOIN terms tm USING (tok)
+       |       JOIN lens ln2 ON t.id = ln2.id, cfg, ltot)
+       |SELECT id AS doc_id, CAST(sum(c) AS BIGINT) AS score
+       |FROM sc GROUP BY id
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+
   // --------------------------------------------------------- Q-bucketjoin
   // Bucketed co-located join — the fact-to-fact join shape that survives
   // 100 TB: both sides are published bucketed AND sorted by the join key
@@ -3050,6 +3112,7 @@ object Queries {
     "q_invindex" -> (invIndex _),
     "q_index_refresh" -> (indexRefreshQ _),
     "q_search" -> (searchQ _),
+    "q_bm25" -> (bm25Q _),
     "q_bucketjoin" -> (bucketJoin _),
     "q_partprune" -> (partPrune _),
     "q_linededup" -> (lineDedup _),
@@ -3142,6 +3205,7 @@ object Queries {
     "q_invindex" -> invIndexSql,
     "q_index_refresh" -> invIndexSql, // refresh must equal the full rebuild
     "q_search" -> searchSql,
+    "q_bm25" -> bm25Sql,
     "q_bucketjoin" -> bucketJoinSql,
     "q_partprune" -> partPruneSql,
     "q_linededup" -> lineDedupSql,

@@ -57,6 +57,96 @@ object InvertedIndex {
     dfs.join(postings, Seq("tok"), "left")
   }
 
+  /** [[build]] variant carrying the per-document statistics ranked
+    * retrieval needs: postings become array<struct<id, tf, dl>> — term
+    * frequency and document length ride WITH each posting, so scoring a
+    * query later never joins back to the corpus (the denormalization is
+    * paid once at build, amortized over every query). Same df-cap/NULL
+    * treatment of hot tokens as [[build]]. `idCol` must be numeric
+    * (posting structs sort by id). */
+  def buildScored(docs: DataFrame, idCol: String, tokCol: Column,
+                  maxDf: Long): DataFrame = {
+    require(maxDf > 0, s"maxDf must be positive, got $maxDf")
+    val raw = docs.select(col(idCol).cast("long").as("id"),
+      explode(tokCol).as("tok"))
+    val tfs = raw.groupBy(col("tok"), col("id"))
+      .agg(count(lit(1)).as("tf"))
+    val lens = raw.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val dfs = tfs.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val hot = dfs.filter(col("df") > maxDf).select("tok")
+    val postings = tfs
+      .join(broadcast(hot), Seq("tok"), "left_anti")
+      .join(lens, Seq("id"))
+      .groupBy(col("tok"))
+      .agg(sort_array(collect_list(struct(col("id"), col("tf"), col("dl"))))
+        .as("postings"))
+    dfs.join(postings, Seq("tok"), "left")
+  }
+
+  /** BM25-family ranked (disjunctive OR) retrieval over [[buildScored]]'s
+    * output: top `topN` documents by summed per-term score, resolved
+    * purely from posting lists — candidate volume is the union of the
+    * queried terms' lists, bounded by the build's df cap. Hot (NULL-
+    * postings) terms are dropped as non-selective, exactly as in
+    * [[searchAll]]; at least one queried term must be cold.
+    *
+    * The default scoring is the RATIONAL BM25 surrogate (k1 = 1.2,
+    * b = 0.75 folded into exact integer arithmetic): per-term
+    * contribution
+    *
+    *   round(1e6 · (2N−2df+1)·22·L·tf / ((2df+1)·(10·L·tf + 3·L + 9·dl·N)))
+    *
+    * — BM25's tf saturation and length normalization with the idf's ln
+    * replaced by its (monotone) argument, every intermediate an exact
+    * BIGINT, ONE double division per (term, doc), and the per-document
+    * sum an order-independent BIGINT. That makes the ranking replayable
+    * bit-for-bit on any ANSI engine (gate row q_bm25); `ln = true`
+    * switches to the standard Robertson idf ln((N−df+0.5)/(df+0.5)) in
+    * doubles — same candidate shape, the form a deployment would likely
+    * prefer when cross-engine hash parity is not a requirement. The
+    * integer products stay double-exact (< 2^53) for corpora up to
+    * ~10^8 tokens with the gate's tf/df ranges; beyond that the ln form
+    * avoids the question entirely.
+    *
+    * @param n corpus document count  @param lTotal corpus token count
+    *   (both resolved by the caller from one bounded aggregate — the
+    *   data-dependent-config pattern) */
+  def bm25TopN(index: DataFrame, terms: Seq[String], n: Long, lTotal: Long,
+               topN: Int, ln: Boolean = false): DataFrame = {
+    val distinct = terms.distinct
+    require(distinct.nonEmpty, "need at least one term")
+    require(n > 0 && lTotal > 0, s"corpus stats must be positive: n=$n L=$lTotal")
+    val hits = index.filter(col("tok").isin(distinct: _*))
+    // Bounded driver read: ≤ |terms| rows (same contract as searchAll).
+    val resolved = hits.select(col("tok"), col("postings").isNull.as("hot"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val cold = distinct.filter(t => !resolved.getOrElse(t, true))
+    require(cold.nonEmpty,
+      s"no cold queried term resolves in the index: $distinct — nothing " +
+        "bounded to score (hot terms are non-selective, absent ones empty)")
+    val cand = hits.filter(col("tok").isin(cold: _*))
+      .select(col("df"), explode(col("postings")).as("p"))
+      .select(col("df"), col("p.id").as("id"), col("p.tf").as("tf"),
+        col("p.dl").as("dl"))
+    val contrib = if (ln) {
+      val idf = log((lit(n).cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+      val tfn = (col("tf") * lit(2.2)).cast("double") /
+        (col("tf") + lit(0.3) + (lit(0.9) * col("dl") * n / lTotal))
+      idf * tfn
+    } else {
+      val a = (lit(2 * n) - col("df") * 2 + 1) * lit(22L) * lit(lTotal) * col("tf")
+      val b = (col("df") * 2 + 1) *
+        (lit(10L) * lTotal * col("tf") + lit(3L) * lTotal + lit(9L) * col("dl") * n)
+      round(lit(1e6) * (a.cast("double") / b.cast("double")), 0).cast("long")
+    }
+    cand.withColumn("c", contrib)
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topN)
+  }
+
   /** Publish an index to disk, hash-partitioned on `tok` into
     * `__bucket=` dirs — the layout [[refresh]] and [[lookupTerms]]
     * consume: a delta refresh rewrites only the buckets its tokens hash

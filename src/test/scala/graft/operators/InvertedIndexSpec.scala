@@ -115,6 +115,62 @@ class InvertedIndexSpec extends SparkSpec {
     assert(hits === Seq(1L))
   }
 
+  test("buildScored carries (id, tf, dl) per posting; hot stays NULL") {
+    val r = InvertedIndex.buildScored(docs, "doc_id", toks, maxDf = 4L)
+      .orderBy("tok")
+      .as[(String, Long, Option[Seq[(Long, Long, Long)]])].collect().toSeq
+    assert(r.find(_._1 == "dog").get ===
+      (("dog", 2L, Some(Seq((2L, 1L, 3L), (6L, 1L, 2L))))))
+    assert(r.find(_._1 == "the").get === (("the", 6L, None)))
+    // repeats inside a doc land in tf, not df: "the" would have tf=2 in
+    // doc 2 — verify via a corpus where it stays cold
+    val cold = InvertedIndex.buildScored(docs, "doc_id", toks, maxDf = 10L)
+      .filter(col("tok") === "the")
+      .as[(String, Long, Option[Seq[(Long, Long, Long)]])].head()
+    assert(cold._3.get.find(_._1 == 2L).get === ((2L, 2L, 3L)))
+  }
+
+  // Corpus stats for the 6-doc fixture: N=6 docs, L=16 tokens.
+  private def scoredIdx = InvertedIndex.buildScored(docs, "doc_id", toks, 4L)
+
+  test("bm25TopN ranks by the rational surrogate — hand-computed scores") {
+    // terms dog/fish: each df=2, tf=1 everywhere. A=(12-4+1)*22*16=3168;
+    // B=5*(160+48+54*dl): dl=2 → 1580 (score 2005063), dl=3 → 1850
+    // (score 1712432). Shorter docs rank first, ties break by id.
+    val r = InvertedIndex.bm25TopN(scoredIdx, Seq("dog", "fish"),
+      n = 6L, lTotal = 16L, topN = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(r === Seq((4L, 2005063L), (6L, 2005063L),
+      (2L, 1712432L), (5L, 1712432L)))
+  }
+
+  test("bm25TopN drops hot terms; all-hot queries refuse") {
+    val withHot = InvertedIndex.bm25TopN(scoredIdx, Seq("the", "fish"),
+      n = 6L, lTotal = 16L, topN = 10).as[(Long, Long)].collect().toSeq
+    val coldOnly = InvertedIndex.bm25TopN(scoredIdx, Seq("fish"),
+      n = 6L, lTotal = 16L, topN = 10).as[(Long, Long)].collect().toSeq
+    assert(withHot === coldOnly)
+    val ex = intercept[IllegalArgumentException] {
+      InvertedIndex.bm25TopN(scoredIdx, Seq("the"), 6L, 16L, 10)
+    }
+    assert(ex.getMessage.contains("cold"))
+  }
+
+  test("ln twin produces the same ranking as the rational gate form here") {
+    val gate = InvertedIndex.bm25TopN(scoredIdx, Seq("dog", "fish", "rare"),
+      n = 6L, lTotal = 16L, topN = 10).select("id").as[Long].collect().toSeq
+    val lnR = InvertedIndex.bm25TopN(scoredIdx, Seq("dog", "fish", "rare"),
+      n = 6L, lTotal = 16L, topN = 10, ln = true)
+      .select("id").as[Long].collect().toSeq
+    assert(gate === lnR)
+  }
+
+  test("topN truncates after the (score, id) order") {
+    val r = InvertedIndex.bm25TopN(scoredIdx, Seq("dog", "fish"),
+      n = 6L, lTotal = 16L, topN = 2).select("id").as[Long].collect().toSeq
+    assert(r === Seq(4L, 6L))
+  }
+
   test("build plans a broadcast anti-join for the hot set, no cartesian") {
     val plan = idx.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
