@@ -567,6 +567,45 @@ object Queries {
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------- Q-knn-int8
+  // ANN over the int8 scalar-quantized corpus (Similarity.quantizeInt8 +
+  // knnInt8): per-vector scale = max|x|/127, codes round(x/scale),
+  // ranking by exact cosine of the RECONSTRUCTION (codes·scale) against
+  // the full-precision query — the asymmetric-distance compression shape
+  // a 100 TB embedding store runs on (4× fewer bytes scanned). The
+  // oracle replays quantize→reconstruct→rank with the same fold order;
+  // every step (abs/max/divide/round-half-away/multiply) is
+  // engine-portable, so the top-k hashes bit-for-bit.
+  def knnInt8Q(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    Similarity.knnInt8(emb, "vec_id", "embedding", query, 10)
+      .select("vec_id", "label", "sim")
+  }
+
+  private val knnInt8Sql: String = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, 64),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |  (acc, v) -> acc + v)""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qz AS (SELECT vec_id, label, embedding,
+       |         list_max(list_transform(embedding,
+       |           x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+       |       FROM embeddings),
+       |rec AS (SELECT vec_id, label,
+       |         CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+       |              ELSE list_transform(embedding,
+       |                x -> round(CAST(x AS DOUBLE) / s, 0) * s) END AS r
+       |       FROM qz)
+       |SELECT vec_id, label,
+       |       round(${dot("r", "qv")} /
+       |             (sqrt(${dot("r", "r")}) * sqrt(${dot("qv", "qv")})), 4) AS sim
+       |FROM rec CROSS JOIN q
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   // ------------------------------------------------------------ Q-tokens
   // Token counting: whitespace + BPE-ish subword regex.
   def tokensQ(s: SparkSession, dir: String): DataFrame = {
@@ -3094,6 +3133,7 @@ object Queries {
     "q_repetition" -> (repetition _),
     "q_stream_dedup" -> (streamDedup _),
     "q_knn_ivf" -> (knnIvf _),
+    "q_knn_int8" -> (knnInt8Q _),
     "q_simhash_pairs" -> (simhashPairsQ _),
     "q_simhash64_pairs" -> (simhash64PairsQ _),
     "q_embdup_exact" -> (embeddingDupExact _),
@@ -3187,6 +3227,7 @@ object Queries {
     "q_repetition" -> repetitionSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_knn_ivf" -> knnIvfSql,
+    "q_knn_int8" -> knnInt8Sql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_simhash64_pairs" -> simhash64PairsSql,
     "q_embdup_exact" -> embeddingDupExactSql,

@@ -44,6 +44,55 @@ object Similarity {
       .drop("qv")
   }
 
+  /** Int8 symmetric scalar quantization of a vector column: per-vector
+    * scale = max|x|/127, codes = round(x/scale) ∈ [−127, 127]. Returns a
+    * struct<q: array<int>, scale: double>. This is the 4× storage/IO
+    * compression a 100 TB embedding store runs on (FAISS SQ8-style):
+    * the int8 codes ship to executors at a quarter the bytes, and the
+    * scale rides along for reconstruction. An all-zero vector gets
+    * scale 0 and all-zero codes. Every step (double cast → abs → max →
+    * divide → round-half-away) is engine-portable, so a reconstruction
+    * replays bit-for-bit in an oracle. */
+  def quantizeInt8(vec: Column): Column = {
+    val vd = transform(vec, x => x.cast("double"))
+    val mx = array_max(transform(vd, x => abs(x)))
+    val scale = mx / lit(127.0)
+    struct(
+      when(mx === 0d, transform(vd, _ => lit(0)))
+        .otherwise(transform(vd, x => round(x / scale, 0).cast("int")))
+        .as("q"),
+      scale.as("scale"))
+  }
+
+  /** Reconstruction of [[quantizeInt8]]'s output: codes · scale, as
+    * array<double>. */
+  def dequantizeInt8(qz: Column): Column =
+    transform(qz.getField("q"),
+      x => x.cast("double") * qz.getField("scale"))
+
+  /** Top-k cosine ANN over int8-quantized vectors: quantize, reconstruct,
+    * rank by exact cosine of the RECONSTRUCTION against the broadcast
+    * query — the asymmetric-distance pattern (full-precision query,
+    * compressed corpus). Same plan shape as [[bruteForceKnn]] (scan +
+    * TakeOrdered, no shuffle); at scale the quantized corpus is what
+    * sits on disk, so the scan reads 1/4 the bytes. Ranking differs
+    * from full precision only by quantization error (≤ scale/2 per
+    * component); SimilaritySpec pins the recall on a known corpus. */
+  def knnInt8(emb: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, k: Int): DataFrame = {
+    graft.GraftExtensions.register(emb.sparkSession)
+    emb.withColumn("__qz", quantizeInt8(col(vecCol)))
+      .withColumn("__recon", dequantizeInt8(col("__qz")))
+      .crossJoin(broadcast(query))
+      // exact double widening of the (possibly float) query — array_dot
+      // wants both sides the same element type
+      .withColumn("__qvd", transform(col("qv"), x => x.cast("double")))
+      .withColumn("sim", round(cosine(col("__recon"), col("__qvd")), 4))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .drop("qv", "__qz", "__recon", "__qvd")
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded, data-independent). */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
