@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, AsOf, Catalog, Clustering, Dedup, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Sequencing, Similarity, Skew, Stats}
+import graft.operators.{Align, AsOf, Catalog, Clustering, Dedup, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Sequencing, Shards, Similarity, Skew, Stats}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -815,6 +815,31 @@ object Queries {
        |WHERE ${sqlSh32(s"concat('$SampleSalt', CAST(doc_id AS VARCHAR))")} % 100 < ($rate)
        |ORDER BY doc_id""".stripMargin
   }
+
+  // -------------------------------------------------------------- Q-shard
+  // Deterministic global shuffle + fixed shard layout (Shards
+  // .shardShuffle) — the pipeline's LAST stage: reproducible
+  // pseudo-random training order, chunked for data-loader workers. The
+  // permutation is the Knuth multiplicative rank (not an RNG), shard =
+  // rank mod nShards (uniform, skew-free by construction), pos = dense
+  // in-shard rank — all plain integer arithmetic, replayed verbatim by
+  // the oracle. One exchange + per-shard sort at any scale;
+  // writeSharded materializes shard=<k>/ dirs for direct mounting.
+  private val ShardCount = 16
+
+  def shardQ(s: SparkSession, dir: String): DataFrame =
+    Shards.shardShuffle(load(s, dir, "documents"), "doc_id", ShardCount)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+
+  private val shardSql =
+    s"""WITH r AS (SELECT doc_id,
+       |             (doc_id * 2654435761) % 4294967296 AS rk
+       |           FROM documents)
+       |SELECT doc_id, CAST(rk % $ShardCount AS INTEGER) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY rk % $ShardCount
+       |         ORDER BY rk, doc_id) - 1 AS BIGINT) AS pos
+       |FROM r ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------- Q-range
   // Binned interval-containment join (Joins.rangeJoinBinned): every 101st
@@ -3138,6 +3163,7 @@ object Queries {
     "q_simhash64_pairs" -> (simhash64PairsQ _),
     "q_embdup_exact" -> (embeddingDupExact _),
     "q_sample" -> (sampleQ _),
+    "q_shard" -> (shardQ _),
     "q_quota" -> (quota _),
     "q_quantiles" -> (quantilesQ _),
     "q_range" -> (rangeQ _),
@@ -3232,6 +3258,7 @@ object Queries {
     "q_simhash64_pairs" -> simhash64PairsSql,
     "q_embdup_exact" -> embeddingDupExactSql,
     "q_sample" -> sampleSql,
+    "q_shard" -> shardSql,
     "q_quota" -> quotaSql,
     "q_quantiles" -> quantilesSql,
     "q_range" -> rangeSql,

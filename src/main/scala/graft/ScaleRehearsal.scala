@@ -47,6 +47,11 @@ object ScaleRehearsal {
     // centroids) plus the k·dim-bounded posexplode partial-agg update —
     // which must grow linearly in corpus size at fixed k.
     "q_kmeans",
+    // round-8: BM25 ranked retrieval. On the salted corpus the selected
+    // cold terms stay replica-0's (df flat while the cap grows with N),
+    // so candidates are flat and the measured axis is the scored-index
+    // build (tf/df/dl partial-agg shuffles over the Nx token stream).
+    "q_bm25",
     // round-8: inverted index build + conjunctive search. On the salted
     // corpus the vocabulary grows Nx (each replica's tokens are its own)
     // while per-token df stays flat — so posting-row width is bounded
@@ -198,7 +203,30 @@ object ScaleRehearsal {
       ("simhash64", t1, tN, tN / t1)
     }
 
-    val body = (rows ++ autoRow ++ sim64Row).map { case (q, t1, tN, g) =>
+    // SemDeDup is rehearsed through the auto-k variant: the gate's fixed
+    // k=8 keeps cells at n/8 and the in-cell compare is (n/8)² — fixed k
+    // is the shape that CANNOT survive 100×. semDedupAuto grows k with
+    // n (k = ceil(n/targetCell)) so per-cell work stays ~targetCell²·k
+    // = linear in n; past the literal cap the assignment switches to the
+    // broadcast-centroid argmin join, so this row also measures the
+    // large-k plan a real deployment runs.
+    def timeSemAuto(dir: String): Double = (1 to reps).map { _ =>
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val t0 = System.nanoTime()
+      graft.operators.Clustering.semDedupAuto(
+        emb, "vec_id", "embedding", targetCell = 256, iters = 3,
+        threshold = 0.4).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      dt
+    }.min
+    val semRow = if (!wanted("semdedup_auto")) Nil else Seq {
+      val t1 = timeSemAuto(sfDir)
+      val tN = timeSemAuto(workDir)
+      ("semdedup_auto", t1, tN, tN / t1)
+    }
+
+    val body = (rows ++ autoRow ++ sim64Row ++ semRow).map { case (q, t1, tN, g) =>
       f""""$q":{"x1":$t1%.2f,"x$factor":$tN%.2f,"growth":$g%.2f}"""
     }.mkString(",")
     println(s"""{"rehearsal":{$body},"factor":$factor,"sf":"$sfDir"}""")

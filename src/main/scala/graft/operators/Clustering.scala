@@ -46,9 +46,22 @@ object Clustering {
     * strided init, then a final assignment with the converged centroids.
     * Cluster ids are 0 until k (dense by construction of the init;
     * cells can be empty in the ASSIGNMENT if Lloyd moved their centroid
-    * onto another's mass). */
+    * onto another's mass).
+    *
+    * Assignment picks its plan by k: at or under `literalCap` the
+    * centroids embed as plan literals and the scan is shuffle-free
+    * ([[Similarity.ivfCell]]); above it they broadcast as a k-row frame
+    * and argmin is a map-side-combined min-of-struct aggregation —
+    * literal expression trees grow O(k·dim) and fall out of codegen
+    * long before k reaches the n/targetCell a large corpus needs. Both
+    * paths compute the identical doubles (same left-to-right fold), so
+    * the choice is invisible in the result (ClusteringSpec
+    * cross-validates). Centroid UPDATES collect k·dim (cell, pos, sum,
+    * count) rows per iteration — bounded, but a driver-side bound:
+    * practical to k·dim ~ 10^7 (k in the tens of thousands at
+    * dim 1024, the SemDeDup-paper operating range). */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int): DataFrame = {
+                   k: Int, iters: Int, literalCap: Int = 64): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be non-negative, got $iters")
     // Quantized longs drive the exact update sums; their double image
@@ -65,7 +78,7 @@ object Clustering {
       .orderBy("id").limit(k)
       .collect().map(_.getSeq[Double](2).toSeq).toIndexedSeq
     for (_ <- 1 to iters) {
-      val assigned = v.withColumn("cell", cellFor(col("vd"), cents))
+      val assigned = assignCells(v, cents, literalCap)
       // Bounded driver read: k·dim rows of (cell, pos, sum, count).
       val upd = assigned
         .select(col("cell"), posexplode(col("q")).as(Seq("pos", "x")))
@@ -82,9 +95,41 @@ object Clustering {
         }
       }
     }
-    v.withColumn("cluster", cellFor(col("vd"), cents))
-      .select(col("id"), col("cluster"))
+    assignCells(v, cents, literalCap)
+      .select(col("id"), col("cell").as("cluster"))
   }
+
+  /** Argmin centroid per row, plan chosen by k (see [[kmeansAssign]]).
+    * Output: the input columns plus `cell` (alias `cluster`). */
+  private def assignCells(v: DataFrame, cents: IndexedSeq[Seq[Double]],
+                          literalCap: Int): DataFrame =
+    if (cents.size <= literalCap)
+      v.withColumn("cell", cellFor(col("vd"), cents))
+    else {
+        graft.GraftExtensions.register(v.sparkSession)
+        val s = v.sparkSession
+        val cdf = broadcast(s.createDataFrame(
+          cents.zipWithIndex.map { case (c, i) => (i, c) }).toDF("cid", "c"))
+        // cost = −2·v·c + |c|²: array_dot is the same left-to-right
+        // double fold the literal path uses, and |c|² is folded the same
+        // way ON THE DRIVER there — an executor-side dot of c with
+        // itself reproduces it bit-for-bit.
+        val cost = lit(-2.0) * Similarity.dot(col("vd"), col("c")) +
+          Similarity.dot(col("c"), col("c"))
+        // Slim argmin: only (id, cost, cid) flows through the n·k-row
+        // aggregation — a first draft that carried q/vd (64 elements
+        // each) through it measured 61× wall for 30× data; the winner
+        // row joins back to the persisted vectors by id instead. min of
+        // struct(cost, cid) is lexicographic → smallest cost, ties to
+        // the smaller cid — the literal path's exact rule.
+        val win = v.select(col("id"), col("vd"))
+          .crossJoin(cdf)
+          .select(col("id"), struct(cost.as("cost"), col("cid")).as("sc"))
+          .groupBy(col("id"))
+          .agg(min(col("sc")).as("m"))
+          .select(col("id"), col("m.cid").as("cell"))
+        v.join(win, Seq("id"))
+    }
 
   /** Per-cluster sizes and mean in-cluster quantized-L2 cost — the
     * inertia readout that picks k or flags a degenerate clustering. */
@@ -138,6 +183,22 @@ object Clustering {
       .select(greatest(col("ida"), col("idb")).as("id"))
       .distinct()
     vecs.join(dropped, Seq("id"), "left_anti").select("id", "cluster")
+  }
+
+  /** [[semDedup]] with k resolved FROM the corpus: k = ceil(n /
+    * targetCell), so expected cell size stays ~targetCell no matter how
+    * large the corpus grows — the deployable scaling (the SemDeDup
+    * paper's k ∝ n posture); with fixed k the per-cell quadratic term
+    * grows as (n/k)², which a 100× run cannot afford. One bounded count
+    * resolves k (the data-dependent-config pattern shared with
+    * [[Similarity.autoR]]). */
+  def semDedupAuto(emb: DataFrame, idCol: String, vecCol: String,
+                   targetCell: Int, iters: Int, threshold: Double,
+                   blocks: Int = 4): DataFrame = {
+    require(targetCell > 0, s"targetCell must be positive, got $targetCell")
+    val n = emb.count()
+    val k = math.max(1L, (n + targetCell - 1) / targetCell).toInt
+    semDedup(emb, idCol, vecCol, k, iters, threshold, blocks)
   }
 
   private def cellFor(vec: Column, cents: Seq[Seq[Double]]): Column =

@@ -108,6 +108,23 @@ class ClusteringSpec extends SparkSpec {
     assert(r2 === r7)
   }
 
+  test("broadcast-join assignment path ≡ literal path (bit-identical argmin)") {
+    val lit0 = Clustering.kmeansAssign(twoGroups, "vec_id", "embedding",
+      k = 3, iters = 3).orderBy("id").collect().toSeq
+    val joined = Clustering.kmeansAssign(twoGroups, "vec_id", "embedding",
+      k = 3, iters = 3, literalCap = 0).orderBy("id").collect().toSeq
+    assert(lit0 === joined)
+  }
+
+  test("semDedupAuto resolves k from the corpus (targetCell bounds cells)") {
+    // 8 vectors, targetCell 4 → k = 2: same result as explicit k = 2
+    val auto = Clustering.semDedupAuto(twoGroups, "vec_id", "embedding",
+      targetCell = 4, iters = 2, threshold = 0.9).orderBy("id").collect().toSeq
+    val manual = Clustering.semDedup(twoGroups, "vec_id", "embedding",
+      k = 2, iters = 2, threshold = 0.9).orderBy("id").collect().toSeq
+    assert(auto === manual)
+  }
+
   test("clusterProfile returns per-cluster sizes") {
     val a = Clustering.kmeansAssign(twoGroups, "vec_id", "embedding",
       k = 2, iters = 2)
