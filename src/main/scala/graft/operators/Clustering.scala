@@ -62,39 +62,12 @@ object Clustering {
     * dim 1024, the SemDeDup-paper operating range). */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int, literalCap: Int = 64): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    require(iters >= 0, s"iters must be non-negative, got $iters")
     // Quantized longs drive the exact update sums; their double image
     // (exact: |q| << 2^53) drives the distance folds.
+    val cents = kmeansFit(emb, idCol, vecCol, k, iters, literalCap)
     val v = emb.select(col(idCol).cast("long").as("id"),
         quantize(col(vecCol)).as("q"))
       .withColumn("vd", transform(col("q"), x => x.cast("double")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = v.count()
-    require(n >= k, s"need at least k=$k vectors, have $n")
-    val stride = math.max(1L, n / k)
-    var cents: IndexedSeq[Seq[Double]] = v
-      .filter(pmod(col("id"), lit(stride)) === 0)
-      .orderBy("id").limit(k)
-      .collect().map(_.getSeq[Double](2).toSeq).toIndexedSeq
-    for (_ <- 1 to iters) {
-      val assigned = assignCells(v, cents, literalCap)
-      // Bounded driver read: k·dim rows of (cell, pos, sum, count).
-      val upd = assigned
-        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
-        .collect()
-        .groupBy(_.getInt(0))
-      cents = cents.zipWithIndex.map { case (prev, cid) =>
-        upd.get(cid) match {
-          case Some(rows) =>
-            rows.sortBy(_.getInt(1)).map(r =>
-              r.getLong(2).toDouble / r.getLong(3)).toSeq
-          case None => prev // empty cell: carry the centroid forward
-        }
-      }
-    }
     assignCells(v, cents, literalCap)
       .select(col("id"), col("cell").as("cluster"))
   }
@@ -136,28 +109,157 @@ object Clustering {
   def clusterProfile(assign: DataFrame): DataFrame =
     assign.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
 
-  /** SemDeDup-style cluster-conditional near-duplicate removal: k-means
-    * partitions the corpus, then pairwise cosine runs ONLY within each
-    * cluster and a vector is dropped when any smaller-id cluster-mate
-    * sits at or above `threshold` (one-pass pairwise semantics — no
-    * transitive chaining, matching the published algorithm; the
-    * connected-components path in [[Dedup]] is the chaining alternative).
-    * Returns the survivors as (id, cluster).
-    *
-    * Scale shape: the quadratic compare that would be O(n²) corpus-wide
-    * becomes Σ n_c² over clusters — the whole point of clustering first —
-    * and each cluster's triangle is spread as pure EQUI-join tasks via
-    * the same blocked (bi, bj) scheme as
-    * [[Similarity.embeddingNearDupExactBlocked]], keyed by (cluster, bi,
-    * bj) so one big cluster becomes blocks·(blocks+1)/2 independent
-    * tasks instead of one straggler. No cartesian/BNLJ node anywhere.
-    * At 100 TB, k grows with the corpus to bound n_c (the paper's
-    * sqrt-scaling); the pair stage never sees a cross-cluster pair. */
-  def semDedup(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-               iters: Int, threshold: Double, blocks: Int = 4): DataFrame = {
+  /** Lloyd TRAINING only: the converged centroids, without assigning the
+    * corpus — so a 100 TB run can fit on a bounded sample (`kmeansFit`
+    * over a [[Similarity.hashStratum]]) and pay the full-corpus scan
+    * only in the one [[assignHierarchical]] pass. Same quantized
+    * arithmetic as [[kmeansAssign]] (which delegates here). */
+  def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int,
+                literalCap: Int = 64): IndexedSeq[Seq[Double]] = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val v = emb.select(col(idCol).cast("long").as("id"),
+        quantize(col(vecCol)).as("q"))
+      .withColumn("vd", transform(col("q"), x => x.cast("double")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = v.count()
+      require(n >= k, s"need at least k=$k vectors, have $n")
+      val stride = math.max(1L, n / k)
+      var cents: IndexedSeq[Seq[Double]] = v
+        .filter(pmod(col("id"), lit(stride)) === 0)
+        .orderBy("id").limit(k)
+        .collect().map(_.getSeq[Double](2).toSeq).toIndexedSeq
+      for (_ <- 1 to iters) {
+        val assigned = assignCells(v, cents, literalCap)
+        val upd = assigned
+          .select(col("cell"), posexplode(col("q")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+          .collect()
+          .groupBy(_.getInt(0))
+        cents = cents.zipWithIndex.map { case (prev, cid) =>
+          upd.get(cid) match {
+            case Some(rows) =>
+              rows.sortBy(_.getInt(1)).map(r =>
+                r.getLong(2).toDouble / r.getLong(3)).toSeq
+            case None => prev
+          }
+        }
+      }
+      cents
+    } finally { v.unpersist(); () }
+  }
+
+  /** Two-level approximate argmin against FIXED centroids: the k
+    * centroids are themselves Lloyd-clustered into ~√k coarse cells ON
+    * THE DRIVER (k points — trivial), each corpus vector probes its
+    * nearest coarse cell (n·√k slim rows) and then only that cell's
+    * member centroids (n·(k/√k) expected) — n·O(√k) work instead of
+    * [[kmeansAssign]]'s n·k, the assignment shape that holds when
+    * k ∝ n. Approximate: the true argmin centroid can sit in a
+    * non-probed coarse cell (ClusteringSpec pins agreement and the
+    * nCoarse=1 ≡ exact identity); ranking within the probed cell uses
+    * the same −2·v·c+|c|² doubles as the exact paths. */
+  def assignHierarchical(emb: DataFrame, idCol: String, vecCol: String,
+                         cents: IndexedSeq[Seq[Double]],
+                         nCoarse: Int): DataFrame = {
+    require(cents.nonEmpty, "need at least one centroid")
+    require(nCoarse > 0, s"nCoarse must be positive, got $nCoarse")
     graft.GraftExtensions.register(emb.sparkSession)
+    val s = emb.sparkSession
+    val (coarse, members) = coarseCluster(cents, math.min(nCoarse, cents.size))
+    val v = emb.select(col(idCol).cast("long").as("id"),
+      transform(quantize(col(vecCol)), x => x.cast("double")).as("vd"))
+    val coarseDf = broadcast(s.createDataFrame(
+      coarse.zipWithIndex.map { case (c, j) => (j, c) }).toDF("gid", "gc"))
+    val gCost = lit(-2.0) * Similarity.dot(col("vd"), col("gc")) +
+      Similarity.dot(col("gc"), col("gc"))
+    // Slim rows through BOTH argmin aggregations (the wide-array-through-
+    // agg shape measured 61× in assignCells' first draft); the winner
+    // joins back to the projected vectors for the fine stage.
+    val winG = v.crossJoin(coarseDf)
+      .select(col("id"), struct(gCost.as("cost"), col("gid")).as("gsc"))
+      .groupBy(col("id"))
+      .agg(min(col("gsc")).as("g"))
+      .select(col("id"), col("g.gid").as("gid"))
+    val withGroup = v.join(winG, Seq("id"))
+    val memberDf = broadcast(s.createDataFrame(
+      members.toSeq.flatMap { case (j, cids) =>
+        cids.map(cid => (j, cid, cents(cid)))
+      }).toDF("gid", "cid", "c"))
+    val cost = lit(-2.0) * Similarity.dot(col("vd"), col("c")) +
+      Similarity.dot(col("c"), col("c"))
+    withGroup.join(memberDf, Seq("gid"))
+      .select(col("id"), struct(cost.as("cost"), col("cid")).as("sc"))
+      .groupBy(col("id"))
+      .agg(min(col("sc")).as("m"))
+      .select(col("id"), col("m.cid").as("cluster"))
+  }
+
+  /** Driver-side Lloyd over the CENTROID points (k of them — in-memory
+    * arithmetic, no Spark job): (coarse centroids, coarse → member
+    * centroid ids). Deterministic: strided init, squared-L2 argmin with
+    * ties to the smaller index, empty coarse cells carry forward. */
+  private[operators] def coarseCluster(cents: IndexedSeq[Seq[Double]],
+      nCoarse: Int, iters: Int = 3): (IndexedSeq[Seq[Double]], Map[Int, Seq[Int]]) = {
+    val dim = cents.head.size
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val stride = math.max(1, cents.size / nCoarse)
+    var cc = (0 until cents.size by stride).take(nCoarse).map(cents(_))
+    def assign(): IndexedSeq[Int] = cents.map { p =>
+      var best = 0; var bestD = d2(p, cc(0)); var j = 1
+      while (j < cc.size) {
+        val d = d2(p, cc(j)); if (d < bestD) { best = j; bestD = d }; j += 1
+      }
+      best
+    }
+    for (_ <- 1 to iters) {
+      val a = assign()
+      cc = cc.indices.map { j =>
+        val mem = cents.indices.filter(a(_) == j)
+        if (mem.isEmpty) cc(j)
+        else (0 until dim).map(d => mem.map(cents(_)(d)).sum / mem.size)
+      }
+    }
+    val a = assign()
+    (cc, cents.indices.groupBy(a).map { case (j, ms) => j -> ms.sorted.toSeq })
+  }
+
+  /** The 100 TB SemDeDup deployment shape end-to-end: fit centroids on a
+    * bounded hash-rank sample (`sampleCap` rows — training never scans
+    * the corpus), assign every vector with the two-level probe
+    * (n·O(√k)), then in-cell blocked near-dup removal exactly as
+    * [[semDedup]]. Approximate only in WHICH cell a vector lands —
+    * the in-cell pair predicate is exact. */
+  def semDedupSampled(emb: DataFrame, idCol: String, vecCol: String,
+                      targetCell: Int, iters: Int, threshold: Double,
+                      sampleCap: Int = 100000, blocks: Int = 4): DataFrame = {
+    require(targetCell > 0, s"targetCell must be positive, got $targetCell")
+    graft.GraftExtensions.register(emb.sparkSession)
+    val n = emb.count()
+    val k = math.max(1L, (n + targetCell - 1) / targetCell).toInt
+    val sample = Similarity.hashStratum(emb, idCol, sampleCap)
+    val cents = kmeansFit(sample, idCol, vecCol,
+      k = math.min(k, sampleCap), iters = iters)
+    val assign = assignHierarchical(emb, idCol, vecCol, cents,
+      nCoarse = math.max(1, math.sqrt(cents.size.toDouble).round.toInt))
+    dedupWithinClusters(emb, idCol, vecCol, assign, threshold, blocks)
+  }
+
+  /** The in-cell pair stage shared by [[semDedup]] and
+    * [[semDedupSampled]]: blocked triangle equi-join within each
+    * cluster, drop any vector with a smaller-id cluster-mate at or
+    * above `threshold`. */
+  private def dedupWithinClusters(emb: DataFrame, idCol: String,
+      vecCol: String, assign: DataFrame, threshold: Double,
+      blocks: Int): DataFrame = {
     require(blocks > 0, s"blocks must be positive, got $blocks")
-    val assign = kmeansAssign(emb, idCol, vecCol, k, iters)
     val vecs = emb
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("nm", sqrt(Similarity.dot(col("v"), col("v"))))
@@ -183,6 +285,30 @@ object Clustering {
       .select(greatest(col("ida"), col("idb")).as("id"))
       .distinct()
     vecs.join(dropped, Seq("id"), "left_anti").select("id", "cluster")
+  }
+
+  /** SemDeDup-style cluster-conditional near-duplicate removal: k-means
+    * partitions the corpus, then pairwise cosine runs ONLY within each
+    * cluster and a vector is dropped when any smaller-id cluster-mate
+    * sits at or above `threshold` (one-pass pairwise semantics — no
+    * transitive chaining, matching the published algorithm; the
+    * connected-components path in [[Dedup]] is the chaining alternative).
+    * Returns the survivors as (id, cluster).
+    *
+    * Scale shape: the quadratic compare that would be O(n²) corpus-wide
+    * becomes Σ n_c² over clusters — the whole point of clustering first —
+    * and each cluster's triangle is spread as pure EQUI-join tasks via
+    * the same blocked (bi, bj) scheme as
+    * [[Similarity.embeddingNearDupExactBlocked]], keyed by (cluster, bi,
+    * bj) so one big cluster becomes blocks·(blocks+1)/2 independent
+    * tasks instead of one straggler. No cartesian/BNLJ node anywhere.
+    * At 100 TB, k grows with the corpus to bound n_c (the paper's
+    * sqrt-scaling); the pair stage never sees a cross-cluster pair. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+               iters: Int, threshold: Double, blocks: Int = 4): DataFrame = {
+    graft.GraftExtensions.register(emb.sparkSession)
+    val assign = kmeansAssign(emb, idCol, vecCol, k, iters)
+    dedupWithinClusters(emb, idCol, vecCol, assign, threshold, blocks)
   }
 
   /** [[semDedup]] with k resolved FROM the corpus: k = ceil(n /

@@ -125,6 +125,49 @@ class ClusteringSpec extends SparkSpec {
     assert(auto === manual)
   }
 
+  test("assignHierarchical with nCoarse=1 is the exact argmin") {
+    val cents = Clustering.kmeansFit(twoGroups, "vec_id", "embedding",
+      k = 3, iters = 2)
+    val exact = Clustering.kmeansAssign(twoGroups, "vec_id", "embedding",
+      k = 3, iters = 2).orderBy("id").collect().toSeq
+    val hier = Clustering.assignHierarchical(twoGroups, "vec_id", "embedding",
+      cents, nCoarse = 1).orderBy("id").collect().toSeq
+    assert(hier === exact)
+  }
+
+  test("assignHierarchical agrees with exact argmin on well-separated groups") {
+    val cents = Clustering.kmeansFit(twoGroups, "vec_id", "embedding",
+      k = 4, iters = 3)
+    val exact = Clustering.kmeansAssign(twoGroups, "vec_id", "embedding",
+      k = 4, iters = 3).orderBy("id").collect().toSeq
+    val hier = Clustering.assignHierarchical(twoGroups, "vec_id", "embedding",
+      cents, nCoarse = 2).orderBy("id").collect().toSeq
+    assert(hier === exact)
+  }
+
+  test("coarseCluster covers every centroid exactly once, deterministically") {
+    val cents = IndexedSeq(
+      Seq(0.0, 0.0), Seq(0.1, 0.1), Seq(10.0, 10.0), Seq(10.1, 10.1),
+      Seq(20.0, 0.0), Seq(20.1, 0.1))
+    val (cc, members) = Clustering.coarseCluster(cents, nCoarse = 3)
+    assert(cc.size === 3)
+    assert(members.values.flatten.toSeq.sorted === (0 until 6))
+    val (cc2, members2) = Clustering.coarseCluster(cents, nCoarse = 3)
+    assert(cc === cc2 && members === members2)
+  }
+
+  test("semDedupSampled with a full-corpus sample matches semDedupAuto") {
+    // sampleCap ≥ n and k = 2 → nCoarse = 1 → exact assignment: the
+    // sampled pipeline collapses to the auto one.
+    val sampled = Clustering.semDedupSampled(twoGroups, "vec_id", "embedding",
+      targetCell = 4, iters = 2, threshold = 0.9, sampleCap = 100)
+      .orderBy("id").collect().toSeq
+    val auto = Clustering.semDedupAuto(twoGroups, "vec_id", "embedding",
+      targetCell = 4, iters = 2, threshold = 0.9)
+      .orderBy("id").collect().toSeq
+    assert(sampled === auto)
+  }
+
   test("clusterProfile returns per-cluster sizes") {
     val a = Clustering.kmeansAssign(twoGroups, "vec_id", "embedding",
       k = 2, iters = 2)
