@@ -1676,6 +1676,50 @@ object Queries {
        |FROM documents d LEFT JOIN agg USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- Q-subdedup
+  // Exact duplicated-span excision (Dedup.substringDedup): every
+  // SubDedupW-token window occurring ≥ 2 times anywhere in the corpus
+  // marks its positions and docs are reassembled from surviving tokens —
+  // the token-level dedup pass that strips shared boilerplate passages
+  // document-level dedup cannot see. The oracle replays window hashing
+  // (sha256 of the space-joined slice), the ≥2 count, coverage expansion
+  // and ordered reassembly from the raw corpus — at sf0.01 this drops
+  // 2 266 duplicate window occurrences (probed), so both the excision
+  // and the keep-everything path are exercised. Output text rides as its
+  // sha (the q_linededup convention for long string columns).
+  private val SubDedupW = 5
+
+  def subDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedup(load(s, dir, "documents"), "doc_id", "text",
+        w = SubDedupW)
+      .select(col("id").as("doc_id"), col("n_dropped"),
+        sha2(col("text"), 256).as("clean_sha"))
+      .orderBy("doc_id")
+
+  private val subDedupSql =
+    s"""WITH tk AS (SELECT doc_id AS id, $SqlToks AS t FROM documents),
+       |occ AS (SELECT id, p,
+       |          sha256(array_to_string(t[p+1:p+$SubDedupW], ' ')) AS g
+       |        FROM tk, LATERAL unnest(generate_series(0, len(t) - $SubDedupW)) AS u(p)
+       |        WHERE len(t) >= $SubDedupW),
+       |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+       |cov AS (SELECT DISTINCT id, cp
+       |        FROM occ JOIN dup USING (g),
+       |             LATERAL unnest(generate_series(occ.p, occ.p + $SubDedupW - 1)) AS c(cp)),
+       |toks AS (SELECT id, i - 1 AS pos, t[i] AS tok
+       |         FROM tk, LATERAL unnest(generate_series(1, len(t))) AS s(i)),
+       |kept AS (SELECT tk2.id, CAST(count(*) AS BIGINT) AS n_kept,
+       |           string_agg(tk2.tok, ' ' ORDER BY tk2.pos) AS text
+       |         FROM (SELECT toks.* FROM toks
+       |               WHERE NOT EXISTS (SELECT 1 FROM cov
+       |                 WHERE cov.id = toks.id AND cov.cp = toks.pos)) tk2
+       |         GROUP BY tk2.id)
+       |SELECT t.id AS doc_id,
+       |       CAST(len(t.t) - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped,
+       |       sha256(coalesce(k.text, '')) AS clean_sha
+       |FROM tk t LEFT JOIN kept k USING (id)
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- Q-partprune
   // Partition-pruned scan — the other half of the 100 TB storage story
   // next to q_bucketjoin's bucketing: facts land partitioned by day
@@ -3182,6 +3226,7 @@ object Queries {
     "q_bucketjoin" -> (bucketJoin _),
     "q_partprune" -> (partPrune _),
     "q_linededup" -> (lineDedup _),
+    "q_subdedup" -> (subDedup _),
     "q_winnow" -> (winnow _),
     "q_keywords" -> (keywords _),
     "q_lmscore" -> (lmScoreQ _),
@@ -3277,6 +3322,7 @@ object Queries {
     "q_bucketjoin" -> bucketJoinSql,
     "q_partprune" -> partPruneSql,
     "q_linededup" -> lineDedupSql,
+    "q_subdedup" -> subDedupSql,
     "q_winnow" -> winnowSql,
     "q_keywords" -> keywordsSql,
     "q_lmscore" -> lmScoreSql,

@@ -47,6 +47,12 @@ object ScaleRehearsal {
     // centroids) plus the k·dim-bounded posexplode partial-agg update —
     // which must grow linearly in corpus size at fixed k.
     "q_kmeans",
+    // round-8: exact substring-span excision. Token salting keeps each
+    // replica's w-token windows disjoint from every other's, so the
+    // duplicated-window structure grows linearly with N and the measured
+    // axis is the window-hash stream (one partial-agg count) plus the
+    // duplicate-coverage joins.
+    "q_subdedup",
     // round-8: BM25 ranked retrieval. On the salted corpus the selected
     // cold terms stay replica-0's (df flat while the cap grows with N),
     // so candidates are flat and the measured axis is the scored-index

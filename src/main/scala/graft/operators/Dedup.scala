@@ -81,6 +81,60 @@ object Dedup {
         coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** Exact duplicated-SPAN excision (the token-level companion of
+    * document near-dup): every w-token window that occurs ≥ 2 times
+    * ANYWHERE in the corpus (across documents or repeated within one)
+    * marks its token positions, and each document is reassembled from
+    * the surviving tokens — the "exact substring deduplication" pass
+    * training pipelines run to strip shared boilerplate passages and
+    * within-doc repetition that document-level dedup cannot see.
+    *
+    * Scale shape, all linear in the token stream: one projection
+    * materializes the token array per doc (NEVER re-tokenize inside the
+    * window lambda — the shingleHashes lesson below), window hashes come
+    * from slices of that array (O(w) chars hashed per position), the
+    * duplicate set is one map-side-combinable count over window hashes,
+    * coverage explodes only DUPLICATE occurrences (w rows each), and
+    * reassembly is the dropBoilerplateLines explicit-order pattern. The
+    * duplicate-window join is deliberately unhinted, same reasoning as
+    * the boilerplate hot set. Window keys are full sha256 hex of the
+    * joined window text — engine-replayable, collision-safe.
+    *
+    * Returns (id, n_dropped, text); a fully-duplicated doc comes back
+    * with empty text, not missing. Output text is whitespace-normalized
+    * (single spaces) by construction of the reassembly. */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int): DataFrame = {
+    require(w > 0, s"window must be positive, got $w")
+    val tk = docs.select(col(idCol).as("id"),
+      tokens(col(textCol)).as("t"))
+    val occ = tk
+      .filter(size(col("t")) >= w)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("t")) - w),
+        p => struct(p.as("p"),
+          sha2(array_join(slice(col("t"), p + 1, lit(w)), " "), 256).as("g"))))
+        .as("o"))
+      .select(col("id"), col("o.p").as("p"), col("o.g").as("g"))
+    val dup = occ.groupBy(col("g"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("g")
+    val cov = occ.join(dup, Seq("g"))
+      .select(col("id"), explode(sequence(col("p"), col("p") + w - 1)).as("pos"))
+      .distinct()
+    val toks = tk.select(col("id"), posexplode(col("t")).as(Seq("pos", "tok")))
+    val kept = toks.join(cov, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("text"))
+    tk.select(col("id"), size(col("t")).cast("long").as("n_tok"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** Per-doc (id, shingle-hash) pairs: word-`n`-gram shingles, 32-bit
     * hashed, distinct within doc. The single exploded intermediate every
     * signature build shares.

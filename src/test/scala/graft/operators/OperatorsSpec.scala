@@ -110,6 +110,50 @@ class DedupSpec extends SparkSpec {
       Seq(3L, 0L, "")))
   }
 
+  test("substringDedup excises duplicated windows, keeps unique spans") {
+    // "the quick brown" (w=3) occurs in docs 1 and 2 → its 3 token
+    // positions drop from both; every other window is unique.
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "see the quick brown dog"),
+      (3L, "entirely unrelated words here")
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringDedup(corpus, "doc_id", "text", w = 3)
+      .orderBy("id")
+    assert(rows(r) === Seq(
+      Seq(1L, 3L, "fox jumps"),
+      Seq(2L, 3L, "see dog"),
+      Seq(3L, 0L, "entirely unrelated words here")))
+  }
+
+  test("substringDedup drops within-doc repetition too") {
+    // "ha ha" repeats at positions 0 and 2 (overlapping occurrences at
+    // 0,1,2 of window 'ha ha'): coverage is the union → whole doc drops.
+    val corpus = Seq(
+      (1L, "ha ha ha ha"),
+      (2L, "one two three four")
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringDedup(corpus, "doc_id", "text", w = 2)
+      .orderBy("id")
+    assert(rows(r) === Seq(
+      Seq(1L, 4L, ""),
+      Seq(2L, 0L, "one two three four")))
+  }
+
+  test("substringDedup: docs shorter than the window pass through") {
+    val corpus = Seq(
+      (1L, "tiny"),
+      (2L, "also small"),
+      (3L, "tiny")   // exact dup but below window size: untouched
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringDedup(corpus, "doc_id", "text", w = 3)
+      .orderBy("id")
+    assert(rows(r) === Seq(
+      Seq(1L, 0L, "tiny"),
+      Seq(2L, 0L, "also small"),
+      Seq(3L, 0L, "tiny")))
+  }
+
   test("prefix filtering is lossless: matches brute-force Jaccard exactly") {
     // Random doc mix: exact dups, one-token edits, shuffled halves,
     // unrelated docs — the shapes where a wrong prefix bound would drop a
