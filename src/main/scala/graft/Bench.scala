@@ -27,10 +27,16 @@ object Bench {
     // read as a speedup. Record the error message per query and exit
     // nonzero so the harness surfaces it instead of grading the number.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // toRdd.count(), NOT df.count(): a plain count lets the optimizer
+    // rewrite the plan around it — left joins with unique right keys
+    // (and everything feeding them) are eliminated, so 15 of the
+    // declared queries were measuring a fraction of their real work
+    // (q_subdedup's entire window-hash pass, audited round 8). toRdd
+    // executes the SAME physical plan the gate dump materializes.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val best = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {
           case e: Throwable =>
             errors.getOrElseUpdate(name,
               s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")

@@ -139,7 +139,9 @@ object ScaleRehearsal {
 
     def time(dir: String, q: String): Double = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, dir).count()
+      // toRdd, not count(): same rationale as Bench.scala — a plain
+      // count lets the optimizer prune joins out of the measured plan.
+      SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache(); System.gc()
       dt
@@ -159,7 +161,7 @@ object ScaleRehearsal {
     // otherwise skip it and bill JIT to the first x1 cell, deflating the
     // growth ratio this tool exists to measure honestly.
     SparkEntry.queries(picked.headOption.getOrElse("q_dedup"))(spark, sfDir)
-      .count()
+      .queryExecution.toRdd.count()
     spark.catalog.clearCache(); System.gc()
 
     val rows = picked.map { q =>
@@ -179,7 +181,8 @@ object ScaleRehearsal {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val t0 = System.nanoTime()
       graft.operators.Similarity.embeddingNearDupAuto(
-        emb, "vec_id", "embedding", threshold = 0.4, dim = dim).count()
+        emb, "vec_id", "embedding", threshold = 0.4, dim = dim)
+        .queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache(); System.gc()
       dt
@@ -198,7 +201,7 @@ object ScaleRehearsal {
       val t0 = System.nanoTime()
       graft.operators.Dedup.simhashPairs(
         graft.operators.Dedup.simhash64(docs, "doc_id", "text"),
-        maxHamming = 3, bits = 64).count()
+        maxHamming = 3, bits = 64).queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache(); System.gc()
       dt
@@ -221,7 +224,7 @@ object ScaleRehearsal {
       val t0 = System.nanoTime()
       graft.operators.Clustering.semDedupAuto(
         emb, "vec_id", "embedding", targetCell = 256, iters = 3,
-        threshold = 0.4).count()
+        threshold = 0.4).queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache(); System.gc()
       dt
@@ -241,7 +244,7 @@ object ScaleRehearsal {
       val t0 = System.nanoTime()
       graft.operators.Clustering.semDedupSampled(
         emb, "vec_id", "embedding", targetCell = 256, iters = 3,
-        threshold = 0.4, sampleCap = 4000).count()
+        threshold = 0.4, sampleCap = 4000).queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache(); System.gc()
       dt

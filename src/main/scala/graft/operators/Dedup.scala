@@ -94,11 +94,16 @@ object Dedup {
     * window lambda — the shingleHashes lesson below), window hashes come
     * from slices of that array (O(w) chars hashed per position), the
     * duplicate set is one map-side-combinable count over window hashes,
-    * coverage explodes only DUPLICATE occurrences (w rows each), and
-    * reassembly is the dropBoilerplateLines explicit-order pattern. The
-    * duplicate-window join is deliberately unhinted, same reasoning as
-    * the boilerplate hot set. Window keys are full sha256 hex of the
-    * joined window text — engine-replayable, collision-safe.
+    * and coverage explodes only DUPLICATE occurrences (w rows each) —
+    * so every shuffle after the window count carries duplicate-sized,
+    * not corpus-sized, rows. Reassembly never re-explodes the corpus:
+    * covered positions collapse to one small array per affected doc and
+    * an index-aware `filter` rebuilds the text in-row (a first draft
+    * that posexploded every token back out and anti-joined the coverage
+    * measured ~2× slower end-to-end at 10×). The duplicate-window join
+    * is deliberately unhinted, same reasoning as the boilerplate hot
+    * set. Window keys are full sha256 hex of the joined window text —
+    * engine-replayable, collision-safe.
     *
     * Returns (id, n_dropped, text); a fully-duplicated doc comes back
     * with empty text, not missing. Output text is whitespace-normalized
@@ -118,21 +123,21 @@ object Dedup {
       .select(col("id"), col("o.p").as("p"), col("o.g").as("g"))
     val dup = occ.groupBy(col("g"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select("g")
+    // One small array of covered positions per AFFECTED doc (distinct
+    // folded into the array) — docs without duplicate windows never
+    // appear on this side.
     val cov = occ.join(dup, Seq("g"))
       .select(col("id"), explode(sequence(col("p"), col("p") + w - 1)).as("pos"))
-      .distinct()
-    val toks = tk.select(col("id"), posexplode(col("t")).as(Seq("pos", "tok")))
-    val kept = toks.join(cov, Seq("id", "pos"), "left_anti")
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-            x => x.getField("tok")), " ").as("text"))
-    tk.select(col("id"), size(col("t")).cast("long").as("n_tok"))
-      .join(kept, Seq("id"), "left")
-      .select(col("id"),
-        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-        coalesce(col("text"), lit("")).as("text"))
+      .agg(array_sort(array_distinct(collect_list(col("pos")))).as("cp"))
+    val kept = tk.join(cov, Seq("id"), "left")
+      .withColumn("k",
+        when(col("cp").isNull, col("t"))
+          .otherwise(filter(col("t"),
+            (_, i) => not(array_contains(col("cp"), i)))))
+    kept.select(col("id"),
+      (size(col("t")) - size(col("k"))).cast("long").as("n_dropped"),
+      array_join(col("k"), " ").as("text"))
   }
 
   /** Per-doc (id, shingle-hash) pairs: word-`n`-gram shingles, 32-bit
