@@ -395,6 +395,44 @@ object Queries {
        |SELECT u AS id, least(u, min(v)) AS component
        |FROM reach GROUP BY u ORDER BY id""".stripMargin
 
+  // -------------------------------------------------------------- Q-split
+  // Leakage-safe train/val/test split (Dedup.splitByComponent): split
+  // membership is decided by the hash of the near-dup CLUSTER
+  // representative (q_dedup_assign's connected components), so a
+  // paraphrase of an eval doc cannot land in train. Oracle: the same
+  // recursive closure as q_dedup_assign, then the Knuth-rank bucket of
+  // coalesce(component, doc_id) against the 80/10 thresholds.
+  private val SplitTrainPct = 80
+  private val SplitValPct = 10
+
+  def splitQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    Dedup.splitByComponent(
+        docs.withColumnRenamed("doc_id", "id"), "id",
+        Dedup.connectedComponents(
+          Dedup.nearDupMinhash(docs, "doc_id", "text",
+            k = MhK, bands = MhBands, n = 3, threshold = 0.8, maxDf = ShMaxDf)),
+        SplitTrainPct, SplitValPct)
+      .select(col("id").as("doc_id"), col("rep"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  private val splitSql: String =
+    s"""WITH RECURSIVE $minhashPairsBody,
+       |edges2 AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |           UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT u, v FROM edges2
+       |          UNION SELECT r.u, e.v FROM reach r JOIN edges2 e ON r.v = e.u),
+       |comp AS (SELECT u AS id, least(u, min(v)) AS component
+       |         FROM reach GROUP BY u),
+       |rep AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+       |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+       |SELECT doc_id, rep,
+       |       CASE WHEN (rep * 2654435761) % 4294967296 % 100 < $SplitTrainPct THEN 'train'
+       |            WHEN (rep * 2654435761) % 4294967296 % 100 < ${SplitTrainPct + SplitValPct} THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM rep ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------- Q-simhash
   // 32-bit SimHash fingerprint per document.
   def simhash(s: SparkSession, dir: String): DataFrame =
@@ -959,6 +997,40 @@ object Queries {
        |  FROM documents)
        |SELECT doc_id, source FROM ranked
        |WHERE rn <= $GroupSampleK ORDER BY source, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q-mix
+  // Temperature-weighted source mixing (Stats.temperatureMix): draw a
+  // fixed doc budget with per-source take ∝ sqrt(n_source) — the
+  // α=0.5 sub-linear sampling a multilingual training mixture uses. The
+  // oracle replays the integer fixed-point weight/denominator/take math
+  // verbatim (sqrt is the one IEEE-exact power, the rest is BIGINT
+  // arithmetic) and the same Knuth-rank membership as q_groupsample.
+  private val MixBudget = 400L
+  private val MixScale = 10000L
+
+  def mixQ(s: SparkSession, dir: String): DataFrame =
+    Stats.temperatureMix(
+        load(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id", MixBudget, MixScale)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  private val mixSql =
+    s"""WITH counts AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * $MixScale) AS BIGINT) AS wi
+       |  FROM documents GROUP BY source),
+       |tgt AS (
+       |  SELECT source,
+       |         least(n, ($MixBudget * wi) // CAST((SELECT sum(wi) FROM counts) AS BIGINT)) AS t
+       |  FROM counts),
+       |ranked AS (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+       |  FROM documents)
+       |SELECT doc_id, source FROM ranked JOIN tgt USING (source)
+       |WHERE rn <= t ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------- Q-quota
   // Per-source quality quota — the data-mixing step: keep the top-N docs
@@ -3176,6 +3248,7 @@ object Queries {
     "q_embdup_auto" -> (embeddingDupAuto _),
     "q_sessions" -> (sessions _),
     "q_dedup_assign" -> (dedupAssign _),
+    "q_split" -> (splitQ _),
     "q_windows" -> (windows _),
     "q_curate" -> (curate _),
     "q_design_report" -> (designReport _),
@@ -3213,6 +3286,7 @@ object Queries {
     "q_range" -> (rangeQ _),
     "q_histogram" -> (histogramQ _),
     "q_groupsample" -> (groupSampleQ _),
+    "q_mix" -> (mixQ _),
     "q_contam" -> (contam _),
     "q_pii" -> (pii _),
     "q_chunk" -> (chunkQ _),
@@ -3272,6 +3346,7 @@ object Queries {
     "q_embdup_auto" -> embeddingDupAutoSql,
     "q_sessions" -> sessionsSql,
     "q_dedup_assign" -> dedupAssignSql,
+    "q_split" -> splitSql,
     "q_windows" -> windowsSql,
     "q_curate" -> curateSql,
     "q_design_report" -> designReportSql,
@@ -3309,6 +3384,7 @@ object Queries {
     "q_range" -> rangeSql,
     "q_histogram" -> histogramSql,
     "q_groupsample" -> groupSampleSql,
+    "q_mix" -> mixSql,
     "q_contam" -> contamSql,
     "q_pii" -> piiSql,
     "q_chunk" -> chunkSql,

@@ -463,4 +463,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Leakage-safe train/val/test split: assign every document to a split
+    * by the hash of its near-dup CLUSTER representative, not its own id,
+    * so near-duplicates can never straddle the train/eval boundary (the
+    * classic eval-contamination hole a per-doc random split leaves open
+    * — a paraphrase of a test doc lands in train and the benchmark is
+    * compromised).
+    *
+    * `components` is [[connectedComponents]] output over the verified
+    * near-dup pair graph — only docs that HAVE a near-dup appear in it;
+    * a broadcast-able frame in practice (dup clusters are a small
+    * fraction of any corpus), so the left join stays map-side and the
+    * big side streams. Singletons are their own representative. The
+    * bucket is the shared Knuth-rank order ([[Similarity.knuthRank]],
+    * same id-range contract) mod 100 against cumulative percent
+    * thresholds — deterministic on any cluster size, any run, and in
+    * the DuckDB oracle.
+    *
+    * Returns (id, rep, split) with split ∈ train|val|test. */
+  def splitByComponent(docs: DataFrame, idCol: String,
+                       components: DataFrame,
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct, 0 < valPct, trainPct+valPct < 100; got $trainPct/$valPct")
+    val rep = coalesce(col("component"), col(idCol)).as("rep")
+    val bucket = pmod(Similarity.knuthRank(col("rep")), lit(100L))
+    docs.select(col(idCol))
+      .join(broadcast(components.withColumnRenamed("id", idCol)),
+        Seq(idCol), "left")
+      .select(col(idCol), rep)
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
 }

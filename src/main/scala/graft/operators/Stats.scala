@@ -181,4 +181,48 @@ object Stats {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Temperature-weighted corpus mixing — the multilingual/multi-source
+    * "α-sampling" step of a training-data pipeline: draw a fixed total
+    * budget of documents with per-source take proportional to
+    * n_s^τ (τ = 0.5 here, the classic sub-linear temperature that
+    * up-weights small sources without letting one giant source dominate
+    * the mixture).
+    *
+    * Engine-portable by construction, which is what makes it gate-able:
+    *  - the weight is `floor(sqrt(n_s)·scale)` as a BIGINT — sqrt is
+    *    IEEE-exact (correctly rounded in every implementation, unlike
+    *    pow(x, τ)), the multiply is one correctly-rounded op, and floor
+    *    is unambiguous, so both engines derive identical integer weights;
+    *  - the denominator is an INTEGER sum (associative — no float
+    *    accumulation-order hazard across engines or partitions);
+    *  - the per-source take is `(budget·w_s) div Σw` in pure integer
+    *    arithmetic, capped at n_s;
+    *  - membership is the shared Knuth-rank order ([[Similarity
+    *    .knuthRank]]), same contract as [[groupSample]].
+    *
+    * Scale shape: one partial-aggregated count per source (tiny), the
+    * weight/denominator math on that tiny frame, then ONE window shuffle
+    * on the source key for the rank filter — the broadcast of the
+    * per-source targets is a handful of rows no matter the corpus size.
+    * floor-rounding means the realized total can undershoot the budget
+    * by at most one doc per source (never overshoots). */
+  def temperatureMix(df: DataFrame, srcCol: String, idCol: String,
+                     budget: Long, scale: Long = 10000L): DataFrame = {
+    require(budget > 0 && scale > 0, s"need budget>0, scale>0; got $budget/$scale")
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__wi",
+        floor(sqrt(col("__n").cast("double")) * scale).cast("long"))
+    val denom = counts.agg(sum(col("__wi")).as("__denom"))
+    val targets = counts.crossJoin(broadcast(denom))
+      .withColumn("__tgt",
+        least(col("__n"), expr(s"($budget * __wi) div __denom")))
+      .select(col(srcCol), col("__tgt"))
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(Similarity.knuthRank(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(targets), srcCol)
+      .filter(col("__rn") <= col("__tgt"))
+      .drop("__rn", "__tgt")
+  }
 }

@@ -25,6 +25,28 @@ class ComponentsSpec extends SparkSpec {
     assert(r.values.toSet === Set(1L))
   }
 
+  test("splitByComponent: near-dups share a split, singletons are their own rep") {
+    val docs = (1L to 200L).toDF("id")
+    // clusters {1,2,3} and {7,9}; everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+    val r = Dedup.splitByComponent(docs, "id", comps)
+      .as[(Long, Long, String)].collect()
+    val byId = r.map(x => x._1 -> (x._2, x._3)).toMap
+    assert(byId.keySet === (1L to 200L).toSet) // every doc assigned
+    // cluster members share rep AND split
+    assert(Set(byId(1L), byId(2L), byId(3L)).size === 1 && byId(1L)._1 === 1L)
+    assert(byId(7L) === byId(9L) && byId(7L)._1 === 7L)
+    // singleton reps are themselves
+    assert(byId(50L)._1 === 50L)
+    // all three splits realized at n=200 with 80/10/10 buckets
+    assert(r.map(_._3).toSet === Set("train", "val", "test"))
+    // deterministic
+    val again = Dedup.splitByComponent(docs, "id", comps)
+      .as[(Long, Long, String)].collect()
+    assert(r.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("string doc ids work: convergence must not assume numeric labels") {
     // URL-ish ids in a 4-hop chain — the old sum(label) convergence
     // check returned NULL here and stopped after one hop.

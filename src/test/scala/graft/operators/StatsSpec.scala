@@ -132,4 +132,35 @@ class StatsSpec extends SparkSpec {
     val ids = once.map(_(1).asInstanceOf[Long])
     assert(ids.exists(_ > 100L))
   }
+
+  test("temperatureMix takes per-source counts proportional to sqrt(n)") {
+    // sources sized 6400/1600/400: sqrt weights 80/40/20 → of a
+    // 700-doc budget: 400/200/100
+    val df = ((1L to 6400L).map(("big", _)) ++
+      (6401L to 8000L).map(("mid", _)) ++
+      (8001L to 8400L).map(("small", _))).toDF("src", "id")
+    val taken = Stats.temperatureMix(df, "src", "id", 700L)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(taken === Map("big" -> 400L, "mid" -> 200L, "small" -> 100L))
+  }
+
+  test("temperatureMix caps the take at the source size, never overshoots budget") {
+    // tiny source whose fair share exceeds its size: take = all of it
+    val df = ((1L to 10000L).map(("big", _)) ++
+      (10001L to 10005L).map(("tiny", _))).toDF("src", "id")
+    val taken = Stats.temperatureMix(df, "src", "id", 5000L)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(taken("tiny") === 5L)
+    assert(taken.values.sum <= 5000L)
+  }
+
+  test("temperatureMix is deterministic and a subset of the input") {
+    val df = (1L to 900L).map(i => (s"s${i % 4}", i)).toDF("src", "id")
+    val once = rows(Stats.temperatureMix(df, "src", "id", 300L).orderBy("id"))
+    val twice = rows(Stats.temperatureMix(df, "src", "id", 300L).orderBy("id"))
+    assert(once === twice)
+    assert(once.nonEmpty && once.size <= 300)
+    val ids = once.map(_(1).asInstanceOf[Long]).toSet
+    assert(ids.subsetOf((1L to 900L).toSet))
+  }
 }
