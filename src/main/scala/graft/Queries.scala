@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, AsOf, Catalog, Clustering, Dedup, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Sequencing, Shards, Similarity, Skew, Stats}
+import graft.operators.{Align, AsOf, Bpe, Catalog, Clustering, Dedup, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Sequencing, Shards, Similarity, Skew, Stats}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1031,6 +1031,81 @@ object Queries {
        |  FROM documents)
        |SELECT doc_id, source FROM ranked JOIN tgt USING (source)
        |WHERE rn <= t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q-bpe
+  // BPE-style merge training (Bpe.trainMerges): 8 iterations of "merge
+  // the most frequent adjacent token pair", over word tokens (phrase
+  // mining; same operator as subword BPE). The oracle replays the
+  // identical algorithm as an UNROLLED CTE chain — per iteration: split
+  // the wrapped string, count adjacent pairs, pick the (cnt desc, a, b)
+  // winner, apply it as the same plain-string replace (both engines
+  // share left-to-right non-overlapping replace semantics, which IS the
+  // BPE merge convention). q_bpe gates the learned merge table;
+  // q_bpe_apply gates the re-tokenized corpus (per-doc token counts
+  // before/after the 8 merges).
+  private val BpeMerges = 8
+
+  private val BpeWrapSql =
+    s"CASE WHEN len($SqlToks) > 0 THEN '|' || array_to_string($SqlToks, '||') || '|' ELSE '' END"
+
+  /** CTE chain t0..t<n> (wrapped corpus states) and b1..b<n> (per-step
+    * winning merges) replaying Bpe.trainMerges verbatim. The t/b CTEs
+    * are MATERIALIZED and b joins into the next state as a 1-row cross
+    * join — without this DuckDB inlines each multiply-referenced CTE
+    * into its consumers and the chain expands exponentially. */
+  private def bpeChainSql(n: Int): String = {
+    val sb = new StringBuilder(
+      s"t0 AS MATERIALIZED (SELECT doc_id, $BpeWrapSql AS s FROM documents)")
+    for (i <- 1 to n) {
+      val p = i - 1
+      sb ++= s""",
+         |l$p AS (SELECT string_split(substr(s, 2, length(s) - 2), '||') AS l
+         |        FROM t$p WHERE length(s) > 2),
+         |p$p AS (SELECT l[i] AS a, l[i + 1] AS b
+         |        FROM (SELECT l, unnest(range(1, len(l))) AS i FROM l$p)),
+         |c$p AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt FROM p$p GROUP BY a, b),
+         |b$i AS MATERIALIZED (SELECT $i AS step, a, b, cnt FROM c$p
+         |        ORDER BY cnt DESC, a, b LIMIT 1),
+         |t$i AS MATERIALIZED (SELECT doc_id,
+         |  replace(s, '|' || b$i.a || '||' || b$i.b || '|',
+         |             '|' || b$i.a || ' ' || b$i.b || '|') AS s
+         |        FROM t$p, b$i)""".stripMargin
+    }
+    sb.toString
+  }
+
+  def bpeQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .select(Bpe.wrap(tokens(col("text"))).as("s"))
+    s.createDataFrame(Bpe.trainMerges(docs, "s", BpeMerges)).orderBy("step")
+  }
+
+  private val bpeSql: String =
+    s"""WITH ${bpeChainSql(BpeMerges)}
+       |SELECT step, a, b, cnt
+       |FROM (${(1 to BpeMerges).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")})
+       |ORDER BY step""".stripMargin
+
+  def bpeApplyQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), Bpe.wrap(tokens(col("text"))).as("s"))
+    val merges = Bpe.trainMerges(docs.select("s"), "s", BpeMerges)
+    docs.select(col("doc_id"),
+        size(Bpe.unwrap(col("s"))).cast("long").as("n_before"),
+        size(Bpe.unwrap(Bpe.applyMerges(col("s"), merges)))
+          .cast("long").as("n_after"))
+      .orderBy("doc_id")
+  }
+
+  private val bpeApplySql: String = {
+    def nToks(t: String) =
+      s"""CAST(CASE WHEN length($t.s) > 2
+         |  THEN len(string_split(substr($t.s, 2, length($t.s) - 2), '||'))
+         |  ELSE 0 END AS BIGINT)""".stripMargin
+    s"""WITH ${bpeChainSql(BpeMerges)}
+       |SELECT t0.doc_id, ${nToks("t0")} AS n_before, ${nToks("f")} AS n_after
+       |FROM t0 JOIN t$BpeMerges f USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
 
   // -------------------------------------------------------------- Q-quota
   // Per-source quality quota — the data-mixing step: keep the top-N docs
@@ -3287,6 +3362,8 @@ object Queries {
     "q_histogram" -> (histogramQ _),
     "q_groupsample" -> (groupSampleQ _),
     "q_mix" -> (mixQ _),
+    "q_bpe" -> (bpeQ _),
+    "q_bpe_apply" -> (bpeApplyQ _),
     "q_contam" -> (contam _),
     "q_pii" -> (pii _),
     "q_chunk" -> (chunkQ _),
@@ -3385,6 +3462,8 @@ object Queries {
     "q_histogram" -> histogramSql,
     "q_groupsample" -> groupSampleSql,
     "q_mix" -> mixSql,
+    "q_bpe" -> bpeSql,
+    "q_bpe_apply" -> bpeApplySql,
     "q_contam" -> contamSql,
     "q_pii" -> piiSql,
     "q_chunk" -> chunkSql,

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed BPE-style merge training over token sequences — the
+  * vocabulary-learning step of a training-data pipeline (byte-pair
+  * encoding when the input tokens are characters/subwords, phrase
+  * mining when they are words; the operator is the same either way:
+  * repeatedly merge the most frequent adjacent token pair).
+  *
+  * Representation: a document is ONE string `|t1||t2||t3|` — every
+  * token wrapped in `|` bars, so an adjacent pair (a, b) is the exact
+  * substring `|a||b|` and a merge is a plain (non-regex) string
+  * replace, which both Spark and any oracle engine perform with the
+  * same left-to-right non-overlapping greedy semantics (the BPE
+  * convention: in `a a a` the pair (a,a) merges once, at the left).
+  * Merged tokens join with a single space — impossible in a raw token
+  * (tokens come from whitespace splitting), so merged tokens stay
+  * atomic and unambiguous in later iterations. Contract: raw tokens
+  * must not contain `|` (true of any whitespace tokenization of text
+  * that was itself shingle/word material in this engine; [[wrap]] is
+  * where a violating corpus would need escaping first).
+  *
+  * Scale shape: each iteration is ONE distributed pass — re-split the
+  * wrapped string, count adjacent pairs with a map-side-combined
+  * groupBy (bounded by the distinct-adjacent-pair vocabulary, not the
+  * corpus), collect exactly ONE winner row to the driver, and apply
+  * the merge as a scan-stage string replace. k merges = k such passes
+  * over a persisted frame; nothing quadratic, no driver-side corpus.
+  * For large k the per-merge pass dominates, which is what
+  * [[trainMergesBatched]] amortizes: apply the top-m TOKEN-DISJOINT
+  * pairs of one count in one pass (the standard parallel-BPE batching;
+  * disjointness makes the batch order-independent, and BpeSpec pins
+  * batched == sequential on a disjoint-frequency corpus).
+  */
+object Bpe {
+  final case class Merge(step: Int, a: String, b: String, cnt: Long)
+
+  /** `|t1||t2||t3|` render of a token array; empty array → "". */
+  def wrap(tokens: Column): Column =
+    when(size(tokens) > 0,
+      concat(lit("|"), concat_ws("||", tokens), lit("|")))
+      .otherwise(lit(""))
+
+  /** Inverse of [[wrap]] (post-merge tokens may contain spaces). */
+  def unwrap(s: Column): Column =
+    when(length(s) > lit(2),
+      split(s.substr(lit(2), length(s) - 2), "\\|\\|"))
+      .otherwise(array().cast("array<string>"))
+
+  /** Adjacent-pair counts over a wrapped-string column: (a, b, cnt). */
+  def pairCounts(df: DataFrame, sCol: String): DataFrame = {
+    val toks = unwrap(col(sCol))
+    df.select(toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("__t"), lit(1), size(col("__t")) - 1).as("a"),
+        slice(col("__t"), lit(2), size(col("__t")) - 1).as("b"))).as("__p"))
+      .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** One merge as a plain string replace on the wrapped form. */
+  def applyMerge(s: Column, a: String, b: String): Column =
+    call_function("replace", s, lit(s"|$a||$b|"), lit(s"|$a $b|"))
+
+  /** Fold a learned merge list over a wrapped-string column, in order. */
+  def applyMerges(s: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.step).foldLeft(s)((c, m) => applyMerge(c, m.a, m.b))
+
+  /** Sequential BPE training: `nMerges` iterations, each merging the
+    * single most frequent adjacent pair (ties broken by (a, b) order —
+    * fully deterministic, engine-replayable). Stops early when no pair
+    * is left. `docs` must already carry the wrapped form in `sCol`. */
+  def trainMerges(docs: DataFrame, sCol: String, nMerges: Int): Seq[Merge] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var cur = docs.select(col(sCol).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val top = pairCounts(cur, "s")
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(step, a, b, c)
+        val next = cur.select(applyMerge(col("s"), a, b).as("s"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent
+        cur.unpersist()
+        cur = next
+        step += 1
+      }
+    }
+    cur.unpersist()
+    merges.result()
+  }
+
+  /** Batched BPE training — the deployable shape for large vocabularies:
+    * per round, ONE pair count selects up to `batch` merges greedily in
+    * (cnt desc, a, b) order, skipping any pair sharing a token with an
+    * already-selected pair (disjointness makes the batch equivalent to
+    * applying its members sequentially in any order), then applies them
+    * all in a single pass. Counts recorded are from the round's shared
+    * count — for token-disjoint winners these equal the sequential
+    * algorithm's counts; where frequencies interact, batched is the
+    * documented approximation (same gate-config/deploy-config split as
+    * simhash32/64). ~k/batch passes instead of k. */
+  def trainMergesBatched(docs: DataFrame, sCol: String, nMerges: Int,
+                         batch: Int = 8): Seq[Merge] = {
+    require(nMerges >= 1 && batch >= 1,
+      s"need nMerges>=1, batch>=1; got $nMerges/$batch")
+    var cur = docs.select(col(sCol).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val want = math.min(batch, nMerges - step + 1)
+      // 4x over-fetch: greedy disjoint filtering drops conflicting pairs
+      val top = pairCounts(cur, "s")
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(want * 4).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        var used = Set.empty[String]
+        val picked = top.iterator
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .filter { case (a, b, _) =>
+            val ok = !used(a) && !used(b)
+            if (ok) used ++= Seq(a, b)
+            ok
+          }
+          .take(want).toSeq
+        val folded = picked.foldLeft(col("s")) {
+          case (c, (a, b, _)) => applyMerge(c, a, b)
+        }
+        picked.foreach { case (a, b, c) =>
+          merges += Merge(step, a, b, c); step += 1
+        }
+        val next = cur.select(folded.as("s"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        cur.unpersist()
+        cur = next
+      }
+    }
+    cur.unpersist()
+    merges.result()
+  }
+}
