@@ -33,7 +33,15 @@ object Bench {
     // declared queries were measuring a fraction of their real work
     // (q_subdedup's entire window-hash pass, audited round 8). toRdd
     // executes the SAME physical plan the gate dump materializes.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-list subset for local iteration (same idiom as
+    // Verify's SPARK_GRAFT_VERIFY_QUERIES); the driver's full runs
+    // leave it unset.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val best = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {

@@ -64,7 +64,15 @@ object ScaleRehearsal {
     // and the corpus-relative cap goes slack (every token cold): the
     // rehearsal measures the LINEAR axis (token stream -> partial-agg ->
     // bounded collect_list), which is exactly the build's scale claim.
-    "q_invindex", "q_search")
+    "q_invindex", "q_search",
+    // round-8: BPE merge training. Salting makes each replica's pair
+    // vocabulary disjoint with counts equal to replica-0's, and the
+    // lexicographic tie-break keeps every winning merge replica-0's
+    // (original tokens sort before the zk<k>q-prefixed ones) — so the
+    // learned merges are IDENTICAL to 1x and the measured axis is the
+    // per-iteration distributed pass: the pair-count shuffle over the
+    // Nx token stream plus the Nx scan-stage replace.
+    "q_bpe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -255,7 +263,28 @@ object ScaleRehearsal {
       ("semdedup_sampled", t1, tN, tN / t1)
     }
 
-    val body = (rows ++ autoRow ++ sim64Row ++ semRow ++ semSampledRow)
+    // The deployable BPE shape for large vocabularies: one count per
+    // ROUND selecting up to `batch` token-disjoint merges — ~k/batch
+    // distributed passes instead of k. Same merge budget as q_bpe (8),
+    // so the row isolates the pass-amortization itself.
+    def timeBpeBatched(dir: String): Double = (1 to reps).map { _ =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val t0 = System.nanoTime()
+      val wrapped = docs.select(graft.operators.Bpe.wrap(
+        graft.functions.TextFunctions.tokens(col("text"))).as("s"))
+      graft.operators.Bpe.trainMergesBatched(wrapped, "s", 8, batch = 8)
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      dt
+    }.min
+    val bpeBatchedRow = if (!wanted("bpe_batched")) Nil else Seq {
+      val t1 = timeBpeBatched(sfDir)
+      val tN = timeBpeBatched(workDir)
+      ("bpe_batched", t1, tN, tN / t1)
+    }
+
+    val body = (rows ++ autoRow ++ sim64Row ++ semRow ++ semSampledRow ++
+      bpeBatchedRow)
       .map { case (q, t1, tN, g) =>
       f""""$q":{"x1":$t1%.2f,"x$factor":$tN%.2f,"growth":$g%.2f}"""
     }.mkString(",")
