@@ -66,9 +66,71 @@ object Bpe {
   def applyMerge(s: Column, a: String, b: String): Column =
     call_function("replace", s, lit(s"|$a||$b|"), lit(s"|$a $b|"))
 
-  /** Fold a learned merge list over a wrapped-string column, in order. */
+  /** Fold a learned merge list over a wrapped-string column, in order.
+    * Expression depth grows with the merge count — right for the gate's
+    * 8 merges, wrong for a real 32k-merge vocabulary; deploy
+    * [[applyMergesFast]] there. */
   def applyMerges(s: Column, merges: Seq[Merge]): Column =
     merges.sortBy(_.step).foldLeft(s)((c, m) => applyMerge(c, m.a, m.b))
+
+  /** Deployable tokenizer apply: one pass per row with a rank heap —
+    * O(n log n) per document and O(1) corpus passes regardless of the
+    * merge count, vs [[applyMerges]]' merge-count-deep expression chain.
+    *
+    * Equivalent to the in-order fold by construction: a merge learned at
+    * step i can only reference tokens that existed BEFORE step i, and
+    * fusing two tokens never creates a new adjacency of two pre-existing
+    * tokens — so every candidate pair created during merging involves
+    * the just-fused token and therefore carries a LATER rank than the
+    * merge that created it. Processing candidates in (rank, position)
+    * order is then exactly the fold's order (BpeSpec pins the
+    * equivalence on learned merges and on the overlapping-run edge
+    * cases). The rank map rides the closure once per task — a 32k-merge
+    * vocabulary is ~1 MB, broadcast-sized. */
+  def tokenMerger(merges: Seq[Merge]): Seq[String] => Seq[String] = {
+    val rank: Map[(String, String), Int] = merges.sortBy(_.step)
+      .zipWithIndex.map { case (m, i) => (m.a, m.b) -> i }.toMap
+    (toks: Seq[String]) => mergeOne(toks, rank)
+  }
+
+  /** Column form of [[tokenMerger]] over a token-array column. */
+  def applyMergesFast(tokens: Column, merges: Seq[Merge]): Column =
+    udf(tokenMerger(merges)).apply(tokens)
+
+  private def mergeOne(toks: Seq[String],
+                       rank: Map[(String, String), Int]): Seq[String] = {
+    val n = toks.length
+    if (n < 2 || rank.isEmpty) return toks
+    val tok = toks.toArray
+    val prev = Array.tabulate(n)(_ - 1)
+    val next = Array.tabulate(n)(i => if (i == n - 1) -1 else i + 1)
+    val alive = Array.fill(n)(true)
+    // (rank, pos, left, right); left/right snapshot detects stale entries
+    val pq = collection.mutable.PriorityQueue.empty[(Int, Int, String, String)](
+      Ordering.by { case (r, p, _, _) => (-r, -p) })
+    def offer(i: Int): Unit = {
+      val j = next(i)
+      if (j != -1) rank.get((tok(i), tok(j)))
+        .foreach(r => pq.enqueue((r, i, tok(i), tok(j))))
+    }
+    (0 until n - 1).foreach(offer)
+    while (pq.nonEmpty) {
+      val (_, i, a, b) = pq.dequeue()
+      val j = if (alive(i)) next(i) else -1
+      if (j != -1 && alive(j) && tok(i) == a && tok(j) == b) {
+        tok(i) = a + " " + b
+        alive(j) = false
+        next(i) = next(j)
+        if (next(j) != -1) prev(next(j)) = i
+        if (prev(i) != -1 && alive(prev(i))) offer(prev(i))
+        offer(i)
+      }
+    }
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i != -1 && i < n) { if (alive(i)) out += tok(i); i = next(i) }
+    out.result()
+  }
 
   /** Sequential BPE training: `nMerges` iterations, each merging the
     * single most frequent adjacent pair (ties broken by (a, b) order —

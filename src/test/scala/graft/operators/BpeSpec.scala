@@ -70,6 +70,47 @@ class BpeSpec extends SparkSpec {
     assert(batM === seqM)
   }
 
+  test("applyMergesFast equals the fold on learned merges (incl. chained merges)") {
+    val corpus = Seq.fill(3)("x y x y z") ++ Seq.fill(2)("x y w") ++
+      Seq("a a a", "q r s t", "x", "") // overlap run, no-merge doc, single, empty
+    val docs = wrapped(corpus.filter(_.nonEmpty): _*)
+    val m = Bpe.trainMerges(docs, "s", 3)
+    assert(m.size === 3)
+    val both = docs.select(
+        Bpe.unwrap(Bpe.applyMerges(col("s"), m)).as("slow"),
+        Bpe.applyMergesFast(Bpe.unwrap(col("s")), m).as("fast"))
+      .as[(Seq[String], Seq[String])].collect()
+    both.foreach { case (slow, fast) => assert(fast === slow) }
+  }
+
+  test("applyMergesFast: rank order wins over position (lowest rank merges first)") {
+    // merges: rank 1 (b,c), rank 2 (a,b). "a b c": the fold gives
+    // a + (b c) — (a,b) is gone by the time rank 2 runs; the heap must
+    // reproduce that even though (a,b) sits further left.
+    val m = Seq(Bpe.Merge(1, "b", "c", 9L), Bpe.Merge(2, "a", "b", 5L))
+    val r = Seq(Tuple1(Seq("a", "b", "c"))).toDF("t")
+      .select(Bpe.applyMergesFast(col("t"), m).as("r"))
+      .as[Seq[String]].head()
+    assert(r === Seq("a", "b c"))
+  }
+
+  test("applyMergesFast differential: 200 random small-vocab docs, 12 merges") {
+    // 4-token vocabulary forces dense pair collisions and chained merges
+    // (merged tokens re-merging) — the regime where a heap bug diverges
+    val rng = new scala.util.Random(42)
+    val corpus = Seq.fill(200)(
+      Seq.fill(3 + rng.nextInt(20))("pqrs".charAt(rng.nextInt(4)).toString)
+        .mkString(" "))
+    val docs = wrapped(corpus: _*)
+    val m = Bpe.trainMerges(docs, "s", 12)
+    assert(m.size === 12)
+    val both = docs.select(
+        Bpe.unwrap(Bpe.applyMerges(col("s"), m)).as("slow"),
+        Bpe.applyMergesFast(Bpe.unwrap(col("s")), m).as("fast"))
+      .as[(Seq[String], Seq[String])].collect()
+    both.foreach { case (slow, fast) => assert(fast === slow) }
+  }
+
   test("batched training skips token-sharing pairs within a round") {
     // (a,b) cnt 4 and (b,c) cnt 3 share b: one round may only take
     // (a,b); (b,c) must wait for the next round's recount
