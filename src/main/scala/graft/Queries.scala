@@ -558,6 +558,93 @@ object Queries {
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  // -------------------------------------------------------------- Q-mmr
+  // Maximal-marginal-relevance diversified retrieval (Similarity
+  // .mmrDiversified): per query (vec_id % 97), gather the cosine top-20
+  // distributed, then greedily pick 5 maximizing λ·rel − (1−λ)·max-sim-
+  // to-selected with λ = 3/4. The greedy key is the scaled INTEGER
+  // 3·R − M (R, M = 4-decimal sims × 10⁴) — a double score of the
+  // textbook form sits arbitrarily close to rounding boundaries where
+  // Spark's and DuckDB's round() disagree (measured here at 0.21385).
+  // The oracle replays the loop as 5 unrolled argmax CTE steps over the
+  // same top-20 with the shared dot fold and the same integer key;
+  // tie-break (score desc, cid). Same collect-free shape at 100 TB:
+  // the corpus is touched only by the distributed top-n gather, the
+  // greedy step works on ≤20 rows per query inside mapGroups.
+  private val MmrK = 5
+  private val MmrLamNum = 3
+  private val MmrLamDen = 4
+  private val MmrTopN = 20
+
+  def mmrQ(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val emb = load(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        round(Similarity.cosine(col("embedding"), col("qv")), 4).as("rel"),
+        col("embedding").as("vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))
+    val cand = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MmrTopN).drop("rn")
+    Similarity.mmrDiversified(cand, MmrK, MmrLamNum, MmrLamDen)
+      .orderBy("qid", "rank")
+  }
+
+  // lazy: interpolates EmbDim (declared further down) via sqlEmbDot — a
+  // strict val here would capture its pre-init 0 during object
+  // construction and generate an empty generate_series fold.
+  private lazy val mmrSql: String = {
+    def cos(x: String, y: String) =
+      s"round(${sqlEmbDot(x, y)} / (sqrt(${sqlEmbDot(x, x)}) * sqrt(${sqlEmbDot(y, y)})), 4)"
+    def scl(e: String) = s"CAST(round(($e) * 10000, 0) AS BIGINT)"
+    val (lam, mu) = (MmrLamNum, MmrLamDen - MmrLamNum)
+    val sb = new StringBuilder(
+      s"""q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv
+         |     FROM embeddings WHERE vec_id % 97 = 0),
+         |rel0 AS (SELECT q.qid, e.vec_id AS cid,
+         |           ${cos("e.embedding", "q.qv")} AS rel, e.embedding AS vec
+         |         FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+         |cand AS MATERIALIZED (
+         |  SELECT qid, cid, rel, ${scl("rel")} AS relr, vec FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, cid) AS rn FROM rel0)
+         |  WHERE rn <= $MmrTopN),
+         |s1 AS MATERIALIZED (
+         |  SELECT qid, cid, relr, vec, sc AS score, 1 AS rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sc DESC, cid) AS rn
+         |    FROM (SELECT *, $lam * relr AS sc FROM cand))
+         |  WHERE rn = 1),
+         |sel1 AS MATERIALIZED (SELECT qid, cid, relr, vec FROM s1)""".stripMargin)
+    for (i <- 2 to MmrK) {
+      val p = i - 1
+      sb ++= s""",
+         |rem$i AS (SELECT c.* FROM cand c LEFT JOIN sel$p s
+         |          ON c.qid = s.qid AND c.cid = s.cid WHERE s.cid IS NULL),
+         |ms$i AS (SELECT c.qid, c.cid, max(${scl(cos("c.vec", "s.vec"))}) AS msim
+         |         FROM rem$i c JOIN sel$p s ON c.qid = s.qid
+         |         GROUP BY c.qid, c.cid),
+         |s$i AS MATERIALIZED (
+         |  SELECT qid, cid, relr, vec, sc AS score, $i AS rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sc DESC, cid) AS rn
+         |    FROM (SELECT r.qid, r.cid, r.relr, r.vec,
+         |            $lam * r.relr - $mu * m.msim AS sc
+         |          FROM rem$i r JOIN ms$i m ON r.qid = m.qid AND r.cid = m.cid))
+         |  WHERE rn = 1),
+         |sel$i AS MATERIALIZED (SELECT * FROM sel$p
+         |  UNION ALL SELECT qid, cid, relr, vec FROM s$i)""".stripMargin
+    }
+    s"""WITH ${sb.toString}
+       |SELECT qid, rank, cid, CAST(score AS BIGINT) AS score
+       |FROM (${(1 to MmrK).map(i => s"SELECT qid, rank, cid, score FROM s$i").mkString(" UNION ALL ")})
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   // ----------------------------------------------------------- Q-knn-ivf
   // The IVF ANN *scale path* through the gate (q_knn covers the exact
   // baseline): deterministic strided centroids, argmin cell assignment,
@@ -3309,6 +3396,7 @@ object Queries {
     "q_neardup_minhash" -> (nearDupMinhash _),
     "q_simhash" -> (simhash _),
     "q_knn" -> (knn _),
+    "q_mmr" -> (mmrQ _),
     "q_tokens" -> (tokensQ _),
     "q_quality" -> (quality _),
     "q_langid" -> (langId _),
@@ -3409,6 +3497,7 @@ object Queries {
     "q_neardup_minhash" -> nearDupMinhashSql,
     "q_simhash" -> simhashSql,
     "q_knn" -> knnSql,
+    "q_mmr" -> mmrSql,
     "q_tokens" -> tokensSql,
     "q_quality" -> qualitySql,
     "q_langid" -> langIdSql,

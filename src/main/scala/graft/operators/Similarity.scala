@@ -414,4 +414,108 @@ object Similarity {
       .limit(k)
       .drop("qv", "qbucket")
   }
+
+  /** One (query, candidate) row for [[mmrDiversified]]: `rel` must
+    * already be the round(cosine, 4) relevance the upstream top-n
+    * computed — the operator treats it as ground truth. */
+  final case class MmrCand(qid: Long, cid: Long, rel: Double,
+                           vec: Seq[Float])
+  final case class MmrPick(qid: Long, rank: Int, cid: Long, score: Long)
+
+  /** Maximal-marginal-relevance re-ranking: per query, greedily select
+    * `k` of the gathered candidates maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} cos(c, s)` — the diversified-
+    * retrieval step that keeps a near-dup cluster from filling the
+    * whole top-k (retrieval-augmented sampling, eval-set construction).
+    *
+    * Scale shape: the EXPENSIVE part (corpus-wide top-n gather) happens
+    * upstream on the distributed path (brute/IVF/int8 knn); this
+    * operator then works per query on n ≤ a few dozen candidates — a
+    * mapGroups over the query key whose per-group cost is O(k·n)
+    * 64-dim dots, pennies next to the gather. Nothing here touches the
+    * corpus again.
+    *
+    * Engine parity discipline: λ is the RATIONAL lamNum/lamDen, every
+    * similarity becomes an integer (its 4-decimal rounding × 10⁴), and
+    * the comparison key is the INTEGER `lamNum·R − (lamNum−…)`… i.e.
+    * `score = lamNum·R − (lamDen−lamNum)·M` over the implicit
+    * denominator lamDen·10⁴. A double score of the textbook form sits
+    * arbitrarily close to rounding boundaries where Spark's
+    * (BigDecimal.valueOf) and DuckDB's (x·10⁴ then half-away) round()
+    * genuinely disagree — measured on this corpus at 0.21385 — so the
+    * greedy key must never round a float. Ties break by candidate id.
+    * The returned `score` is that scaled integer. */
+  def mmrDiversified(cands: DataFrame, k: Int,
+                     lamNum: Int, lamDen: Int): DataFrame = {
+    require(lamNum > 0 && lamDen > lamNum,
+      s"need 0 < lamNum < lamDen (0 < lambda < 1); got $lamNum/$lamDen")
+    import cands.sparkSession.implicits._
+    val muNum = lamDen - lamNum
+    cands.select(col("qid"), col("cid"), col("rel"), col("vec"))
+      .as[MmrCand]
+      .groupByKey(_.qid)
+      .flatMapGroups { (qid: Long, it: Iterator[MmrCand]) =>
+        val pool = collection.mutable.ArrayBuffer.from(it)
+        val selected = collection.mutable.ArrayBuffer.empty[MmrCand]
+        val out = collection.mutable.ArrayBuffer.empty[MmrPick]
+        var rank = 1
+        while (rank <= k && pool.nonEmpty) {
+          var bi = -1
+          var bestScore = 0L
+          var bestId = 0L
+          var i = 0
+          while (i < pool.length) {
+            val c = pool(i)
+            val r = scaled4(c.rel)
+            val score =
+              if (selected.isEmpty) lamNum * r
+              else {
+                var ms = Long.MinValue
+                selected.foreach { s =>
+                  val v = scaled4(r4(cosScalar(c.vec, s.vec)))
+                  if (v > ms) ms = v
+                }
+                lamNum * r - muNum * ms
+              }
+            if (bi < 0 || score > bestScore ||
+                (score == bestScore && c.cid < bestId)) {
+              bi = i; bestScore = score; bestId = c.cid
+            }
+            i += 1
+          }
+          val pick = pool.remove(bi)
+          selected += pick
+          out += MmrPick(qid, rank, pick.cid, bestScore)
+          rank += 1
+        }
+        out.iterator
+      }
+      .toDF("qid", "rank", "cid", "score")
+  }
+
+  /** A 4-decimal-rounded double as its exact ×10⁴ integer. */
+  private def scaled4(x: Double): Long = math.round(x * 10000.0)
+
+  /** Scalar twin of the `array_dot` kernel: left-to-right double fold
+    * over per-element double products — bit-identical to the column
+    * form and to the oracle's list_reduce replay. */
+  private def dotScalar(a: Seq[Float], b: Seq[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  private def cosScalar(a: Seq[Float], b: Seq[Float]): Double =
+    dotScalar(a, b) / (math.sqrt(dotScalar(a, a)) * math.sqrt(dotScalar(b, b)))
+
+  /** round(x, 4) with Spark/DuckDB round() semantics: BigDecimal
+    * .valueOf (Double.toString shortest-decimal) then HALF_UP — exactly
+    * what Catalyst's Round does for doubles. An exact-binary-expansion
+    * BigDecimal would round 0.3131 (stored as …30999…) DOWN where both
+    * engines round it up. */
+  private def r4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 }

@@ -210,11 +210,14 @@ object Stats {
   def temperatureMix(df: DataFrame, srcCol: String, idCol: String,
                      budget: Long, scale: Long = 10000L): DataFrame = {
     require(budget > 0 && scale > 0, s"need budget>0, scale>0; got $budget/$scale")
+    // Whole-frame window (the counts frame is one row per SOURCE —
+    // already tiny post-aggregation) rather than a 1-row cross join:
+    // same integer denominator, and the plan stays join-free.
     val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
       .withColumn("__wi",
         floor(sqrt(col("__n").cast("double")) * scale).cast("long"))
-    val denom = counts.agg(sum(col("__wi")).as("__denom"))
-    val targets = counts.crossJoin(broadcast(denom))
+    val targets = counts
+      .withColumn("__denom", sum(col("__wi")).over(Window.partitionBy()))
       .withColumn("__tgt",
         least(col("__n"), expr(s"($budget * __wi) div __denom")))
       .select(col(srcCol), col("__tgt"))

@@ -312,6 +312,40 @@ class SimilaritySpec extends SparkSpec {
     assert(r === Seq(1L, 2L))
   }
 
+  test("mmrDiversified trades relevance for diversity, deterministically") {
+    // query along +x; candidates: two near-identical high-rel vectors
+    // (1, 2), a moderately relevant diverse one (3), an irrelevant one
+    // (4). Pure relevance top-3 = (1, 2, 3); MMR must demote the
+    // near-dup 2 below the diverse 3.
+    val cands = Seq(
+      (7L, 1L, 0.9999, Seq(1.0f, 0.01f, 0.0f)),
+      (7L, 2L, 0.9998, Seq(1.0f, 0.012f, 0.0f)),
+      (7L, 3L, 0.9, Seq(0.7f, 0.7f, 0.0f)),
+      (7L, 4L, 0.1, Seq(0.0f, 0.1f, 1.0f))
+    ).toDF("qid", "cid", "rel", "vec")
+    val r = Similarity.mmrDiversified(cands, 3, 1, 2)
+      .orderBy("rank").as[(Long, Int, Long, Long)].collect()
+    assert(r.map(_._3).toSeq === Seq(1L, 3L, 4L),
+      s"expected diversity-aware order, got ${r.toSeq}")
+    // deterministic across runs
+    val again = Similarity.mmrDiversified(cands, 3, 1, 2)
+      .orderBy("rank").as[(Long, Int, Long, Long)].collect()
+    assert(r.toSeq === again.toSeq)
+  }
+
+  test("mmrDiversified: k caps at the candidate count; groups are independent") {
+    val cands = Seq(
+      (1L, 10L, 0.9, Seq(1.0f, 0.0f)),
+      (1L, 11L, 0.8, Seq(0.0f, 1.0f)),
+      (2L, 20L, 0.5, Seq(1.0f, 1.0f))
+    ).toDF("qid", "cid", "rel", "vec")
+    val r = Similarity.mmrDiversified(cands, 5, 3, 4)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(r.map(x => (x._1, x._3)) === Set((1L, 10L), (1L, 11L), (2L, 20L)))
+    // first pick score is lamNum * (rel x 10^4) over denominator 4*10^4
+    assert(r.find(x => x._1 == 2L).get._4 === 15000L)
+  }
+
   test("lsh knn finds the query's own bucket neighbours") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.99f, 0.1f, 0.0f)),
