@@ -980,7 +980,7 @@ object Queries {
 
   def rangeQ(s: SparkSession, dir: String): DataFrame = {
     val ev = load(s, dir, "events")
-      .select(col("event_id"), expr("ts DIV 1000").as("t"))
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("t"))
     val windows = ev.filter(col("event_id") % 101 === 0)
       .select(col("event_id").as("window_id"), col("t").as("ws"),
         (col("t") + RangeWindowUs).as("we"))
@@ -1688,11 +1688,11 @@ object Queries {
   // else's as-of, not a replay of our own. Errors are pre-aggregated to
   // one row per (user, ts): the operator's determinism contract.
   def asof(s: SparkSession, dir: String): DataFrame = {
-    // µs time axis on BOTH sides: the parquet carries TIMESTAMP(NANOS),
-    // which Spark reads as full nanos (nanosAsLong) but DuckDB's
-    // TIMESTAMP truncates to µs — sub-µs digits would diverge the lag.
+    // µs epoch-long time axis on BOTH sides (the parquet carries a µs
+    // TIMESTAMP; unix_micros here = DuckDB's epoch_us in the oracle) so
+    // the lag subtraction is integer arithmetic in both engines.
     val ev = load(s, dir, "events")
-      .withColumn("ts", expr("ts DIV 1000"))
+      .withColumn("ts", unix_micros(col("ts").cast("timestamp")))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
     val errors = ev.filter(col("event_type") === "error")
@@ -1726,7 +1726,7 @@ object Queries {
   // microseconds, so sf0.01's event span crosses many boundaries.
   def asofChunked(s: SparkSession, dir: String): DataFrame = {
     val ev = load(s, dir, "events")
-      .withColumn("ts", expr("ts DIV 1000"))
+      .withColumn("ts", unix_micros(col("ts").cast("timestamp")))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
     val errors = ev.filter(col("event_type") === "error")
@@ -1970,8 +1970,7 @@ object Queries {
     val dest = s"$FixtureRoot/events_by_day"
     publishOnce(dest, dir) {
       load(s, dir, "events")
-        .withColumn("p_date",
-          to_date(timestamp_micros(expr("ts DIV 1000"))).cast("string"))
+        .withColumn("p_date", to_date(col("ts")).cast("string"))
         .write.mode("overwrite").partitionBy("p_date").parquet(dest)
     }
     s.read.parquet(dest)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -30,6 +30,26 @@ object Ingest {
     reader.parquet(dir)
   }
 
+  /** Event-time expression for a frame's `ts` field, tolerant of both
+    * physical encodings the events table has shipped with: a real
+    * TIMESTAMP (µs precision — the current parquet gate tables) passes
+    * through, a nanos-epoch long (legacy TIMESTAMP(NANOS) reads under
+    * `nanosAsLong`, and the synthetic long-ts test sources) is
+    * integer-divided to micros — never through double, 1e18 nanos
+    * exceeds 2^53. */
+  private[streaming] def eventTime(schema: org.apache.spark.sql.types.StructType): Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts DIV 1000"))
+      // NTZ (what plain parquet µs timestamps infer as) casts through the
+      // session timezone — pinned to UTC by every entrypoint, so the cast
+      // is the identity mapping the oracle's epoch_us assumes.
+      case TimestampType | TimestampNTZType => col("ts").cast(TimestampType)
+      case other => throw new IllegalArgumentException(
+        s"events.ts must be a long (nanos) or timestamp column, got $other")
+    }
+  }
+
   /** Micro-batch ingest of one parquet table inside `dir`; grouped counts
     * via the streaming aggregation path (complete mode, memory sink).
     * `pathGlobFilter` plays the reference's marker-file role (S2): only
@@ -50,8 +70,8 @@ object Ingest {
 
   /** Watermarked tumbling-window aggregation over the event stream —
     * the standard Structured Streaming shape for event-time analytics.
-    * `ts` is a nanos-epoch long (nanosAsLong read); integer-divided to
-    * micros (never through double — 1e18 nanos exceeds 2^53). Update
+    * `ts` is normalized by [[eventTime]] (timestamp passes through, a
+    * legacy nanos-epoch long is divided to micros). Update
     * mode emits a (window, key) row per batch it changed in, and counts
     * only grow, so the max() read-out is the final value whether the run
     * was one AvailableNow batch or many (`maxFilesPerTrigger` splits the
@@ -70,7 +90,7 @@ object Ingest {
     val schema = spark.read.option("pathGlobFilter", fileGlob).parquet(dir).schema
     val qn = "graft_windows"
     val q = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
-      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ets", eventTime(schema))
       .withWatermark("ets", "1 hour")
       .groupBy(window(col("ets"), "1 hour").as("w"), col(keyCol))
       .agg(count(lit(1)).as("n"))
@@ -140,7 +160,7 @@ object Ingest {
       .parquet(dir).schema
     val qn = "graft_stream_dedup"
     val q = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
-      .withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ets", eventTime(schema))
       .withWatermark("ets", watermark)
       .dropDuplicatesWithinWatermark(keys)
       .select(keys.map(col): _*)

@@ -65,8 +65,11 @@ object Sessionize {
   }
 
   /** Run the sessionizer over one parquet table with AvailableNow;
-    * returns (user_id, n_sessions, n_events). `ts` is a nanos-epoch
-    * long column (the nanosAsLong read of the events table). */
+    * returns (user_id, n_sessions, n_events). The source's `ts` is
+    * either a real TIMESTAMP (the current parquet gate tables) or a
+    * legacy nanos-epoch long; both normalize to the nanos long the
+    * gap arithmetic in [[Event]] runs on (µs → nanos is exact ×1000,
+    * within long range until the year 2262). */
   def userSessions(spark: SparkSession, dir: String, fileGlob: String,
                    gapNanos: Long, lateness: String = "1 hour",
                    maxFilesPerTrigger: Int = 0,
@@ -75,9 +78,13 @@ object Sessionize {
     import spark.implicits._
     val schema = spark.read.option("pathGlobFilter", fileGlob).parquet(dir).schema
     val qn = "graft_sessions"
+    val tsNanos = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => unix_micros(col("ts").cast("timestamp")) * 1000L
+    }
     val q = Ingest.fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
-      .select(col("user_id"), col("ts"),
-        timestamp_micros(expr("ts DIV 1000")).as("ets"))
+      .select(col("user_id"), tsNanos.as("ts"),
+        Ingest.eventTime(schema).as("ets"))
       .withWatermark("ets", lateness)
       .as[Event]
       .groupByKey(_.user_id)

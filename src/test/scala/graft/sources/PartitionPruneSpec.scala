@@ -12,8 +12,7 @@ class PartitionPruneSpec extends SparkSpec {
     val work = java.nio.file.Files
       .createTempDirectory("graft_prune_spec_").toString
     val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("p_date",
-        to_date(timestamp_micros(expr("ts DIV 1000"))).cast("string"))
+      .withColumn("p_date", to_date(col("ts")).cast("string"))
     src.write.mode("overwrite").partitionBy("p_date").parquet(work)
 
     val df = spark.read.parquet(work).filter(col("p_date") === "2024-01-05")

@@ -12,6 +12,7 @@ class SessionizeSpec extends SparkSpec {
     val streamed = Sessionize.userSessions(spark, dir, "events.parquet", gap)
       .orderBy("user_id")
     val e = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts")
     val batch = e.withColumn("brk",
