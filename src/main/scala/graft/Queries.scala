@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, AsOf, Bpe, Catalog, Clustering, Dedup, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Sequencing, Shards, Similarity, Skew, Stats}
+import graft.operators.{Align, AsOf, Bpe, Catalog, Clustering, Dedup, Dsir, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Sequencing, Shards, Similarity, Skew, Stats}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1118,6 +1118,53 @@ object Queries {
        |  FROM documents)
        |SELECT doc_id, source FROM ranked JOIN tgt USING (source)
        |WHERE rn <= t ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- Q-dsir
+  // DSIR data selection (Dsir.importanceScore + selectTopK): the raw
+  // docs most like the src0 "curated" corpus under hashed-unigram bag
+  // models — mean per-position probability ratio, ln-free so every
+  // arithmetic step replays bit-exactly (see Dsir's doc for why the
+  // paper's log form is the non-gate deployable twin). The oracle
+  // rebuilds both histograms from the same sha256-bucketed occurrences
+  // and walks the identical bucket-ordered fold.
+  private val DsirBuckets = 1024
+  private val DsirTopK = 100
+  private val DsirTarget = "src0"
+
+  def dsirQ(s: SparkSession, dir: String): DataFrame =
+    Dsir.selectTopK(
+        Dsir.importanceScore(load(s, dir, "documents"), "doc_id", "text",
+          col("source") === DsirTarget, buckets = DsirBuckets),
+        DsirTopK)
+      .orderBy("id")
+
+  private val dsirSql =
+    s"""WITH toks AS (SELECT doc_id AS id, source, $SqlToks AS tk FROM documents),
+       |occ AS (SELECT id, source,
+       |          ${sqlSh32("tok")} % $DsirBuckets AS b
+       |        FROM (SELECT id, source, unnest(tk) AS tok FROM toks)),
+       |d AS (SELECT id, b, CAST(count(*) AS BIGINT) AS m FROM occ
+       |      WHERE source <> '$DsirTarget' GROUP BY 1, 2),
+       |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM occ
+       |       WHERE source = '$DsirTarget' GROUP BY 1),
+       |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM occ
+       |       WHERE source <> '$DsirTarget' GROUP BY 1),
+       |nt AS (SELECT CAST(count(*) AS DOUBLE) + $DsirBuckets.0 AS v FROM occ
+       |       WHERE source = '$DsirTarget'),
+       |nr AS (SELECT CAST(count(*) AS DOUBLE) + $DsirBuckets.0 AS v FROM occ
+       |       WHERE source <> '$DsirTarget'),
+       |term AS (SELECT d.id, d.b,
+       |    d.m * (((CAST(coalesce(tc.ct, 0) AS DOUBLE) + 1.0) * nr.v) /
+       |           ((CAST(rc.cr AS DOUBLE) + 1.0) * nt.v)) AS t,
+       |    d.m AS m
+       |  FROM d JOIN rc USING (b) LEFT JOIN tc USING (b), nt, nr),
+       |sc AS (SELECT id, CAST(sum(m) AS BIGINT) AS n_toks,
+       |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list(t ORDER BY b)), (acc, x) -> acc + x)
+       |      / CAST(sum(m) AS BIGINT), 4) AS iw
+       |  FROM term GROUP BY id),
+       |sel AS (SELECT * FROM sc ORDER BY iw DESC, id LIMIT $DsirTopK)
+       |SELECT id, n_toks, iw FROM sel ORDER BY id""".stripMargin
 
   // ---------------------------------------------------------------- Q-bpe
   // BPE-style merge training (Bpe.trainMerges): 8 iterations of "merge
@@ -3410,6 +3457,7 @@ object Queries {
     "q_embdup_auto" -> (embeddingDupAuto _),
     "q_sessions" -> (sessions _),
     "q_dedup_assign" -> (dedupAssign _),
+    "q_dsir" -> (dsirQ _),
     "q_split" -> (splitQ _),
     "q_windows" -> (windows _),
     "q_curate" -> (curate _),
@@ -3511,6 +3559,7 @@ object Queries {
     "q_embdup_auto" -> embeddingDupAutoSql,
     "q_sessions" -> sessionsSql,
     "q_dedup_assign" -> dedupAssignSql,
+    "q_dsir" -> dsirSql,
     "q_split" -> splitSql,
     "q_windows" -> windowsSql,
     "q_curate" -> curateSql,
