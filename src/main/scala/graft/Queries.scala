@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, AsOf, Bpe, Catalog, Clustering, Dedup, Dsir, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Sequencing, Shards, Similarity, Skew, Stats}
+import graft.operators.{Align, AsOf, Bpe, Catalog, Clustering, Dedup, Dsir, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Pq, Sequencing, Shards, Similarity, Skew, Stats}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -729,6 +729,105 @@ object Queries {
        |             (sqrt(${dot("r", "r")}) * sqrt(${dot("qv", "qv")})), 4) AS sim
        |FROM rec CROSS JOIN q
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  // ------------------------------------------------------------ Q-knn-pq
+  // Product-quantization ANN (operators/Pq): per-subspace Lloyd
+  // codebooks, m-byte codes, asymmetric-distance top-k — the memory-
+  // compression leg of the IVF/int8/PQ stack. The oracle replays the
+  // FULL chain per subspace (the kmeansCtes pattern at subvector
+  // granularity): quantized init, 2 Lloyd rounds, final assignment, the
+  // query's LUT, and the m-lookup distance sum in the same j-order.
+  private val PqM = 4
+  private val PqK = 8
+  private val PqIters = 2
+  // def, not val: EmbDim is declared further down the object and a val
+  // here would initialize to 0 (the sqlEmbDot forward-reference rule).
+  private def PqSubDim = EmbDim / PqM
+
+  def knnPqQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    val cb = Pq.train(emb, "vec_id", "embedding", PqM, PqK, PqIters)
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb,
+      carry = Seq("label"))
+    val qv = Pq.quantizedQuery(
+      emb.filter(col("vec_id") === 0), "embedding")
+    Pq.knnAdc(codes, cb, qv, 10)
+      .select(col("id"), col("label"), col("adist"))
+  }
+
+  /** One subspace's CTE chain (slice → strided init → `PqIters` Lloyd
+    * rounds → final assignment g{j} → the query's per-centroid distance
+    * table ld{j}), mirroring [[graft.operators.Pq]] /
+    * [[graft.operators.Clustering.kmeansFit]] over columns
+    * [lo+1, lo+subDim]. Shares the fold-identical dot/nsq shapes with
+    * kmeansCtes. */
+  private def pqSubCtes(j: Int): String = {
+    val sd = PqSubDim
+    val lo = j * sd
+    def dotD(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(generate_series(1, $sd), i -> $x[i] * $y[i])),
+         |  (acc, v) -> acc + v)""".stripMargin
+    def nsq(c: String) = dotD(c, c)
+    val d2q =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(generate_series(1, $sd),
+         |      i -> (CAST(qq.qj[i] AS DOUBLE) - c.c[i]) *
+         |           (CAST(qq.qj[i] AS DOUBLE) - c.c[i]))),
+         |  (acc, v) -> acc + v)""".stripMargin
+    val iterCtes = (1 to PqIters).map { i =>
+      val p = i - 1
+      s"""s$j$i AS (SELECT e.id, e.q, c.cid,
+         |  row_number() OVER (PARTITION BY e.id
+         |    ORDER BY ${dotD("e.vd", "c.c")} * -2.0 + c.nsq, c.cid) AS rn
+         |  FROM e$j e CROSS JOIN c$j$p c),
+         |a$j$i AS (SELECT id, q, cid FROM s$j$i WHERE rn = 1),
+         |u$j$i AS (SELECT cid, t.i AS pos, CAST(sum(q[t.i]) AS BIGINT) AS s,
+         |          CAST(count(*) AS BIGINT) AS cnt
+         |        FROM a$j$i CROSS JOIN
+         |          (SELECT unnest(generate_series(1, $sd)) AS i) t
+         |        GROUP BY cid, t.i),
+         |b$j$i AS (SELECT p.cid, coalesce(m.c, p.c) AS c
+         |        FROM c$j$p p LEFT JOIN
+         |          (SELECT cid, list(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS c
+         |           FROM u$j$i GROUP BY cid) m USING (cid)),
+         |c$j$i AS (SELECT cid, c, ${nsq("c")} AS nsq FROM b$j$i)""".stripMargin
+    }.mkString(",\n")
+    s"""e$j AS (SELECT id, q[${lo + 1}:${lo + sd}] AS q,
+       |    list_transform(q[${lo + 1}:${lo + sd}],
+       |      x -> CAST(x AS DOUBLE)) AS vd
+       |  FROM pq_emb),
+       |i${j}0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, vd AS c
+       |       FROM e$j, pq_cfg WHERE id % stride = 0 ORDER BY id LIMIT $PqK),
+       |c${j}0 AS (SELECT cid, c, ${nsq("c")} AS nsq FROM i${j}0),
+       |$iterCtes,
+       |f$j AS (SELECT e.id, c.cid,
+       |  row_number() OVER (PARTITION BY e.id
+       |    ORDER BY ${dotD("e.vd", "c.c")} * -2.0 + c.nsq, c.cid) AS rn
+       |  FROM e$j e CROSS JOIN c$j$PqIters c),
+       |g$j AS (SELECT id, cid FROM f$j WHERE rn = 1),
+       |ld$j AS (SELECT c.cid, $d2q AS d
+       |  FROM c$j$PqIters c CROSS JOIN
+       |    (SELECT q[${lo + 1}:${lo + sd}] AS qj FROM pq_emb WHERE id = 0) qq)"""
+      .stripMargin
+  }
+
+  private def knnPqSql: String = {
+    val subs = (0 until PqM).map(pqSubCtes).mkString(",\n")
+    val dSum = (0 until PqM).map(j => s"ld$j.d").mkString(" + ")
+    val joins = (1 until PqM).map(j => s"JOIN g$j USING (id)").mkString(" ") +
+      (0 until PqM).map(j => s" JOIN ld$j ON ld$j.cid = g$j.cid").mkString
+    s"""WITH pq_emb AS (SELECT vec_id AS id, label,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |pq_cfg AS (SELECT greatest(1, CAST(count(*) AS BIGINT) // $PqK) AS stride
+       |        FROM pq_emb),
+       |$subs
+       |SELECT g0.id, e.label, round($dSum, 4) AS adist
+       |FROM g0 $joins JOIN pq_emb e ON e.id = g0.id
+       |ORDER BY $dSum, g0.id LIMIT 10""".stripMargin
   }
 
   // ------------------------------------------------------------ Q-tokens
@@ -3458,6 +3557,7 @@ object Queries {
     "q_sessions" -> (sessions _),
     "q_dedup_assign" -> (dedupAssign _),
     "q_dsir" -> (dsirQ _),
+    "q_knn_pq" -> (knnPqQ _),
     "q_split" -> (splitQ _),
     "q_windows" -> (windows _),
     "q_curate" -> (curate _),
@@ -3560,6 +3660,7 @@ object Queries {
     "q_sessions" -> sessionsSql,
     "q_dedup_assign" -> dedupAssignSql,
     "q_dsir" -> dsirSql,
+    "q_knn_pq" -> knnPqSql,
     "q_split" -> splitSql,
     "q_windows" -> windowsSql,
     "q_curate" -> curateSql,

@@ -72,7 +72,18 @@ object ScaleRehearsal {
     // learned merges are IDENTICAL to 1x and the measured axis is the
     // per-iteration distributed pass: the pair-count shuffle over the
     // Nx token stream plus the Nx scan-stage replace.
-    "q_bpe")
+    "q_bpe",
+    // round-8: DSIR importance weighting. Salted replicas keep `source`,
+    // so target AND raw corpora grow Nx together; the B=1024 bucket
+    // space is fixed, so the histograms stay 1024 rows and the measured
+    // axis is the one full-stream (id, bucket) combine shuffle plus the
+    // bucket-ordered fold — the operator's linear claim.
+    "q_dsir",
+    // round-8: PQ ANN. Per-replica sign flips preserve subvector
+    // geometry; the measured axis is m·(iters+1) assignment scans over
+    // the Nx corpus (k·subDim literal argmins, driver-bounded updates)
+    // plus the one encode pass + LUT top-k.
+    "q_knn_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -131,8 +142,8 @@ object ScaleRehearsal {
       .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
 
     // events for q_asof: N replicas on disjoint key/id ranges, ts kept
-    // (read as nanos-long here; written back as plain long, which the
-    // queries' `ts DIV 1000` handles identically).
+    // (a µs timestamp since the round-8 testdata regeneration; written
+    // back as a timestamp, which the queries' unix_micros handles).
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val evStride = events.agg(max("event_id")).head().getLong(0) + 1
     val userStride = events.agg(max("user_id")).head().getLong(0) + 1

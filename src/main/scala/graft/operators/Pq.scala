@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization ANN (Jégou/Douze/Schmid, "Product Quantization
+  * for Nearest Neighbor Search", IEEE PAMI 2011) — the memory-compression
+  * leg of the classic large-scale ANN stack (alongside the IVF routing
+  * index, [[Similarity.ivfPublish]], and the int8 scalar path,
+  * [[Similarity.knnInt8]]): split each vector into `m` subvectors, learn
+  * a small k-means codebook PER subspace, and store each vector as m
+  * centroid ids. At dim 64 / m 4 / k ≤ 256 that is 4 bytes per vector
+  * instead of 256 — the difference between an embedding store that fits
+  * executor memory and one that doesn't.
+  *
+  * Query answers by ASYMMETRIC distance (ADC): the full-precision query
+  * precomputes a (m × k) lookup table of subspace distances ON THE
+  * DRIVER, and each stored vector's approximate distance is m table
+  * lookups + (m−1) adds — a scan-stage expression over the codes column,
+  * no per-row vector arithmetic at all.
+  *
+  * Exactness discipline (the [[Clustering]] convention): all training and
+  * all distances run in the round(x·10⁶) quantized-long double image, the
+  * per-subspace Lloyd is [[Clustering.kmeansFit]] verbatim (strided init,
+  * (cost, cid) argmin tie-break), and every float fold is left-to-right
+  * in position order — so the DuckDB oracle replays codebooks, codes and
+  * ADC distances bit-for-bit (gate: q_knn_pq).
+  *
+  * Scale shape: training scans the corpus m·(iters+1) times but a 100 TB
+  * run fits codebooks on a bounded [[Similarity.hashStratum]] sample (the
+  * kmeansFit deployment pattern) — the full corpus pays only the ONE
+  * encode pass (pure scan-stage expressions), and the published codes
+  * table is what queries touch from then on. Top-k is sort+limit →
+  * TakeOrderedAndProject, never a global sort.
+  */
+object Pq {
+
+  /** Per-subspace codebooks in the quantized-double image:
+    * `cents(j)(cid)` is subspace j's centroid `cid` (subDim doubles). */
+  case class Codebook(subDim: Int, cents: IndexedSeq[IndexedSeq[Seq[Double]]]) {
+    def m: Int = cents.size
+    def k: Int = cents.head.size
+  }
+
+  /** Train m codebooks of k centroids each with `iters` Lloyd rounds —
+    * [[Clustering.kmeansFit]] per subvector slice. dim must divide
+    * evenly (a real deployment pads; the loud require documents it). */
+  def train(emb: DataFrame, idCol: String, vecCol: String,
+            m: Int, k: Int, iters: Int): Codebook = {
+    require(m > 0, s"m must be positive, got $m")
+    // Bounded driver read: one row — the dimensionality.
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
+    val subDim = dim / m
+    val cents = (0 until m).map { j =>
+      Clustering.kmeansFit(
+        emb.select(col(idCol),
+          slice(col(vecCol), j * subDim + 1, subDim).as("__sub")),
+        idCol, "__sub", k, iters)
+    }.toIndexedSeq
+    Codebook(subDim, cents)
+  }
+
+  /** (id, carry..., code): each vector's m-array of subspace centroid
+    * ids — ONE scan-stage pass ([[Similarity.ivfCell]]'s literal argmin
+    * per subspace; quantize-then-slice equals slice-then-quantize, so
+    * codes live in exactly the codebook's arithmetic). `carry` columns
+    * ride along untouched (label, partition keys). */
+  def encode(emb: DataFrame, idCol: String, vecCol: String, cb: Codebook,
+             carry: Seq[String] = Nil): DataFrame = {
+    val vd = transform(Clustering.quantize(col(vecCol)), x => x.cast("double"))
+    val codes = array((0 until cb.m).map { j =>
+      Similarity.ivfCell(
+        slice(vd, j * cb.subDim + 1, cb.subDim),
+        cb.cents(j).zipWithIndex.map { case (c, i) => (i, c) })
+    }: _*)
+    emb.select((col(idCol).cast("long").as("id") +: carry.map(col)) :+
+      codes.as("code"): _*)
+  }
+
+  /** ADC top-k: the query's (m × k) LUT of quantized squared distances
+    * is built on the driver (left-to-right position fold, the shared
+    * float discipline) and embedded as plan literals; each row's
+    * distance is m element_at lookups summed j = 0..m−1. Returns the k
+    * nearest codes rows with `adist` (rounded 4, the gate float
+    * convention); ordering ties break on id. */
+  def knnAdc(codes: DataFrame, cb: Codebook, queryVec: Seq[Double],
+             topK: Int): DataFrame = {
+    require(queryVec.size == cb.m * cb.subDim,
+      s"query dim ${queryVec.size} != ${cb.m}x${cb.subDim}")
+    val luts: IndexedSeq[Seq[Double]] = (0 until cb.m).map { j =>
+      val qj = queryVec.slice(j * cb.subDim, (j + 1) * cb.subDim)
+      cb.cents(j).map { c =>
+        (0 until cb.subDim).foldLeft(0.0) { (acc, i) =>
+          acc + (qj(i) - c(i)) * (qj(i) - c(i))
+        }
+      }
+    }
+    val dist = (0 until cb.m).map { j =>
+      element_at(typedLit(luts(j)), element_at(col("code"), j + 1) + 1)
+    }.reduce(_ + _)
+    codes.withColumn("__adist", dist)
+      .orderBy(col("__adist"), col("id"))
+      .limit(topK)
+      .withColumn("adist", round(col("__adist"), 4))
+      .drop("__adist", "code")
+  }
+
+  /** The query's quantized-double image via the engine's own round —
+    * ONE bounded driver row; keeps driver arithmetic out of the parity
+    * surface entirely. */
+  def quantizedQuery(query: DataFrame, vecCol: String): Seq[Double] =
+    query.select(transform(Clustering.quantize(col(vecCol)),
+        x => x.cast("double")).as("qd"))
+      .head().getSeq[Double](0).toSeq
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalactic.Tolerance._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Four distinct dim-8 patterns, pattern = id % 4 over ids 0..19: the
+  // strided init (n=20, k=4 → stride 5 → ids 0,5,10,15) picks patterns
+  // 0,1,2,3 — one of each — and every Lloyd cluster's mean is its own
+  // point, so the codebooks converge to the patterns EXACTLY; ADC then
+  // IS the true quantized distance and every assertion is closed-form.
+  private val patterns = Seq(
+    Seq(1f, 0f, 0f, 0f, 2f, 0f, 0f, 0f),
+    Seq(0f, 1f, 0f, 0f, 0f, 2f, 0f, 0f),
+    Seq(0f, 0f, 1f, 0f, 0f, 0f, 2f, 0f),
+    Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 2f))
+
+  private def corpus = (0 until 20).map { id =>
+    (id.toLong, patterns(id % 4), (id % 4).toLong)
+  }.toDF("vec_id", "embedding", "label")
+
+  test("codebooks converge to the exact patterns and codes are in range") {
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 2, k = 4, iters = 2)
+    assert(cb.m === 2 && cb.k === 4 && cb.subDim === 4)
+    val codes = Pq.encode(corpus, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size === 20)
+    assert(codes.values.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 4)))
+    // identical vectors encode identically
+    val byPattern = codes.groupBy { case (id, _) => id % 4 }
+      .view.mapValues(_.values.toSet).toMap
+    assert(byPattern.values.forall(_.size === 1),
+      s"same pattern must share one code, got $byPattern")
+  }
+
+  test("ADC against centroid-aligned data is the true quantized distance") {
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 2, k = 4, iters = 2)
+    val codes = Pq.encode(corpus, "vec_id", "embedding", cb, carry = Seq("label"))
+    val qv = Pq.quantizedQuery(corpus.filter(col("vec_id") === 0), "embedding")
+    val top = Pq.knnAdc(codes, cb, qv, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // the 5 copies of pattern 0 are at distance 0, and come first by id
+    assert(top.take(5).map(_._1).toSeq === Seq(0L, 4L, 8L, 12L, 16L))
+    assert(top.take(5).forall(_._2 === 0.0 +- 1e-9))
+    // every other row's ADC = exact |q - x|² in the 1e6-quantized grid:
+    // patterns differ in 4 positions (a 1 and a 2 on each side) →
+    // 2·(1e6)² + 2·(2e6)²
+    val expect = 2.0 * (1e12 + 4e12)
+    assert(top.drop(5).forall(t => t._2 === expect +- 1e-3),
+      s"got ${top.drop(5).take(3).mkString(",")}")
+  }
+
+  test("ADC ranking agrees with brute-force cosine top-1 on separated data") {
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 2, k = 4, iters = 2)
+    val codes = Pq.encode(corpus, "vec_id", "embedding", cb)
+    val q = corpus.filter(col("vec_id") === 7) // pattern 3
+      .select(col("embedding").as("qv"))
+    val brute = Similarity.bruteForceKnn(corpus, "vec_id", "embedding", q, 1)
+      .collect().head.getLong(0)
+    val adc = Pq.knnAdc(codes, cb,
+      Pq.quantizedQuery(corpus.filter(col("vec_id") === 7), "embedding"), 1)
+      .collect().head.getLong(0)
+    assert(adc === brute)
+  }
+
+  test("dimension must divide into m subspaces") {
+    intercept[IllegalArgumentException] {
+      Pq.train(corpus, "vec_id", "embedding", m = 3, k = 2, iters = 1)
+    }
+  }
+}
