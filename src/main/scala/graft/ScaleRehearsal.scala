@@ -138,7 +138,8 @@ object ScaleRehearsal {
         (col("vec_id") + col("k") * vecStride).as("vec_id"),
         when(col("k") === 0, col("embedding"))
           .otherwise(zip_with(col("embedding"), signs(col("k")),
-            (v, s) => v * s)).as("embedding"))
+            (v, s) => v * s)).as("embedding"),
+        col("label"))
       .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
 
     // events for q_asof: N replicas on disjoint key/id ranges, ts kept
