@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables.load
-import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps}
+import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps, QualityRules}
 import graft.functions.TextFunctions._
 import graft.operators.{Align, AsOf, Bpe, Catalog, Clustering, Dedup, Dsir, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Pq, Sequencing, Shards, Similarity, Skew, Stats}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
@@ -847,6 +847,53 @@ object Queries {
        |       CAST(len(list_distinct($SqlToks)) AS BIGINT) AS n_distinct,
        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_subtokens
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ Q-gopher
+  // Gopher-style rule filter (functions/QualityRules): the standard
+  // structural pre-filter — word-count bounds, mean word length, symbol
+  // ratio, bullet/ellipsis line fractions, alpha-word fraction,
+  // must-have stopwords. Every rule is an integer cross-multiplication,
+  // so the row carries only longs and booleans — nothing floats.
+  def gopherQ(s: SparkSession, dir: String): DataFrame =
+    QualityRules.flags(load(s, dir, "documents"), "doc_id", "text")
+      .orderBy("id")
+
+  private val gopherSql = {
+    val stopList = QualityRules.MustHaveStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id AS id, text, $SqlToks AS tk,
+       |             string_split(text, chr(10)) AS ln FROM documents),
+       |m AS (SELECT id,
+       |  CAST(len(tk) AS BIGINT) AS n_words,
+       |  CAST(len(ln) AS BIGINT) AS n_lines,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(tk, x -> CAST(length(x) AS BIGINT))),
+       |    (acc, x) -> acc + x) AS total_chars,
+       |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+       |  CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+       |  CAST(len(list_filter(ln, l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS n_bul,
+       |  CAST(len(list_filter(ln, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS BIGINT) AS n_ee,
+       |  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+       |  CAST(len(list_intersect(list_distinct(list_transform(tk, x -> lower(x))),
+       |    $stopList)) AS BIGINT) AS n_stop
+       |  FROM t)
+       |SELECT id, n_words,
+       |  (n_words >= 3 AND n_words <= 100000) AS r_word_count,
+       |  (total_chars >= n_words * 3 AND total_chars <= n_words * 10) AS r_mean_word_len,
+       |  ((n_hash + n_ell) * 10 <= n_words) AS r_symbol_ratio,
+       |  (n_bul * 10 <= n_lines * 9) AS r_bullet_lines,
+       |  (n_ee * 10 <= n_lines * 3) AS r_ellipsis_lines,
+       |  (n_alpha * 5 >= n_words * 4) AS r_alpha_words,
+       |  (n_stop >= 2) AS r_stopwords,
+       |  ((n_words >= 3 AND n_words <= 100000)
+       |    AND (total_chars >= n_words * 3 AND total_chars <= n_words * 10)
+       |    AND ((n_hash + n_ell) * 10 <= n_words)
+       |    AND (n_bul * 10 <= n_lines * 9)
+       |    AND (n_ee * 10 <= n_lines * 3)
+       |    AND (n_alpha * 5 >= n_words * 4)
+       |    AND (n_stop >= 2)) AS keep
+       |FROM m ORDER BY id""".stripMargin
+  }
 
   // ----------------------------------------------------------- Q-quality
   // Quality scoring: length / punctuation / stopword ratios.
@@ -2226,6 +2273,32 @@ object Queries {
   private val streamDedupSql =
     "SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2"
 
+  // ---------------------------------------------------- Q-stream-join
+  // Stream-STREAM event-time interval join (§2.10): clicks joined to
+  // the same user's errors from the preceding hour, both sides
+  // watermarked so join state expires — the deployable two-stream
+  // correlation shape (enrichment's stream-static join can't expire by
+  // event time). Gate read-out aggregates the emitted pair stream; the
+  // oracle runs the equivalent batch interval join.
+  def streamJoin(s: SparkSession, dir: String): DataFrame =
+    Ingest.intervalJoinStream(s, dir, "events.parquet", "user_id",
+        leftType = "click", rightType = "error")
+      .groupBy(col("l_key").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        ExactAgg.moneySum(col("r_value"), 100).as("sum_err"))
+      .orderBy("user_id")
+
+  private val streamJoinSql =
+    s"""WITH c AS (SELECT event_id, user_id, ts FROM events
+       |           WHERE event_type = 'click'),
+       |e AS (SELECT user_id, ts, value FROM events
+       |      WHERE event_type = 'error')
+       |SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       ${moneySumSql("e.value")} AS sum_err
+       |FROM c JOIN e ON c.user_id = e.user_id
+       |  AND e.ts >= c.ts - INTERVAL 1 HOUR AND e.ts <= c.ts
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------- Q-multimodal
   // Opaque binary payload + typed metadata struct (deterministic fake
   // decode — see Multimodal.decodePartition for the real-codec seam).
@@ -3557,6 +3630,7 @@ object Queries {
     "q_sessions" -> (sessions _),
     "q_dedup_assign" -> (dedupAssign _),
     "q_dsir" -> (dsirQ _),
+    "q_gopher" -> (gopherQ _),
     "q_knn_pq" -> (knnPqQ _),
     "q_split" -> (splitQ _),
     "q_windows" -> (windows _),
@@ -3584,6 +3658,7 @@ object Queries {
     "q_pathdb" -> (pathDb _),
     "q_repetition" -> (repetition _),
     "q_stream_dedup" -> (streamDedup _),
+    "q_stream_join" -> (streamJoin _),
     "q_knn_ivf" -> (knnIvf _),
     "q_knn_int8" -> (knnInt8Q _),
     "q_simhash_pairs" -> (simhashPairsQ _),
@@ -3660,6 +3735,7 @@ object Queries {
     "q_sessions" -> sessionsSql,
     "q_dedup_assign" -> dedupAssignSql,
     "q_dsir" -> dsirSql,
+    "q_gopher" -> gopherSql,
     "q_knn_pq" -> knnPqSql,
     "q_split" -> splitSql,
     "q_windows" -> windowsSql,
@@ -3687,6 +3763,7 @@ object Queries {
     "q_pathdb" -> pathDbSql,
     "q_repetition" -> repetitionSql,
     "q_stream_dedup" -> streamDedupSql,
+    "q_stream_join" -> streamJoinSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_int8" -> knnInt8Sql,
     "q_simhash_pairs" -> simhashPairsSql,

@@ -170,6 +170,53 @@ object Ingest {
     spark.table(qn)
   }
 
+  /** Stream-STREAM event-time interval join (§2.10) — the last of the
+    * standard Structured Streaming join shapes ([[enrichStream]] covers
+    * stream-static): two event streams from the same file source, inner
+    * equi-join on `keyCol` with the right event constrained to the
+    * interval [left − window, left]. Both sides are watermarked and the
+    * interval bounds BOTH event times relative to each other, which is
+    * what lets the engine expire join state: a left row older than
+    * (watermark + window) can never match a future right row, so state
+    * stays bounded at any stream length — the property that separates a
+    * deployable stream-stream join from an unbounded buffer. Append
+    * mode: a joined pair emits once, when both sides have arrived.
+    * Under `AvailableNow` (the gate posture) a single batch sees all
+    * input, so the emitted pair set equals the batch interval join the
+    * oracle runs; in a multi-batch/continuous run the same caveat as
+    * every watermarked operator applies — pairs whose halves arrive
+    * farther apart in event time than the watermark are dropped late
+    * (StreamJoinSpec measures both the equivalence and the drop). */
+  def intervalJoinStream(spark: SparkSession, dir: String, fileGlob: String,
+                         keyCol: String, leftType: String, rightType: String,
+                         window: String = "1 hour",
+                         watermark: String = "1 hour",
+                         maxFilesPerTrigger: Int = 0,
+                         trigger: Trigger = Trigger.AvailableNow(),
+                         finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", fileGlob)
+      .parquet(dir).schema
+    val qn = "graft_stream_join"
+    val left = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
+      .filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col(keyCol).as("l_key"),
+        eventTime(schema).as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val right = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
+      .filter(col("event_type") === rightType)
+      .select(col(keyCol).as("r_key"), eventTime(schema).as("r_ts"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    val q = left.join(right,
+        col("l_key") === col("r_key") &&
+          col("r_ts") >= col("l_ts") - expr(s"INTERVAL $window") &&
+          col("r_ts") <= col("l_ts"))
+      .writeStream.queryName(qn).outputMode("append")
+      .format("memory").trigger(trigger).start()
+    finish(q)
+    spark.table(qn)
+  }
+
   /** §2.10 foreachBatch + idempotent MERGE: each micro-batch upserts
     * into a parquet "catalog" table (last-wins on `keys` via
     * [[graft.operators.Catalog.upsert]]), committed by staging-dir swap.

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream interval join: single-batch equivalence with the batch
+  * join, and the multi-batch pairing of halves that arrive in different
+  * micro-batches (the property a stream-static join cannot give). */
+class StreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600L * 1000000000L // one hour in nanos
+
+  test("AvailableNow pair set equals the batch interval join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Ingest.intervalJoinStream(spark, dir, "events.parquet",
+        "user_id", "click", "error")
+      .groupBy("l_key").agg(count(lit(1)).as("n"))
+      .orderBy("l_key")
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").cast("timestamp").as("ct"))
+    val r = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("ru"), col("ts").cast("timestamp").as("rt"))
+    val batch = c.join(r, col("cu") === col("ru") &&
+        col("rt") >= col("ct") - expr("INTERVAL 1 HOUR") &&
+        col("rt") <= col("ct"))
+      .groupBy(col("cu").as("l_key")).agg(count(lit(1)).as("n"))
+      .orderBy("l_key")
+    assert(rows(streamed).nonEmpty)
+    assert(rows(streamed) === rows(batch))
+  }
+
+  test("halves arriving in different micro-batches still pair (within watermark)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    def writeOne(name: String, df: DataFrame, mtime: Long): Unit = {
+      import java.nio.file.{Files => JF, Paths, StandardCopyOption}
+      import java.nio.file.attribute.FileTime
+      val stage = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(stage)
+      val part = JF.list(Paths.get(stage)).iterator()
+      val src = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+        .find(_.getFileName.toString.startsWith("part-")).get
+      JF.move(src, Paths.get(s"$dir/$name"), StandardCopyOption.ATOMIC_MOVE)
+      JF.setLastModifiedTime(Paths.get(s"$dir/$name"), FileTime.fromMillis(mtime))
+      ()
+    }
+    // batch 1: user 1's click at t=0.5h — its matching error arrives in
+    // batch 2 (t=0.3h, inside the 1 h interval and the 1 h watermark).
+    writeOne("b1.parquet", Seq(
+      (1L, H / 2, 1L, "click", 0.0),
+      (2L, H / 4, 2L, "error", 5.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value"), 1000000L)
+    writeOne("b2.parquet", Seq(
+      (3L, H * 3 / 10, 1L, "error", 7.0),
+      (4L, H / 3, 2L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value"), 2000000L)
+    val joined = Ingest.intervalJoinStream(spark, dir, "b*.parquet",
+        "user_id", "click", "error", maxFilesPerTrigger = 1)
+      .select("l_key", "r_value").orderBy("l_key")
+    // user 1: click(b1) paired with error(b2); user 2: click(b2) paired
+    // with error(b1) — BOTH cross-batch directions work.
+    assert(rows(joined) === Seq(Seq(1L, 7.0), Seq(2L, 5.0)))
+  }
+}
