@@ -114,6 +114,33 @@ class ContinuousSoakSpec extends SparkSpec {
     assert(soaked === Seq(Seq(1L, 2L, 3L), Seq(2L, 2L, 2L)))
   }
 
+  test("intervalJoinStream soak: dripped ProcessingTime run equals one-shot state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-soak-ssj").toString
+    // f1 holds user 1's click and user 2's error; their partners land in
+    // later drip files — BOTH cross-batch pairing directions run under
+    // the continuous trigger, inside the 1 h interval and watermark.
+    writeOne(dir, "f1.parquet", Seq(
+      (1L, H / 2, 1L, "click", 0.0), (2L, H / 4, 2L, "error", 5.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val (trigger, finish) = dripRig { q =>
+      writeOne(dir, "f2.parquet", Seq(
+        (3L, H * 3 / 10, 1L, "error", 7.0)
+      ).toDF("event_id", "ts", "user_id", "event_type", "value"))
+      q.processAllAvailable()
+      writeOne(dir, "f3.parquet", Seq(
+        (4L, H / 3, 2L, "click", 0.0)
+      ).toDF("event_id", "ts", "user_id", "event_type", "value"))
+    }
+    val soaked = rows(Ingest.intervalJoinStream(spark, dir, "f*.parquet",
+        "user_id", "click", "error", trigger = trigger, finish = finish)
+      .select("l_key", "r_value").orderBy("l_key"))
+    val oneShot = rows(Ingest.intervalJoinStream(spark, dir, "f*.parquet",
+        "user_id", "click", "error")
+      .select("l_key", "r_value").orderBy("l_key"))
+    assert(soaked === oneShot)
+    assert(soaked === Seq(Seq(1L, 7.0), Seq(2L, 5.0)))
+  }
+
   test("dedupStream soak: dripped ProcessingTime run equals one-shot key set") {
     val dir = java.nio.file.Files.createTempDirectory("graft-soak-dedup").toString
     // duplicates land in LATER deliveries, within the 1 h watermark of
