@@ -2057,6 +2057,49 @@ object Queries {
        |             (a, x) -> a + x) / n_bigrams, 4) AS lm_score
        |FROM ag ORDER BY id""".stripMargin
 
+  // --------------------------------------------------------------- Q-sbo
+  // Stupid Backoff trigram scoring (LanguageModel.stupidBackoff): the
+  // distributed-pipeline LM smoothing — model trained on the src0
+  // sub-corpus, the REST scored, so unseen trigrams genuinely back off
+  // trigram → 0.4·bigram → 0.16·unigram → 0. Same ln-free mean-score
+  // gate discipline as q_lmscore; the oracle replays every count table,
+  // the three-way CASE, and the (w1,w2,w3)-ordered fold.
+  def sboQ(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.stupidBackoff(load(s, dir, "documents"), "doc_id", "text",
+        col("source") === DsirTarget)
+      .orderBy("id")
+
+  private val sboSql =
+    s"""WITH toks AS (SELECT doc_id AS id, source = '$DsirTarget' AS mdl,
+       |              $SqlToks AS tk FROM documents),
+       |tri AS (SELECT id, mdl, tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3
+       |        FROM (SELECT id, mdl, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+       |              FROM toks WHERE len(tk) >= 3)),
+       |c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS n3
+       |       FROM tri WHERE mdl GROUP BY 1, 2, 3),
+       |c2ctx AS (SELECT w1, w2, CAST(sum(n3) AS BIGINT) AS n2ctx FROM c3 GROUP BY 1, 2),
+       |c2 AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS n2
+       |       FROM tri WHERE mdl GROUP BY 1, 2),
+       |c1ctx AS (SELECT w2, CAST(sum(n2) AS BIGINT) AS n1ctx FROM c2 GROUP BY 1),
+       |c1 AS (SELECT w3, CAST(count(*) AS BIGINT) AS n1 FROM tri WHERE mdl GROUP BY 1),
+       |cfg AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM tri WHERE mdl),
+       |d AS (SELECT id, w1, w2, w3, CAST(count(*) AS BIGINT) AS m
+       |      FROM tri WHERE NOT mdl GROUP BY 1, 2, 3, 4),
+       |term AS (SELECT d.id, d.w1, d.w2, d.w3,
+       |    d.m * (CASE WHEN c3.n3 IS NOT NULL THEN CAST(c3.n3 AS DOUBLE) / c2ctx.n2ctx
+       |                WHEN c2.n2 IS NOT NULL THEN 0.4 * (CAST(c2.n2 AS DOUBLE) / c1ctx.n1ctx)
+       |                WHEN c1.n1 IS NOT NULL THEN 0.4 * 0.4 * (CAST(c1.n1 AS DOUBLE) / cfg.nn)
+       |                ELSE 0.0 END) AS t, d.m AS m
+       |  FROM d LEFT JOIN c3 USING (w1, w2, w3) LEFT JOIN c2ctx USING (w1, w2)
+       |       LEFT JOIN c2 USING (w2, w3) LEFT JOIN c1ctx USING (w2)
+       |       LEFT JOIN c1 USING (w3) CROSS JOIN cfg),
+       |ag AS (SELECT id, CAST(sum(m) AS BIGINT) AS n_trigrams,
+       |              list(t ORDER BY w1, w2, w3) AS ts FROM term GROUP BY id)
+       |SELECT id, n_trigrams,
+       |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ts),
+       |             (a, x) -> a + x) / n_trigrams, 4) AS sbo_score
+       |FROM ag ORDER BY id""".stripMargin
+
   // --------------------------------------------------------- Q-linededup
   // Corpus-level boilerplate line removal (CCNet/RefinedWeb-style): lines
   // that repeat across more than LineMaxDf docs (nav bars, license
@@ -3659,6 +3702,7 @@ object Queries {
     "q_repetition" -> (repetition _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamJoin _),
+    "q_sbo" -> (sboQ _),
     "q_knn_ivf" -> (knnIvf _),
     "q_knn_int8" -> (knnInt8Q _),
     "q_simhash_pairs" -> (simhashPairsQ _),
@@ -3764,6 +3808,7 @@ object Queries {
     "q_repetition" -> repetitionSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_join" -> streamJoinSql,
+    "q_sbo" -> sboSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_int8" -> knnInt8Sql,
     "q_simhash_pairs" -> simhashPairsSql,

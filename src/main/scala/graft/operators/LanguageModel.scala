@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions.tokens
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -88,6 +88,92 @@ object LanguageModel {
         // strings bytewise)
         round(aggregate(transform(array_sort(col("ts")), s => s.getField("t")),
           lit(0.0), (acc, x) => acc + x) / col("n_bigrams"), 4).as("lm_score"))
+  }
+
+  /** Stupid Backoff trigram scoring (Brants et al., "Large Language
+    * Models in Machine Translation", EMNLP 2007) — the smoothing DESIGNED
+    * for distributed trillion-token pipelines: no normalization pass, no
+    * held-out tuning, just raw relative frequencies with a fixed 0.4
+    * back-off factor, which is why it's the LM-filtering shape that
+    * actually runs at 100 TB. The model is trained on the `isModel`
+    * sub-corpus and scores the REST (train-on-self makes back-off dead
+    * code — every observed trigram has count ≥ 1), so unseen trigrams
+    * genuinely fall back: trigram c3/c2, else 0.4·(bigram c2'/c1'),
+    * else 0.4²·(unigram c1''/N), else 0 (OOV word).
+    *
+    * Gate form (q_sbo): mean per-position score, same ln-free discipline
+    * as [[bigramScore]] — integer counts, one CASE over three IEEE
+    * ratios, a (w1,w2,w3)-ordered fold over per-trigram-TYPE terms. The
+    * per-position stream collapses to types with multiplicity first
+    * (the lmscore lesson), so every count join runs at type granularity.
+    * Returns (id, n_trigrams, sbo_score) for scored docs with ≥ 1
+    * trigram. */
+  def stupidBackoff(docs: DataFrame, idCol: String, textCol: String,
+                    isModel: Column, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val tri = trigrams(docs, idCol, textCol, isModel)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Model-side count tables: trigram, its bigram context (w1,w2),
+    // the back-off bigram (w2,w3), its unigram context (w2), the
+    // unigram (w3), and N — each a partial-agg rollup of the stream.
+    val m = tri.filter(col("__model"))
+    val c3 = m.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n3"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c2ctx = c3.groupBy("w1", "w2").agg(sum(col("n3")).as("n2ctx"))
+    // Back-off tables from the same trigram stream's (w2, w3) slots —
+    // counts of bigram TOKEN positions 2..n of model docs. (A doc's
+    // first bigram has no trigram row; at corpus scale the boundary
+    // terms are negligible and the oracle replays the same convention.)
+    val c2 = m.groupBy("w2", "w3").agg(count(lit(1)).as("n2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c1ctx = c2.groupBy("w2").agg(sum(col("n2")).as("n1ctx"))
+    val c1 = m.groupBy("w3").agg(count(lit(1)).as("n1"))
+    // Bounded driver read: one row, the model's token-position total.
+    val n = m.count()
+    require(n > 0, "stupidBackoff: model corpus has no trigrams")
+    val d = tri.filter(!col("__model"))
+      .groupBy(col("id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("m"))
+    val score = when(col("n3").isNotNull,
+        col("n3").cast("double") / col("n2ctx"))
+      .when(col("n2").isNotNull,
+        lit(alpha) * (col("n2").cast("double") / col("n1ctx")))
+      .when(col("n1").isNotNull,
+        lit(alpha * alpha) * (col("n1").cast("double") / n.toDouble))
+      .otherwise(lit(0.0))
+    d.join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2ctx, Seq("w1", "w2"), "left")
+      .join(c2, Seq("w2", "w3"), "left")
+      .join(c1ctx, Seq("w2"), "left")
+      .join(c1, Seq("w3"), "left")
+      .select(col("id"), col("w1"), col("w2"), col("w3"),
+        (col("m") * score).as("t"), col("m"))
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("w1"), col("w2"), col("w3"), col("t"))).as("ts"),
+        sum(col("m")).as("n_trigrams"))
+      .select(col("id"), col("n_trigrams"),
+        // (w1,w2,w3) unique per doc → total struct sort → deterministic
+        // AND oracle-replayable float fold, the bigramScore discipline
+        round(aggregate(transform(array_sort(col("ts")), s => s.getField("t")),
+          lit(0.0), (acc, x) => acc + x) / col("n_trigrams"), 4).as("sbo_score"))
+  }
+
+  /** (id, __model, w1, w2, w3) — positional trigram stream; docs with
+    * fewer than three tokens have none. Same array-side pairing and
+    * lambda-CSE projection rules as [[bigrams]]. */
+  private def trigrams(docs: DataFrame, idCol: String, textCol: String,
+                       isModel: Column): DataFrame = {
+    val tk = col("tk")
+    docs.select(col(idCol).as("id"), isModel.as("__model"),
+        tokens(col(textCol)).as("tk"))
+      .filter(size(tk) >= 3)
+      .select(col("id"), col("__model"),
+        explode(transform(sequence(lit(0), size(tk) - 3), i =>
+          struct(element_at(tk, i + 1).as("w1"),
+            element_at(tk, i + 2).as("w2"),
+            element_at(tk, i + 3).as("w3")))).as("b"))
+      .select(col("id"), col("__model"), col("b.w1").as("w1"),
+        col("b.w2").as("w2"), col("b.w3").as("w3"))
   }
 
   /** (id, w1, w2) — the bigram stream from the whitespace tokens;

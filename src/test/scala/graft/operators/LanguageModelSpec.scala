@@ -48,3 +48,46 @@ class LanguageModelSpec extends SparkSpec {
     }
   }
 }
+
+class StupidBackoffSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // model "a b c a b d": trigrams abc bca cab abd; c2ctx (a,b)=2 (b,c)=1
+  // (c,a)=1; back-off bigrams (slots 2-3) bc ca ab bd; c1ctx b=2 c=1 a=1;
+  // unigrams (slot 3) c a b d; N=4.
+  private def corpus = Seq(
+    (1L, "a b c a b d", true),
+    (10L, "a b c x", false),   // trigram hit 1/2, then full OOV → 0
+    (11L, "x a b d y", false), // backoff-bigram 0.4·(1/1), trigram 1/2, OOV
+    (12L, "q q c", false)      // backoff-unigram 0.16·(1/4)
+  ).toDF("doc_id", "text", "mdl")
+
+  test("all four back-off branches match the hand computation") {
+    val r = LanguageModel.stupidBackoff(corpus, "doc_id", "text", col("mdl"))
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq === Seq((10L, 2L, 0.25), (11L, 3L, 0.3), (12L, 1L, 0.04)))
+  }
+
+  test("model-like text outscores alien text") {
+    val docs = ((1 to 10).map(i => (i.toLong, "the cat sat on the mat", true)) ++
+      Seq((90L, "the cat sat on a rug", false),
+          (91L, "zz qq ww ee rr tt", false))).toDF("doc_id", "text", "mdl")
+    val s = LanguageModel.stupidBackoff(docs, "doc_id", "text", col("mdl"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(90L) > s(91L), s"expected near-model > alien, got $s")
+    assert(s(91L) === 0.0)
+  }
+
+  test("empty model corpus fails loudly; alpha bounds enforced") {
+    intercept[IllegalArgumentException] {
+      LanguageModel.stupidBackoff(corpus, "doc_id", "text", lit(false))
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      LanguageModel.stupidBackoff(corpus, "doc_id", "text", col("mdl"),
+        alpha = 1.5)
+    }
+  }
+}
