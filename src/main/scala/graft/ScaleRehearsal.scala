@@ -79,6 +79,12 @@ object ScaleRehearsal {
     // axis is the one full-stream (id, bucket) combine shuffle plus the
     // bucket-ordered fold — the operator's linear claim.
     "q_dsir",
+    // round-8: Stupid Backoff trigram scoring. Salting keeps each
+    // replica's trigram vocabulary disjoint; model (src0 sources exist
+    // in every replica) and scored corpora both grow Nx with flat
+    // per-type counts — the measured axis is the trigram explode, the
+    // count-table partial-aggs, and the type-granularity left joins.
+    "q_sbo",
     // round-8: PQ ANN. Per-replica sign flips preserve subvector
     // geometry; the measured axis is m·(iters+1) assignment scans over
     // the Nx corpus (k·subDim literal argmins, driver-bounded updates)

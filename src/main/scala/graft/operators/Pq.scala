@@ -106,6 +106,31 @@ object Pq {
       .drop("__adist", "code")
   }
 
+  /** IVF-PQ: the full FAISS-style composition — coarse IVF routing
+    * ([[Similarity.ivfCentroids]]/[[Similarity.ivfCell]]) narrows the
+    * search to the query's `nProbe` nearest cells, and ranking INSIDE
+    * the probed cells runs on the PQ codes by ADC. At 100 TB this is
+    * the deployable read path: the codes table is written partitioned
+    * by cell (the [[Similarity.ivfPublish]] layout at 1/64th the bytes),
+    * a query reads nProbe/nCells of an already-64x-compressed index,
+    * and per-row work is m lookups. Recall < 1 twice over (cell routing
+    * AND code quantization) — PqSpec pins agreement with brute force on
+    * separated data and the nProbe = nCells ≡ plain-ADC identity. */
+  def ivfPqKnn(emb: DataFrame, idCol: String, vecCol: String, cb: Codebook,
+               query: DataFrame, k: Int, nCells: Int, nProbe: Int,
+               carry: Seq[String] = Nil): DataFrame = {
+    val cents = Similarity.ivfCentroids(emb, idCol, vecCol, nCells)
+    val qvRaw = query.select(col(vecCol).cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val probe = Similarity.ivfProbeCells(cents, qvRaw, nProbe)
+    val withCell = emb.withColumn("__cell",
+      Similarity.ivfCell(col(vecCol), cents))
+    val codes = encode(withCell, idCol, vecCol, cb, carry = carry :+ "__cell")
+    knnAdc(codes.filter(col("__cell").isin(probe: _*)), cb,
+        quantizedQuery(query, vecCol), k)
+      .drop("__cell")
+  }
+
   /** The query's quantized-double image via the engine's own round —
     * ONE bounded driver row; keeps driver arithmetic out of the parity
     * surface entirely. */

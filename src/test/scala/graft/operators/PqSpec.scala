@@ -72,3 +72,41 @@ class PqSpec extends SparkSpec {
     }
   }
 }
+
+class IvfPqSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // same centroid-aligned fixture as PqSpec: pattern = id % 4, ids 0..19
+  private val patterns = Seq(
+    Seq(1f, 0f, 0f, 0f, 2f, 0f, 0f, 0f),
+    Seq(0f, 1f, 0f, 0f, 0f, 2f, 0f, 0f),
+    Seq(0f, 0f, 1f, 0f, 0f, 0f, 2f, 0f),
+    Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 2f))
+  private def corpus = (0 until 20).map { id =>
+    (id.toLong, patterns(id % 4), (id % 4).toLong)
+  }.toDF("vec_id", "embedding", "label")
+
+  test("nProbe = nCells reduces to plain ADC over all codes") {
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 2, k = 4, iters = 2)
+    val q = corpus.filter(col("vec_id") === 5)
+    val full = Pq.knnAdc(
+      Pq.encode(corpus, "vec_id", "embedding", cb),
+      cb, Pq.quantizedQuery(q, "embedding"), 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = Pq.ivfPqKnn(corpus, "vec_id", "embedding", cb, q, 8,
+        nCells = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf === full)
+  }
+
+  test("probed search finds the query's own pattern copies first") {
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 2, k = 4, iters = 2)
+    val q = corpus.filter(col("vec_id") === 2) // pattern 2
+    val top = Pq.ivfPqKnn(corpus, "vec_id", "embedding", cb, q, 5,
+        nCells = 4, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top === Set(2L, 6L, 10L, 14L, 18L),
+      s"expected the five pattern-2 rows, got $top")
+  }
+}
