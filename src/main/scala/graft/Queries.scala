@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps, QualityRules}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, AsOf, Bpe, Catalog, Clustering, Dedup, Dsir, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Pq, Sequencing, Shards, Similarity, Skew, Stats}
+import graft.operators.{Align, AsOf, Bpe, Catalog, Clustering, Dedup, Dsir, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Pq, Sequencing, Shards, Similarity, Sketches, Skew, Stats}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1208,6 +1208,52 @@ object Queries {
        |       CAST(count(*) AS BIGINT) AS n
        |FROM lineitem WHERE l_extendedprice IS NOT NULL
        |GROUP BY 1, 2 ORDER BY flag, bin""".stripMargin
+
+  // --------------------------------------------------------------- Q-cms
+  // Count-min sketch point queries (Sketches.cmsBuild/cmsEstimate): the
+  // bounded-memory frequency summary — depth×width counters, estimate =
+  // min over hash rows, never an underestimate. The probes are the ten
+  // most frequent tokens ((count DESC, tok) — deterministic), carried
+  // next to their EXACT counts so the gate verifies both the cell
+  // arithmetic and the min-fold against an independent full histogram.
+  // Scale shape: the build shuffle is bounded by the sketch size
+  // (map-side combine to ≤ depth·width rows per partition), the probe
+  // join broadcasts the sketch. Hashes are sha256-derived, so DuckDB
+  // replays every cell assignment bit-for-bit.
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+
+  def cmsQ(s: SparkSession, dir: String): DataFrame = {
+    val tok = load(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+    val exact = tok.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+    val probes = exact.orderBy(col("n_exact").desc, col("tok")).limit(10)
+    val sk = Sketches.cmsBuild(tok, "tok", CmsDepth, CmsWidth)
+    Sketches.cmsEstimate(probes, "tok", sk, CmsDepth, CmsWidth)
+      .join(broadcast(probes), "tok")
+      .select(col("tok"), col("est"), col("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok"))
+  }
+
+  private val cmsSql = {
+    def cell(v: String) =
+      s"${sqlSh32(s"concat(j, ':', $v)")} % $CmsWidth"
+    s"""WITH tok AS (SELECT unnest($SqlToks) AS tok FROM documents),
+       |ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+       |       FROM tok GROUP BY tok),
+       |probes AS (SELECT tok, n_exact FROM ex
+       |           ORDER BY n_exact DESC, tok LIMIT 10),
+       |cells AS (SELECT t.tok, j, ${cell("t.tok")} AS cell
+       |          FROM tok t, generate_series(0, ${CmsDepth - 1}) AS g(j)),
+       |sk AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS n
+       |       FROM cells GROUP BY j, cell),
+       |pc AS (SELECT p.tok, p.n_exact, g.j, ${cell("p.tok")} AS cell
+       |       FROM probes p, generate_series(0, ${CmsDepth - 1}) AS g(j))
+       |SELECT pc.tok, min(coalesce(sk.n, 0)) AS est, pc.n_exact
+       |FROM pc LEFT JOIN sk ON pc.j = sk.j AND pc.cell = sk.cell
+       |GROUP BY pc.tok, pc.n_exact
+       |ORDER BY pc.n_exact DESC, pc.tok""".stripMargin
+  }
 
   // --------------------------------------------------------- Q-groupsample
   // Per-source deterministic k-sample (Stats.groupSample): the "cap every
@@ -3714,6 +3760,7 @@ object Queries {
     "q_quantiles" -> (quantilesQ _),
     "q_range" -> (rangeQ _),
     "q_histogram" -> (histogramQ _),
+    "q_cms" -> (cmsQ _),
     "q_groupsample" -> (groupSampleQ _),
     "q_mix" -> (mixQ _),
     "q_bpe" -> (bpeQ _),
@@ -3820,6 +3867,7 @@ object Queries {
     "q_quantiles" -> quantilesSql,
     "q_range" -> rangeSql,
     "q_histogram" -> histogramSql,
+    "q_cms" -> cmsSql,
     "q_groupsample" -> groupSampleSql,
     "q_mix" -> mixSql,
     "q_bpe" -> bpeSql,

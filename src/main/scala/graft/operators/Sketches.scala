@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.functions.TextFunctions.shaHash32
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch — the bounded-memory frequency summary for token /
+  * URL / n-gram streams (Cormode & Muthukrishnan, J.Alg 2005): `depth`
+  * independent hash rows of `width` counters; an item's estimate is the
+  * MIN over its `depth` cells, which never underestimates and
+  * overestimates by at most εn with probability 1−δ (ε = e/width,
+  * δ = e^−depth).
+  *
+  * Where [[Stats.heavyHitters]] (Misra–Gries) answers "which values are
+  * frequent", the CMS answers point queries — "how often did THIS value
+  * occur" — for values chosen after the pass, without keeping the
+  * full exact histogram that q_vocab's groupBy materializes.
+  *
+  * Scale shape: the build is ONE partial-aggregated groupBy over
+  * depth·n (row, cell) pairs — map-side combine collapses each
+  * partition to at most depth·width rows before the shuffle, so the
+  * exchanged volume is bounded by the sketch size (depth·width
+  * counters), not the corpus. Estimates join probes against the
+  * sketch on (row, cell) — the sketch side is tiny and broadcasts.
+  *
+  * Hashes are sha256-derived ([[graft.functions.TextFunctions
+  * .shaHash32]] over a "row:value" key), so any engine — the DuckDB
+  * gate included — replays every cell assignment bit-for-bit; there is
+  * no seed state to ship to 1000 executors.
+  */
+object Sketches {
+  /** Cell index of `v` in hash row `row`: shaHash32("row:v") mod width
+    * (the 32-bit hash is non-negative, so `%` is a true mod in both
+    * Spark and any ANSI oracle). */
+  def cmsCell(v: Column, row: Int, width: Int): Column =
+    shaHash32(concat(lit(s"$row:"), v)) % width
+
+  /** Build the sketch over `valCol` (nulls excluded): one row per
+    * OCCUPIED (row, cell) with its BIGINT count — empty cells are
+    * implicit zeros, so the result is at most depth·width rows no
+    * matter the corpus size. */
+  def cmsBuild(df: DataFrame, valCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, s"need depth>=1, width>=1; got $depth/$width")
+    val cells = array((0 until depth).map { j =>
+      struct(lit(j).as("row"), cmsCell(col(valCol), j, width).as("cell"))
+    }: _*)
+    df.filter(col(valCol).isNotNull)
+      .select(explode(cells).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Point-query estimates for `probes` (a column `probeCol` of values):
+    * est = min over hash rows of the matching cell count, 0 when a cell
+    * was never touched. `sketch` must come from [[cmsBuild]] with the
+    * SAME depth/width. The sketch is at most depth·width rows, so the
+    * join side is explicitly broadcast — probing never shuffles the
+    * probe set. */
+  def cmsEstimate(probes: DataFrame, probeCol: String, sketch: DataFrame,
+                  depth: Int, width: Int): DataFrame = {
+    val cells = array((0 until depth).map { j =>
+      struct(lit(j).as("row"), cmsCell(col(probeCol), j, width).as("cell"))
+    }: _*)
+    probes.filter(col(probeCol).isNotNull)
+      .select(col(probeCol), explode(cells).as("rc"))
+      .join(broadcast(sketch),
+        col("rc.row") === sketch("row") && col("rc.cell") === sketch("cell"),
+        "left")
+      .groupBy(col(probeCol))
+      // every probe has exactly `depth` rows; a missed cell is count 0
+      .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+  }
+}
