@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps, QualityRules}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, AsOf, Bpe, Catalog, Clustering, Dedup, Dsir, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Pq, Sequencing, Shards, Similarity, Sketches, Skew, Stats}
+import graft.operators.{Align, AsOf, Bpe, Catalog, Clustering, Dedup, Dsir, Featurize, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Pq, Sequencing, Shards, Similarity, Sketches, Skew, Stats}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1254,6 +1254,46 @@ object Queries {
        |GROUP BY pc.tok, pc.n_exact
        |ORDER BY pc.n_exact DESC, pc.tok""".stripMargin
   }
+
+  // --------------------------------------------------------- Q-hashembed
+  // Feature-hashing text embedding (Featurize.hashEmbed): signed hashed
+  // token counts into a fixed dim — the model-free bootstrap vector for
+  // ANN / near-dup / clustering over a corpus with no model embeddings
+  // yet. Integer components end-to-end (no float accumulation hazard);
+  // bucket and sign come from independent sha256-derived hashes, so the
+  // oracle rebuilds every vector bit-for-bit from the raw text. The
+  // vector rides the gate as a comma-joined string (array columns
+  // compare unreliably across engines — same convention as q_invindex's
+  // postings); sqnorm pins the arithmetic fold.
+  private val HashEmbedDim = 16
+
+  def hashEmbedQ(s: SparkSession, dir: String): DataFrame =
+    Featurize.hashEmbed(load(s, dir, "documents"), "doc_id",
+        tokens(col("text")), HashEmbedDim)
+      .select(col("id").as("doc_id"),
+        array_join(transform(col("vec"), _.cast("string")), ",").as("vec"),
+        col("sqnorm"))
+      .orderBy("doc_id")
+
+  private val hashEmbedSql =
+    s"""WITH tok AS (SELECT doc_id AS id, unnest($SqlToks) AS tok FROM documents),
+       |c AS (SELECT id, ${sqlSh32("concat('e:', tok)")} % $HashEmbedDim AS d,
+       |        CASE WHEN ${sqlSh32("concat('s:', tok)")} % 2 = 0
+       |             THEN 1 ELSE -1 END AS sgn
+       |      FROM tok),
+       |dims AS (SELECT id, d, CAST(sum(sgn) AS BIGINT) AS v
+       |         FROM c GROUP BY id, d),
+       |grid AS (SELECT doc_id AS id, i
+       |         FROM documents, generate_series(0, ${HashEmbedDim - 1}) AS g(i)),
+       |fullg AS (SELECT grid.id, grid.i, coalesce(dims.v, 0) AS v
+       |          FROM grid LEFT JOIN dims
+       |            ON grid.id = dims.id AND grid.i = dims.d),
+       |vecs AS (SELECT id, list(v ORDER BY i) AS vec FROM fullg GROUP BY id)
+       |SELECT id AS doc_id, array_to_string(vec, ',') AS vec,
+       |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |              list_transform(vec, x -> x * x)),
+       |            (a, x) -> a + x) AS BIGINT) AS sqnorm
+       |FROM vecs ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------- Q-groupsample
   // Per-source deterministic k-sample (Stats.groupSample): the "cap every
@@ -3761,6 +3801,7 @@ object Queries {
     "q_range" -> (rangeQ _),
     "q_histogram" -> (histogramQ _),
     "q_cms" -> (cmsQ _),
+    "q_hashembed" -> (hashEmbedQ _),
     "q_groupsample" -> (groupSampleQ _),
     "q_mix" -> (mixQ _),
     "q_bpe" -> (bpeQ _),
@@ -3868,6 +3909,7 @@ object Queries {
     "q_range" -> rangeSql,
     "q_histogram" -> histogramSql,
     "q_cms" -> cmsSql,
+    "q_hashembed" -> hashEmbedSql,
     "q_groupsample" -> groupSampleSql,
     "q_mix" -> mixSql,
     "q_bpe" -> bpeSql,

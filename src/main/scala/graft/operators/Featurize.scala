@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.functions.TextFunctions.shaHash32
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-free text featurization: the feature-hashing trick (Weinberger
+  * et al., ICML'09) — every token is hashed to one of `dim` buckets with
+  * a ±1 sign from a second independent hash, and a document's vector is
+  * the signed token-count sum per bucket. Unbiased inner-product
+  * preservation comes from the sign hash; no vocabulary, no training, no
+  * model artifact to ship — which is what makes it the bootstrap
+  * embedding for ANN / near-dup / clustering over a corpus that has no
+  * model-generated embeddings yet (every Similarity/Clustering operator
+  * downstream accepts these vectors after a cast to float).
+  *
+  * Scale shape: one explode over tokens, ONE partial-aggregated groupBy
+  * on (id, bucket) — map-side combine caps each partition's shuffle
+  * contribution at dim rows per doc — then a groupBy(id) that assembles
+  * the dense vector (at most dim entries per doc). Everything before
+  * the first shuffle is scan-stage codegen; vectors are integers, so
+  * there is no float accumulation-order hazard anywhere.
+  *
+  * Hashes are sha256-derived ([[graft.functions.TextFunctions
+  * .shaHash32]]) with distinct "e:"/"s:" key prefixes for bucket and
+  * sign, so any engine replays the exact vectors — the same
+  * cross-engine-portability contract as [[Sketches]].
+  */
+object Featurize {
+  /** Bucket of `tok` in a `dim`-wide hashed feature space. */
+  def hashDim(tok: Column, dim: Int): Column =
+    shaHash32(concat(lit("e:"), tok)) % dim
+
+  /** ±1 sign of `tok` (independent hash — "s:" prefix). */
+  def hashSign(tok: Column): Column =
+    when(shaHash32(concat(lit("s:"), tok)) % 2 === 0, lit(1L)).otherwise(lit(-1L))
+
+  /** (id, vec: array<bigint> of length `dim`, sqnorm): signed hashed
+    * token counts, multiplicity included. Every input row keeps a row —
+    * a doc with no tokens embeds as the zero vector (the left join back
+    * to the id spine), so downstream joins never silently drop docs. */
+  def hashEmbed(docs: DataFrame, idCol: String, tokCol: Column,
+                dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val comps = docs
+      .select(col(idCol).as("id"), explode(tokCol).as("tok"))
+      .select(col("id"), hashDim(col("tok"), dim).as("d"),
+        hashSign(col("tok")).as("sgn"))
+      .groupBy("id", "d").agg(sum("sgn").as("v"))
+    val vecs = comps.groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("d"), col("v")))).as("m"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L))).as("vec"))
+    docs.select(col(idCol).as("id")).join(vecs, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("vec"), array_repeat(lit(0L), dim)).as("vec"))
+      .withColumn("sqnorm",
+        aggregate(col("vec"), lit(0L), (a, x) => a + x * x))
+  }
+
+  /** The hashed vector as array<float> — the shape every ANN /
+    * clustering operator in [[Similarity]]/[[Clustering]] consumes. */
+  def asFloatVec(vec: Column): Column = transform(vec, _.cast("float"))
+}
