@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps, QualityRules}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, AsOf, Bpe, Catalog, Clustering, Dedup, Dsir, Featurize, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Pq, Sequencing, Shards, Similarity, Sketches, Skew, Stats}
+import graft.operators.{Align, AsOf, Bpe, Catalog, Classify, Clustering, Dedup, Dsir, Featurize, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Pq, Sequencing, Shards, Similarity, Sketches, Skew, Stats}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -858,10 +858,27 @@ object Queries {
     QualityRules.flags(load(s, dir, "documents"), "doc_id", "text")
       .orderBy("id")
 
-  private val gopherSql = {
+  /** The seven Gopher rule predicates over the `m` metrics CTE — shared
+    * between q_gopher (which reports each flag) and q_classify (which
+    * uses their AND as the pseudo-label). */
+  private val SqlGopherConds: Seq[(String, String)] = Seq(
+    "r_word_count" -> "(n_words >= 3 AND n_words <= 100000)",
+    "r_mean_word_len" -> "(total_chars >= n_words * 3 AND total_chars <= n_words * 10)",
+    "r_symbol_ratio" -> "((n_hash + n_ell) * 10 <= n_words)",
+    "r_bullet_lines" -> "(n_bul * 10 <= n_lines * 9)",
+    "r_ellipsis_lines" -> "(n_ee * 10 <= n_lines * 3)",
+    "r_alpha_words" -> "(n_alpha * 5 >= n_words * 4)",
+    "r_stopwords" -> "(n_stop >= 2)")
+
+  private val SqlGopherKeepExpr =
+    SqlGopherConds.map(_._2).mkString("(", "\n    AND ", ")")
+
+  /** CTE body (no WITH prefix): `t` raw arrays, `m` per-doc integer
+    * metrics — everything the rule predicates read. */
+  private lazy val SqlGopherBody = {
     val stopList = QualityRules.MustHaveStopwords
       .map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH t AS (SELECT doc_id AS id, text, $SqlToks AS tk,
+    s"""t AS (SELECT doc_id AS id, text, $SqlToks AS tk,
        |             string_split(text, chr(10)) AS ln FROM documents),
        |m AS (SELECT id,
        |  CAST(len(tk) AS BIGINT) AS n_words,
@@ -876,24 +893,73 @@ object Queries {
        |  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
        |  CAST(len(list_intersect(list_distinct(list_transform(tk, x -> lower(x))),
        |    $stopList)) AS BIGINT) AS n_stop
-       |  FROM t)
-       |SELECT id, n_words,
-       |  (n_words >= 3 AND n_words <= 100000) AS r_word_count,
-       |  (total_chars >= n_words * 3 AND total_chars <= n_words * 10) AS r_mean_word_len,
-       |  ((n_hash + n_ell) * 10 <= n_words) AS r_symbol_ratio,
-       |  (n_bul * 10 <= n_lines * 9) AS r_bullet_lines,
-       |  (n_ee * 10 <= n_lines * 3) AS r_ellipsis_lines,
-       |  (n_alpha * 5 >= n_words * 4) AS r_alpha_words,
-       |  (n_stop >= 2) AS r_stopwords,
-       |  ((n_words >= 3 AND n_words <= 100000)
-       |    AND (total_chars >= n_words * 3 AND total_chars <= n_words * 10)
-       |    AND ((n_hash + n_ell) * 10 <= n_words)
-       |    AND (n_bul * 10 <= n_lines * 9)
-       |    AND (n_ee * 10 <= n_lines * 3)
-       |    AND (n_alpha * 5 >= n_words * 4)
-       |    AND (n_stop >= 2)) AS keep
-       |FROM m ORDER BY id""".stripMargin
+       |  FROM t)""".stripMargin
   }
+
+  private lazy val gopherSql =
+    s"""WITH $SqlGopherBody
+       |SELECT id, n_words,
+       |${SqlGopherConds.map { case (n, c) => s"  $c AS $n," }.mkString("\n")}
+       |  $SqlGopherKeepExpr AS keep
+       |FROM m ORDER BY id""".stripMargin
+
+  // ---------------------------------------------------------- Q-classify
+  // Learned filter (Classify): binary Naive Bayes trained on a boolean
+  // doc label — here lang='en' (balanced on this corpus and genuinely
+  // token-learnable: the LEARNED twin of q_langid's fixed-stopword
+  // heuristic, which is exactly how a pipeline upgrades rule-based
+  // language/quality filters to trained ones) — train on doc_id % 5 ≠ 0,
+  // score the held-out doc_id % 5 = 0 fold. GATE form is the
+  // integer-vote path: every decision is an exact BIGINT
+  // cross-multiplication, so the oracle retrains the whole model from
+  // the raw corpus and replays every vote bit-for-bit. The ln log-odds
+  // twin (Classify.logScore) is the deployable scorer, spec-pinned.
+  def classifyQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val labeled = docs.select(col("doc_id"), col("text"),
+      (col("lang") === "en").as("y"))
+    val train = labeled.filter(col("doc_id") % 5 =!= 0)
+    val testFold = labeled.filter(col("doc_id") % 5 === 0)
+    val (model, tot) = Classify.trainNaiveBayes(train,
+      tokens(col("text")), col("y"))
+    Classify.voteScore(testFold, "doc_id", tokens(col("text")), model, tot)
+      .join(testFold.select(col("doc_id").as("id"), col("y").as("actual")), Seq("id"))
+      .select(col("id").as("doc_id"), col("pos_votes"), col("neg_votes"),
+        col("pred"), col("actual"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val classifySql =
+    s"""WITH lab AS (SELECT doc_id AS id, lang = 'en' AS y FROM documents),
+       |dt AS (SELECT doc_id AS id, unnest(list_distinct($SqlToks)) AS tok
+       |       FROM documents),
+       |tr AS (SELECT dt.id, dt.tok, lab.y FROM dt JOIN lab USING (id)
+       |       WHERE dt.id % 5 != 0),
+       |model AS (SELECT tok,
+       |            CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+       |            CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+       |          FROM tr GROUP BY tok),
+       |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+       |               CAST(sum(c_neg) AS BIGINT) AS n_neg,
+       |               CAST(count(*) AS BIGINT) AS v
+       |        FROM model),
+       |te AS (SELECT id, tok FROM dt WHERE id % 5 = 0),
+       |votes AS (SELECT te.id,
+       |            CASE WHEN (c_pos + 1) * (n_neg + v) > (c_neg + 1) * (n_pos + v) THEN 1
+       |                 WHEN (c_pos + 1) * (n_neg + v) < (c_neg + 1) * (n_pos + v) THEN -1
+       |                 ELSE 0 END AS vote
+       |          FROM te JOIN model USING (tok), tot),
+       |agg AS (SELECT id,
+       |          CAST(sum(CASE WHEN vote = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos_votes,
+       |          CAST(sum(CASE WHEN vote = -1 THEN 1 ELSE 0 END) AS BIGINT) AS neg_votes
+       |        FROM votes GROUP BY id)
+       |SELECT lab.id AS doc_id,
+       |       coalesce(agg.pos_votes, 0) AS pos_votes,
+       |       coalesce(agg.neg_votes, 0) AS neg_votes,
+       |       coalesce(agg.pos_votes, 0) >= coalesce(agg.neg_votes, 0) AS pred,
+       |       lab.y AS actual
+       |FROM lab LEFT JOIN agg ON lab.id = agg.id
+       |WHERE lab.id % 5 = 0 ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------- Q-quality
   // Quality scoring: length / punctuation / stopword ratios.
@@ -3802,6 +3868,7 @@ object Queries {
     "q_histogram" -> (histogramQ _),
     "q_cms" -> (cmsQ _),
     "q_hashembed" -> (hashEmbedQ _),
+    "q_classify" -> (classifyQ _),
     "q_groupsample" -> (groupSampleQ _),
     "q_mix" -> (mixQ _),
     "q_bpe" -> (bpeQ _),
@@ -3910,6 +3977,7 @@ object Queries {
     "q_histogram" -> histogramSql,
     "q_cms" -> cmsSql,
     "q_hashembed" -> hashEmbedSql,
+    "q_classify" -> classifySql,
     "q_groupsample" -> groupSampleSql,
     "q_mix" -> mixSql,
     "q_bpe" -> bpeSql,
