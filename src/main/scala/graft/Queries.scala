@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps, QualityRules}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, AsOf, Bpe, Catalog, Classify, Clustering, Dedup, Dsir, Featurize, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Pq, Sequencing, Shards, Similarity, Sketches, Skew, Stats}
+import graft.operators.{Align, AsOf, Bpe, Catalog, Classify, Clustering, Dedup, Dsir, Featurize, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Pq, Retrieval, Sequencing, Shards, Similarity, Sketches, Skew, Stats}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1982,6 +1982,109 @@ object Queries {
        |FROM sc GROUP BY id
        |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
 
+  // ---------------------------------------------------------------- Q-rrf
+  // Hybrid retrieval (Retrieval.rrfFuse): reciprocal-rank fusion of a
+  // lexical arm and a semantic arm per query — the standard RAG
+  // combination of incomparable score scales via ranks only. Queries are
+  // the doc_id % 97 = 0 docs (same spine as q_mmr). Lexical arm: the
+  // RrfTerms globally-rarest distinct tokens of the query doc ((df, tok)
+  // — deterministic), scoring candidates by Σ (tf·10⁶ div dl) — pure
+  // BIGINT query-likelihood, no floats. Semantic arm: 4-decimal cosine
+  // against the query embedding. Fused score 1/(60+r_lex) + 1/(60+r_sem)
+  // is two IEEE divisions summed in fixed order — both engines compute
+  // the identical double, so the fused ORDER replays exactly. The gate
+  // arms are the oracle-expressible brute forms; a deployment feeds
+  // bm25TopN and ivfKnnIndexed into the same rrfFuse (arm-agnostic).
+  private val RrfK = 60
+  private val RrfArmN = 20
+  private val RrfTopK = 10
+  private val RrfTerms = 3
+
+  def rrfQ(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val wByQid = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+    val docs = load(s, dir, "documents")
+    val tok = docs.select(col("doc_id").as("id"),
+      explode(tokens(col("text"))).as("tok"))
+    val tf = tok.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("id").agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val qids = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"))
+    val qterms = tf.join(broadcast(qids), tf("id") === qids("qid"))
+      .join(df, "tok")
+      .withColumn("rn", row_number().over(
+        wByQid.orderBy(col("df"), col("tok"))))
+      .filter(col("rn") <= RrfTerms).select("qid", "tok")
+    val lex = broadcast(qterms).join(tf, "tok")
+      .filter(col("id") =!= col("qid"))
+      .join(dl, "id")
+      .groupBy("qid", "id")
+      .agg(sum(expr("(tf * 1000000) div dl")).as("score"))
+      .withColumn("rank", row_number().over(
+        wByQid.orderBy(col("score").desc, col("id"))).cast("long"))
+      .filter(col("rank") <= RrfArmN).select("qid", "id", "rank")
+    val emb = load(s, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val sem = emb.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        round(Similarity.cosine(col("embedding"), col("qv")), 4).as("sim"))
+      .withColumn("rank", row_number().over(
+        wByQid.orderBy(col("sim").desc, col("id"))).cast("long"))
+      .filter(col("rank") <= RrfArmN).select("qid", "id", "rank")
+    Retrieval.rrfFuse(lex, sem, RrfK, RrfTopK)
+      .select(col("qid"), col("id").as("doc_id"), col("rank"),
+        round(col("rrf"), 6).as("rrf"), col("rank_lex"), col("rank_sem"))
+      .orderBy("qid", "rank")
+  }
+
+  private lazy val rrfSql = {
+    def cos(x: String, y: String) =
+      s"round(${sqlEmbDot(x, y)} / (sqrt(${sqlEmbDot(x, x)}) * sqrt(${sqlEmbDot(y, y)})), 4)"
+    s"""WITH tok AS (SELECT doc_id AS id, unnest($SqlToks) AS tok FROM documents),
+       |tf AS (SELECT id, tok, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tok GROUP BY id, tok),
+       |dl AS (SELECT id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY id),
+       |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+       |qids AS (SELECT doc_id AS qid FROM documents WHERE doc_id % 97 = 0),
+       |qterms AS (SELECT qid, tok FROM (
+       |    SELECT q.qid, tf.tok,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY df.df, tf.tok) AS rn
+       |    FROM qids q JOIN tf ON q.qid = tf.id JOIN df USING (tok))
+       |  WHERE rn <= $RrfTerms),
+       |lex0 AS (SELECT qt.qid, tf.id,
+       |           CAST(sum((tf.tf * 1000000) // dl.dl) AS BIGINT) AS score
+       |         FROM qterms qt JOIN tf USING (tok) JOIN dl ON tf.id = dl.id
+       |         WHERE tf.id != qt.qid GROUP BY qt.qid, tf.id),
+       |lex AS (SELECT qid, id, rnk AS rank_lex FROM (
+       |    SELECT qid, id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rnk
+       |    FROM lex0) WHERE rnk <= $RrfArmN),
+       |qv AS (SELECT vec_id AS qid, embedding AS qv
+       |       FROM embeddings WHERE vec_id % 97 = 0),
+       |sem0 AS (SELECT qv.qid, e.vec_id AS id, ${cos("e.embedding", "qv.qv")} AS sim
+       |         FROM embeddings e CROSS JOIN qv WHERE e.vec_id != qv.qid),
+       |sem AS (SELECT qid, id, rnk AS rank_sem FROM (
+       |    SELECT qid, id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+       |    FROM sem0) WHERE rnk <= $RrfArmN),
+       |fused AS (SELECT coalesce(lex.qid, sem.qid) AS qid,
+       |            coalesce(lex.id, sem.id) AS id, lex.rank_lex, sem.rank_sem,
+       |            coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + lex.rank_lex),
+       |                     CAST(0.0 AS DOUBLE))
+       |              + coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + sem.rank_sem),
+       |                         CAST(0.0 AS DOUBLE)) AS rrf0
+       |          FROM lex FULL OUTER JOIN sem
+       |            ON lex.qid = sem.qid AND lex.id = sem.id)
+       |SELECT qid, doc_id, "rank", rrf, rank_lex, rank_sem FROM (
+       |  SELECT qid, id AS doc_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY rrf0 DESC, id) AS "rank",
+       |         round(rrf0, 6) AS rrf, rank_lex, rank_sem
+       |  FROM fused) WHERE "rank" <= $RrfTopK ORDER BY qid, "rank"""".stripMargin
+  }
+
   // --------------------------------------------------------- Q-bucketjoin
   // Bucketed co-located join — the fact-to-fact join shape that survives
   // 100 TB: both sides are published bucketed AND sorted by the join key
@@ -3883,6 +3986,7 @@ object Queries {
     "q_index_refresh" -> (indexRefreshQ _),
     "q_search" -> (searchQ _),
     "q_bm25" -> (bm25Q _),
+    "q_rrf" -> (rrfQ _),
     "q_bucketjoin" -> (bucketJoin _),
     "q_partprune" -> (partPrune _),
     "q_linededup" -> (lineDedup _),
@@ -3992,6 +4096,7 @@ object Queries {
     "q_index_refresh" -> invIndexSql, // refresh must equal the full rebuild
     "q_search" -> searchSql,
     "q_bm25" -> bm25Sql,
+    "q_rrf" -> rrfSql,
     "q_bucketjoin" -> bucketJoinSql,
     "q_partprune" -> partPruneSql,
     "q_linededup" -> lineDedupSql,
