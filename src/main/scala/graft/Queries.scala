@@ -3479,6 +3479,52 @@ object Queries {
       |       CAST(count(*) AS BIGINT) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- Q-html
+  // Web-corpus text extraction (TextFunctions.stripHtml/extractLinks):
+  // each doc is rendered into a full HTML page (script/style subtrees,
+  // comments, entities, cased HREF attributes, a messy outlink), then
+  // stripped back to text and its outlinks canonicalized — the
+  // fetch→extract stage of a crawl pipeline, render→parse gate style
+  // (q_dicom/q_mail precedent). The oracle does NOT replay the strip
+  // regexps: body and links are derived INDEPENDENTLY from the seed
+  // columns, so a stage that ate a word, double-decoded an entity, or
+  // leaked script text diverges the hash. All stages are staged
+  // RE2-portable global regexps — scan-stage codegen at 100 TB, no
+  // shuffle at all until the presentation sort.
+  def htmlQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{stripHtml, extractLinks, canonicalizeUrl}
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><script>var x = 1 && 2; /* junk */</script>"),
+      lit("<style>p { color: #000; }</style></head><body>"),
+      lit("<!-- nav boilerplate --><h1>"), col("source"),
+      lit(" &amp; friends</h1><p>"), col("text"),
+      lit("</p><ul><li><a HREF=\"HTTP://Example.com:80/d/"),
+      col("doc_id").cast("string"),
+      lit("?utm_source=feed&ref=1#frag\">more</a></li>"),
+      lit("<li><a href=\"https://example.org/about\">about</a></li>"),
+      lit("</ul></body></html>"))
+    load(s, dir, "documents")
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"), stripHtml(col("html")).as("body"),
+        extractLinks(col("html")).as("links"))
+      .select(col("doc_id"), col("body"),
+        size(col("links")).cast("long").as("n_links"),
+        array_join(transform(col("links"), canonicalizeUrl(_)), ",").as("links"))
+      .orderBy("doc_id")
+  }
+
+  private val htmlSql =
+    """SELECT doc_id,
+      |       trim(regexp_replace(
+      |         'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || source ||
+      |         ' & friends ' || text || ' more about',
+      |         '\s+', ' ', 'g')) AS body,
+      |       CAST(2 AS BIGINT) AS n_links,
+      |       'http://example.com/d/' || CAST(doc_id AS VARCHAR) ||
+      |         '?ref=1,https://example.org/about' AS links
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ Q-pathnorm
   // J11/S12: metadata↔payload join on normalized relative paths (./ and
   // // noise on the meta side; every 13th file lives elsewhere) + the
@@ -4003,6 +4049,7 @@ object Queries {
     "q_dicom" -> (dicomQ _),
     "q_mail" -> (mailQ _),
     "q_urlnorm" -> (urlNorm _),
+    "q_html" -> (htmlQ _),
     "q_skew" -> (skewQ _))
 
   val oracles: Map[String, String] = Map(
@@ -4113,5 +4160,6 @@ object Queries {
     "q_dicom" -> dicomSql,
     "q_mail" -> mailSql,
     "q_urlnorm" -> urlNormSql,
+    "q_html" -> htmlSql,
     "q_skew" -> skewSql)
 }

@@ -86,6 +86,46 @@ object TextFunctions {
     * (requires [[graft.GraftExtensions]] on the session). */
   def nfc(text: Column): Column = call_function("nfc_normalize", text)
 
+  // ----------------------------------------------------------------- HTML
+  // Web-corpus text extraction — the stage every pretraining pipeline
+  // runs between fetch and quality filtering. Same portability contract
+  // as redactPii: staged global regexps restricted to syntax Java regex
+  // and RE2 read identically ((?is) inline flags, lazy quantifiers,
+  // char classes — no lookaround), so the whole extraction is
+  // scan-stage codegen at 100 TB and an oracle engine can replay it.
+
+  /** Decode the six entities that matter for token statistics. Ordering
+    * is load-bearing: `&amp;` decodes LAST so `&amp;lt;` becomes the
+    * literal `&lt;` (single decode, never double). */
+  def decodeEntities(t: Column): Column = {
+    val steps = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    // entity names contain no regex metacharacters, so the patterns are
+    // literal in Java regex AND RE2 alike (no \Q..\E needed)
+    steps.foldLeft(t) { case (c, (from, to)) => regexp_replace(c, from, to) }
+  }
+
+  /** HTML → text: drop script/style SUBTREES (content and all), then
+    * comments, then every remaining tag, decode entities, collapse
+    * whitespace. Regexp-staged boilerplate removal, not a DOM parse —
+    * the trafilatura-lite tradeoff every crawl pipeline makes when the
+    * corpus is too big to parse. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
+  }
+
+  /** href attribute values (double-quoted form, attribute name
+    * case-insensitive) in document order — the outlink side of a crawl
+    * frontier / link-graph build; feed through [[canonicalizeUrl]]
+    * before keying. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1))
+
   /** Canonical URL for dedup keying — the standard web-corpus cleanup:
     * lowercase scheme+authority, strip the fragment, strip default ports
     * (http:80 / https:443), drop tracking params (utm_*, fbclid, gclid,
