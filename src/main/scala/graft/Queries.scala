@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps, QualityRules}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, AsOf, Bpe, Catalog, Classify, Clustering, Dedup, Dsir, Featurize, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Pq, Retrieval, Sequencing, Shards, Similarity, Sketches, Skew, Stats}
+import graft.operators.{Align, AsOf, Bpe, Catalog, Classify, Clustering, Dedup, Dsir, Featurize, Graph, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Pq, Retrieval, Sequencing, Shards, Similarity, Sketches, Skew, Stats}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -3525,6 +3525,53 @@ object Queries {
       |         '?ref=1,https://example.org/about' AS links
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ Q-pagerank
+  // Link-graph centrality (Graph.pageRank): fixed-point integer
+  // PageRank, 3 rounds over the bipartite order↔part multigraph from
+  // lineitem (both directions, so no node dangles). Every step is exact
+  // BIGINT arithmetic — contrib = pr div out-degree, damped update =
+  // base + (85·Σ) div 100 — so the oracle replays all three rounds as
+  // unrolled CTEs and the ranks match bit-for-bit. Top-20 by (pr, node).
+  private val PrIters = 3
+  private val PrScale = 1000000L
+  private val PrTop = 20
+
+  def pageRankQ(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+    val fwd = li.select(
+      concat(lit("o"), col("l_orderkey").cast("string")).as("src"),
+      concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRank(edges, "src", "dst", PrIters, PrScale)
+      .orderBy(col("pr").desc, col("node")).limit(PrTop)
+  }
+
+  private lazy val pageRankSql = {
+    val base = (PrScale * 15L) / 100L
+    def iter(prev: String): String =
+      s"""SELECT n.node, $base + (85 * coalesce(s.s, 0)) // 100 AS pr
+         |FROM prnodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(p.pr // o.outd) AS BIGINT) AS s
+         |    FROM pre e JOIN $prev p ON e.src = p.node
+         |         JOIN proutd o ON e.src = o.node
+         |    GROUP BY e.dst) s ON n.node = s.node""".stripMargin
+    s"""WITH pre AS (
+       |  SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+       |         'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem
+       |  UNION ALL
+       |  SELECT 'p' || CAST(l_partkey AS VARCHAR),
+       |         'o' || CAST(l_orderkey AS VARCHAR) FROM lineitem),
+       |prnodes AS (SELECT src AS node FROM pre UNION SELECT dst FROM pre),
+       |proutd AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outd
+       |           FROM pre GROUP BY src),
+       |pr0 AS (SELECT node, CAST($PrScale AS BIGINT) AS pr FROM prnodes),
+       |pr1 AS (${iter("pr0")}),
+       |pr2 AS (${iter("pr1")}),
+       |pr3 AS (${iter("pr2")})
+       |SELECT node, CAST(pr AS BIGINT) AS pr FROM pr3
+       |ORDER BY pr DESC, node LIMIT $PrTop""".stripMargin
+  }
+
   // ------------------------------------------------------------ Q-pathnorm
   // J11/S12: metadata↔payload join on normalized relative paths (./ and
   // // noise on the meta side; every 13th file lives elsewhere) + the
@@ -4050,6 +4097,7 @@ object Queries {
     "q_mail" -> (mailQ _),
     "q_urlnorm" -> (urlNorm _),
     "q_html" -> (htmlQ _),
+    "q_pagerank" -> (pageRankQ _),
     "q_skew" -> (skewQ _))
 
   val oracles: Map[String, String] = Map(
@@ -4161,5 +4209,6 @@ object Queries {
     "q_mail" -> mailSql,
     "q_urlnorm" -> urlNormSql,
     "q_html" -> htmlSql,
+    "q_pagerank" -> pageRankSql,
     "q_skew" -> skewSql)
 }
