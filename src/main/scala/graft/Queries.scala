@@ -1887,6 +1887,33 @@ object Queries {
       .orderBy("tok")
   }
 
+  // ----------------------------------------------------- Q-stream-index
+  // STREAMING index maintenance (Ingest.indexStream): publish the index
+  // of the even-doc_id half, then land the odd half as a 3-file doc
+  // stream — foreachBatch drives InvertedIndex.refresh once per
+  // micro-batch (maxFilesPerTrigger=1, so the merge logic runs across
+  // several batches), with replayed batch ids skipped via _applied
+  // markers. The oracle is q_invindex's full-corpus derivation: however
+  // the stream chunked the docs, the final index must be
+  // indistinguishable from a full rebuild.
+  def streamIndexQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val maxDf = docs.count() * IndexDfPct / 100
+    val scratch = s"$FixtureRoot/streamindex_${java.util.UUID.randomUUID()}"
+    val toks = tokens(col("text"))
+    InvertedIndex.publish(
+      InvertedIndex.build(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", toks, maxDf), s"$scratch/idx")
+    docs.filter(col("doc_id") % 2 =!= 0).repartition(3)
+      .write.parquet(s"$scratch/in")
+    Ingest.indexStream(s, s"$scratch/in", "*.parquet", s"$scratch/idx",
+      s"$scratch/ckpt", "doc_id", toks, maxDf)
+    s.read.parquet(s"$scratch/idx")
+      .select(col("tok"), col("df"),
+        array_join(col("postings"), ",").as("postings"))
+      .orderBy("tok")
+  }
+
   // ------------------------------------------------------------ Q-search
   // Conjunctive retrieval over the index (InvertedIndex.searchAll): docs
   // containing ALL queried terms, resolved purely from posting lists —
@@ -4077,6 +4104,7 @@ object Queries {
     "q_vocab" -> (vocab _),
     "q_invindex" -> (invIndex _),
     "q_index_refresh" -> (indexRefreshQ _),
+    "q_stream_index" -> (streamIndexQ _),
     "q_search" -> (searchQ _),
     "q_bm25" -> (bm25Q _),
     "q_rrf" -> (rrfQ _),
@@ -4189,6 +4217,7 @@ object Queries {
     "q_vocab" -> vocabSql,
     "q_invindex" -> invIndexSql,
     "q_index_refresh" -> invIndexSql, // refresh must equal the full rebuild
+    "q_stream_index" -> invIndexSql, // streamed refresh: same contract
     "q_search" -> searchSql,
     "q_bm25" -> bm25Sql,
     "q_rrf" -> rrfSql,

@@ -289,6 +289,58 @@ object Ingest {
     spark.read.parquet(destDir).count()
   }
 
+  /** §2.10 × the retrieval surface: streaming incremental inverted-index
+    * maintenance. A document file stream drives
+    * [[graft.operators.InvertedIndex.refresh]] once per micro-batch, so
+    * a published bucketed index stays queryable and delta-maintained
+    * while documents land — the streaming form of q_index_refresh's
+    * batch publish→refresh (the index must end indistinguishable from a
+    * full rebuild no matter how the stream chunked the docs).
+    *
+    * Idempotency: refresh is append-only (a replayed delta would
+    * double-count df), so each applied batch drops an
+    * `_applied/batch-<id>` marker inside `dest` and a redelivered batch
+    * id is skipped ([[graft.exec.External.skipDone]]'s pattern, valid
+    * within one checkpoint lineage — exactly the restart-after-crash
+    * case). The residual window is a crash between the bucket overwrite
+    * and the marker mkdirs; closing it needs the staged-swap commit
+    * ([[upsertExactlyOnce]]) around the refresh write. */
+  def indexStream(spark: SparkSession, srcDir: String, fileGlob: String,
+                  dest: String, checkpointDir: String, idCol: String,
+                  tokCol: Column, maxDf: Long, maxFilesPerTrigger: Int = 1,
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  finish: StreamingQuery => Unit = _.awaitTermination()): Unit = {
+    val schema = spark.read.option("pathGlobFilter", fileGlob)
+      .parquet(srcDir).schema
+    val q = fileStream(spark, schema, fileGlob, srcDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        applyIndexBatch(spark, dest, batch.toDF(), batchId, idCol, tokCol, maxDf)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+    finish(q)
+  }
+
+  /** One micro-batch of [[indexStream]]: marker-guarded refresh.
+    * Factored out so the replay guard is directly spec-testable. */
+  private[streaming] def applyIndexBatch(spark: SparkSession, dest: String,
+                                         batch: DataFrame, batchId: Long,
+                                         idCol: String, tokCol: Column,
+                                         maxDf: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(s"$dest/_applied/batch-$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      graft.operators.InvertedIndex.refresh(spark, dest, batch, idCol,
+        tokCol, maxDf)
+      fs.mkdirs(marker)
+      ()
+    }
+  }
+
   /** Commit a complete staging write: swap each staged `__bucket=` dir
     * into dest (delete-then-rename per bucket), then drop staging.
     * Untouched dest buckets are never read or written. */
