@@ -1321,6 +1321,67 @@ object Queries {
        |ORDER BY pc.n_exact DESC, pc.tok""".stripMargin
   }
 
+  // ------------------------------------------------------------- Q-bloom
+  // Bloom-filter membership (Sketches.bloomBuild/bloomMightContain): the
+  // bounded-memory seen-set summary — k sha-derived bits per value in an
+  // m-bit space, probe true iff all k bits set. Build side = distinct
+  // src0 tokens; probes = the full corpus vocabulary plus five invented
+  // absent keys, each carried next to its EXACT membership so the gate
+  // pins the no-false-negative property row by row and hash-pins
+  // whatever false positives the (deliberately tight) 256-bit space
+  // admits. Scale shape: the build shuffle is bounded by the BITMAP
+  // (map-side combine to ≤ ⌈m/63⌉ word rows per partition), the probe
+  // join broadcasts the bitmap — corpus size never reaches an exchange.
+  // For seen-sets too big to broadcast as a bitmap, q_contam's
+  // partitioned shingle semi-join is the companion shape.
+  private val BloomBits = 256
+  private val BloomK = 3
+
+  def bloomQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val seen = docs.filter(col("source") === "src0")
+      .select(explode(tokens(col("text"))).as("tok")).distinct()
+    val bloom = Sketches.bloomBuild(seen, "tok", BloomBits, BloomK)
+    val vocab = docs.select(explode(tokens(col("text"))).as("tok")).distinct()
+    val absent = s.range(1, 6)
+      .select(concat(lit("zzq"), col("id").cast("string")).as("tok"))
+    val probes = vocab.unionByName(absent)
+    Sketches.bloomMightContain(probes, "tok", bloom, BloomBits, BloomK)
+      .join(broadcast(seen.withColumn("__seen", lit(true))), Seq("tok"), "left")
+      .select(col("tok"), col("might_contain"),
+        coalesce(col("__seen"), lit(false)).as("in_set"))
+      .orderBy("tok")
+  }
+
+  private val bloomSql = {
+    def pos(v: String) =
+      s"${sqlSh32(s"concat('bloom:', j, ':', $v)")} % $BloomBits"
+    s"""WITH seen AS (SELECT DISTINCT unnest($SqlToks) AS tok
+       |              FROM documents WHERE source = 'src0'),
+       |bpos AS (SELECT tok, ${pos("tok")} AS p
+       |         FROM seen, generate_series(0, ${BloomK - 1}) AS g(j)),
+       |bloom AS (SELECT p // 63 AS word,
+       |                 bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+       |          FROM bpos GROUP BY 1),
+       |vocab AS (SELECT DISTINCT unnest($SqlToks) AS tok FROM documents),
+       |probes AS (SELECT tok FROM vocab
+       |           UNION ALL
+       |           SELECT 'zzq' || CAST(i AS VARCHAR)
+       |           FROM generate_series(1, 5) AS s(i)),
+       |pp AS (SELECT tok, ${pos("tok")} AS p
+       |       FROM probes, generate_series(0, ${BloomK - 1}) AS g(j)),
+       |hit AS (SELECT pp.tok,
+       |          min(CASE WHEN coalesce(b.bits, 0) &
+       |                (CAST(1 AS BIGINT) << CAST(pp.p % 63 AS INT)) <> 0
+       |              THEN 1 ELSE 0 END) AS h
+       |        FROM pp LEFT JOIN bloom b ON pp.p // 63 = b.word
+       |        GROUP BY pp.tok)
+       |SELECT hit.tok, hit.h = 1 AS might_contain,
+       |       seen.tok IS NOT NULL AS in_set
+       |FROM hit LEFT JOIN seen ON hit.tok = seen.tok
+       |ORDER BY hit.tok""".stripMargin
+  }
+
   // --------------------------------------------------------- Q-hashembed
   // Feature-hashing text embedding (Featurize.hashEmbed): signed hashed
   // token counts into a fixed dim — the model-free bootstrap vector for
@@ -4090,6 +4151,7 @@ object Queries {
     "q_range" -> (rangeQ _),
     "q_histogram" -> (histogramQ _),
     "q_cms" -> (cmsQ _),
+    "q_bloom" -> (bloomQ _),
     "q_hashembed" -> (hashEmbedQ _),
     "q_classify" -> (classifyQ _),
     "q_groupsample" -> (groupSampleQ _),
@@ -4203,6 +4265,7 @@ object Queries {
     "q_range" -> rangeSql,
     "q_histogram" -> histogramSql,
     "q_cms" -> cmsSql,
+    "q_bloom" -> bloomSql,
     "q_hashembed" -> hashEmbedSql,
     "q_classify" -> classifySql,
     "q_groupsample" -> groupSampleSql,

@@ -50,6 +50,67 @@ object Sketches {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Bits per bitmap word. 63 (not 64) so the highest in-word shift is
+    * 62 and every mask stays a POSITIVE int64 — `1 << 63` is the sign
+    * bit, which ANSI engines (the DuckDB oracle included) reject as a
+    * left-shift overflow. One wasted bit per word buys an arithmetic
+    * form every engine replays identically. */
+  val BloomWordBits = 63
+
+  /** Bit position of `v` in a Bloom filter of `mBits` bits for hash row
+    * `j`: shaHash32("bloom:j:v") mod mBits (non-negative, so `%` is a
+    * true mod in both Spark and any ANSI oracle). */
+  def bloomBit(v: Column, j: Int, mBits: Int): Column =
+    shaHash32(concat(lit(s"bloom:$j:"), v)) % mBits
+
+  private def bloomWords(df: DataFrame, valCol: String, mBits: Int, k: Int) = {
+    val pos = array((0 until k).map(j => bloomBit(col(valCol), j, mBits)): _*)
+    df.filter(col(valCol).isNotNull)
+      .select(col(valCol), explode(pos).as("p"))
+      .select(col(valCol),
+        (col("p") / BloomWordBits).cast("long").as("word"),
+        // shiftleft's Scala binding takes a literal shift; the SQL form
+        // accepts the column
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p % $BloomWordBits AS INT))")
+          .as("mask"))
+  }
+
+  /** Build a Bloom filter over `valCol` (nulls excluded): `k` sha-derived
+    * bit positions per value in an `mBits`-bit space, materialized as one
+    * row per OCCUPIED 63-bit word — `(word, bits)` with bits the OR of
+    * the word's set masks. The membership summary for seen-URL /
+    * blocklist checks where q_contam's shingle inventory would be
+    * overkill: no false negatives ever; false positives at rate
+    * ≈ (1 − e^(−kn/m))^k, tunable by m and k.
+    *
+    * Scale shape: the shuffle is bounded by the BITMAP size, not the
+    * corpus — map-side combine collapses each partition to at most
+    * ⌈mBits/63⌉ word rows before the exchange, and the result never
+    * exceeds that no matter how many values stream through. Hashes are
+    * sha256-derived, so a DuckDB gate (or a fleet of 1000 executors)
+    * reproduces every bit without shipping seed state. */
+  def bloomBuild(df: DataFrame, valCol: String, mBits: Int, k: Int): DataFrame = {
+    require(mBits >= BloomWordBits, s"need mBits >= $BloomWordBits; got $mBits")
+    require(k >= 1, s"need k >= 1; got $k")
+    bloomWords(df, valCol, mBits, k)
+      .groupBy("word").agg(bit_or(col("mask")).as("bits"))
+  }
+
+  /** Membership probe against a [[bloomBuild]] bitmap (SAME mBits/k):
+    * `might_contain` is true iff ALL `k` bits are set. The bitmap is at
+    * most ⌈mBits/63⌉ rows and explicitly broadcast, so probing is a
+    * map-side join plus one partial-aggregated fold — the probe stream
+    * itself never shuffles on anything but its own group key. */
+  def bloomMightContain(probes: DataFrame, probeCol: String, bloom: DataFrame,
+                        mBits: Int, k: Int): DataFrame =
+    bloomWords(probes, probeCol, mBits, k)
+      .join(broadcast(bloom), Seq("word"), "left")
+      .groupBy(col(probeCol))
+      // a probe has exactly k (word, mask) rows; a missed word is all-zero
+      .agg(min(when(coalesce(col("bits"), lit(0L))
+        .bitwiseAND(col("mask")) =!= 0, 1L).otherwise(0L)).as("__allset"))
+      .select(col(probeCol), (col("__allset") === 1L).as("might_contain"))
+
   /** Point-query estimates for `probes` (a column `probeCol` of values):
     * est = min over hash rows of the matching cell count, 0 when a cell
     * was never touched. `sketch` must come from [[cmsBuild]] with the

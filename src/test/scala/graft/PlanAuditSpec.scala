@@ -14,12 +14,14 @@ class PlanAuditSpec extends SparkSpec {
   // crossJoin(broadcast(one-row query vector)) is the intended shape for
   // the ANN queries. q_embdup_exact needs NO exemption since round 7: its
   // stratum-bounded blocked all-pairs is a pure equi-join.
-  // q_mmr joins the corpus against the (tiny, broadcast) multi-query
-  // frame with no equi-key — every corpus row scores against every
-  // query, the intended relevance fan-out, same family as the 1-row
-  // ANN cross joins.
+  // q_mmr and q_rrf's semantic arm join the corpus against the (tiny,
+  // broadcast) multi-query frame with no equi-key — every corpus row
+  // scores against every query, the intended relevance fan-out, same
+  // family as the 1-row ANN cross joins. (A deployment feeds rrfFuse
+  // from bm25TopN/ivfKnnIndexed instead; the gate arm is deliberately
+  // the oracle-expressible brute form.)
   private val nestedLoopExempt = Set("q_knn", "q_knn_ivf", "q_knn_int8",
-    "q_mmr")
+    "q_mmr", "q_rrf")
   // Streaming queries execute on construction and return memory-table
   // reads; their batch plan is not the interesting surface.
   private val streaming = Set("q_stream", "q_windows", "q_sessions", "q_upsert",

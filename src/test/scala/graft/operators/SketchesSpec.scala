@@ -52,4 +52,46 @@ class SketchesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
+
+  // ------------------------------------------------------------- Bloom
+  test("bloom never reports a false negative, at any parameterization") {
+    for ((m, k) <- Seq((256, 3), (63, 1), (4096, 7))) {
+      val seen = (0 until 40).map(i => s"key$i").toDF("v")
+      val bloom = Sketches.bloomBuild(seen, "v", m, k)
+      val got = Sketches.bloomMightContain(seen, "v", bloom, m, k)
+        .filter(!col("might_contain")).count()
+      assert(got === 0, s"false negatives at m=$m k=$k")
+    }
+  }
+
+  test("bloom false-positive rate stays near theory for a roomy bitmap") {
+    val seen = (0 until 100).map(i => s"in$i").toDF("v")
+    val m = 2048
+    val k = 5
+    val bloom = Sketches.bloomBuild(seen, "v", m, k)
+    val absent = (0 until 500).map(i => s"out$i").toDF("v")
+    val fps = Sketches.bloomMightContain(absent, "v", bloom, m, k)
+      .filter(col("might_contain")).count()
+    // theory: (1 - e^(-kn/m))^k ≈ 0.0043 → expect ~2 of 500; allow 10×
+    assert(fps <= 20, s"implausible false-positive count $fps/500")
+  }
+
+  test("bitmap is bounded by ceil(m/63) words and masks stay positive") {
+    val seen = (0 until 1000).map(i => s"v$i").toDF("v")
+    val m = 630
+    val bloom = Sketches.bloomBuild(seen, "v", m, 4)
+    assert(bloom.count() <= (m + 62) / 63)
+    assert(bloom.filter(col("word") < 0 || col("word") >= (m + 62) / 63).isEmpty)
+    // bits are ORs of 1<<(0..62): always strictly positive
+    assert(bloom.filter(col("bits") <= 0).isEmpty,
+      "no mask may touch the sign bit (engine-portable arithmetic)")
+  }
+
+  test("bloom probe broadcasts the bitmap") {
+    val seen = (0 until 40).map(i => s"key$i").toDF("v")
+    val bloom = Sketches.bloomBuild(seen, "v", 256, 3)
+    val plan = Sketches.bloomMightContain(Seq("key1").toDF("v"), "v", bloom, 256, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
 }
