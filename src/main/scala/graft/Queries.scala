@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps, QualityRules}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, AsOf, Bpe, Catalog, Classify, Clustering, Dedup, Dsir, Featurize, Graph, InvertedIndex, Joins, LanguageModel, Lineage, Multimodal, Pq, Retrieval, Sequencing, Shards, Similarity, Sketches, Skew, Stats}
+import graft.operators.{Align, AsOf, Bpe, Catalog, Classify, Clustering, Dedup, Dsir, Featurize, Graph, InvertedIndex, Joins, LanguageModel, Layout, Lineage, Multimodal, Pq, Retrieval, Sequencing, Shards, Similarity, Sketches, Skew, Stats}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -2567,6 +2567,68 @@ object Queries {
        |WHERE CAST(CAST(ts AS DATE) AS VARCHAR) = '$PruneDay'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------------------- Q-zorder
+  // Z-order (Morton) layout — the MULTI-dimensional pruning story next
+  // to q_partprune's one-column day dirs and q_bucketjoin's join-key
+  // buckets: orders land partitioned by the coarse Morton bucket of
+  // (order-day, customer), z-sorted within each bucket, and a 2-D box
+  // query reads ONLY the bucket dirs its box intersects
+  // (Layout.bucketsForBox — a driver-side grid walk over ≤ 4^gridBits
+  // cells, never a data pass). The engine does the full write→read
+  // round-trip through the layout; LayoutSpec asserts the plan property
+  // (bucket predicate in PartitionFilters, non-matching dirs unread);
+  // the oracle replays the curve arithmetic AND the bucket set over the
+  // raw table, so a bucket-math bug that drops or duplicates a cell
+  // diverges the hash. The curve is pure div/mod/multiply — engine-
+  // portable, no bit intrinsics.
+  private val ZBits = 12
+  private val ZGrid = 3
+  private val ZBox = (200L, 900L, 300L, 1200L) // [aLo,aHi] x [bLo,bHi]
+
+  private def zCoords = (
+    datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+      .cast("long") % (1L << ZBits),
+    col("o_custkey") % (1L << ZBits))
+
+  def zorderQ(s: SparkSession, dir: String): DataFrame = {
+    val dest = s"$FixtureRoot/orders_zorder"
+    val (aC, bC) = zCoords
+    publishOnce(dest, dir) {
+      Layout.writeZOrdered(
+        load(s, dir, "orders")
+          .withColumn("a", aC).withColumn("b", bC)
+          .select("a", "b", "o_orderkey", "o_totalprice"),
+        col("a"), col("b"), ZBits, ZGrid, dest)
+    }
+    val (aLo, aHi, bLo, bHi) = ZBox
+    val buckets = Layout.bucketsForBox(aLo, aHi, bLo, bHi, ZBits, ZGrid)
+    s.read.parquet(dest)
+      .filter(col("zb").isin(buckets: _*))
+      .filter(col("a").between(aLo, aHi) && col("b").between(bLo, bHi))
+      .groupBy(col("zb").cast("long").as("zb"))
+      .agg(count(lit(1)).as("n"),
+        ExactAgg.moneySum(col("o_totalprice"), 100).as("sum_price"))
+      .orderBy("zb")
+  }
+
+  private lazy val zorderSql = {
+    val (aLo, aHi, bLo, bHi) = ZBox
+    val buckets = Layout
+      .bucketsForBox(aLo, aHi, bLo, bHi, ZBits, ZGrid).mkString(", ")
+    s"""WITH o AS (SELECT
+       |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+       |      % ${1L << ZBits} AS a,
+       |    o_custkey % ${1L << ZBits} AS b, o_totalprice FROM orders),
+       |z AS (SELECT a, b, o_totalprice,
+       |        ${Layout.zBucketSql("a", "b", ZBits, ZGrid)} AS zb FROM o)
+       |SELECT CAST(zb AS BIGINT) AS zb, CAST(count(*) AS BIGINT) AS n,
+       |       ${moneySumSql("o_totalprice")} AS sum_price
+       |FROM z
+       |WHERE zb IN ($buckets)
+       |  AND a BETWEEN $aLo AND $aHi AND b BETWEEN $bLo AND $bHi
+       |GROUP BY zb ORDER BY zb""".stripMargin
+  }
+
   // --------------------------------------------------------------- Q-skew
   // Salted skew join through the gate: events.user_id is a hot-key-shaped
   // fact side (10k rows over 150 users); the salted join must be EXACTLY
@@ -4172,6 +4234,7 @@ object Queries {
     "q_rrf" -> (rrfQ _),
     "q_bucketjoin" -> (bucketJoin _),
     "q_partprune" -> (partPrune _),
+    "q_zorder" -> (zorderQ _),
     "q_linededup" -> (lineDedup _),
     "q_subdedup" -> (subDedup _),
     "q_winnow" -> (winnow _),
@@ -4286,6 +4349,7 @@ object Queries {
     "q_rrf" -> rrfSql,
     "q_bucketjoin" -> bucketJoinSql,
     "q_partprune" -> partPruneSql,
+    "q_zorder" -> zorderSql,
     "q_linededup" -> lineDedupSql,
     "q_subdedup" -> subDedupSql,
     "q_winnow" -> winnowSql,
