@@ -3675,6 +3675,106 @@ object Queries {
       |         '?ref=1,https://example.org/about' AS links
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- Q-blocklist
+  // Banned-term document filter (QualityRules.blocklistCounts): the
+  // C4-style safety gate — a page containing ANY blocklisted token is
+  // dropped (Raffel et al. 2020). Matching is exact whole-token, never
+  // substring; the list rides as a scan-stage array literal (zero
+  // shuffle until the presentation sort) — corpus-sized term sets go
+  // through the Decontaminate broadcast semi-join instead. 'slow' and
+  // 'dup' are real vocab terms (most docs trip, a meaningful few pass);
+  // 'zz_banned' pins absent-term behavior.
+  private val Blocklist = Seq("slow", "dup", "zz_banned")
+
+  def blocklistQ(s: SparkSession, dir: String): DataFrame = {
+    val base = load(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("__tk"))
+    val cs = QualityRules.blocklistCounts(col("__tk"), Blocklist)
+    base.select(
+        col("doc_id") +: cs.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("keep", col("n_hits") === 0)
+      .orderBy("doc_id")
+  }
+
+  private val blocklistSql = {
+    val lst = Blocklist.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, $SqlToks AS tk FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(list_filter(tk, x -> list_contains($lst, x))) AS BIGINT)
+       |    AS n_hits,
+       |  CAST(len(list_intersect(list_distinct(tk), $lst)) AS BIGINT)
+       |    AS n_distinct,
+       |  len(list_filter(tk, x -> list_contains($lst, x))) = 0 AS keep
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------- Q-anchor
+  // Anchor-text aggregation (TextFunctions.extractAnchors): harvest what
+  // OTHER pages say when they link to a target — per canonical target
+  // URL, the reference count, distinct linking pages, and the modal
+  // anchor text. The third-party-description augmentation signal of a
+  // web corpus, and the aggregation half of a link-graph build
+  // (q_pagerank is the centrality half). Each doc links its text's
+  // cross-doc target (doc_id % 97 — many sources per target, varied
+  // anchor wording via `source`) plus one sitewide boilerplate link.
+  // Render→parse gate style (q_html precedent): the oracle does NOT
+  // replay the anchor regexps — targets and texts derive INDEPENDENTLY
+  // from the seed columns, so an extractor that mispaired an href with
+  // the neighboring anchor's text, double-decoded an entity, or leaked
+  // a tag diverges the hash. Scale shape: extraction is scan-stage; the
+  // shuffles key on url then (url, anchor) — the natural keys; the
+  // top-anchor window runs over already-aggregated (url, anchor) rows,
+  // never the raw anchor stream.
+  def anchorQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{extractAnchors, canonicalizeUrl}
+    val html = concat(
+      lit("<html><body><p>"), col("text"),
+      lit("</p><a class=\"x\" HREF=\"HTTP://Example.com/d/"),
+      (col("doc_id") % 97).cast("string"),
+      lit("?utm_campaign=x&ref=2\">read "), col("source"),
+      lit(" &amp; more</a> <a href=\"https://example.org/about#top\">about</a>"),
+      lit("</body></html>"))
+    val anchors = load(s, dir, "documents")
+      .select(col("doc_id"), explode(extractAnchors(html)).as("a"))
+      .select(col("doc_id"), canonicalizeUrl(col("a.href")).as("url"),
+        col("a.text").as("anchor"))
+    val perText = anchors.groupBy("url", "anchor")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("url")
+          .orderBy(col("n").desc, col("anchor"))))
+    val perUrl = anchors.groupBy("url")
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("doc_id")).as("n_srcs"))
+    perUrl.join(perText.filter(col("rn") === 1), "url")
+      .select(col("url"), col("n_refs"), col("n_srcs"),
+        col("anchor").as("top_anchor"), col("n").as("top_n"))
+      .orderBy("url")
+  }
+
+  private val anchorSql =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |         'http://example.com/d/' || CAST(doc_id % 97 AS VARCHAR)
+      |           || '?ref=2' AS url,
+      |         'read ' || source || ' & more' AS anchor
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'https://example.org/about', 'about' FROM documents),
+      |per AS (SELECT url, anchor, CAST(count(*) AS BIGINT) AS n
+      |        FROM a GROUP BY url, anchor),
+      |tops AS (SELECT url, anchor, n,
+      |           row_number() OVER (PARTITION BY url
+      |                              ORDER BY n DESC, anchor) AS rn
+      |         FROM per),
+      |agg AS (SELECT url, CAST(count(*) AS BIGINT) AS n_refs,
+      |               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_srcs
+      |        FROM a GROUP BY url)
+      |SELECT agg.url, n_refs, n_srcs, tops.anchor AS top_anchor,
+      |       tops.n AS top_n
+      |FROM agg JOIN tops USING (url) WHERE rn = 1
+      |ORDER BY agg.url""".stripMargin
+
   // ------------------------------------------------------------ Q-pagerank
   // Link-graph centrality (Graph.pageRank): fixed-point integer
   // PageRank, 3 rounds over the bipartite order↔part multigraph from
@@ -4250,6 +4350,8 @@ object Queries {
     "q_mail" -> (mailQ _),
     "q_urlnorm" -> (urlNorm _),
     "q_html" -> (htmlQ _),
+    "q_anchor" -> (anchorQ _),
+    "q_blocklist" -> (blocklistQ _),
     "q_pagerank" -> (pageRankQ _),
     "q_skew" -> (skewQ _))
 
@@ -4365,6 +4467,8 @@ object Queries {
     "q_mail" -> mailSql,
     "q_urlnorm" -> urlNormSql,
     "q_html" -> htmlSql,
+    "q_anchor" -> anchorSql,
+    "q_blocklist" -> blocklistSql,
     "q_pagerank" -> pageRankSql,
     "q_skew" -> skewSql)
 }

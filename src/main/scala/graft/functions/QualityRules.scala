@@ -66,6 +66,25 @@ object QualityRules {
       "r_stopwords" -> (nStop >= 2))
   }
 
+  /** Blocklist counts over a token array — the C4-style banned-word
+    * filter (Raffel et al. 2020 dropped any page containing a term from
+    * a public blocklist): `n_hits` = total blocklisted-token
+    * occurrences, `n_distinct` = distinct blocklisted tokens present,
+    * `keep` = no hit. Matching is exact whole-token (case handled by
+    * the caller's tokenization), NOT substring — "class" never trips a
+    * blocklist containing "ass". The list rides as an array literal in
+    * the scan stage: for the few-hundred-term lists these filters use,
+    * `array_intersect`/`filter` beat an explode+join (zero shuffle);
+    * for corpus-sized term sets, [[graft.operators.Decontaminate]]'s
+    * broadcast semi-join is the companion shape. */
+  def blocklistCounts(tk: Column, words: Seq[String]): Seq[(String, Column)] = {
+    require(words.nonEmpty, "empty blocklist")
+    val lst = array(words.map(lit): _*)
+    Seq(
+      "n_hits" -> size(filter(tk, t => array_contains(lst, t))).cast("long"),
+      "n_distinct" -> size(array_intersect(array_distinct(tk), lst)).cast("long"))
+  }
+
   /** (doc frame) -> id, n_words, the seven rule flags, and `keep` =
     * AND of all rules. One projection, pure scan stage. */
   def flags(docs: org.apache.spark.sql.DataFrame, idCol: String,

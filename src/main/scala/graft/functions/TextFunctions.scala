@@ -126,6 +126,25 @@ object TextFunctions {
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1))
 
+  /** Anchor elements as (href, text) structs in document order — the
+    * anchor-text harvest of a link-graph build: the text OTHER pages use
+    * when linking to a target is a description of the target written by
+    * a third party, the classic web-corpus augmentation signal. Element
+    * scoping first (the whole `<a ...>...</a>` span), then per-element
+    * href + inner-text extraction, so a page's second anchor can never
+    * borrow its first anchor's href. Inner text goes through the same
+    * tag-strip / entity-decode / whitespace-collapse stages as
+    * [[stripHtml]]. All RE2-portable global regexps — scan-stage, no
+    * shuffle. */
+  def extractAnchors(html: Column): Column = {
+    val els = regexp_extract_all(html,
+      lit("(?is)<a\\s[^>]*href\\s*=\\s*\"[^\"]*\"[^>]*>.*?</a>"), lit(0))
+    transform(els, e => struct(
+      regexp_extract(e, "(?i)href\\s*=\\s*\"([^\"]*)\"", 1).as("href"),
+      trim(regexp_replace(decodeEntities(
+        regexp_replace(e, "(?s)<[^>]+>", " ")), "\\s+", " ")).as("text")))
+  }
+
   /** Canonical URL for dedup keying — the standard web-corpus cleanup:
     * lowercase scheme+authority, strip the fragment, strip default ports
     * (http:80 / https:443), drop tracking params (utm_*, fbclid, gclid,

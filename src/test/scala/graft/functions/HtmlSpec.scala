@@ -48,4 +48,25 @@ class HtmlSpec extends SparkSpec {
   test("stripHtml is a no-op on plain text") {
     assert(strip("plain words only") === "plain words only")
   }
+
+  private def anchors(html: String): Seq[(String, String)] =
+    Seq(html).toDF("h").select(explode(extractAnchors(col("h"))).as("a"))
+      .select("a.href", "a.text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+  test("extractAnchors pairs each href with ITS OWN inner text") {
+    val h = "<a href=\"http://one\">first</a> filler " +
+      "<a class=\"z\" HREF=\"http://two\"><b>sec</b> ond</a>"
+    assert(anchors(h) === Seq("http://one" -> "first", "http://two" -> "sec ond"))
+  }
+
+  test("extractAnchors decodes entities and collapses whitespace in text") {
+    val h = "<a href=\"u\">read a &amp; b\n  now</a>"
+    assert(anchors(h) === Seq("u" -> "read a & b now"))
+  }
+
+  test("anchors without href, and non-anchor tags, are ignored") {
+    val h = "<a name=\"x\">no href</a><img src=\"i.png\"/><a href=\"u\">ok</a>"
+    assert(anchors(h) === Seq("u" -> "ok"))
+  }
 }

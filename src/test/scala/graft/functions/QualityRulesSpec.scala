@@ -46,4 +46,20 @@ class QualityRulesSpec extends SparkSpec {
     assert(f("n_words") === 0L)
     assert(f("r_word_count") === false && f("keep") === false)
   }
+
+  test("blocklistCounts: whole-token matching, total vs distinct hits") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    val df = Seq(
+      (1L, "bad words bad class"), // 'bad' twice; 'class' must NOT trip 'ass'
+      (2L, "clean text only"),
+      (3L, "ass bad")).toDF("doc_id", "text")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val cs = QualityRules.blocklistCounts(col("tk"), Seq("bad", "ass"))
+    val got = df.select(col("doc_id") +: cs.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === ((2L, 1L)), "substring 'class' must not match 'ass'")
+    assert(got(2L) === ((0L, 0L)))
+    assert(got(3L) === ((2L, 2L)))
+  }
 }
