@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps, QualityRules}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, AsOf, Bpe, Catalog, Classify, Clustering, Dedup, Dsir, Featurize, Graph, InvertedIndex, Joins, LanguageModel, Layout, Lineage, Multimodal, Pq, Retrieval, Sequencing, Shards, Similarity, Sketches, Skew, Stats}
+import graft.operators.{Align, AsOf, Behavior, Bpe, Catalog, Classify, Clustering, Dedup, Dsir, Featurize, Graph, InvertedIndex, Joins, LanguageModel, Layout, Lineage, Multimodal, Pq, Retrieval, Sequencing, Shards, Similarity, Sketches, Skew, Stats}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -3675,6 +3675,77 @@ object Queries {
       |         '?ref=1,https://example.org/about' AS links
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- Q-funnel
+  // Ordered-step funnel (Behavior.windowFunnel): first view → first
+  // click strictly after it → first purchase strictly after that, all
+  // within a 7-day window anchored at the view — the
+  // ClickHouse-windowFunnel query shape, executed as ONE shuffle
+  // (step-filtered scan → groupBy user → sorted fold; no per-step join
+  // cascade). The oracle states the equivalent min-cascade (t2 = min
+  // click ts > t1 ∧ ≤ t1+W, ...), so the fold's strictness, horizon
+  // anchoring and tie handling are all pinned per user-row, timestamp
+  // by timestamp.
+  private val FunnelSteps = Seq("view", "click", "purchase")
+  private val FunnelHorizonUs = 7L * 24 * 3600 * 1000000
+
+  def funnelQ(s: SparkSession, dir: String): DataFrame =
+    Behavior.windowFunnel(load(s, dir, "events"), "user_id",
+        unix_micros(col("ts").cast("timestamp")), col("event_type"),
+        FunnelSteps, FunnelHorizonUs)
+      .select(col("user").as("user_id"), col("t0"), col("t1"), col("t2"),
+        col("reached"))
+      .orderBy("user_id")
+
+  private val funnelSql =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       |s1 AS (SELECT user_id, min(us) AS t0 FROM ev
+       |       WHERE event_type = 'view' GROUP BY 1),
+       |s2 AS (SELECT ev.user_id, min(us) AS t1
+       |       FROM ev JOIN s1 USING (user_id)
+       |       WHERE event_type = 'click' AND us > t0
+       |         AND us <= t0 + $FunnelHorizonUs GROUP BY 1),
+       |s3 AS (SELECT ev.user_id, min(us) AS t2
+       |       FROM ev JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+       |       WHERE event_type = 'purchase' AND us > t1
+       |         AND us <= t0 + $FunnelHorizonUs GROUP BY 1)
+       |SELECT s1.user_id, t0, t1, t2,
+       |       CAST(CASE WHEN t2 IS NOT NULL THEN 3
+       |                 WHEN t1 IS NOT NULL THEN 2
+       |                 ELSE 1 END AS BIGINT) AS reached
+       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+       |ORDER BY s1.user_id""".stripMargin
+
+  // ------------------------------------------------------------- Q-cohort
+  // Cohort retention (Behavior.cohortRetention): users cohorted by
+  // signup week, counted distinct in each subsequent week they were
+  // active — the standard retention triangle. Day index = days since
+  // 2024-01-01 (the events epoch); pre-signup activity excluded. Two
+  // shuffles, both on natural keys (user for the anchor min, (cohort,
+  // offset) for the cell count).
+  def cohortQ(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+      .cast("long")
+    Behavior.cohortRetention(load(s, dir, "events"), "user_id", day,
+        col("event_type"), "signup", 7)
+      // 'offset' is an ANSI reserved word (the DuckDB gate rejects it
+      // unquoted) — present it as week_offset
+      .select(col("cohort"), col("offset").as("week_offset"), col("n_users"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  private val cohortSql =
+    """WITH ev AS (SELECT user_id,
+      |              date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+      |              event_type
+      |            FROM events),
+      |an AS (SELECT user_id, min(d) AS d0 FROM ev
+      |       WHERE event_type = 'signup' GROUP BY 1)
+      |SELECT d0 // 7 AS cohort, (d - d0) // 7 AS week_offset,
+      |       CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+      |FROM ev JOIN an USING (user_id)
+      |WHERE d >= d0
+      |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin
+
   // ---------------------------------------------------------- Q-blocklist
   // Banned-term document filter (QualityRules.blocklistCounts): the
   // C4-style safety gate — a page containing ANY blocklisted token is
@@ -4352,6 +4423,8 @@ object Queries {
     "q_html" -> (htmlQ _),
     "q_anchor" -> (anchorQ _),
     "q_blocklist" -> (blocklistQ _),
+    "q_funnel" -> (funnelQ _),
+    "q_cohort" -> (cohortQ _),
     "q_pagerank" -> (pageRankQ _),
     "q_skew" -> (skewQ _))
 
@@ -4469,6 +4542,8 @@ object Queries {
     "q_html" -> htmlSql,
     "q_anchor" -> anchorSql,
     "q_blocklist" -> blocklistSql,
+    "q_funnel" -> funnelSql,
+    "q_cohort" -> cohortSql,
     "q_pagerank" -> pageRankSql,
     "q_skew" -> skewSql)
 }
