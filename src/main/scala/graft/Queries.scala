@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps, QualityRules}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, AsOf, Behavior, Bpe, Catalog, Classify, Clustering, Dedup, Dsir, Featurize, Graph, InvertedIndex, Joins, LanguageModel, Layout, Lineage, Multimodal, Pq, Retrieval, Sequencing, Shards, Similarity, Sketches, Skew, Stats}
+import graft.operators.{Align, AsOf, Behavior, Bpe, Catalog, Classify, Clustering, Dedup, Dsir, Featurize, Graph, InvertedIndex, Joins, LanguageModel, Layout, Lineage, Multimodal, Pq, Retrieval, Sequencing, Shards, Similarity, Sketches, Skew, Snapshot, Stats}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -3675,6 +3675,62 @@ object Queries {
       |         '?ref=1,https://example.org/about' AS links
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- Q-diff
+  // Snapshot diff (Snapshot.diff): the nightly regression report between
+  // two runs of the same publish — added / removed / changed keys from
+  // ONE full-outer join of (key, sha-fingerprint) projections, shuffle
+  // volume independent of row width. The "after" snapshot derives
+  // deterministically from orders (keys %50 dropped, prices %7 bumped a
+  // dollar, %97 re-keyed high as inserts), and the oracle classifies by
+  // DIRECT column comparison (IS DISTINCT FROM) — an independent
+  // derivation, so a fingerprint that missed a column or collided
+  // null/"null" diverges the hash. Compared columns render as
+  // BIGINT/strings (money as cents), never raw doubles.
+  def diffQ(s: SparkSession, dir: String): DataFrame = {
+    val orders = load(s, dir, "orders")
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val before = orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), cents.as("cents"), col("o_orderpriority"))
+    val after = orders.filter(col("o_orderkey") % 50 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        (cents + when(col("o_orderkey") % 7 === 0, 100L).otherwise(0L)).as("cents"),
+        col("o_orderpriority"))
+      .unionByName(orders.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), cents.as("cents"),
+          col("o_orderpriority")))
+    Snapshot.diff(before, after, Seq("o_orderkey"),
+        Seq(col("o_custkey"), col("o_orderstatus"), col("cents"),
+          col("o_orderpriority")))
+      .orderBy("o_orderkey")
+  }
+
+  private val diffSql =
+    """WITH b AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+      |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |             o_orderpriority
+      |           FROM orders),
+      |a AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+      |        CAST(round(o_totalprice * 100) AS BIGINT) +
+      |          CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS cents,
+      |        o_orderpriority
+      |      FROM orders WHERE o_orderkey % 50 != 0
+      |      UNION ALL
+      |      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+      |             CAST(round(o_totalprice * 100) AS BIGINT), o_orderpriority
+      |      FROM orders WHERE o_orderkey % 97 = 0)
+      |SELECT coalesce(a.k, b.k) AS o_orderkey,
+      |       CASE WHEN b.k IS NULL THEN 'added'
+      |            WHEN a.k IS NULL THEN 'removed'
+      |            ELSE 'changed' END AS change
+      |FROM b FULL JOIN a ON a.k = b.k
+      |WHERE b.k IS NULL OR a.k IS NULL
+      |   OR a.o_custkey IS DISTINCT FROM b.o_custkey
+      |   OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+      |   OR a.cents IS DISTINCT FROM b.cents
+      |   OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------- Q-funnel
   // Ordered-step funnel (Behavior.windowFunnel): first view → first
   // click strictly after it → first purchase strictly after that, all
@@ -4423,6 +4479,7 @@ object Queries {
     "q_html" -> (htmlQ _),
     "q_anchor" -> (anchorQ _),
     "q_blocklist" -> (blocklistQ _),
+    "q_diff" -> (diffQ _),
     "q_funnel" -> (funnelQ _),
     "q_cohort" -> (cohortQ _),
     "q_pagerank" -> (pageRankQ _),
@@ -4542,6 +4599,7 @@ object Queries {
     "q_html" -> htmlSql,
     "q_anchor" -> anchorSql,
     "q_blocklist" -> blocklistSql,
+    "q_diff" -> diffSql,
     "q_funnel" -> funnelSql,
     "q_cohort" -> cohortSql,
     "q_pagerank" -> pageRankSql,
