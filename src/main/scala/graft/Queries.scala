@@ -3675,6 +3675,66 @@ object Queries {
       |         '?ref=1,https://example.org/about' AS links
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- Q-rollup
+  // Hierarchical totals (A-family breadth): ROLLUP over (returnflag,
+  // linestatus) with exact money sums — detail, per-flag subtotal, and
+  // grand total in ONE pass (Spark expands grouping sets inside a
+  // single partial-aggregated shuffle; no union of three scans).
+  // grouping_id pins which level each row belongs to — Spark's bit
+  // order matches ANSI GROUPING(), asserted by the hash.
+  def rollupQ(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_linestatus").as("status"),
+        col("l_extendedprice"), col("l_quantity"))
+      .rollup("flag", "status")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        ExactAgg.moneySum(col("l_extendedprice"), 100).as("sum_price"),
+        ExactAgg.moneySum(col("l_quantity"), 100).as("sum_qty"))
+      .select("flag", "status", "gid", "n", "sum_price", "sum_qty")
+      .orderBy(col("gid"), col("flag"), col("status"))
+
+  private val rollupSql =
+    s"""SELECT l_returnflag AS flag, l_linestatus AS status,
+       |       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       ${moneySumSql("l_extendedprice")} AS sum_price,
+       |       ${moneySumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY gid, flag, status""".stripMargin
+
+  // -------------------------------------------------------------- Q-pivot
+  // Wide-table pivot: per customer segment, event counts and exact
+  // value sums spread across event-type columns. The pivot VALUES are
+  // passed explicitly — at 100 TB `pivot(col)` without values runs a
+  // blocking distinct-scan job before planning even starts; with
+  // literals the whole thing is ONE partial-aggregated shuffle. The
+  // oracle states the equivalent CASE aggregation.
+  private val PivotTypes = Seq("view", "click", "purchase", "signup", "error")
+
+  def pivotQ(s: SparkSession, dir: String): DataFrame = {
+    val dim = load(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("seg"))
+    load(s, dir, "events").join(broadcast(dim), "user_id")
+      .groupBy("seg")
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)).as("n"),
+        ExactAgg.moneySum(col("value"), 100).as("sum"))
+      .orderBy("seg")
+  }
+
+  private val pivotSql = {
+    val cols = PivotTypes.map { t =>
+      s"""CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS "${t}_n",
+         |  sum(CAST(round(value * 100) AS BIGINT))
+         |    FILTER (event_type = '$t') / 100.0 AS "${t}_sum"""".stripMargin
+    }.mkString(",\n  ")
+    s"""SELECT c_mktsegment AS seg,
+       |  $cols
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // --------------------------------------------------------------- Q-diff
   // Snapshot diff (Snapshot.diff): the nightly regression report between
   // two runs of the same publish — added / removed / changed keys from
@@ -4480,6 +4540,8 @@ object Queries {
     "q_anchor" -> (anchorQ _),
     "q_blocklist" -> (blocklistQ _),
     "q_diff" -> (diffQ _),
+    "q_rollup" -> (rollupQ _),
+    "q_pivot" -> (pivotQ _),
     "q_funnel" -> (funnelQ _),
     "q_cohort" -> (cohortQ _),
     "q_pagerank" -> (pageRankQ _),
@@ -4600,6 +4662,8 @@ object Queries {
     "q_anchor" -> anchorSql,
     "q_blocklist" -> blocklistSql,
     "q_diff" -> diffSql,
+    "q_rollup" -> rollupSql,
+    "q_pivot" -> pivotSql,
     "q_funnel" -> funnelSql,
     "q_cohort" -> cohortSql,
     "q_pagerank" -> pageRankSql,

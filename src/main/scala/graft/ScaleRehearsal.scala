@@ -89,7 +89,18 @@ object ScaleRehearsal {
     // geometry; the measured axis is m·(iters+1) assignment scans over
     // the Nx corpus (k·subDim literal argmins, driver-bounded updates)
     // plus the one encode pass + LUT top-k.
-    "q_knn_pq")
+    "q_knn_pq",
+    // round-8 late: behavioral analytics over the replicated events —
+    // users grow Nx on disjoint ranges with per-user event counts flat,
+    // so the funnel's one groupBy-user fold and the cohort's two
+    // natural-key shuffles must grow linearly in the user count.
+    "q_funnel", "q_cohort",
+    // round-8 late: Bloom build over the salted corpus. The vocabulary
+    // grows Nx but the bitmap is FIXED (m bits): the measured axis is
+    // the token stream into a map-side-combined ≤⌈m/63⌉-row shuffle —
+    // the operator's bounded-exchange claim. (Probe-side vocab also
+    // grows Nx; the bitmap broadcast stays constant.)
+    "q_bloom")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
