@@ -3831,6 +3831,19 @@ object Queries {
        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
        |ORDER BY s1.user_id""".stripMargin
 
+  // ------------------------------------------------------- Q-stream-funnel
+  // Streaming funnel (streaming/Funnelize): the flatMapGroupsWithState
+  // twin of q_funnel — per-user slot state maintained incrementally,
+  // out-of-order events buffered until the watermark passes them
+  // (Sessionize's contract), last-wins preview read-out. The gate runs
+  // AvailableNow over the same events table and must hash-match the
+  // BATCH min-cascade oracle exactly: one operator semantics, two
+  // execution modes.
+  def streamFunnelQ(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Funnelize.userFunnels(s, dir, "events.parquet",
+        FunnelSteps, FunnelHorizonUs)
+      .orderBy("user_id")
+
   // ------------------------------------------------------------- Q-cohort
   // Cohort retention (Behavior.cohortRetention): users cohorted by
   // signup week, counted distinct in each subsequent week they were
@@ -4543,6 +4556,7 @@ object Queries {
     "q_rollup" -> (rollupQ _),
     "q_pivot" -> (pivotQ _),
     "q_funnel" -> (funnelQ _),
+    "q_stream_funnel" -> (streamFunnelQ _),
     "q_cohort" -> (cohortQ _),
     "q_pagerank" -> (pageRankQ _),
     "q_skew" -> (skewQ _))
@@ -4665,6 +4679,8 @@ object Queries {
     "q_rollup" -> rollupSql,
     "q_pivot" -> pivotSql,
     "q_funnel" -> funnelSql,
+    // same truth as the batch funnel: one semantics, two execution modes
+    "q_stream_funnel" -> funnelSql,
     "q_cohort" -> cohortSql,
     "q_pagerank" -> pageRankSql,
     "q_skew" -> skewSql)
