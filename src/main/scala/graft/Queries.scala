@@ -3675,6 +3675,85 @@ object Queries {
       |         '?ref=1,https://example.org/about' AS links
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q-pmi
+  // Windowed co-occurrence with rational PMI ranking (Featurize
+  // .pmiPairs): the count-based collocation statistic (Church & Hanks
+  // 1990) — pairs generated IN-ROW (slice against the next 5 neighbors,
+  // no token-stream self-join), score = c_ab·N·10⁴ div (c_a·c_b), exact
+  // BIGINT with the same order as real PMI. Top-50 by (pmi4 desc, a, b).
+  private val PmiWindow = 5
+  private val PmiMinCount = 5L
+  private val PmiTop = 50
+
+  def pmiQ(s: SparkSession, dir: String): DataFrame = {
+    val tk = load(s, dir, "documents").select(tokens(col("text")).as("tk"))
+    // bounded driver read: ONE aggregate row (q_bm25's stats pattern)
+    val n = tk.agg(sum(size(col("tk")))).head().getLong(0)
+    Featurize.pmiPairs(tk, col("tk"), PmiWindow, PmiMinCount, n)
+      .orderBy(col("pmi4").desc, col("a"), col("b")).limit(PmiTop)
+  }
+
+  private val pmiSql =
+    s"""WITH t AS (SELECT $SqlToks AS tk FROM documents),
+       |p0 AS (SELECT flatten(list_transform(generate_series(1, len(tk)),
+       |         i -> list_transform(tk[i+1:i+$PmiWindow], x ->
+       |           struct_pack(a := least(tk[i], x),
+       |                       b := greatest(tk[i], x))))) AS ps
+       |       FROM t),
+       |p AS (SELECT u.a AS a, u.b AS b
+       |      FROM (SELECT unnest(ps) AS u FROM p0)),
+       |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+       |        FROM p GROUP BY a, b HAVING count(*) >= $PmiMinCount),
+       |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+       |        FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY tok),
+       |n AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS n FROM t)
+       |SELECT cab.a, cab.b, c_ab, ua.c AS c_a, ub.c AS c_b,
+       |       c_ab * n.n * 10000 // (ua.c * ub.c) AS pmi4
+       |FROM cab JOIN uni ua ON cab.a = ua.tok
+       |         JOIN uni ub ON cab.b = ub.tok, n
+       |ORDER BY pmi4 DESC, cab.a, cab.b LIMIT $PmiTop""".stripMargin
+
+  // ---------------------------------------------------------- Q-triangles
+  // Degree-oriented triangle counting (Graph.triangleCounts) over the
+  // co-order part graph: parts are adjacent when ≥ MinSupport orders
+  // contain both (the market-basket support cut that keeps template
+  // pairs from densifying the graph). The ENGINE orients every edge
+  // from its lower-(degree, id) endpoint — wedge volume O(m^1.5) on any
+  // degree sequence, the 10⁹-edge survival property — while the ORACLE
+  // counts the same triangles with the naive id-ordered 3-way join: two
+  // plans, one truth, so the orientation logic itself is hash-gated.
+  private val TriMinSupport = 2L
+
+  def trianglesQ(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val a = li.as("a")
+    val b = li.as("b")
+    val edges = a.join(b,
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= TriMinSupport)
+      .select("x", "y")
+    Graph.triangleCounts(edges)
+      .orderBy(col("n_tri").desc, col("node"))
+  }
+
+  private val trianglesSql =
+    s"""WITH e0 AS (SELECT a.l_partkey AS x, b.l_partkey AS y,
+       |              CAST(count(*) AS BIGINT) AS c
+       |            FROM lineitem a JOIN lineitem b
+       |              ON a.l_orderkey = b.l_orderkey
+       |             AND a.l_partkey < b.l_partkey
+       |            GROUP BY 1, 2),
+       |e AS (SELECT x, y FROM e0 WHERE c >= $TriMinSupport),
+       |tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+       |        FROM e e1 JOIN e e2 ON e1.y = e2.x
+       |             JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
+       |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+       |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+       |GROUP BY node ORDER BY n_tri DESC, node""".stripMargin
+
   // ------------------------------------------------------------- Q-rollup
   // Hierarchical totals (A-family breadth): ROLLUP over (returnflag,
   // linestatus) with exact money sums — detail, per-flag subtotal, and
@@ -4554,6 +4633,8 @@ object Queries {
     "q_blocklist" -> (blocklistQ _),
     "q_diff" -> (diffQ _),
     "q_rollup" -> (rollupQ _),
+    "q_pmi" -> (pmiQ _),
+    "q_triangles" -> (trianglesQ _),
     "q_pivot" -> (pivotQ _),
     "q_funnel" -> (funnelQ _),
     "q_stream_funnel" -> (streamFunnelQ _),
@@ -4677,6 +4758,8 @@ object Queries {
     "q_blocklist" -> blocklistSql,
     "q_diff" -> diffSql,
     "q_rollup" -> rollupSql,
+    "q_pmi" -> pmiSql,
+    "q_triangles" -> trianglesSql,
     "q_pivot" -> pivotSql,
     "q_funnel" -> funnelSql,
     // same truth as the batch funnel: one semantics, two execution modes

@@ -62,4 +62,44 @@ object Featurize {
   /** The hashed vector as array<float> — the shape every ANN /
     * clustering operator in [[Similarity]]/[[Clustering]] consumes. */
   def asFloatVec(vec: Column): Column = transform(vec, _.cast("float"))
+
+  /** Windowed co-occurrence pairs with a PMI-ordered score — the corpus
+    * statistic behind count-based embeddings and collocation mining
+    * (Church & Hanks 1990). Pairs are generated IN-ROW (each position
+    * against its next `window` neighbors via `slice` — no self-join of
+    * the token stream, no shuffle until the pair count), normalized to
+    * (least, greatest). The score is the RATIONAL PMI core
+    * `c_ab·N·10⁴ div (c_a·c_b)` — exact BIGINT, same ORDER as real PMI
+    * (log is monotone), so the gate carries no float and any engine
+    * replays it; a deployment wanting nats applies log to the same
+    * ratio. Scale shape: one explode + three partial-aggregated
+    * groupBys; the unigram table joins back keyed on each pair side.
+    * Magnitude guard: c_ab·N·10⁴ stays in int64 while c_ab·N < 9·10¹⁴
+    * — corpora beyond that shard the count tables first (documented,
+    * not silently truncated). */
+  def pmiPairs(docs: DataFrame, tokCol: Column, window: Int,
+               minCount: Long, totalTokens: Long): DataFrame = {
+    require(window >= 1, s"need window >= 1; got $window")
+    require(totalTokens >= 1, s"need totalTokens >= 1; got $totalTokens")
+    val tk = docs.select(tokCol.as("tk"))
+    val pairs = tk.select(explode(flatten(transform(
+        sequence(lit(1), size(col("tk"))),
+        i => transform(slice(col("tk"), i + 1, lit(window)), t =>
+          struct(least(element_at(col("tk"), i), t).as("a"),
+            greatest(element_at(col("tk"), i), t).as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val uni = tk.select(explode(col("tk")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    // totalTokens rides as a LITERAL (callers get it from one bounded
+    // 1-row driver agg, the q_bm25 pattern) — a 1-row N frame would be
+    // a cross join for nothing
+    pairs.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("tok").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), "b")
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        // integral div (Spark `div` / oracle `//` agree on positives);
+        // Column./ would be double division
+        expr(s"c_ab * $totalTokens * 10000 DIV (c_a * c_b)").as("pmi4"))
+  }
 }

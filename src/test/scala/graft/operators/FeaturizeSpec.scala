@@ -49,4 +49,38 @@ class FeaturizeSpec extends SparkSpec {
     assert(top.map(_._1).toSet == Set(1L, 2L))
     assert(top.forall(_._2 == 1.0))
   }
+
+  test("pmiPairs: windowed in-row pair generation, canonical order, counts") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    // "b a" co-occurs twice (window 2 reaches over one gap token);
+    // pairs normalize to (a, b) regardless of surface order
+    val docs = Seq("a x b", "b a").toDF("text")
+      .select(tokens(col("text")).as("tk"))
+    val got = Featurize.pmiPairs(docs, col("tk"), window = 2, minCount = 1, totalTokens = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // N=5; c_a=2, c_b=2, c_x=1
+    assert(got(("a", "b")) === ((2L, 2L, 2L, 25000L))) // 2*5*1e4/(2*2)
+    assert(got(("a", "x")) === ((1L, 2L, 1L, 25000L)))
+    assert(got(("b", "x")) === ((1L, 2L, 1L, 25000L)))
+    // window bound respected: no pair from positions 1->3 at window 1
+    val w1 = Featurize.pmiPairs(docs, col("tk"), window = 1, minCount = 1, totalTokens = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(w1 === Set(("a", "x"), ("b", "x"), ("a", "b")))
+  }
+
+  test("pmiPairs ranks a genuine collocation above independent tokens") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    // 'new york' always adjacent; fillers also occur AWAY from the
+    // collocation so their conditional association is genuinely weaker
+    val docs = ((0 until 20).map(i => s"new york f$i g${i % 3}") ++
+        (0 until 20).map(i => s"g${i % 3} h$i")).toDF("text")
+      .select(tokens(col("text")).as("tk"))
+    val top = Featurize.pmiPairs(docs, col("tk"), 2, 2, totalTokens = 120L)
+      .orderBy(col("pmi4").desc, col("a"), col("b")).limit(1)
+      .collect().map(r => (r.getString(0), r.getString(1))).head
+    assert(top === (("new", "york")))
+  }
 }

@@ -42,4 +42,40 @@ class GraphSpec extends SparkSpec {
     assert(r.keySet == Set("a", "sink"))
     assert(r("a") == 150000L, "no in-links -> teleport base")
   }
+
+  test("triangleCounts: K4 gives 3 per node; square gives none") {
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)).toDF("x", "y")
+    val got = Graph.triangleCounts(k4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("x", "y")
+    assert(Graph.triangleCounts(square).isEmpty)
+  }
+
+  test("degree-oriented count equals the naive 3-join on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 400).map { _ =>
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val e = edges.toDF("x", "y")
+    val got = Graph.triangleCounts(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: all id-ordered triples
+    val set = edges.toSet
+    val nodes = edges.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val brute = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      a <- nodes; b <- nodes if a < b && set((a, b))
+      c <- nodes if b < c && set((b, c)) && set((a, c))
+    } { brute(a) += 1; brute(b) += 1; brute(c) += 1 }
+    assert(got === brute.toMap, "orientation must not change the count")
+  }
+
+  test("a high-degree hub does not explode wedge volume (orientation works)") {
+    // star: hub connected to 200 leaves, no triangles at all
+    val star = (1L to 200L).map(i => (math.min(0L, i), math.max(0L, i)))
+      .toDF("x", "y")
+    assert(Graph.triangleCounts(star).isEmpty)
+  }
 }
