@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables.load
 import graft.functions.{AminoAcid, Barcode, DateNorm, ExactAgg, MapOps, QualityRules}
 import graft.functions.TextFunctions._
-import graft.operators.{Align, AsOf, Behavior, Bpe, Catalog, Classify, Clustering, Dedup, Dsir, Featurize, Graph, InvertedIndex, Joins, LanguageModel, Layout, Lineage, Multimodal, Pq, Retrieval, Sequencing, Shards, Similarity, Sketches, Skew, Snapshot, Stats}
+import graft.operators.{Align, AsOf, Behavior, Bpe, Catalog, Classify, Clustering, Dedup, Dsir, Featurize, Graph, InvertedIndex, Joins, LanguageModel, Layout, Lineage, Multimodal, Pq, Retrieval, Sequencing, Shards, Similarity, Sketches, Skew, Snapshot, Stats, TimeSeries}
 import graft.sources.{Files, Jdbc, Parsers, Sinks}
 import graft.streaming.{Ingest, Sessionize}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -3675,6 +3675,70 @@ object Queries {
       |         '?ref=1,https://example.org/about' AS links
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ Q-gapfill
+  // Dense-grid time-series repair (TimeSeries.fillForward): daily
+  // per-type event aggregates with HOLES become a dense 30-day grid —
+  // counts fill 0, the daily money sum carries forward (null until the
+  // first observation). The grid explodes the period range onto the key
+  // dimension (no cross-join node); the carry-forward is one bounded
+  // window per key. The report-facing step that keeps diffs and moving
+  // averages from silently mis-computing over sparse days.
+  private val GapDays = 29L // days 0..29 of the events month
+
+  def gapFillQ(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+      .cast("long")
+    val agg = load(s, dir, "events")
+      .groupBy(col("event_type"), day.as("d"))
+      .agg(count(lit(1)).as("n"), ExactAgg.moneySum(col("value"), 100).as("v"))
+    TimeSeries.fillForward(agg, "event_type", "d", "n", "v", 0L, GapDays)
+      .orderBy("event_type", "d")
+  }
+
+  private val gapFillSql =
+    s"""WITH ev AS (SELECT event_type,
+       |              date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+       |              value
+       |            FROM events),
+       |agg AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n,
+       |               ${moneySumSql("value")} AS v
+       |        FROM ev GROUP BY 1, 2),
+       |keys AS (SELECT DISTINCT event_type FROM agg),
+       |grid AS (SELECT event_type, g.d
+       |         FROM keys, generate_series(0, $GapDays) AS g(d)),
+       |j AS (SELECT grid.event_type, grid.d, coalesce(agg.n, 0) AS n, agg.v
+       |      FROM grid LEFT JOIN agg USING (event_type, d))
+       |SELECT event_type, d, n,
+       |       last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+       |         ORDER BY d ROWS UNBOUNDED PRECEDING) AS v
+       |FROM j ORDER BY event_type, d""".stripMargin
+
+  // ---------------------------------------------------------------- Q-orc
+  // ORC source/sink roundtrip (S-family format breadth next to
+  // parquet/TSV/JSON/JDBC/binary): supplier publishes as ORC (with its
+  // own predicate-pushdown/column-pruning stack), reads back, and joins
+  // the parquet nation dim — the oracle replays from the ORIGINAL
+  // parquet, so any value the ORC path mangles diverges the hash.
+  def orcQ(s: SparkSession, dir: String): DataFrame = {
+    val dest = s"$FixtureRoot/supplier_orc"
+    publishOnce(dest, dir) {
+      load(s, dir, "supplier").write.mode("overwrite").orc(dest)
+    }
+    s.read.orc(dest)
+      .join(broadcast(load(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n"),
+        ExactAgg.moneySum(col("s_acctbal"), 100).as("sum_bal"))
+      .orderBy("nation")
+  }
+
+  private val orcSql =
+    s"""SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n,
+       |       ${moneySumSql("s_acctbal")} AS sum_bal
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- Q-pmi
   // Windowed co-occurrence with rational PMI ranking (Featurize
   // .pmiPairs): the count-based collocation statistic (Church & Hanks
@@ -4634,6 +4698,8 @@ object Queries {
     "q_diff" -> (diffQ _),
     "q_rollup" -> (rollupQ _),
     "q_pmi" -> (pmiQ _),
+    "q_gapfill" -> (gapFillQ _),
+    "q_orc" -> (orcQ _),
     "q_triangles" -> (trianglesQ _),
     "q_pivot" -> (pivotQ _),
     "q_funnel" -> (funnelQ _),
@@ -4759,6 +4825,8 @@ object Queries {
     "q_diff" -> diffSql,
     "q_rollup" -> rollupSql,
     "q_pmi" -> pmiSql,
+    "q_gapfill" -> gapFillSql,
+    "q_orc" -> orcSql,
     "q_triangles" -> trianglesSql,
     "q_pivot" -> pivotSql,
     "q_funnel" -> funnelSql,
