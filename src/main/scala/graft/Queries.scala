@@ -3675,6 +3675,66 @@ object Queries {
       |         '?ref=1,https://example.org/about' AS links
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- Q-scd2
+  // Type-2 SCD apply (Catalog.scd2Apply): where K2's upsert (q_upsert)
+  // keeps only the latest row, this keeps HISTORY — a changed customer
+  // segment closes its open row at the batch timestamp and opens a new
+  // one. Incoming derives deterministically from customer (%7 segment
+  // rewrites, %97 re-keyed inserts); the oracle rebuilds the result as
+  // explicit case unions with DIRECT column comparison, so the
+  // fingerprint shortcut is independently checked. One full-outer join
+  // of open rows vs incoming (both key-shuffled once) + verbatim union
+  // of closed history.
+  private val Scd2Ts = 200L
+
+  def scd2Q(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    val hist = load(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        cents.as("bal"), lit(0L).as("valid_from"),
+        lit(null).cast("long").as("valid_to"))
+    val incoming = load(s, dir, "customer")
+      .select(col("c_custkey").as("k"),
+        when(col("c_custkey") % 7 === 0, lit("SEG_NEW"))
+          .otherwise(col("c_mktsegment")).as("seg"), cents.as("bal"))
+      .unionByName(load(s, dir, "customer")
+        .filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 1000000L).as("k"),
+          col("c_mktsegment").as("seg"), cents.as("bal")))
+    Catalog.scd2Apply(hist, incoming, Seq("k"), Scd2Ts)
+      .orderBy("k", "valid_from")
+  }
+
+  private val scd2Sql =
+    s"""WITH cur AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+       |              CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+       |             FROM customer),
+       |inc AS (SELECT c_custkey AS k,
+       |          CASE WHEN c_custkey % 7 = 0 THEN 'SEG_NEW'
+       |               ELSE c_mktsegment END AS seg,
+       |          CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+       |        FROM customer
+       |        UNION ALL
+       |        SELECT c_custkey + 1000000, c_mktsegment,
+       |               CAST(round(c_acctbal * 100) AS BIGINT)
+       |        FROM customer WHERE c_custkey % 97 = 0),
+       |j AS (SELECT cur.k AS ck, cur.seg AS cseg, cur.bal AS cbal,
+       |             inc.k AS ik, inc.seg AS iseg, inc.bal AS ibal
+       |      FROM cur FULL JOIN inc ON cur.k = inc.k)
+       |SELECT coalesce(ck, ik) AS k, cseg AS seg, cbal AS bal,
+       |       CAST(0 AS BIGINT) AS valid_from,
+       |       CASE WHEN ik IS NOT NULL
+       |             AND (cseg IS DISTINCT FROM iseg
+       |                  OR cbal IS DISTINCT FROM ibal)
+       |            THEN CAST($Scd2Ts AS BIGINT) END AS valid_to
+       |FROM j WHERE ck IS NOT NULL
+       |UNION ALL
+       |SELECT ik, iseg, ibal, CAST($Scd2Ts AS BIGINT), CAST(NULL AS BIGINT)
+       |FROM j WHERE ik IS NOT NULL
+       |  AND (ck IS NULL OR cseg IS DISTINCT FROM iseg
+       |       OR cbal IS DISTINCT FROM ibal)
+       |ORDER BY k, valid_from""".stripMargin
+
   // ------------------------------------------------------------ Q-gapfill
   // Dense-grid time-series repair (TimeSeries.fillForward): daily
   // per-type event aggregates with HOLES become a dense 30-day grid —
@@ -4699,6 +4759,7 @@ object Queries {
     "q_rollup" -> (rollupQ _),
     "q_pmi" -> (pmiQ _),
     "q_gapfill" -> (gapFillQ _),
+    "q_scd2" -> (scd2Q _),
     "q_orc" -> (orcQ _),
     "q_triangles" -> (trianglesQ _),
     "q_pivot" -> (pivotQ _),
@@ -4826,6 +4887,7 @@ object Queries {
     "q_rollup" -> rollupSql,
     "q_pmi" -> pmiSql,
     "q_gapfill" -> gapFillSql,
+    "q_scd2" -> scd2Sql,
     "q_orc" -> orcSql,
     "q_triangles" -> trianglesSql,
     "q_pivot" -> pivotSql,

@@ -63,4 +63,48 @@ object Catalog {
     existing.unionByName(
       incoming.join(existing.select(keys.map(col): _*).distinct(),
         keys, "left_anti"))
+
+  /** Type-2 slowly-changing dimension apply: [[upsert]] keeps only the
+    * latest row per key; this keeps the HISTORY — a changed key closes
+    * its open row (`valid_to` = batchTs) and opens a new one, an
+    * unchanged or untouched key keeps its open row, a new key opens its
+    * first. `hist` carries (keys, attrs, valid_from, valid_to NULL =
+    * open); `incoming` carries (keys, attrs), at most one row per key.
+    *
+    * Change detection reuses [[Snapshot.rowFingerprint]] over the attr
+    * columns (width-independent compare), and the whole apply is ONE
+    * full-outer join of open rows vs incoming plus an explode of
+    * per-case row arrays — already-closed history is untouched and
+    * unioned back verbatim. At scale, bucket the history by key so
+    * successive applies co-locate. */
+  def scd2Apply(hist: DataFrame, incoming: DataFrame, keys: Seq[String],
+                batchTs: Long): DataFrame = {
+    val attrs = incoming.columns.filterNot(keys.contains).toSeq
+    require(attrs.nonEmpty, "incoming must carry at least one attr column")
+    val closed = hist.filter(col("valid_to").isNotNull)
+    val open = hist.filter(col("valid_to").isNull)
+      .withColumn("__fp", Snapshot.rowFingerprint(attrs.map(col)))
+    val inc = incoming
+      .withColumn("__fp_n", Snapshot.rowFingerprint(attrs.map(col)))
+      .select(keys.map(col) ++ attrs.map(c => col(c).as(s"__n_$c")) :+
+        col("__fp_n"): _*)
+    val outCols = keys ++ attrs ++ Seq("valid_from", "valid_to")
+    def mk(attr: String => org.apache.spark.sql.Column,
+           from: org.apache.spark.sql.Column,
+           to: org.apache.spark.sql.Column) =
+      struct(keys.map(col) ++ attrs.map(c => attr(c).as(c)) :+
+        from.as("valid_from") :+ to.as("valid_to"): _*)
+    val nullTs = lit(null).cast("long")
+    val keepOpen = mk(col, col("valid_from"), nullTs)
+    val closeOld = mk(col, col("valid_from"), lit(batchTs))
+    val openNew = mk(c => col(s"__n_$c"), lit(batchTs), nullTs)
+    val applied = open.join(inc, keys, "full_outer")
+      .select(explode(
+        when(col("__fp_n").isNull, array(keepOpen)) // key untouched
+          .when(col("__fp").isNull, array(openNew)) // brand-new key
+          .when(col("__fp") === col("__fp_n"), array(keepOpen)) // same value
+          .otherwise(array(closeOld, openNew))).as("r")) // changed
+      .select(outCols.map(c => col(s"r.$c").as(c)): _*)
+    closed.select(outCols.map(col): _*).unionByName(applied)
+  }
 }

@@ -400,6 +400,36 @@ class CatalogSpec extends SparkSpec {
     val twice = Catalog.appendNew(once, incoming, Seq("id"))
     assert(twice.count() === 2)
   }
+
+  test("scd2Apply: change closes and reopens, unchanged/new/untouched behave") {
+    import org.apache.spark.sql.functions.col
+    def hist(rows: (Long, String, Long, Option[Long])*) =
+      rows.toDF("k", "v", "valid_from", "valid_to")
+    val h = hist(
+      (1L, "old", 0L, Some(50L)), (1L, "cur", 50L, None), // has history
+      (2L, "same", 0L, None), // incoming repeats it
+      (3L, "keep", 0L, None)) // untouched by the batch
+    val inc = Seq((1L, "newer"), (2L, "same"), (4L, "born")).toDF("k", "v")
+    val got = Catalog.scd2Apply(h, inc, Seq("k"), batchTs = 100L)
+      .orderBy("k", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq === Seq(
+      (1L, "old", 0L, Some(50L)), // closed history untouched
+      (1L, "cur", 50L, Some(100L)), // change closes the open row...
+      (1L, "newer", 100L, None), // ...and opens the new value
+      (2L, "same", 0L, None), // unchanged keeps its open row
+      (3L, "keep", 0L, None), // absent from batch: untouched
+      (4L, "born", 100L, None))) // new key opens its first row
+    // idempotence: re-applying the same batch changes nothing
+    val again = Catalog.scd2Apply(
+      Catalog.scd2Apply(h, inc, Seq("k"), 100L), inc, Seq("k"), 150L)
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(again.toSeq === got.toSeq, "same batch twice must be a no-op")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -231,4 +231,32 @@ class ContinuousSoakSpec extends SparkSpec {
     assert(soaked === Seq(Seq(1L, "a3", 30L), Seq(2L, "b2", 20L),
       Seq(3L, "c", 20L), Seq(4L, "d", 30L)))
   }
+
+  test("funnelize soak: dripped ProcessingTime run equals one-shot state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-soak-fun").toString
+    val steps = Seq("view", "click", "purchase")
+    // ts here is a legacy nanos long. u1 completes the funnel across
+    // THREE drip files; u2's click arrives before its view (out of
+    // order, still above watermark) and must pair once the view lands.
+    writeOne(dir, "f1.parquet",
+      Seq((1L, H / 10, "view"), (2L, H / 2, "click")).toDF("user_id", "ts", "event_type"))
+    val (trigger, finish) = dripRig { q =>
+      writeOne(dir, "f2.parquet",
+        Seq((1L, H / 5, "click"), (2L, H / 4, "view")).toDF("user_id", "ts", "event_type"))
+      q.processAllAvailable()
+      writeOne(dir, "f3.parquet",
+        Seq((1L, H * 3 / 10, "purchase"), (2L, H * 3, "view")).toDF("user_id", "ts", "event_type"))
+    }
+    val horizon = 4L * 3600 * 1000000 // micros
+    val soaked = rows(Funnelize.userFunnels(spark, dir, "f*.parquet", steps,
+      horizon, trigger = trigger, finish = finish).orderBy("user_id"))
+    val oneShot = rows(Funnelize.userFunnels(spark, dir, "f*.parquet", steps,
+      horizon).orderBy("user_id"))
+    assert(soaked === oneShot)
+    // micros = nanos/1000: u1 completes; u2 pairs view(0.25h)->click(0.5h)
+    val us = H / 1000
+    assert(soaked === Seq(
+      Seq(1L, us / 10, us / 5, us * 3 / 10, 3L),
+      Seq(2L, us / 4, us / 2, null, 2L)))
+  }
 }
