@@ -3675,6 +3675,54 @@ object Queries {
       |         '?ref=1,https://example.org/about' AS links
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- Q-fuzzy
+  // Fuzzy record linkage (Joins.fuzzyJoin1): typo'd part names matched
+  // back to the clean catalog at edit distance ≤ 1 through SymSpell
+  // deletion-neighborhood blocking — candidates come from variant
+  // EQUALITY only (|s|+1 keys per string, a pure equi-join; no length
+  // bands, no all-pairs). The typo is engine-replayable (drop the
+  // character at sha-hash-chosen position). The ORACLE finds the same
+  // pairs with the QUADRATIC levenshtein join — an independent
+  // completeness proof of the neighborhood construction. Per typo:
+  // candidate count and the best (dist, name) match.
+  def fuzzyQ(s: SparkSession, dir: String): DataFrame = {
+    val clean = load(s, dir, "part").select(col("p_name")).distinct()
+    val pos = (shaHash32(col("p_name")) % length(col("p_name")).cast("long"))
+      .cast("int") + 1
+    val typos = clean.select(concat(
+      col("p_name").substr(lit(1), pos - 1),
+      col("p_name").substr(pos + 1, length(col("p_name")))).as("typo"))
+      .distinct()
+    Joins.fuzzyJoin1(typos, "typo", clean, "p_name")
+      .groupBy("typo")
+      .agg(count(lit(1)).as("n_cand"),
+        min(struct(col("dist"), col("p_name"))).as("best"))
+      .select(col("typo"), col("n_cand"),
+        col("best.p_name").as("best"), col("best.dist").as("dist"))
+      .orderBy("typo")
+  }
+
+  private val fuzzySql =
+    s"""WITH clean AS (SELECT DISTINCT p_name FROM part),
+       |typos AS (SELECT DISTINCT
+       |            substr(p_name, 1, CAST(${sqlSh32("p_name")} % len(p_name)
+       |              AS INT)) ||
+       |            substr(p_name, CAST(${sqlSh32("p_name")} % len(p_name)
+       |              AS INT) + 2) AS typo
+       |          FROM clean),
+       |pairs AS (SELECT typo, p_name,
+       |            CAST(levenshtein(typo, p_name) AS BIGINT) AS dist
+       |          FROM typos, clean
+       |          WHERE levenshtein(typo, p_name) <= 1)
+       |SELECT typo, n_cand, best, dist FROM (
+       |  SELECT typo,
+       |         CAST(count(*) OVER (PARTITION BY typo) AS BIGINT) AS n_cand,
+       |         p_name AS best, dist,
+       |         row_number() OVER (PARTITION BY typo
+       |                            ORDER BY dist, p_name) AS rn
+       |  FROM pairs)
+       |WHERE rn = 1 ORDER BY typo""".stripMargin
+
   // --------------------------------------------------------------- Q-scd2
   // Type-2 SCD apply (Catalog.scd2Apply): where K2's upsert (q_upsert)
   // keeps only the latest row, this keeps HISTORY — a changed customer
@@ -4760,6 +4808,7 @@ object Queries {
     "q_pmi" -> (pmiQ _),
     "q_gapfill" -> (gapFillQ _),
     "q_scd2" -> (scd2Q _),
+    "q_fuzzy" -> (fuzzyQ _),
     "q_orc" -> (orcQ _),
     "q_triangles" -> (trianglesQ _),
     "q_pivot" -> (pivotQ _),
@@ -4888,6 +4937,7 @@ object Queries {
     "q_pmi" -> pmiSql,
     "q_gapfill" -> gapFillSql,
     "q_scd2" -> scd2Sql,
+    "q_fuzzy" -> fuzzySql,
     "q_orc" -> orcSql,
     "q_triangles" -> trianglesSql,
     "q_pivot" -> pivotSql,

@@ -88,4 +88,38 @@ object Joins {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bin")
   }
+
+  /** The ≤1-deletion neighborhood of a string — itself plus every
+    * one-character-removed variant (SymSpell's blocking key set, Garbe
+    * 2012): two strings are within edit distance 1 iff their
+    * neighborhoods intersect, so a dictionary join needs only variant
+    * EQUALITY, never a quadratic distance pass. */
+  def deleteVariants1(s: Column): Column =
+    when(length(s) === 0, array(s)).otherwise(
+      array_distinct(concat(array(s), transform(
+        sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))))
+
+  /** Fuzzy dictionary join at edit distance ≤ 1: candidates come ONLY
+    * from equal deletion variants (each side explodes |s|+1 keys — the
+    * SymSpell tradeoff: linear variant volume buys a pure equi-join;
+    * no length-band scan, no all-pairs). Pairs verify with a real
+    * `levenshtein` ≤ 1 filter — the neighborhood is complete for d=1
+    * (equal / one substitution / one insertion / one deletion all share
+    * a variant), so verification only removes d≥2 collisions, never
+    * adds. Returns distinct (left, right) value pairs with `dist`. */
+  def fuzzyJoin1(left: DataFrame, leftCol: String,
+                 right: DataFrame, rightCol: String): DataFrame = {
+    val l = left.select(col(leftCol).as("__l"))
+      .filter(col("__l").isNotNull).distinct()
+      .select(col("__l"), explode(deleteVariants1(col("__l"))).as("__v"))
+    val r = right.select(col(rightCol).as("__r"))
+      .filter(col("__r").isNotNull).distinct()
+      .select(col("__r"), explode(deleteVariants1(col("__r"))).as("__v"))
+    l.join(r, "__v")
+      .select(col("__l").as(leftCol), col("__r").as(rightCol))
+      .distinct()
+      .withColumn("dist", levenshtein(col(leftCol), col(rightCol)).cast("long"))
+      .filter(col("dist") <= 1)
+  }
 }
