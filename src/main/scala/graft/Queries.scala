@@ -3675,6 +3675,43 @@ object Queries {
       |         '?ref=1,https://example.org/about' AS links
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- Q-evolve
+  // Schema evolution across partition generations: month one landed
+  // WITHOUT the event_type column, month two added it — the reader
+  // must widen (`mergeSchema`) and treat pre-evolution rows as a
+  // 'legacy' class instead of refusing the directory or silently
+  // dropping the column. The standard long-lived-dataset situation at
+  // 100 TB, where rewriting old partitions to the new schema is not an
+  // option. Oracle replays the generation split from the source table.
+  private val EvolveSplitDay = 15
+
+  def evolveQ(s: SparkSession, dir: String): DataFrame = {
+    val dest = s"$FixtureRoot/events_evolve"
+    val day = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+    publishOnce(dest, dir) {
+      val ev = load(s, dir, "events")
+      ev.filter(day < EvolveSplitDay)
+        .select("event_id", "user_id", "value")
+        .write.mode("overwrite").parquet(s"$dest/g=1")
+      ev.filter(day >= EvolveSplitDay)
+        .select("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite").parquet(s"$dest/g=2")
+    }
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$dest/g=1", s"$dest/g=2")
+      .groupBy(coalesce(col("event_type"), lit("legacy")).as("etype"))
+      .agg(count(lit(1)).as("n"),
+        ExactAgg.moneySum(col("value"), 100).as("sum_value"))
+      .orderBy("etype")
+  }
+
+  private val evolveSql =
+    s"""SELECT CASE WHEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+       |            < $EvolveSplitDay THEN 'legacy' ELSE event_type END AS etype,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       ${moneySumSql("value")} AS sum_value
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- Q-fuzzy
   // Fuzzy record linkage (Joins.fuzzyJoin1): typo'd part names matched
   // back to the clean catalog at edit distance ≤ 1 through SymSpell
@@ -4809,6 +4846,7 @@ object Queries {
     "q_gapfill" -> (gapFillQ _),
     "q_scd2" -> (scd2Q _),
     "q_fuzzy" -> (fuzzyQ _),
+    "q_evolve" -> (evolveQ _),
     "q_orc" -> (orcQ _),
     "q_triangles" -> (trianglesQ _),
     "q_pivot" -> (pivotQ _),
@@ -4938,6 +4976,7 @@ object Queries {
     "q_gapfill" -> gapFillSql,
     "q_scd2" -> scd2Sql,
     "q_fuzzy" -> fuzzySql,
+    "q_evolve" -> evolveSql,
     "q_orc" -> orcSql,
     "q_triangles" -> trianglesSql,
     "q_pivot" -> pivotSql,

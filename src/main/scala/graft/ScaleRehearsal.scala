@@ -100,7 +100,13 @@ object ScaleRehearsal {
     // the token stream into a map-side-combined ≤⌈m/63⌉-row shuffle —
     // the operator's bounded-exchange claim. (Probe-side vocab also
     // grows Nx; the bitmap broadcast stays constant.)
-    "q_bloom")
+    "q_bloom",
+    // round-8 late: PMI co-occurrence. Salting keeps each replica's
+    // pair vocabulary disjoint with flat per-pair counts, so the pair
+    // table grows Nx and the measured axis is the in-row window explode
+    // (w·tokens rows) through one partial-agg count plus the two
+    // unigram joins — the operator's linear claim.
+    "q_pmi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
