@@ -3675,6 +3675,49 @@ object Queries {
       |         '?ref=1,https://example.org/about' AS links
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- Q-negsample
+  // Contrastive negative sampling (Featurize.negativeSamples): per
+  // anchor vector, the first 3 valid of 8 sha-probed candidates from
+  // the dense id space, skipping self and same-label hits (the
+  // in-batch-duplicate hazard). Stable across runs and cluster sizes —
+  // no rand() anywhere — and linear: anchors × attempts probe rows
+  // through one equi-join. The oracle replays probe arithmetic,
+  // validity, and the first-k-by-attempt-order window.
+  private val NegK = 3
+  private val NegAttempts = 8
+
+  def negSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    // bounded driver read: ONE count row (ids are dense 0..n-1)
+    val n = emb.count()
+    val anchors = emb.filter(col("vec_id") % 97 === 0)
+    Featurize.negativeSamples(emb.select(col("vec_id"), col("label")),
+        "vec_id", "label",
+        anchors.select(col("vec_id"), col("label")), n, NegK, NegAttempts)
+      .select(col("anchor"), col("rk").cast("long").as("rk"),
+        col("j").cast("long").as("j"), col("cand_id"),
+        col("cand_label").cast("long").as("cand_label"))
+      .orderBy("anchor", "rk")
+  }
+
+  private val negSampleSql =
+    s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |an AS (SELECT vec_id, label FROM embeddings WHERE vec_id % 97 = 0),
+       |probes AS (SELECT an.vec_id AS anchor, an.label AS aexcl, g.j,
+       |             ${sqlSh32("concat('neg:', an.vec_id, ':', g.j)")}
+       |               % (SELECT n FROM n) AS cand_id
+       |           FROM an, generate_series(0, ${NegAttempts - 1}) AS g(j)),
+       |valid AS (SELECT p.anchor, p.j, p.cand_id,
+       |            CAST(e.label AS BIGINT) AS cand_label,
+       |            row_number() OVER (PARTITION BY p.anchor
+       |                               ORDER BY p.j) AS rk
+       |          FROM probes p JOIN an ON p.anchor = an.vec_id
+       |               JOIN embeddings e ON p.cand_id = e.vec_id
+       |          WHERE p.cand_id != p.anchor AND e.label != p.aexcl)
+       |SELECT anchor, CAST(rk AS BIGINT) AS rk, j, cand_id, cand_label
+       |FROM valid WHERE rk <= $NegK
+       |ORDER BY anchor, rk""".stripMargin
+
   // ------------------------------------------------------------- Q-evolve
   // Schema evolution across partition generations: month one landed
   // WITHOUT the event_type column, month two added it — the reader
@@ -4847,6 +4890,7 @@ object Queries {
     "q_scd2" -> (scd2Q _),
     "q_fuzzy" -> (fuzzyQ _),
     "q_evolve" -> (evolveQ _),
+    "q_negsample" -> (negSampleQ _),
     "q_orc" -> (orcQ _),
     "q_triangles" -> (trianglesQ _),
     "q_pivot" -> (pivotQ _),
@@ -4977,6 +5021,7 @@ object Queries {
     "q_scd2" -> scd2Sql,
     "q_fuzzy" -> fuzzySql,
     "q_evolve" -> evolveSql,
+    "q_negsample" -> negSampleSql,
     "q_orc" -> orcSql,
     "q_triangles" -> trianglesSql,
     "q_pivot" -> pivotSql,

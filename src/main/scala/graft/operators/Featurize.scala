@@ -77,6 +77,41 @@ object Featurize {
     * Magnitude guard: c_ab·N·10⁴ stays in int64 while c_ab·N < 9·10¹⁴
     * — corpora beyond that shard the count tables first (documented,
     * not silently truncated). */
+  /** Deterministic contrastive negatives: for each anchor, `k`
+    * negatives drawn by sha-derived probes into the DENSE id space
+    * [0, n), skipping probes that hit the anchor itself or share its
+    * exclusion key (the in-batch-duplicate hazard of real contrastive
+    * training). The hash-rank analog of "sample k random negatives":
+    * stable across runs and cluster sizes, and LINEAR — anchors ×
+    * `attempts` probe rows through ONE equi-join on the probed id,
+    * never a candidate cross join. Probes keep their attempt order, so
+    * "first k valid" is well-defined; an anchor yields fewer than k
+    * rows only if > attempts−k probes were invalid (tune attempts ≫ k;
+    * deterministic either way). Requires ids dense in [0, n) — the
+    * [[graft.operators.Shards]] layout provides exactly that. */
+  def negativeSamples(emb: DataFrame, idCol: String, exclCol: String,
+                      anchors: DataFrame, n: Long, k: Int,
+                      attempts: Int): DataFrame = {
+    require(n >= 1 && k >= 1 && attempts >= k,
+      s"need n>=1, 1<=k<=attempts; got n=$n k=$k attempts=$attempts")
+    val probes = anchors
+      .select(col(idCol).as("anchor"), col(exclCol).as("__aexcl"))
+      .withColumn("j", explode(sequence(lit(0), lit(attempts - 1))))
+      .withColumn("cand_id", graft.functions.TextFunctions.shaHash32(
+        concat(lit("neg:"), col("anchor"), lit(":"), col("j"))) % n)
+    val cands = emb.select(col(idCol).as("cand_id"),
+      col(exclCol).as("__cexcl"))
+    val valid = probes.join(cands, "cand_id")
+      .filter(col("cand_id") =!= col("anchor") &&
+        col("__cexcl") =!= col("__aexcl"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("anchor").orderBy("j")))
+      .filter(col("rk") <= k)
+    valid.select(col("anchor"), col("rk"), col("j"), col("cand_id"),
+      col("__cexcl").as("cand_" + exclCol))
+  }
+
   def pmiPairs(docs: DataFrame, tokCol: Column, window: Int,
                minCount: Long, totalTokens: Long): DataFrame = {
     require(window >= 1, s"need window >= 1; got $window")

@@ -70,6 +70,40 @@ class FeaturizeSpec extends SparkSpec {
     assert(w1 === Set(("a", "x"), ("b", "x"), ("a", "b")))
   }
 
+  test("negativeSamples: deterministic, excludes self and same-key, first-k order") {
+    import graft.functions.TextFunctions.shaHash32
+    val n = 50L
+    val emb = (0L until n).map(i => (i, (i % 5).toInt)).toDF("id", "lab")
+    val anchors = emb.filter(col("id") % 10 === 0)
+    def run() = Featurize.negativeSamples(emb, "id", "lab", anchors,
+        n, k = 3, attempts = 12)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4)))
+    val a = run()
+    assert(a.toSeq === run().toSeq, "sampling must be run-deterministic")
+    for ((anchor, _, _, cand, candLab) <- a) {
+      assert(cand != anchor, "self must never be a negative")
+      assert(candLab != (anchor % 5).toInt, "exclusion key must hold")
+      assert(cand >= 0 && cand < n)
+    }
+    val perAnchor = a.groupBy(_._1)
+    for ((anchor, rows) <- perAnchor) {
+      assert(rows.length <= 3)
+      assert(rows.map(_._2).sorted.sameElements(1 to rows.length),
+        s"ranks must be dense from 1 for $anchor")
+      // first-k-by-attempt: attempt order must be increasing with rank
+      assert(rows.sortBy(_._2).map(_._3).sameElements(
+        rows.map(_._3).sorted), s"attempt order violated for $anchor")
+    }
+    // probes replay the documented arithmetic
+    val probe0 = a.find(r => r._2 == 1).get
+    val expected = emb.sparkSession.range(1)
+      .select(shaHash32(concat(lit(s"neg:${probe0._1}:"),
+        lit(probe0._3.toString))) % n).head().getLong(0)
+    assert(probe0._4 === expected)
+  }
+
   test("pmiPairs ranks a genuine collocation above independent tokens") {
     import spark.implicits._
     import graft.functions.TextFunctions.tokens
