@@ -4006,6 +4006,95 @@ object Queries {
        |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
        |GROUP BY node ORDER BY n_tri DESC, node""".stripMargin
 
+  // ---------------------------------------------------------- Q-labelprop
+  // Synchronous label propagation (Graph.labelPropagation) over the
+  // bipartite customer–part co-purchase graph: communities emerge from
+  // shared purchasing, with the deterministic most-frequent-neighbor /
+  // min-label update making a FIXED iteration count hash-gateable. The
+  // edge list is linear in lineitem (distinct (cust, part) pairs — no
+  // pair self-join anywhere), each round is one O(edges) join + one
+  // partial-aggregated vote count. The oracle unrolls the same three
+  // synchronous rounds as CTEs with a row_number argmax — window-rank
+  // vs struct-argmin, two formulations of one update rule.
+  private val LpIters = 3
+
+  /** Distinct bipartite co-purchase edges ("c:<cust>", "p:<part>"). */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(load(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey")).as("a"),
+        concat(lit("p:"), col("l_partkey")).as("b"))
+      .distinct()
+
+  private val coPurchaseEdgesSql =
+    """e AS (SELECT DISTINCT 'c:' || o_custkey AS a, 'p:' || l_partkey AS b
+      |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |adj AS (SELECT a AS node, b AS nbr FROM e
+      |        UNION SELECT b AS node, a AS nbr FROM e)""".stripMargin
+
+  def labelPropQ(s: SparkSession, dir: String): DataFrame =
+    Graph.labelPropagation(coPurchaseEdges(s, dir), "a", "b", LpIters)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+
+  private val labelPropSql = {
+    val rounds = (1 to LpIters).map { i =>
+      s"""v$i AS (SELECT a.node, l.lbl, CAST(count(*) AS BIGINT) AS c
+         |        FROM adj a JOIN l${i - 1} l ON a.nbr = l.node GROUP BY 1, 2),
+         |b$i AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()
+         |          OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v$i)
+         |        WHERE rn = 1),
+         |l$i AS (SELECT n.node, coalesce(b.lbl, n.lbl) AS lbl
+         |        FROM l${i - 1} n LEFT JOIN b$i b USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coPurchaseEdgesSql,
+       |l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+       |$rounds
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+       |FROM l$LpIters GROUP BY 1 ORDER BY n_members DESC, community""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- Q-bfs
+  // Multi-source BFS layering (Graph.bfsDistance): hop distance from
+  // one nation's customers over the same co-purchase graph — the
+  // "blast radius" / reachability query (contaminated-source spread,
+  // crawl frontier depth). Fixed maxHops, min-hop semantics; each hop
+  // is one equi-join + distinct + anti-join against settled nodes, so
+  // no hop re-touches what an earlier hop labelled. The oracle unrolls
+  // the same frontier expansion with NOT EXISTS anti-joins.
+  private val BfsHops = 3
+  private val BfsSeedNation = "NATION_7"
+
+  def bfsQ(s: SparkSession, dir: String): DataFrame = {
+    val seeds = load(s, dir, "customer")
+      .join(broadcast(load(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === BfsSeedNation)
+      .select(concat(lit("c:"), col("c_custkey")).as("node"))
+    Graph.bfsDistance(coPurchaseEdges(s, dir), "a", "b", seeds, BfsHops)
+      .orderBy("d", "node")
+  }
+
+  private val bfsSql = {
+    val hops = (1 to BfsHops).map { h =>
+      s"""f$h AS (SELECT DISTINCT a.node FROM adj a
+         |        JOIN d${h - 1} p ON a.nbr = p.node
+         |        WHERE NOT EXISTS (SELECT 1 FROM d${h - 1} x
+         |                          WHERE x.node = a.node)),
+         |d$h AS (SELECT node, d FROM d${h - 1}
+         |        UNION ALL SELECT node, CAST($h AS BIGINT) AS d FROM f$h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coPurchaseEdgesSql,
+       |s AS (SELECT DISTINCT 'c:' || c_custkey AS node
+       |      FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |      WHERE n_name = '$BfsSeedNation'),
+       |d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM s),
+       |$hops
+       |SELECT node, d FROM d$BfsHops ORDER BY d, node""".stripMargin
+  }
+
   // ------------------------------------------------------------- Q-rollup
   // Hierarchical totals (A-family breadth): ROLLUP over (returnflag,
   // linestatus) with exact money sums — detail, per-flag subtotal, and
@@ -4893,6 +4982,8 @@ object Queries {
     "q_negsample" -> (negSampleQ _),
     "q_orc" -> (orcQ _),
     "q_triangles" -> (trianglesQ _),
+    "q_labelprop" -> (labelPropQ _),
+    "q_bfs" -> (bfsQ _),
     "q_pivot" -> (pivotQ _),
     "q_funnel" -> (funnelQ _),
     "q_stream_funnel" -> (streamFunnelQ _),
@@ -5024,6 +5115,8 @@ object Queries {
     "q_negsample" -> negSampleSql,
     "q_orc" -> orcSql,
     "q_triangles" -> trianglesSql,
+    "q_labelprop" -> labelPropSql,
+    "q_bfs" -> bfsSql,
     "q_pivot" -> pivotSql,
     "q_funnel" -> funnelSql,
     // same truth as the batch funnel: one semantics, two execution modes

@@ -117,4 +117,98 @@ object Graph {
         .localCheckpoint()
     } finally { e.unpersist(); () }
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * undirected multigraph `edges(srcCol, dstCol)`: every node starts
+    * with its own id as label; each round it adopts the most frequent
+    * label among its neighbors' PREVIOUS labels (ties → smallest
+    * label; parallel edges collapse to one vote per neighbor). A fixed
+    * iteration count with the deterministic tie-break makes the result
+    * bit-identical on any engine — no random update order, no float
+    * scores — so community detection itself can carry a hash gate.
+    * Isolated update order is the textbook synchronous variant; the
+    * known 2-cycle oscillation on bipartite structures is a property
+    * of that variant, not a bug, and a fixed `iters` simply reports
+    * the labelling after round k.
+    *
+    * Scale shape: the adjacency is symmetrized, de-duplicated and
+    * hash-partitioned by the join key ONCE and persisted; one round =
+    * one equi-join of labels onto adjacency + one partial-aggregated
+    * (node, label) count + one argmin-struct fold — shuffle volume
+    * O(edges) per round, never quadratic, and plan lineage is cut via
+    * [[Checkpoints.pin]] every round. Nodes with no neighbors keep
+    * their label through the left join. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, s"need iters >= 1; got $iters")
+    val adj = edges.select(col(srcCol).cast("string").as("node"),
+        col(dstCol).cast("string").as("nbr"))
+      .unionAll(edges.select(col(dstCol).cast("string").as("node"),
+        col(srcCol).cast("string").as("nbr")))
+      .distinct() // one vote per (node, neighbor) even on parallel edges
+      .repartition(col("nbr")) // the per-round join key: nbr → its label
+      .persist()
+    val nodes = adj.select("node").distinct().persist()
+    try {
+      var lab = nodes.withColumn("lbl", col("node"))
+      for (_ <- 1 to iters) {
+        val votes = adj
+          .join(lab.select(col("node").as("nbr"), col("lbl")), "nbr")
+          .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+        // min(struct(-c, lbl)) = max count, then smallest label
+        val best = votes.groupBy("node")
+          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("b"))
+          .select(col("node"), col("b.l").as("new_lbl"))
+        lab = Checkpoints.pin(
+          lab.join(best, Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("new_lbl"), col("lbl")).as("lbl")))
+      }
+      lab
+    } finally { adj.unpersist(); nodes.unpersist() }
+  }
+
+  /** Multi-source BFS hop distance over the undirected graph
+    * `edges(srcCol, dstCol)`: every node reachable from `seeds`
+    * (a one-column frame of node ids) within `maxHops` hops gets its
+    * MINIMUM hop count; unreachable nodes are absent. Fixed-hop
+    * frontier expansion — hop h joins the previous frontier onto the
+    * adjacency, anti-joins everything already labelled, and tags the
+    * survivors with distance h — so the result is exactly the BFS
+    * layering and bit-identical on any engine.
+    *
+    * Scale shape: the adjacency is symmetrized + de-duplicated +
+    * hash-partitioned by the frontier join key once and persisted; a
+    * hop is one equi-join + distinct + anti-join (all O(edges)), the
+    * frontier only ever contains NEWLY discovered nodes (monotone
+    * shrinking on diameter-bounded graphs), and lineage is cut per hop
+    * via [[Checkpoints.pin]] — the standard "BFS as iterated hash
+    * joins" shape that survives a billion-edge graph because no hop
+    * ever re-touches settled nodes. */
+  def bfsDistance(edges: DataFrame, srcCol: String, dstCol: String,
+                  seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"need maxHops >= 1; got $maxHops")
+    val adj = edges.select(col(srcCol).cast("string").as("node"),
+        col(dstCol).cast("string").as("nbr"))
+      .unionAll(edges.select(col(dstCol).cast("string").as("node"),
+        col(srcCol).cast("string").as("nbr")))
+      .distinct()
+      .repartition(col("nbr"))
+      .persist()
+    try {
+      val s0 = seeds.toDF("node").distinct()
+      var dist = Checkpoints.pin(s0.withColumn("d", lit(0L)))
+      var frontier = dist.select("node")
+      for (h <- 1 to maxHops) {
+        val cand = Checkpoints.pin(
+          adj.join(frontier.select(col("node").as("nbr")), "nbr")
+            .select("node").distinct()
+            .join(dist, Seq("node"), "left_anti")
+            .withColumn("d", lit(h.toLong)))
+        dist = Checkpoints.pin(dist.unionByName(cand))
+        frontier = cand.select("node")
+      }
+      dist
+    } finally { adj.unpersist(); () }
+  }
 }

@@ -78,4 +78,89 @@ class GraphSpec extends SparkSpec {
       .toDF("x", "y")
     assert(Graph.triangleCounts(star).isEmpty)
   }
+
+  /** Naive synchronous LPA replica (most-frequent neighbor label, ties
+    * to min, parallel edges collapsed) for differential testing. */
+  private def naiveLpa(edges: Seq[(String, String)], iters: Int): Map[String, String] = {
+    val adj = (edges ++ edges.map(_.swap)).distinct
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).distinct }
+    var lab = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      lab = adj.map { case (n, nbrs) =>
+        val votes = nbrs.map(lab).groupBy(identity).map { case (l, v) => l -> v.size }
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  test("labelPropagation: two cliques with one bridge settle into two communities") {
+    val clique = (ns: Seq[String]) =>
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val e = (clique(Seq("a", "b", "c", "d")) ++
+      clique(Seq("x", "y", "z", "w")) :+ ("d", "x")).toDF("s", "t")
+    val got = Graph.labelPropagation(e, "s", "t", 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the a-clique settles to uniform 'a'; the x-clique exhibits the
+    // documented synchronous 2-cycle, so assert the exact round-3 state
+    // via the replica rather than a (wrong) hand-computed fixed point
+    assert(Set("a", "b", "c", "d").forall(got(_) == "a"))
+    val cliqueEdges = e.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === naiveLpa(cliqueEdges, 3))
+  }
+
+  test("labelPropagation matches the naive synchronous replica on random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val edges = (0 until 120).map { _ =>
+        (s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}")
+      }.filter(e => e._1 != e._2).distinct
+      val got = Graph.labelPropagation(edges.toDF("s", "t"), "s", "t", 4)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got === naiveLpa(edges, 4), s"trial $trial diverged")
+    }
+  }
+
+  test("labelPropagation: parallel edges vote once; isolated join-key nodes keep labels") {
+    // b has TWO parallel edges to a and one to c: one vote each, tie -> a
+    val e = Seq(("a", "b"), ("a", "b"), ("b", "c")).toDF("s", "t")
+    val got = Graph.labelPropagation(e, "s", "t", 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("b") == "a")
+  }
+
+  test("bfsDistance: path layering, min-dist on multiple seeds, hop cutoff") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("s", "t")
+    val seeds = Seq("a").toDF("node")
+    val got = Graph.bfsDistance(e, "s", "t", seeds, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L),
+      "e is beyond maxHops and must be absent")
+    // two seeds: distances are the min over sources; seed not in graph ok
+    val got2 = Graph.bfsDistance(e, "s", "t", Seq("e", "zzz").toDF("node"), 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 === Map("e" -> 0L, "zzz" -> 0L, "d" -> 1L, "c" -> 2L))
+  }
+
+  test("bfsDistance matches naive BFS on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 150).map { _ =>
+      (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}")
+    }.filter(e => e._1 != e._2).distinct
+    val adj = (edges ++ edges.map(_.swap)).distinct
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).distinct }
+    val seeds = Seq("n0", "n1")
+    var dist = seeds.filter(s => adj.contains(s) || true).map(_ -> 0L).toMap
+    var frontier = seeds
+    for (h <- 1 to 4) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .distinct.filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> h.toLong)
+      frontier = next
+    }
+    val got = Graph.bfsDistance(edges.toDF("s", "t"), "s", "t",
+        seeds.toDF("node"), 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === dist)
+  }
 }
