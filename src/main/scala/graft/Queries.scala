@@ -4095,6 +4095,175 @@ object Queries {
        |SELECT node, d FROM d$BfsHops ORDER BY d, node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- Q-hll
+  // HyperLogLog REGISTERS as the gate row (Sketches.hllRegisters): the
+  // mergeable core of the distinct-count sketch — per (event_type,
+  // bucket) max-rho over sha-derived hashes, ≤ 2^b rows per group no
+  // matter the corpus — is integer-exact and engine-portable, so the
+  // sketch itself crosses the hash gate; the float read-out
+  // (hllEstimate, with linear-counting correction) is the deployable
+  // twin pinned by SketchesSpec against exact distincts. rho's
+  // floor(log2) is a bin()-string LENGTH on both engines — no float
+  // log anywhere near the gate.
+  private val HllB = 6 // 2^6 = 64 buckets
+
+  def hllQ(s: SparkSession, dir: String): DataFrame =
+    Sketches.hllRegisters(load(s, dir, "events"), "event_type", "user_id", HllB)
+      .orderBy("event_type", "bucket")
+
+  private val hllSql = {
+    val m = 1 << HllB
+    val w = 32 - HllB
+    s"""WITH h AS (SELECT event_type,
+       |             ${sqlSh32("'hll:' || user_id")} AS h
+       |           FROM events WHERE user_id IS NOT NULL),
+       |p AS (SELECT event_type, h % $m AS bucket, h // $m AS rest FROM h),
+       |r AS (SELECT event_type, bucket,
+       |             CASE WHEN rest = 0 THEN CAST(${w + 1} AS BIGINT)
+       |                  ELSE $w - (length(bin(rest)) - 1) END AS r
+       |      FROM p)
+       |SELECT event_type, bucket, max(r) AS r
+       |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+  }
+
+  // ------------------------------------------------------------ Q-rolling
+  // Rolling 7-day distinct actives (Behavior.rollingActives): the
+  // engine turns each user's activity days into INCREMENTAL covered
+  // intervals via one lag (union of per-activity windows without
+  // double counting) and explodes ≤7 days each — O(activity + days)
+  // shuffle, no (user × window-day) pair stream, no count(DISTINCT)
+  // over a grid join. The ORACLE is the naive day-grid range join with
+  // count(DISTINCT) — two plans, one truth, so the interval-union
+  // logic itself is hash-gated. Day bounds come from one bounded agg
+  // row (q_pmi's driver-read pattern).
+  private val RollWindow = 7
+
+  /** Day index of an event timestamp (shared with q_gapfill). */
+  private def evDay: Column =
+    datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long")
+
+  def rollingQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+    val b = ev.agg(min(evDay).as("lo"), max(evDay).as("hi")).head()
+    Behavior.rollingActives(ev, "user_id", evDay, RollWindow,
+      b.getLong(0), b.getLong(1)).orderBy("d")
+  }
+
+  private val rollingSql =
+    s"""WITH ud AS (SELECT DISTINCT user_id AS u,
+       |              date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+       |            FROM events),
+       |g AS (SELECT unnest(generate_series((SELECT min(day) FROM ud),
+       |                                    (SELECT max(day) FROM ud))) AS d)
+       |SELECT g.d, CAST(count(DISTINCT ud.u) AS BIGINT) AS n_active
+       |FROM g JOIN ud ON ud.day BETWEEN g.d - ${RollWindow - 1} AND g.d
+       |GROUP BY g.d ORDER BY g.d""".stripMargin
+
+  // ------------------------------------------------------------ Q-anomaly
+  // Integer-exact z-score anomaly flags (Stats.zOutliers) over the
+  // daily event-count series per type: a day is anomalous iff its
+  // count deviates from the type's mean by more than z·σ, stated as
+  // (n·x − s)²·zDen² > zNum²·(n·q − s²) in pure BIGINT — the
+  // monitoring query where float σ would disagree across engines
+  // exactly on threshold cells. One window shuffle by type.
+  private val AnomZNum = 2L
+  private val AnomZDen = 1L
+
+  def anomalyQ(s: SparkSession, dir: String): DataFrame =
+    Stats.zOutliers(
+      load(s, dir, "events")
+        .groupBy(col("event_type"), evDay.as("d"))
+        .agg(count(lit(1)).as("n_events")),
+      "event_type", "n_events", AnomZNum, AnomZDen)
+      .orderBy("event_type", "d")
+
+  private val anomalySql =
+    s"""WITH c AS (SELECT event_type,
+       |             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+       |             CAST(count(*) AS BIGINT) AS n_events
+       |           FROM events GROUP BY 1, 2),
+       |s AS (SELECT event_type, d, n_events,
+       |             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+       |             CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS sm,
+       |             CAST(sum(n_events * n_events) OVER (PARTITION BY event_type) AS BIGINT) AS q
+       |      FROM c)
+       |SELECT event_type, d, n_events,
+       |       (n * n_events - sm) * (n * n_events - sm) * ${AnomZDen * AnomZDen}
+       |         > ${AnomZNum * AnomZNum} * (n * q - sm * sm) AS is_anomaly
+       |FROM s ORDER BY event_type, d""".stripMargin
+
+  // ------------------------------------------------------------ Q-skyline
+  // 2-D Pareto frontier (Stats.skyline2d): the parts no other part
+  // beats on (price down, size up) — the classic dominance query whose
+  // textbook NOT-EXISTS plan is O(n²). The ENGINE runs grid-prefilter
+  // (per-bucket max size, running max over strictly-cheaper buckets,
+  // broadcast back — dominated points die in the scan stage) + one
+  // window over the small survivor set; the ORACLE states the
+  // quadratic NOT EXISTS — two plans, one truth, so the prefilter's
+  // no-skyline-point-lost induction is itself hash-gated.
+  private val SkyStep = 10000L // price-cents grid stride
+
+  def skylineQ(s: SparkSession, dir: String): DataFrame =
+    Stats.skyline2d(
+      load(s, dir, "part")
+        .select(col("p_partkey"),
+          expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_c"),
+          col("p_size").cast("long").as("size")),
+      "price_c", "size", SkyStep)
+      .select("p_partkey", "price_c", "size")
+      .orderBy("price_c", "p_partkey")
+
+  private val skylineSql =
+    """WITH p AS (SELECT p_partkey,
+      |             CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+      |             CAST(p_size AS BIGINT) AS size
+      |           FROM part)
+      |SELECT p_partkey, price_c, size FROM p a
+      |WHERE NOT EXISTS (SELECT 1 FROM p b
+      |                  WHERE b.price_c <= a.price_c AND b.size >= a.size
+      |                    AND (b.price_c < a.price_c OR b.size > a.size))
+      |ORDER BY price_c, p_partkey""".stripMargin
+
+  // ---------------------------------------------------------- Q-intervals
+  // Gaps-and-islands interval merge (TimeSeries.mergeIntervals): each
+  // order opens a 30-day coverage window; overlapping/touching windows
+  // per customer collapse into maximal episodes (closed-interval
+  // semantics) — validity-range compaction / activity-episode logic.
+  // One shuffle by customer feeds both window passes and the fold; the
+  // oracle replays the running-max island construction with SQL
+  // windows and the gate compares the per-customer episode profile.
+  private val IvWindowDays = 30
+
+  def intervalsQ(s: SparkSession, dir: String): DataFrame = {
+    val iv = load(s, dir, "orders")
+      .select(col("o_custkey").as("custkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("2024-01-01").cast("date")).cast("long").as("s"))
+      .withColumn("e", col("s") + IvWindowDays)
+    TimeSeries.mergeIntervals(iv, "custkey", "s", "e")
+      .groupBy("custkey")
+      .agg(count(lit(1)).as("n_episodes"),
+        sum(col("end") - col("start") + 1).as("covered_days"))
+      .orderBy("custkey")
+  }
+
+  private val intervalsSql =
+    s"""WITH iv AS (SELECT o_custkey AS c,
+       |              date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS s
+       |            FROM orders),
+       |i2 AS (SELECT c, s, s + $IvWindowDays AS e FROM iv),
+       |m AS (SELECT c, s, e, max(e) OVER (PARTITION BY c ORDER BY s, e
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM i2),
+       |f AS (SELECT c, s, e,
+       |        CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw FROM m),
+       |isl AS (SELECT c, s, e, sum(nw) OVER (PARTITION BY c ORDER BY s, e
+       |          ROWS UNBOUNDED PRECEDING) AS ep FROM f),
+       |ep AS (SELECT c, ep AS episode, min(s) AS st, max(e) AS en
+       |       FROM isl GROUP BY 1, 2)
+       |SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n_episodes,
+       |       CAST(sum(en - st + 1) AS BIGINT) AS covered_days
+       |FROM ep GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------- Q-rollup
   // Hierarchical totals (A-family breadth): ROLLUP over (returnflag,
   // linestatus) with exact money sums — detail, per-flag subtotal, and
@@ -4984,6 +5153,11 @@ object Queries {
     "q_triangles" -> (trianglesQ _),
     "q_labelprop" -> (labelPropQ _),
     "q_bfs" -> (bfsQ _),
+    "q_hll" -> (hllQ _),
+    "q_rolling" -> (rollingQ _),
+    "q_anomaly" -> (anomalyQ _),
+    "q_skyline" -> (skylineQ _),
+    "q_intervals" -> (intervalsQ _),
     "q_pivot" -> (pivotQ _),
     "q_funnel" -> (funnelQ _),
     "q_stream_funnel" -> (streamFunnelQ _),
@@ -5117,6 +5291,11 @@ object Queries {
     "q_triangles" -> trianglesSql,
     "q_labelprop" -> labelPropSql,
     "q_bfs" -> bfsSql,
+    "q_hll" -> hllSql,
+    "q_rolling" -> rollingSql,
+    "q_anomaly" -> anomalySql,
+    "q_skyline" -> skylineSql,
+    "q_intervals" -> intervalsSql,
     "q_pivot" -> pivotSql,
     "q_funnel" -> funnelSql,
     // same truth as the batch funnel: one semantics, two execution modes

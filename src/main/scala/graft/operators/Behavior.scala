@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral event analytics — the funnel / cohort queries every
@@ -92,5 +93,39 @@ object Behavior {
         col("user"))
       .groupBy("cohort", "offset")
       .agg(countDistinct(col("user")).as("n_users"))
+  }
+
+  /** Rolling `window`-day distinct actives (the rolling-WAU/MAU chart):
+    * for each day d in [loDay, hiDay], the number of users with ANY
+    * activity in [d−window+1, d]. The naive plan — a day-grid range
+    * join against the activity table plus count(DISTINCT) — carries
+    * every (user, day-in-window) pair through the shuffle (window×
+    * activity rows). This plan is linear: per (user, day) first-touch
+    * dedup, then each activity day contributes its INCREMENTAL covered
+    * interval [max(day, prev+window), day+window−1] via one lag — the
+    * union of per-activity cover windows without double counting — and
+    * a ≤window-element explode turns intervals into per-day +1s that
+    * one partial-aggregated groupBy folds. No distinct aggregation
+    * ever sees the grid; shuffle volume is O(activity + days).
+    * Bounds are caller-supplied values (one bounded agg row), never an
+    * embedded 1-row cross join (keeps the plan BNLJ-free). */
+  def rollingActives(ev: DataFrame, userCol: String, dayCol: Column,
+                     window: Int, loDay: Long, hiDay: Long): DataFrame = {
+    require(window >= 1, s"need window >= 1; got $window")
+    require(loDay <= hiDay, s"need loDay <= hiDay; got $loDay/$hiDay")
+    val ud = ev.select(col(userCol).as("user"), dayCol.cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user").orderBy("day")
+    ud.withColumn("prev", lag(col("day"), 1).over(w))
+      .select(
+        greatest(col("day"),
+          coalesce(col("prev") + window, col("day"))).as("lo"),
+        (col("day") + window - 1).as("hi"))
+      // clamp to the requested day range; empty intervals drop out
+      .select(greatest(col("lo"), lit(loDay)).as("lo"),
+        least(col("hi"), lit(hiDay)).as("hi"))
+      .filter(col("lo") <= col("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n_active"))
   }
 }

@@ -111,6 +111,67 @@ object Sketches {
         .bitwiseAND(col("mask")) =!= 0, 1L).otherwise(0L)).as("__allset"))
       .select(col(probeCol), (col("__allset") === 1L).as("might_contain"))
 
+  /** HyperLogLog bucket count exponent → m = 2^b buckets. */
+  private def hllM(b: Int): Int = 1 << b
+
+  /** (bucket, rho) of `v` under the sha-derived 32-bit hash: bucket =
+    * h mod 2^b, rho = 1 + leading zeros of the remaining (32−b)-bit
+    * value (Flajolet et al. 2007). floor(log2(rest)) is taken as
+    * `length(bin(rest)) − 1` — a STRING length, exact on any engine,
+    * where a float log2 would sit on representation boundaries. */
+  def hllParts(v: Column, b: Int): (Column, Column) = {
+    val m = hllM(b)
+    val h = shaHash32(concat(lit("hll:"), v))
+    val rest = shiftright(h, b) // h div 2^b: h is non-negative 32-bit
+    val bucket = h % m
+    val rho = when(rest === 0, lit(32 - b + 1).cast("long"))
+      .otherwise(lit(32 - b) - (length(bin(rest)) - 1))
+    (bucket, rho)
+  }
+
+  /** Per-group HyperLogLog REGISTER table over `valCol`: one row per
+    * occupied (group, bucket) with r = max rho — at most 2^b rows per
+    * group regardless of corpus size. The registers are the mergeable,
+    * engine-portable core of HLL (max is associative; sha hashes replay
+    * anywhere), so the register table itself carries the hash gate;
+    * [[hllEstimate]] is the float read-out twin. Scale shape: ONE
+    * partial-aggregated groupBy — map-side combine collapses each
+    * partition to ≤ groups·2^b rows before the shuffle, the same
+    * bounded-exchange argument as [[cmsBuild]]/[[bloomBuild]]. */
+  def hllRegisters(df: DataFrame, groupCol: String, valCol: String,
+                   b: Int): DataFrame = {
+    require(b >= 4 && b <= 16, s"need 4 <= b <= 16; got $b")
+    val (bucket, rho) = hllParts(col(valCol).cast("string"), b)
+    df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), bucket.as("bucket"))
+      .agg(max(rho).as("r"))
+  }
+
+  /** Cardinality estimate per group from a [[hllRegisters]] table
+    * (same b): the HLL read-out with the small-range linear-counting
+    * correction (empty registers count as 2^0; E ≤ 2.5m and V > 0 →
+    * m·ln(m/V)). Deployable twin — float math stays OUT of the gate
+    * row; SketchesSpec pins it to the exact distinct within tolerance. */
+  def hllEstimate(registers: DataFrame, groupCol: String, b: Int): DataFrame = {
+    val m = hllM(b)
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    registers.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__occ"), sum(pow(lit(0.5), col("r"))).as("__sp"))
+      .select(col(groupCol),
+        (lit(m) - col("__occ")).as("__v"),
+        (lit(alpha * m.toDouble * m) / (col("__sp") + (lit(m) - col("__occ"))))
+          .as("__e"))
+      .select(col(groupCol),
+        when(col("__e") <= 2.5 * m && col("__v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
+          .otherwise(col("__e")).as("est"))
+  }
+
   /** Point-query estimates for `probes` (a column `probeCol` of values):
     * est = min over hash rows of the matching cell count, 0 when a cell
     * was never touched. `sketch` must come from [[cmsBuild]] with the

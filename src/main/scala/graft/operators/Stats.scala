@@ -228,4 +228,90 @@ object Stats {
       .filter(col("__rn") <= col("__tgt"))
       .drop("__rn", "__tgt")
   }
+
+  /** Per-group z-score outlier flags WITHOUT a single float: a cell x
+    * in group g is anomalous iff |x − μ| > z·σ, cross-multiplied into
+    * pure BIGINT form — (n·x − s)²·zDen² > zNum²·(n·q − s²) with
+    * s = Σx, q = Σx² (both sides are the n²-scaled inequality:
+    * n²(x−μ)² = (n·x−s)² and n²σ² = n·q−s²) — so Spark, a
+    * 1000-executor cluster and the
+    * DuckDB oracle agree on every boundary cell (a float σ differs in
+    * the last ulp across engines exactly when a cell sits ON the
+    * threshold). Sample-less population σ; zero-variance groups flag
+    * nothing (0 > 0 is false).
+    *
+    * Caller contract (documented, not checked row-wise): values are
+    * integral and |n·max|x|| < 2^31 per group, so every product stays
+    * inside int64 — true for count/duration/cents cells at any
+    * realistic group width (n ≤ 10⁵, x ≤ 10⁴ → n·q ≤ 10¹⁴).
+    *
+    * Scale shape: ONE window over the group key computes (n, s, q) —
+    * a single shuffle by group; the flag is a scan-stage expression.
+    * Groups are assumed date/type-bounded (a 100 TB log has many
+    * groups, not one); a global-group call degenerates to one
+    * partition, as any global window does. */
+  def zOutliers(cells: DataFrame, groupCol: String, xCol: String,
+                zNum: Long, zDen: Long): DataFrame = {
+    require(zNum > 0 && zDen > 0, s"need zNum, zDen > 0; got $zNum/$zDen")
+    val w = Window.partitionBy(groupCol)
+    val x = col(xCol).cast("long")
+    val cent = col("__n") * x - col("__s")
+    cells
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(x).over(w))
+      .withColumn("__q", sum(x * x).over(w))
+      .withColumn("is_anomaly",
+        cent * cent * lit(zDen * zDen) >
+          lit(zNum * zNum) *
+            (col("__n") * col("__q") - col("__s") * col("__s")))
+      .drop("__n", "__s", "__q")
+  }
+
+  /** 2-D Pareto skyline (MINIMIZE `xCol`, MAXIMIZE `yCol`, both integral
+    * and non-negative): the points no other point dominates, where b
+    * dominates a iff b.x ≤ a.x ∧ b.y ≥ a.y with one strict. The classic
+    * O(n²) NOT-EXISTS formulation (the oracle's plan) dies at scale;
+    * this plan is scan + tiny-broadcast + window over SURVIVORS:
+    *
+    *  1. Grid prefilter: bucket by ⌊x/bucketStep⌋, per-bucket max y
+    *     (one partial-agg pass, ≤ xMax/bucketStep rows), running max
+    *     over strictly-smaller buckets broadcast back; a point whose y
+    *     is ≤ that max is dominated by something with strictly smaller
+    *     x and dropped in the scan stage. Any dominator pruned here is
+    *     itself dominated by a surviving point with smaller-still x
+    *     (induction up the strictly-decreasing-x chain), so no skyline
+    *     point is ever lost and every dominated survivor still has a
+    *     surviving dominator.
+    *  2. Exact pass over survivors: one global sort window — keep a
+    *     point iff max(y) over x' < x is below its y (RANGE frame, so
+    *     equal-x peers are excluded) and its y equals the max among
+    *     its equal-x peers. Duplicates of a skyline (x, y) all
+    *     survive, matching the strict-pair dominance definition.
+    *
+    * The global window is safe BECAUSE of step 1: survivors are one
+    * candidate stripe per grid column, not the corpus (adversarial
+    * worst case — the whole set on a Pareto staircase — makes the
+    * OUTPUT that big, which no algorithm beats). */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String,
+                bucketStep: Long): DataFrame = {
+    require(bucketStep >= 1, s"need bucketStep >= 1; got $bucketStep")
+    val pts = df.withColumn("__x", col(xCol).cast("long"))
+      .withColumn("__y", col(yCol).cast("long"))
+      .withColumn("__b", expr(s"__x div $bucketStep"))
+    val cum = pts.groupBy("__b").agg(max("__y").as("__bm"))
+      .withColumn("__pm", max(col("__bm")).over(
+        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("__b", "__pm")
+    val survivors = pts.join(broadcast(cum), "__b")
+      .filter(col("__pm").isNull || col("__pm") < col("__y"))
+    val prevMax = max(col("__y")).over(
+      Window.orderBy("__x").rangeBetween(Window.unboundedPreceding, -1))
+    val peerMax = max(col("__y")).over(
+      Window.orderBy("__x").rangeBetween(Window.currentRow, Window.currentRow))
+    survivors
+      .withColumn("__prev", prevMax).withColumn("__peer", peerMax)
+      .filter((col("__prev").isNull || col("__prev") < col("__y")) &&
+        col("__y") === col("__peer"))
+      .drop("__x", "__y", "__b", "__pm", "__prev", "__peer")
+  }
 }

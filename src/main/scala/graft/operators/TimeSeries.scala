@@ -36,4 +36,32 @@ object TimeSeries {
         coalesce(col(cntCol), lit(0L)).as(cntCol),
         last(col(valCol), ignoreNulls = true).over(w).as(valCol))
   }
+
+  /** Merge overlapping/touching CLOSED intervals per key (the
+    * gaps-and-islands step behind "activity episodes", coverage
+    * windows, validity-range compaction): input rows `(key, start,
+    * end)` collapse into maximal islands — a row starts a new island
+    * iff its start exceeds the running max end of every earlier row in
+    * key order (touching intervals, start = prevEnd, DO merge: closed
+    * semantics). Returns one row per island: `key, episode (1-based
+    * per key), start, end, n_rows`.
+    *
+    * Scale shape: ONE shuffle by key feeds both window passes (running
+    * max-end flag, then the running island-id sum share the same sort)
+    * plus the per-(key, island) fold — per-key cost is the sort; no
+    * self-join, no interval cross product. Skewed keys degrade that
+    * key's task only. */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("__new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("episode",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("episode"))
+      .agg(min(col(startCol)).as("start"), max(col(endCol)).as("end"),
+        count(lit(1)).as("n_rows"))
+  }
 }

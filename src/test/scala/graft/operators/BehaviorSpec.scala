@@ -96,4 +96,38 @@ class BehaviorSpec extends SparkSpec {
     // user 2: d0=8 → cohort 1, offset 0
     assert(got === Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (1L, 0L) -> 1L))
   }
+
+  private def naiveRolling(acts: Seq[(Long, Long)], w: Int,
+                           lo: Long, hi: Long): Map[Long, Long] =
+    (lo to hi).map { d =>
+      d -> acts.filter { case (_, day) => day >= d - w + 1 && day <= d }
+        .map(_._1).distinct.size.toLong
+    }.filter(_._2 > 0).toMap
+
+  test("rollingActives: overlapping activity never double-counts a user") {
+    // user 1 active on days 0 and 3 (windows overlap), user 2 on day 10
+    val ev = Seq((1L, 0L), (1L, 3L), (1L, 3L), (2L, 10L)).toDF("u", "d")
+    val got = Behavior.rollingActives(ev, "u", col("d"), 7, 0L, 12L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === naiveRolling(Seq((1L, 0L), (1L, 3L), (2L, 10L)), 7, 0L, 12L))
+    // days 0..9 covered by user 1 (0..6 from day0, 3..9 from day3) = 1 each
+    assert((0L to 9L).forall(got(_) == 1L))
+    assert(got(10L) == 1L && got(11L) == 1L)
+    assert(!got.contains(12L) || got(12L) == 1L) // day 10 covers 10..16 clamped
+  }
+
+  test("rollingActives matches the naive grid join on random activity") {
+    val rnd = new scala.util.Random(41)
+    val acts = (0 until 300).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(30).toLong))
+    val got = Behavior.rollingActives(acts.toDF("u", "d"), "u", col("d"), 7, 0L, 29L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === naiveRolling(acts.distinct, 7, 0L, 29L))
+  }
+
+  test("rollingActives clamps to the requested day range") {
+    val ev = Seq((1L, 5L)).toDF("u", "d")
+    val got = Behavior.rollingActives(ev, "u", col("d"), 7, 6L, 8L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(6L -> 1L, 7L -> 1L, 8L -> 1L))
+  }
 }

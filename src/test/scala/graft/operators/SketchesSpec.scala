@@ -94,4 +94,53 @@ class SketchesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
+
+  test("hllRegisters: bucket/rho replay the hash arithmetic; dedup by max") {
+    val df = Seq(("g", "x"), ("g", "x"), ("g", "y")).toDF("grp", "v")
+    val regs = Sketches.hllRegisters(df, "grp", "v", 6)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // replicate: h = first 8 sha256 hex chars of "hll:<v>"; bucket=h%64
+    def parts(v: String): (Long, Long) = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"hll:$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val rest = h >> 6
+      val rho = if (rest == 0) 27L
+        else 26L - (java.lang.Long.toBinaryString(rest).length - 1)
+      (h % 64, rho)
+    }
+    val (bx, rx) = parts("x"); val (by, ry) = parts("y")
+    val expect = Seq(("g", bx) -> rx, ("g", by) -> ry)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+    assert(regs === expect)
+  }
+
+  test("hllRegisters is bounded by 2^b rows per group; max-rho survives") {
+    val df = (1 to 5000).map(i => ("g", s"v$i")).toDF("grp", "v")
+    val regs = Sketches.hllRegisters(df, "grp", "v", 6).collect()
+    assert(regs.length <= 64)
+    assert(regs.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64))
+    assert(regs.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 27))
+  }
+
+  test("hllEstimate lands within tolerance of the exact distinct count") {
+    // deterministic (sha hashes): fixed corpus, fixed estimate
+    for ((n, tol) <- Seq((100, 0.3), (2000, 0.25), (20000, 0.25))) {
+      val df = (1 to n).map(i => ("g", s"user$i")).toDF("grp", "v")
+      val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(df, "grp", "v", 6), "grp", 6)
+        .head().getDouble(1)
+      assert(math.abs(est - n) <= tol * n,
+        s"estimate $est for true $n beyond ${tol * 100}%")
+    }
+  }
+
+  test("hllEstimate small-range linear counting engages when registers are sparse") {
+    val df = (1 to 5).map(i => ("g", s"v$i")).toDF("grp", "v")
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(df, "grp", "v", 6), "grp", 6)
+      .head().getDouble(1)
+    assert(est >= 3 && est <= 8, s"linear-counting estimate $est off for 5")
+  }
 }

@@ -163,4 +163,58 @@ class StatsSpec extends SparkSpec {
     val ids = once.map(_(1).asInstanceOf[Long]).toSet
     assert(ids.subsetOf((1L to 900L).toSet))
   }
+
+  test("zOutliers: exact threshold cells are NOT flagged (strict >)") {
+    // group of 2: x ∈ {0, 2} → μ=1, σ=1; z=1 ⇒ |x−μ| = σ exactly → keep
+    val df = Seq(("g", 0L), ("g", 2L)).toDF("grp", "x")
+    val got = Stats.zOutliers(df, "grp", "x", 1L, 1L)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(2)).toMap
+    assert(got === Map(0L -> false, 2L -> false))
+    // z = 1/2 ⇒ threshold σ/2 < σ → both flagged
+    val got2 = Stats.zOutliers(df, "grp", "x", 1L, 2L)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(2)).toMap
+    assert(got2 === Map(0L -> true, 2L -> true))
+  }
+
+  test("zOutliers flags the spike and nothing else; zero variance flags none") {
+    val cells = ((1 to 20).map(i => ("a", 100L + (i % 2))) :+ (("a", 500L))) ++
+      (1 to 5).map(_ => ("flat", 7L))
+    val got = Stats.zOutliers(cells.toDF("grp", "x"), "grp", "x", 3L, 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(2))
+    assert(got.count { case ((g, x), f) => f } == 1)
+    assert(got.contains(("a", 500L) -> true))
+    assert(got.filter(_._1._1 == "flat").forall(!_._2))
+  }
+
+  private def bruteSkyline(pts: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    pts.filter(a => !pts.exists(b =>
+      b._1 <= a._1 && b._2 >= a._2 && (b._1 < a._1 || b._2 > a._2)))
+
+  test("skyline2d equals the quadratic dominance filter on random points") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val pts = (0 until 400).map(_ =>
+        (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      val got = Stats.skyline2d(pts.toDF("x", "y"), "x", "y", 100L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq === bruteSkyline(pts).sorted, s"trial $trial")
+    }
+  }
+
+  test("skyline2d: duplicates of a skyline point all survive; equal-x dominated drop") {
+    val pts = Seq((1L, 10L), (1L, 10L), (1L, 5L), (2L, 11L), (3L, 10L))
+    val got = Stats.skyline2d(pts.toDF("x", "y"), "x", "y", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // (1,5) dominated by (1,10); (3,10) dominated by (1,10); dups kept
+    assert(got === Seq((1L, 10L), (1L, 10L), (2L, 11L)))
+  }
+
+  test("skyline2d prefilter prunes in the scan stage (no quadratic join)") {
+    val pts = (0 until 2000).map(i => (i.toLong, (i % 37).toLong))
+    val plan = Stats.skyline2d(pts.toDF("x", "y"), "x", "y", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"skyline must not plan a quadratic join:\n$plan")
+  }
 }

@@ -43,4 +43,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(!plan.contains("Join Cross") && !plan.contains("CartesianProduct"),
       s"grid must come from explode, got:\n$plan")
   }
+
+  test("mergeIntervals: overlap and touch merge; gaps split; keys isolated") {
+    val iv = Seq(
+      ("a", 1L, 5L), ("a", 3L, 8L),  // overlap → one island [1,8]
+      ("a", 8L, 10L),                // touches (start = prev end) → merges
+      ("a", 12L, 14L),               // gap → new island
+      ("b", 2L, 3L)                  // other key independent
+    ).toDF("k", "s", "e")
+    val got = TimeSeries.mergeIntervals(iv, "k", "s", "e")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      ("a", 1L) -> ((1L, 10L, 3L)),
+      ("a", 2L) -> ((12L, 14L, 1L)),
+      ("b", 1L) -> ((2L, 3L, 1L))))
+  }
+
+  test("mergeIntervals: contained and duplicate intervals collapse into the island") {
+    val iv = Seq(("k", 0L, 20L), ("k", 5L, 7L), ("k", 5L, 7L), ("k", 21L, 22L))
+      .toDF("k", "s", "e")
+    val got = TimeSeries.mergeIntervals(iv, "k", "s", "e")
+      .orderBy("episode")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // [5,7] twice is contained in [0,20]; start 21 > max end 20 → new island
+    assert(got.toSeq === Seq((1L, 0L, 20L, 3L), (2L, 21L, 22L, 1L)))
+  }
 }
