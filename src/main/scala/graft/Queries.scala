@@ -2747,6 +2747,57 @@ object Queries {
        |  AND e.ts >= c.ts - INTERVAL 1 HOUR AND e.ts <= c.ts
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------- Q-stream-outer
+  // LEFT OUTER stream-stream interval join (§2.10): clicks that saw NO
+  // error in the preceding hour surface with null rights — the absence
+  // signal an inner join can't give (alert on "no heartbeat followed").
+  // Outer emission is watermark-gated (a no-match verdict is only final
+  // once no future right can land in the window), so the fixture
+  // appends one FLUSH sentinel per side beyond every real event time —
+  // the standard drain-to-batch-parity move, filtered from the
+  // read-out; Spark's no-data micro-batch then evicts and emits every
+  // expired left row before AvailableNow terminates, making the result
+  // equal the batch LEFT JOIN the oracle runs.
+  private val StreamOuterDir = s"$FixtureRoot/stream_outer"
+
+  def streamOuter(s: SparkSession, dir: String): DataFrame = {
+    publishOnce(StreamOuterDir, dir) {
+      val ev = load(s, dir, "events")
+      ev.write.mode("overwrite").parquet(StreamOuterDir)
+      def sentinel(t: String) = ev.agg(max(col("ts")).as("ts0")).select(
+        lit(-1L).cast(ev.schema("event_id").dataType).as("event_id"),
+        (col("ts0") + expr("INTERVAL 3 HOURS"))
+          .cast(ev.schema("ts").dataType).as("ts"),
+        lit(-1L).cast(ev.schema("user_id").dataType).as("user_id"),
+        lit(t).as("event_type"),
+        lit(0.0).cast(ev.schema("value").dataType).as("value"),
+        lit(null).cast(ev.schema("props").dataType).as("props"))
+      sentinel("click").unionByName(sentinel("error"))
+        .select(ev.columns.map(col): _*)
+        .write.mode("append").parquet(StreamOuterDir)
+    }
+    Ingest.intervalJoinLeftOuterStream(s, StreamOuterDir, "*.parquet",
+        "user_id", leftType = "click", rightType = "error")
+      .filter(col("l_key") =!= -1L)
+      .groupBy(col("l_key").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("r_value").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        ExactAgg.moneySum(col("r_value"), 100).as("sum_err"))
+      .orderBy("user_id")
+  }
+
+  private val streamOuterSql =
+    s"""WITH c AS (SELECT event_id, user_id, ts FROM events
+       |           WHERE event_type = 'click'),
+       |e AS (SELECT user_id AS eu, ts AS ets, value FROM events
+       |      WHERE event_type = 'error')
+       |SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(count(*) FILTER (eu IS NULL) AS BIGINT) AS n_unmatched,
+       |       ${moneySumSql("value")} AS sum_err
+       |FROM c LEFT JOIN e ON c.user_id = eu
+       |  AND ets >= c.ts - INTERVAL 1 HOUR AND ets <= c.ts
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------- Q-multimodal
   // Opaque binary payload + typed metadata struct (deterministic fake
   // decode — see Multimodal.decodePartition for the real-codec seam).
@@ -4264,6 +4315,39 @@ object Queries {
        |       CAST(sum(en - st + 1) AS BIGINT) AS covered_days
        |FROM ep GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------ Q-compact
+  // Small-file compaction (Layout.compactFiles): the events table is
+  // first fragmented into 48 tiny files (the streaming-ingest debris
+  // shape), then compacted back to ⌈bytes/target⌉ files with a NARROW
+  // coalesce — no shuffle anywhere in the maintenance pass. The gate
+  // reads the COMPACTED copy and aggregates; the oracle reads the
+  // ORIGINAL table, so any row the rewrite drops or mangles diverges
+  // the hash. LayoutSpec asserts the file-count collapse and the
+  // no-Exchange plan.
+  private val CompactFragDir = s"$FixtureRoot/compact_frag"
+  private val CompactOutDir = s"$FixtureRoot/compact_out"
+
+  def compactQ(s: SparkSession, dir: String): DataFrame = {
+    publishOnce(CompactOutDir, dir) {
+      load(s, dir, "events").repartition(48)
+        .write.mode("overwrite").parquet(CompactFragDir)
+      Layout.compactFiles(s, CompactFragDir, CompactOutDir, 64L << 20)
+      ()
+    }
+    s.read.parquet(CompactOutDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        ExactAgg.moneySum(col("value"), 100).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  private val compactSql =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |       ${moneySumSql("value")} AS sum_value,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------- Q-rollup
   // Hierarchical totals (A-family breadth): ROLLUP over (returnflag,
   // linestatus) with exact money sums — detail, per-flag subtotal, and
@@ -5089,6 +5173,7 @@ object Queries {
     "q_repetition" -> (repetition _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamJoin _),
+    "q_stream_outer" -> (streamOuter _),
     "q_sbo" -> (sboQ _),
     "q_knn_ivf" -> (knnIvf _),
     "q_knn_int8" -> (knnInt8Q _),
@@ -5158,6 +5243,7 @@ object Queries {
     "q_anomaly" -> (anomalyQ _),
     "q_skyline" -> (skylineQ _),
     "q_intervals" -> (intervalsQ _),
+    "q_compact" -> (compactQ _),
     "q_pivot" -> (pivotQ _),
     "q_funnel" -> (funnelQ _),
     "q_stream_funnel" -> (streamFunnelQ _),
@@ -5227,6 +5313,7 @@ object Queries {
     "q_repetition" -> repetitionSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_join" -> streamJoinSql,
+    "q_stream_outer" -> streamOuterSql,
     "q_sbo" -> sboSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_int8" -> knnInt8Sql,
@@ -5296,6 +5383,7 @@ object Queries {
     "q_anomaly" -> anomalySql,
     "q_skyline" -> skylineSql,
     "q_intervals" -> intervalsSql,
+    "q_compact" -> compactSql,
     "q_pivot" -> pivotSql,
     "q_funnel" -> funnelSql,
     // same truth as the batch funnel: one semantics, two execution modes

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton curve) multi-dimensional layout: interleave the bits
@@ -84,6 +84,38 @@ object Layout {
       .sortWithinPartitions("zb", "__z")
       .drop("__z")
       .write.mode("overwrite").partitionBy("zb").parquet(path)
+
+  /** Small-file compaction — the OPTIMIZE maintenance pass every
+    * long-lived dataset needs: streaming ingest and fine-grained
+    * partition writes leave thousands of KB-scale files whose per-file
+    * open/footer/task overhead dominates scans long before data volume
+    * does. Reads the fragmented dataset and rewrites it as
+    * ⌈totalBytes/targetBytes⌉ files via `coalesce` — a NARROW
+    * dependency (partitions merge in place, NO shuffle: content is
+    * only moved between workers at read time, never re-exchanged),
+    * which is what makes compaction affordable to run continuously at
+    * 100 TB. Returns (input file count, output file count planned).
+    * Content-preserving by construction — the gate reads the compacted
+    * copy while the oracle reads the ORIGINAL, so any row the rewrite
+    * mangles diverges the hash (the q_orc pattern).
+    *
+    * Deliberately single-directory: partitioned layouts compact per
+    * partition dir (drive this per-partition), which also keeps each
+    * run's blast radius bounded and idempotent-rerunnable. */
+  def compactFiles(spark: SparkSession, inDir: String, outDir: String,
+                   targetBytes: Long): (Int, Int) = {
+    require(targetBytes >= 1, s"need targetBytes >= 1; got $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"no parquet files under $inDir")
+    val total = files.map(_.getLen).sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).coalesce(n)
+      .write.mode("overwrite").parquet(outDir)
+    (files.length, n)
+  }
 
   /** The [[zBucket]] arithmetic as ANSI SQL text (div = `//`, mod = `%`)
     * for oracle replay — the same expression tree [[zValue]] builds,

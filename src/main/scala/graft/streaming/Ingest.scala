@@ -217,6 +217,53 @@ object Ingest {
     spark.table(qn)
   }
 
+  /** LEFT OUTER twin of [[intervalJoinStream]]: matched pairs emit as
+    * they pair; an UNMATCHED left row emits with null right columns
+    * only once the watermark passes the point where a match has become
+    * impossible (l_ts + window + the watermark delay) — the engine
+    * cannot know "no error followed this click" any earlier. That
+    * timing is the one real delta from the batch left join: trailing
+    * left rows whose no-match verdict the final watermark never
+    * reaches stay un-emitted. A continuous deployment doesn't care
+    * (the watermark keeps moving); a drain-and-stop run that needs
+    * batch parity appends a FLUSH sentinel beyond every real event
+    * time — one row per side, filtered out of the read-out — which is
+    * exactly what the gate fixture does (and Spark runs the no-data
+    * micro-batch that evicts and emits the expired state before
+    * AvailableNow terminates). State stays bounded for exactly the
+    * same interval-bounds-both-sides reason as the inner variant. */
+  def intervalJoinLeftOuterStream(spark: SparkSession, dir: String,
+                                  fileGlob: String, keyCol: String,
+                                  leftType: String, rightType: String,
+                                  window: String = "1 hour",
+                                  watermark: String = "1 hour",
+                                  maxFilesPerTrigger: Int = 0,
+                                  trigger: Trigger = Trigger.AvailableNow(),
+                                  finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", fileGlob)
+      .parquet(dir).schema
+    val qn = "graft_stream_join_outer"
+    val left = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
+      .filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col(keyCol).as("l_key"),
+        eventTime(schema).as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val right = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
+      .filter(col("event_type") === rightType)
+      .select(col(keyCol).as("r_key"), eventTime(schema).as("r_ts"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    val q = left.join(right,
+        col("l_key") === col("r_key") &&
+          col("r_ts") >= col("l_ts") - expr(s"INTERVAL $window") &&
+          col("r_ts") <= col("l_ts"),
+        "leftOuter")
+      .writeStream.queryName(qn).outputMode("append")
+      .format("memory").trigger(trigger).start()
+    finish(q)
+    spark.table(qn)
+  }
+
   /** §2.10 foreachBatch + idempotent MERGE: each micro-batch upserts
     * into a parquet "catalog" table (last-wins on `keys` via
     * [[graft.operators.Catalog.upsert]]), committed by staging-dir swap.

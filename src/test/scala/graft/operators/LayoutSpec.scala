@@ -104,4 +104,37 @@ class LayoutSpec extends SparkSpec {
     for ((f, zs) <- byFile)
       assert(zs.sameElements(zs.sorted), s"file $f not z-sorted")
   }
+
+  test("compactFiles collapses file count, preserves content, and never shuffles") {
+    val in = java.nio.file.Files.createTempDirectory("graft_compact_in_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_out_").toString
+    spark.range(0, 10000).select(col("id"), (col("id") % 97).as("v"))
+      .repartition(40).write.mode("overwrite").parquet(in)
+    val (nIn, nOut) = Layout.compactFiles(spark, in, out, 1L << 30)
+    assert(nIn == 40 && nOut == 1, s"got ($nIn, $nOut)")
+    val outFiles = new java.io.File(out).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(outFiles == 1, s"expected 1 output file, got $outFiles")
+    // content identity (modulo order)
+    val a = spark.read.parquet(in).orderBy("id").collect().toSeq
+    val b = spark.read.parquet(out).orderBy("id").collect().toSeq
+    assert(a === b)
+    // the rewrite plan is scan -> coalesce -> write: no Exchange
+    val plan = spark.read.parquet(in).coalesce(1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compaction must not shuffle:\n$plan")
+  }
+
+  test("compactFiles sizes the output by targetBytes") {
+    val in = java.nio.file.Files.createTempDirectory("graft_compact_sz_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_sz_o_").toString
+    spark.range(0, 50000).select(col("id"),
+        concat(lit("pad_pad_pad_"), col("id")).as("s"))
+      .repartition(20).write.mode("overwrite").parquet(in)
+    val total = new java.io.File(in).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    val target = total / 3 + 1
+    val (_, nOut) = Layout.compactFiles(spark, in, out, target)
+    assert(nOut == 3, s"expected ceil split into 3, got $nOut")
+  }
 }

@@ -63,4 +63,50 @@ class StreamJoinSpec extends SparkSpec {
     // with error(b1) — BOTH cross-batch directions work.
     assert(rows(joined) === Seq(Seq(1L, 7.0), Seq(2L, 5.0)))
   }
+
+  /** Write `df` as ONE parquet file at `$dir/$name` (glob-matchable). */
+  private def writeFile(dir: String, name: String, df: DataFrame): Unit = {
+    import java.nio.file.{Files => JF, Paths, StandardCopyOption}
+    val stage = s"$dir/stage_$name"
+    df.coalesce(1).write.parquet(stage)
+    val part = JF.list(Paths.get(stage)).iterator()
+    val src = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+      .find(_.getFileName.toString.startsWith("part-")).get
+    JF.move(src, Paths.get(s"$dir/$name"), StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  test("left outer: unmatched clicks emit null rights once the flush sentinel expires them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssjo").toString
+    writeFile(dir, "ev.parquet", Seq(
+      (1L, H / 2, 1L, "click", 0.0),      // no error for user 1 → null row
+      (2L, H * 6 / 10, 2L, "click", 0.0), // user 2 pairs (error 0.4h ≤ 0.6h)
+      (3L, H * 4 / 10, 2L, "error", 5.0),
+      (4L, H / 3, 3L, "error", 9.0),      // error with no click: never emits
+      // flush sentinels: both sides' watermarks move past every real
+      // l_ts + window + delay, so the no-match verdicts become final
+      (5L, 10L * H, -1L, "click", 0.0),
+      (6L, 10L * H, -1L, "error", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val joined = Ingest.intervalJoinLeftOuterStream(spark, dir, "ev.parquet",
+        "user_id", "click", "error")
+      .filter(col("l_key") =!= -1L)
+      .select("l_key", "r_value").orderBy("l_key")
+    assert(rows(joined) === Seq(Seq(1L, null), Seq(2L, 5.0)),
+      "unmatched left must surface with null right after expiry")
+  }
+
+  test("left outer without a flush: trailing unmatched lefts stay un-emitted (documented delta)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssjo2").toString
+    writeFile(dir, "ev.parquet", Seq(
+      (1L, H / 2, 1L, "click", 0.0),
+      (2L, H * 4 / 10, 2L, "error", 5.0), (3L, H * 6 / 10, 2L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val joined = Ingest.intervalJoinLeftOuterStream(spark, dir, "ev.parquet",
+        "user_id", "click", "error")
+      .select("l_key", "r_value").orderBy("l_key")
+    // the matched pair emits; user 1's no-match verdict is not final at
+    // the last watermark, so its null row is (correctly) withheld
+    assert(rows(joined) === Seq(Seq(2L, 5.0)))
+  }
 }
