@@ -4315,6 +4315,104 @@ object Queries {
        |       CAST(sum(en - st + 1) AS BIGINT) AS covered_days
        |FROM ep GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------- Q-frames
+  // Video frame-sampling plumbing (Multimodal.sampleFrames): per-row
+  // duration (derived deterministically from the payload hash — the
+  // fakeDecode pattern; a real deployment reads it from the container
+  // header via the decodePartition seam) explodes IN-ROW into the
+  // t = 0, stride, … frame grid — no join, no shuffle, frame rows born
+  // partition-local next to their payload. Oracle replays the grid
+  // with generate_series over the same sha arithmetic.
+  private val FrameStrideMs = 5000L
+
+  def framesQ(s: SparkSession, dir: String): DataFrame = {
+    val dur = (shaHash32(col("text")) % 60000L + 1000L).as("duration_ms")
+    Multimodal.sampleFrames(
+        load(s, dir, "documents").select(col("doc_id"), dur),
+        col("duration_ms"), FrameStrideMs)
+      .select("doc_id", "duration_ms", "frame_idx", "t_ms")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val framesSql =
+    s"""WITH d AS (SELECT doc_id,
+       |             ${sqlSh32("text")} % 60000 + 1000 AS duration_ms
+       |           FROM documents),
+       |f AS (SELECT doc_id, duration_ms,
+       |             unnest(generate_series(0, (duration_ms - 1) // $FrameStrideMs))
+       |               AS frame_idx
+       |      FROM d)
+       |SELECT doc_id, duration_ms, frame_idx,
+       |       frame_idx * $FrameStrideMs AS t_ms
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ------------------------------------------------------------ Q-threads
+  // Conversation/journey assembly: each (user, day) thread becomes its
+  // ordered turn sequence — the transcript-assembly step of a chat-data
+  // pipeline and the session-path analytics query, as ONE groupBy with
+  // an in-row sort (collect_list → array_sort on (ts, event_id) struct
+  // keys → join) — never a global sort of the event stream, and the
+  // per-thread state is bounded by the thread's own length. The path
+  // crosses the gate as a string so both engines hash the same scalar.
+  def threadsQ(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .groupBy(col("user_id"), evDay.as("d"))
+      .agg(count(lit(1)).as("n_turns"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+      .orderBy("user_id", "d")
+
+  private val threadsSql =
+    """SELECT user_id,
+      |       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+      |       CAST(count(*) AS BIGINT) AS n_turns,
+      |       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |FROM events GROUP BY 1, 2 ORDER BY user_id, d""".stripMargin
+
+  // ----------------------------------------------------------- Q-debounce
+  // Event debounce: a (user, type) event within `DebounceUs` of the
+  // PREVIOUS event of that (user, type) is suppressed — the telemetry
+  // noise filter (double-clicks, retry storms) ahead of any behavioral
+  // analysis. Lag-anchored semantics (each event compares to its
+  // immediate predecessor, kept or not — the windowable form; anchor-
+  // to-last-KEPT debounce is sequential state, which is what
+  // Sessionize's gap logic covers). One window shuffle by (user, type);
+  // ties resolve on event_id both engines.
+  private val DebounceUs = 5000000L // 5 s
+
+  def debounceQ(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("kept",
+        col("prev").isNull || col("us") - col("prev") > DebounceUs)
+      .groupBy("event_type")
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+      .orderBy("event_type")
+  }
+
+  private val debounceSql =
+    s"""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+       |           FROM events),
+       |l AS (SELECT event_type, us,
+       |             lag(us) OVER (PARTITION BY user_id, event_type
+       |                           ORDER BY us, event_id) AS prev
+       |      FROM e),
+       |k AS (SELECT event_type,
+       |             (prev IS NULL OR us - prev > $DebounceUs) AS kept
+       |      FROM l)
+       |SELECT event_type,
+       |       CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+       |       CAST(count(*) FILTER (NOT kept) AS BIGINT) AS n_dropped
+       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------ Q-compact
   // Small-file compaction (Layout.compactFiles): the events table is
   // first fragmented into 48 tiny files (the streaming-ingest debris
@@ -5244,6 +5342,9 @@ object Queries {
     "q_skyline" -> (skylineQ _),
     "q_intervals" -> (intervalsQ _),
     "q_compact" -> (compactQ _),
+    "q_frames" -> (framesQ _),
+    "q_threads" -> (threadsQ _),
+    "q_debounce" -> (debounceQ _),
     "q_pivot" -> (pivotQ _),
     "q_funnel" -> (funnelQ _),
     "q_stream_funnel" -> (streamFunnelQ _),
@@ -5384,6 +5485,9 @@ object Queries {
     "q_skyline" -> skylineSql,
     "q_intervals" -> intervalsSql,
     "q_compact" -> compactSql,
+    "q_frames" -> framesSql,
+    "q_threads" -> threadsSql,
+    "q_debounce" -> debounceSql,
     "q_pivot" -> pivotSql,
     "q_funnel" -> funnelSql,
     // same truth as the batch funnel: one semantics, two execution modes

@@ -106,7 +106,24 @@ object ScaleRehearsal {
     // table grows Nx and the measured axis is the in-row window explode
     // (w·tokens rows) through one partial-agg count plus the two
     // unigram joins — the operator's linear claim.
-    "q_pmi")
+    "q_pmi",
+    // round-8 late: iterative graph ops over the replicated co-purchase
+    // graph. Disjoint customer/part/order key ranges make the Nx graph
+    // N disjoint copies of the 1x graph — per-replica communities and
+    // BFS layering are identical to 1x — so the measured axis is the
+    // per-iteration O(edges) equi-joins. (q_bfs's seed set stays 1x:
+    // the customer dim is passed through unreplicated, so its cells
+    // isolate the per-hop adjacency-join cost over the Nx edge list.)
+    "q_labelprop", "q_bfs",
+    // round-8 late: rolling distinct actives over the replicated events
+    // (users Nx on disjoint ranges, per-user activity flat — covered-
+    // interval rows grow Nx through the lag + ≤window explode), and
+    // HLL registers (the Nx stream folds into a FIXED ≤2^b-rows-per-
+    // group register space — the bounded-exchange claim, q_bloom's
+    // argument), and the per-customer interval merge over replicated
+    // orders (customers Nx, per-key interval count flat — one window
+    // shuffle whose per-key cost is constant).
+    "q_rolling", "q_hll", "q_intervals")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -179,6 +196,29 @@ object ScaleRehearsal {
         (col("user_id") + col("k") * userStride).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$workDir/events.parquet")
+
+    // orders + lineitem for the graph/interval rows: N replicas on
+    // disjoint order/customer/part key ranges (see the Queries-list
+    // comment for the honesty argument); customer + nation pass through
+    // unreplicated so q_bfs's seed lookup still resolves.
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val okStride = orders.agg(max("o_orderkey")).head().getLong(0) + 1
+    val ckStride = orders.agg(max("o_custkey")).head().getLong(0) + 1
+    val pkStride = li.agg(max("l_partkey")).head().getLong(0) + 1
+    orders.withColumn("k", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("o_orderkey", col("o_orderkey") + col("k") * okStride)
+      .withColumn("o_custkey", col("o_custkey") + col("k") * ckStride)
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$workDir/orders.parquet")
+    li.withColumn("k", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("l_orderkey", col("l_orderkey") + col("k") * okStride)
+      .withColumn("l_partkey", col("l_partkey") + col("k") * pkStride)
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$workDir/lineitem.parquet")
+    for (t <- Seq("customer", "nation"))
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$workDir/$t.parquet")
 
     def time(dir: String, q: String): Double = (1 to reps).map { _ =>
       val t0 = System.nanoTime()

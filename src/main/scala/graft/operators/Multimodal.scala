@@ -51,4 +51,26 @@ object Multimodal {
       "media codec not available in this environment; use fakeDecode for plumbing tests")
 
   type Row = (String, Long, Long, Long)
+
+  /** Frame-sampling timeline for video rows: one output row per sampled
+    * frame at t = 0, strideMs, 2·strideMs, … < duration — the Spark-side
+    * shape of ffmpeg `-vf fps=` frame extraction, with the pixel decode
+    * left to the [[decodePartition]] seam. The frame grid is an IN-ROW
+    * `sequence` explode (⌈duration/stride⌉ elements), so rows_out grows
+    * with total video time but there is NO join and NO shuffle — frame
+    * rows are born partition-local next to their payload, which is what
+    * lets a 1000-executor run feed frame batches straight into a codec
+    * UDF without ever exchanging the binary column. Rows with
+    * duration < 1 ms carry no frames and are dropped (explicitly, so a
+    * malformed duration can't produce a descending sequence). */
+  def sampleFrames(df: DataFrame, durationMsCol: Column,
+                   strideMs: Long): DataFrame = {
+    require(strideMs >= 1, s"need strideMs >= 1; got $strideMs")
+    df.withColumn("__dur", durationMsCol.cast("long"))
+      .filter(col("__dur") >= 1)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), expr(s"(__dur - 1) div $strideMs"))))
+      .withColumn("t_ms", col("frame_idx") * strideMs)
+      .drop("__dur")
+  }
 }

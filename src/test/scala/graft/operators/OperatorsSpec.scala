@@ -450,4 +450,23 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodePartition(Iterator.empty)
     }
   }
+
+  test("sampleFrames: grid is t=0..<duration at the stride; short/zero rows drop") {
+    val df = Seq((1L, 10000L), (2L, 10001L), (3L, 1L), (4L, 0L))
+      .toDF("id", "dur")
+    val got = Multimodal.sampleFrames(df, col("dur"), 5000L)
+      .select("id", "frame_idx", "t_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0L), (1L, 1L, 5000L),               // 10000 → frames at 0, 5000
+      (2L, 0L, 0L), (2L, 1L, 5000L), (2L, 2L, 10000L), // 10001 → one more
+      (3L, 0L, 0L)))                                // duration 1 → frame 0 only
+  }
+
+  test("sampleFrames plans no join and no shuffle below the explode") {
+    val plan = Multimodal.sampleFrames(
+        Seq((1L, 60000L)).toDF("id", "dur"), col("dur"), 1000L)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"frame grid must be in-row:\n$plan")
+  }
 }
