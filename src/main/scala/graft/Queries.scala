@@ -4069,14 +4069,18 @@ object Queries {
   // vs struct-argmin, two formulations of one update rule.
   private val LpIters = 3
 
-  /** Distinct bipartite co-purchase edges ("c:<cust>", "p:<part>"). */
+  /** Distinct bipartite co-purchase edges ("c:<cust>", "p:<part>").
+    * Dedup happens on the NUMERIC key pair (16-byte shuffle rows), the
+    * string node ids are minted after — the exchange never carries the
+    * decorated strings. */
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "orders").select("o_orderkey", "o_custkey")
       .join(load(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c:"), col("o_custkey")).as("a"),
-        concat(lit("p:"), col("l_partkey")).as("b"))
+      .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
       .distinct()
+      .select(concat(lit("c:"), col("ck")).as("a"),
+        concat(lit("p:"), col("pk")).as("b"))
 
   private val coPurchaseEdgesSql =
     """e AS (SELECT DISTINCT 'c:' || o_custkey AS a, 'p:' || l_partkey AS b
@@ -4314,6 +4318,109 @@ object Queries {
        |SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n_episodes,
        |       CAST(sum(en - st + 1) AS BIGINT) AS covered_days
        |FROM ep GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------- Q-markov
+  // First-order Markov transition matrix over each user's event
+  // sequence: count (cur → next) pairs via ONE lag window by user,
+  // probability as the exact rational c_ab·10⁴ div c_a (the q_pmi
+  // integer-division discipline — float division lands on round()
+  // boundaries the two engines disagree on). The session-modeling /
+  // next-event-prediction statistic; one window shuffle + one
+  // partial-agg count, transition-matrix size is |types|², never data-
+  // sized.
+  def markovQ(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    val pairs = load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type").as("cur"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("c_ab"))
+    val outTotals = pairs.groupBy("cur").agg(sum(col("c_ab")).as("c_a"))
+    pairs.join(broadcast(outTotals), "cur")
+      .select(col("cur"), col("nxt"), col("c_ab"),
+        expr("c_ab * 10000 div c_a").as("p4"))
+      .orderBy("cur", "nxt")
+  }
+
+  private val markovSql =
+    """WITH e AS (SELECT user_id, event_id, event_type AS cur,
+      |             epoch_us(ts) AS us
+      |           FROM events),
+      |l AS (SELECT cur, lead(cur) OVER (PARTITION BY user_id
+      |                                  ORDER BY us, event_id) AS nxt
+      |      FROM e),
+      |p AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c_ab
+      |      FROM l WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT cur, CAST(sum(c_ab) AS BIGINT) AS c_a FROM p GROUP BY 1)
+      |SELECT p.cur, p.nxt, p.c_ab, p.c_ab * 10000 // t.c_a AS p4
+      |FROM p JOIN t ON p.cur = t.cur
+      |ORDER BY p.cur, p.nxt""".stripMargin
+
+  // ------------------------------------------------------------ Q-profile
+  // Dataset-card profiling: per-column null count, distinct count, and
+  // min/max over the events table in ONE partial-aggregated pass (no
+  // per-column jobs, no second scan) — the stats block every published
+  // training dataset ships with, and the freshness/sanity check a
+  // 100 TB ingest runs after every load. Emitted long-form (one row
+  // per column) so new columns never change the schema.
+  def profileQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+    val a = ev.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("user_nulls"),
+      countDistinct(col("user_id")).as("user_distinct"),
+      min(col("user_id")).cast("string").as("user_min"),
+      max(col("user_id")).cast("string").as("user_max"),
+      sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("type_nulls"),
+      countDistinct(col("event_type")).as("type_distinct"),
+      min(col("event_type")).as("type_min"),
+      max(col("event_type")).as("type_max"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("value_nulls"),
+      countDistinct(col("value")).as("value_distinct"),
+      // doubles render differently across engines (1.0E-4 vs 0.0001);
+      // min/max cross the gate as cents — round is monotone, so
+      // min(cents) = cents(min)
+      min(expr("CAST(round(value * 100) AS BIGINT)")).cast("string")
+        .as("value_min"),
+      max(expr("CAST(round(value * 100) AS BIGINT)")).cast("string")
+        .as("value_max"))
+    a.select(explode(array(
+        struct(lit("user_id").as("column"), col("n"),
+          col("user_nulls").as("n_null"), col("user_distinct").as("n_distinct"),
+          col("user_min").as("min_v"), col("user_max").as("max_v")),
+        struct(lit("event_type").as("column"), col("n"),
+          col("type_nulls").as("n_null"), col("type_distinct").as("n_distinct"),
+          col("type_min").as("min_v"), col("type_max").as("max_v")),
+        struct(lit("value").as("column"), col("n"),
+          col("value_nulls").as("n_null"), col("value_distinct").as("n_distinct"),
+          col("value_min").as("min_v"), col("value_max").as("max_v"))))
+        .as("r"))
+      .select("r.column", "r.n", "r.n_null", "r.n_distinct", "r.min_v", "r.max_v")
+      .orderBy("column")
+  }
+
+  private val profileSql =
+    """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) FILTER (user_id IS NULL) AS BIGINT) AS un,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS ud,
+      |  CAST(min(user_id) AS VARCHAR) AS umin, CAST(max(user_id) AS VARCHAR) AS umax,
+      |  CAST(count(*) FILTER (event_type IS NULL) AS BIGINT) AS tn,
+      |  CAST(count(DISTINCT event_type) AS BIGINT) AS td,
+      |  min(event_type) AS tmin, max(event_type) AS tmax,
+      |  CAST(count(*) FILTER (value IS NULL) AS BIGINT) AS vn,
+      |  CAST(count(DISTINCT value) AS BIGINT) AS vd,
+      |  CAST(min(CAST(round(value * 100) AS BIGINT)) AS VARCHAR) AS vmin,
+      |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS VARCHAR) AS vmax
+      |  FROM events)
+      |SELECT 'event_type' AS "column", n, tn AS n_null, td AS n_distinct,
+      |       tmin AS min_v, tmax AS max_v FROM a
+      |UNION ALL
+      |SELECT 'user_id', n, un, ud, umin, umax FROM a
+      |UNION ALL
+      |SELECT 'value', n, vn, vd, vmin, vmax FROM a
+      |ORDER BY "column"""".stripMargin
 
   // ------------------------------------------------------------- Q-frames
   // Video frame-sampling plumbing (Multimodal.sampleFrames): per-row
@@ -5343,6 +5450,8 @@ object Queries {
     "q_intervals" -> (intervalsQ _),
     "q_compact" -> (compactQ _),
     "q_frames" -> (framesQ _),
+    "q_markov" -> (markovQ _),
+    "q_profile" -> (profileQ _),
     "q_threads" -> (threadsQ _),
     "q_debounce" -> (debounceQ _),
     "q_pivot" -> (pivotQ _),
@@ -5486,6 +5595,8 @@ object Queries {
     "q_intervals" -> intervalsSql,
     "q_compact" -> compactSql,
     "q_frames" -> framesSql,
+    "q_markov" -> markovSql,
+    "q_profile" -> profileSql,
     "q_threads" -> threadsSql,
     "q_debounce" -> debounceSql,
     "q_pivot" -> pivotSql,
