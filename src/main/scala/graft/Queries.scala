@@ -2798,6 +2798,55 @@ object Queries {
        |  AND ets >= c.ts - INTERVAL 1 HOUR AND ets <= c.ts
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------- Q-stream-debounce
+  // transformWithState (Spark 4's arbitrary-state API) driving the
+  // SEQUENTIAL last-KEPT debounce (streaming/Debounce): an event keeps
+  // iff it lands > gap after the last KEPT one — a genuine per-key
+  // recurrence no window can state (q_debounce's lag form is the
+  // windowable approximation; this is the exact rule). Typed
+  // ValueState + RocksDB provider + watermark-ordered pending buffer
+  // (Funnelize's contract); the ORACLE replays the recurrence as a
+  // RECURSIVE CTE stepping rank-by-rank — a completely different
+  // execution of the same fold, so the stateful path itself is
+  // hash-gated.
+  private val DebounceUs = 5000000L // 5 s; shared with q_debounce's lag rule
+
+  def streamDebounce(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Debounce.debouncedCounts(s, dir, "events.parquet",
+        DebounceUs)
+      .groupBy("event_type")
+      .agg(sum(col("n_kept")).as("n_kept"),
+        sum(col("n_dropped")).as("n_dropped"))
+      .orderBy("event_type")
+
+  private val streamDebounceSql =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS us,
+       |         row_number() OVER (PARTITION BY user_id, event_type
+       |                            ORDER BY epoch_us(ts)) AS rn
+       |  FROM events),
+       |r AS (
+       |  SELECT user_id, event_type, rn, us AS last_kept,
+       |         1 AS nk, 0 AS nd
+       |  FROM e WHERE rn = 1
+       |  UNION ALL
+       |  SELECT x.user_id, x.event_type, x.rn,
+       |         CASE WHEN x.us - r.last_kept > $DebounceUs
+       |              THEN x.us ELSE r.last_kept END,
+       |         r.nk + CASE WHEN x.us - r.last_kept > $DebounceUs
+       |                     THEN 1 ELSE 0 END,
+       |         r.nd + CASE WHEN x.us - r.last_kept > $DebounceUs
+       |                     THEN 0 ELSE 1 END
+       |  FROM r JOIN e x ON x.user_id = r.user_id
+       |    AND x.event_type = r.event_type AND x.rn = r.rn + 1),
+       |f AS (SELECT event_type, nk, nd,
+       |             rn = max(rn) OVER (PARTITION BY user_id, event_type)
+       |               AS is_final
+       |      FROM r)
+       |SELECT event_type, CAST(sum(nk) AS BIGINT) AS n_kept,
+       |       CAST(sum(nd) AS BIGINT) AS n_dropped
+       |FROM f WHERE is_final GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------- Q-multimodal
   // Opaque binary payload + typed metadata struct (deterministic fake
   // decode — see Multimodal.decodePartition for the real-codec seam).
@@ -4487,9 +4536,8 @@ object Queries {
   // immediate predecessor, kept or not — the windowable form; anchor-
   // to-last-KEPT debounce is sequential state, which is what
   // Sessionize's gap logic covers). One window shuffle by (user, type);
-  // ties resolve on event_id both engines.
-  private val DebounceUs = 5000000L // 5 s
-
+  // ties resolve on event_id both engines. (DebounceUs is declared
+  // above q_stream_debounce — val init order — shared by both rules.)
   def debounceQ(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id", "event_type").orderBy("us", "event_id")
@@ -5379,6 +5427,7 @@ object Queries {
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_outer" -> (streamOuter _),
+    "q_stream_debounce" -> (streamDebounce _),
     "q_sbo" -> (sboQ _),
     "q_knn_ivf" -> (knnIvf _),
     "q_knn_int8" -> (knnInt8Q _),
@@ -5524,6 +5573,7 @@ object Queries {
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_join" -> streamJoinSql,
     "q_stream_outer" -> streamOuterSql,
+    "q_stream_debounce" -> streamDebounceSql,
     "q_sbo" -> sboSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_int8" -> knnInt8Sql,
