@@ -4368,6 +4368,123 @@ object Queries {
        |       CAST(sum(en - st + 1) AS BIGINT) AS covered_days
        |FROM ep GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- Q-ivm
+  // Incremental view maintenance: a materialized per-type aggregate
+  // (count + money sum — MERGEABLE partial states) is published once
+  // from the base slice, and each delta batch folds in by re-aggregating
+  // base ∪ delta PARTIALS — never rescanning base detail rows. The
+  // incremental-pipeline primitive: at 100 TB the view refresh touches
+  // O(delta + |view|), not O(history). The oracle recomputes from the
+  // FULL detail table, so the merge law (sum of sums, sum of counts)
+  // itself is hash-gated.
+  private val IvmSplitDay = 20L
+  private val IvmBaseDir = s"$FixtureRoot/ivm_base_agg"
+
+  def ivmQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir, "events")
+    def partialAgg(df: DataFrame) = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_c"))
+    publishOnce(IvmBaseDir, dir) {
+      partialAgg(ev.filter(evDay < IvmSplitDay))
+        .write.mode("overwrite").parquet(IvmBaseDir)
+    }
+    val delta = partialAgg(ev.filter(evDay >= IvmSplitDay))
+    s.read.parquet(IvmBaseDir).unionByName(delta)
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n"),
+        (sum(col("sum_c")) / 100.0).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val ivmSql =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |       ${moneySumSql("value")} AS sum_value
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------- Q-winsor
+  // Winsorized robust means: per-type value distribution clipped at the
+  // EXACT p5/p95 order statistics (Stats.exactQuantiles — rank
+  // arithmetic, one exchange), then an exact rational mean over the
+  // clipped cents (sum·10⁴ div n — no float accumulation). The
+  // outlier-robust feature-scaling step; quantile frame is |types|
+  // rows and broadcasts back onto the scan.
+  def winsorQ(s: SparkSession, dir: String): DataFrame = {
+    val cents = load(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .filter(col("c").isNotNull) // oracle's WHERE value IS NOT NULL
+    val q = Stats.exactQuantiles(cents, "event_type", "c", Seq(0.05, 0.95))
+    cents.join(broadcast(q), "event_type")
+      .select(col("event_type"),
+        greatest(col("p5"), least(col("p95"), col("c"))).as("cw"),
+        col("p5"), col("p95"))
+      .groupBy("event_type")
+      .agg(max(col("p5")).as("p5"), max(col("p95")).as("p95"),
+        count(lit(1)).as("n"),
+        expr("sum(cw) * 10000 div count(*)").as("wmean4"))
+      .orderBy("event_type")
+  }
+
+  private val winsorSql =
+    """WITH c AS (SELECT event_type,
+      |             CAST(round(value * 100) AS BIGINT) AS c
+      |           FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT event_type, c,
+      |             row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+      |             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |      FROM c),
+      |q AS (SELECT event_type,
+      |             max(CASE WHEN rn = CAST(ceil(n * 0.05) AS BIGINT) THEN c END) AS p5,
+      |             max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN c END) AS p95
+      |      FROM r GROUP BY 1)
+      |SELECT c.event_type, q.p5, q.p95, CAST(count(*) AS BIGINT) AS n,
+      |       sum(greatest(q.p5, least(q.p95, c.c))) * 10000 // count(*) AS wmean4
+      |FROM c JOIN q ON c.event_type = q.event_type
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------- Q-bloomjoin
+  // Bloom-pruned semi-join (Sketches.bloomLiteralMightContain): the
+  // distributed bitmap build densifies into ⌈m/63⌉ literal longs (a
+  // BOUNDED driver read) and becomes a PURE scan-stage predicate on the
+  // probe side — the 100 TB shape where (1−fp)·miss of the big table
+  // dies inside whole-stage codegen before any exchange, and the exact
+  // semi-join afterwards removes the false positives. No false
+  // negatives ever ⇒ prefilter + join is RESULT-IDENTICAL to the plain
+  // semi-join the oracle states — the bloom's entire effect is bytes
+  // moved, which is exactly what a correctness gate can't see and the
+  // plan/fp-rate spec pins instead.
+  private val BjBits = 4032 // 64 words of 63 bits
+  private val BjK = 3
+  private val BjNation = "NATION_3"
+
+  def bloomJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val keys = load(s, dir, "supplier")
+      .join(broadcast(load(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === BjNation)
+      .select(col("s_suppkey"))
+    val words = Sketches.bloomBitmapWords(
+      Sketches.bloomBuild(keys, "s_suppkey", BjBits, BjK), BjBits)
+    load(s, dir, "lineitem")
+      .filter(Sketches.bloomLiteralMightContain(words,
+        col("l_suppkey"), BjBits, BjK))
+      .join(keys, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"),
+        ExactAgg.moneySum(col("l_extendedprice"), 100).as("revenue"))
+      .orderBy("flag")
+  }
+
+  private val bloomJoinSql =
+    s"""SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+       |       ${moneySumSql("l_extendedprice")} AS revenue
+       |FROM lineitem
+       |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+       |                    JOIN nation ON s_nationkey = n_nationkey
+       |                    WHERE n_name = '$BjNation')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------- Q-markov
   // First-order Markov transition matrix over each user's event
   // sequence: count (cur → next) pairs via ONE lag window by user,
@@ -5500,6 +5617,9 @@ object Queries {
     "q_compact" -> (compactQ _),
     "q_frames" -> (framesQ _),
     "q_markov" -> (markovQ _),
+    "q_bloomjoin" -> (bloomJoinQ _),
+    "q_ivm" -> (ivmQ _),
+    "q_winsor" -> (winsorQ _),
     "q_profile" -> (profileQ _),
     "q_threads" -> (threadsQ _),
     "q_debounce" -> (debounceQ _),
@@ -5646,6 +5766,9 @@ object Queries {
     "q_compact" -> compactSql,
     "q_frames" -> framesSql,
     "q_markov" -> markovSql,
+    "q_bloomjoin" -> bloomJoinSql,
+    "q_ivm" -> ivmSql,
+    "q_winsor" -> winsorSql,
     "q_profile" -> profileSql,
     "q_threads" -> threadsSql,
     "q_debounce" -> debounceSql,

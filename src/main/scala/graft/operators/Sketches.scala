@@ -172,6 +172,39 @@ object Sketches {
           .otherwise(col("__e")).as("est"))
   }
 
+  /** Densify a [[bloomBuild]] bitmap into the full word array (absent
+    * words are zero) — a BOUNDED driver read: ⌈mBits/63⌉ longs (e.g.
+    * 64 longs for a 4032-bit filter), never data-sized. This is the
+    * step that turns the distributed build into a SCAN-STAGE literal. */
+  def bloomBitmapWords(bloom: DataFrame, mBits: Int): Seq[Long] = {
+    val n = (mBits + BloomWordBits - 1) / BloomWordBits
+    val words = new Array[Long](n)
+    // bounded collect: at most n rows by construction of bloomBuild
+    bloom.collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words.toSeq
+  }
+
+  /** Membership test as a PURE scan-stage expression over a literal
+    * bitmap (from [[bloomBitmapWords]], SAME mBits/k): all k bits set.
+    * This is the deployable join-pruning shape — the filter rides the
+    * parquet scan via whole-stage codegen and drops the (1−fp)·miss
+    * fraction of a 100 TB probe side before ANY exchange; the exact
+    * join afterwards removes the false positives, so composing
+    * prefilter + join is result-identical to the plain join (no false
+    * negatives ever). */
+  def bloomLiteralMightContain(words: Seq[Long], v: Column,
+                               mBits: Int, k: Int): Column = {
+    require(words.nonEmpty && k >= 1, s"need words, k >= 1; got $k")
+    val arr = array(words.map(lit): _*)
+    (0 until k).map { j =>
+      val p = bloomBit(v, j, mBits)
+      val mask = call_function("shiftleft", lit(1L),
+        (p % BloomWordBits).cast("int"))
+      (element_at(arr, (p / BloomWordBits).cast("int") + 1)
+        .bitwiseAND(mask) =!= 0)
+    }.reduce(_ && _)
+  }
+
   /** Point-query estimates for `probes` (a column `probeCol` of values):
     * est = min over hash rows of the matching cell count, 0 when a cell
     * was never touched. `sketch` must come from [[cmsBuild]] with the

@@ -95,6 +95,40 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("bloomLiteralMightContain: no false negatives; fp rate near theory; scan-stage only") {
+    val keys = (1 to 50).map(i => s"key$i").toDF("v")
+    val mBits = 4032; val k = 3
+    val words = Sketches.bloomBitmapWords(
+      Sketches.bloomBuild(keys, "v", mBits, k), mBits)
+    assert(words.length == 64)
+    // every inserted key answers true (no false negatives, ever)
+    val hits = keys.filter(Sketches.bloomLiteralMightContain(words, col("v"), mBits, k))
+    assert(hits.count() == 50)
+    // fp rate on 2000 absent probes ≈ (1 − e^(−kn/m))^k ≈ 0.004% — allow slack
+    val absent = (1 to 2000).map(i => s"other$i").toDF("v")
+    val fp = absent.filter(Sketches.bloomLiteralMightContain(words, col("v"), mBits, k)).count()
+    assert(fp <= 10, s"false-positive count $fp far above theory")
+    // the probe is a pure filter: no join node anywhere in the plan
+    val plan = absent.filter(Sketches.bloomLiteralMightContain(words, col("v"), mBits, k))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"literal bloom probe must not join:\n$plan")
+  }
+
+  test("bloom prefilter + exact join is result-identical to the plain join") {
+    val keys = (1 to 30 by 3).map(i => i.toLong).toDF("k")
+    val probe = (1 to 200).map(i => (i.toLong % 40)).toDF("p")
+    val mBits = 63 * 4; val k = 2 // tiny bitmap → real false positives
+    val words = Sketches.bloomBitmapWords(
+      Sketches.bloomBuild(keys, "k", mBits, k), mBits)
+    val pruned = probe
+      .filter(Sketches.bloomLiteralMightContain(words, col("p"), mBits, k))
+      .join(keys, col("p") === col("k"), "left_semi")
+      .orderBy("p").collect().map(_.getLong(0)).toSeq
+    val plain = probe.join(keys, col("p") === col("k"), "left_semi")
+      .orderBy("p").collect().map(_.getLong(0)).toSeq
+    assert(pruned === plain)
+  }
+
   test("hllRegisters: bucket/rho replay the hash arithmetic; dedup by max") {
     val df = Seq(("g", "x"), ("g", "x"), ("g", "y")).toDF("grp", "v")
     val regs = Sketches.hllRegisters(df, "grp", "v", 6)
