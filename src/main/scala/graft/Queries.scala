@@ -2760,7 +2760,10 @@ object Queries {
   // equal the batch LEFT JOIN the oracle runs.
   private val StreamOuterDir = s"$FixtureRoot/stream_outer"
 
-  def streamOuter(s: SparkSession, dir: String): DataFrame = {
+  /** events + one flush sentinel per side (user −1, max ts + 3 h) as a
+    * stream-source dir — shared by q_stream_outer and q_tws_sessions
+    * (both need the watermark pushed past every real event's expiry). */
+  private def ensureFlushFixture(s: SparkSession, dir: String): Unit =
     publishOnce(StreamOuterDir, dir) {
       val ev = load(s, dir, "events")
       ev.write.mode("overwrite").parquet(StreamOuterDir)
@@ -2776,6 +2779,9 @@ object Queries {
         .select(ev.columns.map(col): _*)
         .write.mode("append").parquet(StreamOuterDir)
     }
+
+  def streamOuter(s: SparkSession, dir: String): DataFrame = {
+    ensureFlushFixture(s, dir)
     Ingest.intervalJoinLeftOuterStream(s, StreamOuterDir, "*.parquet",
         "user_id", leftType = "click", rightType = "error")
       .filter(col("l_key") =!= -1L)
@@ -2846,6 +2852,41 @@ object Queries {
        |SELECT event_type, CAST(sum(nk) AS BIGINT) AS n_kept,
        |       CAST(sum(nd) AS BIGINT) AS n_dropped
        |FROM f WHERE is_final GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------ Q-tws-sessions
+  // Timer-driven PER-SESSION emission (streaming/SessionizeTws): each
+  // closed session appends exactly once, final — including for users
+  // who go QUIET, whose last session closes via an event-time TIMER
+  // firing with no input rows for the key (the capability
+  // flatMapGroupsWithState lacks; q_sessions works around it with
+  // revisable per-user previews). Same flush-sentinel fixture as
+  // q_stream_outer pushes the watermark past every real session's
+  // seal point, so the emitted set equals the batch gaps-and-islands
+  // construction the oracle states.
+  private val TwsGapUs = 1800000000L // 30 min, matching q_sessions
+
+  def twsSessions(s: SparkSession, dir: String): DataFrame = {
+    ensureFlushFixture(s, dir)
+    graft.streaming.SessionizeTws.closedSessions(
+        s, StreamOuterDir, "*.parquet", TwsGapUs)
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "sid")
+  }
+
+  private val twsSessionsSql =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+       |m AS (SELECT user_id, us,
+       |        CASE WHEN lag(us) OVER w IS NULL
+       |               OR us - lag(us) OVER w > $TwsGapUs
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+       |i AS (SELECT user_id, us,
+       |        sum(brk) OVER (PARTITION BY user_id ORDER BY us
+       |                       ROWS UNBOUNDED PRECEDING) AS sid
+       |      FROM m)
+       |SELECT user_id, CAST(sid AS INT) AS sid, min(us) AS start_us,
+       |       max(us) AS end_us, CAST(count(*) AS BIGINT) AS n_events
+       |FROM i GROUP BY 1, 2 ORDER BY user_id, sid""".stripMargin
 
   // -------------------------------------------------------- Q-multimodal
   // Opaque binary payload + typed metadata struct (deterministic fake
@@ -5545,6 +5586,7 @@ object Queries {
     "q_stream_join" -> (streamJoin _),
     "q_stream_outer" -> (streamOuter _),
     "q_stream_debounce" -> (streamDebounce _),
+    "q_tws_sessions" -> (twsSessions _),
     "q_sbo" -> (sboQ _),
     "q_knn_ivf" -> (knnIvf _),
     "q_knn_int8" -> (knnInt8Q _),
@@ -5694,6 +5736,7 @@ object Queries {
     "q_stream_join" -> streamJoinSql,
     "q_stream_outer" -> streamOuterSql,
     "q_stream_debounce" -> streamDebounceSql,
+    "q_tws_sessions" -> twsSessionsSql,
     "q_sbo" -> sboSql,
     "q_knn_ivf" -> knnIvfSql,
     "q_knn_int8" -> knnInt8Sql,
