@@ -259,4 +259,65 @@ class ContinuousSoakSpec extends SparkSpec {
       Seq(1L, us / 10, us / 5, us * 3 / 10, 3L),
       Seq(2L, us / 4, us / 2, null, 2L)))
   }
+
+  // epoch base clear of the zero initial watermark (transformWithState's
+  // EventTime filter drops rows at-or-before the watermark)
+  private val T0 = 1000000L * H / 3600L
+
+  test("transformWithState debounce soak: dripped run equals one-shot state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-soak-deb").toString
+    val S = H / 3600L // one second in nanos
+    def ev(id: Long, t: Long, u: Long) = (id, T0 + t, u, "click", 0.0)
+    writeOne(dir, "f1.parquet",
+      Seq(ev(1, 0, 1), ev(2, 7 * S, 1)).toDF(
+        "event_id", "ts", "user_id", "event_type", "value"))
+    val (trigger, finish) = dripRig { q =>
+      // a LATE 4s event lands in its own batch: folds between 0 and 7
+      writeOne(dir, "f2.parquet", Seq(ev(3, 4 * S, 1)).toDF(
+        "event_id", "ts", "user_id", "event_type", "value"))
+      q.processAllAvailable()
+      writeOne(dir, "f3.parquet",
+        Seq(ev(4, 20 * S, 1), ev(5, 0, 2)).toDF(
+          "event_id", "ts", "user_id", "event_type", "value"))
+    }
+    val soaked = rows(Debounce.debouncedCounts(spark, dir, "f*.parquet",
+      5000000L, trigger = trigger, finish = finish).orderBy("user_id"))
+    val oneShot = rows(Debounce.debouncedCounts(spark, dir, "f*.parquet",
+      5000000L).orderBy("user_id"))
+    assert(soaked === oneShot)
+    // u1: 0 kept, 4 dropped (≤5s of 0), 7 kept (>5s of 0), 20 kept
+    assert(soaked === Seq(Seq(1L, "click", 3L, 1L), Seq(2L, "click", 1L, 0L)))
+  }
+
+  test("transformWithState sessions soak: timers close sessions mid-stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-soak-tws").toString
+    val S = H / 3600L
+    def ev(id: Long, t: Long, u: Long) = (id, T0 + t, u, "view", 0.0)
+    writeOne(dir, "f1.parquet",
+      Seq(ev(1, 0, 1), ev(2, 10 * S, 1)).toDF(
+        "event_id", "ts", "user_id", "event_type", "value"))
+    val (trigger, finish) = dripRig { q =>
+      // user 2's far event advances the watermark past u1's seal point
+      // MID-STREAM: u1's session must emit from the timer while the
+      // query keeps running
+      writeOne(dir, "f2.parquet", Seq(ev(3, 5000 * S, 2))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      q.processAllAvailable()
+      // u1 comes back: a SECOND session after the first closed
+      writeOne(dir, "f3.parquet", Seq(ev(4, 6000 * S, 1), ev(5, 99999 * S, 3))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+    }
+    val gap = 60000000L // 1 min
+    val soaked = rows(SessionizeTws.closedSessions(spark, dir, "f*.parquet",
+        gap, trigger = trigger, finish = finish)
+      .filter(col("user_id") === 1L))
+    val oneShot = rows(SessionizeTws.closedSessions(spark, dir, "f*.parquet", gap)
+      .filter(col("user_id") === 1L))
+    assert(soaked === oneShot)
+    val usBase = T0 / 1000L
+    val usS = 1000000L
+    assert(soaked === Seq(
+      Seq(1L, 1, usBase, usBase + 10 * usS, 2L),
+      Seq(1L, 2, usBase + 6000 * usS, usBase + 6000 * usS, 1L)))
+  }
 }
