@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{ArrayDot, NfcNormalize, QbicChecksum, RewriteDotProduct}
+import graft.plans.{ArrayDot, GraftStrategies, NfcNormalize, QbicChecksum, RewriteDotProduct, RewriteTopKWindow}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       NfcNormalize.info, exprs => NfcNormalize(exprs.head)))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectOptimizerRule(_ => RewriteTopKWindow)
+    ext.injectPlannerStrategy(_ => GraftStrategies)
   }
 }
 

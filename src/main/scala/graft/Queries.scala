@@ -4409,6 +4409,40 @@ object Queries {
        |       CAST(sum(en - st + 1) AS BIGINT) AS covered_days
        |FROM ep GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- Q-topk
+  // Per-key top-k through the WHOLE-OPERATOR Catalyst surface
+  // (plans/TopKPerKey): the query is written in the standard
+  // declarative form — row_number() OVER (...) <= k — and
+  // RewriteTopKWindow swaps the sort-based Window plan for the
+  // heap-based TopKPerKeyExec (O(n log k) comparisons, keys·k retained
+  // rows, no partition-wide sort to spill). The ORACLE executes the
+  // SAME declarative form on DuckDB's stock window machinery — two
+  // execution engines, two physical strategies, one truth — and
+  // PlanAuditSpec asserts the custom node is actually in the declared
+  // plan. Ordering key is exact cents (never raw doubles) with the
+  // custkey tie-break, the usual determinism discipline.
+  private val TopK = 3
+
+  def topkQ(s: SparkSession, dir: String): DataFrame = {
+    val cents = load(s, dir, "customer")
+      .select(col("c_mktsegment").as("seg"), col("c_custkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seg").orderBy(col("bal_c").desc, col("c_custkey"))
+    cents.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .orderBy("seg", "rn")
+  }
+
+  private val topkSql =
+    s"""SELECT seg, c_custkey, bal_c, rn FROM (
+       |  SELECT c_mktsegment AS seg, c_custkey,
+       |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+       |         CAST(row_number() OVER (PARTITION BY c_mktsegment
+       |           ORDER BY round(c_acctbal * 100) DESC, c_custkey) AS INT) AS rn
+       |  FROM customer)
+       |WHERE rn <= $TopK ORDER BY seg, rn""".stripMargin
+
   // --------------------------------------------------------------- Q-ivm
   // Incremental view maintenance: a materialized per-type aggregate
   // (count + money sum — MERGEABLE partial states) is published once
@@ -5661,6 +5695,7 @@ object Queries {
     "q_markov" -> (markovQ _),
     "q_bloomjoin" -> (bloomJoinQ _),
     "q_ivm" -> (ivmQ _),
+    "q_topk" -> (topkQ _),
     "q_winsor" -> (winsorQ _),
     "q_profile" -> (profileQ _),
     "q_threads" -> (threadsQ _),
@@ -5811,6 +5846,7 @@ object Queries {
     "q_markov" -> markovSql,
     "q_bloomjoin" -> bloomJoinSql,
     "q_ivm" -> ivmSql,
+    "q_topk" -> topkSql,
     "q_winsor" -> winsorSql,
     "q_profile" -> profileSql,
     "q_threads" -> threadsSql,

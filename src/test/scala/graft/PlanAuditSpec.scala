@@ -86,4 +86,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("c_custkey"),
       s"expected c_custkey filter pushed to parquet:\n$plan")
   }
+
+  test("q_topk's DECLARED plan uses the heap operator, not a window sort") {
+    val plan = Queries.all("q_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"RewriteTopKWindow must fire on the declared query:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no window (and its partition-wide sort) should remain:\n$plan")
+  }
 }
