@@ -4409,6 +4409,72 @@ object Queries {
        |       CAST(sum(en - st + 1) AS BIGINT) AS covered_days
        |FROM ep GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------- Q-diversity
+  // Behavioral diversity per user: Simpson/Gini index of the user's
+  // event-type distribution, stated integer-exact — 1 − Σ(cᵢ/n)²
+  // becomes (n² − Σcᵢ²)·10⁴ div n², so threshold users land identically
+  // on every engine. Two natural-key partial-agg shuffles; the
+  // engagement-breadth feature of a user-modeling pipeline.
+  def diversityQ(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("q"))
+      .select(col("user_id"), col("n"),
+        expr("(n * n - q) * 10000 div (n * n)").as("simpson4"))
+      .orderBy("user_id")
+
+  private val diversitySql =
+    """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |a AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+      |             CAST(sum(c * c) AS BIGINT) AS q
+      |      FROM c GROUP BY 1)
+      |SELECT user_id, n, (n * n - q) * 10000 // (n * n) AS simpson4
+      |FROM a ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------- Q-skewstats
+  // Join-key skew profile — the diagnostic that decides between a plain
+  // shuffle join, Skew.saltedJoin, and AQE skew splitting: per join-key
+  // frequency distribution summarized as max/p50/p99 (exact rank
+  // arithmetic) plus the top heavy keys' share of the table. One
+  // partial-agg count + one |keys|-row quantile pass — runs BEFORE the
+  // expensive join, on the cheap side of it.
+  def skewStatsQ(s: SparkSession, dir: String): DataFrame = {
+    val freq = load(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("c"))
+    // one-row frames combine on a shared literal key: a HASH join, so
+    // the plan audit's no-BNLJ rule holds without an exemption
+    val q = Stats.exactQuantiles(freq.withColumn("__j", lit(1)),
+      "__j", "c", Seq(0.5, 0.99))
+    val stats = freq.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+      max(col("c")).as("max_c")).withColumn("__j", lit(1))
+    val hot = freq.orderBy(col("c").desc, col("key")).limit(5)
+      .agg(sum(col("c")).as("top5_rows")).withColumn("__j", lit(1))
+    stats.join(broadcast(q), "__j").join(broadcast(hot), "__j")
+      .select(col("n_keys"), col("n_rows"), col("max_c"),
+        col("p50"), col("p99"),
+        expr("top5_rows * 10000 div n_rows").as("top5_share4"))
+  }
+
+  private val skewStatsSql =
+    """WITH f AS (SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS c
+      |           FROM lineitem GROUP BY 1),
+      |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+      |             CAST(count(*) OVER () AS BIGINT) AS n
+      |      FROM f),
+      |q AS (SELECT max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN c END) AS p50,
+      |             max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN c END) AS p99
+      |      FROM r),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |             CAST(sum(c) AS BIGINT) AS n_rows,
+      |             max(c) AS max_c FROM f),
+      |h AS (SELECT CAST(sum(c) AS BIGINT) AS top5_rows
+      |      FROM (SELECT c FROM f ORDER BY c DESC, key LIMIT 5))
+      |SELECT s.n_keys, s.n_rows, s.max_c, q.p50, q.p99,
+      |       h.top5_rows * 10000 // s.n_rows AS top5_share4
+      |FROM s, q, h""".stripMargin
+
   // -------------------------------------------------------------- Q-topk
   // Per-key top-k through the WHOLE-OPERATOR Catalyst surface
   // (plans/TopKPerKey): the query is written in the standard
@@ -5696,6 +5762,8 @@ object Queries {
     "q_bloomjoin" -> (bloomJoinQ _),
     "q_ivm" -> (ivmQ _),
     "q_topk" -> (topkQ _),
+    "q_diversity" -> (diversityQ _),
+    "q_skewstats" -> (skewStatsQ _),
     "q_winsor" -> (winsorQ _),
     "q_profile" -> (profileQ _),
     "q_threads" -> (threadsQ _),
@@ -5847,6 +5915,8 @@ object Queries {
     "q_bloomjoin" -> bloomJoinSql,
     "q_ivm" -> ivmSql,
     "q_topk" -> topkSql,
+    "q_diversity" -> diversitySql,
+    "q_skewstats" -> skewStatsSql,
     "q_winsor" -> winsorSql,
     "q_profile" -> profileSql,
     "q_threads" -> threadsSql,
