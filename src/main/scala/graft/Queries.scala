@@ -377,6 +377,39 @@ object Queries {
     s"""WITH $minhashPairsBody
        |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin
 
+  // -------------------------------------------------------- Q-dedup-incr
+  // INCREMENTAL near-dup (Dedup.nearDupIndex + nearDupIncrement): the
+  // delta shard (doc_id % 3 = 0) dedups against the published base
+  // index — band probes + delta self-pairs, never a base×base pair —
+  // the corpus-refresh shape that makes near-dup affordable to run per
+  // shard at 100 TB instead of re-pairing the whole corpus. The ORACLE
+  // runs the FULL corpus pair computation and restricts to pairs
+  // touching the delta: two completely different candidate-generation
+  // strategies, one pair set.
+  private val IncrIndexDir = s"$FixtureRoot/neardup_index"
+
+  def dedupIncrQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    publishOnce(IncrIndexDir, dir) {
+      val (bands, sh) = Dedup.nearDupIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", MhK, MhBands, 3)
+      bands.write.mode("overwrite").parquet(s"$IncrIndexDir/bands")
+      sh.write.mode("overwrite").parquet(s"$IncrIndexDir/shingles")
+    }
+    Dedup.nearDupIncrement(
+        s.read.parquet(s"$IncrIndexDir/bands"),
+        s.read.parquet(s"$IncrIndexDir/shingles"),
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        MhK, MhBands, 3, threshold = 0.8, maxDf = ShMaxDf)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val dedupIncrSql: String =
+    s"""WITH $minhashPairsBody
+       |SELECT id_a, id_b, jaccard FROM pairs
+       |WHERE id_a % 3 = 0 OR id_b % 3 = 0
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------------ Q-dedup-assign
   // Canonical keeper per near-dup cluster: connected components over the
   // verified pair graph (min reachable id). Oracle: recursive closure.
@@ -5637,6 +5670,7 @@ object Queries {
     "q_dedup" -> (dedupExact _),
     "q_neardup_ngram" -> (nearDupNgram _),
     "q_neardup_minhash" -> (nearDupMinhash _),
+    "q_dedup_incr" -> (dedupIncrQ _),
     "q_simhash" -> (simhash _),
     "q_knn" -> (knn _),
     "q_mmr" -> (mmrQ _),
@@ -5790,6 +5824,7 @@ object Queries {
     "q_dedup" -> dedupExactSql,
     "q_neardup_ngram" -> nearDupNgramSql,
     "q_neardup_minhash" -> nearDupMinhashSql,
+    "q_dedup_incr" -> dedupIncrSql,
     "q_simhash" -> simhashSql,
     "q_knn" -> knnSql,
     "q_mmr" -> mmrSql,

@@ -261,6 +261,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** The publishable near-dup INDEX of a corpus: its LSH band table and
+    * raw shingle hashes — the artifact [[nearDupIncrement]] dedups new
+    * shards against, so a corpus refresh never re-pairs the base with
+    * itself. Shingles are stored RAW (un-capped): the df-cap is a
+    * corpus-relative decision and is applied over base ∪ delta at
+    * refresh time. */
+  def nearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int, bands: Int, n: Int): (DataFrame, DataFrame) = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val sh = shingleHashes(docs, idCol, textCol, n)
+    (lshBands(minhashFromShingles(sh, k), bands, k / bands), sh)
+  }
+
+  /** INCREMENTAL near-dup: the delta shard against a published
+    * [[nearDupIndex]], plus the delta's own pairs — never a base×base
+    * pair anywhere. This is the corpus-refresh shape at 100 TB: per
+    * refresh the work is O(delta·bands) band probes + delta-involved
+    * candidates, while the naive alternative re-runs the full
+    * candidate self-join over the whole corpus every time a shard
+    * lands. Emitted pairs are (least, greatest)-ordered, so the result
+    * equals the FULL run's pair set restricted to pairs touching the
+    * delta — which is exactly what the oracle states.
+    *
+    * df-cap contract: the cap is applied over base ∪ delta shingles for
+    * the delta signatures and the verify join; the PUBLISHED base bands
+    * were built under the base-time cap view. A shingle that crosses
+    * the cap only because of the delta therefore still collides through
+    * stale base bands until the next full rebuild — candidates are a
+    * SUPERSET in that window (verify still filters exactly), the safe
+    * direction. Periodic full [[nearDupMinhash]] rebuilds reset it. */
+  def nearDupIncrement(baseBands: DataFrame, baseShingles: DataFrame,
+                       delta: DataFrame, idCol: String, textCol: String,
+                       k: Int, bands: Int, n: Int, threshold: Double,
+                       maxDf: Long = Long.MaxValue): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val dshRaw = shingleHashes(delta, idCol, textCol, n)
+    val allSh0 = baseShingles.unionByName(dshRaw)
+    val allSh = (if (maxDf == Long.MaxValue) allSh0 else capDocFreq(allSh0, maxDf))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deltaIds = delta.select(col(idCol).as("id"))
+    val dsh = allSh.join(deltaIds, Seq("id"), "left_semi")
+    val dband = lshBands(minhashFromShingles(dsh, k), bands, k / bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vsBase = dband.alias("d")
+      .join(baseBands.alias("b"),
+        col("d.band") === col("b.band") &&
+          col("d.band_hash") === col("b.band_hash") &&
+          col("d.id") =!= col("b.id"))
+      .select(least(col("b.id"), col("d.id")).as("id_a"),
+        greatest(col("b.id"), col("d.id")).as("id_b"))
+      .distinct()
+    val cands = vsBase.unionByName(candidatePairs(dband)).distinct()
+    jaccardVerify(cands, allSh)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** 32-bit SimHash fingerprint per doc: token-frequency-weighted bit
     * votes. One explode + one groupBy with 32 conditional-sum columns —
     * stays inside whole-stage codegen. */

@@ -73,6 +73,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental near-dup equals the full run restricted to delta-involved pairs") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val full = Dedup.nearDupMinhash(corpus, "doc_id", "text",
+        k = 32, bands = 4, threshold = 0.8)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val isDelta = (id: Long) => id % 3 == 0
+    val (bandsDf, shDf) = Dedup.nearDupIndex(
+      corpus.filter(!(col("doc_id") % 3 === 0)), "doc_id", "text", 32, 4, 3)
+    val incr = Dedup.nearDupIncrement(bandsDf, shDf,
+        corpus.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        32, 4, 3, threshold = 0.8)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = full.filter(p => isDelta(p._1) || isDelta(p._2))
+    assert(incr === expected)
+    assert(incr.nonEmpty, "fixture should produce delta-involved pairs")
+    assert(incr.forall(p => isDelta(p._1) || isDelta(p._2)),
+      "no base-base pair may surface")
+  }
+
+  test("a re-delivered exact duplicate in the delta pairs with its base twin at 1.0") {
+    val baseDocs = Seq((10L, base), (11L, "unrelated text entirely about graphs"))
+      .toDF("doc_id", "text")
+    val delta = Seq((20L, base)).toDF("doc_id", "text")
+    val (bandsDf, shDf) = Dedup.nearDupIndex(baseDocs, "doc_id", "text", 32, 4, 3)
+    val got = Dedup.nearDupIncrement(bandsDf, shDf, delta, "doc_id", "text",
+        32, 4, 3, threshold = 0.8)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((10L, 20L, 1.0)))
+  }
+
   test("hot-shingle df cap bounds candidates on a common-prefix corpus") {
     // 40 docs sharing a 12-token boilerplate prefix with unique 2-token
     // tails: every boilerplate shingle has df=40, so the uncapped
