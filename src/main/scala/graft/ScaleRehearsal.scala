@@ -358,8 +358,39 @@ object ScaleRehearsal {
       ("bpe_batched", t1, tN, tN / t1)
     }
 
+    // Incremental near-dup refresh: the index publish is one-time work
+    // and NOT timed; the measured cell is the per-shard refresh
+    // (delta = the corpus third) — compare against q_neardup_minhash's
+    // cell at the same scale to read the full-rebuild-vs-refresh gap.
+    def timeIncr(dir: String, tag: String): Double = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+      val idx = s"$workDir/incr_index_$tag"
+      val (bandsDf, shDf) = graft.operators.Dedup.nearDupIndex(
+        base, "doc_id", "text", 32, 4, 3)
+      bandsDf.write.mode("overwrite").parquet(s"$idx/bands")
+      shDf.write.mode("overwrite").parquet(s"$idx/shingles")
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.operators.Dedup.nearDupIncrement(
+          spark.read.parquet(s"$idx/bands"),
+          spark.read.parquet(s"$idx/shingles"),
+          delta, "doc_id", "text", 32, 4, 3, threshold = 0.8, maxDf = 1000L)
+          .queryExecution.toRdd.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache(); System.gc()
+        dt
+      }.min
+    }
+    val incrRow = if (!wanted("dedup_incr")) Nil else Seq {
+      val t1 = timeIncr(sfDir, "x1")
+      val tN = timeIncr(workDir, "xN")
+      ("dedup_incr", t1, tN, tN / t1)
+    }
+
     val body = (rows ++ autoRow ++ sim64Row ++ semRow ++ semSampledRow ++
-      bpeBatchedRow)
+      bpeBatchedRow ++ incrRow)
       .map { case (q, t1, tN, g) =>
       f""""$q":{"x1":$t1%.2f,"x$factor":$tN%.2f,"growth":$g%.2f}"""
     }.mkString(",")
