@@ -4476,15 +4476,25 @@ object Queries {
   def skewStatsQ(s: SparkSession, dir: String): DataFrame = {
     val freq = load(s, dir, "lineitem")
       .groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("c"))
-    // one-row frames combine on a shared literal key: a HASH join, so
-    // the plan audit's no-BNLJ rule holds without an exemption
-    val q = Stats.exactQuantiles(freq.withColumn("__j", lit(1)),
-      "__j", "c", Seq(0.5, 0.99))
-    val stats = freq.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
-      max(col("c")).as("max_c")).withColumn("__j", lit(1))
-    val hot = freq.orderBy(col("c").desc, col("key")).limit(5)
-      .agg(sum(col("c")).as("top5_rows")).withColumn("__j", lit(1))
-    stats.join(broadcast(q), "__j").join(broadcast(hot), "__j")
+    // rank once, then EVERYTHING folds in one aggregation — no one-row
+    // combine joins (the optimizer constant-folds literal-key joins
+    // into nested loops, which the plan audit rightly rejects). The
+    // global windows run over |keys| rows, not the table. Top-5 = the
+    // last 5 ranks of the ascending order; rank ties share c values,
+    // so every output is tie-order-independent.
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("c")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val ranked = freq
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("nk", count(lit(1)).over(wAll))
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_c"),
+        max(when(col("rn") === ceil(col("nk") * 0.5), col("c"))).as("p50"),
+        max(when(col("rn") === ceil(col("nk") * 0.99), col("c"))).as("p99"),
+        sum(when(col("rn") > col("nk") - 5, col("c"))).as("top5_rows"))
       .select(col("n_keys"), col("n_rows"), col("max_c"),
         col("p50"), col("p99"),
         expr("top5_rows * 10000 div n_rows").as("top5_share4"))

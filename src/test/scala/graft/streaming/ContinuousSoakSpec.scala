@@ -289,6 +289,39 @@ class ContinuousSoakSpec extends SparkSpec {
     assert(soaked === Seq(Seq(1L, "click", 3L, 1L), Seq(2L, "click", 1L, 0L)))
   }
 
+  test("left-outer interval join soak: dripped run emits the same null rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-soak-ssjo").toString
+    val S = H / 3600L
+    def ev(id: Long, t: Long, u: Long, ty: String, v: Double) =
+      (id, T0 + t, u, ty, v)
+    // u1: click with NO error ever → must surface with a null right
+    // once the dripped flush finalizes the verdict; u2 pairs normally.
+    writeOne(dir, "f1.parquet", Seq(
+      ev(1, 600 * S, 1L, "click", 0.0),
+      ev(2, 900 * S, 2L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val (trigger, finish) = dripRig { q =>
+      writeOne(dir, "f2.parquet", Seq(ev(3, 800 * S, 2L, "error", 5.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      q.processAllAvailable()
+      writeOne(dir, "f3.parquet", Seq(
+        ev(4, 100000 * S, -1L, "click", 0.0),
+        ev(5, 100000 * S, -1L, "error", 0.0)
+      ).toDF("event_id", "ts", "user_id", "event_type", "value"))
+    }
+    val soaked = rows(Ingest.intervalJoinLeftOuterStream(spark, dir,
+        "f*.parquet", "user_id", "click", "error",
+        trigger = trigger, finish = finish)
+      .filter(col("l_key") =!= -1L)
+      .select("l_key", "r_value").orderBy("l_key"))
+    val oneShot = rows(Ingest.intervalJoinLeftOuterStream(spark, dir,
+        "f*.parquet", "user_id", "click", "error")
+      .filter(col("l_key") =!= -1L)
+      .select("l_key", "r_value").orderBy("l_key"))
+    assert(soaked === oneShot)
+    assert(soaked === Seq(Seq(1L, null), Seq(2L, 5.0)))
+  }
+
   test("transformWithState sessions soak: timers close sessions mid-stream") {
     val dir = java.nio.file.Files.createTempDirectory("graft-soak-tws").toString
     val S = H / 3600L
