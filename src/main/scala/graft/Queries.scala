@@ -4442,6 +4442,29 @@ object Queries {
        |       CAST(sum(en - st + 1) AS BIGINT) AS covered_days
        |FROM ep GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------------------- Q-overlap
+  // Exact audience overlap via bitmap indexes (Sketches.segmentBitmaps
+  // + segmentOverlap): per-type membership as 63-bit words (bit_or
+  // build, map-side-combined and ~n/63 the size of the id list), pair
+  // intersections as Σ bit_count(a & b) over SHARED words — a words
+  // equi-join whose per-pair cost is the shared-word count, never
+  // |A|·|B|. The ORACLE computes the same overlaps with the naive
+  // distinct-membership self-join — two plans, one truth, so the bit
+  // arithmetic itself is hash-gated.
+  def overlapQ(s: SparkSession, dir: String): DataFrame =
+    Sketches.segmentOverlap(
+        Sketches.segmentBitmaps(load(s, dir, "events"), "event_type", "user_id"))
+      .orderBy("seg_a", "seg_b")
+
+  private val overlapSql =
+    """WITH m AS (SELECT DISTINCT event_type, user_id FROM events
+      |           WHERE user_id IS NOT NULL AND user_id >= 0)
+      |SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+      |       CAST(count(*) AS BIGINT) AS n_common
+      |FROM m a JOIN m b ON a.user_id = b.user_id
+      |  AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --------------------------------------------------------- Q-diversity
   // Behavioral diversity per user: Simpson/Gini index of the user's
   // event-type distribution, stated integer-exact — 1 − Σ(cᵢ/n)²
@@ -5807,6 +5830,7 @@ object Queries {
     "q_ivm" -> (ivmQ _),
     "q_topk" -> (topkQ _),
     "q_diversity" -> (diversityQ _),
+    "q_overlap" -> (overlapQ _),
     "q_skewstats" -> (skewStatsQ _),
     "q_winsor" -> (winsorQ _),
     "q_profile" -> (profileQ _),
@@ -5961,6 +5985,7 @@ object Queries {
     "q_ivm" -> ivmSql,
     "q_topk" -> topkSql,
     "q_diversity" -> diversitySql,
+    "q_overlap" -> overlapSql,
     "q_skewstats" -> skewStatsSql,
     "q_winsor" -> winsorSql,
     "q_profile" -> profileSql,

@@ -205,6 +205,36 @@ object Sketches {
     }.reduce(_ && _)
   }
 
+  /** EXACT segment bitmaps over a dense non-negative id space: one row
+    * per occupied (segment, word) with the 63-bit membership word —
+    * the roaring-bitmap-style audience index. Build is ONE partial-
+    * aggregated bit_or groupBy: map-side combine collapses each
+    * partition to ≤ segments·⌈idMax/63⌉ rows, and the bitmap is
+    * ~n_ids/63 of the id-list size — which is what makes set algebra
+    * over billion-user segments a words-join, not a distinct-join. */
+  def segmentBitmaps(df: DataFrame, segCol: String, idCol: String): DataFrame =
+    df.filter(col(idCol).isNotNull && col(idCol) >= 0)
+      .select(col(segCol).as("seg"),
+        (col(idCol).cast("long") / BloomWordBits).cast("long").as("word"),
+        call_function("shiftleft", lit(1L),
+          (col(idCol).cast("long") % BloomWordBits).cast("int")).as("mask"))
+      .groupBy("seg", "word")
+      .agg(bit_or(col("mask")).as("bits"))
+
+  /** Pairwise segment overlap from [[segmentBitmaps]]: |A ∩ B| for every
+    * segment pair as Σ bit_count(bitsA & bitsB) over shared words — an
+    * equi-join on `word` (only same-word rows shuffle together) + one
+    * partial-agg fold; per-pair cost is the SHARED word count, never
+    * |A|·|B|. Pairs with no common member are omitted. */
+  def segmentOverlap(bitmaps: DataFrame): DataFrame =
+    bitmaps.alias("a")
+      .join(bitmaps.alias("b"),
+        col("a.word") === col("b.word") && col("a.seg") < col("b.seg"))
+      .groupBy(col("a.seg").as("seg_a"), col("b.seg").as("seg_b"))
+      .agg(sum(bit_count(col("a.bits").bitwiseAND(col("b.bits"))))
+        .cast("long").as("n_common"))
+      .filter(col("n_common") > 0)
+
   /** Point-query estimates for `probes` (a column `probeCol` of values):
     * est = min over hash rows of the matching cell count, 0 when a cell
     * was never touched. `sketch` must come from [[cmsBuild]] with the

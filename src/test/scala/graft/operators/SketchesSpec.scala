@@ -129,6 +129,37 @@ class SketchesSpec extends SparkSpec {
     assert(pruned === plain)
   }
 
+  test("segmentBitmaps/segmentOverlap: exact intersections, word-boundary ids, empty pairs omitted") {
+    val df = Seq(
+      ("a", 0L), ("a", 62L), ("a", 63L), ("a", 100L), ("a", 100L), // dup id
+      ("b", 62L), ("b", 63L), ("b", 500L),
+      ("c", 0L), ("c", 7L)  // c∩a = {0}; c∩b = ∅ (must be omitted)
+    ).toDF("seg", "uid")
+    val bm = Sketches.segmentBitmaps(df, "seg", "uid")
+    // word boundaries: 62 and 63 land in different words
+    val aWords = bm.filter(col("seg") === "a").collect()
+      .map(r => r.getLong(1)).sorted
+    assert(aWords.toSeq === Seq(0L, 1L))
+    val got = Sketches.segmentOverlap(bm).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("a", "b") -> 2L, ("a", "c") -> 1L),
+      "b∩c shares words but no bits and must be omitted; dup memberships count once")
+  }
+
+  test("segmentOverlap matches the naive distinct join on random memberships") {
+    val rnd = new scala.util.Random(53)
+    val rows = (0 until 2000).map(_ => (s"s${rnd.nextInt(6)}", rnd.nextInt(300).toLong))
+    val got = Sketches.segmentOverlap(
+        Sketches.segmentBitmaps(rows.toDF("seg", "uid"), "seg", "uid"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val m = rows.distinct.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val naive = (for {
+      a <- m.keys; b <- m.keys if a < b
+      n = (m(a) & m(b)).size if n > 0
+    } yield (a, b) -> n.toLong).toMap
+    assert(got === naive)
+  }
+
   test("hllRegisters: bucket/rho replay the hash arithmetic; dedup by max") {
     val df = Seq(("g", "x"), ("g", "x"), ("g", "y")).toDF("grp", "v")
     val regs = Sketches.hllRegisters(df, "grp", "v", 6)
