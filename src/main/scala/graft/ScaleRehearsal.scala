@@ -123,7 +123,13 @@ object ScaleRehearsal {
     // argument), and the per-customer interval merge over replicated
     // orders (customers Nx, per-key interval count flat — one window
     // shuffle whose per-key cost is constant).
-    "q_rolling", "q_hll", "q_intervals")
+    "q_rolling", "q_hll", "q_intervals",
+    // round-8 late: event-family additions over the replicated events —
+    // users Nx on disjoint ranges. q_overlap's bitmap words grow ~Nx
+    // while per-pair shared-word cost stays linear; q_markov's lag
+    // window and q_threads' per-thread in-row sort grow with the
+    // stream; q_debounce is one window shuffle by (user, type).
+    "q_overlap", "q_markov", "q_threads", "q_debounce")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
