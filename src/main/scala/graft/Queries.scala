@@ -4442,6 +4442,42 @@ object Queries {
        |       CAST(sum(en - st + 1) AS BIGINT) AS covered_days
        |FROM ep GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------- Q-features
+  // Per-key lag/rolling feature engineering — the tabular-ML feature
+  // frame a training pipeline derives from an event log: per (user,
+  // active-day) the day's count, the previous active day's count, the
+  // recency gap, and the trailing-7-day RANGE-frame sum (calendar
+  // window, not row window — sparse days must not collapse the
+  // horizon). ONE shuffle by user feeds every window; all features are
+  // integer-exact.
+  def featuresQ(s: SparkSession, dir: String): DataFrame = {
+    val daily = load(s, dir, "events")
+      .groupBy(col("user_id"), evDay.as("d"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("d")
+    val w7 = w.rangeBetween(-6, 0)
+    daily
+      .withColumn("n_prev", lag(col("n"), 1).over(w))
+      .withColumn("gap_days", col("d") - lag(col("d"), 1).over(w))
+      .withColumn("n_7d", sum(col("n")).over(w7))
+      .orderBy("user_id", "d")
+  }
+
+  private val featuresSql =
+    """WITH daily AS (SELECT user_id,
+      |                date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+      |                CAST(count(*) AS BIGINT) AS n
+      |              FROM events GROUP BY 1, 2)
+      |SELECT user_id, d, n,
+      |       lag(n) OVER w AS n_prev,
+      |       d - lag(d) OVER w AS gap_days,
+      |       CAST(sum(n) OVER (PARTITION BY user_id ORDER BY d
+      |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+      |FROM daily
+      |WINDOW w AS (PARTITION BY user_id ORDER BY d)
+      |ORDER BY user_id, d""".stripMargin
+
   // ----------------------------------------------------------- Q-overlap
   // Exact audience overlap via bitmap indexes (Sketches.segmentBitmaps
   // + segmentOverlap): per-type membership as 63-bit words (bit_or
@@ -5831,6 +5867,7 @@ object Queries {
     "q_topk" -> (topkQ _),
     "q_diversity" -> (diversityQ _),
     "q_overlap" -> (overlapQ _),
+    "q_features" -> (featuresQ _),
     "q_skewstats" -> (skewStatsQ _),
     "q_winsor" -> (winsorQ _),
     "q_profile" -> (profileQ _),
@@ -5986,6 +6023,7 @@ object Queries {
     "q_topk" -> topkSql,
     "q_diversity" -> diversitySql,
     "q_overlap" -> overlapSql,
+    "q_features" -> featuresSql,
     "q_skewstats" -> skewStatsSql,
     "q_winsor" -> winsorSql,
     "q_profile" -> profileSql,
