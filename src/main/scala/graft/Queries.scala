@@ -4442,6 +4442,39 @@ object Queries {
        |       CAST(sum(en - st + 1) AS BIGINT) AS covered_days
        |FROM ep GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------- Q-audio
+  // Overlapping audio analysis windows (Multimodal.audioWindows): the
+  // STFT/VAD batching grid — 4 s windows every 2.5 s, last window
+  // clipped to the duration — generated in-row next to the payload
+  // (no join, no shuffle; the modality trio's third leg next to image
+  // metadata and video frames). Duration derives from the payload hash
+  // (fakeDecode pattern); oracle replays the grid with
+  // generate_series + least().
+  private val AudioWinMs = 4000L
+  private val AudioStrideMs = 2500L
+
+  def audioQ(s: SparkSession, dir: String): DataFrame = {
+    val dur = (shaHash32(col("text")) % 30000L + 500L).as("duration_ms")
+    Multimodal.audioWindows(
+        load(s, dir, "documents").select(col("doc_id"), dur),
+        col("duration_ms"), AudioWinMs, AudioStrideMs)
+      .select("doc_id", "duration_ms", "win_idx", "start_ms", "end_ms")
+      .orderBy("doc_id", "win_idx")
+  }
+
+  private val audioSql =
+    s"""WITH d AS (SELECT doc_id,
+       |             ${sqlSh32("text")} % 30000 + 500 AS duration_ms
+       |           FROM documents),
+       |w AS (SELECT doc_id, duration_ms,
+       |             unnest(generate_series(0, (duration_ms - 1) // $AudioStrideMs))
+       |               AS win_idx
+       |      FROM d)
+       |SELECT doc_id, duration_ms, win_idx,
+       |       win_idx * $AudioStrideMs AS start_ms,
+       |       least(win_idx * $AudioStrideMs + $AudioWinMs, duration_ms) AS end_ms
+       |FROM w ORDER BY doc_id, win_idx""".stripMargin
+
   // ---------------------------------------------------------- Q-features
   // Per-key lag/rolling feature engineering — the tabular-ML feature
   // frame a training pipeline derives from an event log: per (user,
@@ -5868,6 +5901,7 @@ object Queries {
     "q_diversity" -> (diversityQ _),
     "q_overlap" -> (overlapQ _),
     "q_features" -> (featuresQ _),
+    "q_audio" -> (audioQ _),
     "q_skewstats" -> (skewStatsQ _),
     "q_winsor" -> (winsorQ _),
     "q_profile" -> (profileQ _),
@@ -6024,6 +6058,7 @@ object Queries {
     "q_diversity" -> diversitySql,
     "q_overlap" -> overlapSql,
     "q_features" -> featuresSql,
+    "q_audio" -> audioSql,
     "q_skewstats" -> skewStatsSql,
     "q_winsor" -> winsorSql,
     "q_profile" -> profileSql,

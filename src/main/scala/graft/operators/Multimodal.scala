@@ -73,4 +73,26 @@ object Multimodal {
       .withColumn("t_ms", col("frame_idx") * strideMs)
       .drop("__dur")
   }
+
+  /** OVERLAPPING analysis windows for audio rows: one output row per
+    * window [start, start + windowMs) with start = 0, strideMs,
+    * 2·strideMs, … while start < duration; the last window clips to
+    * the duration (`end_ms = min(start + windowMs, duration)`) so a
+    * consumer can batch exact sample ranges into an STFT/VAD codec via
+    * the [[decodePartition]] seam. stride < window gives the standard
+    * overlapped spectrogram grid; stride = window degenerates to
+    * [[sampleFrames]]-style tiling. Same in-row `sequence` explode —
+    * no join, no shuffle, windows born next to their payload. */
+  def audioWindows(df: DataFrame, durationMsCol: Column,
+                   windowMs: Long, strideMs: Long): DataFrame = {
+    require(windowMs >= 1 && strideMs >= 1,
+      s"need windowMs, strideMs >= 1; got $windowMs/$strideMs")
+    df.withColumn("__dur", durationMsCol.cast("long"))
+      .filter(col("__dur") >= 1)
+      .withColumn("win_idx",
+        explode(sequence(lit(0L), expr(s"(__dur - 1) div $strideMs"))))
+      .withColumn("start_ms", col("win_idx") * strideMs)
+      .withColumn("end_ms", least(col("start_ms") + windowMs, col("__dur")))
+      .drop("__dur")
+  }
 }

@@ -496,6 +496,18 @@ class MultimodalSpec extends SparkSpec {
       (3L, 0L, 0L)))                                // duration 1 → frame 0 only
   }
 
+  test("audioWindows: overlap grid, clipped tail, short rows drop") {
+    val df = Seq((1L, 9000L), (2L, 0L)).toDF("id", "dur")
+    val got = Multimodal.audioWindows(df, col("dur"), 4000L, 2500L)
+      .select("id", "win_idx", "start_ms", "end_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    // starts at 0, 2500, 5000, 7500 (< 9000); ends clip to min(+4000, 9000)
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0L, 4000L), (1L, 1L, 2500L, 6500L),
+      (1L, 2L, 5000L, 9000L), (1L, 3L, 7500L, 9000L)))
+  }
+
   test("sampleFrames plans no join and no shuffle below the explode") {
     val plan = Multimodal.sampleFrames(
         Seq((1L, 60000L)).toDF("id", "dur"), col("dur"), 1000L)
