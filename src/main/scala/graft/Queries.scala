@@ -4442,6 +4442,46 @@ object Queries {
        |       CAST(sum(en - st + 1) AS BIGINT) AS covered_days
        |FROM ep GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------- Q-churn
+  // Period-over-period churn/new/retained classification: users active
+  // in the first half of the month vs the second, counted per
+  // transition class — churned (A only), new (B only), retained
+  // (both). One distinct per (user, half) + a full-outer set match per
+  // user (the q_diff fingerprint shape on membership), then a tiny
+  // class fold; at 100 TB both period scans prune on the date
+  // predicate and the per-user frame is two booleans.
+  private val ChurnSplitDay = 15L
+
+  def churnQ(s: SparkSession, dir: String): DataFrame = {
+    val m = load(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        (evDay < ChurnSplitDay).as("inA"))
+      .groupBy("user_id", "event_type")
+      .agg(max(when(col("inA"), 1L).otherwise(0L)).as("a"),
+        max(when(!col("inA"), 1L).otherwise(0L)).as("b"))
+    m.select(col("event_type"),
+        when(col("a") === 1 && col("b") === 1, "retained")
+          .when(col("a") === 1, "churned")
+          .otherwise("new").as("class"))
+      .groupBy("event_type", "class").agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type", "class")
+  }
+
+  private val churnSql =
+    s"""WITH m AS (SELECT user_id, event_type,
+       |             max(CASE WHEN date_diff('day', DATE '2024-01-01',
+       |                   CAST(ts AS DATE)) < $ChurnSplitDay
+       |                 THEN 1 ELSE 0 END) AS a,
+       |             max(CASE WHEN date_diff('day', DATE '2024-01-01',
+       |                   CAST(ts AS DATE)) >= $ChurnSplitDay
+       |                 THEN 1 ELSE 0 END) AS b
+       |           FROM events GROUP BY 1, 2)
+       |SELECT event_type,
+       |       CASE WHEN a = 1 AND b = 1 THEN 'retained'
+       |            WHEN a = 1 THEN 'churned' ELSE 'new' END AS class,
+       |       CAST(count(*) AS BIGINT) AS n_users
+       |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------- Q-audio
   // Overlapping audio analysis windows (Multimodal.audioWindows): the
   // STFT/VAD batching grid — 4 s windows every 2.5 s, last window
@@ -5902,6 +5942,7 @@ object Queries {
     "q_overlap" -> (overlapQ _),
     "q_features" -> (featuresQ _),
     "q_audio" -> (audioQ _),
+    "q_churn" -> (churnQ _),
     "q_skewstats" -> (skewStatsQ _),
     "q_winsor" -> (winsorQ _),
     "q_profile" -> (profileQ _),
@@ -6059,6 +6100,7 @@ object Queries {
     "q_overlap" -> overlapSql,
     "q_features" -> featuresSql,
     "q_audio" -> audioSql,
+    "q_churn" -> churnSql,
     "q_skewstats" -> skewStatsSql,
     "q_winsor" -> winsorSql,
     "q_profile" -> profileSql,
