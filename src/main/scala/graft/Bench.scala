@@ -62,14 +62,39 @@ object Bench {
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
-    val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + (if (errors.contains(k)) "null" else v.toString)
+    def qjson(rs: Seq[(String, Double)], prec: Int) = rs.map { case (k, v) =>
+      s"\"" + k + "\":" + (if (errors.contains(k)) "null"
+                           else s"%.${prec}f".format(v))
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, m) => s"\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
     val errField = if (errors.isEmpty) "" else s""","err":$errJson"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errField}""")
+    // The driver captures only the LAST ~2000 chars of stdout — a 156-
+    // query JSON line (~4 KB) truncates mid-object and parses as null
+    // (BENCH_r08's `parsed: null`). Three emissions, most-complete
+    // first: (1) the full-precision full map early in stdout for the
+    // log, (2) the complete map to BENCH_FULL.json on disk, (3) a
+    // compact FINAL line — total over ALL queries + the 33-query
+    // BASELINE.md reconciliation subset at 3 decimals (~1 KB) — that
+    // fits whole inside the tail window even after sbt's banner.
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results, 4)},"sf":"$sfDir"$errField}"""
+    println(fullLine)
+    try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Exception => () }
+    val baselineSubset = Set(
+      "q_align", "q_anti", "q_curate", "q_dates", "q_dedup",
+      "q_dedup_assign", "q_descendants", "q_design_report", "q_embdup",
+      "q_fingerprint", "q_groupcount", "q_join_hash", "q_json", "q_knn",
+      "q_kv", "q_langid", "q_lineage", "q_lineage_roots", "q_lookup",
+      "q_maxid", "q_multimodal", "q_neardup_minhash", "q_neardup_ngram",
+      "q_quality", "q_report", "q_route", "q_sessions", "q_simhash",
+      "q_stream", "q_tokens", "q_upsert", "q_validate", "q_windows")
+    val compact = results.filter { case (k, _) => baselineSubset.contains(k) }
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n":${results.size},"nerr":${errors.size},"queries":${qjson(compact, 3)},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")

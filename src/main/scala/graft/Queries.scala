@@ -4755,7 +4755,7 @@ object Queries {
       |             max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN c END) AS p95
       |      FROM r GROUP BY 1)
       |SELECT c.event_type, q.p5, q.p95, CAST(count(*) AS BIGINT) AS n,
-      |       sum(greatest(q.p5, least(q.p95, c.c))) * 10000 // count(*) AS wmean4
+      |       CAST(sum(greatest(q.p5, least(q.p95, c.c))) * 10000 // count(*) AS BIGINT) AS wmean4
       |FROM c JOIN q ON c.event_type = q.event_type
       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 
@@ -5614,8 +5614,21 @@ object Queries {
     * comes from a startup sweep instead: creating a fresh root first
     * deletes sibling `graft_fixtures_*` dirs older than a day (stale by
     * then for any driver), leaving concurrent and just-finished runs
-    * untouched. Pinned dirs are the caller's to manage. */
-  private val FixtureRoot: String = sys.env.get("GRAFT_FIXTURE_DIR").getOrElse {
+    * untouched. Pinned dirs are the caller's to manage.
+    *
+    * LAZY, deliberately: earlier vals in this object (IncrIndexDir,
+    * StreamOuterDir, IvmBaseDir, CompactFragDir/CompactOutDir) derive
+    * paths from this value; as a strict val they'd read it before its
+    * initializer ran (forward reference ⇒ null ⇒ literal "null/..."
+    * CWD-relative dirs, the round-8 artifact leak). A lazy val forces
+    * initialization at first use regardless of declaration order.
+    * The env pin is also validated: an empty / literal-"null" /
+    * relative value (a harness exporting an unset interpolation) falls
+    * through to the temp-dir default instead of writing into the CWD. */
+  private lazy val FixtureRoot: String = sys.env.get("GRAFT_FIXTURE_DIR")
+    .map(_.trim)
+    .filter(v => v.nonEmpty && v != "null" && v.startsWith("/"))
+    .getOrElse {
     import java.nio.file.{Files, Path}
     import java.util.Comparator
     val tmp = java.nio.file.Paths.get(

@@ -313,9 +313,19 @@ object Dedup {
         greatest(col("b.id"), col("d.id")).as("id_b"))
       .distinct()
     val cands = vsBase.unionByName(candidatePairs(dband)).distinct()
-    jaccardVerify(cands, allSh)
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // pin the (small, delta-sized) result so the two caches can be
+    // released HERE — per-shard refresh is this operator's stated use
+    // case, and a long-lived session calling it repeatedly would
+    // otherwise accumulate persisted partitions until storage eviction
+    // kicks in under pressure (advice r8)
+    try graft.core.Checkpoints.pin(
+      jaccardVerify(cands, allSh)
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard")))
+    finally {
+      allSh.unpersist()
+      dband.unpersist()
+    }
   }
 
   /** 32-bit SimHash fingerprint per doc: token-frequency-weighted bit
