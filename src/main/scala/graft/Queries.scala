@@ -419,6 +419,19 @@ object Queries {
           k = MhK, bands = MhBands, n = 3, threshold = 0.8, maxDf = ShMaxDf))
       .orderBy("id")
 
+  // --------------------------------------------------------- Q-cc-star
+  // The DEPLOYABLE twin of q_dedup_assign's LPA components: alternating
+  // large-star/small-star CC (Kiveris et al. SoCC'14,
+  // Dedup.connectedComponentsStar) over the SAME verified pair graph,
+  // against the SAME recursive-closure oracle — identical answer,
+  // O(log n) rounds instead of O(diameter) hops, which is what survives
+  // high-diameter dup chains at 100× (the 40.8× rehearsal wall).
+  def ccStarQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponentsStar(
+        Dedup.nearDupMinhash(load(s, dir, "documents"), "doc_id", "text",
+          k = MhK, bands = MhBands, n = 3, threshold = 0.8, maxDf = ShMaxDf))
+      .orderBy("id")
+
   private val dedupAssignSql: String =
     s"""WITH RECURSIVE $minhashPairsBody,
        |edges2 AS (SELECT id_a AS u, id_b AS v FROM pairs
@@ -3768,6 +3781,409 @@ object Queries {
       |  '--=_graft_part--' AS msg
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  // ----------------------------------------------------------------- Q-cxx
+  // K8's deepest instance through the gate: the CentraXX full-document
+  // export (vcf2xml.py:240-401 createPatientExport +
+  // createGenevarsCxxCVs.py:96-160 CV catalogs) assembled end-to-end —
+  // synthetic per-sample variant calls in 3-letter snpEff form, the F5
+  // regex-split + 3→1 translation, the J4 broadcast panel match with the
+  // reference's exact VARIANTABSENT/overlap/VARIANTPRESENT semantics
+  // (matchVariantsToQBiCPanel, vcf2xml.py:179-197), then per-patient
+  // document rendering as ONE codegen'd string column. The oracle
+  // re-assembles the identical documents with SQL concatenation,
+  // deriving the 1-letter variants independently from the seed indices
+  // (a VALUES mapping) — so the regex, the AA table, the panel-match
+  // set logic, and every element of the document byte stream cross the
+  // hash. 25 patient docs + 4 catalog docs; the panel is a broadcast
+  // literal (the 100 TB shape: panel ≪ calls, calls side never
+  // shuffles more than its per-gene partial aggregation).
+  private val CxxMuts = Seq( // (3-letter seed, independent 1-letter oracle form in SQL)
+    ("Val", "600", "Glu"), ("Gly", "12", "Asp"), ("Leu", "858", "Arg"),
+    ("Arg", "175", "His"), ("Ala", "100", "Thr"), ("Thr", "790", "Met"),
+    ("Gly", "13", "Cys"), ("Pro", "250", "Ser"))
+  private val CxxGenes = Seq("BRAF", "KRAS", "EGFR", "TP53", "ALK", "MET")
+  private val CxxPanel = Seq(
+    "BRAF" -> "V600E", "BRAF" -> "V600K", "KRAS" -> "G12D",
+    "KRAS" -> "G13C", "EGFR" -> "L858R", "EGFR" -> "T790M",
+    "TP53" -> "R175H")
+
+  def cxxQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val geneArr = array(CxxGenes.map(lit): _*)
+    val mutArr = array(CxxMuts.map { case (a, p, b) => lit(s"p.$a$p$b") }: _*)
+    val calls = load(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("pk"),
+        explode(sequence(lit(0), lit(3))).as("i"))
+      .select(col("pk"),
+        element_at(geneArr, (pmod(col("pk") + col("i"), lit(6)) + 1).cast("int")).as("gene"),
+        when(pmod(col("pk") + col("i"), lit(5)) === 0, lit(null).cast("string"))
+          .otherwise(element_at(mutArr,
+            (pmod(col("pk") * 3 + col("i") * 5, lit(8)) + 1).cast("int"))).as("mut3"))
+    // F5: strip `p.`, regex-split ref/pos/alt, translate BOTH sides 3→1
+    val parts = graft.functions.AminoAcid.mutationParts(
+      regexp_replace(col("mut3"), "^p\\.", ""))
+    val v1 = calls.select(col("pk"), col("gene"),
+      when(col("mut3").isNull, lit("VARIANTABSENT"))
+        .otherwise(concat(
+          graft.functions.AminoAcid.toOneLetter(parts.getField("ref")),
+          parts.getField("pos"),
+          graft.functions.AminoAcid.toOneLetter(parts.getField("alt")))).as("v"))
+    val panel = CxxPanel.toDF("gene", "pvar")
+      .groupBy("gene").agg(array_sort(collect_list("pvar")).as("panel_vars"))
+    val perGene = v1.groupBy("pk", "gene").agg(collect_set("v").as("observed"))
+      .join(broadcast(panel), Seq("gene"), "left")
+      .select(col("pk"), col("gene"),
+        graft.sources.CentraXX.matchToPanel(
+          col("observed"), col("panel_vars")).as("refs"))
+      .filter(col("refs").isNotNull)
+    val perPatient = perGene.groupBy("pk")
+      .agg(array_sort(collect_list(struct(col("gene"), col("refs")))).as("genes"))
+    val qsid = concat(lit("QTEST"), lpad(col("pk").cast("string"), 3, "0"), lit("AE"))
+    val docs = perPatient.select(
+      lit("patient").as("kind"),
+      lpad(col("pk").cast("string"), 2, "0").as("key"),
+      graft.sources.CentraXX.patientExport(
+        qPatientId = concat(lit("QTEST-PAT-"), col("pk").cast("string")),
+        mpi = concat(lit("MPI"), col("pk").cast("string")),
+        qSampleId = qsid,
+        pgmSampleId = concat(lit("PGM-"), col("pk").cast("string")),
+        samplingDate = concat(lit("2024-01-"),
+          lpad((pmod(col("pk"), lit(28)) + 1).cast("string"), 2, "0"),
+          lit("T11:59:59")),
+        panelName = lit("finalCxxPanel4000"),
+        genes = col("genes")).as("xml"))
+    val cats = panel.select(
+      lit("catalog").as("kind"), col("gene").as("key"),
+      graft.sources.CentraXX.geneCatalog(col("gene"), col("panel_vars")).as("xml"))
+    docs.unionByName(cats).orderBy("kind", "key")
+  }
+
+  private val cxxSql = {
+    val udc = (v: String) => s"'<UserDefinedCatalogEntryRef>' || $v || '</UserDefinedCatalogEntryRef>'"
+    val dateBlock = (tag: String) =>
+      s"'<$tag><Date>' || dt || '</Date><Precision>EXACT</Precision></$tag>'"
+    val catEntry = (code: String, en: String, de: String) =>
+      s"'<CustomCatalogEntry><Code>' || $code || '</Code><NameMultilingualEntries>" +
+        s"<MultilingualEntry lang=\"de\">' || $de || '</MultilingualEntry>" +
+        s"<MultilingualEntry lang=\"en\">' || $en || '</MultilingualEntry>" +
+        s"</NameMultilingualEntries></CustomCatalogEntry>'"
+    s"""WITH m(idx, mut1) AS (VALUES (0,'V600E'),(1,'G12D'),(2,'L858R'),(3,'R175H'),
+       |                            (4,'A100T'),(5,'T790M'),(6,'G13C'),(7,'P250S')),
+       |g(gi, gene) AS (VALUES (0,'BRAF'),(1,'KRAS'),(2,'EGFR'),(3,'TP53'),(4,'ALK'),(5,'MET')),
+       |panel(gene, pvar) AS (VALUES ('BRAF','V600E'),('BRAF','V600K'),('KRAS','G12D'),
+       |                             ('KRAS','G13C'),('EGFR','L858R'),('EGFR','T790M'),
+       |                             ('TP53','R175H')),
+       |seq(i) AS (VALUES (0),(1),(2),(3)),
+       |calls AS (
+       |  SELECT CAST(n.n_nationkey AS BIGINT) AS pk, g.gene,
+       |         CASE WHEN (n.n_nationkey + s.i) % 5 = 0 THEN 'VARIANTABSENT'
+       |              ELSE m.mut1 END AS v
+       |  FROM nation n CROSS JOIN seq s
+       |  JOIN g ON g.gi = (n.n_nationkey + s.i) % 6
+       |  JOIN m ON m.idx = (n.n_nationkey * 3 + s.i * 5) % 8),
+       |pgene AS (SELECT DISTINCT gene FROM panel),
+       |pg AS (
+       |  SELECT c.pk, c.gene,
+       |         max(CASE WHEN c.v = 'VARIANTABSENT' THEN 1 ELSE 0 END) AS absent,
+       |         max(CASE WHEN p.gene IS NOT NULL THEN 1 ELSE 0 END) AS on_panel
+       |  FROM calls c LEFT JOIN pgene p ON p.gene = c.gene
+       |  GROUP BY 1, 2),
+       |matched AS (
+       |  SELECT c.pk, c.gene,
+       |         string_agg(${udc("v")}, '' ORDER BY v) AS mstr
+       |  FROM (SELECT DISTINCT c0.pk, c0.gene, c0.v
+       |        FROM calls c0 JOIN panel p ON p.gene = c0.gene AND p.pvar = c0.v) c
+       |  GROUP BY 1, 2),
+       |refs AS (
+       |  SELECT pg.pk, pg.gene,
+       |    CASE WHEN pg.absent = 1 THEN ${udc("'VARIANTABSENT'")}
+       |         WHEN pg.on_panel = 1 THEN
+       |           coalesce(mt.mstr, '') || ${udc("'VARIANTPRESENT'")}
+       |         ELSE NULL END AS refstr
+       |  FROM pg LEFT JOIN matched mt ON mt.pk = pg.pk AND mt.gene = pg.gene),
+       |blocks AS (
+       |  SELECT pk,
+       |    string_agg('<FlexibleEnumerationValue><FlexibleValueTypeRef>QBIC-GENEPARAM-'
+       |      || gene || '</FlexibleValueTypeRef>' || refstr
+       |      || '</FlexibleEnumerationValue>', '' ORDER BY gene) AS gb
+       |  FROM refs WHERE refstr IS NOT NULL GROUP BY pk),
+       |ids AS (
+       |  SELECT pk, gb,
+       |         'QTEST' || lpad(CAST(pk AS VARCHAR), 3, '0') || 'AE' AS qsid,
+       |         '2024-01-' || lpad(CAST(pk % 28 + 1 AS VARCHAR), 2, '0')
+       |           || 'T11:59:59' AS dt
+       |  FROM blocks),
+       |ids2 AS (
+       |  SELECT *, qsid || '-' || substr(sha256(qsid), 1, 8) AS link FROM ids),
+       |pdoc AS (
+       |  SELECT 'patient' AS kind, lpad(CAST(pk AS VARCHAR), 2, '0') AS key,
+       |    '<CentraXXDataExchange><Source>XMLIMPORT</Source><EffectData>'
+       |    || '<PatientDataSet><Source>XMLIMPORT</Source><IDContainer>'
+       |    || '<FlexibleID name="MPI">MPI' || CAST(pk AS VARCHAR) || '</FlexibleID>'
+       |    || '<FlexibleID name="QBIC_PAT_ID">QTEST-PAT-' || CAST(pk AS VARCHAR) || '</FlexibleID>'
+       |    || '</IDContainer><Masterdata/>'
+       |    || '<OrganisationUnitRefs>QBIC</OrganisationUnitRefs>'
+       |    || '<SampleData><MasterSample><Source>XMLIMPORT</Source>'
+       |    || '<SampleIDContainer>'
+       |    || '<FlexibleID name="SAMPLEID">PGM-' || CAST(pk AS VARCHAR) || '</FlexibleID>'
+       |    || '<FlexibleID name="QBIC_SAMPLE_ID">' || qsid || '</FlexibleID>'
+       |    || '</SampleIDContainer>'
+       |    || '<SampleTypeCatalogueTypeRef>UNKN</SampleTypeCatalogueTypeRef>'
+       |    || '<OrganisationUnitTypeRef>QBIC</OrganisationUnitTypeRef>'
+       |    || '<SampleReceptacleTypeRef>KRYO</SampleReceptacleTypeRef>'
+       |    || '<HasChildren>false</HasChildren>'
+       |    || '<AmountRest unit="PC">1.0</AmountRest>'
+       |    || '<InitialAmount unit="PC">1.0</InitialAmount>'
+       |    || '<SampleKind>TISSUE</SampleKind>'
+       |    || '<SampleLocationRef>QBIC_STORAGE</SampleLocationRef>'
+       |    || '<UseSPREC>false</UseSPREC><VirtualPatient>false</VirtualPatient>'
+       |    || '<XPosition>0</XPosition><YPosition>0</YPosition>'
+       |    || ${dateBlock("SamplingDate")}
+       |    || ${dateBlock("RepositionDate")}
+       |    || ${dateBlock("FirstRepositionDate")}
+       |    || '<SopDeviation>false</SopDeviation>'
+       |    || '<FlexibleDataSetRef>' || link || '</FlexibleDataSetRef>'
+       |    || '</MasterSample></SampleData></PatientDataSet>'
+       |    || '<FlexibleDataSetInstance>'
+       |    || '<FlexibleDataSetTypeRef>QBIC-GENEPANEL-V1</FlexibleDataSetTypeRef>'
+       |    || '<InstanceName>finalCxxPanel4000</InstanceName>'
+       |    || ${dateBlock("Date")}
+       |    || '<Code>QBIC-GENEPANEL-V1-INSTANCE-' || qsid || '</Code>'
+       |    || '<FlexibleDataSetInstanceRef>' || link || '</FlexibleDataSetInstanceRef>'
+       |    || gb
+       |    || '</FlexibleDataSetInstance></EffectData></CentraXXDataExchange>' AS xml
+       |  FROM ids2),
+       |cdoc AS (
+       |  SELECT 'catalog' AS kind, gene AS key,
+       |    '<CentraXXDataExchange><Source>QBiC</Source><CatalogueData><CustomCatalog>'
+       |    || '<Code>QBIC-GENECV-' || gene || '</Code>'
+       |    || '<NameMultilingualEntries>'
+       |    || '<MultilingualEntry lang="en">' || gene || '</MultilingualEntry>'
+       |    || '<MultilingualEntry lang="de">' || gene || '</MultilingualEntry>'
+       |    || '</NameMultilingualEntries>'
+       |    || '<CatalogUsage>GENERAL</CatalogUsage><Version>1</Version>'
+       |    || '<EntityStatus>ACTIVE</EntityStatus>'
+       |    || ${catEntry("'VARIANTPRESENT'", "'Variant(s) present'", "'Variante(n) gefunden'")}
+       |    || ${catEntry("'VARIANTABSENT'", "'No variants present'", "'Keine Varianten gefunden'")}
+       |    || string_agg(${catEntry("pvar", "pvar", "pvar")}, '' ORDER BY pvar)
+       |    || '</CustomCatalog></CatalogueData></CentraXXDataExchange>' AS xml
+       |  FROM panel GROUP BY gene)
+       |SELECT kind, key, xml FROM pdoc
+       |UNION ALL SELECT kind, key, xml FROM cdoc
+       |ORDER BY kind, key""".stripMargin
+  }
+
+  // ----------------------------------------------------------------- Q-nmr
+  // The parameterized prefix-registry pipeline's divergent instance
+  // (PrefixRegistryPipeline.runNmr, register-nmr.py:48-130) end-to-end:
+  // barcode validate, parent lookup, branch-dependent experiment
+  // reuse/create (Q_NMR_MEASUREMENT reuse vs count+1 create for test
+  // parents; Q_SAMPLE_PREPARATION reuse-or-error for the rest), and the
+  // letter-skip small-molecule sequence — project D's used-index base
+  // sits exactly ON the 999 boundary and project B's batch crosses it,
+  // so the A→B letter rollover (and the Y/Z skip domain) is what the
+  // hash checks. The oracle recomputes every branch independently:
+  // checksum arithmetic from ordinals, sequence barcodes from index
+  // arithmetic, first-free/count+1 experiment numbers from the seed
+  // tables. Corrupt-checksum incoming rows ('Z' is outside map34's
+  // range) cross as error rows, not aborts.
+  private def nmrProject(key: Column): Column =
+    concat(lit("QNMR"), char(pmod(key, lit(4)) + 65))
+
+  def nmrQ(s: SparkSession, dir: String): DataFrame = {
+    val sup = load(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+    val proj = nmrProject(col("k"))
+    val parent = graft.functions.Barcode.make(proj, pmod(col("k"), lit(999)) + 1, lit("E"))
+    val samples = sup.select(parent.as("code"),
+      when(pmod(col("k"), lit(3)) === 0, lit("Q_TEST_SAMPLE"))
+        .otherwise(lit("Q_TISSUE")).as("sampleType"))
+    val good = sup.select(concat(lit("/incoming/"), parent, lit(".raw")).as("path"))
+    val bad = sup.filter(pmod(col("k"), lit(17)) === 0)
+      .select(concat(lit("/incoming/bad_"), substring(parent, 1, 9), lit("Z.raw")).as("path"))
+    val incoming = good.unionByName(bad)
+    val reg = load(s, dir, "region").select(col("r_regionkey").cast("long").as("r"))
+    val experiments = reg.select(nmrProject(col("r")).as("project"),
+      (col("r") + 1).as("num"),
+      when(col("r") === 0, lit("Q_NMR_MEASUREMENT"))
+        .when(col("r") === 1 || col("r") === 2, lit("Q_SAMPLE_PREPARATION"))
+        .otherwise(lit("Q_OTHER")).as("expType"))
+    val usedSeq = reg.select(nmrProject(col("r")).as("project"),
+      (lit(990L) + col("r") * 3).as("idx"))
+    val noDatasets = sup.select(lit("").as("code"), lit("").as("dsType"),
+      lit("").as("sample"), lit("").as("path")).filter(lit(false))
+    val res = graft.pipelines.PrefixRegistryPipeline.runNmr(
+      incoming, samples, experiments, noDatasets, usedSeq)
+    res.samples.select(lit("sample").as("kind"), col("code"),
+        col("parent"),
+        concat(col("sampleType"), lit("/E"), col("exp_num").cast("string")).as("info"))
+      .unionByName(res.datasets.select(lit("dataset").as("kind"), col("code"),
+        col("sample").as("parent"), col("dsType").as("info")))
+      .unionByName(res.experiments.select(lit("experiment").as("kind"),
+        concat(col("project"), lit("E"), col("num").cast("string")).as("code"),
+        col("project").as("parent"), col("expType").as("info")))
+      .unionByName(res.errors.select(lit("error").as("kind"),
+        col("barcode").as("code"), col("path").as("parent"),
+        array_join(col("__errors"), ",").as("info")))
+      .orderBy("kind", "code", "parent")
+  }
+
+  private val nmrSql = {
+    // DuckDB re-derivation of the 9-char-prefix checksum char (inlined
+    // twice — a correlated subquery can't see outer columns two FROM
+    // levels deep in DuckDB)
+    val ck = (p9: String) => {
+      val s = s"CAST(list_aggregate(list_transform(generate_series(1, 9), " +
+        s"i -> ord(substr($p9, i, 1)) * i), 'sum') % 34 + 48 AS INTEGER)"
+      s"(CASE WHEN $s > 57 THEN chr($s + 7) ELSE chr($s) END)"
+    }
+    s"""WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+       |par AS (
+       |  SELECT k, 'QNMR' || chr(CAST(k % 4 AS INTEGER) + 65) AS proj,
+       |         'QNMR' || chr(CAST(k % 4 AS INTEGER) + 65)
+       |           || lpad(CAST(k % 999 + 1 AS VARCHAR), 3, '0') || 'E' AS p9
+       |  FROM sup),
+       |par2 AS (SELECT k, proj, p9, p9 || ${ck("p9")} AS code FROM par),
+       |reg AS (SELECT CAST(r_regionkey AS BIGINT) AS r FROM region),
+       |exps AS (
+       |  SELECT 'QNMR' || chr(CAST(r % 4 AS INTEGER) + 65) AS project, r + 1 AS num,
+       |         CASE WHEN r = 0 THEN 'Q_NMR_MEASUREMENT'
+       |              WHEN r IN (1, 2) THEN 'Q_SAMPLE_PREPARATION'
+       |              ELSE 'Q_OTHER' END AS expType
+       |  FROM reg),
+       |expagg AS (
+       |  SELECT project,
+       |         max(CASE WHEN expType = 'Q_NMR_MEASUREMENT' THEN num END) AS nmr_exp,
+       |         max(CASE WHEN expType = 'Q_SAMPLE_PREPARATION' THEN num END) AS prep_exp,
+       |         count(*) AS n_exp
+       |  FROM exps GROUP BY 1),
+       |seqbase AS (
+       |  SELECT 'QNMR' || chr(CAST(r % 4 AS INTEGER) + 65) AS project,
+       |         max(990 + r * 3) AS base
+       |  FROM reg GROUP BY 1),
+       |good AS (
+       |  SELECT p.k, p.proj, p.code, '/incoming/' || p.code || '.raw' AS path,
+       |         (p.k % 3 = 0) AS is_test
+       |  FROM par2 p),
+       |withexp AS (
+       |  SELECT g.*, e.nmr_exp, e.prep_exp, e.n_exp,
+       |         CASE WHEN g.is_test THEN coalesce(e.nmr_exp, coalesce(e.n_exp, 0) + 1)
+       |              ELSE e.prep_exp END AS exp_num,
+       |         g.is_test AND e.nmr_exp IS NULL AS exp_created
+       |  FROM good g LEFT JOIN expagg e ON e.project = g.proj),
+       |consuming AS (
+       |  SELECT w.*, s.base,
+       |         s.base + row_number() OVER (PARTITION BY w.proj ORDER BY w.path) AS idx
+       |  FROM withexp w JOIN seqbase s ON s.project = w.proj
+       |  WHERE NOT w.is_test AND w.exp_num IS NOT NULL),
+       |mol AS (
+       |  SELECT c.*, p9m || ${ck("p9m")} AS mol_code
+       |  FROM (SELECT c0.*,
+       |          c0.proj || lpad(CAST((c0.idx - 1) % 999 + 1 AS VARCHAR), 3, '0')
+       |            || substr('ABCDEFGHIJKLMNOPQRSTUVWX',
+       |                 CAST((c0.idx - 1) // 999 AS INTEGER) + 1, 1) AS p9m
+       |        FROM consuming c0) c),
+       |registered AS (
+       |  SELECT w.k, w.proj, w.code AS parent_code, w.path, w.is_test,
+       |         w.exp_num, w.exp_created, m.mol_code,
+       |         coalesce(m.mol_code, w.code) AS attach
+       |  FROM withexp w LEFT JOIN mol m ON m.k = w.k
+       |  WHERE w.exp_num IS NOT NULL),
+       |out_samples AS (
+       |  SELECT 'sample' AS kind, mol_code AS code, parent_code AS parent,
+       |         'Q_TEST_SAMPLE/E' || CAST(exp_num AS VARCHAR) AS info
+       |  FROM registered WHERE mol_code IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'sample', 'NMR' || attach, attach,
+       |         'Q_NMR_SAMPLE_RUN/E' || CAST(exp_num AS VARCHAR)
+       |  FROM registered),
+       |out_datasets AS (
+       |  SELECT 'dataset' AS kind, 'NMR' || attach AS code,
+       |         'NMR' || attach AS parent, 'Q_NMR_RAW_DATA' AS info
+       |  FROM registered),
+       |out_exps AS (
+       |  SELECT DISTINCT 'experiment' AS kind,
+       |         proj || 'E' || CAST(exp_num AS VARCHAR) AS code,
+       |         proj AS parent, 'Q_NMR_MEASUREMENT' AS info
+       |  FROM registered WHERE exp_created),
+       |out_errors AS (
+       |  SELECT 'error' AS kind, code, path AS parent,
+       |         'EXPERIMENT_NOT_FOUND' AS info
+       |  FROM withexp WHERE exp_num IS NULL
+       |  UNION ALL
+       |  SELECT 'error', substr(p.p9, 1, 9) || 'Z',
+       |         '/incoming/bad_' || p.p9 || 'Z.raw', 'CHECKSUM_MISMATCH'
+       |  FROM par2 p WHERE p.k % 17 = 0)
+       |SELECT kind, code, parent, info FROM out_samples
+       |UNION ALL SELECT * FROM out_datasets
+       |UNION ALL SELECT * FROM out_exps
+       |UNION ALL SELECT * FROM out_errors
+       |ORDER BY kind, code, parent""".stripMargin
+  }
+
+  // ------------------------------------------------------- Q-copydataset
+  // K9 through the gate: a source dataset tree (25 per-nation files in
+  // region dirs + a manifest under meta/) is rendered from testdata,
+  // copied by Sinks.copyDataset — the DISTRIBUTED shape of the
+  // reference's driver-side shutil.copytree (copy-dataset/script.py:
+  // 12-27): enumerate as metadata rows, copy each file executor-side in
+  // mapPartitions, idempotent per-file overwrite for task retries. The
+  // query then re-scans the COPY and emits (rel, length, sha256); the
+  // oracle reads the copied tree itself with read_blob — so byte
+  // fidelity, tree structure, and completeness of the copy are what
+  // cross the hash. The 26-row collect materializing the copy is a
+  // bounded fixture write (q_binary policy).
+  private val CopySrcDir = s"$FixtureRoot/copyds_src"
+  private val CopyDstDir = s"$FixtureRoot/copyds_dst"
+
+  def copyDatasetQ(s: SparkSession, dir: String): DataFrame = {
+    publishOnce(CopyDstDir, dir) {
+      import java.nio.file.{Files => JFiles, Paths}
+      Seq(CopySrcDir, CopyDstDir).foreach { d =>
+        val b = Paths.get(d)
+        if (JFiles.exists(b)) {
+          val it = JFiles.walk(b).sorted(java.util.Comparator.reverseOrder())
+          it.forEach(p => JFiles.delete(p))
+        }
+      }
+      val base = Paths.get(CopySrcDir)
+      val nations = load(s, dir, "nation")
+        .select("n_name", "n_nationkey", "n_regionkey")
+        .collect() // 25 rows, fixture rendering only
+      nations.foreach { r =>
+        val (name, key, region) = (r.getString(0), r.getInt(1), r.getInt(2))
+        val d = base.resolve(s"region$region")
+        JFiles.createDirectories(d)
+        JFiles.write(d.resolve(s"$name.txt"), s"$key|$name".getBytes("UTF-8"))
+        ()
+      }
+      JFiles.createDirectories(base.resolve("meta"))
+      JFiles.write(base.resolve("meta/manifest.tsv"),
+        nations.map(r => s"${r.getString(0)}\t${r.getInt(1)}")
+          .sorted.mkString("\n").getBytes("UTF-8"))
+      val res = Sinks.copyDataset(s, CopySrcDir, CopyDstDir).collect()
+      require(res.length == 26 && res.forall(_.ok),
+        s"copyDataset: ${res.count(!_.ok)} of ${res.length} files failed")
+      ()
+    }
+    s.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(CopyDstDir)
+      .select(
+        regexp_replace(col("path"),
+          ".*" + java.util.regex.Pattern.quote(CopyDstDir) + "/", "").as("rel"),
+        col("length"), sha2(col("content"), 256).as("sha"))
+      .orderBy("rel")
+  }
+
+  private val copyDatasetSql =
+  // decode(), not CAST(content AS VARCHAR): the cast renders control
+  // bytes as \xNN escape text (the manifest's tabs/newlines), which
+  // would hash the escaped rendering instead of the file bytes
+    s"""SELECT replace(filename, '$CopyDstDir/', '') AS rel,
+       |       CAST(size AS BIGINT) AS length,
+       |       sha256(decode(content)) AS sha
+       |FROM read_blob('$CopyDstDir/*/*')
+       |ORDER BY rel""".stripMargin
+
   // ------------------------------------------------------------- Q-urlnorm
   // URL-keyed dedup prep: messy URLs (random scheme/host casing, default
   // :80 port, utm/gclid tracking params, fragments) are constructed
@@ -5843,6 +6259,7 @@ object Queries {
     "q_embdup_auto" -> (embeddingDupAuto _),
     "q_sessions" -> (sessions _),
     "q_dedup_assign" -> (dedupAssign _),
+    "q_cc_star" -> (ccStarQ _),
     "q_dsir" -> (dsirQ _),
     "q_gopher" -> (gopherQ _),
     "q_knn_pq" -> (knnPqQ _),
@@ -5924,6 +6341,9 @@ object Queries {
     "q_props" -> (propsQ _),
     "q_dicom" -> (dicomQ _),
     "q_mail" -> (mailQ _),
+    "q_cxx" -> (cxxQ _),
+    "q_nmr" -> (nmrQ _),
+    "q_copydataset" -> (copyDatasetQ _),
     "q_urlnorm" -> (urlNorm _),
     "q_html" -> (htmlQ _),
     "q_anchor" -> (anchorQ _),
@@ -6001,6 +6421,7 @@ object Queries {
     "q_embdup_auto" -> embeddingDupAutoSql,
     "q_sessions" -> sessionsSql,
     "q_dedup_assign" -> dedupAssignSql,
+    "q_cc_star" -> dedupAssignSql,
     "q_dsir" -> dsirSql,
     "q_gopher" -> gopherSql,
     "q_knn_pq" -> knnPqSql,
@@ -6082,6 +6503,9 @@ object Queries {
     "q_props" -> propsSql,
     "q_dicom" -> dicomSql,
     "q_mail" -> mailSql,
+    "q_cxx" -> cxxSql,
+    "q_nmr" -> nmrSql,
+    "q_copydataset" -> copyDatasetSql,
     "q_urlnorm" -> urlNormSql,
     "q_html" -> htmlSql,
     "q_anchor" -> anchorSql,

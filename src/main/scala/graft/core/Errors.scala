@@ -19,6 +19,7 @@ object Errors {
   val MetadataFormatting = "METADATA_FORMATTING"
   val ChecksumMismatch = "CHECKSUM_MISMATCH"
   val MissingPairedMate = "MISSING_PAIRED_MATE"
+  val ExperimentNotFound = "EXPERIMENT_NOT_FOUND"
 
   /** Ensure the error-channel column exists. */
   def withErrorChannel(df: DataFrame): DataFrame =

@@ -481,6 +481,92 @@ object Dedup {
     labels
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components
+    * in MapReduce and Beyond", SoCC'14) — the DIAMETER-DECOUPLED twin
+    * of [[connectedComponents]]. LPA moves labels ONE hop per round, so
+    * a path-shaped component of diameter d needs d rounds (the measured
+    * 40.8× wall at 100× rehearsal scale was exactly this). The star
+    * operations rewire edges instead of moving labels:
+    *
+    *   large-star: every node's strictly-LARGER neighbors reconnect to
+    *     the minimum of its closed neighborhood;
+    *   small-star: every node and its smaller neighbors reconnect to
+    *     its minimum smaller neighbor.
+    *
+    * Each pass halves long paths, so the round count is O(log² n)
+    * worst-case and ~log n in practice — independent of diameter. Same
+    * contract as [[connectedComponents]]: (id, component = min id in
+    * component) for every node incident to `pairs`; identical output,
+    * different round complexity, so the q_cc_star gate can share
+    * q_dedup_assign's recursive-closure oracle.
+    *
+    * Per round: two self-aggregating joins over the CURRENT edge set
+    * (which only shrinks toward the star forest — never the corpus),
+    * each pinned to truncate lineage. Convergence = edge set unchanged,
+    * detected by (count, two independent hash sums) riding the pin's
+    * action, then CONFIRMED with one exact except() job — the hash
+    * compare only decides when to pay for the exact check, so a hash
+    * collision can cost an extra round but never a wrong answer. */
+  def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    def dedup(e: DataFrame) = e.filter(col("u") =!= col("v")).distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val bi = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = bi.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      dedup(bi.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("hi"),
+          least(col("u"), col("v")).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+      val m = dir.groupBy("hi").agg(min(col("lo")).as("m"))
+      val j = dir.join(m, "hi")
+      dedup(j.select(col("lo").as("u"), col("m").as("v"))
+        .union(j.select(col("hi").as("u"), col("m").as("v"))))
+    }
+    // the node inventory BEFORE star rewiring drops isolated/self-pair
+    // nodes — the final labels must cover every input-incident node
+    val nodes = Checkpoints.pin(
+      pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id"))).distinct())
+    def signature(e: DataFrame): (Long, String, String) = {
+      // decimal sums: a long sum of 2^63-range hashes overflows under
+      // ANSI mode
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        sum(xxhash64(lit(31), col("v"), col("u")).cast("decimal(38,0)")))
+        .collect()(0)
+      (r.getLong(0),
+        if (r.isNullAt(1)) "0" else r.getDecimal(1).toString,
+        if (r.isNullAt(2)) "0" else r.getDecimal(2).toString)
+    }
+    var edges = Checkpoints.pin(dedup(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))))
+    var sig = signature(edges)
+    var converged = false
+    var iter = 0
+    val maxIters = 60 // ~log² rounds on any real graph; loud, never silent
+    while (!converged && iter < maxIters) {
+      val next = Checkpoints.pin(smallStar(largeStar(edges)))
+      val nsig = signature(next)
+      if (nsig == sig && next.exceptAll(edges).isEmpty) converged = true
+      edges = next
+      sig = nsig
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters alternating " +
+          "rounds — pathological input; raise the cap")
+    // fixed point = star forest: every non-root points at its component
+    // min; roots and isolated nodes label themselves
+    nodes.join(edges, nodes("id") === edges("u"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("component"))
+  }
+
   /** n-gram-Jaccard near-dup via a prefix-filtered inverted index (the
     * AllPairs/PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08).
     *

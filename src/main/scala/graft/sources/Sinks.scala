@@ -84,8 +84,16 @@ object Sinks {
         if (rel.startsWith("/") || rel.isEmpty)
           sys.error(s"copyDataset: $src is not under $baseUri")
         val to = new Path(s"$dest/$rel")
-        val ok = FileUtil.copy(from.getFileSystem(conf), from,
-          to.getFileSystem(conf), to, false, true, conf)
+        // Unwrap ChecksumFileSystem: the copied TREE must be
+        // byte-identical to the source — Hadoop's local FS otherwise
+        // plants .crc sidecars inside the dataset copy, which a
+        // completeness audit of the destination would flag as extras.
+        def raw(fs: org.apache.hadoop.fs.FileSystem) = fs match {
+          case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+          case f => f
+        }
+        val ok = FileUtil.copy(raw(from.getFileSystem(conf)), from,
+          raw(to.getFileSystem(conf)), to, false, true, conf)
         CopyResult(src, to.toString, bytes, ok)
       }
     }

@@ -1,0 +1,130 @@
+package graft.pipelines
+
+import graft.SparkSpec
+import graft.functions.Barcode
+import org.apache.spark.sql.functions._
+
+/** Parameterized prefix-registry dropbox families
+  * (register-qpcr-dropbox.py, register-nmr.py, register-fasta-dropbox.py):
+  * first-free experiment suffixes, letter-skip sequence arithmetic,
+  * numbered-prefix samples. The full NMR composition is gated by q_nmr. */
+class PrefixRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def code(prefix9: String): String =
+    Seq(1).toDF("x")
+      .select(concat(lit(prefix9), Barcode.checksumChar(lit(prefix9))).as("c"))
+      .collect()(0).getString(0)
+
+  test("seqBarcode: numbers 001-999 within a letter, then the next letter") {
+    val df = Seq(1L, 2L, 999L, 1000L, 1001L, 1998L, 1999L).toDF("idx")
+      .select(col("idx"),
+        PrefixRegistryPipeline.seqBarcode(lit("QABCD"), col("idx")).as("c"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == code("QABCD001A"))
+    assert(m(999L) == code("QABCD999A"))
+    assert(m(1000L) == code("QABCD001B"))
+    assert(m(1998L) == code("QABCD999B"))
+    assert(m(1999L) == code("QABCD001C"))
+  }
+
+  test("seqBarcode: Y and Z never appear; past X999 is NULL") {
+    // letter 24 = X is the last usable letter
+    val lastX = 23L * 999L + 999L
+    val df = Seq(23L * 999L + 1L, lastX, lastX + 1L).toDF("idx")
+      .select(col("idx"),
+        PrefixRegistryPipeline.seqBarcode(lit("QABCD"), col("idx")).as("c"))
+    val rows = df.collect()
+    assert(rows(0).getString(1) == code("QABCD001X"))
+    assert(rows(1).getString(1) == code("QABCD999X"))
+    assert(rows(2).isNullAt(1))
+    assert(!PrefixRegistryPipeline.SeqLetters.contains('Y') &&
+      !PrefixRegistryPipeline.SeqLetters.contains('Z'))
+  }
+
+  test("firstFreeSuffixes fills gaps in order, then extends past max") {
+    val existing = Seq(("P1", 1L), ("P1", 2L), ("P1", 4L), ("P1", 7L))
+      .toDF("project", "num")
+    val fresh = Seq(("P1", "a"), ("P1", "b"), ("P1", "c"), ("P1", "d"), ("P2", "e"))
+      .toDF("project", "path")
+    val out = PrefixRegistryPipeline
+      .firstFreeSuffixes(existing, fresh, "project", col("path"))
+      .select("path", "exp_num").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // free slots of P1: 3, 5, 6, 8 …; P2 has nothing existing → 1
+    assert(out == Map("a" -> 3L, "b" -> 5L, "c" -> 6L, "d" -> 8L, "e" -> 1L))
+  }
+
+  test("generic run: qPCR family registers PCR-prefixed runs + datasets") {
+    val bc = code("QTST1001E")
+    val incoming = Seq(s"/in/$bc.xlsx", "/in/garbage.xlsx").toDF("path")
+    val samples = Seq((bc, "Q_TEST_SAMPLE")).toDF("code", "sampleType")
+    val experiments = Seq(("QTST1", 1L, "Q_HT_QPCR")).toDF("project", "num", "expType")
+    val datasets = Seq.empty[(String, String, String, String)]
+      .toDF("code", "dsType", "sample", "path")
+    val res = PrefixRegistryPipeline.run(PrefixRegistryPipeline.Families("qpcr"),
+      incoming, samples, experiments, datasets)
+    val ds = res.datasets.collect()
+    assert(ds.length == 1)
+    assert(ds(0).getAs[String]("code") == s"PCR$bc")
+    assert(ds(0).getAs[String]("dsType") == "Q_HT_QPCR_DATA")
+    // suffix 1 is used → first free is 2
+    assert(res.samples.select("exp_num").collect()(0).getLong(0) == 2L)
+    val errs = res.errors.select("path").collect().map(_.getString(0))
+    assert(errs.toSeq == Seq("/in/garbage.xlsx"))
+  }
+
+  test("generic run: FASTA numbered prefix counts per parent") {
+    val bc = code("QTST2002E")
+    val incoming = Seq(s"/in/${bc}_run1.fasta", s"/in/${bc}_run2.fasta").toDF("path")
+    val samples = Seq((bc, "Q_TEST_SAMPLE")).toDF("code", "sampleType")
+    val experiments = Seq.empty[(String, Long, String)].toDF("project", "num", "expType")
+    val datasets = Seq.empty[(String, String, String, String)]
+      .toDF("code", "dsType", "sample", "path")
+    val res = PrefixRegistryPipeline.run(PrefixRegistryPipeline.Families("fasta"),
+      incoming, samples, experiments, datasets)
+    val codes = res.samples.select("code").collect().map(_.getString(0)).sorted
+    assert(codes.toSeq == Seq(s"FASTA1$bc", s"FASTA2$bc"))
+  }
+
+  test("runNmr: test parent reuses measurement experiment, no molecule") {
+    val bc = code("QNMRX001E")
+    val incoming = Seq(s"/in/$bc.zip").toDF("path")
+    val samples = Seq((bc, "Q_TEST_SAMPLE")).toDF("code", "sampleType")
+    val experiments = Seq(("QNMRX", 3L, "Q_NMR_MEASUREMENT"))
+      .toDF("project", "num", "expType")
+    val datasets = Seq.empty[(String, String, String, String)]
+      .toDF("code", "dsType", "sample", "path")
+    val usedSeq = Seq.empty[(String, Long)].toDF("project", "idx")
+    val res = PrefixRegistryPipeline.runNmr(incoming, samples, experiments,
+      datasets, usedSeq)
+    val srows = res.samples.collect()
+    assert(srows.length == 1) // run sample only, no intermediate
+    assert(srows(0).getAs[String]("code") == s"NMR$bc")
+    assert(srows(0).getAs[Long]("exp_num") == 3L)
+    assert(res.experiments.count() == 0) // reused, not created
+  }
+
+  test("runNmr: non-test parent gets a letter-skip molecule sample") {
+    val bc = code("QNMRX002E")
+    val incoming = Seq(s"/in/$bc.zip").toDF("path")
+    val samples = Seq((bc, "Q_TISSUE")).toDF("code", "sampleType")
+    val experiments = Seq(("QNMRX", 1L, "Q_SAMPLE_PREPARATION"))
+      .toDF("project", "num", "expType")
+    val datasets = Seq.empty[(String, String, String, String)]
+      .toDF("code", "dsType", "sample", "path")
+    val usedSeq = Seq(("QNMRX", 999L)).toDF("project", "idx")
+    val res = PrefixRegistryPipeline.runNmr(incoming, samples, experiments,
+      datasets, usedSeq)
+    val mol = code("QNMRX001B") // base 999 → next index is 001 of letter B
+    val byType = res.samples.collect()
+      .map(r => r.getAs[String]("sampleType") -> r.getAs[String]("code")).toMap
+    assert(byType("Q_TEST_SAMPLE") == mol)
+    assert(byType("Q_NMR_SAMPLE_RUN") == s"NMR$mol")
+    // error when no preparation experiment exists
+    val res2 = PrefixRegistryPipeline.runNmr(incoming, samples,
+      experiments.filter(lit(false)), datasets, usedSeq)
+    assert(res2.errors.count() == 1)
+    assert(res2.samples.count() == 0)
+  }
+}
