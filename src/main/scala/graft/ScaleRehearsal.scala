@@ -395,8 +395,70 @@ object ScaleRehearsal {
       ("dedup_incr", t1, tN, tN / t1)
     }
 
+    // Connected components on the DIAMETER axis, volume held CONSTANT:
+    // both sides are 64k-node path forests with identical edge counts —
+    // x1 is 1000 chains of length 64 (diameter 64), xN is 1000/factor
+    // chains of length 64·factor (diameter ×factor). LPA's rounds equal the diameter, so
+    // its growth reads ~factor on constant data; the alternating-star
+    // rounds grow ~log(factor), so its growth must stay ~1. This is the
+    // measurement that justifies connectedComponentsStar as
+    // q_dedup_assign's deployable twin (round-8 advice #7).
+    def pathPairs(nChains: Int, len: Int) = {
+      val total = nChains.toLong * len
+      spark.range(total)
+        .filter(pmod(col("id") + 1, lit(len.toLong)) =!= 0)
+        .filter(col("id") + 1 < total)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    }
+    def timeCc(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+               nChains: Int, len: Int): Double = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      f(pathPairs(nChains, len)).queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      dt
+    }.min
+    val ccChains = 1000
+    val ccLen = 64
+    val ccStarRow = if (!wanted("cc_star_diam")) Nil else Seq {
+      val t1 = timeCc(graft.operators.Dedup.connectedComponentsStar,
+        ccChains, ccLen)
+      val tN = timeCc(graft.operators.Dedup.connectedComponentsStar,
+        math.max(1, ccChains / factor), ccLen * factor)
+      ("cc_star_diam", t1, tN, tN / t1)
+    }
+    val ccLpaRow = if (!wanted("cc_lpa_diam")) Nil else Seq {
+      val t1 = timeCc(graft.operators.Dedup.connectedComponents,
+        ccChains, ccLen)
+      val tN = timeCc(graft.operators.Dedup.connectedComponents,
+        math.max(1, ccChains / factor), ccLen * factor)
+      ("cc_lpa_diam", t1, tN, tN / t1)
+    }
+
+    // SemDeDup with capped k + in-cell SRP banding — the composition
+    // past semDedupSampled's measured range: centroid count pinned at
+    // kCap regardless of n, per-cell pair stage banded instead of the
+    // exact triangle. Compare its xN cell against semdedup_sampled's at
+    // the same scale: the capped variant must win on absolute wall once
+    // n/k outgrows the triangle. Same targetCell-256 parity at 1x.
+    def timeSemCapped(dir: String): Double = (1 to reps).map { _ =>
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val t0 = System.nanoTime()
+      graft.operators.Clustering.semDedupCapped(
+        emb, "vec_id", "embedding", kCap = 64, iters = 3,
+        threshold = 0.4, dim = dim).queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      dt
+    }.min
+    val semCappedRow = if (!wanted("semdedup_capped")) Nil else Seq {
+      val t1 = timeSemCapped(sfDir)
+      val tN = timeSemCapped(workDir)
+      ("semdedup_capped", t1, tN, tN / t1)
+    }
+
     val body = (rows ++ autoRow ++ sim64Row ++ semRow ++ semSampledRow ++
-      bpeBatchedRow ++ incrRow)
+      bpeBatchedRow ++ incrRow ++ ccStarRow ++ ccLpaRow ++ semCappedRow)
       .map { case (q, t1, tN, g) =>
       f""""$q":{"x1":$t1%.2f,"x$factor":$tN%.2f,"growth":$g%.2f}"""
     }.mkString(",")

@@ -329,4 +329,81 @@ object Clustering {
 
   private def cellFor(vec: Column, cents: Seq[Seq[Double]]): Column =
     Similarity.ivfCell(vec, cents.zipWithIndex.map { case (c, i) => (i, c) })
+
+  /** SemDeDup past the point where even k ∝ n centroids stop fitting:
+    * k is CAPPED at `kCap` (bounded sample fit, bounded assign
+    * broadcast — the terms that grow with k), cells therefore grow as
+    * n/kCap, and the in-cell pair stage switches from the blocked exact
+    * triangle (per-cell (n/k)² — unaffordable on big cells) to
+    * SRP-banded LSH candidates keyed by (cell, band, bucket) with exact
+    * cosine verification — per-cell cost ~linear in cell size. This is
+    * the [[Similarity.ivfCell]]-style partition + in-cell
+    * [[Similarity.embeddingNearDupBanded]] composition BASELINE.md
+    * round 8 named as the step past semDedupSampled's measured range.
+    *
+    * Approximation surface, stated honestly: WHICH cell a vector lands
+    * in (shared with [[semDedupSampled]]) and SRP candidate recall
+    * (bands·(1−p^r) misses; mild at near-dup thresholds ≥ 0.8, thin at
+    * 0.4 — [[Similarity.embeddingNearDupAuto]]'s documented trade). The
+    * drop rule over verified candidates is [[semDedup]]'s exact
+    * smaller-id pairwise semantics. Planes-per-band adapts to the
+    * EXPECTED CELL SIZE n/k (not n), so band occupancy per cell — and
+    * with it candidate volume per row — stays constant as the corpus
+    * outgrows the capped centroid set. */
+  def semDedupCapped(emb: DataFrame, idCol: String, vecCol: String,
+                     kCap: Int, iters: Int, threshold: Double, dim: Int,
+                     bands: Int = 8, targetOccupancy: Int = 8,
+                     sampleCap: Int = 100000, rMax: Int = 24,
+                     targetCell: Int = 256): DataFrame = {
+    require(kCap > 0, s"kCap must be positive, got $kCap")
+    graft.GraftExtensions.register(emb.sparkSession)
+    val n = emb.count()
+    // below the cap, cells follow the sampled variant's targetCell
+    // sizing; the cap only bites once ceil(n/targetCell) exceeds it
+    val k = math.min(kCap.toLong,
+      math.max(1L, (n + targetCell - 1) / targetCell)).toInt
+    val sample = Similarity.hashStratum(emb, idCol, sampleCap)
+    val cents = kmeansFit(sample, idCol, vecCol,
+      k = math.min(k, sampleCap), iters = iters)
+    val assign = assignHierarchical(emb, idCol, vecCol, cents,
+      nCoarse = math.max(1, math.sqrt(cents.size.toDouble).round.toInt))
+    val cellSz = math.max(1L, n / cents.size)
+    val planes = Similarity.hyperplanePool(bands,
+      Similarity.autoR(cellSz, targetOccupancy, rMax), dim)
+    val vecs = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .join(assign, "id")
+    val widened = vecs.select(col("id"), col("cluster"),
+      col("v").cast("array<double>").as("vd"))
+    val bandStructs = planes.indices.map { b =>
+      val bucket = planes(b).zipWithIndex.map { case (p, i) =>
+        when(Similarity.dot(col("vd"), typedLit(p)) >= 0, 1L << i)
+          .otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    val sigs = widened.select(col("id"), col("cluster"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("cluster"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"), col("id"))
+    val cands = sigs.alias("x").join(sigs.alias("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("ida"), col("y.id").as("idb"))
+      .distinct()
+    val vn = vecs.withColumn("nm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val dropped = cands
+      .join(vn.select(col("id").as("ida"), col("v").as("va"),
+        col("nm").as("na")), Seq("ida"))
+      .join(vn.select(col("id").as("idb"), col("v").as("vb"),
+        col("nm").as("nb")), Seq("idb"))
+      .withColumn("sim",
+        round(try_divide(Similarity.dot(col("va"), col("vb")),
+          col("na") * col("nb")), 4))
+      .filter(col("sim") >= threshold)
+      .select(greatest(col("ida"), col("idb")).as("id"))
+      .distinct()
+    vecs.join(dropped, Seq("id"), "left_anti").select("id", "cluster")
+  }
 }

@@ -322,7 +322,9 @@ object Similarity {
       struct((dotPortable(vec, typedLit(c)) * -2.0 + cn).as("score"),
         lit(cid).as("cid"))
     }
-    least(scored: _*).getField("cid")
+    // least() requires ≥2 args; a single-cell index assigns trivially
+    if (scored.size == 1) lit(centroids.head._1)
+    else least(scored: _*).getField("cid")
   }
 
   /** IVF ANN: assign every vector to its nearest centroid cell; a query

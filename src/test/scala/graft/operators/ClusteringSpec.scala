@@ -168,6 +168,40 @@ class ClusteringSpec extends SparkSpec {
     assert(sampled === auto)
   }
 
+  test("semDedupCapped drops banded-candidate near-dups within a cell") {
+    // exact duplicates collide in EVERY SRP band (identical sign
+    // patterns), so recall on them is 1 and the capped variant must
+    // agree with exact semDedup on this corpus: ids 1, 3 duplicate
+    // ids 0, 2; distinct directions survive.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f)), (5L, Seq(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Clustering.semDedupCapped(emb, "vec_id", "embedding",
+      kCap = 1, iters = 1, threshold = 0.99, dim = 3)
+      .select("id").as[Long].collect().toSet
+    assert(r === Set(0L, 2L, 4L, 5L))
+  }
+
+  test("semDedupCapped keeps cross-cell duplicates (cell-conditional)") {
+    // two far-apart groups force 2 cells under kCap=2; a duplicate pair
+    // SPLIT across cells must both survive — SemDeDup semantics.
+    val emb = Seq(
+      (0L, Seq(10.0f, 10.0f)), (1L, Seq(10.0f, 10.0f)),
+      (2L, Seq(-10.0f, -10.0f)), (3L, Seq(-10.0f, -10.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Clustering.semDedupCapped(emb, "vec_id", "embedding",
+      kCap = 2, iters = 2, threshold = 0.99, dim = 2, targetCell = 2)
+      .select("id", "cluster").as[(Long, Int)].collect()
+    val byCell = r.groupBy(_._2)
+    // within each cell only the smaller id of the dup pair survives
+    assert(r.map(_._1).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    byCell.values.foreach { members =>
+      assert(members.length == 1) // each cell kept exactly one of its pair
+    }
+  }
+
   test("clusterProfile returns per-cluster sizes") {
     val a = Clustering.kmeansAssign(twoGroups, "vec_id", "embedding",
       k = 2, iters = 2)
