@@ -4120,6 +4120,183 @@ object Queries {
        |ORDER BY kind, code, parent""".stripMargin
   }
 
+  // ----------------------------------------------------------------- Q-pdf
+  // S10 + X4 fully IN-ENGINE: per-nation lab-report PDFs are rendered
+  // (Pdf.render — valid PDF 1.4, Flate-compressed content stream,
+  // correct xref), read back as binary files, text-extracted by the
+  // pure-JVM byte walk (Pdf.pdfText: stream location by /Length,
+  // Inflater, text-op interpreter — the pdftotext seam the sandbox
+  // could never run, now the Dicom posture: no vendor binary for the
+  // standard case), and the extracted lines feed the UNCHANGED
+  // CelPipeline RIN state machine (register-cel-dropbox.py:48-79).
+  // The oracle derives (id, barcode, rin) straight from the seed table
+  // — so compress → write → scan → inflate → operator walk → line
+  // scan all cross the hash. Two samples per report plus marker/noise
+  // lines exercise the carried-state pairing.
+  private val PdfFixtureDir = s"$FixtureRoot/pdfreports"
+
+  def pdfQ(s: SparkSession, dir: String): DataFrame = {
+    publishOnce(PdfFixtureDir, dir) {
+      import java.nio.file.{Files => JFiles, Paths}
+      val base = Paths.get(PdfFixtureDir)
+      if (JFiles.exists(base)) {
+        val it = JFiles.walk(base).sorted(java.util.Comparator.reverseOrder())
+        it.forEach(p => JFiles.delete(p))
+      }
+      JFiles.createDirectories(base)
+      val seed = load(s, dir, "nation").select("n_nationkey")
+        .collect() // 25 rows, fixture rendering only
+      seed.foreach { r =>
+        val k = r.getInt(0)
+        val code1 = f"QABCD${(k * 2) % 1000}%03dA0"
+        val code2 = f"QABCD${(k * 2 + 1) % 1000}%03dB1"
+        val bytes = graft.sources.Pdf.render(Seq(
+          "Auftragsnummer",
+          f"I$k%02dR${k * 7 % 1000}%03da${k % 100}%02d",
+          "Montag, 1. Januar 2024",
+          "RIN Nummer",
+          code1, s"${k % 10},${k % 7}",
+          code2, s"${(k + 3) % 10},${(k + 2) % 7}"))
+        JFiles.write(base.resolve(f"report$k%02d.pdf"), bytes)
+        ()
+      }
+    }
+    val txt = s.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
+      .load(PdfFixtureDir)
+      .select(regexp_extract(col("path"), "report(\\d+)\\.pdf", 1)
+        .cast("bigint").as("pid"),
+        graft.sources.Pdf.pdfText(col("content")).as("txt"))
+    graft.pipelines.CelPipeline.rinAssociations(txt, "pid", "txt")
+      .orderBy("id", "barcode")
+  }
+
+  private val pdfSql =
+    """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+      |r AS (
+      |  SELECT k AS id,
+      |         'QABCD' || lpad(CAST((k * 2) % 1000 AS VARCHAR), 3, '0')
+      |           || 'A0' AS barcode,
+      |         CAST(CAST(k % 10 AS VARCHAR) || '.'
+      |           || CAST(k % 7 AS VARCHAR) AS DOUBLE) AS rin
+      |  FROM n
+      |  UNION ALL
+      |  SELECT k,
+      |         'QABCD' || lpad(CAST((k * 2 + 1) % 1000 AS VARCHAR), 3, '0')
+      |           || 'B1',
+      |         CAST(CAST((k + 3) % 10 AS VARCHAR) || '.'
+      |           || CAST((k + 2) % 7 AS VARCHAR) AS DOUBLE)
+      |  FROM n)
+      |SELECT id, barcode, rin FROM r ORDER BY id, barcode""".stripMargin
+
+  // ------------------------------------------------------------ Q-registry
+  // The GENERIC prefix-registry shape (PrefixRegistryPipeline.run)
+  // through the gate, two family configs in one row: qPCR (plain
+  // PCR+parentCode samples, first-free gap-filling experiment
+  // suffixes — register-qpcr-dropbox.py:88-95) and FASTA (numbered
+  // FASTA<n>+parentCode prefix counting per parent —
+  // register-fasta-dropbox.py:121-130). Experiment seeds carry gaps
+  // (projects A {1,4}, B {2,5}, C {3}), so the oracle must reproduce
+  // j-th-smallest-free-suffix assignment, not max+1 — the rule that
+  // distinguishes this family from W2. q_nmr gates the divergent NMR
+  // instance; together they close SURVEY §1.2's prefix table.
+  def registryQ(s: SparkSession, dir: String): DataFrame = {
+    // j = k/20 is dense; (j%3, j/3+1) is INJECTIVE across parents up to
+    // 3*999 of them — k-modular numbering collided at sf0.1 (two parents
+    // sharing one barcode double-counted through the catalog lookup)
+    val p = load(s, dir, "part").select(col("p_partkey").cast("long").as("k"))
+      .filter(pmod(col("k"), lit(20)) === 0)
+      .withColumn("j", floor(col("k") / 20))
+    val proj = concat(lit("QPTR"), char(pmod(col("j"), lit(3)) + 65))
+    val parent = graft.functions.Barcode.make(proj,
+      floor(col("j") / 3) + 1, lit("E"))
+    val samples = p.select(parent.as("code"), lit("Q_TEST_SAMPLE").as("sampleType"))
+    val qpcrIn = p.select(concat(lit("/in/"), parent, lit("_qpcr.xlsx")).as("path"))
+    val fastaIn = p.filter(pmod(col("k"), lit(40)) === 0)
+      .select(explode(array(
+        concat(lit("/in/"), parent, lit("_a.fasta")),
+        concat(lit("/in/"), parent, lit("_b.fasta")))).as("path"))
+    val reg = load(s, dir, "region").select(col("r_regionkey").cast("long").as("r"))
+    val experiments = reg.select(
+      concat(lit("QPTR"), char(pmod(col("r"), lit(3)) + 65)).as("project"),
+      (col("r") + 1).as("num"), lit("X").as("expType"))
+    val noDs = p.select(lit("").as("code"), lit("").as("dsType"),
+      lit("").as("sample"), lit("").as("path")).filter(lit(false))
+    val fam = graft.pipelines.PrefixRegistryPipeline.Families
+    val qp = graft.pipelines.PrefixRegistryPipeline.run(
+      fam("qpcr"), qpcrIn, samples, experiments, noDs)
+    val fa = graft.pipelines.PrefixRegistryPipeline.run(
+      fam("fasta"), fastaIn, samples, experiments, noDs)
+    qp.samples.select(lit("qpcr").as("family"), col("code"),
+        col("parent"), col("exp_num"))
+      .unionByName(fa.samples.select(lit("fasta").as("family"), col("code"),
+        col("parent"), col("exp_num")))
+      .orderBy("family", "code")
+  }
+
+  private val registrySql = {
+    val ck = (p9: String) => {
+      val s = s"CAST(list_aggregate(list_transform(generate_series(1, 9), " +
+        s"i -> ord(substr($p9, i, 1)) * i), 'sum') % 34 + 48 AS INTEGER)"
+      s"(CASE WHEN $s > 57 THEN chr($s + 7) ELSE chr($s) END)"
+    }
+    s"""WITH par AS (
+       |  SELECT CAST(p_partkey AS BIGINT) AS k,
+       |         'QPTR' || chr(CAST((p_partkey // 20) % 3 AS INTEGER) + 65) AS proj,
+       |         'QPTR' || chr(CAST((p_partkey // 20) % 3 AS INTEGER) + 65)
+       |           || lpad(CAST((p_partkey // 20) // 3 + 1 AS VARCHAR), 3, '0')
+       |           || 'E' AS p9
+       |  FROM part WHERE p_partkey % 20 = 0),
+       |par2 AS (SELECT k, proj, p9 || ${ck("p9")} AS code FROM par),
+       |exps AS (
+       |  SELECT 'QPTR' || chr(CAST(r_regionkey % 3 AS INTEGER) + 65) AS project,
+       |         CAST(r_regionkey AS BIGINT) + 1 AS num
+       |  FROM region),
+       |maxn AS (SELECT project, max(num) AS mn FROM exps GROUP BY 1),
+       |qrows AS (
+       |  SELECT k, proj, code, '/in/' || code || '_qpcr.xlsx' AS path,
+       |         row_number() OVER (PARTITION BY proj
+       |                            ORDER BY '/in/' || code || '_qpcr.xlsx') AS rk
+       |  FROM par2),
+       |qcnt AS (SELECT proj, count(*) AS bc FROM qrows GROUP BY 1),
+       |qfree AS (
+       |  SELECT proj, num,
+       |         row_number() OVER (PARTITION BY proj ORDER BY num) AS frank
+       |  FROM (SELECT c.proj,
+       |               unnest(generate_series(1, coalesce(m.mn, 0) + c.bc)) AS num
+       |        FROM qcnt c LEFT JOIN maxn m ON m.project = c.proj) a
+       |  WHERE NOT EXISTS (SELECT 1 FROM exps e
+       |                    WHERE e.project = a.proj AND e.num = a.num)),
+       |qout AS (
+       |  SELECT 'qpcr' AS family, 'PCR' || q.code AS code, q.code AS parent,
+       |         f.num AS exp_num
+       |  FROM qrows q JOIN qfree f ON f.proj = q.proj AND f.frank = q.rk),
+       |frows AS (
+       |  SELECT k, proj, code, path,
+       |         row_number() OVER (PARTITION BY proj ORDER BY path) AS rk,
+       |         row_number() OVER (PARTITION BY code ORDER BY path) AS pn
+       |  FROM (SELECT k, proj, code,
+       |          unnest(['/in/' || code || '_a.fasta',
+       |                  '/in/' || code || '_b.fasta']) AS path
+       |        FROM par2 WHERE k % 40 = 0)),
+       |fcnt AS (SELECT proj, count(*) AS bc FROM frows GROUP BY 1),
+       |ffree AS (
+       |  SELECT proj, num,
+       |         row_number() OVER (PARTITION BY proj ORDER BY num) AS frank
+       |  FROM (SELECT c.proj,
+       |               unnest(generate_series(1, coalesce(m.mn, 0) + c.bc)) AS num
+       |        FROM fcnt c LEFT JOIN maxn m ON m.project = c.proj) a
+       |  WHERE NOT EXISTS (SELECT 1 FROM exps e
+       |                    WHERE e.project = a.proj AND e.num = a.num)),
+       |fout AS (
+       |  SELECT 'fasta' AS family,
+       |         'FASTA' || CAST(q.pn AS VARCHAR) || q.code AS code,
+       |         q.code AS parent, f.num AS exp_num
+       |  FROM frows q JOIN ffree f ON f.proj = q.proj AND f.frank = q.rk)
+       |SELECT family, code, parent, exp_num FROM qout
+       |UNION ALL SELECT family, code, parent, exp_num FROM fout
+       |ORDER BY family, code""".stripMargin
+  }
+
   // ------------------------------------------------------- Q-copydataset
   // K9 through the gate: a source dataset tree (25 per-nation files in
   // region dirs + a manifest under meta/) is rendered from testdata,
@@ -6344,6 +6521,8 @@ object Queries {
     "q_cxx" -> (cxxQ _),
     "q_nmr" -> (nmrQ _),
     "q_copydataset" -> (copyDatasetQ _),
+    "q_registry" -> (registryQ _),
+    "q_pdf" -> (pdfQ _),
     "q_urlnorm" -> (urlNorm _),
     "q_html" -> (htmlQ _),
     "q_anchor" -> (anchorQ _),
@@ -6506,6 +6685,8 @@ object Queries {
     "q_cxx" -> cxxSql,
     "q_nmr" -> nmrSql,
     "q_copydataset" -> copyDatasetSql,
+    "q_registry" -> registrySql,
+    "q_pdf" -> pdfSql,
     "q_urlnorm" -> urlNormSql,
     "q_html" -> htmlSql,
     "q_anchor" -> anchorSql,
