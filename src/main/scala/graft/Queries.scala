@@ -4120,6 +4120,40 @@ object Queries {
        |ORDER BY kind, code, parent""".stripMargin
   }
 
+  // --------------------------------------------------------------- Q-tpch5
+  // The spark.sql SURFACE of the library: users of a Spark-native
+  // engine write SQL too, so one declared query IS a SQL statement —
+  // the TPC-H Q5 shape (6-table local-supplier-volume join) executed
+  // via temp views + spark.sql, with the ORACLE being the IDENTICAL
+  // SQL text in DuckDB. What this gates beyond parsing: Catalyst's
+  // join reordering + AQE broadcast selection must produce the same
+  // rows as DuckDB's own optimizer over a 6-relation join, and the
+  // money arithmetic stays on the integral-cents convention so the two
+  // engines' double folds can't drift. The customer↔supplier nation
+  // equality is the classic Q5 twist (joins the two dimension arms).
+  private val Tpch5Sql =
+    """SELECT n_name,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       CAST(count(*) AS BIGINT) AS n_items
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue_cents DESC, n_name""".stripMargin
+
+  def tpch5Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("region", "nation", "customer", "supplier", "orders", "lineitem")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch5Sql)
+  }
+
   // ----------------------------------------------------------------- Q-pdf
   // S10 + X4 fully IN-ENGINE: per-nation lab-report PDFs are rendered
   // (Pdf.render — valid PDF 1.4, Flate-compressed content stream,
@@ -6523,6 +6557,7 @@ object Queries {
     "q_copydataset" -> (copyDatasetQ _),
     "q_registry" -> (registryQ _),
     "q_pdf" -> (pdfQ _),
+    "q_tpch5" -> (tpch5Q _),
     "q_urlnorm" -> (urlNorm _),
     "q_html" -> (htmlQ _),
     "q_anchor" -> (anchorQ _),
@@ -6687,6 +6722,7 @@ object Queries {
     "q_copydataset" -> copyDatasetSql,
     "q_registry" -> registrySql,
     "q_pdf" -> pdfSql,
+    "q_tpch5" -> Tpch5Sql,
     "q_urlnorm" -> urlNormSql,
     "q_html" -> htmlSql,
     "q_anchor" -> anchorSql,
