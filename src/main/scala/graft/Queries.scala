@@ -4120,6 +4120,61 @@ object Queries {
        |ORDER BY kind, code, parent""".stripMargin
   }
 
+  // ------------------------------------------------------------- Q-cxxpush
+  // K5's engine half through the gate: the CentraXX REST import-queue
+  // push (pushXML2cxxRest.py:44-75) — queue POST carrying an XML body
+  // with Basic auth + true byte Content-Length, then the /start
+  // trigger — rendered per nation as deterministic RFC-7230 strings.
+  // The body reuses q_xml's element expression, so the oracle
+  // re-assembles the identical request bytes (DuckDB to_base64 +
+  // octet_length(encode(..))) without re-deriving the full q_cxx
+  // document; transport stays the exec seam (K4's division).
+  def cxxPushQ(s: SparkSession, dir: String): DataFrame = {
+    val xml = Sinks.xmlElement("note",
+      Seq("id" -> concat(col("n_name"), lit("&CO")),
+        "region" -> col("n_regionkey").cast("string")),
+      concat(lit("size<"), col("n_nationkey").cast("string")))
+    val fname = concat(lit("patient_"), col("n_nationkey").cast("string"), lit(".xml"))
+    val n = load(s, dir, "nation")
+    n.select(col("n_nationkey"), lit("import").as("kind"),
+        graft.sources.CentraXX.renderImportRequest(
+          lit("cxx.example.org"), fname, lit("qbic"), lit("secret"),
+          xml).as("req"))
+      .unionByName(n.select(col("n_nationkey"), lit("start").as("kind"),
+        graft.sources.CentraXX.renderStartRequest(
+          lit("cxx.example.org"), fname, lit("qbic"), lit("secret")).as("req")))
+      .orderBy("n_nationkey", "kind")
+  }
+
+  private val cxxPushSql = {
+    def esc(e: String) =
+      s"replace(replace(replace($e, '&', '&amp;'), '<', '&lt;'), '\"', '&quot;')"
+    val xml =
+      s"""'<note id="' || ${esc("n_name || '&CO'")} ||
+         |  '" region="' || ${esc("CAST(n_regionkey AS VARCHAR)")} ||
+         |  '">' || ${esc("'size<' || CAST(n_nationkey AS VARCHAR)")} || '</note>'""".stripMargin
+    s"""WITH x AS (SELECT n_nationkey, $xml AS xml,
+       |  'patient_' || CAST(n_nationkey AS VARCHAR) || '.xml' AS fname
+       |  FROM nation),
+       |auth AS (SELECT *, to_base64(encode('qbic:secret')) AS b64 FROM x)
+       |SELECT n_nationkey, 'import' AS kind,
+       |  'POST /centraxx/rest/import/queue/' || fname || ' HTTP/1.1' || chr(13) || chr(10) ||
+       |  'Host: cxx.example.org' || chr(13) || chr(10) ||
+       |  'Authorization: Basic ' || b64 || chr(13) || chr(10) ||
+       |  'Content-Type: application/xml' || chr(13) || chr(10) ||
+       |  'Content-Length: ' || CAST(octet_length(encode(xml)) AS VARCHAR) ||
+       |  chr(13) || chr(10) || chr(13) || chr(10) || xml AS req
+       |FROM auth
+       |UNION ALL
+       |SELECT n_nationkey, 'start',
+       |  'POST /centraxx/rest/import/queue/' || fname || '/start HTTP/1.1' || chr(13) || chr(10) ||
+       |  'Host: cxx.example.org' || chr(13) || chr(10) ||
+       |  'Authorization: Basic ' || b64 || chr(13) || chr(10) ||
+       |  'Content-Length: 0' || chr(13) || chr(10) || chr(13) || chr(10) AS req
+       |FROM auth
+       |ORDER BY n_nationkey, kind""".stripMargin
+  }
+
   // --------------------------------------------------------------- Q-tpch5
   // The spark.sql SURFACE of the library: users of a Spark-native
   // engine write SQL too, so one declared query IS a SQL statement —
@@ -6558,6 +6613,7 @@ object Queries {
     "q_registry" -> (registryQ _),
     "q_pdf" -> (pdfQ _),
     "q_tpch5" -> (tpch5Q _),
+    "q_cxxpush" -> (cxxPushQ _),
     "q_urlnorm" -> (urlNorm _),
     "q_html" -> (htmlQ _),
     "q_anchor" -> (anchorQ _),
@@ -6723,6 +6779,7 @@ object Queries {
     "q_registry" -> registrySql,
     "q_pdf" -> pdfSql,
     "q_tpch5" -> Tpch5Sql,
+    "q_cxxpush" -> cxxPushSql,
     "q_urlnorm" -> urlNormSql,
     "q_html" -> htmlSql,
     "q_anchor" -> anchorSql,

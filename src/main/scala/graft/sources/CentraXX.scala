@@ -144,6 +144,39 @@ object CentraXX {
         entries)))))
   }
 
+  /** K5's ENGINE half: the CentraXX REST import-queue push
+    * (pushXML2cxxRest.py:44-54) rendered as a deterministic RFC-7230
+    * request string — POST of the XML body to
+    * `/centraxx/rest/import/queue/<filename>` with Basic auth and
+    * `Content-Type: application/xml`. Transport stays the exec /
+    * foreachPartition seam, the same engine/transport division as
+    * [[Sinks.renderInquiryMail]] (K4): what the reference computes —
+    * URL shape, auth material, headers, body — is engine-side and
+    * gate-checkable; the socket is not. Content-Length is true BYTES
+    * (octet_length), not chars. */
+  def renderImportRequest(host: Column, filename: Column, user: Column,
+                          password: Column, xml: Column): Column =
+    concat(
+      lit("POST /centraxx/rest/import/queue/"), filename, lit(" HTTP/1.1\r\n"),
+      lit("Host: "), host, lit("\r\n"),
+      lit("Authorization: Basic "),
+      base64(concat(user, lit(":"), password).cast("binary")), lit("\r\n"),
+      lit("Content-Type: application/xml\r\n"),
+      lit("Content-Length: "), octet_length(xml).cast("string"),
+      lit("\r\n\r\n"), xml)
+
+  /** The import trigger (pushXML2cxxRest.py:66-75): empty-body POST to
+    * `<queue item>/start`. */
+  def renderStartRequest(host: Column, filename: Column, user: Column,
+                         password: Column): Column =
+    concat(
+      lit("POST /centraxx/rest/import/queue/"), filename,
+      lit("/start HTTP/1.1\r\n"),
+      lit("Host: "), host, lit("\r\n"),
+      lit("Authorization: Basic "),
+      base64(concat(user, lit(":"), password).cast("binary")), lit("\r\n"),
+      lit("Content-Length: 0\r\n\r\n"))
+
   /** The reference's panel-match (vcf2xml.py:179-197
     * `matchVariantsToQBiCPanel`) as array expressions over a per-gene
     * row: an observed VARIANTABSENT marker wins outright; a panel gene

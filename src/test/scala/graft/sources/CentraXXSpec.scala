@@ -76,6 +76,26 @@ class CentraXXSpec extends SparkSpec {
         "<UserDefinedCatalogEntryRef>VARIANTPRESENT</UserDefinedCatalogEntryRef>"))
   }
 
+  test("renderImportRequest: URL, basic auth, byte-true content length") {
+    val req = one(CentraXX.renderImportRequest(lit("h.example"),
+      lit("p_1.xml"), lit("u"), lit("pw"), lit("<a>ü</a>")))
+    assert(req.startsWith("POST /centraxx/rest/import/queue/p_1.xml HTTP/1.1\r\n"))
+    assert(req.contains("Authorization: Basic " +
+      java.util.Base64.getEncoder.encodeToString("u:pw".getBytes("UTF-8")) + "\r\n"))
+    assert(req.contains("Content-Type: application/xml\r\n"))
+    // ü is 2 bytes in UTF-8: length must count bytes, not chars
+    val body = "<a>ü</a>"
+    assert(req.contains(s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n"))
+    assert(req.endsWith("\r\n\r\n" + body))
+  }
+
+  test("renderStartRequest: empty-body trigger on the queue item") {
+    val req = one(CentraXX.renderStartRequest(lit("h.example"),
+      lit("p_1.xml"), lit("u"), lit("pw")))
+    assert(req.startsWith("POST /centraxx/rest/import/queue/p_1.xml/start HTTP/1.1\r\n"))
+    assert(req.endsWith("Content-Length: 0\r\n\r\n"))
+  }
+
   test("geneCatalog: fixed presence entries first, de-then-en per entry") {
     val xml = one(CentraXX.geneCatalog(lit("KRAS"),
       array(lit("G12D"), lit("G13C"))))
