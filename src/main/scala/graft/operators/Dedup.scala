@@ -532,26 +532,37 @@ object Dedup {
     val nodes = Checkpoints.pin(
       pairs.select(col("id_a").as("id"))
         .union(pairs.select(col("id_b").as("id"))).distinct())
-    def signature(e: DataFrame): (Long, String, String) = {
-      // decimal sums: a long sum of 2^63-range hashes overflows under
-      // ANSI mode
-      val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-        sum(xxhash64(lit(31), col("v"), col("u")).cast("decimal(38,0)")))
-        .collect()(0)
-      (r.getLong(0),
-        if (r.isNullAt(1)) "0" else r.getDecimal(1).toString,
-        if (r.isNullAt(2)) "0" else r.getDecimal(2).toString)
+    // The round signature (count + two independent hash sums; decimal —
+    // a long sum of 2^63-range hashes overflows under ANSI) rides the
+    // pin's OWN materialization action via an Observation, the same
+    // no-second-job pattern as [[connectedComponents]]'s convergence
+    // probe: one pass over the edge set per round, not two.
+    def pinWithSignature(e: DataFrame): (DataFrame, (Long, String, String)) = {
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_ccstar_${ccObsId.incrementAndGet()}")
+      val cp = Checkpoints.pin(e.observe(obs,
+        count(lit(1)).as("n"),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h1"),
+        sum(xxhash64(lit(31), col("v"), col("u")).cast("decimal(38,0)")).as("h2")))
+      val m = obs.get
+      def dec(k: String): String = m.get(k) match {
+        case Some(d: java.math.BigDecimal) => d.toPlainString
+        case Some(d: BigDecimal) => d.bigDecimal.toPlainString
+        case _ => "0" // empty edge set: sum over zero rows is NULL
+      }
+      val n = m.get("n") match {
+        case Some(l: java.lang.Long) => l.longValue()
+        case _ => 0L
+      }
+      (cp, (n, dec("h1"), dec("h2")))
     }
-    var edges = Checkpoints.pin(dedup(
+    var (edges, sig) = pinWithSignature(dedup(
       pairs.select(col("id_a").as("u"), col("id_b").as("v"))))
-    var sig = signature(edges)
     var converged = false
     var iter = 0
     val maxIters = 60 // ~log² rounds on any real graph; loud, never silent
     while (!converged && iter < maxIters) {
-      val next = Checkpoints.pin(smallStar(largeStar(edges)))
-      val nsig = signature(next)
+      val (next, nsig) = pinWithSignature(smallStar(largeStar(edges)))
       if (nsig == sig && next.exceptAll(edges).isEmpty) converged = true
       edges = next
       sig = nsig
