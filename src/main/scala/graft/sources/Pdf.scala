@@ -107,8 +107,13 @@ object Pdf {
     val out = new StringBuilder
     val line = new StringBuilder
     val pending = new StringBuilder
+    // a line exists once ANY show op ran on it — `() Tj` is an empty
+    // line, not no line (caught by PdfProps round-trip)
+    var lineStarted = false
     def flushLine(): Unit =
-      if (line.nonEmpty) { out.append(line).append('\n'); line.setLength(0) }
+      if (lineStarted || line.nonEmpty) {
+        out.append(line).append('\n'); line.setLength(0); lineStarted = false
+      }
     var i = 0
     val n = s.length
     while (i < n) {
@@ -165,9 +170,10 @@ object Pdf {
             ch.isLetterOrDigit || ch == '\'' || ch == '"' || ch == '*' }) i += 1
           s.substring(start, i) match {
             case "Tj" | "TJ" =>
-              line.append(pending); pending.setLength(0)
+              line.append(pending); pending.setLength(0); lineStarted = true
             case "'" | "\"" => // move-to-next-line-and-show
               flushLine(); line.append(pending); pending.setLength(0)
+              lineStarted = true
             case "Td" | "TD" | "T*" => flushLine()
             case "ET" => flushLine()
             case _ => () // other operators: operands already consumed/ignored
