@@ -4120,6 +4120,81 @@ object Queries {
        |ORDER BY kind, code, parent""".stripMargin
   }
 
+  // ---------------------------------------------------------------- Q-phash
+  // Multimodal near-dup: perceptual average-hash over decoded luminance
+  // grids (Multimodal.averageHash) + the UNCHANGED 64-bit/16-bit-band
+  // candidate machinery from text dedup (Dedup.simhashPairs) — image
+  // near-dup composes from existing pieces, the decode stage being the
+  // documented deterministic stub (pixel cells derived from the
+  // engine-portable sha hash; a real codec slots into the
+  // decodePartition seam without touching the column math). Seed: every
+  // odd image is a perturbed twin of its even predecessor (~2 cells
+  // shifted +200), so twins sit at small hamming while random pairs
+  // center at 32. The oracle replays grid derivation, the
+  // cross-multiplied mean test, the signed bit-63 pack, banding, and
+  // the hamming verify — the whole fingerprint path crosses the hash.
+  private val PhashMaxHamming = 10
+
+  def phashQ(s: SparkSession, dir: String): DataFrame = {
+    val img = load(s, dir, "part").select(col("p_partkey").cast("long").as("id"))
+    val base = when(pmod(col("id"), lit(2)) === 1, col("id") - 1).otherwise(col("id"))
+    val grid = transform(sequence(lit(0), lit(63)), i => {
+      val p = pmod(graft.functions.TextFunctions.shaHash32(
+        concat(base.cast("string"), lit("#"), i.cast("string"))), lit(256))
+      when(pmod(col("id"), lit(2)) === 1 && pmod(i + col("id"), lit(29)) === 0,
+        pmod(p + 200, lit(256))).otherwise(p)
+    })
+    // STAGE grid/total as attributes: a lambda's free subexpressions
+    // re-evaluate per element, so an unstaged sha-built grid inside the
+    // bit pack costs O(cells²) sha calls per row (Multimodal
+    // .averageHashStaged doc — measured before staging)
+    val staged = img.withColumn("grid", grid)
+      .withColumn("gn", size(col("grid")).cast("long"))
+      .withColumn("gtotal",
+        aggregate(col("grid"), lit(0L), (acc, x) => acc + x))
+    // PIN the signature table before the candidate join (nearDupMinhash's
+    // persist discipline): without the barrier, the band join's
+    // isnotnull pushdown inlines the whole staged HOF pipeline back
+    // into a pre-Generate filter — re-expanding the per-element
+    // re-evaluation the staging removed (measured 280 s vs 1.5 s for
+    // the pair stage at sf0.1)
+    val sig = graft.core.Checkpoints.pin(
+      staged.select(col("id"),
+        graft.operators.Multimodal.averageHashStaged(
+          col("grid"), col("gn"), col("gtotal")).as("simhash")))
+    Dedup.simhashPairs(sig, maxHamming = PhashMaxHamming, bits = 64)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val phashSql = {
+    val cell = (b: String, i: String) =>
+      s"CAST(concat('0x', substr(sha256(CAST($b AS VARCHAR) || '#' || CAST($i AS VARCHAR)), 1, 8)) AS BIGINT) % 256"
+    val fp = (0 until 64)
+      .map(i => s"CASE WHEN grid[${i + 1}] * 64 > total THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT $b AS band, (simhash >> ${b * 16}) & 65535 AS band_hash, id, simhash FROM s")
+      .mkString(" UNION ALL ")
+    s"""WITH img AS (SELECT CAST(p_partkey AS BIGINT) AS id FROM part),
+       |bb AS (SELECT id, CASE WHEN id % 2 = 1 THEN id - 1 ELSE id END AS base FROM img),
+       |g AS (SELECT id,
+       |        list_transform(generate_series(0, 63), i ->
+       |          CASE WHEN id % 2 = 1 AND (i + id) % 29 = 0
+       |               THEN (${cell("base", "i")} + 200) % 256
+       |               ELSE ${cell("base", "i")} END) AS grid
+       |      FROM bb),
+       |t AS (SELECT id, grid, list_aggregate(grid, 'sum') AS total FROM g),
+       |s AS (SELECT id, CAST($fp AS BIGINT) AS simhash FROM t),
+       |bands AS ($bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+       |         bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.id < y.id)
+       |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM pairs
+       |WHERE hamming <= $PhashMaxHamming ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ------------------------------------------------------------- Q-cxxpush
   // K5's engine half through the gate: the CentraXX REST import-queue
   // push (pushXML2cxxRest.py:44-75) — queue POST carrying an XML body
@@ -6614,6 +6689,7 @@ object Queries {
     "q_pdf" -> (pdfQ _),
     "q_tpch5" -> (tpch5Q _),
     "q_cxxpush" -> (cxxPushQ _),
+    "q_phash" -> (phashQ _),
     "q_urlnorm" -> (urlNorm _),
     "q_html" -> (htmlQ _),
     "q_anchor" -> (anchorQ _),
@@ -6780,6 +6856,7 @@ object Queries {
     "q_pdf" -> pdfSql,
     "q_tpch5" -> Tpch5Sql,
     "q_cxxpush" -> cxxPushSql,
+    "q_phash" -> phashSql,
     "q_urlnorm" -> urlNormSql,
     "q_html" -> htmlSql,
     "q_anchor" -> anchorSql,

@@ -43,6 +43,44 @@ object Multimodal {
       (pmod(h, lit(1080L)) + lit(1L)).as("height"))
   }
 
+  /** Perceptual average-hash (aHash) over a decoded luminance grid: a
+    * 64-bit fingerprint with bit i set iff cell i is brighter than the
+    * grid mean — the standard cheap image near-dup signature (the
+    * pHash family's baseline member). Takes the grid as `array<long>`
+    * (64 cells, 0-255) from the decode stage: with a
+    * [[fakeDecode]]-style deterministic grid the whole operator is
+    * oracle-replayable, and a REAL decoder slots in at the
+    * [[decodePartition]] seam without touching this column math.
+    *
+    * Engine-portable by construction: the mean test is the integer
+    * cross-multiplication `cell·n > Σcells` (no division, no floats),
+    * and the bit pack sums per-bit weights in index order so every
+    * partial stays inside signed-64 (bits 0..62 total ≤ 2^63−1; bit
+    * 63's weight is Long.MinValue added last — the shaHash64/simhash64
+    * convention the DuckDB oracle replays). Candidate pairing reuses
+    * [[Dedup.simhashPairs]] 16-bit banding unchanged — image near-dup
+    * composes from the text-dedup machinery. */
+  def averageHash(grid: Column): Column =
+    averageHashStaged(grid, size(grid).cast("long"),
+      aggregate(grid, lit(0L), (acc, x) => acc + x))
+
+  /** [[averageHash]] with the grid size/total taken as PRE-STAGED
+    * columns. Stage them (withColumn) whenever `grid` is itself an
+    * expensive expression: a lambda body's free subexpressions are
+    * re-evaluated per ELEMENT by the higher-order-function runtime, so
+    * `total` embedding a hash-built grid costs O(cells²) hash calls
+    * per row — measured as a 10-minute q_phash dump at sf0.1 before
+    * staging vs seconds after. Catalyst's CollapseProject keeps staged
+    * attributes staged (multi-referenced aliases are not inlined). */
+  def averageHashStaged(grid: Column, n: Column, total: Column): Column =
+    aggregate(
+      zip_with(grid, sequence(lit(0), n.cast("int") - 1), (v, i) =>
+        // SQL shiftleft (column shift amount — the DSL overload takes
+        // only a literal Int)
+        when(v * n > total,
+          call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+
   /** Real decode seam: per-partition batched decode through an image /
     * audio codec (the `mapPartitions` analog of a Pandas-UDF batch).
     * STUB — no codec library ships in this environment. */
