@@ -4284,6 +4284,91 @@ object Queries {
     s.sql(Tpch5Sql)
   }
 
+  // --------------------------------------------------- Q-tpch4/17/22
+  // Three more rows on the spark.sql face, each gating a DIFFERENT
+  // piece of subquery planning machinery that the DataFrame-first
+  // surface never touches (q_tpch5 covered join reorder + AQE
+  // broadcast selection):
+  //   - q_tpch4: correlated EXISTS — Catalyst's RewritePredicateSubquery
+  //     must turn it into a LEFT SEMI join (SqlSurfaceSpec asserts the
+  //     physical plan) and agree row-for-row with DuckDB's own
+  //     semi-join plan.
+  //   - q_tpch17: correlated SCALAR subquery with an aggregate —
+  //     decorrelation rewrites it into a per-p_partkey aggregate
+  //     joined back to the outer (the "small-quantity parts" Q17
+  //     shape). The 0.2·avg threshold is stated division-free
+  //     (l_quantity·5 < sum) so integral doubles keep both engines
+  //     bit-identical.
+  //   - q_tpch22: NOT EXISTS (anti-join path) + two UNCORRELATED
+  //     scalar subqueries, the above-average-balance Q22 shape; the
+  //     avg threshold is cross-multiplied (cents·count > sum·1) so
+  //     nothing divides. The anti-join predicate is "no URGENT order"
+  //     rather than "no order" because the synthetic corpus gives
+  //     every customer orders at every SF — the absence class must
+  //     be non-degenerate for the row to gate anything (18/203/1986
+  //     qualifying customers at sf0.001/0.01/0.1 before the balance
+  //     filter).
+  // Oracle = the IDENTICAL SQL text in DuckDB for all three.
+  private val Tpch4Sql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  def tpch4Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch4Sql)
+  }
+
+  private val Tpch17Sql =
+    """SELECT p_brand,
+      |       CAST(count(*) AS BIGINT) AS n_small,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |            AS BIGINT) AS price_cents
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_size <= 10
+      |  AND l_quantity * 5 < (SELECT CAST(sum(l2.l_quantity) AS BIGINT)
+      |                        FROM lineitem l2
+      |                        WHERE l2.l_partkey = p_partkey)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  def tpch17Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch17Sql)
+  }
+
+  private val Tpch22Sql =
+    """SELECT c_mktsegment,
+      |       CAST(count(*) AS BIGINT) AS n_cust,
+      |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |         AS bal_cents
+      |FROM customer
+      |WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+      |        * (SELECT CAST(count(*) AS BIGINT) FROM customer c2
+      |           WHERE c2.c_acctbal > 0)
+      |      > (SELECT CAST(sum(CAST(round(c3.c_acctbal * 100) AS BIGINT))
+      |                     AS BIGINT)
+      |         FROM customer c3 WHERE c3.c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  def tpch22Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch22Sql)
+  }
+
   // ----------------------------------------------------------------- Q-pdf
   // S10 + X4 fully IN-ENGINE: per-nation lab-report PDFs are rendered
   // (Pdf.render — valid PDF 1.4, Flate-compressed content stream,
@@ -6688,6 +6773,9 @@ object Queries {
     "q_registry" -> (registryQ _),
     "q_pdf" -> (pdfQ _),
     "q_tpch5" -> (tpch5Q _),
+    "q_tpch4" -> (tpch4Q _),
+    "q_tpch17" -> (tpch17Q _),
+    "q_tpch22" -> (tpch22Q _),
     "q_cxxpush" -> (cxxPushQ _),
     "q_phash" -> (phashQ _),
     "q_urlnorm" -> (urlNorm _),
@@ -6855,6 +6943,9 @@ object Queries {
     "q_registry" -> registrySql,
     "q_pdf" -> pdfSql,
     "q_tpch5" -> Tpch5Sql,
+    "q_tpch4" -> Tpch4Sql,
+    "q_tpch17" -> Tpch17Sql,
+    "q_tpch22" -> Tpch22Sql,
     "q_cxxpush" -> cxxPushSql,
     "q_phash" -> phashSql,
     "q_urlnorm" -> urlNormSql,

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** The spark.sql subquery surface (q_tpch4/17/22): beyond the
+  * hash-gated row values, each query exists to exercise a specific
+  * piece of Catalyst subquery planning — so assert the rewrite
+  * actually happened. A regression that leaves a subquery unplanned
+  * (or planned as a nested loop) should fail here, not surface as a
+  * bench cliff.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physical(name: String): String =
+    Queries.all(name)(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("q_tpch4: EXISTS rewrites to a LEFT SEMI join (no residual subquery)") {
+    val p = physical("q_tpch4")
+    assert(p.contains("LeftSemi"), s"expected LeftSemi in:\n$p")
+    assert(!p.contains("InSubquery") && !p.contains("exists#"),
+      s"subquery survived planning:\n$p")
+  }
+
+  test("q_tpch17: correlated scalar subquery decorrelates to an aggregate join") {
+    val p = physical("q_tpch17")
+    // Decorrelation = per-partkey aggregate joined back; the physical
+    // plan must contain a join against an aggregated lineitem arm and
+    // no scalar-subquery execution node.
+    assert(!p.contains("Subquery "), s"scalar subquery survived planning:\n$p")
+    assert(p.contains("HashAggregate"), p)
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(p).size
+    assert(joins >= 2, s"expected outer join + decorrelated agg join:\n$p")
+  }
+
+  test("q_tpch22: NOT EXISTS plans as a LEFT ANTI join") {
+    val p = physical("q_tpch22")
+    assert(p.contains("LeftAnti"), s"expected LeftAnti in:\n$p")
+  }
+
+  test("the three subquery rows return plausible non-degenerate results") {
+    val q4 = Queries.all("q_tpch4")(spark, dir).collect()
+    assert(q4.nonEmpty && q4.forall(_.getLong(1) > 0))
+    val q17 = Queries.all("q_tpch17")(spark, dir).collect()
+    assert(q17.nonEmpty && q17.forall(_.getLong(1) > 0))
+    val q22 = Queries.all("q_tpch22")(spark, dir).collect()
+    assert(q22.nonEmpty && q22.forall(_.getLong(1) > 0))
+  }
+}
