@@ -4369,6 +4369,51 @@ object Queries {
     s.sql(Tpch22Sql)
   }
 
+  // ------------------------------------------------------------ Q-swindow
+  // Spark's BUILT-IN session_window batch aggregation — a different
+  // execution path from everything the surface already gates: the
+  // gaps-and-islands queries (q_sessions, q_tws_sessions) sessionize
+  // with window functions or typed state, while session_window plans a
+  // MergingSessionsExec-family aggregate that merges per-key dynamic
+  // windows inside the agg operator itself. Per-session rows (start,
+  // end = last event + gap, count) rather than q_sessions' per-user
+  // summary. ORACLE = independent gaps-and-islands construction; the
+  // break condition is diff > gap because session_window merges an
+  // event landing EXACTLY on last+gap (SessionWindowSpec pins the
+  // closed edge against tiny literal frames — the first draft assumed
+  // an open [start, last+gap) edge and the spec caught it; the gate
+  // data never ties at µs granularity, so only a unit test can hold
+  // this boundary). One shuffle by user_id; state is per-key
+  // in-flight sessions, never the event set.
+  private val SwGapUs = 30L * 60 * 1000000
+  def sessionWindowQ(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("timestamp").as("t"))
+      .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        unix_micros(col("session_window.end")).as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  private val sessionWindowSql =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+       |d AS (SELECT user_id, t,
+       |             CASE WHEN lag(t) OVER w IS NULL
+       |                    OR t - lag(t) OVER w > $SwGapUs
+       |                  THEN 1 ELSE 0 END AS brk
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+       |g AS (SELECT user_id, t,
+       |             sum(brk) OVER (PARTITION BY user_id ORDER BY t
+       |                            ROWS UNBOUNDED PRECEDING) AS sid
+       |      FROM d)
+       |SELECT user_id, min(t) AS session_start,
+       |       max(t) + $SwGapUs AS session_end,
+       |       CAST(count(*) AS BIGINT) AS n_events
+       |FROM g GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
   // ----------------------------------------------------------------- Q-pdf
   // S10 + X4 fully IN-ENGINE: per-nation lab-report PDFs are rendered
   // (Pdf.render — valid PDF 1.4, Flate-compressed content stream,
@@ -6776,6 +6821,7 @@ object Queries {
     "q_tpch4" -> (tpch4Q _),
     "q_tpch17" -> (tpch17Q _),
     "q_tpch22" -> (tpch22Q _),
+    "q_swindow" -> (sessionWindowQ _),
     "q_cxxpush" -> (cxxPushQ _),
     "q_phash" -> (phashQ _),
     "q_urlnorm" -> (urlNorm _),
@@ -6946,6 +6992,7 @@ object Queries {
     "q_tpch4" -> Tpch4Sql,
     "q_tpch17" -> Tpch17Sql,
     "q_tpch22" -> Tpch22Sql,
+    "q_swindow" -> sessionWindowSql,
     "q_cxxpush" -> cxxPushSql,
     "q_phash" -> phashSql,
     "q_urlnorm" -> urlNormSql,
