@@ -2850,6 +2850,47 @@ object Queries {
        |  AND ets >= c.ts - INTERVAL 1 HOUR AND ets <= c.ts
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------- Q-stream-full
+  // FULL OUTER stream-stream interval join, completing the matrix
+  // (q_stream_join inner, q_stream_outer left): one pass surfaces
+  // matched pairs, clicks with no error in the trailing hour (null
+  // right), AND orphan errors covered by no click window (null left)
+  // — the left-outer shape would need a second anti-join job for the
+  // third class. Same flush-sentinel drain as q_stream_outer (the
+  // fixture already appends one per side), so AvailableNow's no-data
+  // batch evicts both sides' expired state and the result equals the
+  // batch FULL JOIN the oracle runs. Grouping key is
+  // coalesce(l_key, r_key): every row carries exactly one non-null
+  // key for matched/left rows and r_key for orphans.
+  def streamFull(s: SparkSession, dir: String): DataFrame = {
+    ensureFlushFixture(s, dir)
+    Ingest.intervalJoinFullOuterStream(s, StreamOuterDir, "*.parquet",
+        "user_id", leftType = "click", rightType = "error")
+      .withColumn("u", coalesce(col("l_key"), col("r_key")))
+      .filter(col("u") =!= -1L)
+      .groupBy(col("u").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("r_key").isNull, 1L).otherwise(0L)).as("n_left_only"),
+        sum(when(col("l_id").isNull, 1L).otherwise(0L)).as("n_right_only"),
+        ExactAgg.moneySum(col("r_value"), 100).as("sum_err"))
+      .orderBy("user_id")
+  }
+
+  private val streamFullSql =
+    s"""WITH c AS (SELECT event_id, user_id, ts FROM events
+       |           WHERE event_type = 'click'),
+       |e AS (SELECT user_id AS eu, ts AS ets, value FROM events
+       |      WHERE event_type = 'error')
+       |SELECT coalesce(c.user_id, eu) AS user_id,
+       |       CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(count(*) FILTER (eu IS NULL) AS BIGINT) AS n_left_only,
+       |       CAST(count(*) FILTER (c.user_id IS NULL) AS BIGINT)
+       |         AS n_right_only,
+       |       ${moneySumSql("value")} AS sum_err
+       |FROM c FULL JOIN e ON c.user_id = eu
+       |  AND ets >= c.ts - INTERVAL 1 HOUR AND ets <= c.ts
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------- Q-stream-debounce
   // transformWithState (Spark 4's arbitrary-state API) driving the
   // SEQUENTIAL last-KEPT debounce (streaming/Debounce): an event keeps
@@ -6762,6 +6803,7 @@ object Queries {
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_outer" -> (streamOuter _),
+    "q_stream_full" -> (streamFull _),
     "q_stream_debounce" -> (streamDebounce _),
     "q_tws_sessions" -> (twsSessions _),
     "q_sbo" -> (sboQ _),
@@ -6933,6 +6975,7 @@ object Queries {
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_join" -> streamJoinSql,
     "q_stream_outer" -> streamOuterSql,
+    "q_stream_full" -> streamFullSql,
     "q_stream_debounce" -> streamDebounceSql,
     "q_tws_sessions" -> twsSessionsSql,
     "q_sbo" -> sboSql,

@@ -264,6 +264,50 @@ object Ingest {
     spark.table(qn)
   }
 
+  /** FULL OUTER completion of the interval-join matrix
+    * (inner / left-outer / full-outer): matched pairs emit as they
+    * pair; an unmatched row on EITHER side emits with nulls opposite
+    * once its watermark-expiry verdict is final. The left-outer
+    * variant answers "which clicks saw no error"; full-outer
+    * additionally surfaces "which errors belong to no click" — the
+    * orphan signal — in the same pass instead of a second anti-join
+    * job over the error stream. Same drain-to-batch-parity contract
+    * as the left-outer twin: a flush sentinel per side, filtered from
+    * the read-out, makes the AvailableNow result equal the batch FULL
+    * JOIN. State bounds are unchanged — the interval bounds BOTH
+    * sides, so each side's state expires by event time. */
+  def intervalJoinFullOuterStream(spark: SparkSession, dir: String,
+                                  fileGlob: String, keyCol: String,
+                                  leftType: String, rightType: String,
+                                  window: String = "1 hour",
+                                  watermark: String = "1 hour",
+                                  maxFilesPerTrigger: Int = 0,
+                                  trigger: Trigger = Trigger.AvailableNow(),
+                                  finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", fileGlob)
+      .parquet(dir).schema
+    val qn = "graft_stream_join_full"
+    val left = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
+      .filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col(keyCol).as("l_key"),
+        eventTime(schema).as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val right = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
+      .filter(col("event_type") === rightType)
+      .select(col(keyCol).as("r_key"), eventTime(schema).as("r_ts"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    val q = left.join(right,
+        col("l_key") === col("r_key") &&
+          col("r_ts") >= col("l_ts") - expr(s"INTERVAL $window") &&
+          col("r_ts") <= col("l_ts"),
+        "fullOuter")
+      .writeStream.queryName(qn).outputMode("append")
+      .format("memory").trigger(trigger).start()
+    finish(q)
+    spark.table(qn)
+  }
+
   /** §2.10 foreachBatch + idempotent MERGE: each micro-batch upserts
     * into a parquet "catalog" table (last-wins on `keys` via
     * [[graft.operators.Catalog.upsert]]), committed by staging-dir swap.

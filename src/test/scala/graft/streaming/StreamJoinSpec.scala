@@ -96,6 +96,27 @@ class StreamJoinSpec extends SparkSpec {
       "unmatched left must surface with null right after expiry")
   }
 
+  test("full outer: both unmatched sides emit with nulls opposite after the flush") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssjf").toString
+    writeFile(dir, "ev.parquet", Seq(
+      (1L, H / 2, 1L, "click", 0.0),      // no error for user 1 → null right
+      (2L, H * 6 / 10, 2L, "click", 0.0), // user 2 pairs (error 0.4h ≤ 0.6h)
+      (3L, H * 4 / 10, 2L, "error", 5.0),
+      (4L, H / 3, 3L, "error", 9.0),      // ORPHAN error → null left (the
+                                          // class left-outer drops)
+      (5L, 10L * H, -1L, "click", 0.0),
+      (6L, 10L * H, -1L, "error", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val joined = Ingest.intervalJoinFullOuterStream(spark, dir, "ev.parquet",
+        "user_id", "click", "error")
+      .withColumn("u", coalesce(col("l_key"), col("r_key")))
+      .filter(col("u") =!= -1L)
+      .select("u", "l_id", "r_value").orderBy("u")
+    assert(rows(joined) ===
+      Seq(Seq(1L, 1L, null), Seq(2L, 2L, 5.0), Seq(3L, null, 9.0)),
+      "matched, left-only, AND right-only rows must all surface")
+  }
+
   test("left outer without a flush: trailing unmatched lefts stay un-emitted (documented delta)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ssjo2").toString
     writeFile(dir, "ev.parquet", Seq(
