@@ -501,6 +501,65 @@ object Similarity {
   /** Scalar twin of the `array_dot` kernel: left-to-right double fold
     * over per-element double products — bit-identical to the column
     * form and to the oracle's list_reduce replay. */
+  /** Seed-derived ±1 Johnson–Lindenstrauss sign matrix (dOut rows of
+    * dIn signs), driver-built from the same sha-parity rule the oracle
+    * replays in SQL: sign(j, i) = +1 iff the first 8 hex chars of
+    * sha256("seed#j#i") are even as an integer (TextFunctions
+    * .shaHash32 parity). Achlioptas (2003) showed ±1 entries satisfy
+    * the JL lemma like Gaussian ones — and ±1 keeps the projection in
+    * exact BIGINT arithmetic, which is what makes the operator
+    * hash-gateable at all. The matrix is seed-only data (dOut·dIn
+    * longs, never corpus-sized), so it ships as a plan LITERAL: zero
+    * shuffle, zero per-row hashing. */
+  def jlSignMatrix(dIn: Int, dOut: Int, seed: String): Array[Array[Long]] = {
+    require(dIn >= 1 && dOut >= 1, s"need dIn, dOut >= 1; got $dIn/$dOut")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    Array.tabulate(dOut, dIn) { (j, i) =>
+      val h = md.digest(s"$seed#$j#$i".getBytes("UTF-8"))
+        .take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+      if (h % 2 == 0) 1L else -1L
+    }
+  }
+
+  /** Johnson–Lindenstrauss dimensionality reduction for an embedding
+    * column: project dIn float dims onto dOut signed-sum dims. This is
+    * the 100 TB ANN *preprocessing* step the IVF/PQ/int8 operators sit
+    * behind — at 768→64 dims the embedding bytes crossing every
+    * downstream shuffle, index build, and distance kernel shrink 12×,
+    * while JL keeps relative distances within (1±ε) whp
+    * (JlProjectionSpec measures the retained neighbor recall rather
+    * than assuming the lemma).
+    *
+    * Execution shape: ONE codegen'd scan stage — fixed-point the
+    * vector once (`round(v·scale)` per element, exact in BIGINT both
+    * engines), then fold it against each literal sign row. The
+    * fixed-point column is STAGED as its own attribute before the
+    * per-row fold (the averageHashStaged lesson: a lambda's free
+    * subexpressions re-evaluate per element, so an unstaged transform
+    * inside the fold would cost O(dIn·dOut) casts per row). No
+    * shuffle, no UDF, no driver data pass.
+    *
+    * @return input plus `projCol`: array<long> of length dOut, where
+    *         proj[j] = Σ_i sign(j,i) · round(vec[i] · scale). */
+  def projectSigned(df: DataFrame, vecCol: String, dIn: Int, dOut: Int,
+                    seed: String, projCol: String = "proj",
+                    scale: Long = 10000L): DataFrame = {
+    val signs = typedlit(jlSignMatrix(dIn, dOut, seed))
+    df.withColumn("__jl_fixed",
+        transform(col(vecCol), v => round(v.cast("double") * scale).cast("long")))
+      .withColumn(projCol,
+        transform(signs, srow =>
+          aggregate(zip_with(col("__jl_fixed"), srow, (e, s) => e * s),
+            lit(0L), (acc, x) => acc + x)))
+      .drop("__jl_fixed")
+  }
+
+  /** Squared L2 distance between two projected BIGINT vectors — the
+    * exact integer metric JL-space candidate search ranks by. */
+  def projL2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
   private def dotScalar(a: Seq[Float], b: Seq[Float]): Double = {
     var acc = 0.0
     var i = 0
