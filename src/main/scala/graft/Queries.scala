@@ -6037,6 +6037,34 @@ object Queries {
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY gid, flag, status""".stripMargin
 
+  // --------------------------------------------------------------- Q-cube
+  // CUBE completes the grouping-sets family q_rollup opened: all FOUR
+  // grouping sets — (flag,status), (flag), (status), () — in ONE
+  // partial-aggregated pass, where rollup only produces the prefix
+  // chain. The (status)-only set is the one a rollup can't state and
+  // the one that forces the grouping-set expansion to replicate input
+  // rows per set BEFORE the partial agg — still one exchange, sized
+  // |groups|·|sets|, never a union of scans. grouping_id bit order is
+  // pinned against ANSI GROUPING() by the hash, same as q_rollup.
+  def cubeQ(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_linestatus").as("status"),
+        col("l_extendedprice"))
+      .cube("flag", "status")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        ExactAgg.moneySum(col("l_extendedprice"), 100).as("sum_price"))
+      .select("flag", "status", "gid", "n", "sum_price")
+      .orderBy(col("gid"), col("flag"), col("status"))
+
+  private val cubeSql =
+    s"""SELECT l_returnflag AS flag, l_linestatus AS status,
+       |       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       ${moneySumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY gid, flag, status""".stripMargin
+
   // -------------------------------------------------------------- Q-pivot
   // Wide-table pivot: per customer segment, event counts and exact
   // value sums spread across event-type columns. The pivot VALUES are
@@ -6920,6 +6948,7 @@ object Queries {
     "q_blocklist" -> (blocklistQ _),
     "q_diff" -> (diffQ _),
     "q_rollup" -> (rollupQ _),
+    "q_cube" -> (cubeQ _),
     "q_pmi" -> (pmiQ _),
     "q_gapfill" -> (gapFillQ _),
     "q_scd2" -> (scd2Q _),
@@ -7093,6 +7122,7 @@ object Queries {
     "q_blocklist" -> blocklistSql,
     "q_diff" -> diffSql,
     "q_rollup" -> rollupSql,
+    "q_cube" -> cubeSql,
     "q_pmi" -> pmiSql,
     "q_gapfill" -> gapFillSql,
     "q_scd2" -> scd2Sql,
