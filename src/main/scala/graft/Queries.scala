@@ -2891,6 +2891,119 @@ object Queries {
        |  AND ets >= c.ts - INTERVAL 1 HOUR AND ets <= c.ts
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------- Q-stream-scd2
+  // Streaming CDC → Type-2 history (Ingest.scd2Stream): q_scd2's fold
+  // driven by the STREAMING runtime — three mtime-ordered batch files
+  // (ts-tercile slices of events), one micro-batch each
+  // (maxFilesPerTrigger=1), each shaped to a per-user "profile" row
+  // (last event's type + value tier) and folded into the open/closed
+  // dest layout at valid_from = batchId. What this gates beyond
+  // q_scd2: batch-boundary determinism (the mtime order IS the
+  // timeline), the O(open + delta) per-batch fold (closed rows never
+  // re-enter the join), and the replay-safe two-phase commit. ORACLE =
+  // the same three-batch fold unrolled as explicit CTEs with DIRECT
+  // column comparison per batch (the q_bpe unrolled-loop pattern).
+  private val StreamScd2Src = s"$FixtureRoot/stream_scd2_src"
+
+  private def ensureScd2Fixture(s: SparkSession, dir: String): Unit =
+    publishOnce(StreamScd2Src, dir) {
+      import java.nio.file.{Files => JF, Paths, StandardCopyOption}
+      import java.nio.file.attribute.FileTime
+      val base = Paths.get(StreamScd2Src)
+      if (JF.exists(base)) {
+        val it = JF.walk(base).sorted(java.util.Comparator.reverseOrder())
+        it.forEach(p => JF.delete(p))
+      }
+      JF.createDirectories(base)
+      val ev = load(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      val mm = ev.agg(min("us"), max("us")).head()
+      val (t0, t1) = (mm.getLong(0), mm.getLong(1))
+      (0 until 3).foreach { b =>
+        val stage = s"$StreamScd2Src/.stage_$b"
+        ev.filter(expr(s"least((us - $t0) * 3 div ${t1 - t0 + 1}, 2) = $b"))
+          .drop("us")
+          .coalesce(1).write.parquet(stage)
+        val parts = JF.list(Paths.get(stage)).iterator()
+        val src = Iterator.continually(parts).takeWhile(_.hasNext)
+          .map(_.next())
+          .find(_.getFileName.toString.startsWith("part-")).get
+        val tgt = Paths.get(s"$StreamScd2Src/batch$b.parquet")
+        JF.move(src, tgt, StandardCopyOption.ATOMIC_MOVE)
+        JF.setLastModifiedTime(tgt, FileTime.fromMillis(1000000L * (b + 1)))
+        ()
+      }
+    }
+
+  def streamScd2(s: SparkSession, dir: String): DataFrame = {
+    ensureScd2Fixture(s, dir)
+    val out = s"$FixtureRoot/stream_scd2_out"
+    locally { // fresh deterministic run: wipe dest + checkpoint
+      import java.nio.file.{Files => JF, Paths}
+      val base = Paths.get(out)
+      if (JF.exists(base)) {
+        val it = JF.walk(base).sorted(java.util.Comparator.reverseOrder())
+        it.forEach(p => JF.delete(p))
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us").desc, col("event_id").desc)
+    val shape: DataFrame => DataFrame = b =>
+      b.withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id").as("k"), col("event_type").as("last_type"),
+          expr("CAST(round(value * 100) AS BIGINT) div 2000").as("tier"))
+    Ingest.scd2Stream(s, StreamScd2Src, "batch*.parquet",
+        s"$out/dest", s"$out/chk", Seq("k"), shape)
+      .select("k", "last_type", "tier", "valid_from", "valid_to")
+      .orderBy("k", "valid_from")
+  }
+
+  private val streamScd2Sql = {
+    def inc(b: Int) =
+      s"""i$b AS (SELECT user_id AS k, event_type AS last_type,
+         |             cents // 2000 AS tier
+         |      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+         |                      ORDER BY us DESC, event_id DESC) AS rn
+         |            FROM eb WHERE b = $b)
+         |      WHERE rn = 1)""".stripMargin
+    def step(prev: String, in: String, bts: Int, c: String, out: String) =
+      s"""$c AS (SELECT $prev.k, $prev.last_type, $prev.tier,
+         |             $prev.valid_from, CAST($bts AS BIGINT) AS valid_to
+         |      FROM $prev JOIN $in ON $prev.k = $in.k
+         |      WHERE $prev.last_type IS DISTINCT FROM $in.last_type
+         |         OR $prev.tier IS DISTINCT FROM $in.tier),
+         |$out AS (SELECT $prev.k, $prev.last_type, $prev.tier, $prev.valid_from
+         |      FROM $prev LEFT JOIN $in ON $prev.k = $in.k
+         |      WHERE $in.k IS NULL
+         |         OR ($prev.last_type IS NOT DISTINCT FROM $in.last_type
+         |             AND $prev.tier IS NOT DISTINCT FROM $in.tier)
+         |      UNION ALL
+         |      SELECT $in.k, $in.last_type, $in.tier, CAST($bts AS BIGINT)
+         |      FROM $in LEFT JOIN $prev ON $in.k = $prev.k
+         |      WHERE $prev.k IS NULL
+         |         OR $prev.last_type IS DISTINCT FROM $in.last_type
+         |         OR $prev.tier IS DISTINCT FROM $in.tier)""".stripMargin
+    s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+       |             CAST(round(value * 100) AS BIGINT) AS cents
+       |           FROM events),
+       |mm AS (SELECT min(us) AS t0, max(us) AS t1 FROM e),
+       |eb AS (SELECT e.*, least((us - t0) * 3 // (t1 - t0 + 1), 2) AS b
+       |       FROM e, mm),
+       |${inc(0)}, ${inc(1)}, ${inc(2)},
+       |o0 AS (SELECT k, last_type, tier, CAST(0 AS BIGINT) AS valid_from
+       |       FROM i0),
+       |${step("o0", "i1", 1, "c1", "o1")},
+       |${step("o1", "i2", 2, "c2", "o2")}
+       |SELECT k, last_type, tier, valid_from, valid_to FROM c1
+       |UNION ALL
+       |SELECT k, last_type, tier, valid_from, valid_to FROM c2
+       |UNION ALL
+       |SELECT k, last_type, tier, valid_from, CAST(NULL AS BIGINT) FROM o2
+       |ORDER BY k, valid_from""".stripMargin
+  }
+
   // ---------------------------------------------- Q-stream-debounce
   // transformWithState (Spark 4's arbitrary-state API) driving the
   // SEQUENTIAL last-KEPT debounce (streaming/Debounce): an event keeps
@@ -6879,6 +6992,7 @@ object Queries {
     "q_stream_join" -> (streamJoin _),
     "q_stream_outer" -> (streamOuter _),
     "q_stream_full" -> (streamFull _),
+    "q_stream_scd2" -> (streamScd2 _),
     "q_stream_debounce" -> (streamDebounce _),
     "q_tws_sessions" -> (twsSessions _),
     "q_sbo" -> (sboQ _),
@@ -7053,6 +7167,7 @@ object Queries {
     "q_stream_join" -> streamJoinSql,
     "q_stream_outer" -> streamOuterSql,
     "q_stream_full" -> streamFullSql,
+    "q_stream_scd2" -> streamScd2Sql,
     "q_stream_debounce" -> streamDebounceSql,
     "q_tws_sessions" -> twsSessionsSql,
     "q_sbo" -> sboSql,

@@ -308,6 +308,79 @@ object Ingest {
     spark.table(qn)
   }
 
+  /** Streaming CDC → Type-2 slowly-changing-dimension history: each
+    * micro-batch is shaped to one row per key (`shape`, e.g. last
+    * event wins) and folded into the history with
+    * [[graft.operators.Catalog.scd2Apply]] at `valid_from = batchId` —
+    * the deterministic batch timeline (wall clocks never enter the
+    * data). The dest layout is what keeps a year of CDC cheap:
+    *
+    *   - `open/`   — current row per live key (dimension-sized),
+    *                 REWRITTEN per batch;
+    *   - `closed/` — immutable history, APPEND-ONLY per-batch delta
+    *                 dirs (`delta_<batchId>`), never rewritten.
+    *
+    * Per-batch I/O is O(open + delta), never O(history): scd2Apply is
+    * fed the open slice only, so closed rows never ride through the
+    * full-outer join again. Commit is replay-safe against the
+    * checkpoint: both outputs are staged under `.stage_<batchId>`,
+    * then the closed delta moves into place keyed by batchId (a replay
+    * finds it present and skips the move) and the open swap is
+    * last-wins — so a crash anywhere re-runs the batch to the same
+    * effect, the same contract upsertExactlyOnce keeps. Returns the
+    * full history (closed ∪ open) read back from dest. */
+  def scd2Stream(spark: SparkSession, srcDir: String, fileGlob: String,
+                 destDir: String, checkpointDir: String, keys: Seq[String],
+                 shape: DataFrame => DataFrame,
+                 maxFilesPerTrigger: Int = 1,
+                 trigger: Trigger = Trigger.AvailableNow(),
+                 finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val schema = spark.read.option("pathGlobFilter", fileGlob)
+      .parquet(srcDir).schema
+    val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
+      .option("maxFilesPerTrigger", math.max(maxFilesPerTrigger, 1))
+      .parquet(srcDir)
+      .writeStream.option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val incoming = shape(batch.toDF())
+        val fs = new Path(destDir).getFileSystem(
+          spark.sessionState.newHadoopConf())
+        val openPath = new Path(s"$destDir/open")
+        val open =
+          if (fs.exists(openPath)) spark.read.parquet(openPath.toString)
+          else incoming.limit(0).withColumn("valid_from", lit(0L))
+            .withColumn("valid_to", lit(null).cast("long"))
+        val applied = graft.operators.Catalog
+          .scd2Apply(open, incoming, keys, batchId).persist()
+        val stage = new Path(s"$destDir/.stage_$batchId")
+        fs.delete(stage, true)
+        applied.filter(col("valid_to") === batchId)
+          .write.parquet(s"$stage/closed")
+        applied.filter(col("valid_to").isNull)
+          .write.parquet(s"$stage/open")
+        applied.unpersist()
+        // commit: closed delta keyed by batchId (replay skips), then
+        // last-wins open swap
+        fs.mkdirs(new Path(s"$destDir/closed"))
+        val delta = new Path(s"$destDir/closed/delta_$batchId")
+        if (!fs.exists(delta)) { fs.rename(new Path(s"$stage/closed"), delta); () }
+        fs.delete(openPath, true)
+        fs.rename(new Path(s"$stage/open"), openPath)
+        fs.delete(stage, true)
+        ()
+      }
+      .trigger(trigger).start()
+    finish(q)
+    val open = spark.read.parquet(s"$destDir/open")
+    val fs = new Path(destDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val closedPath = new Path(s"$destDir/closed")
+    if (fs.exists(closedPath))
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(closedPath.toString).unionByName(open)
+    else open
+  }
+
   /** §2.10 foreachBatch + idempotent MERGE: each micro-batch upserts
     * into a parquet "catalog" table (last-wins on `keys` via
     * [[graft.operators.Catalog.upsert]]), committed by staging-dir swap.
