@@ -2806,24 +2806,36 @@ object Queries {
   // equal the batch LEFT JOIN the oracle runs.
   private val StreamOuterDir = s"$FixtureRoot/stream_outer"
 
-  /** events + one flush sentinel per side (user −1, max ts + 3 h) as a
-    * stream-source dir — shared by q_stream_outer and q_tws_sessions
-    * (both need the watermark pushed past every real event's expiry). */
-  private def ensureFlushFixture(s: SparkSession, dir: String): Unit =
-    publishOnce(StreamOuterDir, dir) {
+  /** events + one flush sentinel per side (user −1, max ts +
+    * `horizonHours`) as a stream-source dir — shared by
+    * q_stream_outer and q_tws_sessions (both need the watermark
+    * pushed past every real event's expiry). The default +3 h covers
+    * a single stateful operator (1 h join/session horizon + 1 h
+    * watermark delay); CHAINED stateful queries need a deeper horizon
+    * because each upstream stateful operator subtracts its own state
+    * horizon from the watermark the next one sees (q_stream_joinagg
+    * measured it: at +3 h the final watermark reaching the window agg
+    * behind the interval join fell short of the last windows' ends at
+    * sf0.1, withholding 2 of 301 rows). */
+  private def ensureFlushFixture(s: SparkSession, dir: String,
+                                 dest: String = StreamOuterDir,
+                                 horizonHours: Int = 3,
+                                 leftKey: Long = -1L,
+                                 rightKey: Long = -1L): Unit =
+    publishOnce(dest, dir) {
       val ev = load(s, dir, "events")
-      ev.write.mode("overwrite").parquet(StreamOuterDir)
-      def sentinel(t: String) = ev.agg(max(col("ts")).as("ts0")).select(
+      ev.write.mode("overwrite").parquet(dest)
+      def sentinel(t: String, k: Long) = ev.agg(max(col("ts")).as("ts0")).select(
         lit(-1L).cast(ev.schema("event_id").dataType).as("event_id"),
-        (col("ts0") + expr("INTERVAL 3 HOURS"))
+        (col("ts0") + expr(s"INTERVAL $horizonHours HOURS"))
           .cast(ev.schema("ts").dataType).as("ts"),
-        lit(-1L).cast(ev.schema("user_id").dataType).as("user_id"),
+        lit(k).cast(ev.schema("user_id").dataType).as("user_id"),
         lit(t).as("event_type"),
         lit(0.0).cast(ev.schema("value").dataType).as("value"),
         lit(null).cast(ev.schema("props").dataType).as("props"))
-      sentinel("click").unionByName(sentinel("error"))
+      sentinel("click", leftKey).unionByName(sentinel("error", rightKey))
         .select(ev.columns.map(col): _*)
-        .write.mode("append").parquet(StreamOuterDir)
+        .write.mode("append").parquet(dest)
     }
 
   def streamOuter(s: SparkSession, dir: String): DataFrame = {
@@ -2890,6 +2902,51 @@ object Queries {
        |FROM c FULL JOIN e ON c.user_id = eu
        |  AND ets >= c.ts - INTERVAL 1 HOUR AND ets <= c.ts
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------- Q-stream-joinagg
+  // CHAINED stateful operators (Spark 4 multi-stateful support):
+  // interval join → tumbling window aggregation in ONE streaming
+  // query, state flowing join→window inside each micro-batch — the
+  // shape that previously forced two queries and an intermediate
+  // sink. Hour windows on the join's l_ts. Two sentinel lessons paid
+  // for at sf0.1 and encoded here:
+  //   1. Do NOT filter sentinels BETWEEN the stateful operators: a
+  //      predicate there pushes through the equi-join to BOTH scan
+  //      sides, below the watermark nodes — the sentinels get
+  //      filtered at the source and never advance the watermark
+  //      (measured: watermark stuck at real-max−1 h, last 2 windows
+  //      withheld). Instead the sentinels carry DISTINCT keys
+  //      (−1/−2), so they advance both watermarks but can never
+  //      join, touch no window, and need no filter anywhere.
+  //   2. +6 h horizon, not the shared +3 h: the chain spends 1 h
+  //      watermark delay + 1 h join state horizon before the window
+  //      agg sees a watermark, and the last hour-window's end sits
+  //      up to 1 h past max ts. Hour (not day) windows for the same
+  //      budget reason.
+  // ORACLE = batch interval join + epoch-hour bucketing.
+  private val StreamJoinAggDir = s"$FixtureRoot/stream_joinagg"
+
+  def streamJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    ensureFlushFixture(s, dir, StreamJoinAggDir, horizonHours = 6,
+      leftKey = -1L, rightKey = -2L)
+    Ingest.intervalJoinWindowedStream(s, StreamJoinAggDir, "*.parquet",
+        "user_id", leftType = "click", rightType = "error")
+      .orderBy("ws")
+  }
+
+  private val streamJoinAggSql =
+    s"""WITH c AS (SELECT user_id, epoch_us(ts) AS lus FROM events
+       |           WHERE event_type = 'click'),
+       |e AS (SELECT user_id AS eu, epoch_us(ts) AS rus, value FROM events
+       |      WHERE event_type = 'error'),
+       |j AS (SELECT lus, value FROM c JOIN e ON c.user_id = eu
+       |      AND rus >= lus - 3600000000 AND rus <= lus)
+       |SELECT (lus // 3600000000) * 3600000000 AS ws,
+       |       (lus // 3600000000) * 3600000000 + 3600000000 AS we,
+       |       CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+       |         AS cents
+       |FROM j GROUP BY 1, 2 ORDER BY ws""".stripMargin
 
   // ----------------------------------------------- Q-stream-scd2
   // Streaming CDC → Type-2 history (Ingest.scd2Stream): q_scd2's fold
@@ -6993,6 +7050,7 @@ object Queries {
     "q_stream_outer" -> (streamOuter _),
     "q_stream_full" -> (streamFull _),
     "q_stream_scd2" -> (streamScd2 _),
+    "q_stream_joinagg" -> (streamJoinAgg _),
     "q_stream_debounce" -> (streamDebounce _),
     "q_tws_sessions" -> (twsSessions _),
     "q_sbo" -> (sboQ _),
@@ -7168,6 +7226,7 @@ object Queries {
     "q_stream_outer" -> streamOuterSql,
     "q_stream_full" -> streamFullSql,
     "q_stream_scd2" -> streamScd2Sql,
+    "q_stream_joinagg" -> streamJoinAggSql,
     "q_stream_debounce" -> streamDebounceSql,
     "q_tws_sessions" -> twsSessionsSql,
     "q_sbo" -> sboSql,

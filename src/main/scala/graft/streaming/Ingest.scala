@@ -308,6 +308,67 @@ object Ingest {
     spark.table(qn)
   }
 
+  /** CHAINED stateful operators in one streaming query — Spark 4's
+    * multi-stateful-operator support ([[intervalJoinStream]]'s join
+    * feeding a tumbling event-time window aggregation on the join's
+    * own event-time column, `l_ts`). Before 3.5 this required two
+    * queries with an intermediate sink (double I/O, double
+    * checkpoints, extra latency hop); chained, the joined rows flow
+    * straight into the window state inside the same micro-batch. The
+    * watermark propagates THROUGH the join (delayed by the join's own
+    * state horizon), so append mode still only emits finalized
+    * windows.
+    *
+    * Deliberately NO filter hook between the two stateful operators:
+    * a predicate placed there gets pushed through the equi-join onto
+    * BOTH scan sides, BELOW the EventTimeWatermark nodes — rows meant
+    * only to advance the watermark (flush sentinels) are then
+    * filtered at the source and the watermark stalls (measured on the
+    * q_stream_joinagg gate: watermark stuck at real-max−1 h, final
+    * windows silently withheld). Drive drain semantics with sentinel
+    * KEYS that cannot join instead of predicates that cannot be
+    * placed safely. Emits (ws, we, n_pairs, cents): window bounds in
+    * epoch micros, pair count, exact integral-cents sum of the right
+    * value. */
+  def intervalJoinWindowedStream(spark: SparkSession, dir: String,
+                                 fileGlob: String, keyCol: String,
+                                 leftType: String, rightType: String,
+                                 window: String = "1 hour",
+                                 watermark: String = "1 hour",
+                                 aggWindow: String = "1 hour",
+                                 maxFilesPerTrigger: Int = 0,
+                                 trigger: Trigger = Trigger.AvailableNow(),
+                                 finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", fileGlob)
+      .parquet(dir).schema
+    val qn = "graft_stream_join_windowed"
+    val left = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
+      .filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col(keyCol).as("l_key"),
+        eventTime(schema).as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val right = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
+      .filter(col("event_type") === rightType)
+      .select(col(keyCol).as("r_key"), eventTime(schema).as("r_ts"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    val q = left.join(right,
+        col("l_key") === col("r_key") &&
+          col("r_ts") >= col("l_ts") - expr(s"INTERVAL $window") &&
+          col("r_ts") <= col("l_ts"),
+        "inner")
+      .groupBy(org.apache.spark.sql.functions.window(col("l_ts"), aggWindow))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("r_value") * 100).cast("long")).as("cents"))
+      .select(unix_micros(col("window.start")).as("ws"),
+        unix_micros(col("window.end")).as("we"),
+        col("n_pairs"), col("cents"))
+      .writeStream.queryName(qn).outputMode("append")
+      .format("memory").trigger(trigger).start()
+    finish(q)
+    spark.table(qn)
+  }
+
   /** Streaming CDC → Type-2 slowly-changing-dimension history: each
     * micro-batch is shaped to one row per key (`shape`, e.g. last
     * event wins) and folded into the history with
