@@ -2862,6 +2862,31 @@ object Queries {
        |  AND ets >= c.ts - INTERVAL 1 HOUR AND ets <= c.ts
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------- Q-stream-semi
+  // LEFT SEMI stream-stream interval join: "clicks preceded by at
+  // least one error within the hour", each click at most once — no
+  // pair multiplication (q_stream_join's inner form emits one row PER
+  // error), no sentinel machinery (a never-matching left's silence IS
+  // the semantics). Runs straight off the events table. ORACLE =
+  // EXISTS with the same interval.
+  def streamSemi(s: SparkSession, dir: String): DataFrame =
+    Ingest.intervalJoinSemiStream(s, dir, "events.parquet",
+        "user_id", leftType = "click", rightType = "error")
+      .groupBy(col("l_key").as("user_id"))
+      .agg(count(lit(1)).as("n_clicks_with_error"))
+      .orderBy("user_id")
+
+  private val streamSemiSql =
+    """WITH c AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'click'),
+      |e AS (SELECT user_id AS eu, ts AS ets FROM events
+      |      WHERE event_type = 'error')
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks_with_error
+      |FROM c
+      |WHERE EXISTS (SELECT 1 FROM e WHERE eu = c.user_id
+      |              AND ets >= c.ts - INTERVAL 1 HOUR AND ets <= c.ts)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------- Q-stream-full
   // FULL OUTER stream-stream interval join, completing the matrix
   // (q_stream_join inner, q_stream_outer left): one pass surfaces
@@ -6207,6 +6232,56 @@ object Queries {
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY gid, flag, status""".stripMargin
 
+  // --------------------------------------------------------------- Q-rank
+  // Window-function breadth: rank / dense_rank / percent_rank /
+  // cume_dist over a TIED ordering (two-decimal prices repeat, so tie
+  // semantics — gaps in rank, peers sharing cume_dist — are what
+  // crosses the hash), plus ntile over a TIE-FREE ordering in the
+  // same pass. The split is deliberate: ntile is row-number-based, so
+  // under ties its output depends on the engine's arbitrary tie
+  // order — it is only deterministic over a total order. The sampled
+  // filter (orderkey % 997) keeps rows spread across the whole
+  // distribution instead of clustering at rank 1. percent_rank and
+  // cume_dist are small-integer divisions computed identically by
+  // both engines' doubles; rounded to 4 anyway per house rule.
+  def rankQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tied = Window.partitionBy("flag").orderBy(col("l_extendedprice").desc)
+    val total = Window.partitionBy("flag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+    load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rnk", rank().over(tied).cast("bigint"))
+      .withColumn("drnk", dense_rank().over(tied).cast("bigint"))
+      .withColumn("prk", round(percent_rank().over(tied), 4))
+      .withColumn("cd", round(cume_dist().over(tied), 4))
+      .withColumn("decile", ntile(10).over(total))
+      .filter(col("l_orderkey") % 997 === 0)
+      .select("flag", "l_orderkey", "l_linenumber", "rnk", "drnk",
+        "prk", "cd", "decile")
+      .orderBy("flag", "l_orderkey", "l_linenumber")
+  }
+
+  private val rankSql =
+    """WITH r AS (
+      |  SELECT l_returnflag AS flag, l_orderkey, l_linenumber,
+      |         CAST(rank() OVER tied AS BIGINT) AS rnk,
+      |         CAST(dense_rank() OVER tied AS BIGINT) AS drnk,
+      |         round(percent_rank() OVER tied, 4) AS prk,
+      |         round(cume_dist() OVER tied, 4) AS cd,
+      |         CAST(ntile(10) OVER tot AS INTEGER) AS decile
+      |  FROM lineitem
+      |  WINDOW tied AS (PARTITION BY l_returnflag
+      |                  ORDER BY l_extendedprice DESC),
+      |         tot AS (PARTITION BY l_returnflag
+      |                 ORDER BY l_extendedprice DESC, l_orderkey,
+      |                          l_linenumber))
+      |SELECT flag, l_orderkey, l_linenumber, rnk, drnk, prk, cd, decile
+      |FROM r WHERE l_orderkey % 997 = 0
+      |ORDER BY flag, l_orderkey, l_linenumber""".stripMargin
+
   // --------------------------------------------------------------- Q-cube
   // CUBE completes the grouping-sets family q_rollup opened: all FOUR
   // grouping sets — (flag,status), (flag), (status), () — in ONE
@@ -7049,6 +7124,7 @@ object Queries {
     "q_stream_join" -> (streamJoin _),
     "q_stream_outer" -> (streamOuter _),
     "q_stream_full" -> (streamFull _),
+    "q_stream_semi" -> (streamSemi _),
     "q_stream_scd2" -> (streamScd2 _),
     "q_stream_joinagg" -> (streamJoinAgg _),
     "q_stream_debounce" -> (streamDebounce _),
@@ -7121,6 +7197,7 @@ object Queries {
     "q_diff" -> (diffQ _),
     "q_rollup" -> (rollupQ _),
     "q_cube" -> (cubeQ _),
+    "q_rank" -> (rankQ _),
     "q_pmi" -> (pmiQ _),
     "q_gapfill" -> (gapFillQ _),
     "q_scd2" -> (scd2Q _),
@@ -7225,6 +7302,7 @@ object Queries {
     "q_stream_join" -> streamJoinSql,
     "q_stream_outer" -> streamOuterSql,
     "q_stream_full" -> streamFullSql,
+    "q_stream_semi" -> streamSemiSql,
     "q_stream_scd2" -> streamScd2Sql,
     "q_stream_joinagg" -> streamJoinAggSql,
     "q_stream_debounce" -> streamDebounceSql,
@@ -7297,6 +7375,7 @@ object Queries {
     "q_diff" -> diffSql,
     "q_rollup" -> rollupSql,
     "q_cube" -> cubeSql,
+    "q_rank" -> rankSql,
     "q_pmi" -> pmiSql,
     "q_gapfill" -> gapFillSql,
     "q_scd2" -> scd2Sql,

@@ -457,8 +457,60 @@ object ScaleRehearsal {
       ("semdedup_capped", t1, tN, tN / t1)
     }
 
+    // Streaming SCD2 (round-9): per-batch cost must track the DELTA,
+    // not the accumulated closed history — that's the whole point of
+    // the open/closed dest split (closed rows never re-enter the
+    // fold's full-outer join). Measured directly: 8 equal 50k-key
+    // batches, EVERY key changing EVERY batch (worst-case history
+    // growth — closed rows reach 7·50k by the last batch while open
+    // stays 50k); each batch arrives alone and is timed as one
+    // incremental catch-up run on the live checkpoint. x1 = batch 1
+    // (first fold against existing open state), xN = batch 7; an
+    // O(history) fold would read ~7x growth here, a delta-tracking one
+    // ~1x (stream startup is a constant ~1-2 s floor in every cell,
+    // which biases the ratio TOWARD 1 — so the check is honest only
+    // because an O(history) regression would still clear the floor).
+    def scd2HistRow: Seq[(String, Double, Double, Double)] =
+      if (!wanted("scd2_history")) Nil else Seq {
+        import java.nio.file.{Files => JF, Paths, StandardCopyOption}
+        import java.nio.file.attribute.FileTime
+        val root = JF.createTempDirectory("graft_scd2_rehearsal").toString
+        val src = s"$root/src"
+        JF.createDirectories(Paths.get(src))
+        val keys = 50000L
+        val nB = 8
+        val shape: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          b => b.select(col("id").as("k"), col("seg"))
+        val times = (0 until nB).map { b =>
+          val stage = s"$src/.stage_$b"
+          spark.range(keys)
+            .select(col("id"), concat(lit("s"), lit(b)).as("seg"))
+            .coalesce(1).write.parquet(stage)
+          val parts = JF.list(Paths.get(stage)).iterator()
+          val f = Iterator.continually(parts).takeWhile(_.hasNext)
+            .map(_.next())
+            .find(_.getFileName.toString.startsWith("part-")).get
+          val tgt = Paths.get(s"$src/b$b.parquet")
+          JF.move(f, tgt, StandardCopyOption.ATOMIC_MOVE)
+          JF.setLastModifiedTime(tgt, FileTime.fromMillis(1000L * (b + 1)))
+          var dt = 0.0
+          val t0 = System.nanoTime()
+          graft.streaming.Ingest.scd2Stream(spark, src, "b*.parquet",
+            s"$root/dest", s"$root/chk", Seq("k"), shape,
+            finish = q => {
+              q.awaitTermination()
+              dt = (System.nanoTime() - t0) / 1e9
+            })
+          spark.catalog.clearCache(); System.gc()
+          dt
+        }
+        println(f"""scd2_history per-batch: ${times.map(t => f"$t%.2f").mkString(" ")}""")
+        ("scd2_history", times(1), times(nB - 1), times(nB - 1) / times(1))
+      }
+
     val body = (rows ++ autoRow ++ sim64Row ++ semRow ++ semSampledRow ++
-      bpeBatchedRow ++ incrRow ++ ccStarRow ++ ccLpaRow ++ semCappedRow)
+      bpeBatchedRow ++ incrRow ++ ccStarRow ++ ccLpaRow ++ semCappedRow ++
+      scd2HistRow)
       .map { case (q, t1, tN, g) =>
       f""""$q":{"x1":$t1%.2f,"x$factor":$tN%.2f,"growth":$g%.2f}"""
     }.mkString(",")

@@ -264,6 +264,46 @@ object Ingest {
     spark.table(qn)
   }
 
+  /** LEFT SEMI member of the interval-join matrix: each left row
+    * emits AT MOST ONCE, when its first in-window right arrives —
+    * "did an error precede this click", without the pair
+    * multiplication an inner join gives (a click with 5 in-window
+    * errors emits 5 inner rows but 1 semi row). Matched-only
+    * semantics need no flush sentinel: a left that never matches
+    * simply never emits, which IS the answer. State expiry follows
+    * the same interval-bounds-both-sides argument as the inner
+    * variant. */
+  def intervalJoinSemiStream(spark: SparkSession, dir: String,
+                             fileGlob: String, keyCol: String,
+                             leftType: String, rightType: String,
+                             window: String = "1 hour",
+                             watermark: String = "1 hour",
+                             maxFilesPerTrigger: Int = 0,
+                             trigger: Trigger = Trigger.AvailableNow(),
+                             finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", fileGlob)
+      .parquet(dir).schema
+    val qn = "graft_stream_join_semi"
+    val left = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
+      .filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col(keyCol).as("l_key"),
+        eventTime(schema).as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val right = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
+      .filter(col("event_type") === rightType)
+      .select(col(keyCol).as("r_key"), eventTime(schema).as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    val q = left.join(right,
+        col("l_key") === col("r_key") &&
+          col("r_ts") >= col("l_ts") - expr(s"INTERVAL $window") &&
+          col("r_ts") <= col("l_ts"),
+        "leftSemi")
+      .writeStream.queryName(qn).outputMode("append")
+      .format("memory").trigger(trigger).start()
+    finish(q)
+    spark.table(qn)
+  }
+
   /** FULL OUTER completion of the interval-join matrix
     * (inner / left-outer / full-outer): matched pairs emit as they
     * pair; an unmatched row on EITHER side emits with nulls opposite
