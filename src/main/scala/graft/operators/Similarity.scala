@@ -531,26 +531,40 @@ object Similarity {
     * than assuming the lemma).
     *
     * Execution shape: ONE codegen'd scan stage — fixed-point the
-    * vector once (`round(v·scale)` per element, exact in BIGINT both
-    * engines), then fold it against each literal sign row. The
-    * fixed-point column is STAGED as its own attribute before the
-    * per-row fold (the averageHashStaged lesson: a lambda's free
-    * subexpressions re-evaluate per element, so an unstaged transform
-    * inside the fold would cost O(dIn·dOut) casts per row). No
-    * shuffle, no UDF, no driver data pass.
+    * vector once (`round(v·scale)` per element, staged as its own
+    * attribute — the averageHashStaged lesson), then one native
+    * `array_dot` call per output dim against the literal sign row.
+    * The dot runs in DOUBLE but stays exact: every operand is an
+    * integral double (|value| ≤ scale·10, |sum| ≤ dIn·scale·10 ≪
+    * 2^53), so the BIGINT cast loses nothing and the DuckDB oracle's
+    * integer replay matches bit-for-bit. Measured against the
+    * portable zip_with/aggregate fold at sf0.1: 0.35 s vs 1.8 s for
+    * the projection pass — higher-order lambdas evaluate
+    * interpretively per element, the kernel is one JIT'd loop (the
+    * same 5× that motivated array_dot for cosine). No shuffle, no
+    * UDF, no driver data pass.
     *
     * @return input plus `projCol`: array<long> of length dOut, where
     *         proj[j] = Σ_i sign(j,i) · round(vec[i] · scale). */
   def projectSigned(df: DataFrame, vecCol: String, dIn: Int, dOut: Int,
                     seed: String, projCol: String = "proj",
                     scale: Long = 10000L): DataFrame = {
-    val signs = typedlit(jlSignMatrix(dIn, dOut, seed))
+    graft.GraftExtensions.register(df.sparkSession) // standalone sessions
+    // The output array is UNROLLED into dOut explicit array_dot calls
+    // rather than transform(signMatrixLiteral, srow => dot(fixed, srow)).
+    // Not style: the outer-transform form references the staged fixed
+    // column exactly ONCE at top level, so CollapseProject inlines it
+    // into the lambda when a caller drops it — and the HOF runtime then
+    // re-evaluates the whole fixed-point transform per OUTPUT DIM
+    // (measured: 1.4 s vs 0.3 s at sf0.1, the third incarnation of the
+    // averageHashStaged lesson). dOut top-level references make the
+    // alias multi-referenced, which CollapseProject refuses to inline.
+    val sRows = jlSignMatrix(dIn, dOut, seed)
+      .map(r => typedlit(r.map(_.toDouble)))
     df.withColumn("__jl_fixed",
-        transform(col(vecCol), v => round(v.cast("double") * scale).cast("long")))
-      .withColumn(projCol,
-        transform(signs, srow =>
-          aggregate(zip_with(col("__jl_fixed"), srow, (e, s) => e * s),
-            lit(0L), (acc, x) => acc + x)))
+        transform(col(vecCol), v => round(v.cast("double") * scale)))
+      .withColumn(projCol, array(sRows.map(r =>
+        call_function("array_dot", col("__jl_fixed"), r).cast("long")): _*))
       .drop("__jl_fixed")
   }
 
