@@ -6232,6 +6232,88 @@ object Queries {
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY gid, flag, status""".stripMargin
 
+  // --------------------------------------------------------- Q-corr/Q-ols
+  // Distributed statistics with the exact-moment discipline
+  // (Stats.momentSums): the built-in corr()/covar fold doubles in
+  // partition order — nondeterministic across cluster shapes, the
+  // same disease the money sums cure with fixed-point cents. Here
+  // every second moment (n, Σx, Σy, Σx², Σy², Σxy) is an exact BIGINT
+  // through ONE partial-aggregated shuffle; correlation and the OLS
+  // fit divide/sqrt once at the end on identical operands. x = day
+  // index since the events epoch, y = value cents, per event type.
+  private def dayCentsMoments(s: SparkSession, dir: String) =
+    Stats.momentSums(
+      load(s, dir, "events"),
+      "event_type",
+      datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")),
+      round(col("value") * 100))
+
+  def corrQ(s: SparkSession, dir: String): DataFrame = {
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    dayCentsMoments(s, dir)
+      .withColumn("r", when(vx > 0 && vy > 0,
+        round(cov.cast("double") /
+          sqrt(vx.cast("double") * vy.cast("double")), 4)))
+      .select("event_type", "n", "sxy", "r")
+      .orderBy("event_type")
+  }
+
+  private val MomentsCte =
+    """m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM (SELECT event_type,
+      |               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+      |                 AS x,
+      |               CAST(round(value * 100) AS BIGINT) AS y
+      |        FROM events)
+      |  GROUP BY event_type)""".stripMargin
+
+  private val corrSql =
+    s"""WITH $MomentsCte
+       |SELECT event_type, n, sxy,
+       |       CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+       |         round(CAST(n*sxy - sx*sy AS DOUBLE) /
+       |               sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+       |                    CAST(n*syy - sy*sy AS DOUBLE)), 4)
+       |       END AS r
+       |FROM m ORDER BY event_type""".stripMargin
+
+  def olsQ(s: SparkSession, dir: String): DataFrame = {
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    dayCentsMoments(s, dir)
+      .withColumn("slope",
+        when(den > 0, round(num.cast("double") / den.cast("double"), 4)))
+      .withColumn("intercept",
+        when(den > 0, round(
+          (col("sy").cast("double") -
+            (num.cast("double") / den.cast("double")) *
+              col("sx").cast("double")) / col("n").cast("double"), 4)))
+      .select("event_type", "n", "slope", "intercept")
+      .orderBy("event_type")
+  }
+
+  private val olsSql =
+    s"""WITH $MomentsCte
+       |SELECT event_type, n,
+       |       CASE WHEN n*sxx - sx*sx > 0 THEN
+       |         round(CAST(n*sxy - sx*sy AS DOUBLE) /
+       |               CAST(n*sxx - sx*sx AS DOUBLE), 4)
+       |       END AS slope,
+       |       CASE WHEN n*sxx - sx*sx > 0 THEN
+       |         round((CAST(sy AS DOUBLE) -
+       |                (CAST(n*sxy - sx*sy AS DOUBLE) /
+       |                 CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+       |               / CAST(n AS DOUBLE), 4)
+       |       END AS intercept
+       |FROM m ORDER BY event_type""".stripMargin
+
   // --------------------------------------------------------------- Q-rank
   // Window-function breadth: rank / dense_rank / percent_rank /
   // cume_dist over a TIED ordering (two-decimal prices repeat, so tie
@@ -7198,6 +7280,8 @@ object Queries {
     "q_rollup" -> (rollupQ _),
     "q_cube" -> (cubeQ _),
     "q_rank" -> (rankQ _),
+    "q_corr" -> (corrQ _),
+    "q_ols" -> (olsQ _),
     "q_pmi" -> (pmiQ _),
     "q_gapfill" -> (gapFillQ _),
     "q_scd2" -> (scd2Q _),
@@ -7376,6 +7460,8 @@ object Queries {
     "q_rollup" -> rollupSql,
     "q_cube" -> cubeSql,
     "q_rank" -> rankSql,
+    "q_corr" -> corrSql,
+    "q_ols" -> olsSql,
     "q_pmi" -> pmiSql,
     "q_gapfill" -> gapFillSql,
     "q_scd2" -> scd2Sql,

@@ -314,4 +314,63 @@ object Stats {
         col("__y") === col("__peer"))
       .drop("__x", "__y", "__b", "__pm", "__prev", "__peer")
   }
+
+  /** Exact second-moment sums per group over INTEGER-valued x/y
+    * columns: (n, Σx, Σy, Σx², Σy², Σxy) — every cell a BIGINT, so
+    * the one partial-aggregated shuffle is order-independent and any
+    * engine reproduces it bit-for-bit. This is the distributed-stats
+    * discipline: the built-in corr()/covar_pop() fold DOUBLES in
+    * partition order, which differs run-to-run on a cluster — the
+    * same class of nondeterminism the money sums avoid with
+    * fixed-point cents. Callers derive correlation / OLS terms from
+    * the moments (one double division at the very end, identical on
+    * every engine because both operands are exact).
+    *
+    * Magnitude contract: |x|,|y| ≤ ~3·10⁶ with n ≤ ~10⁹ keeps Σxy
+    * within signed-64; cents-scaled business values fit with room. */
+  def momentSums(df: DataFrame, groupCol: String, x: Column,
+                 y: Column): DataFrame =
+    df.select(col(groupCol), x.cast("long").as("__x"),
+        y.cast("long").as("__y"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum("__x").as("sx"), sum("__y").as("sy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"),
+        sum(col("__x") * col("__y")).as("sxy"))
+
+  /** Pearson correlation per group from [[momentSums]], rounded to 4
+    * decimals: r = (n·Σxy − Σx·Σy) / √((n·Σx²−Σx²)·(n·Σy²−Σy²)).
+    * Numerator and both variance terms are exact BIGINTs; only the
+    * final sqrt/division floats, on identical operands everywhere.
+    * Degenerate groups (zero variance on either axis) yield null. */
+  def corrExact(df: DataFrame, groupCol: String, x: Column,
+                y: Column): DataFrame = {
+    val m = momentSums(df, groupCol, x, y)
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    m.withColumn("r",
+      when(vx > 0 && vy > 0,
+        round(cov.cast("double") /
+          sqrt(vx.cast("double") * vy.cast("double")), 4)))
+  }
+
+  /** Per-group simple OLS fit y = a + b·x from [[momentSums]]:
+    * slope b = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²), intercept
+    * a = (Σy − b·Σx)/n, both rounded to 4. Exact-integer numerators
+    * and denominators; zero-variance groups yield null slope. */
+  def olsFit(df: DataFrame, groupCol: String, x: Column,
+             y: Column): DataFrame = {
+    val m = momentSums(df, groupCol, x, y)
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    m.withColumn("slope",
+        when(den > 0, round(num.cast("double") / den.cast("double"), 4)))
+      .withColumn("intercept",
+        when(den > 0, round(
+          (col("sy").cast("double") -
+            (num.cast("double") / den.cast("double")) *
+              col("sx").cast("double")) / col("n").cast("double"), 4)))
+  }
 }
