@@ -1292,6 +1292,56 @@ object Queries {
       |       max(CASE WHEN rn = ceil(n * 0.99) THEN price END) AS p99
       |FROM ranked GROUP BY flag ORDER BY flag""".stripMargin
 
+  // ---------------------------------------------------------------- Q-bin
+  // Quantile bucketizer (the ML-preprocessing Bucketizer/QuantileDiscretizer
+  // shape, composed from existing pieces): per-group EXACT quartile
+  // boundaries (Stats.exactQuantiles — one window exchange) broadcast
+  // back onto the scan, bucket id = count of boundaries strictly below
+  // the value, then per-(group, bucket) count + exact cents sum. A
+  // boundary tie lands in the LOWER bucket (strict >), which both
+  // engines state identically. At 100 TB the boundaries side is
+  // |groups|·|ps| rows — always broadcastable — and the deployable
+  // variant swaps in approxQuantiles (already gated) without touching
+  // the bucket arithmetic.
+  def binQ(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("price"))
+    val bounds = Stats.exactQuantiles(li, "flag", "price",
+      Seq(0.25, 0.5, 0.75))
+    li.join(broadcast(bounds), "flag")
+      .withColumn("bucket",
+        when(col("price") > col("p25"), 1).otherwise(0) +
+          when(col("price") > col("p50"), 1).otherwise(0) +
+          when(col("price") > col("p75"), 1).otherwise(0))
+      .groupBy("flag", "bucket")
+      .agg(count(lit(1)).as("n"),
+        ExactAgg.moneySum(col("price"), 100).as("sum_price"))
+      .orderBy("flag", "bucket")
+  }
+
+  private val binSql =
+    s"""WITH ranked AS (
+       |  SELECT l_returnflag AS flag, l_extendedprice AS price,
+       |         row_number() OVER (PARTITION BY l_returnflag
+       |           ORDER BY l_extendedprice) AS rn,
+       |         count(*) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM lineitem
+       |  WHERE l_extendedprice IS NOT NULL),
+       |b AS (SELECT flag,
+       |        max(CASE WHEN rn = ceil(n * 0.25) THEN price END) AS p25,
+       |        max(CASE WHEN rn = ceil(n * 0.5) THEN price END) AS p50,
+       |        max(CASE WHEN rn = ceil(n * 0.75) THEN price END) AS p75
+       |      FROM ranked GROUP BY flag)
+       |SELECT r.flag,
+       |       (CASE WHEN price > p25 THEN 1 ELSE 0 END +
+       |        CASE WHEN price > p50 THEN 1 ELSE 0 END +
+       |        CASE WHEN price > p75 THEN 1 ELSE 0 END) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       ${moneySumSql("price")} AS sum_price
+       |FROM ranked r JOIN b ON r.flag = b.flag
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------- Q-histogram
   // Fixed-width price histogram per return flag (Stats.histogram): one
   // partial-aggregated groupBy over scan-stage IEEE arithmetic — both
@@ -7223,6 +7273,7 @@ object Queries {
     "q_quantiles" -> (quantilesQ _),
     "q_range" -> (rangeQ _),
     "q_histogram" -> (histogramQ _),
+    "q_bin" -> (binQ _),
     "q_cms" -> (cmsQ _),
     "q_bloom" -> (bloomQ _),
     "q_hashembed" -> (hashEmbedQ _),
@@ -7403,6 +7454,7 @@ object Queries {
     "q_quantiles" -> quantilesSql,
     "q_range" -> rangeSql,
     "q_histogram" -> histogramSql,
+    "q_bin" -> binSql,
     "q_cms" -> cmsSql,
     "q_bloom" -> bloomSql,
     "q_hashembed" -> hashEmbedSql,
