@@ -4702,6 +4702,80 @@ object Queries {
        |FROM p ORDER BY vec_id, dim""".stripMargin
   }
 
+  // -------------------------------------------------------------- Q-jlknn
+  // The JL projection's END-TO-END use: candidate generation in cheap
+  // projected space (integer L2 over 32 dims) + exact cosine re-rank
+  // of the top-100 candidates — the two-stage retrieval every reduced-
+  // dimension ANN deployment runs. At scale the projected candidate
+  // pass moves 32 longs/row instead of 64 floats and the exact pass
+  // touches only k' = 100 rows; the oracle replays BOTH stages (the
+  // projection CTE from q_jl, integer candidate distances, the exact
+  // re-rank from q_knn's dot) — so the gate pins the exact candidate
+  // SET, not just the survivors. Candidate order (pd, vec_id) and
+  // re-rank order (sim DESC, vec_id) are total.
+  private val JlKnnCands = 100
+  private val JlKnnK = 10
+
+  def jlKnnQ(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val emb = load(s, dir, "embeddings")
+    val proj = Similarity.projectSigned(emb, "embedding",
+      dIn = 64, dOut = JlDimOut, seed = JlSeed)
+    val q = proj.filter(col("vec_id") === 0)
+      .select(col("proj").as("qp"), col("embedding").as("qv"))
+    val cands = proj.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("pd", Similarity.projL2Sq(col("proj"), col("qp")))
+      .orderBy(col("pd"), col("vec_id"))
+      .limit(JlKnnCands)
+    cands
+      .withColumn("sim",
+        round(Similarity.cosine(col("embedding"), col("qv")), 4))
+      .select(col("vec_id"), col("label"), col("pd"), col("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(JlKnnK)
+  }
+
+  private val jlKnnSql = {
+    val sign = "CASE WHEN CAST(concat('0x', substr(sha256(" +
+      s"'$JlSeed#' || CAST(j AS VARCHAR) || '#' || CAST(i AS VARCHAR)" +
+      "), 1, 8)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, 64),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |  (acc, v) -> acc + v)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, label, embedding,
+       |             list_transform(embedding, v ->
+       |               CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT))
+       |               AS ef
+       |           FROM embeddings),
+       |js AS (SELECT j, list_transform(generate_series(0, 63), i ->
+       |                  $sign) AS srow
+       |       FROM generate_series(0, ${JlDimOut - 1}) t(j)),
+       |p AS (SELECT vec_id, label, embedding,
+       |             list(CAST(list_sum(list_transform(
+       |               generate_series(1, 64), i -> ef[i] * srow[i]))
+       |               AS BIGINT) ORDER BY j) AS proj
+       |      FROM e CROSS JOIN js
+       |      GROUP BY vec_id, label, embedding),
+       |q AS (SELECT proj AS qp, embedding AS qv FROM p WHERE vec_id = 0),
+       |c AS (SELECT vec_id, label, embedding, qv,
+       |             CAST(list_sum(list_transform(
+       |               generate_series(1, ${JlDimOut}),
+       |               i -> (proj[i] - qp[i]) * (proj[i] - qp[i])))
+       |               AS BIGINT) AS pd
+       |      FROM p CROSS JOIN q
+       |      WHERE vec_id <> 0
+       |      ORDER BY pd, vec_id LIMIT $JlKnnCands)
+       |SELECT vec_id, label, pd,
+       |       round(${dot("embedding", "qv")} /
+       |             (sqrt(${dot("embedding", "embedding")}) *
+       |              sqrt(${dot("qv", "qv")})), 4) AS sim
+       |FROM c
+       |ORDER BY sim DESC, vec_id LIMIT $JlKnnK""".stripMargin
+  }
+
   // ------------------------------------------------------------ Q-swindow
   // Spark's BUILT-IN session_window batch aggregation — a different
   // execution path from everything the surface already gates: the
@@ -7321,6 +7395,7 @@ object Queries {
     "q_tpch22" -> (tpch22Q _),
     "q_swindow" -> (sessionWindowQ _),
     "q_jl" -> (jlQ _),
+    "q_jlknn" -> (jlKnnQ _),
     "q_cxxpush" -> (cxxPushQ _),
     "q_phash" -> (phashQ _),
     "q_urlnorm" -> (urlNorm _),
@@ -7502,6 +7577,7 @@ object Queries {
     "q_tpch22" -> Tpch22Sql,
     "q_swindow" -> sessionWindowSql,
     "q_jl" -> jlSql,
+    "q_jlknn" -> jlKnnSql,
     "q_cxxpush" -> cxxPushSql,
     "q_phash" -> phashSql,
     "q_urlnorm" -> urlNormSql,

@@ -21,7 +21,7 @@ class PlanAuditSpec extends SparkSpec {
   // from bm25TopN/ivfKnnIndexed instead; the gate arm is deliberately
   // the oracle-expressible brute form.)
   private val nestedLoopExempt = Set("q_knn", "q_knn_ivf", "q_knn_int8",
-    "q_mmr", "q_rrf")
+    "q_mmr", "q_rrf", "q_jlknn")
   // Streaming queries execute on construction and return memory-table
   // reads; their batch plan is not the interesting surface.
   private val streaming = Set("q_stream", "q_windows", "q_sessions", "q_upsert",
