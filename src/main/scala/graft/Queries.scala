@@ -2912,6 +2912,23 @@ object Queries {
        |  AND ets >= c.ts - INTERVAL 1 HOUR AND ets <= c.ts
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------- Q-stream-swindow
+  // STREAMING twin of q_swindow: the same built-in session_window
+  // aggregation executed by the stateful streaming runtime — per-key
+  // session state merged across micro-batches, append mode emitting
+  // each session exactly once at watermark finalization. Shares
+  // q_swindow's oracle verbatim (two runtimes, one truth — the
+  // q_asof/q_asof_chunked pattern). The shared +3 h flush fixture
+  // finalizes every real session (ends ≤ max+30 min < watermark
+  // max+2 h); the sentinel's own session can never finalize, so only
+  // the read-out filters its key.
+  def streamSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    ensureFlushFixture(s, dir)
+    Ingest.sessionWindowStream(s, StreamOuterDir, "*.parquet", "user_id")
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "session_start")
+  }
+
   // ---------------------------------------------- Q-stream-semi
   // LEFT SEMI stream-stream interval join: "clicks preceded by at
   // least one error within the hour", each click at most once — no
@@ -7331,6 +7348,7 @@ object Queries {
     "q_stream_outer" -> (streamOuter _),
     "q_stream_full" -> (streamFull _),
     "q_stream_semi" -> (streamSemi _),
+    "q_stream_swindow" -> (streamSessionWindow _),
     "q_stream_scd2" -> (streamScd2 _),
     "q_stream_joinagg" -> (streamJoinAgg _),
     "q_stream_debounce" -> (streamDebounce _),
@@ -7513,6 +7531,7 @@ object Queries {
     "q_stream_outer" -> streamOuterSql,
     "q_stream_full" -> streamFullSql,
     "q_stream_semi" -> streamSemiSql,
+    "q_stream_swindow" -> sessionWindowSql, // twin: one truth, two runtimes
     "q_stream_scd2" -> streamScd2Sql,
     "q_stream_joinagg" -> streamJoinAggSql,
     "q_stream_debounce" -> streamDebounceSql,

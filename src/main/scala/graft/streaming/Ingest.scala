@@ -264,6 +264,43 @@ object Ingest {
     spark.table(qn)
   }
 
+  /** STREAMING session windows — the built-in session_window
+    * aggregation under the streaming runtime (merging per-key session
+    * state across micro-batches, append mode emitting each session
+    * exactly once when the watermark finalizes it). The batch twin
+    * (q_swindow) pins the merge semantics; this pins the stateful
+    * execution: same oracle, different runtime. A flush sentinel
+    * (non-real key, beyond max event time) finalizes the trailing
+    * sessions; the sentinel's own session can never finalize (its end
+    * sits past the final watermark by construction) so it needs no
+    * in-query filter — drop its key at the read-out. Emits (user_id,
+    * session_start, session_end, n_events) in epoch micros. */
+  def sessionWindowStream(spark: SparkSession, dir: String,
+                          fileGlob: String, keyCol: String,
+                          gap: String = "30 minutes",
+                          watermark: String = "1 hour",
+                          maxFilesPerTrigger: Int = 0,
+                          trigger: Trigger = Trigger.AvailableNow(),
+                          finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", fileGlob)
+      .parquet(dir).schema
+    val qn = "graft_stream_swindow"
+    val q = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
+      .select(col(keyCol), eventTime(schema).as("t"))
+      .withWatermark("t", watermark)
+      .groupBy(col(keyCol),
+        org.apache.spark.sql.functions.session_window(col("t"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        unix_micros(col("session_window.start")).as("session_start"),
+        unix_micros(col("session_window.end")).as("session_end"),
+        col("n_events"))
+      .writeStream.queryName(qn).outputMode("append")
+      .format("memory").trigger(trigger).start()
+    finish(q)
+    spark.table(qn)
+  }
+
   /** LEFT SEMI member of the interval-join matrix: each left row
     * emits AT MOST ONCE, when its first in-window right arrives —
     * "did an error precede this click", without the pair

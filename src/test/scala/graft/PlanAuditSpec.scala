@@ -26,8 +26,9 @@ class PlanAuditSpec extends SparkSpec {
   // reads; their batch plan is not the interesting surface.
   private val streaming = Set("q_stream", "q_windows", "q_sessions", "q_upsert",
     "q_stream_dedup", "q_stream_enrich", "q_stream_join", "q_stream_funnel",
-    "q_stream_outer", "q_stream_full", "q_stream_semi", "q_stream_scd2",
-    "q_stream_joinagg", "q_stream_debounce", "q_tws_sessions")
+    "q_stream_outer", "q_stream_full", "q_stream_semi", "q_stream_swindow",
+    "q_stream_scd2", "q_stream_joinagg", "q_stream_debounce",
+    "q_tws_sessions")
 
   test("no declared query plans a cartesian or unintended nested-loop join") {
     val offenders = Queries.all.toSeq.sortBy(_._1)
