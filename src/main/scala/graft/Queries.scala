@@ -4719,6 +4719,48 @@ object Queries {
        |FROM p ORDER BY vec_id, dim""".stripMargin
   }
 
+  // --------------------------------------------------------- Q-timetravel
+  // Manifest-based snapshot isolation (Snapshot.publishSnapshot /
+  // appendSnapshot / readSnapshot — Iceberg-lite): v1 publishes the
+  // first 15 nations, v2 APPENDS the rest by manifest carry-forward
+  // (v1's data files are referenced, not rewritten — the property that
+  // makes appending a day to a petabyte table O(delta)). The gate
+  // reads BOTH versions AFTER both publishes: v1 must still be
+  // bit-identical to its publish-time content (time travel), v2 must
+  // be the union. ORACLE derives both states from the seed table
+  // (q_orc pattern: format-mangled or leaked rows diverge the hash).
+  private val TimeTravelDir = s"$FixtureRoot/timetravel"
+
+  def timeTravelQ(s: SparkSession, dir: String): DataFrame = {
+    publishOnce(TimeTravelDir, dir) {
+      import java.nio.file.{Files => JF, Paths}
+      val base = Paths.get(TimeTravelDir)
+      if (JF.exists(base)) {
+        val it = JF.walk(base).sorted(java.util.Comparator.reverseOrder())
+        it.forEach(p => JF.delete(p))
+      }
+      val nation = load(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      graft.operators.Snapshot.publishSnapshot(
+        nation.filter(col("n_nationkey") < 15), TimeTravelDir)
+      graft.operators.Snapshot.appendSnapshot(
+        nation.filter(col("n_nationkey") >= 15), TimeTravelDir)
+      ()
+    }
+    val v1 = graft.operators.Snapshot.readSnapshot(s, TimeTravelDir, 1)
+      .withColumn("version", lit(1))
+    val v2 = graft.operators.Snapshot.readSnapshot(s, TimeTravelDir, 2)
+      .withColumn("version", lit(2))
+    v1.unionByName(v2).orderBy("version", "n_nationkey")
+  }
+
+  private val timeTravelSql =
+    """SELECT n_nationkey, n_name, n_regionkey, 1 AS version FROM nation
+      |WHERE n_nationkey < 15
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey, 2 FROM nation
+      |ORDER BY version, n_nationkey""".stripMargin
+
   // -------------------------------------------------------------- Q-jlknn
   // The JL projection's END-TO-END use: candidate generation in cheap
   // projected space (integer L2 over 32 dims) + exact cosine re-rank
@@ -7414,6 +7456,7 @@ object Queries {
     "q_swindow" -> (sessionWindowQ _),
     "q_jl" -> (jlQ _),
     "q_jlknn" -> (jlKnnQ _),
+    "q_timetravel" -> (timeTravelQ _),
     "q_cxxpush" -> (cxxPushQ _),
     "q_phash" -> (phashQ _),
     "q_urlnorm" -> (urlNorm _),
@@ -7597,6 +7640,7 @@ object Queries {
     "q_swindow" -> sessionWindowSql,
     "q_jl" -> jlSql,
     "q_jlknn" -> jlKnnSql,
+    "q_timetravel" -> timeTravelSql,
     "q_cxxpush" -> cxxPushSql,
     "q_phash" -> phashSql,
     "q_urlnorm" -> urlNormSql,

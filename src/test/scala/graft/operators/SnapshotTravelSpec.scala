@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Snapshot layout semantics beyond the gate row: time-travel
+  * immutability across later publishes, append-by-reference (old files
+  * carried, not copied), full-rewrite versions, and crash invisibility
+  * (a .tmp manifest is not a version).
+  */
+class SnapshotTravelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("append carries old files by reference; old versions stay bit-identical") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    val v1 = Snapshot.publishSnapshot(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dest)
+    assert(v1 == 1)
+    val v1Rows = rows(Snapshot.readSnapshot(spark, dest, 1).orderBy("k"))
+
+    val v2 = Snapshot.appendSnapshot(Seq((3L, "c")).toDF("k", "v"), dest)
+    assert(v2 == 2)
+    // v1 unchanged AFTER the append (time travel)
+    assert(rows(Snapshot.readSnapshot(spark, dest, 1).orderBy("k")) === v1Rows)
+    assert(rows(Snapshot.readSnapshot(spark, dest, 2).orderBy("k")) ===
+      Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    // the append REFERENCED v1's files rather than rewriting them:
+    // v2's manifest names files under data/v1/
+    val m2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dest/manifest/v2.txt")), "UTF-8")
+    assert(m2.contains("data/v1/"), s"expected carried v1 files in:\n$m2")
+    assert(m2.contains("data/v2/"))
+
+    // full rewrite: v3 sees only its own content; v1/v2 still readable
+    val v3 = Snapshot.publishSnapshot(Seq((9L, "z")).toDF("k", "v"), dest)
+    assert(v3 == 3)
+    assert(rows(Snapshot.readSnapshot(spark, dest, 3)) === Seq(Seq(9L, "z")))
+    assert(rows(Snapshot.readSnapshot(spark, dest, 1).orderBy("k")) === v1Rows)
+    assert(Snapshot.latestVersion(spark, dest) == 3)
+  }
+
+  test("a crashed publish (.tmp manifest) is not a version") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-ttc").toString
+    Snapshot.publishSnapshot(Seq((1L, "a")).toDF("k", "v"), dest)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dest/manifest/.tmp_v2"),
+      "data/v2/part-bogus".getBytes("UTF-8"))
+    assert(Snapshot.latestVersion(spark, dest) == 1)
+    // and the next real publish claims v2 cleanly
+    assert(Snapshot.appendSnapshot(Seq((2L, "b")).toDF("k", "v"), dest) == 2)
+    assert(rows(Snapshot.readSnapshot(spark, dest, 2).orderBy("k")) ===
+      Seq(Seq(1L, "a"), Seq(2L, "b")))
+  }
+
+  test("append without a base refuses") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-tte").toString
+    intercept[IllegalArgumentException] {
+      Snapshot.appendSnapshot(Seq((1L, "a")).toDF("k", "v"), dest)
+    }
+    ()
+  }
+}
