@@ -4731,7 +4731,7 @@ object Queries {
   // (q_orc pattern: format-mangled or leaked rows diverge the hash).
   private val TimeTravelDir = s"$FixtureRoot/timetravel"
 
-  def timeTravelQ(s: SparkSession, dir: String): DataFrame = {
+  private def ensureTimeTravelFixture(s: SparkSession, dir: String): Unit =
     publishOnce(TimeTravelDir, dir) {
       import java.nio.file.{Files => JF, Paths}
       val base = Paths.get(TimeTravelDir)
@@ -4747,6 +4747,9 @@ object Queries {
         nation.filter(col("n_nationkey") >= 15), TimeTravelDir)
       ()
     }
+
+  def timeTravelQ(s: SparkSession, dir: String): DataFrame = {
+    ensureTimeTravelFixture(s, dir)
     val v1 = graft.operators.Snapshot.readSnapshot(s, TimeTravelDir, 1)
       .withColumn("version", lit(1))
     val v2 = graft.operators.Snapshot.readSnapshot(s, TimeTravelDir, 2)
@@ -4760,6 +4763,62 @@ object Queries {
       |UNION ALL
       |SELECT n_nationkey, n_name, n_regionkey, 2 FROM nation
       |ORDER BY version, n_nationkey""".stripMargin
+
+  // --------------------------------------------------------- Q-snapdelta
+  // Incremental snapshot consumption (Snapshot.changedBetween): "what
+  // arrived between v1 and v2" answered by MANIFEST SET DIFFERENCE —
+  // only the files v2 added are opened, no data diffed. For an
+  // append-only history (the training-shard case) this is the exact
+  // delta, at metadata cost. ORACLE derives the same delta from the
+  // seed predicate that built the fixture's append.
+  def snapDeltaQ(s: SparkSession, dir: String): DataFrame = {
+    ensureTimeTravelFixture(s, dir)
+    graft.operators.Snapshot.changedBetween(s, TimeTravelDir, 1, 2)
+      .orderBy("n_nationkey")
+  }
+
+  private val snapDeltaSql =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_nationkey >= 15 ORDER BY n_nationkey""".stripMargin
+
+  // ---------------------------------------------------------- Q-snapskip
+  // Manifest-stats file skipping (Snapshot.readSnapshotRange): the
+  // publish records per-file (rows, min, max) of c_custkey from the
+  // PARQUET FOOTERS (a metadata read — the writer already computed
+  // row-group stats), the range read prunes to overlapping files
+  // driver-side, and a residual filter makes the cut exact. With the
+  // publish range-partitioned 8 ways, a 200-key probe opens ~1-2 of 8
+  // files (SnapshotTravelSpec pins the pruning); the ORACLE replays
+  // the predicate over the seed table, so a lost or duplicated row at
+  // any pruning boundary diverges the hash.
+  private val SnapSkipDir = s"$FixtureRoot/snapskip"
+
+  def snapSkipQ(s: SparkSession, dir: String): DataFrame = {
+    publishOnce(SnapSkipDir, dir) {
+      import java.nio.file.{Files => JF, Paths}
+      val base = Paths.get(SnapSkipDir)
+      if (JF.exists(base)) {
+        val it = JF.walk(base).sorted(java.util.Comparator.reverseOrder())
+        it.forEach(p => JF.delete(p))
+      }
+      graft.operators.Snapshot.publishSnapshot(
+        load(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .repartitionByRange(8, col("c_custkey")),
+        SnapSkipDir, statsCol = Some("c_custkey"))
+      ()
+    }
+    graft.operators.Snapshot.readSnapshotRange(s, SnapSkipDir, 1, 100, 299)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      .orderBy("c_custkey")
+  }
+
+  private val snapSkipSql =
+    """SELECT c_custkey, c_name,
+      |       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      |FROM customer WHERE c_custkey BETWEEN 100 AND 299
+      |ORDER BY c_custkey""".stripMargin
 
   // -------------------------------------------------------------- Q-jlknn
   // The JL projection's END-TO-END use: candidate generation in cheap
@@ -7457,6 +7516,8 @@ object Queries {
     "q_jl" -> (jlQ _),
     "q_jlknn" -> (jlKnnQ _),
     "q_timetravel" -> (timeTravelQ _),
+    "q_snapdelta" -> (snapDeltaQ _),
+    "q_snapskip" -> (snapSkipQ _),
     "q_cxxpush" -> (cxxPushQ _),
     "q_phash" -> (phashQ _),
     "q_urlnorm" -> (urlNorm _),
@@ -7641,6 +7702,8 @@ object Queries {
     "q_jl" -> jlSql,
     "q_jlknn" -> jlKnnSql,
     "q_timetravel" -> timeTravelSql,
+    "q_snapdelta" -> snapDeltaSql,
+    "q_snapskip" -> snapSkipSql,
     "q_cxxpush" -> cxxPushSql,
     "q_phash" -> phashSql,
     "q_urlnorm" -> urlNormSql,

@@ -69,39 +69,87 @@ object Snapshot {
     * rewrites stay available via [[publishSnapshot]]; bucket-level
     * REPLACEMENT composes with the upsertExactlyOnce bucket layout —
     * deliberately not duplicated here.) */
-  def publishSnapshot(df: DataFrame, destDir: String): Int =
-    commitVersion(df, destDir, carryForward = false)
+  def publishSnapshot(df: DataFrame, destDir: String,
+                      statsCol: Option[String] = None): Int =
+    commitVersion(df, destDir, carryForward = false, statsCol)
 
   /** New version = previous version's files + `df` written as a delta.
     * Fails if no version exists yet (append needs a base). */
-  def appendSnapshot(df: DataFrame, destDir: String): Int = {
+  def appendSnapshot(df: DataFrame, destDir: String,
+                     statsCol: Option[String] = None): Int = {
     require(latestVersion(df.sparkSession, destDir) >= 1,
       s"appendSnapshot needs an existing version under $destDir")
-    commitVersion(df, destDir, carryForward = true)
+    commitVersion(df, destDir, carryForward = true, statsCol)
+  }
+
+  /** Per-file (rows, min, max) of an integral column, read from the
+    * PARQUET FOOTER — no data pass; the writer already computed the
+    * row-group statistics, collecting them is a metadata read. This is
+    * what lets a manifest carry skipping stats for free at publish
+    * time. */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+                          path: org.apache.hadoop.fs.Path,
+                          statsCol: String): (Long, Long, Long) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      var rows = 0L
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      blocks.foreach { b =>
+        rows += b.getRowCount
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == statsCol)
+          .foreach { c =>
+            val st = c.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              mn = math.min(mn, st.genericGetMin
+                .asInstanceOf[Number].longValue())
+              mx = math.max(mx, st.genericGetMax
+                .asInstanceOf[Number].longValue())
+            }
+          }
+      }
+      (rows, mn, mx)
+    } finally reader.close()
   }
 
   private def commitVersion(df: DataFrame, destDir: String,
-                            carryForward: Boolean): Int = {
+                            carryForward: Boolean,
+                            statsCol: Option[String]): Int = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
-    val fs = new Path(destDir).getFileSystem(
-      spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(destDir).getFileSystem(conf)
     val prev = latestVersion(spark, destDir)
     val v = prev + 1
     val dataDir = new Path(s"$destDir/data/v$v")
     df.write.mode("overwrite").parquet(dataDir.toString)
     val newFiles = fs.listStatus(dataDir)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .map(st => s"data/v$v/${st.getPath.getName}")
-      .sorted
+      .map(_.getPath).sortBy(_.getName)
+      .map { p =>
+        val rel = s"data/v$v/${p.getName}"
+        statsCol match {
+          case Some(c) =>
+            val (rows, mn, mx) = footerStats(conf, p, c)
+            s"$rel\t$rows\t$mn\t$mx"
+          case None => rel
+        }
+      }.toSeq
     val carried =
       if (carryForward && prev >= 1) manifestLines(spark, destDir, prev)
       else Seq.empty
+    val header = statsCol.map(c => s"#stats=$c").toSeq
     val manifestDir = new Path(s"$destDir/manifest")
     fs.mkdirs(manifestDir)
     val tmp = new Path(s"$destDir/manifest/.tmp_v$v")
     val out = fs.create(tmp, true)
-    out.write((carried ++ newFiles).mkString("\n").getBytes("UTF-8"))
+    out.write((header ++ carried ++ newFiles).mkString("\n")
+      .getBytes("UTF-8"))
     out.close()
     fs.rename(tmp, new Path(s"$destDir/manifest/v$v.txt"))
     v
@@ -115,8 +163,23 @@ object Snapshot {
     val in = fs.open(new Path(s"$destDir/manifest/v$v.txt"))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    txt.split("\n").toSeq.filter(_.nonEmpty)
+    txt.split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
   }
+
+  /** The stats column a version's manifest was published with, if any. */
+  private def manifestStatsCol(spark: org.apache.spark.sql.SparkSession,
+                               destDir: String, v: Int): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(destDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val in = fs.open(new Path(s"$destDir/manifest/v$v.txt"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.split("\n").find(_.startsWith("#stats="))
+      .map(_.stripPrefix("#stats="))
+  }
+
+  private def linePath(l: String): String = l.split("\t").head
 
   /** Highest committed version, 0 if none. A `.tmp_` manifest (crashed
     * publish) is invisible — commit is the rename. */
@@ -136,8 +199,84 @@ object Snapshot {
   /** Read version `v` exactly as published — only the manifest's files. */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
                    destDir: String, v: Int): DataFrame = {
-    val files = manifestLines(spark, destDir, v).map(f => s"$destDir/$f")
+    val files = manifestLines(spark, destDir, v)
+      .map(l => s"$destDir/${linePath(l)}")
     require(files.nonEmpty, s"version $v under $destDir is empty/unknown")
     spark.read.parquet(files: _*)
+  }
+
+  /** Manifest-stats FILE SKIPPING: the files of version `v` whose
+    * [min, max] stats overlap [lo, hi] (files without stats are kept —
+    * skipping must never lose rows). Driver-side manifest arithmetic,
+    * no data touched. */
+  def filesForRange(spark: org.apache.spark.sql.SparkSession,
+                    destDir: String, v: Int, lo: Long, hi: Long): Seq[String] =
+    manifestLines(spark, destDir, v).filter { l =>
+      l.split("\t") match {
+        case Array(_, _, mn, mx) => mx.toLong >= lo && mn.toLong <= hi
+        case _ => true
+      }
+    }.map(linePath)
+
+  /** Range read with manifest-stats pruning + the precise residual
+    * filter on the published stats column: only overlapping files are
+    * opened (SnapshotTravelSpec pins the pruning), and the result
+    * equals the full-scan filter by the no-false-negative overlap
+    * rule. */
+  def readSnapshotRange(spark: org.apache.spark.sql.SparkSession,
+                        destDir: String, v: Int, lo: Long,
+                        hi: Long): DataFrame = {
+    val c = manifestStatsCol(spark, destDir, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $v of $destDir was published without a stats column"))
+    val files = filesForRange(spark, destDir, v, lo, hi)
+      .map(f => s"$destDir/$f")
+    if (files.isEmpty)
+      readSnapshot(spark, destDir, v).limit(0)
+    else spark.read.parquet(files: _*)
+      .filter(col(c) >= lo && col(c) <= hi)
+  }
+
+  /** Incremental consumption between versions: the rows of files
+    * PRESENT in `vTo` but not in `vFrom` — for append-only histories
+    * this is exactly "what arrived since vFrom", read without diffing
+    * any data (manifest set difference, then a scan of only the new
+    * files). */
+  def changedBetween(spark: org.apache.spark.sql.SparkSession,
+                     destDir: String, vFrom: Int, vTo: Int): DataFrame = {
+    val before = manifestLines(spark, destDir, vFrom).map(linePath).toSet
+    val added = manifestLines(spark, destDir, vTo).map(linePath)
+      .filterNot(before)
+    if (added.isEmpty) readSnapshot(spark, destDir, vTo).limit(0)
+    else spark.read.parquet(added.map(f => s"$destDir/$f"): _*)
+  }
+
+  /** Retention: delete data files referenced by NO manifest ≥
+    * `keepFrom` and drop the older manifests — the vacuum that keeps
+    * time travel bounded. Live files (referenced by any kept version)
+    * survive even if an old version also referenced them. Returns the
+    * deleted file count. */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, destDir: String,
+             keepFrom: Int): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(destDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val latest = latestVersion(spark, destDir)
+    require(keepFrom >= 1 && keepFrom <= latest,
+      s"keepFrom $keepFrom outside committed versions [1, $latest]")
+    // earlier vacuums leave version gaps — a missing manifest is
+    // already-cleaned, not an error
+    def lines(v: Int): Seq[String] =
+      if (fs.exists(new Path(s"$destDir/manifest/v$v.txt")))
+        manifestLines(spark, destDir, v)
+      else Seq.empty
+    val keep = (keepFrom to latest).flatMap(v => lines(v).map(linePath)).toSet
+    val drop = (1 until keepFrom).flatMap(v => lines(v).map(linePath))
+      .distinct.filterNot(keep)
+    drop.foreach(f => fs.delete(new Path(s"$destDir/$f"), false))
+    (1 until keepFrom).foreach { v =>
+      fs.delete(new Path(s"$destDir/manifest/v$v.txt"), false)
+    }
+    drop.size
   }
 }

@@ -52,6 +52,52 @@ class SnapshotTravelSpec extends SparkSpec {
       Seq(Seq(1L, "a"), Seq(2L, "b")))
   }
 
+  test("manifest stats prune files; pruned read equals the full filter") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-tts").toString
+    val df = (0L until 800L).map(k => (k, s"n$k")).toDF("k", "name")
+      .repartitionByRange(8, col("k"))
+    Snapshot.publishSnapshot(df, dest, statsCol = Some("k"))
+    val all = Snapshot.filesForRange(spark, dest, 1, Long.MinValue,
+      Long.MaxValue)
+    val some = Snapshot.filesForRange(spark, dest, 1, 100, 199)
+    assert(all.size == 8)
+    assert(some.size < all.size,
+      s"expected pruning, got ${some.size} of ${all.size}")
+    val pruned = rows(Snapshot.readSnapshotRange(spark, dest, 1, 100, 199)
+      .orderBy("k"))
+    val full = rows(Snapshot.readSnapshot(spark, dest, 1)
+      .filter(col("k").between(100, 199)).orderBy("k"))
+    assert(pruned === full)
+  }
+
+  test("changedBetween reads exactly the appended files' rows") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-ttd").toString
+    Snapshot.publishSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dest)
+    Snapshot.appendSnapshot(Seq((3L, "c")).toDF("k", "v"), dest)
+    assert(rows(Snapshot.changedBetween(spark, dest, 1, 2)) ===
+      Seq(Seq(3L, "c")))
+    assert(Snapshot.changedBetween(spark, dest, 2, 2).count() == 0)
+  }
+
+  test("vacuum drops only files no kept version references") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-ttv").toString
+    Snapshot.publishSnapshot(Seq((1L, "a")).toDF("k", "v"), dest)  // v1
+    Snapshot.appendSnapshot(Seq((2L, "b")).toDF("k", "v"), dest)   // v2 ⊃ v1
+    Snapshot.publishSnapshot(Seq((9L, "z")).toDF("k", "v"), dest)  // v3 rewrite
+    // keep from v3: v1/v2's files are unreferenced by v3 → deleted
+    val n = Snapshot.vacuum(spark, dest, keepFrom = 3)
+    assert(n >= 2, s"expected v1+v2 data dropped, deleted $n")
+    assert(rows(Snapshot.readSnapshot(spark, dest, 3)) === Seq(Seq(9L, "z")))
+    intercept[Exception] { Snapshot.readSnapshot(spark, dest, 1).count() }
+    // kept-version reuse: append after vacuum, keepFrom latest-1 keeps
+    // carried files alive
+    Snapshot.appendSnapshot(Seq((10L, "y")).toDF("k", "v"), dest) // v4 ⊃ v3
+    assert(Snapshot.vacuum(spark, dest, keepFrom = 4) == 0,
+      "v4 still references v3's files — nothing may be deleted")
+    assert(rows(Snapshot.readSnapshot(spark, dest, 4).orderBy("k")) ===
+      Seq(Seq(9L, "z"), Seq(10L, "y")))
+  }
+
   test("append without a base refuses") {
     val dest = java.nio.file.Files.createTempDirectory("graft-tte").toString
     intercept[IllegalArgumentException] {
