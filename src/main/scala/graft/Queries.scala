@@ -4672,6 +4672,51 @@ object Queries {
     s.sql(Tpch22Sql)
   }
 
+  // ---------------------------------------------- Q-lateral / Q-tpch20
+  // Two more subquery-planner gates on the SQL face:
+  //   - q_lateral: correlated LATERAL subquery with ORDER BY + LIMIT —
+  //     top-k-per-outer-row as the USER writes it; Catalyst must
+  //     decorrelate the limited correlated subquery (the rewrite
+  //     behind every "best N per group" lateral) and agree with
+  //     DuckDB's own lateral execution row-for-row.
+  //   - q_tpch20: NESTED decorrelation — an IN subquery whose inner
+  //     WHERE carries two correlated scalar aggregates ("customers
+  //     with an order worth more than 3× their own average"), stated
+  //     division-free in cents so nothing floats.
+  private val LateralSql =
+    """SELECT r_name, n_name, n_nationkey
+      |FROM region,
+      |     LATERAL (SELECT n_name, n_nationkey FROM nation
+      |              WHERE n_regionkey = r_regionkey
+      |              ORDER BY n_name LIMIT 2) t
+      |ORDER BY r_name, n_name""".stripMargin
+
+  def lateralQ(s: SparkSession, dir: String): DataFrame = {
+    Seq("region", "nation")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(LateralSql)
+  }
+
+  private val Tpch20Sql =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust
+      |FROM customer
+      |WHERE c_custkey IN (
+      |  SELECT o_custkey FROM orders o1
+      |  WHERE CAST(round(o1.o_totalprice * 100) AS BIGINT)
+      |          * (SELECT CAST(count(*) AS BIGINT) FROM orders o2
+      |             WHERE o2.o_custkey = o1.o_custkey)
+      |        > 3 * (SELECT CAST(sum(CAST(round(o3.o_totalprice * 100)
+      |                                    AS BIGINT)) AS BIGINT)
+      |               FROM orders o3 WHERE o3.o_custkey = o1.o_custkey))
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  def tpch20Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch20Sql)
+  }
+
   // ----------------------------------------------------------------- Q-jl
   // Johnson–Lindenstrauss signed random projection
   // (Similarity.projectSigned): the ANN PREPROCESSING row — reduce the
@@ -4718,6 +4763,67 @@ object Queries {
        |SELECT vec_id, CAST(dim AS INTEGER) AS dim, CAST(v AS BIGINT) AS v
        |FROM p ORDER BY vec_id, dim""".stripMargin
   }
+
+  // ----------------------------------------------------------- Q-scenecut
+  // Video scene-cut detection PLUMBING: frame grid (Multimodal
+  // .sampleFrames — in-row explode, frames born next to their payload),
+  // per-frame signature (deterministic sha-derived stub; a real codec
+  // slots into decodePartition without touching the column math — the
+  // q_phash posture), frame-over-frame lag diff per video, cut where
+  // the signature jumps, scenes assembled gaps-and-islands style by a
+  // running cut-count. ONE shuffle by video feeds both windows. The
+  // seed plants piecewise-constant signatures (segment length varies
+  // per video), so the detector must recover EXACTLY the planted
+  // segmentation — and the oracle re-derives it independently.
+  def sceneCutQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vids = load(s, dir, "part")
+      .select(col("p_partkey").cast("long").as("vid"))
+      .withColumn("dur_ms", (pmod(col("vid"), lit(20)) + 5) * 1000)
+    val frames = graft.operators.Multimodal
+      .sampleFrames(vids, col("dur_ms"), strideMs = 1000)
+    // planted scene length (vid % 3 + 2 seconds) varies per video
+    val sig = pmod(shaHash32(concat(col("vid").cast("string"), lit("#"),
+      expr("frame_idx div (vid % 3 + 2)").cast("string"))), lit(256))
+    val w = Window.partitionBy("vid").orderBy("frame_idx")
+    frames
+      .withColumn("sig", sig)
+      .withColumn("cut",
+        when(lag("sig", 1).over(w).isNull, 0)
+          .when(lag("sig", 1).over(w) === col("sig"), 0).otherwise(1))
+      .withColumn("scene",
+        sum("cut").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("vid", "scene")
+      .agg(min("t_ms").as("start_ms"), max("t_ms").as("last_ms"),
+        count(lit(1)).as("n_frames"))
+      .orderBy("vid", "scene")
+  }
+
+  private val sceneCutSql =
+    s"""WITH v AS (SELECT CAST(p_partkey AS BIGINT) AS vid,
+       |             (p_partkey % 20 + 5) * 1000 AS dur_ms
+       |           FROM part),
+       |f AS (SELECT vid, unnest(generate_series(0,
+       |               (dur_ms - 1) // 1000)) AS frame_idx
+       |      FROM v),
+       |sg AS (SELECT vid, frame_idx, frame_idx * 1000 AS t_ms,
+       |              ${sqlSh32("CAST(vid AS VARCHAR) || '#' || CAST(frame_idx // (vid % 3 + 2) AS VARCHAR)")} % 256 AS sig
+       |       FROM f),
+       |c AS (SELECT vid, frame_idx, t_ms,
+       |             CASE WHEN lag(sig) OVER w IS NULL THEN 0
+       |                  WHEN lag(sig) OVER w = sig THEN 0
+       |                  ELSE 1 END AS cut
+       |      FROM sg WINDOW w AS (PARTITION BY vid ORDER BY frame_idx)),
+       |sc AS (SELECT vid, t_ms,
+       |              sum(cut) OVER (PARTITION BY vid ORDER BY frame_idx
+       |                             ROWS UNBOUNDED PRECEDING) AS scene
+       |       FROM c)
+       |SELECT vid, CAST(scene AS BIGINT) AS scene,
+       |       CAST(min(t_ms) AS BIGINT) AS start_ms,
+       |       CAST(max(t_ms) AS BIGINT) AS last_ms,
+       |       CAST(count(*) AS BIGINT) AS n_frames
+       |FROM sc GROUP BY vid, scene
+       |ORDER BY vid, scene""".stripMargin
 
   // --------------------------------------------------------- Q-timetravel
   // Manifest-based snapshot isolation (Snapshot.publishSnapshot /
@@ -7512,12 +7618,15 @@ object Queries {
     "q_tpch4" -> (tpch4Q _),
     "q_tpch17" -> (tpch17Q _),
     "q_tpch22" -> (tpch22Q _),
+    "q_lateral" -> (lateralQ _),
+    "q_tpch20" -> (tpch20Q _),
     "q_swindow" -> (sessionWindowQ _),
     "q_jl" -> (jlQ _),
     "q_jlknn" -> (jlKnnQ _),
     "q_timetravel" -> (timeTravelQ _),
     "q_snapdelta" -> (snapDeltaQ _),
     "q_snapskip" -> (snapSkipQ _),
+    "q_scenecut" -> (sceneCutQ _),
     "q_cxxpush" -> (cxxPushQ _),
     "q_phash" -> (phashQ _),
     "q_urlnorm" -> (urlNorm _),
@@ -7698,12 +7807,15 @@ object Queries {
     "q_tpch4" -> Tpch4Sql,
     "q_tpch17" -> Tpch17Sql,
     "q_tpch22" -> Tpch22Sql,
+    "q_lateral" -> LateralSql,
+    "q_tpch20" -> Tpch20Sql,
     "q_swindow" -> sessionWindowSql,
     "q_jl" -> jlSql,
     "q_jlknn" -> jlKnnSql,
     "q_timetravel" -> timeTravelSql,
     "q_snapdelta" -> snapDeltaSql,
     "q_snapskip" -> snapSkipSql,
+    "q_scenecut" -> sceneCutSql,
     "q_cxxpush" -> cxxPushSql,
     "q_phash" -> phashSql,
     "q_urlnorm" -> urlNormSql,

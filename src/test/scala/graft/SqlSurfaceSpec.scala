@@ -40,6 +40,21 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"expected LeftAnti in:\n$p")
   }
 
+  test("q_lateral: correlated LIMIT subquery decorrelates (no lateral-loop exec)") {
+    val p = physical("q_lateral")
+    // the rewrite target is a ranked join (window or aggregated arm) —
+    // the must-not is a per-outer-row subquery execution node
+    assert(!p.contains("LateralJoin") && !p.contains("Subquery "),
+      s"lateral subquery survived planning:\n$p")
+    assert(p.contains("Join"), p)
+  }
+
+  test("q_tpch20: nested correlated scalars inside IN fully decorrelate") {
+    val p = physical("q_tpch20")
+    assert(!p.contains("Subquery "), s"scalar subquery survived planning:\n$p")
+    assert(p.contains("LeftSemi"), s"IN must plan as semi join:\n$p")
+  }
+
   test("the three subquery rows return plausible non-degenerate results") {
     val q4 = Queries.all("q_tpch4")(spark, dir).collect()
     assert(q4.nonEmpty && q4.forall(_.getLong(1) > 0))
