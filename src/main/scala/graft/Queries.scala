@@ -4764,6 +4764,46 @@ object Queries {
        |FROM p ORDER BY vec_id, dim""".stripMargin
   }
 
+  // ---------------------------------------------------------- Q-snappoint
+  // Bloom file skipping (Snapshot.publishSnapshotBloom /
+  // readSnapshotPoint): min/max stats only skip when the key
+  // correlates with layout; the per-file manifest BLOOM skips for ANY
+  // key distribution. The fixture hash-partitions customers 8 ways on
+  // c_custkey so names are SCATTERED (worst case for min/max), then a
+  // point lookup on one name opens only admitting files (~1 + fp·7 of
+  // 8; SnapshotTravelSpec pins the pruning) and the exact equality
+  // filter kills false positives. ORACLE replays the predicate on the
+  // seed, so a lost row at any skipped file diverges the hash.
+  private val SnapPointDir = s"$FixtureRoot/snappoint"
+
+  def snapPointQ(s: SparkSession, dir: String): DataFrame = {
+    publishOnce(SnapPointDir, dir) {
+      import java.nio.file.{Files => JF, Paths}
+      val base = Paths.get(SnapPointDir)
+      if (JF.exists(base)) {
+        val it = JF.walk(base).sorted(java.util.Comparator.reverseOrder())
+        it.forEach(p => JF.delete(p))
+      }
+      graft.operators.Snapshot.publishSnapshotBloom(
+        load(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .repartition(8, col("c_custkey")),
+        SnapPointDir, keyCol = "c_name")
+      ()
+    }
+    graft.operators.Snapshot
+      .readSnapshotPoint(s, SnapPointDir, 1, "Customer#000000042")
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      .orderBy("c_custkey")
+  }
+
+  private val snapPointSql =
+    """SELECT c_custkey, c_name,
+      |       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      |FROM customer WHERE c_name = 'Customer#000000042'
+      |ORDER BY c_custkey""".stripMargin
+
   // ----------------------------------------------------------- Q-scenecut
   // Video scene-cut detection PLUMBING: frame grid (Multimodal
   // .sampleFrames — in-row explode, frames born next to their payload),
@@ -7627,6 +7667,7 @@ object Queries {
     "q_snapdelta" -> (snapDeltaQ _),
     "q_snapskip" -> (snapSkipQ _),
     "q_scenecut" -> (sceneCutQ _),
+    "q_snappoint" -> (snapPointQ _),
     "q_cxxpush" -> (cxxPushQ _),
     "q_phash" -> (phashQ _),
     "q_urlnorm" -> (urlNorm _),
@@ -7816,6 +7857,7 @@ object Queries {
     "q_snapdelta" -> snapDeltaSql,
     "q_snapskip" -> snapSkipSql,
     "q_scenecut" -> sceneCutSql,
+    "q_snappoint" -> snapPointSql,
     "q_cxxpush" -> cxxPushSql,
     "q_phash" -> phashSql,
     "q_urlnorm" -> urlNormSql,

@@ -251,6 +251,103 @@ object Snapshot {
     else spark.read.parquet(added.map(f => s"$destDir/$f"): _*)
   }
 
+  /** Point-lookup file skipping for a NON-clustered key: publish with
+    * a per-file BLOOM over `keyCol` in the manifest. Min/max stats
+    * ([[readSnapshotRange]]) only skip when the key correlates with
+    * file layout; a bloom skips for ANY key distribution — the
+    * Iceberg/Delta bloom-skipping story on this layout. Building the
+    * per-file blooms is one extra scan of the key column at publish
+    * time (each file's bloom is [[graft.operators.Sketches.bloomBuild]]
+    * collapsed to ⌈mBits/63⌉ words — bounded by the bitmap, not the
+    * file); lookups then open only files whose bloom admits the key
+    * (no false negatives, ~fp-rate extra opens). Manifest lines:
+    * `path\t<word,word,…>` under a `#bloom=col,mBits,k` header. */
+  def publishSnapshotBloom(df: DataFrame, destDir: String, keyCol: String,
+                           mBits: Int = 63 * 64, k: Int = 4): Int = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(destDir).getFileSystem(conf)
+    val prev = latestVersion(spark, destDir)
+    val v = prev + 1
+    val dataDir = new Path(s"$destDir/data/v$v")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val lines = fs.listStatus(dataDir)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath).sortBy(_.getName)
+      .map { p =>
+        val words = Sketches.bloomBitmapWords(
+          Sketches.bloomBuild(spark.read.parquet(p.toString), keyCol,
+            mBits, k), mBits)
+        s"data/v$v/${p.getName}\t${words.mkString(",")}"
+      }.toSeq
+    val manifestDir = new Path(s"$destDir/manifest")
+    fs.mkdirs(manifestDir)
+    val tmp = new Path(s"$destDir/manifest/.tmp_v$v")
+    val out = fs.create(tmp, true)
+    out.write((s"#bloom=$keyCol,$mBits,$k" +: lines).mkString("\n")
+      .getBytes("UTF-8"))
+    out.close()
+    fs.rename(tmp, new Path(s"$destDir/manifest/v$v.txt"))
+    v
+  }
+
+  /** Driver-side replica of Sketches.bloomBit: shaHash32("bloom:j:v")
+    * mod mBits — first 4 sha256 bytes as an unsigned 32-bit value,
+    * identical to the engine/oracle expression. */
+  private def bloomBitScala(v: String, j: Int, mBits: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"bloom:$j:$v".getBytes("UTF-8"))
+    ((d.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))) % mBits).toInt
+  }
+
+  /** The files of bloom-published version `v` whose bloom admits
+    * `key` — driver-side manifest arithmetic, no data touched. */
+  def filesForKey(spark: org.apache.spark.sql.SparkSession,
+                  destDir: String, v: Int, key: String): Seq[String] = {
+    val (mBits, k) = bloomHeader(spark, destDir, v)._2
+    manifestLines(spark, destDir, v).filter { l =>
+      l.split("\t") match {
+        case Array(_, ws) =>
+          val words = ws.split(",").map(_.toLong)
+          (0 until k).forall { j =>
+            val p = bloomBitScala(key, j, mBits)
+            (words(p / 63) & (1L << (p % 63))) != 0
+          }
+        case _ => true
+      }
+    }.map(linePath)
+  }
+
+  private def bloomHeader(spark: org.apache.spark.sql.SparkSession,
+                          destDir: String,
+                          v: Int): (String, (Int, Int)) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(destDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val in = fs.open(new Path(s"$destDir/manifest/v$v.txt"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.split("\n").find(_.startsWith("#bloom="))
+      .map(_.stripPrefix("#bloom=").split(",") match {
+        case Array(c, m, kk) => (c, (m.toInt, kk.toInt))
+      })
+      .getOrElse(throw new IllegalArgumentException(
+        s"version $v of $destDir was not published with a bloom column"))
+  }
+
+  /** Point lookup over a bloom-published version: open only admitting
+    * files, then the exact equality filter (false positives die there;
+    * false negatives cannot exist). */
+  def readSnapshotPoint(spark: org.apache.spark.sql.SparkSession,
+                        destDir: String, v: Int, key: String): DataFrame = {
+    val c = bloomHeader(spark, destDir, v)._1
+    val files = filesForKey(spark, destDir, v, key)
+    if (files.isEmpty) readSnapshot(spark, destDir, v).limit(0).filter(lit(false))
+    else spark.read.parquet(files.map(f => s"$destDir/$f"): _*)
+      .filter(col(c) === key)
+  }
+
   /** Retention: delete data files referenced by NO manifest ≥
     * `keepFrom` and drop the older manifests — the vacuum that keeps
     * time travel bounded. Live files (referenced by any kept version)

@@ -98,6 +98,20 @@ class SnapshotTravelSpec extends SparkSpec {
       Seq(Seq(9L, "z"), Seq(10L, "y")))
   }
 
+  test("bloom manifest admits only files that can hold the key") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-ttb").toString
+    val df = (0L until 400L).map(k => (k, s"name_$k")).toDF("k", "name")
+      .repartition(8, col("k"))
+    Snapshot.publishSnapshotBloom(df, dest, keyCol = "name")
+    val hits = Snapshot.filesForKey(spark, dest, 1, "name_123")
+    assert(hits.nonEmpty && hits.size < 8,
+      s"expected bloom pruning, got ${hits.size} of 8 files")
+    assert(rows(Snapshot.readSnapshotPoint(spark, dest, 1, "name_123")) ===
+      Seq(Seq(123L, "name_123")))
+    // absent key: usually zero admitting files; NEVER a wrong row
+    assert(Snapshot.readSnapshotPoint(spark, dest, 1, "nope").count() == 0)
+  }
+
   test("append without a base refuses") {
     val dest = java.nio.file.Files.createTempDirectory("graft-tte").toString
     intercept[IllegalArgumentException] {
