@@ -70,19 +70,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
     val errField = if (errors.isEmpty) "" else s""","err":$errJson"""
-    // The driver captures only the LAST ~2000 chars of stdout — a 156-
-    // query JSON line (~4 KB) truncates mid-object and parses as null
-    // (BENCH_r08's `parsed: null`). Three emissions, most-complete
-    // first: (1) the full-precision full map early in stdout for the
-    // log, (2) the complete map to BENCH_FULL.json on disk, (3) a
-    // compact FINAL line — total over ALL queries + the 33-query
-    // BASELINE.md reconciliation subset at 3 decimals (~1 KB) — that
-    // fits whole inside the tail window even after sbt's banner.
+    // The driver captures only the LAST ~2000 chars of stdout — a 188-
+    // query JSON line (~5 KB) truncates mid-object and parses as null
+    // (BENCH_r08/r09's `parsed: null` came from the tail window opening
+    // mid-way through the full line printed before the compact one). So
+    // the full-precision map goes ONLY to disk, never stdout: full runs
+    // to BENCH_FULL.json, subset runs (SPARK_GRAFT_BENCH_QUERIES set) to
+    // BENCH_SOLO.json so a solo settlement run can never clobber the
+    // full-surface record the docs point at. stdout's final line is the
+    // compact one (total + 33-query BASELINE.md subset, ~1 KB) that fits
+    // whole inside the tail window even after sbt's banner.
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results, 4)},"sf":"$sfDir"$errField}"""
-    println(fullLine)
     try {
-      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      val fname = if (only.isDefined) "BENCH_SOLO.json" else "BENCH_FULL.json"
+      val p = java.nio.file.Paths.get(fname)
       java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Exception => () }
     val baselineSubset = Set(
@@ -94,7 +96,8 @@ object Bench {
       "q_quality", "q_report", "q_route", "q_sessions", "q_simhash",
       "q_stream", "q_tokens", "q_upsert", "q_validate", "q_windows")
     val compact = results.filter { case (k, _) => baselineSubset.contains(k) }
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n":${results.size},"nerr":${errors.size},"queries":${qjson(compact, 3)},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    val fullRef = if (only.isDefined) "BENCH_SOLO.json" else "BENCH_FULL.json"
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n":${results.size},"nerr":${errors.size},"queries":${qjson(compact, 3)},"full":"$fullRef","sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")

@@ -1307,6 +1307,10 @@ object Queries {
     val li = load(s, dir, "lineitem")
       .select(col("l_returnflag").as("flag"),
         col("l_extendedprice").as("price"))
+      // exactQuantiles drops null prices from the boundary ranking; state
+      // the same population for the bucketing pass, or null rows would
+      // land in bucket 0 here while the oracle's ranked CTE excludes them.
+      .filter(col("price").isNotNull)
     val bounds = Stats.exactQuantiles(li, "flag", "price",
       Seq(0.25, 0.5, 0.75))
     li.join(broadcast(bounds), "flag")
@@ -5262,6 +5266,369 @@ object Queries {
        |ORDER BY family, code""".stripMargin
   }
 
+  /** DuckDB expression for the barcode checksum char of a 9-char string
+    * expression `p9` (same arithmetic as registrySql's local helper). */
+  private def sqlBarcodeCk(p9: String): String = {
+    val s = s"CAST(list_aggregate(list_transform(generate_series(1, 9), " +
+      s"i -> ord(substr($p9, i, 1)) * i), 'sum') % 34 + 48 AS INTEGER)"
+    s"(CASE WHEN $s > 57 THEN chr($s + 7) ELSE chr($s) END)"
+  }
+
+  // ---------------------------------------------------------------- Q-qcml
+  // The experiment-REUSE-BY-TYPE prefix families + the attach-only one,
+  // three configs through one gate: qcml (MSQC, register-qcml-dropbox.py:
+  // 76-91), fastqc (NGSQC, register-fastqc-dropbox/script.py:61-77) —
+  // both take the project's existing experiment of their QC type, else
+  // create it as count+1 — and peptidedata (register-peptidedata-dropbox/
+  // script.py:82-88), which creates NOTHING and attaches the dataset to
+  // the found parent directly. Experiment seeds give project A an MS-QC
+  // experiment (reused) but no NGS one (created as count+1=4), project B
+  // the reverse; a pre-seeded peptide dataset row proves the attach is
+  // idempotent (appendNew keys on sample+path).
+  def qcmlQ(s: SparkSession, dir: String): DataFrame = {
+    val p = load(s, dir, "part").select(col("p_partkey").cast("long").as("k"))
+      .filter(pmod(col("k"), lit(20)) === 0)
+      .withColumn("j", floor(col("k") / 20))
+    val proj = concat(lit("QMSQ"), char(pmod(col("j"), lit(2)) + 65))
+    val parent = graft.functions.Barcode.make(proj,
+      floor(col("j") / 2) + 1, lit("E"))
+    val samples = p.select(parent.as("code"),
+      lit("Q_TEST_SAMPLE").as("sampleType"))
+    val qcmlIn = p.select(concat(lit("/in/"), parent, lit(".qcml")).as("path"))
+    val fastqcIn = p.filter(pmod(col("k"), lit(40)) === 0)
+      .select(concat(lit("/in/"), parent, lit("_fastqc.zip")).as("path"))
+    val pepIn = p.filter(pmod(col("k"), lit(60)) === 0)
+      .select(concat(lit("/in/"), parent, lit(".pep.xml")).as("path"))
+    val reg = load(s, dir, "region")
+      .select(col("r_regionkey").cast("long").as("r"))
+    val experiments = reg.select(
+      concat(lit("QMSQ"), char(pmod(col("r"), lit(2)) + 65)).as("project"),
+      (floor(col("r") / 2) + 1).as("num"),
+      when(col("r") === 2, lit("Q_EXT_MS_QUALITYCONTROL"))
+        .when(col("r") === 3, lit("Q_EXT_NGS_QUALITYCONTROL"))
+        .otherwise(lit("X")).as("expType"))
+    val noDs = p.select(lit("").as("code"), lit("").as("dsType"),
+      lit("").as("sample"), lit("").as("path")).filter(lit(false))
+    val pepSeed = p.filter(col("k") === 60)
+      .select(parent.as("code"), lit("Q_PEPTIDE_DATA").as("dsType"),
+        parent.as("sample"),
+        concat(lit("/in/"), parent, lit(".pep.xml")).as("path"))
+    val fam = graft.pipelines.PrefixRegistryPipeline.Families
+    val qc = graft.pipelines.PrefixRegistryPipeline.run(
+      fam("qcml"), qcmlIn, samples, experiments, noDs)
+    val fq = graft.pipelines.PrefixRegistryPipeline.run(
+      fam("fastqc"), fastqcIn, samples, experiments, noDs)
+    val pp = graft.pipelines.PrefixRegistryPipeline.run(
+      fam("peptidedata"), pepIn, samples, experiments, pepSeed)
+    qc.samples.select(lit("qcml").as("family"), col("code"),
+        col("parent"), col("exp_num"))
+      .unionByName(fq.samples.select(lit("fastqc").as("family"), col("code"),
+        col("parent"), col("exp_num")))
+      .unionByName(pp.datasets.select(lit("pep").as("family"), col("code"),
+        col("sample").as("parent"), lit(0L).as("exp_num")))
+      .orderBy("family", "code")
+  }
+
+  private val qcmlSql = {
+    val ck = sqlBarcodeCk("p9")
+    s"""WITH par AS (
+       |  SELECT CAST(p_partkey AS BIGINT) AS k,
+       |         'QMSQ' || chr(CAST((p_partkey // 20) % 2 AS INTEGER) + 65) AS proj,
+       |         'QMSQ' || chr(CAST((p_partkey // 20) % 2 AS INTEGER) + 65)
+       |           || lpad(CAST((p_partkey // 20) // 2 + 1 AS VARCHAR), 3, '0')
+       |           || 'E' AS p9
+       |  FROM part WHERE p_partkey % 20 = 0),
+       |par2 AS (SELECT k, proj, p9 || $ck AS code FROM par),
+       |exps AS (
+       |  SELECT 'QMSQ' || chr(CAST(r_regionkey % 2 AS INTEGER) + 65) AS project,
+       |         CAST(r_regionkey // 2 + 1 AS BIGINT) AS num,
+       |         CASE WHEN r_regionkey = 2 THEN 'MS'
+       |              WHEN r_regionkey = 3 THEN 'NGS' ELSE 'X' END AS t
+       |  FROM region),
+       |agg AS (SELECT project,
+       |          max(CASE WHEN t = 'MS' THEN num END) AS ms,
+       |          max(CASE WHEN t = 'NGS' THEN num END) AS ngs,
+       |          count(*) AS cnt
+       |        FROM exps GROUP BY 1),
+       |qout AS (SELECT 'qcml' AS family, 'MSQC' || c.code AS code,
+       |                c.code AS parent,
+       |                coalesce(a.ms, coalesce(a.cnt, 0) + 1) AS exp_num
+       |         FROM par2 c LEFT JOIN agg a ON a.project = c.proj),
+       |fout AS (SELECT 'fastqc' AS family, 'NGSQC' || c.code AS code,
+       |                c.code AS parent,
+       |                coalesce(a.ngs, coalesce(a.cnt, 0) + 1) AS exp_num
+       |         FROM par2 c LEFT JOIN agg a ON a.project = c.proj
+       |         WHERE c.k % 40 = 0),
+       |pout AS (SELECT DISTINCT 'pep' AS family, code, code AS parent,
+       |                CAST(0 AS BIGINT) AS exp_num
+       |         FROM par2 WHERE k % 60 = 0)
+       |SELECT family, code, parent, exp_num FROM qout
+       |UNION ALL SELECT family, code, parent, exp_num FROM fout
+       |UNION ALL SELECT family, code, parent, exp_num FROM pout
+       |ORDER BY family, code""".stripMargin
+  }
+
+  // ------------------------------------------------------------- Q-epitope
+  // The epitope-selection dropbox (register-epitope-selection.py:30-88)
+  // through PrefixRegistryPipeline.runEpitope: lookup keyed on the
+  // WORKFLOW sample code, VAC<n> numbers gap-filling against the
+  // catalog's existing VAC constructs (seeds VAC1/VAC3 force n=2 first),
+  // experiment suffixes scanned upward FROM count+1 over a gapped seed
+  // set (project A owns {1,3,5} → first new suffix 4, then 6…).
+  def epitopeQ(s: SparkSession, dir: String): DataFrame = {
+    val p = load(s, dir, "part").select(col("p_partkey").cast("long").as("k"))
+      .filter(pmod(col("k"), lit(20)) === 0)
+      .withColumn("j", floor(col("k") / 20))
+    val proj = concat(lit("QEP"), char(pmod(col("j"), lit(2)) + 65), lit("X"))
+    val barcode = graft.functions.Barcode.make(proj,
+      floor(col("j") / 2) + 1, lit("E"))
+    val wf = concat(proj, lit("E"),
+      lpad((pmod(floor(col("j") / 2), lit(99)) + 1).cast("string"), 2, "0"),
+      lit("A1"))
+    val incoming = p.select(concat(lit("/in/"), barcode, lit("__"), wf,
+      lit("_epitopes.txt")).as("path"))
+    val wfs = p.select(wf.as("code")).distinct()
+    val vacSeeds = wfs
+      .filter(pmod(substring(col("code"), 7, 2).cast("long"), lit(3)) === 0)
+      .select(explode(array(concat(lit("VAC1"), col("code")),
+        concat(lit("VAC3"), col("code")))).as("code"))
+    val samples = wfs.select(col("code"),
+        lit("Q_WF_NGS_EPITOPE_PREDICTION_RUN").as("sampleType"))
+      .unionByName(vacSeeds.select(col("code"),
+        lit("Q_VACCINE_CONSTRUCT").as("sampleType")))
+    val reg = load(s, dir, "region")
+      .select(col("r_regionkey").cast("long").as("r"))
+    val experiments = reg.select(
+      concat(lit("QEP"), char(pmod(col("r"), lit(2)) + 65), lit("X")).as("project"),
+      (col("r") + 1).as("num"),
+      lit("Q_NGS_EPITOPE_SELECTION").as("expType"))
+    val noDs = p.select(lit("").as("code"), lit("").as("dsType"),
+      lit("").as("sample"), lit("").as("path")).filter(lit(false))
+    val res = graft.pipelines.PrefixRegistryPipeline.runEpitope(
+      incoming, samples, experiments, noDs)
+    res.samples.select(col("code"), col("parent"), col("project"),
+      col("exp_num")).orderBy("code")
+  }
+
+  private val epitopeSql = {
+    val ck = sqlBarcodeCk("p9")
+    s"""WITH par AS (
+       |  SELECT CAST(p_partkey AS BIGINT) AS k,
+       |         CAST(p_partkey // 20 AS BIGINT) AS j,
+       |         'QEP' || chr(CAST((p_partkey // 20) % 2 AS INTEGER) + 65)
+       |           || 'X' AS proj
+       |  FROM part WHERE p_partkey % 20 = 0),
+       |par1 AS (SELECT k, j, proj,
+       |           proj || lpad(CAST(j // 2 + 1 AS VARCHAR), 3, '0') || 'E' AS p9,
+       |           proj || 'E' || lpad(CAST((j // 2) % 99 + 1 AS VARCHAR), 2, '0')
+       |             || 'A1' AS wf
+       |         FROM par),
+       |par2 AS (SELECT k, j, proj, wf,
+       |           '/in/' || p9 || $ck || '__' || wf || '_epitopes.txt' AS path
+       |         FROM par1),
+       |wfs AS (SELECT DISTINCT wf FROM par2),
+       |vacused AS (SELECT wf, unnest([CAST(1 AS BIGINT), CAST(3 AS BIGINT)]) AS num
+       |            FROM wfs WHERE CAST(substr(wf, 7, 2) AS BIGINT) % 3 = 0),
+       |vagg AS (SELECT wf, max(num) AS mn FROM vacused GROUP BY 1),
+       |rows0 AS (SELECT k, proj, wf, path,
+       |            row_number() OVER (PARTITION BY wf ORDER BY path) AS vrk,
+       |            row_number() OVER (PARTITION BY proj ORDER BY path) AS erk
+       |          FROM par2),
+       |vcnt AS (SELECT wf, count(*) AS bc FROM rows0 GROUP BY 1),
+       |vfree AS (SELECT wf, num,
+       |            row_number() OVER (PARTITION BY wf ORDER BY num) AS frank
+       |          FROM (SELECT c.wf,
+       |                  unnest(generate_series(1, coalesce(a.mn, 0) + c.bc)) AS num
+       |                FROM vcnt c LEFT JOIN vagg a ON a.wf = c.wf) x
+       |          WHERE NOT EXISTS (SELECT 1 FROM vacused u
+       |                            WHERE u.wf = x.wf AND u.num = x.num)),
+       |exps AS (SELECT 'QEP' || chr(CAST(r_regionkey % 2 AS INTEGER) + 65)
+       |                  || 'X' AS project,
+       |                CAST(r_regionkey AS BIGINT) + 1 AS num FROM region),
+       |eagg AS (SELECT project, max(num) AS mn, count(*) AS cnt
+       |         FROM exps GROUP BY 1),
+       |ecnt AS (SELECT proj, count(*) AS bc FROM rows0 GROUP BY 1),
+       |efree AS (SELECT proj, num,
+       |            row_number() OVER (PARTITION BY proj ORDER BY num) AS frank
+       |          FROM (SELECT c.proj, coalesce(a.cnt, 0) AS cnt,
+       |                  unnest(generate_series(1,
+       |                    greatest(coalesce(a.mn, 0), coalesce(a.cnt, 0)) + c.bc)) AS num
+       |                FROM ecnt c LEFT JOIN eagg a ON a.project = c.proj) x
+       |          WHERE num > cnt
+       |            AND NOT EXISTS (SELECT 1 FROM exps e
+       |                            WHERE e.project = x.proj AND e.num = x.num))
+       |SELECT 'VAC' || CAST(v.num AS VARCHAR) || r.wf AS code, r.wf AS parent,
+       |       r.proj AS project, e.num AS exp_num
+       |FROM rows0 r
+       |JOIN vfree v ON v.wf = r.wf AND v.frank = r.vrk
+       |JOIN efree e ON e.proj = r.proj AND e.frank = r.erk
+       |ORDER BY code""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- Q-ivac
+  // register-ivac-lvl's 4-tier chain (reporting-plugins/register-ivac-lvl/
+  // script.py:14-83) through IvacChainPipeline.register: every 50th
+  // customer becomes a patient — one Q_BIOLOGICAL_ENTITY (+ the
+  // Q_PROJECT_DETAILS / Q_EXPERIMENTAL_DESIGN experiment pair), two
+  // biological samples, DNA+RNA test samples per bio sample, one NGS run
+  // per test sample, with the parent edge set built tier by tier. Patient
+  // 1's entity is pre-seeded in the catalog (empty props), so the gate
+  // also proves appendNew drops the duplicate create.
+  def ivacQ(s: SparkSession, dir: String): DataFrame = {
+    val base = load(s, dir, "customer")
+      .filter(pmod(col("c_custkey"), lit(50)) === 0)
+      .select((col("c_custkey") / 50).cast("long").as("pid"),
+        col("c_name").as("secondary"))
+      .withColumn("pc",
+        concat(lit("QIVC"), lpad(col("pid").cast("string"), 3, "0")))
+    val level1 = base.select(
+      concat(col("pc"), lit("_INFO")).as("details_code"),
+      map(lit("Q_SECONDARY_NAME"), col("secondary")).as("details_props"),
+      concat(col("pc"), lit("_DSGN")).as("exp_code"),
+      map(lit("Q_SECONDARY_NAME"), col("secondary"),
+        lit("Q_CURRENT_STATUS"), lit("FINISHED")).as("exp_props"),
+      concat(col("pc"), lit("_ENT")).as("sample_code"),
+      map(lit("Q_NCBI_ORGANISM"), lit("9606"),
+        lit("Q_SECONDARY_NAME"), col("secondary")).as("sample_props"))
+    val bio = base.select(col("pc"), explode(array(lit(1), lit(2))).as("b"))
+    val level2 = bio.select(
+      concat(col("pc"), lit("_EXT"), col("b")).as("exp_code"),
+      concat(col("pc"), lit("_BIO"), col("b")).as("sample_code"),
+      concat(col("pc"), lit("_ENT")).as("parent"),
+      map(lit("Q_PRIMARY_TISSUE"),
+        when(col("b") === 1, lit("Blood")).otherwise(lit("Tumor")),
+        lit("Q_TISSUE_DETAILED"), lit("NA")).as("sample_props"))
+    val tst = bio.select(col("pc"), col("b"),
+      explode(array(lit("DNA"), lit("RNA"))).as("t"))
+    val level3 = tst.select(
+      concat(col("pc"), lit("_PREP"), col("b"), col("t")).as("exp_code"),
+      concat(col("pc"), lit("_TST"), col("b"), col("t")).as("sample_code"),
+      concat(col("pc"), lit("_BIO"), col("b")).as("parent"),
+      map(lit("Q_SAMPLE_TYPE"), col("t")).as("sample_props"))
+    val level4 = tst.select(
+      concat(col("pc"), lit("_MEAS"), col("b"), col("t")).as("exp_code"),
+      concat(col("pc"), lit("_RUN"), col("b"), col("t")).as("sample_code"),
+      concat(col("pc"), lit("_TST"), col("b"), col("t")).as("parent"),
+      map(lit("Q_SEQUENCING_TYPE"), col("t"),
+        lit("Q_CURRENT_STATUS"), lit("STARTED"),
+        lit("Q_SEQUENCER_DEVICE"), lit("ILLUMINA")).as("exp_props"))
+    val seedSamples = base.filter(col("pid") === 1).select(
+      concat(col("pc"), lit("_ENT")).as("code"),
+      lit("Q_BIOLOGICAL_ENTITY").as("sampleType"),
+      concat(col("pc"), lit("_DSGN")).as("experiment"),
+      map().cast("map<string,string>").as("props"))
+    val noExp = level1.limit(0).select(col("details_code").as("code"),
+      lit("").as("expType"), col("details_props").as("props"))
+    val noEdge = level2.limit(0).select(col("parent"),
+      col("sample_code").as("child"))
+    val res = graft.pipelines.IvacChainPipeline.register(
+      seedSamples, noExp, noEdge, level1, level2, level3, level4)
+    val sOut = res.samples
+      .join(res.edges.withColumnRenamed("child", "code"), Seq("code"), "left")
+      .select(lit("sample").as("kind"), col("code"),
+        col("sampleType").as("typ"), col("experiment").as("link"),
+        coalesce(col("parent"), lit("")).as("parent"),
+        coalesce(element_at(col("props"), "Q_SAMPLE_TYPE"),
+          element_at(col("props"), "Q_NCBI_ORGANISM"), lit("")).as("prop"))
+    val eOut = res.experiments.select(lit("exp").as("kind"), col("code"),
+      col("expType").as("typ"), lit("").as("link"), lit("").as("parent"),
+      coalesce(element_at(col("props"), "Q_SEQUENCING_TYPE"), lit(""))
+        .as("prop"))
+    sOut.unionByName(eOut).orderBy("kind", "code")
+  }
+
+  private val ivacSql =
+    """WITH pat AS (
+      |  SELECT CAST(c_custkey // 50 AS BIGINT) AS pid,
+      |         'QIVC' || lpad(CAST(c_custkey // 50 AS VARCHAR), 3, '0') AS pc
+      |  FROM customer WHERE c_custkey % 50 = 0),
+      |b AS (SELECT pc, pid, unnest([1, 2]) AS b FROM pat),
+      |t AS (SELECT pc, pid, b, unnest(['DNA', 'RNA']) AS t FROM b),
+      |samp AS (
+      |  SELECT pc || '_ENT' AS code, 'Q_BIOLOGICAL_ENTITY' AS typ,
+      |         pc || '_DSGN' AS link, '' AS parent,
+      |         CASE WHEN pid = 1 THEN '' ELSE '9606' END AS prop FROM pat
+      |  UNION ALL
+      |  SELECT pc || '_BIO' || CAST(b AS VARCHAR), 'Q_BIOLOGICAL_SAMPLE',
+      |         pc || '_EXT' || CAST(b AS VARCHAR), pc || '_ENT', '' FROM b
+      |  UNION ALL
+      |  SELECT pc || '_TST' || CAST(b AS VARCHAR) || t, 'Q_TEST_SAMPLE',
+      |         pc || '_PREP' || CAST(b AS VARCHAR) || t,
+      |         pc || '_BIO' || CAST(b AS VARCHAR), t FROM t
+      |  UNION ALL
+      |  SELECT pc || '_RUN' || CAST(b AS VARCHAR) || t,
+      |         'Q_NGS_SINGLE_SAMPLE_RUN',
+      |         pc || '_MEAS' || CAST(b AS VARCHAR) || t,
+      |         pc || '_TST' || CAST(b AS VARCHAR) || t, '' FROM t),
+      |exp AS (
+      |  SELECT pc || '_INFO' AS code, 'Q_PROJECT_DETAILS' AS typ,
+      |         '' AS prop FROM pat
+      |  UNION ALL SELECT pc || '_DSGN', 'Q_EXPERIMENTAL_DESIGN', '' FROM pat
+      |  UNION ALL SELECT pc || '_EXT' || CAST(b AS VARCHAR),
+      |            'Q_SAMPLE_EXTRACTION', '' FROM b
+      |  UNION ALL SELECT pc || '_PREP' || CAST(b AS VARCHAR) || t,
+      |            'Q_SAMPLE_PREPARATION', '' FROM t
+      |  UNION ALL SELECT pc || '_MEAS' || CAST(b AS VARCHAR) || t,
+      |            'Q_NGS_MEASUREMENT', t FROM t)
+      |SELECT 'sample' AS kind, code, typ, link, parent, prop FROM samp
+      |UNION ALL
+      |SELECT 'exp' AS kind, code, typ, '' AS link, '' AS parent, prop FROM exp
+      |ORDER BY kind, code""".stripMargin
+
+  // ---------------------------------------------------------- Q-samplebatch
+  // register-sample-batch (reporting-plugins/register-sample-batch/
+  // script.py:19-62) through MutationServices.registerSampleBatch, BOTH
+  // modes in one row: every 3rd batch row collides with a pre-existing
+  // code (strict → SAMPLE_ALREADY_CREATED error rows, the engine form of
+  // the reference's SampleAlreadyExistsError raise; IGNORE EXISTING →
+  // silently 'skipped'), and every (k/10)%3==2 row names an experiment
+  // absent from the catalog (EXPERIMENT_NOT_FOUND either way). Good rows
+  // commit regardless — the partial-batch semantics the per-row error
+  // channel exists for.
+  def sampleBatchQ(s: SparkSession, dir: String): DataFrame = {
+    val sup = load(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long").as("k"))
+      .filter(pmod(col("k"), lit(10)) === 0)
+    val batch = sup.select(
+      concat(lit("QSMB"), lpad(col("k").cast("string"), 5, "0")).as("code"),
+      concat(lit("QSMBE"),
+        (pmod(floor(col("k") / 10), lit(3)) + 1).cast("string")).as("experiment"),
+      lit("Q_TEST_SAMPLE").as("sampleType"),
+      map(lit("Q_SECONDARY_NAME"),
+        concat(lit("s"), col("k").cast("string"))).as("props"))
+    val existing = sup.filter(pmod(col("k"), lit(30)) === 0).select(
+      concat(lit("QSMB"), lpad(col("k").cast("string"), 5, "0")).as("code"),
+      lit("QSMBE1").as("experiment"), lit("Q_TEST_SAMPLE").as("sampleType"),
+      map().cast("map<string,string>").as("props"))
+    val exps = load(s, dir, "region").filter(col("r_regionkey") < 2)
+      .select(concat(lit("QSMBE"),
+        (col("r_regionkey") + 1).cast("string")).as("code"))
+    val strict = graft.pipelines.MutationServices.registerSampleBatch(
+      existing, exps, batch, ignoreExisting = false)
+    val ignore = graft.pipelines.MutationServices.registerSampleBatch(
+      existing, exps, batch, ignoreExisting = true)
+    strict.status.select(lit("strict").as("mode"), col("code"), col("status"))
+      .unionByName(ignore.status
+        .select(lit("ignore").as("mode"), col("code"), col("status")))
+      .orderBy("mode", "code")
+  }
+
+  private val sampleBatchSql =
+    """WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier
+      |             WHERE s_suppkey % 10 = 0),
+      |b AS (SELECT k, 'QSMB' || lpad(CAST(k AS VARCHAR), 5, '0') AS code,
+      |             (k // 10) % 3 AS e3, k % 30 = 0 AS coll FROM sup)
+      |SELECT 'strict' AS mode, code,
+      |       CASE WHEN coll THEN 'SAMPLE_ALREADY_CREATED'
+      |            WHEN e3 = 2 THEN 'EXPERIMENT_NOT_FOUND'
+      |            ELSE 'created' END AS status FROM b
+      |UNION ALL
+      |SELECT 'ignore' AS mode, code,
+      |       CASE WHEN coll THEN 'skipped'
+      |            WHEN e3 = 2 THEN 'EXPERIMENT_NOT_FOUND'
+      |            ELSE 'created' END AS status FROM b
+      |ORDER BY mode, code""".stripMargin
+
   // ------------------------------------------------------- Q-copydataset
   // K9 through the gate: a source dataset tree (25 per-nation files in
   // region dirs + a manifest under meta/) is rendered from testdata,
@@ -7653,6 +8020,10 @@ object Queries {
     "q_nmr" -> (nmrQ _),
     "q_copydataset" -> (copyDatasetQ _),
     "q_registry" -> (registryQ _),
+    "q_qcml" -> (qcmlQ _),
+    "q_epitope" -> (epitopeQ _),
+    "q_ivac" -> (ivacQ _),
+    "q_samplebatch" -> (sampleBatchQ _),
     "q_pdf" -> (pdfQ _),
     "q_tpch5" -> (tpch5Q _),
     "q_tpch4" -> (tpch4Q _),
@@ -7843,6 +8214,10 @@ object Queries {
     "q_nmr" -> nmrSql,
     "q_copydataset" -> copyDatasetSql,
     "q_registry" -> registrySql,
+    "q_qcml" -> qcmlSql,
+    "q_epitope" -> epitopeSql,
+    "q_ivac" -> ivacSql,
+    "q_samplebatch" -> sampleBatchSql,
     "q_pdf" -> pdfSql,
     "q_tpch5" -> Tpch5Sql,
     "q_tpch4" -> Tpch4Sql,

@@ -136,7 +136,13 @@ object Snapshot {
         statsCol match {
           case Some(c) =>
             val (rows, mn, mx) = footerStats(conf, p, c)
-            s"$rel\t$rows\t$mn\t$mx"
+            // mn > mx ⇔ no block carried usable stats for statsCol
+            // (stats disabled, or column all-null in every block that
+            // recorded them). Emitting sentinel min/max here would make
+            // filesForRange PRUNE the file — the opposite of the
+            // "skipping must never lose rows" invariant — so emit the
+            // bare path and let the catch-all keep it.
+            if (mn > mx) rel else s"$rel\t$rows\t$mn\t$mx"
           case None => rel
         }
       }.toSeq
@@ -151,7 +157,13 @@ object Snapshot {
     out.write((header ++ carried ++ newFiles).mkString("\n")
       .getBytes("UTF-8"))
     out.close()
-    fs.rename(tmp, new Path(s"$destDir/manifest/v$v.txt"))
+    // rename is the commit point; a false return means another publisher
+    // claimed v<k> first — surface the lost race instead of returning a
+    // version number whose manifest the caller didn't actually write.
+    if (!fs.rename(tmp, new Path(s"$destDir/manifest/v$v.txt")))
+      throw new IllegalStateException(
+        s"snapshot version v$v of $destDir already committed by a " +
+          "concurrent publisher; this publish's data files are orphans")
     v
   }
 
@@ -288,7 +300,10 @@ object Snapshot {
     out.write((s"#bloom=$keyCol,$mBits,$k" +: lines).mkString("\n")
       .getBytes("UTF-8"))
     out.close()
-    fs.rename(tmp, new Path(s"$destDir/manifest/v$v.txt"))
+    if (!fs.rename(tmp, new Path(s"$destDir/manifest/v$v.txt")))
+      throw new IllegalStateException(
+        s"snapshot version v$v of $destDir already committed by a " +
+          "concurrent publisher; this publish's data files are orphans")
     v
   }
 

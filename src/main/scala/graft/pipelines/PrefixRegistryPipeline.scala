@@ -29,7 +29,9 @@ case class PrefixFamily(
     expType: String,
     sampleType: String,
     dsType: String,
-    numberedPrefix: Boolean = false)
+    numberedPrefix: Boolean = false,
+    reuseExpByType: Boolean = false,
+    attachToParent: Boolean = false)
 
 /** The parameterized prefix-registry dropbox (SURVEY §1.2's prefix
   * table): every simple family is ONE config through [[run]]; NMR's two
@@ -51,7 +53,30 @@ object PrefixRegistryPipeline {
     "fasta" -> PrefixFamily("FASTA", "Q_FASTA_INFO", "Q_FASTA",
       "Q_FASTA_DATA", numberedPrefix = true),
     "nmr" -> PrefixFamily("NMR", "Q_NMR_MEASUREMENT", "Q_NMR_SAMPLE_RUN",
-      "Q_NMR_RAW_DATA"))
+      "Q_NMR_RAW_DATA"),
+    // qcml (register-qcml-dropbox.py:76-91) and fastqc
+    // (register-fastqc-dropbox/script.py:61-77): MSQC/NGSQC + parentCode,
+    // experiment REUSED by type — the project's existing QC experiment is
+    // taken, else created as count+1 (no free-suffix walk in the
+    // reference for these two).
+    "qcml" -> PrefixFamily("MSQC", "Q_EXT_MS_QUALITYCONTROL",
+      "Q_EXT_MS_QUALITYCONTROL_RUN", "Q_EXT_MS_QUALITYCONTROL_RESULTS",
+      reuseExpByType = true),
+    "fastqc" -> PrefixFamily("NGSQC", "Q_EXT_NGS_QUALITYCONTROL",
+      "Q_EXT_NGS_QUALITYCONTROL_RUN", "Q_EXT_NGS_QUALITYCONTROL_RESULTS",
+      reuseExpByType = true),
+    // peptidedata (register-peptidedata-dropbox/script.py:82-88): no new
+    // sample or experiment at all — the dataset attaches DIRECTLY to the
+    // found parent sample.
+    "peptidedata" -> PrefixFamily("", "", "", "Q_PEPTIDE_DATA",
+      attachToParent = true),
+    // epitope-selection (register-epitope-selection.py:48-88) diverges
+    // enough (workflow-sample key, catalog-wide VAC<n> free-number scan,
+    // experiment suffix starting past count) to get [[runEpitope]]; the
+    // config row carries its type strings.
+    "epitope" -> PrefixFamily("VAC", "Q_NGS_EPITOPE_SELECTION",
+      "Q_VACCINE_CONSTRUCT", "Q_VACCINE_CONSTRUCT_DATA",
+      numberedPrefix = true))
 
   /** Letters A..X — Y and Z are never used "due to international input
     * devices switching these letters" (register-nmr.py:48-50). */
@@ -85,27 +110,40 @@ object PrefixRegistryPipeline {
     * row_number over the batch, j-th free slot found in-row with a
     * bounded `sequence` (the j-th free suffix is ≤ max_used + j).
     *
-    * @param existing (project, num) used suffixes
-    * @param fresh    batch rows carrying `projectCol`
+    * @param existing      (project, num) used suffixes
+    * @param fresh         batch rows carrying `projectCol`
+    * @param afterExisting scan for free suffixes strictly ABOVE the
+    *                      existing COUNT instead of from 1 — the epitope
+    *                      experiment rule (register-epitope-selection.py:
+    *                      73-79 starts at len(existing)+1 and walks up),
+    *                      vs the qPCR gap-filling walk from 1.
     * @return fresh plus `exp_num`
     */
   def firstFreeSuffixes(existing: DataFrame, fresh: DataFrame,
-                        projectCol: String, orderBy: Column): DataFrame = {
+                        projectCol: String, orderBy: Column,
+                        afterExisting: Boolean = false): DataFrame = {
     val agg = existing
       .groupBy(col("project").as("__ff_proj"))
       .agg(collect_set(col("num").cast("long")).as("__used"),
-        max(col("num").cast("long")).as("__maxn"))
+        max(col("num").cast("long")).as("__maxn"),
+        count(lit(1)).as("__cnt"))
     val w = Window.partitionBy(col(projectCol)).orderBy(orderBy)
+    // j-th free suffix above `floor` is ≤ max(maxn, floor) + j: the range
+    // (floor, max(maxn,floor)+j] holds at most maxn-floor used values, so
+    // at least j frees — the in-row `sequence` stays bounded.
+    val floor =
+      if (afterExisting) coalesce(col("__cnt"), lit(0L)) else lit(0L)
     fresh.join(broadcast(agg), fresh(projectCol) === col("__ff_proj"), "left")
       .drop("__ff_proj")
       .withColumn("__rank", row_number().over(w).cast("long"))
       .withColumn("__frees",
-        filter(sequence(lit(1L), coalesce(col("__maxn"), lit(0L)) + col("__rank")),
-          x => !array_contains(coalesce(col("__used"),
+        filter(sequence(lit(1L),
+          greatest(coalesce(col("__maxn"), lit(0L)), floor) + col("__rank")),
+          x => x > floor && !array_contains(coalesce(col("__used"),
             array().cast("array<long>")), x)))
       .withColumn("exp_num",
         element_at(slice(col("__frees"), col("__rank").cast("int"), lit(1)), 1))
-      .drop("__used", "__maxn", "__rank", "__frees")
+      .drop("__used", "__maxn", "__cnt", "__rank", "__frees")
   }
 
   case class Result(datasets: DataFrame, samples: DataFrame,
@@ -136,10 +174,48 @@ object PrefixRegistryPipeline {
       Errors.SampleNotFound).drop("__miss")
     val (ok, errors) = Errors.split(tagged)
 
+    // peptidedata's whole registration is one dataset attach to the found
+    // parent — no experiment, no run sample (script.py:82-88).
+    if (family.attachToParent) {
+      val newDatasets = Catalog.appendNew(
+        datasets.select("code", "dsType", "sample", "path"),
+        ok.select(col("barcode").as("code"), lit(family.dsType).as("dsType"),
+          col("barcode").as("sample"), col("path")),
+        Seq("sample", "path"))
+      val none = ok.limit(0)
+      return Result(newDatasets,
+        none.select(col("barcode").as("code"), lit("").as("sampleType"),
+          col("barcode").as("parent"), col("barcode").as("project"),
+          lit(0L).as("exp_num")),
+        none.select(col("barcode").as("project"), lit(0L).as("num"),
+          lit("").as("expType")),
+        errors)
+    }
+
     val withProject = ok.withColumn("project", Barcode.project(col("barcode")))
-    val numbered = firstFreeSuffixes(
-      experiments.select(col("project"), col("num")),
-      withProject, "project", col("path"))
+    // Experiment assignment: the qPCR/RMA/IM/FASTA families walk the
+    // first FREE suffix per registration; qcml/fastqc REUSE the project's
+    // existing experiment of the family type, creating it as count+1
+    // only when absent (register-qcml-dropbox.py:76-84) — so every batch
+    // row of a project shares ONE suffix there.
+    val numbered =
+      if (family.reuseExpByType) {
+        val expAgg = experiments
+          .groupBy(col("project").as("__ex_proj"))
+          .agg(max(when(col("expType") === family.expType,
+            col("num").cast("long"))).as("__reuse"),
+            count(lit(1)).as("__n_exp"))
+        withProject
+          .join(broadcast(expAgg), col("project") === col("__ex_proj"), "left")
+          .drop("__ex_proj")
+          .withColumn("exp_num",
+            coalesce(col("__reuse"), coalesce(col("__n_exp"), lit(0L)) + 1L))
+          .withColumn("__exp_created", col("__reuse").isNull)
+          .drop("__reuse", "__n_exp")
+      } else firstFreeSuffixes(
+        experiments.select(col("project"), col("num")),
+        withProject, "project", col("path"))
+        .withColumn("__exp_created", lit(true))
 
     // FASTA's numbered prefix: per-PARENT sequence (vcNumber,
     // register-fasta-dropbox.py:121-130); plain families use the bare
@@ -155,7 +231,7 @@ object PrefixRegistryPipeline {
         numbered.withColumn("run_sample",
           concat(lit(family.samplePrefix), col("barcode")))
 
-    val newExperiments = prefixed
+    val newExperiments = prefixed.filter(col("__exp_created"))
       .select(col("project"), col("exp_num").as("num"),
         lit(family.expType).as("expType")).distinct()
     val newSamples = prefixed.select(
@@ -274,5 +350,88 @@ object PrefixRegistryPipeline {
         col("run_sample").as("sample"), col("path")),
       Seq("sample", "path"))
     Result(newDatasets, molecules.unionByName(runs), newExperiments, errors)
+  }
+
+  /** The workflow-sample pattern epitope files carry
+    * (register-epitope-selection.py:17-18): `Q<4>E<2><2>`. */
+  val WfSamplePattern = "Q[A-Z0-9]{4}E[0-9]{2}[A-Z0-9]{2}"
+
+  /** Epitope-selection's divergent instance
+    * (register-epitope-selection.py:30-88). Three rules on top of
+    * [[run]]'s shape:
+    *
+    *  1. The lookup key is the WORKFLOW sample code (`Q<4>E<2><2>`,
+    *     sPattern at :18,33), not the barcode; the barcode still
+    *     supplies the project (:35-36).
+    *  2. The new sample is `VAC<n><wfSample>` where n is the first
+    *     FREE number per workflow sample — the reference walks n=1,2,…
+    *     against every existing sample id of the project (:47-62), so
+    *     already-registered VAC constructs leave gaps that refill.
+    *     That is [[firstFreeSuffixes]] keyed on the wf code, fed the
+    *     catalog's decomposed VAC numbers.
+    *  3. A NEW experiment per registration, suffix scanned upward FROM
+    *     count+1 (`len(existing)+1`, then while-collision ++, :73-79) —
+    *     [[firstFreeSuffixes]] with `afterExisting = true`.
+    */
+  def runEpitope(incoming: DataFrame, samples: DataFrame,
+                 experiments: DataFrame, datasets: DataFrame): Result = {
+    val family = Families("epitope")
+    val parsed = incoming
+      .withColumn("barcode", Barcode.extract(col("path")))
+      .withColumn("wf_sample",
+        regexp_extract(col("path"), WfSamplePattern, 0))
+      .transform(Errors.tag(_,
+        length(col("barcode")) === 0 || length(col("wf_sample")) === 0,
+        Errors.MetadataFormatting))
+      .transform(Errors.tag(_,
+        length(col("barcode")) > 0 && !Barcode.isValid(col("barcode")),
+        Errors.ChecksumMismatch))
+    val looked = Joins.lookup(parsed,
+      samples.select(col("code").as("wf_sample"),
+        col("sampleType").as("__wf_type")), Seq("wf_sample"))
+    val tagged = Errors.tag(looked, col("__miss") && size(col("__errors")) === 0,
+      Errors.SampleNotFound).drop("__miss", "__wf_type")
+    val (ok, errors) = Errors.split(tagged)
+    val withProject = ok.withColumn("project", Barcode.project(col("barcode")))
+
+    // Rule 2: decompose existing VAC<n><wf> codes into (wf, n) used pairs;
+    // per-wf used sets are small (constructs per workflow sample), so the
+    // free-number join stays broadcast.
+    val vacUsed = samples
+      .select(regexp_extract(col("code"),
+        s"^VAC([0-9]+)($WfSamplePattern)$$", 2).as("project"),
+        regexp_extract(col("code"),
+          s"^VAC([0-9]+)($WfSamplePattern)$$", 1).as("__n"))
+      .filter(length(col("project")) > 0)
+      .select(col("project"), col("__n").cast("long").as("num"))
+    val vacNumbered = firstFreeSuffixes(vacUsed,
+      withProject.withColumnRenamed("project", "__proj_keep")
+        .withColumnRenamed("wf_sample", "project"),
+      "project", col("path"))
+      .withColumnRenamed("exp_num", "vac_num")
+      .withColumnRenamed("project", "wf_sample")
+      .withColumnRenamed("__proj_keep", "project")
+
+    // Rule 3: experiment suffix from count+1 upward.
+    val numbered = firstFreeSuffixes(
+      experiments.select(col("project"), col("num")),
+      vacNumbered, "project", col("path"), afterExisting = true)
+
+    val prefixed = numbered.withColumn("run_sample",
+      concat(lit(family.samplePrefix), col("vac_num").cast("string"),
+        col("wf_sample")))
+    val newExperiments = prefixed
+      .select(col("project"), col("exp_num").as("num"),
+        lit(family.expType).as("expType")).distinct()
+    val newSamples = prefixed.select(
+      col("run_sample").as("code"), lit(family.sampleType).as("sampleType"),
+      col("wf_sample").as("parent"), col("project"), col("exp_num"))
+    val newDatasets = Catalog.appendNew(
+      datasets.select("code", "dsType", "sample", "path"),
+      prefixed.select(col("run_sample").as("code"),
+        lit(family.dsType).as("dsType"),
+        col("run_sample").as("sample"), col("path")),
+      Seq("sample", "path"))
+    Result(newDatasets, newSamples, newExperiments, errors)
   }
 }

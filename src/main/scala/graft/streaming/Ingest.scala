@@ -464,9 +464,12 @@ object Ingest {
     * checkpoint: both outputs are staged under `.stage_<batchId>`,
     * then the closed delta moves into place keyed by batchId (a replay
     * finds it present and skips the move) and the open swap is
-    * last-wins — so a crash anywhere re-runs the batch to the same
-    * effect, the same contract upsertExactlyOnce keeps. Returns the
-    * full history (closed ∪ open) read back from dest. */
+    * RECOVERABLE: the old open/ is renamed aside (open_prev_<batchId>)
+    * before the new one renames in, and batch entry restores the aside
+    * if open/ is missing — so a crash anywhere (including between the
+    * two swap renames) re-runs the batch to the same effect, the same
+    * contract upsertExactlyOnce keeps. Returns the full history
+    * (closed ∪ open) read back from dest. */
   def scd2Stream(spark: SparkSession, srcDir: String, fileGlob: String,
                  destDir: String, checkpointDir: String, keys: Seq[String],
                  shape: DataFrame => DataFrame,
@@ -485,6 +488,23 @@ object Ingest {
         val fs = new Path(destDir).getFileSystem(
           spark.sessionState.newHadoopConf())
         val openPath = new Path(s"$destDir/open")
+        // Crash recovery for the open/ swap below: the swap moves the old
+        // open/ ASIDE (open_prev_<batchId>) before renaming the new one in,
+        // so there is no window where the base vanishes. If open/ is
+        // missing here, a crash happened between aside-rename and
+        // new-rename — restore the newest aside (the pre-batch base) and
+        // re-apply; if open/ exists, any leftover asides are from a crash
+        // after the new open landed (already-applied) and are dropped.
+        val asides = Option(fs.globStatus(new Path(s"$destDir/open_prev_*")))
+          .map(_.toSeq).getOrElse(Seq.empty)
+        if (!fs.exists(openPath) && asides.nonEmpty) {
+          val latest = asides.map(_.getPath)
+            .maxBy(_.getName.stripPrefix("open_prev_").toLong)
+          fs.rename(latest, openPath)
+          ()
+        }
+        asides.map(_.getPath).filter(p => fs.exists(p))
+          .foreach(p => fs.delete(p, true))
         val open =
           if (fs.exists(openPath)) spark.read.parquet(openPath.toString)
           else incoming.limit(0).withColumn("valid_from", lit(0L))
@@ -503,8 +523,18 @@ object Ingest {
         fs.mkdirs(new Path(s"$destDir/closed"))
         val delta = new Path(s"$destDir/closed/delta_$batchId")
         if (!fs.exists(delta)) { fs.rename(new Path(s"$stage/closed"), delta); () }
-        fs.delete(openPath, true)
+        // Recoverable open swap: old open moves ASIDE first (a crash
+        // between the two renames leaves open_prev_<batchId>, restored at
+        // next batch entry above), new open renames in, aside dropped
+        // last. At no instant is the history base unrecoverable.
+        val prevAside = new Path(s"$destDir/open_prev_$batchId")
+        if (fs.exists(openPath)) {
+          fs.delete(prevAside, true)
+          fs.rename(openPath, prevAside)
+          ()
+        }
         fs.rename(new Path(s"$stage/open"), openPath)
+        fs.delete(prevAside, true)
         fs.delete(stage, true)
         ()
       }

@@ -127,4 +127,77 @@ class PrefixRegistrySpec extends SparkSpec {
     assert(res2.errors.count() == 1)
     assert(res2.samples.count() == 0)
   }
+
+  test("qcml/fastqc: experiment reused by type, else created as count+1") {
+    val bc = code("QQCTA001E")
+    val incoming = Seq(s"/in/$bc.qcml").toDF("path")
+    val samples = Seq((bc, "Q_TEST_SAMPLE")).toDF("code", "sampleType")
+    // project owns an MS-QC experiment (num 2) among 3 total
+    val experiments = Seq(("QQCTA", 1L, "X"),
+      ("QQCTA", 2L, "Q_EXT_MS_QUALITYCONTROL"), ("QQCTA", 3L, "X"))
+      .toDF("project", "num", "expType")
+    val datasets = Seq.empty[(String, String, String, String)]
+      .toDF("code", "dsType", "sample", "path")
+    val qc = PrefixRegistryPipeline.run(PrefixRegistryPipeline.Families("qcml"),
+      incoming, samples, experiments, datasets)
+    val row = qc.samples.collect()(0)
+    assert(row.getAs[String]("code") == s"MSQC$bc")
+    assert(row.getAs[String]("sampleType") == "Q_EXT_MS_QUALITYCONTROL_RUN")
+    assert(row.getAs[Long]("exp_num") == 2L) // reused
+    assert(qc.experiments.count() == 0)      // nothing created
+    // fastqc over the same catalog has no NGS-QC experiment → count+1 = 4
+    val fq = PrefixRegistryPipeline.run(
+      PrefixRegistryPipeline.Families("fastqc"),
+      Seq(s"/in/${bc}_fastqc.zip").toDF("path"), samples, experiments, datasets)
+    assert(fq.samples.collect()(0).getAs[Long]("exp_num") == 4L)
+    assert(fq.experiments.collect()(0).getAs[Long]("num") == 4L)
+  }
+
+  test("peptidedata: dataset attaches to the parent, idempotently") {
+    val bc = code("QPEPA001E")
+    val incoming = Seq(s"/in/$bc.pep.xml", s"/in/${bc}_b.pep.xml").toDF("path")
+    val samples = Seq((bc, "Q_TEST_SAMPLE")).toDF("code", "sampleType")
+    val experiments = Seq.empty[(String, Long, String)]
+      .toDF("project", "num", "expType")
+    // one of the two incoming attaches is already registered
+    val datasets = Seq((bc, "Q_PEPTIDE_DATA", bc, s"/in/$bc.pep.xml"))
+      .toDF("code", "dsType", "sample", "path")
+    val res = PrefixRegistryPipeline.run(
+      PrefixRegistryPipeline.Families("peptidedata"),
+      incoming, samples, experiments, datasets)
+    val ds = res.datasets.collect()
+    assert(ds.length == 2) // seed kept, duplicate not re-attached
+    assert(ds.forall(_.getAs[String]("sample") == bc))
+    assert(ds.forall(_.getAs[String]("dsType") == "Q_PEPTIDE_DATA"))
+    assert(res.samples.count() == 0 && res.experiments.count() == 0)
+  }
+
+  test("runEpitope: VAC numbers refill catalog gaps; exp suffix from count+1") {
+    val bc = code("QEPTA001E")
+    val wf = "QEPTAE01A1"
+    val incoming = Seq(s"/in/${bc}__${wf}_epitopes.txt",
+      s"/in/${bc}__${wf}_epitopes2.txt").toDF("path")
+    // catalog: the workflow sample + existing VAC1/VAC3 constructs
+    val samples = Seq((wf, "Q_WF_NGS_EPITOPE_PREDICTION_RUN"),
+      (s"VAC1$wf", "Q_VACCINE_CONSTRUCT"), (s"VAC3$wf", "Q_VACCINE_CONSTRUCT"))
+      .toDF("code", "sampleType")
+    // project QEPTA owns suffixes {1,3} (count 2) → new suffixes scan
+    // upward from 3: first free >2 not in {1,3} is 4, then 5
+    val experiments = Seq(("QEPTA", 1L, "Q_NGS_EPITOPE_SELECTION"),
+      ("QEPTA", 3L, "Q_NGS_EPITOPE_SELECTION"))
+      .toDF("project", "num", "expType")
+    val datasets = Seq.empty[(String, String, String, String)]
+      .toDF("code", "dsType", "sample", "path")
+    val res = PrefixRegistryPipeline.runEpitope(incoming, samples,
+      experiments, datasets)
+    val got = res.samples.orderBy("code").collect()
+      .map(r => (r.getAs[String]("code"), r.getAs[Long]("exp_num")))
+    assert(got.toSeq == Seq((s"VAC2$wf", 4L), (s"VAC4$wf", 5L)))
+    assert(res.samples.collect().forall(_.getAs[String]("parent") == wf))
+    // unknown workflow sample → SAMPLE_NOT_FOUND error row
+    val res2 = PrefixRegistryPipeline.runEpitope(
+      Seq(s"/in/${bc}__QEPTAE99A1_x.txt").toDF("path"),
+      samples, experiments, datasets)
+    assert(res2.errors.count() == 1 && res2.samples.count() == 0)
+  }
 }
