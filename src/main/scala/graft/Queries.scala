@@ -5629,6 +5629,164 @@ object Queries {
       |            ELSE 'created' END AS status FROM b
       |ORDER BY mode, code""".stripMargin
 
+  // ------------------------------------------------------------ Q-lifecycle
+  // SURVEY §7 step 3 as ONE verified artifact: the full dropbox arc —
+  // marker gate (S2) → barcode parse/validate (P1/P2) → catalog lookup
+  // (J6, miss = error row) → next-free run number (W2) → idempotent
+  // dataset append (K1) → per-project report (A1) — over a REAL rendered
+  // incoming tree, re-run idempotently INSIDE the gate: the second run's
+  // registrations are emitted as `rerun_new` rows, and the oracle has
+  // none, so any non-no-op re-run hash-fails. The tree seeds three error
+  // classes (no barcode, bad checksum, unknown sample), an ungated
+  // submission (sub4, no marker), and a project with pre-existing run
+  // numbers (QLIFA max 2 → new ids start at 3).
+  private val LifecycleFixtureDir = s"$FixtureRoot/lifecycle"
+
+  /** Driver-side twin of Barcode.checksumChar for fixture rendering. */
+  private def barcodeCkScala(p9: String): Char = {
+    val m = p9.zipWithIndex.map { case (c, i) => c.toInt * (i + 1) }.sum % 34 + 48
+    (if (m > 57) m + 7 else m).toChar
+  }
+
+  /** Render the incoming tree: one `sub<region>` submission dir per
+    * region, one fastq per nation named by its barcode, markers for
+    * sub0-sub3 only, plus a barcode-less file and a checksum-corrupted
+    * one in sub0. Bounded driver work (25 nations + 2), re-rendered each
+    * call for idempotency. */
+  private def renderLifecycle(s: SparkSession, dir: String): Unit = {
+    import java.nio.file.{Files => JFiles, Paths}
+    val base = Paths.get(LifecycleFixtureDir)
+    if (JFiles.exists(base)) {
+      val it = JFiles.walk(base).sorted(java.util.Comparator.reverseOrder())
+      it.forEach(p => JFiles.delete(p))
+    }
+    val nations = load(s, dir, "nation")
+      .select("n_name", "n_nationkey", "n_regionkey")
+      .collect() // 25 rows, fixture rendering only
+    nations.foreach { r =>
+      val (name, key, region) = (r.getString(0), r.getInt(1), r.getInt(2))
+      val p9 = f"QLIF${('A' + region).toChar}${key + 1}%03dE"
+      val d = base.resolve(s"sub$region")
+      JFiles.createDirectories(d)
+      JFiles.write(d.resolve(s"$p9${barcodeCkScala(p9)}_R1.fastq"),
+        s"$name|$key".getBytes("UTF-8"))
+      ()
+    }
+    JFiles.write(base.resolve("sub0/notes.fastq"),
+      "no barcode here".getBytes("UTF-8"))
+    val p9bad = "QLIFA999E"
+    val wrong = if (barcodeCkScala(p9bad) == '0') '1' else '0'
+    JFiles.write(base.resolve(s"sub0/$p9bad${wrong}_R1.fastq"),
+      "corrupt".getBytes("UTF-8"))
+    (0 to 3).foreach { k =>
+      JFiles.write(base.resolve(s".MARKER_is_finished_sub$k"),
+        Array.emptyByteArray)
+      ()
+    }
+  }
+
+  def lifecycleQ(s: SparkSession, dir: String): DataFrame = {
+    renderLifecycle(s, dir)
+    val rel = (c: Column) => regexp_replace(c,
+      ".*" + java.util.regex.Pattern.quote(LifecycleFixtureDir) + "/", "")
+    val files = Files.binaryScan(s, LifecycleFixtureDir, glob = "*.fastq")
+    val incoming = Files
+      .markerGated(files, Files.listMarkers(s, LifecycleFixtureDir))
+      .select(col("path"))
+    val nat = load(s, dir, "nation")
+      .select(col("n_nationkey").cast("int").as("key"),
+        col("n_regionkey").cast("int").as("region"))
+    val proj = concat(lit("QLIF"), char(col("region") + 65))
+    val bc = graft.functions.Barcode.make(proj, col("key") + 1, lit("E"))
+    // nation 3 is withheld from the catalog → its (marked) file must come
+    // back out the SAMPLE_NOT_FOUND channel, not abort the batch
+    val samples = nat.filter(col("key") =!= 3)
+      .select(bc.as("code"), lit("Q_TEST_SAMPLE").as("sampleType"))
+    val seed = nat.filter(col("key") === 0)
+      .select(explode(array(lit(1), lit(2))).as("n"), bc.as("sample"))
+      .select(concat(col("sample"), lit("_"), col("n")).as("code"),
+        lit("FASTQ").as("dsType"), col("sample"), lit("seed").as("path"))
+    val r1 = graft.pipelines.FastqPipeline.run(incoming, samples, seed)
+    val r2 = graft.pipelines.FastqPipeline.run(incoming, samples, r1.registered)
+    val ds = r1.registered.select(lit("dataset").as("kind"), col("code"),
+      col("sample"), rel(col("path")).as("path"), lit(0L).as("n"))
+    val er = r1.errors.select(lit("error").as("kind"),
+      element_at(col("__errors"), 1).as("code"), lit("").as("sample"),
+      rel(col("path")).as("path"), lit(0L).as("n"))
+    val rp = r1.report.select(lit("report").as("kind"),
+      col("project").as("code"), lit("").as("sample"), lit("").as("path"),
+      col("n_datasets").cast("long").as("n"))
+    val rn = r2.registered
+      .join(r1.registered.select("code"), Seq("code"), "left_anti")
+      .select(lit("rerun_new").as("kind"), col("code"), col("sample"),
+        rel(col("path")).as("path"), lit(0L).as("n"))
+    ds.unionByName(er).unionByName(rp).unionByName(rn)
+      .orderBy("kind", "code", "path")
+  }
+
+  private val lifecycleSql = {
+    val ck = sqlBarcodeCk("p9")
+    val ckBc = sqlBarcodeCk("substr(bc, 1, 9)")
+    s"""WITH files AS (
+       |  SELECT replace(filename, '$LifecycleFixtureDir/', '') AS rel
+       |  FROM read_blob('$LifecycleFixtureDir/**/*.fastq')),
+       |markers AS (
+       |  SELECT replace(string_split(filename, '/')[-1],
+       |                 '.MARKER_is_finished_', '') AS target
+       |  FROM read_blob('$LifecycleFixtureDir/.MARKER_is_finished_*')),
+       |gated AS (
+       |  SELECT rel FROM files
+       |  WHERE string_split(rel, '/')[1] IN (SELECT target FROM markers)),
+       |parsed AS (
+       |  SELECT rel,
+       |         coalesce(regexp_extract(rel,
+       |           'Q\\w{4}[0-9]{3}[a-zA-Z]\\w', 0), '') AS bc
+       |  FROM gated),
+       |nat AS (
+       |  SELECT CAST(n_nationkey AS INTEGER) AS key,
+       |         'QLIF' || chr(CAST(n_regionkey AS INTEGER) + 65)
+       |           || lpad(CAST(n_nationkey + 1 AS VARCHAR), 3, '0')
+       |           || 'E' AS p9
+       |  FROM nation),
+       |cat AS (SELECT key, p9 || $ck AS code FROM nat WHERE key <> 3),
+       |tagged AS (
+       |  SELECT rel, bc,
+       |         CASE WHEN bc = '' THEN 'METADATA_FORMATTING'
+       |              WHEN substr(bc, 10, 1) <> $ckBc THEN 'CHECKSUM_MISMATCH'
+       |              WHEN bc NOT IN (SELECT code FROM cat)
+       |                THEN 'SAMPLE_NOT_FOUND'
+       |              ELSE '' END AS err
+       |  FROM parsed),
+       |seedmax AS (
+       |  SELECT substr(code, 1, 5) AS project, CAST(2 AS BIGINT) AS mx
+       |  FROM cat WHERE key = 0),
+       |ok AS (
+       |  SELECT rel, bc, substr(bc, 1, 5) AS project,
+       |         row_number() OVER (PARTITION BY substr(bc, 1, 5)
+       |                            ORDER BY rel) AS rk
+       |  FROM tagged WHERE err = ''),
+       |newds AS (
+       |  SELECT bc || '_' || CAST(coalesce(m.mx, 0) + o.rk AS VARCHAR) AS code,
+       |         o.bc AS sample, o.rel AS path
+       |  FROM ok o LEFT JOIN seedmax m ON m.project = o.project),
+       |seeds AS (
+       |  SELECT c.code || '_' || CAST(n AS VARCHAR) AS code, c.code AS sample,
+       |         'seed' AS path
+       |  FROM cat c, (SELECT unnest([1, 2]) AS n) WHERE c.key = 0),
+       |alldatasets AS (
+       |  SELECT code, sample, path FROM seeds
+       |  UNION ALL SELECT code, sample, path FROM newds)
+       |SELECT 'dataset' AS kind, code, sample, path, CAST(0 AS BIGINT) AS n
+       |FROM alldatasets
+       |UNION ALL
+       |SELECT 'error', err, '', rel, 0 FROM tagged WHERE err <> ''
+       |UNION ALL
+       |SELECT 'report', substr(sample, 1, 5), '', '',
+       |       CAST(count(*) AS BIGINT)
+       |FROM alldatasets GROUP BY substr(sample, 1, 5)
+       |ORDER BY kind, code, path""".stripMargin
+  }
+
   // ------------------------------------------------------- Q-copydataset
   // K9 through the gate: a source dataset tree (25 per-nation files in
   // region dirs + a manifest under meta/) is rendered from testdata,
@@ -8024,6 +8182,7 @@ object Queries {
     "q_epitope" -> (epitopeQ _),
     "q_ivac" -> (ivacQ _),
     "q_samplebatch" -> (sampleBatchQ _),
+    "q_lifecycle" -> (lifecycleQ _),
     "q_pdf" -> (pdfQ _),
     "q_tpch5" -> (tpch5Q _),
     "q_tpch4" -> (tpch4Q _),
@@ -8218,6 +8377,7 @@ object Queries {
     "q_epitope" -> epitopeSql,
     "q_ivac" -> ivacSql,
     "q_samplebatch" -> sampleBatchSql,
+    "q_lifecycle" -> lifecycleSql,
     "q_pdf" -> pdfSql,
     "q_tpch5" -> Tpch5Sql,
     "q_tpch4" -> Tpch4Sql,
