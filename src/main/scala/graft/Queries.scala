@@ -5629,6 +5629,98 @@ object Queries {
       |            ELSE 'created' END AS status FROM b
       |ORDER BY mode, code""".stripMargin
 
+  // ------------------------------------------------------------ Q-msdropbox
+  // The find-or-create dropbox variants through one gate: mzML
+  // (register-mzml-dropbox.py:77-104 — MS<code> run sample reused when
+  // already registered, experiment reused by type else count+1) and bam
+  // (register-bam.py:78-133 — MP<code> find-or-create, experiment suffix
+  // scanned upward from count+1, never gap-filling). Every 5th parent
+  // pre-owns its MS sample and every 10th its MP sample, so both reuse
+  // paths and both create paths cross the hash; datasets attach either
+  // way (the *_ds rows).
+  def msDropboxQ(s: SparkSession, dir: String): DataFrame = {
+    val p = load(s, dir, "part").select(col("p_partkey").cast("long").as("k"))
+      .filter(pmod(col("k"), lit(20)) === 0)
+      .withColumn("j", floor(col("k") / 20))
+    val proj = concat(lit("QMZD"), char(pmod(col("j"), lit(2)) + 65))
+    val parent = graft.functions.Barcode.make(proj,
+      floor(col("j") / 2) + 1, lit("E"))
+    val samples = p.select(parent.as("code"),
+        lit("Q_TEST_SAMPLE").as("sampleType"))
+      .unionByName(p.filter(pmod(col("j"), lit(5)) === 0)
+        .select(concat(lit("MS"), parent).as("code"),
+          lit("Q_MS_RUN").as("sampleType")))
+      .unionByName(p.filter(pmod(col("j"), lit(10)) === 0)
+        .select(concat(lit("MP"), parent).as("code"),
+          lit("Q_NGS_MAPPING").as("sampleType")))
+    val reg = load(s, dir, "region")
+      .select(col("r_regionkey").cast("long").as("r"))
+    val experiments = reg.select(
+      concat(lit("QMZD"), char(pmod(col("r"), lit(2)) + 65)).as("project"),
+      (floor(col("r") / 2) + 1).as("num"),
+      when(col("r") === 2, lit("Q_MS_MEASUREMENT"))
+        .otherwise(lit("X")).as("expType"))
+    val mzIn = p.select(concat(lit("/in/"), parent, lit(".mzML")).as("path"))
+    val bamIn = p.filter(pmod(col("k"), lit(40)) === 0)
+      .select(concat(lit("/in/"), parent, lit(".bam")).as("path"))
+    val noDs = p.select(lit("").as("code"), lit("").as("dsType"),
+      lit("").as("sample"), lit("").as("path")).filter(lit(false))
+    val fam = graft.pipelines.PrefixRegistryPipeline.Families
+    val mz = graft.pipelines.PrefixRegistryPipeline.run(
+      fam("mzml"), mzIn, samples, experiments, noDs)
+    val bm = graft.pipelines.PrefixRegistryPipeline.run(
+      fam("bam"), bamIn, samples, experiments, noDs)
+    mz.samples.select(lit("mzml").as("family"), col("code"),
+        col("parent"), col("exp_num"))
+      .unionByName(bm.samples.select(lit("bam").as("family"), col("code"),
+        col("parent"), col("exp_num")))
+      .unionByName(mz.datasets.select(lit("mzml_ds").as("family"),
+        col("code"), col("sample").as("parent"), lit(0L).as("exp_num")))
+      .unionByName(bm.datasets.select(lit("bam_ds").as("family"),
+        col("code"), col("sample").as("parent"), lit(0L).as("exp_num")))
+      .orderBy("family", "code")
+  }
+
+  private val msDropboxSql = {
+    val ck = sqlBarcodeCk("p9")
+    s"""WITH par AS (
+       |  SELECT CAST(p_partkey AS BIGINT) AS k,
+       |         CAST(p_partkey // 20 AS BIGINT) AS j,
+       |         'QMZD' || chr(CAST((p_partkey // 20) % 2 AS INTEGER) + 65) AS proj,
+       |         'QMZD' || chr(CAST((p_partkey // 20) % 2 AS INTEGER) + 65)
+       |           || lpad(CAST((p_partkey // 20) // 2 + 1 AS VARCHAR), 3, '0')
+       |           || 'E' AS p9
+       |  FROM part WHERE p_partkey % 20 = 0),
+       |par2 AS (SELECT k, j, proj, p9 || $ck AS code FROM par),
+       |exps AS (
+       |  SELECT 'QMZD' || chr(CAST(r_regionkey % 2 AS INTEGER) + 65) AS project,
+       |         CAST(r_regionkey // 2 + 1 AS BIGINT) AS num,
+       |         CASE WHEN r_regionkey = 2 THEN 'MS' ELSE 'X' END AS t
+       |  FROM region),
+       |agg AS (SELECT project, max(CASE WHEN t = 'MS' THEN num END) AS msmax,
+       |               count(*) AS cnt FROM exps GROUP BY 1),
+       |mz AS (SELECT k, j, proj, code, 'MS' || code AS run,
+       |              (j % 5 = 0) AS reused FROM par2),
+       |bam AS (SELECT k, j, proj, code, 'MP' || code AS run,
+       |               (j % 10 = 0) AS reused,
+       |               '/in/' || code || '.bam' AS path
+       |        FROM par2 WHERE k % 40 = 0),
+       |bcr AS (SELECT b.*, row_number() OVER (PARTITION BY proj
+       |                                       ORDER BY path) AS rk
+       |        FROM bam b WHERE NOT reused)
+       |SELECT 'mzml' AS family, m.run AS code, m.code AS parent,
+       |       coalesce(a.msmax, a.cnt + 1) AS exp_num
+       |FROM mz m JOIN agg a ON a.project = m.proj WHERE NOT m.reused
+       |UNION ALL
+       |SELECT 'bam', b.run, b.code, a.cnt + b.rk
+       |FROM bcr b JOIN agg a ON a.project = b.proj
+       |UNION ALL
+       |SELECT 'mzml_ds', run, run, CAST(0 AS BIGINT) FROM mz
+       |UNION ALL
+       |SELECT 'bam_ds', run, run, CAST(0 AS BIGINT) FROM bam
+       |ORDER BY family, code""".stripMargin
+  }
+
   // ------------------------------------------------------------ Q-lifecycle
   // SURVEY §7 step 3 as ONE verified artifact: the full dropbox arc —
   // marker gate (S2) → barcode parse/validate (P1/P2) → catalog lookup
@@ -8183,6 +8275,7 @@ object Queries {
     "q_ivac" -> (ivacQ _),
     "q_samplebatch" -> (sampleBatchQ _),
     "q_lifecycle" -> (lifecycleQ _),
+    "q_msdropbox" -> (msDropboxQ _),
     "q_pdf" -> (pdfQ _),
     "q_tpch5" -> (tpch5Q _),
     "q_tpch4" -> (tpch4Q _),
@@ -8378,6 +8471,7 @@ object Queries {
     "q_ivac" -> ivacSql,
     "q_samplebatch" -> sampleBatchSql,
     "q_lifecycle" -> lifecycleSql,
+    "q_msdropbox" -> msDropboxSql,
     "q_pdf" -> pdfSql,
     "q_tpch5" -> Tpch5Sql,
     "q_tpch4" -> Tpch4Sql,

@@ -31,7 +31,9 @@ case class PrefixFamily(
     dsType: String,
     numberedPrefix: Boolean = false,
     reuseExpByType: Boolean = false,
-    attachToParent: Boolean = false)
+    attachToParent: Boolean = false,
+    reuseSampleByCode: Boolean = false,
+    expAfterExisting: Boolean = false)
 
 /** The parameterized prefix-registry dropbox (SURVEY §1.2's prefix
   * table): every simple family is ONE config through [[run]]; NMR's two
@@ -69,6 +71,31 @@ object PrefixRegistryPipeline {
     // sample or experiment at all — the dataset attaches DIRECTLY to the
     // found parent sample.
     "peptidedata" -> PrefixFamily("", "", "", "Q_PEPTIDE_DATA",
+      attachToParent = true),
+    // mzML / archived-ms-raw (register-mzml-dropbox.py:77-104,
+    // register-raw.py:78-100): find-or-create the MS run sample by code,
+    // experiment reused by type else created; only the dataset type
+    // differs between the two.
+    "mzml" -> PrefixFamily("MS", "Q_MS_MEASUREMENT", "Q_MS_RUN",
+      "Q_MS_MZML_DATA", reuseExpByType = true, reuseSampleByCode = true),
+    "msraw" -> PrefixFamily("MS", "Q_MS_MEASUREMENT", "Q_MS_RUN",
+      "Q_MS_RAW_DATA", reuseExpByType = true, reuseSampleByCode = true),
+    // bam (register-bam.py:78-133) and pacbio
+    // (register-pacbio-dropbox.py:46-147): find-or-create by code,
+    // experiment suffix scanned upward from count+1.
+    "bam" -> PrefixFamily("MP", "Q_NGS_MAPPING", "Q_NGS_MAPPING",
+      "Q_NGS_MAPPING_DATA", reuseSampleByCode = true,
+      expAfterExisting = true),
+    "pacbio" -> PrefixFamily("NGS", "Q_NGS_PACBIO_MEASUREMENT",
+      "Q_NGS_PACBIO_RUN", "Q_NGS_PACBIO_DATA", reuseSampleByCode = true,
+      expAfterExisting = true),
+    // IdXML / featureXML / document (register-IdXML-dropbox.py:84,
+    // register-fXML-dropbox.py:84, register-document.py:64): attach-only,
+    // like peptidedata.
+    "idxml" -> PrefixFamily("", "", "", "IDXML", attachToParent = true),
+    "featurexml" -> PrefixFamily("", "", "", "FEATUREXML",
+      attachToParent = true),
+    "document" -> PrefixFamily("", "", "", "Q_DOCUMENT",
       attachToParent = true),
     // epitope-selection (register-epitope-selection.py:48-88) diverges
     // enough (workflow-sample key, catalog-wide VAC<n> free-number scan,
@@ -193,19 +220,51 @@ object PrefixRegistryPipeline {
     }
 
     val withProject = ok.withColumn("project", Barcode.project(col("barcode")))
-    // Experiment assignment: the qPCR/RMA/IM/FASTA families walk the
-    // first FREE suffix per registration; qcml/fastqc REUSE the project's
-    // existing experiment of the family type, creating it as count+1
-    // only when absent (register-qcml-dropbox.py:76-84) — so every batch
-    // row of a project shares ONE suffix there.
-    val numbered =
+
+    // Run-sample name first — FASTA's numbered prefix counts per PARENT
+    // within the batch (vcNumber, register-fasta-dropbox.py:121-130),
+    // plain families use the bare prefix — so the find-or-create probe
+    // below can split the batch BEFORE experiment suffixes are assigned.
+    val wp = Window.partitionBy(col("barcode")).orderBy(col("path"))
+    val named =
+      if (family.numberedPrefix)
+        withProject.withColumn("run_sample",
+          concat(lit(family.samplePrefix),
+            row_number().over(wp).cast("string"), col("barcode")))
+      else
+        withProject.withColumn("run_sample",
+          concat(lit(family.samplePrefix), col("barcode")))
+
+    // mzML/bam/pacbio find-or-create: when `MS<code>`/`MP<code>` is
+    // already registered the dataset attaches to IT — no new sample, no
+    // new experiment, and crucially no experiment suffix consumed
+    // (register-mzml-dropbox.py:85-101, register-bam.py:120-131).
+    val flagged =
+      if (family.reuseSampleByCode)
+        named.join(broadcast(samples.select(col("code").as("run_sample"))
+            .distinct().withColumn("__s_hit", lit(true))),
+          Seq("run_sample"), "left")
+          .withColumn("__s_exists", coalesce(col("__s_hit"), lit(false)))
+          .drop("__s_hit")
+      else named.withColumn("__s_exists", lit(false))
+    val creators = flagged.filter(!col("__s_exists"))
+    val reusers = flagged.filter(col("__s_exists"))
+
+    // Experiment assignment (creating rows only): qPCR/RMA/IM/FASTA walk
+    // the first FREE suffix per registration from 1 (gap-filling);
+    // bam/pacbio scan upward from count+1 (register-bam.py:87-92);
+    // qcml/fastqc/mzML REUSE the project's existing experiment of the
+    // family type, creating it as count+1 only when absent
+    // (register-qcml-dropbox.py:76-84) — so every batch row of a project
+    // shares ONE suffix there.
+    val prefixed =
       if (family.reuseExpByType) {
         val expAgg = experiments
           .groupBy(col("project").as("__ex_proj"))
           .agg(max(when(col("expType") === family.expType,
             col("num").cast("long"))).as("__reuse"),
             count(lit(1)).as("__n_exp"))
-        withProject
+        creators
           .join(broadcast(expAgg), col("project") === col("__ex_proj"), "left")
           .drop("__ex_proj")
           .withColumn("exp_num",
@@ -214,22 +273,9 @@ object PrefixRegistryPipeline {
           .drop("__reuse", "__n_exp")
       } else firstFreeSuffixes(
         experiments.select(col("project"), col("num")),
-        withProject, "project", col("path"))
+        creators, "project", col("path"),
+        afterExisting = family.expAfterExisting)
         .withColumn("__exp_created", lit(true))
-
-    // FASTA's numbered prefix: per-PARENT sequence (vcNumber,
-    // register-fasta-dropbox.py:121-130); plain families use the bare
-    // prefix. Within a batch multiple files for one parent take
-    // successive numbers.
-    val wp = Window.partitionBy(col("barcode")).orderBy(col("path"))
-    val prefixed =
-      if (family.numberedPrefix)
-        numbered.withColumn("run_sample",
-          concat(lit(family.samplePrefix),
-            row_number().over(wp).cast("string"), col("barcode")))
-      else
-        numbered.withColumn("run_sample",
-          concat(lit(family.samplePrefix), col("barcode")))
 
     val newExperiments = prefixed.filter(col("__exp_created"))
       .select(col("project"), col("exp_num").as("num"),
@@ -237,12 +283,15 @@ object PrefixRegistryPipeline {
     val newSamples = prefixed.select(
       col("run_sample").as("code"), lit(family.sampleType).as("sampleType"),
       col("barcode").as("parent"), col("project"), col("exp_num"))
+    val dsRows = prefixed
+      .select(col("run_sample").as("code"), lit(family.dsType).as("dsType"),
+        col("run_sample").as("sample"), col("path"))
+      .unionByName(reusers.select(col("run_sample").as("code"),
+        lit(family.dsType).as("dsType"),
+        col("run_sample").as("sample"), col("path")))
     val newDatasets = Catalog.appendNew(
       datasets.select("code", "dsType", "sample", "path"),
-      prefixed.select(col("run_sample").as("code"),
-        lit(family.dsType).as("dsType"),
-        col("run_sample").as("sample"), col("path")),
-      Seq("sample", "path"))
+      dsRows, Seq("sample", "path"))
     Result(newDatasets, newSamples, newExperiments, errors)
   }
 

@@ -200,4 +200,47 @@ class PrefixRegistrySpec extends SparkSpec {
       samples, experiments, datasets)
     assert(res2.errors.count() == 1 && res2.samples.count() == 0)
   }
+
+  test("mzML find-or-create: existing MS sample reused, dataset still lands") {
+    val bc1 = code("QMZLA001E")
+    val bc2 = code("QMZLA002E")
+    val incoming = Seq(s"/in/$bc1.mzML", s"/in/$bc2.mzML").toDF("path")
+    // MS<bc1> already registered; bc2's run sample is new
+    val samples = Seq((bc1, "Q_TEST_SAMPLE"), (bc2, "Q_TEST_SAMPLE"),
+      (s"MS$bc1", "Q_MS_RUN")).toDF("code", "sampleType")
+    val experiments = Seq(("QMZLA", 1L, "X")).toDF("project", "num", "expType")
+    val datasets = Seq.empty[(String, String, String, String)]
+      .toDF("code", "dsType", "sample", "path")
+    val res = PrefixRegistryPipeline.run(
+      PrefixRegistryPipeline.Families("mzml"),
+      incoming, samples, experiments, datasets)
+    // only bc2 creates a sample (+ the count+1 experiment); both attach
+    val created = res.samples.collect()
+    assert(created.length == 1 &&
+      created(0).getAs[String]("code") == s"MS$bc2")
+    assert(created(0).getAs[Long]("exp_num") == 2L) // no MS exp → count+1
+    assert(res.experiments.count() == 1)
+    val ds = res.datasets.collect().map(_.getAs[String]("sample")).sorted
+    assert(ds.toSeq == Seq(s"MS$bc1", s"MS$bc2"))
+  }
+
+  test("bam: experiment suffix scans upward from count+1, not gap-filling") {
+    val bc = code("QBAMA001E")
+    val incoming = Seq(s"/in/$bc.bam").toDF("path")
+    val samples = Seq((bc, "Q_TEST_SAMPLE")).toDF("code", "sampleType")
+    // suffixes {1, 3} used, count 2 → reference walks from 3: first free
+    // ABOVE the count is 4 (gap 2 must NOT refill — register-bam.py:87-92)
+    val experiments = Seq(("QBAMA", 1L, "X"), ("QBAMA", 3L, "X"))
+      .toDF("project", "num", "expType")
+    val datasets = Seq.empty[(String, String, String, String)]
+      .toDF("code", "dsType", "sample", "path")
+    val res = PrefixRegistryPipeline.run(
+      PrefixRegistryPipeline.Families("bam"),
+      incoming, samples, experiments, datasets)
+    val row = res.samples.collect()(0)
+    assert(row.getAs[String]("code") == s"MP$bc")
+    assert(row.getAs[Long]("exp_num") == 4L)
+    assert(res.datasets.collect()(0).getAs[String]("dsType")
+      == "Q_NGS_MAPPING_DATA")
+  }
 }
