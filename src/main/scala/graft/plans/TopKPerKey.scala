@@ -34,11 +34,25 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * emitted rank column reuses the Window output's attribute id, rows
   * per key come out rank-ascending. `row_number`'s tie behavior is
   * engine-arbitrary in BOTH forms (gate queries order by a unique key
-  * set, as ever). Guards: only a single row_number window expression,
+  * set, as ever). Guards: only a single ranking window expression,
   * the standard running frame, a constant positive k, and only rank
   * conjuncts consumed — anything else keeps the stock plan.
+  *
+  * Three ranking functions are rewritten, with mode-specific retention
+  * structures (`mode`):
+  *  - `row_number` — per-key bounded heap, exactly k rows kept;
+  *  - `rank` — ties at the boundary survive (`rank ≤ k` keeps every row
+  *    ≤ the k-th smallest), so retention is an ordered group map pruned
+  *    to the shortest downward-closed prefix holding ≥ k rows — memory
+  *    is OUTPUT-bounded (k + boundary ties per key), the same rows
+  *    WindowExec would emit;
+  *  - `dense_rank` — the k smallest DISTINCT order keys with all their
+  *    rows; memory output-bounded likewise.
+  * Both tie modes stay exact under the partial/final split: a row kept
+  * globally is kept by every partial (its strictly-smaller/distinct-
+  * smaller witnesses are a subset in any partition slice).
   */
-case class TopKPerKeyPlan(k: Int, partitionSpec: Seq[Expression],
+case class TopKPerKeyPlan(k: Int, mode: String, partitionSpec: Seq[Expression],
                           orderSpec: Seq[SortOrder], rnAttr: Attribute,
                           child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rnAttr
@@ -47,8 +61,17 @@ case class TopKPerKeyPlan(k: Int, partitionSpec: Seq[Expression],
     copy(child = c)
 }
 
-/** Filter(rn ≤ k, Window(row_number() …)) → [[TopKPerKeyPlan]]. */
+/** Filter(rn ≤ k, Window(row_number()/rank()/dense_rank() …)) →
+  * [[TopKPerKeyPlan]]. */
 object RewriteTopKWindow extends Rule[LogicalPlan] {
+
+  /** The ranking functions the heap/group operator can stand in for. */
+  private def modeOf(wf: Expression): Option[String] = wf match {
+    case RowNumber() => Some("row_number")
+    case Rank(_) => Some("rank")
+    case DenseRank(_) => Some("dense_rank")
+    case _ => None
+  }
 
   /** k such that `cond` is exactly "rank ≤ k" over `rn`. */
   private def rankBound(cond: Expression, rn: Attribute): Option[Int] =
@@ -71,10 +94,10 @@ object RewriteTopKWindow extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond,
-        Window(Seq(alias @ Alias(WindowExpression(RowNumber(),
+        Window(Seq(alias @ Alias(WindowExpression(wf,
             WindowSpecDefinition(part, order,
               SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
-          _)), _, _, child, _)) if order.nonEmpty =>
+          _)), _, _, child, _)) if order.nonEmpty && modeOf(wf).isDefined =>
       val rn = alias.toAttribute
       val conjuncts = splitConjuncts(cond)
       val bounds = conjuncts.flatMap(c => rankBound(c, rn))
@@ -86,7 +109,8 @@ object RewriteTopKWindow extends Rule[LogicalPlan] {
       }
       if (bounds.size == 1 && bounds.head > 0 &&
           residual.forall(!_.references.contains(rn))) {
-        val topk = TopKPerKeyPlan(bounds.head, part, order, rn, child)
+        val topk = TopKPerKeyPlan(bounds.head, modeOf(wf).get, part, order,
+          rn, child)
         residual.reduceOption(And).map(Filter(_, topk)).getOrElse(topk)
       } else f // decline: return the ORIGINAL node (fixed-point safety)
   }
@@ -99,9 +123,9 @@ object RewriteTopKWindow extends Rule[LogicalPlan] {
   * two-phase plan is exact. */
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyPlan(k, part, order, rn, child) =>
-      TopKPerKeyExec(k, part, order, Some(rn),
-        TopKPerKeyExec(k, part, order, None, planLater(child))) :: Nil
+    case TopKPerKeyPlan(k, mode, part, order, rn, child) =>
+      TopKPerKeyExec(k, mode, part, order, Some(rn),
+        TopKPerKeyExec(k, mode, part, order, None, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -120,7 +144,7 @@ object GraftStrategies extends SparkStrategy {
   * `rnAttr = Some(rn)` is the FINAL phase over the clustered exchange,
   * emitting each key's survivors rank-ascending with the rank column
   * appended under the original Window output's attribute id. */
-case class TopKPerKeyExec(k: Int, partitionSpec: Seq[Expression],
+case class TopKPerKeyExec(k: Int, mode: String, partitionSpec: Seq[Expression],
                           orderSpec: Seq[SortOrder], rnAttr: Option[Attribute],
                           child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output ++ rnAttr.toSeq
@@ -132,7 +156,8 @@ case class TopKPerKeyExec(k: Int, partitionSpec: Seq[Expression],
       case Some(_) => ClusteredDistribution(partitionSpec) :: Nil
     }
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  /** row_number: per-key max-heap of exactly k rows. */
+  private def executeHeaps(): RDD[InternalRow] = {
     val childOutput = child.output
     val kLocal = k
     val part = partitionSpec
@@ -174,6 +199,89 @@ case class TopKPerKeyExec(k: Int, partitionSpec: Seq[Expression],
       }
     }, preservesPartitioning = true)
   }
+
+  /** rank / dense_rank: per-key ordered map (order key → its rows),
+    * pruned to the shortest downward-closed prefix that satisfies the
+    * bound — `rank`: drop the largest group while the remaining groups
+    * still hold ≥ k rows (the kept set is exactly "rows ≤ the k-th
+    * smallest", boundary ties included); `dense_rank`: keep the k
+    * smallest distinct keys. Retained memory = the operator's own
+    * output for that key, never the partition buffer. */
+  private def executeGroups(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val kLocal = k
+    val part = partitionSpec
+    val order = orderSpec
+    val out = output
+    val withRank = rnAttr.isDefined
+    val dense = mode == "dense_rank"
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(part, childOutput)
+      val orderProj = UnsafeProjection.create(order.map(_.child), childOutput)
+      val boundOrder = order.zipWithIndex.map { case (so, i) =>
+        SortOrder(BoundReference(i, so.child.dataType, so.child.nullable),
+          so.direction, so.nullOrdering, Seq.empty)
+      }
+      implicit val keyOrd: Ordering[UnsafeRow] =
+        RowOrdering.create(boundOrder, Seq.empty)
+          .asInstanceOf[Ordering[UnsafeRow]]
+      final class Groups {
+        val m = mutable.TreeMap.empty[UnsafeRow, mutable.ArrayBuffer[InternalRow]]
+        var total = 0L
+        def insert(okey: UnsafeRow, row: InternalRow): Unit = {
+          val saturated =
+            if (dense) m.size >= kLocal else total >= kLocal
+          m.get(okey) match {
+            case Some(buf) => buf += row.copy(); total += 1
+            case None if saturated && keyOrd.compare(okey, m.lastKey) > 0 =>
+              () // past the boundary: cannot enter the kept prefix
+            case None =>
+              m.put(okey.copy(),
+                mutable.ArrayBuffer[InternalRow](row.copy()))
+              total += 1
+          }
+          // prune the largest group while the prefix below it still
+          // satisfies the bound
+          var go = true
+          while (go && m.size > 1) {
+            val (lk, lbuf) = m.last
+            val without = if (dense) m.size - 1 else total - lbuf.size
+            if (without >= kLocal) { m.remove(lk); total -= lbuf.size }
+            else go = false
+          }
+        }
+      }
+      val groups = mutable.LinkedHashMap.empty[UnsafeRow, Groups]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        val g = groups.get(key) match {
+          case Some(g0) => g0
+          case None =>
+            val g0 = new Groups; groups.put(key.copy(), g0); g0
+        }
+        g.insert(orderProj(row), row)
+      }
+      if (!withRank) {
+        groups.iterator.flatMap(_._2.m.valuesIterator.flatten)
+      } else {
+        val outProj = UnsafeProjection.create(out, out)
+        val joined = new JoinedRow
+        groups.iterator.flatMap { case (_, g) =>
+          var cum = 0L
+          var gi = 0
+          g.m.iterator.flatMap { case (_, buf) =>
+            val r = if (dense) gi + 1 else cum + 1
+            gi += 1; cum += buf.size
+            buf.iterator.map(row =>
+              outProj(joined(row, InternalRow(r.toInt))).copy())
+          }
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def doExecute(): RDD[InternalRow] =
+    if (mode == "row_number") executeHeaps() else executeGroups()
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
     copy(child = c)

@@ -55,6 +55,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"IN must plan as semi join:\n$p")
   }
 
+  test("SQL rank()/dense_rank() ≤ k plan as TopKPerKey (no WindowExec)") {
+    // the rewrite must fire from the pure-SQL face too, not just the
+    // DataFrame API — same Filter-over-Window logical shape either way
+    for (fn <- Seq("rank", "dense_rank", "row_number")) {
+      val df = spark.sql(
+        s"""SELECT * FROM (
+           |  SELECT l_orderkey, l_extendedprice,
+           |         $fn() OVER (PARTITION BY l_returnflag
+           |                     ORDER BY l_extendedprice) AS r
+           |  FROM parquet.`$dir/lineitem.parquet`) WHERE r <= 5""".stripMargin)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerKey"), s"$fn did not rewrite:\n$p")
+      assert(!p.contains("Window"), s"$fn left a Window node:\n$p")
+    }
+  }
+
   test("the three subquery rows return plausible non-degenerate results") {
     val q4 = Queries.all("q_tpch4")(spark, dir).collect()
     assert(q4.nonEmpty && q4.forall(_.getLong(1) > 0))

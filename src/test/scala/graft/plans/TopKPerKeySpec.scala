@@ -84,6 +84,54 @@ class TopKPerKeySpec extends SparkSpec {
       (1 to 500).map(i => ((i * 37) % 501).toLong).sorted.take(3))
   }
 
+  test("rank ≤ k keeps boundary ties and matches the stock window") {
+    val rnd = new scala.util.Random(47)
+    // few distinct values → heavy ties at every boundary
+    val data = (0 until 4000).map(i =>
+      (s"g${rnd.nextInt(11)}", rnd.nextInt(12).toLong, i.toLong))
+    val df = data.toDF("g", "v", "id")
+    val w = Window.partitionBy("g").orderBy(col("v"))
+    val q = df.withColumn("r", rank().over(w)).filter(col("r") <= 3)
+    assert(hasTopK(q), s"rank rewrite did not fire:\n${q.queryExecution.executedPlan}")
+    val got = q.select("g", "v", "id", "r").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getInt(3))).sorted
+    // naive oracle: rank = 1 + count of strictly smaller values
+    val expect = data.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.collect { case (_, v, id)
+        if rs.count(_._2 < v) < 3 => (g, v, id, rs.count(_._2 < v) + 1) }
+    }.sorted
+    assert(got.toSeq === expect)
+  }
+
+  test("dense_rank ≤ k keeps the k smallest distinct values, all rows") {
+    val rnd = new scala.util.Random(53)
+    val data = (0 until 4000).map(i =>
+      (s"g${rnd.nextInt(7)}", rnd.nextInt(25).toLong, i.toLong))
+    val df = data.toDF("g", "v", "id")
+    val w = Window.partitionBy("g").orderBy(col("v").desc)
+    val q = df.withColumn("r", dense_rank().over(w)).filter(col("r") <= 4)
+    assert(hasTopK(q), s"dense_rank rewrite did not fire:\n${q.queryExecution.executedPlan}")
+    val got = q.select("g", "v", "id", "r").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getInt(3))).sorted
+    val expect = data.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      val distinct = rs.map(_._2).distinct.sorted(Ordering[Long].reverse)
+      val keep = distinct.take(4).zipWithIndex.toMap
+      rs.collect { case (_, v, id) if keep.contains(v) =>
+        (g, v, id, keep(v) + 1) }
+    }.sorted
+    assert(got.toSeq === expect)
+  }
+
+  test("rank modes also decline on equality and multi-window plans") {
+    val df = (1 to 60).map(i => (s"g${i % 3}", (i % 9).toLong)).toDF("g", "v")
+    val w = Window.partitionBy("g").orderBy("v")
+    val eq = df.withColumn("r", rank().over(w)).filter(col("r") === 2)
+    assert(!hasTopK(eq))
+    val multi = df.withColumn("r", dense_rank().over(w))
+      .withColumn("s", sum(col("v")).over(w)).filter(col("r") <= 2)
+    assert(!hasTopK(multi))
+  }
+
   test("the physical plan sorts nothing: no Sort node below TopKPerKey") {
     val df = (1 to 100).map(i => (s"g${i % 4}", i.toLong)).toDF("g", "v")
     val q = topkQuery(df.withColumn("id", col("v")), 2)
