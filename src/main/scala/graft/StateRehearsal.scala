@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the STATEFUL subsystems — snapshots and the
+  * streaming MERGE/SCD2 runtimes — along the axes the per-query bench
+  * can't see:
+  *
+  *  - `snapshot`: 100× FILE COUNT (not rows). Publish wall (footer-stats
+  *    collection is per file), manifest-driven driver costs
+  *    (filesForRange / filesForKey arithmetic), range-read pruning,
+  *    per-file bloom publish, vacuum across many versions. The claim
+  *    under test: every driver-side step stays METADATA-sized.
+  *  - `merge`: upsertExactlyOnce per-batch wall at 1×/100× DEST size
+  *    for a fixed delivered batch, at two bucket counts — the claim is
+  *    per-batch I/O = O(touched buckets), so wall must track
+  *    touched-bucket VOLUME (dest/buckets × buckets-hit), which is the
+  *    bucket-count guidance: grow nBuckets with the catalog.
+  *  - `scd2`: scd2Stream per-batch wall with closed history grown 100×
+  *    (seeded directly in the dest layout) — the O(open+delta) claim:
+  *    closed rows must not ride through the apply join.
+  *
+  * Usage: runMain graft.StateRehearsal <mode> [workDir], env
+  * SPARK_GRAFT_CPUS (default 16). Prints one JSON line per measured
+  * cell; results are transcribed to BASELINE.md.
+  */
+object StateRehearsal {
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def cell(name: String, kv: (String, Any)*): Unit =
+    println(kv.map {
+      case (k, v: String) => s""""$k":"$v""""
+      case (k, v: Double) => s""""$k":${"%.3f".format(v)}"""
+      case (k, v) => s""""$k":$v"""
+    }.mkString(s"""{"cell":"$name",""", ",", "}"))
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("snapshot")
+    val work = args.lift(1).getOrElse("/tmp/graft_state_rehearsal")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(work).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(work), true)
+
+    mode match {
+      case "snapshot" => snapshot(spark, work)
+      case "merge" => merge(spark, work)
+      case "scd2" => scd2(spark, work)
+    }
+    spark.stop()
+  }
+
+  /** 2M rows held constant; the axis is files-per-version. */
+  private def snapshot(spark: SparkSession, work: String): Unit = {
+    import graft.operators.Snapshot
+    val rows = 2000000L
+    for (files <- Seq(8, 800)) {
+      val dest = s"$work/snap_$files"
+      // range-clustered files (the layout a sequence column naturally
+      // has under append-style ingest) so footer stats can actually
+      // prune; round-robin files would all overlap every range
+      val df = spark.range(rows)
+        .select(col("id").as("seq"),
+          concat(lit("k"), col("id")).as("key"),
+          (col("id") % 1000).as("payload"))
+        .repartitionByRange(files, col("seq"))
+      val (_, pubWall) = time(Snapshot.publishSnapshot(df, dest,
+        statsCol = Some("seq")))
+      // driver-side manifest arithmetic: range prune + a full read-back
+      val (pruned, pruneWall) = time(
+        Snapshot.filesForRange(spark, dest, 1, 0L, rows / files / 2))
+      val (_, rangeWall) = time(
+        Snapshot.readSnapshotRange(spark, dest, 1, 0L, 999L)
+          .queryExecution.toRdd.count())
+      cell("snapshot_stats", "files" -> files, "publish_sec" -> pubWall,
+        "prune_driver_sec" -> pruneWall, "files_admitted" -> pruned.size,
+        "range_read_sec" -> rangeWall)
+      // bloom publish + point-lookup admit cost
+      val destB = s"$work/snapbloom_$files"
+      val (_, bloomWall) = time(
+        Snapshot.publishSnapshotBloom(df, destB, "key"))
+      val (admitted, admitWall) = time(
+        Snapshot.filesForKey(spark, destB, 1, "k42"))
+      val (_, pointWall) = time(
+        Snapshot.readSnapshotPoint(spark, destB, 1, "k42")
+          .queryExecution.toRdd.count())
+      cell("snapshot_bloom", "files" -> files, "publish_sec" -> bloomWall,
+        "admit_driver_sec" -> admitWall, "files_admitted" -> admitted.size,
+        "point_read_sec" -> pointWall)
+    }
+    // vacuum across many versions: 20 REPLACEMENT publishes of 8 files
+    // each (append-only manifests carry every old file forward, so an
+    // append history legitimately vacuums to zero — replacements are
+    // what leave dead files behind)
+    val destV = s"$work/snap_vacuum"
+    val base = spark.range(100000L).repartition(8)
+      .select(col("id").as("seq"), concat(lit("k"), col("id")).as("key"),
+        (col("id") % 1000).as("payload"))
+    (0 to 19).foreach { i =>
+      Snapshot.publishSnapshot(
+        base.withColumn("seq", col("seq") + lit(i * 100000L)), destV,
+        Some("seq"))
+      ()
+    }
+    val (dropped, vacWall) = time(
+      graft.operators.Snapshot.vacuum(spark, destV, keepFrom = 19))
+    val (_, readWall) = time(
+      graft.operators.Snapshot.readSnapshot(spark, destV, 20)
+        .queryExecution.toRdd.count())
+    cell("snapshot_vacuum", "versions" -> 20, "dropped_files" -> dropped,
+      "vacuum_sec" -> vacWall, "read_latest_sec" -> readWall)
+  }
+
+  /** Fixed-size delivered batch; axes are dest size × how many of the
+    * 16 buckets the batch's keys hash into (4 vs all). The O(touched
+    * buckets) claim = wall tracks (dest/buckets)·touched, so the
+    * narrow batch must stay cheap as dest grows 100× while the
+    * scattered batch pays the full-catalog rewrite. A 120-byte payload
+    * makes the rewrite volume visible over the streaming runtime's
+    * fixed ~4-5 s machinery cost. */
+  private def merge(spark: SparkSession, work: String): Unit = {
+    import graft.streaming.Ingest
+    val buckets = 16
+    // warm-up: absorb stream-machinery class loading so the first
+    // measured cell isn't inflated
+    locally {
+      spark.range(100L).select(col("id").as("key"), lit(0L).as("ver"),
+        lit("w").as("payload"), pmod(hash(col("id")), lit(buckets)).as("__bucket"))
+        .write.partitionBy("__bucket").parquet(s"$work/merge_warm_dest")
+      spark.range(10L).select(col("id").as("key"), lit(1L).as("ver"),
+        lit("w").as("payload")).write.parquet(s"$work/merge_warm_src")
+      Ingest.upsertExactlyOnce(spark, s"$work/merge_warm_src", "*.parquet",
+        s"$work/merge_warm_dest", s"$work/merge_warm_ckpt", Seq("key"),
+        nBuckets = buckets, tieBreak = Seq("ver"))
+      ()
+    }
+    val pad = lpad(lit("x"), 120, "x")
+    for (destRows <- Seq(200000L, 20000000L); narrow <- Seq(true, false)) {
+      val tag = s"${destRows}_$narrow"
+      val src = s"$work/merge_src_$tag"
+      val dest = s"$work/merge_dest_$tag"
+      val ckpt = s"$work/merge_ckpt_$tag"
+      spark.range(destRows)
+        .select(col("id").as("key"), lit(0L).as("ver"), pad.as("payload"),
+          pmod(hash(col("id")), lit(buckets)).as("__bucket"))
+        .write.partitionBy("__bucket").parquet(dest)
+      // narrow: only keys hashing into buckets 0-3 (touched = 4/16);
+      // scattered: any keys (touched = 16/16). Same delivered row count.
+      val keys = spark.range(destRows)
+        .select(col("id").as("key"))
+        .filter(lit(!narrow) ||
+          pmod(hash(col("key")), lit(buckets)) < 4)
+        .limit(50000)
+      keys.select(col("key"), lit(1L).as("ver"), pad.as("payload"))
+        .write.parquet(src)
+      val (_, wall) = time(Ingest.upsertExactlyOnce(spark, src, "*.parquet",
+        dest, ckpt, Seq("key"), nBuckets = buckets, tieBreak = Seq("ver")))
+      cell("merge_batch", "dest_rows" -> destRows,
+        "touched_buckets" -> (if (narrow) 4 else buckets),
+        "batch_sec" -> wall)
+    }
+  }
+
+  /** Fixed 10k-key open set + 2k-row delta; axis is closed-history size. */
+  private def scd2(spark: SparkSession, work: String): Unit = {
+    import graft.streaming.Ingest
+    // warm-up run (same machinery, tiny state) so cell 1 isn't inflated
+    locally {
+      spark.range(100L).select(col("id").as("key"), lit(0L).as("v"),
+        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+        .write.parquet(s"$work/scd2_warm_dest/open")
+      spark.range(10L).select(col("id").as("key"), lit(1L).as("v"))
+        .write.parquet(s"$work/scd2_warm_src")
+      Ingest.scd2Stream(spark, s"$work/scd2_warm_src", "*.parquet",
+        s"$work/scd2_warm_dest", s"$work/scd2_warm_ckpt", Seq("key"),
+        identity)
+      ()
+    }
+    for (closedRows <- Seq(100000L, 10000000L)) {
+      val tag = s"$closedRows"
+      val src = s"$work/scd2_src_$tag"
+      val dest = s"$work/scd2_dest_$tag"
+      val ckpt = s"$work/scd2_ckpt_$tag"
+      // seed the dest layout directly: open/ = current row per key,
+      // closed/ = immutable history delta dirs
+      spark.range(10000L)
+        .select(col("id").as("key"), (col("id") % 7).as("v"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+        .write.parquet(s"$dest/open")
+      spark.range(closedRows)
+        .select((col("id") % 10000L).as("key"), (col("id") % 13).as("v"),
+          col("id").as("valid_from"), (col("id") + 1).as("valid_to"))
+        .write.parquet(s"$dest/closed/delta_0")
+      spark.range(2000L)
+        .select(col("id").as("key"), (col("id") % 11 + 100).as("v"))
+        .write.parquet(src)
+      // time the stream (foreachBatch apply + commit) only — the
+      // returned full-history read-back is deliberately NOT counted,
+      // it would scan the closed rows this rehearsal proves the APPLY
+      // never touches
+      val (_, wall) = time { Ingest.scd2Stream(spark, src, "*.parquet",
+        dest, ckpt, Seq("key"), identity); () }
+      cell("scd2_batch", "closed_rows" -> closedRows, "batch_sec" -> wall)
+    }
+  }
+}

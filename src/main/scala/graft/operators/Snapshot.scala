@@ -128,9 +128,14 @@ object Snapshot {
     val v = prev + 1
     val dataDir = new Path(s"$destDir/data/v$v")
     df.write.mode("overwrite").parquet(dataDir.toString)
+    // footer reads are independent metadata fetches; at large file
+    // counts a serial loop is the publish bottleneck (r10 rehearsal:
+    // 800 footers dominate the 10 s publish), so fan them out on the
+    // driver — still metadata-sized work, just not serialized
+    import scala.collection.parallel.CollectionConverters._
     val newFiles = fs.listStatus(dataDir)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .map(_.getPath).sortBy(_.getName)
+      .map(_.getPath).sortBy(_.getName).par
       .map { p =>
         val rel = s"data/v$v/${p.getName}"
         statsCol match {
@@ -145,7 +150,7 @@ object Snapshot {
             if (mn > mx) rel else s"$rel\t$rows\t$mn\t$mx"
           case None => rel
         }
-      }.toSeq
+      }.seq.toSeq
     val carried =
       if (carryForward && prev >= 1) manifestLines(spark, destDir, prev)
       else Seq.empty
@@ -273,7 +278,14 @@ object Snapshot {
     * collapsed to ⌈mBits/63⌉ words — bounded by the bitmap, not the
     * file); lookups then open only files whose bloom admits the key
     * (no false negatives, ~fp-rate extra opens). Manifest lines:
-    * `path\t<word,word,…>` under a `#bloom=col,mBits,k` header. */
+    * `path\t<word,word,…>` under a `#bloom=col,mBits,k` header.
+    *
+    * All per-file blooms come out of ONE distributed pass — the scan
+    * carries `input_file_name()` and folds masks per (file, word), so
+    * publish cost is a single job whatever the file count. (The naive
+    * per-file `bloomBuild` loop is a serial driver job PER FILE —
+    * measured 105 s at 800 files in the r10 StateRehearsal, i.e. hours
+    * at real manifest sizes.) */
   def publishSnapshotBloom(df: DataFrame, destDir: String, keyCol: String,
                            mBits: Int = 63 * 64, k: Int = 4): Int = {
     import org.apache.hadoop.fs.Path
@@ -284,13 +296,36 @@ object Snapshot {
     val v = prev + 1
     val dataDir = new Path(s"$destDir/data/v$v")
     df.write.mode("overwrite").parquet(dataDir.toString)
+    val nWords = (mBits + Sketches.BloomWordBits - 1) / Sketches.BloomWordBits
+    val pos = array((0 until k).map(j =>
+      Sketches.bloomBit(col(keyCol), j, mBits)): _*)
+    val perFileRows = spark.read.parquet(dataDir.toString)
+      .select(input_file_name().as("__file"), col(keyCol))
+      .filter(col(keyCol).isNotNull)
+      .select(col("__file"), explode(pos).as("p"))
+      .select(col("__file"),
+        (col("p") / Sketches.BloomWordBits).cast("long").as("word"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(p % ${Sketches.BloomWordBits} AS INT))").as("mask"))
+      .groupBy("__file", "word").agg(bit_or(col("mask")).as("bits"))
+      .groupBy("__file")
+      .agg(collect_list(struct(col("word"), col("bits"))).as("ws"))
+      .collect() // bounded: one row per FILE, ≤⌈mBits/63⌉ words each
+    val perFile: Map[String, Array[Long]] = perFileRows.map { r =>
+      val arr = new Array[Long](nWords)
+      r.getSeq[org.apache.spark.sql.Row](1)
+        .foreach(w => arr(w.getLong(0).toInt) = w.getLong(1))
+      new Path(r.getString(0)).getName -> arr
+    }.toMap
+    val empty = new Array[Long](nWords)
     val lines = fs.listStatus(dataDir)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map(_.getPath).sortBy(_.getName)
       .map { p =>
-        val words = Sketches.bloomBitmapWords(
-          Sketches.bloomBuild(spark.read.parquet(p.toString), keyCol,
-            mBits, k), mBits)
+        // a file with no non-null keys gets the all-zero bitmap: its
+        // bloom admits nothing, and it holds nothing a point lookup
+        // could want
+        val words = perFile.getOrElse(p.getName, empty)
         s"data/v$v/${p.getName}\t${words.mkString(",")}"
       }.toSeq
     val manifestDir = new Path(s"$destDir/manifest")
