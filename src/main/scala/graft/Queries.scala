@@ -5721,6 +5721,78 @@ object Queries {
        |ORDER BY family, code""".stripMargin
   }
 
+  // ------------------------------------------------------------ Q-propupdate
+  // The two remaining parameter-map mutation services through one gate:
+  // update-sample-metadata (reporting-plugins/update-sample-metadata/
+  // script.py:1-39 — per-id property values, new keys merge in, updated
+  // keys win, untouched keys survive, unknown ids logged-and-skipped)
+  // and set-experiment-for-samples (set-experiment-for-samples/
+  // script.py:1-10 — repoint named samples at an experiment). The
+  // 25-row nation dim seeds overlapping update sets (every 2nd code's
+  // name rewritten, every 3rd gains a new key, every 5th repointed, one
+  // ghost id) so merge precedence, key survival, and the not-found
+  // channel all cross the hash.
+  def propUpdateQ(s: SparkSession, dir: String): DataFrame = {
+    val nat = load(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("key"),
+        col("n_name").as("name"), col("n_regionkey").cast("long").as("r"))
+    val samples = nat.select(
+      concat(lit("QPU"), col("key")).as("code"),
+      lit("Q_TEST_SAMPLE").as("sampleType"), lit("QPUE1").as("experiment"),
+      map(lit("Q_SECONDARY_NAME"), col("name"),
+        lit("Q_KEEP"), concat(lit("k"), col("key"))).as("props"))
+    val updates = nat.filter(pmod(col("key"), lit(2)) === 0)
+      .select(concat(lit("QPU"), col("key")).as("code"),
+        lit("Q_SECONDARY_NAME").as("prop"), upper(col("name")).as("value"))
+      .unionByName(nat.filter(pmod(col("key"), lit(3)) === 0)
+        .select(concat(lit("QPU"), col("key")).as("code"),
+          lit("Q_ADDITIONAL_INFO").as("prop"),
+          concat(lit("r"), col("r")).as("value")))
+      .unionByName(nat.filter(col("key") === 0)
+        .select(lit("QPU999").as("code"),
+          lit("Q_SECONDARY_NAME").as("prop"), lit("ghost").as("value")))
+    val upd = graft.pipelines.MutationServices
+      .updateSampleMetadata(samples, updates)
+    val exps = load(s, dir, "region")
+      .select(concat(lit("QPUE"), col("r_regionkey") + 1).as("code"))
+    val repointed = graft.pipelines.MutationServices
+      .setExperimentForSamples(upd.samples, exps,
+        Seq("QPU0", "QPU5", "QPU10", "QPU15", "QPU20"), "QPUE2")
+    repointed.select(lit("sample").as("kind"), col("code"),
+        col("experiment"),
+        coalesce(element_at(col("props"), "Q_SECONDARY_NAME"), lit("")).as("sec"),
+        coalesce(element_at(col("props"), "Q_ADDITIONAL_INFO"), lit("")).as("info"),
+        coalesce(element_at(col("props"), "Q_KEEP"), lit("")).as("keep"))
+      .unionByName(upd.status.select(lit("status").as("kind"), col("code"),
+        col("status").as("experiment"), lit("").as("sec"),
+        lit("").as("info"), lit("").as("keep")))
+      .orderBy("kind", "code")
+  }
+
+  private val propUpdateSql =
+    """WITH nat AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS name,
+      |         CAST(n_regionkey AS BIGINT) AS r,
+      |         'QPU' || CAST(n_nationkey AS VARCHAR) AS code
+      |  FROM nation),
+      |samp AS (
+      |  SELECT code,
+      |         CASE WHEN key IN (0, 5, 10, 15, 20) THEN 'QPUE2'
+      |              ELSE 'QPUE1' END AS experiment,
+      |         CASE WHEN key % 2 = 0 THEN upper(name) ELSE name END AS sec,
+      |         CASE WHEN key % 3 = 0 THEN 'r' || CAST(r AS VARCHAR)
+      |              ELSE '' END AS info,
+      |         'k' || CAST(key AS VARCHAR) AS keep
+      |  FROM nat),
+      |st AS (
+      |  SELECT DISTINCT code, 'updated' AS status FROM nat
+      |  WHERE key % 2 = 0 OR key % 3 = 0
+      |  UNION ALL SELECT 'QPU999', 'SAMPLE_NOT_FOUND')
+      |SELECT 'sample' AS kind, code, experiment, sec, info, keep FROM samp
+      |UNION ALL
+      |SELECT 'status', code, status, '', '', '' FROM st
+      |ORDER BY kind, code""".stripMargin
+
   // ------------------------------------------------------------ Q-lifecycle
   // SURVEY §7 step 3 as ONE verified artifact: the full dropbox arc —
   // marker gate (S2) → barcode parse/validate (P1/P2) → catalog lookup
@@ -8276,6 +8348,7 @@ object Queries {
     "q_samplebatch" -> (sampleBatchQ _),
     "q_lifecycle" -> (lifecycleQ _),
     "q_msdropbox" -> (msDropboxQ _),
+    "q_propupdate" -> (propUpdateQ _),
     "q_pdf" -> (pdfQ _),
     "q_tpch5" -> (tpch5Q _),
     "q_tpch4" -> (tpch4Q _),
@@ -8472,6 +8545,7 @@ object Queries {
     "q_samplebatch" -> sampleBatchSql,
     "q_lifecycle" -> lifecycleSql,
     "q_msdropbox" -> msDropboxSql,
+    "q_propupdate" -> propUpdateSql,
     "q_pdf" -> pdfSql,
     "q_tpch5" -> Tpch5Sql,
     "q_tpch4" -> Tpch4Sql,
