@@ -82,9 +82,9 @@ object Bench {
     // whole inside the tail window even after sbt's banner.
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results, 4)},"sf":"$sfDir"$errField}"""
+    val fullRef = if (only.isDefined) "BENCH_SOLO.json" else "BENCH_FULL.json"
     try {
-      val fname = if (only.isDefined) "BENCH_SOLO.json" else "BENCH_FULL.json"
-      val p = java.nio.file.Paths.get(fname)
+      val p = java.nio.file.Paths.get(fullRef)
       java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Exception => () }
     val baselineSubset = Set(
@@ -96,7 +96,6 @@ object Bench {
       "q_quality", "q_report", "q_route", "q_sessions", "q_simhash",
       "q_stream", "q_tokens", "q_upsert", "q_validate", "q_windows")
     val compact = results.filter { case (k, _) => baselineSubset.contains(k) }
-    val fullRef = if (only.isDefined) "BENCH_SOLO.json" else "BENCH_FULL.json"
     println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n":${results.size},"nerr":${errors.size},"queries":${qjson(compact, 3)},"full":"$fullRef","sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {

@@ -200,10 +200,14 @@ object StateRehearsal {
         .select(col("id").as("key"), (col("id") % 7).as("v"),
           lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
         .write.parquet(s"$dest/open")
+      // delta_seed, NOT delta_0: the stream's first micro-batch has
+      // batchId 0 and its replay guard skips a delta dir that already
+      // exists under its own id — a delta_0 seed would silently absorb
+      // the measured batch's closed output
       spark.range(closedRows)
         .select((col("id") % 10000L).as("key"), (col("id") % 13).as("v"),
           col("id").as("valid_from"), (col("id") + 1).as("valid_to"))
-        .write.parquet(s"$dest/closed/delta_0")
+        .write.parquet(s"$dest/closed/delta_seed")
       spark.range(2000L)
         .select(col("id").as("key"), (col("id") % 11 + 100).as("v"))
         .write.parquet(src)

@@ -42,6 +42,12 @@ object IvacChainPipeline {
   case class ChainResult(samples: DataFrame, experiments: DataFrame,
                          edges: DataFrame)
 
+  /** The level frames carry optional per-row parameter maps; an absent
+    * column means "no properties set at this level". */
+  private def propsOrEmpty(level: DataFrame)(c: String) =
+    if (level.columns.contains(c)) col(c)
+    else map().cast("map<string,string>")
+
   /** One tier's creations: experiments (code, expType, props), samples
     * (code, sampleType, experiment, props), and parent edges. A level
     * frame must carry `exp_code`, `sample_code`, and (levels ≥ 2)
@@ -49,9 +55,7 @@ object IvacChainPipeline {
     * `sample_props` map columns (absent = empty). */
   private def tier(level: DataFrame, expType: String, sampleType: String,
                    withParent: Boolean): (DataFrame, DataFrame, DataFrame) = {
-    val props = (c: String) =>
-      if (level.columns.contains(c)) col(c)
-      else map().cast("map<string,string>")
+    val props = propsOrEmpty(level) _
     // dropDuplicates on code, not distinct(): the props column is a
     // MapType, which Spark cannot use as a grouping/equality key.
     val exps = level.select(col("exp_code").as("code"),
@@ -78,12 +82,9 @@ object IvacChainPipeline {
     // lvl 1 creates TWO experiments per row: the Q_PROJECT_DETAILS
     // experiment (:19-20) and the Q_EXPERIMENTAL_DESIGN one the entity
     // sample hangs off (:22-29).
-    val detailProps = (c: String) =>
-      if (level1.columns.contains(c)) col(c)
-      else map().cast("map<string,string>")
     val detailExps = level1.select(col("details_code").as("code"),
       lit("Q_PROJECT_DETAILS").as("expType"),
-      detailProps("details_props").as("props"))
+      propsOrEmpty(level1)("details_props").as("props"))
       .dropDuplicates(Seq("code"))
     val (e1, s1, d1) = tier(level1, "Q_EXPERIMENTAL_DESIGN",
       "Q_BIOLOGICAL_ENTITY", withParent = false)

@@ -48,10 +48,24 @@ object MutationServices {
         .withColumn("__exists", lit(true))), Seq("code"), "left")
       .join(broadcast(experiments.select(col("code").as("experiment"))
         .withColumn("__exp_ok", lit(true))), Seq("experiment"), "left")
+      // a code repeated WITHIN the batch has no well-defined winner in a
+      // distributed frame (the reference's sequential loop would create
+      // the first and blow up on the second); ALL its rows go out the
+      // error channel, in both modes — ignoreExisting only forgives
+      // collisions with the ALREADY-COMMITTED catalog
+      .withColumn("__dup_in_batch",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("code"))) > 1)
     val tagged = looked
-      .transform(Errors.tag(_, col("__exists").isNotNull && !lit(ignoreExisting),
+      .transform(Errors.tag(_, col("__dup_in_batch"),
         Errors.SampleAlreadyCreated))
-      .transform(Errors.tag(_, col("__exists").isNull && col("__exp_ok").isNull,
+      .transform(Errors.tag(_,
+        !col("__dup_in_batch") && col("__exists").isNotNull &&
+          !lit(ignoreExisting),
+        Errors.SampleAlreadyCreated))
+      .transform(Errors.tag(_,
+        !col("__dup_in_batch") && col("__exists").isNull &&
+          col("__exp_ok").isNull,
         Errors.ExperimentNotFound))
     val status = Errors.withErrorChannel(tagged).select(col("code"),
       when(size(col("__errors")) > 0, element_at(col("__errors"), 1))

@@ -500,8 +500,12 @@ object Ingest {
         if (!fs.exists(openPath) && asides.nonEmpty) {
           val latest = asides.map(_.getPath)
             .maxBy(_.getName.stripPrefix("open_prev_").toLong)
-          fs.rename(latest, openPath)
-          ()
+          // the aside is the ONLY copy of the base here — a silent
+          // false from rename followed by the cleanup below would
+          // delete it; fail loudly instead and leave it for a retry
+          if (!fs.rename(latest, openPath))
+            throw new IllegalStateException(
+              s"scd2Stream: failed to restore open/ from $latest")
         }
         asides.map(_.getPath).filter(p => fs.exists(p))
           .foreach(p => fs.delete(p, true))

@@ -47,6 +47,23 @@ class MutationServicesSpec extends SparkSpec {
     assert(res.samples.count() == 2)
   }
 
+  test("registerSampleBatch: intra-batch duplicate codes error in BOTH modes") {
+    val dup = Seq(("S7", "E1", "Q_TEST_SAMPLE"), ("S7", "E2", "Q_TEST_SAMPLE"),
+      ("S8", "E1", "Q_TEST_SAMPLE"))
+      .toDF("code", "experiment", "sampleType")
+      .withColumn("props", emptyMap)
+    for (ignore <- Seq(false, true)) {
+      val res = MutationServices.registerSampleBatch(existing, exps, dup,
+        ignoreExisting = ignore)
+      val st = res.status.collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(st.count(_ == ("S7", Errors.SampleAlreadyCreated)) == 2)
+      assert(st.contains(("S8", "created")))
+      // neither S7 row lands: the catalog keeps its code-uniqueness
+      assert(res.samples.filter(col("code") === "S7").count() == 0)
+    }
+  }
+
   test("updateSampleMetadata: new values win, untouched keys survive") {
     val updates = Seq(("S1", "Q_SECONDARY_NAME", "new"),
       ("S1", "Q_ADDITIONAL_INFO", "x"), ("S9", "Q_SECONDARY_NAME", "ghost"))
