@@ -5634,10 +5634,12 @@ object Queries {
   // (register-mzml-dropbox.py:77-104 — MS<code> run sample reused when
   // already registered, experiment reused by type else count+1) and bam
   // (register-bam.py:78-133 — MP<code> find-or-create, experiment suffix
-  // scanned upward from count+1, never gap-filling). Every 5th parent
-  // pre-owns its MS sample and every 10th its MP sample, so both reuse
-  // paths and both create paths cross the hash; datasets attach either
-  // way (the *_ds rows).
+  // scanned upward from count+1, never gap-filling), plus the omero
+  // IMG<n> rule (register-omero.py:84-132 — run number gap-filled
+  // against the CATALOG per parent, seeded IMG1/IMG3 force n=2). Every
+  // 5th parent pre-owns its MS sample and every 10th its MP sample, so
+  // both reuse paths and both create paths cross the hash; datasets
+  // attach either way (the *_ds rows).
   def msDropboxQ(s: SparkSession, dir: String): DataFrame = {
     val p = load(s, dir, "part").select(col("p_partkey").cast("long").as("k"))
       .filter(pmod(col("k"), lit(20)) === 0)
@@ -5653,6 +5655,10 @@ object Queries {
       .unionByName(p.filter(pmod(col("j"), lit(10)) === 0)
         .select(concat(lit("MP"), parent).as("code"),
           lit("Q_NGS_MAPPING").as("sampleType")))
+      .unionByName(p.filter(pmod(col("j"), lit(20)) === 0)
+        .select(explode(array(concat(lit("IMG1"), parent),
+          concat(lit("IMG3"), parent))).as("code"))
+        .select(col("code"), lit("Q_BMI_GENERIC_IMAGING_RUN").as("sampleType")))
     val reg = load(s, dir, "region")
       .select(col("r_regionkey").cast("long").as("r"))
     val experiments = reg.select(
@@ -5663,6 +5669,8 @@ object Queries {
     val mzIn = p.select(concat(lit("/in/"), parent, lit(".mzML")).as("path"))
     val bamIn = p.filter(pmod(col("k"), lit(40)) === 0)
       .select(concat(lit("/in/"), parent, lit(".bam")).as("path"))
+    val imgIn = p.filter(pmod(col("k"), lit(80)) === 0)
+      .select(concat(lit("/in/"), parent, lit("_scan.czi")).as("path"))
     val noDs = p.select(lit("").as("code"), lit("").as("dsType"),
       lit("").as("sample"), lit("").as("path")).filter(lit(false))
     val fam = graft.pipelines.PrefixRegistryPipeline.Families
@@ -5670,13 +5678,19 @@ object Queries {
       fam("mzml"), mzIn, samples, experiments, noDs)
     val bm = graft.pipelines.PrefixRegistryPipeline.run(
       fam("bam"), bamIn, samples, experiments, noDs)
+    val im = graft.pipelines.PrefixRegistryPipeline.run(
+      fam("imgrun"), imgIn, samples, experiments, noDs)
     mz.samples.select(lit("mzml").as("family"), col("code"),
         col("parent"), col("exp_num"))
       .unionByName(bm.samples.select(lit("bam").as("family"), col("code"),
         col("parent"), col("exp_num")))
+      .unionByName(im.samples.select(lit("img").as("family"), col("code"),
+        col("parent"), col("exp_num")))
       .unionByName(mz.datasets.select(lit("mzml_ds").as("family"),
         col("code"), col("sample").as("parent"), lit(0L).as("exp_num")))
       .unionByName(bm.datasets.select(lit("bam_ds").as("family"),
+        col("code"), col("sample").as("parent"), lit(0L).as("exp_num")))
+      .unionByName(im.datasets.select(lit("img_ds").as("family"),
         col("code"), col("sample").as("parent"), lit(0L).as("exp_num")))
       .orderBy("family", "code")
   }
@@ -5707,7 +5721,15 @@ object Queries {
        |        FROM par2 WHERE k % 40 = 0),
        |bcr AS (SELECT b.*, row_number() OVER (PARTITION BY proj
        |                                       ORDER BY path) AS rk
-       |        FROM bam b WHERE NOT reused)
+       |        FROM bam b WHERE NOT reused),
+       |img AS (SELECT k, j, proj, code,
+       |               'IMG' || (CASE WHEN j % 20 = 0 THEN '2' ELSE '1' END)
+       |                 || code AS run,
+       |               '/in/' || code || '_scan.czi' AS path
+       |        FROM par2 WHERE k % 80 = 0),
+       |icr AS (SELECT i.*, row_number() OVER (PARTITION BY proj
+       |                                       ORDER BY path) AS rk
+       |        FROM img i)
        |SELECT 'mzml' AS family, m.run AS code, m.code AS parent,
        |       coalesce(a.msmax, a.cnt + 1) AS exp_num
        |FROM mz m JOIN agg a ON a.project = m.proj WHERE NOT m.reused
@@ -5715,9 +5737,14 @@ object Queries {
        |SELECT 'bam', b.run, b.code, a.cnt + b.rk
        |FROM bcr b JOIN agg a ON a.project = b.proj
        |UNION ALL
+       |SELECT 'img', i.run, i.code, a.cnt + i.rk
+       |FROM icr i JOIN agg a ON a.project = i.proj
+       |UNION ALL
        |SELECT 'mzml_ds', run, run, CAST(0 AS BIGINT) FROM mz
        |UNION ALL
        |SELECT 'bam_ds', run, run, CAST(0 AS BIGINT) FROM bam
+       |UNION ALL
+       |SELECT 'img_ds', run, run, CAST(0 AS BIGINT) FROM img
        |ORDER BY family, code""".stripMargin
   }
 

@@ -33,7 +33,8 @@ case class PrefixFamily(
     reuseExpByType: Boolean = false,
     attachToParent: Boolean = false,
     reuseSampleByCode: Boolean = false,
-    expAfterExisting: Boolean = false)
+    expAfterExisting: Boolean = false,
+    numberedFromCatalog: Boolean = false)
 
 /** The parameterized prefix-registry dropbox (SURVEY §1.2's prefix
   * table): every simple family is ONE config through [[run]]; NMR's two
@@ -89,14 +90,27 @@ object PrefixRegistryPipeline {
     "pacbio" -> PrefixFamily("NGS", "Q_NGS_PACBIO_MEASUREMENT",
       "Q_NGS_PACBIO_RUN", "Q_NGS_PACBIO_DATA", reuseSampleByCode = true,
       expAfterExisting = true),
-    // IdXML / featureXML / document (register-IdXML-dropbox.py:84,
-    // register-fXML-dropbox.py:84, register-document.py:64): attach-only,
-    // like peptidedata.
+    // IdXML / featureXML / document / chip-image
+    // (register-IdXML-dropbox.py:84, register-fXML-dropbox.py:84,
+    // register-document.py:64, register-chip-image-dropbox.py:57):
+    // attach-only, like peptidedata.
     "idxml" -> PrefixFamily("", "", "", "IDXML", attachToParent = true),
     "featurexml" -> PrefixFamily("", "", "", "FEATUREXML",
       attachToParent = true),
     "document" -> PrefixFamily("", "", "", "Q_DOCUMENT",
       attachToParent = true),
+    "chipimage" -> PrefixFamily("", "", "", "Q_MA_CHIP_IMAGE",
+      attachToParent = true),
+    // omero imaging run (register-omero.py:84-132): IMG<n> numbered
+    // against the CATALOG per parent (while-exists probe walks the first
+    // free n — already-registered runs leave gaps that refill),
+    // experiment suffix scanned upward from count+1 (:88-97). The image
+    // transport itself is K6's exec seam; the dataset row records the
+    // attachment.
+    "imgrun" -> PrefixFamily("IMG", "Q_BMI_GENERIC_IMAGING",
+      "Q_BMI_GENERIC_IMAGING_RUN", "Q_BMI_GENERIC_IMAGING_DATA",
+      numberedPrefix = true, expAfterExisting = true,
+      numberedFromCatalog = true),
     // epitope-selection (register-epitope-selection.py:48-88) diverges
     // enough (workflow-sample key, catalog-wide VAC<n> free-number scan,
     // experiment suffix starting past count) to get [[runEpitope]]; the
@@ -227,7 +241,31 @@ object PrefixRegistryPipeline {
     // below can split the batch BEFORE experiment suffixes are assigned.
     val wp = Window.partitionBy(col("barcode")).orderBy(col("path"))
     val named =
-      if (family.numberedPrefix)
+      if (family.numberedPrefix && family.numberedFromCatalog) {
+        // omero's IMG<n> rule: n is the first FREE number per parent
+        // against the CATALOG's already-registered runs (the while-
+        // exists probe of register-omero.py:119-128), not a batch-local
+        // counter — decompose existing `<prefix><n><barcode>` codes into
+        // per-parent used sets and gap-fill (the VAC machinery keyed on
+        // the barcode).
+        val pfx = java.util.regex.Pattern.quote(family.samplePrefix)
+        val rx = s"^$pfx([0-9]+)(${Barcode.Rx})$$"
+        val used = samples
+          .select(regexp_extract(col("code"), rx, 2).as("project"),
+            regexp_extract(col("code"), rx, 1).as("__n"))
+          .filter(length(col("project")) > 0)
+          .select(col("project"), col("__n").cast("long").as("num"))
+        firstFreeSuffixes(used,
+          withProject.withColumnRenamed("project", "__pr_proj")
+            .withColumnRenamed("barcode", "project"),
+          "project", col("path"))
+          .withColumn("run_sample",
+            concat(lit(family.samplePrefix), col("exp_num").cast("string"),
+              col("project")))
+          .drop("exp_num")
+          .withColumnRenamed("project", "barcode")
+          .withColumnRenamed("__pr_proj", "project")
+      } else if (family.numberedPrefix)
         withProject.withColumn("run_sample",
           concat(lit(family.samplePrefix),
             row_number().over(wp).cast("string"), col("barcode")))

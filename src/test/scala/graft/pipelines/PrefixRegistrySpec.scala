@@ -224,6 +224,42 @@ class PrefixRegistrySpec extends SparkSpec {
     assert(ds.toSeq == Seq(s"MS$bc1", s"MS$bc2"))
   }
 
+  test("imgrun: IMG<n> gap-fills against the catalog per parent") {
+    val bc = code("QIMGA001E")
+    val incoming = Seq(s"/in/${bc}_scan1.czi", s"/in/${bc}_scan2.czi")
+      .toDF("path")
+    // IMG1 and IMG3 already registered → the two new runs take 2 and 4
+    val samples = Seq((bc, "Q_TEST_SAMPLE"),
+      (s"IMG1$bc", "Q_BMI_GENERIC_IMAGING_RUN"),
+      (s"IMG3$bc", "Q_BMI_GENERIC_IMAGING_RUN"))
+      .toDF("code", "sampleType")
+    val experiments = Seq(("QIMGA", 1L, "Q_BMI_GENERIC_IMAGING"))
+      .toDF("project", "num", "expType")
+    val datasets = Seq.empty[(String, String, String, String)]
+      .toDF("code", "dsType", "sample", "path")
+    val res = PrefixRegistryPipeline.run(
+      PrefixRegistryPipeline.Families("imgrun"),
+      incoming, samples, experiments, datasets)
+    val got = res.samples.orderBy("code").collect()
+      .map(r => (r.getAs[String]("code"), r.getAs[Long]("exp_num")))
+    // experiment suffixes scan from count+1 = 2 upward (bam's rule)
+    assert(got.toSeq == Seq((s"IMG2$bc", 2L), (s"IMG4$bc", 3L)))
+  }
+
+  test("chipimage attaches like peptidedata with its own dataset type") {
+    val bc = code("QCHPA001E")
+    val res = PrefixRegistryPipeline.run(
+      PrefixRegistryPipeline.Families("chipimage"),
+      Seq(s"/in/$bc.tif").toDF("path"),
+      Seq((bc, "Q_TEST_SAMPLE")).toDF("code", "sampleType"),
+      Seq.empty[(String, Long, String)].toDF("project", "num", "expType"),
+      Seq.empty[(String, String, String, String)]
+        .toDF("code", "dsType", "sample", "path"))
+    val ds = res.datasets.collect()
+    assert(ds.length == 1 && ds(0).getAs[String]("dsType") == "Q_MA_CHIP_IMAGE"
+      && ds(0).getAs[String]("sample") == bc)
+  }
+
   test("bam: experiment suffix scans upward from count+1, not gap-filling") {
     val bc = code("QBAMA001E")
     val incoming = Seq(s"/in/$bc.bam").toDF("path")
