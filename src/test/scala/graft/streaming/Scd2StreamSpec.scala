@@ -64,6 +64,31 @@ class Scd2StreamSpec extends SparkSpec {
       "user 1's first version must be closed at batch 2")
   }
 
+  test("crash between the open-swap renames recovers from the aside copy") {
+    import org.apache.hadoop.fs.Path
+    val src = java.nio.file.Files.createTempDirectory("graft-scd2c").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-scd2co").toString
+    writeBatch(src, "b0.parquet", 1000L, Seq((1L, "A", 10L), (2L, "B", 20L)))
+    run(src, out)
+    // simulate the crash window: old open/ moved aside, new one never
+    // renamed in (the exact state between the two commit renames)
+    val fs = new Path(out).getFileSystem(spark.sessionState.newHadoopConf())
+    val open = new Path(s"$out/dest/open")
+    assert(fs.exists(open))
+    assert(fs.rename(open, new Path(s"$out/dest/open_prev_9")))
+    assert(!fs.exists(open))
+    // next batch arrives for key 2 only; without the aside restore the
+    // replay would see an EMPTY base and silently drop key 1's history
+    writeBatch(src, "b1.parquet", 2000L, Seq((2L, "B2", 20L)))
+    val got = run(src, out)
+    assert(got === Seq(
+      Seq(1L, "A", 10L, 0L, null),   // survived the crash window
+      Seq(2L, "B", 20L, 0L, 1L),
+      Seq(2L, "B2", 20L, 1L, null)))
+    assert(!fs.exists(new Path(s"$out/dest/open_prev_9")),
+      "the aside must be cleaned up after restore")
+  }
+
   test("absent key keeps its open row untouched across batches") {
     val src = java.nio.file.Files.createTempDirectory("graft-scd2a").toString
     val out = java.nio.file.Files.createTempDirectory("graft-scd2ao").toString
