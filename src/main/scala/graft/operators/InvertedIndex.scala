@@ -178,7 +178,35 @@ object InvertedIndex {
     * which is exactly-once per micro-batch. */
   def refresh(spark: org.apache.spark.sql.SparkSession, dest: String,
               newDocs: DataFrame, idCol: String, tokCol: Column,
-              maxDf: Long, nBuckets: Int = 16): Unit = {
+              maxDf: Long, nBuckets: Int = 16): Unit =
+    withMergedDelta(spark, dest, newDocs, idCol, tokCol, maxDf, nBuckets) {
+      merged =>
+        // materialize BEFORE the overwrite below — the plan reads the
+        // very bucket dirs the write replaces
+        merged.localCheckpoint().write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__bucket").parquet(dest)
+    }
+
+  /** [[refresh]]'s crash-safe twin: the merged touched buckets land in
+    * `stagingDir` instead of overwriting `dest` in place — the caller
+    * owns the swap (graft.streaming.Ingest.applyIndexBatch's staged
+    * commit). Writing elsewhere also removes refresh's localCheckpoint:
+    * the plan no longer reads the dirs it replaces, so the merge is one
+    * job with no intermediate materialization. */
+  def refreshStaged(spark: org.apache.spark.sql.SparkSession, dest: String,
+                    stagingDir: String, newDocs: DataFrame, idCol: String,
+                    tokCol: Column, maxDf: Long, nBuckets: Int = 16): Unit =
+    withMergedDelta(spark, dest, newDocs, idCol, tokCol, maxDf, nBuckets) {
+      merged =>
+        merged.write.mode("overwrite")
+          .partitionBy("__bucket").parquet(stagingDir)
+    }
+
+  private def withMergedDelta(spark: org.apache.spark.sql.SparkSession,
+                              dest: String, newDocs: DataFrame, idCol: String,
+                              tokCol: Column, maxDf: Long, nBuckets: Int)
+                             (write: DataFrame => Unit): Unit = {
     val delta = build(newDocs, idCol, tokCol, maxDf)
       .withColumn("__bucket", pmod(hash(col("tok")), lit(nBuckets)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -199,12 +227,7 @@ object InvertedIndex {
         .join(delta.as("d"), Seq("tok", "__bucket"), "full_outer")
         .select(col("tok"), dfSum.as("df"), posts.as("postings"),
           col("__bucket"))
-        // materialize BEFORE the overwrite below — the plan reads the
-        // very bucket dirs the write replaces
-        .localCheckpoint()
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__bucket").parquet(dest)
+      write(merged)
     } finally { delta.unpersist(); () }
   }
 

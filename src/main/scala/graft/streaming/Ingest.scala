@@ -638,9 +638,11 @@ object Ingest {
     * `_applied/batch-<id>` marker inside `dest` and a redelivered batch
     * id is skipped ([[graft.exec.External.skipDone]]'s pattern, valid
     * within one checkpoint lineage — exactly the restart-after-crash
-    * case). The residual window is a crash between the bucket overwrite
-    * and the marker mkdirs; closing it needs the staged-swap commit
-    * ([[upsertExactlyOnce]]) around the refresh write. */
+    * case). The apply itself is a STAGED-SWAP commit (the
+    * [[upsertExactlyOnce]] discipline): the merged buckets land in a
+    * sealed staging dir first, and the marker travels with the swap —
+    * a crash anywhere replays to the same index (see
+    * [[applyIndexBatch]]'s crash-point enumeration). */
   def indexStream(spark: SparkSession, srcDir: String, fileGlob: String,
                   dest: String, checkpointDir: String, idCol: String,
                   tokCol: Column, maxDf: Long, maxFilesPerTrigger: Int = 1,
@@ -669,11 +671,44 @@ object Ingest {
     import org.apache.hadoop.fs.Path
     val marker = new Path(s"$dest/_applied/batch-$batchId")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(marker)) {
-      graft.operators.InvertedIndex.refresh(spark, dest, batch, idCol,
-        tokCol, maxDf)
-      fs.mkdirs(marker)
+    val staging = new Path(s"$dest/.stage_batch_$batchId")
+    // Staged-swap commit closing the old "crash between the bucket
+    // overwrite and the marker" window: the merge writes ONLY to
+    // staging (dest stays pristine and readable), a _marker file seals
+    // the staging dir, then the swap moves buckets and finally the
+    // marker itself. Every crash point replays to the same state:
+    //   - mid-merge: staging has no _marker → dropped, recomputed;
+    //   - mid-swap: _marker present → swap FINISHES (never recomputes
+    //     over half-swapped buckets — the double-count the in-place
+    //     write could not avoid);
+    //   - after the marker rename: the batch reads as applied; a stale
+    //     staging dir is just deleted.
+    def commit(): Unit = {
+      val destPath = new Path(dest)
+      fs.listStatus(staging)
+        .filter(_.getPath.getName.startsWith("__bucket="))
+        .foreach { s =>
+          val d = new Path(destPath, s.getPath.getName)
+          fs.delete(d, true)
+          fs.rename(s.getPath, d)
+        }
+      fs.mkdirs(new Path(s"$dest/_applied"))
+      if (!fs.rename(new Path(staging, "_marker"), marker) &&
+          !fs.exists(marker))
+        throw new IllegalStateException(
+          s"indexStream: failed to commit marker for batch $batchId")
+      fs.delete(staging, true)
       ()
+    }
+    if (fs.exists(marker)) { fs.delete(staging, true); () }
+    else if (fs.exists(staging) && fs.exists(new Path(staging, "_marker"))) {
+      commit() // finish an interrupted swap; do NOT recompute
+    } else {
+      fs.delete(staging, true)
+      graft.operators.InvertedIndex.refreshStaged(spark, dest,
+        staging.toString, batch, idCol, tokCol, maxDf)
+      fs.create(new Path(staging, "_marker"), true).close()
+      commit()
     }
   }
 

@@ -61,4 +61,34 @@ class StreamIndexSpec extends SparkSpec {
       .filter(col("tok") === "shuffle").head().getLong(1)
     assert(dfShuffle == 2L, "df must count docs 1 and 4 exactly once each")
   }
+
+  test("a crash mid-swap (sealed staging left behind) finishes, not recomputes") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft-sidx3").toString
+    val toks = tokens(col("text"))
+    InvertedIndex.publish(
+      InvertedIndex.build(docs.filter(col("doc_id") < 4), "doc_id", toks, 100L),
+      s"$root/idx")
+    val delta = docs.filter(col("doc_id") >= 4)
+    // stage the merge exactly as applyIndexBatch would, seal it, but
+    // "crash" before any bucket moves — then replay the batch
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new Path(s"$root/idx/.stage_batch_3")
+    InvertedIndex.refreshStaged(spark, s"$root/idx", staging.toString,
+      delta, "doc_id", toks, 100L)
+    fs.create(new Path(staging, "_marker"), true).close()
+    val before = rows(readIdx(s"$root/idx")) // dest untouched by staging
+    assert(before.nonEmpty)
+    Ingest.applyIndexBatch(spark, s"$root/idx", delta, 3L, "doc_id", toks, 100L)
+    // the recovery path must land the SAME index a clean apply produces
+    val full = InvertedIndex.build(docs, "doc_id", toks, 100L)
+      .select(col("tok"), col("df"), array_join(col("postings"), ",").as("p"))
+      .orderBy("tok")
+    assert(rows(readIdx(s"$root/idx")) === rows(full))
+    assert(!fs.exists(staging), "staging must be cleaned up")
+    assert(fs.exists(new Path(s"$root/idx/_applied/batch-3")))
+    // a second replay after full commit is a pure no-op
+    Ingest.applyIndexBatch(spark, s"$root/idx", delta, 3L, "doc_id", toks, 100L)
+    assert(rows(readIdx(s"$root/idx")) === rows(full))
+  }
 }
