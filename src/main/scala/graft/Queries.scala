@@ -4721,6 +4721,286 @@ object Queries {
     s.sql(Tpch20Sql)
   }
 
+  // ------------------------------------------- TPC-H completion block
+  // The remaining distinct PLANNER SHAPES from the TPC-H suite, adapted
+  // to the corpus columns (no partsupp table, no commit/receipt dates —
+  // each query keeps its original planning challenge on the columns
+  // that exist). With these, every TPC-H query class a user would run
+  // against the reference's report surface (K3/W5 ordered reports over
+  // star joins) has a gate row on the spark.sql face:
+  //   - q_tpch7: 6-relation join with a DISJUNCTIVE nation-pair
+  //     predicate over two aliases of the same dimension — Catalyst
+  //     must keep the equi-join keys and evaluate the pair filter as a
+  //     residual, not fall back to a nested loop.
+  //   - q_tpch8: the 8-relation market-share shape; share stated as
+  //     (nation_volume, total_volume) integer pair instead of a
+  //     division so both engines stay in exact BIGINT. Join-reorder
+  //     gauntlet: region→nation is a two-step snowflake on BOTH the
+  //     customer and supplier arms.
+  //   - q_tpch11: GROUP BY ... HAVING against a GLOBAL scalar subquery
+  //     (the important-stock shape). The threshold is relative to the
+  //     per-supplier average (share > 1.05×avg via supplier-count
+  //     cross-multiply) so the row stays non-degenerate at every SF —
+  //     the classic query scales its fraction by SF for the same
+  //     reason. Uncorrelated scalars legitimately survive as subquery
+  //     stages; the gate is value parity.
+  //   - q_tpch13: LEFT OUTER JOIN with an EXTRA non-key join predicate
+  //     + count over the nullable side + re-aggregation of the counts
+  //     (the customer-distribution shape; counts-of-counts).
+  //   - q_tpch15: CTE referenced TWICE (revenue view + its max) — the
+  //     top-supplier shape; Spark plans the second reference as a
+  //     scalar subquery over the same aggregate.
+  //   - q_tpch16: count(DISTINCT) + NOT IN blacklist subquery — the
+  //     null-aware anti-join path (s_suppkey is non-null, but the
+  //     planner must still prove or guard it).
+  //   - q_tpch18: IN over a GROUP BY ... HAVING subquery (large-order
+  //     shape) joined back to the same fact table.
+  //   - q_tpch21: EXISTS + NOT EXISTS self-joins on the fact table in
+  //     ONE query (the waiting-supplier shape, restated on l_shipdate:
+  //     supplier was the LAST to ship on a multi-supplier order) —
+  //     a LeftSemi and a LeftAnti against the same relation.
+  //   - q_tpch2: correlated scalar MIN over the fact table (min-cost
+  //     supplier shape) — decorrelates to a per-partkey aggregate
+  //     joined back; equality lands on integral-cent doubles.
+  //   - q_tpch12: conditional aggregation — CASE inside sum() over a
+  //     fact/dim join (ship-mode priority shape).
+  //   - q_tpch19: OR-of-ANDs predicate where the equi-join key is
+  //     common to every disjunct — BooleanSimplification must factor
+  //     `p_partkey = l_partkey` out of the disjunction or the plan
+  //     degenerates to a cartesian nested loop (PlanAuditSpec would
+  //     fail). The classic Q19 pushdown-extraction test.
+  // Oracle = the IDENTICAL SQL text in DuckDB for all eleven. Money is
+  // cents (round(price·100)); discounted volume is cents×(100−bp) so
+  // revenue sums stay in exact integer "cent-percent" units.
+  private val Tpch7Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |       CAST(sum(volume) AS BIGINT) AS revenue
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |             CAST(round(l_extendedprice * 100) AS BIGINT)
+      |               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |               AS volume
+      |      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |        AND c_nationkey = n2.n_nationkey
+      |        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_12')
+      |          OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_3'))
+      |     ) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  def tpch7Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders", "customer", "nation")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch7Sql)
+  }
+
+  private val Tpch8Sql =
+    """SELECT o_year,
+      |       CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+      |            AS BIGINT) AS nation_volume,
+      |       CAST(sum(volume) AS BIGINT) AS total_volume
+      |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |             CAST(round(l_extendedprice * 100) AS BIGINT)
+      |               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |               AS volume,
+      |             n2.n_name AS nation
+      |      FROM part, supplier, lineitem, orders, customer,
+      |           nation n1, nation n2, region
+      |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |        AND c_nationkey = n1.n_nationkey
+      |        AND n1.n_regionkey = r_regionkey
+      |        AND s_nationkey = n2.n_nationkey
+      |        AND r_name = 'EUROPE' AND p_type = 'PROMO') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  def tpch8Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "orders", "customer",
+        "nation", "region")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch8Sql)
+  }
+
+  private val Tpch11Sql =
+    """SELECT l_suppkey,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |            AS BIGINT) AS value_cents
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |         * (SELECT CAST(count(*) AS BIGINT) FROM supplier) * 100
+      |     > (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |        FROM lineitem) * 105
+      |ORDER BY value_cents DESC, l_suppkey""".stripMargin
+
+  def tpch11Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "supplier")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch11Sql)
+  }
+
+  private val Tpch13Sql =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (SELECT c_custkey,
+      |             CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey
+      |       AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  def tpch13Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch13Sql)
+  }
+
+  private val Tpch15Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |              AS BIGINT) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  def tpch15Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch15Sql)
+  }
+
+  private val Tpch16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM part, lineitem
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand <> 'Brand#5'
+      |  AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 14, 23, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_name LIKE '%77')
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  def tpch16Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "lineitem", "supplier")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch16Sql)
+  }
+
+  private val Tpch18Sql =
+    """SELECT c_custkey, o_orderkey,
+      |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |       CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey
+      |                     HAVING sum(l_quantity) > 180)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_custkey, o_orderkey, o_totalprice
+      |ORDER BY o_orderkey""".stripMargin
+
+  def tpch18Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch18Sql)
+  }
+
+  private val Tpch21Sql =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
+  def tpch21Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch21Sql)
+  }
+
+  private val Tpch2Sql =
+    """SELECT DISTINCT p_partkey, p_name, s_name,
+      |       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+      |FROM part, lineitem, supplier
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND p_size = 25
+      |  AND round(l_extendedprice * 100)
+      |      = (SELECT min(round(l2.l_extendedprice * 100))
+      |         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |ORDER BY p_partkey, s_name, price_cents""".stripMargin
+
+  def tpch2Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("part", "lineitem", "supplier")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch2Sql)
+  }
+
+  private val Tpch12Sql =
+    """SELECT l_linestatus,
+      |       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |                       OR o_orderpriority = '2-HIGH'
+      |                     THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+      |                      AND o_orderpriority <> '2-HIGH'
+      |                     THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  def tpch12Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch12Sql)
+  }
+
+  private val Tpch19Sql =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |            AS BIGINT) AS revenue,
+      |       CAST(count(*) AS BIGINT) AS n_rows
+      |FROM lineitem, part
+      |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#1'
+      |       AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 30)
+      |   OR (p_partkey = l_partkey AND p_brand = 'Brand#2'
+      |       AND p_size BETWEEN 10 AND 30
+      |       AND l_quantity >= 10 AND l_quantity <= 40)
+      |   OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+      |       AND p_size BETWEEN 20 AND 45
+      |       AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin
+
+  def tpch19Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch19Sql)
+  }
+
   // ----------------------------------------------------------------- Q-jl
   // Johnson–Lindenstrauss signed random projection
   // (Similarity.projectSigned): the ANN PREPROCESSING row — reduce the
@@ -4930,6 +5210,51 @@ object Queries {
   private val snapDeltaSql =
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
       |WHERE n_nationkey >= 15 ORDER BY n_nationkey""".stripMargin
+
+  // -------------------------------------------------------- Q-snapevolve
+  // Snapshot schema evolution (add-column only): v1 publishes 3
+  // columns, v2 APPENDS a batch carrying a new 4th column. The
+  // manifest records each version's schema, so reading v2 applies the
+  // evolved schema to every referenced file — v1's files (carried
+  // forward BY REFERENCE, zero bytes rewritten) null-fill the new
+  // column at scan time. This is the Iceberg/Delta add-column story on
+  // the manifest layout: at 100 TB, evolving a corpus schema must
+  // never rewrite history. Incompatible appends (dropped/retyped
+  // fields) are rejected at publish (SnapshotTravelSpec). ORACLE
+  // derives both slices from the seed table with an explicit NULL arm.
+  private val SnapEvolveDir = s"$FixtureRoot/snapevolve"
+
+  def snapEvolveQ(s: SparkSession, dir: String): DataFrame = {
+    publishOnce(SnapEvolveDir, dir) {
+      import java.nio.file.{Files => JF, Paths}
+      val base = Paths.get(SnapEvolveDir)
+      if (JF.exists(base)) {
+        val it = JF.walk(base).sorted(java.util.Comparator.reverseOrder())
+        it.forEach(p => JF.delete(p))
+      }
+      val nation = load(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      graft.operators.Snapshot.publishSnapshot(
+        nation.filter(col("n_nationkey") < 15), SnapEvolveDir)
+      graft.operators.Snapshot.appendSnapshot(
+        nation.filter(col("n_nationkey") >= 15)
+          .withColumn("name_len", length(col("n_name")).cast("long")),
+        SnapEvolveDir)
+      ()
+    }
+    graft.operators.Snapshot.readSnapshot(s, SnapEvolveDir, 2)
+      .orderBy("n_nationkey")
+  }
+
+  private val snapEvolveSql =
+    """SELECT n_nationkey, n_name, n_regionkey,
+      |       CAST(NULL AS BIGINT) AS name_len
+      |FROM nation WHERE n_nationkey < 15
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey,
+      |       CAST(length(n_name) AS BIGINT)
+      |FROM nation WHERE n_nationkey >= 15
+      |ORDER BY n_nationkey""".stripMargin
 
   // ---------------------------------------------------------- Q-snapskip
   // Manifest-stats file skipping (Snapshot.readSnapshotRange): the
@@ -8383,10 +8708,22 @@ object Queries {
     "q_tpch22" -> (tpch22Q _),
     "q_lateral" -> (lateralQ _),
     "q_tpch20" -> (tpch20Q _),
+    "q_tpch2" -> (tpch2Q _),
+    "q_tpch7" -> (tpch7Q _),
+    "q_tpch8" -> (tpch8Q _),
+    "q_tpch11" -> (tpch11Q _),
+    "q_tpch12" -> (tpch12Q _),
+    "q_tpch13" -> (tpch13Q _),
+    "q_tpch15" -> (tpch15Q _),
+    "q_tpch16" -> (tpch16Q _),
+    "q_tpch18" -> (tpch18Q _),
+    "q_tpch19" -> (tpch19Q _),
+    "q_tpch21" -> (tpch21Q _),
     "q_swindow" -> (sessionWindowQ _),
     "q_jl" -> (jlQ _),
     "q_jlknn" -> (jlKnnQ _),
     "q_timetravel" -> (timeTravelQ _),
+    "q_snapevolve" -> (snapEvolveQ _),
     "q_snapdelta" -> (snapDeltaQ _),
     "q_snapskip" -> (snapSkipQ _),
     "q_scenecut" -> (sceneCutQ _),
@@ -8580,10 +8917,22 @@ object Queries {
     "q_tpch22" -> Tpch22Sql,
     "q_lateral" -> LateralSql,
     "q_tpch20" -> Tpch20Sql,
+    "q_tpch2" -> Tpch2Sql,
+    "q_tpch7" -> Tpch7Sql,
+    "q_tpch8" -> Tpch8Sql,
+    "q_tpch11" -> Tpch11Sql,
+    "q_tpch12" -> Tpch12Sql,
+    "q_tpch13" -> Tpch13Sql,
+    "q_tpch15" -> Tpch15Sql,
+    "q_tpch16" -> Tpch16Sql,
+    "q_tpch18" -> Tpch18Sql,
+    "q_tpch19" -> Tpch19Sql,
+    "q_tpch21" -> Tpch21Sql,
     "q_swindow" -> sessionWindowSql,
     "q_jl" -> jlSql,
     "q_jlknn" -> jlKnnSql,
     "q_timetravel" -> timeTravelSql,
+    "q_snapevolve" -> snapEvolveSql,
     "q_snapdelta" -> snapDeltaSql,
     "q_snapskip" -> snapSkipSql,
     "q_scenecut" -> sceneCutSql,

@@ -154,7 +154,29 @@ object Snapshot {
     val carried =
       if (carryForward && prev >= 1) manifestLines(spark, destDir, prev)
       else Seq.empty
-    val header = statsCol.map(c => s"#stats=$c").toSeq
+    // Schema evolution (add-column only): the manifest records the
+    // version's schema, so a reader applies THIS version's schema to
+    // every referenced file — files carried forward from before the
+    // column existed null-fill it at scan time (no data rewritten, the
+    // Iceberg/Delta add-column story). An append must keep every
+    // previous field at its exact type: silently dropping or retyping a
+    // column would corrupt carried-forward reads.
+    if (carryForward && prev >= 1)
+      manifestSchema(spark, destDir, prev).foreach { prevSchema =>
+        prevSchema.fields.foreach { f =>
+          val cur = df.schema.fields.find(_.name == f.name)
+          require(cur.exists(_.dataType == f.dataType),
+            s"appendSnapshot schema evolution is add-column only: field " +
+              s"'${f.name}: ${f.dataType.simpleString}' of v$prev is " +
+              cur.fold("missing")(c =>
+                s"retyped to ${c.dataType.simpleString}") +
+              " in the appended batch")
+        }
+      }
+    val schemaHeader =
+      s"#schema=${org.apache.spark.sql.types.StructType(
+        df.schema.fields.map(_.copy(nullable = true))).json}"
+    val header = schemaHeader +: statsCol.map(c => s"#stats=$c").toSeq
     val manifestDir = new Path(s"$destDir/manifest")
     fs.mkdirs(manifestDir)
     val tmp = new Path(s"$destDir/manifest/.tmp_v$v")
@@ -196,6 +218,34 @@ object Snapshot {
       .map(_.stripPrefix("#stats="))
   }
 
+  /** The schema a version's manifest was published with, if recorded
+    * (manifests from before schema tracking have none). */
+  private def manifestSchema(spark: org.apache.spark.sql.SparkSession,
+                             destDir: String,
+                             v: Int): Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(destDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val in = fs.open(new Path(s"$destDir/manifest/v$v.txt"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.split("\n").find(_.startsWith("#schema="))
+      .map(l => org.apache.spark.sql.types.DataType
+        .fromJson(l.stripPrefix("#schema="))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Read a file set under a version's recorded schema when one exists
+    * (older files missing an evolved column null-fill it); fall back to
+    * parquet inference for pre-schema-tracking manifests. */
+  private def readWithVersionSchema(spark: org.apache.spark.sql.SparkSession,
+                                    destDir: String, v: Int,
+                                    files: Seq[String]): DataFrame =
+    manifestSchema(spark, destDir, v) match {
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None    => spark.read.parquet(files: _*)
+    }
+
   private def linePath(l: String): String = l.split("\t").head
 
   /** Highest committed version, 0 if none. A `.tmp_` manifest (crashed
@@ -219,7 +269,7 @@ object Snapshot {
     val files = manifestLines(spark, destDir, v)
       .map(l => s"$destDir/${linePath(l)}")
     require(files.nonEmpty, s"version $v under $destDir is empty/unknown")
-    spark.read.parquet(files: _*)
+    readWithVersionSchema(spark, destDir, v, files)
   }
 
   /** Manifest-stats FILE SKIPPING: the files of version `v` whose
@@ -250,7 +300,7 @@ object Snapshot {
       .map(f => s"$destDir/$f")
     if (files.isEmpty)
       readSnapshot(spark, destDir, v).limit(0)
-    else spark.read.parquet(files: _*)
+    else readWithVersionSchema(spark, destDir, v, files)
       .filter(col(c) >= lo && col(c) <= hi)
   }
 
@@ -265,7 +315,8 @@ object Snapshot {
     val added = manifestLines(spark, destDir, vTo).map(linePath)
       .filterNot(before)
     if (added.isEmpty) readSnapshot(spark, destDir, vTo).limit(0)
-    else spark.read.parquet(added.map(f => s"$destDir/$f"): _*)
+    else readWithVersionSchema(spark, destDir, vTo,
+      added.map(f => s"$destDir/$f"))
   }
 
   /** Point-lookup file skipping for a NON-clustered key: publish with

@@ -55,6 +55,44 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"IN must plan as semi join:\n$p")
   }
 
+  test("q_tpch2: correlated scalar MIN decorrelates to an aggregate join") {
+    val p = physical("q_tpch2")
+    assert(!p.contains("Subquery "), s"scalar subquery survived planning:\n$p")
+    assert(p.contains("HashAggregate"), p)
+    val joins = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(p).size
+    assert(joins >= 3, s"expected part+supplier joins + decorrelated min join:\n$p")
+  }
+
+  test("q_tpch16: NOT IN blacklist plans as a LEFT ANTI join") {
+    val p = physical("q_tpch16")
+    assert(p.contains("LeftAnti"), s"expected LeftAnti in:\n$p")
+  }
+
+  test("q_tpch21: EXISTS + NOT EXISTS plan as LeftSemi + LeftAnti in one query") {
+    val p = physical("q_tpch21")
+    assert(p.contains("LeftSemi"), s"expected LeftSemi in:\n$p")
+    assert(p.contains("LeftAnti"), s"expected LeftAnti in:\n$p")
+  }
+
+  test("q_tpch19: the OR-of-ANDs predicate factors out the equi-join key") {
+    // BooleanSimplification must extract the common `p_partkey =
+    // l_partkey` conjunct from the three disjuncts — the plan is an
+    // equi hash/merge join with the brand/size/qty disjunction as a
+    // residual, never a nested loop over the fact table.
+    val p = physical("q_tpch19")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"),
+      s"disjunctive join degenerated to a nested loop:\n$p")
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+             .findAllIn(p).nonEmpty, s"expected an equi join in:\n$p")
+  }
+
+  test("q_tpch13: the extra non-key predicate stays on the LEFT OUTER join") {
+    val p = physical("q_tpch13")
+    assert(p.contains("LeftOuter"), s"expected LeftOuter in:\n$p")
+  }
+
   test("SQL rank()/dense_rank() ≤ k plan as TopKPerKey (no WindowExec)") {
     // the rewrite must fire from the pure-SQL face too, not just the
     // DataFrame API — same Filter-over-Window logical shape either way

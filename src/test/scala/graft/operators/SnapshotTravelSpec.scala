@@ -119,4 +119,40 @@ class SnapshotTravelSpec extends SparkSpec {
     }
     ()
   }
+
+  test("add-column evolution: carried files null-fill, nothing rewritten") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-ttv").toString
+    Snapshot.publishSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dest)
+    val mtimes = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dest/data/v1")).toArray.toSeq
+      .map(_.toString).sorted
+    Snapshot.appendSnapshot(
+      Seq((3L, "c", 30L)).toDF("k", "v", "extra"), dest)
+    // evolved read: old rows null-fill the new column, new row carries it
+    assert(rows(Snapshot.readSnapshot(spark, dest, 2).orderBy("k")) ===
+      Seq(Seq(1L, "a", null), Seq(2L, "b", null), Seq(3L, "c", 30L)))
+    // v1 read under ITS schema still has no 'extra' column (time travel
+    // of the schema itself)
+    assert(Snapshot.readSnapshot(spark, dest, 1).columns.toSeq ===
+      Seq("k", "v"))
+    // no v1 data file was rewritten by the evolution
+    assert(java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dest/data/v1")).toArray.toSeq
+      .map(_.toString).sorted === mtimes)
+    // changedBetween sees the delta under the evolved schema
+    assert(rows(Snapshot.changedBetween(spark, dest, 1, 2)) ===
+      Seq(Seq(3L, "c", 30L)))
+  }
+
+  test("evolution guard: dropped or retyped fields refuse to append") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-ttg").toString
+    Snapshot.publishSnapshot(Seq((1L, "a")).toDF("k", "v"), dest)
+    intercept[IllegalArgumentException] {   // dropped column
+      Snapshot.appendSnapshot(Seq(Tuple1(2L)).toDF("k"), dest)
+    }
+    intercept[IllegalArgumentException] {   // retyped column
+      Snapshot.appendSnapshot(Seq((2, "b")).toDF("k", "v"), dest)
+    }
+    ()
+  }
 }
