@@ -5256,6 +5256,66 @@ object Queries {
       |FROM nation WHERE n_nationkey >= 15
       |ORDER BY n_nationkey""".stripMargin
 
+  // --------------------------------------------------------- Q-snapmerge
+  // MERGE INTO on the snapshot layout (Snapshot.mergeSnapshot):
+  // copy-on-write upsert — the base is published range-partitioned 8
+  // ways with c_custkey stats, the update batch replaces every 37th
+  // customer and inserts three new keys, and ONLY the files that
+  // contain a touched key are rewritten; the rest carry forward by
+  // reference (SnapshotTravelSpec pins the file accounting — at 100 TB
+  // the merge is O(touched + updates), never O(table)). The gate reads
+  // the merged version in full, so a lost survivor row, a leaked old
+  // version of a replaced row, or a dropped insert diverges the hash.
+  // ORACLE rebuilds the merged state from the seed with an explicit
+  // VALUES arm for the inserts.
+  private val SnapMergeDir = s"$FixtureRoot/snapmerge"
+
+  def snapMergeQ(s: SparkSession, dir: String): DataFrame = {
+    publishOnce(SnapMergeDir, dir) {
+      import java.nio.file.{Files => JF, Paths}
+      val base = Paths.get(SnapMergeDir)
+      if (JF.exists(base)) {
+        val it = JF.walk(base).sorted(java.util.Comparator.reverseOrder())
+        it.forEach(p => JF.delete(p))
+      }
+      val cust = load(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      graft.operators.Snapshot.publishSnapshot(
+        cust.repartitionByRange(8, col("c_custkey")), SnapMergeDir,
+        statsCol = Some("c_custkey"))
+      import s.implicits._
+      val updates = cust.filter(col("c_custkey") % 37 === 0)
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit("_u")).as("c_name"),
+          (col("bal_cents") + 1000L).as("bal_cents"))
+        .unionByName(Seq(
+          (9000001L, "NEW_1", 111L), (9000002L, "NEW_2", 222L),
+          (9000003L, "NEW_3", 333L)).toDF("c_custkey", "c_name", "bal_cents"))
+      graft.operators.Snapshot.mergeSnapshot(
+        updates, SnapMergeDir, "c_custkey")
+      ()
+    }
+    graft.operators.Snapshot.readSnapshot(s, SnapMergeDir, 2)
+      .orderBy("c_custkey")
+  }
+
+  private val snapMergeSql =
+    """SELECT c_custkey, c_name, bal_cents FROM (
+      |  SELECT c_custkey, c_name,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      |  FROM customer WHERE c_custkey % 37 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name || '_u',
+      |         CAST(round(c_acctbal * 100) AS BIGINT) + 1000
+      |  FROM customer WHERE c_custkey % 37 = 0
+      |  UNION ALL
+      |  SELECT * FROM (VALUES (CAST(9000001 AS BIGINT), 'NEW_1',
+      |                         CAST(111 AS BIGINT)),
+      |                        (9000002, 'NEW_2', 222),
+      |                        (9000003, 'NEW_3', 333))
+      |) ORDER BY c_custkey""".stripMargin
+
   // ---------------------------------------------------------- Q-snapskip
   // Manifest-stats file skipping (Snapshot.readSnapshotRange): the
   // publish records per-file (rows, min, max) of c_custkey from the
@@ -8724,6 +8784,7 @@ object Queries {
     "q_jlknn" -> (jlKnnQ _),
     "q_timetravel" -> (timeTravelQ _),
     "q_snapevolve" -> (snapEvolveQ _),
+    "q_snapmerge" -> (snapMergeQ _),
     "q_snapdelta" -> (snapDeltaQ _),
     "q_snapskip" -> (snapSkipQ _),
     "q_scenecut" -> (sceneCutQ _),
@@ -8933,6 +8994,7 @@ object Queries {
     "q_jlknn" -> jlKnnSql,
     "q_timetravel" -> timeTravelSql,
     "q_snapevolve" -> snapEvolveSql,
+    "q_snapmerge" -> snapMergeSql,
     "q_snapdelta" -> snapDeltaSql,
     "q_snapskip" -> snapSkipSql,
     "q_scenecut" -> sceneCutSql,

@@ -82,6 +82,72 @@ object Snapshot {
     commitVersion(df, destDir, carryForward = true, statsCol)
   }
 
+  /** MERGE INTO on the snapshot layout: upsert `updates` by `keyCol`
+    * into a new version, rewriting ONLY the base files that actually
+    * contain an updated key (copy-on-write). Untouched files — at
+    * 100 TB, almost all of them — are carried forward BY REFERENCE,
+    * so the merge costs O(touched + updates), never O(table):
+    *   1. one COLUMN-PRUNED scan of the base's key column, semi-joined
+    *      to the update keys, names the touched files;
+    *   2. touched files are re-read (under the version's schema),
+    *      matching keys anti-joined out, and the survivors + all
+    *      update rows written as the new version's delta;
+    *   3. the manifest = untouched lines (stats text preserved) + new
+    *      files; the rename commit gives the same crash-invisibility
+    *      and lost-race surfacing as every other publish.
+    * Update semantics are whole-row replace (delete-matching +
+    * insert-all); rows with keys absent from the base are inserts.
+    * `statsCol` defaults to the previous version's, so skipping stats
+    * survive merges without the caller re-stating them. */
+  def mergeSnapshot(updates: DataFrame, destDir: String, keyCol: String,
+                    statsCol: Option[String] = None): Int = {
+    val spark = updates.sparkSession
+    val prev = latestVersion(spark, destDir)
+    require(prev >= 1,
+      s"mergeSnapshot needs an existing version under $destDir")
+    val lines = manifestLines(spark, destDir, prev)
+    val relPaths = lines.map(linePath)
+    // identity join key for input_file_name() ↔ manifest line matching:
+    // the last two path segments ("v<k>/part-...") are unique across
+    // versions (each version owns its data dir), robust to scheme and
+    // qualification differences in the URI form
+    def lastTwo(p: String): String =
+      p.split("/").takeRight(2).mkString("/")
+    val keys = updates.select(col(keyCol)).distinct()
+    // bounded collect: one row per TOUCHED FILE (≤ manifest size — the
+    // same driver-side class as reading the manifest itself)
+    val touched = readWithVersionSchema(spark, destDir, prev,
+        relPaths.map(f => s"$destDir/$f"))
+      .select(substring_index(input_file_name(), "/", -2).as("__f"),
+        col(keyCol))
+      .join(keys, Seq(keyCol), "left_semi")
+      .select("__f").distinct().collect().map(_.getString(0)).toSet
+    val untouchedLines =
+      lines.filterNot(l => touched(lastTwo(linePath(l))))
+    val touchedPaths = relPaths.filter(p => touched(lastTwo(p)))
+    val survivors =
+      if (touchedPaths.isEmpty)
+        updates.limit(0)
+      else readWithVersionSchema(spark, destDir, prev,
+          touchedPaths.map(f => s"$destDir/$f"))
+        .join(keys, Seq(keyCol), "left_anti")
+    // whole-row replace must state every base column (a missing field
+    // would silently null it on replaced rows); NEW columns are the
+    // add-column evolution path — survivors null-fill them
+    manifestSchema(spark, destDir, prev).foreach { prevSchema =>
+      prevSchema.fields.foreach { f =>
+        require(updates.schema.fields.exists(c =>
+            c.name == f.name && c.dataType == f.dataType),
+          s"mergeSnapshot updates must carry every base column: " +
+            s"'${f.name}: ${f.dataType.simpleString}' is missing or retyped")
+      }
+    }
+    val delta = survivors.unionByName(updates, allowMissingColumns = true)
+    commitVersion(delta, destDir, carryForward = true,
+      statsCol = statsCol.orElse(manifestStatsCol(spark, destDir, prev)),
+      carriedOverride = Some(untouchedLines))
+  }
+
   /** Per-file (rows, min, max) of an integral column, read from the
     * PARQUET FOOTER — no data pass; the writer already computed the
     * row-group statistics, collecting them is a metadata read. This is
@@ -119,7 +185,8 @@ object Snapshot {
 
   private def commitVersion(df: DataFrame, destDir: String,
                             carryForward: Boolean,
-                            statsCol: Option[String]): Int = {
+                            statsCol: Option[String],
+                            carriedOverride: Option[Seq[String]] = None): Int = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
@@ -151,9 +218,9 @@ object Snapshot {
           case None => rel
         }
       }.seq.toSeq
-    val carried =
+    val carried = carriedOverride.getOrElse(
       if (carryForward && prev >= 1) manifestLines(spark, destDir, prev)
-      else Seq.empty
+      else Seq.empty)
     // Schema evolution (add-column only): the manifest records the
     // version's schema, so a reader applies THIS version's schema to
     // every referenced file — files carried forward from before the

@@ -144,6 +144,54 @@ class SnapshotTravelSpec extends SparkSpec {
       Seq(Seq(3L, "c", 30L)))
   }
 
+  test("merge rewrites only touched files; untouched carried by reference") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-ttm").toString
+    val base = (0L until 800L).map(k => (k, s"n$k", k * 10))
+      .toDF("k", "name", "v").repartitionByRange(8, col("k"))
+    Snapshot.publishSnapshot(base, dest, statsCol = Some("k"))
+    // updates hit keys 100..109 (one range file) + one brand-new key
+    val updates = ((100L until 110L).map(k => (k, s"UP$k", k * 100)) :+
+      (9999L, "NEW", 42L)).toDF("k", "name", "v")
+    val v = Snapshot.mergeSnapshot(updates, dest, "k")
+    assert(v == 2)
+    val m2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dest/manifest/v2.txt")), "UTF-8")
+    val carried = m2.split("\n").count(_.contains("data/v1/"))
+    val rewritten = m2.split("\n").count(_.contains("data/v2/"))
+    assert(carried >= 6,
+      s"expected most of the 8 base files carried by reference:\n$m2")
+    assert(rewritten >= 1, m2)
+    // values: replaced rows replaced, new key inserted, rest intact
+    val out = Snapshot.readSnapshot(spark, dest, 2)
+    assert(out.count() == 801)
+    assert(rows(out.filter(col("k") === 105L)) === Seq(Seq(105L, "UP105", 10500L)))
+    assert(rows(out.filter(col("k") === 9999L)) === Seq(Seq(9999L, "NEW", 42L)))
+    assert(rows(out.filter(col("k") === 500L)) === Seq(Seq(500L, "n500", 5000L)))
+    // stats survive the merge without restating: range read still prunes
+    val hit = Snapshot.filesForRange(spark, dest, 2, 700, 710)
+    assert(hit.size < 8, s"expected stats pruning on v2, got $hit")
+    assert(rows(Snapshot.readSnapshotRange(spark, dest, 2, 700, 710)
+        .orderBy("k")).map(_.head) === (700L to 710L))
+    // v1 time travel unaffected
+    assert(rows(Snapshot.readSnapshot(spark, dest, 1)
+      .filter(col("k") === 105L)) === Seq(Seq(105L, "n105", 1050L)))
+  }
+
+  test("merge guard: updates missing a base column refuse; new columns evolve") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-ttmg").toString
+    Snapshot.publishSnapshot(
+      Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("k", "name", "v"), dest)
+    intercept[IllegalArgumentException] {
+      Snapshot.mergeSnapshot(Seq((1L, "x")).toDF("k", "name"), dest, "k")
+    }
+    // merge carrying a NEW column: replaced+inserted rows have it,
+    // survivors null-fill
+    Snapshot.mergeSnapshot(
+      Seq((2L, "B", 20L, "tag2")).toDF("k", "name", "v", "tag"), dest, "k")
+    assert(rows(Snapshot.readSnapshot(spark, dest, 2).orderBy("k")) ===
+      Seq(Seq(1L, "a", 1L, null), Seq(2L, "B", 20L, "tag2")))
+  }
+
   test("evolution guard: dropped or retyped fields refuse to append") {
     val dest = java.nio.file.Files.createTempDirectory("graft-ttg").toString
     Snapshot.publishSnapshot(Seq((1L, "a")).toDF("k", "v"), dest)
