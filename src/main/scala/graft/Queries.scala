@@ -3157,6 +3157,61 @@ object Queries {
        |ORDER BY k, valid_from""".stripMargin
   }
 
+  // ------------------------------------------------ Q-stream-snap
+  // Streaming producer × snapshot layout (Ingest.snapshotStream): the
+  // three mtime-ordered tercile batches (q_stream_scd2's fixture)
+  // each commit as one snapshot VERSION — publish, then two appends by
+  // manifest carry-forward, batchId riding the manifest as the
+  // exactly-once tag. The gate aggregates EVERY version after the
+  // stream finishes: v1/v2/v3 must be the exact cumulative prefixes
+  // of the batch timeline — a replayed (duplicated) batch, a lost
+  // append, or a version reading files outside its manifest diverges
+  // row counts, cents sums, or user counts. ORACLE rebuilds the three
+  // prefixes from the seed's tercile predicate.
+  def streamSnapQ(s: SparkSession, dir: String): DataFrame = {
+    ensureScd2Fixture(s, dir)
+    val out = s"$FixtureRoot/stream_snap_out"
+    locally { // fresh deterministic run: wipe dest + checkpoint
+      import java.nio.file.{Files => JF, Paths}
+      val base = Paths.get(out)
+      if (JF.exists(base)) {
+        val it = JF.walk(base).sorted(java.util.Comparator.reverseOrder())
+        it.forEach(p => JF.delete(p))
+      }
+    }
+    val dest = s"$out/dest"
+    graft.streaming.Ingest.snapshotStream(s, StreamScd2Src,
+      "batch*.parquet", dest, s"$out/chk",
+      shape = b => b.select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents")))
+    val S = graft.operators.Snapshot
+    (1 to S.latestVersion(s, dest)).map { v =>
+      S.readSnapshot(s, dest, v).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("cents"),
+        countDistinct(col("user_id")).as("n_users"))
+        .withColumn("version", lit(v))
+        .select("version", "n_rows", "cents", "n_users")
+    }.reduce(_.unionByName(_)).orderBy("version")
+  }
+
+  private val streamSnapSql =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+      |             CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events),
+      |mm AS (SELECT min(us) AS t0, max(us) AS t1 FROM e),
+      |eb AS (SELECT e.*, least((us - t0) * 3 // (t1 - t0 + 1), 2) AS b
+      |       FROM e, mm)
+      |SELECT v AS version,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM eb WHERE b < v)
+      |         AS n_rows,
+      |       (SELECT CAST(sum(cents) AS BIGINT) FROM eb WHERE b < v)
+      |         AS cents,
+      |       (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+      |        FROM eb WHERE b < v) AS n_users
+      |FROM (VALUES (1), (2), (3)) AS t(v)
+      |ORDER BY version""".stripMargin
+
   // ---------------------------------------------- Q-stream-debounce
   // transformWithState (Spark 4's arbitrary-state API) driving the
   // SEQUENTIAL last-KEPT debounce (streaming/Debounce): an event keeps
@@ -8698,6 +8753,7 @@ object Queries {
     "q_stream_semi" -> (streamSemi _),
     "q_stream_swindow" -> (streamSessionWindow _),
     "q_stream_scd2" -> (streamScd2 _),
+    "q_stream_snap" -> (streamSnapQ _),
     "q_stream_joinagg" -> (streamJoinAgg _),
     "q_stream_debounce" -> (streamDebounce _),
     "q_tws_sessions" -> (twsSessions _),
@@ -8908,6 +8964,7 @@ object Queries {
     "q_stream_semi" -> streamSemiSql,
     "q_stream_swindow" -> sessionWindowSql, // twin: one truth, two runtimes
     "q_stream_scd2" -> streamScd2Sql,
+    "q_stream_snap" -> streamSnapSql,
     "q_stream_joinagg" -> streamJoinAggSql,
     "q_stream_debounce" -> streamDebounceSql,
     "q_tws_sessions" -> twsSessionsSql,

@@ -70,16 +70,18 @@ object Snapshot {
     * REPLACEMENT composes with the upsertExactlyOnce bucket layout —
     * deliberately not duplicated here.) */
   def publishSnapshot(df: DataFrame, destDir: String,
-                      statsCol: Option[String] = None): Int =
-    commitVersion(df, destDir, carryForward = false, statsCol)
+                      statsCol: Option[String] = None,
+                      tag: Option[String] = None): Int =
+    commitVersion(df, destDir, carryForward = false, statsCol, tag = tag)
 
   /** New version = previous version's files + `df` written as a delta.
     * Fails if no version exists yet (append needs a base). */
   def appendSnapshot(df: DataFrame, destDir: String,
-                     statsCol: Option[String] = None): Int = {
+                     statsCol: Option[String] = None,
+                     tag: Option[String] = None): Int = {
     require(latestVersion(df.sparkSession, destDir) >= 1,
       s"appendSnapshot needs an existing version under $destDir")
-    commitVersion(df, destDir, carryForward = true, statsCol)
+    commitVersion(df, destDir, carryForward = true, statsCol, tag = tag)
   }
 
   /** MERGE INTO on the snapshot layout: upsert `updates` by `keyCol`
@@ -186,7 +188,8 @@ object Snapshot {
   private def commitVersion(df: DataFrame, destDir: String,
                             carryForward: Boolean,
                             statsCol: Option[String],
-                            carriedOverride: Option[Seq[String]] = None): Int = {
+                            carriedOverride: Option[Seq[String]] = None,
+                            tag: Option[String] = None): Int = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
@@ -243,7 +246,9 @@ object Snapshot {
     val schemaHeader =
       s"#schema=${org.apache.spark.sql.types.StructType(
         df.schema.fields.map(_.copy(nullable = true))).json}"
-    val header = schemaHeader +: statsCol.map(c => s"#stats=$c").toSeq
+    val header = schemaHeader +:
+      (statsCol.map(c => s"#stats=$c").toSeq ++
+        tag.map(t => s"#tag=$t").toSeq)
     val manifestDir = new Path(s"$destDir/manifest")
     fs.mkdirs(manifestDir)
     val tmp = new Path(s"$destDir/manifest/.tmp_v$v")
@@ -283,6 +288,24 @@ object Snapshot {
     finally in.close()
     txt.split("\n").find(_.startsWith("#stats="))
       .map(_.stripPrefix("#stats="))
+  }
+
+  /** The caller-supplied tag a version was committed with, if any.
+    * Because the tag rides the manifest — whose RENAME is the commit
+    * point — "did version k commit with tag t" is an atomic question:
+    * this is what lets a streaming producer make publish-per-batch
+    * exactly-once (replay of an already-committed batch sees its own
+    * tag on the latest version and skips). */
+  def versionTag(spark: org.apache.spark.sql.SparkSession,
+                 destDir: String, v: Int): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(destDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val in = fs.open(new Path(s"$destDir/manifest/v$v.txt"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.split("\n").find(_.startsWith("#tag="))
+      .map(_.stripPrefix("#tag="))
   }
 
   /** The schema a version's manifest was published with, if recorded

@@ -446,6 +446,71 @@ object Ingest {
     spark.table(qn)
   }
 
+  /** Streaming producer for the snapshot layout: each micro-batch
+    * commits as ONE new snapshot version (the first publishes, the
+    * rest append by manifest carry-forward), so a continuously-fed
+    * table gets time travel, CDC-by-manifest-diff
+    * ([[graft.operators.Snapshot.changedBetween]]), stats skipping and
+    * vacuum for free — the streaming half of the Iceberg/Delta story.
+    * Per-batch cost is O(batch): the append references history, never
+    * rewrites it.
+    *
+    * Exactly-once WITHOUT a staging dance: the batchId rides the
+    * manifest as `#tag=batch=<id>`, and the manifest RENAME is the
+    * commit point — so "was this batch committed" is atomic. A replay
+    * (crash after commit, before the checkpoint advanced) sees its own
+    * batchId on the latest version and skips; a crash BEFORE the
+    * rename leaves only an invisible `.tmp_` manifest plus orphan data
+    * files, and the re-run overwrites them and commits the same
+    * version number. The checkpoint serializes batches, so only the
+    * LATEST batch can ever replay — an older duplicate can't sneak
+    * behind a newer commit. Returns the final version read back. */
+  def snapshotStream(spark: SparkSession, srcDir: String, fileGlob: String,
+                     destDir: String, checkpointDir: String,
+                     shape: DataFrame => DataFrame = identity,
+                     statsCol: Option[String] = None,
+                     maxFilesPerTrigger: Int = 1,
+                     trigger: Trigger = Trigger.AvailableNow(),
+                     finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
+    val S = graft.operators.Snapshot
+    val schema = spark.read.option("pathGlobFilter", fileGlob)
+      .parquet(srcDir).schema
+    val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
+      .option("maxFilesPerTrigger", math.max(maxFilesPerTrigger, 1))
+      .parquet(srcDir)
+      .writeStream.option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applySnapshotBatch(shape(batch.toDF()), destDir, batchId, statsCol)
+      }
+      .trigger(trigger).start()
+    finish(q)
+    S.readSnapshot(spark, destDir, S.latestVersion(spark, destDir))
+  }
+
+  /** One micro-batch of [[snapshotStream]]: commit `out` as the next
+    * snapshot version tagged `batch=<batchId>`, or SKIP if the latest
+    * version already carries this batch's tag (the replay case — crash
+    * after the manifest rename, before the checkpoint advanced).
+    * Factored out so the replay guard is directly testable. */
+  private[graft] def applySnapshotBatch(out: DataFrame, destDir: String,
+                                        batchId: Long,
+                                        statsCol: Option[String] = None): Unit = {
+    val S = graft.operators.Snapshot
+    val spark = out.sparkSession
+    val latest = S.latestVersion(spark, destDir)
+    val already = latest >= 1 &&
+      S.versionTag(spark, destDir, latest).contains(s"batch=$batchId")
+    if (!already) {
+      if (latest == 0)
+        S.publishSnapshot(out, destDir, statsCol,
+          tag = Some(s"batch=$batchId"))
+      else
+        S.appendSnapshot(out, destDir, statsCol,
+          tag = Some(s"batch=$batchId"))
+      ()
+    }
+  }
+
   /** Streaming CDC → Type-2 slowly-changing-dimension history: each
     * micro-batch is shaped to one row per key (`shape`, e.g. last
     * event wins) and folded into the history with

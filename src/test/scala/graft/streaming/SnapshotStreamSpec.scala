@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Snapshot
+import org.apache.spark.sql.functions._
+
+/** snapshotStream's contract beyond the gate row: version-per-batch
+  * commits are exactly-once under replay (the batch tag rides the
+  * manifest whose rename is the commit point), and a later run with
+  * the same checkpoint appends ONLY newly arrived batch files — so a
+  * continuously-fed snapshot table accumulates one version per batch
+  * with no duplicates and no rewrites.
+  */
+class SnapshotStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeBatch(dir: String, name: String, mtime: Long,
+                         rows: Seq[(Long, String)]): Unit = {
+    import java.nio.file.{Files => JF, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val stage = s"$dir/.stage_$name"
+    rows.toDF("id", "v").coalesce(1).write.parquet(stage)
+    val parts = JF.list(Paths.get(stage)).iterator()
+    val src = Iterator.continually(parts).takeWhile(_.hasNext).map(_.next())
+      .find(_.getFileName.toString.startsWith("part-")).get
+    JF.move(src, Paths.get(s"$dir/$name"), StandardCopyOption.ATOMIC_MOVE)
+    JF.setLastModifiedTime(Paths.get(s"$dir/$name"),
+      FileTime.fromMillis(mtime))
+    ()
+  }
+
+  test("one version per batch; incremental catch-up appends, never rewrites") {
+    val src = java.nio.file.Files.createTempDirectory("graft-sns").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-sno").toString
+    writeBatch(src, "b0.parquet", 1000L, Seq((1L, "a"), (2L, "b")))
+    writeBatch(src, "b1.parquet", 2000L, Seq((3L, "c")))
+    Ingest.snapshotStream(spark, src, "b*.parquet",
+      s"$out/dest", s"$out/chk")
+    assert(Snapshot.latestVersion(spark, s"$out/dest") == 2)
+    assert(Snapshot.versionTag(spark, s"$out/dest", 1) == Some("batch=0"))
+    assert(Snapshot.versionTag(spark, s"$out/dest", 2) == Some("batch=1"))
+    assert(rows(Snapshot.readSnapshot(spark, s"$out/dest", 1).orderBy("id"))
+      === Seq(Seq(1L, "a"), Seq(2L, "b")))
+
+    // catch-up with the SAME checkpoint: only the new file lands
+    writeBatch(src, "b2.parquet", 3000L, Seq((4L, "d")))
+    Ingest.snapshotStream(spark, src, "b*.parquet",
+      s"$out/dest", s"$out/chk")
+    assert(Snapshot.latestVersion(spark, s"$out/dest") == 3)
+    assert(rows(Snapshot.readSnapshot(spark, s"$out/dest", 3).orderBy("id"))
+      === Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c"), Seq(4L, "d")))
+    // the append referenced old files rather than rewriting them
+    val m3 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/dest/manifest/v3.txt")), "UTF-8")
+    assert(m3.contains("data/v1/") && m3.contains("data/v2/") &&
+      m3.contains("data/v3/"), m3)
+  }
+
+  test("replayed batch is a no-op: the manifest tag is the commit record") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-snr").toString
+    val b0 = Seq((1L, "a")).toDF("id", "v")
+    val b1 = Seq((2L, "b")).toDF("id", "v")
+    Ingest.applySnapshotBatch(b0, dest, 0L)
+    Ingest.applySnapshotBatch(b1, dest, 1L)
+    assert(Snapshot.latestVersion(spark, dest) == 2)
+    // crash-after-commit replay: the SAME batchId re-applies — skipped
+    Ingest.applySnapshotBatch(b1, dest, 1L)
+    assert(Snapshot.latestVersion(spark, dest) == 2)
+    assert(rows(Snapshot.readSnapshot(spark, dest, 2).orderBy("id"))
+      === Seq(Seq(1L, "a"), Seq(2L, "b")))
+    // a crash BEFORE the manifest rename left only orphans: simulate by
+    // re-applying a NEW batch whose first attempt never committed — the
+    // version number is re-derived from the committed manifests only
+    Ingest.applySnapshotBatch(Seq((3L, "c")).toDF("id", "v"), dest, 2L)
+    assert(Snapshot.latestVersion(spark, dest) == 3)
+    assert(Snapshot.readSnapshot(spark, dest, 3).count() == 3)
+  }
+}
