@@ -116,14 +116,39 @@ object Snapshot {
     def lastTwo(p: String): String =
       p.split("/").takeRight(2).mkString("/")
     val keys = updates.select(col(keyCol)).distinct()
+    // Touched-file discovery is the merge's only table-sized cost, so
+    // shrink it first: when the manifest's stats column IS the merge
+    // key (the natural layout for a keyed table), only files whose
+    // [min,max] overlaps the update batch's key range can contain a
+    // match — everything else skips the key scan entirely. filesForRange
+    // keeps stats-less files (no false negatives), and the exact
+    // semi-join below narrows the conservative range to true hits. On a
+    // key-clustered base this makes discovery O(touched), not O(table).
+    val candidates: Seq[String] =
+      if (manifestStatsCol(spark, destDir, prev).contains(keyCol) &&
+          (updates.schema(keyCol).dataType match {
+            case org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.ByteType => true
+            case _ => false
+          })) {
+        val mm = updates.agg(min(col(keyCol)).cast("long"),
+          max(col(keyCol)).cast("long")).head()
+        if (mm.isNullAt(0)) Seq.empty // empty update batch touches nothing
+        else filesForRange(spark, destDir, prev, mm.getLong(0),
+          mm.getLong(1))
+      } else relPaths
     // bounded collect: one row per TOUCHED FILE (≤ manifest size — the
     // same driver-side class as reading the manifest itself)
-    val touched = readWithVersionSchema(spark, destDir, prev,
-        relPaths.map(f => s"$destDir/$f"))
-      .select(substring_index(input_file_name(), "/", -2).as("__f"),
-        col(keyCol))
-      .join(keys, Seq(keyCol), "left_semi")
-      .select("__f").distinct().collect().map(_.getString(0)).toSet
+    val touched =
+      if (candidates.isEmpty) Set.empty[String]
+      else readWithVersionSchema(spark, destDir, prev,
+          candidates.map(f => s"$destDir/$f"))
+        .select(substring_index(input_file_name(), "/", -2).as("__f"),
+          col(keyCol))
+        .join(keys, Seq(keyCol), "left_semi")
+        .select("__f").distinct().collect().map(_.getString(0)).toSet
     val untouchedLines =
       lines.filterNot(l => touched(lastTwo(linePath(l))))
     val touchedPaths = relPaths.filter(p => touched(lastTwo(p)))
