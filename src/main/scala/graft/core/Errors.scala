@@ -20,6 +20,7 @@ object Errors {
   val ChecksumMismatch = "CHECKSUM_MISMATCH"
   val MissingPairedMate = "MISSING_PAIRED_MATE"
   val ExperimentNotFound = "EXPERIMENT_NOT_FOUND"
+  val AmbiguousUpdate = "AMBIGUOUS_UPDATE"
 
   /** Ensure the error-channel column exists. */
   def withErrorChannel(df: DataFrame): DataFrame =

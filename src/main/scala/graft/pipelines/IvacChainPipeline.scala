@@ -56,16 +56,23 @@ object IvacChainPipeline {
   private def tier(level: DataFrame, expType: String, sampleType: String,
                    withParent: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val props = propsOrEmpty(level) _
-    // dropDuplicates on code, not distinct(): the props column is a
-    // MapType, which Spark cannot use as a grouping/equality key.
+    // In-batch dedup on EVERY create set (dropDuplicates on the key, not
+    // distinct(): the props column is a MapType, which Spark cannot use
+    // as a grouping/equality key): Catalog.appendNew only anti-joins
+    // incoming against the EXISTING catalog, so a parameter row repeated
+    // within one submission would otherwise append twice — breaking the
+    // "re-submission creates nothing twice" idempotency downstream joins
+    // rely on.
     val exps = level.select(col("exp_code").as("code"),
       lit(expType).as("expType"), props("exp_props").as("props"))
       .dropDuplicates(Seq("code"))
     val samples = level.select(col("sample_code").as("code"),
       lit(sampleType).as("sampleType"), col("exp_code").as("experiment"),
       props("sample_props").as("props"))
+      .dropDuplicates(Seq("code"))
     val edges =
       if (withParent) level.select(col("parent"), col("sample_code").as("child"))
+        .dropDuplicates(Seq("parent", "child"))
       else level.limit(0).select(lit("").as("parent"), lit("").as("child"))
     (exps, samples, edges)
   }

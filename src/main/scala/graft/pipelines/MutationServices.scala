@@ -84,25 +84,45 @@ object MutationServices {
     * codes are skipped exactly as the reference logs-and-continues
     * (:28-29); the returned status frame says which. New values win
     * over existing props keys; untouched keys survive (map_concat
-    * right-bias via concat order). */
+    * right-bias via concat order).
+    *
+    * Duplicates in the batch follow the errors-are-data contract:
+    * identical (code, prop, value) rows collapse (a redelivered batch is
+    * harmless), but the same (code, prop) with CONFLICTING values has no
+    * defined winner in a distributed frame — that code's updates are
+    * withheld and statused `AMBIGUOUS_UPDATE` instead of aborting the
+    * batch (map_from_entries would otherwise throw on the duplicate key
+    * and kill every row). A NULL props map updates like an empty one. */
   def updateSampleMetadata(samples: DataFrame,
                            updates: DataFrame): BatchResult = {
-    val upd = updates.groupBy(col("code"))
-      .agg(map_from_entries(collect_list(struct(col("prop"), col("value"))))
-        .as("__upd"))
+    // ONE aggregation decides everything per code: the pair list for the
+    // props merge AND whether any prop repeats with conflicting values
+    // (count == countDistinct(prop) after identical dups collapse). No
+    // separate conflicted-codes join — a key-join against a filtered
+    // twin of a union'd updates frame degenerates branch-wise under
+    // constant folding (measured: BroadcastNestedLoopJoin on literal-
+    // code branches in the gate plan audit).
+    val perCode = updates.dropDuplicates(Seq("code", "prop", "value"))
+      .groupBy(col("code"))
+      .agg(collect_list(struct(col("prop"), col("value"))).as("__pairs"),
+        (count(lit(1)) === count_distinct(col("prop"))).as("__ok"))
+    val upd = perCode.filter(col("__ok"))
+      .select(col("code"), map_from_entries(col("__pairs")).as("__upd"))
+    val emptyProps = map().cast(samples.schema("props").dataType)
     val applied = samples
       .join(broadcast(upd), Seq("code"), "left")
       .withColumn("props",
         when(col("__upd").isNotNull,
-          map_concat(map_filter(col("props"),
+          map_concat(map_filter(coalesce(col("props"), emptyProps),
             (k, _) => !array_contains(map_keys(col("__upd")), k)),
             col("__upd")))
           .otherwise(col("props")))
       .drop("__upd")
-    val status = Joins.lookup(updates.select("code").distinct(),
+    val status = Joins.lookup(perCode.select(col("code"), col("__ok")),
       samples.select("code"), Seq("code"))
       .select(col("code"),
         when(col("__miss"), lit(Errors.SampleNotFound))
+          .when(!col("__ok"), lit(Errors.AmbiguousUpdate))
           .otherwise(lit("updated")).as("status"))
     BatchResult(applied, status)
   }

@@ -591,18 +591,28 @@ object Ingest {
         // last-wins open swap
         fs.mkdirs(new Path(s"$destDir/closed"))
         val delta = new Path(s"$destDir/closed/delta_$batchId")
-        if (!fs.exists(delta)) { fs.rename(new Path(s"$stage/closed"), delta); () }
+        if (!fs.exists(delta) && !fs.rename(new Path(s"$stage/closed"), delta))
+          throw new IllegalStateException(
+            s"scd2Stream: failed to commit closed delta $delta")
         // Recoverable open swap: old open moves ASIDE first (a crash
         // between the two renames leaves open_prev_<batchId>, restored at
         // next batch entry above), new open renames in, aside dropped
-        // last. At no instant is the history base unrecoverable.
+        // last. Every rename result is CHECKED before anything is
+        // deleted — Hadoop rename signals failure by returning false,
+        // and a silent false here followed by the aside/stage cleanup
+        // would delete the only copy of the open history base.
         val prevAside = new Path(s"$destDir/open_prev_$batchId")
         if (fs.exists(openPath)) {
           fs.delete(prevAside, true)
-          fs.rename(openPath, prevAside)
-          ()
+          if (!fs.rename(openPath, prevAside))
+            throw new IllegalStateException(
+              s"scd2Stream: failed to move $openPath aside to $prevAside")
         }
-        fs.rename(new Path(s"$stage/open"), openPath)
+        if (!fs.rename(new Path(s"$stage/open"), openPath))
+          // the base survives at prevAside; next batch entry restores it
+          throw new IllegalStateException(
+            s"scd2Stream: failed to land new open/ from $stage " +
+              s"(base preserved at $prevAside)")
         fs.delete(prevAside, true)
         fs.delete(stage, true)
         ()

@@ -60,6 +60,17 @@ class IvacChainSpec extends SparkSpec {
     assert(ent.getAs[Map[String, String]]("props")("Q_NCBI_ORGANISM") == "9606")
   }
 
+  test("a parameter row repeated WITHIN one submission creates once") {
+    val (l1, l2, l3, l4) = levels
+    // duplicate level-2 row in the same batch: appendNew only guards
+    // against the existing catalog, so the in-batch dedup must catch it
+    val res = IvacChainPipeline.register(noSamples, noExps, noEdges,
+      l1, l2.unionByName(l2.limit(1)), l3, l4)
+    assert(res.samples.filter(col("code") === "P1_BIO1").count() == 1)
+    assert(res.edges.filter(col("child") === "P1_BIO1").count() == 1)
+    assert(res.edges.count() == 5)
+  }
+
   test("lineage walks the chain top-to-bottom; re-run is a no-op") {
     val (l1, l2, l3, l4) = levels
     val res = IvacChainPipeline.register(noSamples, noExps, noEdges,

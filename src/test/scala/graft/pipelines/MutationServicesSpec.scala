@@ -81,6 +81,44 @@ class MutationServicesSpec extends SparkSpec {
     assert(st == Map("S1" -> "updated", "S9" -> Errors.SampleNotFound))
   }
 
+  test("updateSampleMetadata: duplicate rows never abort the batch") {
+    // identical duplicates (a redelivered batch) collapse; CONFLICTING
+    // values for one (code, prop) withhold that code's updates and
+    // status it AMBIGUOUS_UPDATE — the naive map_from_entries would
+    // throw 'Duplicate map key' and kill every row
+    val updates = Seq(
+      ("S1", "Q_SECONDARY_NAME", "x"), ("S1", "Q_SECONDARY_NAME", "x"),
+      ("S2", "Q_SECONDARY_NAME", "a"), ("S2", "Q_SECONDARY_NAME", "b"),
+      ("S3", "Q_ADDITIONAL_INFO", "ok"))
+      .toDF("code", "prop", "value")
+    val samples = Seq("S1", "S2", "S3").toDF("code")
+      .withColumn("experiment", lit("E1"))
+      .withColumn("sampleType", lit("Q_TEST_SAMPLE"))
+      .withColumn("props", emptyMap)
+    val res = MutationServices.updateSampleMetadata(samples, updates)
+    val st = res.status.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(st == Map("S1" -> "updated", "S2" -> Errors.AmbiguousUpdate,
+      "S3" -> "updated"))
+    val props = res.samples.collect()
+      .map(r => r.getAs[String]("code") ->
+        r.getAs[Map[String, String]]("props")).toMap
+    assert(props("S1") == Map("Q_SECONDARY_NAME" -> "x"))
+    assert(props("S2").isEmpty) // conflicted code left untouched
+    assert(props("S3") == Map("Q_ADDITIONAL_INFO" -> "ok"))
+  }
+
+  test("updateSampleMetadata: NULL props map takes updates (not swallowed)") {
+    val samples = Seq("S1").toDF("code")
+      .withColumn("experiment", lit("E1"))
+      .withColumn("sampleType", lit("Q_TEST_SAMPLE"))
+      .withColumn("props", lit(null).cast("map<string,string>"))
+    val res = MutationServices.updateSampleMetadata(samples,
+      Seq(("S1", "Q_SECONDARY_NAME", "v")).toDF("code", "prop", "value"))
+    val p = res.samples.collect()(0).getAs[Map[String, String]]("props")
+    assert(p == Map("Q_SECONDARY_NAME" -> "v"))
+  }
+
   test("setExperimentForSamples repoints only the named ids") {
     val two = existing.unionByName(
       Seq(("S2", "E1", "Q_TEST_SAMPLE")).toDF("code", "experiment", "sampleType")
