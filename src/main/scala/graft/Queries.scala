@@ -5410,6 +5410,69 @@ object Queries {
       |FROM customer WHERE c_custkey BETWEEN 100 AND 299
       |ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------------ Q-snapcompact
+  // Small-file maintenance (Snapshot.compactSnapshot — the Iceberg
+  // rewrite_data_files story): a snapshotStream-shaped history (one big
+  // base publish + three tiny per-batch appends) is bin-packed into a
+  // new version that rewrites ONLY the small files and carries the big
+  // base files by reference (SnapshotTravelSpec pins the file
+  // accounting: base lines unchanged, small lines replaced by one).
+  // The gate reads the compacted version in full — a row lost or
+  // duplicated in the rewrite diverges the hash — and the ORACLE
+  // rebuilds the logical table (seed ∪ the three appended batches),
+  // which compaction must leave untouched by definition.
+  private val SnapCompactDir = s"$FixtureRoot/snapcompact"
+
+  def snapCompactQ(s: SparkSession, dir: String): DataFrame = {
+    publishOnce(SnapCompactDir, dir) {
+      import java.nio.file.{Files => JF, Paths}
+      val base = Paths.get(SnapCompactDir)
+      if (JF.exists(base)) {
+        val it = JF.walk(base).sorted(java.util.Comparator.reverseOrder())
+        it.forEach(p => JF.delete(p))
+      }
+      val cust = load(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      graft.operators.Snapshot.publishSnapshot(
+        cust.repartitionByRange(2, col("c_custkey")), SnapCompactDir,
+        statsCol = Some("c_custkey"))
+      import s.implicits._
+      Seq(
+        Seq((9000001L, "NEW_1", 1L), (9000002L, "NEW_2", 2L),
+          (9000003L, "NEW_3", 3L)),
+        Seq((9000004L, "NEW_4", 4L), (9000005L, "NEW_5", 5L)),
+        Seq((9000006L, "NEW_6", 6L), (9000007L, "NEW_7", 7L),
+          (9000008L, "NEW_8", 8L), (9000009L, "NEW_9", 9L)))
+        .foreach(b => graft.operators.Snapshot.appendSnapshot(
+          b.toDF("c_custkey", "c_name", "bal_cents").coalesce(1),
+          SnapCompactDir, statsCol = Some("c_custkey")))
+      // minRows=50: the 2 base range files hold >=75 rows at every gate
+      // scale (sf0.001 customer = 150) and carry; the 3 appended files
+      // (3/2/4 rows) rewrite into one
+      graft.operators.Snapshot.compactSnapshot(s, SnapCompactDir,
+        minRows = 50L, targetRows = 1000000L)
+      ()
+    }
+    val latest = graft.operators.Snapshot.latestVersion(s, SnapCompactDir)
+    graft.operators.Snapshot.readSnapshot(s, SnapCompactDir, latest)
+      .orderBy("c_custkey")
+  }
+
+  private val snapCompactSql =
+    """SELECT c_custkey, c_name, bal_cents FROM (
+      |  SELECT c_custkey, c_name,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT * FROM (VALUES (CAST(9000001 AS BIGINT), 'NEW_1',
+      |                         CAST(1 AS BIGINT)),
+      |                        (9000002, 'NEW_2', 2), (9000003, 'NEW_3', 3),
+      |                        (9000004, 'NEW_4', 4), (9000005, 'NEW_5', 5),
+      |                        (9000006, 'NEW_6', 6), (9000007, 'NEW_7', 7),
+      |                        (9000008, 'NEW_8', 8), (9000009, 'NEW_9', 9))
+      |) ORDER BY c_custkey""".stripMargin
+
   // -------------------------------------------------------------- Q-jlknn
   // The JL projection's END-TO-END use: candidate generation in cheap
   // projected space (integer L2 over 32 dims) + exact cosine re-rank
@@ -8843,6 +8906,7 @@ object Queries {
     "q_snapmerge" -> (snapMergeQ _),
     "q_snapdelta" -> (snapDeltaQ _),
     "q_snapskip" -> (snapSkipQ _),
+    "q_snapcompact" -> (snapCompactQ _),
     "q_scenecut" -> (sceneCutQ _),
     "q_snappoint" -> (snapPointQ _),
     "q_cxxpush" -> (cxxPushQ _),
@@ -9054,6 +9118,7 @@ object Queries {
     "q_snapmerge" -> snapMergeSql,
     "q_snapdelta" -> snapDeltaSql,
     "q_snapskip" -> snapSkipSql,
+    "q_snapcompact" -> snapCompactSql,
     "q_scenecut" -> sceneCutSql,
     "q_snappoint" -> snapPointSql,
     "q_cxxpush" -> cxxPushSql,

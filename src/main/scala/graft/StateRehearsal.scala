@@ -60,6 +60,7 @@ object StateRehearsal {
       case "merge" => merge(spark, work)
       case "scd2" => scd2(spark, work)
       case "snapmerge" => snapmerge(spark, work)
+      case "compact" => compact(spark, work)
     }
     spark.stop()
   }
@@ -123,6 +124,50 @@ object StateRehearsal {
         .queryExecution.toRdd.count())
     cell("snapshot_vacuum", "versions" -> 20, "dropped_files" -> dropped,
       "vacuum_sec" -> vacWall, "read_latest_sec" -> readWall)
+  }
+
+  /** compactSnapshot: 2M-row table in 8 big files, axis = accreted
+    * small files (80 vs 800, one snapshotStream-style batch each, 100
+    * rows per file). The O(small bytes) claim = compact wall tracks the
+    * small-file ROWS (8k vs 80k — both a fraction of the table), and
+    * the full-rewrite twin (publish of the whole read-back) shows what
+    * O(table) would have cost. Read-latest wall before/after shows the
+    * scan-health motivation. */
+  private def compact(spark: SparkSession, work: String): Unit = {
+    import graft.operators.Snapshot
+    for (small <- Seq(80, 800)) {
+      val dest = s"$work/compact_$small"
+      val df = spark.range(2000000L)
+        .select(col("id").as("seq"), (col("id") % 1000).as("payload"))
+        .repartitionByRange(8, col("seq"))
+      Snapshot.publishSnapshot(df, dest, statsCol = Some("seq"))
+      // the accretion, delivered as one append carrying `small` files
+      // (the per-batch version churn is rehearsed in snapshotStream's
+      // own spec; here the axis is the FILE COUNT compaction faces)
+      val delta = spark.range(2000000L, 2000000L + small * 100L)
+        .select(col("id").as("seq"), (col("id") % 1000).as("payload"))
+        .repartition(small)
+      Snapshot.appendSnapshot(delta, dest, statsCol = Some("seq"))
+      val (_, readBefore) = time(
+        Snapshot.readSnapshot(spark, dest, 2).queryExecution.toRdd.count())
+      val (vNew, compactWall) = time(
+        Snapshot.compactSnapshot(spark, dest, minRows = 1000L,
+          targetRows = 250000L))
+      val (_, readAfter) = time(
+        Snapshot.readSnapshot(spark, dest, vNew)
+          .queryExecution.toRdd.count())
+      val filesAfter = Snapshot.filesForRange(spark, dest, vNew,
+        Long.MinValue, Long.MaxValue).size
+      // the O(table) twin: what a naive "rewrite everything" costs
+      val destF = s"$work/compactfull_$small"
+      val (_, fullWall) = time(Snapshot.publishSnapshot(
+        Snapshot.readSnapshot(spark, dest, 2), destF,
+        statsCol = Some("seq")))
+      cell("snapshot_compact", "small_files" -> small,
+        "compact_sec" -> compactWall, "full_rewrite_sec" -> fullWall,
+        "files_before" -> (8 + small), "files_after" -> filesAfter,
+        "read_before_sec" -> readBefore, "read_after_sec" -> readAfter)
+    }
   }
 
   /** Fixed-size delivered batch; axes are dest size × how many of the

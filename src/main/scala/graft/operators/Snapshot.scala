@@ -107,7 +107,11 @@ object Snapshot {
     val prev = latestVersion(spark, destDir)
     require(prev >= 1,
       s"mergeSnapshot needs an existing version under $destDir")
-    val lines = manifestLines(spark, destDir, prev)
+    // ONE manifest read feeds the whole merge (lines, stats column,
+    // schema) — at real manifest sizes (100k+ lines) re-parsing the
+    // text per question would be the merge's driver bottleneck
+    val prevManifest = readManifest(spark, destDir, prev)
+    val lines = prevManifest.lines
     val relPaths = lines.map(linePath)
     // identity join key for input_file_name() ↔ manifest line matching:
     // the last two path segments ("v<k>/part-...") are unique across
@@ -125,7 +129,7 @@ object Snapshot {
     // semi-join below narrows the conservative range to true hits. On a
     // key-clustered base this makes discovery O(touched), not O(table).
     val candidates: Seq[String] =
-      if (manifestStatsCol(spark, destDir, prev).contains(keyCol) &&
+      if (prevManifest.statsCol.contains(keyCol) &&
           (updates.schema(keyCol).dataType match {
             case org.apache.spark.sql.types.LongType |
                  org.apache.spark.sql.types.IntegerType |
@@ -136,14 +140,13 @@ object Snapshot {
         val mm = updates.agg(min(col(keyCol)).cast("long"),
           max(col(keyCol)).cast("long")).head()
         if (mm.isNullAt(0)) Seq.empty // empty update batch touches nothing
-        else filesForRange(spark, destDir, prev, mm.getLong(0),
-          mm.getLong(1))
+        else linesForRange(lines, mm.getLong(0), mm.getLong(1))
       } else relPaths
     // bounded collect: one row per TOUCHED FILE (≤ manifest size — the
     // same driver-side class as reading the manifest itself)
     val touched =
       if (candidates.isEmpty) Set.empty[String]
-      else readWithVersionSchema(spark, destDir, prev,
+      else readWithSchema(spark, prevManifest.schema,
           candidates.map(f => s"$destDir/$f"))
         .select(substring_index(input_file_name(), "/", -2).as("__f"),
           col(keyCol))
@@ -155,13 +158,13 @@ object Snapshot {
     val survivors =
       if (touchedPaths.isEmpty)
         updates.limit(0)
-      else readWithVersionSchema(spark, destDir, prev,
+      else readWithSchema(spark, prevManifest.schema,
           touchedPaths.map(f => s"$destDir/$f"))
         .join(keys, Seq(keyCol), "left_anti")
     // whole-row replace must state every base column (a missing field
     // would silently null it on replaced rows); NEW columns are the
     // add-column evolution path — survivors null-fill them
-    manifestSchema(spark, destDir, prev).foreach { prevSchema =>
+    prevManifest.schema.foreach { prevSchema =>
       prevSchema.fields.foreach { f =>
         require(updates.schema.fields.exists(c =>
             c.name == f.name && c.dataType == f.dataType),
@@ -171,8 +174,9 @@ object Snapshot {
     }
     val delta = survivors.unionByName(updates, allowMissingColumns = true)
     commitVersion(delta, destDir, carryForward = true,
-      statsCol = statsCol.orElse(manifestStatsCol(spark, destDir, prev)),
-      carriedOverride = Some(untouchedLines))
+      statsCol = statsCol.orElse(prevManifest.statsCol),
+      carriedOverride = Some(untouchedLines),
+      prevManifestOpt = Some(prevManifest))
   }
 
   /** Per-file (rows, min, max) of an integral column, read from the
@@ -210,17 +214,53 @@ object Snapshot {
     } finally reader.close()
   }
 
+  /** Atomically claim the next version number: exclusive-create of
+    * `manifest/.claim_v<k>` (atomic on HDFS; create-no-overwrite). Two
+    * concurrent publishers can both compute prev+1, but only one wins
+    * the claim — the loser moves to the next number BEFORE writing any
+    * data, so a lost race can never clobber the winner's committed
+    * `data/v<k>` files (the mode("overwrite") write happens only into a
+    * directory this publisher exclusively owns). A crashed publish
+    * leaves a stale claim: that number is permanently skipped (a
+    * version GAP, which every reader/vacuum path already tolerates) —
+    * claims are never deleted for committed versions, else a zombie
+    * publisher holding the old number could re-claim it and overwrite
+    * committed data. */
+  private def claimVersion(fs: org.apache.hadoop.fs.FileSystem,
+                           destDir: String, from: Int): Int = {
+    import org.apache.hadoop.fs.Path
+    fs.mkdirs(new Path(s"$destDir/manifest"))
+    var v = from
+    var claimed = false
+    while (!claimed) {
+      require(v < from + 1000,
+        s"claimVersion: 1000 consecutive claimed-but-uncommitted " +
+          s"versions under $destDir — clean stale .claim_v* files")
+      try {
+        fs.create(new Path(s"$destDir/manifest/.claim_v$v"), false).close()
+        claimed = true
+      } catch {
+        case _: java.io.IOException => v += 1 // number taken; next
+      }
+    }
+    v
+  }
+
   private def commitVersion(df: DataFrame, destDir: String,
                             carryForward: Boolean,
                             statsCol: Option[String],
                             carriedOverride: Option[Seq[String]] = None,
-                            tag: Option[String] = None): Int = {
+                            tag: Option[String] = None,
+                            prevManifestOpt: Option[ManifestData] = None): Int = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(destDir).getFileSystem(conf)
     val prev = latestVersion(spark, destDir)
-    val v = prev + 1
+    val v = claimVersion(fs, destDir, prev + 1)
+    val prevManifest = prevManifestOpt.orElse(
+      if (carryForward && prev >= 1) Some(readManifest(spark, destDir, prev))
+      else None)
     val dataDir = new Path(s"$destDir/data/v$v")
     df.write.mode("overwrite").parquet(dataDir.toString)
     // footer reads are independent metadata fetches; at large file
@@ -246,9 +286,18 @@ object Snapshot {
           case None => rel
         }
       }.seq.toSeq
-    val carried = carriedOverride.getOrElse(
-      if (carryForward && prev >= 1) manifestLines(spark, destDir, prev)
-      else Seq.empty)
+    val carriedRaw = carriedOverride.getOrElse(
+      prevManifest.map(_.lines).getOrElse(Seq.empty))
+    // Carried lines keep their stats text ONLY while the stats column
+    // is unchanged: under a DIFFERENT statsCol the old min/max would be
+    // read as the new column's and filesForRange could prune files that
+    // DO contain matching rows (silent row loss). Strip mismatched
+    // carried lines to the bare path — the catch-all keeps stats-less
+    // files, trading skipping for correctness.
+    val carried =
+      if (carriedRaw.isEmpty ||
+          prevManifest.forall(_.statsCol == statsCol)) carriedRaw
+      else carriedRaw.map(linePath)
     // Schema evolution (add-column only): the manifest records the
     // version's schema, so a reader applies THIS version's schema to
     // every referenced file — files carried forward from before the
@@ -256,8 +305,8 @@ object Snapshot {
     // Iceberg/Delta add-column story). An append must keep every
     // previous field at its exact type: silently dropping or retyping a
     // column would corrupt carried-forward reads.
-    if (carryForward && prev >= 1)
-      manifestSchema(spark, destDir, prev).foreach { prevSchema =>
+    if (carryForward)
+      prevManifest.flatMap(_.schema).foreach { prevSchema =>
         prevSchema.fields.foreach { f =>
           val cur = df.schema.fields.find(_.name == f.name)
           require(cur.exists(_.dataType == f.dataType),
@@ -291,29 +340,43 @@ object Snapshot {
     v
   }
 
-  private def manifestLines(spark: org.apache.spark.sql.SparkSession,
-                            destDir: String, v: Int): Seq[String] = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(destDir).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    val in = fs.open(new Path(s"$destDir/manifest/v$v.txt"))
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    txt.split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
+  /** One parsed manifest: header key→value plus the data-file lines.
+    * Every per-version question (files, stats column, tag, schema,
+    * bloom params) answers from ONE read of the manifest text. */
+  private case class ManifestData(headers: Map[String, String],
+                                  lines: Seq[String]) {
+    def statsCol: Option[String] = headers.get("stats")
+    def tag: Option[String] = headers.get("tag")
+    def schema: Option[org.apache.spark.sql.types.StructType] =
+      headers.get("schema").map(j => org.apache.spark.sql.types.DataType
+        .fromJson(j).asInstanceOf[org.apache.spark.sql.types.StructType])
+    def bloom: Option[(String, Int, Int)] =
+      headers.get("bloom").map(_.split(",") match {
+        case Array(c, m, kk) => (c, m.toInt, kk.toInt)
+      })
   }
 
-  /** The stats column a version's manifest was published with, if any. */
-  private def manifestStatsCol(spark: org.apache.spark.sql.SparkSession,
-                               destDir: String, v: Int): Option[String] = {
+  private def readManifest(spark: org.apache.spark.sql.SparkSession,
+                           destDir: String, v: Int): ManifestData = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(destDir).getFileSystem(
       spark.sessionState.newHadoopConf())
     val in = fs.open(new Path(s"$destDir/manifest/v$v.txt"))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    txt.split("\n").find(_.startsWith("#stats="))
-      .map(_.stripPrefix("#stats="))
+    val all = txt.split("\n").toSeq.filter(_.nonEmpty)
+    val headers = all.filter(_.startsWith("#")).flatMap { h =>
+      h.stripPrefix("#").split("=", 2) match {
+        case Array(k, value) => Some(k -> value)
+        case _ => None
+      }
+    }.toMap
+    ManifestData(headers, all.filterNot(_.startsWith("#")))
   }
+
+  private def manifestLines(spark: org.apache.spark.sql.SparkSession,
+                            destDir: String, v: Int): Seq[String] =
+    readManifest(spark, destDir, v).lines
 
   /** The caller-supplied tag a version was committed with, if any.
     * Because the tag rides the manifest — whose RENAME is the commit
@@ -322,41 +385,16 @@ object Snapshot {
     * exactly-once (replay of an already-committed batch sees its own
     * tag on the latest version and skips). */
   def versionTag(spark: org.apache.spark.sql.SparkSession,
-                 destDir: String, v: Int): Option[String] = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(destDir).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    val in = fs.open(new Path(s"$destDir/manifest/v$v.txt"))
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    txt.split("\n").find(_.startsWith("#tag="))
-      .map(_.stripPrefix("#tag="))
-  }
+                 destDir: String, v: Int): Option[String] =
+    readManifest(spark, destDir, v).tag
 
-  /** The schema a version's manifest was published with, if recorded
-    * (manifests from before schema tracking have none). */
-  private def manifestSchema(spark: org.apache.spark.sql.SparkSession,
-                             destDir: String,
-                             v: Int): Option[org.apache.spark.sql.types.StructType] = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(destDir).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    val in = fs.open(new Path(s"$destDir/manifest/v$v.txt"))
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    txt.split("\n").find(_.startsWith("#schema="))
-      .map(l => org.apache.spark.sql.types.DataType
-        .fromJson(l.stripPrefix("#schema="))
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-  }
-
-  /** Read a file set under a version's recorded schema when one exists
+  /** Read a file set under a recorded version schema when one exists
     * (older files missing an evolved column null-fill it); fall back to
     * parquet inference for pre-schema-tracking manifests. */
-  private def readWithVersionSchema(spark: org.apache.spark.sql.SparkSession,
-                                    destDir: String, v: Int,
-                                    files: Seq[String]): DataFrame =
-    manifestSchema(spark, destDir, v) match {
+  private def readWithSchema(spark: org.apache.spark.sql.SparkSession,
+                             schema: Option[org.apache.spark.sql.types.StructType],
+                             files: Seq[String]): DataFrame =
+    schema match {
       case Some(s) => spark.read.schema(s).parquet(files: _*)
       case None    => spark.read.parquet(files: _*)
     }
@@ -381,11 +419,22 @@ object Snapshot {
   /** Read version `v` exactly as published — only the manifest's files. */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
                    destDir: String, v: Int): DataFrame = {
-    val files = manifestLines(spark, destDir, v)
-      .map(l => s"$destDir/${linePath(l)}")
+    val m = readManifest(spark, destDir, v)
+    val files = m.lines.map(l => s"$destDir/${linePath(l)}")
     require(files.nonEmpty, s"version $v under $destDir is empty/unknown")
-    readWithVersionSchema(spark, destDir, v, files)
+    readWithSchema(spark, m.schema, files)
   }
+
+  /** The manifest lines whose [min, max] stats overlap [lo, hi] (lines
+    * without stats are kept — skipping must never lose rows). */
+  private def linesForRange(lines: Seq[String], lo: Long,
+                            hi: Long): Seq[String] =
+    lines.filter { l =>
+      l.split("\t") match {
+        case Array(_, _, mn, mx) => mx.toLong >= lo && mn.toLong <= hi
+        case _ => true
+      }
+    }.map(linePath)
 
   /** Manifest-stats FILE SKIPPING: the files of version `v` whose
     * [min, max] stats overlap [lo, hi] (files without stats are kept —
@@ -393,12 +442,7 @@ object Snapshot {
     * no data touched. */
   def filesForRange(spark: org.apache.spark.sql.SparkSession,
                     destDir: String, v: Int, lo: Long, hi: Long): Seq[String] =
-    manifestLines(spark, destDir, v).filter { l =>
-      l.split("\t") match {
-        case Array(_, _, mn, mx) => mx.toLong >= lo && mn.toLong <= hi
-        case _ => true
-      }
-    }.map(linePath)
+    linesForRange(manifestLines(spark, destDir, v), lo, hi)
 
   /** Range read with manifest-stats pruning + the precise residual
     * filter on the published stats column: only overlapping files are
@@ -408,14 +452,14 @@ object Snapshot {
   def readSnapshotRange(spark: org.apache.spark.sql.SparkSession,
                         destDir: String, v: Int, lo: Long,
                         hi: Long): DataFrame = {
-    val c = manifestStatsCol(spark, destDir, v).getOrElse(
+    val m = readManifest(spark, destDir, v)
+    val c = m.statsCol.getOrElse(
       throw new IllegalArgumentException(
         s"version $v of $destDir was published without a stats column"))
-    val files = filesForRange(spark, destDir, v, lo, hi)
-      .map(f => s"$destDir/$f")
+    val files = linesForRange(m.lines, lo, hi).map(f => s"$destDir/$f")
     if (files.isEmpty)
       readSnapshot(spark, destDir, v).limit(0)
-    else readWithVersionSchema(spark, destDir, v, files)
+    else readWithSchema(spark, m.schema, files)
       .filter(col(c) >= lo && col(c) <= hi)
   }
 
@@ -427,11 +471,10 @@ object Snapshot {
   def changedBetween(spark: org.apache.spark.sql.SparkSession,
                      destDir: String, vFrom: Int, vTo: Int): DataFrame = {
     val before = manifestLines(spark, destDir, vFrom).map(linePath).toSet
-    val added = manifestLines(spark, destDir, vTo).map(linePath)
-      .filterNot(before)
+    val mTo = readManifest(spark, destDir, vTo)
+    val added = mTo.lines.map(linePath).filterNot(before)
     if (added.isEmpty) readSnapshot(spark, destDir, vTo).limit(0)
-    else readWithVersionSchema(spark, destDir, vTo,
-      added.map(f => s"$destDir/$f"))
+    else readWithSchema(spark, mTo.schema, added.map(f => s"$destDir/$f"))
   }
 
   /** Point-lookup file skipping for a NON-clustered key: publish with
@@ -459,7 +502,9 @@ object Snapshot {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(destDir).getFileSystem(conf)
     val prev = latestVersion(spark, destDir)
-    val v = prev + 1
+    // same claim-first discipline as commitVersion: data is written only
+    // into a directory this publisher exclusively owns
+    val v = claimVersion(fs, destDir, prev + 1)
     val dataDir = new Path(s"$destDir/data/v$v")
     df.write.mode("overwrite").parquet(dataDir.toString)
     val nWords = (mBits + Sketches.BloomWordBits - 1) / Sketches.BloomWordBits
@@ -521,8 +566,9 @@ object Snapshot {
     * `key` — driver-side manifest arithmetic, no data touched. */
   def filesForKey(spark: org.apache.spark.sql.SparkSession,
                   destDir: String, v: Int, key: String): Seq[String] = {
-    val (mBits, k) = bloomHeader(spark, destDir, v)._2
-    manifestLines(spark, destDir, v).filter { l =>
+    val m = readManifest(spark, destDir, v)
+    val (_, mBits, k) = bloomParams(m, destDir, v)
+    m.lines.filter { l =>
       l.split("\t") match {
         case Array(_, ws) =>
           val words = ws.split(",").map(_.toLong)
@@ -535,33 +581,94 @@ object Snapshot {
     }.map(linePath)
   }
 
-  private def bloomHeader(spark: org.apache.spark.sql.SparkSession,
-                          destDir: String,
-                          v: Int): (String, (Int, Int)) = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(destDir).getFileSystem(
-      spark.sessionState.newHadoopConf())
-    val in = fs.open(new Path(s"$destDir/manifest/v$v.txt"))
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    txt.split("\n").find(_.startsWith("#bloom="))
-      .map(_.stripPrefix("#bloom=").split(",") match {
-        case Array(c, m, kk) => (c, (m.toInt, kk.toInt))
-      })
-      .getOrElse(throw new IllegalArgumentException(
-        s"version $v of $destDir was not published with a bloom column"))
-  }
+  private def bloomParams(m: ManifestData, destDir: String,
+                          v: Int): (String, Int, Int) =
+    m.bloom.getOrElse(throw new IllegalArgumentException(
+      s"version $v of $destDir was not published with a bloom column"))
 
   /** Point lookup over a bloom-published version: open only admitting
     * files, then the exact equality filter (false positives die there;
     * false negatives cannot exist). */
   def readSnapshotPoint(spark: org.apache.spark.sql.SparkSession,
                         destDir: String, v: Int, key: String): DataFrame = {
-    val c = bloomHeader(spark, destDir, v)._1
+    val c = bloomParams(readManifest(spark, destDir, v), destDir, v)._1
     val files = filesForKey(spark, destDir, v, key)
     if (files.isEmpty) readSnapshot(spark, destDir, v).limit(0).filter(lit(false))
     else spark.read.parquet(files.map(f => s"$destDir/$f"): _*)
       .filter(col(c) === key)
+  }
+
+  /** Small-file maintenance on the snapshot layout (the Iceberg
+    * `rewrite_data_files` story): rewrite the latest version's files
+    * holding fewer than `minRows` rows into ~`targetRows`-row files,
+    * carrying every already-big file forward BY REFERENCE. This is what
+    * keeps [[graft.streaming.Ingest.snapshotStream]] healthy — a
+    * producer that publishes one version per micro-batch accretes one
+    * small file set per batch, and scan cost decays until someone bin-
+    * packs them. Cost is O(small bytes), never O(table); the previous
+    * version still time-travels to the original small files, and
+    * [[vacuum]] reclaims them once no kept version references them.
+    *
+    * Row counts come from the manifest's stats lines; a line WITHOUT a
+    * usable row count (no stats published, or stats-less fallback) is
+    * conservatively treated as small — rewriting a big file is wasted
+    * work but never wrong, the direction the estimate must err.
+    * Returns the new version, or the current one when nothing needs
+    * compacting. */
+  def compactSnapshot(spark: org.apache.spark.sql.SparkSession,
+                      destDir: String, minRows: Long,
+                      targetRows: Long): Int = {
+    require(minRows >= 1 && targetRows >= minRows,
+      s"need 1 <= minRows ($minRows) <= targetRows ($targetRows)")
+    val v = latestVersion(spark, destDir)
+    require(v >= 1, s"compactSnapshot needs an existing version under $destDir")
+    val m = readManifest(spark, destDir, v)
+    // a bloom-published version's lines carry bitmap words, not row
+    // counts — compacting it would silently emit a bloom-less version
+    // (point lookups lose their skipping); refuse instead of degrading
+    require(m.bloom.isEmpty,
+      s"compactSnapshot does not preserve bloom manifests (v$v of " +
+        s"$destDir); re-publish with publishSnapshotBloom after compacting")
+    val (bigLines, smallLines) = m.lines.partition { l =>
+      l.split("\t") match {
+        case Array(_, r, _, _) => r.toLong >= minRows
+        case _ => false
+      }
+    }
+    if (smallLines.length <= 1) v // nothing to pack (or a single straggler)
+    else {
+      val small = readWithSchema(spark, m.schema,
+        smallLines.map(l => s"$destDir/${linePath(l)}"))
+      // known counts come free off the manifest; only stats-less lines
+      // (rare) cost a count() over their own small bytes
+      val known = smallLines.flatMap(_.split("\t") match {
+        case Array(_, r, _, _) => Some(r.toLong)
+        case _ => None
+      })
+      val rows =
+        if (known.length == smallLines.length) known.sum
+        else small.count()
+      val nOut = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
+      // coalesce, not repartition: bin-packing needs no shuffle
+      commitVersion(small.coalesce(nOut), destDir, carryForward = true,
+        statsCol = m.statsCol, carriedOverride = Some(bigLines),
+        prevManifestOpt = Some(m))
+    }
+  }
+
+  /** Resolve the newest version committed with `tag` — time travel by
+    * the producer's own name for a state (e.g. snapshotStream's
+    * batchId). Walks manifests newest-first (vacuumed gaps skipped);
+    * driver metadata reads only. */
+  def versionForTag(spark: org.apache.spark.sql.SparkSession,
+                    destDir: String, tag: String): Option[Int] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(destDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    (latestVersion(spark, destDir) to 1 by -1).find { v =>
+      fs.exists(new Path(s"$destDir/manifest/v$v.txt")) &&
+        readManifest(spark, destDir, v).tag.contains(tag)
+    }
   }
 
   /** Retention: delete data files referenced by NO manifest ≥
@@ -589,6 +696,11 @@ object Snapshot {
     drop.foreach(f => fs.delete(new Path(s"$destDir/$f"), false))
     (1 until keepFrom).foreach { v =>
       fs.delete(new Path(s"$destDir/manifest/v$v.txt"), false)
+      // claim files of dropped versions are dead weight (no publisher
+      // ever re-computes a number below latest); committed versions'
+      // claims stay, guarding against zombie re-claims
+      fs.delete(new Path(s"$destDir/manifest/.claim_v$v"), false)
+      ()
     }
     drop.size
   }

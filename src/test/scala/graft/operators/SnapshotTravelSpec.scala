@@ -52,6 +52,36 @@ class SnapshotTravelSpec extends SparkSpec {
       Seq(Seq(1L, "a"), Seq(2L, "b")))
   }
 
+  test("a stale claim (crashed publisher) skips the number, never clobbers") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-ttcl").toString
+    Snapshot.publishSnapshot(Seq((1L, "a")).toDF("k", "v"), dest)
+    // a publisher that claimed v2 and died before committing: the claim
+    // is permanent, so the next publish must land at v3 — reusing v2
+    // would let a zombie holder of the claim overwrite committed data
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dest/manifest/.claim_v2"),
+      Array.empty[Byte])
+    assert(Snapshot.appendSnapshot(Seq((2L, "b")).toDF("k", "v"), dest) == 3)
+    assert(Snapshot.latestVersion(spark, dest) == 3)
+    assert(rows(Snapshot.readSnapshot(spark, dest, 3).orderBy("k")) ===
+      Seq(Seq(1L, "a"), Seq(2L, "b")))
+  }
+
+  test("merge switching statsCol strips carried stats instead of misreading") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-ttsx").toString
+    val base = (0L until 800L).map(k => (k, k + 1000L, s"n$k"))
+      .toDF("k", "ts", "v").repartitionByRange(8, col("k"))
+    Snapshot.publishSnapshot(base, dest, statsCol = Some("k"))
+    Snapshot.mergeSnapshot(Seq((100L, 1100L, "UP")).toDF("k", "ts", "v"),
+      dest, "k", statsCol = Some("ts"))
+    // carried files' old k-stats (max 799) must NOT be read as ts stats:
+    // this ts-range lives entirely in carried files and would be pruned
+    // to zero rows if the stale min/max survived the header switch
+    val got = rows(Snapshot.readSnapshotRange(spark, dest, 2, 1700L, 1710L)
+      .orderBy("ts")).map(_(1))
+    assert(got === (1700L to 1710L))
+  }
+
   test("manifest stats prune files; pruned read equals the full filter") {
     val dest = java.nio.file.Files.createTempDirectory("graft-tts").toString
     val df = (0L until 800L).map(k => (k, s"n$k")).toDF("k", "name")
@@ -68,6 +98,50 @@ class SnapshotTravelSpec extends SparkSpec {
     val full = rows(Snapshot.readSnapshot(spark, dest, 1)
       .filter(col("k").between(100, 199)).orderBy("k"))
     assert(pruned === full)
+  }
+
+  test("compactSnapshot rewrites only small files; big files carried") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-ttk").toString
+    val big = (0L until 400L).map(k => (k, s"n$k")).toDF("k", "v")
+      .repartitionByRange(2, col("k"))
+    Snapshot.publishSnapshot(big, dest, statsCol = Some("k"))
+    // three micro-batch-sized appends (the snapshotStream accretion)
+    Seq(Seq((900L, "a")), Seq((901L, "b"), (902L, "c")), Seq((903L, "d")))
+      .foreach(b => Snapshot.appendSnapshot(b.toDF("k", "v").coalesce(1),
+        dest, statsCol = Some("k")))
+    val m4 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dest/manifest/v4.txt")), "UTF-8")
+    assert(m4.split("\n").count(!_.startsWith("#")) == 5) // 2 big + 3 small
+    val v = Snapshot.compactSnapshot(spark, dest, minRows = 100L,
+      targetRows = 1000L)
+    assert(v == 5)
+    val m5 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dest/manifest/v5.txt")), "UTF-8")
+    val lines5 = m5.split("\n").filterNot(_.startsWith("#")).toSeq
+    // the 2 big base files carried BY REFERENCE, the 3 small ones
+    // bin-packed into a single rewritten file
+    assert(lines5.count(_.contains("data/v1/")) == 2, m5)
+    assert(lines5.count(_.contains("data/v5/")) == 1, m5)
+    assert(lines5.size == 3, m5)
+    // contents identical to pre-compaction; stats survive (range prune)
+    assert(rows(Snapshot.readSnapshot(spark, dest, 5).orderBy("k")) ===
+      rows(Snapshot.readSnapshot(spark, dest, 4).orderBy("k")))
+    assert(Snapshot.filesForRange(spark, dest, 5, 900, 905).size == 1)
+    // nothing left to pack: idempotent no-op returns the current version
+    assert(Snapshot.compactSnapshot(spark, dest, 100L, 1000L) == 5)
+  }
+
+  test("versionForTag resolves the newest version carrying the tag") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-ttt").toString
+    Snapshot.publishSnapshot(Seq((1L, "a")).toDF("k", "v"), dest,
+      tag = Some("b0"))
+    Snapshot.appendSnapshot(Seq((2L, "b")).toDF("k", "v"), dest,
+      tag = Some("b1"))
+    Snapshot.appendSnapshot(Seq((3L, "c")).toDF("k", "v"), dest,
+      tag = Some("b2"))
+    assert(Snapshot.versionForTag(spark, dest, "b1").contains(2))
+    assert(Snapshot.versionForTag(spark, dest, "b2").contains(3))
+    assert(Snapshot.versionForTag(spark, dest, "nope").isEmpty)
   }
 
   test("changedBetween reads exactly the appended files' rows") {
@@ -110,6 +184,11 @@ class SnapshotTravelSpec extends SparkSpec {
       Seq(Seq(123L, "name_123")))
     // absent key: usually zero admitting files; NEVER a wrong row
     assert(Snapshot.readSnapshotPoint(spark, dest, 1, "nope").count() == 0)
+    // compaction would silently drop the bloom words — it must refuse
+    intercept[IllegalArgumentException] {
+      Snapshot.compactSnapshot(spark, dest, 1000L, 10000L)
+    }
+    ()
   }
 
   test("append without a base refuses") {
