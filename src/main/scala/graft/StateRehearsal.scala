@@ -126,33 +126,38 @@ object StateRehearsal {
       "vacuum_sec" -> vacWall, "read_latest_sec" -> readWall)
   }
 
-  /** compactSnapshot: 2M-row table in 8 big files, axis = accreted
-    * small files (80 vs 800, one snapshotStream-style batch each, 100
-    * rows per file). The O(small bytes) claim = compact wall tracks the
-    * small-file ROWS (8k vs 80k — both a fraction of the table), and
-    * the full-rewrite twin (publish of the whole read-back) shows what
-    * O(table) would have cost. Read-latest wall before/after shows the
-    * scan-health motivation. */
+  /** compactSnapshot: 20M-row table (long + 2 string cols, 8 big
+    * files), axis = accreted small files (80 vs 800, one
+    * snapshotStream-style batch each, 100 rows per file). The O(small
+    * bytes) claim = compact wall tracks the small-file ROWS (8k vs
+    * 80k — both a rounding error next to the table), and the
+    * full-rewrite twin (publish of the whole read-back) shows what
+    * O(table) would have cost. The table must dwarf the small set for
+    * the comparison to mean anything: at a 2M-row toy size the twin
+    * ties because BOTH costs are dominated by opening the small files.
+    * Read-latest wall before/after shows the scan-health motivation. */
   private def compact(spark: SparkSession, work: String): Unit = {
     import graft.operators.Snapshot
+    def shaped(d: org.apache.spark.sql.Dataset[java.lang.Long]) = d
+      .select(col("id").as("seq"),
+        concat(lit("payload_"), pmod(col("id"), lit(997))).as("p1"),
+        concat(lit("body_"), col("id")).as("p2"))
     for (small <- Seq(80, 800)) {
       val dest = s"$work/compact_$small"
-      val df = spark.range(2000000L)
-        .select(col("id").as("seq"), (col("id") % 1000).as("payload"))
+      val df = shaped(spark.range(20000000L))
         .repartitionByRange(8, col("seq"))
       Snapshot.publishSnapshot(df, dest, statsCol = Some("seq"))
       // the accretion, delivered as one append carrying `small` files
       // (the per-batch version churn is rehearsed in snapshotStream's
       // own spec; here the axis is the FILE COUNT compaction faces)
-      val delta = spark.range(2000000L, 2000000L + small * 100L)
-        .select(col("id").as("seq"), (col("id") % 1000).as("payload"))
+      val delta = shaped(spark.range(20000000L, 20000000L + small * 100L))
         .repartition(small)
       Snapshot.appendSnapshot(delta, dest, statsCol = Some("seq"))
       val (_, readBefore) = time(
         Snapshot.readSnapshot(spark, dest, 2).queryExecution.toRdd.count())
       val (vNew, compactWall) = time(
         Snapshot.compactSnapshot(spark, dest, minRows = 1000L,
-          targetRows = 250000L))
+          targetRows = 2500000L))
       val (_, readAfter) = time(
         Snapshot.readSnapshot(spark, dest, vNew)
           .queryExecution.toRdd.count())
