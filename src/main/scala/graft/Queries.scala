@@ -6323,6 +6323,134 @@ object Queries {
       |SELECT 'status', code, status, '', '', '' FROM st
       |ORDER BY kind, code""".stripMargin
 
+  // ------------------------------------------------------------- Q-expbatch
+  // The experiment-side parameter-map services through one gate
+  // (ExperimentServices): register-exp batch creation — in-batch
+  // duplicate codes skipped first-wins by parameter index, catalog
+  // collisions as EXPERIMENT_ALREADY_CREATED error rows, dd-MM-yyyy
+  // property values normalized to 'yyyy-MM-dd HH:mm:ss' (script.py:4-11),
+  // and the ENZYMES rule: each such experiment takes the next FREE
+  // numbered <project>_Proteases<m> material (bare, 1, 2, … with taken
+  // numbers gap-probed — the reference's while loop at :15-22), carries
+  // Q_PROTEASE_<i> per enzyme, and is pointed at via
+  // Q_PROTEASE_DIGESTION — plus registerUponWorkflow's count-based
+  // experiment numbering with its MSQC sample pair and verbatim parent
+  // edge (script.py:19-22,50). Seeds: every 2nd nation row carries a
+  // date prop, every 3rd an enzyme list; QEX5/QEX10 pre-exist
+  // (collisions), QEX7 repeats in-batch (skip), materials bare+2 are
+  // taken so the numbering must fill 1 then jump to 3. ORACLE derives
+  // dates, gap numbers (rank 1 → 1, rank r → r+1), and the wf count
+  // independently from the seed tables.
+  def expBatchQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nat = load(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("key"),
+        col("n_name").as("name"))
+    val existing = Seq("QEX5", "QEX10").toDF("code")
+      .withColumn("expType", lit("Q_EXPERIMENTAL_DESIGN"))
+      .withColumn("props", map(lit("Q_SECONDARY_NAME"), lit("seed")))
+    val mats = Seq("QEXP_Proteases", "QEXP_Proteases2").toDF("code")
+      .withColumn("matType", lit("Q_PROTEASE_PROTOCOL"))
+      .withColumn("props", map().cast("map<string,string>"))
+    val batch = nat.select(col("key").as("idx"),
+        concat(lit("QEX"), col("key")).as("code"),
+        lit("Q_EXPERIMENTAL_DESIGN").as("expType"),
+        when(pmod(col("key"), lit(2)) === 0,
+          map(lit("Q_SECONDARY_NAME"), col("name"),
+            lit("Q_MS_DATE"), format_string("%02d-%02d-2023",
+              pmod(col("key"), lit(28)) + 1, pmod(col("key"), lit(12)) + 1)))
+          .otherwise(map(lit("Q_SECONDARY_NAME"), col("name"))).as("props"),
+        when(pmod(col("key"), lit(3)) === 0,
+          array(lit("Trypsin"), concat(lit("LysC_"), col("key"))))
+          .otherwise(lit(null).cast("array<string>")).as("enzymes"))
+      .unionByName(Seq((100L, "QEX7", "Q_EXPERIMENTAL_DESIGN"))
+        .toDF("idx", "code", "expType")
+        .withColumn("props", map(lit("Q_SECONDARY_NAME"), lit("dup")))
+        .withColumn("enzymes", lit(null).cast("array<string>")))
+    val res = graft.pipelines.ExperimentServices.registerExperiments(
+      existing, mats, batch, "QEXP")
+    val wf = graft.pipelines.ExperimentServices.workflowRegistration(
+      res.experiments,
+      Seq.empty[(String, String, String)]
+        .toDF("code", "sampleType", "experiment")
+        .withColumn("props", map().cast("map<string,string>")),
+      Seq.empty[(String, String)].toDF("parent", "child"),
+      "QWF", "Q_MS_MEASUREMENT", "RUN1", "Q_MS_RUN",
+      expProps = Map("Q_STATUS" -> "STARTED"))
+    res.experiments.select(lit("exp").as("kind"), col("code"),
+        coalesce(element_at(col("props"), "Q_SECONDARY_NAME"), lit("")).as("a"),
+        coalesce(element_at(col("props"), "Q_MS_DATE"), lit("")).as("b"),
+        coalesce(element_at(col("props"), "Q_PROTEASE_DIGESTION"), lit("")).as("c"))
+      .unionByName(res.materials.select(lit("mat").as("kind"), col("code"),
+        coalesce(element_at(col("props"), "Q_PROTEASE_1"), lit("")).as("a"),
+        coalesce(element_at(col("props"), "Q_PROTEASE_2"), lit("")).as("b"),
+        col("matType").as("c")))
+      .unionByName(res.status.select(lit("status").as("kind"), col("code"),
+        col("status").as("a"), lit("").as("b"), lit("").as("c")))
+      .unionByName(wf.experiments
+        .filter(col("code").substr(lit(1), lit(3)) === "QWF")
+        .select(lit("wf").as("kind"), col("code"),
+          coalesce(element_at(col("props"), "Q_STATUS"), lit("")).as("a"),
+          lit("").as("b"), lit("").as("c")))
+      .unionByName(wf.samples.select(lit("wfsample").as("kind"), col("code"),
+        col("experiment").as("a"), col("sampleType").as("b"),
+        lit("").as("c")))
+      .unionByName(wf.edges.select(lit("wfedge").as("kind"),
+        col("child").as("code"), col("parent").as("a"), lit("").as("b"),
+        lit("").as("c")))
+      .orderBy("kind", "code", "a")
+  }
+
+  private val expBatchSql =
+    """WITH nat AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm,
+      |         'QEX' || CAST(n_nationkey AS VARCHAR) AS code
+      |  FROM nation),
+      |surv AS (  -- created rows: collisions QEX5/QEX10 stay out
+      |  SELECT * FROM nat WHERE k NOT IN (5, 10)),
+      |enz AS (   -- enzyme rows among survivors, ranked by param index
+      |  SELECT k, code, row_number() OVER (ORDER BY k) AS r
+      |  FROM surv WHERE k % 3 = 0),
+      |matn AS (  -- free numbers with bare(0) and 2 taken: 1, 3, 4, ...
+      |  SELECT k, code,
+      |         CASE WHEN r = 1 THEN 1 ELSE r + 1 END AS n FROM enz),
+      |exp AS (
+      |  SELECT s.code,
+      |         s.nm AS a,
+      |         CASE WHEN s.k % 2 = 0 THEN printf('2023-%02d-%02d 00:00:00',
+      |           s.k % 12 + 1, s.k % 28 + 1) ELSE '' END AS b,
+      |         coalesce('QEXP_Proteases' || CAST(m.n AS VARCHAR), '') AS c
+      |  FROM surv s LEFT JOIN matn m ON s.k = m.k
+      |  UNION ALL
+      |  SELECT 'QEX5', 'seed', '', ''
+      |  UNION ALL SELECT 'QEX10', 'seed', '', ''),
+      |mat AS (
+      |  SELECT 'QEXP_Proteases' || CAST(n AS VARCHAR) AS code,
+      |         'Trypsin' AS a, 'LysC_' || CAST(k AS VARCHAR) AS b,
+      |         'Q_PROTEASE_PROTOCOL' AS c
+      |  FROM matn
+      |  UNION ALL SELECT 'QEXP_Proteases', '', '', 'Q_PROTEASE_PROTOCOL'
+      |  UNION ALL SELECT 'QEXP_Proteases2', '', '', 'Q_PROTEASE_PROTOCOL'),
+      |st AS (
+      |  SELECT code, CASE WHEN k IN (5, 10)
+      |                    THEN 'EXPERIMENT_ALREADY_CREATED'
+      |                    ELSE 'created' END AS a
+      |  FROM nat
+      |  UNION ALL SELECT 'QEX7', 'skipped'),
+      |wfn AS (SELECT count(*) + 1 AS n FROM nat)  -- 25 result exps + 1
+      |SELECT kind, code, a, b, c FROM (
+      |  SELECT 'exp' AS kind, code, a, b, c FROM exp
+      |  UNION ALL SELECT 'mat', code, a, b, c FROM mat
+      |  UNION ALL SELECT 'status', code, a, '', '' FROM st
+      |  UNION ALL SELECT 'wf', 'QWF' || CAST(n AS VARCHAR), 'STARTED', '', ''
+      |    FROM wfn
+      |  UNION ALL SELECT 'wfsample', 'MSQCRUN1',
+      |    'QWF' || CAST(n AS VARCHAR), 'Q_MS_RUN', '' FROM wfn
+      |  UNION ALL SELECT 'wfsample', 'MSQCRUN1T',
+      |    'QWF' || CAST(n AS VARCHAR), 'Q_MS_RUN', '' FROM wfn
+      |  UNION ALL SELECT 'wfedge', 'MSQCRUN1', 'RUN1T', '', ''
+      |) ORDER BY kind, code, a""".stripMargin
+
   // ------------------------------------------------------------ Q-lifecycle
   // SURVEY §7 step 3 as ONE verified artifact: the full dropbox arc —
   // marker gate (S2) → barcode parse/validate (P1/P2) → catalog lookup
@@ -8880,6 +9008,7 @@ object Queries {
     "q_lifecycle" -> (lifecycleQ _),
     "q_msdropbox" -> (msDropboxQ _),
     "q_propupdate" -> (propUpdateQ _),
+    "q_expbatch" -> (expBatchQ _),
     "q_pdf" -> (pdfQ _),
     "q_tpch5" -> (tpch5Q _),
     "q_tpch4" -> (tpch4Q _),
@@ -9092,6 +9221,7 @@ object Queries {
     "q_lifecycle" -> lifecycleSql,
     "q_msdropbox" -> msDropboxSql,
     "q_propupdate" -> propUpdateSql,
+    "q_expbatch" -> expBatchSql,
     "q_pdf" -> pdfSql,
     "q_tpch5" -> Tpch5Sql,
     "q_tpch4" -> Tpch4Sql,

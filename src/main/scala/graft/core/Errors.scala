@@ -21,6 +21,7 @@ object Errors {
   val MissingPairedMate = "MISSING_PAIRED_MATE"
   val ExperimentNotFound = "EXPERIMENT_NOT_FOUND"
   val AmbiguousUpdate = "AMBIGUOUS_UPDATE"
+  val ExperimentAlreadyCreated = "EXPERIMENT_ALREADY_CREATED"
 
   /** Ensure the error-channel column exists. */
   def withErrorChannel(df: DataFrame): DataFrame =

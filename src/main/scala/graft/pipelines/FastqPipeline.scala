@@ -66,4 +66,53 @@ object FastqPipeline {
 
     Result(registered, errors, report)
   }
+
+  case class MetaResult(base: Result, experiments: DataFrame,
+                        metaStatus: DataFrame)
+
+  /** register-fastq-dropbox-with-metadata
+    * (register-fastq-with-metadata-dropbox.py:44-70): the fastq arc
+    * plus a `.metadata` JSON sidecar whose three recognized keys land
+    * as properties on the EXPERIMENTS of the successfully registered
+    * samples (set_meta_data: experiment-type → Q_SEQUENCING_TYPE,
+    * sequencer-device → Q_SEQUENCER_DEVICE, additional-info →
+    * Q_ADDITIONAL_INFO). One sidecar per dropbox batch, exactly as the
+    * reference's find_meta_data_json. Divergence, deliberate: the
+    * reference indexes the dict unguarded (a sidecar MISSING a key
+    * raises KeyError and aborts the transaction); here an absent or
+    * empty key just skips — errors are data, not aborts. */
+  def runWithMetadata(incoming: DataFrame, samples: DataFrame,
+                      datasets: DataFrame, experiments: DataFrame,
+                      metadataJson: String): MetaResult = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    val base = run(incoming, samples, datasets)
+    val keyMap = Seq("experiment-type" -> "Q_SEQUENCING_TYPE",
+      "sequencer-device" -> "Q_SEQUENCER_DEVICE",
+      "additional-info" -> "Q_ADDITIONAL_INFO")
+    val parsed = spark.read.json(Seq(metadataJson).toDS())
+    val kvParts = keyMap.collect {
+      case (jk, prop) if parsed.columns.contains(jk) =>
+        parsed.select(lit(prop).as("prop"),
+          col("`" + jk + "`").cast("string").as("value"))
+    }
+    if (kvParts.isEmpty)
+      MetaResult(base, experiments,
+        experiments.limit(0).select(col("code"),
+          lit("").as("status")))
+    else {
+      val kv = kvParts.reduce(_ unionByName _)
+        .filter(col("value").isNotNull && col("value") =!= "")
+      // the experiments whose samples actually registered this batch
+      val target = base.registered
+        .join(samples.select(col("code").as("sample"), col("experiment")),
+          Seq("sample"))
+        .select(col("experiment").as("code")).distinct()
+      // |experiments-of-batch| × ≤3 sidecar props — the broadcast side
+      // is the constant-sized prop list, never data
+      val updates = target.crossJoin(broadcast(kv))
+      val upd = MutationServices.updatePropsByCode(experiments, updates)
+      MetaResult(base, upd.samples, upd.status)
+    }
+  }
 }

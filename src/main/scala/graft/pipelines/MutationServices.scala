@@ -94,7 +94,15 @@ object MutationServices {
     * batch (map_from_entries would otherwise throw on the duplicate key
     * and kill every row). A NULL props map updates like an empty one. */
   def updateSampleMetadata(samples: DataFrame,
-                           updates: DataFrame): BatchResult = {
+                           updates: DataFrame): BatchResult =
+    updatePropsByCode(samples, updates)
+
+  /** The props-map update core shared by the sample twin above and the
+    * experiment twin ([[ExperimentServices.updateExperimentMetadata]] —
+    * update-experiment-metadata / update-single-sample-metadata are the
+    * same service over a different entity kind). */
+  private[pipelines] def updatePropsByCode(samples: DataFrame,
+                                           updates: DataFrame): BatchResult = {
     // ONE aggregation decides everything per code: the pair list for the
     // props merge AND whether any prop repeats with conflicting values
     // (count == countDistinct(prop) after identical dups collapse). No

@@ -45,6 +45,32 @@ class FastqPipelineSpec extends SparkSpec {
     val codes = r.registered.select("code").as[String].collect().toSet
     assert(codes.contains("QABCD001A0_8")) // max existing 7 + 1
   }
+
+  test("metadata sidecar props land on the registered samples' experiments") {
+    val experiments = Seq(
+      ("/SPACE1/QABCD/QABCDE1", "Q_NGS"), ("/SPACE2/QTEST/QTESTE1", "Q_NGS"),
+      ("/SPACE3/QOTHR/QOTHRE1", "Q_NGS")) // no sample in this batch
+      .toDF("code", "expType")
+      .withColumn("props", map(lit("Q_KEEP"), lit("k")))
+    val meta = """{"experiment-type": "RNA-Seq",
+                  |"sequencer-device": "ILLUMINA_NOVASEQ",
+                  |"additional-info": ""}""".stripMargin
+    val r = FastqPipeline.runWithMetadata(incoming, samples,
+      emptyDatasets, experiments, meta)
+    assert(r.base.registered.count() === 2)
+    val props = r.experiments.collect().map(x => x.getAs[String]("code") ->
+      x.getAs[Map[String, String]]("props")).toMap
+    // both touched experiments got the two non-empty keys; empty
+    // additional-info skipped; untouched experiment keeps only its seed
+    for (e <- Seq("/SPACE1/QABCD/QABCDE1", "/SPACE2/QTEST/QTESTE1"))
+      assert(props(e) == Map("Q_KEEP" -> "k",
+        "Q_SEQUENCING_TYPE" -> "RNA-Seq",
+        "Q_SEQUENCER_DEVICE" -> "ILLUMINA_NOVASEQ"))
+    assert(props("/SPACE3/QOTHR/QOTHRE1") == Map("Q_KEEP" -> "k"))
+    val st = r.metaStatus.collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(st.values.toSet == Set("updated") && st.size == 2)
+  }
 }
 
 class MsConvertPipelineSpec extends SparkSpec {
