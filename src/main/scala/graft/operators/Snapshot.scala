@@ -617,7 +617,7 @@ object Snapshot {
     * compacting. */
   def compactSnapshot(spark: org.apache.spark.sql.SparkSession,
                       destDir: String, minRows: Long,
-                      targetRows: Long): Int = {
+                      targetRows: Long, tag: Option[String] = None): Int = {
     require(minRows >= 1 && targetRows >= minRows,
       s"need 1 <= minRows ($minRows) <= targetRows ($targetRows)")
     val v = latestVersion(spark, destDir)
@@ -652,7 +652,7 @@ object Snapshot {
       // coalesce, not repartition: bin-packing needs no shuffle
       commitVersion(small.coalesce(nOut), destDir, carryForward = true,
         statsCol = m.statsCol, carriedOverride = Some(bigLines),
-        prevManifestOpt = Some(m))
+        tag = tag, prevManifestOpt = Some(m))
     }
   }
 

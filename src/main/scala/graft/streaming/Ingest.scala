@@ -470,6 +470,9 @@ object Ingest {
                      shape: DataFrame => DataFrame = identity,
                      statsCol: Option[String] = None,
                      maxFilesPerTrigger: Int = 1,
+                     compactEvery: Int = 0,
+                     compactMinRows: Long = 100000L,
+                     compactTargetRows: Long = 1000000L,
                      trigger: Trigger = Trigger.AvailableNow(),
                      finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
     val S = graft.operators.Snapshot
@@ -480,7 +483,8 @@ object Ingest {
       .parquet(srcDir)
       .writeStream.option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        applySnapshotBatch(shape(batch.toDF()), destDir, batchId, statsCol)
+        applySnapshotBatch(shape(batch.toDF()), destDir, batchId, statsCol,
+          compactEvery, compactMinRows, compactTargetRows)
       }
       .trigger(trigger).start()
     finish(q)
@@ -491,10 +495,23 @@ object Ingest {
     * snapshot version tagged `batch=<batchId>`, or SKIP if the latest
     * version already carries this batch's tag (the replay case — crash
     * after the manifest rename, before the checkpoint advanced).
-    * Factored out so the replay guard is directly testable. */
+    * Factored out so the replay guard is directly testable.
+    *
+    * Inline maintenance: with `compactEvery` = k > 0, every k-th batch
+    * follows its append with [[graft.operators.Snapshot.compactSnapshot]]
+    * — and the compaction version carries THE SAME `batch=<id>` tag, so
+    * the replay guard holds whichever commit the crash interleaves: a
+    * replay after either rename sees its own tag on the latest version
+    * and skips. (A crash between the append and its compaction skips
+    * that CYCLE's maintenance on replay — best-effort by design; the
+    * next cycle packs the leftovers, and the table content is identical
+    * either way.) */
   private[graft] def applySnapshotBatch(out: DataFrame, destDir: String,
                                         batchId: Long,
-                                        statsCol: Option[String] = None): Unit = {
+                                        statsCol: Option[String] = None,
+                                        compactEvery: Int = 0,
+                                        compactMinRows: Long = 100000L,
+                                        compactTargetRows: Long = 1000000L): Unit = {
     val S = graft.operators.Snapshot
     val spark = out.sparkSession
     val latest = S.latestVersion(spark, destDir)
@@ -507,7 +524,11 @@ object Ingest {
       else
         S.appendSnapshot(out, destDir, statsCol,
           tag = Some(s"batch=$batchId"))
-      ()
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+        S.compactSnapshot(spark, destDir, compactMinRows,
+          compactTargetRows, tag = Some(s"batch=$batchId"))
+        ()
+      }
     }
   }
 

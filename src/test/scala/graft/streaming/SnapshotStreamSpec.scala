@@ -56,6 +56,32 @@ class SnapshotStreamSpec extends SparkSpec {
       m3.contains("data/v3/"), m3)
   }
 
+  test("inline auto-compaction stays exactly-once: compaction rides the tag") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-snc").toString
+    def apply(id: Long, rows: Seq[(Long, String)]) =
+      Ingest.applySnapshotBatch(rows.toDF("id", "v").coalesce(1), dest, id,
+        statsCol = Some("id"), compactEvery = 2,
+        compactMinRows = 100L, compactTargetRows = 1000L)
+    apply(0L, Seq((1L, "a")))        // v1 (publish)
+    apply(1L, Seq((2L, "b")))        // v2 (append) + v3 (compaction)
+    assert(Snapshot.latestVersion(spark, dest) == 3)
+    assert(Snapshot.versionTag(spark, dest, 2).contains("batch=1"))
+    assert(Snapshot.versionTag(spark, dest, 3).contains("batch=1"))
+    // the compacted version packed both tiny files into one
+    val m3 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dest/manifest/v3.txt")), "UTF-8")
+    assert(m3.split("\n").count(!_.startsWith("#")) == 1, m3)
+    // replay of batch 1 after the compaction commit: still a no-op
+    apply(1L, Seq((2L, "b")))
+    assert(Snapshot.latestVersion(spark, dest) == 3)
+    assert(rows(Snapshot.readSnapshot(spark, dest, 3).orderBy("id"))
+      === Seq(Seq(1L, "a"), Seq(2L, "b")))
+    // next batch appends onto the compacted lineage
+    apply(2L, Seq((3L, "c")))        // v4
+    assert(rows(Snapshot.readSnapshot(spark, dest, 4).orderBy("id"))
+      === Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+  }
+
   test("replayed batch is a no-op: the manifest tag is the commit record") {
     val dest = java.nio.file.Files.createTempDirectory("graft-snr").toString
     val b0 = Seq((1L, "a")).toDF("id", "v")
