@@ -5410,6 +5410,51 @@ object Queries {
       |FROM customer WHERE c_custkey BETWEEN 100 AND 299
       |ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------------- Q-snapzorder
+  // Z-ordered snapshot publish (Snapshot.publishSnapshotZOrdered — the
+  // Delta OPTIMIZE ZORDER BY story on the manifest layout): orders
+  // range-partitioned on the Morton code of (custkey, order day) into
+  // 16 contiguous curve segments, BOTH columns' per-file (min, max) in
+  // the manifest, and the 2-D box read opens only files whose bounding
+  // box overlaps (SnapshotTravelSpec pins the pruning + merge
+  // inheritance; q_zorder gates the directory-partitioned twin). The
+  // residual filter makes the cut exact, so the ORACLE is the plain
+  // box predicate over the seed table — any row a curve segment
+  // boundary lost or duplicated diverges the hash.
+  private val SnapZDir = s"$FixtureRoot/snapzorder"
+
+  def snapZorderQ(s: SparkSession, dir: String): DataFrame = {
+    publishOnce(SnapZDir, dir) {
+      import java.nio.file.{Files => JF, Paths}
+      val base = Paths.get(SnapZDir)
+      if (JF.exists(base)) {
+        val it = JF.walk(base).sorted(java.util.Comparator.reverseOrder())
+        it.forEach(p => JF.delete(p))
+      }
+      val orders = load(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("ck"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.operators.Snapshot.publishSnapshotZOrdered(
+        orders, SnapZDir, "ck", "d", bits = 18, nFiles = 16)
+      ()
+    }
+    graft.operators.Snapshot.readSnapshotBox(s, SnapZDir, 1,
+      10L, 40L, 1000L, 3000L)
+      .orderBy("ck", "d", "cents")
+  }
+
+  private val snapZorderSql =
+    """SELECT CAST(o_custkey AS BIGINT) AS ck,
+      |       CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+      |            AS BIGINT) AS d,
+      |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |FROM orders
+      |WHERE o_custkey BETWEEN 10 AND 40
+      |  AND date_diff('day', DATE '1992-01-01', o_orderdate)
+      |      BETWEEN 1000 AND 3000
+      |ORDER BY ck, d, cents""".stripMargin
+
   // ------------------------------------------------------ Q-snapcompact
   // Small-file maintenance (Snapshot.compactSnapshot — the Iceberg
   // rewrite_data_files story): a snapshotStream-shaped history (one big
@@ -9036,6 +9081,7 @@ object Queries {
     "q_snapdelta" -> (snapDeltaQ _),
     "q_snapskip" -> (snapSkipQ _),
     "q_snapcompact" -> (snapCompactQ _),
+    "q_snapzorder" -> (snapZorderQ _),
     "q_scenecut" -> (sceneCutQ _),
     "q_snappoint" -> (snapPointQ _),
     "q_cxxpush" -> (cxxPushQ _),
@@ -9249,6 +9295,7 @@ object Queries {
     "q_snapdelta" -> snapDeltaSql,
     "q_snapskip" -> snapSkipSql,
     "q_snapcompact" -> snapCompactSql,
+    "q_snapzorder" -> snapZorderSql,
     "q_scenecut" -> sceneCutSql,
     "q_snappoint" -> snapPointSql,
     "q_cxxpush" -> cxxPushSql,

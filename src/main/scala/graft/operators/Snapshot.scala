@@ -172,21 +172,36 @@ object Snapshot {
             s"'${f.name}: ${f.dataType.simpleString}' is missing or retyped")
       }
     }
-    val delta = survivors.unionByName(updates, allowMissingColumns = true)
+    val delta0 = survivors.unionByName(updates, allowMissingColumns = true)
+    // restore the BASE's column order: the survivors' anti-join moved the
+    // key column first, and a merge must not reorder the version schema
+    // (readers and later merges see a stable column order across
+    // versions; new evolution columns append at the end)
+    val delta = prevManifest.schema match {
+      case Some(ps) =>
+        val newCols = delta0.columns.filterNot(ps.fieldNames.contains)
+        delta0.select((ps.fieldNames ++ newCols).map(col).toSeq: _*)
+      case None => delta0
+    }
     commitVersion(delta, destDir, carryForward = true,
-      statsCol = statsCol.orElse(prevManifest.statsCol),
+      statsCol = None,
       carriedOverride = Some(untouchedLines),
-      prevManifestOpt = Some(prevManifest))
+      prevManifestOpt = Some(prevManifest),
+      // inherit the base's FULL stats list (a Z-ordered base keeps both
+      // columns' skipping through merges) unless the caller restates
+      statsColsMulti = statsCol.map(Seq(_))
+        .getOrElse(prevManifest.statsCols))
   }
 
-  /** Per-file (rows, min, max) of an integral column, read from the
-    * PARQUET FOOTER — no data pass; the writer already computed the
-    * row-group statistics, collecting them is a metadata read. This is
-    * what lets a manifest carry skipping stats for free at publish
-    * time. */
+  /** Per-file (rows, per-column (min, max)) of integral columns, read
+    * from the PARQUET FOOTER — no data pass; the writer already
+    * computed the row-group statistics, collecting them is a metadata
+    * read. This is what lets a manifest carry skipping stats for free
+    * at publish time. A column whose blocks carried no usable stats
+    * comes back with mn > mx (the caller's keep-conservative signal). */
   private def footerStats(conf: org.apache.hadoop.conf.Configuration,
                           path: org.apache.hadoop.fs.Path,
-                          statsCol: String): (Long, Long, Long) = {
+                          statsCols: Seq[String]): (Long, Array[(Long, Long)]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
@@ -194,23 +209,25 @@ object Snapshot {
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       var rows = 0L
-      var mn = Long.MaxValue
-      var mx = Long.MinValue
+      val mn = Array.fill(statsCols.length)(Long.MaxValue)
+      val mx = Array.fill(statsCols.length)(Long.MinValue)
       blocks.foreach { b =>
         rows += b.getRowCount
-        b.getColumns.asScala
-          .find(_.getPath.toDotString == statsCol)
-          .foreach { c =>
-            val st = c.getStatistics
-            if (st != null && st.hasNonNullValue) {
-              mn = math.min(mn, st.genericGetMin
-                .asInstanceOf[Number].longValue())
-              mx = math.max(mx, st.genericGetMax
-                .asInstanceOf[Number].longValue())
+        statsCols.zipWithIndex.foreach { case (sc, i) =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == sc)
+            .foreach { c =>
+              val st = c.getStatistics
+              if (st != null && st.hasNonNullValue) {
+                mn(i) = math.min(mn(i), st.genericGetMin
+                  .asInstanceOf[Number].longValue())
+                mx(i) = math.max(mx(i), st.genericGetMax
+                  .asInstanceOf[Number].longValue())
+              }
             }
-          }
+        }
       }
-      (rows, mn, mx)
+      (rows, mn.zip(mx))
     } finally reader.close()
   }
 
@@ -251,7 +268,12 @@ object Snapshot {
                             statsCol: Option[String],
                             carriedOverride: Option[Seq[String]] = None,
                             tag: Option[String] = None,
-                            prevManifestOpt: Option[ManifestData] = None): Int = {
+                            prevManifestOpt: Option[ManifestData] = None,
+                            statsColsMulti: Seq[String] = Nil): Int = {
+    // single-column callers keep the Option face; multi-column publishes
+    // (Z-order) pass the full list
+    val statsCols = if (statsColsMulti.nonEmpty) statsColsMulti
+                    else statsCol.toSeq
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
@@ -273,17 +295,18 @@ object Snapshot {
       .map(_.getPath).sortBy(_.getName).par
       .map { p =>
         val rel = s"data/v$v/${p.getName}"
-        statsCol match {
-          case Some(c) =>
-            val (rows, mn, mx) = footerStats(conf, p, c)
-            // mn > mx ⇔ no block carried usable stats for statsCol
-            // (stats disabled, or column all-null in every block that
-            // recorded them). Emitting sentinel min/max here would make
-            // filesForRange PRUNE the file — the opposite of the
-            // "skipping must never lose rows" invariant — so emit the
-            // bare path and let the catch-all keep it.
-            if (mn > mx) rel else s"$rel\t$rows\t$mn\t$mx"
-          case None => rel
+        if (statsCols.isEmpty) rel
+        else {
+          val (rows, mm) = footerStats(conf, p, statsCols)
+          // mn > mx ⇔ no block carried usable stats for that column
+          // (stats disabled, or column all-null in every block that
+          // recorded them). Emitting sentinel min/max would make
+          // filesForRange PRUNE the file — the opposite of the
+          // "skipping must never lose rows" invariant — so emit the
+          // bare path and let the catch-all keep it.
+          if (mm.exists { case (mn, mx) => mn > mx }) rel
+          else s"$rel\t$rows\t" +
+            mm.map { case (mn, mx) => s"$mn\t$mx" }.mkString("\t")
         }
       }.seq.toSeq
     val carriedRaw = carriedOverride.getOrElse(
@@ -296,7 +319,7 @@ object Snapshot {
     // files, trading skipping for correctness.
     val carried =
       if (carriedRaw.isEmpty ||
-          prevManifest.forall(_.statsCol == statsCol)) carriedRaw
+          prevManifest.forall(_.statsCols == statsCols)) carriedRaw
       else carriedRaw.map(linePath)
     // Schema evolution (add-column only): the manifest records the
     // version's schema, so a reader applies THIS version's schema to
@@ -321,7 +344,8 @@ object Snapshot {
       s"#schema=${org.apache.spark.sql.types.StructType(
         df.schema.fields.map(_.copy(nullable = true))).json}"
     val header = schemaHeader +:
-      (statsCol.map(c => s"#stats=$c").toSeq ++
+      ((if (statsCols.isEmpty) Seq.empty
+        else Seq(s"#stats=${statsCols.mkString(",")}")) ++
         tag.map(t => s"#tag=$t").toSeq)
     val manifestDir = new Path(s"$destDir/manifest")
     fs.mkdirs(manifestDir)
@@ -345,7 +369,10 @@ object Snapshot {
     * bloom params) answers from ONE read of the manifest text. */
   private case class ManifestData(headers: Map[String, String],
                                   lines: Seq[String]) {
-    def statsCol: Option[String] = headers.get("stats")
+    /** The stats column list of a version ("#stats=a" or "#stats=a,b"). */
+    def statsCols: Seq[String] =
+      headers.get("stats").map(_.split(",").toSeq).getOrElse(Nil)
+    def statsCol: Option[String] = statsCols.headOption
     def tag: Option[String] = headers.get("tag")
     def schema: Option[org.apache.spark.sql.types.StructType] =
       headers.get("schema").map(j => org.apache.spark.sql.types.DataType
@@ -425,16 +452,24 @@ object Snapshot {
     readWithSchema(spark, m.schema, files)
   }
 
-  /** The manifest lines whose [min, max] stats overlap [lo, hi] (lines
-    * without stats are kept — skipping must never lose rows). */
+  /** Does line `l` overlap [lo, hi] on the `idx`-th stats column?
+    * Stats lines are `path\trows\tmn0\tmx0[\tmn1\tmx1…]`; a line without
+    * parseable stats for that column is KEPT — skipping must never lose
+    * rows. */
+  private def lineOverlaps(l: String, idx: Int, lo: Long, hi: Long): Boolean = {
+    val f = l.split("\t")
+    val base = 2 + 2 * idx
+    if (f.length >= base + 2 && f.length % 2 == 0)
+      try f(base + 1).toLong >= lo && f(base).toLong <= hi
+      catch { case _: NumberFormatException => true }
+    else true
+  }
+
+  /** The manifest lines whose [min, max] stats on the FIRST stats
+    * column overlap [lo, hi]. */
   private def linesForRange(lines: Seq[String], lo: Long,
                             hi: Long): Seq[String] =
-    lines.filter { l =>
-      l.split("\t") match {
-        case Array(_, _, mn, mx) => mx.toLong >= lo && mn.toLong <= hi
-        case _ => true
-      }
-    }.map(linePath)
+    lines.filter(lineOverlaps(_, 0, lo, hi)).map(linePath)
 
   /** Manifest-stats FILE SKIPPING: the files of version `v` whose
     * [min, max] stats overlap [lo, hi] (files without stats are kept —
@@ -461,6 +496,64 @@ object Snapshot {
       readSnapshot(spark, destDir, v).limit(0)
     else readWithSchema(spark, m.schema, files)
       .filter(col(c) >= lo && col(c) <= hi)
+  }
+
+  // ---------------------------------------------- Z-ordered snapshots
+  /** Publish `df` Z-ordered on two integral dimensions, with BOTH
+    * columns' per-file (min, max) in the manifest: rows range-partition
+    * on the Morton code ([[Layout.zValue]]) into `nFiles` contiguous
+    * curve segments and sort within each, so every file covers a small
+    * 2-D bounding box — and [[readSnapshotBox]] then opens only files
+    * whose box overlaps the query box, for ANY combination of both
+    * predicates. This is Delta's OPTIMIZE ZORDER BY on the manifest
+    * layout: file-level skipping (no directory explosion), composable
+    * with time travel, vacuum and [[mergeSnapshot]] (which inherits the
+    * full stats list, so skipping survives merges). One shuffle
+    * (range by z) + local sort — no global sort. */
+  def publishSnapshotZOrdered(df: DataFrame, destDir: String,
+                              aCol: String, bCol: String, bits: Int,
+                              nFiles: Int,
+                              tag: Option[String] = None): Int = {
+    require(nFiles >= 1, s"need nFiles >= 1; got $nFiles")
+    val shaped = df
+      .withColumn("__z", Layout.zValue(col(aCol), col(bCol), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    commitVersion(shaped, destDir, carryForward = false, statsCol = None,
+      tag = tag, statsColsMulti = Seq(aCol, bCol))
+  }
+
+  /** The files of version `v` whose per-file bounding box overlaps
+    * [aLo,aHi] × [bLo,bHi] — driver-side manifest arithmetic over the
+    * first TWO stats columns; stats-less lines are kept. */
+  def filesForBox(spark: org.apache.spark.sql.SparkSession,
+                  destDir: String, v: Int, aLo: Long, aHi: Long,
+                  bLo: Long, bHi: Long): Seq[String] =
+    readManifest(spark, destDir, v).lines
+      .filter(l => lineOverlaps(l, 0, aLo, aHi) &&
+        lineOverlaps(l, 1, bLo, bHi))
+      .map(linePath)
+
+  /** 2-D box read with per-file bounding-box pruning on both published
+    * stats columns + the exact residual filters (overlap is a strict
+    * superset of the box, so the result equals the full-scan filter). */
+  def readSnapshotBox(spark: org.apache.spark.sql.SparkSession,
+                      destDir: String, v: Int, aLo: Long, aHi: Long,
+                      bLo: Long, bHi: Long): DataFrame = {
+    val m = readManifest(spark, destDir, v)
+    require(m.statsCols.length >= 2,
+      s"version $v of $destDir needs two stats columns for box reads " +
+        s"(has ${m.statsCols.mkString(",")})")
+    val Seq(ca, cb) = m.statsCols.take(2)
+    val files = m.lines
+      .filter(l => lineOverlaps(l, 0, aLo, aHi) &&
+        lineOverlaps(l, 1, bLo, bHi))
+      .map(l => s"$destDir/${linePath(l)}")
+    if (files.isEmpty) readSnapshot(spark, destDir, v).limit(0)
+    else readWithSchema(spark, m.schema, files)
+      .filter(col(ca) >= aLo && col(ca) <= aHi &&
+        col(cb) >= bLo && col(cb) <= bHi)
   }
 
   /** Incremental consumption between versions: the rows of files
@@ -629,30 +722,32 @@ object Snapshot {
     require(m.bloom.isEmpty,
       s"compactSnapshot does not preserve bloom manifests (v$v of " +
         s"$destDir); re-publish with publishSnapshotBloom after compacting")
-    val (bigLines, smallLines) = m.lines.partition { l =>
-      l.split("\t") match {
-        case Array(_, r, _, _) => r.toLong >= minRows
-        case _ => false
-      }
+    // rows is field 1 of any stats line (single- or multi-column)
+    def lineRows(l: String): Option[Long] = {
+      val f = l.split("\t")
+      if (f.length >= 4 && f.length % 2 == 0 && f(1).forall(_.isDigit))
+        Some(f(1).toLong)
+      else None
     }
+    val (bigLines, smallLines) =
+      m.lines.partition(l => lineRows(l).exists(_ >= minRows))
     if (smallLines.length <= 1) v // nothing to pack (or a single straggler)
     else {
       val small = readWithSchema(spark, m.schema,
         smallLines.map(l => s"$destDir/${linePath(l)}"))
       // known counts come free off the manifest; only stats-less lines
       // (rare) cost a count() over their own small bytes
-      val known = smallLines.flatMap(_.split("\t") match {
-        case Array(_, r, _, _) => Some(r.toLong)
-        case _ => None
-      })
+      val known = smallLines.flatMap(lineRows)
       val rows =
         if (known.length == smallLines.length) known.sum
         else small.count()
       val nOut = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
-      // coalesce, not repartition: bin-packing needs no shuffle
+      // coalesce, not repartition: bin-packing needs no shuffle; the
+      // FULL stats list carries (a Z-ordered table keeps both columns)
       commitVersion(small.coalesce(nOut), destDir, carryForward = true,
-        statsCol = m.statsCol, carriedOverride = Some(bigLines),
-        tag = tag, prevManifestOpt = Some(m))
+        statsCol = None, carriedOverride = Some(bigLines),
+        tag = tag, prevManifestOpt = Some(m),
+        statsColsMulti = m.statsCols)
     }
   }
 

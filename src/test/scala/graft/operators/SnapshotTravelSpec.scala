@@ -144,6 +144,35 @@ class SnapshotTravelSpec extends SparkSpec {
     assert(Snapshot.versionForTag(spark, dest, "nope").isEmpty)
   }
 
+  test("Z-ordered publish: box reads open only overlapping file boxes") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-ttz").toString
+    // a 64×64 grid, z-published into 16 contiguous curve segments —
+    // each file covers a compact 2-D region, so a small box touches few
+    val df = spark.range(4096).select((col("id") % 64).as("x"),
+      (col("id") / 64).cast("long").as("y"), col("id").as("payload"))
+    Snapshot.publishSnapshotZOrdered(df, dest, "x", "y", bits = 6,
+      nFiles = 16)
+    assert(Snapshot.filesForBox(spark, dest, 1, 0, 63, 0, 63).size == 16)
+    val few = Snapshot.filesForBox(spark, dest, 1, 10, 20, 10, 20)
+    assert(few.nonEmpty && few.size <= 8,
+      s"expected 2-D pruning, got ${few.size} of 16 files")
+    val box = rows(Snapshot.readSnapshotBox(spark, dest, 1, 10, 20, 10, 20)
+      .orderBy("payload"))
+    val full = rows(Snapshot.readSnapshot(spark, dest, 1)
+      .filter(col("x").between(10, 20) && col("y").between(10, 20))
+      .orderBy("payload"))
+    assert(box === full && box.nonEmpty)
+    // MERGE inherits the full two-column stats list: skipping survives
+    val upd = Seq((5L, 5L, 5L)).toDF("x", "y", "payload")
+    Snapshot.mergeSnapshot(upd, dest, "payload")
+    val m2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dest/manifest/v2.txt")), "UTF-8")
+    assert(m2.contains("#stats=x,y"), m2)
+    assert(rows(Snapshot.readSnapshotBox(spark, dest, 2, 10, 20, 10, 20)
+      .orderBy("payload")) === box)
+    assert(Snapshot.filesForBox(spark, dest, 2, 10, 20, 10, 20).size < 16)
+  }
+
   test("changedBetween reads exactly the appended files' rows") {
     val dest = java.nio.file.Files.createTempDirectory("graft-ttd").toString
     Snapshot.publishSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dest)
