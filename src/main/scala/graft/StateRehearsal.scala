@@ -61,6 +61,7 @@ object StateRehearsal {
       case "scd2" => scd2(spark, work)
       case "snapmerge" => snapmerge(spark, work)
       case "compact" => compact(spark, work)
+      case "zorder" => zorder(spark, work)
     }
     spark.stop()
   }
@@ -173,6 +174,56 @@ object StateRehearsal {
         "files_before" -> (8 + small), "files_after" -> filesAfter,
         "read_before_sec" -> readBefore, "read_after_sec" -> readAfter)
     }
+  }
+
+  /** Z-ordered snapshot vs single-column stats vs full scan: 20M rows
+    * over a 4096×4096 (a, b) grid, one small 2-D box probe (1/8 of each
+    * dim = 1/64 of the area). The 1-D twin can only prune on a's range
+    * (≥1/8 of files admitted however tight the b predicate); the
+    * Z-ordered publish admits ~box-area + curve-boundary files. The
+    * measured gap is the whole point of multi-dimension clustering. */
+  private def zorder(spark: SparkSession, work: String): Unit = {
+    import graft.operators.Snapshot
+    val rows = 20000000L
+    val df = spark.range(rows).select(
+      (col("id") % 4096).as("a"),
+      ((col("id") * 2654435761L) % 4096).as("b"),  // decorrelate dims
+      col("id").as("payload"))
+    val destZ = s"$work/zsnap"
+    val (_, pubZ) = time(Snapshot.publishSnapshotZOrdered(
+      df, destZ, "a", "b", bits = 12, nFiles = 64))
+    val dest1 = s"$work/zsnap1d"
+    val (_, pub1) = time(Snapshot.publishSnapshot(
+      df.repartitionByRange(64, col("a")), dest1, statsCol = Some("a")))
+    val (admitZ, admitZWall) = time(
+      Snapshot.filesForBox(spark, destZ, 1, 1024, 1535, 2048, 2559))
+    val (admit1, _) = time(
+      Snapshot.filesForRange(spark, dest1, 1, 1024, 1535))
+    val (nZ, wallZ) = time(
+      Snapshot.readSnapshotBox(spark, destZ, 1, 1024, 1535, 2048, 2559)
+        .queryExecution.toRdd.count())
+    val (n1, wall1) = time(
+      Snapshot.readSnapshotRange(spark, dest1, 1, 1024, 1535)
+        .filter(col("b").between(2048, 2559))
+        .queryExecution.toRdd.count())
+    val (nF, wallF) = time(
+      Snapshot.readSnapshot(spark, destZ, 1)
+        .filter(col("a").between(1024, 1535) && col("b").between(2048, 2559))
+        .queryExecution.toRdd.count())
+    require(nZ == n1 && n1 == nF, s"row mismatch: z=$nZ 1d=$n1 full=$nF")
+    // the scale metric is ROWS/BYTES OPENED (what 100 TB bills for) —
+    // wall at this in-cache size is task-parallelism-bound, not IO-bound
+    val scannedZ = spark.read
+      .parquet(admitZ.map(f => s"$destZ/$f"): _*).count()
+    val scanned1 = spark.read
+      .parquet(admit1.map(f => s"$dest1/$f"): _*).count()
+    cell("snapshot_zorder", "rows" -> rows, "files" -> 64,
+      "publish_z_sec" -> pubZ, "publish_1d_sec" -> pub1,
+      "admit_z" -> admitZ.size, "admit_1d" -> admit1.size,
+      "scanned_rows_z" -> scannedZ, "scanned_rows_1d" -> scanned1,
+      "admit_driver_sec" -> admitZWall,
+      "box_read_z_sec" -> wallZ, "box_read_1d_sec" -> wall1,
+      "full_scan_sec" -> wallF, "box_rows" -> nZ)
   }
 
   /** Fixed-size delivered batch; axes are dest size × how many of the
