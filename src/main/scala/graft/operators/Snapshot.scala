@@ -509,7 +509,10 @@ object Snapshot {
     * layout: file-level skipping (no directory explosion), composable
     * with time travel, vacuum and [[mergeSnapshot]] (which inherits the
     * full stats list, so skipping survives merges). One shuffle
-    * (range by z) + local sort — no global sort. */
+    * (range by z) + local sort — no global sort. Dimensions should be
+    * non-negative integrals (Morton interleaving garbles on negatives)
+    * — but even then only CLUSTERING degrades: the manifest stats are
+    * the files' true min/max, so skipping stays correct. */
   def publishSnapshotZOrdered(df: DataFrame, destDir: String,
                               aCol: String, bCol: String, bits: Int,
                               nFiles: Int,
