@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Model-based randomized exercise of the snapshot layout: a seeded
+  * random sequence of publish / append / merge / compact / vacuum runs
+  * against BOTH the real layout and a driver-side model (a key→value
+  * map per version), and every committed version must read back equal
+  * to its model snapshot — including after later operations. This is
+  * the subsystem-level complement to the per-operation specs: it
+  * exercises the INTERLEAVINGS (merge after compact, vacuum then
+  * append, stats carried across all of them) that no single-op test
+  * pins. Fixed seeds keep it deterministic and replayable.
+  */
+class SnapshotModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toDf(m: Map[Long, String]) =
+    m.toSeq.sortBy(_._1).toDF("k", "v").coalesce(2)
+
+  private def readBack(dest: String, v: Int): Map[Long, String] =
+    Snapshot.readSnapshot(spark, dest, v).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def runSequence(seed: Long, nOps: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val dest = java.nio.file.Files
+      .createTempDirectory(s"graft-model-$seed").toString
+    var nextKey = 0L
+    def freshRows(n: Int): Map[Long, String] = {
+      val m = (0 until n).map { _ =>
+        nextKey += 1; nextKey -> s"v$nextKey"
+      }.toMap
+      m
+    }
+    // model: committed version -> expected table state (absent = vacuumed)
+    val model = scala.collection.mutable.Map.empty[Int, Map[Long, String]]
+    var table = freshRows(3 + rnd.nextInt(3))
+    Snapshot.publishSnapshot(toDf(table), dest, statsCol = Some("k"))
+    model(1) = table
+    var ops = List.empty[String]
+    (1 to nOps).foreach { _ =>
+      val latest = Snapshot.latestVersion(spark, dest)
+      rnd.nextInt(5) match {
+        case 0 => // full replace
+          table = freshRows(2 + rnd.nextInt(3))
+          val v = Snapshot.publishSnapshot(toDf(table), dest,
+            statsCol = Some("k"))
+          model(v) = table; ops ::= s"publish->v$v"
+        case 1 => // append fresh keys
+          val add = freshRows(1 + rnd.nextInt(3))
+          table = table ++ add
+          val v = Snapshot.appendSnapshot(toDf(add), dest,
+            statsCol = Some("k"))
+          model(v) = table; ops ::= s"append->v$v"
+        case 2 => // merge: update a random existing subset + one insert
+          val updated = table.keySet.toSeq.sorted
+            .filter(_ => rnd.nextBoolean()).take(3)
+            .map(k => k -> s"u$k").toMap
+          val ins = freshRows(1)
+          table = table ++ updated ++ ins
+          val v = Snapshot.mergeSnapshot(toDf(updated ++ ins), dest, "k")
+          model(v) = table; ops ::= s"merge->v$v"
+        case 3 => // compact (content-neutral; may be a no-op)
+          val v = Snapshot.compactSnapshot(spark, dest, minRows = 3L,
+            targetRows = 1000L)
+          model(v) = table; ops ::= s"compact->v$v"
+        case 4 => // vacuum to the latest version only
+          Snapshot.vacuum(spark, dest, keepFrom = latest)
+          (1 until latest).foreach(model.remove)
+          ops ::= s"vacuum(keep=$latest)"
+      }
+      val ctx = s"seed=$seed ops=${ops.reverse.mkString(",")}"
+      // the LATEST version always equals the current model table
+      assert(readBack(dest, Snapshot.latestVersion(spark, dest)) == table,
+        s"latest mismatch [$ctx]")
+      // range read on the stats column stays exact through every op
+      if (table.nonEmpty) {
+        val ks = table.keySet
+        val (lo, hi) = (ks.min + 1, ks.max - 1)
+        val got = Snapshot.readSnapshotRange(spark, dest,
+            Snapshot.latestVersion(spark, dest), lo, hi)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got == table.filter { case (k, _) => k >= lo && k <= hi },
+          s"range mismatch [$ctx]")
+      }
+    }
+    // TIME TRAVEL: every retained version still reads as its snapshot
+    model.foreach { case (v, expect) =>
+      assert(readBack(dest, v) == expect,
+        s"version $v drifted [seed=$seed ops=${ops.reverse.mkString(",")}]")
+    }
+  }
+
+  test("random op sequences: every retained version equals its model") {
+    Seq(11L, 42L, 1303L).foreach(runSequence(_, nOps = 8))
+  }
+}
