@@ -140,7 +140,7 @@ object Snapshot {
         val mm = updates.agg(min(col(keyCol)).cast("long"),
           max(col(keyCol)).cast("long")).head()
         if (mm.isNullAt(0)) Seq.empty // empty update batch touches nothing
-        else linesForRange(lines, mm.getLong(0), mm.getLong(1))
+        else linesForRange(prevManifest, mm.getLong(0), mm.getLong(1))
       } else relPaths
     // bounded collect: one row per TOUCHED FILE (≤ manifest size — the
     // same driver-side class as reading the manifest itself)
@@ -270,10 +270,6 @@ object Snapshot {
                             tag: Option[String] = None,
                             prevManifestOpt: Option[ManifestData] = None,
                             statsColsMulti: Seq[String] = Nil): Int = {
-    // single-column callers keep the Option face; multi-column publishes
-    // (Z-order) pass the full list
-    val statsCols = if (statsColsMulti.nonEmpty) statsColsMulti
-                    else statsCol.toSeq
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
@@ -283,6 +279,15 @@ object Snapshot {
     val prevManifest = prevManifestOpt.orElse(
       if (carryForward && prev >= 1) Some(readManifest(spark, destDir, prev))
       else None)
+    // single-column callers keep the Option face; multi-column publishes
+    // (Z-order) pass the full list. A carry-forward commit with NO
+    // caller-stated stats INHERITS the base's list (Iceberg table-
+    // property semantics: an append must not silently drop the table's
+    // skipping) — a full publish defines the table fresh and doesn't.
+    val statsCols =
+      if (statsColsMulti.nonEmpty) statsColsMulti
+      else if (statsCol.nonEmpty || !carryForward) statsCol.toSeq
+      else prevManifest.map(_.statsCols).getOrElse(Nil)
     val dataDir = new Path(s"$destDir/data/v$v")
     df.write.mode("overwrite").parquet(dataDir.toString)
     // footer reads are independent metadata fetches; at large file
@@ -317,9 +322,22 @@ object Snapshot {
     // DO contain matching rows (silent row loss). Strip mismatched
     // carried lines to the bare path — the catch-all keeps stats-less
     // files, trading skipping for correctness.
+    // A base published with a BLOOM doesn't keep its header through this
+    // path, so carried bloom WORDS would dangle and confuse the field
+    // arithmetic: with the stats list unchanged only the words field is
+    // dropped (stats survive); otherwise strip to the bare path.
     val carried =
       if (carriedRaw.isEmpty ||
-          prevManifest.forall(_.statsCols == statsCols)) carriedRaw
+          prevManifest.forall(p => p.statsCols == statsCols &&
+            p.bloom.isEmpty)) carriedRaw
+      else if (prevManifest.exists(p => p.statsCols == statsCols &&
+          p.bloom.isDefined))
+        carriedRaw.map { l =>
+          val f = l.split("\t")
+          if (statsCols.nonEmpty && f.length == 3 + 2 * statsCols.length)
+            f.dropRight(1).mkString("\t")
+          else linePath(l)
+        }
       else carriedRaw.map(linePath)
     // Schema evolution (add-column only): the manifest records the
     // version's schema, so a reader applies THIS version's schema to
@@ -347,21 +365,27 @@ object Snapshot {
       ((if (statsCols.isEmpty) Seq.empty
         else Seq(s"#stats=${statsCols.mkString(",")}")) ++
         tag.map(t => s"#tag=$t").toSeq)
-    val manifestDir = new Path(s"$destDir/manifest")
-    fs.mkdirs(manifestDir)
+    commitManifest(fs, destDir, v, header ++ carried ++ newFiles)
+    v
+  }
+
+  /** Write manifest content to `.tmp_v<k>` and RENAME it into place —
+    * the commit point shared by every publish path. A false rename
+    * means another publisher claimed v<k> first (impossible under the
+    * claim protocol; kept as a loud invariant). */
+  private def commitManifest(fs: org.apache.hadoop.fs.FileSystem,
+                             destDir: String, v: Int,
+                             content: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    fs.mkdirs(new Path(s"$destDir/manifest"))
     val tmp = new Path(s"$destDir/manifest/.tmp_v$v")
     val out = fs.create(tmp, true)
-    out.write((header ++ carried ++ newFiles).mkString("\n")
-      .getBytes("UTF-8"))
+    out.write(content.mkString("\n").getBytes("UTF-8"))
     out.close()
-    // rename is the commit point; a false return means another publisher
-    // claimed v<k> first — surface the lost race instead of returning a
-    // version number whose manifest the caller didn't actually write.
     if (!fs.rename(tmp, new Path(s"$destDir/manifest/v$v.txt")))
       throw new IllegalStateException(
         s"snapshot version v$v of $destDir already committed by a " +
           "concurrent publisher; this publish's data files are orphans")
-    v
   }
 
   /** One parsed manifest: header key→value plus the data-file lines.
@@ -453,13 +477,16 @@ object Snapshot {
   }
 
   /** Does line `l` overlap [lo, hi] on the `idx`-th stats column?
-    * Stats lines are `path\trows\tmn0\tmx0[\tmn1\tmx1…]`; a line without
-    * parseable stats for that column is KEPT — skipping must never lose
-    * rows. */
-  private def lineOverlaps(l: String, idx: Int, lo: Long, hi: Long): Boolean = {
+    * Stats lines are `path\trows\tmn0\tmx0[\tmn1\tmx1…]`, with a
+    * trailing bloom-words field when the manifest carries BOTH indexes
+    * (`hasBloom`); a line without parseable stats for that column is
+    * KEPT — skipping must never lose rows. */
+  private def lineOverlaps(l: String, idx: Int, lo: Long, hi: Long,
+                           hasBloom: Boolean): Boolean = {
     val f = l.split("\t")
+    val statFields = f.length - 2 - (if (hasBloom) 1 else 0)
     val base = 2 + 2 * idx
-    if (f.length >= base + 2 && f.length % 2 == 0)
+    if (statFields >= 2 * (idx + 1) && statFields % 2 == 0)
       try f(base + 1).toLong >= lo && f(base).toLong <= hi
       catch { case _: NumberFormatException => true }
     else true
@@ -467,9 +494,10 @@ object Snapshot {
 
   /** The manifest lines whose [min, max] stats on the FIRST stats
     * column overlap [lo, hi]. */
-  private def linesForRange(lines: Seq[String], lo: Long,
+  private def linesForRange(m: ManifestData, lo: Long,
                             hi: Long): Seq[String] =
-    lines.filter(lineOverlaps(_, 0, lo, hi)).map(linePath)
+    m.lines.filter(lineOverlaps(_, 0, lo, hi, m.bloom.isDefined))
+      .map(linePath)
 
   /** Manifest-stats FILE SKIPPING: the files of version `v` whose
     * [min, max] stats overlap [lo, hi] (files without stats are kept —
@@ -477,7 +505,7 @@ object Snapshot {
     * no data touched. */
   def filesForRange(spark: org.apache.spark.sql.SparkSession,
                     destDir: String, v: Int, lo: Long, hi: Long): Seq[String] =
-    linesForRange(manifestLines(spark, destDir, v), lo, hi)
+    linesForRange(readManifest(spark, destDir, v), lo, hi)
 
   /** Range read with manifest-stats pruning + the precise residual
     * filter on the published stats column: only overlapping files are
@@ -491,7 +519,7 @@ object Snapshot {
     val c = m.statsCol.getOrElse(
       throw new IllegalArgumentException(
         s"version $v of $destDir was published without a stats column"))
-    val files = linesForRange(m.lines, lo, hi).map(f => s"$destDir/$f")
+    val files = linesForRange(m, lo, hi).map(f => s"$destDir/$f")
     if (files.isEmpty)
       readSnapshot(spark, destDir, v).limit(0)
     else readWithSchema(spark, m.schema, files)
@@ -527,16 +555,36 @@ object Snapshot {
       tag = tag, statsColsMulti = Seq(aCol, bCol))
   }
 
+  /** Re-cluster the latest version Z-ordered: appends land UNCLUSTERED
+    * (their files' bounding boxes span whatever the batch carried), so
+    * a stream-fed Z table's box-skipping decays — this is the periodic
+    * maintenance that restores it (Delta's OPTIMIZE ZORDER BY run, as
+    * opposed to the initial clustered write). Full rewrite by
+    * definition (re-clustering moves every row); the previous version
+    * still time-travels, vacuum reclaims it. Returns the new version. */
+  def rezorderSnapshot(spark: org.apache.spark.sql.SparkSession,
+                       destDir: String, aCol: String, bCol: String,
+                       bits: Int, nFiles: Int,
+                       tag: Option[String] = None): Int = {
+    val v = latestVersion(spark, destDir)
+    require(v >= 1,
+      s"rezorderSnapshot needs an existing version under $destDir")
+    publishSnapshotZOrdered(readSnapshot(spark, destDir, v), destDir,
+      aCol, bCol, bits, nFiles, tag)
+  }
+
   /** The files of version `v` whose per-file bounding box overlaps
     * [aLo,aHi] × [bLo,bHi] — driver-side manifest arithmetic over the
     * first TWO stats columns; stats-less lines are kept. */
   def filesForBox(spark: org.apache.spark.sql.SparkSession,
                   destDir: String, v: Int, aLo: Long, aHi: Long,
-                  bLo: Long, bHi: Long): Seq[String] =
-    readManifest(spark, destDir, v).lines
-      .filter(l => lineOverlaps(l, 0, aLo, aHi) &&
-        lineOverlaps(l, 1, bLo, bHi))
+                  bLo: Long, bHi: Long): Seq[String] = {
+    val m = readManifest(spark, destDir, v)
+    m.lines
+      .filter(l => lineOverlaps(l, 0, aLo, aHi, m.bloom.isDefined) &&
+        lineOverlaps(l, 1, bLo, bHi, m.bloom.isDefined))
       .map(linePath)
+  }
 
   /** 2-D box read with per-file bounding-box pruning on both published
     * stats columns + the exact residual filters (overlap is a strict
@@ -550,8 +598,8 @@ object Snapshot {
         s"(has ${m.statsCols.mkString(",")})")
     val Seq(ca, cb) = m.statsCols.take(2)
     val files = m.lines
-      .filter(l => lineOverlaps(l, 0, aLo, aHi) &&
-        lineOverlaps(l, 1, bLo, bHi))
+      .filter(l => lineOverlaps(l, 0, aLo, aHi, m.bloom.isDefined) &&
+        lineOverlaps(l, 1, bLo, bHi, m.bloom.isDefined))
       .map(l => s"$destDir/${linePath(l)}")
     if (files.isEmpty) readSnapshot(spark, destDir, v).limit(0)
     else readWithSchema(spark, m.schema, files)
@@ -592,21 +640,23 @@ object Snapshot {
     * measured 105 s at 800 files in the r10 StateRehearsal, i.e. hours
     * at real manifest sizes.) */
   def publishSnapshotBloom(df: DataFrame, destDir: String, keyCol: String,
-                           mBits: Int = 63 * 64, k: Int = 4): Int = {
+                           mBits: Int = 63 * 64, k: Int = 4): Int =
+    publishSnapshotIndexed(df, destDir, Nil, keyCol, mBits, k)
+
+  /** Per-file bloom words over `keyCol` for every part file under
+    * `dataDir` — ONE distributed pass whatever the file count (the scan
+    * carries input_file_name() and folds masks per (file, word)).
+    * Bounded collect: one row per FILE, ≤⌈mBits/63⌉ words each. A file
+    * with no non-null keys gets the all-zero bitmap: its bloom admits
+    * nothing, and it holds nothing a point lookup could want. */
+  private def perFileBloomWords(spark: org.apache.spark.sql.SparkSession,
+                                dataDir: String, keyCol: String,
+                                mBits: Int, k: Int): Map[String, String] = {
     import org.apache.hadoop.fs.Path
-    val spark = df.sparkSession
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = new Path(destDir).getFileSystem(conf)
-    val prev = latestVersion(spark, destDir)
-    // same claim-first discipline as commitVersion: data is written only
-    // into a directory this publisher exclusively owns
-    val v = claimVersion(fs, destDir, prev + 1)
-    val dataDir = new Path(s"$destDir/data/v$v")
-    df.write.mode("overwrite").parquet(dataDir.toString)
     val nWords = (mBits + Sketches.BloomWordBits - 1) / Sketches.BloomWordBits
     val pos = array((0 until k).map(j =>
       Sketches.bloomBit(col(keyCol), j, mBits)): _*)
-    val perFileRows = spark.read.parquet(dataDir.toString)
+    val perFileRows = spark.read.parquet(dataDir)
       .select(input_file_name().as("__file"), col(keyCol))
       .filter(col(keyCol).isNotNull)
       .select(col("__file"), explode(pos).as("p"))
@@ -617,35 +667,75 @@ object Snapshot {
       .groupBy("__file", "word").agg(bit_or(col("mask")).as("bits"))
       .groupBy("__file")
       .agg(collect_list(struct(col("word"), col("bits"))).as("ws"))
-      .collect() // bounded: one row per FILE, ≤⌈mBits/63⌉ words each
-    val perFile: Map[String, Array[Long]] = perFileRows.map { r =>
+      .collect()
+    perFileRows.map { r =>
       val arr = new Array[Long](nWords)
       r.getSeq[org.apache.spark.sql.Row](1)
         .foreach(w => arr(w.getLong(0).toInt) = w.getLong(1))
-      new Path(r.getString(0)).getName -> arr
+      new Path(r.getString(0)).getName -> arr.mkString(",")
     }.toMap
-    val empty = new Array[Long](nWords)
+  }
+
+  /** Publish with EVERY skip index at once: range stats over
+    * `statsCols` (possibly empty, possibly the Z-order pair) AND a
+    * per-file bloom over `bloomCol` — lines are
+    * `path\trows\tmn\tmx[…]\t<words>` under both headers, so one table
+    * serves range reads, 2-D box reads, and point lookups. (With
+    * `statsCols` empty this IS [[publishSnapshotBloom]].) Cost on top
+    * of the data write: one distributed bloom pass + parallel footer
+    * reads — both metadata-sized. Appends/merges over an indexed base
+    * strip carried index text (the bloom header doesn't survive
+    * [[commitVersion]]); re-publish through this entry to restore. */
+  def publishSnapshotIndexed(df: DataFrame, destDir: String,
+                             statsCols: Seq[String], bloomCol: String,
+                             mBits: Int = 63 * 64, k: Int = 4,
+                             tag: Option[String] = None): Int = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(destDir).getFileSystem(conf)
+    val prev = latestVersion(spark, destDir)
+    // same claim-first discipline as commitVersion: data is written only
+    // into a directory this publisher exclusively owns
+    val v = claimVersion(fs, destDir, prev + 1)
+    val dataDir = new Path(s"$destDir/data/v$v")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val words = perFileBloomWords(spark, dataDir.toString, bloomCol,
+      mBits, k)
+    val nWords = (mBits + Sketches.BloomWordBits - 1) / Sketches.BloomWordBits
+    val empty = Array.fill(nWords)(0L).mkString(",")
+    import scala.collection.parallel.CollectionConverters._
     val lines = fs.listStatus(dataDir)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .map(_.getPath).sortBy(_.getName)
+      .map(_.getPath).sortBy(_.getName).par
       .map { p =>
-        // a file with no non-null keys gets the all-zero bitmap: its
-        // bloom admits nothing, and it holds nothing a point lookup
-        // could want
-        val words = perFile.getOrElse(p.getName, empty)
-        s"data/v$v/${p.getName}\t${words.mkString(",")}"
-      }.toSeq
-    val manifestDir = new Path(s"$destDir/manifest")
-    fs.mkdirs(manifestDir)
-    val tmp = new Path(s"$destDir/manifest/.tmp_v$v")
-    val out = fs.create(tmp, true)
-    out.write((s"#bloom=$keyCol,$mBits,$k" +: lines).mkString("\n")
-      .getBytes("UTF-8"))
-    out.close()
-    if (!fs.rename(tmp, new Path(s"$destDir/manifest/v$v.txt")))
-      throw new IllegalStateException(
-        s"snapshot version v$v of $destDir already committed by a " +
-          "concurrent publisher; this publish's data files are orphans")
+        val rel = s"data/v$v/${p.getName}"
+        val w = words.getOrElse(p.getName, empty)
+        val statsTxt =
+          if (statsCols.isEmpty) None
+          else {
+            val (rows, mm) = footerStats(conf, p, statsCols)
+            // any column without usable stats ⇒ no stats text at all:
+            // the line grammar is positional, and lineOverlaps's length
+            // arithmetic keeps a (path, words)-only line conservative
+            if (mm.exists { case (mn, mx) => mn > mx }) None
+            else Some(s"$rows\t" +
+              mm.map { case (mn, mx) => s"$mn\t$mx" }.mkString("\t"))
+          }
+        statsTxt match {
+          case Some(st) => s"$rel\t$st\t$w"
+          case None => s"$rel\t$w"
+        }
+      }.seq.toSeq
+    val schemaHeader =
+      s"#schema=${org.apache.spark.sql.types.StructType(
+        df.schema.fields.map(_.copy(nullable = true))).json}"
+    val header = schemaHeader +:
+      ((if (statsCols.isEmpty) Seq.empty
+        else Seq(s"#stats=${statsCols.mkString(",")}")) ++
+        Seq(s"#bloom=$bloomCol,$mBits,$k") ++
+        tag.map(t => s"#tag=$t").toSeq)
+    commitManifest(fs, destDir, v, header ++ lines)
     v
   }
 
@@ -664,15 +754,21 @@ object Snapshot {
                   destDir: String, v: Int, key: String): Seq[String] = {
     val m = readManifest(spark, destDir, v)
     val (_, mBits, k) = bloomParams(m, destDir, v)
+    val nStats = m.statsCols.length
     m.lines.filter { l =>
-      l.split("\t") match {
-        case Array(_, ws) =>
-          val words = ws.split(",").map(_.toLong)
-          (0 until k).forall { j =>
-            val p = bloomBitScala(key, j, mBits)
-            (words(p / 63) & (1L << (p % 63))) != 0
-          }
-        case _ => true
+      val f = l.split("\t")
+      // words ride the LAST field: `path\twords` (no stats for this
+      // file) or `path\trows\tmn\tmx[…]\twords` (combined index); any
+      // other shape is kept — skipping must never lose rows
+      val hasWords = f.length == 2 ||
+        (nStats > 0 && f.length == 3 + 2 * nStats)
+      if (!hasWords) true
+      else {
+        val words = f.last.split(",").map(_.toLong)
+        (0 until k).forall { j =>
+          val p = bloomBitScala(key, j, mBits)
+          (words(p / 63) & (1L << (p % 63))) != 0
+        }
       }
     }.map(linePath)
   }

@@ -173,6 +173,65 @@ class SnapshotTravelSpec extends SparkSpec {
     assert(Snapshot.filesForBox(spark, dest, 2, 10, 20, 10, 20).size < 16)
   }
 
+  test("indexed publish: range stats AND bloom skip on one version") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-tti").toString
+    val df = (0L until 400L).map(kk => (kk, s"name_$kk")).toDF("k", "name")
+      .repartitionByRange(8, col("k"))
+    Snapshot.publishSnapshotIndexed(df, dest, Seq("k"), "name")
+    // range side prunes and stays exact
+    assert(Snapshot.filesForRange(spark, dest, 1, 100, 149).size < 8)
+    assert(rows(Snapshot.readSnapshotRange(spark, dest, 1, 100, 149)
+      .orderBy("k")).map(_.head) === (100L to 149L))
+    // bloom side prunes and stays exact, on the SAME version
+    val hits = Snapshot.filesForKey(spark, dest, 1, "name_123")
+    assert(hits.nonEmpty && hits.size < 8, s"got ${hits.size} of 8")
+    assert(rows(Snapshot.readSnapshotPoint(spark, dest, 1, "name_123")) ===
+      Seq(Seq(123L, "name_123")))
+    assert(Snapshot.readSnapshotPoint(spark, dest, 1, "nope").count() == 0)
+    // an append keeps the carried STATS (words dropped with the lost
+    // bloom header); content exact, range skipping still live
+    Snapshot.appendSnapshot(Seq((900L, "name_900")).toDF("k", "name"), dest)
+    assert(Snapshot.readSnapshot(spark, dest, 2).count() == 401)
+    assert(Snapshot.filesForRange(spark, dest, 2, 100, 149).size < 9)
+    assert(rows(Snapshot.readSnapshotRange(spark, dest, 2, 890, 910)) ===
+      Seq(Seq(900L, "name_900")))
+    // the bloom header did not survive — point reads refuse loudly
+    intercept[IllegalArgumentException] {
+      Snapshot.readSnapshotPoint(spark, dest, 2, "name_123")
+    }
+    ()
+  }
+
+  test("append with no statsCol INHERITS the base's skipping stats") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-ttih").toString
+    Snapshot.publishSnapshot((0L until 400L).map(kk => (kk, s"n$kk"))
+      .toDF("k", "v").repartitionByRange(8, col("k")), dest,
+      statsCol = Some("k"))
+    Snapshot.appendSnapshot(Seq((900L, "x")).toDF("k", "v"), dest)
+    // v2 still prunes on k — the append didn't silently drop the stats
+    assert(Snapshot.filesForRange(spark, dest, 2, 100, 149).size < 9)
+    assert(rows(Snapshot.readSnapshotRange(spark, dest, 2, 890, 910)) ===
+      Seq(Seq(900L, "x")))
+  }
+
+  test("rezorderSnapshot restores box skipping after unclustered appends") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-ttrz").toString
+    val grid = spark.range(4096).select((col("id") % 64).as("x"),
+      (col("id") / 64).cast("long").as("y"), col("id").as("payload"))
+    Snapshot.publishSnapshotZOrdered(grid, dest, "x", "y", 6, 16)
+    // an unclustered append: one file spanning the whole plane
+    Snapshot.appendSnapshot(
+      Seq((1L, 1L, 9001L), (62L, 62L, 9002L), (15L, 50L, 9003L))
+        .toDF("x", "y", "payload").coalesce(1), dest)
+    val before = rows(Snapshot.readSnapshotBox(spark, dest, 2,
+      10, 20, 10, 20).orderBy("payload"))
+    val v3 = Snapshot.rezorderSnapshot(spark, dest, "x", "y", 6, 16)
+    assert(rows(Snapshot.readSnapshotBox(spark, dest, v3,
+      10, 20, 10, 20).orderBy("payload")) === before)
+    assert(Snapshot.filesForBox(spark, dest, v3, 10, 20, 10, 20).size <= 8)
+    assert(Snapshot.readSnapshot(spark, dest, v3).count() == 4099)
+  }
+
   test("changedBetween reads exactly the appended files' rows") {
     val dest = java.nio.file.Files.createTempDirectory("graft-ttd").toString
     Snapshot.publishSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dest)
