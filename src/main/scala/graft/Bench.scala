@@ -96,7 +96,19 @@ object Bench {
       "q_quality", "q_report", "q_route", "q_sessions", "q_simhash",
       "q_stream", "q_tokens", "q_upsert", "q_validate", "q_windows")
     val compact = results.filter { case (k, _) => baselineSubset.contains(k) }
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n":${results.size},"nerr":${errors.size},"queries":${qjson(compact, 3)},"full":"$fullRef","sf":"$sfDir"}""")
+    val compactLine = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n":${results.size},"nerr":${errors.size},"queries":${qjson(compact, 3)},"full":"$fullRef","sf":"$sfDir"}"""
+    // the compact line ALSO lands on disk as a stable committed
+    // artifact: stdout passes through sbt (whose logger prefixes and
+    // trailing [success] banner have broken the harness's tail parse
+    // in past rounds — BENCH_r08..r10 record `parsed: null`), and a
+    // file survives whatever the log pipeline does to the line
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_COMPACT.json"),
+        (compactLine + "\n").getBytes("UTF-8"))
+      catch { case _: Exception => () }
+    }
+    println(compactLine)
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")

@@ -1086,6 +1086,231 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------- Q-langid2
+  // Learned language ID (Classify.trainHashedVotes): hashed char-
+  // trigram multi-class Naive Bayes in the fastText shape — the
+  // upgrade path from q_langid's fixed-stopword heuristic (3 European
+  // languages by function words) to a trained 5-class model that also
+  // separates non-Latin scripts. The synthetic documents table's lang
+  // labels are INDEPENDENT of its text (measured: a trained classifier
+  // tops out at the prior, q_classify's 0.42 held-out), so the model
+  // trains and evaluates on a SEEDED MULTILINGUAL FIXTURE — 20
+  // everyday sentences per language, authored for this corpus — with
+  // rows fid % 5 = 0 held out. The gate scores the held-out rows.
+  // Each of the 2048 hash buckets collapses at train time to its
+  // argmax class by exact cross-multiplied smoothed likelihood, so the
+  // model is an int array and the ORACLE retrains it from scratch in
+  // SQL (from the same VALUES fixture) and replays every vote
+  // bit-for-bit. Held-out accuracy vs the stopword heuristic is
+  // tabled in BASELINE.md (Round-11).
+  private val Lid2Langs = Seq("de", "en", "es", "fr", "zh")
+  private val Lid2B = 2048
+
+  private lazy val Lid2Fixture: Seq[(Long, String, String)] = {
+    val de = Seq(
+      "Der Zug kommt heute wieder zu spät am Bahnhof an.",
+      "Ich möchte morgen früh frische Brötchen beim Bäcker kaufen.",
+      "Das Wetter wird am Wochenende sonnig und warm.",
+      "Wir haben gestern einen langen Spaziergang im Wald gemacht.",
+      "Können Sie mir bitte sagen, wie ich zum Rathaus komme?",
+      "Die Kinder spielen nachmittags gern im Garten hinter dem Haus.",
+      "Mein Bruder arbeitet seit drei Jahren in einer kleinen Werkstatt.",
+      "Am Abend lesen wir oft Bücher oder hören Musik.",
+      "Die Straßenbahn fährt alle zehn Minuten in die Innenstadt.",
+      "Im Winter schneit es hier ziemlich häufig und stark.",
+      "Sie hat ihre Schlüssel schon wieder zu Hause vergessen.",
+      "Das Essen in diesem Gasthaus schmeckt wirklich ausgezeichnet.",
+      "Wir treffen uns um halb acht vor dem Kino.",
+      "Der Lehrer erklärt die Aufgabe noch einmal ganz langsam.",
+      "Ohne Fahrkarte darf man nicht mit dem Bus fahren.",
+      "Die Katze schläft den ganzen Tag auf dem Sofa.",
+      "Nächste Woche beginnen endlich die großen Sommerferien.",
+      "Er trinkt jeden Morgen eine Tasse schwarzen Kaffee.",
+      "Bitte schließen Sie das Fenster, es zieht furchtbar.",
+      "Unsere Nachbarn haben sich ein neues Auto gekauft.")
+    val en = Seq(
+      "The train arrived at the station a few minutes late this morning.",
+      "She enjoys reading long novels during the quiet winter evenings.",
+      "Could you please tell me the way to the nearest post office?",
+      "The children were playing football in the park after school.",
+      "We usually have dinner together around seven in the evening.",
+      "My brother has been working at the same company for ten years.",
+      "The weather forecast says it will rain heavily tomorrow afternoon.",
+      "I forgot my umbrella at home again this morning.",
+      "They are planning a long holiday by the seaside next summer.",
+      "The old library near the market square closes early on Fridays.",
+      "He drinks a cup of strong black coffee every morning.",
+      "Please close the window, it is getting quite cold in here.",
+      "Our neighbours have just bought a brand new car.",
+      "The teacher explained the difficult lesson once more very slowly.",
+      "You are not allowed to ride the bus without a ticket.",
+      "The cat sleeps on the sofa for most of the day.",
+      "The summer holidays finally begin at the end of next week.",
+      "We met in front of the cinema at half past seven.",
+      "The food at this little restaurant tastes really wonderful.",
+      "I would like to buy some fresh bread from the bakery.")
+    val es = Seq(
+      "El tren llegó esta mañana con varios minutos de retraso.",
+      "A ella le gusta leer novelas largas durante el invierno.",
+      "¿Puede decirme por favor dónde está la oficina de correos?",
+      "Los niños jugaban al fútbol en el parque después de clase.",
+      "Normalmente cenamos juntos a las siete de la tarde.",
+      "Mi hermano trabaja en la misma empresa desde hace diez años.",
+      "El pronóstico dice que mañana lloverá con mucha fuerza.",
+      "Esta mañana he olvidado otra vez el paraguas en casa.",
+      "Están planeando unas largas vacaciones junto al mar.",
+      "La vieja biblioteca cerca de la plaza cierra temprano los viernes.",
+      "Él bebe una taza de café solo todas las mañanas.",
+      "Por favor cierra la ventana, hace bastante frío aquí dentro.",
+      "Nuestros vecinos acaban de comprar un coche completamente nuevo.",
+      "La profesora explicó la lección difícil otra vez muy despacio.",
+      "No se puede subir al autobús sin billete.",
+      "El gato duerme en el sofá casi todo el día.",
+      "Las vacaciones de verano empiezan por fin la próxima semana.",
+      "Nos encontramos delante del cine a las siete y media.",
+      "La comida de este pequeño restaurante sabe realmente deliciosa.",
+      "Me gustaría comprar pan fresco en la panadería.")
+    val fr = Seq(
+      "Le train est arrivé en retard à la gare ce matin.",
+      "Elle aime lire de longs romans pendant les soirées d'hiver.",
+      "Pouvez-vous m'indiquer le chemin du bureau de poste le plus proche ?",
+      "Les enfants jouaient au football dans le parc après l'école.",
+      "Nous dînons généralement ensemble vers sept heures du soir.",
+      "Mon frère travaille dans la même entreprise depuis dix ans.",
+      "La météo annonce de fortes pluies pour demain après-midi.",
+      "J'ai encore oublié mon parapluie à la maison ce matin.",
+      "Ils préparent de longues vacances au bord de la mer.",
+      "La vieille bibliothèque près de la place ferme tôt le vendredi.",
+      "Il boit une tasse de café noir chaque matin.",
+      "Fermez la fenêtre s'il vous plaît, il fait froid ici.",
+      "Nos voisins viennent d'acheter une voiture toute neuve.",
+      "Le professeur a expliqué la leçon difficile encore une fois lentement.",
+      "On ne peut pas monter dans le bus sans ticket.",
+      "Le chat dort sur le canapé presque toute la journée.",
+      "Les grandes vacances commencent enfin à la fin de la semaine.",
+      "Nous nous sommes retrouvés devant le cinéma à sept heures et demie.",
+      "La cuisine de ce petit restaurant est vraiment délicieuse.",
+      "Je voudrais acheter du pain frais à la boulangerie.")
+    val zh = Seq(
+      "今天早上火车到站的时候又晚点了几分钟。",
+      "她喜欢在安静的冬夜里读很长的小说。",
+      "请问去最近的邮局应该怎么走?",
+      "孩子们放学后在公园里踢足球。",
+      "我们通常晚上七点左右一起吃晚饭。",
+      "我哥哥在同一家公司工作了十年。",
+      "天气预报说明天下午会下大雨。",
+      "今天早上我又把雨伞忘在家里了。",
+      "他们正在计划明年夏天去海边度假。",
+      "市场广场旁边的老图书馆星期五关门很早。",
+      "他每天早上喝一杯浓浓的黑咖啡。",
+      "请把窗户关上,这里有点冷。",
+      "我们的邻居刚刚买了一辆新车。",
+      "老师把难懂的课文又慢慢讲了一遍。",
+      "没有车票不可以上公共汽车。",
+      "猫几乎整天都睡在沙发上。",
+      "暑假终于在下个星期开始了。",
+      "我们七点半在电影院门口见面。",
+      "这家小餐馆的菜味道真的很好。",
+      "我想去面包店买一些新鲜的面包。")
+    (de.map("de" -> _) ++ en.map("en" -> _) ++ es.map("es" -> _) ++
+      fr.map("fr" -> _) ++ zh.map("zh" -> _)).zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, l, t) }
+  }
+
+  def langId2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fix = Lid2Fixture.toDF("fid", "lang", "text")
+    // 1+2+3-grams (the fastText multi-n trick): unigrams carry script
+    // identity (one CJK character is decisive), bigrams carry
+    // accent/digraph patterns, trigrams the finer morphology. Scoring
+    // is the fixed-point NB LOG-LIKELIHOOD sum (trainHashedNbWeights)
+    // — hard per-bucket votes measured 0.70 (trigrams) / 0.85 (1+2+3)
+    // held-out because closely-related languages (fr/es) differ by
+    // margins, not winners; the integral log-score keeps the margin
+    // and is the tabled config (BASELINE.md Round-11).
+    val t = lower(col("text"))
+    val grams = concat(charNgrams(t, 1), charNgrams(t, 2), charNgrams(t, 3))
+    val weights = Classify.trainHashedNbWeights(
+      fix.filter(col("fid") % 5 =!= 0), grams, col("lang"),
+      Lid2Langs, Lid2B)
+    Classify.hashedNbScores(fix.filter(col("fid") % 5 === 0), "fid",
+        grams, weights, Lid2Langs, Lid2B)
+      .orderBy("fid")
+  }
+
+  private lazy val langId2Sql = {
+    val B = Lid2B
+    val values = Lid2Fixture.map { case (i, l, t) =>
+      s"($i, '$l', '${t.replace("'", "''")}')"
+    }.mkString(",\n  ")
+    val cntCols = Lid2Langs.map(l =>
+      s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS c_$l")
+      .mkString(",\n            ")
+    val totCols = Lid2Langs.map(l =>
+      s"CAST(sum(c_$l) AS BIGINT) AS n_$l").mkString(", ")
+    // fixed-point NB weight, replayed integrally: x = max(1,
+    // (c+1)·2²⁰ ÷ (n+B)) by integer division, weight = floor(log2(x³))
+    // via the BIT LENGTH of x³ — no floating log anywhere
+    def xCols(cOf: String => String) = Lid2Langs.map(l =>
+      s"greatest((${cOf(l)} + 1) * 1048576 // (n_$l + $B), 1) AS x_$l")
+      .mkString(",\n           ")
+    val wCols = Lid2Langs.map(l =>
+      s"CAST(length(bin(x_$l * x_$l * x_$l)) - 1 AS BIGINT) AS w_$l")
+      .mkString(",\n           ")
+    val dCols = Lid2Langs.map(l =>
+      s"CAST(length(bin(x_$l * x_$l * x_$l)) - 1 AS BIGINT) AS d_$l")
+      .mkString(",\n           ")
+    val scoreCols = Lid2Langs.map(l =>
+      s"CAST(sum(coalesce(w_$l, (SELECT d_$l FROM defs))) AS BIGINT) AS score_$l")
+      .mkString(",\n          ")
+    val pred = Lid2Langs.init.zipWithIndex.map { case (c, i) =>
+      val conds = Lid2Langs.drop(i + 1)
+        .map(o => s"score_$c >= score_$o")
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$c'"
+    }.mkString("CASE ", "\n            ", s" ELSE '${Lid2Langs.last}' END")
+    def sqlGrams(n: Int) =
+      s"""CASE WHEN length(lower(text)) < $n THEN [lower(text)]
+         |         ELSE list_transform(
+         |           generate_series(1, length(lower(text)) - ${n - 1}),
+         |           i -> substr(lower(text), CAST(i AS INT), $n)) END""".stripMargin
+    s"""WITH fx(fid, lang, text) AS (VALUES
+       |  $values),
+       |g AS (
+       |  SELECT fid, lang, unnest(${sqlGrams(1)}) AS gr FROM fx
+       |  UNION ALL
+       |  SELECT fid, lang, unnest(${sqlGrams(2)}) AS gr FROM fx
+       |  UNION ALL
+       |  SELECT fid, lang, unnest(${sqlGrams(3)}) AS gr FROM fx),
+       |bk AS (SELECT fid, lang, ${sqlSh32("gr")} % $B AS b FROM g),
+       |cnt AS (SELECT b,
+       |            $cntCols
+       |        FROM bk WHERE fid % 5 != 0 GROUP BY b),
+       |tot AS (SELECT $totCols FROM cnt),
+       |xb AS (SELECT b,
+       |           ${xCols(l => s"c_$l")}
+       |       FROM cnt, tot),
+       |wb AS (SELECT b,
+       |           $wCols
+       |       FROM xb),
+       |xd AS (SELECT
+       |           ${xCols(_ => "0")}
+       |       FROM tot),
+       |defs AS (SELECT
+       |           $dCols
+       |         FROM xd),
+       |v AS (SELECT bk.fid, ${Lid2Langs.map(l => s"wb.w_$l").mkString(", ")}
+       |      FROM bk LEFT JOIN wb USING (b)
+       |      WHERE bk.fid % 5 = 0),
+       |agg AS (SELECT fid,
+       |          $scoreCols
+       |        FROM v GROUP BY fid)
+       |SELECT fid, ${Lid2Langs.map(l => s"score_$l").mkString(", ")},
+       |       $pred AS lang_pred
+       |FROM agg
+       |ORDER BY fid""".stripMargin
+  }
+
   // ------------------------------------------------------- Q-fingerprint
   // Rolling polynomial hash over token hashes (document fingerprint).
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
@@ -5056,6 +5281,163 @@ object Queries {
     s.sql(Tpch19Sql)
   }
 
+  // ------------------------------------------ Q-tpch1/3/6/9/10/14
+  // The remaining six of the public 22, completing the suite (the
+  // other 16 landed in earlier rounds). Adapted to this corpus's
+  // narrower schema the same way as the rest: no partsupp table (Q9's
+  // supply cost proxies as p_retailprice·quantity — the 6-relation
+  // join + year() rollup it exists to exercise is intact), no
+  // o_shippriority (Q3 carries o_orderpriority), p_type is a single
+  // word (Q14's PROMO% prefix becomes equality). All money math is
+  // division-free fixed-point (cents · percent units) so Spark and
+  // DuckDB stay bit-identical: Q1's averages are returned as the
+  // (sum, count) pairs they derive from, Q14's percentage as its two
+  // sums. Top-k rows (Q3/Q10) append the group key as the final sort
+  // tiebreak so LIMIT is deterministic across engines. Planner
+  // surface per query, asserted in SqlSurfaceSpec:
+  //   - q_tpch1: the canonical wide partial-agg scan — one scan, six
+  //     aggregates, hash partial+final, no join at all.
+  //   - q_tpch3: 3-relation join funnel into a grouped TopK — the
+  //     ORDER BY agg LIMIT shape (TakeOrderedAndProject over the
+  //     final aggregate).
+  //   - q_tpch6: pure scan-side conjunctive filter into an ungrouped
+  //     agg — every predicate must reach the parquet scan.
+  //   - q_tpch9: 5-relation star join (largest equi-join chain on the
+  //     SQL face) with a year() derived grouping key.
+  //   - q_tpch10: join funnel + group-by-many-columns TopK 20.
+  //   - q_tpch14: two conditional aggregates over one join — the
+  //     CASE-inside-sum pair shares the scan.
+  private val Tpch1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+      |         AS sum_qty,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |            AS BIGINT) AS sum_base_cents,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |            AS BIGINT) AS sum_disc_c4,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |                * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+      |            AS BIGINT) AS sum_charge_c6,
+      |       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_disc100,
+      |       CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def tpch1Q(s: SparkSession, dir: String): DataFrame = {
+    load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(Tpch1Sql)
+  }
+
+  private val Tpch3Sql =
+    """SELECT l_orderkey,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |            AS BIGINT) AS revenue_c4,
+      |       o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue_c4 DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  def tpch3Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch3Sql)
+  }
+
+  private val Tpch6Sql =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * CAST(round(l_discount * 100) AS BIGINT))
+      |            AS BIGINT) AS revenue_c4,
+      |       CAST(count(*) AS BIGINT) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND round(l_discount * 100) BETWEEN 5 AND 7
+      |  AND l_quantity < 24""".stripMargin
+
+  def tpch6Q(s: SparkSession, dir: String): DataFrame = {
+    load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(Tpch6Sql)
+  }
+
+  private val Tpch9Sql =
+    """SELECT n_name AS nation,
+      |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |                - CAST(round(p_retailprice * 100) AS BIGINT) * 100
+      |                  * CAST(round(l_quantity) AS BIGINT))
+      |            AS BIGINT) AS profit_c4
+      |FROM lineitem
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE p_name LIKE '%bolt%'
+      |GROUP BY n_name, year(o_orderdate)
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  def tpch9Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "supplier", "part", "orders", "nation")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch9Sql)
+  }
+
+  private val Tpch10Sql =
+    """SELECT c_custkey, c_name,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |            AS BIGINT) AS revenue_c4,
+      |       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+      |       n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue_c4 DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  def tpch10Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "nation")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch10Sql)
+  }
+
+  private val Tpch14Sql =
+    """SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+      |                     THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                          * (100 - CAST(round(l_discount * 100)
+      |                                        AS BIGINT))
+      |                     ELSE 0 END) AS BIGINT) AS promo_c4,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |            AS BIGINT) AS total_c4
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'""".stripMargin
+
+  def tpch14Q(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(Tpch14Sql)
+  }
+
   // ----------------------------------------------------------------- Q-jl
   // Johnson–Lindenstrauss signed random projection
   // (Similarity.projectSigned): the ANN PREPROCESSING row — reduce the
@@ -8942,6 +9324,7 @@ object Queries {
     "q_tokens" -> (tokensQ _),
     "q_quality" -> (quality _),
     "q_langid" -> (langId _),
+    "q_langid2" -> (langId2 _),
     "q_fingerprint" -> (fingerprint _),
     "q_json" -> (jsonExtract _),
     "q_kv" -> (keyValue _),
@@ -9072,6 +9455,12 @@ object Queries {
     "q_tpch18" -> (tpch18Q _),
     "q_tpch19" -> (tpch19Q _),
     "q_tpch21" -> (tpch21Q _),
+    "q_tpch1" -> (tpch1Q _),
+    "q_tpch3" -> (tpch3Q _),
+    "q_tpch6" -> (tpch6Q _),
+    "q_tpch9" -> (tpch9Q _),
+    "q_tpch10" -> (tpch10Q _),
+    "q_tpch14" -> (tpch14Q _),
     "q_swindow" -> (sessionWindowQ _),
     "q_jl" -> (jlQ _),
     "q_jlknn" -> (jlKnnQ _),
@@ -9156,6 +9545,7 @@ object Queries {
     "q_tokens" -> tokensSql,
     "q_quality" -> qualitySql,
     "q_langid" -> langIdSql,
+    "q_langid2" -> langId2Sql,
     "q_fingerprint" -> fingerprintSql,
     "q_json" -> jsonSql,
     "q_kv" -> keyValueSql,
@@ -9286,6 +9676,12 @@ object Queries {
     "q_tpch18" -> Tpch18Sql,
     "q_tpch19" -> Tpch19Sql,
     "q_tpch21" -> Tpch21Sql,
+    "q_tpch1" -> Tpch1Sql,
+    "q_tpch3" -> Tpch3Sql,
+    "q_tpch6" -> Tpch6Sql,
+    "q_tpch9" -> Tpch9Sql,
+    "q_tpch10" -> Tpch10Sql,
+    "q_tpch14" -> Tpch14Sql,
     "q_swindow" -> sessionWindowSql,
     "q_jl" -> jlSql,
     "q_jlknn" -> jlKnnSql,

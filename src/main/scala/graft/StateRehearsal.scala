@@ -62,6 +62,7 @@ object StateRehearsal {
       case "snapmerge" => snapmerge(spark, work)
       case "compact" => compact(spark, work)
       case "zorder" => zorder(spark, work)
+      case "manifestscale" => manifestscale(spark, work)
     }
     spark.stop()
   }
@@ -327,8 +328,9 @@ object StateRehearsal {
         "files_carried" -> carried, "files_touched" -> (files - carried))
     }
     // streaming producer commit cost as the table accumulates versions:
-    // appends reference history, but each commit rewrites the manifest
-    // TEXT (O(total files)) — measure early vs late per-batch commit
+    // appends reference history; under the two-level manifest a commit
+    // writes O(versions) reference lines + its own delta — measure
+    // early vs late per-batch commit (the version-count growth axis)
     val destS = s"$work/snapstream_growth"
     val batch = spark.range(10000L)
       .select(col("id").as("k"), lit("p").as("payload")).coalesce(1)
@@ -341,6 +343,70 @@ object StateRehearsal {
     }
     cell("snapstream_growth", "batches" -> 200,
       "early_commit_sec" -> early, "late_commit_sec" -> late)
+  }
+
+  /** The manifest scale frontier: synthesize version state at 1e5 and
+    * 1e6 DATA-FILE LINES — the 100 TB file-count class; no data bytes
+    * are needed because every measured step is manifest arithmetic —
+    * and measure (a) append COMMIT cost, which under the two-level
+    * manifest list never resolves the base's delta manifests and so
+    * must stay FLAT across the 10×, (b) full line resolution
+    * (readManifest + reference expansion), the cost a reader pays once
+    * per scan, and (c) filesForRange skipping arithmetic over the
+    * resolved lines. The flat-manifest design this replaced re-wrote
+    * and re-read the full file list per commit — O(total files) driver
+    * strings; the cells here are the evidence the layering removed
+    * that bound. */
+  private def manifestscale(spark: SparkSession, work: String): Unit = {
+    import graft.operators.Snapshot
+    import org.apache.hadoop.fs.Path
+    val st = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    for (nLines <- Seq(100000, 1000000)) {
+      val dest = s"$work/mscale_$nLines"
+      val fs = new Path(dest).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      fs.mkdirs(new Path(s"$dest/manifest"))
+      def put(rel: String, content: String): Unit = {
+        val out = fs.create(new Path(s"$dest/$rel"), true)
+        out.write(content.getBytes("UTF-8")); out.close()
+      }
+      // synthetic base: nLines stats lines across 100 delta manifests —
+      // the shape a long-lived streaming table converges to after
+      // compaction cycles; claim files burn ids 1..100 so real appends
+      // stage past the synthetic range
+      val nDeltas = 100
+      val perDelta = nLines / nDeltas
+      val entries = (1 to nDeltas).map { d =>
+        val lines = (0 until perDelta).map { i =>
+          val base = (d - 1).toLong * perDelta + i
+          s"data/v$d/part-$i\t1000\t${base * 1000}\t${base * 1000 + 999}"
+        }
+        put(s"manifest/d$d.txt", lines.mkString("\n"))
+        put(s"manifest/.claim_v$d", "")
+        s"@manifest/d$d.txt"
+      }
+      put("manifest/v1.txt",
+        (s"#schema=${st.json}" +: "#stats=k" +: entries).mkString("\n"))
+      val batch = spark.range(100L)
+        .select(col("id").as("k"), lit("x").as("v")).coalesce(1)
+      // warm-up append absorbs parquet-writer init; then 3 timed
+      Snapshot.appendSnapshot(batch, dest)
+      val walls = (1 to 3).map { _ =>
+        time(Snapshot.appendSnapshot(batch, dest))._2
+      }
+      val latest = Snapshot.latestVersion(spark, dest)
+      val (resolved, wRead) = time(Snapshot.manifestLines(spark, dest, latest))
+      val (hits, wRange) = time(Snapshot.filesForRange(spark, dest, latest,
+        5000000L, 5100000L))
+      cell("manifest_scale", "lines" -> nLines,
+        "append_commit_sec" -> walls.sum / 3,
+        "resolve_sec" -> wRead, "resolved_lines" -> resolved.size,
+        "range_sec" -> wRange, "range_hits" -> hits.size)
+    }
   }
 
   /** Fixed 10k-key open set + 2k-row delta; axis is closed-history size. */

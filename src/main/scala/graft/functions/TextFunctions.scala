@@ -19,6 +19,16 @@ object TextFunctions {
   def subtokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
+  /** Overlapping character n-grams (step 1) — the fastText-style
+    * language-ID feature; a text shorter than `n` collapses to one
+    * whole-string gram so no row loses its feature spine. Character
+    * (not byte) indexed, so multi-byte scripts gram identically across
+    * engines. */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) < n, array(text))
+      .otherwise(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+
   /** 32-bit token hash derived from the first 8 hex chars of sha256 —
     * chosen over xxhash64 because any engine (the DuckDB oracle included)
     * reproduces it bit-for-bit. Use [[fastHash]] in paths that don't need

@@ -83,6 +83,83 @@ object Classify {
       .withColumn("pred", col("pos_votes") >= col("neg_votes"))
   }
 
+  /** MULTI-class hashed-feature Naive Bayes, the fastText-style
+    * language identifier (Joulin et al., "Bag of Tricks for Efficient
+    * Text Classification"): features hash into `buckets` slots and the
+    * model is the per-(bucket, class) weight table — fully integral
+    * (gate-replayable): per (bucket, class) weight
+    * w = floor(log2(x³)) with x = max(1, ((c+1)·2²⁰) / (N_c+buckets))
+    * — integer division and a bit-length log, i.e. the smoothed NB
+    * log-likelihood quantized to ⅓ bit. Unlike a hard per-bucket
+    * winner vote, shared features contribute their MARGIN, which is
+    * what separates closely-related languages (fr/es: measured 0.85 →
+    * 1.00 held-out on the langid fixture). x ≤ 2²⁰ so x³ ≤ 2⁶⁰ never
+    * overflows; the x≥1 clamp floors rare-class weights at 0 once
+    * N_c+buckets exceeds (c+1)·2²⁰ (~10⁶ occurrences — at that corpus
+    * scale raise the shift or use [[logScore]]-style doubles outside
+    * the gate). Weights exist for EVERY bucket (the c = 0 smoothing
+    * value included), so scoring is total.
+    *
+    * Scale shape: one explode + one aggregate whose key space is
+    * `buckets` (map-side partial combine collapses the corpus to ≤
+    * buckets rows before the shuffle); the collect is bounded by
+    * `buckets`, and the model broadcasts as literal arrays — scoring
+    * is then a pure scan stage. */
+  def trainHashedNbWeights(train: DataFrame, gramCol: Column,
+                           labelCol: Column, classes: Seq[String],
+                           buckets: Int): Array[Array[Long]] = {
+    val k = classes.length
+    val cnt = train.select(labelCol.as("__y"), explode(gramCol).as("g"))
+      .select(col("__y"),
+        pmod(graft.functions.TextFunctions.shaHash32(col("g")),
+          lit(buckets)).as("b"))
+      .groupBy("b")
+      .agg(sum(when(col("__y") === classes.head, 1L).otherwise(0L))
+          .as(s"c_${classes.head}"),
+        classes.tail.map(c =>
+          sum(when(col("__y") === c, 1L).otherwise(0L)).as(s"c_$c")): _*)
+      .collect() // bounded: ≤ buckets rows of k counts
+    val tot = Array.fill(k)(0L)
+    cnt.foreach(r => (0 until k).foreach(i => tot(i) += r.getLong(i + 1)))
+    def weight(c: Long, i: Int): Long = {
+      val x = math.max(((c + 1L) << 20) / (tot(i) + buckets), 1L)
+      val x3 = x * x * x
+      63L - java.lang.Long.numberOfLeadingZeros(x3)
+    }
+    val w = Array.tabulate(k)(i => Array.fill(buckets)(weight(0L, i)))
+    cnt.foreach { r =>
+      val b = r.getLong(0).toInt
+      (0 until k).foreach(i => w(i)(b) = weight(r.getLong(i + 1), i))
+    }
+    w
+  }
+
+  /** Score with [[trainHashedNbWeights]]: per-class integer
+    * log-likelihood sums + argmax prediction (ties to `classes`
+    * order). The per-class weight tables ride the plan as literal
+    * arrays — a broadcast-weights SCAN stage folding one
+    * `aggregate()` per class over the gram buckets; no join, no
+    * shuffle beyond the caller's own. */
+  def hashedNbScores(docs: DataFrame, idCol: String, gramCol: Column,
+                     weights: Array[Array[Long]], classes: Seq[String],
+                     buckets: Int): DataFrame = {
+    val bks = transform(gramCol, x =>
+      pmod(graft.functions.TextFunctions.shaHash32(x), lit(buckets)))
+    val scored = docs.select(col(idCol) +: classes.zipWithIndex.map {
+      case (c, i) =>
+        val wlit = typedLit(weights(i).toSeq)
+        aggregate(bks, lit(0L), (acc, b) =>
+          acc + element_at(wlit, (b + 1).cast("int"))).as(s"score_$c")
+    }: _*)
+    val pred = classes.init.zipWithIndex.foldLeft(
+        when(lit(false), lit(""))) { case (acc, (c, i)) =>
+      acc.when(classes.drop(i + 1)
+        .map(o => col(s"score_$c") >= col(s"score_$o"))
+        .reduce(_ && _), c)
+    }.otherwise(classes.last)
+    scored.withColumn("lang_pred", pred)
+  }
+
   /** Deployable scoring: the smoothed NB log-odds
     * Σ ln((c⁺+1)/(N⁺+V)) − ln((c⁻+1)/(N⁻+V)) + ln((D⁺+1)/(D⁻+1)).
     * Returns (id, score, pred). Not hash-gated (ln); ClassifySpec pins

@@ -51,24 +51,48 @@ object Snapshot {
 
   // ------------------------------------------------------- time travel
   /** Manifest-based snapshot isolation (Iceberg-lite): every publish
-    * writes IMMUTABLE data files under `dest/data/v<k>/` and an
-    * atomic manifest `dest/manifest/v<k>.txt` listing exactly the
-    * files that version comprises. Readers resolve a version's
-    * manifest and read only its files — so version k stays readable
-    * (bit-identical) forever, regardless of later publishes, and a
-    * reader never sees a half-written version (the manifest appears
-    * via rename, after every data file it names is complete). This is
-    * the mechanism behind time travel, reproducible training-data
-    * snapshots ("the exact corpus run X trained on"), and safe
-    * concurrent publish-while-read.
+    * writes IMMUTABLE data files under an exclusively-claimed staging
+    * dir `dest/data/v<id>/`, records them in an immutable DELTA
+    * manifest `dest/manifest/d<id>.txt`, and commits by publishing a
+    * VERSION manifest `dest/manifest/v<k>.txt` — a manifest LIST whose
+    * entries are one-line references to delta manifests (plus inline
+    * lines where a transform materialized them). Readers resolve a
+    * version's manifest and read only its files — so version k stays
+    * readable (bit-identical) forever, regardless of later publishes,
+    * and a reader never sees a half-written version (the version file
+    * appears via rename, after every data file and delta manifest it
+    * references is complete). This is the mechanism behind time
+    * travel, reproducible training-data snapshots ("the exact corpus
+    * run X trained on"), and safe concurrent publish-while-read.
+    *
+    * Two-level manifests are what keep COMMITS metadata-sized at
+    * 100 TB: an append writes its own delta lines plus a version file
+    * of O(versions) reference lines — never O(total files). A
+    * million-file table's append commit re-writes a few KB; the flat
+    * single-file design this replaced re-wrote the full file list
+    * every commit (multi-hundred-MB driver strings at that scale).
+    *
+    * Concurrency: version numbers are assigned at COMMIT by an
+    * optimistic CAS — build against the current latest version, then
+    * check-and-rename into slot latest+1 under a per-destination lock
+    * (atomic within the owning driver JVM; on stores whose rename
+    * refuses an existing destination, e.g. HDFS, the rename itself
+    * also guards cross-driver races). A publisher that loses the race
+    * rebuilds against the fresh base and retries, so a carry-forward
+    * commit can never silently omit a concurrent winner's delta;
+    * base-DEPENDENT publishes (merge/compact) instead abort with
+    * [[ConcurrentSnapshotUpdate]], because their joins ran against the
+    * stale base. Committed version numbers are therefore contiguous;
+    * staging ids may skip (crashed publishes leave orphan staging that
+    * [[vacuumOrphans]] reclaims).
     *
     * [[appendSnapshot]] is where the layout earns its keep at 100 TB:
-    * the new manifest lists the PREVIOUS version's files plus the new
-    * delta's — appending a day's data to a petabyte table rewrites
-    * nothing and the manifest grows by one line per new file. (Full
-    * rewrites stay available via [[publishSnapshot]]; bucket-level
-    * REPLACEMENT composes with the upsertExactlyOnce bucket layout —
-    * deliberately not duplicated here.) */
+    * the new version references the PREVIOUS version's delta manifests
+    * plus the new delta's — appending a day's data to a petabyte table
+    * rewrites nothing. (Full rewrites stay available via
+    * [[publishSnapshot]]; bucket-level REPLACEMENT composes with the
+    * upsertExactlyOnce bucket layout — deliberately not duplicated
+    * here.) */
   def publishSnapshot(df: DataFrame, destDir: String,
                       statsCol: Option[String] = None,
                       tag: Option[String] = None): Int =
@@ -94,9 +118,12 @@ object Snapshot {
     *   2. touched files are re-read (under the version's schema),
     *      matching keys anti-joined out, and the survivors + all
     *      update rows written as the new version's delta;
-    *   3. the manifest = untouched lines (stats text preserved) + new
-    *      files; the rename commit gives the same crash-invisibility
-    *      and lost-race surfacing as every other publish.
+    *   3. the manifest = untouched entries (delta-manifest references
+    *      carried whole where possible, stats text preserved) + new
+    *      files; the CAS commit gives the same crash-invisibility as
+    *      every publish, and a base that advanced underneath the merge
+    *      aborts with [[ConcurrentSnapshotUpdate]] (the joins ran
+    *      against stale files) — retry against the new latest.
     * Update semantics are whole-row replace (delete-matching +
     * insert-all); rows with keys absent from the base are inserts.
     * `statsCol` defaults to the previous version's, so skipping stats
@@ -152,8 +179,15 @@ object Snapshot {
           col(keyCol))
         .join(keys, Seq(keyCol), "left_semi")
         .select("__f").distinct().collect().map(_.getString(0)).toSet
-    val untouchedLines =
-      lines.filterNot(l => touched(lastTwo(linePath(l))))
+    // group-granular carry: a delta manifest NONE of whose files were
+    // touched is carried as its one-line reference (the common case on
+    // a big table — merges touch few files, so the new version file
+    // stays O(versions + touched), never O(total files)); a partially-
+    // touched group inlines only its untouched lines
+    val untouchedEntries = prevManifest.groups.flatMap { g =>
+      if (g.lines.forall(l => !touched(lastTwo(linePath(l))))) Seq(g.entry)
+      else g.lines.filterNot(l => touched(lastTwo(linePath(l))))
+    }
     val touchedPaths = relPaths.filter(p => touched(lastTwo(p)))
     val survivors =
       if (touchedPaths.isEmpty)
@@ -185,8 +219,12 @@ object Snapshot {
     }
     commitVersion(delta, destDir, carryForward = true,
       statsCol = None,
-      carriedOverride = Some(untouchedLines),
+      carriedOverride = Some(untouchedEntries),
       prevManifestOpt = Some(prevManifest),
+      // the anti-joins above ran against v`prev`'s files: if another
+      // version commits first, this result is stale — commitVersion
+      // aborts with ConcurrentSnapshotUpdate instead of losing it
+      baseVersion = Some(prev),
       // inherit the base's FULL stats list (a Z-ordered base keeps both
       // columns' skipping through merges) unless the caller restates
       statsColsMulti = statsCol.map(Seq(_))
@@ -231,33 +269,55 @@ object Snapshot {
     } finally reader.close()
   }
 
-  /** Atomically claim the next version number: exclusive-create of
-    * `manifest/.claim_v<k>` (atomic on HDFS; create-no-overwrite). Two
-    * concurrent publishers can both compute prev+1, but only one wins
-    * the claim — the loser moves to the next number BEFORE writing any
-    * data, so a lost race can never clobber the winner's committed
-    * `data/v<k>` files (the mode("overwrite") write happens only into a
-    * directory this publisher exclusively owns). A crashed publish
-    * leaves a stale claim: that number is permanently skipped (a
-    * version GAP, which every reader/vacuum path already tolerates) —
-    * claims are never deleted for committed versions, else a zombie
-    * publisher holding the old number could re-claim it and overwrite
-    * committed data. */
-  private def claimVersion(fs: org.apache.hadoop.fs.FileSystem,
-                           destDir: String, from: Int): Int = {
+  /** Thrown when a base-dependent publish (merge, compact) loses a
+    * commit race: another version committed between reading the base
+    * and this commit, so the computed carry-forward would silently
+    * omit the winner's delta. The operation made NO visible change
+    * (its staged data dir was cleaned up); retry it against the new
+    * latest version. */
+  final class ConcurrentSnapshotUpdate(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Per-destination commit locks: the check-then-rename in
+    * [[tryCommitManifest]] is atomic within this driver JVM — the
+    * engine's publish model is one driver per table, so this is the
+    * serialization point for racing writers (threads, streams,
+    * maintenance) of that driver. Across SEPARATE drivers the rename
+    * itself is the guard on stores whose rename fails when the
+    * destination exists (HDFS); raw local filesystems overwrite on
+    * rename, so cross-PROCESS publishing to a local path is outside
+    * the protocol's guarantees (documented, not silently wrong). */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Atomically claim a STAGING id: exclusive-create of
+    * `manifest/.claim_v<k>` (create-no-overwrite — atomic). The id
+    * names this publisher's private `data/v<k>` directory, delta
+    * manifest `manifest/d<k>.txt` and manifest temp file, so no two
+    * publishers ever write the same path. Claims are NEVER deleted:
+    * a zombie publisher that wakes holding an old id must still own
+    * its directory exclusively, which only holds if the id can never
+    * be re-issued. A crashed publish leaves a stale claim + orphan
+    * staging ([[vacuumOrphans]] reclaims the data; the claim file
+    * itself is bytes-sized and stays). Manifest VERSION numbers are
+    * assigned separately at commit time ([[tryCommitManifest]]) and
+    * stay contiguous — staging ids and version numbers coincide only
+    * in the crash-free single-writer case. */
+  private def claimStagingId(fs: org.apache.hadoop.fs.FileSystem,
+                             destDir: String, from: Int): Int = {
     import org.apache.hadoop.fs.Path
     fs.mkdirs(new Path(s"$destDir/manifest"))
-    var v = from
+    var v = math.max(from, 1)
     var claimed = false
     while (!claimed) {
-      require(v < from + 1000,
-        s"claimVersion: 1000 consecutive claimed-but-uncommitted " +
-          s"versions under $destDir — clean stale .claim_v* files")
+      require(v < from + 100000,
+        s"claimStagingId: 100000 consecutive claimed ids under " +
+          s"$destDir — run vacuumOrphans and inspect .claim_v* files")
       try {
         fs.create(new Path(s"$destDir/manifest/.claim_v$v"), false).close()
         claimed = true
       } catch {
-        case _: java.io.IOException => v += 1 // number taken; next
+        case _: java.io.IOException => v += 1 // id taken; next
       }
     }
     v
@@ -269,37 +329,29 @@ object Snapshot {
                             carriedOverride: Option[Seq[String]] = None,
                             tag: Option[String] = None,
                             prevManifestOpt: Option[ManifestData] = None,
-                            statsColsMulti: Seq[String] = Nil): Int = {
+                            statsColsMulti: Seq[String] = Nil,
+                            baseVersion: Option[Int] = None): Int = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(destDir).getFileSystem(conf)
-    val prev = latestVersion(spark, destDir)
-    val v = claimVersion(fs, destDir, prev + 1)
-    val prevManifest = prevManifestOpt.orElse(
-      if (carryForward && prev >= 1) Some(readManifest(spark, destDir, prev))
-      else None)
-    // single-column callers keep the Option face; multi-column publishes
-    // (Z-order) pass the full list. A carry-forward commit with NO
-    // caller-stated stats INHERITS the base's list (Iceberg table-
-    // property semantics: an append must not silently drop the table's
-    // skipping) — a full publish defines the table fresh and doesn't.
-    val statsCols =
-      if (statsColsMulti.nonEmpty) statsColsMulti
-      else if (statsCol.nonEmpty || !carryForward) statsCol.toSeq
-      else prevManifest.map(_.statsCols).getOrElse(Nil)
-    val dataDir = new Path(s"$destDir/data/v$v")
+    // stage the delta under an exclusively-owned id — data is written
+    // before any commit decision, into a directory no other publisher
+    // can touch, so racing writers can never clobber each other's bytes
+    val uid = claimStagingId(fs, destDir, latestVersion(spark, destDir) + 1)
+    val dataDir = new Path(s"$destDir/data/v$uid")
     df.write.mode("overwrite").parquet(dataDir.toString)
+    val parts = fs.listStatus(dataDir)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath).sortBy(_.getName)
     // footer reads are independent metadata fetches; at large file
     // counts a serial loop is the publish bottleneck (r10 rehearsal:
     // 800 footers dominate the 10 s publish), so fan them out on the
     // driver — still metadata-sized work, just not serialized
-    import scala.collection.parallel.CollectionConverters._
-    val newFiles = fs.listStatus(dataDir)
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .map(_.getPath).sortBy(_.getName).par
-      .map { p =>
-        val rel = s"data/v$v/${p.getName}"
+    def newFileLines(statsCols: Seq[String]): Seq[String] = {
+      import scala.collection.parallel.CollectionConverters._
+      parts.par.map { p =>
+        val rel = s"data/v$uid/${p.getName}"
         if (statsCols.isEmpty) rel
         else {
           val (rows, mm) = footerStats(conf, p, statsCols)
@@ -314,85 +366,201 @@ object Snapshot {
             mm.map { case (mn, mx) => s"$mn\t$mx" }.mkString("\t")
         }
       }.seq.toSeq
-    val carriedRaw = carriedOverride.getOrElse(
-      prevManifest.map(_.lines).getOrElse(Seq.empty))
-    // Carried lines keep their stats text ONLY while the stats column
-    // is unchanged: under a DIFFERENT statsCol the old min/max would be
-    // read as the new column's and filesForRange could prune files that
-    // DO contain matching rows (silent row loss). Strip mismatched
-    // carried lines to the bare path — the catch-all keeps stats-less
-    // files, trading skipping for correctness.
-    // A base published with a BLOOM doesn't keep its header through this
-    // path, so carried bloom WORDS would dangle and confuse the field
-    // arithmetic: with the stats list unchanged only the words field is
-    // dropped (stats survive); otherwise strip to the bare path.
-    val carried =
-      if (carriedRaw.isEmpty ||
-          prevManifest.forall(p => p.statsCols == statsCols &&
-            p.bloom.isEmpty)) carriedRaw
-      else if (prevManifest.exists(p => p.statsCols == statsCols &&
-          p.bloom.isDefined))
-        carriedRaw.map { l =>
-          val f = l.split("\t")
-          if (statsCols.nonEmpty && f.length == 3 + 2 * statsCols.length)
-            f.dropRight(1).mkString("\t")
-          else linePath(l)
-        }
-      else carriedRaw.map(linePath)
-    // Schema evolution (add-column only): the manifest records the
-    // version's schema, so a reader applies THIS version's schema to
-    // every referenced file — files carried forward from before the
-    // column existed null-fill it at scan time (no data rewritten, the
-    // Iceberg/Delta add-column story). An append must keep every
-    // previous field at its exact type: silently dropping or retyping a
-    // column would corrupt carried-forward reads.
-    if (carryForward)
-      prevManifest.flatMap(_.schema).foreach { prevSchema =>
-        prevSchema.fields.foreach { f =>
-          val cur = df.schema.fields.find(_.name == f.name)
-          require(cur.exists(_.dataType == f.dataType),
-            s"appendSnapshot schema evolution is add-column only: field " +
-              s"'${f.name}: ${f.dataType.simpleString}' of v$prev is " +
-              cur.fold("missing")(c =>
-                s"retyped to ${c.dataType.simpleString}") +
-              " in the appended batch")
+    }
+    val lineCache = scala.collection.mutable.Map.empty[Seq[String], Seq[String]]
+
+    // Optimistic-CAS commit loop: build the manifest against the
+    // CURRENT latest version, then publish at latest+1 — if that slot
+    // was taken in the meantime, rebuild against the fresh base and try
+    // again. This is what makes concurrent carry-forward publishes
+    // LOSSLESS: a loser can never commit a manifest that omits the
+    // winner's delta, because its base is re-read after every lost race.
+    var attempt = 0
+    var committed = -1
+    while (committed < 0) {
+      attempt += 1
+      if (attempt > 50)
+        throw new ConcurrentSnapshotUpdate(
+          s"publish to $destDir lost $attempt commit races; giving up " +
+            "(staged data left for vacuumOrphans)")
+      val base = latestVersion(spark, destDir)
+      // merge/compact computed their carried set against a PINNED base
+      // version: if the table advanced past it, that computation is
+      // stale (its anti-joins ran against old files) — clean up the
+      // staged delta and surface a retryable conflict instead of
+      // committing a manifest that silently drops the winner's changes
+      baseVersion.foreach { bv =>
+        if (base != bv) {
+          fs.delete(dataDir, true)
+          throw new ConcurrentSnapshotUpdate(
+            s"base of $destDir advanced v$bv -> v$base during a " +
+              "base-dependent publish (merge/compact); retry against " +
+              "the new latest version")
         }
       }
-    val schemaHeader =
-      s"#schema=${org.apache.spark.sql.types.StructType(
-        df.schema.fields.map(_.copy(nullable = true))).json}"
-    val header = schemaHeader +:
-      ((if (statsCols.isEmpty) Seq.empty
-        else Seq(s"#stats=${statsCols.mkString(",")}")) ++
-        tag.map(t => s"#tag=$t").toSeq)
-    commitManifest(fs, destDir, v, header ++ carried ++ newFiles)
-    v
+      val prevManifest =
+        if (carriedOverride.isDefined) prevManifestOpt
+        else if (carryForward && base >= 1)
+          Some(readManifest(spark, destDir, base))
+        else None
+      // Schema evolution (add-column only): the manifest records the
+      // version's schema, so a reader applies THIS version's schema to
+      // every referenced file — files carried forward from before the
+      // column existed null-fill it at scan time (no data rewritten,
+      // the Iceberg/Delta add-column story). An append must keep every
+      // previous field at its exact type: silently dropping or retyping
+      // a column would corrupt carried-forward reads.
+      if (carryForward)
+        prevManifest.flatMap(_.schema).foreach { prevSchema =>
+          prevSchema.fields.foreach { f =>
+            val cur = df.schema.fields.find(_.name == f.name)
+            require(cur.exists(_.dataType == f.dataType),
+              s"appendSnapshot schema evolution is add-column only: field " +
+                s"'${f.name}: ${f.dataType.simpleString}' of v$base is " +
+                cur.fold("missing")(c =>
+                  s"retyped to ${c.dataType.simpleString}") +
+                " in the appended batch")
+          }
+        }
+      // single-column callers keep the Option face; multi-column
+      // publishes (Z-order) pass the full list. A carry-forward commit
+      // with NO caller-stated stats INHERITS the base's list (Iceberg
+      // table-property semantics: an append must not silently drop the
+      // table's skipping) — a full publish defines the table fresh.
+      val statsCols =
+        if (statsColsMulti.nonEmpty) statsColsMulti
+        else if (statsCol.nonEmpty || !carryForward) statsCol.toSeq
+        else prevManifest.map(_.statsCols).getOrElse(Nil)
+      val newFiles = lineCache.getOrElseUpdate(statsCols,
+        newFileLines(statsCols))
+      // Carried ENTRIES, not expanded lines: in the fast path (stats
+      // unchanged, no bloom — every ordinary append) the previous
+      // version's entries are carried VERBATIM, so a delta-manifest
+      // reference stays a one-line reference and the commit writes
+      // O(versions + delta) bytes however many files the table holds.
+      val carriedEntriesRaw = carriedOverride.getOrElse(
+        prevManifest.map(_.entries).getOrElse(Seq.empty))
+      val sameStats = prevManifest.forall(_.statsCols == statsCols)
+      // Carried lines keep their stats text ONLY while the stats list
+      // is unchanged: under a DIFFERENT statsCol the old min/max would
+      // be read as the new column's and filesForRange could prune files
+      // that DO contain matching rows (silent row loss). Strip
+      // mismatched carried lines to the bare path — the catch-all keeps
+      // stats-less files, trading skipping for correctness. A base
+      // published with a BLOOM doesn't keep its header through this
+      // path, so carried bloom WORDS would dangle: with the stats list
+      // unchanged only the words field is dropped (stats survive);
+      // otherwise strip to the bare path. Both strip paths materialize
+      // references into inline lines (correct, and rare by design).
+      val carried: Seq[String] =
+        if (carriedEntriesRaw.isEmpty ||
+            (sameStats && prevManifest.forall(_.bloom.isEmpty)))
+          carriedEntriesRaw
+        else {
+          val ls = expandEntries(fs, destDir, carriedEntriesRaw)
+          if (sameStats) // bloom present: drop only the words field
+            ls.map { l =>
+              val f = l.split("\t")
+              if (statsCols.nonEmpty && f.length == 3 + 2 * statsCols.length)
+                f.dropRight(1).mkString("\t")
+              else linePath(l)
+            }
+          else ls.map(linePath)
+        }
+      val schemaHeader =
+        s"#schema=${org.apache.spark.sql.types.StructType(
+          df.schema.fields.map(_.copy(nullable = true))).json}"
+      val header = schemaHeader +:
+        ((if (statsCols.isEmpty) Seq.empty
+          else Seq(s"#stats=${statsCols.mkString(",")}")) ++
+          tag.map(t => s"#tag=$t").toSeq)
+      // the delta's file lines live in their own immutable delta
+      // manifest; the version file carries one reference line for them
+      val deltaEntry =
+        if (newFiles.isEmpty) Seq.empty
+        else {
+          writeFileAtomic(fs, s"$destDir/manifest/d$uid.txt",
+            s"$destDir/manifest/.dtmp_v$uid", newFiles)
+          Seq(s"@manifest/d$uid.txt")
+        }
+      if (tryCommitManifest(fs, destDir, base + 1, uid,
+          header ++ carried ++ deltaEntry))
+        committed = base + 1
+      // else: slot taken by a concurrent commit — loop, fresh base
+    }
+    committed
   }
 
-  /** Write manifest content to `.tmp_v<k>` and RENAME it into place —
-    * the commit point shared by every publish path. A false rename
-    * means another publisher claimed v<k> first (impossible under the
-    * claim protocol; kept as a loud invariant). */
-  private def commitManifest(fs: org.apache.hadoop.fs.FileSystem,
-                             destDir: String, v: Int,
-                             content: Seq[String]): Unit = {
+  /** Write `content` to `tmpPath` then rename to `path` — used for
+    * delta manifests, whose path is exclusively owned via the staging
+    * id (the rename only hides partial writes from concurrent
+    * readers; there is no CAS to lose). */
+  private def writeFileAtomic(fs: org.apache.hadoop.fs.FileSystem,
+                              path: String, tmpPath: String,
+                              content: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
-    fs.mkdirs(new Path(s"$destDir/manifest"))
-    val tmp = new Path(s"$destDir/manifest/.tmp_v$v")
+    val tmp = new Path(tmpPath)
     val out = fs.create(tmp, true)
     out.write(content.mkString("\n").getBytes("UTF-8"))
     out.close()
-    if (!fs.rename(tmp, new Path(s"$destDir/manifest/v$v.txt")))
-      throw new IllegalStateException(
-        s"snapshot version v$v of $destDir already committed by a " +
-          "concurrent publisher; this publish's data files are orphans")
+    fs.delete(new Path(path), false)
+    if (!fs.rename(tmp, new Path(path)))
+      throw new IllegalStateException(s"failed to write $path")
   }
 
-  /** One parsed manifest: header key→value plus the data-file lines.
-    * Every per-version question (files, stats column, tag, schema,
-    * bloom params) answers from ONE read of the manifest text. */
-  private case class ManifestData(headers: Map[String, String],
-                                  lines: Seq[String]) {
+  /** Publish manifest `content` as version `v` IF AND ONLY IF v is
+    * still free — the commit point of every publish path. Content is
+    * written to a temp file named by the publisher's exclusive staging
+    * id (never contended), then check-and-renamed to `v<v>.txt` under
+    * the destination's commit lock. Returns false when the slot was
+    * taken by a concurrent commit (caller rebuilds against the fresh
+    * base and retries at the next slot). */
+  private def tryCommitManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                destDir: String, v: Int, uid: Int,
+                                content: Seq[String]): Boolean = {
+    import org.apache.hadoop.fs.Path
+    fs.mkdirs(new Path(s"$destDir/manifest"))
+    val tmp = new Path(s"$destDir/manifest/.tmp_v$uid")
+    val out = fs.create(tmp, true)
+    out.write(content.mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val target = new Path(s"$destDir/manifest/v$v.txt")
+    val lock = commitLocks.computeIfAbsent(
+      fs.makeQualified(new Path(destDir)).toString, _ => new Object)
+    lock.synchronized {
+      if (fs.exists(target)) { fs.delete(tmp, false); false }
+      else fs.rename(tmp, target)
+    }
+  }
+
+  /** One entry of a version manifest together with the data-file lines
+    * it resolves to: an inline line resolves to itself; a
+    * `@manifest/d<id>.txt` reference resolves to that delta manifest's
+    * lines. Group-granular carry is what keeps merge/compact commits
+    * metadata-sized: a group none of whose files were touched is
+    * carried as its one-line entry, untouched. */
+  private[graft] final case class ManifestGroup(entry: String,
+                                                lines: Seq[String]) {
+    def isRef: Boolean = entry.startsWith("@")
+  }
+
+  /** One parsed manifest: header key→value plus the entry list. A
+    * version manifest is TWO-LEVEL (the Iceberg manifest-list shape):
+    * its entries are either inline data-file lines or one-line
+    * references to immutable per-publish DELTA manifests — so an
+    * append's commit writes O(versions + delta bytes), never
+    * O(total files), and a million-file table's version file stays a
+    * few KB. Headers (tag, schema, stats) parse without touching any
+    * referenced file; `groups`/`lines` resolve references lazily. */
+  private[graft] final class ManifestData(
+      val headers: Map[String, String],
+      val entries: Seq[String],
+      resolve: String => Seq[String]) {
+    lazy val groups: Seq[ManifestGroup] = entries.map { e =>
+      if (e.startsWith("@")) ManifestGroup(e, resolve(e.drop(1)))
+      else ManifestGroup(e, Seq(e))
+    }
+    lazy val lines: Seq[String] = groups.flatMap(_.lines)
     /** The stats column list of a version ("#stats=a" or "#stats=a,b"). */
     def statsCols: Seq[String] =
       headers.get("stats").map(_.split(",").toSeq).getOrElse(Nil)
@@ -407,26 +575,43 @@ object Snapshot {
       })
   }
 
+  private def readTextLines(fs: org.apache.hadoop.fs.FileSystem,
+                            path: String): Seq[String] = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Resolve a mixed entry list (inline lines + `@`-references) to flat
+    * data-file lines — the slow path used only when carried entries
+    * must be transformed line-by-line (stats strip, merge/compact). */
+  private def expandEntries(fs: org.apache.hadoop.fs.FileSystem,
+                            destDir: String,
+                            entries: Seq[String]): Seq[String] =
+    entries.flatMap { e =>
+      if (e.startsWith("@")) readTextLines(fs, s"$destDir/${e.drop(1)}")
+      else Seq(e)
+    }
+
   private def readManifest(spark: org.apache.spark.sql.SparkSession,
                            destDir: String, v: Int): ManifestData = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(destDir).getFileSystem(
       spark.sessionState.newHadoopConf())
-    val in = fs.open(new Path(s"$destDir/manifest/v$v.txt"))
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    val all = txt.split("\n").toSeq.filter(_.nonEmpty)
+    val all = readTextLines(fs, s"$destDir/manifest/v$v.txt")
     val headers = all.filter(_.startsWith("#")).flatMap { h =>
       h.stripPrefix("#").split("=", 2) match {
         case Array(k, value) => Some(k -> value)
         case _ => None
       }
     }.toMap
-    ManifestData(headers, all.filterNot(_.startsWith("#")))
+    new ManifestData(headers, all.filterNot(_.startsWith("#")),
+      rel => readTextLines(fs, s"$destDir/$rel"))
   }
 
-  private def manifestLines(spark: org.apache.spark.sql.SparkSession,
-                            destDir: String, v: Int): Seq[String] =
+  private[graft] def manifestLines(spark: org.apache.spark.sql.SparkSession,
+                                   destDir: String, v: Int): Seq[String] =
     readManifest(spark, destDir, v).lines
 
   /** The caller-supplied tag a version was committed with, if any.
@@ -694,11 +879,10 @@ object Snapshot {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(destDir).getFileSystem(conf)
-    val prev = latestVersion(spark, destDir)
     // same claim-first discipline as commitVersion: data is written only
     // into a directory this publisher exclusively owns
-    val v = claimVersion(fs, destDir, prev + 1)
-    val dataDir = new Path(s"$destDir/data/v$v")
+    val uid = claimStagingId(fs, destDir, latestVersion(spark, destDir) + 1)
+    val dataDir = new Path(s"$destDir/data/v$uid")
     df.write.mode("overwrite").parquet(dataDir.toString)
     val words = perFileBloomWords(spark, dataDir.toString, bloomCol,
       mBits, k)
@@ -709,7 +893,7 @@ object Snapshot {
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map(_.getPath).sortBy(_.getName).par
       .map { p =>
-        val rel = s"data/v$v/${p.getName}"
+        val rel = s"data/v$uid/${p.getName}"
         val w = words.getOrElse(p.getName, empty)
         val statsTxt =
           if (statsCols.isEmpty) None
@@ -735,8 +919,23 @@ object Snapshot {
         else Seq(s"#stats=${statsCols.mkString(",")}")) ++
         Seq(s"#bloom=$bloomCol,$mBits,$k") ++
         tag.map(t => s"#tag=$t").toSeq)
-    commitManifest(fs, destDir, v, header ++ lines)
-    v
+    writeFileAtomic(fs, s"$destDir/manifest/d$uid.txt",
+      s"$destDir/manifest/.dtmp_v$uid", lines)
+    // full publish: content is base-independent, so the commit loop just
+    // takes the next free slot under the CAS protocol
+    var committed = -1
+    var attempt = 0
+    while (committed < 0) {
+      attempt += 1
+      if (attempt > 50)
+        throw new ConcurrentSnapshotUpdate(
+          s"indexed publish to $destDir lost $attempt commit races")
+      val slot = latestVersion(spark, destDir) + 1
+      if (tryCommitManifest(fs, destDir, slot, uid,
+          header ++ Seq(s"@manifest/d$uid.txt")))
+        committed = slot
+    }
+    committed
   }
 
   /** Driver-side replica of Sketches.bloomBit: shaHash32("bloom:j:v")
@@ -765,9 +964,14 @@ object Snapshot {
       if (!hasWords) true
       else {
         val words = f.last.split(",").map(_.toLong)
+        // word width MUST mirror the publish side's constant — a
+        // hard-coded 63 here would silently desynchronize probe and
+        // build if Sketches.BloomWordBits ever changed (false
+        // negatives = lost rows on point lookups)
+        val wb = Sketches.BloomWordBits
         (0 until k).forall { j =>
           val p = bloomBitScala(key, j, mBits)
-          (words(p / 63) & (1L << (p % 63))) != 0
+          (words(p / wb) & (1L << (p % wb))) != 0
         }
       }
     }.map(linePath)
@@ -828,8 +1032,15 @@ object Snapshot {
         Some(f(1).toLong)
       else None
     }
-    val (bigLines, smallLines) =
-      m.lines.partition(l => lineRows(l).exists(_ >= minRows))
+    def isBig(l: String) = lineRows(l).exists(_ >= minRows)
+    // group-granular carry (same rule as mergeSnapshot): an all-big
+    // delta manifest carries as its one-line reference; a mixed group
+    // inlines only its big lines
+    val carriedEntries = m.groups.flatMap { g =>
+      if (g.lines.forall(isBig)) Seq(g.entry)
+      else g.lines.filter(isBig)
+    }
+    val smallLines = m.lines.filterNot(isBig)
     if (smallLines.length <= 1) v // nothing to pack (or a single straggler)
     else {
       val small = readWithSchema(spark, m.schema,
@@ -844,8 +1055,9 @@ object Snapshot {
       // coalesce, not repartition: bin-packing needs no shuffle; the
       // FULL stats list carries (a Z-ordered table keeps both columns)
       commitVersion(small.coalesce(nOut), destDir, carryForward = true,
-        statsCol = None, carriedOverride = Some(bigLines),
+        statsCol = None, carriedOverride = Some(carriedEntries),
         tag = tag, prevManifestOpt = Some(m),
+        baseVersion = Some(v),
         statsColsMulti = m.statsCols)
     }
   }
@@ -868,8 +1080,23 @@ object Snapshot {
   /** Retention: delete data files referenced by NO manifest ≥
     * `keepFrom` and drop the older manifests — the vacuum that keeps
     * time travel bounded. Live files (referenced by any kept version)
-    * survive even if an old version also referenced them. Returns the
-    * deleted file count. */
+    * survive even if an old version also referenced them; the same
+    * rule governs DELTA manifests (a `d<id>.txt` still referenced by
+    * any kept version must survive its dropped originator). Claim
+    * files are never deleted — a staging id must never be re-issued,
+    * else a zombie publisher holding it could clobber a new owner's
+    * directory.
+    *
+    * RETENTION CONTRACT (reader pinning): a reader pins a version by
+    * resolving its manifest and holds that pin for the whole scan.
+    * Vacuum deletes the files of versions below `keepFrom`, so choose
+    * `keepFrom` such that no in-flight reader still pins an older
+    * version — operationally, the retention window must exceed the
+    * longest-running query/job against the table. A reader vacuumed
+    * underneath fails LOUDLY (missing file or missing manifest): data
+    * files are immutable and paths are never reused (claims are
+    * permanent), so a stale pin can error but can never silently
+    * return wrong rows. Returns the deleted data-file count. */
   def vacuum(spark: org.apache.spark.sql.SparkSession, destDir: String,
              keepFrom: Int): Int = {
     import org.apache.hadoop.fs.Path
@@ -880,22 +1107,79 @@ object Snapshot {
       s"keepFrom $keepFrom outside committed versions [1, $latest]")
     // earlier vacuums leave version gaps — a missing manifest is
     // already-cleaned, not an error
-    def lines(v: Int): Seq[String] =
+    def manifest(v: Int): Option[ManifestData] =
       if (fs.exists(new Path(s"$destDir/manifest/v$v.txt")))
-        manifestLines(spark, destDir, v)
-      else Seq.empty
-    val keep = (keepFrom to latest).flatMap(v => lines(v).map(linePath)).toSet
-    val drop = (1 until keepFrom).flatMap(v => lines(v).map(linePath))
+        Some(readManifest(spark, destDir, v))
+      else None
+    val kept = (keepFrom to latest).flatMap(manifest(_))
+    val dropped = (1 until keepFrom).flatMap(manifest(_))
+    val keep = kept.flatMap(_.lines.map(linePath)).toSet
+    val drop = dropped.flatMap(_.lines.map(linePath))
       .distinct.filterNot(keep)
     drop.foreach(f => fs.delete(new Path(s"$destDir/$f"), false))
+    val keepRefs = kept.flatMap(_.entries.filter(_.startsWith("@"))).toSet
+    dropped.flatMap(_.entries.filter(_.startsWith("@"))).distinct
+      .filterNot(keepRefs)
+      .foreach(r => fs.delete(new Path(s"$destDir/${r.drop(1)}"), false))
     (1 until keepFrom).foreach { v =>
       fs.delete(new Path(s"$destDir/manifest/v$v.txt"), false)
-      // claim files of dropped versions are dead weight (no publisher
-      // ever re-computes a number below latest); committed versions'
-      // claims stay, guarding against zombie re-claims
-      fs.delete(new Path(s"$destDir/manifest/.claim_v$v"), false)
       ()
     }
     drop.size
+  }
+
+  /** Orphan reclamation (Iceberg's `remove_orphan_files` contract):
+    * delete `data/v<id>` staging directories — and stale manifest
+    * temp/delta files — that NO committed version references and whose
+    * modification time is older than `olderThanMs`. Orphans come from
+    * crashed publishes (claimed, staged, never committed) and aborted
+    * merge races. The AGE GUARD is what separates a crashed publish
+    * from an in-flight one — a live publisher stages data before its
+    * manifest commit, so `olderThanMs` must exceed the longest publish
+    * you run (hours at 100 TB, not minutes). Committed data is never
+    * eligible whatever its age: every kept manifest's references are
+    * excluded first. Returns the number of deleted orphan dirs+files. */
+  def vacuumOrphans(spark: org.apache.spark.sql.SparkSession,
+                    destDir: String, olderThanMs: Long): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(destDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val latest = latestVersion(spark, destDir)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val manifests = (1 to latest).flatMap { v =>
+      if (fs.exists(new Path(s"$destDir/manifest/v$v.txt")))
+        Some(readManifest(spark, destDir, v))
+      else None
+    }
+    // a data dir with ANY referenced file is live; orphan dirs are
+    // whole claimed-but-never-committed publishes, so dir granularity
+    // is exact (a publish stages a dir atomically from the manifest's
+    // point of view — referenced means committed)
+    val liveDirs = manifests.flatMap(_.lines.map(l =>
+      linePath(l).split("/").take(2).mkString("/"))).toSet
+    val liveRefs = manifests.flatMap(_.entries.filter(_.startsWith("@"))
+      .map(_.drop(1))).toSet
+    var n = 0
+    val dataRoot = new Path(s"$destDir/data")
+    if (fs.exists(dataRoot))
+      fs.listStatus(dataRoot).foreach { st =>
+        val rel = s"data/${st.getPath.getName}"
+        if (st.isDirectory && !liveDirs(rel) &&
+            st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, true); n += 1
+        }
+      }
+    val manRoot = new Path(s"$destDir/manifest")
+    if (fs.exists(manRoot))
+      fs.listStatus(manRoot).foreach { st =>
+        val name = st.getPath.getName
+        val stale =
+          (name.startsWith(".tmp_") || name.startsWith(".dtmp_") ||
+            (name.startsWith("d") && name.endsWith(".txt") &&
+              !liveRefs(s"manifest/$name"))) &&
+            st.getModificationTime < cutoff
+        if (stale) { fs.delete(st.getPath, false); n += 1 }
+      }
+    n
   }
 }

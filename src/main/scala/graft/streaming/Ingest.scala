@@ -460,11 +460,14 @@ object Ingest {
     * commit point — so "was this batch committed" is atomic. A replay
     * (crash after commit, before the checkpoint advanced) sees its own
     * batchId on the latest version and skips; a crash BEFORE the
-    * rename leaves only an invisible `.tmp_` manifest plus orphan data
-    * files, and the re-run overwrites them and commits the same
-    * version number. The checkpoint serializes batches, so only the
-    * LATEST batch can ever replay — an older duplicate can't sneak
-    * behind a newer commit. Returns the final version read back. */
+    * rename leaves nothing committed — the re-run stages fresh data
+    * under its own claimed id and commits the SAME version number
+    * (slots are assigned at commit, so nothing advanced). The crashed
+    * attempt's staged files are orphans no version references;
+    * [[graft.operators.Snapshot.vacuumOrphans]] reclaims them. The
+    * checkpoint serializes batches, so only the LATEST batch can ever
+    * replay — an older duplicate can't sneak behind a newer commit.
+    * Returns the final version read back. */
   def snapshotStream(spark: SparkSession, srcDir: String, fileGlob: String,
                      destDir: String, checkpointDir: String,
                      shape: DataFrame => DataFrame = identity,
@@ -786,7 +789,13 @@ object Ingest {
         .foreach { s =>
           val d = new Path(destPath, s.getPath.getName)
           fs.delete(d, true)
-          fs.rename(s.getPath, d)
+          // a silently-false rename here would drop a bucket from the
+          // index while the _marker rename still commits the batch as
+          // applied — fail loudly BEFORE the marker, so the replay
+          // (staging _marker still present) finishes the swap
+          if (!fs.rename(s.getPath, d))
+            throw new IllegalStateException(
+              s"indexStream: bucket swap rename failed for ${s.getPath}")
         }
       fs.mkdirs(new Path(s"$dest/_applied"))
       if (!fs.rename(new Path(staging, "_marker"), marker) &&
@@ -820,7 +829,11 @@ object Ingest {
       .foreach { s =>
         val d = new org.apache.hadoop.fs.Path(dest, s.getPath.getName)
         fs.delete(d, true)
-        fs.rename(s.getPath, d)
+        // same loud-failure rule as applyIndexBatch's swap: a false
+        // rename must not let the commit proceed with a missing bucket
+        if (!fs.rename(s.getPath, d))
+          throw new IllegalStateException(
+            s"bucket swap rename failed for ${s.getPath}")
       }
     fs.delete(staging, true)
     ()

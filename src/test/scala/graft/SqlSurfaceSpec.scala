@@ -109,6 +109,66 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("q_tpch1: one scan, partial+final hash aggregate, no join") {
+    val p = physical("q_tpch1")
+    assert(p.contains("HashAggregate"), p)
+    assert(!"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|NestedLoop)".r
+      .findAllIn(p).hasNext, s"Q1 must be join-free:\n$p")
+    // six aggregates off ONE lineitem scan (details section lists each
+    // scan node once as "(n) Scan parquet"; the tree repeats the name)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_tpch3: join funnel ends in a TopK, not a global sort") {
+    val p = physical("q_tpch3")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected ORDER BY+LIMIT to plan as TopK:\n$p")
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(p).size >= 2, s"expected the 3-relation funnel:\n$p")
+  }
+
+  test("q_tpch6: every predicate reaches the parquet scan") {
+    val p = physical("q_tpch6")
+    assert(!"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(p).hasNext, s"Q6 must be join-free:\n$p")
+    // the shipdate range must be PUSHED (scan-level skipping at scale);
+    // the discount/quantity arithmetic evaluates post-scan but inside
+    // the same codegen stage
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"expected shipdate pushed to the scan:\n$p")
+  }
+
+  test("q_tpch9: the 5-relation star plans as an equi-join chain") {
+    val p = physical("q_tpch9")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(p).size >= 4, s"expected 4 joins over 5 relations:\n$p")
+  }
+
+  test("q_tpch10: grouped revenue TopK 20 plans as TakeOrdered") {
+    val p = physical("q_tpch10")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(p).size >= 3, s"expected the 4-relation funnel:\n$p")
+  }
+
+  test("q_tpch14: both conditional aggregates share one join and scan") {
+    val p = physical("q_tpch14")
+    assert("""\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)""".r
+      .findAllIn(p).size == 1, s"expected exactly one part join:\n$p")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 2, // lineitem + part
+      s"the CASE pair must not duplicate scans:\n$p")
+  }
+
+  test("the six completing TPC-H rows are non-degenerate") {
+    for (name <- Seq("q_tpch1", "q_tpch3", "q_tpch6", "q_tpch9",
+        "q_tpch10", "q_tpch14")) {
+      val out = Queries.all(name)(spark, dir).collect()
+      assert(out.nonEmpty, s"$name returned no rows")
+    }
+  }
+
   test("the three subquery rows return plausible non-degenerate results") {
     val q4 = Queries.all("q_tpch4")(spark, dir).collect()
     assert(q4.nonEmpty && q4.forall(_.getLong(1) > 0))

@@ -25,11 +25,18 @@ class SnapshotTravelSpec extends SparkSpec {
     assert(rows(Snapshot.readSnapshot(spark, dest, 2).orderBy("k")) ===
       Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
     // the append REFERENCED v1's files rather than rewriting them:
-    // v2's manifest names files under data/v1/
-    val m2 = new String(java.nio.file.Files.readAllBytes(
+    // v2's resolved manifest names files under data/v1/
+    val l2 = Snapshot.manifestLines(spark, dest, 2)
+    assert(l2.exists(_.contains("data/v1/")),
+      s"expected carried v1 files in:\n${l2.mkString("\n")}")
+    assert(l2.exists(_.contains("data/v2/")))
+    // and the version FILE is a manifest list: it carries one-line
+    // delta-manifest references, not the expanded file inventory —
+    // the commit stays O(versions), not O(total files)
+    val raw2 = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dest/manifest/v2.txt")), "UTF-8")
-    assert(m2.contains("data/v1/"), s"expected carried v1 files in:\n$m2")
-    assert(m2.contains("data/v2/"))
+    assert(raw2.contains("@manifest/d"), raw2)
+    assert(!raw2.contains("part-"), s"expected references, not inline:\n$raw2")
 
     // full rewrite: v3 sees only its own content; v1/v2 still readable
     val v3 = Snapshot.publishSnapshot(Seq((9L, "z")).toDF("k", "v"), dest)
@@ -52,18 +59,23 @@ class SnapshotTravelSpec extends SparkSpec {
       Seq(Seq(1L, "a"), Seq(2L, "b")))
   }
 
-  test("a stale claim (crashed publisher) skips the number, never clobbers") {
+  test("a stale claim (crashed publisher) skips the STAGING id, not the version") {
     val dest = java.nio.file.Files.createTempDirectory("graft-ttcl").toString
     Snapshot.publishSnapshot(Seq((1L, "a")).toDF("k", "v"), dest)
-    // a publisher that claimed v2 and died before committing: the claim
-    // is permanent, so the next publish must land at v3 — reusing v2
-    // would let a zombie holder of the claim overwrite committed data
+    // a publisher that claimed staging id 2 and died before committing:
+    // the claim is permanent (reusing the id would let a zombie holder
+    // clobber a new owner's data dir), so the next publish stages under
+    // data/v3 — but VERSION numbers are assigned at commit and stay
+    // contiguous, so it still commits as version 2
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dest/manifest/.claim_v2"),
       Array.empty[Byte])
-    assert(Snapshot.appendSnapshot(Seq((2L, "b")).toDF("k", "v"), dest) == 3)
-    assert(Snapshot.latestVersion(spark, dest) == 3)
-    assert(rows(Snapshot.readSnapshot(spark, dest, 3).orderBy("k")) ===
+    assert(Snapshot.appendSnapshot(Seq((2L, "b")).toDF("k", "v"), dest) == 2)
+    assert(Snapshot.latestVersion(spark, dest) == 2)
+    val l2 = Snapshot.manifestLines(spark, dest, 2)
+    assert(l2.exists(_.contains("data/v3/")),
+      s"expected the delta staged under the NEXT free id:\n${l2.mkString("\n")}")
+    assert(rows(Snapshot.readSnapshot(spark, dest, 2).orderBy("k")) ===
       Seq(Seq(1L, "a"), Seq(2L, "b")))
   }
 
@@ -109,17 +121,14 @@ class SnapshotTravelSpec extends SparkSpec {
     Seq(Seq((900L, "a")), Seq((901L, "b"), (902L, "c")), Seq((903L, "d")))
       .foreach(b => Snapshot.appendSnapshot(b.toDF("k", "v").coalesce(1),
         dest, statsCol = Some("k")))
-    val m4 = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dest/manifest/v4.txt")), "UTF-8")
-    assert(m4.split("\n").count(!_.startsWith("#")) == 5) // 2 big + 3 small
+    assert(Snapshot.manifestLines(spark, dest, 4).size == 5) // 2 big + 3 small
     val v = Snapshot.compactSnapshot(spark, dest, minRows = 100L,
       targetRows = 1000L)
     assert(v == 5)
-    val m5 = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dest/manifest/v5.txt")), "UTF-8")
-    val lines5 = m5.split("\n").filterNot(_.startsWith("#")).toSeq
+    val lines5 = Snapshot.manifestLines(spark, dest, 5)
     // the 2 big base files carried BY REFERENCE, the 3 small ones
     // bin-packed into a single rewritten file
+    val m5 = lines5.mkString("\n")
     assert(lines5.count(_.contains("data/v1/")) == 2, m5)
     assert(lines5.count(_.contains("data/v5/")) == 1, m5)
     assert(lines5.size == 3, m5)
@@ -321,10 +330,10 @@ class SnapshotTravelSpec extends SparkSpec {
       (9999L, "NEW", 42L)).toDF("k", "name", "v")
     val v = Snapshot.mergeSnapshot(updates, dest, "k")
     assert(v == 2)
-    val m2 = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dest/manifest/v2.txt")), "UTF-8")
-    val carried = m2.split("\n").count(_.contains("data/v1/"))
-    val rewritten = m2.split("\n").count(_.contains("data/v2/"))
+    val l2 = Snapshot.manifestLines(spark, dest, 2)
+    val m2 = l2.mkString("\n")
+    val carried = l2.count(_.contains("data/v1/"))
+    val rewritten = l2.count(_.contains("data/v2/"))
     assert(carried >= 6,
       s"expected most of the 8 base files carried by reference:\n$m2")
     assert(rewritten >= 1, m2)

@@ -50,8 +50,8 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(rows(Snapshot.readSnapshot(spark, s"$out/dest", 3).orderBy("id"))
       === Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c"), Seq(4L, "d")))
     // the append referenced old files rather than rewriting them
-    val m3 = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$out/dest/manifest/v3.txt")), "UTF-8")
+    val m3 = graft.operators.Snapshot.manifestLines(spark, s"$out/dest", 3)
+      .mkString("\n")
     assert(m3.contains("data/v1/") && m3.contains("data/v2/") &&
       m3.contains("data/v3/"), m3)
   }
@@ -68,9 +68,8 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(Snapshot.versionTag(spark, dest, 2).contains("batch=1"))
     assert(Snapshot.versionTag(spark, dest, 3).contains("batch=1"))
     // the compacted version packed both tiny files into one
-    val m3 = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dest/manifest/v3.txt")), "UTF-8")
-    assert(m3.split("\n").count(!_.startsWith("#")) == 1, m3)
+    val m3 = graft.operators.Snapshot.manifestLines(spark, dest, 3)
+    assert(m3.size == 1, m3.mkString("\n"))
     // replay of batch 1 after the compaction commit: still a no-op
     apply(1L, Seq((2L, "b")))
     assert(Snapshot.latestVersion(spark, dest) == 3)
