@@ -4,14 +4,36 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Streaming cells burn a FIXED micro-batch machinery cost that
+    // scales with state-store instance count (stores × join sides ×
+    // shuffle partitions) and checkpoint-directory fsyncs — 32-way
+    // partitioning of 3-row micro-batches is pure overhead that masks
+    // operator drift behind host noise (r10 verdict #6). Bench-only
+    // mitigations, neither of which can change a query's RESULT (the
+    // correctness gate runs in its own JVM with default conf):
+    // implicit stream checkpoints go to tmpfs when the host has one.
+    val shmCkpt = {
+      val d = new java.io.File("/dev/shm")
+      if (d.isDirectory && d.canWrite) {
+        val p = new java.io.File(d, "graft_bench_ckpt")
+        def wipe(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(wipe)
+          f.delete(); ()
+        }
+        if (p.exists()) wipe(p)
+        Some(p.getAbsolutePath)
+      } else None
+    }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    shmCkpt.foreach(p =>
+      builder.config("spark.sql.streaming.checkpointLocation", p))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query doesn't absorb
     // class-loading and JIT cost (a cluster amortizes this; one-shot
@@ -42,6 +64,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // the other half of the stream-cell fixed cost: shrink the state
+      // partition count for stateful cells only (partitioning never
+      // affects declared output, only task/store counts)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        if (name.startsWith("q_stream") || name.startsWith("q_tws")) "4"
+        else cpus)
       val best = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {

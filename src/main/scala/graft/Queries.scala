@@ -3709,6 +3709,58 @@ object Queries {
        |WHERE sim >= $EmbThreshold ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ------------------------------------------------------ Q-embdup-probe
+  // Multi-probe retrieval over the SAME occupancy-adaptive banding as
+  // q_embdup_auto (Lv et al., Multi-Probe LSH): each row additionally
+  // probes every bucket at Hamming distance 1 per band, recovering the
+  // pairs one boundary hyperplane split — the r11 scorecard measured
+  // the auto config at 0.21 recall vs exact cosine precisely because
+  // deep occupancy-controlled buckets make per-band recall p^r
+  // collapse; probing buys recall back (0.21 → 0.72 measured, same
+  // table) while candidates stay occupancy-bounded (probe side fans
+  // (r+1)×, build side unchanged, still a pure equi-join). ORACLE
+  // replays the pool planes, the integer autoR resolution, the XOR
+  // probe set, and the exact-cosine verify.
+  def embeddingDupProbe(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupAutoProbed(load(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = EmbThreshold, dim = EmbDim,
+        bands = EmbAutoBands, targetOccupancy = EmbAutoOcc,
+        rMax = EmbAutoRMax)
+      .orderBy("id_a", "id_b")
+
+  private val embeddingDupProbeSql: String = {
+    val pool = Similarity.hyperplanePool(EmbAutoBands, EmbAutoRMax, EmbDim)
+    val bandSelects = (0 until EmbAutoBands).map { b =>
+      val bucket = (0 until EmbAutoRMax).map { i =>
+        s"CASE WHEN $i < r AND ${sqlPlaneDot("embedding", pool(b)(i))} >= 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      s"SELECT $b AS band, $bucket AS bucket, vec_id AS id FROM embeddings, cfg"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cfg AS (
+       |  SELECT coalesce(list_min(list_filter(generate_series(4, $EmbAutoRMax),
+       |           i -> (1 << i) * $EmbAutoOcc >= n)), $EmbAutoRMax) AS r
+       |  FROM (SELECT count(*) AS n FROM embeddings)),
+       |sigs AS (
+       |$bandSelects),
+       |probes AS (
+       |  SELECT band, bucket, id FROM sigs
+       |  UNION ALL
+       |  SELECT band, unnest(list_transform(generate_series(0, r - 1),
+       |           i -> xor(bucket, CAST(1 AS BIGINT) << i))) AS bucket, id
+       |  FROM sigs, cfg),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b FROM probes x
+       |         JOIN sigs y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |         round(${sqlEmbDot("a.embedding", "b.embedding")} /
+       |               (sqrt(${sqlEmbDot("a.embedding", "a.embedding")}) *
+       |                sqrt(${sqlEmbDot("b.embedding", "b.embedding")})), 4) AS sim
+       |  FROM cand JOIN embeddings a ON id_a = a.vec_id
+       |            JOIN embeddings b ON id_b = b.vec_id)
+       |SELECT id_a, id_b, sim FROM scored
+       |WHERE sim >= $EmbThreshold ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ------------------------------------------------------ Q-embdup-exact
   // The exact embedding near-dup ground truth as its OWN declared query:
   // the DuckDB gate holds the truth independently of any banding scheme
@@ -5705,6 +5757,61 @@ object Queries {
   // version of a replaced row, or a dropped insert diverges the hash.
   // ORACLE rebuilds the merged state from the seed with an explicit
   // VALUES arm for the inserts.
+  // --------------------------------------------------- Q-snapreplace
+  // Range replacement (Snapshot.replaceSnapshotRange — Delta's
+  // replaceWhere / dynamic-partition overwrite on the manifest
+  // layout): the daily-reload mutation. Base = customer snapshot
+  // range-clustered 8 ways with c_custkey stats; the batch re-states
+  // ONLY the even keys of [400, 700] (odd keys in range must
+  // disappear — replacement is of the RANGE, not of matching keys,
+  // the semantic that distinguishes it from MERGE). Files fully
+  // inside the range drop by manifest arithmetic (zero bytes read),
+  // disjoint files carry by reference, only edge-straddling files
+  // re-read (SnapshotTravelSpec pins those counts). ORACLE = base
+  // rows outside the range UNION ALL the batch, reconstructed from
+  // the seed table.
+  private val SnapReplaceDir = s"$FixtureRoot/snapreplace"
+
+  def snapReplaceQ(s: SparkSession, dir: String): DataFrame = {
+    publishOnce(SnapReplaceDir, dir) {
+      import java.nio.file.{Files => JF, Paths}
+      val base = Paths.get(SnapReplaceDir)
+      if (JF.exists(base)) {
+        val it = JF.walk(base).sorted(java.util.Comparator.reverseOrder())
+        it.forEach(p => JF.delete(p))
+      }
+      val cust = load(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      graft.operators.Snapshot.publishSnapshot(
+        cust.repartitionByRange(8, col("c_custkey")), SnapReplaceDir,
+        statsCol = Some("c_custkey"))
+      val batch = cust
+        .filter(col("c_custkey").between(400L, 700L) &&
+          col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit("_r")).as("c_name"),
+          (col("bal_cents") + 5000L).as("bal_cents"))
+      graft.operators.Snapshot.replaceSnapshotRange(
+        batch, SnapReplaceDir, 400L, 700L)
+      ()
+    }
+    graft.operators.Snapshot.readSnapshot(s, SnapReplaceDir, 2)
+      .orderBy("c_custkey")
+  }
+
+  private val snapReplaceSql =
+    """SELECT c_custkey, c_name, bal_cents FROM (
+      |  SELECT c_custkey, c_name,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      |  FROM customer WHERE c_custkey < 400 OR c_custkey > 700
+      |  UNION ALL
+      |  SELECT c_custkey, c_name || '_r',
+      |         CAST(round(c_acctbal * 100) AS BIGINT) + 5000
+      |  FROM customer
+      |  WHERE c_custkey BETWEEN 400 AND 700 AND c_custkey % 2 = 0
+      |) ORDER BY c_custkey""".stripMargin
+
   private val SnapMergeDir = s"$FixtureRoot/snapmerge"
 
   def snapMergeQ(s: SparkSession, dir: String): DataFrame = {
@@ -9334,6 +9441,7 @@ object Queries {
     "q_upsert" -> (upsert _),
     "q_embdup" -> (embeddingDup _),
     "q_embdup_auto" -> (embeddingDupAuto _),
+    "q_embdup_probe" -> (embeddingDupProbe _),
     "q_sessions" -> (sessions _),
     "q_dedup_assign" -> (dedupAssign _),
     "q_cc_star" -> (ccStarQ _),
@@ -9467,6 +9575,7 @@ object Queries {
     "q_timetravel" -> (timeTravelQ _),
     "q_snapevolve" -> (snapEvolveQ _),
     "q_snapmerge" -> (snapMergeQ _),
+    "q_snapreplace" -> (snapReplaceQ _),
     "q_snapdelta" -> (snapDeltaQ _),
     "q_snapskip" -> (snapSkipQ _),
     "q_snapcompact" -> (snapCompactQ _),
@@ -9555,6 +9664,7 @@ object Queries {
     "q_upsert" -> upsertSql,
     "q_embdup" -> embeddingDupSql,
     "q_embdup_auto" -> embeddingDupAutoSql,
+    "q_embdup_probe" -> embeddingDupProbeSql,
     "q_sessions" -> sessionsSql,
     "q_dedup_assign" -> dedupAssignSql,
     "q_cc_star" -> dedupAssignSql,
@@ -9688,6 +9798,7 @@ object Queries {
     "q_timetravel" -> timeTravelSql,
     "q_snapevolve" -> snapEvolveSql,
     "q_snapmerge" -> snapMergeSql,
+    "q_snapreplace" -> snapReplaceSql,
     "q_snapdelta" -> snapDeltaSql,
     "q_snapskip" -> snapSkipSql,
     "q_snapcompact" -> snapCompactSql,

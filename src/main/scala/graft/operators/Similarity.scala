@@ -254,6 +254,73 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Multi-probe twin of [[embeddingNearDupBanded]] (Lv et al.,
+    * "Multi-Probe LSH", VLDB 2007): each row probes, per band, its own
+    * bucket AND every bucket at Hamming distance 1 — the r
+    * single-plane flips — so a pair split by ONE boundary hyperplane
+    * in every band is still found. That is exactly where
+    * occupancy-targeted banding loses its recall (r11 scorecard: the
+    * auto config measured 0.21 recall vs exact cosine at sf0.1 —
+    * deep buckets need large r, and per-band recall p^r collapses);
+    * probing buys the recall back WITHOUT shrinking r, so candidate
+    * volume stays occupancy-controlled. Cost shape: the probe side
+    * fans out (r+1)× per band, the BUILD side stays one signature per
+    * band, and the join remains a pure (band, bucket) equi-join —
+    * probe(x) ⋈ true(y) over x.id < y.id covers both directions
+    * because 1-flip adjacency is symmetric. Exact-cosine verification
+    * keeps precision 1.0 as in every banded config. */
+  def embeddingNearDupMultiprobe(emb: DataFrame, idCol: String,
+                                 vecCol: String, threshold: Double,
+                                 bandPlanes: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(bandPlanes.forall(_.size <= 64),
+      s"r=${bandPlanes.map(_.size).max} sign bits per band > 64 would wrap " +
+        "the long shift and silently collide distinct sign patterns into one bucket")
+    graft.GraftExtensions.register(emb.sparkSession)
+    val bands = bandPlanes.size
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val widened = vecs.select(col("id"), col("v").cast("array<double>").as("vd"))
+    val bandStructs = (0 until bands).map { b =>
+      val bucket = bandPlanes(b).zipWithIndex.map { case (p, i) =>
+        when(dot(col("vd"), typedLit(p)) >= 0, 1L << i).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    val sigs = widened.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id"))
+    // per-band probe set: the true bucket + its r one-bit flips
+    val rByBand = typedLit((0 until bands).map(b => b -> bandPlanes(b).size).toMap)
+    val probeBuckets = concat(array(col("bucket")),
+      transform(sequence(lit(0), element_at(rByBand, col("band")) - 1),
+        i => col("bucket").bitwiseXOR(
+          call_function("shiftleft", lit(1L), i.cast("int")))))
+    val probes = sigs.select(col("band"), col("id"),
+      explode(probeBuckets).as("bucket"))
+    val cands = probes.alias("x").join(sigs.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** [[embeddingNearDupAuto]]'s occupancy-adaptive config under
+    * multi-probe retrieval — same r, same linear candidate control,
+    * recall recovered by the 1-flip probes. */
+  def embeddingNearDupAutoProbed(emb: DataFrame, idCol: String,
+                                 vecCol: String, threshold: Double,
+                                 dim: Int, bands: Int = 8,
+                                 targetOccupancy: Int = 8,
+                                 rMax: Int = 24): DataFrame = {
+    val n = emb.count()
+    embeddingNearDupMultiprobe(emb, idCol, vecCol, threshold,
+      hyperplanePool(bands, autoR(n, targetOccupancy, rMax), dim))
+  }
+
   /** Corpus-size-adaptive banding: planes per band r = log2(n /
     * occupancy), so each band's expected bucket occupancy — and with it
     * the candidate volume — stays CONSTANT per row as the corpus grows

@@ -231,6 +231,93 @@ object Snapshot {
         .getOrElse(prevManifest.statsCols))
   }
 
+  /** Range replacement — Delta's `replaceWhere` / Hive dynamic-partition
+    * overwrite re-expressed on the manifest layout: the new version is
+    * the base with every row whose stats column lies in [lo, hi]
+    * REPLACED by `df` (whose rows must all lie inside the range — the
+    * replaceWhere contract, enforced before anything is written). This
+    * is the daily-reload workhorse (re-publish one date range of a
+    * petabyte table) and costs O(boundary + new), never O(table):
+    *   - files whose [min, max] ⊆ [lo, hi] are dropped by MANIFEST
+    *     ARITHMETIC alone — zero bytes read;
+    *   - files disjoint from the range carry by reference (whole delta
+    *     manifests as their one-line entry, the merge/compact rule);
+    *   - only files STRADDLING a range edge — on a range-clustered
+    *     table, ~2 per replace — are re-read to keep their outside
+    *     rows; stats-less files conservatively join them (a rewrite is
+    *     wasted work but never wrong).
+    * Schema follows the merge rule (every base column stated, new
+    * columns evolve, base column order preserved); stats inherit.
+    * Base-dependent like merge: a concurrent commit aborts with
+    * [[ConcurrentSnapshotUpdate]] — retry on the fresh base. */
+  def replaceSnapshotRange(df: DataFrame, destDir: String,
+                           lo: Long, hi: Long,
+                           tag: Option[String] = None): Int = {
+    val spark = df.sparkSession
+    val prev = latestVersion(spark, destDir)
+    require(prev >= 1,
+      s"replaceSnapshotRange needs an existing version under $destDir")
+    val m = readManifest(spark, destDir, prev)
+    val c = m.statsCol.getOrElse(throw new IllegalArgumentException(
+      s"replaceSnapshotRange needs a stats column on $destDir " +
+        "(publish with statsCol)"))
+    require(m.bloom.isEmpty,
+      s"replaceSnapshotRange does not preserve bloom manifests (v$prev " +
+        s"of $destDir); re-publish with publishSnapshotBloom afterwards")
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val viol = df.filter(col(c) < lo || col(c) > hi || col(c).isNull).count()
+    require(viol == 0,
+      s"replaceSnapshotRange: $viol replacement rows fall outside " +
+        s"[$lo, $hi] on '$c' (the replaceWhere contract: the batch must " +
+        "lie entirely inside the replaced range)")
+    m.schema.foreach { prevSchema =>
+      prevSchema.fields.foreach { f =>
+        require(df.schema.fields.exists(x =>
+            x.name == f.name && x.dataType == f.dataType),
+          s"replaceSnapshotRange batch must carry every base column: " +
+            s"'${f.name}: ${f.dataType.simpleString}' is missing or retyped")
+      }
+    }
+    // classify each line off its manifest stats: inside → drop,
+    // disjoint → carry, straddling-or-unknown → rewrite outside rows
+    def firstBounds(l: String): Option[(Long, Long)] = {
+      val f = l.split("\t")
+      if (f.length >= 4 && f.length % 2 == 0)
+        try Some((f(2).toLong, f(3).toLong))
+        catch { case _: NumberFormatException => None }
+      else None
+    }
+    sealed trait Cls
+    case object Carry extends Cls; case object Drop extends Cls
+    case object Rewrite extends Cls
+    def classify(l: String): Cls = firstBounds(l) match {
+      case Some((mn, mx)) if mx < lo || mn > hi => Carry
+      case Some((mn, mx)) if mn >= lo && mx <= hi => Drop
+      case _ => Rewrite
+    }
+    val carriedEntries = m.groups.flatMap { g =>
+      if (g.lines.forall(classify(_) == Carry)) Seq(g.entry)
+      else g.lines.filter(classify(_) == Carry)
+    }
+    val rewritePaths = m.lines.filter(classify(_) == Rewrite).map(linePath)
+    val survivors =
+      if (rewritePaths.isEmpty) df.limit(0)
+      else readWithSchema(spark, m.schema,
+          rewritePaths.map(f => s"$destDir/$f"))
+        .filter(col(c) < lo || col(c) > hi)
+    val delta0 = survivors.unionByName(df, allowMissingColumns = true)
+    val delta = m.schema match {
+      case Some(ps) =>
+        val newCols = delta0.columns.filterNot(ps.fieldNames.contains)
+        delta0.select((ps.fieldNames ++ newCols).map(col).toSeq: _*)
+      case None => delta0
+    }
+    commitVersion(delta, destDir, carryForward = true, statsCol = None,
+      carriedOverride = Some(carriedEntries),
+      tag = tag, prevManifestOpt = Some(m), baseVersion = Some(prev),
+      statsColsMulti = m.statsCols)
+  }
+
   /** Per-file (rows, per-column (min, max)) of integral columns, read
     * from the PARQUET FOOTER — no data pass; the writer already
     * computed the row-group statistics, collecting them is a metadata

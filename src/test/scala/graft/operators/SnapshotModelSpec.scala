@@ -4,7 +4,8 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Model-based randomized exercise of the snapshot layout: a seeded
-  * random sequence of publish / append / merge / compact / vacuum runs
+  * random sequence of publish / append / merge / compact / vacuum /
+  * range-replace runs
   * against BOTH the real layout and a driver-side model (a key→value
   * map per version), and every committed version must read back equal
   * to its model snapshot — including after later operations. This is
@@ -42,7 +43,7 @@ class SnapshotModelSpec extends SparkSpec {
     var ops = List.empty[String]
     (1 to nOps).foreach { _ =>
       val latest = Snapshot.latestVersion(spark, dest)
-      rnd.nextInt(5) match {
+      rnd.nextInt(6) match {
         case 0 => // full replace
           table = freshRows(2 + rnd.nextInt(3))
           val v = Snapshot.publishSnapshot(toDf(table), dest,
@@ -70,6 +71,19 @@ class SnapshotModelSpec extends SparkSpec {
           Snapshot.vacuum(spark, dest, keepFrom = latest)
           (1 until latest).foreach(model.remove)
           ops ::= s"vacuum(keep=$latest)"
+        case 5 => // range replace: a middle slice swapped for fresh rows
+          val ks = table.keySet.toSeq.sorted
+          val (lo, hi) =
+            if (ks.size < 2) (ks.head, ks.head)
+            else (ks(rnd.nextInt(ks.size / 2 + 1)),
+              ks(ks.size / 2 + rnd.nextInt(ks.size - ks.size / 2)))
+          val inside = (1 to (1 + rnd.nextInt(2))).map { _ =>
+            val k = lo + rnd.nextInt((hi - lo + 1).toInt)
+            k.toLong -> s"r$k"
+          }.toMap
+          table = table.filter { case (k, _) => k < lo || k > hi } ++ inside
+          val v = Snapshot.replaceSnapshotRange(toDf(inside), dest, lo, hi)
+          model(v) = table; ops ::= s"replace[$lo,$hi]->v$v"
       }
       val ctx = s"seed=$seed ops=${ops.reverse.mkString(",")}"
       // the LATEST version always equals the current model table

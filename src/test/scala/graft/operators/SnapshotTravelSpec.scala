@@ -140,6 +140,45 @@ class SnapshotTravelSpec extends SparkSpec {
     assert(Snapshot.compactSnapshot(spark, dest, 100L, 1000L) == 5)
   }
 
+  test("replaceSnapshotRange: inside files drop unread, edges rewrite, rest carry") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-ttrw").toString
+    // 8 range files of 100 keys each over 0..799
+    val base = (0L until 800L).map(k => (k, s"n$k")).toDF("k", "v")
+      .repartitionByRange(8, col("k"))
+    Snapshot.publishSnapshot(base, dest, statsCol = Some("k"))
+    // replace [150, 450]: [100-199] and [400-499] straddle (rewrite),
+    // [200-299] and [300-399] are fully inside (drop, zero bytes read),
+    // the other four carry by reference
+    val batch = (150L to 450L by 3L).map(k => (k, s"R$k")).toDF("k", "v")
+    val v = Snapshot.replaceSnapshotRange(batch, dest, 150L, 450L)
+    assert(v == 2)
+    val l2 = Snapshot.manifestLines(spark, dest, 2)
+    assert(l2.count(_.contains("data/v1/")) == 4,
+      s"expected 4 carried base files:\n${l2.mkString("\n")}")
+    assert(l2.exists(_.contains("data/v2/")))
+    // content: outside rows intact, inside rows exactly the batch
+    val out = Snapshot.readSnapshot(spark, dest, 2)
+    val expect = ((0L until 150L) ++ (451L until 800L)).map(k => k -> s"n$k") ++
+      (150L to 450L by 3L).map(k => k -> s"R$k")
+    assert(out.collect().map(r => r.getLong(0) -> r.getString(1)).toSet ===
+      expect.toSet)
+    // the two dropped files' rows are gone even though never read
+    assert(out.filter(col("k") === 250L).count() == 0)
+    // stats survive: range reads still prune and stay exact
+    assert(Snapshot.filesForRange(spark, dest, 2, 700, 710).size <
+      l2.size)
+    assert(rows(Snapshot.readSnapshotRange(spark, dest, 2, 700, 710)
+      .orderBy("k")).map(_.head) === (700L to 710L))
+    // v1 time-travels untouched
+    assert(Snapshot.readSnapshot(spark, dest, 1).count() == 800)
+    // contract: a batch row outside the range refuses
+    intercept[IllegalArgumentException] {
+      Snapshot.replaceSnapshotRange(Seq((800L, "x")).toDF("k", "v"),
+        dest, 150L, 450L)
+    }
+    ()
+  }
+
   test("versionForTag resolves the newest version carrying the tag") {
     val dest = java.nio.file.Files.createTempDirectory("graft-ttt").toString
     Snapshot.publishSnapshot(Seq((1L, "a")).toDF("k", "v"), dest,

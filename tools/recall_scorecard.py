@@ -5,7 +5,8 @@ against the EXACT ground truth it approximates, at a given SF.
 
 Usage: recall_scorecard.py <verify_out_dir> <sf_dir>
 Needs Verify dumps for: q_neardup_minhash q_neardup_ngram
-q_simhash_pairs q_simhash64_pairs q_embdup q_embdup_auto q_semdedup.
+q_simhash_pairs q_simhash64_pairs q_embdup q_embdup_auto
+q_embdup_probe q_semdedup.
 
 Ground truths computed here, independently of the engine:
  - text: exact word-3-gram-shingle Jaccard >= 0.8 over ALL doc pairs,
@@ -77,7 +78,7 @@ hit = S[iu] >= 0.4
 gt_emb = set(zip(ids[iu[0][hit]].tolist(), ids[iu[1][hit]].tolist()))
 gt_emb = {(min(a, b), max(a, b)) for a, b in gt_emb}
 
-for q in ["q_embdup", "q_embdup_auto"]:
+for q in ["q_embdup", "q_embdup_auto", "q_embdup_probe"]:
     found = {(min(a, b), max(a, b)) for a, b in pairs_of(q)}
     rec, prec, tp = pr(found, gt_emb)
     rows.append((q, "cosine>=0.4 all-pairs", len(gt_emb), tp, rec, prec))
