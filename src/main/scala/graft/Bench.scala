@@ -12,14 +12,14 @@ object Bench {
     // mitigations, neither of which can change a query's RESULT (the
     // correctness gate runs in its own JVM with default conf):
     // implicit stream checkpoints go to tmpfs when the host has one.
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(); ()
+    }
     val shmCkpt = {
       val d = new java.io.File("/dev/shm")
       if (d.isDirectory && d.canWrite) {
         val p = new java.io.File(d, "graft_bench_ckpt")
-        def wipe(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(wipe)
-          f.delete(); ()
-        }
         if (p.exists()) wipe(p)
         Some(p.getAbsolutePath)
       } else None
@@ -71,6 +71,11 @@ object Bench {
         if (name.startsWith("q_stream") || name.startsWith("q_tws")) "4"
         else cpus)
       val best = (1 to reps).map { _ =>
+        // a fixed checkpoint ROOT + per-query stream names means a
+        // repeat run would try to RECOVER from the previous rep's
+        // checkpoint (memory-sink streams refuse); each rep starts from
+        // a clean root — tmpfs, so the wipe is microseconds
+        shmCkpt.foreach(p => wipe(new java.io.File(p)))
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {
           case e: Throwable =>

@@ -63,6 +63,7 @@ object StateRehearsal {
       case "compact" => compact(spark, work)
       case "zorder" => zorder(spark, work)
       case "manifestscale" => manifestscale(spark, work)
+      case "morscale" => morscale(spark, work)
     }
     spark.stop()
   }
@@ -290,6 +291,70 @@ object StateRehearsal {
     * evidence. Also measured: the streaming producer's append commit
     * as the version/file count grows (manifest rewrite is O(total
     * files) text — the constant matters). */
+  /** Merge-on-read vs copy-on-write under a stream of SCATTERED small
+    * update batches — the workload MoR exists for. Same base, same 10
+    * batches whose keys stride the whole key space (every batch touches
+    * most files): COW pays touched-file rewrite per merge; MoR commits
+    * O(batch) per merge and pays once at read (resolve join) and once
+    * at reconcile. Measured: total commit wall both paths, resolved-read
+    * vs plain-read wall, reconcile wall, post-reconcile read wall. */
+  private def morscale(spark: SparkSession, work: String): Unit = {
+    import graft.operators.Snapshot
+    locally { // warm-up
+      val d = s"$work/mor_warm"
+      Snapshot.publishSnapshot(spark.range(1000L)
+        .select(col("id").as("k"), lit("w").as("payload")), d,
+        statsCol = Some("k"))
+      Snapshot.mergeSnapshotMoR(spark.range(5L)
+        .select(col("id").as("k"), lit("u").as("payload")), d, "k")
+      Snapshot.reconcileSnapshotMoR(spark, d)
+      ()
+    }
+    for (scale <- Seq(1, 5)) {
+      val rows = 2000000L * scale
+      val files = 64 * scale
+      def base = spark.range(rows)
+        .select(col("id").as("k"), (col("id") % 97).as("grp"),
+          lpad(lit("x"), 120, "x").as("payload"))
+        .repartitionByRange(files, col("k"))
+      def batchOf(i: Int) = spark.range(1000L)
+        .select(((col("id") * (rows / 1009L) + i) % rows).as("k"),
+          lit(-1L).as("grp"), lit(s"upd$i").as("payload"))
+        .distinct()
+      val nBatches = 10
+      // copy-on-write lane
+      val cowDir = s"$work/mor_cow_$scale"
+      Snapshot.publishSnapshot(base, cowDir, statsCol = Some("k"))
+      val (_, cowCommits) = time(
+        (0 until nBatches).foreach(i =>
+          Snapshot.mergeSnapshot(batchOf(i), cowDir, "k")))
+      val (_, cowRead) = time(
+        Snapshot.readSnapshot(spark, cowDir,
+          Snapshot.latestVersion(spark, cowDir))
+          .queryExecution.toRdd.count())
+      // merge-on-read lane
+      val morDir = s"$work/mor_mor_$scale"
+      Snapshot.publishSnapshot(base, morDir, statsCol = Some("k"))
+      val (_, morCommits) = time(
+        (0 until nBatches).foreach(i =>
+          Snapshot.mergeSnapshotMoR(batchOf(i), morDir, "k")))
+      val (_, morRead) = time(
+        Snapshot.readSnapshot(spark, morDir,
+          Snapshot.latestVersion(spark, morDir))
+          .queryExecution.toRdd.count())
+      val (_, reconcile) = time(Snapshot.reconcileSnapshotMoR(spark, morDir))
+      val (_, postRead) = time(
+        Snapshot.readSnapshot(spark, morDir,
+          Snapshot.latestVersion(spark, morDir))
+          .queryExecution.toRdd.count())
+      cell("morscale", "base_rows" -> rows, "base_files" -> files,
+        "batches" -> nBatches, "batch_rows" -> 1000,
+        "cow_commits_sec" -> cowCommits, "mor_commits_sec" -> morCommits,
+        "cow_read_sec" -> cowRead, "mor_read_sec" -> morRead,
+        "reconcile_sec" -> reconcile, "post_reconcile_read_sec" -> postRead)
+    }
+  }
+
   private def snapmerge(spark: SparkSession, work: String): Unit = {
     import graft.operators.Snapshot
     locally { // warm-up: absorb class loading before the first cell

@@ -129,7 +129,8 @@ object Snapshot {
     * `statsCol` defaults to the previous version's, so skipping stats
     * survive merges without the caller re-stating them. */
   def mergeSnapshot(updates: DataFrame, destDir: String, keyCol: String,
-                    statsCol: Option[String] = None): Int = {
+                    statsCol: Option[String] = None,
+                    tag: Option[String] = None): Int = {
     val spark = updates.sparkSession
     val prev = latestVersion(spark, destDir)
     require(prev >= 1,
@@ -138,6 +139,7 @@ object Snapshot {
     // schema) — at real manifest sizes (100k+ lines) re-parsing the
     // text per question would be the merge's driver bottleneck
     val prevManifest = readManifest(spark, destDir, prev)
+    requireNoTombstones(prevManifest, destDir, prev, "mergeSnapshot")
     val lines = prevManifest.lines
     val relPaths = lines.map(linePath)
     // identity join key for input_file_name() ↔ manifest line matching:
@@ -218,7 +220,7 @@ object Snapshot {
       case None => delta0
     }
     commitVersion(delta, destDir, carryForward = true,
-      statsCol = None,
+      statsCol = None, tag = tag,
       carriedOverride = Some(untouchedEntries),
       prevManifestOpt = Some(prevManifest),
       // the anti-joins above ran against v`prev`'s files: if another
@@ -258,6 +260,7 @@ object Snapshot {
     require(prev >= 1,
       s"replaceSnapshotRange needs an existing version under $destDir")
     val m = readManifest(spark, destDir, prev)
+    requireNoTombstones(m, destDir, prev, "replaceSnapshotRange")
     val c = m.statsCol.getOrElse(throw new IllegalArgumentException(
       s"replaceSnapshotRange needs a stats column on $destDir " +
         "(publish with statsCol)"))
@@ -316,6 +319,237 @@ object Snapshot {
       carriedOverride = Some(carriedEntries),
       tag = tag, prevManifestOpt = Some(m), baseVersion = Some(prev),
       statsColsMulti = m.statsCols)
+  }
+
+  // ------------------------------------------------------ merge-on-read
+  /** MERGE INTO, merge-on-read (the Iceberg-v2 / Hudi-MoR write path):
+    * commit the update batch AND a tombstone DELETE-SET (the batch's
+    * distinct keys) — and touch NO base file at all. Where
+    * [[mergeSnapshot]] (copy-on-write) pays a touched-file discovery
+    * scan plus a rewrite of every file containing an updated key, this
+    * commits O(updates) bytes, full stop — the write path for
+    * high-frequency updates against a 100 TB table, with the cost moved
+    * to readers: [[readSnapshot]] resolves the upsert log with one
+    * broadcast join against the per-key max delete sequence (read tax
+    * O(accumulated updates), bounded by running
+    * [[reconcileSnapshotMoR]] periodically, which converts back to
+    * pure copy-on-write at O(touched) cost).
+    *
+    * Semantics are identical to [[mergeSnapshot]]: whole-row replace by
+    * `keyCol` (every update key's old rows disappear, every update row
+    * appears; absent keys are inserts). Sequencing: the staging id is
+    * the upsert-log sequence — sound because the commit is
+    * base-DEPENDENT (a racing commit aborts with
+    * [[ConcurrentSnapshotUpdate]]; the retried op claims a fresh,
+    * necessarily higher id), and because copy-on-write mutations refuse
+    * tombstoned tables, no out-of-sequence writer can exist. Null keys
+    * are not addressable by a keyed merge and are refused. Bloom
+    * manifests refuse (carried words would dangle). */
+  def mergeSnapshotMoR(updates: DataFrame, destDir: String,
+                       keyCol: String): Int =
+    morCommit(Some(updates),
+      updates.select(col(keyCol)).distinct(), destDir, keyCol)
+
+  /** Row-level DELETE on the merge-on-read path: commit ONLY a
+    * tombstone delete-set — the keys disappear from the next version
+    * without reading or rewriting anything (Delta `DELETE WHERE key IN
+    * …` semantics at O(keys) cost). Same sequencing and refusal rules
+    * as [[mergeSnapshotMoR]]. */
+  def deleteSnapshotMoR(keys: DataFrame, destDir: String,
+                        keyCol: String): Int =
+    morCommit(None, keys.select(col(keyCol)).distinct(), destDir, keyCol)
+
+  private def morCommit(updatesOpt: Option[DataFrame], delKeys: DataFrame,
+                        destDir: String, keyCol: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val spark = delKeys.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(destDir).getFileSystem(conf)
+    val prev = latestVersion(spark, destDir)
+    require(prev >= 1,
+      s"mergeSnapshotMoR/deleteSnapshotMoR need an existing version " +
+        s"under $destDir")
+    val m = readManifest(spark, destDir, prev)
+    require(m.bloom.isEmpty,
+      s"merge-on-read does not preserve bloom manifests (v$prev of " +
+        s"$destDir); reconcile + re-publish with publishSnapshotBloom")
+    m.headers.get("morkey").foreach(k0 => require(k0 == keyCol,
+      s"$destDir's merge-on-read log is keyed by '$k0'; got '$keyCol'"))
+    m.schema.foreach(ps => require(ps.fieldNames.contains(keyCol),
+      s"key column '$keyCol' is not a column of $destDir"))
+    val nullKeys = delKeys.filter(col(keyCol).isNull).count()
+    require(nullKeys == 0,
+      s"merge-on-read key '$keyCol' carries null(s): null keys are not " +
+        "addressable by a keyed merge/delete")
+    updatesOpt.foreach { u =>
+      m.schema.foreach { ps =>
+        ps.fields.foreach { f =>
+          require(u.schema.fields.exists(x =>
+              x.name == f.name && x.dataType == f.dataType),
+            s"mergeSnapshotMoR updates must carry every base column: " +
+              s"'${f.name}: ${f.dataType.simpleString}' is missing or retyped")
+        }
+      }
+    }
+    val uid = claimStagingId(fs, destDir, prev + 1)
+    def relLines(dir: Path, pfx: String): Seq[String] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getPath.getName).sorted.toSeq
+        .map(n => s"$pfx${dir.getName}/${n}")
+    val dataDir = new Path(s"$destDir/data/v$uid")
+    val dataLines = updatesOpt match {
+      case Some(u) =>
+        // readers see the version schema's order; new columns append
+        val ordered = m.schema match {
+          case Some(ps) =>
+            val nc = u.columns.filterNot(ps.fieldNames.contains)
+            u.select((ps.fieldNames ++ nc).map(col).toSeq: _*)
+          case None => u
+        }
+        ordered.write.mode("overwrite").parquet(dataDir.toString)
+        relLines(dataDir, "data/")
+      case None => Seq.empty
+    }
+    val delDir = new Path(s"$destDir/data/v${uid}_del")
+    delKeys.write.mode("overwrite").parquet(delDir.toString)
+    val delLines = relLines(delDir, "!data/")
+    // manifest: previous entries VERBATIM (refs stay one-line refs) +
+    // the batch's lines — an MoR commit writes O(versions + batch)
+    // bytes however big the table is. Schema header = base schema with
+    // any new update columns appended (add-column evolution); stats
+    // header carries so a later reconcile restores skipping.
+    val outSchema: Option[org.apache.spark.sql.types.StructType] =
+      (m.schema, updatesOpt) match {
+        case (Some(ps), Some(u)) =>
+          val newFields = u.schema.fields
+            .filterNot(f => ps.fieldNames.contains(f.name))
+          Some(org.apache.spark.sql.types.StructType(
+            (ps.fields ++ newFields).map(_.copy(nullable = true))))
+        case (Some(ps), None) => Some(ps)
+        case (None, Some(u)) => Some(org.apache.spark.sql.types.StructType(
+          u.schema.fields.map(_.copy(nullable = true))))
+        case (None, None) => None
+      }
+    val header = outSchema.map(s => s"#schema=${s.json}").toSeq ++
+      (if (m.statsCols.isEmpty) Seq.empty
+       else Seq(s"#stats=${m.statsCols.mkString(",")}")) ++
+      Seq(s"#morkey=$keyCol")
+    def abort(msg: String): Nothing = {
+      fs.delete(dataDir, true); fs.delete(delDir, true)
+      throw new ConcurrentSnapshotUpdate(msg)
+    }
+    // base-dependent CAS, single attempt: the upsert-log sequencing
+    // argument needs commit order == staging-id order, which holds only
+    // when a lost race aborts (the caller's retry claims a fresh,
+    // higher id) instead of re-committing the same id later
+    if (latestVersion(spark, destDir) != prev)
+      abort(s"base of $destDir advanced past v$prev during a " +
+        "merge-on-read commit; retry against the new latest version")
+    if (!tryCommitManifest(fs, destDir, prev + 1, uid,
+        header ++ m.entries ++ dataLines ++ delLines))
+      abort(s"merge-on-read commit to $destDir lost the v${prev + 1} " +
+        "slot; retry against the new latest version")
+    prev + 1
+  }
+
+  /** Convert a merge-on-read table back to pure copy-on-write: resolve
+    * the upsert log ONCE, rewriting only the base files that actually
+    * contain a touched key (discovered by a column-pruned key scan,
+    * stats-range-narrowed when the table's stats column is the merge
+    * key) and materializing the winning upsert rows; untouched base
+    * files — at 100 TB, almost all — carry by reference. Tombstones and
+    * upsert-log files drop from the manifest (vacuum reclaims their
+    * bytes once retention allows); every copy-on-write op and index
+    * read works again on the result. Cost O(touched + updates), the
+    * same class as ONE copy-on-write merge — amortized over every MoR
+    * commit since the last reconcile. Base-dependent: a concurrent
+    * commit aborts with [[ConcurrentSnapshotUpdate]]. Returns the new
+    * version (the current one when no tombstones exist). */
+  def reconcileSnapshotMoR(spark: org.apache.spark.sql.SparkSession,
+                           destDir: String): Int = {
+    val prev = latestVersion(spark, destDir)
+    require(prev >= 1,
+      s"reconcileSnapshotMoR needs an existing version under $destDir")
+    val m = readManifest(spark, destDir, prev)
+    val delLines = m.lines.filter(isDeleteLine)
+    if (delLines.isEmpty) return prev
+    val keyCol = m.headers("morkey")
+    val delSeqs = delLines.map(l => morSeq(linePath(l))).toSet
+    val dataLines = m.lines.filterNot(isDeleteLine)
+    val (upsertLines, baseLines) =
+      dataLines.partition(l => delSeqs(morSeq(linePath(l))))
+    val seqExpr = regexp_extract(input_file_name(),
+      "/data/v(\\d+)(_del)?/", 1).cast("long")
+    val delDf = spark.read
+      .parquet(delLines.map(l => s"$destDir/${linePath(l)}").distinct: _*)
+      .select(col(keyCol)).withColumn("__dseq", seqExpr)
+    val dKeys = delDf.select(keyCol).distinct()
+    // touched-base discovery mirrors mergeSnapshot: stats-range narrow
+    // when the stats column IS the key, then the exact semi-join
+    val isIntegralKey = m.schema.exists(_.fields.exists(f =>
+      f.name == keyCol && (f.dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      })))
+    val candidates: Seq[String] =
+      if (m.statsCol.contains(keyCol) && isIntegralKey) {
+        val mm = dKeys.agg(min(col(keyCol)).cast("long"),
+          max(col(keyCol)).cast("long")).head()
+        if (mm.isNullAt(0)) Seq.empty
+        else baseLines.filter(lineOverlaps(_, 0, mm.getLong(0),
+          mm.getLong(1), hasBloom = false)).map(linePath)
+      } else baseLines.map(linePath)
+    def lastTwo(p: String): String = p.split("/").takeRight(2).mkString("/")
+    // bounded collect: one row per touched base file
+    val touched =
+      if (candidates.isEmpty) Set.empty[String]
+      else readWithSchema(spark, m.schema,
+          candidates.map(f => s"$destDir/$f"))
+        .select(substring_index(input_file_name(), "/", -2).as("__f"),
+          col(keyCol))
+        .join(dKeys, Seq(keyCol), "left_semi")
+        .select("__f").distinct().collect().map(_.getString(0)).toSet
+    def keepLine(l: String): Boolean =
+      !isDeleteLine(l) && !delSeqs(morSeq(linePath(l))) &&
+        !touched(lastTwo(linePath(l)))
+    val carried = m.groups.flatMap { g =>
+      if (g.lines.forall(keepLine)) Seq(g.entry)
+      else g.lines.filter(keepLine)
+    }
+    val touchedPaths = baseLines.map(linePath)
+      .filter(p => touched(lastTwo(p)))
+    val survivors =
+      if (touchedPaths.isEmpty) None
+      else Some(readWithSchema(spark, m.schema,
+          touchedPaths.map(f => s"$destDir/$f"))
+        .join(dKeys, Seq(keyCol), "left_anti"))
+    val dmax = delDf.groupBy(keyCol).agg(max("__dseq").as("__dmax"))
+    val winners =
+      if (upsertLines.isEmpty) None
+      else Some(readWithSchema(spark, m.schema,
+          upsertLines.map(l => s"$destDir/${linePath(l)}"))
+        .withColumn("__seq", seqExpr)
+        .join(broadcast(dmax), Seq(keyCol))
+        .filter(col("__dmax") === col("__seq"))
+        .drop("__seq", "__dmax"))
+    val deltaParts = survivors.toSeq ++ winners.toSeq
+    val delta0 = deltaParts match {
+      case Seq() => readSnapshot(spark, destDir, prev).limit(0)
+      case parts => parts.reduce(_.unionByName(_))
+    }
+    val delta = m.schema match {
+      case Some(ps) => delta0.select(ps.fieldNames.map(col).toSeq: _*)
+      case None => delta0
+    }
+    commitVersion(delta, destDir, carryForward = true, statsCol = None,
+      carriedOverride = Some(carried), prevManifestOpt = Some(m),
+      baseVersion = Some(prev), statsColsMulti = m.statsCols,
+      morAware = true)
   }
 
   /** Per-file (rows, per-column (min, max)) of integral columns, read
@@ -417,7 +651,8 @@ object Snapshot {
                             tag: Option[String] = None,
                             prevManifestOpt: Option[ManifestData] = None,
                             statsColsMulti: Seq[String] = Nil,
-                            baseVersion: Option[Int] = None): Int = {
+                            baseVersion: Option[Int] = None,
+                            morAware: Boolean = false): Int = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
@@ -490,6 +725,13 @@ object Snapshot {
         else if (carryForward && base >= 1)
           Some(readManifest(spark, destDir, base))
         else None
+      // a carry-forward commit built without MoR awareness would carry
+      // tombstone lines it doesn't understand (and its own rows would
+      // sit OUTSIDE the upsert log's sequence ordering) — refuse; the
+      // caller merges via mergeSnapshotMoR or reconciles first
+      if (carryForward && !morAware)
+        prevManifest.foreach(pm =>
+          requireNoTombstones(pm, destDir, base, "a carry-forward publish"))
       // Schema evolution (add-column only): the manifest records the
       // version's schema, so a reader applies THIS version's schema to
       // every referenced file — files carried forward from before the
@@ -722,7 +964,32 @@ object Snapshot {
       case None    => spark.read.parquet(files: _*)
     }
 
-  private def linePath(l: String): String = l.split("\t").head
+  /** A manifest line's file path. Tombstone lines (merge-on-read
+    * delete-sets, [[mergeSnapshotMoR]]) are marked with a leading `!`;
+    * the path itself never carries it. */
+  private def linePath(l: String): String =
+    l.stripPrefix("!").split("\t").head
+
+  /** Is this manifest line a merge-on-read tombstone (delete-set file)? */
+  private def isDeleteLine(l: String): Boolean = l.startsWith("!")
+
+  /** Staging sequence of a data/delete file path (`data/v<id>/…` or
+    * `data/v<id>_del/…`). Under the MoR protocol's base-dependent CAS,
+    * committed MoR ids are strictly increasing in commit order (claims
+    * are permanent and first-free, so a later claim is always higher),
+    * which is what makes the id usable as the upsert-log sequence. */
+  private def morSeq(relPath: String): Long =
+    relPath.split("/")(1).stripPrefix("v").stripSuffix("_del").toLong
+
+  /** Refuse an operation that has no defined semantics over tombstoned
+    * (merge-on-read) manifests — the caller reconciles first. Stats /
+    * bloom / CDC reads and copy-on-write mutations all refuse rather
+    * than silently treating delete-set files as data. */
+  private def requireNoTombstones(m: ManifestData, destDir: String,
+                                  v: Int, op: String): Unit =
+    require(!m.lines.exists(isDeleteLine),
+      s"$op does not operate on a merge-on-read table (v$v of $destDir " +
+        "carries tombstones); run reconcileSnapshotMoR first")
 
   /** Highest committed version, 0 if none. A `.tmp_` manifest (crashed
     * publish) is invisible — commit is the rename. */
@@ -739,13 +1006,56 @@ object Snapshot {
       .foldLeft(0)(math.max)
   }
 
-  /** Read version `v` exactly as published — only the manifest's files. */
+  /** Read version `v` exactly as published — only the manifest's files.
+    * A merge-on-read version (tombstone lines present) resolves its
+    * upsert log transparently ([[mergeSnapshotMoR]]): the reader you
+    * already have keeps returning correct rows whichever write protocol
+    * produced the version. */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
                    destDir: String, v: Int): DataFrame = {
     val m = readManifest(spark, destDir, v)
-    val files = m.lines.map(l => s"$destDir/${linePath(l)}")
-    require(files.nonEmpty, s"version $v under $destDir is empty/unknown")
-    readWithSchema(spark, m.schema, files)
+    if (m.lines.exists(isDeleteLine)) morRead(spark, destDir, m, v)
+    else {
+      val files = m.lines.map(l => s"$destDir/${linePath(l)}")
+      require(files.nonEmpty, s"version $v under $destDir is empty/unknown")
+      readWithSchema(spark, m.schema, files)
+    }
+  }
+
+  /** The merge-on-read resolve: base rows survive unless their key was
+    * ever touched by a delete-set; upsert rows (files whose staging id
+    * has a delete-set — every MoR merge deletes the keys it re-states)
+    * survive iff theirs is the LATEST touch of that key. One broadcast
+    * join against the per-key max delete sequence — the read tax is
+    * O(accumulated updates since the last reconcile), never O(table). */
+  private def morRead(spark: org.apache.spark.sql.SparkSession,
+                      destDir: String, m: ManifestData, v: Int): DataFrame = {
+    val keyCol = m.headers.getOrElse("morkey", throw new IllegalStateException(
+      s"v$v of $destDir carries tombstones but no #morkey header"))
+    val delLines = m.lines.filter(isDeleteLine)
+    val delSeqs = delLines.map(l => morSeq(linePath(l))).distinct
+    val seqExpr = regexp_extract(input_file_name(),
+      "/data/v(\\d+)(_del)?/", 1).cast("long")
+    val dmax = spark.read
+      .parquet(delLines.map(l => s"$destDir/${linePath(l)}").distinct: _*)
+      .select(col(keyCol)).withColumn("__dseq", seqExpr)
+      .groupBy(keyCol).agg(max("__dseq").as("__dmax"))
+    val dataFiles = m.lines.filterNot(isDeleteLine)
+      .map(l => s"$destDir/${linePath(l)}")
+    require(dataFiles.nonEmpty, s"version $v under $destDir is empty/unknown")
+    val resolved = readWithSchema(spark, m.schema, dataFiles)
+      .withColumn("__seq", seqExpr)
+      .join(broadcast(dmax), Seq(keyCol), "left")
+      .filter(when(col("__seq").isInCollection(delSeqs),
+          col("__dmax") === col("__seq"))
+        .otherwise(col("__dmax").isNull))
+      .drop("__seq", "__dmax")
+    // the key-join moved keyCol first; readers see the version schema's
+    // column order regardless of write protocol
+    m.schema match {
+      case Some(s) => resolved.select(s.fieldNames.map(col).toSeq: _*)
+      case None => resolved
+    }
   }
 
   /** Does line `l` overlap [lo, hi] on the `idx`-th stats column?
@@ -776,8 +1086,11 @@ object Snapshot {
     * skipping must never lose rows). Driver-side manifest arithmetic,
     * no data touched. */
   def filesForRange(spark: org.apache.spark.sql.SparkSession,
-                    destDir: String, v: Int, lo: Long, hi: Long): Seq[String] =
-    linesForRange(readManifest(spark, destDir, v), lo, hi)
+                    destDir: String, v: Int, lo: Long, hi: Long): Seq[String] = {
+    val m = readManifest(spark, destDir, v)
+    requireNoTombstones(m, destDir, v, "filesForRange")
+    linesForRange(m, lo, hi)
+  }
 
   /** Range read with manifest-stats pruning + the precise residual
     * filter on the published stats column: only overlapping files are
@@ -788,6 +1101,7 @@ object Snapshot {
                         destDir: String, v: Int, lo: Long,
                         hi: Long): DataFrame = {
     val m = readManifest(spark, destDir, v)
+    requireNoTombstones(m, destDir, v, "readSnapshotRange")
     val c = m.statsCol.getOrElse(
       throw new IllegalArgumentException(
         s"version $v of $destDir was published without a stats column"))
@@ -852,6 +1166,7 @@ object Snapshot {
                   destDir: String, v: Int, aLo: Long, aHi: Long,
                   bLo: Long, bHi: Long): Seq[String] = {
     val m = readManifest(spark, destDir, v)
+    requireNoTombstones(m, destDir, v, "filesForBox")
     m.lines
       .filter(l => lineOverlaps(l, 0, aLo, aHi, m.bloom.isDefined) &&
         lineOverlaps(l, 1, bLo, bHi, m.bloom.isDefined))
@@ -865,6 +1180,7 @@ object Snapshot {
                       destDir: String, v: Int, aLo: Long, aHi: Long,
                       bLo: Long, bHi: Long): DataFrame = {
     val m = readManifest(spark, destDir, v)
+    requireNoTombstones(m, destDir, v, "readSnapshotBox")
     require(m.statsCols.length >= 2,
       s"version $v of $destDir needs two stats columns for box reads " +
         s"(has ${m.statsCols.mkString(",")})")
@@ -888,6 +1204,7 @@ object Snapshot {
                      destDir: String, vFrom: Int, vTo: Int): DataFrame = {
     val before = manifestLines(spark, destDir, vFrom).map(linePath).toSet
     val mTo = readManifest(spark, destDir, vTo)
+    requireNoTombstones(mTo, destDir, vTo, "changedBetween")
     val added = mTo.lines.map(linePath).filterNot(before)
     if (added.isEmpty) readSnapshot(spark, destDir, vTo).limit(0)
     else readWithSchema(spark, mTo.schema, added.map(f => s"$destDir/$f"))
@@ -1039,6 +1356,7 @@ object Snapshot {
   def filesForKey(spark: org.apache.spark.sql.SparkSession,
                   destDir: String, v: Int, key: String): Seq[String] = {
     val m = readManifest(spark, destDir, v)
+    requireNoTombstones(m, destDir, v, "filesForKey")
     val (_, mBits, k) = bloomParams(m, destDir, v)
     val nStats = m.statsCols.length
     m.lines.filter { l =>
@@ -1106,6 +1424,7 @@ object Snapshot {
     val v = latestVersion(spark, destDir)
     require(v >= 1, s"compactSnapshot needs an existing version under $destDir")
     val m = readManifest(spark, destDir, v)
+    requireNoTombstones(m, destDir, v, "compactSnapshot")
     // a bloom-published version's lines carry bitmap words, not row
     // counts — compacting it would silently emit a bloom-less version
     // (point lookups lose their skipping); refuse instead of degrading

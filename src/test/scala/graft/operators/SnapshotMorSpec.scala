@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read semantics: O(updates) commits with tombstone
+  * delete-sets, transparent read-time resolution, row-level delete,
+  * sequencing across chained merges, refusal walls around the
+  * unreconciled state, and the O(touched) reconcile back to pure
+  * copy-on-write.
+  */
+class SnapshotMorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kv(rows: (Long, String)*) = rows.toSeq.toDF("k", "v")
+
+  test("MoR merge: upserts + inserts visible, base untouched on disk, O(1) manifest growth") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-mor").toString
+    Snapshot.publishSnapshot(
+      kv(1L -> "a", 2L -> "b", 3L -> "c").repartition(2), dest,
+      statsCol = Some("k"))
+    val before = Snapshot.manifestLines(spark, dest, 1).map(_.split("\t").head)
+    val v2 = Snapshot.mergeSnapshotMoR(kv(2L -> "B", 4L -> "D"), dest, "k")
+    assert(v2 == 2)
+    // content: whole-row replace + insert, same as copy-on-write merge
+    assert(rows(Snapshot.readSnapshot(spark, dest, 2).orderBy("k")) ===
+      Seq(Seq(1L, "a"), Seq(2L, "B"), Seq(3L, "c"), Seq(4L, "D")))
+    // v1 time-travels untouched
+    assert(rows(Snapshot.readSnapshot(spark, dest, 1).orderBy("k")) ===
+      Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    // NO base file was rewritten: every v1 file is still referenced
+    val l2 = Snapshot.manifestLines(spark, dest, 2)
+    before.foreach(p => assert(l2.exists(_.startsWith(p)),
+      s"base file $p missing from v2:\n${l2.mkString("\n")}"))
+    // tombstone lines present, marked, pointing at the _del dir
+    assert(l2.exists(l => l.startsWith("!") && l.contains("_del/")))
+    ()
+  }
+
+  test("pure MoR delete drops rows without reading anything; chained merges sequence correctly") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-mord").toString
+    Snapshot.publishSnapshot(kv(1L -> "a", 2L -> "b", 3L -> "c"), dest)
+    Snapshot.mergeSnapshotMoR(kv(2L -> "B2", 4L -> "D"), dest, "k")
+    Snapshot.deleteSnapshotMoR(Seq(2L, 3L).toDF("k"), dest, "k")
+    // delete wins over the earlier upsert of 2; 3 gone from base
+    assert(rows(Snapshot.readSnapshot(spark, dest, 3).orderBy("k")) ===
+      Seq(Seq(1L, "a"), Seq(4L, "D")))
+    // re-merge a deleted key: the latest touch wins again
+    Snapshot.mergeSnapshotMoR(kv(3L -> "C3", 4L -> "D4"), dest, "k")
+    assert(rows(Snapshot.readSnapshot(spark, dest, 4).orderBy("k")) ===
+      Seq(Seq(1L, "a"), Seq(3L, "C3"), Seq(4L, "D4")))
+    // every intermediate version still reads exactly as committed
+    assert(rows(Snapshot.readSnapshot(spark, dest, 2).orderBy("k")) ===
+      Seq(Seq(1L, "a"), Seq(2L, "B2"), Seq(3L, "c"), Seq(4L, "D")))
+    ()
+  }
+
+  test("copy-on-write ops and index reads refuse a tombstoned table; null keys refuse") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-morr").toString
+    Snapshot.publishSnapshot(kv(1L -> "a", 2L -> "b"), dest,
+      statsCol = Some("k"))
+    Snapshot.mergeSnapshotMoR(kv(2L -> "B"), dest, "k")
+    intercept[IllegalArgumentException] {
+      Snapshot.appendSnapshot(kv(5L -> "e"), dest)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.mergeSnapshot(kv(5L -> "e"), dest, "k")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.replaceSnapshotRange(kv(1L -> "x"), dest, 1L, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.compactSnapshot(spark, dest, 10L, 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.readSnapshotRange(spark, dest, 2, 1L, 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.changedBetween(spark, dest, 1, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.mergeSnapshotMoR(
+        Seq((Option.empty[Long], "x")).toDF("k", "v"), dest, "k")
+    }
+    // wrong key column refuses (the log is keyed once)
+    intercept[IllegalArgumentException] {
+      Snapshot.mergeSnapshotMoR(kv(1L -> "y"), dest, "v")
+    }
+    ()
+  }
+
+  test("reconcile: content identical, tombstones gone, untouched files carried, COW ops re-enabled") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-morc").toString
+    // 8 range files over 0..799 — MoR touches only keys in [100, 110]
+    val base = (0L until 800L).map(k => (k, s"n$k")).toDF("k", "v")
+      .repartitionByRange(8, col("k"))
+    Snapshot.publishSnapshot(base, dest, statsCol = Some("k"))
+    Snapshot.mergeSnapshotMoR(
+      Seq((100L, "X"), (1000L, "NEW")).toDF("k", "v"), dest, "k")
+    Snapshot.deleteSnapshotMoR(Seq(105L).toDF("k"), dest, "k")
+    val expect = ((0L until 800L).filterNot(k => k == 100L || k == 105L)
+      .map(k => Seq(k, s"n$k")) ++ Seq(Seq(100L, "X"), Seq(1000L, "NEW")))
+      .sortBy(_.head.asInstanceOf[Long])
+    assert(rows(Snapshot.readSnapshot(spark, dest, 3).orderBy("k")) === expect)
+    val v4 = Snapshot.reconcileSnapshotMoR(spark, dest)
+    assert(v4 == 4)
+    val l4 = Snapshot.manifestLines(spark, dest, 4)
+    assert(!l4.exists(_.startsWith("!")), l4.mkString("\n"))
+    // only the ONE base file holding [100, 110] was rewritten: 7 of the
+    // 8 v1 files carry by reference (stats-range narrowing + semi-join)
+    assert(l4.count(_.contains("data/v1/")) == 7,
+      s"expected 7 carried base files:\n${l4.mkString("\n")}")
+    assert(rows(Snapshot.readSnapshot(spark, dest, 4).orderBy("k")) === expect)
+    // stats survive the reconcile: range reads prune and stay exact
+    assert(Snapshot.filesForRange(spark, dest, 4, 700, 710).size < l4.size)
+    // copy-on-write works again
+    val v5 = Snapshot.mergeSnapshot(Seq((1L, "z")).toDF("k", "v"), dest, "k")
+    assert(rows(Snapshot.readSnapshot(spark, dest, v5)
+      .filter(col("k") === 1L)) === Seq(Seq(1L, "z")))
+    // idempotent: nothing to reconcile → same version back
+    assert(Snapshot.reconcileSnapshotMoR(spark, dest) == v5)
+    ()
+  }
+
+  test("MoR schema evolution: new update column null-fills base rows") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-more").toString
+    Snapshot.publishSnapshot(kv(1L -> "a", 2L -> "b"), dest)
+    Snapshot.mergeSnapshotMoR(
+      Seq((2L, "B", 7L)).toDF("k", "v", "extra"), dest, "k")
+    assert(rows(Snapshot.readSnapshot(spark, dest, 2).orderBy("k")) ===
+      Seq(Seq(1L, "a", null), Seq(2L, "B", 7L)))
+    // and the evolved column survives reconcile
+    Snapshot.reconcileSnapshotMoR(spark, dest)
+    assert(rows(Snapshot.readSnapshot(spark, dest, 3).orderBy("k")) ===
+      Seq(Seq(1L, "a", null), Seq(2L, "B", 7L)))
+    ()
+  }
+
+  test("vacuum reclaims dropped MoR versions' delta and delete files, keeps live ones") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-morv").toString
+    Snapshot.publishSnapshot(kv(1L -> "a", 2L -> "b"), dest)
+    Snapshot.mergeSnapshotMoR(kv(2L -> "B"), dest, "k")
+    val v3 = Snapshot.reconcileSnapshotMoR(spark, dest)
+    val expect = rows(Snapshot.readSnapshot(spark, dest, v3).orderBy("k"))
+    Snapshot.vacuum(spark, dest, keepFrom = v3)
+    assert(rows(Snapshot.readSnapshot(spark, dest, v3).orderBy("k")) === expect)
+    // the upsert log's delete FILES are gone (vacuum reclaims by file;
+    // no kept version references them)
+    val delFiles = new java.io.File(s"$dest/data").listFiles()
+      .filter(_.getName.endsWith("_del"))
+      .flatMap(_.listFiles()).filter(_.getName.startsWith("part-"))
+    assert(delFiles.isEmpty, delFiles.mkString(","))
+    ()
+  }
+
+  test("a racing commit aborts the MoR merge losslessly") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-morx").toString
+    Snapshot.publishSnapshot(kv(1L -> "a"), dest)
+    // simulate the race: another writer commits between our base read
+    // and commit — easiest deterministic form: two sequential MoR
+    // merges where the second is built against a stale base via the
+    // concurrency soak pattern (threads), asserting one of each racing
+    // pair aborts and the surviving history is lossless
+    val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ts = (0 until 2).map { i =>
+      new Thread(() => {
+        (0 until 3).foreach { j =>
+          var done = false
+          while (!done) {
+            try {
+              Snapshot.mergeSnapshotMoR(
+                kv((10L * i + j) -> s"t$i$j"), dest, "k")
+              done = true
+            } catch {
+              case _: Snapshot.ConcurrentSnapshotUpdate =>
+                errs.incrementAndGet() // retry against the fresh base
+            }
+          }
+        }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    // 6 merges committed → 7 contiguous versions, no delta lost
+    assert(Snapshot.latestVersion(spark, dest) == 7)
+    val got = rows(Snapshot.readSnapshot(spark, dest, 7).orderBy("k"))
+      .map(_.head.asInstanceOf[Long]).toSet
+    assert(got === Set(1L, 0L, 10L, 11L, 12L, 2L),
+      s"lost a racing merge's delta: $got (aborts seen: ${errs.get})")
+    ()
+  }
+}

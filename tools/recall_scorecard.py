@@ -62,7 +62,7 @@ rows = []
 for q in ["q_neardup_minhash", "q_neardup_ngram"]:
     rec, prec, tp = pr(pairs_of(q), gt_text)
     rows.append((q, "jaccard>=0.8 uncapped", len(gt_text), tp, rec, prec))
-for q in ["q_simhash_pairs", "q_simhash64_pairs"]:
+for q in ["q_simhash_pairs", "q_simhash64_pairs", "q_simhash_verified"]:
     rec, prec, tp = pr(pairs_of(q), gt_text)
     rows.append((q, "jaccard>=0.8 uncapped", len(gt_text), tp, rec, prec))
 
@@ -78,7 +78,7 @@ hit = S[iu] >= 0.4
 gt_emb = set(zip(ids[iu[0][hit]].tolist(), ids[iu[1][hit]].tolist()))
 gt_emb = {(min(a, b), max(a, b)) for a, b in gt_emb}
 
-for q in ["q_embdup", "q_embdup_auto", "q_embdup_probe"]:
+for q in ["q_embdup", "q_embdup_hi", "q_embdup_auto", "q_embdup_probe"]:
     found = {(min(a, b), max(a, b)) for a, b in pairs_of(q)}
     rec, prec, tp = pr(found, gt_emb)
     rows.append((q, "cosine>=0.4 all-pairs", len(gt_emb), tp, rec, prec))
