@@ -3470,6 +3470,48 @@ object Queries {
     }.reduce(_.unionByName(_)).orderBy("version")
   }
 
+  // ------------------------------------------------- Q-stream-mor
+  // Streaming UPSERTS into a snapshot table (Ingest.morStream — the
+  // merge-on-read producer): 3 time-ordered micro-batches each shaped
+  // to the latest event per user (row_number by us desc, event_id
+  // desc) and committed as an O(batch) MoR merge that reads NO base
+  // file; reconcileEvery=2 runs the O(touched) reconcile mid-stream,
+  // so the final read crosses BOTH a reconciled prefix and live
+  // tombstones. Exactly-once rides batch tags like snapshotStream.
+  // Because batches are time-split, the final per-user row is the
+  // GLOBALLY latest event per user — which the ORACLE states directly
+  // with one window over the whole events table (no batch replay
+  // needed: the latest event lives in the last batch containing that
+  // user, and later merges replace earlier rows).
+  def streamMorQ(s: SparkSession, dir: String): DataFrame = {
+    ensureScd2Fixture(s, dir)
+    val out = s"$FixtureRoot/stream_mor_out"
+    wipeDir(out)
+    val dest = s"$out/dest"
+    graft.streaming.Ingest.morStream(s, StreamScd2Src,
+      "batch*.parquet", dest, s"$out/chk", keyCol = "user_id",
+      shape = b => b
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("__rn", expr(
+          "row_number() over (partition by user_id " +
+            "order by us desc, event_id desc)"))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents")),
+      reconcileEvery = 2)
+      .orderBy("user_id")
+  }
+
+  private val streamMorSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+      |             CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events),
+      |r AS (SELECT user_id, event_id, cents,
+      |             row_number() OVER (PARTITION BY user_id
+      |               ORDER BY us DESC, event_id DESC) AS rn FROM e)
+      |SELECT user_id, event_id, cents FROM r WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   private val streamSnapSql =
     """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
       |             CAST(round(value * 100) AS BIGINT) AS cents
@@ -3684,7 +3726,10 @@ object Queries {
        |  (acc, v) -> acc + v)""".stripMargin
   }
 
-  private def embeddingDupSqlFor(bands: Int): String = {
+  /** CTE body (no WITH prefix) replaying the banded cosine-LSH pair
+    * stage bit-for-bit: `scored(id_a, id_b, sim)` holds the candidates
+    * with their exact rounded cosine. */
+  private def embBandedPairsCtes(bands: Int): String = {
     def dot(x: String, y: String) = sqlEmbDot(x, y)
     def dotPlane(x: String, plane: Seq[Double]) = sqlPlaneDot(x, plane)
     val planes = Similarity.hyperplanes(EmbPlanes, EmbDim)
@@ -3695,7 +3740,7 @@ object Queries {
       }.mkString("(", " + ", ")")
       s"SELECT $b AS band, $bucket AS bucket, vec_id AS id FROM embeddings"
     }.mkString("\nUNION ALL\n")
-    s"""WITH sigs AS (
+    s"""sigs AS (
        |$bandSelects),
        |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b FROM sigs x
        |         JOIN sigs y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
@@ -3705,10 +3750,13 @@ object Queries {
        |               (sqrt(${dot("a.embedding", "a.embedding")}) *
        |                sqrt(${dot("b.embedding", "b.embedding")})), 4) AS sim
        |  FROM cand JOIN embeddings a ON id_a = a.vec_id
-       |            JOIN embeddings b ON id_b = b.vec_id)
+       |            JOIN embeddings b ON id_b = b.vec_id)""".stripMargin
+  }
+
+  private def embeddingDupSqlFor(bands: Int): String =
+    s"""WITH ${embBandedPairsCtes(bands)}
        |SELECT id_a, id_b, sim FROM scored
        |WHERE sim >= $EmbThreshold ORDER BY id_a, id_b""".stripMargin
-  }
 
   private val embeddingDupSql: String = embeddingDupSqlFor(EmbBands)
 
@@ -3969,6 +4017,45 @@ object Queries {
        |              (a.nm * b.nm), 4) >= $EmbThreshold)
        |SELECT n.id, n.cid AS cluster FROM nv n
        |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = n.id)
+       |ORDER BY id""".stripMargin
+
+  // --------------------------------------------------------- Q-semdedup-x
+  // SemDeDup's contract gap, closed by composition: the r11 scorecard
+  // measured cluster-restricted drops at 0.417 recall vs the GLOBAL
+  // exact drop set — cross-cluster duplicates are outside SemDeDup's
+  // contract by design (Abbas et al. prune within k-means cells). This
+  // config pairs it with the high-recall banded pair stage (the
+  // q_embdup_hi banding, measured recall 1.000 on this corpus): drops =
+  // cluster-local SemDeDup drops ∪ {higher id of every banded pair} —
+  // coverage WITHOUT all-pairs cost (Σ n_c² within cells + the
+  // (band, bucket) equi-join across them). ORACLE composes both drop
+  // sets from the shared CTE generators and double-anti-joins.
+  def semDedupXQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    val local = Clustering.semDedup(emb, "vec_id", "embedding",
+      k = KmeansK, iters = KmeansIters, threshold = EmbThreshold)
+    val crossDrops = Similarity.embeddingNearDupBucketed(emb, "vec_id",
+        "embedding", threshold = EmbThreshold, nPlanes = EmbPlanes,
+        dim = EmbDim, bands = 16)
+      .select(col("id_b").as("id")).distinct()
+    local.join(crossDrops, Seq("id"), "left_anti").orderBy("id")
+  }
+
+  private def semDedupXSql: String =
+    s"""WITH $kmeansCtes,
+       |nv AS (SELECT a.id, a.cid, e.embedding,
+       |         sqrt(${sqlEmbDot("e.embedding", "e.embedding")}) AS nm
+       |       FROM asg a JOIN embeddings e ON a.id = e.vec_id),
+       |dropped AS (SELECT DISTINCT b.id
+       |  FROM nv a JOIN nv b ON a.cid = b.cid AND a.id < b.id
+       |  WHERE round(${sqlEmbDot("a.embedding", "b.embedding")} /
+       |              (a.nm * b.nm), 4) >= $EmbThreshold),
+       |${embBandedPairsCtes(16)},
+       |xdrop AS (SELECT DISTINCT id_b AS id FROM scored
+       |          WHERE sim >= $EmbThreshold)
+       |SELECT n.id, n.cid AS cluster FROM nv n
+       |WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = n.id)
+       |  AND NOT EXISTS (SELECT 1 FROM xdrop x WHERE x.id = n.id)
        |ORDER BY id""".stripMargin
 
   // ---------------------------------------------------------- Q-sessions
@@ -9681,6 +9768,7 @@ object Queries {
     "q_stream_swindow" -> (streamSessionWindow _),
     "q_stream_scd2" -> (streamScd2 _),
     "q_stream_snap" -> (streamSnapQ _),
+    "q_stream_mor" -> (streamMorQ _),
     "q_stream_joinagg" -> (streamJoinAgg _),
     "q_stream_debounce" -> (streamDebounce _),
     "q_tws_sessions" -> (twsSessions _),
@@ -9728,6 +9816,7 @@ object Queries {
     "q_lmscore" -> (lmScoreQ _),
     "q_kmeans" -> (kmeansQ _),
     "q_semdedup" -> (semDedupQ _),
+    "q_semdedup_x" -> (semDedupXQ _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_asof" -> (asof _),
     "q_asof_chunked" -> (asofChunked _),
@@ -9909,6 +9998,7 @@ object Queries {
     "q_stream_swindow" -> sessionWindowSql, // twin: one truth, two runtimes
     "q_stream_scd2" -> streamScd2Sql,
     "q_stream_snap" -> streamSnapSql,
+    "q_stream_mor" -> streamMorSql,
     "q_stream_joinagg" -> streamJoinAggSql,
     "q_stream_debounce" -> streamDebounceSql,
     "q_tws_sessions" -> twsSessionsSql,
@@ -9956,6 +10046,7 @@ object Queries {
     "q_lmscore" -> lmScoreSql,
     "q_kmeans" -> kmeansSql,
     "q_semdedup" -> semDedupSql,
+    "q_semdedup_x" -> semDedupXSql,
     "q_stream_enrich" -> streamEnrichSql,
     "q_asof" -> asofSql,
     "q_asof_chunked" -> asofSql, // same truth, different engine plan

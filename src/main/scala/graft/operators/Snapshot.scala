@@ -346,9 +346,9 @@ object Snapshot {
     * are not addressable by a keyed merge and are refused. Bloom
     * manifests refuse (carried words would dangle). */
   def mergeSnapshotMoR(updates: DataFrame, destDir: String,
-                       keyCol: String): Int =
+                       keyCol: String, tag: Option[String] = None): Int =
     morCommit(Some(updates),
-      updates.select(col(keyCol)).distinct(), destDir, keyCol)
+      updates.select(col(keyCol)).distinct(), destDir, keyCol, tag)
 
   /** Row-level DELETE on the merge-on-read path: commit ONLY a
     * tombstone delete-set — the keys disappear from the next version
@@ -356,11 +356,13 @@ object Snapshot {
     * …` semantics at O(keys) cost). Same sequencing and refusal rules
     * as [[mergeSnapshotMoR]]. */
   def deleteSnapshotMoR(keys: DataFrame, destDir: String,
-                        keyCol: String): Int =
-    morCommit(None, keys.select(col(keyCol)).distinct(), destDir, keyCol)
+                        keyCol: String, tag: Option[String] = None): Int =
+    morCommit(None, keys.select(col(keyCol)).distinct(), destDir, keyCol,
+      tag)
 
   private def morCommit(updatesOpt: Option[DataFrame], delKeys: DataFrame,
-                        destDir: String, keyCol: String): Int = {
+                        destDir: String, keyCol: String,
+                        tag: Option[String] = None): Int = {
     import org.apache.hadoop.fs.Path
     val spark = delKeys.sparkSession
     val conf = spark.sessionState.newHadoopConf()
@@ -435,7 +437,7 @@ object Snapshot {
     val header = outSchema.map(s => s"#schema=${s.json}").toSeq ++
       (if (m.statsCols.isEmpty) Seq.empty
        else Seq(s"#stats=${m.statsCols.mkString(",")}")) ++
-      Seq(s"#morkey=$keyCol")
+      Seq(s"#morkey=$keyCol") ++ tag.map(t => s"#tag=$t").toSeq
     def abort(msg: String): Nothing = {
       fs.delete(dataDir, true); fs.delete(delDir, true)
       throw new ConcurrentSnapshotUpdate(msg)
@@ -468,7 +470,8 @@ object Snapshot {
     * commit aborts with [[ConcurrentSnapshotUpdate]]. Returns the new
     * version (the current one when no tombstones exist). */
   def reconcileSnapshotMoR(spark: org.apache.spark.sql.SparkSession,
-                           destDir: String): Int = {
+                           destDir: String,
+                           tag: Option[String] = None): Int = {
     val prev = latestVersion(spark, destDir)
     require(prev >= 1,
       s"reconcileSnapshotMoR needs an existing version under $destDir")
@@ -547,7 +550,7 @@ object Snapshot {
       case None => delta0
     }
     commitVersion(delta, destDir, carryForward = true, statsCol = None,
-      carriedOverride = Some(carried), prevManifestOpt = Some(m),
+      tag = tag, carriedOverride = Some(carried), prevManifestOpt = Some(m),
       baseVersion = Some(prev), statsColsMulti = m.statsCols,
       morAware = true)
   }

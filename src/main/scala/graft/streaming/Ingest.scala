@@ -494,6 +494,77 @@ object Ingest {
     S.readSnapshot(spark, destDir, S.latestVersion(spark, destDir))
   }
 
+  /** Streaming UPSERTS into a snapshot table — [[snapshotStream]]'s
+    * merge-on-read twin: each micro-batch is shaped to upsert rows
+    * (e.g. one latest row per key) and committed with
+    * [[graft.operators.Snapshot.mergeSnapshotMoR]] at O(batch) cost —
+    * the producer never reads a base file however large the table
+    * grows, which is exactly what a high-frequency upsert stream
+    * needs at 100 TB (snapshotStream's append is O(batch) too, but
+    * appends can only ADD; this stream REPLACES by key). Exactly-once
+    * rides the commit tag (`batch=<id>`): a replayed batch sees its
+    * tag on the latest version and skips. `reconcileEvery` runs the
+    * O(touched) reconcile every k batches (tagged with the same batch
+    * id, so a crash between merge and reconcile replays into a
+    * skip + re-reconcile — reconcile of a reconciled table is a
+    * no-op), bounding the read-time resolve tax like snapshotStream's
+    * compactEvery bounds small files. Returns the RESOLVED final
+    * state. */
+  def morStream(spark: SparkSession, srcDir: String, fileGlob: String,
+                destDir: String, checkpointDir: String, keyCol: String,
+                shape: DataFrame => DataFrame = identity,
+                reconcileEvery: Int = 0,
+                maxFilesPerTrigger: Int = 1,
+                trigger: Trigger = Trigger.AvailableNow(),
+                finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
+    val S = graft.operators.Snapshot
+    val schema = spark.read.option("pathGlobFilter", fileGlob)
+      .parquet(srcDir).schema
+    val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
+      .option("maxFilesPerTrigger", math.max(maxFilesPerTrigger, 1))
+      .parquet(srcDir)
+      .writeStream.option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyMorBatch(shape(batch.toDF()), destDir, batchId, keyCol,
+          reconcileEvery)
+      }
+      .trigger(trigger).start()
+    finish(q)
+    S.readSnapshot(spark, destDir, S.latestVersion(spark, destDir))
+  }
+
+  /** One micro-batch of [[morStream]]: bootstrap-publish on the first
+    * batch, merge-on-read upsert after, reconcile every
+    * `reconcileEvery` batches — all tagged `batch=<batchId>` so a
+    * replay of an already-committed batch skips without writing. */
+  private[graft] def applyMorBatch(out: DataFrame, destDir: String,
+                                   batchId: Long, keyCol: String,
+                                   reconcileEvery: Int = 0): Unit = {
+    val S = graft.operators.Snapshot
+    val spark = out.sparkSession
+    val latest = S.latestVersion(spark, destDir)
+    val already = latest >= 1 &&
+      S.versionTag(spark, destDir, latest).contains(s"batch=$batchId")
+    if (!already) {
+      if (latest == 0)
+        S.publishSnapshot(out, destDir, tag = Some(s"batch=$batchId"))
+      else
+        S.mergeSnapshotMoR(out, destDir, keyCol,
+          tag = Some(s"batch=$batchId"))
+      if (reconcileEvery > 0 && (batchId + 1) % reconcileEvery == 0) {
+        S.reconcileSnapshotMoR(spark, destDir,
+          tag = Some(s"batch=$batchId"))
+        ()
+      }
+    } else if (reconcileEvery > 0 && (batchId + 1) % reconcileEvery == 0) {
+      // crash landed between this batch's merge and its reconcile: the
+      // replay skips the merge (tag present) but must still reconcile —
+      // idempotent, a reconciled table returns its version unchanged
+      S.reconcileSnapshotMoR(spark, destDir, tag = Some(s"batch=$batchId"))
+      ()
+    }
+  }
+
   /** One micro-batch of [[snapshotStream]]: commit `out` as the next
     * snapshot version tagged `batch=<batchId>`, or SKIP if the latest
     * version already carries this batch's tag (the replay case — crash

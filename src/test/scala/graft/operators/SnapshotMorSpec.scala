@@ -153,6 +153,34 @@ class SnapshotMorSpec extends SparkSpec {
     ()
   }
 
+  test("streaming MoR producer: batch replay skips; crash between merge and reconcile repairs") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-mors").toString
+    import graft.streaming.Ingest
+    Ingest.applyMorBatch(kv(1L -> "a", 2L -> "b"), dest, 0L, "k")
+    Ingest.applyMorBatch(kv(2L -> "B", 3L -> "c"), dest, 1L, "k",
+      reconcileEvery = 2)
+    // batch 0 publish, batch 1 merge, then its reconcile: 3 versions
+    assert(Snapshot.latestVersion(spark, dest) == 3)
+    val expect = Seq(Seq(1L, "a"), Seq(2L, "B"), Seq(3L, "c"))
+    assert(rows(Snapshot.readSnapshot(spark, dest, 3).orderBy("k")) === expect)
+    // full replay of batch 1 (crash after everything): no new version
+    Ingest.applyMorBatch(kv(2L -> "B", 3L -> "c"), dest, 1L, "k",
+      reconcileEvery = 2)
+    assert(Snapshot.latestVersion(spark, dest) == 3)
+    // crash BETWEEN merge and reconcile: simulate by merging batch 2
+    // without its reconcile, then replaying with reconcileEvery due
+    Ingest.applyMorBatch(kv(1L -> "A2"), dest, 3L, "k")
+    assert(Snapshot.latestVersion(spark, dest) == 4)
+    Ingest.applyMorBatch(kv(1L -> "A2"), dest, 3L, "k", reconcileEvery = 4)
+    // the replay skipped the merge (tag present) but ran the reconcile
+    assert(Snapshot.latestVersion(spark, dest) == 5)
+    val l5 = Snapshot.manifestLines(spark, dest, 5)
+    assert(!l5.exists(_.startsWith("!")), l5.mkString("\n"))
+    assert(rows(Snapshot.readSnapshot(spark, dest, 5).orderBy("k")) ===
+      Seq(Seq(1L, "A2"), Seq(2L, "B"), Seq(3L, "c")))
+    ()
+  }
+
   test("a racing commit aborts the MoR merge losslessly") {
     val dest = java.nio.file.Files.createTempDirectory("graft-morx").toString
     Snapshot.publishSnapshot(kv(1L -> "a"), dest)

@@ -90,14 +90,15 @@ for i, j in zip(*iu):
     if S[i, j] >= 0.4:
         a, b = ids[i], ids[j]
         dropped_gt.add(max(a, b))
-kept = set(r[0] for r in con.sql(
-    f"SELECT id FROM '{OUT}/q_semdedup/*.parquet'").fetchall())
-dropped_eng = set(ids.tolist()) - kept
-tp = len(dropped_eng & dropped_gt)
-rec = tp / len(dropped_gt) if dropped_gt else float("nan")
-prec = tp / len(dropped_eng) if dropped_eng else float("nan")
-rows.append(("q_semdedup (drops)", "global exact drops", len(dropped_gt),
-             tp, rec, prec))
+for q in ["q_semdedup", "q_semdedup_x"]:
+    kept = set(r[0] for r in con.sql(
+        f"SELECT id FROM '{OUT}/{q}/*.parquet'").fetchall())
+    dropped_eng = set(ids.tolist()) - kept
+    tp = len(dropped_eng & dropped_gt)
+    rec = tp / len(dropped_gt) if dropped_gt else float("nan")
+    prec = tp / len(dropped_eng) if dropped_eng else float("nan")
+    rows.append((f"{q} (drops)", "global exact drops", len(dropped_gt),
+                 tp, rec, prec))
 
 print(f"| gate config | ground truth | GT size | hits | recall | precision |")
 print("|---|---|---|---|---|---|")
