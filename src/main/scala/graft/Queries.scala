@@ -3512,6 +3512,33 @@ object Queries {
       |SELECT user_id, event_id, cents FROM r WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------- Q-stream-mv
+  // Materialized view maintained IN the stream (Ingest.mvStream): each
+  // of the 3 time-split micro-batches appends to the source snapshot
+  // table, then folds ONLY that delta into the per-user count+sum view
+  // (MaterializedView.refreshSumView — manifest-CDC delta, touched view
+  // files only). Append and refresh are independently replay-safe
+  // (batch= tag / src_v tag), so a crash between them repairs on
+  // replay. Final view must equal one full aggregate over events —
+  // which is exactly what the ORACLE states.
+  def streamMvQ(s: SparkSession, dir: String): DataFrame = {
+    ensureScd2Fixture(s, dir)
+    val out = s"$FixtureRoot/stream_mv_out"
+    wipeDir(out)
+    graft.streaming.Ingest.mvStream(s, StreamScd2Src,
+      "batch*.parquet", s"$out/dest", s"$out/mv", s"$out/chk",
+      keyCol = "user_id", valCol = "cents",
+      shape = b => b.select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents")),
+      viewFiles = 4)
+      .orderBy("user_id")
+  }
+
+  private val streamMvSql =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   private val streamSnapSql =
     """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
       |             CAST(round(value * 100) AS BIGINT) AS cents
@@ -9769,6 +9796,7 @@ object Queries {
     "q_stream_scd2" -> (streamScd2 _),
     "q_stream_snap" -> (streamSnapQ _),
     "q_stream_mor" -> (streamMorQ _),
+    "q_stream_mv" -> (streamMvQ _),
     "q_stream_joinagg" -> (streamJoinAgg _),
     "q_stream_debounce" -> (streamDebounce _),
     "q_tws_sessions" -> (twsSessions _),
@@ -9999,6 +10027,7 @@ object Queries {
     "q_stream_scd2" -> streamScd2Sql,
     "q_stream_snap" -> streamSnapSql,
     "q_stream_mor" -> streamMorSql,
+    "q_stream_mv" -> streamMvSql,
     "q_stream_joinagg" -> streamJoinAggSql,
     "q_stream_debounce" -> streamDebounceSql,
     "q_tws_sessions" -> twsSessionsSql,

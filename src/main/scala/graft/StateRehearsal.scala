@@ -64,6 +64,7 @@ object StateRehearsal {
       case "zorder" => zorder(spark, work)
       case "manifestscale" => manifestscale(spark, work)
       case "morscale" => morscale(spark, work)
+      case "annrecall" => annrecall(spark)
     }
     spark.stop()
   }
@@ -353,6 +354,82 @@ object StateRehearsal {
         "cow_read_sec" -> cowRead, "mor_read_sec" -> morRead,
         "reconcile_sec" -> reconcile, "post_reconcile_read_sec" -> postRead)
     }
+  }
+
+  /** Recall@10 of every deployable ANN config vs brute-force cosine —
+    * the similarity-search twin of the near-dup recall scorecard: each
+    * approximate path is oracle-gated for CORRECTNESS of its declared
+    * semantics, this measures how much of the exact answer the
+    * approximation keeps, averaged over 32 query vectors spread across
+    * the corpus. Configs are the GATE configs (IvfCells=16/nProbe=4,
+    * int8 SQ, PQ M=4/K=8, SRP-bucket LSH 8 planes). */
+  private def annrecall(spark: SparkSession): Unit = {
+    import graft.operators.{Similarity, Pq}
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .persist()
+    val ids = emb.select("vec_id").orderBy("vec_id")
+      .collect().map(_.getLong(0))
+    val qids = (0 until 32).map(i => ids(i * ids.length / 32))
+    val k = 10
+    val cb = Pq.train(emb, "vec_id", "embedding", 4, 8, 2)
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb,
+      carry = Seq("label")).persist()
+    val cb2 = Pq.train(emb, "vec_id", "embedding", 8, 64, 2)
+    val codes2 = Pq.encode(emb, "vec_id", "embedding", cb2,
+      carry = Seq("label")).persist()
+    def topIds(df: org.apache.spark.sql.DataFrame,
+               idCol: String): Set[Long] =
+      df.select(idCol).collect().map(_.getLong(0)).toSet
+    var rIvf, rInt8, rPq, rLsh = 0.0
+    var rIvf8, rPq2, rLsh4, rPqRr = 0.0
+    var lshFound = 0.0
+    qids.foreach { qid =>
+      val query = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").as("qv"))
+      val exact = topIds(
+        Similarity.bruteForceKnn(emb, "vec_id", "embedding", query, k),
+        "vec_id")
+      rIvf += (topIds(Similarity.ivfKnn(emb, "vec_id", "embedding",
+        query, k, 16, 4), "vec_id") & exact).size.toDouble / k
+      rInt8 += (topIds(Similarity.knnInt8(emb, "vec_id", "embedding",
+        query, k), "vec_id") & exact).size.toDouble / k
+      val qv = Pq.quantizedQuery(
+        emb.filter(col("vec_id") === qid), "embedding")
+      rPq += (topIds(Pq.knnAdc(codes, cb, qv, k), "id") & exact)
+        .size.toDouble / k
+      val lsh = topIds(Similarity.lshKnn(emb, "vec_id", "embedding",
+        query, k, nPlanes = 8, dim = 64), "vec_id")
+      rLsh += (lsh & exact).size.toDouble / k
+      lshFound += lsh.size.toDouble / k
+      // the tuned row: the knob each config's recall trades against
+      rIvf8 += (topIds(Similarity.ivfKnn(emb, "vec_id", "embedding",
+        query, k, 16, 8), "vec_id") & exact).size.toDouble / k
+      val qv2 = Pq.quantizedQuery(
+        emb.filter(col("vec_id") === qid), "embedding")
+      rPq2 += (topIds(Pq.knnAdc(codes2, cb2, qv2, k), "id") & exact)
+        .size.toDouble / k
+      rLsh4 += (topIds(Similarity.lshKnn(emb, "vec_id", "embedding",
+        query, k, nPlanes = 4, dim = 64), "vec_id") & exact)
+        .size.toDouble / k
+      // PQ's deployment shape: ADC SHORTLIST (10k candidates) + exact
+      // re-rank of the shortlist — compression prunes, floats decide
+      val shortlist = topIds(Pq.knnAdc(codes2, cb2, qv2, 100), "id")
+      val rr = topIds(Similarity.bruteForceKnn(
+        emb.filter(col("vec_id").isInCollection(shortlist)),
+        "vec_id", "embedding", query, k), "vec_id")
+      rPqRr += (rr & exact).size.toDouble / k
+    }
+    val n = qids.size
+    cell("annrecall", "sf" -> sfDir, "queries" -> n, "k" -> k,
+      "ivf_16c_4p" -> rIvf / n, "int8_sq" -> rInt8 / n,
+      "pq_m4_k8" -> rPq / n, "lsh_8planes" -> rLsh / n,
+      "lsh_bucket_fill" -> lshFound / n)
+    cell("annrecall_tuned", "sf" -> sfDir, "queries" -> n, "k" -> k,
+      "ivf_16c_8p" -> rIvf8 / n, "pq_m8_k64" -> rPq2 / n,
+      "pq_m8_k64_shortlist100_rerank" -> rPqRr / n,
+      "lsh_4planes" -> rLsh4 / n)
   }
 
   private def snapmerge(spark: SparkSession, work: String): Unit = {

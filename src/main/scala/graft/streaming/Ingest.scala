@@ -533,6 +533,42 @@ object Ingest {
     S.readSnapshot(spark, destDir, S.latestVersion(spark, destDir))
   }
 
+  /** [[snapshotStream]] with a materialized view maintained IN the
+    * stream: each micro-batch appends to the source snapshot table and
+    * then folds the delta into the count+sum view
+    * ([[graft.operators.MaterializedView.refreshSumView]]) — the
+    * aggregate stays queryable and version-pinned while the raw table
+    * grows, at O(batch + touched view) per trigger. Both commits are
+    * independently replay-safe (the append by its `batch=` tag, the
+    * refresh by its `src_v` tag), so a crash between them repairs on
+    * replay: the append skips, the refresh sees the un-folded source
+    * version and folds it. Returns the view's final state. */
+  def mvStream(spark: SparkSession, srcDir: String, fileGlob: String,
+               destDir: String, mvDir: String, checkpointDir: String,
+               keyCol: String, valCol: String,
+               shape: DataFrame => DataFrame = identity,
+               viewFiles: Int = 0,
+               maxFilesPerTrigger: Int = 1,
+               trigger: Trigger = Trigger.AvailableNow(),
+               finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
+    val S = graft.operators.Snapshot
+    val schema = spark.read.option("pathGlobFilter", fileGlob)
+      .parquet(srcDir).schema
+    val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
+      .option("maxFilesPerTrigger", math.max(maxFilesPerTrigger, 1))
+      .parquet(srcDir)
+      .writeStream.option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applySnapshotBatch(shape(batch.toDF()), destDir, batchId)
+        graft.operators.MaterializedView.refreshSumView(
+          spark, destDir, mvDir, keyCol, valCol, viewFiles)
+        ()
+      }
+      .trigger(trigger).start()
+    finish(q)
+    S.readSnapshot(spark, mvDir, S.latestVersion(spark, mvDir))
+  }
+
   /** One micro-batch of [[morStream]]: bootstrap-publish on the first
     * batch, merge-on-read upsert after, reconcile every
     * `reconcileEvery` batches — all tagged `batch=<batchId>` so a
