@@ -5,14 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** Model-based randomized exercise of the snapshot layout: a seeded
   * random sequence of publish / append / merge / compact / vacuum /
-  * range-replace runs
+  * range-replace / MoR-merge / MoR-delete / reconcile runs
   * against BOTH the real layout and a driver-side model (a key→value
   * map per version), and every committed version must read back equal
   * to its model snapshot — including after later operations. This is
   * the subsystem-level complement to the per-operation specs: it
   * exercises the INTERLEAVINGS (merge after compact, vacuum then
-  * append, stats carried across all of them) that no single-op test
-  * pins. Fixed seeds keep it deterministic and replayable.
+  * append, MoR chains crossing reconciles, stats carried across all
+  * of them) that no single-op test pins. While the table is
+  * TOMBSTONED, the op choice narrows to what the refusal walls allow
+  * (publish / vacuum / MoR ops / reconcile) and the range-read check
+  * pauses — mirroring the subsystem's own contract. Fixed seeds keep
+  * it deterministic and replayable.
   */
 class SnapshotModelSpec extends SparkSpec {
   import spark.implicits._
@@ -41,13 +45,20 @@ class SnapshotModelSpec extends SparkSpec {
     Snapshot.publishSnapshot(toDf(table), dest, statsCol = Some("k"))
     model(1) = table
     var ops = List.empty[String]
+    var tombstoned = false
     (1 to nOps).foreach { _ =>
       val latest = Snapshot.latestVersion(spark, dest)
-      rnd.nextInt(6) match {
-        case 0 => // full replace
+      // a tombstoned table refuses COW mutations and range reads by
+      // contract — only the MoR-compatible ops stay on the menu
+      val op =
+        if (tombstoned) Seq(0, 4, 6, 7, 8)(rnd.nextInt(5))
+        else rnd.nextInt(9)
+      op match {
+        case 0 => // full replace (also the fresh-definition escape from MoR)
           table = freshRows(2 + rnd.nextInt(3))
           val v = Snapshot.publishSnapshot(toDf(table), dest,
             statsCol = Some("k"))
+          tombstoned = false
           model(v) = table; ops ::= s"publish->v$v"
         case 1 => // append fresh keys
           val add = freshRows(1 + rnd.nextInt(3))
@@ -84,13 +95,35 @@ class SnapshotModelSpec extends SparkSpec {
           table = table.filter { case (k, _) => k < lo || k > hi } ++ inside
           val v = Snapshot.replaceSnapshotRange(toDf(inside), dest, lo, hi)
           model(v) = table; ops ::= s"replace[$lo,$hi]->v$v"
+        case 6 => // MoR merge: update a random subset + one insert, O(batch)
+          val updated = table.keySet.toSeq.sorted
+            .filter(_ => rnd.nextBoolean()).take(3)
+            .map(k => k -> s"m$k").toMap
+          val ins = freshRows(1)
+          table = table ++ updated ++ ins
+          val v = Snapshot.mergeSnapshotMoR(toDf(updated ++ ins), dest, "k")
+          tombstoned = true
+          model(v) = table; ops ::= s"morMerge->v$v"
+        case 7 => // MoR row-level delete of a random existing subset
+          val del = table.keySet.toSeq.sorted
+            .filter(_ => rnd.nextBoolean()).take(2)
+          table = table -- del
+          val v = Snapshot.deleteSnapshotMoR(
+            del.toDF("k"), dest, "k")
+          tombstoned = true
+          model(v) = table; ops ::= s"morDelete(${del.size})->v$v"
+        case 8 => // reconcile back to copy-on-write (no-op when clean)
+          val v = Snapshot.reconcileSnapshotMoR(spark, dest)
+          tombstoned = false
+          model(v) = table; ops ::= s"reconcile->v$v"
       }
       val ctx = s"seed=$seed ops=${ops.reverse.mkString(",")}"
       // the LATEST version always equals the current model table
       assert(readBack(dest, Snapshot.latestVersion(spark, dest)) == table,
         s"latest mismatch [$ctx]")
       // range read on the stats column stays exact through every op
-      if (table.nonEmpty) {
+      // (refused-by-contract while tombstones exist)
+      if (table.nonEmpty && !tombstoned) {
         val ks = table.keySet
         val (lo, hi) = (ks.min + 1, ks.max - 1)
         val got = Snapshot.readSnapshotRange(spark, dest,
@@ -108,6 +141,6 @@ class SnapshotModelSpec extends SparkSpec {
   }
 
   test("random op sequences: every retained version equals its model") {
-    Seq(11L, 42L, 1303L).foreach(runSequence(_, nOps = 8))
+    Seq(11L, 42L, 1303L, 7707L).foreach(runSequence(_, nOps = 10))
   }
 }
