@@ -6125,6 +6125,55 @@ object Queries {
       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // ----------------------------------------------------- Q-snapdropcol
+  // DROP COLUMN evolution (Snapshot.dropSnapshotColumn): a metadata-
+  // only commit removes c_name from the customer snapshot — zero data
+  // rewritten, every base file carried verbatim, readers project the
+  // column away — then an append lands under the REDUCED schema and a
+  // merge updates through it. The dropped name is fenced against
+  // re-adding (resurrection hazard of name-based layouts; spec-pinned
+  // in SnapshotDropColSpec). ORACLE restates the surviving columns'
+  // final state from the seed.
+  private val SnapDropDir = s"$FixtureRoot/snapdropcol"
+
+  def snapDropColQ(s: SparkSession, dir: String): DataFrame = {
+    publishOnce(SnapDropDir, dir) {
+      wipeDir(SnapDropDir)
+      val cust = load(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      graft.operators.Snapshot.publishSnapshot(
+        cust.repartitionByRange(4, col("c_custkey")), SnapDropDir,
+        statsCol = Some("c_custkey"))
+      graft.operators.Snapshot.dropSnapshotColumn(s, SnapDropDir, "c_name")
+      graft.operators.Snapshot.appendSnapshot(
+        cust.filter(col("c_custkey") % 10 === 0)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            (col("bal_cents") + 1L).as("bal_cents")),
+        SnapDropDir)
+      graft.operators.Snapshot.mergeSnapshot(
+        cust.filter(col("c_custkey") % 13 === 0)
+          .select(col("c_custkey"),
+            (col("bal_cents") * 2L).as("bal_cents")),
+        SnapDropDir, "c_custkey")
+      ()
+    }
+    graft.operators.Snapshot.readSnapshot(s, SnapDropDir, 4)
+      .orderBy("c_custkey")
+  }
+
+  private val snapDropColSql =
+    """SELECT c_custkey,
+      |       CASE WHEN c_custkey % 13 = 0
+      |            THEN CAST(round(c_acctbal * 100) AS BIGINT) * 2
+      |            ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS bal_cents
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey + 10000000,
+      |       CAST(round(c_acctbal * 100) AS BIGINT) + 1
+      |FROM customer WHERE c_custkey % 10 = 0
+      |ORDER BY c_custkey""".stripMargin
+
   private val SnapMergeDir = s"$FixtureRoot/snapmerge"
 
   def snapMergeQ(s: SparkSession, dir: String): DataFrame = {
@@ -9897,6 +9946,7 @@ object Queries {
     "q_snapmor" -> (snapMorQ _),
     "q_snapmor_rec" -> (snapMorRecQ _),
     "q_snapmv" -> (snapMvQ _),
+    "q_snapdropcol" -> (snapDropColQ _),
     "q_snapdelta" -> (snapDeltaQ _),
     "q_snapskip" -> (snapSkipQ _),
     "q_snapcompact" -> (snapCompactQ _),
@@ -10128,6 +10178,7 @@ object Queries {
     "q_snapmor" -> snapMorSql,
     "q_snapmor_rec" -> snapMorSql,
     "q_snapmv" -> snapMvSql,
+    "q_snapdropcol" -> snapDropColSql,
     "q_snapdelta" -> snapDeltaSql,
     "q_snapskip" -> snapSkipSql,
     "q_snapcompact" -> snapCompactSql,

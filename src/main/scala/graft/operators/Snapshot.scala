@@ -321,6 +321,61 @@ object Snapshot {
       statsColsMulti = m.statsCols)
   }
 
+  /** DROP COLUMN as a METADATA-ONLY commit (the other half of schema
+    * evolution — adds were already free): the new version carries the
+    * previous version's entries verbatim under a schema that omits the
+    * column, so readers of every referenced file (which still holds the
+    * column's bytes) simply never project it. Zero data rewritten,
+    * commit cost O(versions); the bytes drain out physically as
+    * compaction/merge rewrite files under the reduced schema. The
+    * dropped NAME is fenced forever (`#dropped` header, carried through
+    * every later commit): re-adding it would silently resurrect
+    * pre-drop values from old files — the name-based layout's analog of
+    * the field-ID problem, solved here by refusal. Dropping a stats or
+    * bloom column refuses (their manifest text would desynchronize);
+    * time travel below the drop still reads the full old schema. */
+  def dropSnapshotColumn(spark: org.apache.spark.sql.SparkSession,
+                         destDir: String, colName: String,
+                         tag: Option[String] = None): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(destDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val prev = latestVersion(spark, destDir)
+    require(prev >= 1,
+      s"dropSnapshotColumn needs an existing version under $destDir")
+    val m = readManifest(spark, destDir, prev)
+    requireNoTombstones(m, destDir, prev, "dropSnapshotColumn")
+    require(m.bloom.isEmpty,
+      s"dropSnapshotColumn does not preserve bloom manifests (v$prev of " +
+        s"$destDir); reconcile the index after re-publishing")
+    require(!m.statsCols.contains(colName),
+      s"'$colName' is a manifest stats column of $destDir — dropping it " +
+        "would desynchronize the carried stats text; re-publish with a " +
+        "different statsCol first")
+    val prevSchema = m.schema.getOrElse(throw new IllegalStateException(
+      s"v$prev of $destDir carries no schema header"))
+    require(prevSchema.fieldNames.contains(colName),
+      s"'$colName' is not a column of $destDir v$prev " +
+        s"(${prevSchema.fieldNames.mkString(", ")})")
+    require(prevSchema.fields.length >= 2,
+      s"cannot drop the only column of $destDir")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      prevSchema.fields.filterNot(_.name == colName))
+    val droppedSet = (m.droppedCols + colName).toSeq.sorted
+    val header = Seq(s"#schema=${newSchema.json}") ++
+      (if (m.statsCols.isEmpty) Seq.empty
+       else Seq(s"#stats=${m.statsCols.mkString(",")}")) ++
+      tag.map(t => s"#tag=$t").toSeq ++
+      Seq(s"#dropped=${droppedSet.mkString(",")}")
+    val uid = claimStagingId(fs, destDir, prev + 1)
+    if (latestVersion(spark, destDir) != prev ||
+        !tryCommitManifest(fs, destDir, prev + 1, uid, header ++ m.entries))
+      throw new ConcurrentSnapshotUpdate(
+        s"base of $destDir advanced past v$prev during dropSnapshotColumn; " +
+          "retry against the new latest version")
+    prev + 1
+  }
+
   // ------------------------------------------------------ merge-on-read
   /** MERGE INTO, merge-on-read (the Iceberg-v2 / Hudi-MoR write path):
     * commit the update batch AND a tombstone DELETE-SET (the batch's
@@ -434,10 +489,20 @@ object Snapshot {
           u.schema.fields.map(_.copy(nullable = true))))
         case (None, None) => None
       }
+    // the dropped-name fence rides MoR commits too (same resurrection
+    // hazard: an upsert batch re-stating a dropped name would surface
+    // old files' bytes on every base row)
+    val resurrected = updatesOpt.toSeq
+      .flatMap(_.columns.filter(m.droppedCols))
+    require(resurrected.isEmpty,
+      s"column(s) ${resurrected.mkString(", ")} were DROPPED from " +
+        s"$destDir and cannot be re-added by a merge-on-read batch")
     val header = outSchema.map(s => s"#schema=${s.json}").toSeq ++
       (if (m.statsCols.isEmpty) Seq.empty
        else Seq(s"#stats=${m.statsCols.mkString(",")}")) ++
-      Seq(s"#morkey=$keyCol") ++ tag.map(t => s"#tag=$t").toSeq
+      Seq(s"#morkey=$keyCol") ++ tag.map(t => s"#tag=$t").toSeq ++
+      (if (m.droppedCols.isEmpty) Seq.empty
+       else Seq(s"#dropped=${m.droppedCols.toSeq.sorted.mkString(",")}"))
     def abort(msg: String): Nothing = {
       fs.delete(dataDir, true); fs.delete(delDir, true)
       throw new ConcurrentSnapshotUpdate(msg)
@@ -799,13 +864,29 @@ object Snapshot {
             }
           else ls.map(linePath)
         }
+      // the dropped-name set persists through every carry-forward
+      // commit, and a batch re-introducing a dropped name refuses: on
+      // a name-based layout the old files still hold that column's
+      // bytes, so a re-added name would RESURRECT pre-drop values on
+      // old rows (the field-ID problem Iceberg solves structurally;
+      // this layout solves it by fencing the name)
+      val dropped: Set[String] =
+        if (carryForward) prevManifest.map(_.droppedCols).getOrElse(Set.empty)
+        else Set.empty
+      val resurrected = df.columns.filter(dropped)
+      require(resurrected.isEmpty,
+        s"column(s) ${resurrected.mkString(", ")} were DROPPED from " +
+          s"$destDir and cannot be re-added (pre-drop files would " +
+          "resurrect their old values); publish a fresh table instead")
       val schemaHeader =
         s"#schema=${org.apache.spark.sql.types.StructType(
           df.schema.fields.map(_.copy(nullable = true))).json}"
       val header = schemaHeader +:
         ((if (statsCols.isEmpty) Seq.empty
           else Seq(s"#stats=${statsCols.mkString(",")}")) ++
-          tag.map(t => s"#tag=$t").toSeq)
+          tag.map(t => s"#tag=$t").toSeq ++
+          (if (dropped.isEmpty) Seq.empty
+           else Seq(s"#dropped=${dropped.toSeq.sorted.mkString(",")}")))
       // the delta's file lines live in their own immutable delta
       // manifest; the version file carries one reference line for them
       val deltaEntry =
@@ -905,6 +986,11 @@ object Snapshot {
       headers.get("bloom").map(_.split(",") match {
         case Array(c, m, kk) => (c, m.toInt, kk.toInt)
       })
+    /** Column names DROPPED from this table's history
+      * ([[dropSnapshotColumn]]) — re-adding one is refused to prevent
+      * name-based resurrection of pre-drop file values. */
+    def droppedCols: Set[String] =
+      headers.get("dropped").map(_.split(",").toSet).getOrElse(Set.empty)
   }
 
   private def readTextLines(fs: org.apache.hadoop.fs.FileSystem,
