@@ -96,10 +96,34 @@ object MaterializedView {
     val deltaAgg = delta.groupBy(col(keyCol))
       .agg(count(lit(1)).as("d_cnt"),
         sum(col(valCol).cast("long")).as("d_total"))
-    // old values for touched keys only: column-pruned view scan +
-    // key join; untouched view rows never leave their files (the
-    // merge below carries those files by reference)
-    val current = Snapshot.readSnapshot(spark, mvDir, mvLatest)
+    // old values for touched keys only. With the view range-clustered
+    // on the group key (the viewFiles bootstrap shape), the lookup
+    // opens ONLY view files whose [min, max] overlaps the delta's key
+    // range — manifest arithmetic, so a narrow delta against a huge
+    // view reads a handful of files; the stats-less fallback scans the
+    // view column-pruned (correct, just wider).
+    val isIntegralKey = deltaAgg.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    // the narrow path is taken ONLY when the view's stats column IS the
+    // group key — a range read pruning on any other column would
+    // silently miss old values (corrupt totals, the one failure mode
+    // an incremental view must never have)
+    val statsIsKey =
+      Snapshot.statsColsOf(spark, mvDir, mvLatest).headOption
+        .contains(keyCol)
+    val current = (if (isIntegralKey && statsIsKey) {
+      val mm = deltaAgg.agg(min(col(keyCol)).cast("long"),
+        max(col(keyCol)).cast("long")).head()
+      if (mm.isNullAt(0))
+        Snapshot.readSnapshot(spark, mvDir, mvLatest).limit(0)
+      else Snapshot.readSnapshotRange(spark, mvDir, mvLatest,
+        mm.getLong(0), mm.getLong(1))
+    } else Snapshot.readSnapshot(spark, mvDir, mvLatest))
       .select(col(keyCol), col("cnt"), col("total"))
     val updates = deltaAgg.join(current, Seq(keyCol), "left")
       .select(col(keyCol),

@@ -1032,6 +1032,13 @@ object Snapshot {
                                    destDir: String, v: Int): Seq[String] =
     readManifest(spark, destDir, v).lines
 
+  /** The stats column list version `v` was published with (empty when
+    * none) — lets callers decide whether a range read prunes on the
+    * column THEY mean. */
+  private[graft] def statsColsOf(spark: org.apache.spark.sql.SparkSession,
+                                 destDir: String, v: Int): Seq[String] =
+    readManifest(spark, destDir, v).statsCols
+
   /** The caller-supplied tag a version was committed with, if any.
     * Because the tag rides the manifest — whose RENAME is the commit
     * point — "did version k commit with tag t" is an atomic question:
