@@ -6136,7 +6136,7 @@ object Queries {
   // final state from the seed.
   private val SnapDropDir = s"$FixtureRoot/snapdropcol"
 
-  def snapDropColQ(s: SparkSession, dir: String): DataFrame = {
+  private def ensureSnapDropFixture(s: SparkSession, dir: String): Unit =
     publishOnce(SnapDropDir, dir) {
       wipeDir(SnapDropDir)
       val cust = load(s, dir, "customer").select(
@@ -6158,9 +6158,46 @@ object Queries {
         SnapDropDir, "c_custkey")
       ()
     }
+
+  def snapDropColQ(s: SparkSession, dir: String): DataFrame = {
+    ensureSnapDropFixture(s, dir)
     graft.operators.Snapshot.readSnapshot(s, SnapDropDir, 4)
       .orderBy("c_custkey")
   }
+
+  // ----------------------------------------------------- Q-snaphistory
+  // Table-history introspection (Snapshot.snapshotHistory — Iceberg's
+  // table$history): one row per retained version with column count,
+  // tombstone state, the dropped-name fence, and the version's EXACT
+  // row count summed from manifest stats text — zero data files
+  // opened. Over the snapdropcol fixture (publish → metadata-only drop
+  // → append → merge) the whole protocol is visible: v2 keeps v1's row
+  // count (no data written), the drop narrows n_cols 3 → 2 and raises
+  // the fence, the merge leaves the count unchanged (whole-row
+  // replace). ORACLE derives the counts from the seed table.
+  def snapHistoryQ(s: SparkSession, dir: String): DataFrame = {
+    ensureSnapDropFixture(s, dir)
+    graft.operators.Snapshot.snapshotHistory(s, SnapDropDir)
+      .select("version", "n_cols", "n_rows", "tombstoned", "dropped")
+      .orderBy("version")
+  }
+
+  private val snapHistorySql =
+    """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+      |      WHERE c_custkey % 10 = 0)
+      |SELECT CAST(version AS INTEGER) AS version,
+      |       CAST(n_cols AS INTEGER) AS n_cols,
+      |       CAST(n_rows AS BIGINT) AS n_rows, tombstoned, dropped
+      |FROM (
+      |  SELECT 1 AS version, 3 AS n_cols, (SELECT n FROM c) AS n_rows,
+      |         false AS tombstoned, '' AS dropped
+      |  UNION ALL SELECT 2, 2, (SELECT n FROM c), false, 'c_name'
+      |  UNION ALL SELECT 3, 2,
+      |    (SELECT n FROM c) + (SELECT n FROM a), false, 'c_name'
+      |  UNION ALL SELECT 4, 2,
+      |    (SELECT n FROM c) + (SELECT n FROM a), false, 'c_name'
+      |) ORDER BY version""".stripMargin
 
   private val snapDropColSql =
     """SELECT c_custkey,
@@ -9947,6 +9984,7 @@ object Queries {
     "q_snapmor_rec" -> (snapMorRecQ _),
     "q_snapmv" -> (snapMvQ _),
     "q_snapdropcol" -> (snapDropColQ _),
+    "q_snaphistory" -> (snapHistoryQ _),
     "q_snapdelta" -> (snapDeltaQ _),
     "q_snapskip" -> (snapSkipQ _),
     "q_snapcompact" -> (snapCompactQ _),
@@ -10179,6 +10217,7 @@ object Queries {
     "q_snapmor_rec" -> snapMorSql,
     "q_snapmv" -> snapMvSql,
     "q_snapdropcol" -> snapDropColSql,
+    "q_snaphistory" -> snapHistorySql,
     "q_snapdelta" -> snapDeltaSql,
     "q_snapskip" -> snapSkipSql,
     "q_snapcompact" -> snapCompactSql,

@@ -1579,6 +1579,48 @@ object Snapshot {
     }
   }
 
+  /** Table HISTORY as a DataFrame (Iceberg's `table$history` /
+    * `table$snapshots` story): one row per retained version with its
+    * tag, column count, tombstone state, dropped-name fence, and —
+    * when every data line carries stats — the version's exact row
+    * count summed from MANIFEST text alone (a stats-less line nulls
+    * the count rather than guessing). Pure driver metadata: O(versions)
+    * manifest reads, zero data files opened, which is what makes
+    * "how did this table get here" answerable on a 100 TB table in
+    * milliseconds. Vacuumed versions are simply absent. */
+  def snapshotHistory(spark: org.apache.spark.sql.SparkSession,
+                      destDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(destDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def lineRows(l: String): Option[Long] = {
+      val f = l.split("\t")
+      if (f.length >= 4 && f.length % 2 == 0 && f(1).forall(_.isDigit))
+        Some(f(1).toLong)
+      else None
+    }
+    val rows = (1 to latestVersion(spark, destDir)).flatMap { v =>
+      if (!fs.exists(new Path(s"$destDir/manifest/v$v.txt"))) None
+      else {
+        val m = readManifest(spark, destDir, v)
+        val dataLines = m.lines.filterNot(isDeleteLine)
+        val counts = dataLines.map(lineRows)
+        val nRows: Option[Long] =
+          if (counts.nonEmpty && counts.forall(_.isDefined))
+            Some(counts.flatten.sum)
+          else None
+        Some((v, m.tag.orNull,
+          m.schema.map(_.fields.length).getOrElse(-1),
+          nRows.map(java.lang.Long.valueOf).orNull,
+          m.lines.exists(isDeleteLine),
+          m.droppedCols.toSeq.sorted.mkString(",")))
+      }
+    }
+    import spark.implicits._
+    rows.toDF("version", "tag", "n_cols", "n_rows", "tombstoned",
+      "dropped")
+  }
+
   /** Retention: delete data files referenced by NO manifest ≥
     * `keepFrom` and drop the older manifests — the vacuum that keeps
     * time travel bounded. Live files (referenced by any kept version)
