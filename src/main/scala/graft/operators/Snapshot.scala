@@ -190,6 +190,8 @@ object Snapshot {
       if (g.lines.forall(l => !touched(lastTwo(linePath(l))))) Seq(g.entry)
       else g.lines.filterNot(l => touched(lastTwo(linePath(l))))
     }
+    val untouchedRows = sumLineRows(
+      lines.filterNot(l => touched(lastTwo(linePath(l)))))
     val touchedPaths = relPaths.filter(p => touched(lastTwo(p)))
     val survivors =
       if (touchedPaths.isEmpty)
@@ -230,7 +232,8 @@ object Snapshot {
       // inherit the base's FULL stats list (a Z-ordered base keeps both
       // columns' skipping through merges) unless the caller restates
       statsColsMulti = statsCol.map(Seq(_))
-        .getOrElse(prevManifest.statsCols))
+        .getOrElse(prevManifest.statsCols),
+      carriedRowsOverride = untouchedRows)
   }
 
   /** Range replacement — Delta's `replaceWhere` / Hive dynamic-partition
@@ -250,6 +253,10 @@ object Snapshot {
     *     wasted work but never wrong).
     * Schema follows the merge rule (every base column stated, new
     * columns evolve, base column order preserved); stats inherit.
+    * Base rows with a NULL stats value never match the range and are
+    * preserved: a file drops unread only when its parquet footer proves
+    * zero nulls in the stats column (min/max alone can't — they ignore
+    * nulls), and the straddle rewrite keeps null rows explicitly.
     * Base-dependent like merge: a concurrent commit aborts with
     * [[ConcurrentSnapshotUpdate]] — retry on the fresh base. */
   def replaceSnapshotRange(df: DataFrame, destDir: String,
@@ -268,11 +275,22 @@ object Snapshot {
       s"replaceSnapshotRange does not preserve bloom manifests (v$prev " +
         s"of $destDir); re-publish with publishSnapshotBloom afterwards")
     require(lo <= hi, s"empty range [$lo, $hi]")
-    val viol = df.filter(col(c) < lo || col(c) > hi || col(c).isNull).count()
-    require(viol == 0,
-      s"replaceSnapshotRange: $viol replacement rows fall outside " +
-        s"[$lo, $hi] on '$c' (the replaceWhere contract: the batch must " +
-        "lie entirely inside the replaced range)")
+    // the replaceWhere contract (batch ⊆ range, no nulls) is checked by
+    // an expression RIDING the committed write itself — never by a
+    // separate pre-pass: a non-deterministic batch (sampling, rand())
+    // could pass a pre-count and then materialize different rows, so the
+    // checked rows must BE the written rows. A violation aborts the
+    // delta write mid-job (staged bytes reclaimed by vacuumOrphans) and
+    // surfaces as IllegalArgumentException below.
+    val checked = df.filter(
+      when(col(c) < lo || col(c) > hi || col(c).isNull,
+        raise_error(concat(
+          lit(s"replaceSnapshotRange: replacement row outside [$lo, $hi] " +
+            s"on '$c' (value "),
+          coalesce(col(c).cast("string"), lit("NULL")),
+          lit("; the replaceWhere contract: the batch must lie entirely " +
+            "inside the replaced range, non-null)"))))
+        .otherwise(lit(true)))
     m.schema.foreach { prevSchema =>
       prevSchema.fields.foreach { f =>
         require(df.schema.fields.exists(x =>
@@ -293,32 +311,97 @@ object Snapshot {
     sealed trait Cls
     case object Carry extends Cls; case object Drop extends Cls
     case object Rewrite extends Cls
-    def classify(l: String): Cls = firstBounds(l) match {
+    def classifyByStats(l: String): Cls = firstBounds(l) match {
       case Some((mn, mx)) if mx < lo || mn > hi => Carry
       case Some((mn, mx)) if mn >= lo && mx <= hi => Drop
       case _ => Rewrite
     }
-    val carriedEntries = m.groups.flatMap { g =>
-      if (g.lines.forall(classify(_) == Carry)) Seq(g.entry)
-      else g.lines.filter(classify(_) == Carry)
+    // NULL GUARD on the drop path: parquet min/max ignore nulls, so a
+    // file whose non-null values all lie inside [lo, hi] may still hold
+    // null-valued rows — and those rows do NOT match the replaced range
+    // (replaceWhere keeps non-matching rows). A file drops UNREAD only
+    // when its footer proves zero nulls in the stats column; unknown or
+    // nonzero null counts demote to Rewrite, whose survivor filter keeps
+    // null rows explicitly. Footer checks run only for drop candidates,
+    // in parallel — metadata reads, O(in-range files).
+    val cls: Map[String, Cls] = {
+      import scala.collection.parallel.CollectionConverters._
+      m.lines.par.map { l =>
+        val c0 = classifyByStats(l)
+        val c1 =
+          if (c0 == Drop && !footerNullFree(
+              spark.sessionState.newHadoopConf(),
+              new org.apache.hadoop.fs.Path(s"$destDir/${linePath(l)}"), c))
+            Rewrite
+          else c0
+        l -> c1
+      }.seq.toMap
     }
-    val rewritePaths = m.lines.filter(classify(_) == Rewrite).map(linePath)
+    val carriedEntries = m.groups.flatMap { g =>
+      if (g.lines.forall(cls(_) == Carry)) Seq(g.entry)
+      else g.lines.filter(cls(_) == Carry)
+    }
+    val carriedRows = sumLineRows(m.lines.filter(cls(_) == Carry))
+    val rewritePaths = m.lines.filter(cls(_) == Rewrite).map(linePath)
     val survivors =
       if (rewritePaths.isEmpty) df.limit(0)
       else readWithSchema(spark, m.schema,
           rewritePaths.map(f => s"$destDir/$f"))
-        .filter(col(c) < lo || col(c) > hi)
-    val delta0 = survivors.unionByName(df, allowMissingColumns = true)
+        .filter(col(c) < lo || col(c) > hi || col(c).isNull)
+    val delta0 = survivors.unionByName(checked, allowMissingColumns = true)
     val delta = m.schema match {
       case Some(ps) =>
         val newCols = delta0.columns.filterNot(ps.fieldNames.contains)
         delta0.select((ps.fieldNames ++ newCols).map(col).toSeq: _*)
       case None => delta0
     }
-    commitVersion(delta, destDir, carryForward = true, statsCol = None,
+    try commitVersion(delta, destDir, carryForward = true, statsCol = None,
       carriedOverride = Some(carriedEntries),
       tag = tag, prevManifestOpt = Some(m), baseVersion = Some(prev),
-      statsColsMulti = m.statsCols)
+      statsColsMulti = m.statsCols, carriedRowsOverride = carriedRows)
+    catch {
+      // the riding contract check fired during the delta write: surface
+      // the replaceWhere violation as the API's contract exception (the
+      // staged partial write is orphaned; vacuumOrphans reclaims it)
+      case e: Throwable if exceptionChain(e).exists(t =>
+          t.getMessage != null &&
+            t.getMessage.contains("replaceSnapshotRange:")) =>
+        throw new IllegalArgumentException(
+          exceptionChain(e).flatMap(t => Option(t.getMessage))
+            .find(_.contains("replaceSnapshotRange:"))
+            .getOrElse("replaceSnapshotRange: contract violation"), e)
+    }
+  }
+
+  /** The throwable and every cause below it (cycle-safe). */
+  private def exceptionChain(e: Throwable): List[Throwable] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Throwable]
+    var cur = e
+    while (cur != null && !out.contains(cur) && out.length < 32) {
+      out += cur; cur = cur.getCause
+    }
+    out.toList
+  }
+
+  /** Does `path`'s parquet footer PROVE the stats column holds no
+    * nulls? True only when every block records a null count of zero
+    * for `statsCol`; a missing column chunk (pre-evolution file: the
+    * column reads as all-null) or an unset null count is false — the
+    * caller must err toward re-reading, never toward dropping rows. */
+  private def footerNullFree(conf: org.apache.hadoop.conf.Configuration,
+                             path: org.apache.hadoop.fs.Path,
+                             statsCol: String): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try reader.getFooter.getBlocks.asScala.forall { b =>
+      b.getColumns.asScala.find(_.getPath.toDotString == statsCol)
+        .exists { ch =>
+          val st = ch.getStatistics
+          st != null && st.isNumNullsSet && st.getNumNulls == 0L
+        }
+    } finally reader.close()
   }
 
   /** DROP COLUMN as a METADATA-ONLY commit (the other half of schema
@@ -366,7 +449,9 @@ object Snapshot {
       (if (m.statsCols.isEmpty) Seq.empty
        else Seq(s"#stats=${m.statsCols.mkString(",")}")) ++
       tag.map(t => s"#tag=$t").toSeq ++
-      Seq(s"#dropped=${droppedSet.mkString(",")}")
+      Seq(s"#dropped=${droppedSet.mkString(",")}") ++
+      // metadata-only commit: the row count is exactly the base's
+      m.rowsHeader.map(r => s"#rows=$r").toSeq
     val uid = claimStagingId(fs, destDir, prev + 1)
     if (latestVersion(spark, destDir) != prev ||
         !tryCommitManifest(fs, destDir, prev + 1, uid, header ++ m.entries))
@@ -497,12 +582,25 @@ object Snapshot {
     require(resurrected.isEmpty,
       s"column(s) ${resurrected.mkString(", ")} were DROPPED from " +
         s"$destDir and cannot be re-added by a merge-on-read batch")
+    // #rows counts PHYSICAL data rows (the upsert log's superseded rows
+    // included — resolve-time counts need the resolve); the batch's
+    // rows come off the footers just written, prev's off its header
+    val batchRows: Long = {
+      import scala.collection.parallel.CollectionConverters._
+      if (dataLines.isEmpty) 0L
+      else fs.listStatus(dataDir)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getPath).toSeq.par
+        .map(p => footerStats(conf, p, Nil)._1).sum
+    }
+    val rowsHeader = m.rowsHeader.map(r => s"#rows=${r + batchRows}")
     val header = outSchema.map(s => s"#schema=${s.json}").toSeq ++
       (if (m.statsCols.isEmpty) Seq.empty
        else Seq(s"#stats=${m.statsCols.mkString(",")}")) ++
       Seq(s"#morkey=$keyCol") ++ tag.map(t => s"#tag=$t").toSeq ++
       (if (m.droppedCols.isEmpty) Seq.empty
-       else Seq(s"#dropped=${m.droppedCols.toSeq.sorted.mkString(",")}"))
+       else Seq(s"#dropped=${m.droppedCols.toSeq.sorted.mkString(",")}")) ++
+      rowsHeader.toSeq
     def abort(msg: String): Nothing = {
       fs.delete(dataDir, true); fs.delete(delDir, true)
       throw new ConcurrentSnapshotUpdate(msg)
@@ -617,7 +715,8 @@ object Snapshot {
     commitVersion(delta, destDir, carryForward = true, statsCol = None,
       tag = tag, carriedOverride = Some(carried), prevManifestOpt = Some(m),
       baseVersion = Some(prev), statsColsMulti = m.statsCols,
-      morAware = true)
+      morAware = true,
+      carriedRowsOverride = sumLineRows(m.lines.filter(keepLine)))
   }
 
   /** Per-file (rows, per-column (min, max)) of integral columns, read
@@ -667,15 +766,15 @@ object Snapshot {
   final class ConcurrentSnapshotUpdate(msg: String)
     extends IllegalStateException(msg)
 
-  /** Per-destination commit locks: the check-then-rename in
+  /** Per-destination commit locks: the check-then-publish in
     * [[tryCommitManifest]] is atomic within this driver JVM — the
     * engine's publish model is one driver per table, so this is the
     * serialization point for racing writers (threads, streams,
-    * maintenance) of that driver. Across SEPARATE drivers the rename
-    * itself is the guard on stores whose rename fails when the
-    * destination exists (HDFS); raw local filesystems overwrite on
-    * rename, so cross-PROCESS publishing to a local path is outside
-    * the protocol's guarantees (documented, not silently wrong). */
+    * maintenance) of that driver. Across SEPARATE drivers the publish
+    * primitive itself is the guard: HDFS-style stores refuse a rename
+    * onto an existing destination, and local paths commit via an
+    * atomic hard link (EEXIST on a taken slot) because raw local
+    * rename would overwrite. */
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
@@ -720,7 +819,8 @@ object Snapshot {
                             prevManifestOpt: Option[ManifestData] = None,
                             statsColsMulti: Seq[String] = Nil,
                             baseVersion: Option[Int] = None,
-                            morAware: Boolean = false): Int = {
+                            morAware: Boolean = false,
+                            carriedRowsOverride: Option[Long] = None): Int = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
@@ -738,6 +838,10 @@ object Snapshot {
     // counts a serial loop is the publish bottleneck (r10 rehearsal:
     // 800 footers dominate the 10 s publish), so fan them out on the
     // driver — still metadata-sized work, just not serialized
+    // per-file row counts, shared between the stats lines and the
+    // version's #rows header — each footer is opened at most once
+    val rowsCache =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     def newFileLines(statsCols: Seq[String]): Seq[String] = {
       import scala.collection.parallel.CollectionConverters._
       parts.par.map { p =>
@@ -745,6 +849,7 @@ object Snapshot {
         if (statsCols.isEmpty) rel
         else {
           val (rows, mm) = footerStats(conf, p, statsCols)
+          rowsCache.put(p.getName, rows)
           // mn > mx ⇔ no block carried usable stats for that column
           // (stats disabled, or column all-null in every block that
           // recorded them). Emitting sentinel min/max would make
@@ -758,6 +863,16 @@ object Snapshot {
       }.seq.toSeq
     }
     val lineCache = scala.collection.mutable.Map.empty[Seq[String], Seq[String]]
+    // the delta's exact row count, known AT COMMIT from the footers the
+    // stats pass already opened (a stats-less publish pays one extra
+    // parallel rows-only footer pass — still metadata-sized); feeds the
+    // #rows header that makes snapshotHistory O(versions)
+    lazy val deltaRows: Long = {
+      import scala.collection.parallel.CollectionConverters._
+      parts.par.map(p => Option(rowsCache.get(p.getName))
+        .map(_.longValue)
+        .getOrElse(footerStats(conf, p, Nil)._1)).sum
+    }
 
     // Optimistic-CAS commit loop: build the manifest against the
     // CURRENT latest version, then publish at latest+1 — if that slot
@@ -881,12 +996,22 @@ object Snapshot {
       val schemaHeader =
         s"#schema=${org.apache.spark.sql.types.StructType(
           df.schema.fields.map(_.copy(nullable = true))).json}"
+      // version row count = carried rows + delta rows. Carried rows:
+      // a plain carry-forward inherits the base's #rows header; a
+      // transformed carry (merge/replace/compact/reconcile) passes the
+      // sum its caller already computed over the kept lines. Unknown on
+      // either side ⇒ header omitted, never guessed.
+      val carriedRows: Option[Long] =
+        if (carriedOverride.isDefined) carriedRowsOverride
+        else if (carryForward) prevManifest.flatMap(_.rowsHeader)
+        else Some(0L)
       val header = schemaHeader +:
         ((if (statsCols.isEmpty) Seq.empty
           else Seq(s"#stats=${statsCols.mkString(",")}")) ++
           tag.map(t => s"#tag=$t").toSeq ++
           (if (dropped.isEmpty) Seq.empty
-           else Seq(s"#dropped=${dropped.toSeq.sorted.mkString(",")}")))
+           else Seq(s"#dropped=${dropped.toSeq.sorted.mkString(",")}")) ++
+          carriedRows.map(cr => s"#rows=${cr + deltaRows}").toSeq)
       // the delta's file lines live in their own immutable delta
       // manifest; the version file carries one reference line for them
       val deltaEntry =
@@ -924,10 +1049,19 @@ object Snapshot {
   /** Publish manifest `content` as version `v` IF AND ONLY IF v is
     * still free — the commit point of every publish path. Content is
     * written to a temp file named by the publisher's exclusive staging
-    * id (never contended), then check-and-renamed to `v<v>.txt` under
+    * id (never contended), then check-and-published to `v<v>.txt` under
     * the destination's commit lock. Returns false when the slot was
     * taken by a concurrent commit (caller rebuilds against the fresh
-    * base and retries at the next slot). */
+    * base and retries at the next slot).
+    *
+    * Cross-PROCESS safety: on `file:` URIs Hadoop's rename OVERWRITES
+    * an existing destination, so the publish step there is an atomic
+    * HARD LINK (POSIX link(2) fails with EEXIST if the target exists) —
+    * two separate JVMs racing the same local slot lose loudly instead
+    * of silently clobbering a committed version. On stores whose rename
+    * refuses an existing destination (HDFS) the rename itself is the
+    * cross-process guard; the JVM lock stays as the in-driver fast
+    * path either way. */
   private def tryCommitManifest(fs: org.apache.hadoop.fs.FileSystem,
                                 destDir: String, v: Int, uid: Int,
                                 content: Seq[String]): Boolean = {
@@ -938,11 +1072,31 @@ object Snapshot {
     out.write(content.mkString("\n").getBytes("UTF-8"))
     out.close()
     val target = new Path(s"$destDir/manifest/v$v.txt")
-    val lock = commitLocks.computeIfAbsent(
-      fs.makeQualified(new Path(destDir)).toString, _ => new Object)
+    val qualified = fs.makeQualified(new Path(destDir))
+    val lock = commitLocks.computeIfAbsent(qualified.toString, _ => new Object)
+    val isLocal = {
+      val sch = qualified.toUri.getScheme
+      sch == null || sch == "file"
+    }
     lock.synchronized {
       if (fs.exists(target)) { fs.delete(tmp, false); false }
-      else fs.rename(tmp, target)
+      else if (isLocal) {
+        val tDir = fs.makeQualified(target).toUri.getPath
+        val sDir = fs.makeQualified(tmp).toUri.getPath
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(tDir), java.nio.file.Paths.get(sDir))
+          fs.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            fs.delete(tmp, false); false
+          case _: UnsupportedOperationException =>
+            // no hard links on this mount: the in-JVM lock remains the
+            // only guard (the documented single-driver-per-table scope)
+            fs.rename(tmp, target)
+        }
+      } else fs.rename(tmp, target)
     }
   }
 
@@ -991,6 +1145,16 @@ object Snapshot {
       * name-based resurrection of pre-drop file values. */
     def droppedCols: Set[String] =
       headers.get("dropped").map(_.split(",").toSet).getOrElse(Set.empty)
+    /** The version's total data-file row count, recorded AT COMMIT
+      * (`#rows=` header) — what lets [[snapshotHistory]] answer exact
+      * counts in O(versions) manifest reads without expanding any
+      * delta manifest. Physical rows of referenced data files; on a
+      * tombstoned (merge-on-read) version that includes superseded
+      * upsert rows. Absent on pre-header manifests and when a carried
+      * line's count was unknowable. */
+    def rowsHeader: Option[Long] =
+      headers.get("rows").flatMap(s =>
+        if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None)
   }
 
   private def readTextLines(fs: org.apache.hadoop.fs.FileSystem,
@@ -1068,6 +1232,24 @@ object Snapshot {
 
   /** Is this manifest line a merge-on-read tombstone (delete-set file)? */
   private def isDeleteLine(l: String): Boolean = l.startsWith("!")
+
+  /** Per-file row count of a manifest line: field 1 of any stats line
+    * (`path\trows\tmn\tmx…`, with or without a trailing bloom-words
+    * field — arity is NOT assumed even, the round-11 bug); None for
+    * bare-path and bloom-only lines. */
+  private def lineRowCount(l: String): Option[Long] = {
+    val f = l.split("\t")
+    if (f.length >= 4 && f(1).nonEmpty && f(1).forall(_.isDigit))
+      Some(f(1).toLong)
+    else None
+  }
+
+  /** Sum of the lines' per-file row counts, None when any line lacks
+    * one (header omitted rather than guessed). */
+  private def sumLineRows(lines: Seq[String]): Option[Long] = {
+    val cs = lines.map(lineRowCount)
+    if (cs.forall(_.isDefined)) Some(cs.flatten.sum) else None
+  }
 
   /** Staging sequence of a data/delete file path (`data/v<id>/…` or
     * `data/v<id>_del/…`). Under the MoR protocol's base-dependent CAS,
@@ -1389,16 +1571,16 @@ object Snapshot {
     val nWords = (mBits + Sketches.BloomWordBits - 1) / Sketches.BloomWordBits
     val empty = Array.fill(nWords)(0L).mkString(",")
     import scala.collection.parallel.CollectionConverters._
-    val lines = fs.listStatus(dataDir)
+    val linesAndRows = fs.listStatus(dataDir)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map(_.getPath).sortBy(_.getName).par
       .map { p =>
         val rel = s"data/v$uid/${p.getName}"
         val w = words.getOrElse(p.getName, empty)
+        val (rows, mm) = footerStats(conf, p, statsCols)
         val statsTxt =
           if (statsCols.isEmpty) None
           else {
-            val (rows, mm) = footerStats(conf, p, statsCols)
             // any column without usable stats ⇒ no stats text at all:
             // the line grammar is positional, and lineOverlaps's length
             // arithmetic keeps a (path, words)-only line conservative
@@ -1406,11 +1588,13 @@ object Snapshot {
             else Some(s"$rows\t" +
               mm.map { case (mn, mx) => s"$mn\t$mx" }.mkString("\t"))
           }
-        statsTxt match {
+        val line = statsTxt match {
           case Some(st) => s"$rel\t$st\t$w"
           case None => s"$rel\t$w"
         }
+        (line, rows)
       }.seq.toSeq
+    val lines = linesAndRows.map(_._1)
     val schemaHeader =
       s"#schema=${org.apache.spark.sql.types.StructType(
         df.schema.fields.map(_.copy(nullable = true))).json}"
@@ -1418,7 +1602,8 @@ object Snapshot {
       ((if (statsCols.isEmpty) Seq.empty
         else Seq(s"#stats=${statsCols.mkString(",")}")) ++
         Seq(s"#bloom=$bloomCol,$mBits,$k") ++
-        tag.map(t => s"#tag=$t").toSeq)
+        tag.map(t => s"#tag=$t").toSeq ++
+        Seq(s"#rows=${linesAndRows.map(_._2).sum}"))
     writeFileAtomic(fs, s"$destDir/manifest/d$uid.txt",
       s"$destDir/manifest/.dtmp_v$uid", lines)
     // full publish: content is base-independent, so the commit loop just
@@ -1527,14 +1712,7 @@ object Snapshot {
     require(m.bloom.isEmpty,
       s"compactSnapshot does not preserve bloom manifests (v$v of " +
         s"$destDir); re-publish with publishSnapshotBloom after compacting")
-    // rows is field 1 of any stats line (single- or multi-column)
-    def lineRows(l: String): Option[Long] = {
-      val f = l.split("\t")
-      if (f.length >= 4 && f.length % 2 == 0 && f(1).forall(_.isDigit))
-        Some(f(1).toLong)
-      else None
-    }
-    def isBig(l: String) = lineRows(l).exists(_ >= minRows)
+    def isBig(l: String) = lineRowCount(l).exists(_ >= minRows)
     // group-granular carry (same rule as mergeSnapshot): an all-big
     // delta manifest carries as its one-line reference; a mixed group
     // inlines only its big lines
@@ -1549,7 +1727,7 @@ object Snapshot {
         smallLines.map(l => s"$destDir/${linePath(l)}"))
       // known counts come free off the manifest; only stats-less lines
       // (rare) cost a count() over their own small bytes
-      val known = smallLines.flatMap(lineRows)
+      val known = smallLines.flatMap(lineRowCount)
       val rows =
         if (known.length == smallLines.length) known.sum
         else small.count()
@@ -1560,7 +1738,8 @@ object Snapshot {
         statsCol = None, carriedOverride = Some(carriedEntries),
         tag = tag, prevManifestOpt = Some(m),
         baseVersion = Some(v),
-        statsColsMulti = m.statsCols)
+        statsColsMulti = m.statsCols,
+        carriedRowsOverride = sumLineRows(m.lines.filter(isBig)))
     }
   }
 
@@ -1581,38 +1760,42 @@ object Snapshot {
 
   /** Table HISTORY as a DataFrame (Iceberg's `table$history` /
     * `table$snapshots` story): one row per retained version with its
-    * tag, column count, tombstone state, dropped-name fence, and —
-    * when every data line carries stats — the version's exact row
-    * count summed from MANIFEST text alone (a stats-less line nulls
-    * the count rather than guessing). Pure driver metadata: O(versions)
-    * manifest reads, zero data files opened, which is what makes
-    * "how did this table get here" answerable on a 100 TB table in
-    * milliseconds. Vacuumed versions are simply absent. */
+    * tag, column count, tombstone state, dropped-name fence, and the
+    * version's exact row count. Every commit records its total in a
+    * `#rows` header (carried + delta, both known at commit time), so
+    * history reads exactly V version files — no delta manifest is ever
+    * expanded, which is what makes "how did this table get here"
+    * answerable on a million-file table in milliseconds. Pre-header
+    * versions fall back to summing per-line counts from the expanded
+    * manifest text (a stats-less line nulls the count rather than
+    * guessing). Vacuumed versions are simply absent. */
   def snapshotHistory(spark: org.apache.spark.sql.SparkSession,
                       destDir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(destDir).getFileSystem(
       spark.sessionState.newHadoopConf())
-    def lineRows(l: String): Option[Long] = {
-      val f = l.split("\t")
-      if (f.length >= 4 && f.length % 2 == 0 && f(1).forall(_.isDigit))
-        Some(f(1).toLong)
-      else None
-    }
     val rows = (1 to latestVersion(spark, destDir)).flatMap { v =>
       if (!fs.exists(new Path(s"$destDir/manifest/v$v.txt"))) None
       else {
         val m = readManifest(spark, destDir, v)
-        val dataLines = m.lines.filterNot(isDeleteLine)
-        val counts = dataLines.map(lineRows)
-        val nRows: Option[Long] =
+        // O(versions): the committed #rows header answers the count
+        // without resolving any delta-manifest reference (tombstone
+        // lines are always INLINE in the version file — morCommit
+        // appends them and every carry keeps entries verbatim — so the
+        // tombstone flag needs no expansion either). Only pre-header
+        // manifests fall back to expanding and summing line counts
+        // (bloom-arity-tolerant: lineRowCount, the round-11 fix).
+        val nRows: Option[Long] = m.rowsHeader.orElse {
+          val dataLines = m.lines.filterNot(isDeleteLine)
+          val counts = dataLines.map(lineRowCount)
           if (counts.nonEmpty && counts.forall(_.isDefined))
             Some(counts.flatten.sum)
           else None
+        }
         Some((v, m.tag.orNull,
           m.schema.map(_.fields.length).getOrElse(-1),
           nRows.map(java.lang.Long.valueOf).orNull,
-          m.lines.exists(isDeleteLine),
+          m.entries.exists(isDeleteLine),
           m.droppedCols.toSeq.sorted.mkString(",")))
       }
     }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-12 advice fixes + the O(V) history contract:
+  *  - replaceSnapshotRange must never lose NULL-valued base rows (parquet
+  *    min/max ignore nulls, so stats-classification alone would Drop
+  *    them); a violating batch aborts without committing anything;
+  *  - every commit records its exact row count in a `#rows` header, so
+  *    snapshotHistory answers counts from V version files alone —
+  *    pinned by deleting the delta manifests and asking again;
+  *  - pre-header manifests (bloom-indexed odd-arity lines included)
+  *    still report exact counts via the line-count fallback.
+  */
+class SnapshotRowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(pfx: String) =
+    java.nio.file.Files.createTempDirectory(pfx).toString
+
+  test("replaceSnapshotRange preserves null-stats rows in fully-inside files") {
+    val dest = tmp("graft-rnull")
+    // one file whose NON-NULL k values lie entirely inside the replaced
+    // range but which also holds a null-k row: min/max say Drop, the
+    // footer null count must demote it to Rewrite
+    val base = Seq((Some(300L), "a"), (Some(350L), "b"), (None, "n"))
+      .toDF("k", "v").coalesce(1)
+    Snapshot.publishSnapshot(base, dest, statsCol = Some("k"))
+    val v = Snapshot.replaceSnapshotRange(
+      Seq((250L, "r")).toDF("k", "v")
+        .select(col("k").cast("long").as("k"), col("v")),
+      dest, 200L, 400L)
+    val out = Snapshot.readSnapshot(spark, dest, v)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getString(1))).toSet
+    // in-range rows replaced by the batch; the null row SURVIVES
+    assert(out === Set((250L, "r"), (-1L, "n")))
+  }
+
+  test("replace survivor filter keeps null rows of straddling files") {
+    val dest = tmp("graft-rnull2")
+    val base = Seq((Some(100L), "lo"), (Some(300L), "mid"), (None, "n"))
+      .toDF("k", "v").coalesce(1)
+    Snapshot.publishSnapshot(base, dest, statsCol = Some("k"))
+    // [200, 400] straddles the file ([100, 300] bounds) → Rewrite path
+    val v = Snapshot.replaceSnapshotRange(
+      Seq((250L, "r")).toDF("k", "v")
+        .select(col("k").cast("long").as("k"), col("v")), dest, 200L, 400L)
+    val out = Snapshot.readSnapshot(spark, dest, v)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getString(1))).toSet
+    assert(out === Set((100L, "lo"), (250L, "r"), (-1L, "n")))
+  }
+
+  test("replace contract violation aborts before any commit (checked rows ARE written rows)") {
+    val dest = tmp("graft-rviol")
+    Snapshot.publishSnapshot(
+      (0L until 100L).map(k => (k, s"n$k")).toDF("k", "v"), dest,
+      statsCol = Some("k"))
+    // out-of-range row and null row both refuse, and neither commits
+    intercept[IllegalArgumentException] {
+      Snapshot.replaceSnapshotRange(
+        Seq((10L, "ok"), (99L, "bad")).toDF("k", "v"), dest, 0L, 50L)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.replaceSnapshotRange(
+        Seq((Some(10L), "ok"), (None, "null")).toDF("k", "v")
+          .select(col("k").cast("long").as("k"), col("v")),
+        dest, 0L, 50L)
+    }
+    assert(Snapshot.latestVersion(spark, dest) == 1)
+    // and the table still reads exactly as published
+    assert(Snapshot.readSnapshot(spark, dest, 1).count() == 100)
+  }
+
+  test("snapshotHistory is O(versions): exact counts with every delta manifest deleted") {
+    val dest = tmp("graft-hist")
+    val mk = (r: Range) => r.map(k => (k.toLong, s"n$k")).toDF("k", "v")
+    Snapshot.publishSnapshot(mk(0 until 100).repartition(2), dest,
+      statsCol = Some("k"))
+    Snapshot.appendSnapshot(mk(100 until 150), dest)
+    // merge: whole-row replace of 10 + insert of 5 → 155
+    Snapshot.mergeSnapshot(mk(140 until 155), dest, "k")
+    // MoR merge: physical rows grow by the batch (superseded included)
+    Snapshot.mergeSnapshotMoR(mk(0 until 7), dest, "k")
+    val fs = new org.apache.hadoop.fs.Path(dest).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // kill every delta manifest: history must not notice
+    val man = new org.apache.hadoop.fs.Path(s"$dest/manifest")
+    fs.listStatus(man).map(_.getPath.getName)
+      .filter(n => n.startsWith("d") && n.endsWith(".txt"))
+      .foreach(n => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$dest/manifest/$n"), false))
+    val h = Snapshot.snapshotHistory(spark, dest)
+      .orderBy("version")
+      .collect().map(r => (r.getInt(0), r.getLong(3), r.getBoolean(4)))
+    assert(h === Array((1, 100L, false), (2, 150L, false),
+      (3, 155L, false), (4, 162L, true)))
+  }
+
+  test("pre-header manifests (bloom odd-arity lines) fall back to exact line counts") {
+    val dest = tmp("graft-histb")
+    val df = (0L until 60L).map(k => (k, s"u$k")).toDF("k", "v")
+      .repartition(3)
+    Snapshot.publishSnapshotIndexed(df, dest, Seq("k"), "v")
+    // strip the #rows header to simulate a round-11 manifest whose
+    // bloom lines are odd-arity (path, rows, mn, mx, words)
+    val fs = new org.apache.hadoop.fs.Path(dest).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(s"$dest/manifest/v1.txt")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    assert(txt.contains("#rows=60"))
+    val stripped = txt.split("\n").filterNot(_.startsWith("#rows="))
+    fs.delete(p, false)
+    val out = fs.create(p, true)
+    out.write(stripped.mkString("\n").getBytes("UTF-8")); out.close()
+    val h = Snapshot.snapshotHistory(spark, dest).collect()
+    assert(h.length == 1 && !h(0).isNullAt(3) && h(0).getLong(3) == 60L,
+      s"bloom-arity fallback broke: ${h.mkString(";")}")
+  }
+}
