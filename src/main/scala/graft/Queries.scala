@@ -6082,6 +6082,57 @@ object Queries {
       |  SELECT 10000003, 'ins', 1234
       |) ORDER BY c_custkey""".stripMargin
 
+  // --------------------------------------------------- Q-snapmor_del
+  // Predicate-level DELETE on the merge-on-read path
+  // (Snapshot.deleteSnapshotMoRWhere — Delta's DELETE WHERE, completing
+  // the MoR DML triple): after an upsert merge (%7 keys, +100 cents), a
+  // compound predicate (custkey range AND balance divisible by 3)
+  // deletes by CURRENT state — the upsert log is resolved before the
+  // predicate evaluates, so a key whose latest balance moved off a
+  // multiple of 3 is spared; the matched keys commit as ONE tombstone
+  // set, zero base files rewritten, and the key scan opens only
+  // manifest files overlapping the [40, 120] bound folded from the
+  // predicate's conjuncts (stats pruning, SnapshotDeleteWhereSpec).
+  // ORACLE replays upsert-then-delete from the seed.
+  private val SnapMorDelDir = s"$FixtureRoot/snapmordel"
+
+  def snapMorDelQ(s: SparkSession, dir: String): DataFrame = {
+    publishOnce(SnapMorDelDir, dir) {
+      wipeDir(SnapMorDelDir)
+      val cust = load(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      graft.operators.Snapshot.publishSnapshot(
+        cust.repartitionByRange(8, col("c_custkey")), SnapMorDelDir,
+        statsCol = Some("c_custkey"))
+      graft.operators.Snapshot.mergeSnapshotMoR(
+        cust.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"),
+            concat(col("c_name"), lit("_a")).as("c_name"),
+            (col("bal_cents") + 100L).as("bal_cents")),
+        SnapMorDelDir, "c_custkey")
+      graft.operators.Snapshot.deleteSnapshotMoRWhere(s, SnapMorDelDir,
+        "c_custkey",
+        col("c_custkey") >= 40L && col("c_custkey") <= 120L &&
+          col("bal_cents") % 3L === 0L)
+      ()
+    }
+    graft.operators.Snapshot.readSnapshot(s, SnapMorDelDir,
+      graft.operators.Snapshot.latestVersion(s, SnapMorDelDir))
+      .orderBy("c_custkey")
+  }
+
+  private val snapMorDelSql =
+    """SELECT c_custkey, c_name, bal_cents FROM (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 7 = 0 THEN c_name || '_a'
+      |              ELSE c_name END AS c_name,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) +
+      |           CASE WHEN c_custkey % 7 = 0 THEN 100 ELSE 0 END AS bal_cents
+      |  FROM customer
+      |) WHERE NOT (c_custkey BETWEEN 40 AND 120 AND bal_cents % 3 = 0)
+      |ORDER BY c_custkey""".stripMargin
+
   // --------------------------------------------------------- Q-snapmv
   // Incremental materialized-view maintenance
   // (MaterializedView.refreshSumView — the DLT/Materialize story on
@@ -9982,6 +10033,7 @@ object Queries {
     "q_snapreplace" -> (snapReplaceQ _),
     "q_snapmor" -> (snapMorQ _),
     "q_snapmor_rec" -> (snapMorRecQ _),
+    "q_snapmor_del" -> (snapMorDelQ _),
     "q_snapmv" -> (snapMvQ _),
     "q_snapdropcol" -> (snapDropColQ _),
     "q_snaphistory" -> (snapHistoryQ _),
@@ -10215,6 +10267,7 @@ object Queries {
     "q_snapreplace" -> snapReplaceSql,
     "q_snapmor" -> snapMorSql,
     "q_snapmor_rec" -> snapMorSql,
+    "q_snapmor_del" -> snapMorDelSql,
     "q_snapmv" -> snapMvSql,
     "q_snapdropcol" -> snapDropColSql,
     "q_snaphistory" -> snapHistorySql,

@@ -500,14 +500,158 @@ object Snapshot {
     morCommit(None, keys.select(col(keyCol)).distinct(), destDir, keyCol,
       tag)
 
+  /** Predicate-level DELETE on the merge-on-read path — Delta's
+    * `DELETE WHERE <cond>` completing the MoR DML triple: evaluate
+    * `cond` against the CURRENT table state (upsert log resolved, so a
+    * key whose latest upsert no longer matches is correctly spared),
+    * then commit ONLY the matching keys as a tombstone delete-set —
+    * zero base files rewritten, O(matching keys) bytes.
+    *
+    * The matching-key scan is STATS-PRUNED by manifest arithmetic:
+    * conjuncts of `cond` over the table's first stats column are folded
+    * into a [lo, hi] bound ([[predicateBounds]]) and only overlapping
+    * files are opened — on a key-clustered table a narrow predicate
+    * delete scans a handful of files, never the table. Pruning is
+    * null-sound: bounds come only from null-rejecting comparison
+    * conjuncts, so a row with a null stats value can never satisfy the
+    * bounded conjunct, and unbounded shapes (IS NULL, NOT, foreign
+    * columns) simply keep every file. Upsert-log files carry no stats
+    * lines and are always scanned (the log is small between
+    * reconciles by design).
+    *
+    * A predicate matching nothing returns the current version without
+    * committing (no spurious tombstone state). Base-dependent like
+    * every MoR commit: a concurrent commit between the scan and the
+    * commit aborts with [[ConcurrentSnapshotUpdate]] — the matched key
+    * set would be stale. */
+  def deleteSnapshotMoRWhere(spark: org.apache.spark.sql.SparkSession,
+                             destDir: String, keyCol: String, cond: Column,
+                             tag: Option[String] = None): Int = {
+    val prev = latestVersion(spark, destDir)
+    require(prev >= 1,
+      s"deleteSnapshotMoRWhere needs an existing version under $destDir")
+    val m = readManifest(spark, destDir, prev)
+    // resolve `cond` against the table schema on an EMPTY probe (public
+    // API, no data touched): the ANALYZED filter condition — not the
+    // optimized plan, which would collapse the empty relation — yields
+    // the expression tree the bounds fold walks
+    val (lo, hi) = (m.statsCol, m.schema) match {
+      case (Some(c), Some(schema)) =>
+        val probe = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema)
+        probe.filter(cond).queryExecution.analyzed match {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            predicateBounds(f.condition, c)
+          case _ => (Long.MinValue, Long.MaxValue)
+        }
+      case _ => (Long.MinValue, Long.MaxValue)
+    }
+    val dataLines = m.lines.filterNot(isDeleteLine)
+    val candidates = dataLines
+      .filter(lineOverlaps(_, 0, lo, hi, m.bloom.isDefined))
+      .map(l => s"$destDir/${linePath(l)}")
+    if (candidates.isEmpty) return prev
+    val current =
+      if (m.lines.exists(isDeleteLine))
+        morResolve(spark, destDir, m, prev, candidates)
+      else readWithSchema(spark, m.schema, candidates)
+    val keys = current.filter(cond).select(col(keyCol)).distinct()
+    if (keys.limit(1).count() == 0) return prev
+    morCommit(None, keys, destDir, keyCol, tag, pinnedBase = Some(prev))
+  }
+
+  /** Fold `e`'s conjuncts over column `c` into a conservative [lo, hi]
+    * bound for manifest-stats pruning. Only null-rejecting comparison
+    * shapes tighten (`c (>|>=|<|<=|=) literal`, reversed literals, IN,
+    * BETWEEN-as-And); And intersects, Or unions, and ANY other shape —
+    * IS NULL, NOT, functions of c, other columns — is unbounded, so
+    * pruning can never lose a matching row (including null-valued
+    * ones: a tightened bound implies a comparison conjunct on c, which
+    * a null c fails). Strict bounds are kept inclusive (a boundary file
+    * is an extra open, never a lost row). */
+  private[graft] def predicateBounds(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      c: String): (Long, Long) = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    val all = (Long.MinValue, Long.MaxValue)
+    // a WIDENING integral cast (what the analyzer inserts to reconcile
+    // comparison operand types) is order- and value-preserving, so it
+    // unwraps transparently; any other cast leaves the shape unbounded
+    def widens(from: DataType, to: DataType): Boolean = {
+      def rank(d: DataType): Int = d match {
+        case ByteType => 1; case ShortType => 2
+        case IntegerType => 3; case LongType => 4; case _ => 99
+      }
+      rank(from) <= rank(to) && rank(to) <= 4
+    }
+    def attr(x: Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case c: Cast if c.resolved && widens(c.child.dataType, c.dataType) =>
+        attr(c.child)
+      case _ => None
+    }
+    def lit(x: Expression): Option[Long] = x match {
+      case Literal(v: Long, _) => Some(v)
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case Literal(v: Byte, _) => Some(v.toLong)
+      case c: Cast if c.resolved && widens(c.child.dataType, c.dataType) =>
+        lit(c.child)
+      case _ => None
+    }
+    def onC(x: Expression): Boolean = attr(x).contains(c)
+    e match {
+      case And(l, r) =>
+        val (ll, lh) = predicateBounds(l, c)
+        val (rl, rh) = predicateBounds(r, c)
+        (math.max(ll, rl), math.min(lh, rh))
+      case Or(l, r) =>
+        val (ll, lh) = predicateBounds(l, c)
+        val (rl, rh) = predicateBounds(r, c)
+        (math.min(ll, rl), math.max(lh, rh))
+      case GreaterThan(a, v) if onC(a) && lit(v).isDefined =>
+        (lit(v).get, Long.MaxValue)
+      case GreaterThanOrEqual(a, v) if onC(a) && lit(v).isDefined =>
+        (lit(v).get, Long.MaxValue)
+      case LessThan(a, v) if onC(a) && lit(v).isDefined =>
+        (Long.MinValue, lit(v).get)
+      case LessThanOrEqual(a, v) if onC(a) && lit(v).isDefined =>
+        (Long.MinValue, lit(v).get)
+      case EqualTo(a, v) if onC(a) && lit(v).isDefined =>
+        (lit(v).get, lit(v).get)
+      // literal-on-the-left spellings mirror
+      case GreaterThan(v, a) if onC(a) && lit(v).isDefined =>
+        (Long.MinValue, lit(v).get)
+      case GreaterThanOrEqual(v, a) if onC(a) && lit(v).isDefined =>
+        (Long.MinValue, lit(v).get)
+      case LessThan(v, a) if onC(a) && lit(v).isDefined =>
+        (lit(v).get, Long.MaxValue)
+      case LessThanOrEqual(v, a) if onC(a) && lit(v).isDefined =>
+        (lit(v).get, Long.MaxValue)
+      case EqualTo(v, a) if onC(a) && lit(v).isDefined =>
+        (lit(v).get, lit(v).get)
+      case In(a, vs) if onC(a) && vs.nonEmpty && vs.forall(lit(_).isDefined) =>
+        (vs.flatMap(lit).min, vs.flatMap(lit).max)
+      case _ => all
+    }
+  }
+
   private def morCommit(updatesOpt: Option[DataFrame], delKeys: DataFrame,
                         destDir: String, keyCol: String,
-                        tag: Option[String] = None): Int = {
+                        tag: Option[String] = None,
+                        pinnedBase: Option[Int] = None): Int = {
     import org.apache.hadoop.fs.Path
     val spark = delKeys.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(destDir).getFileSystem(conf)
-    val prev = latestVersion(spark, destDir)
+    // a caller whose delete-set was COMPUTED against a base version
+    // (deleteSnapshotMoRWhere's predicate scan) pins it: the single-
+    // attempt CAS below then rejects any commit that raced in between
+    val prev = pinnedBase.getOrElse(latestVersion(spark, destDir))
     require(prev >= 1,
       s"mergeSnapshotMoR/deleteSnapshotMoR need an existing version " +
         s"under $destDir")
@@ -1308,6 +1452,21 @@ object Snapshot {
     * O(accumulated updates since the last reconcile), never O(table). */
   private def morRead(spark: org.apache.spark.sql.SparkSession,
                       destDir: String, m: ManifestData, v: Int): DataFrame = {
+    val dataFiles = m.lines.filterNot(isDeleteLine)
+      .map(l => s"$destDir/${linePath(l)}")
+    require(dataFiles.nonEmpty, s"version $v under $destDir is empty/unknown")
+    morResolve(spark, destDir, m, v, dataFiles)
+  }
+
+  /** The merge-on-read resolve over a CHOSEN data-file subset — shared
+    * by the full read and the pruned predicate-delete scan. Sound on
+    * any subset because survival is row-local given the per-key max
+    * delete sequence: a base row survives iff its key was never
+    * tombstoned, an upsert row iff its staging sequence IS the key's
+    * latest touch — neither depends on which other files are read. */
+  private def morResolve(spark: org.apache.spark.sql.SparkSession,
+                         destDir: String, m: ManifestData, v: Int,
+                         dataFiles: Seq[String]): DataFrame = {
     val keyCol = m.headers.getOrElse("morkey", throw new IllegalStateException(
       s"v$v of $destDir carries tombstones but no #morkey header"))
     val delLines = m.lines.filter(isDeleteLine)
@@ -1318,9 +1477,6 @@ object Snapshot {
       .parquet(delLines.map(l => s"$destDir/${linePath(l)}").distinct: _*)
       .select(col(keyCol)).withColumn("__dseq", seqExpr)
       .groupBy(keyCol).agg(max("__dseq").as("__dmax"))
-    val dataFiles = m.lines.filterNot(isDeleteLine)
-      .map(l => s"$destDir/${linePath(l)}")
-    require(dataFiles.nonEmpty, s"version $v under $destDir is empty/unknown")
     val resolved = readWithSchema(spark, m.schema, dataFiles)
       .withColumn("__seq", seqExpr)
       .join(broadcast(dmax), Seq(keyCol), "left")
