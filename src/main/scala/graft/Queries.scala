@@ -6133,6 +6133,86 @@ object Queries {
       |) WHERE NOT (c_custkey BETWEEN 40 AND 120 AND bal_cents % 3 = 0)
       |ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------------------- Q-txn
+  // MULTI-TABLE ATOMIC TRANSACTIONS (SnapshotTxn) — the reference's
+  // registration unit of work (ref register-omero.py:58-61: sample +
+  // dataset + link land as ONE transaction) on the manifest layout.
+  // Three tables (samples, datasets, edges) take three order slices:
+  //   txn1 commits normally;
+  //   txn2 stages all three tables and CRASHES before the commit point
+  //        → must be invisible everywhere;
+  //   txn3 crosses the commit point (one txn-manifest publish) and
+  //        CRASHES before finalization → the reader's recovery rolls
+  //        ALL THREE tables forward.
+  // The gate reads through the txn log (readLatest = recover + read)
+  // and aggregates per table; the ORACLE replays the all-or-nothing
+  // outcome — slices 0 and 2, never any part of slice 1.
+  private val TxnRootDir = s"$FixtureRoot/txnroot"
+  private val TxnSamplesDir = s"$FixtureRoot/txnsamples"
+  private val TxnDatasetsDir = s"$FixtureRoot/txndatasets"
+  private val TxnEdgesDir = s"$FixtureRoot/txnedges"
+
+  def txnQ(s: SparkSession, dir: String): DataFrame = {
+    publishOnce(TxnRootDir, dir) {
+      Seq(TxnRootDir, TxnSamplesDir, TxnDatasetsDir, TxnEdgesDir)
+        .foreach(wipeDir)
+      val ord = load(s, dir, "orders").select(
+        col("o_orderkey").as("ds_id"), col("o_custkey").as("sample_id"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def slice(r: Int) = ord.filter(col("ds_id") % 3 === r)
+      def stage(t: graft.operators.SnapshotTxn, r: Int,
+                publish: Boolean): Unit = {
+        val sl = slice(r)
+        if (publish) {
+          t.stagePublish(sl.select("sample_id"), TxnSamplesDir)
+          t.stagePublish(sl.select("ds_id", "cents"), TxnDatasetsDir,
+            statsCol = Some("ds_id"))
+          t.stagePublish(sl.select("ds_id", "sample_id"), TxnEdgesDir)
+        } else {
+          t.stageAppend(sl.select("sample_id"), TxnSamplesDir)
+          t.stageAppend(sl.select("ds_id", "cents"), TxnDatasetsDir)
+          t.stageAppend(sl.select("ds_id", "sample_id"), TxnEdgesDir)
+        }
+      }
+      val t1 = graft.operators.SnapshotTxn.begin(s, TxnRootDir)
+      stage(t1, 0, publish = true); t1.commit()
+      val t2 = graft.operators.SnapshotTxn.begin(s, TxnRootDir)
+      stage(t2, 1, publish = false) // "crash": never commits
+      val t3 = graft.operators.SnapshotTxn.begin(s, TxnRootDir)
+      stage(t3, 2, publish = false)
+      t3.commitNoFinalize() // "crash" after the atomic commit point
+      ()
+    }
+    val samples = graft.operators.SnapshotTxn.readLatest(
+      s, TxnRootDir, TxnSamplesDir)
+    val datasets = graft.operators.SnapshotTxn.readLatest(
+      s, TxnRootDir, TxnDatasetsDir)
+    val edges = graft.operators.SnapshotTxn.readLatest(
+      s, TxnRootDir, TxnEdgesDir)
+    samples.agg(lit("samples").as("tbl"),
+        count(lit(1)).as("n"), sum(col("sample_id")).as("s"))
+      .unionByName(datasets.agg(lit("datasets").as("tbl"),
+        count(lit(1)).as("n"), sum(col("cents")).as("s")))
+      .unionByName(edges.agg(lit("edges").as("tbl"), count(lit(1)).as("n"),
+        sum(col("ds_id") + col("sample_id")).as("s")))
+      .orderBy("tbl")
+  }
+
+  private val txnSql =
+    """WITH sel AS (SELECT o_orderkey AS ds_id, o_custkey AS sample_id,
+      |                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |             FROM orders WHERE o_orderkey % 3 IN (0, 2))
+      |SELECT tbl, n, s FROM (
+      |  SELECT 'samples' AS tbl, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(sample_id) AS BIGINT) AS s FROM sel
+      |  UNION ALL
+      |  SELECT 'datasets', CAST(count(*) AS BIGINT),
+      |         CAST(sum(cents) AS BIGINT) FROM sel
+      |  UNION ALL
+      |  SELECT 'edges', CAST(count(*) AS BIGINT),
+      |         CAST(sum(ds_id + sample_id) AS BIGINT) FROM sel
+      |) ORDER BY tbl""".stripMargin
+
   // --------------------------------------------------------- Q-snapmv
   // Incremental materialized-view maintenance
   // (MaterializedView.refreshSumView — the DLT/Materialize story on
@@ -10034,6 +10114,7 @@ object Queries {
     "q_snapmor" -> (snapMorQ _),
     "q_snapmor_rec" -> (snapMorRecQ _),
     "q_snapmor_del" -> (snapMorDelQ _),
+    "q_txn" -> (txnQ _),
     "q_snapmv" -> (snapMvQ _),
     "q_snapdropcol" -> (snapDropColQ _),
     "q_snaphistory" -> (snapHistoryQ _),
@@ -10268,6 +10349,7 @@ object Queries {
     "q_snapmor" -> snapMorSql,
     "q_snapmor_rec" -> snapMorSql,
     "q_snapmor_del" -> snapMorDelSql,
+    "q_txn" -> txnSql,
     "q_snapmv" -> snapMvSql,
     "q_snapdropcol" -> snapDropColSql,
     "q_snaphistory" -> snapHistorySql,

@@ -869,7 +869,7 @@ object Snapshot {
     * read. This is what lets a manifest carry skipping stats for free
     * at publish time. A column whose blocks carried no usable stats
     * comes back with mn > mx (the caller's keep-conservative signal). */
-  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+  private[operators] def footerStats(conf: org.apache.hadoop.conf.Configuration,
                           path: org.apache.hadoop.fs.Path,
                           statsCols: Seq[String]): (Long, Array[(Long, Long)]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -919,8 +919,21 @@ object Snapshot {
     * onto an existing destination, and local paths commit via an
     * atomic hard link (EEXIST on a taken slot) because raw local
     * rename would overwrite. */
-  private val commitLocks =
+  private[operators] val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Run `body` holding the commit locks of EVERY given destination
+    * (qualified URIs), acquired in sorted order — the deadlock-free
+    * multi-table serialization point a transaction commit needs.
+    * Reentrant with [[tryCommitManifest]]'s own per-destination lock. */
+  private[operators] def withCommitLocks[T](keys: Seq[String])(body: => T): T = {
+    def go(ls: List[Object]): T = ls match {
+      case Nil => body
+      case h :: t => h.synchronized(go(t))
+    }
+    go(keys.distinct.sorted
+      .map(k => commitLocks.computeIfAbsent(k, _ => new Object)).toList)
+  }
 
   /** Atomically claim a STAGING id: exclusive-create of
     * `manifest/.claim_v<k>` (create-no-overwrite — atomic). The id
@@ -935,7 +948,7 @@ object Snapshot {
     * assigned separately at commit time ([[tryCommitManifest]]) and
     * stay contiguous — staging ids and version numbers coincide only
     * in the crash-free single-writer case. */
-  private def claimStagingId(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def claimStagingId(fs: org.apache.hadoop.fs.FileSystem,
                              destDir: String, from: Int): Int = {
     import org.apache.hadoop.fs.Path
     fs.mkdirs(new Path(s"$destDir/manifest"))
@@ -1177,7 +1190,7 @@ object Snapshot {
     * delta manifests, whose path is exclusively owned via the staging
     * id (the rename only hides partial writes from concurrent
     * readers; there is no CAS to lose). */
-  private def writeFileAtomic(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def writeFileAtomic(fs: org.apache.hadoop.fs.FileSystem,
                               path: String, tmpPath: String,
                               content: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
@@ -1206,7 +1219,7 @@ object Snapshot {
     * refuses an existing destination (HDFS) the rename itself is the
     * cross-process guard; the JVM lock stays as the in-driver fast
     * path either way. */
-  private def tryCommitManifest(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def tryCommitManifest(fs: org.apache.hadoop.fs.FileSystem,
                                 destDir: String, v: Int, uid: Int,
                                 content: Seq[String]): Boolean = {
     import org.apache.hadoop.fs.Path
@@ -1301,7 +1314,7 @@ object Snapshot {
         if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None)
   }
 
-  private def readTextLines(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def readTextLines(fs: org.apache.hadoop.fs.FileSystem,
                             path: String): Seq[String] = {
     val in = fs.open(new org.apache.hadoop.fs.Path(path))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -1320,7 +1333,7 @@ object Snapshot {
       else Seq(e)
     }
 
-  private def readManifest(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def readManifest(spark: org.apache.spark.sql.SparkSession,
                            destDir: String, v: Int): ManifestData = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(destDir).getFileSystem(
@@ -1360,7 +1373,7 @@ object Snapshot {
   /** Read a file set under a recorded version schema when one exists
     * (older files missing an evolved column null-fill it); fall back to
     * parquet inference for pre-schema-tracking manifests. */
-  private def readWithSchema(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def readWithSchema(spark: org.apache.spark.sql.SparkSession,
                              schema: Option[org.apache.spark.sql.types.StructType],
                              files: Seq[String]): DataFrame =
     schema match {
@@ -1371,7 +1384,7 @@ object Snapshot {
   /** A manifest line's file path. Tombstone lines (merge-on-read
     * delete-sets, [[mergeSnapshotMoR]]) are marked with a leading `!`;
     * the path itself never carries it. */
-  private def linePath(l: String): String =
+  private[operators] def linePath(l: String): String =
     l.stripPrefix("!").split("\t").head
 
   /** Is this manifest line a merge-on-read tombstone (delete-set file)? */
@@ -1407,7 +1420,7 @@ object Snapshot {
     * (merge-on-read) manifests — the caller reconciles first. Stats /
     * bloom / CDC reads and copy-on-write mutations all refuse rather
     * than silently treating delete-set files as data. */
-  private def requireNoTombstones(m: ManifestData, destDir: String,
+  private[operators] def requireNoTombstones(m: ManifestData, destDir: String,
                                   v: Int, op: String): Unit =
     require(!m.lines.exists(isDeleteLine),
       s"$op does not operate on a merge-on-read table (v$v of $destDir " +
@@ -2056,8 +2069,14 @@ object Snapshot {
     if (fs.exists(manRoot))
       fs.listStatus(manRoot).foreach { st =>
         val name = st.getPath.getName
+        // p<uid>.txt = PENDING transaction manifests (SnapshotTxn): an
+        // old one is a crashed, never-committed staging — PROVIDED
+        // SnapshotTxn.recover ran first (the txn retention contract:
+        // recover-before-vacuum, age guard > longest transaction), which
+        // finalizes and removes every committed txn's pendings
         val stale =
           (name.startsWith(".tmp_") || name.startsWith(".dtmp_") ||
+            (name.startsWith("p") && name.endsWith(".txt")) ||
             (name.startsWith("d") && name.endsWith(".txt") &&
               !liveRefs(s"manifest/$name"))) &&
             st.getModificationTime < cutoff

@@ -1,0 +1,379 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** MULTI-TABLE ATOMIC TRANSACTIONS over the snapshot manifest layout —
+  * the engine's analog of the reference's registration unit of work
+  * (ref `register-omero.py:58-61`: a sample registration writes the
+  * sample, its dataset, and their link as one transaction; partial
+  * registrations must never be observable). The Iceberg-REST-catalog
+  * multi-table-commit idea re-expressed on plain storage:
+  *
+  *   1. STAGE: each enrolled table writes its data files and delta
+  *      manifest under an exclusively-claimed staging id (the normal
+  *      publish mechanics), plus the full would-be version manifest as
+  *      a PENDING file `manifest/p<uid>.txt` — invisible to every
+  *      reader (version resolution only sees `v*.txt`). A crash here
+  *      leaves only orphans ([[Snapshot.vacuumOrphans]] reclaims).
+  *   2. COMMIT: ONE transaction manifest naming the N
+  *      (table, stagingId, targetVersion) triples is published into the
+  *      transaction LOG — itself a manifest-versioned directory, so the
+  *      txn id is claimed and the file linked/renamed in with exactly
+  *      the CAS primitive every table commit uses. That single atomic
+  *      file publish is the transaction's commit point.
+  *   3. FINALIZE: each pending manifest is published into its verified
+  *      version slot. A crash between 2 and 3 is repaired by
+  *      [[SnapshotTxn.recover]] — an idempotent roll-forward that any
+  *      reader or writer of enrolled tables runs first
+  *      ([[SnapshotTxn.readLatest]] bundles it), so a committed
+  *      transaction's versions are observable even if the committer
+  *      died a microsecond after the txn manifest landed.
+  *
+  * All-or-nothing: before the txn manifest exists, nothing is visible
+  * (pendings aren't versions); after it exists, every enrolled table's
+  * new version is either already final or rolled forward by the next
+  * touch. There is no state in which table A shows the transaction and
+  * table B can't be brought to show it.
+  *
+  * Isolation vs concurrent writers: commit verifies every staged
+  * table's latest version still equals the staged base UNDER ALL the
+  * tables' commit locks (sorted acquisition — deadlock-free), then
+  * publishes the txn manifest and finalizes while still holding them —
+  * so a same-driver writer can neither steal a slot mid-commit nor
+  * observe half a transaction. A base that advanced between staging
+  * and commit aborts the whole transaction with
+  * [[Snapshot.ConcurrentSnapshotUpdate]] (staged bytes cleaned, claims
+  * permanent) — retry against fresh bases. Writers that bypass the
+  * txn-aware entry points between a commit and its recovery are the
+  * one excluded interleaving: recovery detects the stolen slot and
+  * fails LOUDLY rather than ever stacking the transaction's delta on
+  * a base it wasn't built against.
+  *
+  * Scale shape: staging cost is each table's normal append cost
+  * (delta bytes + O(versions) manifest lines); the commit adds one
+  * K-line file publish for a K-table transaction — metadata-sized
+  * however large the tables are. Retention: run [[recover]] before
+  * [[Snapshot.vacuumOrphans]] on enrolled tables, with an age guard
+  * exceeding the longest transaction (the same contract as in-flight
+  * publishes); stale pendings older than that are crashed stagings
+  * and reclaim with the other orphans.
+  */
+final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
+  import SnapshotTxn._
+
+  private case class Staged(destDir: String, uid: Int, base: Int,
+                            content: Seq[String])
+  private val staged = scala.collection.mutable.ListBuffer.empty[Staged]
+  private var done = false
+
+  private def conf = spark.sessionState.newHadoopConf()
+
+  /** Stage a full PUBLISH of `df` as `destDir`'s next version (fresh
+    * table or full rewrite — no carry). Data and the pending manifest
+    * are written now; nothing becomes visible before [[commit]]. */
+  def stagePublish(df: DataFrame, destDir: String,
+                   statsCol: Option[String] = None,
+                   tag: Option[String] = None): Unit =
+    stage(df, destDir, carryForward = false, statsCol, tag)
+
+  /** Stage an APPEND of `df` onto `destDir`'s current latest version
+    * (carry-forward by reference, the O(delta) commit). The base is
+    * pinned: if the table advances before [[commit]], the whole
+    * transaction aborts rather than silently dropping the winner. */
+  def stageAppend(df: DataFrame, destDir: String,
+                  statsCol: Option[String] = None,
+                  tag: Option[String] = None): Unit =
+    stage(df, destDir, carryForward = true, statsCol, tag)
+
+  private def stage(df: DataFrame, destDir: String, carryForward: Boolean,
+                    statsCol: Option[String], tag: Option[String]): Unit = {
+    require(!done, "transaction already committed or aborted")
+    require(!staged.exists(_.destDir == destDir),
+      s"$destDir is already staged in this transaction (one delta per " +
+        "table per transaction)")
+    val fs = new Path(destDir).getFileSystem(conf)
+    val base = Snapshot.latestVersion(spark, destDir)
+    val prev =
+      if (base >= 1) Some(Snapshot.readManifest(spark, destDir, base))
+      else None
+    if (carryForward) {
+      require(base >= 1,
+        s"stageAppend needs an existing version under $destDir")
+      prev.foreach(m =>
+        Snapshot.requireNoTombstones(m, destDir, base,
+          "a transactional append"))
+      require(prev.forall(_.bloom.isEmpty),
+        s"transactional appends do not preserve bloom manifests " +
+          s"(v$base of $destDir); re-publish with publishSnapshotBloom " +
+          "after the transaction")
+      // same add-column-only evolution wall as appendSnapshot
+      prev.flatMap(_.schema).foreach { ps =>
+        ps.fields.foreach { f =>
+          val cur = df.schema.fields.find(_.name == f.name)
+          require(cur.exists(_.dataType == f.dataType),
+            s"transactional append schema evolution is add-column only: " +
+              s"'${f.name}: ${f.dataType.simpleString}' of v$base is " +
+              cur.fold("missing")(c =>
+                s"retyped to ${c.dataType.simpleString}") +
+              " in the staged batch")
+        }
+      }
+    }
+    val dropped: Set[String] =
+      if (carryForward) prev.map(_.droppedCols).getOrElse(Set.empty)
+      else Set.empty
+    val resurrected = df.columns.filter(dropped)
+    require(resurrected.isEmpty,
+      s"column(s) ${resurrected.mkString(", ")} were DROPPED from " +
+        s"$destDir and cannot be re-added by a transactional append")
+    // stats inherit like every carry-forward commit
+    val statsCols: Seq[String] =
+      if (statsCol.nonEmpty || !carryForward) statsCol.toSeq
+      else prev.map(_.statsCols).getOrElse(Nil)
+    // carried lines ride VERBATIM below, so their stats text must keep
+    // meaning under this version's #stats header — a stats-list change
+    // would need the strip pass; refuse it here (plain appendSnapshot
+    // handles that case) rather than misread old min/max as the new
+    // column's and lose rows to false pruning
+    if (carryForward)
+      prev.foreach(pm => require(pm.statsCols == statsCols,
+        s"a transactional append cannot change the stats column list " +
+          s"of $destDir (base: ${pm.statsCols.mkString(",")}; got: " +
+          s"${statsCols.mkString(",")}); use appendSnapshot outside a " +
+          "transaction for stats-changing appends"))
+    // stage the delta under an exclusively-claimed id
+    val uid = Snapshot.claimStagingId(fs, destDir, base + 1)
+    val dataDir = new Path(s"$destDir/data/v$uid")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val parts = fs.listStatus(dataDir)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath).sortBy(_.getName)
+    val linesAndRows: Seq[(String, Long)] = {
+      import scala.collection.parallel.CollectionConverters._
+      parts.par.map { p =>
+        val rel = s"data/v$uid/${p.getName}"
+        val (rows, mm) = Snapshot.footerStats(conf, p, statsCols)
+        val line =
+          if (statsCols.isEmpty || mm.exists { case (mn, mx) => mn > mx })
+            rel
+          else s"$rel\t$rows\t" +
+            mm.map { case (mn, mx) => s"$mn\t$mx" }.mkString("\t")
+        (line, rows)
+      }.seq.toSeq
+    }
+    val deltaRows = linesAndRows.map(_._2).sum
+    // carried lines stay verbatim (stats inherited, bloom refused), so
+    // the pending manifest is O(versions + delta) like any append
+    val carried: Seq[String] =
+      if (carryForward) prev.map(_.entries).getOrElse(Seq.empty)
+      else Seq.empty
+    val carriedRows: Option[Long] =
+      if (carryForward) prev.flatMap(_.rowsHeader) else Some(0L)
+    val deltaEntry =
+      if (linesAndRows.isEmpty) Seq.empty
+      else {
+        Snapshot.writeFileAtomic(fs, s"$destDir/manifest/d$uid.txt",
+          s"$destDir/manifest/.dtmp_v$uid", linesAndRows.map(_._1))
+        Seq(s"@manifest/d$uid.txt")
+      }
+    val schemaHeader =
+      s"#schema=${org.apache.spark.sql.types.StructType(
+        df.schema.fields.map(_.copy(nullable = true))).json}"
+    val header = schemaHeader +:
+      ((if (statsCols.isEmpty) Seq.empty
+        else Seq(s"#stats=${statsCols.mkString(",")}")) ++
+        tag.map(t => s"#tag=$t").toSeq ++
+        (if (dropped.isEmpty) Seq.empty
+         else Seq(s"#dropped=${dropped.toSeq.sorted.mkString(",")}")) ++
+        carriedRows.map(cr => s"#rows=${cr + deltaRows}").toSeq)
+    val content = header ++ carried ++ deltaEntry
+    // the PENDING manifest: full version content at a name no reader
+    // resolves; the txn commit point flips it visible via the txn log
+    Snapshot.writeFileAtomic(fs, s"$destDir/manifest/p$uid.txt",
+      s"$destDir/manifest/.tmp_v$uid", content)
+    staged += Staged(destDir, uid, base, content)
+    ()
+  }
+
+  /** Abort: delete the staged bytes and pending manifests (claims are
+    * permanent, as everywhere). A never-committed transaction was never
+    * visible, so this is pure hygiene — a crash instead of an abort
+    * leaves the same invisible state for vacuumOrphans. */
+  def abort(): Unit = {
+    staged.foreach { s =>
+      val fs = new Path(s.destDir).getFileSystem(conf)
+      fs.delete(new Path(s"${s.destDir}/data/v${s.uid}"), true)
+      fs.delete(new Path(s"${s.destDir}/manifest/d${s.uid}.txt"), false)
+      fs.delete(new Path(s"${s.destDir}/manifest/p${s.uid}.txt"), false)
+    }
+    staged.clear()
+    done = true
+  }
+
+  /** Commit every staged table atomically. Returns table → committed
+    * version. Aborts the WHOLE transaction with
+    * [[Snapshot.ConcurrentSnapshotUpdate]] if any table advanced past
+    * its staged base (retry: restage against fresh bases). */
+  def commit(): Map[String, Int] = {
+    val out = staged.map(s => s.destDir -> (s.base + 1)).toMap
+    commitPoint(finalize = true)
+    out
+  }
+
+  /** The atomic commit point alone — publishes the txn manifest but
+    * SKIPS finalization, simulating a committer that died right after
+    * the commit point. Kill-injection seam for the recovery specs;
+    * production code calls [[commit]]. */
+  private[graft] def commitNoFinalize(): Int =
+    commitPoint(finalize = false)
+
+  private def qualified(d: String): String =
+    new Path(d).getFileSystem(conf).makeQualified(new Path(d)).toString
+
+  private def commitPoint(finalize: Boolean): Int = {
+    require(!done, "transaction already committed or aborted")
+    require(staged.nonEmpty, "nothing staged")
+    val rootFs = new Path(txnRoot).getFileSystem(conf)
+    // roll forward earlier committed txns first: latestVersion of an
+    // enrolled table is only meaningful once pending finalizations land
+    SnapshotTxn.recover(spark, txnRoot)
+    val lockKeys = staged.map(s => qualified(s.destDir)).toSeq :+
+      qualified(txnRoot)
+    Snapshot.withCommitLocks(lockKeys) {
+      // verify every pinned base under the locks — after this, no
+      // same-driver writer can take any enrolled slot until we're done
+      staged.toList.foreach { s =>
+        val cur = Snapshot.latestVersion(spark, s.destDir)
+        if (cur != s.base) {
+          val stale = staged.toList
+          staged.clear(); done = true
+          stale.foreach { t =>
+            val fs = new Path(t.destDir).getFileSystem(conf)
+            fs.delete(new Path(s"${t.destDir}/data/v${t.uid}"), true)
+            fs.delete(new Path(s"${t.destDir}/manifest/d${t.uid}.txt"), false)
+            fs.delete(new Path(s"${t.destDir}/manifest/p${t.uid}.txt"), false)
+          }
+          throw new Snapshot.ConcurrentSnapshotUpdate(
+            s"base of ${s.destDir} advanced v${s.base} -> v$cur during a " +
+              "multi-table transaction; restage against the new latest")
+        }
+      }
+      val lines = staged.map(s =>
+        s"${s.destDir}\t${s.uid}\t${s.base + 1}").toSeq
+      val id = Snapshot.claimStagingId(rootFs, txnRoot,
+        Snapshot.latestVersion(spark, txnRoot) + 1)
+      // THE commit point: one atomic file publish into the txn log
+      // (the log is a manifest-versioned dir, so this is the same
+      // claim + link/rename CAS as every table commit)
+      var slot = Snapshot.latestVersion(spark, txnRoot) + 1
+      while (!Snapshot.tryCommitManifest(rootFs, txnRoot, slot, id,
+          Seq(s"#txn=${staged.length}") ++ lines))
+        slot += 1
+      done = true
+      // finalize UNDER the same locks: no same-driver writer can slip a
+      // commit between the transaction's commit point and its versions
+      // landing (the cross-crash window is recover()'s job)
+      if (finalize) SnapshotTxn.finalizeCommitted(spark, txnRoot, slot)
+      slot
+    }
+  }
+}
+
+object SnapshotTxn {
+  /** Open a transaction against the given transaction-log directory.
+    * Tables enrolled in a log form one atomicity domain: all their
+    * transactional writers and readers name the same `txnRoot`. */
+  def begin(spark: SparkSession, txnRoot: String): SnapshotTxn =
+    new SnapshotTxn(spark, txnRoot)
+
+  /** Roll every committed-but-unfinalized transaction forward:
+    * idempotent, safe to run any time, REQUIRED before trusting
+    * latestVersion of an enrolled table after an unclean shutdown
+    * ([[readLatest]] bundles it). Returns the number of version
+    * manifests published. A version slot stolen by a non-transactional
+    * writer between a commit and its recovery fails loudly — the
+    * transaction's carry was built against a base that no longer
+    * exists, and stacking it would drop the interloper's delta. */
+  def recover(spark: SparkSession, txnRoot: String): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootFs = new Path(txnRoot).getFileSystem(conf)
+    var n = 0
+    val latest = Snapshot.latestVersion(spark, txnRoot)
+    (1 to latest).foreach { k =>
+      if (rootFs.exists(new Path(s"$txnRoot/manifest/v$k.txt")))
+        n += finalizeCommitted(spark, txnRoot, k)
+    }
+    n
+  }
+
+  /** Read `destDir`'s latest version THROUGH the transaction log:
+    * recover first (so a committed transaction a crashed writer never
+    * finalized is visible), then the ordinary snapshot read. */
+  def readLatest(spark: SparkSession, txnRoot: String,
+                 destDir: String): DataFrame = {
+    recover(spark, txnRoot)
+    Snapshot.readSnapshot(spark, destDir,
+      Snapshot.latestVersion(spark, destDir))
+  }
+
+  /** Finalize one committed transaction: publish each pending manifest
+    * into its recorded version slot. Idempotent per (table, version). */
+  private def finalizeCommitted(spark: SparkSession, txnRoot: String,
+                                k: Int): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val m = Snapshot.readManifest(spark, txnRoot, k)
+    var n = 0
+    m.entries.foreach { line =>
+      val f = line.split("\t")
+      require(f.length == 3, s"malformed txn line in $txnRoot v$k: $line")
+      val (dest, uid, target) = (f(0), f(1).toInt, f(2).toInt)
+      val fs = new Path(dest).getFileSystem(conf)
+      val pending = new Path(s"$dest/manifest/p$uid.txt")
+      val versioned = new Path(s"$dest/manifest/v$target.txt")
+      def stolenSlot(): Nothing = throw new IllegalStateException(
+        s"txn $k of $txnRoot: version v$target of $dest was committed " +
+          "by a NON-transactional writer after the transaction's commit " +
+          s"point; the transaction's delta for $dest cannot be applied " +
+          s"(staged at p$uid.txt). Route all writes to enrolled tables " +
+          "through SnapshotTxn, or replay this delta manually.")
+      // the per-table commit lock serializes concurrent recoverers
+      // (reentrant under commit(), which already holds it)
+      Snapshot.withCommitLocks(Seq(
+          fs.makeQualified(new Path(dest)).toString)) {
+        val latest = Snapshot.latestVersion(spark, dest)
+        if (latest >= target) {
+          // already finalized (possibly by another recoverer; possibly
+          // vacuumed since). A still-present pending must MATCH what
+          // sits in the slot — a mismatch is a stolen slot.
+          if (fs.exists(pending)) {
+            if (fs.exists(versioned) &&
+                Snapshot.readTextLines(fs, pending.toString) !=
+                  Snapshot.readTextLines(fs, versioned.toString))
+              stolenSlot()
+            fs.delete(pending, false)
+            ()
+          }
+        } else if (latest == target - 1) {
+          require(fs.exists(pending),
+            s"txn $k of $txnRoot: pending manifest $pending is missing " +
+              s"but v$target of $dest was never published — staged bytes " +
+              "were reclaimed before recovery (vacuum ran without " +
+              "recover, violating the txn retention contract)")
+          val content = Snapshot.readTextLines(fs, pending.toString)
+          if (!Snapshot.tryCommitManifest(fs, dest, target, uid, content)
+              && Snapshot.readTextLines(fs, versioned.toString) != content)
+            stolenSlot()
+          fs.delete(pending, false)
+          n += 1
+        } else {
+          throw new IllegalStateException(
+            s"txn $k of $txnRoot: $dest is at v$latest but the " +
+              s"transaction targets v$target — versions regressed " +
+              "(manual intervention required)")
+        }
+      }
+    }
+    n
+  }
+}

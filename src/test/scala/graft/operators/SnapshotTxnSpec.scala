@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Multi-table atomic transactions (SnapshotTxn): all-or-nothing
+  * visibility across N tables, kill-injection at every protocol stage
+  * (crash before commit = invisible; crash after the commit point =
+  * rolled forward by recovery), base-conflict aborts, stolen-slot
+  * detection, txn-aware orphan vacuum, and racing transactions.
+  */
+class SnapshotTxnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(pfx: String) =
+    java.nio.file.Files.createTempDirectory(pfx).toString
+
+  private def kv(rows: (Long, String)*) = rows.toSeq.toDF("k", "v")
+
+  test("atomic multi-table commit: both tables move, versions as returned") {
+    val root = tmp("graft-txr"); val a = tmp("graft-txa")
+    val b = tmp("graft-txb")
+    Snapshot.publishSnapshot(kv(1L -> "a1"), a, statsCol = Some("k"))
+    Snapshot.publishSnapshot(kv(1L -> "b1"), b)
+    val txn = SnapshotTxn.begin(spark, root)
+    txn.stageAppend(kv(2L -> "a2"), a)
+    txn.stageAppend(kv(2L -> "b2"), b)
+    // nothing visible before commit
+    assert(Snapshot.latestVersion(spark, a) == 1)
+    assert(Snapshot.latestVersion(spark, b) == 1)
+    val versions = txn.commit()
+    assert(versions === Map(a -> 2, b -> 2))
+    assert(rows(Snapshot.readSnapshot(spark, a, 2).orderBy("k")) ===
+      Seq(Seq(1L, "a1"), Seq(2L, "a2")))
+    assert(rows(Snapshot.readSnapshot(spark, b, 2).orderBy("k")) ===
+      Seq(Seq(1L, "b1"), Seq(2L, "b2")))
+    // stats survive the transactional append (carried verbatim)
+    assert(Snapshot.filesForRange(spark, a, 2, 1L, 1L).nonEmpty)
+  }
+
+  test("kill before the commit point: nothing visible, orphans reclaim") {
+    val root = tmp("graft-txr2"); val a = tmp("graft-txa2")
+    val b = tmp("graft-txb2")
+    Snapshot.publishSnapshot(kv(1L -> "a1"), a)
+    Snapshot.publishSnapshot(kv(1L -> "b1"), b)
+    val txn = SnapshotTxn.begin(spark, root)
+    txn.stageAppend(kv(2L -> "a2"), a)
+    txn.stageAppend(kv(2L -> "b2"), b)
+    // "crash": the txn object is dropped, commit never runs
+    assert(Snapshot.latestVersion(spark, a) == 1)
+    assert(SnapshotTxn.recover(spark, root) == 0)
+    assert(Snapshot.latestVersion(spark, a) == 1)
+    assert(Snapshot.readSnapshot(spark, a, 1).count() == 1)
+    // the staged bytes + pending manifests are orphans (age 0 here)
+    assert(Snapshot.vacuumOrphans(spark, a, olderThanMs = -1000L) >= 2)
+    assert(Snapshot.vacuumOrphans(spark, b, olderThanMs = -1000L) >= 2)
+    // and the tables still read exactly as committed
+    assert(rows(Snapshot.readSnapshot(spark, a, 1)) === Seq(Seq(1L, "a1")))
+  }
+
+  test("kill AFTER the commit point: recovery rolls every table forward") {
+    val root = tmp("graft-txr3"); val a = tmp("graft-txa3")
+    val b = tmp("graft-txb3")
+    Snapshot.publishSnapshot(kv(1L -> "a1"), a, statsCol = Some("k"))
+    Snapshot.publishSnapshot(kv(1L -> "b1"), b)
+    val txn = SnapshotTxn.begin(spark, root)
+    txn.stageAppend(kv(2L -> "a2"), a)
+    txn.stageAppend(kv(2L -> "b2"), b)
+    val id = txn.commitNoFinalize() // committer dies here
+    assert(id == 1)
+    // the commit point is the txn manifest: versions not yet visible
+    assert(Snapshot.latestVersion(spark, a) == 1)
+    // ANY reader through the log sees the committed state
+    assert(rows(SnapshotTxn.readLatest(spark, root, a).orderBy("k")) ===
+      Seq(Seq(1L, "a1"), Seq(2L, "a2")))
+    // recovery already ran inside readLatest; B is forward too
+    assert(Snapshot.latestVersion(spark, b) == 2)
+    assert(rows(Snapshot.readSnapshot(spark, b, 2).orderBy("k")) ===
+      Seq(Seq(1L, "b1"), Seq(2L, "b2")))
+    // recovery is idempotent
+    assert(SnapshotTxn.recover(spark, root) == 0)
+    // pendings are consumed: vacuumOrphans reclaims nothing of the txn
+    assert(Snapshot.vacuumOrphans(spark, a, olderThanMs = -1000L) == 0)
+  }
+
+  test("base advanced between stage and commit: whole txn aborts, bytes cleaned") {
+    val root = tmp("graft-txr4"); val a = tmp("graft-txa4")
+    val b = tmp("graft-txb4")
+    Snapshot.publishSnapshot(kv(1L -> "a1"), a)
+    Snapshot.publishSnapshot(kv(1L -> "b1"), b)
+    val txn = SnapshotTxn.begin(spark, root)
+    txn.stageAppend(kv(2L -> "a2"), a)
+    txn.stageAppend(kv(2L -> "b2"), b)
+    // a plain writer wins table B first
+    Snapshot.appendSnapshot(kv(9L -> "b9"), b)
+    intercept[Snapshot.ConcurrentSnapshotUpdate] { txn.commit() }
+    // NEITHER table shows the transaction (B's foreign append stands)
+    assert(Snapshot.latestVersion(spark, a) == 1)
+    assert(Snapshot.latestVersion(spark, b) == 2)
+    assert(rows(Snapshot.readSnapshot(spark, b, 2).orderBy("k")) ===
+      Seq(Seq(1L, "b1"), Seq(9L, "b9")))
+    // staged bytes were cleaned by the abort
+    assert(Snapshot.vacuumOrphans(spark, a, olderThanMs = -1000L) == 0)
+    // the txn log records nothing
+    assert(Snapshot.latestVersion(spark, root) == 0)
+  }
+
+  test("stolen slot between commit point and recovery fails loudly") {
+    val root = tmp("graft-txr5"); val a = tmp("graft-txa5")
+    Snapshot.publishSnapshot(kv(1L -> "a1"), a)
+    val txn = SnapshotTxn.begin(spark, root)
+    txn.stageAppend(kv(2L -> "a2"), a)
+    txn.commitNoFinalize()
+    // a NON-transactional writer steals v2 before recovery runs
+    Snapshot.appendSnapshot(kv(9L -> "a9"), a)
+    val e = intercept[IllegalStateException] {
+      SnapshotTxn.recover(spark, root)
+    }
+    assert(e.getMessage.contains("NON-transactional"))
+    // the interloper's committed version is never clobbered
+    assert(rows(Snapshot.readSnapshot(spark, a, 2).orderBy("k")) ===
+      Seq(Seq(1L, "a1"), Seq(9L, "a9")))
+  }
+
+  test("publish + append mix; fresh tables via stagePublish") {
+    val root = tmp("graft-txr6"); val a = tmp("graft-txa6")
+    val b = tmp("graft-txb6")
+    Snapshot.publishSnapshot(kv(1L -> "a1"), a)
+    val txn = SnapshotTxn.begin(spark, root)
+    txn.stageAppend(kv(2L -> "a2"), a)
+    txn.stagePublish(kv(10L -> "b10"), b, statsCol = Some("k"))
+    val versions = txn.commit()
+    assert(versions === Map(a -> 2, b -> 1))
+    assert(Snapshot.readSnapshot(spark, b, 1).count() == 1)
+    assert(Snapshot.statsColsOf(spark, b, 1) === Seq("k"))
+    // the #rows header rode the transactional commit
+    assert(rows(Snapshot.snapshotHistory(spark, b))
+      .map(r => (r(0), r(3))) === Seq((1, 1L)))
+  }
+
+  test("soak: racing transactions + plain appends, retry loop, serial history holds") {
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    val root = tmp("graft-txsk"); val a = tmp("graft-txska")
+    val b = tmp("graft-txskb")
+    Snapshot.publishSnapshot(kv(0L -> "a0"), a)
+    Snapshot.publishSnapshot(kv(0L -> "b0"), b)
+    val pool = Executors.newFixedThreadPool(3)
+    try {
+      // two transactional writers (each row lands in A AND B or in
+      // neither) race one plain appender on A
+      val txWriters = (1 to 2).map { w =>
+        pool.submit(new Callable[Unit] {
+          def call(): Unit = (0 until 4).foreach { i =>
+            val key = 100L * w + i
+            var done = false
+            while (!done) {
+              val t = SnapshotTxn.begin(spark, root)
+              try {
+                t.stageAppend(kv(key -> s"a-$key"), a)
+                t.stageAppend(kv(key -> s"b-$key"), b)
+                t.commit(); done = true
+              } catch {
+                case _: Snapshot.ConcurrentSnapshotUpdate => // restage
+              }
+            }
+          }
+        })
+      }
+      val plain = pool.submit(new Callable[Unit] {
+        def call(): Unit = (0 until 4).foreach { i =>
+          Snapshot.appendSnapshot(kv(900L + i -> s"p$i"), a)
+        }
+      })
+      (txWriters :+ plain).foreach(_.get(300, TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    val aKeys = Snapshot.readSnapshot(spark, a,
+      Snapshot.latestVersion(spark, a))
+      .select("k").collect().map(_.getLong(0)).toSet
+    val bKeys = Snapshot.readSnapshot(spark, b,
+      Snapshot.latestVersion(spark, b))
+      .select("k").collect().map(_.getLong(0)).toSet
+    val txKeys = (1 to 2).flatMap(w => (0 until 4).map(i => 100L * w + i)).toSet
+    // atomicity: the transactional keys appear in BOTH tables
+    assert((aKeys & txKeys) === txKeys, s"A lost ${txKeys -- aKeys}")
+    assert((bKeys & txKeys) === txKeys, s"B lost ${txKeys -- bKeys}")
+    // the plain appender lost nothing to the transactions
+    assert((900L until 904L).forall(aKeys), s"plain appends lost: $aKeys")
+    // versions contiguous on both tables (8 txn + 4 plain on A; 8 on B)
+    assert(Snapshot.latestVersion(spark, a) == 13)
+    assert(Snapshot.latestVersion(spark, b) == 9)
+  }
+
+  test("two racing transactions on overlapping tables: one wins, one aborts cleanly") {
+    val root = tmp("graft-txr7"); val a = tmp("graft-txa7")
+    val b = tmp("graft-txb7"); val c = tmp("graft-txc7")
+    Snapshot.publishSnapshot(kv(1L -> "a1"), a)
+    Snapshot.publishSnapshot(kv(1L -> "b1"), b)
+    Snapshot.publishSnapshot(kv(1L -> "c1"), c)
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stageAppend(kv(2L -> "a2"), a); t1.stageAppend(kv(2L -> "b2"), b)
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageAppend(kv(3L -> "b3"), b); t2.stageAppend(kv(3L -> "c3"), c)
+    t1.commit()
+    // t2 staged against B's old base: must abort whole, C untouched
+    intercept[Snapshot.ConcurrentSnapshotUpdate] { t2.commit() }
+    assert(Snapshot.latestVersion(spark, b) == 2)
+    assert(Snapshot.latestVersion(spark, c) == 1)
+    // retry path: restage and commit
+    val t3 = SnapshotTxn.begin(spark, root)
+    t3.stageAppend(kv(3L -> "b3"), b); t3.stageAppend(kv(3L -> "c3"), c)
+    t3.commit()
+    assert(rows(Snapshot.readSnapshot(spark, b, 3).orderBy("k"))
+      .map(_.head) === Seq(1L, 2L, 3L))
+    assert(rows(Snapshot.readSnapshot(spark, c, 2).orderBy("k"))
+      .map(_.head) === Seq(1L, 3L))
+  }
+}
