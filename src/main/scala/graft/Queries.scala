@@ -6213,6 +6213,63 @@ object Queries {
       |         CAST(sum(ds_id + sample_id) AS BIGINT) FROM sel
       |) ORDER BY tbl""".stripMargin
 
+  // ------------------------------------------------------ Q-stream-cdc
+  // STREAMING CDC over a snapshot table (SnapshotCdc.pump — the shared
+  // resumable incremental reader MaterializedView and the index
+  // refresher are re-expressed on): three order slices commit as three
+  // source versions; the consumer pumps ONE-VERSION windows with its
+  // applied-version watermark in a checkpoint dir, recording each
+  // window's aggregate keyed by end version (replay-idempotent by
+  // construction). The watermark is then REWOUND to 1 — a crash right
+  // after window 1's advance — and the pump re-runs: windows 2 and 3
+  // REPLAY verbatim and must overwrite to the same values. ORACLE: the
+  // per-slice aggregates from the seed — streamed consumption must be
+  // indistinguishable from batch changedBetween per version.
+  private val CdcSrcDir = s"$FixtureRoot/cdcsrc"
+
+  def streamCdcQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ckp = s"$FixtureRoot/cdcckp_${java.util.UUID.randomUUID()}"
+    publishOnce(CdcSrcDir, dir) {
+      wipeDir(CdcSrcDir)
+      val ord = load(s, dir, "orders").select(
+        col("o_orderkey").as("okey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def slice(r: Int) = ord.filter(col("okey") % 3 === r)
+      graft.operators.Snapshot.publishSnapshot(slice(0), CdcSrcDir)
+      graft.operators.Snapshot.appendSnapshot(slice(1), CdcSrcDir)
+      graft.operators.Snapshot.appendSnapshot(slice(2), CdcSrcDir)
+      ()
+    }
+    val seen = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    def consume(): Unit = {
+      graft.operators.SnapshotCdc.pump(s, CdcSrcDir, ckp,
+          maxVersionsPerBatch = 1) { d =>
+        val r = d.rows.agg(count(lit(1)), sum(col("cents"))).head()
+        seen(d.toVersion) = (r.getLong(0), r.getLong(1))
+      }
+      ()
+    }
+    consume()
+    // rewind the watermark to 1: a consumer that crashed after window 1
+    // replays windows 2 and 3 — same ranges, same values, no drift
+    val fs = new org.apache.hadoop.fs.Path(ckp).getFileSystem(
+      s.sessionState.newHadoopConf())
+    val wm = new org.apache.hadoop.fs.Path(s"$ckp/applied-version")
+    fs.delete(wm, false)
+    val out = fs.create(wm, true); out.write("1".getBytes); out.close()
+    consume()
+    seen.toSeq.sortBy(_._1)
+      .map { case (v, (n, t)) => (v, n, t) }
+      .toDF("v", "n", "s")
+  }
+
+  private val streamCdcSql =
+    """SELECT CAST(o_orderkey % 3 + 1 AS INTEGER) AS v,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+      |FROM orders GROUP BY 1 ORDER BY v""".stripMargin
+
   // --------------------------------------------------------- Q-snapmv
   // Incremental materialized-view maintenance
   // (MaterializedView.refreshSumView — the DLT/Materialize story on
@@ -10115,6 +10172,7 @@ object Queries {
     "q_snapmor_rec" -> (snapMorRecQ _),
     "q_snapmor_del" -> (snapMorDelQ _),
     "q_txn" -> (txnQ _),
+    "q_stream_cdc" -> (streamCdcQ _),
     "q_snapmv" -> (snapMvQ _),
     "q_snapdropcol" -> (snapDropColQ _),
     "q_snaphistory" -> (snapHistoryQ _),
@@ -10350,6 +10408,7 @@ object Queries {
     "q_snapmor_rec" -> snapMorSql,
     "q_snapmor_del" -> snapMorDelSql,
     "q_txn" -> txnSql,
+    "q_stream_cdc" -> streamCdcSql,
     "q_snapmv" -> snapMvSql,
     "q_snapdropcol" -> snapDropColSql,
     "q_snaphistory" -> snapHistorySql,

@@ -79,20 +79,13 @@ object MaterializedView {
     }
     val applied = appliedSrcVersion(spark, mvDir, mvLatest)
     if (applied >= srcLatest) return mvLatest // replay / nothing new
-    // the CDC contract is APPEND-ONLY: a compaction/merge/re-Z-order of
-    // the source between refreshes re-states old rows in new files,
-    // which manifest set-difference would double-count — detect (a file
-    // disappeared from the manifest) and refuse loudly
-    val beforeFiles = Snapshot.manifestLines(spark, srcDir, applied)
-      .map(_.split("\t").head).toSet
-    val afterFiles = Snapshot.manifestLines(spark, srcDir, srcLatest)
-      .map(_.split("\t").head).toSet
-    val removed = beforeFiles -- afterFiles
-    require(removed.isEmpty,
-      s"source $srcDir is not append-only between v$applied and " +
-        s"v$srcLatest (${removed.size} file(s) removed — compaction or " +
-        "merge ran); rebuild the view with a fresh bootstrap")
-    val delta = Snapshot.changedBetween(spark, srcDir, applied, srcLatest)
+    // the shared CDC reader verifies the APPEND-ONLY contract (a
+    // compaction/merge/re-Z-order between refreshes re-states old rows
+    // in new files, which set-difference would double-count — refused
+    // loudly) and hands back exactly the added rows
+    val delta = SnapshotCdc
+      .changesSince(spark, srcDir, applied, Some(srcLatest))
+      .getOrElse(return mvLatest).rows
     val deltaAgg = delta.groupBy(col(keyCol))
       .agg(count(lit(1)).as("d_cnt"),
         sum(col(valCol).cast("long")).as("d_total"))

@@ -868,6 +868,45 @@ object Ingest {
     finish(q)
   }
 
+  /** Maintain a published inverted index as a FOLLOWER of a snapshot
+    * TABLE — [[indexStream]]'s manifest-CDC twin, re-expressed on the
+    * shared resumable reader ([[graft.operators.SnapshotCdc.pump]]):
+    * each pump window's added documents merge into the index through
+    * [[applyIndexBatch]]'s marker-guarded staged swap, with the marker
+    * keyed by the window's END VERSION — so a crash between the index
+    * commit and the watermark advance replays into a skip, and the
+    * index ends indistinguishable from a full rebuild however the
+    * versions chunked. The first window (watermark 0 → full snapshot)
+    * bootstraps by publishing the built index outright. Same df-cap
+    * contract as every refresh path: `maxDf` fixed across the table's
+    * life, doc ids append-only. Returns the number of windows applied. */
+  def indexSnapshotCdc(spark: SparkSession, srcDir: String, dest: String,
+                       checkpointDir: String, idCol: String,
+                       tokCol: org.apache.spark.sql.Column, maxDf: Long,
+                       nBuckets: Int = 16,
+                       maxVersionsPerBatch: Int = Int.MaxValue): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dest).getFileSystem(spark.sessionState.newHadoopConf())
+    graft.operators.SnapshotCdc.pump(spark, srcDir, checkpointDir,
+        maxVersionsPerBatch) { d =>
+      val bootstrapped = fs.exists(new Path(dest)) &&
+        fs.listStatus(new Path(dest))
+          .exists(_.getPath.getName.startsWith("__bucket="))
+      if (!bootstrapped) {
+        val marker = new Path(s"$dest/_applied/batch-${d.toVersion}")
+        // publish-overwrite is replay-idempotent on its own; the marker
+        // still lands so a later redelivery of this window skips
+        graft.operators.InvertedIndex.publish(
+          graft.operators.InvertedIndex.build(d.rows, idCol, tokCol, maxDf),
+          dest, nBuckets)
+        fs.mkdirs(new Path(s"$dest/_applied"))
+        fs.create(marker, true).close()
+      } else
+        applyIndexBatch(spark, dest, d.rows, d.toVersion.toLong, idCol,
+          tokCol, maxDf)
+    }
+  }
+
   /** One micro-batch of [[indexStream]]: marker-guarded refresh.
     * Factored out so the replay guard is directly spec-testable. */
   private[streaming] def applyIndexBatch(spark: SparkSession, dest: String,
