@@ -138,6 +138,28 @@ class SnapshotTxnSpec extends SparkSpec {
       .map(r => (r(0), r(3))) === Seq((1, 1L)))
   }
 
+  test("vacuum interop: retention under txn versions; recovery survives vacuumed targets") {
+    val root = tmp("graft-txr8"); val a = tmp("graft-txa8")
+    Snapshot.publishSnapshot(kv(1L -> "a1"), a)
+    val t = SnapshotTxn.begin(spark, root)
+    t.stageAppend(kv(2L -> "a2"), a)
+    t.commit() // v2 via txn
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageAppend(kv(3L -> "a3"), a)
+    t2.commitNoFinalize() // crashed committer
+    SnapshotTxn.recover(spark, root) // v3 lands
+    Snapshot.appendSnapshot(kv(4L -> "a4"), a) // v4, plain
+    // vacuum away v1..v2: txn-created versions obey normal retention
+    Snapshot.vacuum(spark, a, keepFrom = 3)
+    assert(Snapshot.readSnapshot(spark, a, 4).count() == 4)
+    // recovery over a log whose targets were finalized AND vacuumed is
+    // a clean no-op — never an error, never a re-publish
+    assert(SnapshotTxn.recover(spark, root) == 0)
+    assert(Snapshot.latestVersion(spark, a) == 4)
+    // orphan vacuum after recover reclaims nothing of committed txns
+    assert(Snapshot.vacuumOrphans(spark, a, olderThanMs = -1000L) == 0)
+  }
+
   test("soak: racing transactions + plain appends, retry loop, serial history holds") {
     import java.util.concurrent.{Callable, Executors, TimeUnit}
     val root = tmp("graft-txsk"); val a = tmp("graft-txska")
