@@ -6133,6 +6133,59 @@ object Queries {
       |) WHERE NOT (c_custkey BETWEEN 40 AND 120 AND bal_cents % 3 = 0)
       |ORDER BY c_custkey""".stripMargin
 
+  // --------------------------------------------------- Q-snapmor_upd
+  // Predicate-level UPDATE on the merge-on-read path
+  // (Snapshot.updateSnapshotMoRWhere — Delta's UPDATE WHERE, closing
+  // the MoR DML quartet): after the %7 upsert merge, rows whose
+  // CURRENT balance (post-merge) is divisible by 3 inside custkey
+  // [40, 120] get a self-referencing SET (bal += 7, name ||= '_u') —
+  // one O(matches) tombstone+re-insert commit, zero base rewrites,
+  // stats-pruned scan. ORACLE replays merge-then-update from the seed.
+  private val SnapMorUpdDir = s"$FixtureRoot/snapmorupd"
+
+  def snapMorUpdQ(s: SparkSession, dir: String): DataFrame = {
+    publishOnce(SnapMorUpdDir, dir) {
+      wipeDir(SnapMorUpdDir)
+      val cust = load(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      graft.operators.Snapshot.publishSnapshot(
+        cust.repartitionByRange(8, col("c_custkey")), SnapMorUpdDir,
+        statsCol = Some("c_custkey"))
+      graft.operators.Snapshot.mergeSnapshotMoR(
+        cust.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"),
+            concat(col("c_name"), lit("_a")).as("c_name"),
+            (col("bal_cents") + 100L).as("bal_cents")),
+        SnapMorUpdDir, "c_custkey")
+      graft.operators.Snapshot.updateSnapshotMoRWhere(s, SnapMorUpdDir,
+        "c_custkey",
+        col("c_custkey") >= 40L && col("c_custkey") <= 120L &&
+          col("bal_cents") % 3L === 0L,
+        Map("bal_cents" -> (col("bal_cents") + 7L),
+          "c_name" -> concat(col("c_name"), lit("_u"))))
+      ()
+    }
+    graft.operators.Snapshot.readSnapshot(s, SnapMorUpdDir,
+      graft.operators.Snapshot.latestVersion(s, SnapMorUpdDir))
+      .orderBy("c_custkey")
+  }
+
+  private val snapMorUpdSql =
+    """SELECT c_custkey,
+      |       CASE WHEN c_custkey BETWEEN 40 AND 120 AND bal_cents % 3 = 0
+      |            THEN c_name || '_u' ELSE c_name END AS c_name,
+      |       CASE WHEN c_custkey BETWEEN 40 AND 120 AND bal_cents % 3 = 0
+      |            THEN bal_cents + 7 ELSE bal_cents END AS bal_cents
+      |FROM (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 7 = 0 THEN c_name || '_a'
+      |              ELSE c_name END AS c_name,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) +
+      |           CASE WHEN c_custkey % 7 = 0 THEN 100 ELSE 0 END AS bal_cents
+      |  FROM customer
+      |) ORDER BY c_custkey""".stripMargin
+
   // -------------------------------------------------------------- Q-txn
   // MULTI-TABLE ATOMIC TRANSACTIONS (SnapshotTxn) — the reference's
   // registration unit of work (ref register-omero.py:58-61: sample +
@@ -10171,6 +10224,7 @@ object Queries {
     "q_snapmor" -> (snapMorQ _),
     "q_snapmor_rec" -> (snapMorRecQ _),
     "q_snapmor_del" -> (snapMorDelQ _),
+    "q_snapmor_upd" -> (snapMorUpdQ _),
     "q_txn" -> (txnQ _),
     "q_stream_cdc" -> (streamCdcQ _),
     "q_snapmv" -> (snapMvQ _),
@@ -10407,6 +10461,7 @@ object Queries {
     "q_snapmor" -> snapMorSql,
     "q_snapmor_rec" -> snapMorSql,
     "q_snapmor_del" -> snapMorDelSql,
+    "q_snapmor_upd" -> snapMorUpdSql,
     "q_txn" -> txnSql,
     "q_stream_cdc" -> streamCdcSql,
     "q_snapmv" -> snapMvSql,

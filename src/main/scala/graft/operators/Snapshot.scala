@@ -519,11 +519,13 @@ object Snapshot {
     * lines and are always scanned (the log is small between
     * reconciles by design).
     *
-    * A predicate matching nothing returns the current version without
-    * committing (no spurious tombstone state). Base-dependent like
-    * every MoR commit: a concurrent commit between the scan and the
-    * commit aborts with [[ConcurrentSnapshotUpdate]] — the matched key
-    * set would be stale. */
+    * KEY-granular like every merge-on-read op (the keyed-table
+    * contract: one live row per key) — a matching row condemns its
+    * whole key. A predicate matching nothing returns the current
+    * version without committing (no spurious tombstone state).
+    * Base-dependent like every MoR commit: a concurrent commit between
+    * the scan and the commit aborts with [[ConcurrentSnapshotUpdate]] —
+    * the matched key set would be stale. */
   def deleteSnapshotMoRWhere(spark: org.apache.spark.sql.SparkSession,
                              destDir: String, keyCol: String, cond: Column,
                              tag: Option[String] = None): Int = {
@@ -559,6 +561,64 @@ object Snapshot {
     val keys = current.filter(cond).select(col(keyCol)).distinct()
     if (keys.limit(1).count() == 0) return prev
     morCommit(None, keys, destDir, keyCol, tag, pinnedBase = Some(prev))
+  }
+
+  /** Predicate-level UPDATE on the merge-on-read path — Delta's
+    * `UPDATE <table> SET ... WHERE <cond>`, completing the MoR DML
+    * quartet (merge, key delete, predicate delete, predicate update):
+    * evaluate `cond` against the resolved current state over the same
+    * stats-pruned file subset as [[deleteSnapshotMoRWhere]], apply the
+    * SET expressions to the matching rows, and commit them as ONE
+    * O(matches) upsert batch (tombstone + re-insert — zero base files
+    * rewritten). Set expressions may reference the row's own columns
+    * (`bal -> col("bal") + 1`) and may introduce NEW columns
+    * (add-column evolution; old rows null-fill). Updating the key
+    * column is refused — a key rewrite is a delete+insert, which a
+    * keyed upsert log cannot express as an update. KEY-granular like
+    * [[deleteSnapshotMoRWhere]] (one live row per key — the keyed-table
+    * contract). A predicate matching nothing returns the current
+    * version without committing. */
+  def updateSnapshotMoRWhere(spark: org.apache.spark.sql.SparkSession,
+                             destDir: String, keyCol: String, cond: Column,
+                             set: Map[String, Column],
+                             tag: Option[String] = None): Int = {
+    require(set.nonEmpty, "updateSnapshotMoRWhere needs SET expressions")
+    require(!set.contains(keyCol),
+      s"cannot SET the merge key '$keyCol': a key rewrite is a " +
+        "delete + insert, not an update")
+    val prev = latestVersion(spark, destDir)
+    require(prev >= 1,
+      s"updateSnapshotMoRWhere needs an existing version under $destDir")
+    val m = readManifest(spark, destDir, prev)
+    val (lo, hi) = (m.statsCol, m.schema) match {
+      case (Some(c), Some(schema)) =>
+        val probe = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema)
+        probe.filter(cond).queryExecution.analyzed match {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            predicateBounds(f.condition, c)
+          case _ => (Long.MinValue, Long.MaxValue)
+        }
+      case _ => (Long.MinValue, Long.MaxValue)
+    }
+    val dataLines = m.lines.filterNot(isDeleteLine)
+    val candidates = dataLines
+      .filter(lineOverlaps(_, 0, lo, hi, m.bloom.isDefined))
+      .map(l => s"$destDir/${linePath(l)}")
+    if (candidates.isEmpty) return prev
+    val current =
+      if (m.lines.exists(isDeleteLine))
+        morResolve(spark, destDir, m, prev, candidates)
+      else readWithSchema(spark, m.schema, candidates)
+    val matched = current.filter(cond)
+    if (matched.limit(1).count() == 0) return prev
+    val updated = set.foldLeft(matched) { case (df, (name, expr)) =>
+      df.withColumn(name, expr)
+    }
+    morCommit(Some(updated),
+      updated.select(col(keyCol)).distinct(), destDir, keyCol, tag,
+      pinnedBase = Some(prev))
   }
 
   /** Fold `e`'s conjuncts over column `c` into a conservative [lo, hi]

@@ -72,6 +72,53 @@ class SnapshotDeleteWhereSpec extends SparkSpec {
     assert(Snapshot.readSnapshot(spark, dest, 2).count() == 3)
   }
 
+  test("updateWhere: current-state predicate, self-referencing SET, O(matches) commit") {
+    val dest = tmp("graft-uw")
+    Snapshot.publishSnapshot(
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"), (4L, 40L, "d"))
+        .toDF("k", "x", "v"),
+      dest, statsCol = Some("k"))
+    // upsert moves k=2 out of the match set and k=3 stays in
+    Snapshot.mergeSnapshotMoR(
+      Seq((2L, 99L, "B")).toDF("k", "x", "v"), dest, "k")
+    val v = Snapshot.updateSnapshotMoRWhere(spark, dest, "k",
+      col("x") >= 20L && col("x") <= 40L,
+      Map("x" -> (col("x") + 1000L), "v" -> concat(col("v"), lit("_u"))))
+    assert(v == 3)
+    assert(rows(Snapshot.readSnapshot(spark, dest, v).orderBy("k")) ===
+      Seq(Seq(1L, 10L, "a"), Seq(2L, 99L, "B"),
+        Seq(3L, 1030L, "c_u"), Seq(4L, 1040L, "d_u")))
+    // zero base rewrites: v2's lines are a subset of v3's
+    val l2 = Snapshot.manifestLines(spark, dest, 2).toSet
+    assert(l2.subsetOf(Snapshot.manifestLines(spark, dest, 3).toSet))
+    // chained predicate ops compose: delete what update just tagged
+    val v2 = Snapshot.deleteSnapshotMoRWhere(spark, dest, "k",
+      col("v").endsWith("_u"))
+    assert(rows(Snapshot.readSnapshot(spark, dest, v2).orderBy("k")) ===
+      Seq(Seq(1L, 10L, "a"), Seq(2L, 99L, "B")))
+  }
+
+  test("updateWhere: SET may add a new column; key SET and no-match guarded") {
+    val dest = tmp("graft-uw2")
+    Snapshot.publishSnapshot(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dest, statsCol = Some("k"))
+    intercept[IllegalArgumentException] {
+      Snapshot.updateSnapshotMoRWhere(spark, dest, "k",
+        col("k") === 1L, Map("k" -> (col("k") + 10L)))
+    }
+    // no match: version unchanged, table stays clean copy-on-write
+    assert(Snapshot.updateSnapshotMoRWhere(spark, dest, "k",
+      col("k") > 100L, Map("v" -> lit("x"))) == 1)
+    Snapshot.appendSnapshot(Seq((3L, "c")).toDF("k", "v"), dest)
+    // add-column evolution through the update
+    val v = Snapshot.updateSnapshotMoRWhere(spark, dest, "k",
+      col("k") === 2L, Map("flag" -> lit("hot")))
+    val out = Snapshot.readSnapshot(spark, dest, v).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(out === Seq((1L, "a", null), (2L, "b", "hot"), (3L, "c", null)))
+  }
+
   test("predicateBounds folds conjuncts soundly") {
     import org.apache.spark.sql.catalyst.expressions.Expression
     def b(c: org.apache.spark.sql.Column): (Long, Long) = {
