@@ -6266,6 +6266,51 @@ object Queries {
       |         CAST(sum(ds_id + sample_id) AS BIGINT) FROM sel
       |) ORDER BY tbl""".stripMargin
 
+  // -------------------------------------------------------------- Q-wap
+  // WRITE-AUDIT-PUBLISH over branch refs (Snapshot.createBranch /
+  // advanceBranch / readSnapshotBranch — Iceberg's WAP story on the
+  // manifest layout): consumers read through the 'main' branch pin
+  // while producers commit freely. Slice 0 publishes and mints the
+  // branch; slice 1 commits, audits green, and is PUBLISHED by one
+  // atomic ref flip; slice 2 commits but its audit "fails" — the flip
+  // never happens, so branch readers must see slices 0+1 and never any
+  // part of slice 2, even though v3 is fully committed underneath.
+  // ORACLE replays the published-only outcome.
+  private val WapDir = s"$FixtureRoot/wap"
+
+  def wapQ(s: SparkSession, dir: String): DataFrame = {
+    publishOnce(WapDir, dir) {
+      wipeDir(WapDir)
+      val ord = load(s, dir, "orders").select(
+        col("o_orderkey").as("okey"), col("o_custkey").as("ckey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def slice(r: Int) = ord.filter(col("okey") % 3 === r)
+      graft.operators.Snapshot.publishSnapshot(slice(0), WapDir)
+      graft.operators.Snapshot.createBranch(s, WapDir, "main", 1)
+      val v2 = graft.operators.Snapshot.appendSnapshot(slice(1), WapDir)
+      // audit the candidate version directly; green → publish the flip
+      require(graft.operators.Snapshot
+        .readSnapshot(s, WapDir, v2).filter(col("cents").isNull)
+        .limit(1).count() == 0)
+      graft.operators.Snapshot.advanceBranch(s, WapDir, "main", v2,
+        expectedFrom = Some(1))
+      // slice 2 commits but its audit fails: no flip, stays unpublished
+      graft.operators.Snapshot.appendSnapshot(slice(2), WapDir)
+      ()
+    }
+    graft.operators.Snapshot.readSnapshotBranch(s, WapDir, "main")
+      .groupBy((col("okey") % 3).as("slice"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .orderBy("slice")
+  }
+
+  private val wapSql =
+    """SELECT CAST(o_orderkey % 3 AS BIGINT) AS slice,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |GROUP BY 1 ORDER BY slice""".stripMargin
+
   // ------------------------------------------------------ Q-stream-cdc
   // STREAMING CDC over a snapshot table (SnapshotCdc.pump — the shared
   // resumable incremental reader MaterializedView and the index
@@ -10227,6 +10272,7 @@ object Queries {
     "q_snapmor_upd" -> (snapMorUpdQ _),
     "q_txn" -> (txnQ _),
     "q_stream_cdc" -> (streamCdcQ _),
+    "q_wap" -> (wapQ _),
     "q_snapmv" -> (snapMvQ _),
     "q_snapdropcol" -> (snapDropColQ _),
     "q_snaphistory" -> (snapHistoryQ _),
@@ -10464,6 +10510,7 @@ object Queries {
     "q_snapmor_upd" -> snapMorUpdSql,
     "q_txn" -> txnSql,
     "q_stream_cdc" -> streamCdcSql,
+    "q_wap" -> wapSql,
     "q_snapmv" -> snapMvSql,
     "q_snapdropcol" -> snapDropColSql,
     "q_snaphistory" -> snapHistorySql,

@@ -2033,6 +2033,119 @@ object Snapshot {
       "dropped")
   }
 
+  // --------------------------------------------- branches (write-audit-publish)
+  /** Create branch `name` pinned at version `v` — a named ref over the
+    * linear version history (Iceberg's branch story). Branch READERS
+    * ([[readSnapshotBranch]]) see only the pinned version, however far
+    * the table advances underneath — which is what makes the
+    * WRITE-AUDIT-PUBLISH pattern one file flip: producers commit new
+    * versions normally (invisible to branch readers), an audit reads
+    * the candidate version directly, and [[advanceBranch]] publishes it
+    * to the branch atomically; a crash anywhere leaves readers on the
+    * old pin, never on an unaudited state. Refuses an existing name
+    * (create-no-overwrite, atomic). [[vacuum]] keeps pinned versions
+    * readable whatever `keepFrom` says. */
+  def createBranch(spark: org.apache.spark.sql.SparkSession,
+                   destDir: String, name: String, v: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    requireBranchName(name)
+    val fs = new Path(destDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val latest = latestVersion(spark, destDir)
+    require(v >= 1 && v <= latest,
+      s"cannot branch at v$v of $destDir (committed versions: 1..$latest)")
+    fs.mkdirs(new Path(s"$destDir/manifest"))
+    val p = new Path(s"$destDir/manifest/ref_$name.txt")
+    val out =
+      try fs.create(p, false)
+      catch { case _: java.io.IOException => throw new IllegalStateException(
+        s"branch '$name' already exists on $destDir") }
+    out.write(v.toString.getBytes("UTF-8")); out.close()
+  }
+
+  /** The version branch `name` pins, None if the branch doesn't exist. */
+  def branchVersion(spark: org.apache.spark.sql.SparkSession,
+                    destDir: String, name: String): Option[Int] = {
+    import org.apache.hadoop.fs.Path
+    requireBranchName(name)
+    val fs = new Path(destDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val p = new Path(s"$destDir/manifest/ref_$name.txt")
+    if (!fs.exists(p)) None
+    else Some(readTextLines(fs, p.toString).head.trim.toInt)
+  }
+
+  /** Read the branch's pinned version — the branch-reader face of the
+    * write-audit-publish flow. */
+  def readSnapshotBranch(spark: org.apache.spark.sql.SparkSession,
+                         destDir: String, name: String): DataFrame =
+    readSnapshot(spark, destDir,
+      branchVersion(spark, destDir, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no branch '$name' on $destDir")))
+
+  /** Publish version `to` to branch `name` — the PUBLISH step of
+    * write-audit-publish, a single atomic ref flip under the table's
+    * commit lock. `expectedFrom` is the optimistic guard: when given,
+    * the advance refuses if another publisher moved the branch first
+    * (re-audit against the fresh pin and retry). Rollback is the same
+    * primitive with a lower `to` — pins may move backward on purpose
+    * (an audit that passed and was later retracted), never silently. */
+  def advanceBranch(spark: org.apache.spark.sql.SparkSession,
+                    destDir: String, name: String, to: Int,
+                    expectedFrom: Option[Int] = None): Unit = {
+    import org.apache.hadoop.fs.Path
+    requireBranchName(name)
+    val fs = new Path(destDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val latest = latestVersion(spark, destDir)
+    require(to >= 1 && to <= latest,
+      s"cannot advance branch '$name' to v$to of $destDir " +
+        s"(committed versions: 1..$latest)")
+    withCommitLocks(Seq(
+        fs.makeQualified(new Path(destDir)).toString)) {
+      val cur = branchVersion(spark, destDir, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no branch '$name' on $destDir"))
+      expectedFrom.foreach(e =>
+        if (cur != e) throw new ConcurrentSnapshotUpdate(
+          s"branch '$name' of $destDir moved v$e -> v$cur under this " +
+            "advance; re-audit against the fresh pin"))
+      writeFileAtomic(fs, s"$destDir/manifest/ref_$name.txt",
+        s"$destDir/manifest/.ref_$name.tmp", Seq(to.toString))
+    }
+  }
+
+  /** Delete branch `name` (its pinned version becomes vacuumable like
+    * any other). Missing branch is a no-op. */
+  def dropBranch(spark: org.apache.spark.sql.SparkSession,
+                 destDir: String, name: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    requireBranchName(name)
+    val fs = new Path(destDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new Path(s"$destDir/manifest/ref_$name.txt"), false)
+    ()
+  }
+
+  private def requireBranchName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-'),
+      s"branch names are [A-Za-z0-9_-]+; got '$name'")
+
+  /** Every branch pin of the table (name → version). */
+  private def branchPins(fs: org.apache.hadoop.fs.FileSystem,
+                         destDir: String): Map[String, Int] = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(s"$destDir/manifest")
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("ref_") && n.endsWith(".txt") =>
+        n.stripPrefix("ref_").stripSuffix(".txt") ->
+          readTextLines(fs, s"$destDir/manifest/$n").head.trim.toInt }
+      .toMap
+  }
+
   /** Retention: delete data files referenced by NO manifest ≥
     * `keepFrom` and drop the older manifests — the vacuum that keeps
     * time travel bounded. Live files (referenced by any kept version)
@@ -2067,8 +2180,14 @@ object Snapshot {
       if (fs.exists(new Path(s"$destDir/manifest/v$v.txt")))
         Some(readManifest(spark, destDir, v))
       else None
-    val kept = (keepFrom to latest).flatMap(manifest(_))
-    val dropped = (1 until keepFrom).flatMap(manifest(_))
+    // BRANCH-pinned versions below keepFrom survive whole (manifest +
+    // files): a pin is a promise to readers ([[readSnapshotBranch]]),
+    // so retention can never pull a branch's state out from under it —
+    // dropBranch first if the pin should expire
+    val pinned = branchPins(fs, destDir).values.toSet.filter(_ < keepFrom)
+    val kept = ((keepFrom to latest) ++ pinned.toSeq).flatMap(manifest(_))
+    val droppedVs = (1 until keepFrom).filterNot(pinned)
+    val dropped = droppedVs.flatMap(manifest(_))
     val keep = kept.flatMap(_.lines.map(linePath)).toSet
     val drop = dropped.flatMap(_.lines.map(linePath))
       .distinct.filterNot(keep)
@@ -2077,7 +2196,7 @@ object Snapshot {
     dropped.flatMap(_.entries.filter(_.startsWith("@"))).distinct
       .filterNot(keepRefs)
       .foreach(r => fs.delete(new Path(s"$destDir/${r.drop(1)}"), false))
-    (1 until keepFrom).foreach { v =>
+    droppedVs.foreach { v =>
       fs.delete(new Path(s"$destDir/manifest/v$v.txt"), false)
       ()
     }
