@@ -6266,6 +6266,72 @@ object Queries {
       |         CAST(sum(ds_id + sample_id) AS BIGINT) FROM sel
       |) ORDER BY tbl""".stripMargin
 
+  // -------------------------------------------------------------- Q-cdf
+  // CHANGE DATA FEED over the merge-on-read log (Snapshot.changeFeed —
+  // Delta CDF on the manifest layout): the q_snapmor-style chain
+  // (publish → %7 upsert merge → predicate delete → %5 upsert merge)
+  // read back as row-level events, each attributed to the version that
+  // committed it — upsert postimages, pure delete keys (re-stated keys
+  // excluded), O(changed files) read. ORACLE replays every branch from
+  // the seed; the delete arm reproduces the CURRENT-state predicate
+  // (post-%7 balances) the engine evaluated.
+  private val SnapCdfDir = s"$FixtureRoot/snapcdf"
+
+  def cdfQ(s: SparkSession, dir: String): DataFrame = {
+    publishOnce(SnapCdfDir, dir) {
+      wipeDir(SnapCdfDir)
+      val cust = load(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      graft.operators.Snapshot.publishSnapshot(
+        cust.repartitionByRange(8, col("c_custkey")), SnapCdfDir,
+        statsCol = Some("c_custkey"))
+      graft.operators.Snapshot.mergeSnapshotMoR(
+        cust.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"),
+            concat(col("c_name"), lit("_a")).as("c_name"),
+            (col("bal_cents") + 100L).as("bal_cents")),
+        SnapCdfDir, "c_custkey")
+      graft.operators.Snapshot.deleteSnapshotMoRWhere(s, SnapCdfDir,
+        "c_custkey",
+        col("c_custkey") >= 40L && col("c_custkey") <= 120L &&
+          col("bal_cents") % 3L === 0L)
+      graft.operators.Snapshot.mergeSnapshotMoR(
+        cust.filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"),
+            concat(col("c_name"), lit("_b")).as("c_name"),
+            (col("bal_cents") + 200L).as("bal_cents")),
+        SnapCdfDir, "c_custkey")
+      ()
+    }
+    graft.operators.Snapshot.changeFeed(s, SnapCdfDir, 1,
+      graft.operators.Snapshot.latestVersion(s, SnapCdfDir))
+      .orderBy("_commit_version", "c_custkey")
+  }
+
+  private val cdfSql =
+    """WITH cust AS (
+      |  SELECT c_custkey AS k, c_name AS n,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS b
+      |  FROM customer)
+      |SELECT k AS c_custkey, c_name, bal_cents,
+      |       _change_type, _commit_version
+      |FROM (
+      |  SELECT k, n || '_a' AS c_name, b + 100 AS bal_cents,
+      |         'upsert' AS _change_type, 2 AS _commit_version
+      |  FROM cust WHERE k % 7 = 0
+      |  UNION ALL
+      |  SELECT k, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+      |         'delete', 3
+      |  FROM (SELECT k,
+      |               CASE WHEN k % 7 = 0 THEN b + 100 ELSE b END AS bb
+      |        FROM cust)
+      |  WHERE k BETWEEN 40 AND 120 AND bb % 3 = 0
+      |  UNION ALL
+      |  SELECT k, n || '_b', b + 200, 'upsert', 4
+      |  FROM cust WHERE k % 5 = 0
+      |) ORDER BY _commit_version, c_custkey""".stripMargin
+
   // -------------------------------------------------------------- Q-wap
   // WRITE-AUDIT-PUBLISH over branch refs (Snapshot.createBranch /
   // advanceBranch / readSnapshotBranch — Iceberg's WAP story on the
@@ -10273,6 +10339,7 @@ object Queries {
     "q_txn" -> (txnQ _),
     "q_stream_cdc" -> (streamCdcQ _),
     "q_wap" -> (wapQ _),
+    "q_cdf" -> (cdfQ _),
     "q_snapmv" -> (snapMvQ _),
     "q_snapdropcol" -> (snapDropColQ _),
     "q_snaphistory" -> (snapHistoryQ _),
@@ -10511,6 +10578,7 @@ object Queries {
     "q_txn" -> txnSql,
     "q_stream_cdc" -> streamCdcSql,
     "q_wap" -> wapSql,
+    "q_cdf" -> cdfSql,
     "q_snapmv" -> snapMvSql,
     "q_snapdropcol" -> snapDropColSql,
     "q_snaphistory" -> snapHistorySql,

@@ -1717,6 +1717,86 @@ object Snapshot {
     else readWithSchema(spark, mTo.schema, added.map(f => s"$destDir/$f"))
   }
 
+  /** CHANGE DATA FEED between two versions — row-level CDC over the
+    * merge-on-read log (Delta CDF re-expressed on the manifest layout),
+    * the MoR-aware sibling of [[changedBetween]] (which refuses
+    * tombstoned tables). One event row per change, attributed to the
+    * version that committed it:
+    *   - `insert`  — rows of a plain append commit;
+    *   - `upsert`  — rows re-stated by a MoR merge/update (whole-row
+    *     postimage; appliers overwrite by key);
+    *   - `delete`  — keys tombstoned with NO re-statement in the same
+    *     commit (non-key columns null).
+    * Output schema: the table's columns (vTo's schema — evolved columns
+    * null-fill on older events) + `_change_type` + `_commit_version`.
+    * Cost: O(changed files) data read + O(range × manifest lines)
+    * driver arithmetic — never O(table). Refuses a range crossing a
+    * rewrite (compact/reconcile/merge-CoW remove manifest lines, which
+    * would mis-attribute re-stated rows as changes): consumers
+    * re-bootstrap from a full snapshot there, exactly like
+    * [[SnapshotCdc]]. */
+  def changeFeed(spark: org.apache.spark.sql.SparkSession,
+                 destDir: String, vFrom: Int, vTo: Int): DataFrame = {
+    val latest = latestVersion(spark, destDir)
+    require(vFrom >= 1 && vFrom <= vTo && vTo <= latest,
+      s"changeFeed range [v$vFrom, v$vTo] outside committed 1..$latest " +
+        s"of $destDir")
+    val manifests: Map[Int, ManifestData] =
+      (vFrom to vTo).map(v => v -> readManifest(spark, destDir, v)).toMap
+    val mTo = manifests(vTo)
+    val outSchema = mTo.schema.getOrElse(throw new IllegalStateException(
+      s"v$vTo of $destDir carries no schema header"))
+    def paths(v: Int): Set[String] = manifests(v).lines.map(linePath).toSet
+    val perVersion: Seq[DataFrame] = ((vFrom + 1) to vTo).map { v =>
+      val prev = manifests(v - 1).lines.map(linePath).toSet
+      val removed = prev -- paths(v)
+      require(removed.isEmpty,
+        s"$destDir is not append-only between v${v - 1} and v$v " +
+          s"(${removed.size} file(s) removed — compact/reconcile/merge " +
+          "ran); change-feed consumers must re-bootstrap from a full " +
+          "snapshot")
+      val added = manifests(v).lines.filterNot(l => prev(linePath(l)))
+      val addedData = added.filterNot(isDeleteLine).map(linePath)
+      val addedDel = added.filter(isDeleteLine).map(linePath)
+      val ctype = if (addedDel.isEmpty) "insert" else "upsert"
+      val dataEv: Option[DataFrame] =
+        if (addedData.isEmpty) None
+        else Some(readWithSchema(spark, Some(outSchema),
+            addedData.map(f => s"$destDir/$f"))
+          .withColumn("_change_type", lit(ctype)))
+      val delEv: Option[DataFrame] =
+        if (addedDel.isEmpty) None
+        else {
+          // the key comes from the COMMITTING version's header (vTo may
+          // be a later reconcile, which drops #morkey)
+          val keyCol = manifests(v).headers.getOrElse("morkey",
+            throw new IllegalStateException(
+              s"v$v of $destDir carries tombstones but no #morkey header"))
+          val delKeys = spark.read
+            .parquet(addedDel.map(f => s"$destDir/$f"): _*)
+            .select(col(keyCol))
+          val pure =
+            if (addedData.isEmpty) delKeys
+            else delKeys.join(
+              readWithSchema(spark, Some(outSchema),
+                addedData.map(f => s"$destDir/$f")).select(col(keyCol)),
+              Seq(keyCol), "left_anti")
+          Some(pure.select(outSchema.fields.map { f =>
+            if (f.name == keyCol) col(keyCol)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toSeq: _*).withColumn("_change_type", lit("delete")))
+        }
+      (dataEv.toSeq ++ delEv.toSeq)
+        .reduceOption(_.unionByName(_))
+        .map(_.withColumn("_commit_version", lit(v)))
+    }.collect { case Some(df) => df }
+    perVersion.reduceOption(_.unionByName(_)).getOrElse {
+      readSnapshot(spark, destDir, vTo).limit(0)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0))
+    }
+  }
+
   /** Point-lookup file skipping for a NON-clustered key: publish with
     * a per-file BLOOM over `keyCol` in the manifest. Min/max stats
     * ([[readSnapshotRange]]) only skip when the key correlates with
