@@ -2067,6 +2067,50 @@ object Snapshot {
     }
   }
 
+  /** Time travel BY TIMESTAMP (Iceberg's as-of-timestamp): the newest
+    * version whose manifest was committed at or before `tsMillis` —
+    * the commit point is the version file's publish, so its
+    * modification time IS the commit time. None when the table didn't
+    * exist yet. Driver metadata only; vacuumed versions are skipped
+    * (asking for a time inside the vacuumed range resolves to nothing,
+    * never to a wrong later state). */
+  def versionAsOf(spark: org.apache.spark.sql.SparkSession,
+                  destDir: String, tsMillis: Long): Option[Int] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(destDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    (latestVersion(spark, destDir) to 1 by -1).find { v =>
+      val p = new Path(s"$destDir/manifest/v$v.txt")
+      fs.exists(p) && fs.getFileStatus(p).getModificationTime <= tsMillis
+    }
+  }
+
+  /** The FILES of a version as a DataFrame (Iceberg's `table$files`):
+    * one row per referenced file with its role (data / delete-set),
+    * per-file row count and first-stats-column bounds where the
+    * manifest carries them — pure manifest text, zero data opened.
+    * The introspection face for "why is this table slow / what would
+    * this range prune". */
+  def snapshotFiles(spark: org.apache.spark.sql.SparkSession,
+                    destDir: String, v: Int): DataFrame = {
+    val m = readManifest(spark, destDir, v)
+    val rows = m.lines.map { l =>
+      val f = l.split("\t")
+      val bounds: (Option[Long], Option[Long]) =
+        if (f.length >= 4 && f(1).nonEmpty && f(1).forall(_.isDigit))
+          (scala.util.Try(f(2).toLong).toOption,
+            scala.util.Try(f(3).toLong).toOption)
+        else (None, None)
+      (linePath(l),
+        if (isDeleteLine(l)) "delete" else "data",
+        lineRowCount(l).map(java.lang.Long.valueOf).orNull,
+        bounds._1.map(java.lang.Long.valueOf).orNull,
+        bounds._2.map(java.lang.Long.valueOf).orNull)
+    }
+    import spark.implicits._
+    rows.toDF("path", "kind", "n_rows", "stat_min", "stat_max")
+  }
+
   /** Table HISTORY as a DataFrame (Iceberg's `table$history` /
     * `table$snapshots` story): one row per retained version with its
     * tag, column count, tombstone state, dropped-name fence, and the

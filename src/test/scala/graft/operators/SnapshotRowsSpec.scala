@@ -99,6 +99,38 @@ class SnapshotRowsSpec extends SparkSpec {
       (3, 155L, false), (4, 162L, true)))
   }
 
+  test("versionAsOf resolves commit times; snapshotFiles reads manifest text only") {
+    val dest = tmp("graft-asof")
+    val mk = (r: Range) => r.map(k => (k.toLong, s"n$k")).toDF("k", "v")
+    Snapshot.publishSnapshot(mk(0 until 10).coalesce(1), dest,
+      statsCol = Some("k"))
+    val fs = new org.apache.hadoop.fs.Path(dest).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def mtime(v: Int) = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$dest/manifest/v$v.txt"))
+      .getModificationTime
+    Thread.sleep(20)
+    Snapshot.appendSnapshot(mk(10 until 15).coalesce(1), dest)
+    // before v1: nothing; between the commits: v1; after both: v2
+    assert(Snapshot.versionAsOf(spark, dest, mtime(1) - 10).isEmpty)
+    assert(Snapshot.versionAsOf(spark, dest, mtime(1)).contains(1))
+    assert(Snapshot.versionAsOf(spark, dest,
+      (mtime(1) + mtime(2)) / 2).contains(1))
+    assert(Snapshot.versionAsOf(spark, dest,
+      System.currentTimeMillis() + 1000).contains(2))
+    // snapshotFiles: manifest-text introspection, exact counts + bounds
+    Snapshot.mergeSnapshotMoR(mk(3 until 5), dest, "k")
+    val files = Snapshot.snapshotFiles(spark, dest, 3).collect()
+    assert(files.count(_.getString(1) == "delete") >= 1)
+    val v1row = files.find(r => r.getString(0).contains("data/v1/")).get
+    assert(v1row.getLong(2) == 10L && v1row.getLong(3) == 0L &&
+      v1row.getLong(4) == 9L)
+    // vacuumed interior versions resolve to nothing, never a later one
+    Snapshot.reconcileSnapshotMoR(spark, dest)
+    Snapshot.vacuum(spark, dest, keepFrom = 4)
+    assert(Snapshot.versionAsOf(spark, dest, mtime(4) - 1).isEmpty)
+  }
+
   test("pre-header manifests (bloom odd-arity lines) fall back to exact line counts") {
     val dest = tmp("graft-histb")
     val df = (0L until 60L).map(k => (k, s"u$k")).toDF("k", "v")
