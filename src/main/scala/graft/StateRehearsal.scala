@@ -64,6 +64,8 @@ object StateRehearsal {
       case "zorder" => zorder(spark, work)
       case "manifestscale" => manifestscale(spark, work)
       case "morscale" => morscale(spark, work)
+      case "txnscale" => txnscale(spark, work)
+      case "dmlscale" => dmlscale(spark, work)
       case "annrecall" => annrecall(spark)
     }
     spark.stop()
@@ -354,6 +356,112 @@ object StateRehearsal {
         "cow_read_sec" -> cowRead, "mor_read_sec" -> morRead,
         "reconcile_sec" -> reconcile, "post_reconcile_read_sec" -> postRead)
     }
+  }
+
+  /** Multi-table transaction cost anatomy vs base-table size — the
+    * claim under test: STAGING is each table's ordinary append cost
+    * (O(delta + versions), independent of base bytes), and the commit
+    * point + finalization are METADATA-sized (one txn-manifest publish
+    * + K pending renames — flat however big the tables grow). Measured
+    * at 1× and 20× base size for a 3-table transaction with a fixed
+    * delta. */
+  private def txnscale(spark: SparkSession, work: String): Unit = {
+    import graft.operators.{Snapshot, SnapshotTxn}
+    locally { // warm-up
+      val d = s"$work/txn_warm"
+      Snapshot.publishSnapshot(spark.range(100L)
+        .select(col("id").as("k"), lit("w").as("v")), d)
+      val t = SnapshotTxn.begin(spark, s"$work/txn_warm_root")
+      t.stageAppend(spark.range(5L)
+        .select((col("id") + 1000L).as("k"), lit("x").as("v")), d)
+      t.commit(); ()
+    }
+    for (scale <- Seq(1, 20)) {
+      val rows = 500000L * scale
+      val files = 16 * scale
+      val root = s"$work/txn_root_$scale"
+      val dests = (0 until 3).map(i => s"$work/txn_t${i}_$scale")
+      dests.foreach { d =>
+        Snapshot.publishSnapshot(spark.range(rows)
+          .select(col("id").as("k"), (col("id") % 97).as("grp"),
+            lpad(lit("x"), 120, "x").as("payload"))
+          .repartitionByRange(files, col("k")), d, statsCol = Some("k"))
+      }
+      def delta(i: Int) = spark.range(1000L)
+        .select((col("id") + rows + i * 10000L).as("k"),
+          lit(-1L).as("grp"), lit(s"d$i").as("payload"))
+      val txn = SnapshotTxn.begin(spark, root)
+      val (_, stageSec) = time(
+        dests.zipWithIndex.foreach { case (d, i) =>
+          txn.stageAppend(delta(i), d) })
+      // the commit point + finalize, isolated via the kill seam + recover
+      val (_, commitSec) = time(txn.commitNoFinalize())
+      val (_, finalizeSec) = time(SnapshotTxn.recover(spark, root))
+      val (_, readSec) = time(
+        SnapshotTxn.readLatest(spark, root, dests.head)
+          .queryExecution.toRdd.count())
+      cell("txnscale", "base_rows" -> rows, "base_files" -> files,
+        "tables" -> 3, "delta_rows" -> 1000,
+        "stage_sec" -> stageSec, "commit_point_sec" -> commitSec,
+        "finalize_sec" -> finalizeSec, "read_sec" -> readSec)
+    }
+  }
+
+  /** Predicate DML + change-feed cost anatomy at file-count scale —
+    * the claims: deleteWhere/updateWhere scan O(pruned files) (wall
+    * tracks the predicate's stats-range, not the table), and
+    * changeFeed reads O(changed files) however long the history. The
+    * unpruned lane (predicate on a NON-stats column) is the same
+    * operation without the bounds fold — the gap is the pruning. */
+  private def dmlscale(spark: SparkSession, work: String): Unit = {
+    import graft.operators.Snapshot
+    locally { // warm-up
+      val d = s"$work/dml_warm"
+      Snapshot.publishSnapshot(spark.range(1000L)
+        .select(col("id").as("k"), (col("id") % 7).as("x"),
+          lit("w").as("v")), d, statsCol = Some("k"))
+      Snapshot.deleteSnapshotMoRWhere(spark, d, "k",
+        col("k") < 5L && col("x") === 1L)
+      ()
+    }
+    val rows = 8000000L
+    val files = 256
+    def mkBase(d: String): Unit =
+      Snapshot.publishSnapshot(spark.range(rows)
+        .select(col("id").as("k"), (col("id") % 1000L).as("x"),
+          lpad(lit("x"), 120, "x").as("payload"))
+        .repartitionByRange(files, col("k")), d, statsCol = Some("k"))
+    // pruned lane: conjunct on the stats column bounds ~1/256 of files
+    val dP = s"$work/dml_pruned"; mkBase(dP)
+    val span = rows / files
+    val (_, prunedSec) = time(Snapshot.deleteSnapshotMoRWhere(spark, dP,
+      "k", col("k") >= 10L * span && col("k") < 11L * span &&
+        col("x") % 3L === 0L))
+    // unpruned lane: same match COUNT, predicate invisible to stats
+    val dU = s"$work/dml_unpruned"; mkBase(dU)
+    val (_, unprunedSec) = time(Snapshot.deleteSnapshotMoRWhere(spark, dU,
+      "k", col("x") === 123L)) // ~rows/1000 matches, every file scanned
+    // updateWhere, pruned
+    val dUp = s"$work/dml_upd"; mkBase(dUp)
+    val (_, updSec) = time(Snapshot.updateSnapshotMoRWhere(spark, dUp,
+      "k", col("k") >= 10L * span && col("k") < 11L * span,
+      Map("payload" -> lit("u"))))
+    // changeFeed across 30 one-batch commits on a big base: wall must
+    // track the CHANGED bytes, not the base
+    val dC = s"$work/dml_cdf"; mkBase(dC)
+    (0 until 30).foreach(i =>
+      Snapshot.mergeSnapshotMoR(spark.range(200L)
+        .select((col("id") + rows + i * 1000L).as("k"), lit(0L).as("x"),
+          lit(s"c$i").as("payload")), dC, "k"))
+    val (_, cdfSec) = time(
+      Snapshot.changeFeed(spark, dC, 1,
+        Snapshot.latestVersion(spark, dC))
+        .queryExecution.toRdd.count())
+    cell("dmlscale", "base_rows" -> rows, "base_files" -> files,
+      "delete_pruned_sec" -> prunedSec,
+      "delete_unpruned_sec" -> unprunedSec,
+      "update_pruned_sec" -> updSec,
+      "cdf_commits" -> 30, "cdf_read_sec" -> cdfSec)
   }
 
   /** Recall@10 of every deployable ANN config vs brute-force cosine —
