@@ -1746,10 +1746,13 @@ object Snapshot {
     val mTo = manifests(vTo)
     val outSchema = mTo.schema.getOrElse(throw new IllegalStateException(
       s"v$vTo of $destDir carries no schema header"))
-    def paths(v: Int): Set[String] = manifests(v).lines.map(linePath).toSet
-    val perVersion: Seq[DataFrame] = ((vFrom + 1) to vTo).map { v =>
+    // driver pass: per-version added files + the append-only wall
+    final case class Win(v: Int, data: Seq[String], del: Seq[String],
+                         ctype: String, keyCol: Option[String])
+    val wins: Seq[Win] = ((vFrom + 1) to vTo).map { v =>
       val prev = manifests(v - 1).lines.map(linePath).toSet
-      val removed = prev -- paths(v)
+      val cur = manifests(v).lines.map(linePath).toSet
+      val removed = prev -- cur
       require(removed.isEmpty,
         s"$destDir is not append-only between v${v - 1} and v$v " +
           s"(${removed.size} file(s) removed — compact/reconcile/merge " +
@@ -1758,43 +1761,87 @@ object Snapshot {
       val added = manifests(v).lines.filterNot(l => prev(linePath(l)))
       val addedData = added.filterNot(isDeleteLine).map(linePath)
       val addedDel = added.filter(isDeleteLine).map(linePath)
-      val ctype = if (addedDel.isEmpty) "insert" else "upsert"
-      val dataEv: Option[DataFrame] =
-        if (addedData.isEmpty) None
-        else Some(readWithSchema(spark, Some(outSchema),
-            addedData.map(f => s"$destDir/$f"))
-          .withColumn("_change_type", lit(ctype)))
-      val delEv: Option[DataFrame] =
+      // the key comes from the COMMITTING version's header (vTo may be
+      // a later reconcile, which drops #morkey)
+      val keyCol =
         if (addedDel.isEmpty) None
-        else {
-          // the key comes from the COMMITTING version's header (vTo may
-          // be a later reconcile, which drops #morkey)
-          val keyCol = manifests(v).headers.getOrElse("morkey",
-            throw new IllegalStateException(
-              s"v$v of $destDir carries tombstones but no #morkey header"))
-          val delKeys = spark.read
-            .parquet(addedDel.map(f => s"$destDir/$f"): _*)
-            .select(col(keyCol))
-          val pure =
-            if (addedData.isEmpty) delKeys
-            else delKeys.join(
-              readWithSchema(spark, Some(outSchema),
-                addedData.map(f => s"$destDir/$f")).select(col(keyCol)),
-              Seq(keyCol), "left_anti")
-          Some(pure.select(outSchema.fields.map { f =>
-            if (f.name == keyCol) col(keyCol)
-            else lit(null).cast(f.dataType).as(f.name)
-          }.toSeq: _*).withColumn("_change_type", lit("delete")))
-        }
-      (dataEv.toSeq ++ delEv.toSeq)
-        .reduceOption(_.unionByName(_))
-        .map(_.withColumn("_commit_version", lit(v)))
-    }.collect { case Some(df) => df }
-    perVersion.reduceOption(_.unionByName(_)).getOrElse {
-      readSnapshot(spark, destDir, vTo).limit(0)
-        .withColumn("_change_type", lit(""))
-        .withColumn("_commit_version", lit(0))
+        else Some(manifests(v).headers.getOrElse("morkey",
+          throw new IllegalStateException(
+            s"v$v of $destDir carries tombstones but no #morkey header")))
+      Win(v, addedData, addedDel,
+        if (addedDel.isEmpty) "insert" else "upsert", keyCol)
     }
+    // TWO scans total, however long the range: every added data file in
+    // one read, every delete-set file in one read — version attribution
+    // rides input_file_name() joined to a broadcast (file → version)
+    // map (the planning cost is O(1) relations, not O(versions); the
+    // data cost was always O(changed files))
+    def lastTwo(rel: String): String =
+      rel.split("/").takeRight(2).mkString("/")
+    val fileExpr = substring_index(input_file_name(), "/", -2)
+    import spark.implicits._
+    val dataFiles = wins.flatMap(w => w.data.map(f =>
+      (lastTwo(f), w.v, w.ctype)))
+    val dataEv: Option[DataFrame] =
+      if (dataFiles.isEmpty) None
+      else {
+        val lookup = dataFiles.toDF("__f", "_commit_version", "_change_type")
+        Some(readWithSchema(spark, Some(outSchema),
+            wins.flatMap(_.data).map(f => s"$destDir/$f"))
+          .withColumn("__f", fileExpr)
+          .join(broadcast(lookup), Seq("__f"))
+          .drop("__f"))
+      }
+    val delWins = wins.filter(_.del.nonEmpty)
+    val delEv: Option[DataFrame] =
+      if (delWins.isEmpty) None
+      else {
+        val keys = delWins.flatMap(_.keyCol).distinct
+        require(keys.size == 1,
+          s"changeFeed range [v$vFrom, v$vTo] of $destDir mixes merge " +
+            s"keys ${keys.mkString(", ")} — split the range at the " +
+            "re-key boundary")
+        val keyCol = keys.head
+        val delLookup = delWins.flatMap(w => w.del.map(f =>
+          (lastTwo(f), w.v))).toDF("__f", "_commit_version")
+        val delKeys = spark.read
+          .parquet(delWins.flatMap(_.del).map(f => s"$destDir/$f"): _*)
+          .select(col(keyCol), fileExpr.as("__f"))
+          .join(broadcast(delLookup), Seq("__f")).drop("__f")
+        // pure deletes = tombstoned keys NOT re-stated in the SAME
+        // commit; the anti-join runs per (key, version) pair
+        val restated = dataEv match {
+          case None => None
+          case Some(d) =>
+            val winsWithBoth = wins.filter(w =>
+              w.del.nonEmpty && w.data.nonEmpty).map(_.v).toSet
+            if (winsWithBoth.isEmpty) None
+            else Some(d.filter(col("_commit_version")
+                .isInCollection(winsWithBoth))
+              .select(col(keyCol), col("_commit_version")))
+        }
+        val pure = restated match {
+          case None => delKeys
+          case Some(r) =>
+            delKeys.join(r, Seq(keyCol, "_commit_version"), "left_anti")
+        }
+        Some(pure.select(outSchema.fields.map { f =>
+          if (f.name == keyCol) col(keyCol)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toSeq :+ col("_commit_version"): _*)
+          .withColumn("_change_type", lit("delete"))
+          .select((outSchema.fieldNames.map(col).toSeq :+
+            col("_change_type")) :+ col("_commit_version"): _*))
+      }
+    val ordered = dataEv.map(_.select(
+      (outSchema.fieldNames.map(col).toSeq :+ col("_change_type")) :+
+        col("_commit_version"): _*))
+    (ordered.toSeq ++ delEv.toSeq).reduceOption(_.unionByName(_))
+      .getOrElse {
+        readSnapshot(spark, destDir, vTo).limit(0)
+          .withColumn("_change_type", lit(""))
+          .withColumn("_commit_version", lit(0))
+      }
   }
 
   /** Point-lookup file skipping for a NON-clustered key: publish with

@@ -47,7 +47,8 @@ class SnapshotCdfSpec extends SparkSpec {
     Snapshot.appendSnapshot(kv(2L -> "b").coalesce(1), dest)
     Snapshot.mergeSnapshotMoR(
       Seq((2L, "B", 9L)).toDF("k", "v", "extra"), dest, "k") // adds a column
-    val feed = Snapshot.changeFeed(spark, dest, 1, 3).orderBy("k")
+    val feed = Snapshot.changeFeed(spark, dest, 1, 3)
+      .orderBy("k", "_commit_version")
       .collect().map(r => (r.getLong(0),
         if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
     // v2's insert event null-fills the evolved column
