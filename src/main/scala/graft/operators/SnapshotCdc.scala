@@ -104,7 +104,42 @@ object SnapshotCdc {
     * advance replays that window verbatim on the next pump. */
   def pump(spark: SparkSession, srcDir: String, checkpointDir: String,
            maxVersionsPerBatch: Int = Int.MaxValue)
-          (process: Delta => Unit): Int = {
+          (process: Delta => Unit): Int =
+    pumpWindows(spark, srcDir, checkpointDir, maxVersionsPerBatch) {
+      (applied, to) => changesSince(spark, srcDir, applied, Some(to))
+        .foreach(process)
+    }
+
+  /** [[pump]] for MERGE-ON-READ tables: each window's rows are the
+    * CHANGE-FEED events of its version range ([[Snapshot.changeFeed]] —
+    * insert/upsert postimages and pure-delete keys, with
+    * `_change_type`/`_commit_version` columns), so a downstream applier
+    * can follow an upsert table row-by-row where plain [[pump]] (an
+    * added-files reader) must refuse tombstones. Same watermark, same
+    * resume/replay contract; a window crossing a rewrite
+    * (compact/reconcile) refuses loudly like every CDC read. The first
+    * window (watermark 0) bootstraps with the RESOLVED full snapshot
+    * tagged `_change_type = "insert"`, `_commit_version` = the window
+    * end. */
+  def pumpFeed(spark: SparkSession, srcDir: String, checkpointDir: String,
+               maxVersionsPerBatch: Int = Int.MaxValue)
+              (process: Delta => Unit): Int = {
+    import org.apache.spark.sql.functions._
+    pumpWindows(spark, srcDir, checkpointDir, maxVersionsPerBatch) {
+      (applied, to) =>
+        val rows =
+          if (applied == 0)
+            Snapshot.readSnapshot(spark, srcDir, to)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(to))
+          else Snapshot.changeFeed(spark, srcDir, applied, to)
+        process(Delta(applied, to, rows))
+    }
+  }
+
+  private def pumpWindows(spark: SparkSession, srcDir: String,
+                          checkpointDir: String, maxVersionsPerBatch: Int)
+                         (window: (Int, Int) => Unit): Int = {
     require(maxVersionsPerBatch >= 1,
       s"need maxVersionsPerBatch >= 1, got $maxVersionsPerBatch")
     val latest = Snapshot.latestVersion(spark, srcDir)
@@ -112,7 +147,7 @@ object SnapshotCdc {
     var windows = 0
     while (applied < latest) {
       val to = math.min(applied.toLong + maxVersionsPerBatch, latest.toLong).toInt
-      changesSince(spark, srcDir, applied, Some(to)).foreach(process)
+      window(applied, to)
       advanceWatermark(spark, checkpointDir, to)
       applied = to
       windows += 1

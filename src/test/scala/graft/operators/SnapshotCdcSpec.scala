@@ -79,6 +79,43 @@ class SnapshotCdcSpec extends SparkSpec {
     }
   }
 
+  test("pumpFeed follows a merge-on-read table as change events; applier reproduces state") {
+    val src = tmp("graft-cdc-s5"); val ckp = tmp("graft-cdc-c5")
+    Snapshot.publishSnapshot(kv(1L -> "a", 2L -> "b"), src,
+      statsCol = Some("k"))
+    Snapshot.mergeSnapshotMoR(kv(2L -> "B", 3L -> "c"), src, "k")
+    Snapshot.deleteSnapshotMoR(Seq(1L).toDF("k"), src, "k")
+    // plain pump bootstraps fine (the full read resolves the upsert
+    // log) but an INCREMENTAL window over tombstoned versions refuses —
+    // pumpFeed is the follower that can cross them
+    intercept[IllegalArgumentException] {
+      SnapshotCdc.pump(spark, src, tmp("graft-cdc-x"),
+        maxVersionsPerBatch = 1)(_ => ())
+    }
+    // a driver-side applier replays events into a map (key -> value)
+    val state = scala.collection.mutable.Map.empty[Long, String]
+    val n = SnapshotCdc.pumpFeed(spark, src, ckp, maxVersionsPerBatch = 1) {
+      d => d.rows.orderBy("_commit_version").collect().foreach { r =>
+        val k = r.getLong(0)
+        r.getString(r.fieldIndex("_change_type")) match {
+          case "delete" => state.remove(k); ()
+          case _ => state(k) = r.getString(1)
+        }
+      }
+    }
+    assert(n == 3)
+    assert(state.toMap === Map(2L -> "B", 3L -> "c"))
+    assert(state.toMap === Snapshot.readSnapshot(spark, src, 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    // resume: one more commit, only the tail window fires
+    Snapshot.mergeSnapshotMoR(kv(4L -> "d"), src, "k")
+    val m = SnapshotCdc.pumpFeed(spark, src, ckp) { d =>
+      assert(d.fromVersion == 3 && d.toVersion == 4)
+      assert(d.rows.count() == 1)
+    }
+    assert(m == 1)
+  }
+
   test("snapshot-fed index refresher: CDC-maintained index ≡ full rebuild, replay-safe") {
     val src = tmp("graft-cdc-s4"); val ckp = tmp("graft-cdc-c4")
     val idx = tmp("graft-cdc-i4") + "/index"

@@ -40,6 +40,32 @@ class SnapshotCdfSpec extends SparkSpec {
     assert(Snapshot.changeFeed(spark, dest, 5, 5).count() == 0)
   }
 
+  test("plan pin: a long range stays TWO parquet scans (plus the anti-join's re-read)") {
+    val dest = tmp("graft-cdfp")
+    Snapshot.publishSnapshot(kv(1L -> "a"), dest, statsCol = Some("k"))
+    (0 until 12).foreach { i =>
+      if (i % 3 == 2)
+        Snapshot.deleteSnapshotMoR(Seq(100L + i).toDF("k"), dest, "k")
+      else
+        Snapshot.mergeSnapshotMoR(kv((100L + i) -> s"u$i"), dest, "k")
+    }
+    val feed = Snapshot.changeFeed(spark, dest, 1, 13)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => 1
+      case other => other.children.map(scans).sum +
+        other.subqueries.map(scans).sum
+    }
+    val n = scans(feed.queryExecution.executedPlan)
+    // one scan over ALL added data files, one over all delete-sets,
+    // and at most one data re-read feeding the pure-delete anti-join —
+    // NEVER one relation per version (12 versions here)
+    assert(n <= 3, s"expected <=3 file scans for a 12-version feed, got $n")
+    assert(feed.count() == 12)
+  }
+
   test("evolved columns null-fill on older events; rewrite crossing refuses") {
     val dest = tmp("graft-cdf2")
     Snapshot.publishSnapshot(kv(1L -> "a").coalesce(1), dest,
