@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Model-based randomized exercise of the snapshot layout: a seeded
   * random sequence of publish / append / merge / compact / vacuum /
-  * range-replace / MoR-merge / MoR-delete / reconcile runs
+  * range-replace / MoR-merge / MoR-delete / reconcile /
+  * predicate-delete / predicate-update runs
   * against BOTH the real layout and a driver-side model (a key→value
   * map per version), and every committed version must read back equal
   * to its model snapshot — including after later operations. This is
@@ -51,8 +52,8 @@ class SnapshotModelSpec extends SparkSpec {
       // a tombstoned table refuses COW mutations and range reads by
       // contract — only the MoR-compatible ops stay on the menu
       val op =
-        if (tombstoned) Seq(0, 4, 6, 7, 8)(rnd.nextInt(5))
-        else rnd.nextInt(9)
+        if (tombstoned) Seq(0, 4, 6, 7, 8, 9, 10)(rnd.nextInt(7))
+        else rnd.nextInt(11)
       op match {
         case 0 => // full replace (also the fresh-definition escape from MoR)
           table = freshRows(2 + rnd.nextInt(3))
@@ -116,6 +117,32 @@ class SnapshotModelSpec extends SparkSpec {
           val v = Snapshot.reconcileSnapshotMoR(spark, dest)
           tombstoned = false
           model(v) = table; ops ::= s"reconcile->v$v"
+        case 9 => // predicate MoR DELETE over a random key range
+          if (table.isEmpty) ops ::= "dwSkip"
+          else {
+            val ks = table.keySet.toSeq.sorted
+            val lo = ks(rnd.nextInt(ks.size))
+            val hi = lo + rnd.nextInt(5)
+            table = table.filter { case (k, _) => k < lo || k > hi }
+            val v = Snapshot.deleteSnapshotMoRWhere(spark, dest, "k",
+              col("k") >= lo && col("k") <= hi)
+            if (v > latest) tombstoned = true // matched: tombstones landed
+            model(v) = table; ops ::= s"deleteWhere[$lo,$hi]->v$v"
+          }
+        case 10 => // predicate MoR UPDATE (self-referencing SET)
+          if (table.isEmpty) ops ::= "uwSkip"
+          else {
+            val ks = table.keySet.toSeq.sorted
+            val lo = ks(rnd.nextInt(ks.size))
+            val hi = lo + rnd.nextInt(5)
+            table = table.map { case (k, v0) =>
+              k -> (if (k >= lo && k <= hi) v0 + "+" else v0) }
+            val v = Snapshot.updateSnapshotMoRWhere(spark, dest, "k",
+              col("k") >= lo && col("k") <= hi,
+              Map("v" -> concat(col("v"), lit("+"))))
+            if (v > latest) tombstoned = true
+            model(v) = table; ops ::= s"updateWhere[$lo,$hi]->v$v"
+          }
       }
       val ctx = s"seed=$seed ops=${ops.reverse.mkString(",")}"
       // the LATEST version always equals the current model table
