@@ -2350,6 +2350,33 @@ object Queries {
       .orderBy("tok")
   }
 
+  // ------------------------------------------------------ Q-index-cdc
+  // Manifest-CDC index maintenance (Ingest.indexSnapshotCdc): the
+  // documents land in a SNAPSHOT TABLE in three commits (publish + two
+  // appends by doc_id % 3) and the inverted index FOLLOWS it through
+  // the shared CDC pump — window 1 bootstraps the published index,
+  // windows 2 and 3 merge their delta docs via the marker-guarded
+  // staged swap (markers keyed by window end version, so a replay
+  // skips). Same contract as q_stream_index: however the versions
+  // chunked the corpus, the final index must be indistinguishable from
+  // a full rebuild (the q_invindex oracle).
+  def indexCdcQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = load(s, dir, "documents")
+    val maxDf = docs.count() * IndexDfPct / 100
+    val scratch = s"$FixtureRoot/indexcdc_${java.util.UUID.randomUUID()}"
+    val toks = tokens(col("text"))
+    def slice(r: Int) = docs.filter(col("doc_id") % 3 === r)
+    graft.operators.Snapshot.publishSnapshot(slice(0), s"$scratch/src")
+    graft.operators.Snapshot.appendSnapshot(slice(1), s"$scratch/src")
+    graft.operators.Snapshot.appendSnapshot(slice(2), s"$scratch/src")
+    Ingest.indexSnapshotCdc(s, s"$scratch/src", s"$scratch/idx",
+      s"$scratch/ckpt", "doc_id", toks, maxDf, maxVersionsPerBatch = 1)
+    s.read.parquet(s"$scratch/idx")
+      .select(col("tok"), col("df"),
+        array_join(col("postings"), ",").as("postings"))
+      .orderBy("tok")
+  }
+
   // ------------------------------------------------------------ Q-search
   // Conjunctive retrieval over the index (InvertedIndex.searchAll): docs
   // containing ALL queried terms, resolved purely from posting lists —
@@ -10269,6 +10296,7 @@ object Queries {
     "q_invindex" -> (invIndex _),
     "q_index_refresh" -> (indexRefreshQ _),
     "q_stream_index" -> (streamIndexQ _),
+    "q_index_cdc" -> (indexCdcQ _),
     "q_search" -> (searchQ _),
     "q_bm25" -> (bm25Q _),
     "q_rrf" -> (rrfQ _),
@@ -10508,6 +10536,7 @@ object Queries {
     "q_invindex" -> invIndexSql,
     "q_index_refresh" -> invIndexSql, // refresh must equal the full rebuild
     "q_stream_index" -> invIndexSql, // streamed refresh: same contract
+    "q_index_cdc" -> invIndexSql, // manifest-CDC refresh: same contract
     "q_search" -> searchSql,
     "q_bm25" -> bm25Sql,
     "q_rrf" -> rrfSql,
