@@ -5788,6 +5788,48 @@ object Queries {
       |FROM customer WHERE c_name = 'Customer#000000042'
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------- Q-snappoint-app
+  // Bloom-preserving APPEND (Snapshot.appendSnapshotIndexed — closes
+  // the "appends strip the index, re-publish to restore" gap): the
+  // even-custkey half publishes indexed (stats on c_custkey + bloom on
+  // c_name), the odd half APPENDS through the indexed path (delta
+  // blooms from the same one-pass builder, carried words verbatim, the
+  // #bloom header survives) — then TWO point lookups, one landing in a
+  // base file and one in a delta file, both pruned by manifest
+  // arithmetic. ORACLE: the equality filter over the whole seed.
+  private val SnapPointAppDir = s"$FixtureRoot/snappointapp"
+
+  def snapPointAppQ(s: SparkSession, dir: String): DataFrame = {
+    publishOnce(SnapPointAppDir, dir) {
+      wipeDir(SnapPointAppDir)
+      val cust = load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      graft.operators.Snapshot.publishSnapshotIndexed(
+        cust.filter(col("c_custkey") % 2 === 0)
+          .repartition(4, col("c_custkey")),
+        SnapPointAppDir, Seq("c_custkey"), "c_name")
+      graft.operators.Snapshot.appendSnapshotIndexed(
+        cust.filter(col("c_custkey") % 2 =!= 0)
+          .repartition(4, col("c_custkey")),
+        SnapPointAppDir)
+      ()
+    }
+    graft.operators.Snapshot
+      .readSnapshotPoint(s, SnapPointAppDir, 2, "Customer#000000042")
+      .unionByName(graft.operators.Snapshot
+        .readSnapshotPoint(s, SnapPointAppDir, 2, "Customer#000000043"))
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      .orderBy("c_custkey")
+  }
+
+  private val snapPointAppSql =
+    """SELECT c_custkey, c_name,
+      |       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      |FROM customer
+      |WHERE c_name IN ('Customer#000000042', 'Customer#000000043')
+      |ORDER BY c_custkey""".stripMargin
+
   // ----------------------------------------------------------- Q-scenecut
   // Video scene-cut detection PLUMBING: frame grid (Multimodal
   // .sampleFrames — in-row explode, frames born next to their payload),
@@ -10377,6 +10419,7 @@ object Queries {
     "q_snapzorder" -> (snapZorderQ _),
     "q_scenecut" -> (sceneCutQ _),
     "q_snappoint" -> (snapPointQ _),
+    "q_snappoint_app" -> (snapPointAppQ _),
     "q_cxxpush" -> (cxxPushQ _),
     "q_phash" -> (phashQ _),
     "q_urlnorm" -> (urlNorm _),
@@ -10617,6 +10660,7 @@ object Queries {
     "q_snapzorder" -> snapZorderSql,
     "q_scenecut" -> sceneCutSql,
     "q_snappoint" -> snapPointSql,
+    "q_snappoint_app" -> snapPointAppSql,
     "q_cxxpush" -> cxxPushSql,
     "q_phash" -> phashSql,
     "q_urlnorm" -> urlNormSql,

@@ -1979,6 +1979,106 @@ object Snapshot {
     committed
   }
 
+  /** APPEND over a bloom-indexed base WITHOUT losing the index — the
+    * gap [[commitVersion]] documents (a plain append strips carried
+    * bloom words because it can't build words for its own files; the
+    * caller had to re-publish the whole table to restore point-lookup
+    * skipping). Here the delta's per-file words come out of the same
+    * single distributed pass the indexed publish uses, carried entries
+    * keep their words VERBATIM (they are per-file and files are
+    * immutable — an append invalidates nothing), and the version keeps
+    * the `#bloom` header — so a streaming-fed indexed table keeps its
+    * point skips at O(delta) append cost. Bloom parameters are the
+    * base's (a parameter change would desynchronize probe and build;
+    * re-publish to change them); stats columns inherit. */
+  def appendSnapshotIndexed(df: DataFrame, destDir: String,
+                            tag: Option[String] = None): Int = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(destDir).getFileSystem(conf)
+    val prev = latestVersion(spark, destDir)
+    require(prev >= 1,
+      s"appendSnapshotIndexed needs an existing version under $destDir")
+    val m = readManifest(spark, destDir, prev)
+    requireNoTombstones(m, destDir, prev, "appendSnapshotIndexed")
+    val (bloomCol, mBits, k) = m.bloom.getOrElse(
+      throw new IllegalArgumentException(
+        s"v$prev of $destDir carries no bloom header — use " +
+          "appendSnapshot, or publishSnapshotIndexed to index the table"))
+    val statsCols = m.statsCols
+    m.schema.foreach { ps =>
+      ps.fields.foreach { f =>
+        val cur = df.schema.fields.find(_.name == f.name)
+        require(cur.exists(_.dataType == f.dataType),
+          s"appendSnapshotIndexed schema evolution is add-column only: " +
+            s"'${f.name}: ${f.dataType.simpleString}' of v$prev is " +
+            cur.fold("missing")(c =>
+              s"retyped to ${c.dataType.simpleString}") +
+            " in the appended batch")
+      }
+    }
+    val resurrected = df.columns.filter(m.droppedCols)
+    require(resurrected.isEmpty,
+      s"column(s) ${resurrected.mkString(", ")} were DROPPED from " +
+        s"$destDir and cannot be re-added by an indexed append")
+    val uid = claimStagingId(fs, destDir, prev + 1)
+    val dataDir = new Path(s"$destDir/data/v$uid")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val words = perFileBloomWords(spark, dataDir.toString, bloomCol,
+      mBits, k)
+    val nWords = (mBits + Sketches.BloomWordBits - 1) / Sketches.BloomWordBits
+    val empty = Array.fill(nWords)(0L).mkString(",")
+    import scala.collection.parallel.CollectionConverters._
+    val linesAndRows = fs.listStatus(dataDir)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath).sortBy(_.getName).par
+      .map { p =>
+        val rel = s"data/v$uid/${p.getName}"
+        val w = words.getOrElse(p.getName, empty)
+        val (rows, mm) = footerStats(conf, p, statsCols)
+        val statsTxt =
+          if (statsCols.isEmpty ||
+              mm.exists { case (mn, mx) => mn > mx }) None
+          else Some(s"$rows\t" +
+            mm.map { case (mn, mx) => s"$mn\t$mx" }.mkString("\t"))
+        (statsTxt match {
+          case Some(st) => s"$rel\t$st\t$w"
+          case None => s"$rel\t$w"
+        }, rows)
+      }.seq.toSeq
+    val deltaRows = linesAndRows.map(_._2).sum
+    val deltaEntry =
+      if (linesAndRows.isEmpty) Seq.empty
+      else {
+        writeFileAtomic(fs, s"$destDir/manifest/d$uid.txt",
+          s"$destDir/manifest/.dtmp_v$uid", linesAndRows.map(_._1))
+        Seq(s"@manifest/d$uid.txt")
+      }
+    val schemaHeader =
+      s"#schema=${org.apache.spark.sql.types.StructType(
+        df.schema.fields.map(_.copy(nullable = true))).json}"
+    val header = schemaHeader +:
+      ((if (statsCols.isEmpty) Seq.empty
+        else Seq(s"#stats=${statsCols.mkString(",")}")) ++
+        Seq(s"#bloom=$bloomCol,$mBits,$k") ++
+        tag.map(t => s"#tag=$t").toSeq ++
+        (if (m.droppedCols.isEmpty) Seq.empty
+         else Seq(s"#dropped=${m.droppedCols.toSeq.sorted.mkString(",")}")) ++
+        m.rowsHeader.map(r => s"#rows=${r + deltaRows}").toSeq)
+    // base-dependent single-attempt CAS: carried entries (with their
+    // words) came from v`prev`; a racing commit means they're stale
+    if (latestVersion(spark, destDir) != prev ||
+        !tryCommitManifest(fs, destDir, prev + 1, uid,
+          header ++ m.entries ++ deltaEntry)) {
+      fs.delete(dataDir, true)
+      throw new ConcurrentSnapshotUpdate(
+        s"base of $destDir advanced past v$prev during an indexed " +
+          "append; retry against the new latest version")
+    }
+    prev + 1
+  }
+
   /** Driver-side replica of Sketches.bloomBit: shaHash32("bloom:j:v")
     * mod mBits — first 4 sha256 bytes as an unsigned 32-bit value,
     * identical to the engine/oracle expression. */

@@ -99,6 +99,39 @@ class SnapshotRowsSpec extends SparkSpec {
       (3, 155L, false), (4, 162L, true)))
   }
 
+  test("appendSnapshotIndexed keeps the bloom: point skips span base + delta") {
+    val dest = tmp("graft-bapp")
+    val mk = (r: Range) => r.map(k => (k.toLong, s"key$k"))
+      .toDF("k", "name")
+    Snapshot.publishSnapshotIndexed(mk(0 until 40).repartition(2), dest,
+      Seq("k"), "name")
+    val v2 = Snapshot.appendSnapshotIndexed(mk(40 until 60).repartition(2),
+      dest)
+    assert(v2 == 2)
+    // point lookups prune across BOTH generations: a base key's lookup
+    // opens a strict subset of the 4 files, and so does a delta key's
+    val fBase = Snapshot.filesForKey(spark, dest, 2, "key7")
+    val fDelta = Snapshot.filesForKey(spark, dest, 2, "key55")
+    val all = Snapshot.manifestLines(spark, dest, 2).size
+    assert(all == 4 && fBase.size < all && fDelta.size < all,
+      s"bloom skipping lost: base=${fBase.size} delta=${fDelta.size} of $all")
+    assert(rows(Snapshot.readSnapshotPoint(spark, dest, 2, "key55"))
+      === Seq(Seq(55L, "key55")))
+    assert(rows(Snapshot.readSnapshotPoint(spark, dest, 2, "key7"))
+      === Seq(Seq(7L, "key7")))
+    // stats text survives on carried AND new lines; #rows header exact
+    assert(Snapshot.filesForRange(spark, dest, 2, 45L, 46L).size < all)
+    assert(rows(Snapshot.snapshotHistory(spark, dest))
+      .map(r => (r(0), r(3))) === Seq((1, 40L), (2, 60L)))
+    // v1 time-travels; an un-indexed base refuses the indexed append
+    assert(Snapshot.readSnapshot(spark, dest, 1).count() == 40)
+    val plain = tmp("graft-bapp2")
+    Snapshot.publishSnapshot(mk(0 until 5), plain)
+    intercept[IllegalArgumentException] {
+      Snapshot.appendSnapshotIndexed(mk(5 until 8), plain)
+    }
+  }
+
   test("versionAsOf resolves commit times; snapshotFiles reads manifest text only") {
     val dest = tmp("graft-asof")
     val mk = (r: Range) => r.map(k => (k.toLong, s"n$k")).toDF("k", "v")
