@@ -487,8 +487,7 @@ object Snapshot {
     * manifests refuse (carried words would dangle). */
   def mergeSnapshotMoR(updates: DataFrame, destDir: String,
                        keyCol: String, tag: Option[String] = None): Int =
-    morCommit(Some(updates),
-      updates.select(col(keyCol)).distinct(), destDir, keyCol, tag)
+    morCommit(Some(updates), None, destDir, keyCol, tag)
 
   /** Row-level DELETE on the merge-on-read path: commit ONLY a
     * tombstone delete-set — the keys disappear from the next version
@@ -497,8 +496,8 @@ object Snapshot {
     * as [[mergeSnapshotMoR]]. */
   def deleteSnapshotMoR(keys: DataFrame, destDir: String,
                         keyCol: String, tag: Option[String] = None): Int =
-    morCommit(None, keys.select(col(keyCol)).distinct(), destDir, keyCol,
-      tag)
+    morCommit(None, Some(keys.select(col(keyCol)).distinct()), destDir,
+      keyCol, tag)
 
   /** Predicate-level DELETE on the merge-on-read path — Delta's
     * `DELETE WHERE <cond>` completing the MoR DML triple: evaluate
@@ -533,34 +532,16 @@ object Snapshot {
     require(prev >= 1,
       s"deleteSnapshotMoRWhere needs an existing version under $destDir")
     val m = readManifest(spark, destDir, prev)
-    // resolve `cond` against the table schema on an EMPTY probe (public
-    // API, no data touched): the ANALYZED filter condition — not the
-    // optimized plan, which would collapse the empty relation — yields
-    // the expression tree the bounds fold walks
-    val (lo, hi) = (m.statsCol, m.schema) match {
-      case (Some(c), Some(schema)) =>
-        val probe = spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          schema)
-        probe.filter(cond).queryExecution.analyzed match {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            predicateBounds(f.condition, c)
-          case _ => (Long.MinValue, Long.MaxValue)
-        }
-      case _ => (Long.MinValue, Long.MaxValue)
+    prunedCurrentState(spark, destDir, m, prev, cond) match {
+      case None => prev
+      case Some(current) =>
+        val keys = current.filter(cond).select(col(keyCol)).distinct()
+        // ONE candidate scan total: the delete-set write IS the match
+        // probe (skipIfEmpty reclaims a zero-row staging and reports
+        // the base unchanged — no limit(1).count() pre-pass)
+        morCommit(None, Some(keys), destDir, keyCol, tag,
+          pinnedBase = Some(prev), skipIfEmpty = true)
     }
-    val dataLines = m.lines.filterNot(isDeleteLine)
-    val candidates = dataLines
-      .filter(lineOverlaps(_, 0, lo, hi, m.bloom.isDefined))
-      .map(l => s"$destDir/${linePath(l)}")
-    if (candidates.isEmpty) return prev
-    val current =
-      if (m.lines.exists(isDeleteLine))
-        morResolve(spark, destDir, m, prev, candidates)
-      else readWithSchema(spark, m.schema, candidates)
-    val keys = current.filter(cond).select(col(keyCol)).distinct()
-    if (keys.limit(1).count() == 0) return prev
-    morCommit(None, keys, destDir, keyCol, tag, pinnedBase = Some(prev))
   }
 
   /** Predicate-level UPDATE on the merge-on-read path — Delta's
@@ -590,6 +571,33 @@ object Snapshot {
     require(prev >= 1,
       s"updateSnapshotMoRWhere needs an existing version under $destDir")
     val m = readManifest(spark, destDir, prev)
+    prunedCurrentState(spark, destDir, m, prev, cond) match {
+      case None => prev
+      case Some(current) =>
+        val matched = current.filter(cond)
+        val updated = set.foldLeft(matched) { case (df, (name, expr)) =>
+          df.withColumn(name, expr)
+        }
+        // ONE candidate scan total: the batch write IS the match probe
+        morCommit(Some(updated), None, destDir, keyCol, tag,
+          pinnedBase = Some(prev), skipIfEmpty = true)
+    }
+  }
+
+  /** Shared predicate-DML front half ([[deleteSnapshotMoRWhere]] /
+    * [[updateSnapshotMoRWhere]]): resolve `cond` against the table
+    * schema on an EMPTY probe (public API, no data touched — the
+    * ANALYZED filter condition, not the optimized plan, which would
+    * collapse the empty relation), fold its conjuncts over the first
+    * stats column into a [lo, hi] bound ([[predicateBounds]]), prune
+    * the manifest to overlapping files, and resolve the CURRENT state
+    * over the survivors (upsert log resolved when tombstones exist).
+    * None when no file can hold a match — the caller returns the base
+    * version without committing. */
+  private def prunedCurrentState(spark: org.apache.spark.sql.SparkSession,
+                                 destDir: String, m: ManifestData,
+                                 prev: Int,
+                                 cond: Column): Option[DataFrame] = {
     val (lo, hi) = (m.statsCol, m.schema) match {
       case (Some(c), Some(schema)) =>
         val probe = spark.createDataFrame(
@@ -606,19 +614,11 @@ object Snapshot {
     val candidates = dataLines
       .filter(lineOverlaps(_, 0, lo, hi, m.bloom.isDefined))
       .map(l => s"$destDir/${linePath(l)}")
-    if (candidates.isEmpty) return prev
-    val current =
+    if (candidates.isEmpty) None
+    else Some(
       if (m.lines.exists(isDeleteLine))
         morResolve(spark, destDir, m, prev, candidates)
-      else readWithSchema(spark, m.schema, candidates)
-    val matched = current.filter(cond)
-    if (matched.limit(1).count() == 0) return prev
-    val updated = set.foldLeft(matched) { case (df, (name, expr)) =>
-      df.withColumn(name, expr)
-    }
-    morCommit(Some(updated),
-      updated.select(col(keyCol)).distinct(), destDir, keyCol, tag,
-      pinnedBase = Some(prev))
+      else readWithSchema(spark, m.schema, candidates))
   }
 
   /** Fold `e`'s conjuncts over column `c` into a conservative [lo, hi]
@@ -700,18 +700,65 @@ object Snapshot {
     }
   }
 
-  private def morCommit(updatesOpt: Option[DataFrame], delKeys: DataFrame,
+  private def morCommit(updatesOpt: Option[DataFrame],
+                        delKeysOpt: Option[DataFrame],
                         destDir: String, keyCol: String,
                         tag: Option[String] = None,
-                        pinnedBase: Option[Int] = None): Int = {
+                        pinnedBase: Option[Int] = None,
+                        skipIfEmpty: Boolean = false): Int = {
     import org.apache.hadoop.fs.Path
-    val spark = delKeys.sparkSession
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = new Path(destDir).getFileSystem(conf)
+    val spark = updatesOpt.orElse(delKeysOpt).get.sparkSession
+    val fs = new Path(destDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
     // a caller whose delete-set was COMPUTED against a base version
     // (deleteSnapshotMoRWhere's predicate scan) pins it: the single-
     // attempt CAS below then rejects any commit that raced in between
     val prev = pinnedBase.getOrElse(latestVersion(spark, destDir))
+    morStage(updatesOpt, delKeysOpt, destDir, keyCol, tag, prev,
+        skipIfEmpty) match {
+      case None => prev
+      case Some((uid, content)) =>
+        def abort(msg: String): Nothing = {
+          fs.delete(new Path(s"$destDir/data/v$uid"), true)
+          fs.delete(new Path(s"$destDir/data/v${uid}_del"), true)
+          throw new ConcurrentSnapshotUpdate(msg)
+        }
+        // base-dependent CAS, single attempt: the upsert-log sequencing
+        // argument needs commit order == staging-id order, which holds
+        // only when a lost race aborts (the caller's retry claims a
+        // fresh, higher id) instead of re-committing the same id later
+        if (latestVersion(spark, destDir) != prev)
+          abort(s"base of $destDir advanced past v$prev during a " +
+            "merge-on-read commit; retry against the new latest version")
+        if (!tryCommitManifest(fs, destDir, prev + 1, uid, content))
+          abort(s"merge-on-read commit to $destDir lost the v${prev + 1} " +
+            "slot; retry against the new latest version")
+        prev + 1
+    }
+  }
+
+  /** STAGE a merge-on-read batch against base version `base` of
+    * `destDir` without committing: claim a staging id, write the update
+    * batch and delete-set files, and return (stagingId, the manifest
+    * content a commit of this batch would publish). Shared by
+    * [[morCommit]] (which follows with the CAS) and
+    * [[SnapshotTxn.stageMerge]]/[[SnapshotTxn.stageDelete]] (which park
+    * the content in a pending manifest until the transaction's commit
+    * point). None when `skipIfEmpty` and the staged batch held zero
+    * rows (staging reclaimed). */
+  private[operators] def morStage(updatesOpt: Option[DataFrame],
+                        delKeysOpt: Option[DataFrame],
+                        destDir: String, keyCol: String,
+                        tag: Option[String],
+                        base: Int,
+                        skipIfEmpty: Boolean = false): Option[(Int, Seq[String])] = {
+    import org.apache.hadoop.fs.Path
+    require(updatesOpt.nonEmpty || delKeysOpt.nonEmpty,
+      "morStage needs an update batch, an explicit delete-set, or both")
+    val spark = updatesOpt.orElse(delKeysOpt).get.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(destDir).getFileSystem(conf)
+    val prev = base
     require(prev >= 1,
       s"mergeSnapshotMoR/deleteSnapshotMoR need an existing version " +
         s"under $destDir")
@@ -723,10 +770,17 @@ object Snapshot {
       s"$destDir's merge-on-read log is keyed by '$k0'; got '$keyCol'"))
     m.schema.foreach(ps => require(ps.fieldNames.contains(keyCol),
       s"key column '$keyCol' is not a column of $destDir"))
-    val nullKeys = delKeys.filter(col(keyCol).isNull).count()
-    require(nullKeys == 0,
-      s"merge-on-read key '$keyCol' carries null(s): null keys are not " +
-        "addressable by a keyed merge/delete")
+    // the null-key contract (null keys are not addressable by a keyed
+    // merge/delete) is checked by an expression RIDING the committed
+    // writes themselves — never by a separate pre-count action: the
+    // replaceSnapshotRange pattern. One write job carries the check for
+    // free; a violation aborts the staged write before any commit.
+    def nullKeyChecked(df: DataFrame): DataFrame = df.filter(
+      when(col(keyCol).isNull,
+        raise_error(lit(s"morCommit: merge-on-read key '$keyCol' " +
+          "carries null(s): null keys are not addressable by a keyed " +
+          "merge/delete")))
+        .otherwise(lit(true)))
     updatesOpt.foreach { u =>
       m.schema.foreach { ps =>
         ps.fields.foreach { f =>
@@ -745,6 +799,20 @@ object Snapshot {
         .map(_.getPath.getName).sorted.toSeq
         .map(n => s"$pfx${dir.getName}/${n}")
     val dataDir = new Path(s"$destDir/data/v$uid")
+    val delDir = new Path(s"$destDir/data/v${uid}_del")
+    // a riding null-key violation aborts the staged write mid-job:
+    // reclaim the partial staging dirs and surface the contract
+    // exception (the replaceSnapshotRange surfacing pattern)
+    def stagedWrite[T](body: => T): T =
+      try body catch {
+        case e: Throwable if exceptionChain(e).exists(t =>
+            t.getMessage != null && t.getMessage.contains("morCommit:")) =>
+          fs.delete(dataDir, true); fs.delete(delDir, true)
+          throw new IllegalArgumentException(
+            exceptionChain(e).flatMap(t => Option(t.getMessage))
+              .find(_.contains("morCommit:"))
+              .getOrElse("morCommit: contract violation"), e)
+      }
     val dataLines = updatesOpt match {
       case Some(u) =>
         // readers see the version schema's order; new columns append
@@ -754,13 +822,45 @@ object Snapshot {
             u.select((ps.fieldNames ++ nc).map(col).toSeq: _*)
           case None => u
         }
-        ordered.write.mode("overwrite").parquet(dataDir.toString)
+        stagedWrite(nullKeyChecked(ordered).write.mode("overwrite")
+          .parquet(dataDir.toString))
         relLines(dataDir, "data/")
       case None => Seq.empty
     }
-    val delDir = new Path(s"$destDir/data/v${uid}_del")
-    delKeys.write.mode("overwrite").parquet(delDir.toString)
+    // delete-set: an explicit key set rides the null guard on its own
+    // write; a merge/update batch DERIVES its delete-set by reading the
+    // key column back off the batch files just written (already proven
+    // null-free) — distinct over a handful of fresh local footers, never
+    // a re-evaluation of the caller's full upstream lineage (for a
+    // streaming micro-batch that lineage re-runs the batch transform +
+    // shuffle; this was q_stream_mor's per-commit regression).
+    val delDf = delKeysOpt match {
+      case Some(k) => nullKeyChecked(k.select(col(keyCol)))
+      case None =>
+        if (dataLines.isEmpty) updatesOpt.get.select(col(keyCol)).limit(0)
+        else spark.read.parquet(dataDir.toString)
+          .select(col(keyCol)).distinct()
+    }
+    stagedWrite(delDf.write.mode("overwrite").parquet(delDir.toString))
     val delLines = relLines(delDir, "!data/")
+    // staged physical row count off the freshly-written footers —
+    // driver metadata reads over the batch files only, never a Spark job
+    def dirRows(dir: Path): Long = {
+      import scala.collection.parallel.CollectionConverters._
+      if (!fs.exists(dir)) 0L
+      else fs.listStatus(dir)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getPath).toSeq.par
+        .map(p => footerStats(conf, p, Nil)._1).sum
+    }
+    // predicate DML with zero matches: no spurious tombstone version —
+    // reclaim the (empty) staged dirs and report the base unchanged.
+    // The emptiness check IS the footer listing of what was written, so
+    // the caller needs no separate limit(1).count() probe scan.
+    if (skipIfEmpty && dirRows(dataDir) + dirRows(delDir) == 0L) {
+      fs.delete(dataDir, true); fs.delete(delDir, true)
+      return None
+    }
     // manifest: previous entries VERBATIM (refs stay one-line refs) +
     // the batch's lines — an MoR commit writes O(versions + batch)
     // bytes however big the table is. Schema header = base schema with
@@ -789,15 +889,12 @@ object Snapshot {
     // #rows counts PHYSICAL data rows (the upsert log's superseded rows
     // included — resolve-time counts need the resolve); the batch's
     // rows come off the footers just written, prev's off its header
-    val batchRows: Long = {
-      import scala.collection.parallel.CollectionConverters._
-      if (dataLines.isEmpty) 0L
-      else fs.listStatus(dataDir)
-        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-        .map(_.getPath).toSeq.par
-        .map(p => footerStats(conf, p, Nil)._1).sum
+    // footer sweep only when the table actually carries a #rows header —
+    // and only over the batch files just written (driver metadata reads)
+    val rowsHeader = m.rowsHeader.map { r =>
+      val batchRows = if (dataLines.isEmpty) 0L else dirRows(dataDir)
+      s"#rows=${r + batchRows}"
     }
-    val rowsHeader = m.rowsHeader.map(r => s"#rows=${r + batchRows}")
     val header = outSchema.map(s => s"#schema=${s.json}").toSeq ++
       (if (m.statsCols.isEmpty) Seq.empty
        else Seq(s"#stats=${m.statsCols.mkString(",")}")) ++
@@ -805,22 +902,7 @@ object Snapshot {
       (if (m.droppedCols.isEmpty) Seq.empty
        else Seq(s"#dropped=${m.droppedCols.toSeq.sorted.mkString(",")}")) ++
       rowsHeader.toSeq
-    def abort(msg: String): Nothing = {
-      fs.delete(dataDir, true); fs.delete(delDir, true)
-      throw new ConcurrentSnapshotUpdate(msg)
-    }
-    // base-dependent CAS, single attempt: the upsert-log sequencing
-    // argument needs commit order == staging-id order, which holds only
-    // when a lost race aborts (the caller's retry claims a fresh,
-    // higher id) instead of re-committing the same id later
-    if (latestVersion(spark, destDir) != prev)
-      abort(s"base of $destDir advanced past v$prev during a " +
-        "merge-on-read commit; retry against the new latest version")
-    if (!tryCommitManifest(fs, destDir, prev + 1, uid,
-        header ++ m.entries ++ dataLines ++ delLines))
-      abort(s"merge-on-read commit to $destDir lost the v${prev + 1} " +
-        "slot; retry against the new latest version")
-    prev + 1
+    Some((uid, header ++ m.entries ++ dataLines ++ delLines))
   }
 
   /** Convert a merge-on-read table back to pure copy-on-write: resolve
@@ -1019,7 +1101,17 @@ object Snapshot {
         s"claimStagingId: 100000 consecutive claimed ids under " +
           s"$destDir — run vacuumOrphans and inspect .claim_v* files")
       try {
-        fs.create(new Path(s"$destDir/manifest/.claim_v$v"), false).close()
+        val p = new Path(s"$destDir/manifest/.claim_v$v")
+        val qualified = fs.makeQualified(p)
+        val sch = qualified.toUri.getScheme
+        if (sch == null || sch == "file")
+          // Hadoop's local create(overwrite=false) is exists-then-create
+          // (TOCTOU: two racing claimants can both pass the check and
+          // share an id — colliding in data/v<k>/_temporary). NIO
+          // createFile is O_CREAT|O_EXCL: exactly one racer wins.
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(qualified.toUri.getPath))
+        else fs.create(p, false).close()
         claimed = true
       } catch {
         case _: java.io.IOException => v += 1 // id taken; next
@@ -1308,9 +1400,12 @@ object Snapshot {
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             fs.delete(tmp, false); false
-          case _: UnsupportedOperationException =>
-            // no hard links on this mount: the in-JVM lock remains the
-            // only guard (the documented single-driver-per-table scope)
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            // no hard links on this mount (FAT/exFAT and some NFS/FUSE
+            // surface EPERM/EOPNOTSUPP as FileSystemException, not
+            // UnsupportedOperationException): degrade to rename — the
+            // in-JVM lock remains the only guard (the documented
+            // single-driver-per-table scope)
             fs.rename(tmp, target)
         }
       } else fs.rename(tmp, target)
@@ -2325,6 +2420,12 @@ object Snapshot {
     val latest = latestVersion(spark, destDir)
     require(v >= 1 && v <= latest,
       s"cannot branch at v$v of $destDir (committed versions: 1..$latest)")
+    // vacuum only protects versions pinned AT THE TIME IT RUNS — a pin
+    // to an already-vacuumed manifest would succeed here and then fail
+    // on every read; refuse at pin time instead
+    require(fs.exists(new Path(s"$destDir/manifest/v$v.txt")),
+      s"cannot branch at v$v of $destDir: its manifest was removed by " +
+        "vacuum (pin a retained version)")
     fs.mkdirs(new Path(s"$destDir/manifest"))
     val p = new Path(s"$destDir/manifest/ref_$name.txt")
     val out =
@@ -2373,6 +2474,9 @@ object Snapshot {
     require(to >= 1 && to <= latest,
       s"cannot advance branch '$name' to v$to of $destDir " +
         s"(committed versions: 1..$latest)")
+    require(fs.exists(new Path(s"$destDir/manifest/v$to.txt")),
+      s"cannot advance branch '$name' to v$to of $destDir: its manifest " +
+        "was removed by vacuum (pin a retained version)")
     withCommitLocks(Seq(
         fs.makeQualified(new Path(destDir)).toString)) {
       val cur = branchVersion(spark, destDir, name).getOrElse(

@@ -889,16 +889,24 @@ object Ingest {
     val fs = new Path(dest).getFileSystem(spark.sessionState.newHadoopConf())
     graft.operators.SnapshotCdc.pump(spark, srcDir, checkpointDir,
         maxVersionsPerBatch) { d =>
-      val bootstrapped = fs.exists(new Path(dest)) &&
-        fs.listStatus(new Path(dest))
-          .exists(_.getPath.getName.startsWith("__bucket="))
-      if (!bootstrapped) {
+      // the bootstrap window is identified by the WINDOW (fromVersion
+      // 0 = full snapshot), never by on-disk bucket existence: a crash
+      // after publish but before the batch marker leaves buckets on
+      // disk, and an existence test would then route the REPLAYED
+      // bootstrap window into the merge path — folding the whole
+      // corpus into the already-published index (double df, duplicate
+      // postings). Re-publishing is idempotent; merging is not.
+      if (d.fromVersion == 0) {
         val marker = new Path(s"$dest/_applied/batch-${d.toVersion}")
         // publish-overwrite is replay-idempotent on its own; the marker
         // still lands so a later redelivery of this window skips
         graft.operators.InvertedIndex.publish(
           graft.operators.InvertedIndex.build(d.rows, idCol, tokCol, maxDf),
           dest, nBuckets)
+        // a bootstrap resets the index to THIS window's snapshot: any
+        // marker from a prior consumer life (full watermark rewind)
+        // would make the NEXT windows skip their merge — wipe them
+        fs.delete(new Path(s"$dest/_applied"), true)
         fs.mkdirs(new Path(s"$dest/_applied"))
         fs.create(marker, true).close()
       } else

@@ -164,4 +164,55 @@ class SnapshotCdcSpec extends SparkSpec {
         (r.getString(0), r.getLong(1), r.getString(2))).toSeq
     assert(readIdx() === full3)
   }
+
+  test("bootstrap replay (crash before marker / full rewind) re-publishes, never double-merges") {
+    val src = tmp("graft-cdc-s5"); val ckp = tmp("graft-cdc-c5")
+    val idx = tmp("graft-cdc-i5") + "/index"
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    Snapshot.publishSnapshot(docs(1L -> "alpha beta", 2L -> "beta"), src)
+    Snapshot.appendSnapshot(docs(3L -> "alpha delta"), src)
+    assert(graft.streaming.Ingest.indexSnapshotCdc(
+      spark, src, idx, ckp, "doc_id", toks, maxDf = 10L,
+      maxVersionsPerBatch = 1) == 2)
+    def readIdx() = spark.read.parquet(idx)
+      .select(col("tok"), col("df"),
+        array_join(array_sort(col("postings")), ",").as("p"))
+      .orderBy("tok").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val full = InvertedIndex.build(
+      Snapshot.readSnapshot(spark, src, 2), "doc_id", toks, 10L)
+      .select(col("tok"), col("df"),
+        array_join(array_sort(col("postings")), ",").as("p"))
+      .orderBy("tok").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(readIdx() === full)
+    val fs = new org.apache.hadoop.fs.Path(ckp).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def rewindTo(v: Int): Unit = {
+      val wm = new org.apache.hadoop.fs.Path(s"$ckp/applied-version")
+      fs.delete(wm, false)
+      val out = fs.create(wm, true); out.write(v.toString.getBytes)
+      out.close()
+    }
+    // crash-before-marker: buckets are published on disk but the
+    // bootstrap window never committed (no marker, watermark 0). The
+    // replayed window must take the PUBLISH path — an existence-based
+    // branch would merge the full corpus into the published index and
+    // double every df.
+    rewindTo(0)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_applied"), true)
+    assert(graft.streaming.Ingest.indexSnapshotCdc(
+      spark, src, idx, ckp, "doc_id", toks, maxDf = 10L,
+      maxVersionsPerBatch = 1) == 2)
+    assert(readIdx() === full)
+    // full rewind with STALE markers from the prior life: the bootstrap
+    // re-publish must wipe them so window 2 re-merges instead of
+    // skipping (its docs would otherwise vanish from the index)
+    rewindTo(0)
+    assert(graft.streaming.Ingest.indexSnapshotCdc(
+      spark, src, idx, ckp, "doc_id", toks, maxDf = 10L,
+      maxVersionsPerBatch = 1) == 2)
+    assert(readIdx() === full)
+  }
 }
