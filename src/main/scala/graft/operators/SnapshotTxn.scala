@@ -86,6 +86,51 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
                   tag: Option[String] = None): Unit =
     stage(df, destDir, carryForward = true, statsCol, tag)
 
+  /** Stage a MERGE-ON-READ upsert of `updates` into `destDir` (the
+    * [[Snapshot.mergeSnapshotMoR]] semantics: whole-row replace by
+    * `keyCol`, tombstone delete-set + batch files, zero base files
+    * touched) as part of this transaction. This is what makes the
+    * reference's mutate-and-register unit of work (a property upsert on
+    * an EXISTING entity + a dataset registration, e.g.
+    * `register-hlatyping.py:119-128`) expressible as ONE atomic commit:
+    * the upsert-log lines ride the pending manifest and become visible
+    * only at the transaction's commit point, together with every other
+    * enrolled table. Same refusals as the direct path (bloom manifests,
+    * key-column mismatch, null keys, dropped-column resurrection). */
+  def stageMerge(updates: DataFrame, destDir: String, keyCol: String,
+                 tag: Option[String] = None): Unit =
+    stageMor(Some(updates), None, destDir, keyCol, tag)
+
+  /** Stage a keyed MoR DELETE ([[Snapshot.deleteSnapshotMoR]]
+    * semantics: commit only a tombstone delete-set) in this
+    * transaction. */
+  def stageDelete(keys: DataFrame, destDir: String, keyCol: String,
+                  tag: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    stageMor(None, Some(keys.select(col(keyCol)).distinct()), destDir,
+      keyCol, tag)
+  }
+
+  private def stageMor(updatesOpt: Option[DataFrame],
+                       delKeysOpt: Option[DataFrame], destDir: String,
+                       keyCol: String, tag: Option[String]): Unit = {
+    require(!done, "transaction already committed or aborted")
+    require(!staged.exists(_.destDir == destDir),
+      s"$destDir is already staged in this transaction (one delta per " +
+        "table per transaction)")
+    val fs = new Path(destDir).getFileSystem(conf)
+    val base = Snapshot.latestVersion(spark, destDir)
+    // morStage claims the id, writes batch + delete-set files and
+    // returns the would-be manifest content — identical to what a
+    // direct mergeSnapshotMoR would CAS in, parked as a pending file
+    val (uid, content) = Snapshot.morStage(updatesOpt, delKeysOpt,
+      destDir, keyCol, tag, base).get
+    Snapshot.writeFileAtomic(fs, s"$destDir/manifest/p$uid.txt",
+      s"$destDir/manifest/.tmp_v$uid", content)
+    staged += Staged(destDir, uid, base, content)
+    ()
+  }
+
   private def stage(df: DataFrame, destDir: String, carryForward: Boolean,
                     statsCol: Option[String], tag: Option[String]): Unit = {
     require(!done, "transaction already committed or aborted")
@@ -204,6 +249,7 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
     staged.foreach { s =>
       val fs = new Path(s.destDir).getFileSystem(conf)
       fs.delete(new Path(s"${s.destDir}/data/v${s.uid}"), true)
+      fs.delete(new Path(s"${s.destDir}/data/v${s.uid}_del"), true)
       fs.delete(new Path(s"${s.destDir}/manifest/d${s.uid}.txt"), false)
       fs.delete(new Path(s"${s.destDir}/manifest/p${s.uid}.txt"), false)
     }
@@ -251,6 +297,7 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
           stale.foreach { t =>
             val fs = new Path(t.destDir).getFileSystem(conf)
             fs.delete(new Path(s"${t.destDir}/data/v${t.uid}"), true)
+            fs.delete(new Path(s"${t.destDir}/data/v${t.uid}_del"), true)
             fs.delete(new Path(s"${t.destDir}/manifest/d${t.uid}.txt"), false)
             fs.delete(new Path(s"${t.destDir}/manifest/p${t.uid}.txt"), false)
           }
@@ -274,7 +321,12 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
       // finalize UNDER the same locks: no same-driver writer can slip a
       // commit between the transaction's commit point and its versions
       // landing (the cross-crash window is recover()'s job)
-      if (finalize) SnapshotTxn.finalizeCommitted(spark, txnRoot, slot)
+      if (finalize) {
+        SnapshotTxn.finalizeCommitted(spark, txnRoot, slot)
+        // recover() ran above, so every earlier txn is final too: this
+        // commit is the new recovered-through high-water mark
+        SnapshotTxn.advanceRecovered(spark, rootFs, txnRoot, slot)
+      }
       slot
     }
   }
@@ -300,11 +352,97 @@ object SnapshotTxn {
     val rootFs = new Path(txnRoot).getFileSystem(conf)
     var n = 0
     val latest = Snapshot.latestVersion(spark, txnRoot)
-    (1 to latest).foreach { k =>
-      if (rootFs.exists(new Path(s"$txnRoot/manifest/v$k.txt")))
+    // recovered-through HIGH-WATER MARK: every txn <= the marker is
+    // fully finalized, so the scan starts past it — recover (and with
+    // it readLatest/commitPoint) is O(new txns), not O(all txns ever
+    // committed). Advanced only AFTER a txn's every table published
+    // (rename-committed like the CDC watermark); a crash mid-finalize
+    // leaves the marker behind and the rescan is idempotent.
+    val from = recoveredThrough(spark, txnRoot) + 1
+    (from to latest).foreach { k =>
+      if (rootFs.exists(new Path(s"$txnRoot/manifest/v$k.txt"))) {
         n += finalizeCommitted(spark, txnRoot, k)
+        advanceRecovered(spark, rootFs, txnRoot, k)
+      }
     }
     n
+  }
+
+  /** The highest txn id known fully finalized (0 when none). Every txn
+    * at or below it needs no recovery scan. */
+  def recoveredThrough(spark: SparkSession, txnRoot: String): Int = {
+    val rootFs = new Path(txnRoot).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val p = new Path(s"$txnRoot/manifest/recovered")
+    if (!rootFs.exists(p)) 0
+    else Snapshot.readTextLines(rootFs, p.toString).head.trim.toInt
+  }
+
+  private def advanceRecovered(spark: SparkSession,
+                               rootFs: org.apache.hadoop.fs.FileSystem,
+                               txnRoot: String, k: Int): Unit =
+    Snapshot.withCommitLocks(Seq(
+        rootFs.makeQualified(new Path(txnRoot)).toString)) {
+      if (recoveredThrough(spark, txnRoot) < k)
+        Snapshot.writeFileAtomic(rootFs, s"$txnRoot/manifest/recovered",
+          s"$txnRoot/manifest/.recovered_tmp", Seq(k.toString))
+    }
+
+  /** Cross-table READ SNAPSHOT through the transaction log: the version
+    * each enrolled table had committed through txn `k` — the (table →
+    * version) fold of txn manifests 1..k. A reader that resolves every
+    * table it touches against ONE txn id can never observe half a
+    * transaction, however many commits race past it ([[readLatest]]
+    * gives write atomicity only: two sequential readLatest calls may
+    * straddle a commit). Contract (same as [[recover]]'s): writes to
+    * enrolled tables route through SnapshotTxn — a bypassing writer's
+    * versions are invisible to the log and simply not part of any txn
+    * snapshot. O(k) driver manifest reads — txn manifests are K-line
+    * files; pass `sinceTxn` to fold a tail onto a cached prefix when
+    * polling. */
+  def asOfTxn(spark: SparkSession, txnRoot: String, k: Int,
+              sinceTxn: Int = 0,
+              prefix: Map[String, Int] = Map.empty): Map[String, Int] = {
+    val latest = Snapshot.latestVersion(spark, txnRoot)
+    require(k >= 1 && k <= latest,
+      s"txn $k does not exist in $txnRoot (committed txns: 1..$latest)")
+    recover(spark, txnRoot) // versions through k must be finalized
+    ((sinceTxn + 1) to k).foldLeft(prefix) { (acc, i) =>
+      Snapshot.readManifest(spark, txnRoot, i).entries.foldLeft(acc) {
+        (a, line) =>
+          val f = line.split("\t")
+          require(f.length == 3,
+            s"malformed txn line in $txnRoot v$i: $line")
+          val v = f(2).toInt
+          a.updated(f(0), math.max(v, a.getOrElse(f(0), 0)))
+      }
+    }
+  }
+
+  /** The newest committed transaction id (0 when none) — the `k` a
+    * consistent multi-table reader pins before resolving tables via
+    * [[asOfTxn]]/[[readAsOfTxn]]. */
+  def latestTxn(spark: SparkSession, txnRoot: String): Int =
+    Snapshot.latestVersion(spark, txnRoot)
+
+  /** Read `destDir` at the version it had committed through txn `k` —
+    * [[asOfTxn]] resolved for one table. Table identity is by
+    * QUALIFIED path, so spellings that name the same directory match.
+    * Refuses a table never enrolled through txn k (there is no version
+    * the snapshot could pin). */
+  def readAsOfTxn(spark: SparkSession, txnRoot: String, k: Int,
+                  destDir: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    def q(d: String): String =
+      new Path(d).getFileSystem(conf).makeQualified(new Path(d)).toString
+    val want = q(destDir)
+    val hits = asOfTxn(spark, txnRoot, k).collect {
+      case (t, v) if q(t) == want => v
+    }
+    require(hits.nonEmpty,
+      s"$destDir was not enrolled in any transaction through txn $k " +
+        s"of $txnRoot — no version to pin for a txn-consistent read")
+    Snapshot.readSnapshot(spark, destDir, hits.max)
   }
 
   /** Read `destDir`'s latest version THROUGH the transaction log:

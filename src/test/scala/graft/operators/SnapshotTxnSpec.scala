@@ -236,4 +236,111 @@ class SnapshotTxnSpec extends SparkSpec {
     assert(rows(Snapshot.readSnapshot(spark, c, 2).orderBy("k"))
       .map(_.head) === Seq(1L, 3L))
   }
+
+  test("stageMerge/stageDelete: MoR DML + append commit or roll back together") {
+    val root = tmp("graft-txm"); val s = tmp("graft-txms")
+    val d = tmp("graft-txmd")
+    // the reference's mutate-and-register unit: update an EXISTING
+    // sample's property AND register a dataset, atomically
+    Snapshot.publishSnapshot(kv(1L -> "sample-old", 2L -> "other"), s)
+    Snapshot.publishSnapshot(kv(10L -> "ds0"), d)
+    // kill BEFORE the commit point: nothing visible anywhere
+    val dead = SnapshotTxn.begin(spark, root)
+    dead.stageMerge(kv(1L -> "sample-NEW"), s, "k")
+    dead.stageAppend(kv(11L -> "ds1"), d)
+    assert(Snapshot.latestVersion(spark, s) == 1)
+    assert(Snapshot.latestVersion(spark, d) == 1)
+    assert(Snapshot.vacuumOrphans(spark, s, olderThanMs = -1000L) >= 2)
+    assert(Snapshot.vacuumOrphans(spark, d, olderThanMs = -1000L) >= 2)
+    assert(rows(Snapshot.readSnapshot(spark, s, 1).orderBy("k")) ===
+      Seq(Seq(1L, "sample-old"), Seq(2L, "other")))
+    // kill AFTER the commit point: recovery rolls BOTH forward, and the
+    // MoR version resolves (tombstone + re-insert visible as an update)
+    val t = SnapshotTxn.begin(spark, root)
+    t.stageMerge(kv(1L -> "sample-NEW"), s, "k")
+    t.stageAppend(kv(11L -> "ds1"), d)
+    t.commitNoFinalize()
+    assert(Snapshot.latestVersion(spark, s) == 1) // not yet finalized
+    assert(rows(SnapshotTxn.readLatest(spark, root, s).orderBy("k")) ===
+      Seq(Seq(1L, "sample-NEW"), Seq(2L, "other")))
+    assert(Snapshot.latestVersion(spark, d) == 2)
+    assert(Snapshot.manifestLines(spark, s, 2).exists(_.startsWith("!")))
+    // transactional keyed DELETE rides the same machinery
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageDelete(Seq(2L).toDF("k"), s, "k")
+    t2.stageAppend(kv(12L -> "ds2"), d)
+    assert(t2.commit() === Map(s -> 3, d -> 3))
+    assert(rows(Snapshot.readSnapshot(spark, s, 3)) ===
+      Seq(Seq(1L, "sample-NEW")))
+    // base-conflict abort cleans the _del staging too
+    val t3 = SnapshotTxn.begin(spark, root)
+    t3.stageMerge(kv(1L -> "loser"), s, "k")
+    Snapshot.mergeSnapshotMoR(kv(1L -> "winner"), s, "k")
+    intercept[Snapshot.ConcurrentSnapshotUpdate] { t3.commit() }
+    assert(Snapshot.vacuumOrphans(spark, s, olderThanMs = -1000L) == 0)
+    assert(rows(SnapshotTxn.readLatest(spark, root, s)) ===
+      Seq(Seq(1L, "winner")))
+    ()
+  }
+
+  test("asOfTxn: a two-table reader pinned to one txn never observes half a transaction") {
+    val root = tmp("graft-txq"); val a = tmp("graft-txqa")
+    val b = tmp("graft-txqb")
+    Snapshot.publishSnapshot(kv(1L -> "a1"), a)
+    Snapshot.publishSnapshot(kv(1L -> "b1"), b)
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stageAppend(kv(2L -> "a2"), a); t1.stageAppend(kv(2L -> "b2"), b)
+    t1.commit()
+    // reader pins the newest txn BEFORE the racing commit
+    val k = SnapshotTxn.latestTxn(spark, root)
+    assert(k == 1)
+    assert(SnapshotTxn.asOfTxn(spark, root, k) === Map(a -> 2, b -> 2))
+    val aAt = rows(SnapshotTxn.readAsOfTxn(spark, root, k, a).orderBy("k"))
+    // txn2 commits BETWEEN the reader's two table reads — and dies
+    // before finalizing, the worst interleaving (readAsOfTxn's bundled
+    // recover lands its versions mid-read)
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageAppend(kv(3L -> "a3"), a); t2.stageAppend(kv(3L -> "b3"), b)
+    t2.commitNoFinalize()
+    val bAt = rows(SnapshotTxn.readAsOfTxn(spark, root, k, b).orderBy("k"))
+    // the pinned snapshot is consistent: both tables show exactly txn 1
+    assert(aAt === Seq(Seq(1L, "a1"), Seq(2L, "a2")))
+    assert(bAt === Seq(Seq(1L, "b1"), Seq(2L, "b2")))
+    // while the log's head has moved on (recover ran inside the read)
+    assert(SnapshotTxn.latestTxn(spark, root) == 2)
+    assert(SnapshotTxn.asOfTxn(spark, root, 2) === Map(a -> 3, b -> 3))
+    assert(rows(SnapshotTxn.readAsOfTxn(spark, root, 2, a).orderBy("k"))
+      .map(_.head) === Seq(1L, 2L, 3L))
+    // a table never enrolled refuses (no version to pin)
+    val c = tmp("graft-txqc")
+    Snapshot.publishSnapshot(kv(1L -> "c1"), c)
+    intercept[IllegalArgumentException] {
+      SnapshotTxn.readAsOfTxn(spark, root, 2, c)
+    }
+    ()
+  }
+
+  test("recovered-through watermark: recover scans only past it; failures never advance it") {
+    val root = tmp("graft-txw"); val a = tmp("graft-txwa")
+    Snapshot.publishSnapshot(kv(1L -> "a1"), a)
+    assert(SnapshotTxn.recoveredThrough(spark, root) == 0)
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stageAppend(kv(2L -> "a2"), a); t1.commit()
+    assert(SnapshotTxn.recoveredThrough(spark, root) == 1)
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageAppend(kv(3L -> "a3"), a); t2.commitNoFinalize()
+    // not yet finalized -> watermark stays behind the head
+    assert(SnapshotTxn.recoveredThrough(spark, root) == 1)
+    assert(SnapshotTxn.recover(spark, root) == 1)
+    assert(SnapshotTxn.recoveredThrough(spark, root) == 2)
+    // a stolen slot fails loudly on EVERY recover and the watermark
+    // never advances past the poisoned txn
+    val t3 = SnapshotTxn.begin(spark, root)
+    t3.stageAppend(kv(4L -> "a4"), a); t3.commitNoFinalize()
+    Snapshot.appendSnapshot(kv(9L -> "a9"), a)
+    intercept[IllegalStateException] { SnapshotTxn.recover(spark, root) }
+    assert(SnapshotTxn.recoveredThrough(spark, root) == 2)
+    intercept[IllegalStateException] { SnapshotTxn.recover(spark, root) }
+    ()
+  }
 }
