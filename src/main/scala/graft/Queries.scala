@@ -2304,13 +2304,14 @@ object Queries {
   // q_invindex — publish→refresh must be indistinguishable from a full
   // rebuild, including cold→hot transitions at the shared cap (a token
   // cold in the published half whose merged df crosses the cap must
-  // come back NULL). A fresh scratch dir per invocation keeps the query
-  // re-runnable (refresh's append-only contract); FixtureRoot's startup
-  // sweep bounds the disk.
+  // come back NULL). The scratch dir is FIXED and wiped on entry, so
+  // the query is re-runnable (refresh's append-only contract) without
+  // littering FixtureRoot.
   def indexRefreshQ(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
     val maxDf = docs.count() * IndexDfPct / 100
-    val dest = s"$FixtureRoot/invindex_${java.util.UUID.randomUUID()}"
+    val dest = s"$FixtureRoot/invindex_refresh"
+    wipeDir(dest)
     val toks = tokens(col("text"))
     InvertedIndex.publish(
       InvertedIndex.build(docs.filter(col("doc_id") % 2 === 0),
@@ -2335,7 +2336,8 @@ object Queries {
   def streamIndexQ(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
     val maxDf = docs.count() * IndexDfPct / 100
-    val scratch = s"$FixtureRoot/streamindex_${java.util.UUID.randomUUID()}"
+    val scratch = s"$FixtureRoot/streamindex"
+    wipeDir(scratch)
     val toks = tokens(col("text"))
     InvertedIndex.publish(
       InvertedIndex.build(docs.filter(col("doc_id") % 2 === 0),
@@ -2363,7 +2365,8 @@ object Queries {
   def indexCdcQ(s: SparkSession, dir: String): DataFrame = {
     val docs = load(s, dir, "documents")
     val maxDf = docs.count() * IndexDfPct / 100
-    val scratch = s"$FixtureRoot/indexcdc_${java.util.UUID.randomUUID()}"
+    val scratch = s"$FixtureRoot/indexcdc"
+    wipeDir(scratch)
     val toks = tokens(col("text"))
     def slice(r: Int) = docs.filter(col("doc_id") % 3 === r)
     graft.operators.Snapshot.publishSnapshot(slice(0), s"$scratch/src")
@@ -6305,12 +6308,18 @@ object Queries {
       t3.commitNoFinalize() // "crash" after the atomic commit point
       ()
     }
+    // read ALL THREE tables through ONE pinned txn id (asOfTxn): the
+    // consistent multi-table snapshot — t3's crashed-after-commit-point
+    // txn is rolled forward by the bundled recover and counted, t2's
+    // never-committed staging is invisible. readLatest covers the
+    // single-table face on samples (same recover path).
+    val k = graft.operators.SnapshotTxn.latestTxn(s, TxnRootDir)
     val samples = graft.operators.SnapshotTxn.readLatest(
       s, TxnRootDir, TxnSamplesDir)
-    val datasets = graft.operators.SnapshotTxn.readLatest(
-      s, TxnRootDir, TxnDatasetsDir)
-    val edges = graft.operators.SnapshotTxn.readLatest(
-      s, TxnRootDir, TxnEdgesDir)
+    val datasets = graft.operators.SnapshotTxn.readAsOfTxn(
+      s, TxnRootDir, k, TxnDatasetsDir)
+    val edges = graft.operators.SnapshotTxn.readAsOfTxn(
+      s, TxnRootDir, k, TxnEdgesDir)
     samples.agg(lit("samples").as("tbl"),
         count(lit(1)).as("n"), sum(col("sample_id")).as("s"))
       .unionByName(datasets.agg(lit("datasets").as("tbl"),
@@ -6334,6 +6343,161 @@ object Queries {
       |  SELECT 'edges', CAST(count(*) AS BIGINT),
       |         CAST(sum(ds_id + sample_id) AS BIGINT) FROM sel
       |) ORDER BY tbl""".stripMargin
+
+  // ----------------------------------------------------------- Q-txn-mor
+  // TRANSACTIONAL MERGE-ON-READ DML (SnapshotTxn.stageMerge/stageDelete
+  // — the reference's mutate-and-register unit of work, e.g.
+  // register-hlatyping.py:119-128: a property mutation on an EXISTING
+  // entity and a dataset registration must commit or roll back
+  // together). Three tables: samples take staged MoR upserts, tags a
+  // staged keyed delete, datasets plain staged appends. txn1 commits
+  // (%10 bonus), txn2 stages a poison mutation (%5 -> -999) and
+  // "crashes" before its commit point (must stay invisible), txn3
+  // re-merges %7 (cents doubled FROM THE SEED — whole-row replace wins
+  // over txn1's bonus at overlaps), deletes %3 tags, appends the last
+  // dataset slice, and crashes right AFTER the commit point. All three
+  // tables are then read through ONE pinned txn id (readAsOfTxn —
+  // recovery rolls txn3 forward mid-read). ORACLE replays exactly the
+  // committed transactions on the seed.
+  private val TxnMorRoot = s"$FixtureRoot/txnmroot"
+  private val TxnMorSamples = s"$FixtureRoot/txnmsamples"
+  private val TxnMorDatasets = s"$FixtureRoot/txnmdatasets"
+  private val TxnMorTags = s"$FixtureRoot/txnmtags"
+
+  def txnMorQ(s: SparkSession, dir: String): DataFrame = {
+    val T = graft.operators.SnapshotTxn
+    publishOnce(TxnMorRoot, dir) {
+      Seq(TxnMorRoot, TxnMorSamples, TxnMorDatasets, TxnMorTags)
+        .foreach(wipeDir)
+      val cust = load(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("sid"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val ord = load(s, dir, "orders").select(
+        col("o_orderkey").as("did"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def dslice(r: Int) = ord.filter(col("did") % 3 === r)
+      graft.operators.Snapshot.publishSnapshot(cust, TxnMorSamples)
+      graft.operators.Snapshot.publishSnapshot(dslice(0), TxnMorDatasets)
+      graft.operators.Snapshot.publishSnapshot(
+        cust.select("sid"), TxnMorTags)
+      val t1 = T.begin(s, TxnMorRoot)
+      t1.stageMerge(cust.filter(col("sid") % 10 === 0)
+        .select(col("sid"), (col("cents") + 1000).as("cents")),
+        TxnMorSamples, "sid")
+      t1.stageAppend(dslice(1), TxnMorDatasets)
+      t1.commit()
+      val t2 = T.begin(s, TxnMorRoot) // poison txn: never commits
+      t2.stageMerge(cust.filter(col("sid") % 5 === 0)
+        .select(col("sid"), lit(-999L).as("cents")),
+        TxnMorSamples, "sid")
+      t2.stageAppend(dslice(2), TxnMorDatasets)
+      val t3 = T.begin(s, TxnMorRoot)
+      t3.stageMerge(cust.filter(col("sid") % 7 === 0)
+        .select(col("sid"), (col("cents") * 2).as("cents")),
+        TxnMorSamples, "sid")
+      t3.stageDelete(cust.filter(col("sid") % 3 === 0).select("sid"),
+        TxnMorTags, "sid")
+      t3.stageAppend(dslice(2), TxnMorDatasets)
+      t3.commitNoFinalize() // "crash" after the atomic commit point
+      ()
+    }
+    val k = T.latestTxn(s, TxnMorRoot)
+    val samples = T.readAsOfTxn(s, TxnMorRoot, k, TxnMorSamples)
+    val datasets = T.readAsOfTxn(s, TxnMorRoot, k, TxnMorDatasets)
+    val tags = T.readAsOfTxn(s, TxnMorRoot, k, TxnMorTags)
+    datasets.agg(lit("datasets").as("tbl"), count(lit(1)).as("n"),
+        sum(col("cents")).as("s"))
+      .unionByName(samples.agg(lit("samples").as("tbl"),
+        count(lit(1)).as("n"), sum(col("cents")).as("s")))
+      .unionByName(tags.agg(lit("tags").as("tbl"),
+        count(lit(1)).as("n"), sum(col("sid")).as("s")))
+      .orderBy("tbl")
+  }
+
+  private val txnMorSql =
+    """WITH c AS (SELECT c_custkey AS sid,
+      |                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |           FROM customer),
+      |smp AS (SELECT sid, CASE WHEN sid % 7 = 0 THEN cents * 2
+      |                         WHEN sid % 10 = 0 THEN cents + 1000
+      |                         ELSE cents END AS cents FROM c),
+      |d AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |      FROM orders)
+      |SELECT tbl, n, s FROM (
+      |  SELECT 'datasets' AS tbl, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(cents) AS BIGINT) AS s FROM d
+      |  UNION ALL
+      |  SELECT 'samples', CAST(count(*) AS BIGINT),
+      |         CAST(sum(cents) AS BIGINT) FROM smp
+      |  UNION ALL
+      |  SELECT 'tags', CAST(count(*) AS BIGINT),
+      |         CAST(sum(sid) AS BIGINT) FROM c WHERE sid % 3 <> 0
+      |) ORDER BY tbl""".stripMargin
+
+  // ------------------------------------------------------ Q-snappoint-mor
+  // MoR-AWARE POINT LOOKUPS (readSnapshotPoint over a live upsert log —
+  // closes the bloom×MoR exclusivity): the table publishes indexed
+  // (stats + bloom, both on the merge key), takes a keyed upsert (%11
+  // cents+7) and a keyed delete (%13) WITHOUT reconciling, then four
+  // point probes hit the four resolution classes — an updated key (the
+  // upsert wins over its tombstoned base row), a deleted key (nothing —
+  // a bloom-only read would resurrect the base row), an untouched key
+  // (straight off its base file), and a missing key. Probe keys are
+  // derived deterministically from the seed. ORACLE replays the DML and
+  // left-joins the probes.
+  private val SnapPointMorDir = s"$FixtureRoot/snappointmor"
+
+  def snapPointMorQ(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.operators.Snapshot
+    def base = load(s, dir, "customer").select(
+      col("c_custkey").cast("long").as("sid"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"))
+    publishOnce(SnapPointMorDir, dir) {
+      wipeDir(SnapPointMorDir)
+      S.publishSnapshotIndexed(base.repartitionByRange(8, col("sid")),
+        SnapPointMorDir, Seq("sid"), "sid")
+      S.mergeSnapshotMoR(base.filter(col("sid") % 11 === 0)
+        .select(col("sid"), (col("cents") + 7).as("cents")),
+        SnapPointMorDir, "sid")
+      S.deleteSnapshotMoR(base.filter(col("sid") % 13 === 0)
+        .select("sid"), SnapPointMorDir, "sid")
+      ()
+    }
+    val probes = base.agg(
+      min(when(col("sid") % 11 === 0 && col("sid") % 13 =!= 0,
+        col("sid"))).as("upd"),
+      min(when(col("sid") % 13 === 0, col("sid"))).as("del"),
+      min(when(col("sid") % 11 =!= 0 && col("sid") % 13 =!= 0,
+        col("sid"))).as("base"),
+      (max(col("sid")) + 1).as("miss")).head()
+    val reads = Seq("base", "del", "miss", "upd").map { p =>
+      val key = probes.getLong(probes.fieldIndex(p))
+      S.readSnapshotPoint(s, SnapPointMorDir, 3, key.toString)
+        .agg(lit(p).as("probe"), count(lit(1)).as("n"),
+          coalesce(sum(col("cents")), lit(0L)).as("s"))
+    }
+    reads.reduce(_.unionByName(_)).orderBy("probe")
+  }
+
+  private val snapPointMorSql =
+    """WITH c AS (SELECT c_custkey AS sid,
+      |                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |           FROM customer),
+      |cur AS (SELECT sid, CASE WHEN sid % 11 = 0 THEN cents + 7
+      |                         ELSE cents END AS cents
+      |        FROM c WHERE sid % 13 <> 0),
+      |keys AS (
+      |  SELECT 'upd' AS probe,
+      |         (SELECT min(sid) FROM c WHERE sid % 11 = 0
+      |            AND sid % 13 <> 0) AS k
+      |  UNION ALL SELECT 'del', (SELECT min(sid) FROM c WHERE sid % 13 = 0)
+      |  UNION ALL SELECT 'base', (SELECT min(sid) FROM c
+      |            WHERE sid % 11 <> 0 AND sid % 13 <> 0)
+      |  UNION ALL SELECT 'miss', (SELECT max(sid) + 1 FROM c))
+      |SELECT k.probe, CAST(count(cur.sid) AS BIGINT) AS n,
+      |       COALESCE(CAST(sum(cur.cents) AS BIGINT), 0) AS s
+      |FROM keys k LEFT JOIN cur ON cur.sid = k.k
+      |GROUP BY k.probe ORDER BY probe""".stripMargin
 
   // -------------------------------------------------------------- Q-cdf
   // CHANGE DATA FEED over the merge-on-read log (Snapshot.changeFeed —
@@ -6462,7 +6626,10 @@ object Queries {
 
   def streamCdcQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ckp = s"$FixtureRoot/cdcckp_${java.util.UUID.randomUUID()}"
+    // fixed scratch wiped on entry (re-runnable, litter-free — a UUID
+    // name per invocation leaked a dir into FixtureRoot per sweep)
+    val ckp = s"$FixtureRoot/cdcckp"
+    wipeDir(ckp)
     publishOnce(CdcSrcDir, dir) {
       wipeDir(CdcSrcDir)
       val ord = load(s, dir, "orders").select(
@@ -10407,6 +10574,7 @@ object Queries {
     "q_snapmor_del" -> (snapMorDelQ _),
     "q_snapmor_upd" -> (snapMorUpdQ _),
     "q_txn" -> (txnQ _),
+    "q_txn_mor" -> (txnMorQ _),
     "q_stream_cdc" -> (streamCdcQ _),
     "q_wap" -> (wapQ _),
     "q_cdf" -> (cdfQ _),
@@ -10420,6 +10588,7 @@ object Queries {
     "q_scenecut" -> (sceneCutQ _),
     "q_snappoint" -> (snapPointQ _),
     "q_snappoint_app" -> (snapPointAppQ _),
+    "q_snappoint_mor" -> (snapPointMorQ _),
     "q_cxxpush" -> (cxxPushQ _),
     "q_phash" -> (phashQ _),
     "q_urlnorm" -> (urlNorm _),
@@ -10648,6 +10817,7 @@ object Queries {
     "q_snapmor_del" -> snapMorDelSql,
     "q_snapmor_upd" -> snapMorUpdSql,
     "q_txn" -> txnSql,
+    "q_txn_mor" -> txnMorSql,
     "q_stream_cdc" -> streamCdcSql,
     "q_wap" -> wapSql,
     "q_cdf" -> cdfSql,
@@ -10661,6 +10831,7 @@ object Queries {
     "q_scenecut" -> sceneCutSql,
     "q_snappoint" -> snapPointSql,
     "q_snappoint_app" -> snapPointAppSql,
+    "q_snappoint_mor" -> snapPointMorSql,
     "q_cxxpush" -> cxxPushSql,
     "q_phash" -> phashSql,
     "q_urlnorm" -> urlNormSql,

@@ -763,9 +763,17 @@ object Snapshot {
       s"mergeSnapshotMoR/deleteSnapshotMoR need an existing version " +
         s"under $destDir")
     val m = readManifest(spark, destDir, prev)
-    require(m.bloom.isEmpty,
-      s"merge-on-read does not preserve bloom manifests (v$prev of " +
-        s"$destDir); reconcile + re-publish with publishSnapshotBloom")
+    // a bloom index SURVIVES merge-on-read commits when it indexes the
+    // merge key: carried lines keep their per-file words verbatim
+    // (files are immutable), and the batch + delete-set files get their
+    // own words below — so a continuously-upserted table keeps
+    // readSnapshotPoint skipping with no reconcile. Any OTHER bloom
+    // column refuses: an upsert replaces whole rows, so a non-key
+    // column's value can move between files and carried words would lie.
+    m.bloom.foreach { case (bc, _, _) => require(bc == keyCol,
+      s"merge-on-read on a bloom-indexed table requires the bloom " +
+        s"column ('$bc' on v$prev of $destDir) to BE the merge key " +
+        s"('$keyCol'); reconcile + re-publish to change the index") }
     m.headers.get("morkey").foreach(k0 => require(k0 == keyCol,
       s"$destDir's merge-on-read log is keyed by '$k0'; got '$keyCol'"))
     m.schema.foreach(ps => require(ps.fieldNames.contains(keyCol),
@@ -842,7 +850,24 @@ object Snapshot {
           .select(col(keyCol)).distinct()
     }
     stagedWrite(delDf.write.mode("overwrite").parquet(delDir.toString))
-    val delLines = relLines(delDir, "!data/")
+    val delLines0 = relLines(delDir, "!data/")
+    // on an indexed table every staged file gets its own bloom words
+    // over the merge key (one distributed pass per dir, batch-sized):
+    // point lookups then skip non-admitting upsert AND delete files
+    def withWords(dir: Path, lines: Seq[String]): Seq[String] =
+      m.bloom match {
+        case Some((_, mBits, kk)) if lines.nonEmpty =>
+          val words = perFileBloomWords(spark, dir.toString, keyCol,
+            mBits, kk)
+          val nWords =
+            (mBits + Sketches.BloomWordBits - 1) / Sketches.BloomWordBits
+          val empty = Array.fill(nWords)(0L).mkString(",")
+          lines.map(l =>
+            s"$l\t${words.getOrElse(l.split("/").last, empty)}")
+        case _ => lines
+      }
+    val dataLinesOut = withWords(dataDir, dataLines)
+    val delLines = withWords(delDir, delLines0)
     // staged physical row count off the freshly-written footers —
     // driver metadata reads over the batch files only, never a Spark job
     def dirRows(dir: Path): Long = {
@@ -898,11 +923,12 @@ object Snapshot {
     val header = outSchema.map(s => s"#schema=${s.json}").toSeq ++
       (if (m.statsCols.isEmpty) Seq.empty
        else Seq(s"#stats=${m.statsCols.mkString(",")}")) ++
+      m.bloom.map { case (bc, mb, kk) => s"#bloom=$bc,$mb,$kk" }.toSeq ++
       Seq(s"#morkey=$keyCol") ++ tag.map(t => s"#tag=$t").toSeq ++
       (if (m.droppedCols.isEmpty) Seq.empty
        else Seq(s"#dropped=${m.droppedCols.toSeq.sorted.mkString(",")}")) ++
       rowsHeader.toSeq
-    Some((uid, header ++ m.entries ++ dataLines ++ delLines))
+    Some((uid, header ++ m.entries ++ dataLinesOut ++ delLines))
   }
 
   /** Convert a merge-on-read table back to pure copy-on-write: resolve
@@ -954,7 +980,7 @@ object Snapshot {
           max(col(keyCol)).cast("long")).head()
         if (mm.isNullAt(0)) Seq.empty
         else baseLines.filter(lineOverlaps(_, 0, mm.getLong(0),
-          mm.getLong(1), hasBloom = false)).map(linePath)
+          mm.getLong(1), hasBloom = m.bloom.isDefined)).map(linePath)
       } else baseLines.map(linePath)
     def lastTwo(p: String): String = p.split("/").takeRight(2).mkString("/")
     // bounded collect: one row per touched base file
@@ -1634,17 +1660,43 @@ object Snapshot {
     * latest touch — neither depends on which other files are read. */
   private def morResolve(spark: org.apache.spark.sql.SparkSession,
                          destDir: String, m: ManifestData, v: Int,
-                         dataFiles: Seq[String]): DataFrame = {
+                         dataFiles: Seq[String]): DataFrame =
+    morResolveWith(spark, destDir, m, v, dataFiles,
+      m.lines.filter(isDeleteLine))
+
+  /** [[morResolve]] with a CHOSEN delete-line subset — the bloom point
+    * lookup restricts both sides to key-admitting files (sound: bloom
+    * never false-negatives, so every delete file that could touch the
+    * probed key is present; rows of other keys may resolve wrongly and
+    * are removed by the caller's equality filter). All other callers
+    * pass the full delete-line set.
+    *
+    * `delSeqs` stays ALL the manifest's delete sequences (not just the
+    * subset's): an upsert data row whose own delete file was pruned must
+    * still be recognized as upsert-log (its survival = being the key's
+    * latest touch), never mistaken for a base row. */
+  private def morResolveWith(spark: org.apache.spark.sql.SparkSession,
+                             destDir: String, m: ManifestData, v: Int,
+                             dataFiles: Seq[String],
+                             delLines: Seq[String]): DataFrame = {
     val keyCol = m.headers.getOrElse("morkey", throw new IllegalStateException(
       s"v$v of $destDir carries tombstones but no #morkey header"))
-    val delLines = m.lines.filter(isDeleteLine)
-    val delSeqs = delLines.map(l => morSeq(linePath(l))).distinct
+    val delSeqs = m.lines.filter(isDeleteLine)
+      .map(l => morSeq(linePath(l))).distinct
     val seqExpr = regexp_extract(input_file_name(),
       "/data/v(\\d+)(_del)?/", 1).cast("long")
-    val dmax = spark.read
-      .parquet(delLines.map(l => s"$destDir/${linePath(l)}").distinct: _*)
-      .select(col(keyCol)).withColumn("__dseq", seqExpr)
-      .groupBy(keyCol).agg(max("__dseq").as("__dmax"))
+    val dmax =
+      if (delLines.isEmpty)
+        // every delete file was pruned as non-admitting: no tombstone
+        // can touch the caller's key, and true upsert rows of that key
+        // cannot exist either (a merge's delete-set always carries its
+        // own batch keys, so it would have admitted)
+        readWithSchema(spark, m.schema, dataFiles).select(col(keyCol))
+          .limit(0).withColumn("__dmax", lit(null).cast("long"))
+      else spark.read
+        .parquet(delLines.map(l => s"$destDir/${linePath(l)}").distinct: _*)
+        .select(col(keyCol)).withColumn("__dseq", seqExpr)
+        .groupBy(keyCol).agg(max("__dseq").as("__dmax"))
     val resolved = readWithSchema(spark, m.schema, dataFiles)
       .withColumn("__seq", seqExpr)
       .join(broadcast(dmax), Seq(keyCol), "left")
@@ -2190,6 +2242,16 @@ object Snapshot {
     val m = readManifest(spark, destDir, v)
     requireNoTombstones(m, destDir, v, "filesForKey")
     val (_, mBits, k) = bloomParams(m, destDir, v)
+    admittingLines(m, key, mBits, k).map(linePath)
+  }
+
+  /** The manifest lines whose bloom words ADMIT `key` — lines without
+    * parseable words are kept (skipping must never lose rows). Shared
+    * by [[filesForKey]] and the tombstone-aware [[readSnapshotPoint]]
+    * (where delete-set lines carry words too and prune the same way:
+    * a delete file that can't hold the key can't tombstone it). */
+  private def admittingLines(m: ManifestData, key: String,
+                             mBits: Int, k: Int): Seq[String] = {
     val nStats = m.statsCols.length
     m.lines.filter { l =>
       val f = l.split("\t")
@@ -2211,7 +2273,7 @@ object Snapshot {
           (words(p / wb) & (1L << (p % wb))) != 0
         }
       }
-    }.map(linePath)
+    }
   }
 
   private def bloomParams(m: ManifestData, destDir: String,
@@ -2221,14 +2283,35 @@ object Snapshot {
 
   /** Point lookup over a bloom-published version: open only admitting
     * files, then the exact equality filter (false positives die there;
-    * false negatives cannot exist). */
+    * false negatives cannot exist).
+    *
+    * MERGE-ON-READ aware: on a tombstoned version (bloom is preserved
+    * across MoR commits when the bloom column IS the merge key —
+    * [[morStage]] builds per-file words for each batch and delete-set
+    * file), the admitting subset is resolved through the upsert log:
+    * the key's tombstone state comes only from admitting DELETE files
+    * (sound — bloom has no false negatives, so every delete file that
+    * could hold the key is probed), and the winner row from admitting
+    * data files. A continuously-upserted indexed table keeps O(admitting
+    * files) point reads with no reconcile required. */
   def readSnapshotPoint(spark: org.apache.spark.sql.SparkSession,
                         destDir: String, v: Int, key: String): DataFrame = {
-    val c = bloomParams(readManifest(spark, destDir, v), destDir, v)._1
-    val files = filesForKey(spark, destDir, v, key)
-    if (files.isEmpty) readSnapshot(spark, destDir, v).limit(0).filter(lit(false))
-    else spark.read.parquet(files.map(f => s"$destDir/$f"): _*)
-      .filter(col(c) === key)
+    val m = readManifest(spark, destDir, v)
+    val (c, mBits, k) = bloomParams(m, destDir, v)
+    val admitting = admittingLines(m, key, mBits, k)
+    val dataFiles = admitting.filterNot(isDeleteLine)
+      .map(l => s"$destDir/${linePath(l)}")
+    if (dataFiles.isEmpty)
+      return readSnapshot(spark, destDir, v).limit(0).filter(lit(false))
+    if (!m.lines.exists(isDeleteLine))
+      spark.read.parquet(dataFiles: _*).filter(col(c) === key)
+    else
+      // resolve over the admitting subset only: morResolve is sound on
+      // any data subset, and restricting its delete-set read to
+      // admitting files keeps the whole lookup O(admitting files)
+      morResolveWith(spark, destDir, m, v, dataFiles,
+        admitting.filter(isDeleteLine))
+        .filter(col(c) === key)
   }
 
   /** Small-file maintenance on the snapshot layout (the Iceberg
