@@ -65,6 +65,7 @@ object StateRehearsal {
       case "manifestscale" => manifestscale(spark, work)
       case "morscale" => morscale(spark, work)
       case "txnscale" => txnscale(spark, work)
+      case "txnlogscale" => txnlogscale(spark, work)
       case "dmlscale" => dmlscale(spark, work)
       case "annrecall" => annrecall(spark)
     }
@@ -404,6 +405,51 @@ object StateRehearsal {
         "tables" -> 3, "delta_rows" -> 1000,
         "stage_sec" -> stageSec, "commit_point_sec" -> commitSec,
         "finalize_sec" -> finalizeSec, "read_sec" -> readSec)
+    }
+  }
+
+  /** Txn-LOG growth: readLatest cost as the number of committed
+    * transactions grows 100× (10² → 10⁴). The claim under test: the
+    * recovered-through watermark makes the per-read recovery scan
+    * O(new txns), so a WARM readLatest is FLAT in total log size; the
+    * COLD catch-up pass (marker absent — a fresh driver on an old log)
+    * is the one O(all txns) scan and is measured separately. The log is
+    * fabricated directly in the manifest layout (every txn already
+    * finalized — each scan step is the exists + no-op-finalize cost a
+    * real recovered txn pays), which is what lets 10⁴ txns be staged in
+    * seconds. */
+  private def txnlogscale(spark: SparkSession, work: String): Unit = {
+    import graft.operators.{Snapshot, SnapshotTxn}
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(work).getFileSystem(spark.sessionState.newHadoopConf())
+    for (n <- Seq(100, 1000, 10000)) {
+      val dest = s"$work/txnlog_t_$n"
+      val root = s"$work/txnlog_root_$n"
+      Snapshot.publishSnapshot(spark.range(1000L)
+        .select(col("id").as("k"), lit("x").as("v")), dest)
+      fs.mkdirs(new Path(s"$root/manifest"))
+      (1 to n).foreach { k =>
+        val out = fs.create(new Path(s"$root/manifest/v$k.txt"), true)
+        out.write(s"#txn=1\n$dest\t1\t1".getBytes("UTF-8"))
+        out.close()
+      }
+      val (_, coldSec) = time(
+        SnapshotTxn.readLatest(spark, root, dest)
+          .queryExecution.toRdd.count())
+      val (_, warmSec) = time(
+        SnapshotTxn.readLatest(spark, root, dest)
+          .queryExecution.toRdd.count())
+      // warm again after one more txn lands: the steady-state shape
+      val t = SnapshotTxn.begin(spark, root)
+      t.stageAppend(spark.range(10L)
+        .select((col("id") + 5000L).as("k"), lit("y").as("v")), dest)
+      t.commit()
+      val (_, steadySec) = time(
+        SnapshotTxn.readLatest(spark, root, dest)
+          .queryExecution.toRdd.count())
+      cell("txnlogscale", "txns" -> n,
+        "cold_catchup_sec" -> coldSec, "warm_read_sec" -> warmSec,
+        "steady_read_sec" -> steadySec)
     }
   }
 

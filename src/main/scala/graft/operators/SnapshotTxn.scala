@@ -351,20 +351,33 @@ object SnapshotTxn {
     val conf = spark.sessionState.newHadoopConf()
     val rootFs = new Path(txnRoot).getFileSystem(conf)
     var n = 0
-    val latest = Snapshot.latestVersion(spark, txnRoot)
+    // the txn head is found by PROBING UPWARD from the watermark, not by
+    // listing the manifest dir: commit slots are contiguous (the CAS
+    // loop takes the first free slot), so the warm path pays O(new
+    // txns + 1) exists() calls — a directory listing would silently
+    // reintroduce the O(all txns) read cost the watermark removes
+    val wm = recoveredThrough(spark, txnRoot)
+    var latest = math.max(wm, 0)
+    while (rootFs.exists(new Path(s"$txnRoot/manifest/v${latest + 1}.txt")))
+      latest += 1
     // recovered-through HIGH-WATER MARK: every txn <= the marker is
     // fully finalized, so the scan starts past it — recover (and with
     // it readLatest/commitPoint) is O(new txns), not O(all txns ever
     // committed). Advanced only AFTER a txn's every table published
     // (rename-committed like the CDC watermark); a crash mid-finalize
     // leaves the marker behind and the rescan is idempotent.
-    val from = recoveredThrough(spark, txnRoot) + 1
+    val from = wm + 1
+    var through = from - 1
     (from to latest).foreach { k =>
       if (rootFs.exists(new Path(s"$txnRoot/manifest/v$k.txt"))) {
         n += finalizeCommitted(spark, txnRoot, k)
-        advanceRecovered(spark, rootFs, txnRoot, k)
+        through = k
       }
     }
+    // ONE marker write per recover call (not per txn): a crash mid-scan
+    // leaves the old marker and the idempotent rescan repeats — progress
+    // durability traded for O(1) writes on the catch-up path
+    if (through >= from) advanceRecovered(spark, rootFs, txnRoot, through)
     n
   }
 
