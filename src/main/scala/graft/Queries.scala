@@ -6461,6 +6461,9 @@ object Queries {
         SnapPointMorDir, "sid")
       S.deleteSnapshotMoR(base.filter(col("sid") % 13 === 0)
         .select("sid"), SnapPointMorDir, "sid")
+      // v4: reconcile back to copy-on-write WITH the index intact —
+      // probes must read identically before and after
+      S.reconcileSnapshotMoR(s, SnapPointMorDir)
       ()
     }
     val probes = base.agg(
@@ -6470,13 +6473,17 @@ object Queries {
       min(when(col("sid") % 11 =!= 0 && col("sid") % 13 =!= 0,
         col("sid"))).as("base"),
       (max(col("sid")) + 1).as("miss")).head()
-    val reads = Seq("base", "del", "miss", "upd").map { p =>
+    val reads = for {
+      (src, v) <- Seq(("live", 3), ("rec", 4))
+      p <- Seq("base", "del", "miss", "upd")
+    } yield {
       val key = probes.getLong(probes.fieldIndex(p))
-      S.readSnapshotPoint(s, SnapPointMorDir, 3, key.toString)
-        .agg(lit(p).as("probe"), count(lit(1)).as("n"),
+      S.readSnapshotPoint(s, SnapPointMorDir, v, key.toString)
+        .agg(lit(p).as("probe"), lit(src).as("src"),
+          count(lit(1)).as("n"),
           coalesce(sum(col("cents")), lit(0L)).as("s"))
     }
-    reads.reduce(_.unionByName(_)).orderBy("probe")
+    reads.reduce(_.unionByName(_)).orderBy("probe", "src")
   }
 
   private val snapPointMorSql =
@@ -6493,11 +6500,12 @@ object Queries {
       |  UNION ALL SELECT 'del', (SELECT min(sid) FROM c WHERE sid % 13 = 0)
       |  UNION ALL SELECT 'base', (SELECT min(sid) FROM c
       |            WHERE sid % 11 <> 0 AND sid % 13 <> 0)
-      |  UNION ALL SELECT 'miss', (SELECT max(sid) + 1 FROM c))
-      |SELECT k.probe, CAST(count(cur.sid) AS BIGINT) AS n,
+      |  UNION ALL SELECT 'miss', (SELECT max(sid) + 1 FROM c)),
+      |srcs AS (SELECT 'live' AS src UNION ALL SELECT 'rec')
+      |SELECT k.probe, srcs.src, CAST(count(cur.sid) AS BIGINT) AS n,
       |       COALESCE(CAST(sum(cur.cents) AS BIGINT), 0) AS s
-      |FROM keys k LEFT JOIN cur ON cur.sid = k.k
-      |GROUP BY k.probe ORDER BY probe""".stripMargin
+      |FROM keys k CROSS JOIN srcs LEFT JOIN cur ON cur.sid = k.k
+      |GROUP BY k.probe, srcs.src ORDER BY probe, src""".stripMargin
 
   // -------------------------------------------------------------- Q-cdf
   // CHANGE DATA FEED over the merge-on-read log (Snapshot.changeFeed —

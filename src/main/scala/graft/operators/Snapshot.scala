@@ -1024,7 +1024,16 @@ object Snapshot {
       case Some(ps) => delta0.select(ps.fieldNames.map(col).toSeq: _*)
       case None => delta0
     }
-    commitVersion(delta, destDir, carryForward = true, statsCol = None,
+    if (m.bloom.isDefined)
+      // indexed lane (bloom on the merge key — the only MoR-legal
+      // index): the reconciled delta gets fresh per-file words,
+      // untouched base files keep theirs, and the #bloom header
+      // survives — point lookups stay live across the MoR lifecycle
+      // (upsert → point read → reconcile → point read)
+      commitIndexedDelta(delta, destDir, m, prev, carried,
+        sumLineRows(m.lines.filter(keepLine)), tag,
+        "reconcileSnapshotMoR")
+    else commitVersion(delta, destDir, carryForward = true, statsCol = None,
       tag = tag, carriedOverride = Some(carried), prevManifestOpt = Some(m),
       baseVersion = Some(prev), statsColsMulti = m.statsCols,
       morAware = true,
@@ -2169,7 +2178,30 @@ object Snapshot {
     require(resurrected.isEmpty,
       s"column(s) ${resurrected.mkString(", ")} were DROPPED from " +
         s"$destDir and cannot be re-added by an indexed append")
-    val uid = claimStagingId(fs, destDir, prev + 1)
+    commitIndexedDelta(df, destDir, m, prev, m.entries, m.rowsHeader,
+      tag, "an indexed append")
+  }
+
+  /** Commit a delta ONTO an indexed base, index intact: write `df`
+    * under a claimed id, build per-file bloom words + stats lines from
+    * the same one-pass builders the indexed publish uses, keep the
+    * `#bloom`/`#stats` headers, and carry `carriedEntries` VERBATIM
+    * (per-file words over immutable files stay valid under any carry).
+    * The shared engine behind [[appendSnapshotIndexed]], the indexed
+    * [[compactSnapshot]] lane, and the index-preserving
+    * [[reconcileSnapshotMoR]]. Base-pinned single-attempt CAS. */
+  private def commitIndexedDelta(df: DataFrame, destDir: String,
+                                 m: ManifestData, base: Int,
+                                 carriedEntries: Seq[String],
+                                 carriedRows: Option[Long],
+                                 tag: Option[String], op: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(destDir).getFileSystem(conf)
+    val (bloomCol, mBits, k) = bloomParams(m, destDir, base)
+    val statsCols = m.statsCols
+    val uid = claimStagingId(fs, destDir, base + 1)
     val dataDir = new Path(s"$destDir/data/v$uid")
     df.write.mode("overwrite").parquet(dataDir.toString)
     val words = perFileBloomWords(spark, dataDir.toString, bloomCol,
@@ -2212,18 +2244,19 @@ object Snapshot {
         tag.map(t => s"#tag=$t").toSeq ++
         (if (m.droppedCols.isEmpty) Seq.empty
          else Seq(s"#dropped=${m.droppedCols.toSeq.sorted.mkString(",")}")) ++
-        m.rowsHeader.map(r => s"#rows=${r + deltaRows}").toSeq)
+        carriedRows.map(r => s"#rows=${r + deltaRows}").toSeq)
     // base-dependent single-attempt CAS: carried entries (with their
-    // words) came from v`prev`; a racing commit means they're stale
-    if (latestVersion(spark, destDir) != prev ||
-        !tryCommitManifest(fs, destDir, prev + 1, uid,
-          header ++ m.entries ++ deltaEntry)) {
+    // words) came from v`base`; a racing commit means they're stale
+    if (latestVersion(spark, destDir) != base ||
+        !tryCommitManifest(fs, destDir, base + 1, uid,
+          header ++ carriedEntries ++ deltaEntry)) {
       fs.delete(dataDir, true)
+      fs.delete(new Path(s"$destDir/manifest/d$uid.txt"), false)
       throw new ConcurrentSnapshotUpdate(
-        s"base of $destDir advanced past v$prev during an indexed " +
-          "append; retry against the new latest version")
+        s"base of $destDir advanced past v$base during $op; retry " +
+          "against the new latest version")
     }
-    prev + 1
+    base + 1
   }
 
   /** Driver-side replica of Sketches.bloomBit: shaHash32("bloom:j:v")
@@ -2340,12 +2373,6 @@ object Snapshot {
     require(v >= 1, s"compactSnapshot needs an existing version under $destDir")
     val m = readManifest(spark, destDir, v)
     requireNoTombstones(m, destDir, v, "compactSnapshot")
-    // a bloom-published version's lines carry bitmap words, not row
-    // counts — compacting it would silently emit a bloom-less version
-    // (point lookups lose their skipping); refuse instead of degrading
-    require(m.bloom.isEmpty,
-      s"compactSnapshot does not preserve bloom manifests (v$v of " +
-        s"$destDir); re-publish with publishSnapshotBloom after compacting")
     def isBig(l: String) = lineRowCount(l).exists(_ >= minRows)
     // group-granular carry (same rule as mergeSnapshot): an all-big
     // delta manifest carries as its one-line reference; a mixed group
@@ -2368,7 +2395,15 @@ object Snapshot {
       val nOut = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
       // coalesce, not repartition: bin-packing needs no shuffle; the
       // FULL stats list carries (a Z-ordered table keeps both columns)
-      commitVersion(small.coalesce(nOut), destDir, carryForward = true,
+      if (m.bloom.isDefined)
+        // indexed lane: packed files get fresh per-file words, carried
+        // big files keep theirs verbatim, the #bloom header survives —
+        // a streaming-fed indexed table stays point-skippable through
+        // its small-file maintenance (it used to refuse here)
+        commitIndexedDelta(small.coalesce(nOut), destDir, m, v,
+          carriedEntries, sumLineRows(m.lines.filter(isBig)), tag,
+          "compactSnapshot")
+      else commitVersion(small.coalesce(nOut), destDir, carryForward = true,
         statsCol = None, carriedOverride = Some(carriedEntries),
         tag = tag, prevManifestOpt = Some(m),
         baseVersion = Some(v),

@@ -219,15 +219,23 @@ class SnapshotMorSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Snapshot.mergeSnapshotMoR(kv(1L -> "b"), dest2, "k")
     }
-    // reconcile still converts back to copy-on-write (bloom header is
-    // dropped by the rewrite — re-publish restores it; documented)
+    // reconcile converts back to copy-on-write WITH the index intact:
+    // untouched base files keep their words, the rewritten delta gets
+    // fresh ones, and point reads keep working with zero tombstones
     val vR = Snapshot.reconcileSnapshotMoR(spark, dest)
     assert(Snapshot.readSnapshot(spark, dest, vR).count() == 400)
     assert(rows(Snapshot.readSnapshot(spark, dest, vR)
       .filter(col("k") === 100L)) === Seq(Seq(100L, "X")))
-    intercept[IllegalArgumentException] {
-      Snapshot.readSnapshotPoint(spark, dest, vR, "100")
-    }
+    assert(!Snapshot.manifestLines(spark, dest, vR).exists(_.startsWith("!")))
+    assert(rows(Snapshot.readSnapshotPoint(spark, dest, vR, "100")) ===
+      Seq(Seq(100L, "X")))
+    assert(Snapshot.readSnapshotPoint(spark, dest, vR, "105").count() == 0)
+    assert(rows(Snapshot.readSnapshotPoint(spark, dest, vR, "1000")) ===
+      Seq(Seq(1000L, "NEW")))
+    // and the reconciled index PRUNES: a probe admits fewer lines than
+    // the manifest holds
+    assert(Snapshot.filesForKey(spark, dest, vR, "50").size <
+      Snapshot.manifestLines(spark, dest, vR).size)
     ()
   }
 

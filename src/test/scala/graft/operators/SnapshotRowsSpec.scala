@@ -132,6 +132,39 @@ class SnapshotRowsSpec extends SparkSpec {
     }
   }
 
+  test("compactSnapshot keeps the bloom: packed files get fresh words, carried keep theirs") {
+    val dest = tmp("graft-bcmp")
+    val mk = (r: Range) => r.map(k => (k.toLong, s"key$k"))
+      .toDF("k", "name")
+    // one big base file + three small indexed appends (the streaming-fed
+    // indexed table shape that NEEDS compaction)
+    Snapshot.publishSnapshotIndexed(mk(0 until 1000).coalesce(1), dest,
+      Seq("k"), "name")
+    Snapshot.appendSnapshotIndexed(mk(1000 until 1005).coalesce(1), dest)
+    Snapshot.appendSnapshotIndexed(mk(1005 until 1010).coalesce(1), dest)
+    Snapshot.appendSnapshotIndexed(mk(1010 until 1015).coalesce(1), dest)
+    val v = Snapshot.compactSnapshot(spark, dest, minRows = 100L,
+      targetRows = 10000L)
+    assert(v == 5)
+    // the three smalls packed into one; the big file carried by ref
+    val lines = Snapshot.manifestLines(spark, dest, 5)
+    assert(lines.size == 2, lines.mkString("\n"))
+    // content exact, point skipping live on BOTH generations
+    assert(Snapshot.readSnapshot(spark, dest, 5).count() == 1015)
+    assert(rows(Snapshot.readSnapshotPoint(spark, dest, 5, "key1007"))
+      === Seq(Seq(1007L, "key1007")))
+    assert(rows(Snapshot.readSnapshotPoint(spark, dest, 5, "key7"))
+      === Seq(Seq(7L, "key7")))
+    assert(Snapshot.readSnapshotPoint(spark, dest, 5, "nope").count() == 0)
+    assert(Snapshot.filesForKey(spark, dest, 5, "key1007").size < 2)
+    // stats + #rows survive the indexed compaction
+    assert(Snapshot.filesForRange(spark, dest, 5, 0L, 10L).size < 2)
+    assert(rows(Snapshot.snapshotHistory(spark, dest)).last match {
+      case Seq(5, _, _, n: Long, _*) => n == 1015L
+      case other => fail(s"unexpected history row: $other")
+    })
+  }
+
   test("versionAsOf resolves commit times; snapshotFiles reads manifest text only") {
     val dest = tmp("graft-asof")
     val mk = (r: Range) => r.map(k => (k.toLong, s"n$k")).toDF("k", "v")

@@ -320,10 +320,15 @@ class SnapshotTravelSpec extends SparkSpec {
       Seq(Seq(123L, "name_123")))
     // absent key: usually zero admitting files; NEVER a wrong row
     assert(Snapshot.readSnapshotPoint(spark, dest, 1, "nope").count() == 0)
-    // compaction would silently drop the bloom words — it must refuse
-    intercept[IllegalArgumentException] {
-      Snapshot.compactSnapshot(spark, dest, 1000L, 10000L)
-    }
+    // compaction keeps the index: the 8 small files (word-only lines
+    // carry no row counts, so all are conservatively packable) rewrite
+    // into one packed file with fresh words, and the probe stays exact
+    val vC = Snapshot.compactSnapshot(spark, dest, 1000L, 10000L)
+    assert(vC == 2)
+    assert(Snapshot.manifestLines(spark, dest, 2).size == 1)
+    assert(rows(Snapshot.readSnapshotPoint(spark, dest, 2, "name_123")) ===
+      Seq(Seq(123L, "name_123")))
+    assert(Snapshot.readSnapshotPoint(spark, dest, 2, "nope").count() == 0)
     ()
   }
 
