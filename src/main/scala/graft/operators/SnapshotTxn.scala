@@ -357,7 +357,12 @@ object SnapshotTxn {
     // txns + 1) exists() calls — a directory listing would silently
     // reintroduce the O(all txns) read cost the watermark removes
     val wm = recoveredThrough(spark, txnRoot)
-    var latest = math.max(wm, 0)
+    // cold path (no marker yet): a LISTING finds the head — probing
+    // from 0 would miss everything on a log whose prefix was pruned by
+    // vacuumTxnLog; the cold pass is O(all) anyway, one listing is free
+    var latest =
+      if (wm == 0) Snapshot.latestVersion(spark, txnRoot)
+      else wm
     while (rootFs.exists(new Path(s"$txnRoot/manifest/v${latest + 1}.txt")))
       latest += 1
     // recovered-through HIGH-WATER MARK: every txn <= the marker is
@@ -420,7 +425,13 @@ object SnapshotTxn {
     require(k >= 1 && k <= latest,
       s"txn $k does not exist in $txnRoot (committed txns: 1..$latest)")
     recover(spark, txnRoot) // versions through k must be finalized
+    val rootFs = new Path(txnRoot).getFileSystem(
+      spark.sessionState.newHadoopConf())
     ((sinceTxn + 1) to k).foldLeft(prefix) { (acc, i) =>
+      require(rootFs.exists(new Path(s"$txnRoot/manifest/v$i.txt")),
+        s"txn $i of $txnRoot was pruned by vacuumTxnLog — a " +
+          s"txn-consistent snapshot through txn $k cannot be resolved " +
+          "(fold from a cached prefix via sinceTxn, or keep more log)")
       Snapshot.readManifest(spark, txnRoot, i).entries.foldLeft(acc) {
         (a, line) =>
           val f = line.split("\t")
@@ -437,6 +448,31 @@ object SnapshotTxn {
     * [[asOfTxn]]/[[readAsOfTxn]]. */
   def latestTxn(spark: SparkSession, txnRoot: String): Int =
     Snapshot.latestVersion(spark, txnRoot)
+
+  /** PRUNE the transaction log: delete txn manifests below `keepFrom`.
+    * Bounds the cold catch-up scan a fresh driver pays on an old log
+    * (the warm path is already O(new) via the recovered-through
+    * marker) and the [[asOfTxn]] fold. Only FULLY-FINALIZED txns may
+    * go — `keepFrom` is capped at recovered-through + 1, so a
+    * committed-but-unrecovered txn can never lose the manifest its
+    * roll-forward needs (the txn retention contract). After pruning,
+    * [[asOfTxn]] for a pruned id refuses with the standard
+    * missing-version error rather than resolving a wrong snapshot —
+    * the same deal table vacuum offers time travel. Returns the number
+    * of manifests removed. */
+  def vacuumTxnLog(spark: SparkSession, txnRoot: String,
+                   keepFrom: Int): Int = {
+    require(keepFrom >= 1, s"keepFrom must be >= 1 (got $keepFrom)")
+    val conf = spark.sessionState.newHadoopConf()
+    val rootFs = new Path(txnRoot).getFileSystem(conf)
+    val safe = math.min(keepFrom, recoveredThrough(spark, txnRoot) + 1)
+    Snapshot.withCommitLocks(Seq(
+        rootFs.makeQualified(new Path(txnRoot)).toString)) {
+      (1 until safe).count { k =>
+        rootFs.delete(new Path(s"$txnRoot/manifest/v$k.txt"), false)
+      }
+    }
+  }
 
   /** Read `destDir` at the version it had committed through txn `k` —
     * [[asOfTxn]] resolved for one table. Table identity is by

@@ -33,6 +33,8 @@ class SnapshotModelSpec extends SparkSpec {
     val rnd = new scala.util.Random(seed)
     val dest = java.nio.file.Files
       .createTempDirectory(s"graft-model-$seed").toString
+    val txnRoot = java.nio.file.Files
+      .createTempDirectory(s"graft-model-txn-$seed").toString
     var nextKey = 0L
     def freshRows(n: Int): Map[Long, String] = {
       val m = (0 until n).map { _ =>
@@ -52,8 +54,14 @@ class SnapshotModelSpec extends SparkSpec {
       // a tombstoned table refuses COW mutations and range reads by
       // contract — only the MoR-compatible ops stay on the menu
       val op =
-        if (tombstoned) Seq(0, 4, 6, 7, 8, 9, 10)(rnd.nextInt(7))
-        else rnd.nextInt(11)
+        if (tombstoned) Seq(0, 4, 6, 7, 8, 9, 10, 12, 13)(rnd.nextInt(9))
+        else rnd.nextInt(14)
+      // transactional ops route through the txn log; half the time the
+      // committer "dies" at the commit point and the bundled recovery
+      // repairs on the next touch — the model must never see the gap
+      def txnLand(t: SnapshotTxn): Unit =
+        if (rnd.nextBoolean()) { t.commit(); () }
+        else { t.commitNoFinalize(); SnapshotTxn.recover(spark, txnRoot); () }
       op match {
         case 0 => // full replace (also the fresh-definition escape from MoR)
           table = freshRows(2 + rnd.nextInt(3))
@@ -142,6 +150,39 @@ class SnapshotModelSpec extends SparkSpec {
               Map("v" -> concat(col("v"), lit("+"))))
             if (v > latest) tombstoned = true
             model(v) = table; ops ::= s"updateWhere[$lo,$hi]->v$v"
+          }
+        case 11 => // transactional append (refused on tombstoned tables)
+          val add = freshRows(1 + rnd.nextInt(2))
+          table = table ++ add
+          val t = SnapshotTxn.begin(spark, txnRoot)
+          t.stageAppend(toDf(add), dest, statsCol = Some("k"))
+          txnLand(t)
+          val v = Snapshot.latestVersion(spark, dest)
+          model(v) = table; ops ::= s"txnAppend->v$v"
+        case 12 => // transactional MoR merge
+          val updated = table.keySet.toSeq.sorted
+            .filter(_ => rnd.nextBoolean()).take(3)
+            .map(k => k -> s"t$k").toMap
+          val ins = freshRows(1)
+          table = table ++ updated ++ ins
+          val t = SnapshotTxn.begin(spark, txnRoot)
+          t.stageMerge(toDf(updated ++ ins), dest, "k")
+          txnLand(t)
+          tombstoned = true
+          val v = Snapshot.latestVersion(spark, dest)
+          model(v) = table; ops ::= s"txnMerge->v$v"
+        case 13 => // transactional keyed MoR delete
+          val del = table.keySet.toSeq.sorted
+            .filter(_ => rnd.nextBoolean()).take(2)
+          if (del.isEmpty) ops ::= "txnDelSkip"
+          else {
+            table = table -- del
+            val t = SnapshotTxn.begin(spark, txnRoot)
+            t.stageDelete(del.toDF("k"), dest, "k")
+            txnLand(t)
+            tombstoned = true
+            val v = Snapshot.latestVersion(spark, dest)
+            model(v) = table; ops ::= s"txnDelete(${del.size})->v$v"
           }
       }
       val ctx = s"seed=$seed ops=${ops.reverse.mkString(",")}"

@@ -320,6 +320,43 @@ class SnapshotTxnSpec extends SparkSpec {
     ()
   }
 
+  test("vacuumTxnLog prunes finalized txns; unrecovered ones are protected; reads survive") {
+    val root = tmp("graft-txv"); val a = tmp("graft-txva")
+    Snapshot.publishSnapshot(kv(1L -> "a1"), a)
+    (2 to 5).foreach { i =>
+      val t = SnapshotTxn.begin(spark, root)
+      t.stageAppend(kv(i.toLong -> s"a$i"), a); t.commit()
+    }
+    val t5 = SnapshotTxn.begin(spark, root)
+    t5.stageAppend(kv(9L -> "a9"), a)
+    t5.commitNoFinalize() // txn 5: committed, NOT yet recovered
+    // keepFrom past the unrecovered txn is CAPPED at recovered+1: txn 5
+    // keeps the manifest its roll-forward needs
+    assert(SnapshotTxn.recoveredThrough(spark, root) == 4)
+    assert(SnapshotTxn.vacuumTxnLog(spark, root, keepFrom = 99) == 4)
+    assert(SnapshotTxn.latestTxn(spark, root) == 5)
+    // recovery still rolls txn 5 forward over the pruned prefix
+    assert(rows(SnapshotTxn.readLatest(spark, root, a).orderBy("k"))
+      .map(_.head) === Seq(1L, 2L, 3L, 4L, 5L, 9L))
+    // asOfTxn refuses pruned ids loudly, resolves kept ones
+    intercept[IllegalArgumentException] {
+      SnapshotTxn.asOfTxn(spark, root, 3)
+    }
+    assert(SnapshotTxn.asOfTxn(spark, root, 5, sinceTxn = 4) ===
+      Map(a -> 6))
+    // a fresh driver on the pruned log (marker lost) still finds the
+    // head by listing — commit and read keep working
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/manifest/recovered"),
+      false)
+    val t6 = SnapshotTxn.begin(spark, root)
+    t6.stageAppend(kv(10L -> "aX"), a); t6.commit()
+    assert(SnapshotTxn.latestTxn(spark, root) == 6)
+    assert(SnapshotTxn.readLatest(spark, root, a).count() == 7)
+    ()
+  }
+
   test("recovered-through watermark: recover scans only past it; failures never advance it") {
     val root = tmp("graft-txw"); val a = tmp("graft-txwa")
     Snapshot.publishSnapshot(kv(1L -> "a1"), a)
