@@ -239,6 +239,65 @@ class SnapshotMorSpec extends SparkSpec {
     ()
   }
 
+  test("randomized indexed-MoR sequences: point read == model for every key, every version") {
+    Seq(7L, 404L, 9090L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val dest = java.nio.file.Files
+        .createTempDirectory(s"graft-morbp-$seed").toString
+      var table = (0L until 40L).map(k => k -> s"n$k").toMap
+      def toDf(m: Map[Long, String]) =
+        m.toSeq.sortBy(_._1).toDF("k", "v").coalesce(2)
+      Snapshot.publishSnapshotIndexed(
+        toDf(table).repartitionByRange(4, col("k")), dest, Seq("k"), "k")
+      var nextKey = 100L
+      val ops = scala.collection.mutable.ListBuffer.empty[String]
+      (1 to 6).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 => // merge: update random subset + fresh insert
+            val upd = table.keySet.toSeq.sorted
+              .filter(_ => rnd.nextBoolean()).take(3)
+              .map(k => k -> s"u$k").toMap
+            nextKey += 1
+            val ins = Map(nextKey -> s"i$nextKey")
+            table = table ++ upd ++ ins
+            Snapshot.mergeSnapshotMoR(toDf(upd ++ ins), dest, "k")
+            ops += "merge"
+          case 1 => // keyed delete of a random subset
+            val del = table.keySet.toSeq.sorted
+              .filter(_ => rnd.nextBoolean()).take(2)
+            if (del.nonEmpty) {
+              table = table -- del
+              Snapshot.deleteSnapshotMoR(del.toDF("k"), dest, "k")
+              ops += s"del(${del.size})"
+            }
+          case 2 => // re-insert a previously deleted key (resurrection)
+            val k = rnd.nextInt(40).toLong
+            table = table + (k -> s"r$k")
+            Snapshot.mergeSnapshotMoR(toDf(Map(k -> s"r$k")), dest, "k")
+            ops += s"reins($k)"
+          case 3 => // reconcile (index-preserving)
+            Snapshot.reconcileSnapshotMoR(spark, dest)
+            ops += "reconcile"
+        }
+        val v = Snapshot.latestVersion(spark, dest)
+        val ctx = s"seed=$seed v=$v ops=${ops.mkString(",")}"
+        def check(keys: Seq[Long]): Unit = keys.foreach { k =>
+          val got = rows(Snapshot.readSnapshotPoint(spark, dest, v,
+            k.toString)).map(r => r.head.asInstanceOf[Long] ->
+            r(1).asInstanceOf[String]).toMap
+          val want = table.get(k).map(k -> _).toMap
+          assert(got == want, s"point($k): got $got want $want [$ctx]")
+        }
+        // mid-sequence: a random live sample + absent probes
+        val live = table.keySet.toSeq.sorted
+        check(rnd.shuffle(live).take(5) ++ Seq(-1L, 999L) ++
+          (0L until 40L).filterNot(table.contains).take(2))
+        // after the final op: EVERY key
+        if (step == 6) check(live)
+      }
+    }
+  }
+
   test("a racing commit aborts the MoR merge losslessly") {
     val dest = java.nio.file.Files.createTempDirectory("graft-morx").toString
     Snapshot.publishSnapshot(kv(1L -> "a"), dest)
