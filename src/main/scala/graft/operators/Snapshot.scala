@@ -594,10 +594,11 @@ object Snapshot {
     * over the survivors (upsert log resolved when tombstones exist).
     * None when no file can hold a match — the caller returns the base
     * version without committing. */
-  private def prunedCurrentState(spark: org.apache.spark.sql.SparkSession,
-                                 destDir: String, m: ManifestData,
-                                 prev: Int,
-                                 cond: Column): Option[DataFrame] = {
+  private[operators] def prunedCurrentState(
+      spark: org.apache.spark.sql.SparkSession,
+      destDir: String, m: ManifestData,
+      prev: Int,
+      cond: Column): Option[DataFrame] = {
     val (lo, hi) = (m.statsCol, m.schema) match {
       case (Some(c), Some(schema)) =>
         val probe = spark.createDataFrame(

@@ -111,6 +111,72 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
       keyCol, tag)
   }
 
+  /** Stage a predicate MoR DELETE ([[Snapshot.deleteSnapshotMoRWhere]]
+    * semantics: `cond` evaluated against the RESOLVED current state
+    * over a stats-pruned file subset, matching keys tombstoned) in this
+    * transaction. The matched set is computed against the base pinned
+    * HERE; the commit point verifies the base is unchanged, so the
+    * predicate can never act on state it didn't see. Returns false —
+    * enrolling nothing — when no row matches (the no-spurious-version
+    * contract of the direct path). */
+  def stageDeleteWhere(destDir: String, keyCol: String,
+                       cond: org.apache.spark.sql.Column,
+                       tag: Option[String] = None): Boolean = {
+    import org.apache.spark.sql.functions.col
+    stageMorWhere(destDir, keyCol, cond, tag) { current =>
+      (None, Some(current.filter(cond).select(col(keyCol)).distinct()))
+    }
+  }
+
+  /** Stage a predicate MoR UPDATE ([[Snapshot.updateSnapshotMoRWhere]]
+    * semantics: SET expressions applied to the matching resolved rows,
+    * committed as one upsert batch) in this transaction. Same pinned-
+    * base rules as [[stageDeleteWhere]]; SET on the key refuses. */
+  def stageUpdateWhere(destDir: String, keyCol: String,
+                       cond: org.apache.spark.sql.Column,
+                       set: Map[String, org.apache.spark.sql.Column],
+                       tag: Option[String] = None): Boolean = {
+    require(set.nonEmpty, "stageUpdateWhere needs SET expressions")
+    require(!set.contains(keyCol),
+      s"cannot SET the merge key '$keyCol': a key rewrite is a " +
+        "delete + insert, not an update")
+    stageMorWhere(destDir, keyCol, cond, tag) { current =>
+      val updated = set.foldLeft(current.filter(cond)) {
+        case (df, (name, expr)) => df.withColumn(name, expr)
+      }
+      (Some(updated), None)
+    }
+  }
+
+  private def stageMorWhere(destDir: String, keyCol: String,
+      cond: org.apache.spark.sql.Column, tag: Option[String])(
+      build: DataFrame => (Option[DataFrame], Option[DataFrame])): Boolean = {
+    require(!done, "transaction already committed or aborted")
+    require(!staged.exists(_.destDir == destDir),
+      s"$destDir is already staged in this transaction (one delta per " +
+        "table per transaction)")
+    val fs = new Path(destDir).getFileSystem(conf)
+    val base = Snapshot.latestVersion(spark, destDir)
+    require(base >= 1,
+      s"stageDeleteWhere/stageUpdateWhere need an existing version " +
+        s"under $destDir")
+    val m = Snapshot.readManifest(spark, destDir, base)
+    Snapshot.prunedCurrentState(spark, destDir, m, base, cond) match {
+      case None => false // no file can hold a match: nothing to enroll
+      case Some(current) =>
+        val (updatesOpt, delKeysOpt) = build(current)
+        Snapshot.morStage(updatesOpt, delKeysOpt, destDir, keyCol, tag,
+            base, skipIfEmpty = true) match {
+          case None => false // zero matching rows: nothing to enroll
+          case Some((uid, content)) =>
+            Snapshot.writeFileAtomic(fs, s"$destDir/manifest/p$uid.txt",
+              s"$destDir/manifest/.tmp_v$uid", content)
+            staged += Staged(destDir, uid, base, content)
+            true
+        }
+    }
+  }
+
   private def stageMor(updatesOpt: Option[DataFrame],
                        delKeysOpt: Option[DataFrame], destDir: String,
                        keyCol: String, tag: Option[String]): Unit = {

@@ -283,6 +283,50 @@ class SnapshotTxnSpec extends SparkSpec {
     ()
   }
 
+  test("stageDeleteWhere/stageUpdateWhere: predicate DML in a txn; no-match enrolls nothing") {
+    val root = tmp("graft-txpw"); val s = tmp("graft-txpws")
+    val d = tmp("graft-txpwd")
+    Snapshot.publishSnapshot(
+      (0L until 20L).map(k => (k, k * 10)).toDF("k", "bal")
+        .repartitionByRange(4, col("k")), s, statsCol = Some("k"))
+    Snapshot.publishSnapshot(kv(100L -> "d0"), d)
+    // predicate delete + append, atomic; pruning rides the stats column
+    val t1 = SnapshotTxn.begin(spark, root)
+    assert(t1.stageDeleteWhere(s, "k", col("k") >= 15L))
+    t1.stageAppend(kv(101L -> "d1"), d)
+    t1.commit()
+    assert(rows(Snapshot.readSnapshot(spark, s, 2).orderBy("k"))
+      .map(_.head) === (0L until 15L))
+    // predicate update with a self-referencing SET, crash after the
+    // commit point: recovery lands both tables
+    val t2 = SnapshotTxn.begin(spark, root)
+    assert(t2.stageUpdateWhere(s, "k", col("k") < 3L,
+      Map("bal" -> (col("bal") + 1L))))
+    t2.stageAppend(kv(102L -> "d2"), d)
+    t2.commitNoFinalize()
+    assert(rows(SnapshotTxn.readLatest(spark, root, s)
+      .filter(col("k") < 3L).orderBy("k")) ===
+      Seq(Seq(0L, 1L), Seq(1L, 11L), Seq(2L, 21L)))
+    assert(Snapshot.latestVersion(spark, d) == 3)
+    // no-match predicates enroll NOTHING: the txn commits the other
+    // table alone, no spurious tombstone version
+    val t3 = SnapshotTxn.begin(spark, root)
+    assert(!t3.stageDeleteWhere(s, "k", col("k") > 9000L))
+    assert(!t3.stageUpdateWhere(s, "k", col("k") > 9000L,
+      Map("bal" -> lit(0L))))
+    t3.stageAppend(kv(103L -> "d3"), d)
+    t3.commit()
+    assert(Snapshot.latestVersion(spark, s) == 3)
+    assert(Snapshot.latestVersion(spark, d) == 4)
+    // SET on the key refuses
+    val t4 = SnapshotTxn.begin(spark, root)
+    intercept[IllegalArgumentException] {
+      t4.stageUpdateWhere(s, "k", col("k") < 2L, Map("k" -> lit(0L)))
+    }
+    t4.abort()
+    ()
+  }
+
   test("asOfTxn: a two-table reader pinned to one txn never observes half a transaction") {
     val root = tmp("graft-txq"); val a = tmp("graft-txqa")
     val b = tmp("graft-txqb")
