@@ -221,7 +221,14 @@ object Snapshot {
         delta0.select((ps.fieldNames ++ newCols).map(col).toSeq: _*)
       case None => delta0
     }
-    commitVersion(delta, destDir, carryForward = true,
+    if (prevManifest.bloom.isDefined && statsCol.isEmpty)
+      // indexed lane: rewritten/new rows land in files with fresh
+      // per-file words (any bloom column is valid under copy-on-write —
+      // whole rows materialize), untouched files keep theirs, the
+      // #bloom header survives the merge
+      commitIndexedDelta(delta, destDir, prevManifest, prev,
+        untouchedEntries, untouchedRows, tag, "mergeSnapshot")
+    else commitVersion(delta, destDir, carryForward = true,
       statsCol = None, tag = tag,
       carriedOverride = Some(untouchedEntries),
       prevManifestOpt = Some(prevManifest),
@@ -271,9 +278,6 @@ object Snapshot {
     val c = m.statsCol.getOrElse(throw new IllegalArgumentException(
       s"replaceSnapshotRange needs a stats column on $destDir " +
         "(publish with statsCol)"))
-    require(m.bloom.isEmpty,
-      s"replaceSnapshotRange does not preserve bloom manifests (v$prev " +
-        s"of $destDir); re-publish with publishSnapshotBloom afterwards")
     require(lo <= hi, s"empty range [$lo, $hi]")
     // the replaceWhere contract (batch ⊆ range, no nulls) is checked by
     // an expression RIDING the committed write itself — never by a
@@ -303,7 +307,11 @@ object Snapshot {
     // disjoint → carry, straddling-or-unknown → rewrite outside rows
     def firstBounds(l: String): Option[(Long, Long)] = {
       val f = l.split("\t")
-      if (f.length >= 4 && f.length % 2 == 0)
+      // an indexed line carries a trailing words field: the stats
+      // arity check must account for it or every file demotes to
+      // Rewrite (correct but O(table) — the pruning IS the operator)
+      val statFields = f.length - 2 - (if (m.bloom.isDefined) 1 else 0)
+      if (statFields >= 2 && statFields % 2 == 0)
         try Some((f(2).toLong, f(3).toLong))
         catch { case _: NumberFormatException => None }
       else None
@@ -355,11 +363,18 @@ object Snapshot {
         delta0.select((ps.fieldNames ++ newCols).map(col).toSeq: _*)
       case None => delta0
     }
-    try commitVersion(delta, destDir, carryForward = true, statsCol = None,
-      carriedOverride = Some(carriedEntries),
-      tag = tag, prevManifestOpt = Some(m), baseVersion = Some(prev),
-      statsColsMulti = m.statsCols, carriedRowsOverride = carriedRows)
-    catch {
+    try {
+      if (m.bloom.isDefined)
+        // indexed lane: replacement + straddle-survivor files get fresh
+        // words, disjoint files keep theirs, the #bloom header survives
+        commitIndexedDelta(delta, destDir, m, prev, carriedEntries,
+          carriedRows, tag, "replaceSnapshotRange")
+      else commitVersion(delta, destDir, carryForward = true,
+        statsCol = None,
+        carriedOverride = Some(carriedEntries),
+        tag = tag, prevManifestOpt = Some(m), baseVersion = Some(prev),
+        statsColsMulti = m.statsCols, carriedRowsOverride = carriedRows)
+    } catch {
       // the riding contract check fired during the delta write: surface
       // the replaceWhere violation as the API's contract exception (the
       // staged partial write is orphaned; vacuumOrphans reclaims it)
@@ -416,7 +431,9 @@ object Snapshot {
     * pre-drop values from old files — the name-based layout's analog of
     * the field-ID problem, solved here by refusal. Dropping a stats or
     * bloom column refuses (their manifest text would desynchronize);
-    * time travel below the drop still reads the full old schema. */
+    * dropping any OTHER column keeps both indexes — files are
+    * untouched, so carried stats and words stay valid. Time travel
+    * below the drop still reads the full old schema. */
   def dropSnapshotColumn(spark: org.apache.spark.sql.SparkSession,
                          destDir: String, colName: String,
                          tag: Option[String] = None): Int = {
@@ -428,9 +445,14 @@ object Snapshot {
       s"dropSnapshotColumn needs an existing version under $destDir")
     val m = readManifest(spark, destDir, prev)
     requireNoTombstones(m, destDir, prev, "dropSnapshotColumn")
-    require(m.bloom.isEmpty,
-      s"dropSnapshotColumn does not preserve bloom manifests (v$prev of " +
-        s"$destDir); reconcile the index after re-publishing")
+    // a metadata-only drop leaves every file byte identical, so carried
+    // per-file bloom words stay valid — the index survives UNLESS the
+    // dropped column IS the indexed one (words over a vanished column
+    // would admit point reads the schema can no longer answer)
+    m.bloom.foreach { case (bc, _, _) => require(bc != colName,
+      s"'$colName' is the bloom column of $destDir — dropping it would " +
+        "orphan the index; re-publish with a different bloom column " +
+        "first") }
     require(!m.statsCols.contains(colName),
       s"'$colName' is a manifest stats column of $destDir — dropping it " +
         "would desynchronize the carried stats text; re-publish with a " +
@@ -448,6 +470,7 @@ object Snapshot {
     val header = Seq(s"#schema=${newSchema.json}") ++
       (if (m.statsCols.isEmpty) Seq.empty
        else Seq(s"#stats=${m.statsCols.mkString(",")}")) ++
+      m.bloom.map { case (bc, mb, kk) => s"#bloom=$bc,$mb,$kk" }.toSeq ++
       tag.map(t => s"#tag=$t").toSeq ++
       Seq(s"#dropped=${droppedSet.mkString(",")}") ++
       // metadata-only commit: the row count is exactly the base's
@@ -2338,7 +2361,10 @@ object Snapshot {
     if (dataFiles.isEmpty)
       return readSnapshot(spark, destDir, v).limit(0).filter(lit(false))
     if (!m.lines.exists(isDeleteLine))
-      spark.read.parquet(dataFiles: _*).filter(col(c) === key)
+      // through the VERSION SCHEMA, not the raw footers: a point read
+      // must not resurrect a dropped column's bytes or miss an evolved
+      // column's null-fill
+      readWithSchema(spark, m.schema, dataFiles).filter(col(c) === key)
     else
       // resolve over the admitting subset only: morResolve is sound on
       // any data subset, and restricting its delete-set read to

@@ -132,6 +132,50 @@ class SnapshotRowsSpec extends SparkSpec {
     }
   }
 
+  test("merge, replaceRange, dropColumn all keep the bloom on an indexed table") {
+    val dest = tmp("graft-blife")
+    val mk = (r: Range) => r.map(k => (k.toLong, s"key$k", s"x$k"))
+      .toDF("k", "name", "extra")
+    Snapshot.publishSnapshotIndexed(
+      mk(0 until 400).repartitionByRange(8, col("k")), dest,
+      Seq("k"), "name")
+    // copy-on-write MERGE: touched file rewritten with fresh words,
+    // untouched carried with theirs
+    val v2 = Snapshot.mergeSnapshot(
+      Seq((7L, "key7", "UPD"), (900L, "key900", "NEW"))
+        .toDF("k", "name", "extra"), dest, "k")
+    assert(v2 == 2)
+    assert(rows(Snapshot.readSnapshotPoint(spark, dest, 2, "key7")) ===
+      Seq(Seq(7L, "key7", "UPD")))
+    assert(rows(Snapshot.readSnapshotPoint(spark, dest, 2, "key900")) ===
+      Seq(Seq(900L, "key900", "NEW")))
+    assert(Snapshot.filesForKey(spark, dest, 2, "key123").size <
+      Snapshot.manifestLines(spark, dest, 2).size)
+    // replaceWhere: in-range files drop/rewrite with fresh words,
+    // disjoint carry theirs; the replaced key reads its NEW row
+    val v3 = Snapshot.replaceSnapshotRange(
+      Seq((100L, "key100", "REPL")).toDF("k", "name", "extra"),
+      dest, 100L, 149L)
+    assert(v3 == 3)
+    assert(rows(Snapshot.readSnapshotPoint(spark, dest, 3, "key100")) ===
+      Seq(Seq(100L, "key100", "REPL")))
+    assert(Snapshot.readSnapshotPoint(spark, dest, 3, "key120").count() == 0)
+    assert(rows(Snapshot.readSnapshotPoint(spark, dest, 3, "key7")) ===
+      Seq(Seq(7L, "key7", "UPD")))
+    // the replace PRUNED: only straddle/in-range files were rewritten
+    // (the arity-aware classifier — a words-blind one rewrites all 8)
+    assert(Snapshot.readSnapshot(spark, dest, 3).count() == 352)
+    // metadata-only column drop keeps the index live
+    val v4 = Snapshot.dropSnapshotColumn(spark, dest, "extra")
+    assert(rows(Snapshot.readSnapshotPoint(spark, dest, 4, "key7")) ===
+      Seq(Seq(7L, "key7")))
+    // dropping the bloom column itself refuses
+    intercept[IllegalArgumentException] {
+      Snapshot.dropSnapshotColumn(spark, dest, "name")
+    }
+    ()
+  }
+
   test("compactSnapshot keeps the bloom: packed files get fresh words, carried keep theirs") {
     val dest = tmp("graft-bcmp")
     val mk = (r: Range) => r.map(k => (k.toLong, s"key$k"))
