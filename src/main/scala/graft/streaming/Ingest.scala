@@ -515,6 +515,7 @@ object Ingest {
                 shape: DataFrame => DataFrame = identity,
                 reconcileEvery: Int = 0,
                 maxFilesPerTrigger: Int = 1,
+                indexed: Boolean = false,
                 trigger: Trigger = Trigger.AvailableNow(),
                 finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
     val S = graft.operators.Snapshot
@@ -526,7 +527,7 @@ object Ingest {
       .writeStream.option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         applyMorBatch(shape(batch.toDF()), destDir, batchId, keyCol,
-          reconcileEvery)
+          reconcileEvery, indexed)
       }
       .trigger(trigger).start()
     finish(q)
@@ -575,16 +576,26 @@ object Ingest {
     * replay of an already-committed batch skips without writing. */
   private[graft] def applyMorBatch(out: DataFrame, destDir: String,
                                    batchId: Long, keyCol: String,
-                                   reconcileEvery: Int = 0): Unit = {
+                                   reconcileEvery: Int = 0,
+                                   indexed: Boolean = false): Unit = {
     val S = graft.operators.Snapshot
     val spark = out.sparkSession
     val latest = S.latestVersion(spark, destDir)
     val already = latest >= 1 &&
       S.versionTag(spark, destDir, latest).contains(s"batch=$batchId")
     if (!already) {
-      if (latest == 0)
-        S.publishSnapshot(out, destDir, tag = Some(s"batch=$batchId"))
-      else
+      if (latest == 0) {
+        // `indexed` births the table with a key bloom: every later MoR
+        // commit carries the index (morStage words the batch files) and
+        // the periodic reconcile preserves it — the streamed table
+        // answers readSnapshotPoint at ANY point in its life
+        if (indexed)
+          S.publishSnapshotIndexed(out, destDir, Nil, keyCol,
+            tag = Some(s"batch=$batchId"))
+        else
+          S.publishSnapshot(out, destDir, tag = Some(s"batch=$batchId"))
+        ()
+      } else
         S.mergeSnapshotMoR(out, destDir, keyCol,
           tag = Some(s"batch=$batchId"))
       if (reconcileEvery > 0 && (batchId + 1) % reconcileEvery == 0) {

@@ -181,6 +181,31 @@ class SnapshotMorSpec extends SparkSpec {
     ()
   }
 
+  test("indexed streaming MoR producer: point reads live at every batch, through reconcile") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-morsi").toString
+    import graft.streaming.Ingest
+    Ingest.applyMorBatch(kv(1L -> "a", 2L -> "b"), dest, 0L, "k",
+      indexed = true)
+    assert(rows(Snapshot.readSnapshotPoint(spark, dest, 1, "2")) ===
+      Seq(Seq(2L, "b")))
+    Ingest.applyMorBatch(kv(2L -> "B", 3L -> "c"), dest, 1L, "k",
+      indexed = true)
+    // mid-stream, live tombstones: the upsert wins, inserts found
+    assert(rows(Snapshot.readSnapshotPoint(spark, dest, 2, "2")) ===
+      Seq(Seq(2L, "B")))
+    assert(rows(Snapshot.readSnapshotPoint(spark, dest, 2, "3")) ===
+      Seq(Seq(3L, "c")))
+    // reconcile cycle preserves the index
+    Ingest.applyMorBatch(kv(1L -> "A2"), dest, 2L, "k",
+      reconcileEvery = 3, indexed = true)
+    val v = Snapshot.latestVersion(spark, dest)
+    assert(!Snapshot.manifestLines(spark, dest, v).exists(_.startsWith("!")))
+    assert(rows(Snapshot.readSnapshotPoint(spark, dest, v, "1")) ===
+      Seq(Seq(1L, "A2")))
+    assert(Snapshot.readSnapshotPoint(spark, dest, v, "9").count() == 0)
+    ()
+  }
+
   test("bloom survives keyed MoR commits: point lookups resolve live tombstones") {
     val dest = java.nio.file.Files.createTempDirectory("graft-morb").toString
     val base = (0L until 400L).map(k => (k, s"n$k")).toDF("k", "v")
