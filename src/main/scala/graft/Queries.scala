@@ -6364,7 +6364,7 @@ object Queries {
   private val TxnMorDatasets = s"$FixtureRoot/txnmdatasets"
   private val TxnMorTags = s"$FixtureRoot/txnmtags"
 
-  def txnMorQ(s: SparkSession, dir: String): DataFrame = {
+  private def ensureTxnMorFixture(s: SparkSession, dir: String): Unit = {
     val T = graft.operators.SnapshotTxn
     publishOnce(TxnMorRoot, dir) {
       Seq(TxnMorRoot, TxnMorSamples, TxnMorDatasets, TxnMorTags)
@@ -6401,6 +6401,11 @@ object Queries {
       t3.commitNoFinalize() // "crash" after the atomic commit point
       ()
     }
+  }
+
+  def txnMorQ(s: SparkSession, dir: String): DataFrame = {
+    val T = graft.operators.SnapshotTxn
+    ensureTxnMorFixture(s, dir)
     val k = T.latestTxn(s, TxnMorRoot)
     val samples = T.readAsOfTxn(s, TxnMorRoot, k, TxnMorSamples)
     val datasets = T.readAsOfTxn(s, TxnMorRoot, k, TxnMorDatasets)
@@ -6433,6 +6438,72 @@ object Queries {
       |  SELECT 'tags', CAST(count(*) AS BIGINT),
       |         CAST(sum(sid) AS BIGINT) FROM c WHERE sid % 3 <> 0
       |) ORDER BY tbl""".stripMargin
+
+  // ------------------------------------------------------- Q-txn-cdc
+  // TRANSACTION-CONSISTENT CDC (SnapshotTxnCdc.pump): a consumer
+  // follows the q_txn_mor fixture's txn LOG in one-txn windows and
+  // receives every enrolled table's change events TOGETHER — window 1
+  // bootstraps samples+datasets (full state at their txn-1 versions,
+  // as inserts), window 2 delivers the %7 upsert postimages, the
+  // dataset appends, and tags' late-enrollment bootstrap (its full
+  // post-delete state). The poison txn (crashed before its commit
+  // point) is invisible; the crashed-AFTER-commit-point txn is rolled
+  // forward by the pump's bundled recovery and delivered. Output: one
+  // row per (window, table) with event count, delete-event count, and
+  // a value checksum. ORACLE replays the exact windows from the seed.
+  def txnCdcQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ensureTxnMorFixture(s, dir)
+    val ckp = s"$FixtureRoot/txncdcckp"
+    wipeDir(ckp)
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, Long, Long, Long)]
+    graft.operators.SnapshotTxnCdc.pump(s, TxnMorRoot, ckp,
+        maxTxnsPerBatch = 1) { d =>
+      d.tables.toSeq.sortBy(_._1).foreach { case (t, ev) =>
+        val tbl = t.split("/").last.stripPrefix("txnm")
+        val valueCol =
+          if (tbl == "tags") col("sid") else col("cents")
+        val r = ev.agg(
+          count(lit(1)),
+          count(when(col("_change_type") === "delete", lit(1))),
+          sum(when(col("_change_type") =!= "delete", valueCol))).head()
+        out += ((d.toTxn, tbl, r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2)))
+      }
+    }
+    out.toSeq.toDF("txn", "tbl", "n_events", "n_del", "s")
+      .orderBy("txn", "tbl")
+  }
+
+  private val txnCdcSql =
+    """WITH c AS (SELECT c_custkey AS sid,
+      |                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |           FROM customer),
+      |smp1 AS (SELECT sid, CASE WHEN sid % 10 = 0 THEN cents + 1000
+      |                          ELSE cents END AS cents FROM c),
+      |d AS (SELECT o_orderkey AS did,
+      |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |      FROM orders)
+      |SELECT txn, tbl, n_events, n_del, s FROM (
+      |  SELECT 1 AS txn, 'datasets' AS tbl,
+      |         CAST(count(*) AS BIGINT) AS n_events,
+      |         CAST(0 AS BIGINT) AS n_del,
+      |         CAST(sum(cents) AS BIGINT) AS s
+      |  FROM d WHERE did % 3 IN (0, 1)
+      |  UNION ALL
+      |  SELECT 1, 'samples', CAST(count(*) AS BIGINT), 0,
+      |         CAST(sum(cents) AS BIGINT) FROM smp1
+      |  UNION ALL
+      |  SELECT 2, 'datasets', CAST(count(*) AS BIGINT), 0,
+      |         CAST(sum(cents) AS BIGINT) FROM d WHERE did % 3 = 2
+      |  UNION ALL
+      |  SELECT 2, 'samples', CAST(count(*) AS BIGINT), 0,
+      |         CAST(sum(cents * 2) AS BIGINT) FROM c WHERE sid % 7 = 0
+      |  UNION ALL
+      |  SELECT 2, 'tags', CAST(count(*) AS BIGINT), 0,
+      |         CAST(sum(sid) AS BIGINT) FROM c WHERE sid % 3 <> 0
+      |) ORDER BY txn, tbl""".stripMargin
 
   // ------------------------------------------------------ Q-snappoint-mor
   // MoR-AWARE POINT LOOKUPS (readSnapshotPoint over a live upsert log —
@@ -10583,6 +10654,7 @@ object Queries {
     "q_snapmor_upd" -> (snapMorUpdQ _),
     "q_txn" -> (txnQ _),
     "q_txn_mor" -> (txnMorQ _),
+    "q_txn_cdc" -> (txnCdcQ _),
     "q_stream_cdc" -> (streamCdcQ _),
     "q_wap" -> (wapQ _),
     "q_cdf" -> (cdfQ _),
@@ -10826,6 +10898,7 @@ object Queries {
     "q_snapmor_upd" -> snapMorUpdSql,
     "q_txn" -> txnSql,
     "q_txn_mor" -> txnMorSql,
+    "q_txn_cdc" -> txnCdcSql,
     "q_stream_cdc" -> streamCdcSql,
     "q_wap" -> wapSql,
     "q_cdf" -> cdfSql,

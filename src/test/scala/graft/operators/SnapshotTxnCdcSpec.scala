@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Transaction-consistent CDC (SnapshotTxnCdc): per-txn windows hand
+  * every enrolled table's change events together, so an applier's
+  * derived state always equals a txn-consistent snapshot — never half
+  * a transaction — and crash replay is verbatim.
+  */
+class SnapshotTxnCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(pfx: String) =
+    java.nio.file.Files.createTempDirectory(pfx).toString
+
+  private def kv(rows: (Long, String)*) = rows.toSeq.toDF("k", "v")
+
+  /** Replay a table's change events (ordered by commit version) into a
+    * driver-side map — the reference applier. */
+  private def apply1(state: scala.collection.mutable.Map[Long, String],
+                     df: org.apache.spark.sql.DataFrame): Unit =
+    df.orderBy("_commit_version").collect().foreach { r =>
+      val k = r.getLong(r.fieldIndex("k"))
+      r.getString(r.fieldIndex("_change_type")) match {
+        case "delete" => state.remove(k); ()
+        case _ => state(k) = r.getString(r.fieldIndex("v"))
+      }
+    }
+
+  test("per-txn windows: applier state == asOfTxn snapshot after every window; replay verbatim") {
+    val root = tmp("graft-tcdc"); val ckp = tmp("graft-tcdc-c")
+    val a = tmp("graft-tcdc-a"); val b = tmp("graft-tcdc-b")
+    Snapshot.publishSnapshot(kv(1L -> "a1"), a)
+    Snapshot.publishSnapshot(kv(1L -> "b1"), b)
+    // txn1: appends to both; txn2: MoR upsert on A + append on B;
+    // txn3: MoR keyed delete on A alone
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stageAppend(kv(2L -> "a2"), a); t1.stageAppend(kv(2L -> "b2"), b)
+    t1.commit()
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageMerge(kv(1L -> "A1x", 3L -> "a3"), a, "k")
+    t2.stageAppend(kv(3L -> "b3"), b)
+    t2.commit()
+    val t3 = SnapshotTxn.begin(spark, root)
+    t3.stageDelete(Seq(2L).toDF("k"), a, "k")
+    t3.stageAppend(kv(4L -> "b4"), b)
+    t3.commitNoFinalize() // crashed committer: CDC must still see it
+    val sa = scala.collection.mutable.Map.empty[Long, String]
+    val sb = scala.collection.mutable.Map.empty[Long, String]
+    val seen = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+    val n = SnapshotTxnCdc.pump(spark, root, ckp, maxTxnsPerBatch = 1) {
+      d =>
+        seen += ((d.fromTxn, d.toTxn))
+        d.tables.get(a).foreach(apply1(sa, _))
+        d.tables.get(b).foreach(apply1(sb, _))
+        // CONSISTENCY: after each window the applier equals the
+        // txn-consistent snapshot of BOTH tables — never half a txn
+        val vs = SnapshotTxn.asOfTxn(spark, root, d.toTxn)
+        def snap(t: String) = Snapshot.readSnapshot(spark, t, vs(t))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(sa.toMap === snap(a), s"A diverged at txn ${d.toTxn}")
+        assert(sb.toMap === snap(b), s"B diverged at txn ${d.toTxn}")
+    }
+    assert(n == 3 && seen.toList === List((0, 1), (1, 2), (2, 3)))
+    assert(sa.toMap === Map(1L -> "A1x", 3L -> "a3"))
+    assert(sb.toMap ===
+      Map(1L -> "b1", 2L -> "b2", 3L -> "b3", 4L -> "b4"))
+    // nothing new: no windows
+    assert(SnapshotTxnCdc.pump(spark, root, ckp)(_ =>
+      fail("no new txns")) == 0)
+    // REPLAY: rewind the watermark to 1 (crash after window 1's
+    // advance) — windows 2 and 3 replay verbatim, applier converges to
+    // the same state
+    val fs = new org.apache.hadoop.fs.Path(ckp).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    Snapshot.writeFileAtomic(fs, s"$ckp/applied-txn",
+      s"$ckp/.applied-txn.tmp", Seq("1"))
+    sa.clear(); sb.clear()
+    sa ++= Map(1L -> "a1", 2L -> "a2"); sb ++= Map(1L -> "b1", 2L -> "b2")
+    assert(SnapshotTxnCdc.pump(spark, root, ckp, maxTxnsPerBatch = 1) {
+      d =>
+        d.tables.get(a).foreach(apply1(sa, _))
+        d.tables.get(b).foreach(apply1(sb, _))
+    } == 2)
+    assert(sa.toMap === Map(1L -> "A1x", 3L -> "a3"))
+    assert(sb.toMap ===
+      Map(1L -> "b1", 2L -> "b2", 3L -> "b3", 4L -> "b4"))
+    ()
+  }
+
+  test("late-enrolled table bootstraps as full-state inserts; untouched tables absent") {
+    val root = tmp("graft-tcdc2"); val ckp = tmp("graft-tcdc2-c")
+    val a = tmp("graft-tcdc2-a"); val c = tmp("graft-tcdc2-c2")
+    Snapshot.publishSnapshot(kv(1L -> "a1"), a)
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stageAppend(kv(2L -> "a2"), a); t1.commit()
+    // consumer catches up through txn 1
+    assert(SnapshotTxnCdc.pump(spark, root, ckp)(_ => ()) == 1)
+    // table C existed all along but enrolls only in txn 2
+    Snapshot.publishSnapshot(kv(7L -> "c-pre"), c)
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageAppend(kv(8L -> "c8"), c); t2.commit()
+    var got: Option[SnapshotTxnCdc.TxnDelta] = None
+    assert(SnapshotTxnCdc.pump(spark, root, ckp) { d => got = Some(d) } == 1)
+    val d = got.get
+    // A did not move in txn 2: absent from the delta
+    assert(!d.tables.contains(a))
+    // C bootstraps with its FULL state (pre-txn rows included)
+    val ev = d.tables(c).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(r.fieldIndex("_change_type")))).toSet
+    assert(ev === Set((7L, "c-pre", "insert"), (8L, "c8", "insert")))
+    ()
+  }
+}
