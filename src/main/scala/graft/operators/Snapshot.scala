@@ -2225,6 +2225,13 @@ object Snapshot {
     val fs = new Path(destDir).getFileSystem(conf)
     val (bloomCol, mBits, k) = bloomParams(m, destDir, base)
     val statsCols = m.statsCols
+    // the dropped-name fence rides EVERY carry-forward commit (same
+    // resurrection hazard as commitVersion: a delta re-stating a
+    // dropped name would surface old files' bytes on carried rows)
+    val resurrected = df.columns.filter(m.droppedCols)
+    require(resurrected.isEmpty,
+      s"column(s) ${resurrected.mkString(", ")} were DROPPED from " +
+        s"$destDir and cannot be re-added by $op")
     val uid = claimStagingId(fs, destDir, base + 1)
     val dataDir = new Path(s"$destDir/data/v$uid")
     df.write.mode("overwrite").parquet(dataDir.toString)

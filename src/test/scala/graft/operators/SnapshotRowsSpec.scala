@@ -173,6 +173,11 @@ class SnapshotRowsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Snapshot.dropSnapshotColumn(spark, dest, "name")
     }
+    // the dropped-name fence rides the indexed merge lane too
+    intercept[IllegalArgumentException] {
+      Snapshot.mergeSnapshot(
+        Seq((1L, "key1", "zombie")).toDF("k", "name", "extra"), dest, "k")
+    }
     ()
   }
 
