@@ -66,6 +66,7 @@ object StateRehearsal {
       case "morscale" => morscale(spark, work)
       case "txnscale" => txnscale(spark, work)
       case "txnlogscale" => txnlogscale(spark, work)
+      case "pointscale" => pointscale(spark, work)
       case "dmlscale" => dmlscale(spark, work)
       case "annrecall" => annrecall(spark)
     }
@@ -450,6 +451,66 @@ object StateRehearsal {
       cell("txnlogscale", "txns" -> n,
         "cold_catchup_sec" -> coldSec, "warm_read_sec" -> warmSec,
         "steady_read_sec" -> steadySec)
+    }
+  }
+
+  /** MoR-aware point lookups at file-count scale. The 100 TB design
+    * rule under test: FILE SIZE (keys per file) is held constant and
+    * the table grows by file COUNT, with each file's bloom sized to
+    * its keys (~13 bits/key here) — then a point read opens O(1)
+    * admitting files at ANY table size, and the live upsert/delete log
+    * adds only its own batch-sized generations. A bloom SMALLER than
+    * its file saturates (nearly every file admits — measured and
+    * reported as the anti-pattern cell) — per-file mBits is a
+    * keys-per-file decision, not a table-size one. */
+  private def pointscale(spark: SparkSession, work: String): Unit = {
+    import graft.operators.Snapshot
+    val keysPerFile = 2500L
+    for (files <- Seq(8, 800)) {
+      val rows = keysPerFile * files
+      val dest = s"$work/point_$files"
+      Snapshot.publishSnapshotIndexed(
+        spark.range(rows).select(col("id").as("k"),
+            lpad(lit("x"), 64, "x").as("payload"))
+          .repartitionByRange(files, col("k")),
+        dest, Seq("k"), "k", mBits = 32760, k = 4)
+      // a 200-key upsert + a 100-key delete, log left UNreconciled
+      Snapshot.mergeSnapshotMoR(
+        spark.range(200L).select((col("id") * (rows / 211L)).as("k"),
+          lit("upd").as("payload")), dest, "k")
+      Snapshot.deleteSnapshotMoR(
+        spark.range(100L).select((col("id") * (rows / 101L) + 1L).as("k")),
+        dest, "k")
+      def look(key: Long): Double = {
+        val (_, s) = time(
+          Snapshot.readSnapshotPoint(spark, dest, 3, key.toString)
+            .queryExecution.toRdd.count())
+        s
+      }
+      look(12347L) // warm the reader path
+      val m = Snapshot.manifestLines(spark, dest, 3).size
+      cell("pointscale", "files" -> m, "rows" -> rows,
+        "base_key_sec" -> look(rows / 3 + 7),
+        "upserted_key_sec" -> look((rows / 211L) * 7),
+        "deleted_key_sec" -> look((rows / 101L) * 9 + 1))
+    }
+    // the ANTI-PATTERN cell: same 800-file table, bloom 13× too small
+    // for its files — saturation admits ~everything and the lookup
+    // degrades toward a full scan (the r13 default-parameter trap)
+    locally {
+      val files = 800
+      val rows = keysPerFile * files
+      val dest = s"$work/point_sat"
+      Snapshot.publishSnapshotIndexed(
+        spark.range(rows).select(col("id").as("k"),
+            lpad(lit("x"), 64, "x").as("payload"))
+          .repartitionByRange(files, col("k")),
+        dest, Seq("k"), "k") // default mBits = 4032: ~1.6 bits/key
+      val (_, s) = time(
+        Snapshot.readSnapshotPoint(spark, dest, 1, (rows / 3 + 7).toString)
+          .queryExecution.toRdd.count())
+      cell("pointscale_saturated", "files" -> files,
+        "lookup_sec" -> s)
     }
   }
 
