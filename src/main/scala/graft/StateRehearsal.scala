@@ -496,7 +496,9 @@ object StateRehearsal {
     }
     // the ANTI-PATTERN cell: same 800-file table, bloom 13× too small
     // for its files — saturation admits ~everything and the lookup
-    // degrades toward a full scan (the r13 default-parameter trap)
+    // degrades toward a full scan. (The publish DEFAULT is now
+    // auto-sized to the largest file, so hitting this requires an
+    // explicit undersized mBits — exactly what this cell passes.)
     locally {
       val files = 800
       val rows = keysPerFile * files
@@ -505,7 +507,7 @@ object StateRehearsal {
         spark.range(rows).select(col("id").as("k"),
             lpad(lit("x"), 64, "x").as("payload"))
           .repartitionByRange(files, col("k")),
-        dest, Seq("k"), "k") // default mBits = 4032: ~1.6 bits/key
+        dest, Seq("k"), "k", mBits = 4032) // ~1.6 bits/key: saturated
       val (_, s) = time(
         Snapshot.readSnapshotPoint(spark, dest, 1, (rows / 3 + 7).toString)
           .queryExecution.toRdd.count())

@@ -2043,7 +2043,7 @@ object Snapshot {
     * measured 105 s at 800 files in the r10 StateRehearsal, i.e. hours
     * at real manifest sizes.) */
   def publishSnapshotBloom(df: DataFrame, destDir: String, keyCol: String,
-                           mBits: Int = 63 * 64, k: Int = 4): Int =
+                           mBits: Int = 0, k: Int = 4): Int =
     publishSnapshotIndexed(df, destDir, Nil, keyCol, mBits, k)
 
   /** Per-file bloom words over `keyCol` for every part file under
@@ -2091,7 +2091,7 @@ object Snapshot {
     * [[commitVersion]]); re-publish through this entry to restore. */
   def publishSnapshotIndexed(df: DataFrame, destDir: String,
                              statsCols: Seq[String], bloomCol: String,
-                             mBits: Int = 63 * 64, k: Int = 4,
+                             mBits: Int = 0, k: Int = 4,
                              tag: Option[String] = None): Int = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
@@ -2102,18 +2102,39 @@ object Snapshot {
     val uid = claimStagingId(fs, destDir, latestVersion(spark, destDir) + 1)
     val dataDir = new Path(s"$destDir/data/v$uid")
     df.write.mode("overwrite").parquet(dataDir.toString)
-    val words = perFileBloomWords(spark, dataDir.toString, bloomCol,
-      mBits, k)
-    val nWords = (mBits + Sketches.BloomWordBits - 1) / Sketches.BloomWordBits
-    val empty = Array.fill(nWords)(0L).mkString(",")
     import scala.collection.parallel.CollectionConverters._
-    val linesAndRows = fs.listStatus(dataDir)
+    val parts = fs.listStatus(dataDir)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .map(_.getPath).sortBy(_.getName).par
+      .map(_.getPath).sortBy(_.getName)
+    val fileStats: Map[String, (Long, Array[(Long, Long)])] =
+      parts.par.map(p => p.getName -> footerStats(conf, p, statsCols))
+        .seq.toMap
+    // mBits = 0 (the default) AUTO-SIZES the bitmap to the LARGEST
+    // file: ~13 bits per row gives ~1% false positives at k=4, so the
+    // skip quality is a property of the keys-per-file design choice,
+    // not of a fixed constant that silently saturates on realistically
+    // sized files (a saturated bloom admits everything — pointscale's
+    // anti-pattern cell measures the degradation). Capped so a single
+    // manifest line stays tens of KB: files beyond ~20k rows keep a
+    // weaker bloom — size files down or pass mBits explicitly. The
+    // resolved value rides the #bloom header; probes always read it
+    // from there, so auto and explicit tables interoperate.
+    val mBitsResolved: Int =
+      if (mBits > 0) mBits
+      else {
+        val maxRows = fileStats.values.map(_._1).foldLeft(0L)(math.max)
+        math.min(math.max(4032L, maxRows * 13L), 262144L).toInt
+      }
+    val words = perFileBloomWords(spark, dataDir.toString, bloomCol,
+      mBitsResolved, k)
+    val nWords =
+      (mBitsResolved + Sketches.BloomWordBits - 1) / Sketches.BloomWordBits
+    val empty = Array.fill(nWords)(0L).mkString(",")
+    val linesAndRows = parts.par
       .map { p =>
         val rel = s"data/v$uid/${p.getName}"
         val w = words.getOrElse(p.getName, empty)
-        val (rows, mm) = footerStats(conf, p, statsCols)
+        val (rows, mm) = fileStats(p.getName)
         val statsTxt =
           if (statsCols.isEmpty) None
           else {
@@ -2137,7 +2158,7 @@ object Snapshot {
     val header = schemaHeader +:
       ((if (statsCols.isEmpty) Seq.empty
         else Seq(s"#stats=${statsCols.mkString(",")}")) ++
-        Seq(s"#bloom=$bloomCol,$mBits,$k") ++
+        Seq(s"#bloom=$bloomCol,$mBitsResolved,$k") ++
         tag.map(t => s"#tag=$t").toSeq ++
         Seq(s"#rows=${linesAndRows.map(_._2).sum}"))
     writeFileAtomic(fs, s"$destDir/manifest/d$uid.txt",
