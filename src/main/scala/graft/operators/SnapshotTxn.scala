@@ -67,6 +67,10 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
   private val staged = scala.collection.mutable.ListBuffer.empty[Staged]
   private var done = false
 
+  /** Has any table been staged yet? (A streaming producer skips the
+    * commit of an empty micro-batch — committing nothing is invalid.) */
+  def hasStaged: Boolean = staged.nonEmpty
+
   private def conf = spark.sessionState.newHadoopConf()
 
   /** Stage a full PUBLISH of `df` as `destDir`'s next version (fresh
@@ -326,10 +330,15 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
   /** Commit every staged table atomically. Returns table → committed
     * version. Aborts the WHOLE transaction with
     * [[Snapshot.ConcurrentSnapshotUpdate]] if any table advanced past
-    * its staged base (retry: restage against fresh bases). */
-  def commit(): Map[String, Int] = {
+    * its staged base (retry: restage against fresh bases). `tag` rides
+    * the TXN MANIFEST itself (whose publish IS the commit point), so
+    * "did transaction t commit with tag x" is an atomic question —
+    * what lets a streaming producer make commit-per-micro-batch
+    * exactly-once ([[graft.streaming.Ingest.txnStream]]'s replay
+    * guard, the [[Snapshot.versionTag]] pattern lifted to the log). */
+  def commit(tag: Option[String] = None): Map[String, Int] = {
     val out = staged.map(s => s.destDir -> (s.base + 1)).toMap
-    commitPoint(finalize = true)
+    commitPoint(finalize = true, tag = tag)
     out
   }
 
@@ -337,19 +346,32 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
     * SKIPS finalization, simulating a committer that died right after
     * the commit point. Kill-injection seam for the recovery specs;
     * production code calls [[commit]]. */
-  private[graft] def commitNoFinalize(): Int =
-    commitPoint(finalize = false)
+  private[graft] def commitNoFinalize(tag: Option[String] = None): Int =
+    commitPoint(finalize = false, tag = tag)
+
+  /** [[commit]] WITHOUT the entry recovery pass — the kill-injection
+    * seam for the recovered-through watermark's soundness: it simulates
+    * a committer whose entry recover ran BEFORE a racing commit landed
+    * (the recover outside the locks). The guarded advance below must
+    * then leave the marker BEHIND the unfinalized txn rather than
+    * burying it. Specs only; production code calls [[commit]]. */
+  private[graft] def commitNoEntryRecover(): Map[String, Int] = {
+    val out = staged.map(s => s.destDir -> (s.base + 1)).toMap
+    commitPoint(finalize = true, entryRecover = false)
+    out
+  }
 
   private def qualified(d: String): String =
     new Path(d).getFileSystem(conf).makeQualified(new Path(d)).toString
 
-  private def commitPoint(finalize: Boolean): Int = {
+  private def commitPoint(finalize: Boolean, tag: Option[String] = None,
+                          entryRecover: Boolean = true): Int = {
     require(!done, "transaction already committed or aborted")
     require(staged.nonEmpty, "nothing staged")
     val rootFs = new Path(txnRoot).getFileSystem(conf)
     // roll forward earlier committed txns first: latestVersion of an
     // enrolled table is only meaningful once pending finalizations land
-    SnapshotTxn.recover(spark, txnRoot)
+    if (entryRecover) SnapshotTxn.recover(spark, txnRoot)
     val lockKeys = staged.map(s => qualified(s.destDir)).toSeq :+
       qualified(txnRoot)
     Snapshot.withCommitLocks(lockKeys) {
@@ -374,14 +396,19 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
       }
       val lines = staged.map(s =>
         s"${s.destDir}\t${s.uid}\t${s.base + 1}").toSeq
+      // slots come off latestTxn, NOT the raw manifest listing: after a
+      // full-log vacuum the listing reads 0 and a listing-based slot
+      // would RE-USE a pruned txn id (the marker/snapshot floor in
+      // latestTxn is what keeps txn ids monotone across pruning)
       val id = Snapshot.claimStagingId(rootFs, txnRoot,
-        Snapshot.latestVersion(spark, txnRoot) + 1)
+        SnapshotTxn.latestTxn(spark, txnRoot) + 1)
       // THE commit point: one atomic file publish into the txn log
       // (the log is a manifest-versioned dir, so this is the same
       // claim + link/rename CAS as every table commit)
-      var slot = Snapshot.latestVersion(spark, txnRoot) + 1
+      var slot = SnapshotTxn.latestTxn(spark, txnRoot) + 1
       while (!Snapshot.tryCommitManifest(rootFs, txnRoot, slot, id,
-          Seq(s"#txn=${staged.length}") ++ lines))
+          Seq(s"#txn=${staged.length}") ++
+            tag.map(t => s"#tag=$t").toSeq ++ lines))
         slot += 1
       done = true
       // finalize UNDER the same locks: no same-driver writer can slip a
@@ -389,9 +416,18 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
       // landing (the cross-crash window is recover()'s job)
       if (finalize) {
         SnapshotTxn.finalizeCommitted(spark, txnRoot, slot)
-        // recover() ran above, so every earlier txn is final too: this
-        // commit is the new recovered-through high-water mark
-        SnapshotTxn.advanceRecovered(spark, rootFs, txnRoot, slot)
+        // GUARDED advance: the entry recover ran OUTSIDE these locks, so
+        // a txn that committed in between — and whose own finalize then
+        // failed (transient FS error, stolen slot on one table) — may
+        // sit unfinalized BELOW this slot. Advancing past it would bury
+        // it under the marker forever (recover never rescans below the
+        // marker; readLatest would silently miss its versions). Advance
+        // only through a verified-contiguous finalized prefix: the
+        // marker must already stand at slot - 1. When it doesn't, leave
+        // it — the next recover() rescans from the marker, rolls the
+        // straggler forward, and catches the marker up.
+        if (SnapshotTxn.recoveredThrough(spark, txnRoot) == slot - 1)
+          SnapshotTxn.advanceRecovered(spark, rootFs, txnRoot, slot)
       }
       slot
     }
@@ -487,13 +523,23 @@ object SnapshotTxn {
   def asOfTxn(spark: SparkSession, txnRoot: String, k: Int,
               sinceTxn: Int = 0,
               prefix: Map[String, Int] = Map.empty): Map[String, Int] = {
-    val latest = Snapshot.latestVersion(spark, txnRoot)
+    val latest = latestTxn(spark, txnRoot)
     require(k >= 1 && k <= latest,
       s"txn $k does not exist in $txnRoot (committed txns: 1..$latest)")
     recover(spark, txnRoot) // versions through k must be finalized
     val rootFs = new Path(txnRoot).getFileSystem(
       spark.sessionState.newHadoopConf())
-    ((sinceTxn + 1) to k).foldLeft(prefix) { (acc, i) =>
+    // a caller with no cached prefix starts from the log's own FOLD
+    // SNAPSHOT when one covers the range ([[vacuumTxnLog]] writes the
+    // (table → version) fold of everything it prunes): the fold cost
+    // becomes O(txns since the last vacuum) instead of O(all txns ever),
+    // and a PRUNED prefix stops being fatal — snapshots through any
+    // retained txn keep resolving after vacuum
+    val (from0, pre0) =
+      if (sinceTxn > 0 || prefix.nonEmpty) (sinceTxn, prefix)
+      else foldSnapshot(rootFs, txnRoot, k)
+        .getOrElse((sinceTxn, prefix))
+    ((from0 + 1) to k).foldLeft(pre0) { (acc, i) =>
       require(rootFs.exists(new Path(s"$txnRoot/manifest/v$i.txt")),
         s"txn $i of $txnRoot was pruned by vacuumTxnLog — a " +
           s"txn-consistent snapshot through txn $k cannot be resolved " +
@@ -511,9 +557,21 @@ object SnapshotTxn {
 
   /** The newest committed transaction id (0 when none) — the `k` a
     * consistent multi-table reader pins before resolving tables via
-    * [[asOfTxn]]/[[readAsOfTxn]]. */
-  def latestTxn(spark: SparkSession, txnRoot: String): Int =
-    Snapshot.latestVersion(spark, txnRoot)
+    * [[asOfTxn]]/[[readAsOfTxn]]. Pruning-proof: after
+    * [[vacuumTxnLog]] removed manifests, the listing alone can UNDER-
+    * report (to zero, when everything finalized was pruned) — and a
+    * commit assigning ids off that listing would RE-USE pruned txn
+    * ids, corrupting the log's monotone-id invariant. The
+    * recovered-through marker and the vacuum fold snapshot both
+    * survive pruning and lower-bound the true head, so the head is
+    * the max of all three. */
+  def latestTxn(spark: SparkSession, txnRoot: String): Int = {
+    val rootFs = new Path(txnRoot).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    math.max(Snapshot.latestVersion(spark, txnRoot),
+      math.max(recoveredThrough(spark, txnRoot),
+        snapshotIds(rootFs, txnRoot).headOption.getOrElse(0)))
+  }
 
   /** PRUNE the transaction log: delete txn manifests below `keepFrom`.
     * Bounds the cold catch-up scan a fresh driver pays on an old log
@@ -521,24 +579,84 @@ object SnapshotTxn {
     * marker) and the [[asOfTxn]] fold. Only FULLY-FINALIZED txns may
     * go — `keepFrom` is capped at recovered-through + 1, so a
     * committed-but-unrecovered txn can never lose the manifest its
-    * roll-forward needs (the txn retention contract). After pruning,
-    * [[asOfTxn]] for a pruned id refuses with the standard
-    * missing-version error rather than resolving a wrong snapshot —
-    * the same deal table vacuum offers time travel. Returns the number
-    * of manifests removed. */
+    * roll-forward needs (the txn retention contract).
+    *
+    * Before anything is deleted, the (table → version) FOLD of the
+    * pruned prefix is persisted as `manifest/snap_<k>.txt` (k = the
+    * last pruned txn) under the log's commit lock — so [[asOfTxn]] of
+    * any RETAINED txn keeps resolving (it starts from the snapshot and
+    * folds only retained manifests), and incremental consumers
+    * ([[SnapshotTxnCdc]]) survive pruning even on a cold bootstrap.
+    * Only txns BELOW the oldest snapshot become unresolvable — the
+    * same deal table vacuum offers time travel. Returns the number of
+    * manifests removed. */
   def vacuumTxnLog(spark: SparkSession, txnRoot: String,
                    keepFrom: Int): Int = {
     require(keepFrom >= 1, s"keepFrom must be >= 1 (got $keepFrom)")
     val conf = spark.sessionState.newHadoopConf()
     val rootFs = new Path(txnRoot).getFileSystem(conf)
     val safe = math.min(keepFrom, recoveredThrough(spark, txnRoot) + 1)
+    if (safe <= 1) return 0
+    // the fold of txns 1..safe-1, computed while their manifests still
+    // exist (asOfTxn itself resumes from any OLDER snapshot, so chained
+    // vacuums each fold only their own increment)
+    val folded = asOfTxn(spark, txnRoot, safe - 1)
     Snapshot.withCommitLocks(Seq(
         rootFs.makeQualified(new Path(txnRoot)).toString)) {
-      (1 until safe).count { k =>
+      Snapshot.writeFileAtomic(rootFs, s"$txnRoot/manifest/snap_${safe - 1}.txt",
+        s"$txnRoot/manifest/.snap_tmp",
+        folded.toSeq.sortBy(_._1).map { case (t, v) => s"$t\t$v" })
+      val n = (1 until safe).count { k =>
         rootFs.delete(new Path(s"$txnRoot/manifest/v$k.txt"), false)
       }
+      // older snapshots are subsumed by the one just written
+      snapshotIds(rootFs, txnRoot).filter(_ < safe - 1).foreach { k =>
+        rootFs.delete(new Path(s"$txnRoot/manifest/snap_$k.txt"), false)
+      }
+      n
     }
   }
+
+  /** Snapshot-file txn ids under the log (newest-first). */
+  private def snapshotIds(rootFs: org.apache.hadoop.fs.FileSystem,
+                          txnRoot: String): Seq[Int] = {
+    val dir = new Path(s"$txnRoot/manifest")
+    if (!rootFs.exists(dir)) Seq.empty
+    else rootFs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("snap_") && n.endsWith(".txt") =>
+        n.stripPrefix("snap_").stripSuffix(".txt").toInt }
+      .sorted.reverse.toSeq
+  }
+
+  /** The newest persisted fold snapshot usable as a starting point for
+    * a fold THROUGH txn `k` (its id must be ≤ k), parsed to
+    * (sinceTxn, table → version). None when no snapshot qualifies. */
+  private def foldSnapshot(rootFs: org.apache.hadoop.fs.FileSystem,
+                           txnRoot: String,
+                           k: Int): Option[(Int, Map[String, Int])] =
+    snapshotIds(rootFs, txnRoot).find(_ <= k).map { id =>
+      val m = Snapshot.readTextLines(rootFs,
+        s"$txnRoot/manifest/snap_$id.txt").map { l =>
+        val f = l.split("\t")
+        require(f.length == 2,
+          s"malformed txn fold snapshot line in $txnRoot snap_$id: $l")
+        f(0) -> f(1).toInt
+      }.toMap
+      (id, m)
+    }
+
+  /** TXN-LEVEL TIMESTAMP RESOLUTION — [[Snapshot.versionAsOf]] lifted
+    * to the transaction log: the newest txn whose manifest was
+    * published (the commit point IS the manifest publish, so its
+    * modification time is the commit time) at or before `tsMillis`.
+    * One id pins a CONSISTENT multi-table historical read
+    * ("everything as of yesterday 18:00"): resolve here, then
+    * [[readAsOfTxn]] every table against it. None when no txn had
+    * committed yet; pruned txns are skipped (a time inside the pruned
+    * range resolves to nothing, never to a wrong later state). */
+  def txnAsOfTime(spark: SparkSession, txnRoot: String,
+                  tsMillis: Long): Option[Int] =
+    Snapshot.versionAsOf(spark, txnRoot, tsMillis)
 
   /** Read `destDir` at the version it had committed through txn `k` —
     * [[asOfTxn]] resolved for one table. Table identity is by

@@ -30,23 +30,41 @@ import org.apache.spark.sql.functions._
   * ids: the applied-TXN watermark lives in the consumer's checkpoint
   * and advances (rename-committed) only AFTER the processor returns,
   * so a crash replays the window verbatim; processors are idempotent
-  * per window. Cost per pump: O(new txns) manifest reads (the
-  * recovered-through watermark keeps recovery flat) + O(changed files)
-  * data — never O(tables).
+  * per window.
+  *
+  * Cost per pump: O(new txns) manifest reads + O(changed files) data —
+  * never O(tables), never O(total txns ever committed). The checkpoint
+  * persists the (table → version) snapshot AT the watermark beside the
+  * watermark itself (one atomic file), so each window folds only ITS
+  * OWN txn manifests onto the cached prefix (`asOfTxn`'s
+  * `sinceTxn`/`prefix` fast path) instead of refolding the log from
+  * txn 1. That also makes consumption PRUNE-TOLERANT: once the
+  * snapshot is cached, [[SnapshotTxn.vacuumTxnLog]] may drop the whole
+  * prefix at or below the watermark and pumps keep working; even a
+  * COLD consumer on a pruned log bootstraps, via the fold snapshot the
+  * vacuum left behind.
   */
 object SnapshotTxnCdc {
   /** One consistent window: every enrolled table's change events for
     * transactions (fromTxn, toTxn]. Tables whose version did not move
-    * in the window are absent. */
+    * in the window are absent from `tables`; `versions` is the FULL
+    * (table → version) snapshot at `toTxn` — what a txn-pinned applier
+    * reads base state from ([[MaterializedView.refreshTxnJoinView]])
+    * and what the pump persists as the next window's fold prefix. */
   final case class TxnDelta(fromTxn: Int, toTxn: Int,
-                            tables: Map[String, DataFrame])
+                            tables: Map[String, DataFrame],
+                            versions: Map[String, Int])
 
   /** The change events of transactions (appliedTxn, upTo] — None when
     * nothing new. `appliedTxn` = 0 bootstraps every enrolled table.
     * Runs recovery first (a committed-but-unfinalized txn must land
-    * before its versions are readable). */
+    * before its versions are readable). `prefix`, when given, is the
+    * caller's cached `asOfTxn(appliedTxn)` snapshot: the fold then
+    * touches only the window's own manifests (O(window txns)), and a
+    * log whose prefix ≤ appliedTxn was pruned stays readable. */
   def changesSince(spark: SparkSession, txnRoot: String, appliedTxn: Int,
-                   upTo: Option[Int] = None): Option[TxnDelta] = {
+                   upTo: Option[Int] = None,
+                   prefix: Option[Map[String, Int]] = None): Option[TxnDelta] = {
     SnapshotTxn.recover(spark, txnRoot)
     val head = SnapshotTxn.latestTxn(spark, txnRoot)
     val to = upTo.getOrElse(head)
@@ -57,8 +75,15 @@ object SnapshotTxnCdc {
     if (to == appliedTxn) return None
     val fromVs: Map[String, Int] =
       if (appliedTxn == 0) Map.empty
-      else SnapshotTxn.asOfTxn(spark, txnRoot, appliedTxn)
-    val toVs = SnapshotTxn.asOfTxn(spark, txnRoot, to)
+      else prefix.getOrElse(
+        SnapshotTxn.asOfTxn(spark, txnRoot, appliedTxn))
+    // ONE incremental fold for the window end: the start snapshot is
+    // the prefix (cached or just computed), so only manifests
+    // (appliedTxn, to] are read — per-pump cost O(new txns), as doc'd
+    val toVs =
+      if (appliedTxn == 0) SnapshotTxn.asOfTxn(spark, txnRoot, to)
+      else SnapshotTxn.asOfTxn(spark, txnRoot, to,
+        sinceTxn = appliedTxn, prefix = fromVs)
     val tables = toVs.flatMap { case (t, vTo) =>
       fromVs.get(t) match {
         case Some(vFrom) if vFrom == vTo => None // untouched this window
@@ -72,26 +97,50 @@ object SnapshotTxnCdc {
             .withColumn("_commit_version", lit(vTo)))
       }
     }
-    Some(TxnDelta(appliedTxn, to, tables))
+    Some(TxnDelta(appliedTxn, to, tables, toVs))
   }
 
   /** The consumer's applied-txn watermark (0 before the first
     * successful window). */
-  def appliedTxn(spark: SparkSession, checkpointDir: String): Int = {
+  def appliedTxn(spark: SparkSession, checkpointDir: String): Int =
+    appliedState(spark, checkpointDir)._1
+
+  /** The checkpoint's (watermark, cached asOfTxn snapshot at it).
+    * Snapshot None on a pre-snapshot (single-line) checkpoint — the
+    * next pump refolds once (from the log's vacuum fold snapshot when
+    * one exists) and upgrades the file. */
+  private def appliedState(spark: SparkSession,
+                           checkpointDir: String): (Int, Option[Map[String, Int]]) = {
     val fs = new Path(checkpointDir).getFileSystem(
       spark.sessionState.newHadoopConf())
     val p = new Path(s"$checkpointDir/applied-txn")
-    if (!fs.exists(p)) 0
-    else Snapshot.readTextLines(fs, p.toString).head.trim.toInt
+    if (!fs.exists(p)) (0, Some(Map.empty))
+    else {
+      val lines = Snapshot.readTextLines(fs, p.toString)
+      val k = lines.head.trim.toInt
+      val vs = lines.tail.map { l =>
+        val f = l.split("\t")
+        require(f.length == 2,
+          s"malformed applied-txn snapshot line in $checkpointDir: $l")
+        f(0) -> f(1).toInt
+      }.toMap
+      // a legacy one-line file records no snapshot; an upgraded file
+      // with zero tables is only valid at watermark 0
+      if (k > 0 && lines.tail.isEmpty) (k, None) else (k, Some(vs))
+    }
   }
 
   private def advance(spark: SparkSession, checkpointDir: String,
-                      to: Int): Unit = {
+                      to: Int, versions: Map[String, Int]): Unit = {
     val fs = new Path(checkpointDir).getFileSystem(
       spark.sessionState.newHadoopConf())
     fs.mkdirs(new Path(checkpointDir))
+    // watermark + snapshot travel in ONE atomic file: a crash can never
+    // leave a watermark whose fold prefix is missing or stale
     Snapshot.writeFileAtomic(fs, s"$checkpointDir/applied-txn",
-      s"$checkpointDir/.applied-txn.tmp", Seq(to.toString))
+      s"$checkpointDir/.applied-txn.tmp",
+      to.toString +:
+        versions.toSeq.sortBy(_._1).map { case (t, v) => s"$t\t$v" })
   }
 
   /** Consume every transaction committed after the checkpoint's
@@ -107,13 +156,17 @@ object SnapshotTxnCdc {
       s"maxTxnsPerBatch must be >= 1, got $maxTxnsPerBatch")
     SnapshotTxn.recover(spark, txnRoot)
     val head = SnapshotTxn.latestTxn(spark, txnRoot)
-    var applied = appliedTxn(spark, checkpointDir)
+    var (applied, cached) = appliedState(spark, checkpointDir)
     var n = 0
     while (applied < head) {
       val to = math.min(applied.toLong + maxTxnsPerBatch, head.toLong).toInt
-      changesSince(spark, txnRoot, applied, Some(to)).foreach(process)
-      advance(spark, checkpointDir, to)
+      val d = changesSince(spark, txnRoot, applied, Some(to),
+        prefix = if (applied == 0) None else cached)
+      d.foreach(process)
+      val vs = d.map(_.versions).getOrElse(cached.getOrElse(Map.empty))
+      advance(spark, checkpointDir, to, vs)
       applied = to
+      cached = Some(vs)
       n += 1
     }
     n

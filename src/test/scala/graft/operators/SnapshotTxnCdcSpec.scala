@@ -89,6 +89,87 @@ class SnapshotTxnCdcSpec extends SparkSpec {
     ()
   }
 
+  test("pump survives txn-log pruning (checkpoint snapshot); windows stay correct") {
+    val root = tmp("graft-tcdcp"); val ckp = tmp("graft-tcdcp-c")
+    val a = tmp("graft-tcdcp-a")
+    Snapshot.publishSnapshot(kv(1L -> "a1"), a)
+    (2 to 4).foreach { i =>
+      val t = SnapshotTxn.begin(spark, root)
+      t.stageAppend(kv(i.toLong -> s"a$i"), a); t.commit()
+    }
+    val sa = scala.collection.mutable.Map.empty[Long, String]
+    assert(SnapshotTxnCdc.pump(spark, root, ckp) { d =>
+      d.tables.get(a).foreach(apply1(sa, _))
+    } == 1)
+    assert(SnapshotTxnCdc.appliedTxn(spark, ckp) == 3)
+    // PRUNE the whole consumed prefix — before the checkpoint cached
+    // the (table → version) snapshot, every later pump refolded from
+    // txn 1 and hard-failed right here
+    assert(SnapshotTxn.vacuumTxnLog(spark, root, keepFrom = 4) == 3)
+    val t5 = SnapshotTxn.begin(spark, root)
+    t5.stageMerge(kv(1L -> "A1x"), a, "k"); t5.commit()
+    val t6 = SnapshotTxn.begin(spark, root)
+    t6.stageDelete(Seq(3L).toDF("k"), a, "k"); t6.commit()
+    assert(SnapshotTxnCdc.pump(spark, root, ckp, maxTxnsPerBatch = 1) {
+      d => d.tables.get(a).foreach(apply1(sa, _))
+    } == 2)
+    assert(sa.toMap === Map(1L -> "A1x", 2L -> "a2", 4L -> "a4"))
+    // and the applier still equals the txn-pinned snapshot
+    val vs = SnapshotTxn.asOfTxn(spark, root, 5)
+    assert(Snapshot.readSnapshot(spark, a, vs(a)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap === sa.toMap)
+    ()
+  }
+
+  test("COLD consumer on a pruned log bootstraps via the vacuum fold snapshot") {
+    val root = tmp("graft-tcdcb"); val a = tmp("graft-tcdcb-a")
+    Snapshot.publishSnapshot(kv(1L -> "a1"), a)
+    (2 to 3).foreach { i =>
+      val t = SnapshotTxn.begin(spark, root)
+      t.stageAppend(kv(i.toLong -> s"a$i"), a); t.commit()
+    }
+    assert(SnapshotTxn.vacuumTxnLog(spark, root, keepFrom = 3) == 2)
+    val t3 = SnapshotTxn.begin(spark, root)
+    t3.stageAppend(kv(4L -> "a4"), a); t3.commit()
+    // fresh checkpoint: the bootstrap fold starts from snap_2, so the
+    // pruned prefix never blocks a brand-new consumer
+    val ckp = tmp("graft-tcdcb-c")
+    val sa = scala.collection.mutable.Map.empty[Long, String]
+    assert(SnapshotTxnCdc.pump(spark, root, ckp) { d =>
+      assert(d.fromTxn == 0 && d.toTxn == 3)
+      d.tables.get(a).foreach(apply1(sa, _))
+    } == 1)
+    assert(sa.toMap ===
+      Map(1L -> "a1", 2L -> "a2", 3L -> "a3", 4L -> "a4"))
+    ()
+  }
+
+  test("legacy one-line checkpoint (no snapshot) upgrades on the next pump") {
+    val root = tmp("graft-tcdcl"); val ckp = tmp("graft-tcdcl-c")
+    val a = tmp("graft-tcdcl-a")
+    Snapshot.publishSnapshot(kv(1L -> "a1"), a)
+    (2 to 3).foreach { i =>
+      val t = SnapshotTxn.begin(spark, root)
+      t.stageAppend(kv(i.toLong -> s"a$i"), a); t.commit()
+    }
+    // a pre-snapshot checkpoint: watermark only
+    val fs = new org.apache.hadoop.fs.Path(ckp).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    Snapshot.writeFileAtomic(fs, s"$ckp/applied-txn",
+      s"$ckp/.applied-txn.tmp", Seq("1"))
+    val sa = scala.collection.mutable.Map.empty[Long, String]
+    sa ++= Map(1L -> "a1", 2L -> "a2") // state as of txn 1
+    assert(SnapshotTxnCdc.pump(spark, root, ckp) { d =>
+      assert(d.fromTxn == 1 && d.toTxn == 2)
+      d.tables.get(a).foreach(apply1(sa, _))
+    } == 1)
+    assert(sa.toMap === Map(1L -> "a1", 2L -> "a2", 3L -> "a3"))
+    // the checkpoint now carries the snapshot beside the watermark
+    val lines = Snapshot.readTextLines(fs, s"$ckp/applied-txn")
+    assert(lines.head.trim == "2" && lines.tail.nonEmpty)
+    ()
+  }
+
   test("late-enrolled table bootstraps as full-state inserts; untouched tables absent") {
     val root = tmp("graft-tcdc2"); val ckp = tmp("graft-tcdc2-c")
     val a = tmp("graft-tcdc2-a"); val c = tmp("graft-tcdc2-c2")

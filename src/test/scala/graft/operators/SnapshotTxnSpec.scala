@@ -401,6 +401,113 @@ class SnapshotTxnSpec extends SparkSpec {
     ()
   }
 
+  test("guarded marker advance: a commit landing ABOVE an unfinalized txn never buries it") {
+    // The interleaving the guard exists for: T1 publishes txn 2 at the
+    // commit point and dies before finalizing (commitNoFinalize); T2 —
+    // whose entry recover ran BEFORE T1's commit (commitNoEntryRecover
+    // simulates exactly that) — takes slot 3, finalizes only its own
+    // tables, and must leave the marker BEHIND txn 2 (an unconditional
+    // advance would bury txn 2 below the marker forever: recover never
+    // rescans below it, readLatest would silently miss A's txn-2 rows).
+    val root = tmp("graft-txg"); val a = tmp("graft-txga")
+    val b = tmp("graft-txgb")
+    Snapshot.publishSnapshot(kv(1L -> "a1"), a)
+    Snapshot.publishSnapshot(kv(1L -> "b1"), b)
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stageAppend(kv(2L -> "a2"), a); t1.commit()
+    assert(SnapshotTxn.recoveredThrough(spark, root) == 1)
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageAppend(kv(3L -> "a3"), a)
+    t2.commitNoFinalize() // T1: died right after the commit point
+    val t3 = SnapshotTxn.begin(spark, root)
+    t3.stageAppend(kv(2L -> "b2"), b) // disjoint table: no base conflict
+    t3.commitNoEntryRecover() // T2: recover predates T1's commit
+    // T2's own txn finalized, but the marker did NOT leap past txn 2
+    assert(Snapshot.latestVersion(spark, b) == 2)
+    assert(SnapshotTxn.recoveredThrough(spark, root) == 1,
+      "marker advanced past a committed-but-unfinalized txn")
+    // the next recovery rescans from the marker and rolls txn 2 forward
+    assert(rows(SnapshotTxn.readLatest(spark, root, a).orderBy("k"))
+      .map(_.head) === Seq(1L, 2L, 3L))
+    assert(SnapshotTxn.recoveredThrough(spark, root) == 3)
+    // and the pinned snapshots see every txn
+    assert(SnapshotTxn.asOfTxn(spark, root, 3) === Map(a -> 3, b -> 2))
+    ()
+  }
+
+  test("txnAsOfTime: a timestamp pins one consistent txn id for cross-table reads") {
+    val root = tmp("graft-txts"); val a = tmp("graft-txtsa")
+    val b = tmp("graft-txtsb")
+    Snapshot.publishSnapshot(kv(1L -> "a1"), a)
+    Snapshot.publishSnapshot(kv(1L -> "b1"), b)
+    val before = System.currentTimeMillis() - 1
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stageAppend(kv(2L -> "a2"), a); t1.stageAppend(kv(2L -> "b2"), b)
+    t1.commit()
+    // the commit point is the manifest publish: stamp the gap between
+    // txn 1 and txn 2 by pinning txn 1's manifest mtime behind us
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val mid = System.currentTimeMillis()
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/manifest/v1.txt"),
+      mid - 10000L, -1)
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageAppend(kv(3L -> "a3"), a); t2.stageAppend(kv(3L -> "b3"), b)
+    t2.commit()
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/manifest/v2.txt"),
+      mid + 10000L, -1)
+    // before any txn: no id to pin
+    assert(SnapshotTxn.txnAsOfTime(spark, root, before - 1000000L).isEmpty)
+    // between the commits: txn 1 — and BOTH tables read consistently
+    val k = SnapshotTxn.txnAsOfTime(spark, root, mid).get
+    assert(k == 1)
+    assert(rows(SnapshotTxn.readAsOfTxn(spark, root, k, a).orderBy("k"))
+      .map(_.head) === Seq(1L, 2L))
+    assert(rows(SnapshotTxn.readAsOfTxn(spark, root, k, b).orderBy("k"))
+      .map(_.head) === Seq(1L, 2L))
+    // at/after the head: the newest txn
+    assert(SnapshotTxn.txnAsOfTime(spark, root,
+      mid + 20000L) === Some(2))
+    ()
+  }
+
+  test("asOfTxn resolves retained txns over a pruned log via the vacuum fold snapshot") {
+    val root = tmp("graft-txsn"); val a = tmp("graft-txsna")
+    val b = tmp("graft-txsnb")
+    Snapshot.publishSnapshot(kv(1L -> "a1"), a)
+    Snapshot.publishSnapshot(kv(1L -> "b1"), b)
+    // txn1: a→2, b→2; txn2: a→3; txn3: a→4, b→3; txn4: a→5; txn5: a→6
+    (2 to 6).foreach { i =>
+      val t = SnapshotTxn.begin(spark, root)
+      t.stageAppend(kv(i.toLong -> s"a$i"), a)
+      if (i == 2 || i == 4) t.stageAppend(kv(i.toLong -> s"b$i"), b)
+      t.commit()
+    }
+    // prune txns 1..3; the fold snapshot snap_3 rides the vacuum
+    assert(SnapshotTxn.vacuumTxnLog(spark, root, keepFrom = 4) == 3)
+    // retained ids resolve WITHOUT any caller-side cache — including
+    // table B, whose every enrollment (txns 1 and 3) lies in the
+    // pruned prefix: its version comes wholly from the fold snapshot
+    assert(SnapshotTxn.asOfTxn(spark, root, 4) === Map(a -> 5, b -> 3))
+    assert(SnapshotTxn.asOfTxn(spark, root, 5) === Map(a -> 6, b -> 3))
+    assert(rows(SnapshotTxn.readAsOfTxn(spark, root, 4, b).orderBy("k"))
+      .map(_.head) === Seq(1L, 2L, 4L))
+    // ids below the snapshot stay unresolvable, loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTxn.asOfTxn(spark, root, 2)
+    }
+    // chained vacuums fold incrementally (the new snap subsumes the old)
+    assert(SnapshotTxn.vacuumTxnLog(spark, root, keepFrom = 5) == 1)
+    assert(SnapshotTxn.asOfTxn(spark, root, 5) === Map(a -> 6, b -> 3))
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/manifest/snap_3.txt")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/manifest/snap_4.txt")))
+    ()
+  }
+
   test("recovered-through watermark: recover scans only past it; failures never advance it") {
     val root = tmp("graft-txw"); val a = tmp("graft-txwa")
     Snapshot.publishSnapshot(kv(1L -> "a1"), a)
