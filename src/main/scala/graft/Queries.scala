@@ -6312,8 +6312,11 @@ object Queries {
     // consistent multi-table snapshot — t3's crashed-after-commit-point
     // txn is rolled forward by the bundled recover and counted, t2's
     // never-committed staging is invisible. readLatest covers the
-    // single-table face on samples (same recover path).
-    val k = graft.operators.SnapshotTxn.latestTxn(s, TxnRootDir)
+    // single-table face on samples (same recover path). The pin is
+    // resolved by TIMESTAMP (txnAsOfTime at +∞ ≡ the head txn) —
+    // the cross-table historical-read face.
+    val k = graft.operators.SnapshotTxn
+      .txnAsOfTime(s, TxnRootDir, Long.MaxValue).get
     val samples = graft.operators.SnapshotTxn.readLatest(
       s, TxnRootDir, TxnSamplesDir)
     val datasets = graft.operators.SnapshotTxn.readAsOfTxn(
@@ -6504,6 +6507,247 @@ object Queries {
       |  SELECT 2, 'tags', CAST(count(*) AS BIGINT), 0,
       |         CAST(sum(sid) AS BIGINT) FROM c WHERE sid % 3 <> 0
       |) ORDER BY txn, tbl""".stripMargin
+
+  // ----------------------------------------------------- Q-stream-txn
+  // STREAMING MULTI-TABLE TRANSACTIONS (Ingest.txnStream): the
+  // reference's registration unit of work — per-user sample upsert +
+  // dataset append — atomic per MICRO-BATCH across two tables, with
+  // kill-injection at both crash points: batch 1 first crashes BEFORE
+  // the commit point (the stream dies mid-batch; staged bytes are
+  // invisible orphans), then a direct replay of batch 1 crashes right
+  // AFTER the commit point (txn committed, tables not finalized), and
+  // the restarted stream replays it as tag-guarded recovery-only
+  // before processing batch 2 normally. A txn-pinned read
+  // (txnAsOfTime → readAsOfTxn) aggregates both tables; the ORACLE
+  // replays all three batches' all-or-nothing outcome.
+  private val StreamTxnOut = s"$FixtureRoot/stream_txn_out"
+
+  def streamTxnQ(s: SparkSession, dir: String): DataFrame = {
+    ensureScd2Fixture(s, dir)
+    val T = graft.operators.SnapshotTxn
+    val (root, smpDir, dsDir) =
+      (s"$StreamTxnOut/root", s"$StreamTxnOut/s", s"$StreamTxnOut/d")
+    publishOnce(StreamTxnOut, dir) {
+      wipeDir(StreamTxnOut)
+      val stage: (graft.operators.SnapshotTxn, DataFrame, Long) => Unit =
+        (t, b, _) => {
+          val shaped = b
+            .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+            .select(col("user_id"), col("event_id"),
+              round(col("value") * 100).cast("long").as("cents"),
+              col("us"))
+          val smp = shaped
+            .withColumn("__rn", expr(
+              "row_number() over (partition by user_id " +
+                "order by us desc, event_id desc)"))
+            .filter(col("__rn") === 1)
+            .select("user_id", "event_id", "cents")
+          val ds = shaped.select("event_id", "user_id", "cents")
+          if (graft.operators.Snapshot.latestVersion(s, smpDir) == 0) {
+            t.stagePublish(smp, smpDir); t.stagePublish(ds, dsDir)
+          } else {
+            t.stageMerge(smp, smpDir, "user_id")
+            t.stageAppend(ds, dsDir)
+          }
+        }
+      // run 1: batch 0 commits; batch 1 crashes AFTER staging, BEFORE
+      // the commit point — the stream dies, nothing of batch 1 visible
+      try graft.streaming.Ingest.txnStream(s, StreamScd2Src,
+        "batch*.parquet", root, s"$StreamTxnOut/chk", (t, b, id) => {
+          stage(t, b, id)
+          if (id == 1L)
+            throw new RuntimeException("injected crash before commit point")
+        })
+      catch {
+        case e: Exception if Iterator.iterate[Throwable](e)(_.getCause)
+          .takeWhile(_ != null).take(16).exists(t =>
+            t.getMessage != null && t.getMessage.contains("injected")) =>
+      }
+      // batch 1 replays and this time dies right AFTER the atomic
+      // commit point (txn committed, no table finalized)
+      graft.streaming.Ingest.applyTxnBatch(s, root,
+        s.read.parquet(s"$StreamScd2Src/batch1.parquet"), 1L,
+        crashAfterCommitPoint = true)(stage)
+      // run 2: the restarted stream replays batch 1 (tag-guarded
+      // recovery-only) and processes batch 2 normally
+      graft.streaming.Ingest.txnStream(s, StreamScd2Src,
+        "batch*.parquet", root, s"$StreamTxnOut/chk", stage)
+      ()
+    }
+    // txn-level timestamp resolution pins the consistent read
+    val k = T.txnAsOfTime(s, root, Long.MaxValue).get
+    val smp = T.readAsOfTxn(s, root, k, smpDir)
+    val ds = T.readAsOfTxn(s, root, k, dsDir)
+    smp.agg(lit("samples").as("tbl"), count(lit(1)).as("n"),
+        sum(col("cents")).as("c"), sum(col("event_id")).as("ev"))
+      .unionByName(ds.agg(lit("datasets").as("tbl"),
+        count(lit(1)).as("n"), sum(col("cents")).as("c"),
+        sum(col("event_id")).as("ev")))
+      .orderBy("tbl")
+  }
+
+  private val streamTxnSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+      |             CAST(round(value * 100) AS BIGINT) AS cents
+      |           FROM events),
+      |r AS (SELECT user_id, event_id, cents,
+      |             row_number() OVER (PARTITION BY user_id
+      |               ORDER BY us DESC, event_id DESC) AS rn FROM e)
+      |SELECT tbl, n, c, ev FROM (
+      |  SELECT 'datasets' AS tbl, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(cents) AS BIGINT) AS c,
+      |         CAST(sum(event_id) AS BIGINT) AS ev FROM e
+      |  UNION ALL
+      |  SELECT 'samples', CAST(count(*) AS BIGINT),
+      |         CAST(sum(cents) AS BIGINT),
+      |         CAST(sum(event_id) AS BIGINT) FROM r WHERE rn = 1
+      |) ORDER BY tbl""".stripMargin
+
+  // -------------------------------------------------------- Q-txn-mv
+  // TXN-CONSISTENT MATERIALIZED VIEW (MaterializedView.
+  // refreshTxnJoinView over SnapshotTxnCdc.pump): the reference's
+  // experimental-design report — one row per sample with its dataset
+  // count and value rollup — maintained from the TRANSACTION log in
+  // one-txn windows, so a registration's sample upsert and dataset
+  // appends reach the view together, never as halves. The run injects
+  // BOTH crash classes: the producer of txn 3 dies right after its
+  // commit point (the pump's recovery feeds it to the view anyway),
+  // and the consumer dies between window 2's view commit and its
+  // watermark advance (the replayed window tag-skips). ORACLE: the
+  // committed transactions replayed as one left-join rollup.
+  private val TxnMvOut = s"$FixtureRoot/txn_mv_out"
+
+  def txnMvQ(s: SparkSession, dir: String): DataFrame = {
+    val T = graft.operators.SnapshotTxn
+    val MV = graft.operators.MaterializedView
+    val (root, smpDir, dsDir, mvDir, ckp) =
+      (s"$TxnMvOut/root", s"$TxnMvOut/s", s"$TxnMvOut/d",
+        s"$TxnMvOut/mv", s"$TxnMvOut/ckp")
+    publishOnce(TxnMvOut, dir) {
+      wipeDir(TxnMvOut)
+      val cust = load(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("sid"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val ord = load(s, dir, "orders").select(
+        col("o_orderkey").as("did"),
+        col("o_custkey").cast("long").as("sid"),
+        round(col("o_totalprice") * 100).cast("long").as("dcents"))
+      def dslice(r: Int) = ord.filter(col("did") % 3 === r)
+      val t1 = T.begin(s, root)
+      t1.stagePublish(cust, smpDir)
+      // datasets range-clustered + stats on the group key: window
+      // recomputes then prune the dataset scan by manifest arithmetic
+      t1.stagePublish(dslice(0).repartitionByRange(4, col("sid")),
+        dsDir, statsCol = Some("sid"))
+      t1.commit()
+      val t2 = T.begin(s, root)
+      t2.stageMerge(cust.filter(col("sid") % 10 === 0)
+        .select(col("sid"), (col("cents") + 1000).as("cents")),
+        smpDir, "sid")
+      t2.stageAppend(dslice(1), dsDir)
+      t2.commit()
+      val t3 = T.begin(s, root)
+      t3.stageDelete(cust.filter(col("sid") % 7 === 0).select("sid"),
+        smpDir, "sid")
+      t3.stageAppend(dslice(2), dsDir)
+      t3.commitNoFinalize() // producer dies after the commit point
+      // consumer run 1: dies between window 2's view commit and its
+      // watermark advance
+      try {
+        graft.operators.SnapshotTxnCdc.pump(s, root, ckp,
+            maxTxnsPerBatch = 1) { d =>
+          MV.applyTxnJoinWindow(s, d, smpDir, dsDir, mvDir,
+            "sid", Seq("cents"), "sid", "dcents")
+          if (d.toTxn == 2)
+            throw new RuntimeException("injected mid-pump crash")
+        }
+        ()
+      } catch {
+        case e: RuntimeException if e.getMessage.contains("injected") =>
+      }
+      // consumer run 2: window 2 replays (tag-skip), window 3 applies
+      MV.refreshTxnJoinView(s, root, smpDir, dsDir, mvDir, ckp,
+        "sid", Seq("cents"), "sid", "dcents", maxTxnsPerBatch = 1)
+      ()
+    }
+    graft.operators.Snapshot.readSnapshot(s, mvDir,
+      graft.operators.Snapshot.latestVersion(s, mvDir))
+      .orderBy("sid")
+  }
+
+  private val txnMvSql =
+    """WITH c AS (SELECT c_custkey AS sid,
+      |                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |           FROM customer),
+      |smp AS (SELECT sid, CASE WHEN sid % 10 = 0 THEN cents + 1000
+      |                         ELSE cents END AS cents
+      |        FROM c WHERE sid % 7 <> 0),
+      |d AS (SELECT o_custkey AS sid,
+      |             CAST(round(o_totalprice * 100) AS BIGINT) AS dcents
+      |      FROM orders),
+      |g AS (SELECT sid, CAST(count(*) AS BIGINT) AS n_ds,
+      |             CAST(sum(dcents) AS BIGINT) AS total
+      |      FROM d GROUP BY sid)
+      |SELECT smp.sid, smp.cents, COALESCE(g.n_ds, 0) AS n_ds,
+      |       COALESCE(g.total, 0) AS total
+      |FROM smp LEFT JOIN g USING (sid) ORDER BY sid""".stripMargin
+
+  // ------------------------------------------------------- Q-mor-fold
+  // MoR LOG FOLD (compactSnapshotMoRLog): four accumulated
+  // merge/delete generations collapse into ONE (winners + union
+  // delete-set) without touching a base file, so the read-side resolve
+  // broadcast is bounded by the LIVE update set instead of commit
+  // count — the maintenance step for hot tables where a full
+  // reconcile's base rewrite is too expensive. The gate folds, proves
+  // the fold idempotent, and aggregates the RESOLVED state; the ORACLE
+  // replays the DML sequence on the seed.
+  private val MorFoldDir = s"$FixtureRoot/morfold"
+
+  def morFoldQ(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.operators.Snapshot
+    def cust = load(s, dir, "customer").select(
+      col("c_custkey").cast("long").as("sid"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"))
+    publishOnce(MorFoldDir, dir) {
+      wipeDir(MorFoldDir)
+      S.publishSnapshot(cust.repartitionByRange(4, col("sid")),
+        MorFoldDir, statsCol = Some("sid"))
+      S.mergeSnapshotMoR(cust.filter(col("sid") % 4 === 0)
+        .select(col("sid"), (col("cents") + 7).as("cents")),
+        MorFoldDir, "sid")
+      S.deleteSnapshotMoR(cust.filter(col("sid") % 9 === 0)
+        .select("sid"), MorFoldDir, "sid")
+      S.mergeSnapshotMoR(cust.filter(col("sid") % 6 === 0)
+        .select(col("sid"), (col("cents") * 2).as("cents")),
+        MorFoldDir, "sid")
+      S.deleteSnapshotMoR(cust.filter(col("sid") % 11 === 0)
+        .select("sid"), MorFoldDir, "sid")
+      val v = S.compactSnapshotMoRLog(s, MorFoldDir)
+      require(S.compactSnapshotMoRLog(s, MorFoldDir) == v,
+        "fold of a folded log must be a no-op")
+      ()
+    }
+    S.readSnapshot(s, MorFoldDir, S.latestVersion(s, MorFoldDir))
+      .groupBy((col("sid") % 7).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"),
+        sum(col("sid")).as("k"))
+      .orderBy("g")
+  }
+
+  private val morFoldSql =
+    """WITH c AS (SELECT c_custkey AS sid,
+      |                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |           FROM customer),
+      |r AS (SELECT sid, CASE WHEN sid % 6 = 0 THEN cents * 2
+      |                       WHEN sid % 4 = 0 THEN cents + 7
+      |                       ELSE cents END AS cents
+      |      FROM c
+      |      WHERE sid % 11 <> 0
+      |        AND NOT (sid % 9 = 0 AND sid % 6 <> 0))
+      |SELECT sid % 7 AS g, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS c,
+      |       CAST(sum(sid) AS BIGINT) AS k
+      |FROM r GROUP BY 1 ORDER BY g""".stripMargin
 
   // ------------------------------------------------------ Q-snappoint-mor
   // MoR-AWARE POINT LOOKUPS (readSnapshotPoint over a live upsert log —
@@ -10655,6 +10899,9 @@ object Queries {
     "q_txn" -> (txnQ _),
     "q_txn_mor" -> (txnMorQ _),
     "q_txn_cdc" -> (txnCdcQ _),
+    "q_txn_mv" -> (txnMvQ _),
+    "q_stream_txn" -> (streamTxnQ _),
+    "q_mor_fold" -> (morFoldQ _),
     "q_stream_cdc" -> (streamCdcQ _),
     "q_wap" -> (wapQ _),
     "q_cdf" -> (cdfQ _),
@@ -10899,6 +11146,9 @@ object Queries {
     "q_txn" -> txnSql,
     "q_txn_mor" -> txnMorSql,
     "q_txn_cdc" -> txnCdcSql,
+    "q_txn_mv" -> txnMvSql,
+    "q_stream_txn" -> streamTxnSql,
+    "q_mor_fold" -> morFoldSql,
     "q_stream_cdc" -> streamCdcSql,
     "q_wap" -> wapSql,
     "q_cdf" -> cdfSql,

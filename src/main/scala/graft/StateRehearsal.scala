@@ -66,6 +66,8 @@ object StateRehearsal {
       case "morscale" => morscale(spark, work)
       case "txnscale" => txnscale(spark, work)
       case "txnlogscale" => txnlogscale(spark, work)
+      case "txncdcscale" => txncdcscale(spark, work)
+      case "morfoldscale" => morfoldscale(spark, work)
       case "pointscale" => pointscale(spark, work)
       case "dmlscale" => dmlscale(spark, work)
       case "annrecall" => annrecall(spark)
@@ -451,6 +453,97 @@ object StateRehearsal {
       cell("txnlogscale", "txns" -> n,
         "cold_catchup_sec" -> coldSec, "warm_read_sec" -> warmSec,
         "steady_read_sec" -> steadySec)
+    }
+  }
+
+  /** Txn-CDC pump cost vs TOTAL log size. The claim under test (the
+    * round-13 weak spot): a caught-up consumer's pump folds only the
+    * WINDOW's manifests onto the checkpoint-cached (table → version)
+    * snapshot — O(new txns) — so pumping 10 fresh txns must cost the
+    * same over a 10²-txn and a 10⁴-txn log. The pre-fix behavior
+    * refolded from txn 1 on every window (O(total) per pump) and
+    * hard-failed outright once the prefix was vacuumed; the cell pumps
+    * across a pruned prefix to pin both. The bootstrap pump (one full
+    * fold) is reported separately — it is the one O(total) pass. */
+  private def txncdcscale(spark: SparkSession, work: String): Unit = {
+    import graft.operators.{Snapshot, SnapshotTxn, SnapshotTxnCdc}
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(work).getFileSystem(spark.sessionState.newHadoopConf())
+    for (n <- Seq(100, 1000, 10000)) {
+      val dest = s"$work/txncdc_t_$n"
+      val root = s"$work/txncdc_root_$n"
+      val ckp = s"$work/txncdc_ckp_$n"
+      Snapshot.publishSnapshot(spark.range(1000L)
+        .select(col("id").as("k"), lit("x").as("v")), dest)
+      fs.mkdirs(new Path(s"$root/manifest"))
+      (1 to n).foreach { k =>
+        val out = fs.create(new Path(s"$root/manifest/v$k.txt"), true)
+        out.write(s"#txn=1\n$dest\t1\t1".getBytes("UTF-8"))
+        out.close()
+      }
+      // bootstrap: the one full-fold pass, O(total log)
+      val (_, bootSec) = time(
+        SnapshotTxnCdc.pump(spark, root, ckp)(_ => ()))
+      // 10 fresh one-table txns, then ONE caught-up pump over them:
+      // must be flat across 100× total-log growth
+      (1 to 10).foreach { i =>
+        val t = SnapshotTxn.begin(spark, root)
+        t.stageAppend(spark.range(10L)
+          .select((col("id") + 100000L * i).as("k"), lit("y").as("v")),
+          dest)
+        t.commit()
+      }
+      val (w1, warmSec) = time(
+        SnapshotTxnCdc.pump(spark, root, ckp, maxTxnsPerBatch = 1) {
+          d => d.tables.foreach(_._2.queryExecution.toRdd.count()) })
+      // prune the whole consumed prefix; the next pump must still work
+      SnapshotTxn.vacuumTxnLog(spark, root, keepFrom = n + 11)
+      val t = SnapshotTxn.begin(spark, root)
+      t.stageAppend(spark.range(10L)
+        .select((col("id") + 9999999L).as("k"), lit("z").as("v")), dest)
+      t.commit()
+      val (w2, prunedSec) = time(
+        SnapshotTxnCdc.pump(spark, root, ckp, maxTxnsPerBatch = 1) {
+          d => d.tables.foreach(_._2.queryExecution.toRdd.count()) })
+      cell("txncdcscale", "txns" -> n,
+        "bootstrap_pump_sec" -> bootSec,
+        "caught_up_10txn_pump_sec" -> warmSec, "windows" -> w1,
+        "post_prune_pump_sec" -> prunedSec, "pruned_windows" -> w2)
+    }
+  }
+
+  /** MoR log fold vs accumulated commit count. Claims: (a) the
+    * resolve tax a reader pays grows with ACCUMULATED commits (the
+    * per-key-max broadcast spans every generation), (b) one
+    * compactSnapshotMoRLog bounds it back to the live-update set
+    * WITHOUT touching base files, so the post-fold read is flat
+    * whether 10 or 100 commits accumulated, and (c) the fold itself
+    * costs O(log bytes), not O(table). */
+  private def morfoldscale(spark: SparkSession, work: String): Unit = {
+    import graft.operators.Snapshot
+    for (k <- Seq(10, 100)) {
+      val dest = s"$work/morfold_$k"
+      Snapshot.publishSnapshot(spark.range(2000000L)
+        .select(col("id").as("key"), (col("id") * 3).as("v"))
+        .repartitionByRange(8, col("key")), dest,
+        statsCol = Some("key"))
+      (1 to k).foreach { i =>
+        Snapshot.mergeSnapshotMoR(spark.range(200L)
+          .select(((col("id") * 9973 + i) % 2000000L).as("key"),
+            lit(-1L).as("v")).coalesce(1), dest, "key")
+      }
+      val latest = Snapshot.latestVersion(spark, dest)
+      val (_, taxedSec) = time(
+        Snapshot.readSnapshot(spark, dest, latest)
+          .queryExecution.toRdd.count())
+      val (_, foldSec) = time(Snapshot.compactSnapshotMoRLog(spark, dest))
+      val (_, foldedSec) = time(
+        Snapshot.readSnapshot(spark, dest,
+          Snapshot.latestVersion(spark, dest))
+          .queryExecution.toRdd.count())
+      cell("morfoldscale", "commits" -> k,
+        "resolved_read_sec" -> taxedSec, "fold_sec" -> foldSec,
+        "post_fold_read_sec" -> foldedSec)
     }
   }
 

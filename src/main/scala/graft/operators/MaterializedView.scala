@@ -127,4 +127,142 @@ object MaterializedView {
     Snapshot.mergeSnapshot(updates, mvDir, keyCol,
       tag = Some(s"src_v$srcLatest"))
   }
+
+  // ------------------------------------------- txn-consistent join view
+  /** TXN-CONSISTENT MATERIALIZED VIEW over TWO tables — the reference's
+    * experimental-design report (sample rows joined to their datasets,
+    * `get-experimental-design-tsv`) maintained incrementally WITHOUT
+    * ever holding half a transaction: the refresh consumes the
+    * transaction log through [[SnapshotTxnCdc.pump]], so each window is
+    * a consistent multi-table delta — a registration that upserts a
+    * sample AND appends its datasets in one txn reaches the view as one
+    * change, never as a sample-only or datasets-only intermediate
+    * (which two independent single-table CDC feeds cannot guarantee).
+    *
+    * View shape: one row per sample —
+    * `sampleKey, sampleCols…, n_ds, total` (dataset count and the sum
+    * of `dsValCol`, 0-filled for sample rows with no datasets — the
+    * report's left-join shape). Maintenance per window:
+    *   - touched keys = sample-event keys ∪ the `dsSampleCol` of
+    *     dataset insert events (bounded by the window's change volume);
+    *   - their groups recompute against the WINDOW-END txn-pinned
+    *     versions (`TxnDelta.versions`) — samples column-pruned +
+    *     semi-joined; datasets range-pruned when its manifest stats
+    *     column IS `dsSampleCol` (the refreshSumView narrow path),
+    *     column-pruned + semi-joined otherwise;
+    *   - one [[Snapshot.applySnapshotMoR]] commit lands the upserts AND
+    *     the disappearing keys atomically, tagged `txn<toTxn>` — a
+    *     replayed window sees its tag on the view head and skips, so
+    *     crash-anywhere replay converges (the pump advances its
+    *     watermark only after the window returns).
+    * Datasets must reach the view APPEND-ONLY (a dataset delete/upsert
+    * event carries no pre-image, so the OLD group is unknowable from
+    * the feed — refused loudly; re-key or rebuild for mutable dataset
+    * tables). Samples may insert/upsert/delete freely: their events
+    * carry the group key itself.
+    *
+    * Returns the number of windows processed. */
+  def refreshTxnJoinView(spark: SparkSession, txnRoot: String,
+                         samplesDir: String, datasetsDir: String,
+                         mvDir: String, checkpointDir: String,
+                         sampleKey: String, sampleCols: Seq[String],
+                         dsSampleCol: String, dsValCol: String,
+                         maxTxnsPerBatch: Int = Int.MaxValue): Int =
+    SnapshotTxnCdc.pump(spark, txnRoot, checkpointDir, maxTxnsPerBatch) {
+      d => applyTxnJoinWindow(spark, d, samplesDir, datasetsDir, mvDir,
+        sampleKey, sampleCols, dsSampleCol, dsValCol)
+    }
+
+  /** One [[refreshTxnJoinView]] window — factored out so gates/specs
+    * can inject a crash between windows and replay. Idempotent per
+    * window (the `txn<k>` tag guard). */
+  private[graft] def applyTxnJoinWindow(spark: SparkSession,
+      d: SnapshotTxnCdc.TxnDelta, samplesDir: String, datasetsDir: String,
+      mvDir: String, sampleKey: String, sampleCols: Seq[String],
+      dsSampleCol: String, dsValCol: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    def q(p: String): String = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(conf)
+      .makeQualified(new org.apache.hadoop.fs.Path(p)).toString
+    def versionOf(dir: String): Option[Int] = {
+      val want = q(dir)
+      val hits = d.versions.collect { case (t, v) if q(t) == want => v }
+      if (hits.isEmpty) None else Some(hits.max)
+    }
+    def eventsOf(dir: String): Option[DataFrame] = {
+      val want = q(dir)
+      d.tables.collectFirst { case (t, ev) if q(t) == want => ev }
+    }
+    val tag = s"txn${d.toTxn}"
+    val mvLatest = Snapshot.latestVersion(spark, mvDir)
+    if (mvLatest >= 1 &&
+        Snapshot.versionTag(spark, mvDir, mvLatest).contains(tag))
+      return // replayed window (crash between view commit and watermark)
+    val (sV, dV) = (versionOf(samplesDir), versionOf(datasetsDir))
+    if (sV.isEmpty || dV.isEmpty) return // a side not enrolled yet
+    val samplesAt = Snapshot.readSnapshot(spark, samplesDir, sV.get)
+    val datasetsAt = Snapshot.readSnapshot(spark, datasetsDir, dV.get)
+    def grouped(samples: DataFrame, datasets: DataFrame): DataFrame = {
+      val dGrp = datasets.groupBy(col(dsSampleCol).as(sampleKey))
+        .agg(count(lit(1)).as("n_ds"),
+          sum(col(dsValCol).cast("long")).as("total"))
+      samples.select((sampleKey +: sampleCols).map(col): _*)
+        .join(dGrp, Seq(sampleKey), "left")
+        .select(col(sampleKey) +: sampleCols.map(col) :+
+          coalesce(col("n_ds"), lit(0L)).as("n_ds") :+
+          coalesce(col("total"), lit(0L)).as("total"): _*)
+    }
+    if (mvLatest == 0) {
+      // bootstrap: the full join-aggregate of the txn-pinned state
+      Snapshot.publishSnapshot(grouped(samplesAt, datasetsAt), mvDir,
+        tag = Some(tag))
+      return
+    }
+    // incremental: touched groups from this window's events only
+    val sTouched = eventsOf(samplesDir)
+      .map(_.select(col(sampleKey)).distinct())
+    val dTouched = eventsOf(datasetsDir).map(_.select(
+      // the append-only datasets contract rides the same scan that
+      // extracts the touched keys: a non-insert event refuses loudly
+      when(col("_change_type") =!= "insert",
+        raise_error(lit(s"refreshTxnJoinView: dataset table $datasetsDir " +
+          "must reach the view append-only (a delete/upsert event " +
+          "carries no pre-image, so its old group is unknowable); " +
+          "rebuild the view or re-key the datasets")))
+        .otherwise(col(dsSampleCol)).as(sampleKey)).distinct())
+    val touched = (sTouched.toSeq ++ dTouched.toSeq)
+      .reduceOption(_.unionByName(_)).map(_.distinct())
+      .getOrElse(return) // neither table moved in this window
+    // recompute the touched groups against the txn-pinned state; prune
+    // the dataset side by manifest stats when they cluster on the key
+    val sNow = samplesAt.join(touched, Seq(sampleKey), "left_semi")
+    val statsIsKey = Snapshot.statsColsOf(spark, datasetsDir, dV.get)
+      .headOption.contains(dsSampleCol)
+    val isIntegralKey = touched.schema(sampleKey).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val dScan =
+      if (statsIsKey && isIntegralKey) {
+        val mm = touched.agg(min(col(sampleKey)).cast("long"),
+          max(col(sampleKey)).cast("long")).head()
+        if (mm.isNullAt(0)) datasetsAt.limit(0)
+        else Snapshot.readSnapshotRange(spark, datasetsDir, dV.get,
+          mm.getLong(0), mm.getLong(1))
+      } else datasetsAt
+    val dNow = dScan.join(touched,
+      dScan(dsSampleCol) === touched(sampleKey), "left_semi")
+    val updates = grouped(sNow, dNow)
+    // touched keys with NO sample row at the window end vanish from the
+    // view (sample deletes, and dataset rows referencing unknown sids)
+    val gone = touched.join(samplesAt.select(col(sampleKey)),
+      Seq(sampleKey), "left_anti")
+    // ONE MoR commit: upserts + deletes land (and replay) together
+    Snapshot.applySnapshotMoR(updates, gone, mvDir, sampleKey,
+      tag = Some(tag))
+    ()
+  }
 }

@@ -221,7 +221,18 @@ object Snapshot {
         delta0.select((ps.fieldNames ++ newCols).map(col).toSeq: _*)
       case None => delta0
     }
-    if (prevManifest.bloom.isDefined && statsCol.isEmpty)
+    // an explicit statsCol override on a bloom-indexed base refuses
+    // LOUDLY: it would route past the index-preserving lane and
+    // silently strip the carried words + #bloom header (the same
+    // refuse-over-silent-degrade rule dropSnapshotColumn and MoR use).
+    // The base's stats list already carries without the override.
+    require(prevManifest.bloom.isEmpty || statsCol.isEmpty,
+      s"mergeSnapshot with an explicit statsCol " +
+        s"('${statsCol.getOrElse("")}') on the bloom-indexed v$prev of " +
+        s"$destDir would discard the index; omit statsCol (the base's " +
+        "stats list carries through the merge) or re-publish via " +
+        "publishSnapshotIndexed to change the stats/index layout")
+    if (prevManifest.bloom.isDefined)
       // indexed lane: rewritten/new rows land in files with fresh
       // per-file words (any bloom column is valid under copy-on-write —
       // whole rows materialize), untouched files keep theirs, the
@@ -729,7 +740,9 @@ object Snapshot {
                         destDir: String, keyCol: String,
                         tag: Option[String] = None,
                         pinnedBase: Option[Int] = None,
-                        skipIfEmpty: Boolean = false): Int = {
+                        skipIfEmpty: Boolean = false,
+                        carriedEntriesOverride: Option[Seq[String]] = None,
+                        carriedRowsOverride: Option[Option[Long]] = None): Int = {
     import org.apache.hadoop.fs.Path
     val spark = updatesOpt.orElse(delKeysOpt).get.sparkSession
     val fs = new Path(destDir).getFileSystem(
@@ -739,7 +752,7 @@ object Snapshot {
     // attempt CAS below then rejects any commit that raced in between
     val prev = pinnedBase.getOrElse(latestVersion(spark, destDir))
     morStage(updatesOpt, delKeysOpt, destDir, keyCol, tag, prev,
-        skipIfEmpty) match {
+        skipIfEmpty, carriedEntriesOverride, carriedRowsOverride) match {
       case None => prev
       case Some((uid, content)) =>
         def abort(msg: String): Nothing = {
@@ -769,13 +782,18 @@ object Snapshot {
     * [[SnapshotTxn.stageMerge]]/[[SnapshotTxn.stageDelete]] (which park
     * the content in a pending manifest until the transaction's commit
     * point). None when `skipIfEmpty` and the staged batch held zero
-    * rows (staging reclaimed). */
+    * rows (staging reclaimed). `carriedEntriesOverride`/
+    * `carriedRowsOverride` replace the carried-verbatim previous
+    * entries — [[compactSnapshotMoRLog]]'s hook, which carries only the
+    * BASE entries and drops the folded log's lines. */
   private[operators] def morStage(updatesOpt: Option[DataFrame],
                         delKeysOpt: Option[DataFrame],
                         destDir: String, keyCol: String,
                         tag: Option[String],
                         base: Int,
-                        skipIfEmpty: Boolean = false): Option[(Int, Seq[String])] = {
+                        skipIfEmpty: Boolean = false,
+                        carriedEntriesOverride: Option[Seq[String]] = None,
+                        carriedRowsOverride: Option[Option[Long]] = None): Option[(Int, Seq[String])] = {
     import org.apache.hadoop.fs.Path
     require(updatesOpt.nonEmpty || delKeysOpt.nonEmpty,
       "morStage needs an update batch, an explicit delete-set, or both")
@@ -875,10 +893,27 @@ object Snapshot {
     }
     stagedWrite(delDf.write.mode("overwrite").parquet(delDir.toString))
     val delLines0 = relLines(delDir, "!data/")
+    // staged physical row counts off the freshly-written footers —
+    // driver metadata reads over the batch files only, never a Spark
+    // job; shared by the indexed line shape, the skipIfEmpty probe and
+    // the #rows header (each footer opened at most once)
+    def dirRowsByFile(dir: Path): Map[String, Long] = {
+      import scala.collection.parallel.CollectionConverters._
+      if (!fs.exists(dir)) Map.empty
+      else fs.listStatus(dir)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getPath).toSeq.par
+        .map(p => p.getName -> footerStats(conf, p, Nil)._1).seq.toMap
+    }
+    val dataRowsByFile = dirRowsByFile(dataDir)
+    val delRowsByFile = dirRowsByFile(delDir)
     // on an indexed table every staged file gets its own bloom words
-    // over the merge key (one distributed pass per dir, batch-sized):
-    // point lookups then skip non-admitting upsert AND delete files
-    def withWords(dir: Path, lines: Seq[String]): Seq[String] =
+    // over the merge key (one distributed pass per dir, batch-sized) —
+    // point lookups then skip non-admitting upsert AND delete files —
+    // and carries its ROW COUNT (`path\trows\twords`), so the #rows
+    // header and compaction sizing survive the MoR lifecycle
+    def withWords(dir: Path, lines: Seq[String],
+                  rowsByFile: Map[String, Long]): Seq[String] =
       m.bloom match {
         case Some((_, mBits, kk)) if lines.nonEmpty =>
           val words = perFileBloomWords(spark, dir.toString, keyCol,
@@ -886,22 +921,17 @@ object Snapshot {
           val nWords =
             (mBits + Sketches.BloomWordBits - 1) / Sketches.BloomWordBits
           val empty = Array.fill(nWords)(0L).mkString(",")
-          lines.map(l =>
-            s"$l\t${words.getOrElse(l.split("/").last, empty)}")
+          lines.map { l =>
+            val name = l.split("/").last
+            s"$l\t${rowsByFile.getOrElse(name, 0L)}" +
+              s"\t${words.getOrElse(name, empty)}"
+          }
         case _ => lines
       }
-    val dataLinesOut = withWords(dataDir, dataLines)
-    val delLines = withWords(delDir, delLines0)
-    // staged physical row count off the freshly-written footers —
-    // driver metadata reads over the batch files only, never a Spark job
-    def dirRows(dir: Path): Long = {
-      import scala.collection.parallel.CollectionConverters._
-      if (!fs.exists(dir)) 0L
-      else fs.listStatus(dir)
-        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-        .map(_.getPath).toSeq.par
-        .map(p => footerStats(conf, p, Nil)._1).sum
-    }
+    val dataLinesOut = withWords(dataDir, dataLines, dataRowsByFile)
+    val delLines = withWords(delDir, delLines0, delRowsByFile)
+    def dirRows(dir: Path): Long =
+      (if (dir == dataDir) dataRowsByFile else delRowsByFile).values.sum
     // predicate DML with zero matches: no spurious tombstone version —
     // reclaim the (empty) staged dirs and report the base unchanged.
     // The emptiness check IS the footer listing of what was written, so
@@ -940,7 +970,9 @@ object Snapshot {
     // rows come off the footers just written, prev's off its header
     // footer sweep only when the table actually carries a #rows header —
     // and only over the batch files just written (driver metadata reads)
-    val rowsHeader = m.rowsHeader.map { r =>
+    val carriedRowsBase: Option[Long] =
+      carriedRowsOverride.getOrElse(m.rowsHeader)
+    val rowsHeader = carriedRowsBase.map { r =>
       val batchRows = if (dataLines.isEmpty) 0L else dirRows(dataDir)
       s"#rows=${r + batchRows}"
     }
@@ -952,7 +984,105 @@ object Snapshot {
       (if (m.droppedCols.isEmpty) Seq.empty
        else Seq(s"#dropped=${m.droppedCols.toSeq.sorted.mkString(",")}")) ++
       rowsHeader.toSeq
-    Some((uid, header ++ m.entries ++ dataLinesOut ++ delLines))
+    Some((uid,
+      header ++ carriedEntriesOverride.getOrElse(m.entries) ++
+        dataLinesOut ++ delLines))
+  }
+
+  /** FOLD the merge-on-read upsert log — maintenance BETWEEN "live
+    * with the resolve tax" and a full [[reconcileSnapshotMoR]]: merge
+    * the accumulated K per-commit (batch, delete-set) pairs into ONE
+    * pair and drop every superseded log file from the manifest,
+    * touching ZERO base files. Where reconcile rewrites every base
+    * file holding a touched key (O(touched base) — a real rewrite on a
+    * hot 100 TB table), the fold costs O(log bytes): it reads only the
+    * log, materializes each key's winning row once (per-key max
+    * staging sequence — exactly the survivor set [[readSnapshot]]'s
+    * resolve computes on every read), and commits winners + the union
+    * delete-set at a single fresh sequence. Readers then resolve ONE
+    * log generation however many MoR commits accumulated, so the
+    * read-side broadcast stays bounded by the LIVE update set, not by
+    * commit count.
+    *
+    * Soundness of the single-sequence re-stamp: the new staging id is
+    * strictly above every committed sequence (claims are permanent and
+    * first-free, the [[mergeSnapshotMoR]] monotonicity argument), and
+    * the union delete-set carries every key the old log ever touched —
+    * so base rows of touched keys still die, each winner survives as
+    * its key's (now unique) latest touch, and pure-deleted keys stay
+    * dead. Bloom tables keep their index: carried base lines keep
+    * their words verbatim, the folded batch + delete files get fresh
+    * words (the [[morStage]] machinery). Like every rewrite, a fold
+    * removes manifest lines — change-feed consumers crossing it
+    * re-bootstrap ([[changeFeed]]'s contract). Base-dependent
+    * single-attempt CAS; the no-op cases (≤ 1 log generation) return
+    * the current version unchanged. */
+  def compactSnapshotMoRLog(spark: org.apache.spark.sql.SparkSession,
+                            destDir: String,
+                            tag: Option[String] = None): Int = {
+    val prev = latestVersion(spark, destDir)
+    require(prev >= 1,
+      s"compactSnapshotMoRLog needs an existing version under $destDir")
+    val m = readManifest(spark, destDir, prev)
+    val delLines = m.lines.filter(isDeleteLine)
+    val delSeqs = delLines.map(l => morSeq(linePath(l))).toSet
+    if (delSeqs.size <= 1) return prev // ≤ 1 log generation: nothing to fold
+    val keyCol = m.headers("morkey")
+    val dataLines = m.lines.filterNot(isDeleteLine)
+    val (upsertLines, baseLines) =
+      dataLines.partition(l => delSeqs(morSeq(linePath(l))))
+    val seqExpr = regexp_extract(input_file_name(),
+      "/data/v(\\d+)(_del)?/", 1).cast("long")
+    val delDf = spark.read
+      .parquet(delLines.map(l => s"$destDir/${linePath(l)}").distinct: _*)
+      .select(col(keyCol)).withColumn("__dseq", seqExpr)
+    val dmax = delDf.groupBy(keyCol).agg(max("__dseq").as("__dmax"))
+    // winners = each touched key's latest upsert row (keys whose last
+    // touch was a pure delete simply have none)
+    val winners =
+      if (upsertLines.isEmpty) readSnapshot(spark, destDir, prev).limit(0)
+      else readWithSchema(spark, m.schema,
+          upsertLines.map(l => s"$destDir/${linePath(l)}"))
+        .withColumn("__seq", seqExpr)
+        .join(broadcast(dmax), Seq(keyCol))
+        .filter(col("__dmax") === col("__seq"))
+        .drop("__seq", "__dmax")
+    val winnersOrdered = m.schema match {
+      case Some(ps) => winners.select(ps.fieldNames.map(col).toSeq: _*)
+      case None => winners
+    }
+    val allKeys = delDf.select(col(keyCol)).distinct()
+    // carry: base entries verbatim (group-granular — an untouched delta
+    // manifest stays its one-line reference); every folded log line drops
+    def keepLine(l: String): Boolean =
+      !isDeleteLine(l) && !delSeqs(morSeq(linePath(l)))
+    val carried = m.groups.flatMap { g =>
+      if (g.lines.forall(keepLine)) Seq(g.entry)
+      else g.lines.filter(keepLine)
+    }
+    val baseRows = sumLineRows(baseLines)
+    morCommit(Some(winnersOrdered), Some(allKeys), destDir, keyCol, tag,
+      pinnedBase = Some(prev),
+      carriedEntriesOverride = Some(carried),
+      carriedRowsOverride = Some(baseRows))
+  }
+
+  /** MERGE + DELETE in ONE merge-on-read commit: upsert `updates` by
+    * `keyCol` AND tombstone `deleteKeys`, atomically (the committed
+    * delete-set is the union of both key sets — a key in `deleteKeys`
+    * without an update row disappears; update keys whole-row replace
+    * as usual). This is the shape a CDC / view APPLIER needs per
+    * window: its upserts and its deletes land — and replay — together,
+    * under one commit tag, instead of as two commits a crash can tear
+    * between ([[MaterializedView.refreshTxnJoinView]]'s write path).
+    * O(batch) bytes, zero base files touched, same sequencing/refusal
+    * rules as [[mergeSnapshotMoR]]/[[deleteSnapshotMoR]]. */
+  def applySnapshotMoR(updates: DataFrame, deleteKeys: DataFrame,
+                       destDir: String, keyCol: String,
+                       tag: Option[String] = None): Int = {
+    val allKeys = updates.select(col(keyCol))
+      .unionByName(deleteKeys.select(col(keyCol))).distinct()
+    morCommit(Some(updates), Some(allKeys), destDir, keyCol, tag)
   }
 
   /** Convert a merge-on-read table back to pure copy-on-write: resolve
@@ -1606,11 +1736,15 @@ object Snapshot {
 
   /** Per-file row count of a manifest line: field 1 of any stats line
     * (`path\trows\tmn\tmx…`, with or without a trailing bloom-words
-    * field — arity is NOT assumed even, the round-11 bug); None for
-    * bare-path and bloom-only lines. */
+    * field — arity is NOT assumed even, the round-11 bug) and of the
+    * 3-field bloom+rows shape (`path\trows\twords`, what stats-less
+    * indexed publishes emit — no other 3-field shape exists: stats
+    * always come as (min, max) pairs after the count, so a stats line
+    * is ≥ 4 fields). None for bare-path and legacy 2-field
+    * bloom-only lines. */
   private def lineRowCount(l: String): Option[Long] = {
     val f = l.split("\t")
-    if (f.length >= 4 && f(1).nonEmpty && f(1).forall(_.isDigit))
+    if (f.length >= 3 && f(1).nonEmpty && f(1).forall(_.isDigit))
       Some(f(1).toLong)
     else None
   }
@@ -2145,9 +2279,14 @@ object Snapshot {
             else Some(s"$rows\t" +
               mm.map { case (mn, mx) => s"$mn\t$mx" }.mkString("\t"))
           }
+        // the no-stats shape still carries the ROW COUNT
+        // (`path\trows\twords`): without it, every carried line loses
+        // its count through the MoR lifecycle — the #rows header dies
+        // at the first reconcile and compaction misreads every carried
+        // file as small (full rewrites each compact)
         val line = statsTxt match {
           case Some(st) => s"$rel\t$st\t$w"
-          case None => s"$rel\t$w"
+          case None => s"$rel\t$rows\t$w"
         }
         (line, rows)
       }.seq.toSeq
@@ -2273,9 +2412,11 @@ object Snapshot {
               mm.exists { case (mn, mx) => mn > mx }) None
           else Some(s"$rows\t" +
             mm.map { case (mn, mx) => s"$mn\t$mx" }.mkString("\t"))
+        // no-stats lines keep the row count (`path\trows\twords`) so
+        // #rows and compaction sizing survive the indexed lifecycle
         (statsTxt match {
           case Some(st) => s"$rel\t$st\t$w"
-          case None => s"$rel\t$w"
+          case None => s"$rel\t$rows\t$w"
         }, rows)
       }.seq.toSeq
     val deltaRows = linesAndRows.map(_._2).sum
@@ -2340,10 +2481,12 @@ object Snapshot {
     val nStats = m.statsCols.length
     m.lines.filter { l =>
       val f = l.split("\t")
-      // words ride the LAST field: `path\twords` (no stats for this
-      // file) or `path\trows\tmn\tmx[…]\twords` (combined index); any
-      // other shape is kept — skipping must never lose rows
+      // words ride the LAST field: `path\twords` (legacy no-stats
+      // shape), `path\trows\twords` (no-stats shape with the row
+      // count), or `path\trows\tmn\tmx[…]\twords` (combined index);
+      // any other shape is kept — skipping must never lose rows
       val hasWords = f.length == 2 ||
+        (f.length == 3 && f(1).nonEmpty && f(1).forall(_.isDigit)) ||
         (nStats > 0 && f.length == 3 + 2 * nStats)
       if (!hasWords) true
       else {

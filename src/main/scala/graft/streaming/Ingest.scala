@@ -653,6 +653,89 @@ object Ingest {
     }
   }
 
+  /** STREAMING MULTI-TABLE TRANSACTIONS — the reference's registration
+    * unit of work (a sample property mutation + a dataset registration
+    * + their link, ref `register-hlatyping.py:119-128`) kept atomic
+    * UNDER A STREAM: each micro-batch stages its writes across N
+    * snapshot tables through [[graft.operators.SnapshotTxn]] and
+    * commits them at ONE commit point, so no reader — not even one
+    * racing the stream — can observe a batch's sample row without its
+    * dataset rows. This closes the torn window per-table streaming
+    * sinks ([[snapshotStream]] + [[morStream]] side by side) leave
+    * between their two independent commits.
+    *
+    * Exactly-once rides the TXN-manifest tag (`batch=<id>`) — the
+    * [[applySnapshotBatch]] replay guard lifted to the log. The tag is
+    * atomic with the commit point (it rides the manifest whose publish
+    * IS the commit), the checkpoint serializes batches so only the
+    * latest batch can ever replay, and a replayed batch that finds its
+    * tag on the head txn just runs recovery (the crash may have landed
+    * between the commit point and finalization) and moves on. A crash
+    * BEFORE the commit point leaves only staged orphans (no version,
+    * no txn — vacuumOrphans reclaims); a crash AFTER it leaves a
+    * committed txn that recovery rolls forward. Either way the replay
+    * converges to exactly-once table state.
+    *
+    * `stage` receives the open transaction, the micro-batch and the
+    * batch id and stages every table write (stagePublish / stageAppend
+    * / stageMerge / stageDelete / predicate DML); it must be
+    * deterministic per batch. A batch that stages nothing commits
+    * nothing. One streaming producer per txn log, and batch writers on
+    * enrolled tables route through SnapshotTxn — the log's standing
+    * contract. */
+  def txnStream(spark: SparkSession, srcDir: String, fileGlob: String,
+                txnRoot: String, checkpointDir: String,
+                stage: (graft.operators.SnapshotTxn, DataFrame, Long) => Unit,
+                maxFilesPerTrigger: Int = 1,
+                trigger: Trigger = Trigger.AvailableNow(),
+                finish: StreamingQuery => Unit = _.awaitTermination()): Unit = {
+    val schema = spark.read.option("pathGlobFilter", fileGlob)
+      .parquet(srcDir).schema
+    val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
+      .option("maxFilesPerTrigger", math.max(maxFilesPerTrigger, 1))
+      .parquet(srcDir)
+      .writeStream.option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyTxnBatch(spark, txnRoot, batch.toDF(), batchId)(stage)
+      }
+      .trigger(trigger).start()
+    finish(q)
+  }
+
+  /** One micro-batch of [[txnStream]], factored out so the replay
+    * guard and both crash points are directly testable.
+    * `crashAfterCommitPoint` stops at the atomic commit point (the
+    * committer "dies" before finalizing) — the kill-injection seam for
+    * specs and the q_stream_txn gate. */
+  private[graft] def applyTxnBatch(spark: SparkSession, txnRoot: String,
+                                   out: DataFrame, batchId: Long,
+                                   crashAfterCommitPoint: Boolean = false)
+      (stage: (graft.operators.SnapshotTxn, DataFrame, Long) => Unit): Unit = {
+    val T = graft.operators.SnapshotTxn
+    val S = graft.operators.Snapshot
+    // recover FIRST: a replayed batch may follow a crash between the
+    // commit point and finalization — enrolled tables' latest versions
+    // are only meaningful after the roll-forward, and `stage` reads
+    // them (bootstrap-vs-append decisions, MoR bases)
+    T.recover(spark, txnRoot)
+    val head = T.latestTxn(spark, txnRoot)
+    val rootFs = new org.apache.hadoop.fs.Path(txnRoot).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val already = head >= 1 &&
+      rootFs.exists(new org.apache.hadoop.fs.Path(
+        s"$txnRoot/manifest/v$head.txt")) &&
+      S.versionTag(spark, txnRoot, head).contains(s"batch=$batchId")
+    if (already) return // replay of a committed batch: recovery ran above
+    val t = T.begin(spark, txnRoot)
+    stage(t, out, batchId)
+    if (!t.hasStaged) return // empty batch: nothing to commit
+    if (crashAfterCommitPoint) {
+      t.commitNoFinalize(tag = Some(s"batch=$batchId")); ()
+    } else {
+      t.commit(tag = Some(s"batch=$batchId")); ()
+    }
+  }
+
   /** Streaming CDC → Type-2 slowly-changing-dimension history: each
     * micro-batch is shaped to one row per key (`shape`, e.g. last
     * event wins) and folded into the history with

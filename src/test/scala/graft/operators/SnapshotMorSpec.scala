@@ -228,11 +228,16 @@ class SnapshotMorSpec extends SparkSpec {
     assert(rows(Snapshot.readSnapshotPoint(spark, dest, 3, "50")) ===
       Seq(Seq(50L, "n50")))
     assert(Snapshot.readSnapshotPoint(spark, dest, 3, "5000").count() == 0)
-    // the staged upsert/delete lines carry their own words (path\twords)
+    // the staged upsert/delete lines carry their own ROW COUNT and
+    // words (path\trows\twords) — the count keeps #rows/compaction
+    // sizing alive through the MoR lifecycle
     val l3 = Snapshot.manifestLines(spark, dest, 3)
-    assert(l3.filter(_.startsWith("!")).forall(_.split("\t").length == 2))
-    assert(l3.exists(l => l.startsWith("data/") &&
-      l.split("\t").length == 2 && l.split("\t")(1).contains(",")))
+    def rowsWords(l: String): Boolean = {
+      val f = l.split("\t")
+      f.length == 3 && f(1).forall(_.isDigit) && f(2).contains(",")
+    }
+    assert(l3.filter(_.startsWith("!")).forall(rowsWords))
+    assert(l3.exists(l => l.startsWith("data/") && rowsWords(l)))
     // full reads resolve identically with the decorated lines
     assert(Snapshot.readSnapshot(spark, dest, 3).count() == 400)
     assert(rows(Snapshot.readSnapshot(spark, dest, 3)

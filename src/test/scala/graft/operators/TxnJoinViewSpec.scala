@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Txn-consistent joined materialized view
+  * (MaterializedView.refreshTxnJoinView): a samples⋈datasets rollup
+  * maintained from the TRANSACTION log, so the view can never hold
+  * half a registration; crash-replay converges via the txn tag; the
+  * append-only datasets contract refuses loudly.
+  */
+class TxnJoinViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(pfx: String) =
+    java.nio.file.Files.createTempDirectory(pfx).toString
+
+  private def samplesDf(rows: (Long, String)*) = rows.toSeq.toDF("sid", "name")
+  private def datasetsDf(rows: (Long, Long, Long)*) =
+    rows.toSeq.toDF("did", "sid", "cents")
+
+  /** The view's oracle: full recompute from the live tables. */
+  private def full(sDir: String, dDir: String): Seq[Seq[Any]] = {
+    val s = Snapshot.readSnapshot(spark, sDir,
+      Snapshot.latestVersion(spark, sDir))
+    val d = Snapshot.readSnapshot(spark, dDir,
+      Snapshot.latestVersion(spark, dDir))
+    rows(s.join(d.groupBy("sid").agg(count(lit(1)).as("n_ds"),
+        sum(col("cents")).as("total")), Seq("sid"), "left")
+      .select(col("sid"), col("name"),
+        coalesce(col("n_ds"), lit(0L)).as("n_ds"),
+        coalesce(col("total"), lit(0L)).as("total"))
+      .orderBy("sid"))
+  }
+
+  private def viewRows(mv: String): Seq[Seq[Any]] =
+    rows(Snapshot.readSnapshot(spark, mv,
+      Snapshot.latestVersion(spark, mv)).orderBy("sid"))
+
+  test("bootstrap + incremental windows == full recompute; deletes and upserts land atomically") {
+    val out = tmp("graft-tjv")
+    val (root, sDir, dDir, mv, ckp) =
+      (s"$out/root", s"$out/s", s"$out/d", s"$out/mv", s"$out/ckp")
+    // txn1: the initial registration — both tables born in one txn
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stagePublish(samplesDf(1L -> "s1", 2L -> "s2", 3L -> "s3"), sDir)
+    t1.stagePublish(datasetsDf((10L, 1L, 100L), (11L, 1L, 50L),
+      (12L, 2L, 30L)), dDir)
+    t1.commit()
+    // window 1 bootstraps the view from the txn-pinned state
+    assert(MaterializedView.refreshTxnJoinView(spark, root, sDir, dDir,
+      mv, ckp, "sid", Seq("name"), "sid", "cents",
+      maxTxnsPerBatch = 1) == 1)
+    assert(viewRows(mv) === Seq(
+      Seq(1L, "s1", 2L, 150L), Seq(2L, "s2", 1L, 30L),
+      Seq(3L, "s3", 0L, 0L)))
+    // txn2: upsert a sample + register datasets for it and a NEW sample
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageMerge(samplesDf(1L -> "s1x", 4L -> "s4"), sDir, "sid")
+    t2.stageAppend(datasetsDf((13L, 1L, 5L), (14L, 4L, 70L)), dDir)
+    t2.commit()
+    // txn3: delete a sample + one more dataset for an untouched sample
+    val t3 = SnapshotTxn.begin(spark, root)
+    t3.stageDelete(Seq(2L).toDF("sid"), sDir, "sid")
+    t3.stageAppend(datasetsDf((15L, 3L, 9L)), dDir)
+    t3.commitNoFinalize() // and the committer dies after the commit point
+    assert(MaterializedView.refreshTxnJoinView(spark, root, sDir, dDir,
+      mv, ckp, "sid", Seq("name"), "sid", "cents",
+      maxTxnsPerBatch = 1) == 2)
+    assert(viewRows(mv) === Seq(
+      Seq(1L, "s1x", 3L, 155L), Seq(3L, "s3", 1L, 9L),
+      Seq(4L, "s4", 1L, 70L)))
+    assert(viewRows(mv) === full(sDir, dDir))
+    // nothing new: no windows, no view commits
+    val mvV = Snapshot.latestVersion(spark, mv)
+    assert(MaterializedView.refreshTxnJoinView(spark, root, sDir, dDir,
+      mv, ckp, "sid", Seq("name"), "sid", "cents") == 0)
+    assert(Snapshot.latestVersion(spark, mv) == mvV)
+    ()
+  }
+
+  test("mid-pump crash between view commit and watermark: the replayed window tag-skips") {
+    val out = tmp("graft-tjv2")
+    val (root, sDir, dDir, mv, ckp) =
+      (s"$out/root", s"$out/s", s"$out/d", s"$out/mv", s"$out/ckp")
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stagePublish(samplesDf(1L -> "s1", 2L -> "s2"), sDir)
+    t1.stagePublish(datasetsDf((10L, 1L, 100L)), dDir)
+    t1.commit()
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageMerge(samplesDf(2L -> "s2x"), sDir, "sid")
+    t2.stageAppend(datasetsDf((11L, 2L, 40L)), dDir)
+    t2.commit()
+    // crash INJECTED after window 2's view commit, before its watermark
+    // advance: the next pump replays window 2 verbatim
+    var applied = 0
+    intercept[RuntimeException] {
+      SnapshotTxnCdc.pump(spark, root, ckp, maxTxnsPerBatch = 1) { d =>
+        MaterializedView.applyTxnJoinWindow(spark, d, sDir, dDir, mv,
+          "sid", Seq("name"), "sid", "cents")
+        applied += 1
+        if (d.toTxn == 2)
+          throw new RuntimeException("injected crash before advance")
+      }
+    }
+    assert(applied == 2)
+    assert(SnapshotTxnCdc.appliedTxn(spark, ckp) == 1) // watermark behind
+    val mvAfterCrash = Snapshot.latestVersion(spark, mv)
+    // replay: window 2 re-delivered, the view's txn2 tag skips the
+    // double-apply, the watermark catches up
+    assert(MaterializedView.refreshTxnJoinView(spark, root, sDir, dDir,
+      mv, ckp, "sid", Seq("name"), "sid", "cents",
+      maxTxnsPerBatch = 1) == 1)
+    assert(Snapshot.latestVersion(spark, mv) == mvAfterCrash)
+    assert(SnapshotTxnCdc.appliedTxn(spark, ckp) == 2)
+    assert(viewRows(mv) === Seq(
+      Seq(1L, "s1", 1L, 100L), Seq(2L, "s2x", 1L, 40L)))
+    assert(viewRows(mv) === full(sDir, dDir))
+    ()
+  }
+
+  test("append-only datasets contract: a dataset delete event refuses loudly") {
+    val out = tmp("graft-tjv3")
+    val (root, sDir, dDir, mv, ckp) =
+      (s"$out/root", s"$out/s", s"$out/d", s"$out/mv", s"$out/ckp")
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stagePublish(samplesDf(1L -> "s1"), sDir)
+    t1.stagePublish(datasetsDf((10L, 1L, 100L)), dDir)
+    t1.commit()
+    assert(MaterializedView.refreshTxnJoinView(spark, root, sDir, dDir,
+      mv, ckp, "sid", Seq("name"), "sid", "cents") == 1)
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageDelete(Seq(10L).toDF("did"), dDir, "did")
+    t2.commit()
+    val e = intercept[Exception] {
+      MaterializedView.refreshTxnJoinView(spark, root, sDir, dDir,
+        mv, ckp, "sid", Seq("name"), "sid", "cents")
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("append-only")), e.toString)
+    ()
+  }
+}
