@@ -557,20 +557,32 @@ object SnapshotTxn {
 
   /** The newest committed transaction id (0 when none) — the `k` a
     * consistent multi-table reader pins before resolving tables via
-    * [[asOfTxn]]/[[readAsOfTxn]]. Pruning-proof: after
-    * [[vacuumTxnLog]] removed manifests, the listing alone can UNDER-
-    * report (to zero, when everything finalized was pruned) — and a
-    * commit assigning ids off that listing would RE-USE pruned txn
-    * ids, corrupting the log's monotone-id invariant. The
-    * recovered-through marker and the vacuum fold snapshot both
-    * survive pruning and lower-bound the true head, so the head is
-    * the max of all three. */
+    * [[asOfTxn]]/[[readAsOfTxn]].
+    *
+    * Found by PROBING UPWARD from the recovered-through marker, never
+    * by listing the manifest directory on the warm path: commit slots
+    * are contiguous above the marker (the CAS loop takes the first
+    * free slot and the marker only advances over committed txns), so
+    * the warm cost is O(txns above the marker + 1) exists() calls — a
+    * directory listing is O(all manifests ever), which the txncdcscale
+    * rehearsal measured as the dominant per-pump cost on a 10⁴-txn log
+    * (every consumer window asks for the head). The cold path (no
+    * marker) lists once and also consults the vacuum fold snapshot —
+    * both survive pruning and lower-bound the true head, so a
+    * fully-pruned log can never under-report (a commit assigning ids
+    * off a bare listing would RE-USE pruned txn ids, corrupting the
+    * log's monotone-id invariant). */
   def latestTxn(spark: SparkSession, txnRoot: String): Int = {
     val rootFs = new Path(txnRoot).getFileSystem(
       spark.sessionState.newHadoopConf())
-    math.max(Snapshot.latestVersion(spark, txnRoot),
-      math.max(recoveredThrough(spark, txnRoot),
-        snapshotIds(rootFs, txnRoot).headOption.getOrElse(0)))
+    val wm = recoveredThrough(spark, txnRoot)
+    var head =
+      if (wm > 0) wm
+      else math.max(Snapshot.latestVersion(spark, txnRoot),
+        snapshotIds(rootFs, txnRoot).headOption.getOrElse(0))
+    while (rootFs.exists(new Path(s"$txnRoot/manifest/v${head + 1}.txt")))
+      head += 1
+    head
   }
 
   /** PRUNE the transaction log: delete txn manifests below `keepFrom`.

@@ -516,6 +516,7 @@ object Ingest {
                 reconcileEvery: Int = 0,
                 maxFilesPerTrigger: Int = 1,
                 indexed: Boolean = false,
+                foldEvery: Int = 0,
                 trigger: Trigger = Trigger.AvailableNow(),
                 finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
     val S = graft.operators.Snapshot
@@ -527,7 +528,7 @@ object Ingest {
       .writeStream.option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         applyMorBatch(shape(batch.toDF()), destDir, batchId, keyCol,
-          reconcileEvery, indexed)
+          reconcileEvery, indexed, foldEvery)
       }
       .trigger(trigger).start()
     finish(q)
@@ -571,15 +572,35 @@ object Ingest {
   }
 
   /** One micro-batch of [[morStream]]: bootstrap-publish on the first
-    * batch, merge-on-read upsert after, reconcile every
-    * `reconcileEvery` batches — all tagged `batch=<batchId>` so a
-    * replay of an already-committed batch skips without writing. */
+    * batch, merge-on-read upsert after, maintenance every
+    * `reconcileEvery` / `foldEvery` batches — all tagged
+    * `batch=<batchId>` so a replay of an already-committed batch skips
+    * without writing. `foldEvery` runs
+    * [[graft.operators.Snapshot.compactSnapshotMoRLog]] — the O(log
+    * bytes) fold that bounds the read-side resolve tax WITHOUT the
+    * base rewrite `reconcileEvery` pays; on a hot 100 TB table the
+    * stream folds often and reconciles rarely (or never). Both are
+    * idempotent on an already-maintained table, so the crash-replay
+    * argument is reconcile's. */
   private[graft] def applyMorBatch(out: DataFrame, destDir: String,
                                    batchId: Long, keyCol: String,
                                    reconcileEvery: Int = 0,
-                                   indexed: Boolean = false): Unit = {
+                                   indexed: Boolean = false,
+                                   foldEvery: Int = 0): Unit = {
     val S = graft.operators.Snapshot
     val spark = out.sparkSession
+    def maintain(): Unit = {
+      if (foldEvery > 0 && (batchId + 1) % foldEvery == 0) {
+        S.compactSnapshotMoRLog(spark, destDir,
+          tag = Some(s"batch=$batchId"))
+        ()
+      }
+      if (reconcileEvery > 0 && (batchId + 1) % reconcileEvery == 0) {
+        S.reconcileSnapshotMoR(spark, destDir,
+          tag = Some(s"batch=$batchId"))
+        ()
+      }
+    }
     val latest = S.latestVersion(spark, destDir)
     val already = latest >= 1 &&
       S.versionTag(spark, destDir, latest).contains(s"batch=$batchId")
@@ -598,18 +619,12 @@ object Ingest {
       } else
         S.mergeSnapshotMoR(out, destDir, keyCol,
           tag = Some(s"batch=$batchId"))
-      if (reconcileEvery > 0 && (batchId + 1) % reconcileEvery == 0) {
-        S.reconcileSnapshotMoR(spark, destDir,
-          tag = Some(s"batch=$batchId"))
-        ()
-      }
-    } else if (reconcileEvery > 0 && (batchId + 1) % reconcileEvery == 0) {
-      // crash landed between this batch's merge and its reconcile: the
-      // replay skips the merge (tag present) but must still reconcile —
-      // idempotent, a reconciled table returns its version unchanged
-      S.reconcileSnapshotMoR(spark, destDir, tag = Some(s"batch=$batchId"))
-      ()
-    }
+      maintain()
+    } else
+      // crash landed between this batch's merge and its maintenance:
+      // the replay skips the merge (tag present) but must still
+      // maintain — idempotent; a maintained table returns its version
+      maintain()
   }
 
   /** One micro-batch of [[snapshotStream]]: commit `out` as the next

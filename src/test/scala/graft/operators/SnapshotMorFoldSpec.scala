@@ -118,6 +118,30 @@ class SnapshotMorFoldSpec extends SparkSpec {
     ()
   }
 
+  test("morStream's foldEvery: the streaming producer folds its log in-stream, replay-safe") {
+    import graft.streaming.Ingest
+    val dest = tmp("graft-foldstream")
+    def kv(rows: (Long, String)*) = rows.toSeq.toDF("k", "v")
+    Ingest.applyMorBatch(kv(1L -> "a", 2L -> "b"), dest, 0L, "k")
+    Ingest.applyMorBatch(kv(2L -> "B", 3L -> "c"), dest, 1L, "k")
+    Ingest.applyMorBatch(kv(1L -> "A", 4L -> "d"), dest, 2L, "k",
+      foldEvery = 3)
+    // batches 1+2's two log generations folded into one at batch 2
+    val v = Snapshot.latestVersion(spark, dest)
+    assert(Snapshot.versionTag(spark, dest, v).contains("batch=2"))
+    assert(logSeqs(dest, v)._2.length == 1)
+    assert(rows(Snapshot.readSnapshot(spark, dest, v).orderBy("k")) ===
+      Seq(Seq(1L, "A"), Seq(2L, "B"), Seq(3L, "c"), Seq(4L, "d")))
+    // crash between batch 2's merge and its fold: the replay skips the
+    // merge (tag present) and re-folds — a folded log is a no-op
+    Ingest.applyMorBatch(kv(1L -> "A", 4L -> "d"), dest, 2L, "k",
+      foldEvery = 3)
+    assert(Snapshot.latestVersion(spark, dest) == v)
+    assert(rows(Snapshot.readSnapshot(spark, dest, v).orderBy("k")) ===
+      Seq(Seq(1L, "A"), Seq(2L, "B"), Seq(3L, "c"), Seq(4L, "d")))
+    ()
+  }
+
   test("applySnapshotMoR: upserts and deletes land in ONE commit") {
     val d = tmp("graft-apply")
     Snapshot.publishSnapshot(
