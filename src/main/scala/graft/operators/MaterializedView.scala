@@ -168,7 +168,12 @@ object MaterializedView {
                          sampleKey: String, sampleCols: Seq[String],
                          dsSampleCol: String, dsValCol: String,
                          maxTxnsPerBatch: Int = Int.MaxValue): Int =
-    SnapshotTxnCdc.pump(spark, txnRoot, checkpointDir, maxTxnsPerBatch) {
+    // rebootstrapOnRewrite: routine maintenance on the base tables
+    // (compaction, MoR log fold, reconcile) must not wedge the view —
+    // a rewritten table's window degrades to full-state inserts, and
+    // the applier below reconciles stale view keys against it
+    SnapshotTxnCdc.pump(spark, txnRoot, checkpointDir, maxTxnsPerBatch,
+        rebootstrapOnRewrite = true) {
       d => applyTxnJoinWindow(spark, d, samplesDir, datasetsDir, mvDir,
         sampleKey, sampleCols, dsSampleCol, dsValCol)
     }
@@ -257,9 +262,21 @@ object MaterializedView {
       dScan(dsSampleCol) === touched(sampleKey), "left_semi")
     val updates = grouped(sNow, dNow)
     // touched keys with NO sample row at the window end vanish from the
-    // view (sample deletes, and dataset rows referencing unknown sids)
-    val gone = touched.join(samplesAt.select(col(sampleKey)),
-      Seq(sampleKey), "left_anti")
+    // view (sample deletes, and dataset rows referencing unknown sids).
+    // A REBOOTSTRAPPED samples window carries no delete events (a full
+    // state can't), so the vanished set must come from the view itself:
+    // every view key absent from the new full state goes — one
+    // column-pruned view scan, paid only on the rare rewrite window.
+    val sampleBoot = d.bootstrapped.exists(t => q(t) == q(samplesDir))
+    val staleViewKeys =
+      if (!sampleBoot) None
+      else Some(Snapshot.readSnapshot(spark, mvDir, mvLatest)
+        .select(col(sampleKey))
+        .join(samplesAt.select(col(sampleKey)), Seq(sampleKey),
+          "left_anti"))
+    val gone = (touched.join(samplesAt.select(col(sampleKey)),
+        Seq(sampleKey), "left_anti") +: staleViewKeys.toSeq)
+      .reduce(_.unionByName(_)).distinct()
     // ONE MoR commit: upserts + deletes land (and replay) together
     Snapshot.applySnapshotMoR(updates, gone, mvDir, sampleKey,
       tag = Some(tag))

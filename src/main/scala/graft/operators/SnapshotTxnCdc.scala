@@ -50,10 +50,16 @@ object SnapshotTxnCdc {
     * in the window are absent from `tables`; `versions` is the FULL
     * (table → version) snapshot at `toTxn` — what a txn-pinned applier
     * reads base state from ([[MaterializedView.refreshTxnJoinView]])
-    * and what the pump persists as the next window's fold prefix. */
+    * and what the pump persists as the next window's fold prefix.
+    * `bootstrapped` names the tables whose events are FULL-STATE
+    * inserts rather than a true delta (first sight of a late-enrolled
+    * table, or a rewrite-rebootstrap) — an applier that tracks
+    * presence (not just values) must reconcile against the full state
+    * for those, since a bootstrap cannot carry delete events. */
   final case class TxnDelta(fromTxn: Int, toTxn: Int,
                             tables: Map[String, DataFrame],
-                            versions: Map[String, Int])
+                            versions: Map[String, Int],
+                            bootstrapped: Set[String] = Set.empty)
 
   /** The change events of transactions (appliedTxn, upTo] — None when
     * nothing new. `appliedTxn` = 0 bootstraps every enrolled table.
@@ -61,10 +67,24 @@ object SnapshotTxnCdc {
     * before its versions are readable). `prefix`, when given, is the
     * caller's cached `asOfTxn(appliedTxn)` snapshot: the fold then
     * touches only the window's own manifests (O(window txns)), and a
-    * log whose prefix ≤ appliedTxn was pruned stays readable. */
+    * log whose prefix ≤ appliedTxn was pruned stays readable.
+    *
+    * `rebootstrapOnRewrite`: a window crossing a REWRITE of an
+    * enrolled table (compact / reconcile / MoR log fold / CoW merge
+    * removed manifest lines) normally refuses with changeFeed's
+    * re-bootstrap error — correct, but it permanently wedges a live
+    * consumer the moment routine maintenance touches a hot table.
+    * With the flag, that table's window degrades to the documented
+    * recovery AUTOMATICALLY: its full resolved state at the window
+    * end, delivered as `insert` events and named in
+    * `TxnDelta.bootstrapped` (one O(table) read per rewrite event —
+    * the price maintenance always cost consumers; appliers must be
+    * full-state-idempotent, which key-value and recompute-by-group
+    * appliers are). */
   def changesSince(spark: SparkSession, txnRoot: String, appliedTxn: Int,
                    upTo: Option[Int] = None,
-                   prefix: Option[Map[String, Int]] = None): Option[TxnDelta] = {
+                   prefix: Option[Map[String, Int]] = None,
+                   rebootstrapOnRewrite: Boolean = false): Option[TxnDelta] = {
     SnapshotTxn.recover(spark, txnRoot)
     val head = SnapshotTxn.latestTxn(spark, txnRoot)
     val to = upTo.getOrElse(head)
@@ -84,20 +104,36 @@ object SnapshotTxnCdc {
       if (appliedTxn == 0) SnapshotTxn.asOfTxn(spark, txnRoot, to)
       else SnapshotTxn.asOfTxn(spark, txnRoot, to,
         sinceTxn = appliedTxn, prefix = fromVs)
+    def fullState(t: String, vTo: Int): DataFrame =
+      Snapshot.readSnapshot(spark, t, vTo)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(vTo))
+    val boot = scala.collection.mutable.Set.empty[String]
     val tables = toVs.flatMap { case (t, vTo) =>
       fromVs.get(t) match {
         case Some(vFrom) if vFrom == vTo => None // untouched this window
         case Some(vFrom) =>
-          Some(t -> Snapshot.changeFeed(spark, t, vFrom, vTo))
+          // changeFeed's rewrite refusal is raised EAGERLY (its manifest
+          // diff runs in the driver), so the fallback decision is
+          // deterministic, never a mid-job surprise
+          val feed =
+            try Snapshot.changeFeed(spark, t, vFrom, vTo)
+            catch {
+              case e: IllegalArgumentException
+                if rebootstrapOnRewrite && e.getMessage != null &&
+                  e.getMessage.contains("re-bootstrap") =>
+                boot += t
+                fullState(t, vTo)
+            }
+          Some(t -> feed)
         case None =>
           // bootstrap: the full resolved state at the window end, as
           // insert events in the changeFeed row shape
-          Some(t -> Snapshot.readSnapshot(spark, t, vTo)
-            .withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(vTo)))
+          boot += t
+          Some(t -> fullState(t, vTo))
       }
     }
-    Some(TxnDelta(appliedTxn, to, tables, toVs))
+    Some(TxnDelta(appliedTxn, to, tables, toVs, boot.toSet))
   }
 
   /** The consumer's applied-txn watermark (0 before the first
@@ -150,7 +186,8 @@ object SnapshotTxnCdc {
     * crash between process and advance replays the window verbatim on
     * the next pump. Returns the number of windows processed. */
   def pump(spark: SparkSession, txnRoot: String, checkpointDir: String,
-           maxTxnsPerBatch: Int = Int.MaxValue)
+           maxTxnsPerBatch: Int = Int.MaxValue,
+           rebootstrapOnRewrite: Boolean = false)
           (process: TxnDelta => Unit): Int = {
     require(maxTxnsPerBatch >= 1,
       s"maxTxnsPerBatch must be >= 1, got $maxTxnsPerBatch")
@@ -161,7 +198,8 @@ object SnapshotTxnCdc {
     while (applied < head) {
       val to = math.min(applied.toLong + maxTxnsPerBatch, head.toLong).toInt
       val d = changesSince(spark, txnRoot, applied, Some(to),
-        prefix = if (applied == 0) None else cached)
+        prefix = if (applied == 0) None else cached,
+        rebootstrapOnRewrite = rebootstrapOnRewrite)
       d.foreach(process)
       val vs = d.map(_.versions).getOrElse(cached.getOrElse(Map.empty))
       advance(spark, checkpointDir, to, vs)

@@ -119,6 +119,55 @@ class TxnJoinViewSpec extends SparkSpec {
     ()
   }
 
+  test("base-table maintenance mid-stream: the view auto-rebootstraps instead of wedging") {
+    val out = tmp("graft-tjv4")
+    val (root, sDir, dDir, mv, ckp) =
+      (s"$out/root", s"$out/s", s"$out/d", s"$out/mv", s"$out/ckp")
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stagePublish(samplesDf(1L -> "s1", 2L -> "s2", 3L -> "s3"), sDir)
+    t1.stagePublish(datasetsDf((10L, 1L, 100L), (11L, 3L, 50L)), dDir)
+    t1.commit()
+    assert(MaterializedView.refreshTxnJoinView(spark, root, sDir, dDir,
+      mv, ckp, "sid", Seq("name"), "sid", "cents") == 1)
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageMerge(samplesDf(1L -> "s1x"), sDir, "sid")
+    t2.commit()
+    assert(MaterializedView.refreshTxnJoinView(spark, root, sDir, dDir,
+      mv, ckp, "sid", Seq("name"), "sid", "cents") == 1)
+    // routine maintenance rewrites the samples table OUTSIDE the log
+    // (reconcile removes manifest lines — the class that used to wedge
+    // every later window with changeFeed's re-bootstrap refusal)
+    Snapshot.reconcileSnapshotMoR(spark, sDir)
+    val t3 = SnapshotTxn.begin(spark, root)
+    t3.stageDelete(Seq(3L).toDF("sid"), sDir, "sid")
+    t3.stageAppend(datasetsDf((12L, 2L, 7L)), dDir)
+    t3.commit()
+    // the DEFAULT contract still refuses loudly across the rewrite
+    val applied = SnapshotTxnCdc.appliedTxn(spark, ckp)
+    intercept[IllegalArgumentException] {
+      SnapshotTxnCdc.changesSince(spark, root, applied)
+        .get.tables.values.foreach(_.queryExecution.toRdd.count())
+    }
+    // the view's consumer opts into auto-rebootstrap: the window
+    // degrades to full-state inserts for samples and the applier
+    // reconciles stale view keys (sid 3 deleted INSIDE the rewrite
+    // window must leave the view by ABSENCE, not by a delete event)
+    assert(MaterializedView.refreshTxnJoinView(spark, root, sDir, dDir,
+      mv, ckp, "sid", Seq("name"), "sid", "cents") == 1)
+    assert(viewRows(mv) === Seq(
+      Seq(1L, "s1x", 1L, 100L), Seq(2L, "s2", 1L, 7L)))
+    assert(viewRows(mv) === full(sDir, dDir))
+    // and the delta names the rebootstrapped table
+    var boot: Set[String] = Set.empty
+    val t4 = SnapshotTxn.begin(spark, root)
+    t4.stageMerge(samplesDf(2L -> "s2x"), sDir, "sid")
+    t4.commit()
+    SnapshotTxnCdc.pump(spark, root, ckp,
+        rebootstrapOnRewrite = true) { d => boot = d.bootstrapped }
+    assert(boot.isEmpty) // no rewrite this window: a true delta again
+    ()
+  }
+
   test("append-only datasets contract: a dataset delete event refuses loudly") {
     val out = tmp("graft-tjv3")
     val (root, sDir, dDir, mv, ckp) =
