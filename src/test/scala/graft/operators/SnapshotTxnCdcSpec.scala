@@ -170,6 +170,64 @@ class SnapshotTxnCdcSpec extends SparkSpec {
     ()
   }
 
+  test("soak: a pumping consumer races two transactional writers; every txn lands exactly once") {
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    val root = tmp("graft-tcdcs"); val ckp = tmp("graft-tcdcs-c")
+    val a = tmp("graft-tcdcs-a"); val b = tmp("graft-tcdcs-b")
+    Snapshot.publishSnapshot(kv(0L -> "a0"), a)
+    Snapshot.publishSnapshot(kv(0L -> "b0"), b)
+    val pool = Executors.newFixedThreadPool(3)
+    val sa = scala.collection.mutable.Map.empty[Long, String]
+    val sb = scala.collection.mutable.Map.empty[Long, String]
+    val windows = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val writers = (1 to 2).map { w =>
+        pool.submit(new Callable[Unit] {
+          def call(): Unit = (0 until 5).foreach { i =>
+            val key = 100L * w + i
+            var done = false
+            while (!done) {
+              val t = SnapshotTxn.begin(spark, root)
+              try {
+                t.stageAppend(kv(key -> s"a-$key"), a)
+                t.stageAppend(kv(key -> s"b-$key"), b)
+                // odd txns die right after the commit point: the
+                // consumer's bundled recovery must roll them forward
+                if (i % 2 == 1) t.commitNoFinalize() else t.commit()
+                done = true
+              } catch {
+                case _: Snapshot.ConcurrentSnapshotUpdate => // restage
+              }
+            }
+          }
+        })
+      }
+      val consumer = pool.submit(new Callable[Unit] {
+        def call(): Unit = (0 until 40).foreach { _ =>
+          windows.addAndGet(
+            SnapshotTxnCdc.pump(spark, root, ckp, maxTxnsPerBatch = 1) {
+              d =>
+                d.tables.get(a).foreach(apply1(sa, _))
+                d.tables.get(b).foreach(apply1(sb, _))
+            })
+          Thread.sleep(20)
+        }
+      })
+      (writers :+ consumer).foreach(_.get(300, TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    // drain whatever the consumer's last poll missed
+    SnapshotTxnCdc.pump(spark, root, ckp, maxTxnsPerBatch = 1) { d =>
+      d.tables.get(a).foreach(apply1(sa, _))
+      d.tables.get(b).foreach(apply1(sb, _))
+    }
+    val want = (1 to 2).flatMap(w => (0 until 5).map(i => 100L * w + i))
+    assert(sa.toMap === (want.map(k => k -> s"a-$k").toMap + (0L -> "a0")))
+    assert(sb.toMap === (want.map(k => k -> s"b-$k").toMap + (0L -> "b0")))
+    // exactly one window per committed txn, all 10 txns consumed
+    assert(SnapshotTxnCdc.appliedTxn(spark, ckp) == 10)
+    ()
+  }
+
   test("late-enrolled table bootstraps as full-state inserts; untouched tables absent") {
     val root = tmp("graft-tcdc2"); val ckp = tmp("graft-tcdc2-c")
     val a = tmp("graft-tcdc2-a"); val c = tmp("graft-tcdc2-c2")
