@@ -6634,9 +6634,12 @@ object Queries {
         round(col("o_totalprice") * 100).cast("long").as("dcents"))
       def dslice(r: Int) = ord.filter(col("did") % 3 === r)
       val t1 = T.begin(s, root)
-      t1.stagePublish(cust, smpDir)
-      // datasets range-clustered + stats on the group key: window
-      // recomputes then prune the dataset scan by manifest arithmetic
+      // BOTH sides range-clustered + stats on the group key: window
+      // recomputes prune the dataset scan by manifest range arithmetic
+      // and the (live-tombstoned) samples scan via the MoR-transparent
+      // predicate read
+      t1.stagePublish(cust.repartitionByRange(4, col("sid")), smpDir,
+        statsCol = Some("sid"))
       t1.stagePublish(dslice(0).repartitionByRange(4, col("sid")),
         dsDir, statsCol = Some("sid"))
       t1.commit()
@@ -6703,7 +6706,7 @@ object Queries {
   // replays the DML sequence on the seed.
   private val MorFoldDir = s"$FixtureRoot/morfold"
 
-  def morFoldQ(s: SparkSession, dir: String): DataFrame = {
+  private def ensureMorFoldFixture(s: SparkSession, dir: String): Unit = {
     val S = graft.operators.Snapshot
     def cust = load(s, dir, "customer").select(
       col("c_custkey").cast("long").as("sid"),
@@ -6727,12 +6730,53 @@ object Queries {
         "fold of a folded log must be a no-op")
       ()
     }
+  }
+
+  def morFoldQ(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.operators.Snapshot
+    ensureMorFoldFixture(s, dir)
     S.readSnapshot(s, MorFoldDir, S.latestVersion(s, MorFoldDir))
       .groupBy((col("sid") % 7).as("g"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"),
         sum(col("sid")).as("k"))
       .orderBy("g")
   }
+
+  // ------------------------------------------------------ Q-snapwhere
+  // MoR-TRANSPARENT PREDICATE READ (Snapshot.readSnapshotWhere): an
+  // arbitrary predicate over the q_mor_fold table's FOLDED state —
+  // live tombstones present, so readSnapshotRange refuses — opens only
+  // files whose manifest stats could hold a match (the predicate-DML
+  // bounds fold, null-sound), resolves the upsert log over that subset
+  // and applies the predicate exactly. The range bounds derive from
+  // the seed (max key), so the same query prunes at every scale.
+  // ORACLE: the same DML replay filtered by the same predicate.
+  def snapWhereQ(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.operators.Snapshot
+    ensureMorFoldFixture(s, dir)
+    val maxSid = load(s, dir, "customer")
+      .agg(max(col("c_custkey").cast("long"))).head().getLong(0)
+    val (lo, hi) = (maxSid / 4, maxSid / 2)
+    S.readSnapshotWhere(s, MorFoldDir,
+        S.latestVersion(s, MorFoldDir),
+        col("sid") >= lo && col("sid") <= hi && col("cents") % 2 === 0)
+      .orderBy("sid")
+  }
+
+  private val snapWhereSql =
+    """WITH c AS (SELECT c_custkey AS sid,
+      |                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |           FROM customer),
+      |r AS (SELECT sid, CASE WHEN sid % 6 = 0 THEN cents * 2
+      |                       WHEN sid % 4 = 0 THEN cents + 7
+      |                       ELSE cents END AS cents
+      |      FROM c
+      |      WHERE sid % 11 <> 0
+      |        AND NOT (sid % 9 = 0 AND sid % 6 <> 0)),
+      |mm AS (SELECT max(sid) AS mx FROM c)
+      |SELECT sid, cents FROM r, mm
+      |WHERE sid >= mx // 4 AND sid <= mx // 2 AND cents % 2 = 0
+      |ORDER BY sid""".stripMargin
 
   private val morFoldSql =
     """WITH c AS (SELECT c_custkey AS sid,
@@ -10902,6 +10946,7 @@ object Queries {
     "q_txn_mv" -> (txnMvQ _),
     "q_stream_txn" -> (streamTxnQ _),
     "q_mor_fold" -> (morFoldQ _),
+    "q_snapwhere" -> (snapWhereQ _),
     "q_stream_cdc" -> (streamCdcQ _),
     "q_wap" -> (wapQ _),
     "q_cdf" -> (cdfQ _),
@@ -11149,6 +11194,7 @@ object Queries {
     "q_txn_mv" -> txnMvSql,
     "q_stream_txn" -> streamTxnSql,
     "q_mor_fold" -> morFoldSql,
+    "q_snapwhere" -> snapWhereSql,
     "q_stream_cdc" -> streamCdcSql,
     "q_wap" -> wapSql,
     "q_cdf" -> cdfSql,

@@ -239,10 +239,10 @@ object MaterializedView {
       .reduceOption(_.unionByName(_)).map(_.distinct())
       .getOrElse(return) // neither table moved in this window
     // recompute the touched groups against the txn-pinned state; prune
-    // the dataset side by manifest stats when they cluster on the key
-    val sNow = samplesAt.join(touched, Seq(sampleKey), "left_semi")
-    val statsIsKey = Snapshot.statsColsOf(spark, datasetsDir, dV.get)
-      .headOption.contains(dsSampleCol)
+    // BOTH scans by manifest stats when a side clusters on the key —
+    // the dataset side via the literal range read, the samples side via
+    // the MoR-transparent predicate read (samples usually carry live
+    // tombstones, which readSnapshotRange refuses)
     val isIntegralKey = touched.schema(sampleKey).dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
@@ -250,13 +250,23 @@ object MaterializedView {
            org.apache.spark.sql.types.ByteType => true
       case _ => false
     }
+    lazy val touchedMm = touched.agg(min(col(sampleKey)).cast("long"),
+      max(col(sampleKey)).cast("long")).head()
+    def statsIsKey(dir: String, v: Int, c: String): Boolean =
+      Snapshot.statsColsOf(spark, dir, v).headOption.contains(c)
+    val sScan =
+      if (statsIsKey(samplesDir, sV.get, sampleKey) && isIntegralKey &&
+          !touchedMm.isNullAt(0))
+        Snapshot.readSnapshotWhere(spark, samplesDir, sV.get,
+          col(sampleKey) >= touchedMm.getLong(0) &&
+            col(sampleKey) <= touchedMm.getLong(1))
+      else samplesAt
+    val sNow = sScan.join(touched, Seq(sampleKey), "left_semi")
     val dScan =
-      if (statsIsKey && isIntegralKey) {
-        val mm = touched.agg(min(col(sampleKey)).cast("long"),
-          max(col(sampleKey)).cast("long")).head()
-        if (mm.isNullAt(0)) datasetsAt.limit(0)
+      if (statsIsKey(datasetsDir, dV.get, dsSampleCol) && isIntegralKey) {
+        if (touchedMm.isNullAt(0)) datasetsAt.limit(0)
         else Snapshot.readSnapshotRange(spark, datasetsDir, dV.get,
-          mm.getLong(0), mm.getLong(1))
+          touchedMm.getLong(0), touchedMm.getLong(1))
       } else datasetsAt
     val dNow = dScan.join(touched,
       dScan(dsSampleCol) === touched(sampleKey), "left_semi")
@@ -274,7 +284,10 @@ object MaterializedView {
         .select(col(sampleKey))
         .join(samplesAt.select(col(sampleKey)), Seq(sampleKey),
           "left_anti"))
-    val gone = (touched.join(samplesAt.select(col(sampleKey)),
+    // the anti-join probes the PRUNED samples scan: every touched key
+    // lies inside [min(touched), max(touched)] by construction, so the
+    // range-pruned subset covers every touched key samples could hold
+    val gone = (touched.join(sScan.select(col(sampleKey)),
         Seq(sampleKey), "left_anti") +: staleViewKeys.toSeq)
       .reduce(_.unionByName(_)).distinct()
     // ONE MoR commit: upserts + deletes land (and replay) together

@@ -618,6 +618,28 @@ object Snapshot {
     }
   }
 
+  /** PREDICATE READ with manifest-stats file pruning, MoR-transparent —
+    * the read-side face of the predicate-DML machinery: `cond`'s
+    * conjuncts over the table's first stats column fold into a
+    * [lo, hi] bound ([[predicateBounds]]), only overlapping files are
+    * opened (null-sound, no false negatives), the upsert log resolves
+    * over that subset when tombstones exist ([[morResolve]] is sound on
+    * any data subset), and `cond` then applies exactly. Where
+    * [[readSnapshotRange]] needs a reconciled table and a literal
+    * range, this reads ANY predicate over ANY table state — a narrow
+    * predicate on a key-clustered 100 TB table opens a handful of
+    * files, live tombstones included. Unbounded predicate shapes
+    * degrade to a full (column-prunable) scan, never to a wrong
+    * answer. */
+  def readSnapshotWhere(spark: org.apache.spark.sql.SparkSession,
+                        destDir: String, v: Int, cond: Column): DataFrame = {
+    val m = readManifest(spark, destDir, v)
+    prunedCurrentState(spark, destDir, m, v, cond) match {
+      case None => readSnapshot(spark, destDir, v).filter(lit(false))
+      case Some(df) => df.filter(cond)
+    }
+  }
+
   /** Shared predicate-DML front half ([[deleteSnapshotMoRWhere]] /
     * [[updateSnapshotMoRWhere]]): resolve `cond` against the table
     * schema on an EMPTY probe (public API, no data touched — the

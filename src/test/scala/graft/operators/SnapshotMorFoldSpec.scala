@@ -156,6 +156,34 @@ class SnapshotMorFoldSpec extends SparkSpec {
     ()
   }
 
+  test("readSnapshotWhere: MoR-transparent predicate read equals filter-on-resolved; no-overlap short-circuits") {
+    val d = tmp("graft-where")
+    Snapshot.publishSnapshot(
+      (1L to 100L).map(k => (k, k * 10)).toDF("k", "bal")
+        .repartitionByRange(5, col("k")), d, statsCol = Some("k"))
+    Snapshot.mergeSnapshotMoR(
+      Seq((10L, -1L), (55L, -2L)).toDF("k", "bal"), d, "k")
+    Snapshot.deleteSnapshotMoR(Seq(12L).toDF("k"), d, "k")
+    val v = Snapshot.latestVersion(spark, d)
+    // pruned predicate read over the LIVE (tombstoned) table — range
+    // reads refuse here, this is the lane that serves them
+    val got = rows(Snapshot.readSnapshotWhere(spark, d, v,
+      col("k") >= 8L && col("k") <= 15L).orderBy("k"))
+    val want = rows(Snapshot.readSnapshot(spark, d, v)
+      .filter(col("k") >= 8L && col("k") <= 15L).orderBy("k"))
+    assert(got === want)
+    assert(got.map(_.head) === Seq(8L, 9L, 10L, 11L, 13L, 14L, 15L))
+    assert(got.find(_.head == 10L).get(1) == -1L) // upsert resolved
+    // an unbounded shape (predicate on a non-stats column) still
+    // answers exactly — just without file pruning
+    assert(rows(Snapshot.readSnapshotWhere(spark, d, v,
+      col("bal") < 0L).orderBy("k")).map(_.head) === Seq(10L, 55L))
+    // a range no file can hold returns empty without opening anything
+    assert(Snapshot.readSnapshotWhere(spark, d, v,
+      col("k") > 5000L).count() == 0)
+    ()
+  }
+
   test("mergeSnapshot refuses an index-discarding explicit statsCol; plain merge keeps the index") {
     val d = tmp("graft-msi")
     Snapshot.publishSnapshotIndexed(
