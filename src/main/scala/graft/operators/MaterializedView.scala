@@ -155,11 +155,15 @@ object MaterializedView {
     *     replayed window sees its tag on the view head and skips, so
     *     crash-anywhere replay converges (the pump advances its
     *     watermark only after the window returns).
-    * Datasets must reach the view APPEND-ONLY (a dataset delete/upsert
-    * event carries no pre-image, so the OLD group is unknowable from
-    * the feed — refused loudly; re-key or rebuild for mutable dataset
-    * tables). Samples may insert/upsert/delete freely: their events
-    * carry the group key itself.
+    * Datasets must reach the view APPEND-ONLY on true delta windows (a
+    * dataset delete/upsert event carries no pre-image, so the OLD
+    * group is unknowable from the feed — refused loudly; re-key or
+    * rebuild for mutable dataset tables). A REWRITE window
+    * (rebootstrap) is the exception that stays correct: every existing
+    * view group recomputes from the full dataset state, which is
+    * mutation-agnostic — even deletes folded into the rewrite resolve.
+    * Samples may insert/upsert/delete freely: their events carry the
+    * group key itself.
     *
     * Returns the number of windows processed. */
   def refreshTxnJoinView(spark: SparkSession, txnRoot: String,
@@ -235,9 +239,53 @@ object MaterializedView {
           "carries no pre-image, so its old group is unknowable); " +
           "rebuild the view or re-key the datasets")))
         .otherwise(col(dsSampleCol)).as(sampleKey)).distinct())
-    val touched = (sTouched.toSeq ++ dTouched.toSeq)
+    // a REBOOTSTRAPPED datasets window may hide dataset deletes/upserts
+    // inside its full-state inserts (a bootstrap cannot carry change
+    // types), so the append-only refusal cannot protect it — instead
+    // EVERY existing view group joins the touched set and recomputes
+    // from the full dataset state, which is mutation-agnostic: vanished
+    // datasets zero out, moved ones re-aggregate. O(view) once per
+    // rewrite event, the price maintenance always cost consumers.
+    val dsBoot = d.bootstrapped.exists(t => q(t) == q(datasetsDir))
+    val viewKeysOpt =
+      if (!dsBoot) None
+      else Some(Snapshot.readSnapshot(spark, mvDir, mvLatest)
+        .select(col(sampleKey)))
+    val touched = (sTouched.toSeq ++ dTouched.toSeq ++ viewKeysOpt.toSeq)
       .reduceOption(_.unionByName(_)).map(_.distinct())
       .getOrElse(return) // neither table moved in this window
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyTouched(spark, d, touched, samplesDir, datasetsDir, mvDir,
+      sampleKey, sampleCols, dsSampleCol, dsValCol, sV.get, dV.get, tag,
+      mvLatest)
+    finally { touched.unpersist(); () }
+  }
+
+  /** The window's write half: recompute the touched groups against the
+    * txn-pinned state and land upserts + vanished keys in one tagged
+    * MoR commit. `touched` arrives persisted — it feeds four jobs
+    * (range bounds, both pruned semi-joins, the vanish anti-join). */
+  private def applyTouched(spark: SparkSession, d: SnapshotTxnCdc.TxnDelta,
+      touched: DataFrame, samplesDir: String, datasetsDir: String,
+      mvDir: String, sampleKey: String, sampleCols: Seq[String],
+      dsSampleCol: String, dsValCol: String, sV: Int, dV: Int,
+      tag: String, mvLatest: Int): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    def q(p: String): String = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(conf)
+      .makeQualified(new org.apache.hadoop.fs.Path(p)).toString
+    val samplesAt = Snapshot.readSnapshot(spark, samplesDir, sV)
+    val datasetsAt = Snapshot.readSnapshot(spark, datasetsDir, dV)
+    def grouped(samples: DataFrame, datasets: DataFrame): DataFrame = {
+      val dGrp = datasets.groupBy(col(dsSampleCol).as(sampleKey))
+        .agg(count(lit(1)).as("n_ds"),
+          sum(col(dsValCol).cast("long")).as("total"))
+      samples.select((sampleKey +: sampleCols).map(col): _*)
+        .join(dGrp, Seq(sampleKey), "left")
+        .select(col(sampleKey) +: sampleCols.map(col) :+
+          coalesce(col("n_ds"), lit(0L)).as("n_ds") :+
+          coalesce(col("total"), lit(0L)).as("total"): _*)
+    }
     // recompute the touched groups against the txn-pinned state; prune
     // BOTH scans by manifest stats when a side clusters on the key —
     // the dataset side via the literal range read, the samples side via
@@ -255,17 +303,17 @@ object MaterializedView {
     def statsIsKey(dir: String, v: Int, c: String): Boolean =
       Snapshot.statsColsOf(spark, dir, v).headOption.contains(c)
     val sScan =
-      if (statsIsKey(samplesDir, sV.get, sampleKey) && isIntegralKey &&
+      if (statsIsKey(samplesDir, sV, sampleKey) && isIntegralKey &&
           !touchedMm.isNullAt(0))
-        Snapshot.readSnapshotWhere(spark, samplesDir, sV.get,
+        Snapshot.readSnapshotWhere(spark, samplesDir, sV,
           col(sampleKey) >= touchedMm.getLong(0) &&
             col(sampleKey) <= touchedMm.getLong(1))
       else samplesAt
     val sNow = sScan.join(touched, Seq(sampleKey), "left_semi")
     val dScan =
-      if (statsIsKey(datasetsDir, dV.get, dsSampleCol) && isIntegralKey) {
+      if (statsIsKey(datasetsDir, dV, dsSampleCol) && isIntegralKey) {
         if (touchedMm.isNullAt(0)) datasetsAt.limit(0)
-        else Snapshot.readSnapshotRange(spark, datasetsDir, dV.get,
+        else Snapshot.readSnapshotRange(spark, datasetsDir, dV,
           touchedMm.getLong(0), touchedMm.getLong(1))
       } else datasetsAt
     val dNow = dScan.join(touched,

@@ -140,6 +140,18 @@ object Snapshot {
     // text per question would be the merge's driver bottleneck
     val prevManifest = readManifest(spark, destDir, prev)
     requireNoTombstones(prevManifest, destDir, prev, "mergeSnapshot")
+    // an explicit statsCol override on a bloom-indexed base refuses
+    // LOUDLY — and BEFORE the touched-file discovery job (the merge's
+    // one table-sized cost): it would route past the index-preserving
+    // lane and silently strip the carried words + #bloom header (the
+    // same refuse-over-silent-degrade rule dropSnapshotColumn and MoR
+    // use). The base's stats list already carries without the override.
+    require(prevManifest.bloom.isEmpty || statsCol.isEmpty,
+      s"mergeSnapshot with an explicit statsCol " +
+        s"('${statsCol.getOrElse("")}') on the bloom-indexed v$prev of " +
+        s"$destDir would discard the index; omit statsCol (the base's " +
+        "stats list carries through the merge) or re-publish via " +
+        "publishSnapshotIndexed to change the stats/index layout")
     val lines = prevManifest.lines
     val relPaths = lines.map(linePath)
     // identity join key for input_file_name() ↔ manifest line matching:
@@ -221,17 +233,6 @@ object Snapshot {
         delta0.select((ps.fieldNames ++ newCols).map(col).toSeq: _*)
       case None => delta0
     }
-    // an explicit statsCol override on a bloom-indexed base refuses
-    // LOUDLY: it would route past the index-preserving lane and
-    // silently strip the carried words + #bloom header (the same
-    // refuse-over-silent-degrade rule dropSnapshotColumn and MoR use).
-    // The base's stats list already carries without the override.
-    require(prevManifest.bloom.isEmpty || statsCol.isEmpty,
-      s"mergeSnapshot with an explicit statsCol " +
-        s"('${statsCol.getOrElse("")}') on the bloom-indexed v$prev of " +
-        s"$destDir would discard the index; omit statsCol (the base's " +
-        "stats list carries through the merge) or re-publish via " +
-        "publishSnapshotIndexed to change the stats/index layout")
     if (prevManifest.bloom.isDefined)
       // indexed lane: rewritten/new rows land in files with fresh
       // per-file words (any bloom column is valid under copy-on-write —

@@ -375,6 +375,18 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
     val lockKeys = staged.map(s => qualified(s.destDir)).toSeq :+
       qualified(txnRoot)
     Snapshot.withCommitLocks(lockKeys) {
+      // recover AGAIN under the locks: the entry pass ran outside them,
+      // so a txn that committed in between — and whose committer died
+      // before finalizing — may still be invisible in latestVersion.
+      // Without this, the base checks below validate against stale
+      // state and THIS commit can take the same target slot, which the
+      // dead txn's eventual roll-forward then reports as stolen (the
+      // soak's race: writer A commitNoFinalize's txn k while writer B
+      // waits on these locks with a pre-k recovery). Warm cost is
+      // O(txns since the entry pass + 1) probes — metadata-sized.
+      // The commitNoEntryRecover seam skips BOTH passes by design (it
+      // exists to exercise the guarded marker advance below).
+      if (entryRecover) SnapshotTxn.recover(spark, txnRoot)
       // verify every pinned base under the locks — after this, no
       // same-driver writer can take any enrolled slot until we're done
       staged.toList.foreach { s =>
@@ -589,9 +601,11 @@ object SnapshotTxn {
     * Bounds the cold catch-up scan a fresh driver pays on an old log
     * (the warm path is already O(new) via the recovered-through
     * marker) and the [[asOfTxn]] fold. Only FULLY-FINALIZED txns may
-    * go — `keepFrom` is capped at recovered-through + 1, so a
-    * committed-but-unrecovered txn can never lose the manifest its
-    * roll-forward needs (the txn retention contract).
+    * go — `keepFrom` is capped at recovered-through + 1 AND at the head
+    * txn, so a committed-but-unrecovered txn can never lose the
+    * manifest its roll-forward needs (the txn retention contract) and
+    * the head manifest — the streaming replay tag's carrier — always
+    * survives.
     *
     * Before anything is deleted, the (table → version) FOLD of the
     * pruned prefix is persisted as `manifest/snap_<k>.txt` (k = the
@@ -607,8 +621,20 @@ object SnapshotTxn {
     require(keepFrom >= 1, s"keepFrom must be >= 1 (got $keepFrom)")
     val conf = spark.sessionState.newHadoopConf()
     val rootFs = new Path(txnRoot).getFileSystem(conf)
-    val safe = math.min(keepFrom, recoveredThrough(spark, txnRoot) + 1)
+    // the HEAD txn's manifest is never pruned: it carries the streaming
+    // producer's replay tag ([[graft.streaming.Ingest.txnStream]]'s
+    // exactly-once guard — pruning it would turn a replayed batch into
+    // a silent double-commit) and keeps the log's directory listing
+    // honest for marker-less readers
+    val safe = math.min(keepFrom,
+      math.min(recoveredThrough(spark, txnRoot) + 1,
+        latestTxn(spark, txnRoot)))
     if (safe <= 1) return 0
+    // a re-run at or below a previous vacuum's boundary is a no-op —
+    // everything below `safe` is already gone and the existing snapshot
+    // already covers it (folding again would refuse on the pruned ids)
+    if (safe - 1 <= snapshotIds(rootFs, txnRoot).headOption.getOrElse(0))
+      return 0
     // the fold of txns 1..safe-1, computed while their manifests still
     // exist (asOfTxn itself resumes from any OLDER snapshot, so chained
     // vacuums each fold only their own increment)

@@ -736,9 +736,17 @@ object Ingest {
     val head = T.latestTxn(spark, txnRoot)
     val rootFs = new org.apache.hadoop.fs.Path(txnRoot).getFileSystem(
       spark.sessionState.newHadoopConf())
+    // the head manifest IS the replay guard: vacuumTxnLog never prunes
+    // it, so a missing head is manual damage — refuse LOUDLY rather
+    // than re-commit a batch that may already have landed (a silent
+    // bypass here double-applies the batch's writes)
+    if (head >= 1)
+      require(rootFs.exists(new org.apache.hadoop.fs.Path(
+          s"$txnRoot/manifest/v$head.txt")),
+        s"txn log $txnRoot: head txn $head has no manifest (vacuumTxnLog " +
+          "always retains the head — was it removed manually?); cannot " +
+          s"decide whether batch $batchId already committed")
     val already = head >= 1 &&
-      rootFs.exists(new org.apache.hadoop.fs.Path(
-        s"$txnRoot/manifest/v$head.txt")) &&
       S.versionTag(spark, txnRoot, head).contains(s"batch=$batchId")
     if (already) return // replay of a committed batch: recovery ran above
     val t = T.begin(spark, txnRoot)

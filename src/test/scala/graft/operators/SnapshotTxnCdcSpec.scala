@@ -102,10 +102,11 @@ class SnapshotTxnCdcSpec extends SparkSpec {
       d.tables.get(a).foreach(apply1(sa, _))
     } == 1)
     assert(SnapshotTxnCdc.appliedTxn(spark, ckp) == 3)
-    // PRUNE the whole consumed prefix — before the checkpoint cached
-    // the (table → version) snapshot, every later pump refolded from
-    // txn 1 and hard-failed right here
-    assert(SnapshotTxn.vacuumTxnLog(spark, root, keepFrom = 4) == 3)
+    // PRUNE the consumed prefix (the head manifest always survives —
+    // it carries the streaming replay tag): before the checkpoint
+    // cached the (table → version) snapshot, every later pump refolded
+    // from txn 1 and hard-failed right here
+    assert(SnapshotTxn.vacuumTxnLog(spark, root, keepFrom = 4) == 2)
     val t5 = SnapshotTxn.begin(spark, root)
     t5.stageMerge(kv(1L -> "A1x"), a, "k"); t5.commit()
     val t6 = SnapshotTxn.begin(spark, root)
@@ -128,11 +129,11 @@ class SnapshotTxnCdcSpec extends SparkSpec {
       val t = SnapshotTxn.begin(spark, root)
       t.stageAppend(kv(i.toLong -> s"a$i"), a); t.commit()
     }
-    assert(SnapshotTxn.vacuumTxnLog(spark, root, keepFrom = 3) == 2)
+    assert(SnapshotTxn.vacuumTxnLog(spark, root, keepFrom = 3) == 1)
     val t3 = SnapshotTxn.begin(spark, root)
     t3.stageAppend(kv(4L -> "a4"), a); t3.commit()
-    // fresh checkpoint: the bootstrap fold starts from snap_2, so the
-    // pruned prefix never blocks a brand-new consumer
+    // fresh checkpoint: the bootstrap fold starts from the vacuum's
+    // snapshot, so the pruned prefix never blocks a brand-new consumer
     val ckp = tmp("graft-tcdcb-c")
     val sa = scala.collection.mutable.Map.empty[Long, String]
     assert(SnapshotTxnCdc.pump(spark, root, ckp) { d =>

@@ -499,6 +499,20 @@ class SnapshotTxnSpec extends SparkSpec {
     // chained vacuums fold incrementally (the new snap subsumes the old)
     assert(SnapshotTxn.vacuumTxnLog(spark, root, keepFrom = 5) == 1)
     assert(SnapshotTxn.asOfTxn(spark, root, 5) === Map(a -> 6, b -> 3))
+    // a RE-RUN at or below a previous boundary is a harmless no-op
+    // (it used to refold the pruned prefix and throw)
+    assert(SnapshotTxn.vacuumTxnLog(spark, root, keepFrom = 3) == 0)
+    assert(SnapshotTxn.vacuumTxnLog(spark, root, keepFrom = 5) == 0)
+    // a keepFrom past the head keeps the HEAD manifest (the streaming
+    // replay tag's carrier): never a fully-empty listing — everything
+    // below the head is already pruned here, so nothing else goes
+    assert(SnapshotTxn.vacuumTxnLog(spark, root, keepFrom = 999) == 0)
+    val rootFs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(rootFs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/manifest/v5.txt")))
+    assert(SnapshotTxn.latestTxn(spark, root) == 5)
+    assert(SnapshotTxn.asOfTxn(spark, root, 5) === Map(a -> 6, b -> 3))
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
       spark.sessionState.newHadoopConf())
     assert(!fs.exists(new org.apache.hadoop.fs.Path(

@@ -168,6 +168,37 @@ class TxnJoinViewSpec extends SparkSpec {
     ()
   }
 
+  test("dataset mutations folded into a rewrite window resolve via full-group recompute") {
+    val out = tmp("graft-tjv5")
+    val (root, sDir, dDir, mv, ckp) =
+      (s"$out/root", s"$out/s", s"$out/d", s"$out/mv", s"$out/ckp")
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stagePublish(samplesDf(1L -> "s1", 2L -> "s2"), sDir)
+    t1.stagePublish(datasetsDf((10L, 1L, 100L), (11L, 2L, 40L)), dDir)
+    t1.commit()
+    assert(MaterializedView.refreshTxnJoinView(spark, root, sDir, dDir,
+      mv, ckp, "sid", Seq("name"), "sid", "cents") == 1)
+    // a dataset DELETE (normally refused) and a rewrite land inside the
+    // same consumer window: txn2 tombstones did=10, the table is then
+    // reconciled (rewrite), txn3 appends — the window's feed rebootstraps
+    // to the full post-delete state, and the view recomputes EVERY
+    // group from it, so sid 1's vanished dataset zeroes out instead of
+    // lingering as a stale rollup
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageDelete(Seq(10L).toDF("did"), dDir, "did")
+    t2.commit()
+    Snapshot.reconcileSnapshotMoR(spark, dDir)
+    val t3 = SnapshotTxn.begin(spark, root)
+    t3.stageAppend(datasetsDf((12L, 2L, 7L)), dDir)
+    t3.commit()
+    assert(MaterializedView.refreshTxnJoinView(spark, root, sDir, dDir,
+      mv, ckp, "sid", Seq("name"), "sid", "cents") == 1)
+    assert(viewRows(mv) === Seq(
+      Seq(1L, "s1", 0L, 0L), Seq(2L, "s2", 2L, 47L)))
+    assert(viewRows(mv) === full(sDir, dDir))
+    ()
+  }
+
   test("append-only datasets contract: a dataset delete event refuses loudly") {
     val out = tmp("graft-tjv3")
     val (root, sDir, dDir, mv, ckp) =
