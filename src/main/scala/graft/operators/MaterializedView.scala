@@ -182,6 +182,31 @@ object MaterializedView {
         sampleKey, sampleCols, dsSampleCol, dsValCol)
     }
 
+  /** Qualified-path form for table identity — spellings that name the
+    * same directory must match ([[SnapshotTxn.readAsOfTxn]]'s rule). */
+  private def qualify(spark: SparkSession, p: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+      .makeQualified(new org.apache.hadoop.fs.Path(p)).toString
+  }
+
+  /** The join view's output shape — one row per sample with its
+    * dataset count and value rollup (left join, 0-filled). ONE
+    * definition shared by the bootstrap and every incremental window:
+    * the two paths must never drift apart in schema or semantics. */
+  private def joinRollup(samples: DataFrame, datasets: DataFrame,
+      sampleKey: String, sampleCols: Seq[String],
+      dsSampleCol: String, dsValCol: String): DataFrame = {
+    val dGrp = datasets.groupBy(col(dsSampleCol).as(sampleKey))
+      .agg(count(lit(1)).as("n_ds"),
+        sum(col(dsValCol).cast("long")).as("total"))
+    samples.select((sampleKey +: sampleCols).map(col): _*)
+      .join(dGrp, Seq(sampleKey), "left")
+      .select(col(sampleKey) +: sampleCols.map(col) :+
+        coalesce(col("n_ds"), lit(0L)).as("n_ds") :+
+        coalesce(col("total"), lit(0L)).as("total"): _*)
+  }
+
   /** One [[refreshTxnJoinView]] window — factored out so gates/specs
     * can inject a crash between windows and replay. Idempotent per
     * window (the `txn<k>` tag guard). */
@@ -189,10 +214,7 @@ object MaterializedView {
       d: SnapshotTxnCdc.TxnDelta, samplesDir: String, datasetsDir: String,
       mvDir: String, sampleKey: String, sampleCols: Seq[String],
       dsSampleCol: String, dsValCol: String): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    def q(p: String): String = new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(conf)
-      .makeQualified(new org.apache.hadoop.fs.Path(p)).toString
+    def q(p: String): String = qualify(spark, p)
     def versionOf(dir: String): Option[Int] = {
       val want = q(dir)
       val hits = d.versions.collect { case (t, v) if q(t) == want => v }
@@ -209,21 +231,12 @@ object MaterializedView {
       return // replayed window (crash between view commit and watermark)
     val (sV, dV) = (versionOf(samplesDir), versionOf(datasetsDir))
     if (sV.isEmpty || dV.isEmpty) return // a side not enrolled yet
-    val samplesAt = Snapshot.readSnapshot(spark, samplesDir, sV.get)
-    val datasetsAt = Snapshot.readSnapshot(spark, datasetsDir, dV.get)
-    def grouped(samples: DataFrame, datasets: DataFrame): DataFrame = {
-      val dGrp = datasets.groupBy(col(dsSampleCol).as(sampleKey))
-        .agg(count(lit(1)).as("n_ds"),
-          sum(col(dsValCol).cast("long")).as("total"))
-      samples.select((sampleKey +: sampleCols).map(col): _*)
-        .join(dGrp, Seq(sampleKey), "left")
-        .select(col(sampleKey) +: sampleCols.map(col) :+
-          coalesce(col("n_ds"), lit(0L)).as("n_ds") :+
-          coalesce(col("total"), lit(0L)).as("total"): _*)
-    }
     if (mvLatest == 0) {
       // bootstrap: the full join-aggregate of the txn-pinned state
-      Snapshot.publishSnapshot(grouped(samplesAt, datasetsAt), mvDir,
+      Snapshot.publishSnapshot(joinRollup(
+        Snapshot.readSnapshot(spark, samplesDir, sV.get),
+        Snapshot.readSnapshot(spark, datasetsDir, dV.get),
+        sampleKey, sampleCols, dsSampleCol, dsValCol), mvDir,
         tag = Some(tag))
       return
     }
@@ -270,22 +283,9 @@ object MaterializedView {
       mvDir: String, sampleKey: String, sampleCols: Seq[String],
       dsSampleCol: String, dsValCol: String, sV: Int, dV: Int,
       tag: String, mvLatest: Int): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    def q(p: String): String = new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(conf)
-      .makeQualified(new org.apache.hadoop.fs.Path(p)).toString
+    def q(p: String): String = qualify(spark, p)
     val samplesAt = Snapshot.readSnapshot(spark, samplesDir, sV)
     val datasetsAt = Snapshot.readSnapshot(spark, datasetsDir, dV)
-    def grouped(samples: DataFrame, datasets: DataFrame): DataFrame = {
-      val dGrp = datasets.groupBy(col(dsSampleCol).as(sampleKey))
-        .agg(count(lit(1)).as("n_ds"),
-          sum(col(dsValCol).cast("long")).as("total"))
-      samples.select((sampleKey +: sampleCols).map(col): _*)
-        .join(dGrp, Seq(sampleKey), "left")
-        .select(col(sampleKey) +: sampleCols.map(col) :+
-          coalesce(col("n_ds"), lit(0L)).as("n_ds") :+
-          coalesce(col("total"), lit(0L)).as("total"): _*)
-    }
     // recompute the touched groups against the txn-pinned state; prune
     // BOTH scans by manifest stats when a side clusters on the key —
     // the dataset side via the literal range read, the samples side via
@@ -318,7 +318,8 @@ object MaterializedView {
       } else datasetsAt
     val dNow = dScan.join(touched,
       dScan(dsSampleCol) === touched(sampleKey), "left_semi")
-    val updates = grouped(sNow, dNow)
+    val updates = joinRollup(sNow, dNow, sampleKey, sampleCols,
+      dsSampleCol, dsValCol)
     // touched keys with NO sample row at the window end vanish from the
     // view (sample deletes, and dataset rows referencing unknown sids).
     // A REBOOTSTRAPPED samples window carries no delete events (a full

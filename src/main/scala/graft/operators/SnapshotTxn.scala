@@ -372,21 +372,32 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
     // roll forward earlier committed txns first: latestVersion of an
     // enrolled table is only meaningful once pending finalizations land
     if (entryRecover) SnapshotTxn.recover(spark, txnRoot)
-    val lockKeys = staged.map(s => qualified(s.destDir)).toSeq :+
-      qualified(txnRoot)
-    Snapshot.withCommitLocks(lockKeys) {
-      // recover AGAIN under the locks: the entry pass ran outside them,
-      // so a txn that committed in between — and whose committer died
-      // before finalizing — may still be invisible in latestVersion.
-      // Without this, the base checks below validate against stale
-      // state and THIS commit can take the same target slot, which the
-      // dead txn's eventual roll-forward then reports as stolen (the
-      // soak's race: writer A commitNoFinalize's txn k while writer B
-      // waits on these locks with a pre-k recovery). Warm cost is
+    // LOCK NESTING ORDER: the txn-log lock FIRST (alone), the staged
+    // tables' locks inside it. The log lock serializes commit points
+    // outright, and recovery must run inside it but OUTSIDE the table
+    // locks: recover() finalizes OTHER transactions' tables, and
+    // acquiring an arbitrary table's lock while holding one's own
+    // sorted table set deadlocks against a committer whose set
+    // contains that table (it holds it while waiting for the log
+    // lock). With this order no cycle exists — table-lock holders
+    // (plain publishes, a recoverer's per-table finalize) never wait
+    // on the log lock while holding a table lock.
+    Snapshot.withCommitLocks(Seq(qualified(txnRoot))) {
+      // recover AGAIN under the log lock: the entry pass ran outside
+      // it, so a txn that committed in between — and whose committer
+      // died before finalizing — may still be invisible in
+      // latestVersion. Without this, the base checks below validate
+      // against stale state and THIS commit can take the same target
+      // slot, which the dead txn's eventual roll-forward then reports
+      // as stolen (the soak's race: writer A commitNoFinalize's txn k
+      // while writer B waits here with a pre-k recovery). Warm cost is
       // O(txns since the entry pass + 1) probes — metadata-sized.
-      // The commitNoEntryRecover seam skips BOTH passes by design (it
-      // exists to exercise the guarded marker advance below).
+      // No new commit can land between this pass and ours: every
+      // commit point holds the log lock. The commitNoEntryRecover seam
+      // skips BOTH passes by design (it exists to exercise the guarded
+      // marker advance below).
       if (entryRecover) SnapshotTxn.recover(spark, txnRoot)
+      Snapshot.withCommitLocks(staged.map(s => qualified(s.destDir)).toSeq) {
       // verify every pinned base under the locks — after this, no
       // same-driver writer can take any enrolled slot until we're done
       staged.toList.foreach { s =>
@@ -442,6 +453,7 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
           SnapshotTxn.advanceRecovered(spark, rootFs, txnRoot, slot)
       }
       slot
+      }
     }
   }
 }
@@ -630,25 +642,32 @@ object SnapshotTxn {
       math.min(recoveredThrough(spark, txnRoot) + 1,
         latestTxn(spark, txnRoot)))
     if (safe <= 1) return 0
-    // a re-run at or below a previous vacuum's boundary is a no-op —
-    // everything below `safe` is already gone and the existing snapshot
-    // already covers it (folding again would refuse on the pruned ids)
-    if (safe - 1 <= snapshotIds(rootFs, txnRoot).headOption.getOrElse(0))
-      return 0
+    // when an EXISTING snapshot already covers the boundary (a re-run
+    // at or below a previous vacuum's keepFrom — or a crash between
+    // that vacuum's snapshot write and its deletes), skip the fold
+    // (re-folding would refuse on already-pruned ids; the old snapshot
+    // subsumes it) but STILL sweep the manifests below `safe`: a
+    // crashed predecessor may have left stragglers behind its snapshot
+    val covered =
+      safe - 1 <= snapshotIds(rootFs, txnRoot).headOption.getOrElse(0)
     // the fold of txns 1..safe-1, computed while their manifests still
     // exist (asOfTxn itself resumes from any OLDER snapshot, so chained
     // vacuums each fold only their own increment)
-    val folded = asOfTxn(spark, txnRoot, safe - 1)
+    val folded = if (covered) Map.empty[String, Int]
+      else asOfTxn(spark, txnRoot, safe - 1)
     Snapshot.withCommitLocks(Seq(
         rootFs.makeQualified(new Path(txnRoot)).toString)) {
-      Snapshot.writeFileAtomic(rootFs, s"$txnRoot/manifest/snap_${safe - 1}.txt",
-        s"$txnRoot/manifest/.snap_tmp",
-        folded.toSeq.sortBy(_._1).map { case (t, v) => s"$t\t$v" })
+      if (!covered)
+        Snapshot.writeFileAtomic(rootFs,
+          s"$txnRoot/manifest/snap_${safe - 1}.txt",
+          s"$txnRoot/manifest/.snap_tmp",
+          folded.toSeq.sortBy(_._1).map { case (t, v) => s"$t\t$v" })
       val n = (1 until safe).count { k =>
         rootFs.delete(new Path(s"$txnRoot/manifest/v$k.txt"), false)
       }
-      // older snapshots are subsumed by the one just written
-      snapshotIds(rootFs, txnRoot).filter(_ < safe - 1).foreach { k =>
+      // older snapshots are subsumed by the newest one
+      val newest = snapshotIds(rootFs, txnRoot).headOption.getOrElse(0)
+      snapshotIds(rootFs, txnRoot).filter(_ < newest).foreach { k =>
         rootFs.delete(new Path(s"$txnRoot/manifest/snap_$k.txt"), false)
       }
       n

@@ -743,9 +743,13 @@ object Ingest {
     if (head >= 1)
       require(rootFs.exists(new org.apache.hadoop.fs.Path(
           s"$txnRoot/manifest/v$head.txt")),
-        s"txn log $txnRoot: head txn $head has no manifest (vacuumTxnLog " +
-          "always retains the head — was it removed manually?); cannot " +
-          s"decide whether batch $batchId already committed")
+        s"txn log $txnRoot: head txn $head has no manifest, so whether " +
+          s"batch $batchId already committed is undecidable (a silent " +
+          "re-commit could double-apply it). vacuumTxnLog now always " +
+          "retains the head; a log fully pruned by an OLDER vacuum (or " +
+          "by hand) heals by minting a new head — commit one " +
+          "transaction through SnapshotTxn from a batch writer, then " +
+          "restart the stream")
     val already = head >= 1 &&
       S.versionTag(spark, txnRoot, head).contains(s"batch=$batchId")
     if (already) return // replay of a committed batch: recovery ran above

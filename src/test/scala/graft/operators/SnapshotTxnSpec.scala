@@ -212,6 +212,60 @@ class SnapshotTxnSpec extends SparkSpec {
     assert(Snapshot.latestVersion(spark, b) == 9)
   }
 
+  test("soak: DIFFERING table sets + crashed commits + a recoverer: no deadlock, nothing lost") {
+    // The lock-order trap this pins: a committer must never acquire a
+    // foreign table's lock (finalizing someone else's crashed txn)
+    // while holding its own sorted table set — writer sets {a,b} and
+    // {b,c} with half the commits dying at the commit point make that
+    // interleaving constant. A deadlock here hangs the futures past
+    // the timeout.
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    val root = tmp("graft-txdl"); val a = tmp("graft-txdla")
+    val b = tmp("graft-txdlb"); val c = tmp("graft-txdlc")
+    Seq(a, b, c).foreach(d => Snapshot.publishSnapshot(kv(0L -> "z"), d))
+    val pool = Executors.newFixedThreadPool(3)
+    try {
+      def writer(w: Int, t1: String, t2: String) =
+        pool.submit(new Callable[Unit] {
+          def call(): Unit = (0 until 6).foreach { i =>
+            val key = 100L * w + i
+            var done = false
+            while (!done) {
+              val t = SnapshotTxn.begin(spark, root)
+              try {
+                t.stageAppend(kv(key -> s"x$key"), t1)
+                t.stageAppend(kv(key -> s"y$key"), t2)
+                if (i % 2 == 1) t.commitNoFinalize() else t.commit()
+                done = true
+              } catch {
+                case _: Snapshot.ConcurrentSnapshotUpdate => // restage
+              }
+            }
+          }
+        })
+      val w1 = writer(1, a, b)
+      val w2 = writer(2, b, c)
+      val recoverer = pool.submit(new Callable[Unit] {
+        def call(): Unit = (0 until 60).foreach { _ =>
+          SnapshotTxn.recover(spark, root); Thread.sleep(10)
+        }
+      })
+      // a deadlock (the bug this guards) trips these timeouts
+      Seq(w1, w2, recoverer).foreach(_.get(240, TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    SnapshotTxn.recover(spark, root)
+    def keysOf(d: String) = Snapshot.readSnapshot(spark, d,
+      Snapshot.latestVersion(spark, d))
+      .select("k").collect().map(_.getLong(0)).toSet
+    val (ka, kb, kc) = (keysOf(a), keysOf(b), keysOf(c))
+    (0 until 6).foreach { i =>
+      assert(ka(100L + i) && kb(100L + i), s"w1 txn $i torn/lost")
+      assert(kb(200L + i) && kc(200L + i), s"w2 txn $i torn/lost")
+    }
+    assert(SnapshotTxn.latestTxn(spark, root) == 12)
+    ()
+  }
+
   test("two racing transactions on overlapping tables: one wins, one aborts cleanly") {
     val root = tmp("graft-txr7"); val a = tmp("graft-txa7")
     val b = tmp("graft-txb7"); val c = tmp("graft-txc7")
