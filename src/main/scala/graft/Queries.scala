@@ -6568,8 +6568,18 @@ object Queries {
       graft.streaming.Ingest.applyTxnBatch(s, root,
         s.read.parquet(s"$StreamScd2Src/batch1.parquet"), 1L,
         crashAfterCommitPoint = true)(stage)
-      // run 2: the restarted stream replays batch 1 (tag-guarded
-      // recovery-only) and processes batch 2 normally
+      // a sanctioned batch-writer txn lands on the SAME log between the
+      // crashed commit and the replay, BURYING the batch tag below the
+      // head (the r14 replay-guard hole): it touches only a side table,
+      // so the aggregate below is unchanged iff the replay is
+      // exactly-once — a double-applied batch 1 would double the
+      // datasets rollup
+      val ft = T.begin(s, root)
+      ft.stagePublish(s.range(1).toDF("x"), s"$StreamTxnOut/aux")
+      ft.commit(tag = Some("maintenance"))
+      // run 2: the restarted stream replays batch 1 (watermark-guarded
+      // recovery-only, across the buried tag) and processes batch 2
+      // normally
       graft.streaming.Ingest.txnStream(s, StreamScd2Src,
         "batch*.parquet", root, s"$StreamTxnOut/chk", stage)
       ()

@@ -2649,21 +2649,37 @@ object Snapshot {
   }
 
   /** Time travel BY TIMESTAMP (Iceberg's as-of-timestamp): the newest
-    * version whose manifest was committed at or before `tsMillis` —
-    * the commit point is the version file's publish, so its
-    * modification time IS the commit time. None when the table didn't
-    * exist yet. Driver metadata only; vacuumed versions are skipped
-    * (asking for a time inside the vacuumed range resolves to nothing,
-    * never to a wrong later state). */
+    * version v such that EVERY retained version up to v was committed
+    * at or before `tsMillis` — the commit point is the version file's
+    * publish, so its modification time is the commit time. Resolved by
+    * an upward scan carrying the RUNNING MAX of the commit times, not
+    * a newest-first "first mtime ≤ ts" probe: commit TIMES need not be
+    * monotone in version order (CAS-retried renames, multi-writer
+    * clock skew), and under a non-monotone stamp the newest-first
+    * probe can pin a version that was actually committed AFTER later
+    * versions' stamps — a historical read that is not "as of" ts. The
+    * running max is conservative and sound whatever produced the
+    * inversion: a version is admitted only when nothing at or below it
+    * is stamped after `tsMillis`; for monotone stamps (the single-
+    * writer common case) the two resolutions agree exactly. None when
+    * the table didn't exist yet. Driver metadata only; vacuumed
+    * versions are skipped (asking for a time inside the vacuumed range
+    * resolves to nothing, never to a wrong later state). */
   def versionAsOf(spark: org.apache.spark.sql.SparkSession,
                   destDir: String, tsMillis: Long): Option[Int] = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(destDir).getFileSystem(
       spark.sessionState.newHadoopConf())
-    (latestVersion(spark, destDir) to 1 by -1).find { v =>
+    var runMax = Long.MinValue
+    var best: Option[Int] = None
+    (1 to latestVersion(spark, destDir)).foreach { v =>
       val p = new Path(s"$destDir/manifest/v$v.txt")
-      fs.exists(p) && fs.getFileStatus(p).getModificationTime <= tsMillis
+      if (fs.exists(p)) {
+        runMax = math.max(runMax, fs.getFileStatus(p).getModificationTime)
+        if (runMax <= tsMillis) best = Some(v)
+      }
     }
+    best
   }
 
   /** The FILES of a version as a DataFrame (Iceberg's `table$files`):

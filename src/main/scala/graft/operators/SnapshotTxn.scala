@@ -633,45 +633,124 @@ object SnapshotTxn {
     require(keepFrom >= 1, s"keepFrom must be >= 1 (got $keepFrom)")
     val conf = spark.sessionState.newHadoopConf()
     val rootFs = new Path(txnRoot).getFileSystem(conf)
-    // the HEAD txn's manifest is never pruned: it carries the streaming
-    // producer's replay tag ([[graft.streaming.Ingest.txnStream]]'s
-    // exactly-once guard — pruning it would turn a replayed batch into
-    // a silent double-commit) and keeps the log's directory listing
-    // honest for marker-less readers
-    val safe = math.min(keepFrom,
-      math.min(recoveredThrough(spark, txnRoot) + 1,
-        latestTxn(spark, txnRoot)))
-    if (safe <= 1) return 0
-    // when an EXISTING snapshot already covers the boundary (a re-run
-    // at or below a previous vacuum's keepFrom — or a crash between
-    // that vacuum's snapshot write and its deletes), skip the fold
-    // (re-folding would refuse on already-pruned ids; the old snapshot
-    // subsumes it) but STILL sweep the manifests below `safe`: a
-    // crashed predecessor may have left stragglers behind its snapshot
-    val covered =
-      safe - 1 <= snapshotIds(rootFs, txnRoot).headOption.getOrElse(0)
-    // the fold of txns 1..safe-1, computed while their manifests still
-    // exist (asOfTxn itself resumes from any OLDER snapshot, so chained
-    // vacuums each fold only their own increment)
-    val folded = if (covered) Map.empty[String, Int]
-      else asOfTxn(spark, txnRoot, safe - 1)
+    // the HEAD txn's manifest is never pruned: it keeps the log's
+    // directory listing honest for marker-less readers (and is usually
+    // the streaming producer's own last batch tag, making the replay
+    // watermark scan in [[lastTagged]] a single manifest read)
+    //
+    // EVERYTHING below — the safe/covered computation, the prefix fold,
+    // the snapshot write and the deletes — runs as ONE critical section
+    // under the log's commit lock: two concurrent vacuums (or a vacuum
+    // racing a commit's marker advance) serialize instead of one
+    // deleting a manifest mid-way through the other's fold. Reentrancy
+    // is sound: recover()/asOfTxn() inside re-take the log lock on the
+    // same thread (JVM monitors are reentrant) and acquire table locks
+    // strictly INSIDE the log lock — the sanctioned nesting order.
     Snapshot.withCommitLocks(Seq(
         rootFs.makeQualified(new Path(txnRoot)).toString)) {
-      if (!covered)
-        Snapshot.writeFileAtomic(rootFs,
-          s"$txnRoot/manifest/snap_${safe - 1}.txt",
-          s"$txnRoot/manifest/.snap_tmp",
-          folded.toSeq.sortBy(_._1).map { case (t, v) => s"$t\t$v" })
-      val n = (1 until safe).count { k =>
-        rootFs.delete(new Path(s"$txnRoot/manifest/v$k.txt"), false)
+      val safe = math.min(keepFrom,
+        math.min(recoveredThrough(spark, txnRoot) + 1,
+          latestTxn(spark, txnRoot)))
+      if (safe <= 1) 0
+      else {
+        // when an EXISTING snapshot already covers the boundary (a re-run
+        // at or below a previous vacuum's keepFrom — or a crash between
+        // that vacuum's snapshot write and its deletes), skip the fold
+        // (re-folding would refuse on already-pruned ids; the old snapshot
+        // subsumes it) but STILL sweep the manifests below `safe`: a
+        // crashed predecessor may have left stragglers behind its snapshot
+        val prevSnap = snapshotIds(rootFs, txnRoot).headOption.getOrElse(0)
+        val covered = safe - 1 <= prevSnap
+        // the fold of txns 1..safe-1, computed while their manifests still
+        // exist (asOfTxn itself resumes from any OLDER snapshot, so chained
+        // vacuums each fold only their own increment)
+        val folded = if (covered) Map.empty[String, Int]
+          else asOfTxn(spark, txnRoot, safe - 1)
+        if (!covered) {
+          // TAG WATERMARKS of the pruned prefix ride the snapshot as
+          // `#tagwm=` header lines: for every `name=`-shaped tag among
+          // the pruned txns, the full tag carried by the HIGHEST pruned
+          // txn (older snapshots' watermarks carry forward unless
+          // outranked). This is what keeps [[lastTagged]] — the
+          // streaming replay guard — decidable after a tag's carrier
+          // manifest is pruned: without it, vacuuming a buried
+          // `batch=<j>` tag would turn a replayed batch into a silent
+          // double-commit.
+          val inherited: Map[String, String] =
+            if (prevSnap == 0) Map.empty
+            else snapTagWms(rootFs, txnRoot, prevSnap)
+          val wms = ((prevSnap + 1) until safe).foldLeft(inherited) {
+            (acc, k) =>
+              Snapshot.versionTag(spark, txnRoot, k) match {
+                case Some(t) if t.indexOf('=') > 0 =>
+                  acc.updated(t.substring(0, t.indexOf('=') + 1), t)
+                case _ => acc
+              }
+          }
+          Snapshot.writeFileAtomic(rootFs,
+            s"$txnRoot/manifest/snap_${safe - 1}.txt",
+            s"$txnRoot/manifest/.snap_tmp",
+            wms.toSeq.sortBy(_._1).map { case (_, t) => s"#tagwm=$t" } ++
+              folded.toSeq.sortBy(_._1).map { case (t, v) => s"$t\t$v" })
+        }
+        val n = (1 until safe).count { k =>
+          rootFs.delete(new Path(s"$txnRoot/manifest/v$k.txt"), false)
+        }
+        // older snapshots are subsumed by the newest one
+        val newest = snapshotIds(rootFs, txnRoot).headOption.getOrElse(0)
+        snapshotIds(rootFs, txnRoot).filter(_ < newest).foreach { k =>
+          rootFs.delete(new Path(s"$txnRoot/manifest/snap_$k.txt"), false)
+        }
+        n
       }
-      // older snapshots are subsumed by the newest one
-      val newest = snapshotIds(rootFs, txnRoot).headOption.getOrElse(0)
-      snapshotIds(rootFs, txnRoot).filter(_ < newest).foreach { k =>
-        rootFs.delete(new Path(s"$txnRoot/manifest/snap_$k.txt"), false)
-      }
-      n
     }
+  }
+
+  /** The `#tagwm=` watermark lines of a fold snapshot, keyed by the
+    * tag's `name=` prefix. */
+  private def snapTagWms(rootFs: org.apache.hadoop.fs.FileSystem,
+                         txnRoot: String, id: Int): Map[String, String] =
+    Snapshot.readTextLines(rootFs, s"$txnRoot/manifest/snap_$id.txt")
+      .collect { case l if l.startsWith("#tagwm=") =>
+        val t = l.stripPrefix("#tagwm=")
+        t.substring(0, t.indexOf('=') + 1) -> t
+      }.toMap
+
+  /** The most recent committed transaction tag starting with `prefix`
+    * (`prefix` must be the full `name=` part, e.g. `"batch="`) — the
+    * REPLAY WATERMARK a streaming producer consults before re-applying
+    * a micro-batch (Delta's txn/appId idempotent-writer idea on this
+    * log's manifests). Scans tags downward from the head txn, so the
+    * cost is O(txns since the producer's last tagged commit) manifest
+    * reads — normally ONE, because the producer's own last commit IS
+    * the head; interleaved foreign commits only deepen the scan, never
+    * defeat it (the r14 head-only guard's hole). When the scan hits
+    * the pruned boundary it falls back to the vacuum fold snapshot's
+    * `#tagwm=` watermark, so pruning a tag's carrier manifest never
+    * turns a replay into a double-commit; a manifest missing WITHOUT a
+    * covering snapshot refuses loudly (manual damage — undecidable).
+    * None when no matching tag was ever committed. */
+  def lastTagged(spark: SparkSession, txnRoot: String,
+                 prefix: String): Option[String] = {
+    val rootFs = new Path(txnRoot).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    var k = latestTxn(spark, txnRoot)
+    while (k >= 1) {
+      if (!rootFs.exists(new Path(s"$txnRoot/manifest/v$k.txt"))) {
+        // pruned boundary: vacuum deletes contiguously from txn 1, so
+        // the newest snapshot must cover k — its watermark is final
+        val snap = snapshotIds(rootFs, txnRoot).headOption
+        require(snap.exists(_ >= k),
+          s"txn $k of $txnRoot has no manifest and no fold snapshot " +
+            s"covers it — whether a '$prefix' tag was committed below " +
+            "the gap is undecidable (manual log damage?)")
+        return snapTagWms(rootFs, txnRoot, snap.get).get(prefix)
+      }
+      val t = Snapshot.versionTag(spark, txnRoot, k)
+      if (t.exists(_.startsWith(prefix))) return t
+      k -= 1
+    }
+    None
   }
 
   /** Snapshot-file txn ids under the log (newest-first). */
@@ -693,12 +772,14 @@ object SnapshotTxn {
                            k: Int): Option[(Int, Map[String, Int])] =
     snapshotIds(rootFs, txnRoot).find(_ <= k).map { id =>
       val m = Snapshot.readTextLines(rootFs,
-        s"$txnRoot/manifest/snap_$id.txt").map { l =>
-        val f = l.split("\t")
-        require(f.length == 2,
-          s"malformed txn fold snapshot line in $txnRoot snap_$id: $l")
-        f(0) -> f(1).toInt
-      }.toMap
+        s"$txnRoot/manifest/snap_$id.txt")
+        .filterNot(_.startsWith("#")) // `#tagwm=` watermark headers
+        .map { l =>
+          val f = l.split("\t")
+          require(f.length == 2,
+            s"malformed txn fold snapshot line in $txnRoot snap_$id: $l")
+          f(0) -> f(1).toInt
+        }.toMap
       (id, m)
     }
 
@@ -710,7 +791,12 @@ object SnapshotTxn {
     * ("everything as of yesterday 18:00"): resolve here, then
     * [[readAsOfTxn]] every table against it. None when no txn had
     * committed yet; pruned txns are skipped (a time inside the pruned
-    * range resolves to nothing, never to a wrong later state). */
+    * range resolves to nothing, never to a wrong later state).
+    * Inherits [[Snapshot.versionAsOf]]'s running-max resolution, so a
+    * txn manifest whose publish time is non-monotone in slot order
+    * (CAS-retried renames, multi-writer clock skew) can never be
+    * leapt over: the pinned txn's fold contains only txns stamped at
+    * or before `tsMillis`. */
   def txnAsOfTime(spark: SparkSession, txnRoot: String,
                   tsMillis: Long): Option[Int] =
     Snapshot.versionAsOf(spark, txnRoot, tsMillis)

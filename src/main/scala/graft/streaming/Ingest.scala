@@ -683,9 +683,14 @@ object Ingest {
     * [[applySnapshotBatch]] replay guard lifted to the log. The tag is
     * atomic with the commit point (it rides the manifest whose publish
     * IS the commit), the checkpoint serializes batches so only the
-    * latest batch can ever replay, and a replayed batch that finds its
-    * tag on the head txn just runs recovery (the crash may have landed
-    * between the commit point and finalization) and moves on. A crash
+    * latest batch can ever replay, and a replayed batch probes the
+    * log's LAST batch tag ([[graft.operators.SnapshotTxn.lastTagged]]
+    * — a downward scan from the head, so a sanctioned batch writer's
+    * txn interleaved between the crashed commit and the replay cannot
+    * bury the tag out of the guard's sight): a watermark at or above
+    * the batch id means already-committed, and the replay just runs
+    * recovery (the crash may have landed between the commit point and
+    * finalization) and moves on. A crash
     * BEFORE the commit point leaves only staged orphans (no version,
     * no txn — vacuumOrphans reclaims); a crash AFTER it leaves a
     * committed txn that recovery rolls forward. Either way the replay
@@ -736,10 +741,11 @@ object Ingest {
     val head = T.latestTxn(spark, txnRoot)
     val rootFs = new org.apache.hadoop.fs.Path(txnRoot).getFileSystem(
       spark.sessionState.newHadoopConf())
-    // the head manifest IS the replay guard: vacuumTxnLog never prunes
-    // it, so a missing head is manual damage — refuse LOUDLY rather
-    // than re-commit a batch that may already have landed (a silent
-    // bypass here double-applies the batch's writes)
+    // vacuumTxnLog never prunes the head manifest, so a missing head is
+    // manual damage — refuse LOUDLY rather than re-commit a batch that
+    // may already have landed (a silent bypass here double-applies the
+    // batch's writes; lastTagged below would also refuse, this check
+    // just names the damage precisely)
     if (head >= 1)
       require(rootFs.exists(new org.apache.hadoop.fs.Path(
           s"$txnRoot/manifest/v$head.txt")),
@@ -750,8 +756,18 @@ object Ingest {
           "by hand) heals by minting a new head — commit one " +
           "transaction through SnapshotTxn from a batch writer, then " +
           "restart the stream")
-    val already = head >= 1 &&
-      S.versionTag(spark, txnRoot, head).contains(s"batch=$batchId")
+    // the REPLAY WATERMARK: the last `batch=<j>`-tagged txn anywhere in
+    // the log, not just the head. Batch ids are serialized and monotone
+    // (Spark's checkpoint replays only the latest batch), so j >= batchId
+    // means this batch already committed. Scanning only the head (the
+    // r14 guard) had a hole: a batch writer's txn landing between a
+    // crashed stream commit and its replay BURIES the batch tag, and a
+    // head-only probe would re-stage and re-commit the batch — every
+    // stageAppend row twice. The downward scan costs O(foreign txns
+    // since the stream's last commit) manifest reads — normally one —
+    // and survives vacuum via the fold snapshot's `#tagwm=` watermark.
+    val already = T.lastTagged(spark, txnRoot, "batch=")
+      .exists(_.stripPrefix("batch=").toLong >= batchId)
     if (already) return // replay of a committed batch: recovery ran above
     val t = T.begin(spark, txnRoot)
     stage(t, out, batchId)

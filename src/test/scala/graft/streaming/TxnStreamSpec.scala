@@ -97,6 +97,76 @@ class TxnStreamSpec extends SparkSpec {
     ()
   }
 
+  test("interleaved batch-writer commit between a crashed stream commit and its replay: still exactly-once") {
+    // The r14 hole: the replay guard probed only the HEAD txn's tag, so
+    // a sanctioned batch writer committing between a crashed micro-batch's
+    // commit point and the stream's restart buried the `batch=` tag and
+    // the replay double-applied the batch. The guard now scans down to
+    // the last batch tag wherever it sits.
+    val out = tmp("graft-txs4")
+    val (root, sDir, dDir) = (s"$out/root", s"$out/s", s"$out/d")
+    val stage = regStage(sDir, dDir)
+    def batch(id: Long, rows0: Seq[(Long, String)], crash: Boolean = false) =
+      Ingest.applyTxnBatch(spark, root, rows0.toDF("id", "v"), id,
+        crashAfterCommitPoint = crash)(stage)
+    batch(0L, Seq((1L, "a")))
+    batch(1L, Seq((2L, "b")), crash = true) // txn 2 committed, unfinalized
+    // a foreign writer (the contract's sanctioned batch path) commits
+    // txn 3 on the same log — the batch tag is no longer the head
+    SnapshotTxn.recover(spark, root) // writers recover before staging
+    val t = SnapshotTxn.begin(spark, root)
+    t.stageAppend(Seq((900L, 9L)).toDF("did", "k"), dDir)
+    t.commit(tag = Some("maintenance"))
+    assert(SnapshotTxn.latestTxn(spark, root) == 3)
+    // REPLAY of batch 1 under the buried tag: must commit NOTHING new
+    batch(1L, Seq((2L, "b")))
+    assert(SnapshotTxn.latestTxn(spark, root) == 3)
+    // the stageAppend table holds each batch's rows exactly once
+    assert(rows(SnapshotTxn.readLatest(spark, root, dDir).orderBy("did"))
+      .map(_.head) === Seq(100L, 200L, 900L))
+    assert(rows(SnapshotTxn.readLatest(spark, root, sDir).orderBy("k")) ===
+      Seq(Seq(1L, "a"), Seq(2L, "b")))
+    // an untagged foreign txn between batches doesn't hide the watermark
+    batch(2L, Seq((3L, "c")))
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageAppend(Seq((901L, 9L)).toDF("did", "k"), dDir)
+    t2.commit()
+    batch(2L, Seq((3L, "c"))) // replay across an UNTAGGED foreign head
+    assert(SnapshotTxn.readLatest(spark, root, dDir)
+      .filter(col("did") === 300L).count() == 1)
+    ()
+  }
+
+  test("replay watermark survives vacuum: the pruned batch tag is decidable from the fold snapshot") {
+    val out = tmp("graft-txs5")
+    val (root, sDir, dDir) = (s"$out/root", s"$out/s", s"$out/d")
+    val stage = regStage(sDir, dDir)
+    def batch(id: Long, rows0: Seq[(Long, String)], crash: Boolean = false) =
+      Ingest.applyTxnBatch(spark, root, rows0.toDF("id", "v"), id,
+        crashAfterCommitPoint = crash)(stage)
+    batch(0L, Seq((1L, "a")))
+    batch(1L, Seq((2L, "b")))
+    // two foreign txns bury the batch tag, then vacuum prunes everything
+    // below the head — INCLUDING txn 2, the batch tag's carrier
+    (0 until 2).foreach { i =>
+      val t = SnapshotTxn.begin(spark, root)
+      t.stageAppend(Seq((900L + i, 9L)).toDF("did", "k"), dDir)
+      t.commit()
+    }
+    assert(SnapshotTxn.vacuumTxnLog(spark, root, keepFrom = 4) == 3)
+    assert(SnapshotTxn.lastTagged(spark, root, "batch=")
+      .contains("batch=1"))
+    // the replay of batch 1 over the pruned log is still a no-op
+    batch(1L, Seq((2L, "b")))
+    assert(SnapshotTxn.readLatest(spark, root, dDir)
+      .filter(col("did") === 200L).count() == 1)
+    // and the next fresh batch proceeds
+    batch(2L, Seq((3L, "c")))
+    assert(SnapshotTxn.lastTagged(spark, root, "batch=")
+      .contains("batch=2"))
+    ()
+  }
+
   test("crash BEFORE the commit point: nothing visible anywhere; the replay commits fresh") {
     val out = tmp("graft-txs3")
     val (root, sDir, dDir) = (s"$out/root", s"$out/s", s"$out/d")
