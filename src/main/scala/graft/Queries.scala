@@ -6705,6 +6705,200 @@ object Queries {
       |       COALESCE(g.total, 0) AS total
       |FROM smp LEFT JOIN g USING (sid) ORDER BY sid""".stripMargin
 
+  // ------------------------------------------------------ Q-txn-mv2
+  // GENERALIZED TXN-CONSISTENT VIEW (MaterializedView.refreshTxnView
+  // over a TxnViewSpec): the reference report's ACTUAL shape — property
+  // projection + VOCABULARY DECODE (get-experimental-design-tsv/
+  // script.py:42-51,60-94) + a caller-supplied aggregate list (count,
+  // sum, max) — maintained from the transaction log with the same two
+  // crash injections as q_txn_mv (producer dies after its commit
+  // point; consumer dies between a view commit and its watermark).
+  // ORACLE: the committed transactions replayed as one decoded
+  // left-join rollup.
+  private val TxnMv2Out = s"$FixtureRoot/txn_mv2_out"
+
+  def txnMv2Q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val T = graft.operators.SnapshotTxn
+    val MV = graft.operators.MaterializedView
+    val (root, smpDir, dsDir, mvDir, ckp) =
+      (s"$TxnMv2Out/root", s"$TxnMv2Out/s", s"$TxnMv2Out/d",
+        s"$TxnMv2Out/mv", s"$TxnMv2Out/ckp")
+    val vocab = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"),
+      (3L, "delta")).toDF("grp", "gname")
+    val spec = MV.TxnViewSpec("sid", Seq("cents", "grp"), "sid",
+      Seq(MV.TxnViewAgg("n_ds", count(lit(1)), lit(0L)),
+        MV.TxnViewAgg("total", sum(col("dcents").cast("long")), lit(0L)),
+        MV.TxnViewAgg("mx", max(col("dcents").cast("long")), lit(0L))),
+      Some(MV.TxnViewDim(vocab, "grp", Seq("gname"))))
+    publishOnce(TxnMv2Out, dir) {
+      wipeDir(TxnMv2Out)
+      val cust = load(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("sid"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"),
+        (col("c_custkey").cast("long") % 4).as("grp"))
+      val ord = load(s, dir, "orders").select(
+        col("o_orderkey").as("did"),
+        col("o_custkey").cast("long").as("sid"),
+        round(col("o_totalprice") * 100).cast("long").as("dcents"))
+      def dslice(r: Int) = ord.filter(col("did") % 3 === r)
+      val t1 = T.begin(s, root)
+      t1.stagePublish(cust.repartitionByRange(4, col("sid")), smpDir,
+        statsCol = Some("sid"))
+      t1.stagePublish(dslice(0).repartitionByRange(4, col("sid")),
+        dsDir, statsCol = Some("sid"))
+      t1.commit()
+      val t2 = T.begin(s, root)
+      t2.stageMerge(cust.filter(col("sid") % 10 === 0)
+        .select(col("sid"), (col("cents") + 1000).as("cents"), col("grp")),
+        smpDir, "sid")
+      t2.stageAppend(dslice(1), dsDir)
+      t2.commit()
+      val t3 = T.begin(s, root)
+      t3.stageDelete(cust.filter(col("sid") % 7 === 0).select("sid"),
+        smpDir, "sid")
+      t3.stageAppend(dslice(2), dsDir)
+      t3.commitNoFinalize() // producer dies after the commit point
+      // consumer run 1: dies between window 2's view commit and its
+      // watermark advance
+      try {
+        graft.operators.SnapshotTxnCdc.pump(s, root, ckp,
+            maxTxnsPerBatch = 1) { d =>
+          MV.applyTxnViewWindow(s, d, smpDir, dsDir, mvDir, spec)
+          if (d.toTxn == 2)
+            throw new RuntimeException("injected mid-pump crash")
+        }
+        ()
+      } catch {
+        case e: RuntimeException if e.getMessage.contains("injected") =>
+      }
+      // consumer run 2: window 2 replays (tag-skip), window 3 applies
+      MV.refreshTxnView(s, root, smpDir, dsDir, mvDir, ckp, spec,
+        maxTxnsPerBatch = 1)
+      ()
+    }
+    graft.operators.Snapshot.readSnapshot(s, mvDir,
+      graft.operators.Snapshot.latestVersion(s, mvDir))
+      .orderBy("sid")
+  }
+
+  private val txnMv2Sql =
+    """WITH c AS (SELECT c_custkey AS sid,
+      |                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+      |                  CAST(c_custkey % 4 AS BIGINT) AS grp
+      |           FROM customer),
+      |smp AS (SELECT sid, CASE WHEN sid % 10 = 0 THEN cents + 1000
+      |                         ELSE cents END AS cents, grp
+      |        FROM c WHERE sid % 7 <> 0),
+      |v AS (SELECT CAST(x AS BIGINT) AS grp, gname
+      |      FROM (VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma'),
+      |                   (3, 'delta')) t(x, gname)),
+      |d AS (SELECT o_custkey AS sid,
+      |             CAST(round(o_totalprice * 100) AS BIGINT) AS dcents
+      |      FROM orders),
+      |g AS (SELECT sid, CAST(count(*) AS BIGINT) AS n_ds,
+      |             CAST(sum(dcents) AS BIGINT) AS total,
+      |             CAST(max(dcents) AS BIGINT) AS mx
+      |      FROM d GROUP BY sid)
+      |SELECT smp.sid, smp.cents, smp.grp, v.gname,
+      |       COALESCE(g.n_ds, 0) AS n_ds, COALESCE(g.total, 0) AS total,
+      |       COALESCE(g.mx, 0) AS mx
+      |FROM smp LEFT JOIN v USING (grp) LEFT JOIN g USING (sid)
+      |ORDER BY sid""".stripMargin
+
+  // ------------------------------------------------------ Q-txn-fold
+  // STAGEABLE MAINTENANCE (SnapshotTxn.stageFold): the MoR log fold of
+  // an enrolled table rides a multi-table TRANSACTION — the fold of
+  // table A and a dependent append to table B become visible at ONE
+  // commit point (previously maintenance had to commit between txns,
+  // so nothing downstream could be atomic with it). The maintenance
+  // txn is kill-injected at the worst point (committed, unfinalized);
+  // recovery rolls fold + append forward together. A second stageFold
+  // on the folded log stages nothing (idempotence). ORACLE: the DML
+  // sequence replayed over the seed.
+  private val TxnFoldOut = s"$FixtureRoot/txn_fold_out"
+
+  def txnFoldQ(s: SparkSession, dir: String): DataFrame = {
+    val T = graft.operators.SnapshotTxn
+    val S = graft.operators.Snapshot
+    val (root, aDir, bDir) =
+      (s"$TxnFoldOut/root", s"$TxnFoldOut/a", s"$TxnFoldOut/b")
+    publishOnce(TxnFoldOut, dir) {
+      wipeDir(TxnFoldOut)
+      val cust = load(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("sid"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val ord = load(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("did"),
+        round(col("o_totalprice") * 100).cast("long").as("dcents"))
+      def dslice(r: Int) = ord.filter(col("did") % 3 === r)
+      val t1 = T.begin(s, root)
+      t1.stagePublish(cust.repartitionByRange(4, col("sid")), aDir,
+        statsCol = Some("sid"))
+      t1.stagePublish(dslice(0), bDir)
+      t1.commit()
+      // three MoR generations accumulate on A through the log
+      val t2 = T.begin(s, root)
+      t2.stageMerge(cust.filter(col("sid") % 4 === 0)
+        .select(col("sid"), (col("cents") + 7).as("cents")), aDir, "sid")
+      t2.stageAppend(dslice(1), bDir)
+      t2.commit()
+      val t3 = T.begin(s, root)
+      t3.stageDelete(cust.filter(col("sid") % 9 === 0).select("sid"),
+        aDir, "sid")
+      t3.commit()
+      val t4 = T.begin(s, root)
+      t4.stageMerge(cust.filter(col("sid") % 6 === 0)
+        .select(col("sid"), (col("cents") * 2).as("cents")), aDir, "sid")
+      t4.commit()
+      // THE maintenance txn: fold A's log + append B's dependent slice,
+      // atomically — and the committer dies before finalizing
+      val tf = T.begin(s, root)
+      require(tf.stageFold(aDir), "three generations must fold")
+      tf.stageAppend(dslice(2), bDir)
+      tf.commitNoFinalize()
+      // crash state: txn committed, NEITHER table finalized
+      require(S.latestVersion(s, aDir) == 4 && S.latestVersion(s, bDir) == 2,
+        "the unfinalized maintenance txn must be invisible")
+      T.recover(s, root) // roll fold + append forward together
+      require(S.latestVersion(s, aDir) == 5 && S.latestVersion(s, bDir) == 3,
+        "recovery must finalize fold and append together")
+      // idempotence: the folded log has one generation — nothing stages
+      val t5 = T.begin(s, root)
+      require(!t5.stageFold(aDir), "a folded log must not re-fold")
+      t5.abort()
+      ()
+    }
+    T.readLatest(s, root, aDir)
+      .agg(lit("a").as("tbl"), count(lit(1)).as("n"),
+        sum(col("cents")).as("c"), sum(col("sid")).as("k"))
+      .unionByName(T.readLatest(s, root, bDir)
+        .agg(lit("b").as("tbl"), count(lit(1)).as("n"),
+          sum(col("dcents")).as("c"), sum(col("did")).as("k")))
+      .orderBy("tbl")
+  }
+
+  private val txnFoldSql =
+    """WITH c AS (SELECT c_custkey AS sid,
+      |                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |           FROM customer),
+      |a AS (SELECT sid, CASE WHEN sid % 6 = 0 THEN cents * 2
+      |                       WHEN sid % 4 = 0 THEN cents + 7
+      |                       ELSE cents END AS cents
+      |      FROM c WHERE sid % 9 <> 0 OR sid % 6 = 0),
+      |d AS (SELECT CAST(o_orderkey AS BIGINT) AS did,
+      |             CAST(round(o_totalprice * 100) AS BIGINT) AS dcents
+      |      FROM orders)
+      |SELECT tbl, n, c, k FROM (
+      |  SELECT 'a' AS tbl, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(cents) AS BIGINT) AS c,
+      |         CAST(sum(sid) AS BIGINT) AS k FROM a
+      |  UNION ALL
+      |  SELECT 'b', CAST(count(*) AS BIGINT),
+      |         CAST(sum(dcents) AS BIGINT),
+      |         CAST(sum(did) AS BIGINT) FROM d
+      |) ORDER BY tbl""".stripMargin
+
   // ------------------------------------------------------- Q-mor-fold
   // MoR LOG FOLD (compactSnapshotMoRLog): four accumulated
   // merge/delete generations collapse into ONE (winners + union
@@ -10954,6 +11148,8 @@ object Queries {
     "q_txn_mor" -> (txnMorQ _),
     "q_txn_cdc" -> (txnCdcQ _),
     "q_txn_mv" -> (txnMvQ _),
+    "q_txn_mv2" -> (txnMv2Q _),
+    "q_txn_fold" -> (txnFoldQ _),
     "q_stream_txn" -> (streamTxnQ _),
     "q_mor_fold" -> (morFoldQ _),
     "q_snapwhere" -> (snapWhereQ _),
@@ -11202,6 +11398,8 @@ object Queries {
     "q_txn_mor" -> txnMorSql,
     "q_txn_cdc" -> txnCdcSql,
     "q_txn_mv" -> txnMvSql,
+    "q_txn_mv2" -> txnMv2Sql,
+    "q_txn_fold" -> txnFoldSql,
     "q_stream_txn" -> streamTxnSql,
     "q_mor_fold" -> morFoldSql,
     "q_snapwhere" -> snapWhereSql,

@@ -172,14 +172,73 @@ object MaterializedView {
                          sampleKey: String, sampleCols: Seq[String],
                          dsSampleCol: String, dsValCol: String,
                          maxTxnsPerBatch: Int = Int.MaxValue): Int =
+    refreshTxnView(spark, txnRoot, samplesDir, datasetsDir, mvDir,
+      checkpointDir, countSumSpec(sampleKey, sampleCols, dsSampleCol,
+        dsValCol), maxTxnsPerBatch)
+
+  /** The fixed count+sum shape as a [[TxnViewSpec]] — what
+    * [[refreshTxnJoinView]] has always maintained. */
+  private def countSumSpec(sampleKey: String, sampleCols: Seq[String],
+                           dsSampleCol: String,
+                           dsValCol: String): TxnViewSpec =
+    TxnViewSpec(sampleKey, sampleCols, dsSampleCol,
+      Seq(TxnViewAgg("n_ds", count(lit(1)), lit(0L)),
+        TxnViewAgg("total", sum(col(dsValCol).cast("long")), lit(0L))))
+
+  /** One dataset-side aggregate of a [[TxnViewSpec]]: `agg` evaluated
+    * over each sample's dataset rows, `default` filling samples with
+    * no datasets (the left-join zero — must be `agg`'s type). */
+  final case class TxnViewAgg(name: String,
+                              agg: org.apache.spark.sql.Column,
+                              default: org.apache.spark.sql.Column)
+
+  /** A broadcast DIMENSION DECODE on a sample column — the reference
+    * report's vocabulary join (`get-experimental-design-tsv/script.py:
+    * 42-51`: property codes decode to vocabulary labels before the
+    * row lands in the TSV): `table` is left-joined on `joinCol` (which
+    * must be the sample key or a projected sample column), `cols`
+    * project into the view. The dimension is pinned per refresh call;
+    * a changed vocabulary needs a view rebuild (vocabularies are
+    * static reference data — the same assumption the report makes). */
+  final case class TxnViewDim(table: DataFrame, joinCol: String,
+                              cols: Seq[String])
+
+  /** Declarative shape of a generalized txn-consistent view: projected
+    * sample columns, a caller-supplied dataset aggregate list, and an
+    * optional vocabulary decode — the parameterization that lets the
+    * reference's ACTUAL experimental-design report (property projection
+    * + vocabulary decode + rollup, `get-experimental-design-tsv/script
+    * .py:60-94`) run as a maintained view instead of only count+sum. */
+  final case class TxnViewSpec(sampleKey: String, sampleCols: Seq[String],
+                               dsSampleCol: String,
+                               dsAggs: Seq[TxnViewAgg],
+                               dim: Option[TxnViewDim] = None) {
+    require(dsAggs.nonEmpty, "a TxnViewSpec needs at least one aggregate")
+    require(dim.forall(d =>
+        d.joinCol == sampleKey || sampleCols.contains(d.joinCol)),
+      "TxnViewDim.joinCol must be the sample key or a projected sample " +
+        "column")
+  }
+
+  /** [[refreshTxnJoinView]] generalized over a [[TxnViewSpec]]: same
+    * txn-consistent incremental maintenance (touched keys from the
+    * window's events, txn-pinned recompute, ONE MoR commit for upserts
+    * + vanished keys, tag-guarded replay, rewrite windows degrading to
+    * O(view)), arbitrary projected columns / aggregates / decode.
+    * Returns the number of windows processed. */
+  def refreshTxnView(spark: SparkSession, txnRoot: String,
+                     samplesDir: String, datasetsDir: String,
+                     mvDir: String, checkpointDir: String,
+                     spec: TxnViewSpec,
+                     maxTxnsPerBatch: Int = Int.MaxValue): Int =
     // rebootstrapOnRewrite: routine maintenance on the base tables
     // (compaction, MoR log fold, reconcile) must not wedge the view —
     // a rewritten table's window degrades to full-state inserts, and
     // the applier below reconciles stale view keys against it
     SnapshotTxnCdc.pump(spark, txnRoot, checkpointDir, maxTxnsPerBatch,
         rebootstrapOnRewrite = true) {
-      d => applyTxnJoinWindow(spark, d, samplesDir, datasetsDir, mvDir,
-        sampleKey, sampleCols, dsSampleCol, dsValCol)
+      d => applyTxnViewWindow(spark, d, samplesDir, datasetsDir, mvDir,
+        spec)
     }
 
   /** Qualified-path form for table identity — spellings that name the
@@ -190,30 +249,50 @@ object MaterializedView {
       .makeQualified(new org.apache.hadoop.fs.Path(p)).toString
   }
 
-  /** The join view's output shape — one row per sample with its
-    * dataset count and value rollup (left join, 0-filled). ONE
-    * definition shared by the bootstrap and every incremental window:
-    * the two paths must never drift apart in schema or semantics. */
-  private def joinRollup(samples: DataFrame, datasets: DataFrame,
-      sampleKey: String, sampleCols: Seq[String],
-      dsSampleCol: String, dsValCol: String): DataFrame = {
-    val dGrp = datasets.groupBy(col(dsSampleCol).as(sampleKey))
-      .agg(count(lit(1)).as("n_ds"),
-        sum(col(dsValCol).cast("long")).as("total"))
-    samples.select((sampleKey +: sampleCols).map(col): _*)
-      .join(dGrp, Seq(sampleKey), "left")
-      .select(col(sampleKey) +: sampleCols.map(col) :+
-        coalesce(col("n_ds"), lit(0L)).as("n_ds") :+
-        coalesce(col("total"), lit(0L)).as("total"): _*)
+  /** The view's output shape — one row per sample with its decoded
+    * dimension columns and dataset aggregates (left join, defaults
+    * filling no-dataset samples). ONE definition shared by the
+    * bootstrap and every incremental window: the two paths must never
+    * drift apart in schema or semantics. */
+  private def viewRollup(samples: DataFrame, datasets: DataFrame,
+                         spec: TxnViewSpec): DataFrame = {
+    val named = spec.dsAggs.map(a => a.agg.as(a.name))
+    val dGrp = datasets.groupBy(col(spec.dsSampleCol).as(spec.sampleKey))
+      .agg(named.head, named.tail: _*)
+    val s0 = samples.select(
+      (spec.sampleKey +: spec.sampleCols).map(col): _*)
+    // the vocabulary decode BROADCASTS: a dimension is label-sized by
+    // definition, and a shuffle join here would re-shuffle the whole
+    // sample side every window
+    val s1 = spec.dim.fold(s0) { dm =>
+      s0.join(broadcast(dm.table.select(
+        (dm.joinCol +: dm.cols).map(col): _*)), Seq(dm.joinCol), "left")
+    }
+    val dimCols = spec.dim.map(_.cols).getOrElse(Nil)
+    s1.join(dGrp, Seq(spec.sampleKey), "left")
+      .select(col(spec.sampleKey) +:
+        ((spec.sampleCols ++ dimCols).map(col) ++
+          spec.dsAggs.map(a =>
+            coalesce(col(a.name), a.default).as(a.name))): _*)
   }
 
-  /** One [[refreshTxnJoinView]] window — factored out so gates/specs
-    * can inject a crash between windows and replay. Idempotent per
-    * window (the `txn<k>` tag guard). */
+  /** One [[refreshTxnJoinView]] window — the count+sum wrapper kept
+    * for the q_txn_mv gate and existing callers. */
   private[graft] def applyTxnJoinWindow(spark: SparkSession,
       d: SnapshotTxnCdc.TxnDelta, samplesDir: String, datasetsDir: String,
       mvDir: String, sampleKey: String, sampleCols: Seq[String],
-      dsSampleCol: String, dsValCol: String): Unit = {
+      dsSampleCol: String, dsValCol: String): Unit =
+    applyTxnViewWindow(spark, d, samplesDir, datasetsDir, mvDir,
+      countSumSpec(sampleKey, sampleCols, dsSampleCol, dsValCol))
+
+  /** One [[refreshTxnView]] window — factored out so gates/specs
+    * can inject a crash between windows and replay. Idempotent per
+    * window (the `txn<k>` tag guard). */
+  private[graft] def applyTxnViewWindow(spark: SparkSession,
+      d: SnapshotTxnCdc.TxnDelta, samplesDir: String, datasetsDir: String,
+      mvDir: String, spec: TxnViewSpec): Unit = {
+    val sampleKey = spec.sampleKey
+    val dsSampleCol = spec.dsSampleCol
     def q(p: String): String = qualify(spark, p)
     def versionOf(dir: String): Option[Int] = {
       val want = q(dir)
@@ -233,10 +312,9 @@ object MaterializedView {
     if (sV.isEmpty || dV.isEmpty) return // a side not enrolled yet
     if (mvLatest == 0) {
       // bootstrap: the full join-aggregate of the txn-pinned state
-      Snapshot.publishSnapshot(joinRollup(
+      Snapshot.publishSnapshot(viewRollup(
         Snapshot.readSnapshot(spark, samplesDir, sV.get),
-        Snapshot.readSnapshot(spark, datasetsDir, dV.get),
-        sampleKey, sampleCols, dsSampleCol, dsValCol), mvDir,
+        Snapshot.readSnapshot(spark, datasetsDir, dV.get), spec), mvDir,
         tag = Some(tag))
       return
     }
@@ -269,8 +347,7 @@ object MaterializedView {
       .getOrElse(return) // neither table moved in this window
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try applyTouched(spark, d, touched, samplesDir, datasetsDir, mvDir,
-      sampleKey, sampleCols, dsSampleCol, dsValCol, sV.get, dV.get, tag,
-      mvLatest)
+      spec, sV.get, dV.get, tag, mvLatest)
     finally { touched.unpersist(); () }
   }
 
@@ -280,9 +357,10 @@ object MaterializedView {
     * (range bounds, both pruned semi-joins, the vanish anti-join). */
   private def applyTouched(spark: SparkSession, d: SnapshotTxnCdc.TxnDelta,
       touched: DataFrame, samplesDir: String, datasetsDir: String,
-      mvDir: String, sampleKey: String, sampleCols: Seq[String],
-      dsSampleCol: String, dsValCol: String, sV: Int, dV: Int,
+      mvDir: String, spec: TxnViewSpec, sV: Int, dV: Int,
       tag: String, mvLatest: Int): Unit = {
+    val sampleKey = spec.sampleKey
+    val dsSampleCol = spec.dsSampleCol
     def q(p: String): String = qualify(spark, p)
     val samplesAt = Snapshot.readSnapshot(spark, samplesDir, sV)
     val datasetsAt = Snapshot.readSnapshot(spark, datasetsDir, dV)
@@ -318,8 +396,7 @@ object MaterializedView {
       } else datasetsAt
     val dNow = dScan.join(touched,
       dScan(dsSampleCol) === touched(sampleKey), "left_semi")
-    val updates = joinRollup(sNow, dNow, sampleKey, sampleCols,
-      dsSampleCol, dsValCol)
+    val updates = viewRollup(sNow, dNow, spec)
     // touched keys with NO sample row at the window end vanish from the
     // view (sample deletes, and dataset rows referencing unknown sids).
     // A REBOOTSTRAPPED samples window carries no delete events (a full

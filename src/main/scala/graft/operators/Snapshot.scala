@@ -1046,10 +1046,37 @@ object Snapshot {
     val prev = latestVersion(spark, destDir)
     require(prev >= 1,
       s"compactSnapshotMoRLog needs an existing version under $destDir")
+    morFoldPlan(spark, destDir, prev) match {
+      case None => prev // ≤ 1 log generation: nothing to fold
+      case Some(p) =>
+        morCommit(Some(p.winners), Some(p.allKeys), destDir, p.keyCol, tag,
+          pinnedBase = Some(prev),
+          carriedEntriesOverride = Some(p.carried),
+          carriedRowsOverride = Some(p.baseRows))
+    }
+  }
+
+  /** A computed-but-uncommitted MoR log fold: the winner rows, the
+    * union delete-set, the carried (non-log) manifest entries and
+    * their row total — everything [[morStage]] needs to stage the fold
+    * against `keyCol`. */
+  private[operators] final case class MorFoldPlan(
+      winners: DataFrame, allKeys: DataFrame, carried: Seq[String],
+      baseRows: Option[Long], keyCol: String)
+
+  /** Compute the MoR log fold of version `prev` WITHOUT committing —
+    * shared by [[compactSnapshotMoRLog]] (which follows with the CAS)
+    * and [[SnapshotTxn.stageFold]] (which parks the staged fold in a
+    * pending manifest so maintenance commits atomically with a
+    * transaction's data writes). None when ≤ 1 log generation exists
+    * (nothing to fold). */
+  private[operators] def morFoldPlan(spark: org.apache.spark.sql.SparkSession,
+                                     destDir: String,
+                                     prev: Int): Option[MorFoldPlan] = {
     val m = readManifest(spark, destDir, prev)
     val delLines = m.lines.filter(isDeleteLine)
     val delSeqs = delLines.map(l => morSeq(linePath(l))).toSet
-    if (delSeqs.size <= 1) return prev // ≤ 1 log generation: nothing to fold
+    if (delSeqs.size <= 1) return None // ≤ 1 log generation
     val keyCol = m.headers("morkey")
     val dataLines = m.lines.filterNot(isDeleteLine)
     val (upsertLines, baseLines) =
@@ -1083,11 +1110,8 @@ object Snapshot {
       if (g.lines.forall(keepLine)) Seq(g.entry)
       else g.lines.filter(keepLine)
     }
-    val baseRows = sumLineRows(baseLines)
-    morCommit(Some(winnersOrdered), Some(allKeys), destDir, keyCol, tag,
-      pinnedBase = Some(prev),
-      carriedEntriesOverride = Some(carried),
-      carriedRowsOverride = Some(baseRows))
+    Some(MorFoldPlan(winnersOrdered, allKeys, carried,
+      sumLineRows(baseLines), keyCol))
   }
 
   /** MERGE + DELETE in ONE merge-on-read commit: upsert `updates` by

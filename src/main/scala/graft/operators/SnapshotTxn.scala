@@ -201,6 +201,42 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
     ()
   }
 
+  /** Stage the MoR LOG FOLD of `destDir`
+    * ([[Snapshot.compactSnapshotMoRLog]] semantics: the accumulated
+    * per-commit (batch, delete-set) pairs collapse into one winners +
+    * union-delete-set pair at O(log bytes), zero base files touched)
+    * as part of this transaction — STAGEABLE MAINTENANCE. Until now a
+    * fold on an enrolled table had to commit BETWEEN transactions:
+    * consistent (readers pin versions), but a data txn that depends on
+    * the folded shape could not be made atomic with it. Staged here,
+    * the fold's manifest parks as a pending file and becomes visible
+    * at the transaction's ONE commit point together with every other
+    * enrolled table's delta; the pinned base means a writer racing the
+    * maintenance aborts the whole txn rather than stacking on a shape
+    * it didn't see. Returns false — enrolling nothing — when ≤ 1 log
+    * generation exists (the direct path's no-op contract). */
+  def stageFold(destDir: String, tag: Option[String] = None): Boolean = {
+    require(!done, "transaction already committed or aborted")
+    require(!staged.exists(_.destDir == destDir),
+      s"$destDir is already staged in this transaction (one delta per " +
+        "table per transaction)")
+    val fs = new Path(destDir).getFileSystem(conf)
+    val base = Snapshot.latestVersion(spark, destDir)
+    require(base >= 1, s"stageFold needs an existing version under $destDir")
+    Snapshot.morFoldPlan(spark, destDir, base) match {
+      case None => false
+      case Some(p) =>
+        val (uid, content) = Snapshot.morStage(Some(p.winners),
+          Some(p.allKeys), destDir, p.keyCol, tag, base,
+          carriedEntriesOverride = Some(p.carried),
+          carriedRowsOverride = Some(p.baseRows)).get
+        Snapshot.writeFileAtomic(fs, s"$destDir/manifest/p$uid.txt",
+          s"$destDir/manifest/.tmp_v$uid", content)
+        staged += Staged(destDir, uid, base, content)
+        true
+    }
+  }
+
   private def stage(df: DataFrame, destDir: String, carryForward: Boolean,
                     statsCol: Option[String], tag: Option[String]): Unit = {
     require(!done, "transaction already committed or aborted")
@@ -383,6 +419,15 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
     // (plain publishes, a recoverer's per-table finalize) never wait
     // on the log lock while holding a table lock.
     Snapshot.withCommitLocks(Seq(qualified(txnRoot))) {
+      // WRITER FENCE (cross-process exclusion): the in-JVM commit locks
+      // serialize same-driver writers completely, but two DRIVER JVMs on
+      // one log would race the base-verify window with only the manifest
+      // CAS between them — and a lost race there doesn't abort cleanly,
+      // it commits a txn whose finalize hits a stolen slot (loud but
+      // manual-repair). So the single-driver contract is ENFORCED, not
+      // assumed: every commit verifies this JVM holds the log's writer
+      // epoch, refusing loudly when another driver claimed it.
+      SnapshotTxn.verifyWriter(spark, rootFs, txnRoot, qualified(txnRoot))
       // recover AGAIN under the log lock: the entry pass ran outside
       // it, so a txn that committed in between — and whose committer
       // died before finalizing — may still be invisible in
@@ -464,6 +509,85 @@ object SnapshotTxn {
     * transactional writers and readers name the same `txnRoot`. */
   def begin(spark: SparkSession, txnRoot: String): SnapshotTxn =
     new SnapshotTxn(spark, txnRoot)
+
+  // ---------------------------------------------------- writer fencing
+  /** This JVM's writer identity (stable for the process lifetime). */
+  private val jvmOwner: String = java.util.UUID.randomUUID().toString
+
+  /** The writer epochs THIS JVM holds, by qualified log root. */
+  private val writerEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
+  private def readWriterFile(rootFs: org.apache.hadoop.fs.FileSystem,
+                             txnRoot: String): Option[(Long, String)] = {
+    val p = new Path(s"$txnRoot/manifest/writer.txt")
+    if (!rootFs.exists(p)) None
+    else Snapshot.readTextLines(rootFs, p.toString).headOption.map { l =>
+      val f = l.split("\t")
+      require(f.length == 2, s"malformed writer file in $txnRoot: $l")
+      (f(0).toLong, f(1))
+    }
+  }
+
+  /** CLAIM the log's writer epoch for this JVM — the explicit takeover
+    * a NEW driver performs on a log a previous driver wrote (a virgin
+    * log auto-claims at its first commit; [[graft.streaming.Ingest
+    * .txnStream]] claims at stream start, the Kafka-producer-epoch
+    * fencing pattern). The claim bumps the epoch in
+    * `manifest/writer.txt` (one atomic file replace); the PREVIOUS
+    * driver — if actually still alive — is fenced at its next commit
+    * point, which reads the file under the log lock and refuses on an
+    * epoch/owner it doesn't hold. Ownership under a claim race is
+    * decided by the file: both racers bump, one rename lands last, and
+    * only the JVM whose (epoch, owner) the file carries passes
+    * [[verifyWriter]] — the other refuses. Claim ONLY when the prior
+    * driver is known dead or is this same application restarting; two
+    * drivers claiming in alternation fence each other loudly (by
+    * design — the log's contract is ONE writer driver at a time, with
+    * readers/recovery unrestricted).
+    *
+    * The residual window this protocol accepts (and names): a commit
+    * already PAST its fence check when the takeover lands still runs
+    * to its CAS — the same exposure as before fencing existed, now
+    * confined to one in-flight commit instead of the steady state.
+    * Returns the claimed epoch. */
+  def claimWriter(spark: SparkSession, txnRoot: String,
+                  owner: String = jvmOwner): Long = {
+    val rootFs = new Path(txnRoot).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val key = rootFs.makeQualified(new Path(txnRoot)).toString
+    Snapshot.withCommitLocks(Seq(key)) {
+      val next = readWriterFile(rootFs, txnRoot).map(_._1).getOrElse(0L) + 1
+      Snapshot.writeFileAtomic(rootFs, s"$txnRoot/manifest/writer.txt",
+        s"$txnRoot/manifest/.writer_tmp", Seq(s"$next\t$owner"))
+      writerEpochs.put(key, (next, owner))
+      next
+    }
+  }
+
+  /** The fence check every commit point (and vacuum) runs under the
+    * log lock: a virgin log auto-claims epoch 1; otherwise the file's
+    * (epoch, owner) must be one this JVM claimed. */
+  private[graft] def verifyWriter(spark: SparkSession,
+                                  rootFs: org.apache.hadoop.fs.FileSystem,
+                                  txnRoot: String, key: String): Unit =
+    readWriterFile(rootFs, txnRoot) match {
+      case None =>
+        Snapshot.writeFileAtomic(rootFs, s"$txnRoot/manifest/writer.txt",
+          s"$txnRoot/manifest/.writer_tmp", Seq(s"1\t$jvmOwner"))
+        writerEpochs.put(key, (1L, jvmOwner))
+      case Some((e, o)) =>
+        val held = writerEpochs.get(key)
+        if (held == null || held != ((e, o)))
+          throw new IllegalStateException(
+            s"txn log $txnRoot is held by writer epoch $e (owner $o), " +
+              "which this driver does not hold" +
+              (if (held == null) "" else s" (it held epoch ${held._1})") +
+              ". One driver JVM writes a txn log at a time; if the " +
+              "holding driver is dead (or this is its restart), take " +
+              "over explicitly with SnapshotTxn.claimWriter(txnRoot) — " +
+              "a live holder will then be fenced at its next commit.")
+    }
 
   /** Roll every committed-but-unfinalized transaction forward:
     * idempotent, safe to run any time, REQUIRED before trusting
@@ -648,6 +772,11 @@ object SnapshotTxn {
     // strictly INSIDE the log lock — the sanctioned nesting order.
     Snapshot.withCommitLocks(Seq(
         rootFs.makeQualified(new Path(txnRoot)).toString)) {
+      // maintenance is writer-side work: the same fence as the commit
+      // point, so a non-holding driver's vacuum refuses loudly instead
+      // of racing the holder's commits
+      verifyWriter(spark, rootFs, txnRoot,
+        rootFs.makeQualified(new Path(txnRoot)).toString)
       val safe = math.min(keepFrom,
         math.min(recoveredThrough(spark, txnRoot) + 1,
           latestTxn(spark, txnRoot)))
@@ -751,6 +880,72 @@ object SnapshotTxn {
       k -= 1
     }
     None
+  }
+
+  // ------------------------------------------------ retention coupling
+  /** The SAFE floor for a [[Snapshot.vacuum]] of a table enrolled in
+    * this txn log: the version `destDir` had at the log's OLDEST
+    * RESOLVABLE txn (the newest vacuum fold snapshot's id; txn 1 on a
+    * never-pruned log). A table vacuum keeping from at most this
+    * version strands NOTHING the log can still name — every
+    * [[readAsOfTxn]] over a retained txn, every txn-CDC consumer
+    * window at or above the log floor, and every pending roll-forward
+    * keep resolving (consumers BELOW the log floor re-bootstrap by the
+    * pump's own contract, independent of table retention). Without
+    * this derivation, the table vacuum's "choose keepFrom such that no
+    * reader pins an older version" contract is the one operational
+    * mistake this layer invites: a keepFrom one version too tight
+    * silently strands the log's historical reads. Runs recovery first
+    * (a committed-but-unfinalized txn's versions count). Refuses a
+    * table never enrolled through any retained txn. */
+  def safeKeepFrom(spark: SparkSession, txnRoot: String,
+                   destDir: String): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootFs = new Path(txnRoot).getFileSystem(conf)
+    def q(d: String): String =
+      new Path(d).getFileSystem(conf).makeQualified(new Path(d)).toString
+    val want = q(destDir)
+    recover(spark, txnRoot)
+    val head = latestTxn(spark, txnRoot)
+    require(head >= 1, s"no committed transactions in $txnRoot")
+    val oldest = math.max(
+      snapshotIds(rootFs, txnRoot).headOption.getOrElse(1), 1)
+    // the table's version at the oldest resolvable txn — or, for a
+    // table enrolled later, at its FIRST enrollment (versions are
+    // monotone across txns, so the first appearance is the minimum
+    // any resolvable txn snapshot pins)
+    val fold = asOfTxn(spark, txnRoot, oldest)
+    var k = oldest
+    var hit = fold.collect { case (t, v) if q(t) == want => v }
+      .reduceOption(math.min)
+    while (hit.isEmpty && k < head) {
+      k += 1
+      hit = Snapshot.readManifest(spark, txnRoot, k).entries.collectFirst {
+        case line if q(line.split("\t")(0)) == want =>
+          line.split("\t")(2).toInt
+      }
+    }
+    hit.getOrElse(throw new IllegalArgumentException(
+      s"$destDir was never enrolled in any retained transaction of " +
+        s"$txnRoot — no safe vacuum floor to derive (vacuum it as a " +
+        "plain table if it is not under this log's retention)"))
+  }
+
+  /** [[Snapshot.vacuum]] with the txn-log guard: refuses a `keepFrom`
+    * above [[safeKeepFrom]] — the vacuum call that would strand
+    * [[readAsOfTxn]] / txn-CDC consumers over retained txns never
+    * runs. Pass `keepFrom = 0` (the default) to vacuum exactly to the
+    * derived floor. */
+  def vacuumEnrolled(spark: SparkSession, txnRoot: String,
+                     destDir: String, keepFrom: Int = 0): Int = {
+    val floor = safeKeepFrom(spark, txnRoot, destDir)
+    val kf = if (keepFrom <= 0) floor else keepFrom
+    require(kf <= floor,
+      s"vacuum of $destDir at keepFrom=$kf would strand txn-log " +
+        s"$txnRoot: retained txns still pin version $floor and below " +
+        s"back to it — the safe floor is $floor (vacuumTxnLog first to " +
+        "raise it)")
+    Snapshot.vacuum(spark, destDir, kf)
   }
 
   /** Snapshot-file txn ids under the log (newest-first). */

@@ -709,6 +709,11 @@ object Ingest {
                 maxFilesPerTrigger: Int = 1,
                 trigger: Trigger = Trigger.AvailableNow(),
                 finish: StreamingQuery => Unit = _.awaitTermination()): Unit = {
+    // the stream IS the log's writer driver: claim the writer epoch at
+    // start (the Kafka-producer-epoch fencing pattern), so a zombie
+    // predecessor driver still holding the log is fenced at its next
+    // commit point instead of racing this stream's commits
+    graft.operators.SnapshotTxn.claimWriter(spark, txnRoot)
     val schema = spark.read.option("pathGlobFilter", fileGlob)
       .parquet(srcDir).schema
     val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)

@@ -599,4 +599,107 @@ class SnapshotTxnSpec extends SparkSpec {
     intercept[IllegalStateException] { SnapshotTxn.recover(spark, root) }
     ()
   }
+
+  test("writer fencing: a foreign driver's claim refuses commits and vacuum until explicit takeover") {
+    val root = tmp("graft-twf"); val a = tmp("graft-twfa")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // virgin log: the first commit auto-claims epoch 1 for this JVM
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stagePublish(kv(1L -> "a1"), a); t1.commit()
+    assert(Snapshot.readTextLines(fs, s"$root/manifest/writer.txt")
+      .head.startsWith("1\t"))
+    // a SECOND commit under the held epoch flows
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageAppend(kv(2L -> "a2"), a); t2.commit()
+    // another driver claims the log (simulated: the writer file now
+    // carries an epoch/owner this JVM never held)
+    Snapshot.writeFileAtomic(fs, s"$root/manifest/writer.txt",
+      s"$root/manifest/.writer_tmp", Seq("7\tother-driver-jvm"))
+    val t3 = SnapshotTxn.begin(spark, root)
+    t3.stageAppend(kv(3L -> "a3"), a)
+    val e = intercept[IllegalStateException] { t3.commit() }
+    assert(e.getMessage.contains("claimWriter"))
+    assert(Snapshot.latestVersion(spark, a) == 2) // nothing landed
+    // maintenance is fenced the same way
+    intercept[IllegalStateException] {
+      SnapshotTxn.vacuumTxnLog(spark, root, 2)
+    }
+    // explicit takeover bumps the epoch; the SAME staged txn commits
+    assert(SnapshotTxn.claimWriter(spark, root) == 8)
+    t3.commit()
+    assert(SnapshotTxn.latestTxn(spark, root) == 3)
+    assert(Snapshot.latestVersion(spark, a) == 3)
+    ()
+  }
+
+  test("safeKeepFrom derives the table-vacuum floor from the log; vacuumEnrolled refuses tighter") {
+    val root = tmp("graft-tsk"); val a = tmp("graft-tska")
+    val b = tmp("graft-tskb")
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stagePublish(kv(1L -> "a1"), a); t1.stagePublish(kv(1L -> "b1"), b)
+    t1.commit()
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageAppend(kv(2L -> "a2"), a); t2.commit()
+    val t3 = SnapshotTxn.begin(spark, root)
+    t3.stageAppend(kv(3L -> "a3"), a); t3.stageAppend(kv(2L -> "b2"), b)
+    t3.commit()
+    // never-pruned log: every txn resolvable, floor = version at txn 1
+    assert(SnapshotTxn.safeKeepFrom(spark, root, a) == 1)
+    // prune the log to txn 3: oldest resolvable txn becomes 2 (the fold
+    // snapshot's id), so a's floor rises to its txn-2 version
+    SnapshotTxn.vacuumTxnLog(spark, root, keepFrom = 3)
+    assert(SnapshotTxn.safeKeepFrom(spark, root, a) == 2)
+    assert(SnapshotTxn.safeKeepFrom(spark, root, b) == 1)
+    // boundary vacuum succeeds and the oldest resolvable txn still reads
+    assert(SnapshotTxn.vacuumEnrolled(spark, root, a) >= 0)
+    assert(rows(SnapshotTxn.readAsOfTxn(spark, root, 2, a).orderBy("k"))
+      .map(_.head) === Seq(1L, 2L))
+    // one version tighter refuses LOUDLY instead of stranding the log
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTxn.vacuumEnrolled(spark, root, a, keepFrom = 3)
+    }
+    assert(e.getMessage.contains("safe floor"))
+    // a table never enrolled has no floor to derive
+    intercept[IllegalArgumentException] {
+      SnapshotTxn.safeKeepFrom(spark, root, tmp("graft-tskx"))
+    }
+    ()
+  }
+
+  test("stageFold: maintenance rides the txn — fold aborts with the txn on a base conflict") {
+    val root = tmp("graft-tsf"); val a = tmp("graft-tsfa")
+    val b = tmp("graft-tsfb")
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stagePublish(kv(1L -> "a1", 2L -> "a2"), a)
+    t1.stagePublish(kv(1L -> "b1"), b)
+    t1.commit()
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageMerge(kv(1L -> "A1"), a, "k"); t2.commit()
+    val t3 = SnapshotTxn.begin(spark, root)
+    t3.stageDelete(kv(2L -> "x").select("k"), a, "k"); t3.commit()
+    // fold staged, then the base advances before the commit point: the
+    // WHOLE txn aborts (fold included) — maintenance never stacks on a
+    // shape it didn't see
+    val tf = SnapshotTxn.begin(spark, root)
+    assert(tf.stageFold(a))
+    tf.stageAppend(kv(9L -> "b9"), b)
+    val t4 = SnapshotTxn.begin(spark, root)
+    t4.stageMerge(kv(2L -> "A2x"), a, "k"); t4.commit()
+    intercept[Snapshot.ConcurrentSnapshotUpdate] { tf.commit() }
+    assert(Snapshot.latestVersion(spark, b) == 1) // append died with it
+    // restaged against the fresh base, the fold commits and resolves
+    val tf2 = SnapshotTxn.begin(spark, root)
+    assert(tf2.stageFold(a))
+    tf2.stageAppend(kv(9L -> "b9"), b)
+    tf2.commit()
+    assert(rows(SnapshotTxn.readLatest(spark, root, a).orderBy("k")) ===
+      Seq(Seq(1L, "A1"), Seq(2L, "A2x")))
+    assert(SnapshotTxn.readLatest(spark, root, b).count() == 2)
+    // and the folded log stages nothing on the next fold
+    val t5 = SnapshotTxn.begin(spark, root)
+    assert(!t5.stageFold(a))
+    t5.abort()
+    ()
+  }
 }

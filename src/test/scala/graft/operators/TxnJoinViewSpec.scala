@@ -222,4 +222,58 @@ class TxnJoinViewSpec extends SparkSpec {
       t.getMessage.contains("append-only")), e.toString)
     ()
   }
+
+  test("generalized TxnViewSpec: vocabulary decode + custom aggregates, incremental == full recompute") {
+    import MaterializedView.{TxnViewAgg, TxnViewDim, TxnViewSpec}
+    val out = tmp("graft-tjv5")
+    val (root, sDir, dDir, mv, ckp) =
+      (s"$out/root", s"$out/s", s"$out/d", s"$out/mv", s"$out/ckp")
+    // samples carry a vocabulary CODE; the dim decodes it to a label
+    def sdf(rows: (Long, Long)*) = rows.toSeq.toDF("sid", "code")
+    val vocab = Seq((1L, "rna"), (2L, "dna")).toDF("code", "label")
+    val spec = TxnViewSpec("sid", Seq("code"), "sid",
+      Seq(TxnViewAgg("n_ds", count(lit(1)), lit(0L)),
+        TxnViewAgg("mx", max(col("cents")), lit(0L)),
+        TxnViewAgg("total", sum(col("cents")), lit(0L))),
+      Some(TxnViewDim(vocab, "code", Seq("label"))))
+    def refresh() = MaterializedView.refreshTxnView(spark, root, sDir,
+      dDir, mv, ckp, spec, maxTxnsPerBatch = 1)
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stagePublish(sdf(1L -> 1L, 2L -> 2L, 3L -> 9L), sDir)
+    t1.stagePublish(datasetsDf((10L, 1L, 100L), (11L, 1L, 50L),
+      (12L, 2L, 30L)), dDir)
+    t1.commit()
+    assert(refresh() == 1)
+    // decoded label rides the view; unknown codes null-fill (left join);
+    // custom max + the defaults for no-dataset samples
+    assert(viewRows(mv) === Seq(
+      Seq(1L, 1L, "rna", 2L, 100L, 150L),
+      Seq(2L, 2L, "dna", 1L, 30L, 30L),
+      Seq(3L, 9L, null, 0L, 0L, 0L)))
+    // incremental window: sample upsert (code change!) + datasets + a
+    // sample delete, one txn — the decode recomputes with the group
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageMerge(sdf(1L -> 2L, 4L -> 1L), sDir, "sid")
+    t2.stageAppend(datasetsDf((13L, 4L, 70L), (14L, 1L, 200L)), dDir)
+    t2.commit()
+    val t3 = SnapshotTxn.begin(spark, root)
+    t3.stageDelete(Seq(2L).toDF("sid"), sDir, "sid")
+    t3.commit()
+    assert(refresh() == 2)
+    assert(viewRows(mv) === Seq(
+      Seq(1L, 2L, "dna", 3L, 200L, 350L),
+      Seq(3L, 9L, null, 0L, 0L, 0L),
+      Seq(4L, 1L, "rna", 1L, 70L, 70L)))
+    // replay of an applied feed: no windows, no commits
+    val mvV = Snapshot.latestVersion(spark, mv)
+    assert(refresh() == 0)
+    assert(Snapshot.latestVersion(spark, mv) == mvV)
+    // a dim joinCol outside the projected sample columns refuses
+    intercept[IllegalArgumentException] {
+      TxnViewSpec("sid", Seq("code"), "sid",
+        Seq(TxnViewAgg("n_ds", count(lit(1)), lit(0L))),
+        Some(TxnViewDim(vocab, "nope", Seq("label"))))
+    }
+    ()
+  }
 }
