@@ -6814,7 +6814,9 @@ object Queries {
   // so nothing downstream could be atomic with it). The maintenance
   // txn is kill-injected at the worst point (committed, unfinalized);
   // recovery rolls fold + append forward together. A second stageFold
-  // on the folded log stages nothing (idempotence). ORACLE: the DML
+  // on the folded log stages nothing (idempotence), and a staged
+  // small-file COMPACTION (stageCompact — row-neutral) packs B's
+  // slices through the txn without moving the oracle. ORACLE: the DML
   // sequence replayed over the seed.
   private val TxnFoldOut = s"$FixtureRoot/txn_fold_out"
 
@@ -6867,6 +6869,19 @@ object Queries {
       val t5 = T.begin(s, root)
       require(!t5.stageFold(aDir), "a folded log must not re-fold")
       t5.abort()
+      // STAGED COMPACTION (stageCompact — row-neutral by construction,
+      // so the oracle is untouched): B's three appended slices pack
+      // into one file INSIDE a transaction; only the layout moves
+      val beforeLines = S.manifestLines(s, bDir, 3).length
+      val tc = T.begin(s, root)
+      require(tc.stageCompact(bDir, minRows = 1000000000L,
+        targetRows = 1000000000L), "b's small files must pack")
+      tc.commit()
+      require(S.latestVersion(s, bDir) == 4,
+        "the staged compaction must commit through the txn")
+      val afterLines = S.manifestLines(s, bDir, 4).length
+      require(afterLines < beforeLines,
+        s"packing must shrink b's manifest ($beforeLines -> $afterLines)")
       ()
     }
     T.readLatest(s, root, aDir)

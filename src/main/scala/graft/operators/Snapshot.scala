@@ -2617,6 +2617,43 @@ object Snapshot {
     val v = latestVersion(spark, destDir)
     require(v >= 1, s"compactSnapshot needs an existing version under $destDir")
     val m = readManifest(spark, destDir, v)
+    compactPlan(spark, destDir, v, minRows, targetRows) match {
+      case None => v // nothing to pack (or a single straggler)
+      case Some(p) =>
+        if (m.bloom.isDefined)
+          // indexed lane: packed files get fresh per-file words, carried
+          // big files keep theirs verbatim, the #bloom header survives —
+          // a streaming-fed indexed table stays point-skippable through
+          // its small-file maintenance (it used to refuse here)
+          commitIndexedDelta(p.packed, destDir, m, v,
+            p.carried, p.carriedRows, tag, "compactSnapshot")
+        else commitVersion(p.packed, destDir, carryForward = true,
+          statsCol = None, carriedOverride = Some(p.carried),
+          tag = tag, prevManifestOpt = Some(m),
+          baseVersion = Some(v),
+          statsColsMulti = m.statsCols,
+          carriedRowsOverride = p.carriedRows)
+    }
+  }
+
+  /** A computed-but-uncommitted small-file compaction: the packed
+    * (coalesced) small rows, the carried big entries and their row
+    * total. */
+  private[operators] final case class CompactPlan(
+      packed: DataFrame, carried: Seq[String], carriedRows: Option[Long])
+
+  /** Compute the small-file compaction of version `v` WITHOUT
+    * committing — shared by [[compactSnapshot]] (which follows with
+    * the CAS) and [[SnapshotTxn.stageCompact]] (which parks the packed
+    * delta in a pending manifest so the maintenance commits atomically
+    * with a transaction). None when ≤ 1 small file exists. */
+  private[operators] def compactPlan(spark: org.apache.spark.sql.SparkSession,
+                                     destDir: String, v: Int,
+                                     minRows: Long,
+                                     targetRows: Long): Option[CompactPlan] = {
+    require(minRows >= 1 && targetRows >= minRows,
+      s"need 1 <= minRows ($minRows) <= targetRows ($targetRows)")
+    val m = readManifest(spark, destDir, v)
     requireNoTombstones(m, destDir, v, "compactSnapshot")
     def isBig(l: String) = lineRowCount(l).exists(_ >= minRows)
     // group-granular carry (same rule as mergeSnapshot): an all-big
@@ -2627,7 +2664,7 @@ object Snapshot {
       else g.lines.filter(isBig)
     }
     val smallLines = m.lines.filterNot(isBig)
-    if (smallLines.length <= 1) v // nothing to pack (or a single straggler)
+    if (smallLines.length <= 1) None
     else {
       val small = readWithSchema(spark, m.schema,
         smallLines.map(l => s"$destDir/${linePath(l)}"))
@@ -2640,20 +2677,8 @@ object Snapshot {
       val nOut = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
       // coalesce, not repartition: bin-packing needs no shuffle; the
       // FULL stats list carries (a Z-ordered table keeps both columns)
-      if (m.bloom.isDefined)
-        // indexed lane: packed files get fresh per-file words, carried
-        // big files keep theirs verbatim, the #bloom header survives —
-        // a streaming-fed indexed table stays point-skippable through
-        // its small-file maintenance (it used to refuse here)
-        commitIndexedDelta(small.coalesce(nOut), destDir, m, v,
-          carriedEntries, sumLineRows(m.lines.filter(isBig)), tag,
-          "compactSnapshot")
-      else commitVersion(small.coalesce(nOut), destDir, carryForward = true,
-        statsCol = None, carriedOverride = Some(carriedEntries),
-        tag = tag, prevManifestOpt = Some(m),
-        baseVersion = Some(v),
-        statsColsMulti = m.statsCols,
-        carriedRowsOverride = sumLineRows(m.lines.filter(isBig)))
+      Some(CompactPlan(small.coalesce(nOut), carriedEntries,
+        sumLineRows(m.lines.filter(isBig))))
     }
   }
 

@@ -237,14 +237,51 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
     }
   }
 
+  /** Stage a SMALL-FILE COMPACTION of `destDir`
+    * ([[Snapshot.compactSnapshot]] semantics: files under `minRows`
+    * pack into ~`targetRows` files, big files carry verbatim — zero
+    * row changes) as part of this transaction — the second stageable
+    * maintenance primitive beside [[stageFold]]. Returns false when
+    * ≤ 1 small file exists (the direct path's no-op contract).
+    * Bloom-indexed tables refuse (packed files would need fresh words;
+    * use [[Snapshot.compactSnapshot]] between transactions — it keeps
+    * the index). */
+  def stageCompact(destDir: String, minRows: Long, targetRows: Long,
+                   tag: Option[String] = None): Boolean = {
+    val base = Snapshot.latestVersion(spark, destDir)
+    require(base >= 1,
+      s"stageCompact needs an existing version under $destDir")
+    Snapshot.compactPlan(spark, destDir, base, minRows, targetRows) match {
+      case None => false
+      case Some(p) =>
+        stage(p.packed, destDir, carryForward = true, statsCol = None,
+          tag, carriedEntriesOverride = Some(p.carried),
+          carriedRowsOverride = Some(p.carriedRows),
+          pinnedBase = Some(base))
+        true
+    }
+  }
+
   private def stage(df: DataFrame, destDir: String, carryForward: Boolean,
-                    statsCol: Option[String], tag: Option[String]): Unit = {
+                    statsCol: Option[String], tag: Option[String],
+                    carriedEntriesOverride: Option[Seq[String]] = None,
+                    carriedRowsOverride: Option[Option[Long]] = None,
+                    pinnedBase: Option[Int] = None): Unit = {
     require(!done, "transaction already committed or aborted")
     require(!staged.exists(_.destDir == destDir),
       s"$destDir is already staged in this transaction (one delta per " +
         "table per transaction)")
     val fs = new Path(destDir).getFileSystem(conf)
     val base = Snapshot.latestVersion(spark, destDir)
+    // a carried-override caller (stageCompact) computed its carry set
+    // against a SPECIFIC base manifest; a commit racing in between
+    // would make that set stale — refuse here (retryable), the same
+    // contract the commit point's own base verify enforces later
+    pinnedBase.foreach(pb => if (pb != base)
+      throw new Snapshot.ConcurrentSnapshotUpdate(
+        s"base of $destDir advanced v$pb -> v$base between a staged " +
+          "maintenance plan and its staging; restage against the new " +
+          "latest"))
     val prev =
       if (base >= 1) Some(Snapshot.readManifest(spark, destDir, base))
       else None
@@ -315,12 +352,17 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
     }
     val deltaRows = linesAndRows.map(_._2).sum
     // carried lines stay verbatim (stats inherited, bloom refused), so
-    // the pending manifest is O(versions + delta) like any append
+    // the pending manifest is O(versions + delta) like any append; the
+    // overrides are [[stageCompact]]'s hook — it carries only the BIG
+    // entries and re-writes the small rows as the staged delta
     val carried: Seq[String] =
-      if (carryForward) prev.map(_.entries).getOrElse(Seq.empty)
+      if (carryForward)
+        carriedEntriesOverride.getOrElse(
+          prev.map(_.entries).getOrElse(Seq.empty))
       else Seq.empty
     val carriedRows: Option[Long] =
-      if (carryForward) prev.flatMap(_.rowsHeader) else Some(0L)
+      if (carryForward) carriedRowsOverride.getOrElse(prev.flatMap(_.rowsHeader))
+      else Some(0L)
     val deltaEntry =
       if (linesAndRows.isEmpty) Seq.empty
       else {

@@ -702,4 +702,40 @@ class SnapshotTxnSpec extends SparkSpec {
     t5.abort()
     ()
   }
+
+  test("stageCompact: small-file packing rides the txn atomically with another table's write") {
+    val root = tmp("graft-tsc"); val a = tmp("graft-tsca")
+    val b = tmp("graft-tscb")
+    val big = 1000000000L
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stagePublish(kv(1L -> "a1"), a, statsCol = Some("k"))
+    t1.stagePublish(kv(1L -> "b1"), b)
+    t1.commit()
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageAppend(kv(2L -> "a2"), a); t2.commit()
+    val t3 = SnapshotTxn.begin(spark, root)
+    t3.stageAppend(kv(3L -> "a3"), a); t3.commit()
+    val linesBefore = Snapshot.manifestLines(spark, a, 3).length
+    // the maintenance txn: pack a's three small files + a dependent
+    // write on b, atomically — and the committer dies before finalizing
+    val tc = SnapshotTxn.begin(spark, root)
+    assert(tc.stageCompact(a, minRows = big, targetRows = big))
+    tc.stageAppend(kv(2L -> "b2"), b)
+    tc.commitNoFinalize()
+    assert(Snapshot.latestVersion(spark, a) == 3) // invisible pre-recovery
+    assert(Snapshot.latestVersion(spark, b) == 1)
+    SnapshotTxn.recover(spark, root)
+    assert(Snapshot.latestVersion(spark, a) == 4)
+    assert(Snapshot.latestVersion(spark, b) == 2)
+    // rows identical, layout packed, stats carried on the packed files
+    assert(rows(Snapshot.readSnapshot(spark, a, 4).orderBy("k")) ===
+      Seq(Seq(1L, "a1"), Seq(2L, "a2"), Seq(3L, "a3")))
+    assert(Snapshot.manifestLines(spark, a, 4).length < linesBefore)
+    assert(Snapshot.filesForRange(spark, a, 4, 2L, 2L).nonEmpty)
+    // a packed table (one file) is the no-op case
+    val tn = SnapshotTxn.begin(spark, root)
+    assert(!tn.stageCompact(a, minRows = big, targetRows = big))
+    tn.abort()
+    ()
+  }
 }
