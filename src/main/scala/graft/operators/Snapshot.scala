@@ -1152,8 +1152,43 @@ object Snapshot {
     require(prev >= 1,
       s"reconcileSnapshotMoR needs an existing version under $destDir")
     val m = readManifest(spark, destDir, prev)
+    reconcilePlan(spark, destDir, prev) match {
+      case None => prev // no tombstones: already copy-on-write
+      case Some(p) =>
+        if (m.bloom.isDefined)
+          // indexed lane (bloom on the merge key — the only MoR-legal
+          // index): the reconciled delta gets fresh per-file words,
+          // untouched base files keep theirs, and the #bloom header
+          // survives — point lookups stay live across the MoR lifecycle
+          // (upsert → point read → reconcile → point read)
+          commitIndexedDelta(p.delta, destDir, m, prev, p.carried,
+            p.carriedRows, tag, "reconcileSnapshotMoR")
+        else commitVersion(p.delta, destDir, carryForward = true,
+          statsCol = None, tag = tag, carriedOverride = Some(p.carried),
+          prevManifestOpt = Some(m), baseVersion = Some(prev),
+          statsColsMulti = m.statsCols, morAware = true,
+          carriedRowsOverride = p.carriedRows)
+    }
+  }
+
+  /** A computed-but-uncommitted MoR reconcile: the rewritten delta
+    * (touched-base survivors + winning upsert rows), the untouched
+    * carried entries and their row total. */
+  private[operators] final case class ReconcilePlan(
+      delta: DataFrame, carried: Seq[String], carriedRows: Option[Long])
+
+  /** Compute the copy-on-write reconcile of version `prev` WITHOUT
+    * committing — shared by [[reconcileSnapshotMoR]] (which follows
+    * with the CAS) and [[SnapshotTxn.stageReconcile]] (which parks the
+    * rewrite in a pending manifest so the reconcile commits atomically
+    * with a transaction's data writes). None when the version carries
+    * no tombstones (already pure copy-on-write). */
+  private[operators] def reconcilePlan(spark: org.apache.spark.sql.SparkSession,
+                                       destDir: String,
+                                       prev: Int): Option[ReconcilePlan] = {
+    val m = readManifest(spark, destDir, prev)
     val delLines = m.lines.filter(isDeleteLine)
-    if (delLines.isEmpty) return prev
+    if (delLines.isEmpty) return None
     val keyCol = m.headers("morkey")
     val delSeqs = delLines.map(l => morSeq(linePath(l))).toSet
     val dataLines = m.lines.filterNot(isDeleteLine)
@@ -1225,20 +1260,8 @@ object Snapshot {
       case Some(ps) => delta0.select(ps.fieldNames.map(col).toSeq: _*)
       case None => delta0
     }
-    if (m.bloom.isDefined)
-      // indexed lane (bloom on the merge key — the only MoR-legal
-      // index): the reconciled delta gets fresh per-file words,
-      // untouched base files keep theirs, and the #bloom header
-      // survives — point lookups stay live across the MoR lifecycle
-      // (upsert → point read → reconcile → point read)
-      commitIndexedDelta(delta, destDir, m, prev, carried,
-        sumLineRows(m.lines.filter(keepLine)), tag,
-        "reconcileSnapshotMoR")
-    else commitVersion(delta, destDir, carryForward = true, statsCol = None,
-      tag = tag, carriedOverride = Some(carried), prevManifestOpt = Some(m),
-      baseVersion = Some(prev), statsColsMulti = m.statsCols,
-      morAware = true,
-      carriedRowsOverride = sumLineRows(m.lines.filter(keepLine)))
+    Some(ReconcilePlan(delta, carried,
+      sumLineRows(m.lines.filter(keepLine))))
   }
 
   /** Per-file (rows, per-column (min, max)) of integral columns, read

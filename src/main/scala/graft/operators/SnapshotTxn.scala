@@ -262,11 +262,41 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
     }
   }
 
+  /** Stage a COPY-ON-WRITE RECONCILE of `destDir`'s merge-on-read log
+    * ([[Snapshot.reconcileSnapshotMoR]] semantics: rewrite only the
+    * base files holding a touched key, materialize the winning upsert
+    * rows, drop every tombstone — the table leaves the transaction
+    * pure copy-on-write) as part of this transaction — the third
+    * stageable maintenance primitive beside [[stageFold]] and
+    * [[stageCompact]]. This is the one that unlocks txn-atomic
+    * POST-maintenance writes the MoR protocol itself refuses: e.g.
+    * "reconcile A, then transactional-append to A" is invalid (one
+    * delta per table per txn) but "reconcile A + append to B that
+    * assumes A is CoW" commits as one unit. Returns false when the
+    * version carries no tombstones. Bloom-indexed tables refuse (the
+    * rewritten files would need fresh words; use the direct path
+    * between transactions — it keeps the index). */
+  def stageReconcile(destDir: String, tag: Option[String] = None): Boolean = {
+    val base = Snapshot.latestVersion(spark, destDir)
+    require(base >= 1,
+      s"stageReconcile needs an existing version under $destDir")
+    Snapshot.reconcilePlan(spark, destDir, base) match {
+      case None => false
+      case Some(p) =>
+        stage(p.delta, destDir, carryForward = true, statsCol = None,
+          tag, carriedEntriesOverride = Some(p.carried),
+          carriedRowsOverride = Some(p.carriedRows),
+          pinnedBase = Some(base), morAware = true)
+        true
+    }
+  }
+
   private def stage(df: DataFrame, destDir: String, carryForward: Boolean,
                     statsCol: Option[String], tag: Option[String],
                     carriedEntriesOverride: Option[Seq[String]] = None,
                     carriedRowsOverride: Option[Option[Long]] = None,
-                    pinnedBase: Option[Int] = None): Unit = {
+                    pinnedBase: Option[Int] = None,
+                    morAware: Boolean = false): Unit = {
     require(!done, "transaction already committed or aborted")
     require(!staged.exists(_.destDir == destDir),
       s"$destDir is already staged in this transaction (one delta per " +
@@ -288,7 +318,10 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
     if (carryForward) {
       require(base >= 1,
         s"stageAppend needs an existing version under $destDir")
-      prev.foreach(m =>
+      // a staged RECONCILE is the one carry-forward that understands
+      // tombstones (its carried set excludes them and the delta
+      // materializes the winners); every other carry-forward refuses
+      if (!morAware) prev.foreach(m =>
         Snapshot.requireNoTombstones(m, destDir, base,
           "a transactional append"))
       require(prev.forall(_.bloom.isEmpty),

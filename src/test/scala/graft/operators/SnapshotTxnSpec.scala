@@ -738,4 +738,45 @@ class SnapshotTxnSpec extends SparkSpec {
     tn.abort()
     ()
   }
+
+  test("stageReconcile: the CoW rewrite rides the txn; the table leaves it tombstone-free") {
+    val root = tmp("graft-tsr"); val a = tmp("graft-tsra")
+    val b = tmp("graft-tsrb")
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stagePublish(kv(1L -> "a1", 2L -> "a2", 3L -> "a3", 4L -> "a4"), a,
+      statsCol = Some("k"))
+    t1.stagePublish(kv(1L -> "b1"), b)
+    t1.commit()
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageMerge(kv(2L -> "A2"), a, "k"); t2.commit()
+    val t3 = SnapshotTxn.begin(spark, root)
+    t3.stageDelete(kv(3L -> "x").select("k"), a, "k"); t3.commit()
+    // a transactional APPEND on the live MoR log refuses (tombstones)…
+    val bad = SnapshotTxn.begin(spark, root)
+    intercept[IllegalArgumentException] { bad.stageAppend(kv(9L -> "a9"), a) }
+    bad.abort()
+    // …so reconcile + the dependent write commit as ONE unit instead;
+    // the committer dies at the worst point and recovery rolls both
+    val tr = SnapshotTxn.begin(spark, root)
+    assert(tr.stageReconcile(a))
+    tr.stageAppend(kv(2L -> "b2"), b)
+    tr.commitNoFinalize()
+    assert(Snapshot.latestVersion(spark, a) == 3)
+    assert(Snapshot.latestVersion(spark, b) == 1)
+    SnapshotTxn.recover(spark, root)
+    assert(Snapshot.latestVersion(spark, a) == 4)
+    assert(Snapshot.latestVersion(spark, b) == 2)
+    assert(rows(Snapshot.readSnapshot(spark, a, 4).orderBy("k")) ===
+      Seq(Seq(1L, "a1"), Seq(2L, "A2"), Seq(4L, "a4")))
+    // pure copy-on-write again: no tombstone lines, appends legal
+    assert(!Snapshot.manifestLines(spark, a, 4).exists(_.startsWith("!")))
+    val t4 = SnapshotTxn.begin(spark, root)
+    t4.stageAppend(kv(9L -> "a9"), a); t4.commit()
+    assert(SnapshotTxn.readLatest(spark, root, a).count() == 4)
+    // a tombstone-free table is the no-op case
+    val tn = SnapshotTxn.begin(spark, root)
+    assert(!tn.stageReconcile(b))
+    tn.abort()
+    ()
+  }
 }
