@@ -933,7 +933,11 @@ object SnapshotTxn {
     * `#tagwm=` watermark, so pruning a tag's carrier manifest never
     * turns a replay into a double-commit; a manifest missing WITHOUT a
     * covering snapshot refuses loudly (manual damage — undecidable).
-    * None when no matching tag was ever committed. */
+    * None when no matching tag was ever committed. Upgrade note: fold
+    * snapshots written by pre-watermark vacuums carry no `#tagwm=`
+    * lines, so a tag an OLD vacuum pruned is unrecoverable — the same
+    * exposure the old head-only guard already had; every vacuum from
+    * this version on records the watermark. */
   def lastTagged(spark: SparkSession, txnRoot: String,
                  prefix: String): Option[String] = {
     val rootFs = new Path(txnRoot).getFileSystem(

@@ -167,6 +167,72 @@ class TxnStreamSpec extends SparkSpec {
     ()
   }
 
+  test("randomized soak: crashes, foreign commits and vacuums in every order stay exactly-once") {
+    // The replay guard's whole state space drawn at random: each batch
+    // may crash before or after its commit point, foreign txns (tagged
+    // and untagged) land anywhere — including inside the crash window —
+    // and the log is pruned mid-stream. The invariant is the only one
+    // that matters: every batch's row and every foreign row lands in
+    // the stageAppend table EXACTLY once.
+    val rnd = new scala.util.Random(20260816L)
+    val out = tmp("graft-txsoak")
+    val (root, dDir) = (s"$out/root", s"$out/d")
+    def stage: (SnapshotTxn, org.apache.spark.sql.DataFrame, Long) => Unit =
+      (t, b, _) => {
+        if (Snapshot.latestVersion(b.sparkSession, dDir) == 0)
+          t.stagePublish(b, dDir)
+        else t.stageAppend(b, dDir)
+      }
+    def batch(id: Long, crash: Int): Unit = {
+      val df = Seq((id, s"batch$id")).toDF("id", "v")
+      crash match {
+        case 0 => Ingest.applyTxnBatch(spark, root, df, id)(stage)
+        case 1 => // dies after the commit point, then replays
+          Ingest.applyTxnBatch(spark, root, df, id,
+            crashAfterCommitPoint = true)(stage)
+        case 2 => // dies before the commit point, then replays
+          intercept[RuntimeException] {
+            Ingest.applyTxnBatch(spark, root, df, id) { (t, b, i) =>
+              stage(t, b, i); throw new RuntimeException("injected")
+            }
+          }; ()
+      }
+    }
+    var foreignN = 0
+    def foreign(): Unit = {
+      SnapshotTxn.recover(spark, root)
+      if (Snapshot.latestVersion(spark, dDir) >= 1) {
+        foreignN += 1
+        val t = SnapshotTxn.begin(spark, root)
+        t.stageAppend(Seq((100000L + foreignN, "foreign"))
+          .toDF("id", "v"), dDir)
+        t.commit(tag = if (rnd.nextBoolean()) Some("maint=1") else None)
+        ()
+      }
+    }
+    val nBatches = 24
+    (0 until nBatches).foreach { i =>
+      val crash = rnd.nextInt(3)
+      batch(i.toLong, crash)
+      // foreign commits may land inside the crash window…
+      if (rnd.nextInt(3) == 0) foreign()
+      // …and the log may be pruned before the replay
+      if (rnd.nextInt(4) == 0 && SnapshotTxn.latestTxn(spark, root) >= 1) {
+        SnapshotTxn.vacuumTxnLog(spark, root,
+          keepFrom = SnapshotTxn.latestTxn(spark, root))
+        ()
+      }
+      if (crash != 0) batch(i.toLong, 0) // the checkpoint replays it
+      if (rnd.nextInt(4) == 0) foreign()
+    }
+    val got = rows(SnapshotTxn.readLatest(spark, root, dDir).orderBy("id"))
+      .map(_.head.asInstanceOf[Long])
+    val want = (0L until nBatches.toLong) ++
+      (1 to foreignN).map(i => 100000L + i)
+    assert(got === want.sorted, "every row exactly once")
+    ()
+  }
+
   test("crash BEFORE the commit point: nothing visible anywhere; the replay commits fresh") {
     val out = tmp("graft-txs3")
     val (root, sDir, dDir) = (s"$out/root", s"$out/s", s"$out/d")
