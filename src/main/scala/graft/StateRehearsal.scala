@@ -68,6 +68,7 @@ object StateRehearsal {
       case "txnlogscale" => txnlogscale(spark, work)
       case "txncdcscale" => txncdcscale(spark, work)
       case "morfoldscale" => morfoldscale(spark, work)
+      case "replayscan" => replayscan(spark, work)
       case "pointscale" => pointscale(spark, work)
       case "dmlscale" => dmlscale(spark, work)
       case "annrecall" => annrecall(spark)
@@ -509,6 +510,65 @@ object StateRehearsal {
         "bootstrap_pump_sec" -> bootSec,
         "caught_up_10txn_pump_sec" -> warmSec, "windows" -> w1,
         "post_prune_pump_sec" -> prunedSec, "pruned_windows" -> w2)
+    }
+  }
+
+  /** The streaming replay watermark's probe cost
+    * ([[graft.operators.SnapshotTxn.lastTagged]] — the r15 guard that
+    * replaced the head-only tag check) vs the depth foreign txns bury
+    * the batch tag. Claims: (a) the steady state is O(1) — the
+    * stream's own commit IS the head, one manifest read; (b) a tag
+    * buried under F foreign txns costs O(F) driver manifest reads —
+    * linear, metadata-sized, bounded by vacuum; (c) after a vacuum
+    * prunes the tag's carrier, the probe resolves from the fold
+    * snapshot's `#tagwm=` watermark at O(1) regardless of how much was
+    * pruned. Txn manifests are hand-written pointing at the table's
+    * already-latest version (the txncdcscale trick) so the cell times
+    * ONLY the metadata protocol, no Spark jobs. */
+  private def replayscan(spark: SparkSession, work: String): Unit = {
+    import graft.operators.{Snapshot, SnapshotTxn}
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(work).getFileSystem(spark.sessionState.newHadoopConf())
+    def writeTxn(root: String, k: Int, dest: String,
+                 tag: Option[String]): Unit = {
+      val out = fs.create(new Path(s"$root/manifest/v$k.txt"), true)
+      out.write((Seq("#txn=1") ++ tag.map(t => s"#tag=$t") ++
+        Seq(s"$dest\t1\t1")).mkString("\n").getBytes("UTF-8"))
+      out.close()
+    }
+    for (f <- Seq(10, 100, 1000)) {
+      val root = s"$work/replay_root_$f"
+      val dest = s"$work/replay_t_$f"
+      Snapshot.publishSnapshot(spark.range(100L)
+        .select(col("id").as("k"), lit("x").as("v")), dest)
+      fs.mkdirs(new Path(s"$root/manifest"))
+      // the stream's tag at txn 1, buried under f foreign txns
+      writeTxn(root, 1, dest, Some("batch=0"))
+      (2 to f + 1).foreach(k => writeTxn(root, k, dest, None))
+      val (b0, buriedSec) = time(
+        SnapshotTxn.lastTagged(spark, root, "batch="))
+      require(b0.contains("batch=0"), s"buried probe read $b0")
+      // steady state: the stream's own commit is the head — O(1)
+      writeTxn(root, f + 2, dest, Some("batch=1"))
+      val (h0, headSec) = time(
+        SnapshotTxn.lastTagged(spark, root, "batch="))
+      require(h0.contains("batch=1"), s"head probe read $h0")
+      // bury again, then prune the carrier: the fold snapshot's
+      // watermark answers at O(1)
+      SnapshotTxn.recover(spark, root)
+      SnapshotTxn.vacuumTxnLog(spark, root,
+        keepFrom = SnapshotTxn.latestTxn(spark, root))
+      (f + 3 to 2 * f + 2).foreach(k => writeTxn(root, k, dest, None))
+      SnapshotTxn.recover(spark, root)
+      SnapshotTxn.vacuumTxnLog(spark, root,
+        keepFrom = SnapshotTxn.latestTxn(spark, root))
+      val (s0, prunedSec) = time(
+        SnapshotTxn.lastTagged(spark, root, "batch="))
+      require(s0.contains("batch=1"), s"post-prune probe read $s0")
+      cell("replayscan", "foreign" -> f,
+        "buried_probe_sec" -> buriedSec,
+        "head_probe_sec" -> headSec,
+        "post_prune_probe_sec" -> prunedSec)
     }
   }
 
