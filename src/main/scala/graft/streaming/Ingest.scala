@@ -458,8 +458,10 @@ object Ingest {
     * Exactly-once WITHOUT a staging dance: the batchId rides the
     * manifest as `#tag=batch=<id>`, and the manifest RENAME is the
     * commit point — so "was this batch committed" is atomic. A replay
-    * (crash after commit, before the checkpoint advanced) sees its own
-    * batchId on the latest version and skips; a crash BEFORE the
+    * (crash after commit, before the checkpoint advanced) finds its
+    * batchId at or below the table's batch-tag watermark (a downward
+    * scan, so maintenance commits between the crash and the restart
+    * can't bury it) and skips; a crash BEFORE the
     * rename leaves nothing committed — the re-run stages fresh data
     * under its own claimed id and commits the SAME version number
     * (slots are assigned at commit, so nothing advanced). The crashed
@@ -602,8 +604,7 @@ object Ingest {
       }
     }
     val latest = S.latestVersion(spark, destDir)
-    val already = latest >= 1 &&
-      S.versionTag(spark, destDir, latest).contains(s"batch=$batchId")
+    val already = lastBatchTag(spark, destDir).exists(_ >= batchId)
     if (!already) {
       if (latest == 0) {
         // `indexed` births the table with a key bloom: every later MoR
@@ -628,10 +629,12 @@ object Ingest {
   }
 
   /** One micro-batch of [[snapshotStream]]: commit `out` as the next
-    * snapshot version tagged `batch=<batchId>`, or SKIP if the latest
-    * version already carries this batch's tag (the replay case — crash
-    * after the manifest rename, before the checkpoint advanced).
-    * Factored out so the replay guard is directly testable.
+    * snapshot version tagged `batch=<batchId>`, or SKIP if the table's
+    * batch-tag watermark ([[lastBatchTag]]) already covers this batch
+    * (the replay case — crash after the manifest rename, before the
+    * checkpoint advanced — including a replay across maintenance
+    * commits that buried the tag). Factored out so the replay guard is
+    * directly testable.
     *
     * Inline maintenance: with `compactEvery` = k > 0, every k-th batch
     * follows its append with [[graft.operators.Snapshot.compactSnapshot]]
@@ -642,6 +645,36 @@ object Ingest {
     * that CYCLE's maintenance on replay — best-effort by design; the
     * next cycle packs the leftovers, and the table content is identical
     * either way.) */
+  /** The table-level REPLAY WATERMARK — [[graft.operators.SnapshotTxn
+    * .lastTagged]]'s idea at table granularity: the most recent
+    * `batch=<j>` tag scanning versions DOWNWARD from the latest. The
+    * head-only probe both appliers used until r15 had a burial hole:
+    * same-driver maintenance committed between a crashed batch commit
+    * and its replay (an operator compacting / Z-ordering / reconciling
+    * a stopped stream's table before restart, without a batch tag)
+    * hides the tag one version down and the replay re-applies the
+    * batch. The scan costs O(untagged commits since the stream's last
+    * batch) manifest reads — normally ZERO extra (the stream's own
+    * commit is the head). A vacuumed gap before any batch tag reads as
+    * "no batch committed": pruning the versions between a crashed
+    * stream's last commit and the head is a retention-contract
+    * violation (the same class as vacuuming under a pinned reader) —
+    * don't vacuum an active stream's tag carrier away. */
+  private def lastBatchTag(spark: SparkSession, destDir: String): Option[Long] = {
+    val S = graft.operators.Snapshot
+    val fs = new org.apache.hadoop.fs.Path(destDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    var k = S.latestVersion(spark, destDir)
+    while (k >= 1 && fs.exists(
+        new org.apache.hadoop.fs.Path(s"$destDir/manifest/v$k.txt"))) {
+      val t = S.versionTag(spark, destDir, k)
+      if (t.exists(_.startsWith("batch=")))
+        return t.map(_.stripPrefix("batch=").toLong)
+      k -= 1
+    }
+    None
+  }
+
   private[graft] def applySnapshotBatch(out: DataFrame, destDir: String,
                                         batchId: Long,
                                         statsCol: Option[String] = None,
@@ -651,8 +684,7 @@ object Ingest {
     val S = graft.operators.Snapshot
     val spark = out.sparkSession
     val latest = S.latestVersion(spark, destDir)
-    val already = latest >= 1 &&
-      S.versionTag(spark, destDir, latest).contains(s"batch=$batchId")
+    val already = lastBatchTag(spark, destDir).exists(_ >= batchId)
     if (!already) {
       if (latest == 0)
         S.publishSnapshot(out, destDir, statsCol,

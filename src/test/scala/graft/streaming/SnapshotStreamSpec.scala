@@ -100,4 +100,39 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(Snapshot.latestVersion(spark, dest) == 3)
     assert(Snapshot.readSnapshot(spark, dest, 3).count() == 3)
   }
+
+  test("replay across maintenance commits: a buried batch tag still skips (no double-apply)") {
+    // The r15 watermark fix, table edition: an operator compacts /
+    // Z-orders the stopped stream's table between a crashed batch
+    // commit and the restart — the untagged maintenance version buries
+    // the batch tag, and the old head-only probe would re-apply the
+    // batch.
+    val dest = java.nio.file.Files.createTempDirectory("graft-snm").toString
+    Ingest.applySnapshotBatch(
+      (1L to 6L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(3),
+      dest, 0L)
+    Ingest.applySnapshotBatch(Seq((7L, "b")).toDF("id", "v"), dest, 1L)
+    // maintenance between the crash and the restart (untagged)
+    Snapshot.compactSnapshot(spark, dest, minRows = 1000000L,
+      targetRows = 1000000L)
+    assert(Snapshot.versionTag(spark, dest,
+      Snapshot.latestVersion(spark, dest)).isEmpty)
+    // the restarted stream replays batch 1 across the buried tag
+    Ingest.applySnapshotBatch(Seq((7L, "b")).toDF("id", "v"), dest, 1L)
+    assert(Snapshot.readSnapshot(spark, dest,
+      Snapshot.latestVersion(spark, dest)).count() == 7) // not 8
+    // and the MoR applier shares the watermark
+    val mor = java.nio.file.Files.createTempDirectory("graft-snm2").toString
+    Ingest.applyMorBatch(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      mor, 0L, "k")
+    Ingest.applyMorBatch(Seq((2L, "B")).toDF("k", "v"), mor, 1L, "k")
+    Snapshot.reconcileSnapshotMoR(spark, mor) // untagged maintenance
+    Ingest.applyMorBatch(Seq((2L, "B")).toDF("k", "v"), mor, 1L, "k")
+    // exactly-once by idempotence would hide a re-merge; version count
+    // is the honest witness (a re-applied merge would mint a version)
+    assert(Snapshot.latestVersion(spark, mor) == 3)
+    assert(rows(Snapshot.readSnapshot(spark, mor, 3).orderBy("k")) ===
+      Seq(Seq(1L, "a"), Seq(2L, "B")))
+    ()
+  }
 }
