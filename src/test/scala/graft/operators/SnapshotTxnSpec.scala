@@ -600,6 +600,63 @@ class SnapshotTxnSpec extends SparkSpec {
     ()
   }
 
+  test("txnAsOfTime under NON-monotone manifest times: the running max never leaps a later txn") {
+    // The r14 ADVICE scenario: CAS-retried renames / multi-writer clock
+    // skew can stamp txn k+1's manifest EARLIER than txn k's. A
+    // newest-first "first mtime <= ts" probe would pin k+1 at a ts
+    // between the stamps — a historical read whose fold contains a txn
+    // that (by slot order) committed after ts. The running-max upward
+    // scan refuses to admit it.
+    val root = tmp("graft-txnm"); val a = tmp("graft-txnma")
+    (1 to 3).foreach { i =>
+      val t = SnapshotTxn.begin(spark, root)
+      if (i == 1) t.stagePublish(kv(i.toLong -> s"a$i"), a)
+      else t.stageAppend(kv(i.toLong -> s"a$i"), a)
+      t.commit()
+    }
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def stamp(k: Int, ms: Long) = fs.setTimes(
+      new org.apache.hadoop.fs.Path(s"$root/manifest/v$k.txt"), ms, -1)
+    // txn 2 stamped AFTER txn 3 (the inversion): 1@100, 2@300, 3@200
+    stamp(1, 100000L); stamp(2, 300000L); stamp(3, 200000L)
+    // ts=250k: txn 3's stamp (200k) fits but txn 2's (300k) does not —
+    // slot order says 3 committed after 2, so NOTHING past txn 1 is
+    // provably "as of" 250k
+    assert(SnapshotTxn.txnAsOfTime(spark, root, 250000L) === Some(1))
+    // ts=350k admits everything; ts=150k only txn 1; ts=50k nothing
+    assert(SnapshotTxn.txnAsOfTime(spark, root, 350000L) === Some(3))
+    assert(SnapshotTxn.txnAsOfTime(spark, root, 150000L) === Some(1))
+    assert(SnapshotTxn.txnAsOfTime(spark, root, 50000L).isEmpty)
+    ()
+  }
+
+  test("two concurrent vacuums serialize under the log lock; chained prunes stay consistent") {
+    val root = tmp("graft-tvv"); val a = tmp("graft-tvva")
+    (1 to 8).foreach { i =>
+      val t = SnapshotTxn.begin(spark, root)
+      if (i == 1) t.stagePublish(kv(i.toLong -> s"a$i"), a)
+      else t.stageAppend(kv(i.toLong -> s"a$i"), a)
+      t.commit()
+    }
+    // two maintenance actors race the same prune window; the critical
+    // section makes one fold-then-delete land entirely before the
+    // other begins (the covered path sweeps stragglers, deletes
+    // nothing twice, and never fails a fold mid-flight)
+    import scala.collection.parallel.CollectionConverters._
+    val results = (0 until 2).par.map { _ =>
+      scala.util.Try(SnapshotTxn.vacuumTxnLog(spark, root, keepFrom = 7))
+    }.seq
+    assert(results.forall(_.isSuccess), results.toString)
+    assert(results.map(_.get).sum == 6) // six manifests gone, once each
+    // the log still answers: head intact, retained txns resolve, the
+    // fold snapshot covers the pruned prefix
+    assert(SnapshotTxn.latestTxn(spark, root) == 8)
+    assert(SnapshotTxn.asOfTxn(spark, root, 7).values.max == 7)
+    assert(rows(SnapshotTxn.readAsOfTxn(spark, root, 7, a)).length == 7)
+    ()
+  }
+
   test("writer fencing: a foreign driver's claim refuses commits and vacuum until explicit takeover") {
     val root = tmp("graft-twf"); val a = tmp("graft-twfa")
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
