@@ -1784,6 +1784,38 @@ object Snapshot {
                  destDir: String, v: Int): Option[String] =
     readManifest(spark, destDir, v).tag
 
+  /** Parse the numeric id of a `batch=<j>` tag. A non-numeric suffix
+    * is MALFORMED, not ignorable noise: the replay guards compare
+    * these ids numerically to decide "did this batch already commit",
+    * and silently skipping a bad tag could turn that decision into a
+    * double-apply. Loud error naming the carrier instead — rename the
+    * foreign tag (any prefix other than `batch=` is free) rather than
+    * committing non-numeric `batch=` tags on a stream-written table
+    * or log. */
+  private[graft] def parseBatchTag(tag: String, carrier: String): Long = {
+    val s = tag.stripPrefix("batch=")
+    require(s.nonEmpty && s.length <= 18 && s.forall(_.isDigit),
+      s"malformed batch tag '$tag' on $carrier: `batch=` tags are " +
+        "reserved for the streaming replay guard and must carry a " +
+        "decimal batch id; commit foreign tags under a different prefix")
+    s.toLong
+  }
+
+  /** The table's PRUNED-BATCH replay watermark (`manifest/batchwm.txt`)
+    * — [[vacuum]] writes it whenever manifests are pruned: the largest
+    * `batch=<j>` id among every version a downward tag scan can no
+    * longer reach (`-1` = vacuum ran and nothing a scan could miss was
+    * batch-tagged). None = the table has never been vacuumed by a
+    * watermark-aware vacuum, so a scan gap is UNDECIDABLE and the
+    * replay guard must refuse rather than guess (the txn log's
+    * `#tagwm=` contract at table granularity). */
+  private[graft] def batchWatermark(fs: org.apache.hadoop.fs.FileSystem,
+                                    destDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$destDir/manifest/batchwm.txt")
+    if (!fs.exists(p)) None
+    else readTextLines(fs, p.toString).headOption.map(_.trim.toLong)
+  }
+
   /** Read a file set under a recorded version schema when one exists
     * (older files missing an evolved column null-fill it); fall back to
     * parquet inference for pre-schema-tracking manifests. */
@@ -2744,12 +2776,18 @@ object Snapshot {
       spark.sessionState.newHadoopConf())
     var runMax = Long.MinValue
     var best: Option[Int] = None
-    (1 to latestVersion(spark, destDir)).foreach { v =>
+    val latest = latestVersion(spark, destDir)
+    var v = 1
+    // once runMax exceeds tsMillis no later version can be admitted
+    // (runMax is non-decreasing), so the scan stops — the warm path
+    // pays O(versions up to ts), not O(history) getFileStatus calls
+    while (v <= latest && runMax <= tsMillis) {
       val p = new Path(s"$destDir/manifest/v$v.txt")
       if (fs.exists(p)) {
         runMax = math.max(runMax, fs.getFileStatus(p).getModificationTime)
         if (runMax <= tsMillis) best = Some(v)
       }
+      v += 1
     }
     best
   }
@@ -2990,6 +3028,33 @@ object Snapshot {
     val kept = ((keepFrom to latest) ++ pinned.toSeq).flatMap(manifest(_))
     val droppedVs = (1 until keepFrom).filterNot(pinned)
     val dropped = droppedVs.flatMap(manifest(_))
+    // TABLE-LEVEL REPLAY WATERMARK (the txn log's `#tagwm=` pattern at
+    // table granularity): pruning the manifest that carries a crashed
+    // stream's last `batch=` tag must not make "did batch b commit"
+    // undecidable — [[graft.streaming.Ingest]]'s lastBatchTag scan
+    // stops at the first missing manifest, so EVERY version below
+    // keepFrom becomes scan-unreachable once any is deleted. Record
+    // the largest batch id among all of them (pruned AND branch-pinned
+    // islands — both sit below the gap) into manifest/batchwm.txt
+    // BEFORE any manifest is deleted; the scan answers across the gap
+    // from the watermark instead of re-applying the batch. A table
+    // whose below-region was already pruned by a pre-watermark build
+    // stays watermark-less (minting -1 over unknown history could
+    // declare a tagged batch "never committed"); the replay guard
+    // refuses loudly there.
+    if (droppedVs.nonEmpty) {
+      val prevWm = batchWatermark(fs, destDir)
+      val legacyGap = prevWm.isEmpty && dropped.size < droppedVs.size
+      if (!legacyGap) {
+        val below = dropped ++ pinned.toSeq.flatMap(manifest(_))
+        val ids = below.flatMap(_.tag).filter(_.startsWith("batch="))
+          .map(parseBatchTag(_,
+            s"a manifest below keepFrom=$keepFrom of $destDir"))
+        val wm = (ids ++ prevWm.toSeq :+ -1L).max
+        writeFileAtomic(fs, s"$destDir/manifest/batchwm.txt",
+          s"$destDir/manifest/.batchwm_tmp", Seq(wm.toString))
+      }
+    }
     val keep = kept.flatMap(_.lines.map(linePath)).toSet
     val drop = dropped.flatMap(_.lines.map(linePath))
       .distinct.filterNot(keep)

@@ -469,6 +469,16 @@ object Ingest {
     * [[graft.operators.Snapshot.vacuumOrphans]] reclaims them. The
     * checkpoint serializes batches, so only the LATEST batch can ever
     * replay — an older duplicate can't sneak behind a newer commit.
+    *
+    * CHECKPOINT-RESET SEMANTICS (name the footgun): the guard compares
+    * batch IDS, and a stream restarted with a FRESH checkpoint against
+    * an existing destination restarts them at 0 — every batch at or
+    * below the table's watermark is treated as a replay and SKIPPED
+    * (Delta's idempotent-writer `txnAppId` behavior). That is the
+    * right answer for "same source, recovered checkpoint store"; it is
+    * a silent data drop for "new source, recycled destination". A new
+    * feed gets a new destDir (or an explicitly-removed batch-tag
+    * history), never a recycled one.
     * Returns the final version read back. */
   def snapshotStream(spark: SparkSession, srcDir: String, fileGlob: String,
                      destDir: String, checkpointDir: String,
@@ -655,21 +665,43 @@ object Ingest {
     * hides the tag one version down and the replay re-applies the
     * batch. The scan costs O(untagged commits since the stream's last
     * batch) manifest reads — normally ZERO extra (the stream's own
-    * commit is the head). A vacuumed gap before any batch tag reads as
-    * "no batch committed": pruning the versions between a crashed
-    * stream's last commit and the head is a retention-contract
-    * violation (the same class as vacuuming under a pinned reader) —
-    * don't vacuum an active stream's tag carrier away. */
+    * commit is the head). A vacuumed gap before any batch tag is
+    * answered by the table's PRUNED-BATCH WATERMARK
+    * (`manifest/batchwm.txt`, written by [[graft.operators.Snapshot
+    * .vacuum]] before it deletes any manifest — the txn log's
+    * `#tagwm=` pattern at table granularity); a gap with NO watermark
+    * (a pre-watermark vacuum, or hand pruning) is undecidable and
+    * REFUSES loudly — mirroring [[graft.operators.SnapshotTxn
+    * .lastTagged]] — instead of reading "never committed" and silently
+    * double-applying the batch. */
   private def lastBatchTag(spark: SparkSession, destDir: String): Option[Long] = {
     val S = graft.operators.Snapshot
     val fs = new org.apache.hadoop.fs.Path(destDir).getFileSystem(
       spark.sessionState.newHadoopConf())
     var k = S.latestVersion(spark, destDir)
-    while (k >= 1 && fs.exists(
-        new org.apache.hadoop.fs.Path(s"$destDir/manifest/v$k.txt"))) {
+    while (k >= 1) {
+      if (!fs.exists(
+          new org.apache.hadoop.fs.Path(s"$destDir/manifest/v$k.txt"))) {
+        // pruned boundary with no tag above it: the watermark decides
+        return S.batchWatermark(fs, destDir) match {
+          case Some(-1L) => None // vacuum pruned nothing batch-tagged
+          case Some(j)   => Some(j)
+          case None => throw new IllegalStateException(
+            s"replay guard for $destDir is undecidable: versions below " +
+              s"v$k were pruned with no batch watermark recorded " +
+              "(manifest/batchwm.txt — a pre-watermark vacuum or hand " +
+              "pruning), so whether this stream's last batch already " +
+              "committed cannot be answered and a silent re-commit " +
+              "could double-apply it. Heal by committing one tagged " +
+              "version through the stream (restart it with a FRESH " +
+              "checkpoint only if the skipped-batch semantics below " +
+              "are acceptable) or write the known floor to " +
+              "manifest/batchwm.txt by hand")
+        }
+      }
       val t = S.versionTag(spark, destDir, k)
       if (t.exists(_.startsWith("batch=")))
-        return t.map(_.stripPrefix("batch=").toLong)
+        return t.map(S.parseBatchTag(_, s"version v$k of $destDir"))
       k -= 1
     }
     None
@@ -726,7 +758,11 @@ object Ingest {
     * BEFORE the commit point leaves only staged orphans (no version,
     * no txn — vacuumOrphans reclaims); a crash AFTER it leaves a
     * committed txn that recovery rolls forward. Either way the replay
-    * converges to exactly-once table state.
+    * converges to exactly-once table state. The same CHECKPOINT-RESET
+    * footgun as [[snapshotStream]] applies: a fresh checkpoint against
+    * an existing log restarts batch ids at 0, and every batch at or
+    * below the log's watermark SKIPS silently — recycle a txn log for
+    * a new feed and its first batches drop. New feed, new log.
     *
     * `stage` receives the open transaction, the micro-batch and the
     * batch id and stages every table write (stagePublish / stageAppend
@@ -804,7 +840,8 @@ object Ingest {
     // since the stream's last commit) manifest reads — normally one —
     // and survives vacuum via the fold snapshot's `#tagwm=` watermark.
     val already = T.lastTagged(spark, txnRoot, "batch=")
-      .exists(_.stripPrefix("batch=").toLong >= batchId)
+      .exists(graft.operators.Snapshot
+        .parseBatchTag(_, s"txn log $txnRoot") >= batchId)
     if (already) return // replay of a committed batch: recovery ran above
     val t = T.begin(spark, txnRoot)
     stage(t, out, batchId)

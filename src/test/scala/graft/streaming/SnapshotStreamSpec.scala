@@ -135,4 +135,84 @@ class SnapshotStreamSpec extends SparkSpec {
       Seq(Seq(1L, "a"), Seq(2L, "B")))
     ()
   }
+
+  test("vacuum across the tag carrier: the batch watermark keeps replay exactly-once") {
+    // The r15 What's-missing #1: Snapshot.vacuum prunes the manifest
+    // carrying a crashed stream's last batch= tag; the downward scan
+    // hits the gap and — pre-watermark — read it as "never committed",
+    // double-applying the batch. vacuum now records the pruned-batch
+    // watermark BEFORE deleting any manifest, so the replay skips.
+    val dest = java.nio.file.Files.createTempDirectory("graft-snv").toString
+    Ingest.applySnapshotBatch(Seq((1L, "a")).toDF("id", "v"), dest, 0L) // v1
+    Ingest.applySnapshotBatch(Seq((2L, "b")).toDF("id", "v"), dest, 1L) // v2
+    // untagged maintenance buries the tag, then vacuum prunes BOTH
+    // tagged versions (keepFrom = head) — the crash window's worst case
+    Snapshot.compactSnapshot(spark, dest, 1000000L, 1000000L)           // v3
+    val head = Snapshot.latestVersion(spark, dest)
+    Snapshot.vacuum(spark, dest, keepFrom = head)
+    val fs = new org.apache.hadoop.fs.Path(dest).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(Snapshot.batchWatermark(fs, dest).contains(1L))
+    // the restarted stream replays batch 1 across the vacuumed gap
+    Ingest.applySnapshotBatch(Seq((2L, "b")).toDF("id", "v"), dest, 1L)
+    assert(Snapshot.latestVersion(spark, dest) == head) // skipped
+    assert(rows(Snapshot.readSnapshot(spark, dest, head).orderBy("id"))
+      === Seq(Seq(1L, "a"), Seq(2L, "b")))
+    // and the NEXT batch still lands normally
+    Ingest.applySnapshotBatch(Seq((3L, "c")).toDF("id", "v"), dest, 2L)
+    assert(Snapshot.readSnapshot(spark, dest,
+      Snapshot.latestVersion(spark, dest)).count() == 3)
+  }
+
+  test("a pre-watermark gap REFUSES loudly instead of double-applying") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-snu").toString
+    Ingest.applySnapshotBatch(Seq((1L, "a")).toDF("id", "v"), dest, 0L) // v1
+    Ingest.applySnapshotBatch(Seq((2L, "b")).toDF("id", "v"), dest, 1L) // v2
+    Snapshot.compactSnapshot(spark, dest, 1000000L, 1000000L)           // v3
+    // hand-prune the tag carriers (a legacy vacuum: no watermark file)
+    val fs = new org.apache.hadoop.fs.Path(dest).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dest/manifest/v1.txt"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dest/manifest/v2.txt"), false)
+    val e = intercept[IllegalStateException] {
+      Ingest.applySnapshotBatch(Seq((2L, "b")).toDF("id", "v"), dest, 1L)
+    }
+    assert(e.getMessage.contains("undecidable"), e.getMessage)
+    // a watermark-aware vacuum AFTER the damage still refuses to mint
+    // a floor over unknown history: vacuuming the remaining region
+    // must not convert the gap into a silent "nothing pruned"
+    Snapshot.vacuum(spark, dest, keepFrom = 3)
+    assert(Snapshot.batchWatermark(fs, dest).isEmpty)
+  }
+
+  test("vacuum with nothing batch-tagged records -1: never-streamed tables stay decidable") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-snw").toString
+    Snapshot.publishSnapshot(Seq((1L, "a")).toDF("id", "v"), dest)
+    Snapshot.appendSnapshot(Seq((2L, "b")).toDF("id", "v"), dest)
+    Snapshot.appendSnapshot(Seq((3L, "c")).toDF("id", "v"), dest)
+    Snapshot.vacuum(spark, dest, keepFrom = 3)
+    val fs = new org.apache.hadoop.fs.Path(dest).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(Snapshot.batchWatermark(fs, dest).contains(-1L))
+    // starting a stream on the vacuumed batch-writer table: batch 0
+    // applies (the -1 watermark answers "nothing pruned was a batch")
+    Ingest.applySnapshotBatch(Seq((4L, "d")).toDF("id", "v"), dest, 0L)
+    assert(Snapshot.readSnapshot(spark, dest,
+      Snapshot.latestVersion(spark, dest)).count() == 4)
+  }
+
+  test("non-numeric batch= tags refuse loudly at the guard and at vacuum") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-snt").toString
+    Snapshot.publishSnapshot(Seq((1L, "a")).toDF("id", "v"), dest,
+      tag = Some("batch=oops"))
+    val e = intercept[IllegalArgumentException] {
+      Ingest.applySnapshotBatch(Seq((2L, "b")).toDF("id", "v"), dest, 0L)
+    }
+    assert(e.getMessage.contains("malformed batch tag"), e.getMessage)
+    Snapshot.appendSnapshot(Seq((2L, "b")).toDF("id", "v"), dest)
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshot.vacuum(spark, dest, keepFrom = 2)
+    }
+    assert(e2.getMessage.contains("malformed batch tag"), e2.getMessage)
+  }
 }
