@@ -2288,7 +2288,7 @@ object Snapshot {
     * Bounded collect: one row per FILE, ≤⌈mBits/63⌉ words each. A file
     * with no non-null keys gets the all-zero bitmap: its bloom admits
     * nothing, and it holds nothing a point lookup could want. */
-  private def perFileBloomWords(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def perFileBloomWords(spark: org.apache.spark.sql.SparkSession,
                                 dataDir: String, keyCol: String,
                                 mBits: Int, k: Int): Map[String, String] = {
     import org.apache.hadoop.fs.Path
@@ -2606,7 +2606,7 @@ object Snapshot {
     }
   }
 
-  private def bloomParams(m: ManifestData, destDir: String,
+  private[operators] def bloomParams(m: ManifestData, destDir: String,
                           v: Int): (String, Int, Int) =
     m.bloom.getOrElse(throw new IllegalArgumentException(
       s"version $v of $destDir was not published with a bloom column"))

@@ -243,9 +243,11 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
     * row changes) as part of this transaction — the second stageable
     * maintenance primitive beside [[stageFold]]. Returns false when
     * ≤ 1 small file exists (the direct path's no-op contract).
-    * Bloom-indexed tables refuse (packed files would need fresh words;
-    * use [[Snapshot.compactSnapshot]] between transactions — it keeps
-    * the index). */
+    * Bloom-indexed tables take the indexed lane (r16): packed files
+    * get fresh per-file words at stage time, carried big files keep
+    * theirs verbatim, and the #bloom header rides the pending manifest
+    * — point-read pruning survives the staged maintenance exactly as
+    * it survives the direct [[Snapshot.compactSnapshot]]. */
   def stageCompact(destDir: String, minRows: Long, targetRows: Long,
                    tag: Option[String] = None): Boolean = {
     val base = Snapshot.latestVersion(spark, destDir)
@@ -257,7 +259,7 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
         stage(p.packed, destDir, carryForward = true, statsCol = None,
           tag, carriedEntriesOverride = Some(p.carried),
           carriedRowsOverride = Some(p.carriedRows),
-          pinnedBase = Some(base))
+          pinnedBase = Some(base), indexedMaintenance = true)
         true
     }
   }
@@ -273,9 +275,11 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
     * "reconcile A, then transactional-append to A" is invalid (one
     * delta per table per txn) but "reconcile A + append to B that
     * assumes A is CoW" commits as one unit. Returns false when the
-    * version carries no tombstones. Bloom-indexed tables refuse (the
-    * rewritten files would need fresh words; use the direct path
-    * between transactions — it keeps the index). */
+    * version carries no tombstones. Bloom-indexed tables take the
+    * indexed lane (r16): the rewritten delta gets fresh per-file words
+    * at stage time, untouched base files keep theirs, the #bloom
+    * header survives — point lookups stay live through txn-atomic
+    * reconciles exactly as through the direct path. */
   def stageReconcile(destDir: String, tag: Option[String] = None): Boolean = {
     val base = Snapshot.latestVersion(spark, destDir)
     require(base >= 1,
@@ -286,7 +290,8 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
         stage(p.delta, destDir, carryForward = true, statsCol = None,
           tag, carriedEntriesOverride = Some(p.carried),
           carriedRowsOverride = Some(p.carriedRows),
-          pinnedBase = Some(base), morAware = true)
+          pinnedBase = Some(base), morAware = true,
+          indexedMaintenance = true)
         true
     }
   }
@@ -296,7 +301,8 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
                     carriedEntriesOverride: Option[Seq[String]] = None,
                     carriedRowsOverride: Option[Option[Long]] = None,
                     pinnedBase: Option[Int] = None,
-                    morAware: Boolean = false): Unit = {
+                    morAware: Boolean = false,
+                    indexedMaintenance: Boolean = false): Unit = {
     require(!done, "transaction already committed or aborted")
     require(!staged.exists(_.destDir == destDir),
       s"$destDir is already staged in this transaction (one delta per " +
@@ -324,7 +330,14 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
       if (!morAware) prev.foreach(m =>
         Snapshot.requireNoTombstones(m, destDir, base,
           "a transactional append"))
-      require(prev.forall(_.bloom.isEmpty),
+      // a plain stageAppend still refuses bloom-indexed bases (its
+      // delta files would need fresh per-file words and the append
+      // shape doesn't compute them); the MAINTENANCE stagings
+      // (stageCompact / stageReconcile) take the indexed lane below —
+      // carried files keep their words verbatim, staged files get
+      // fresh ones, the #bloom header survives the txn (the direct
+      // paths' commitIndexedDelta contract, staged)
+      require(prev.forall(_.bloom.isEmpty) || indexedMaintenance,
         s"transactional appends do not preserve bloom manifests " +
           s"(v$base of $destDir); re-publish with publishSnapshotBloom " +
           "after the transaction")
@@ -370,16 +383,38 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
     val parts = fs.listStatus(dataDir)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .map(_.getPath).sortBy(_.getName)
+    // indexed lane: the staged files' per-file bloom words — one
+    // distributed pass over the delta dir (batch-sized), exactly what
+    // the direct maintenance paths compute at commit time
+    val bloomOpt: Option[(String, Int, Int)] =
+      if (carryForward && indexedMaintenance) prev.flatMap(_.bloom)
+      else None
+    val wordsOpt: Option[(Map[String, String], String)] =
+      bloomOpt.map { case (bc, mBits, kk) =>
+        val nWords =
+          (mBits + Sketches.BloomWordBits - 1) / Sketches.BloomWordBits
+        (Snapshot.perFileBloomWords(spark, dataDir.toString, bc, mBits, kk),
+          Array.fill(nWords)(0L).mkString(","))
+      }
     val linesAndRows: Seq[(String, Long)] = {
       import scala.collection.parallel.CollectionConverters._
       parts.par.map { p =>
         val rel = s"data/v$uid/${p.getName}"
         val (rows, mm) = Snapshot.footerStats(conf, p, statsCols)
-        val line =
-          if (statsCols.isEmpty || mm.exists { case (mn, mx) => mn > mx })
-            rel
-          else s"$rel\t$rows\t" +
-            mm.map { case (mn, mx) => s"$mn\t$mx" }.mkString("\t")
+        val noStats =
+          statsCols.isEmpty || mm.exists { case (mn, mx) => mn > mx }
+        val statsTxt =
+          if (noStats) None
+          else Some(s"$rows\t" +
+            mm.map { case (mn, mx) => s"$mn\t$mx" }.mkString("\t"))
+        // indexed lines ALWAYS carry the row count (`path\trows\twords`
+        // / `path\trows\tstats…\twords` — commitIndexedDelta's shapes)
+        val line = wordsOpt match {
+          case Some((ws, emptyW)) =>
+            val w = ws.getOrElse(p.getName, emptyW)
+            statsTxt.fold(s"$rel\t$rows\t$w")(st => s"$rel\t$st\t$w")
+          case None => statsTxt.fold(rel)(st => s"$rel\t$st")
+        }
         (line, rows)
       }.seq.toSeq
     }
@@ -409,6 +444,7 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
     val header = schemaHeader +:
       ((if (statsCols.isEmpty) Seq.empty
         else Seq(s"#stats=${statsCols.mkString(",")}")) ++
+        bloomOpt.map { case (bc, mb, kk) => s"#bloom=$bc,$mb,$kk" }.toSeq ++
         tag.map(t => s"#tag=$t").toSeq ++
         (if (dropped.isEmpty) Seq.empty
          else Seq(s"#dropped=${dropped.toSeq.sorted.mkString(",")}")) ++
@@ -545,6 +581,19 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
       // latestTxn is what keeps txn ids monotone across pruning)
       val id = Snapshot.claimStagingId(rootFs, txnRoot,
         SnapshotTxn.latestTxn(spark, txnRoot) + 1)
+      // PRE-CAS FENCE RE-VERIFY: the fence check at the top of this
+      // block ran before recovery and the base verifies — real work a
+      // cross-process takeover can land DURING (the in-JVM locks don't
+      // exclude another driver). Re-reading the writer file here — one
+      // small-file read, already under the log lock — shrinks the r15
+      // residual window ("a commit already past its fence check runs
+      // to its CAS") to the irreducible rename race: a takeover landing
+      // after THIS read but before the rename below still commits,
+      // which a plain file-rename CAS cannot exclude without a
+      // server-side conditional write; that residue is one read-to-
+      // rename instruction window, not a whole commit's staging work.
+      SnapshotTxn.preCasHook.foreach(_.apply())
+      SnapshotTxn.verifyWriter(spark, rootFs, txnRoot, qualified(txnRoot))
       // THE commit point: one atomic file publish into the txn log
       // (the log is a manifest-versioned dir, so this is the same
       // claim + link/rename CAS as every table commit)
@@ -581,13 +630,58 @@ final class SnapshotTxn private (spark: SparkSession, txnRoot: String) {
 object SnapshotTxn {
   /** Open a transaction against the given transaction-log directory.
     * Tables enrolled in a log form one atomicity domain: all their
-    * transactional writers and readers name the same `txnRoot`. */
+    * transactional writers and readers name the same `txnRoot`.
+    *
+    * RESTART CONTRACT (writer fencing, r15): a log remembers its
+    * writer epoch in `manifest/writer.txt`, and every commit point
+    * verifies THIS JVM holds it. A virgin log auto-claims at its first
+    * commit; a NEW driver JVM committing to an EXISTING log — including
+    * the common sequential pattern of short-lived batch jobs, one
+    * after another — must claim the epoch first or its first commit
+    * refuses loudly. Either call [[claimWriter]] once at startup, or
+    * open with [[begin(spark:org\.apache\.spark\.sql\.SparkSession,txnRoot:String,claim:Boolean)* begin(spark, txnRoot, claim = true)]],
+    * which performs the takeover automatically when this JVM does not
+    * already hold the epoch. ([[graft.streaming.Ingest.txnStream]]
+    * claims at stream start for the same reason.) */
   def begin(spark: SparkSession, txnRoot: String): SnapshotTxn =
     new SnapshotTxn(spark, txnRoot)
+
+  /** [[begin]] with the restart contract handled: `claim = true`
+    * claims the log's writer epoch when this JVM does not already hold
+    * it — the convenience for sequential single-writer deployments
+    * (short-lived batch-job JVMs committing to one log, one at a
+    * time), where every restart is a legitimate takeover by
+    * definition. Still safe against a predecessor that is actually
+    * alive: it is fenced at its next commit point, exactly as an
+    * explicit [[claimWriter]] would fence it — but if a LIVE zombie
+    * should keep priority instead, use the claimless [[begin]] and
+    * decide the takeover deliberately. `claim = false` is the plain
+    * [[begin]]. */
+  def begin(spark: SparkSession, txnRoot: String,
+            claim: Boolean): SnapshotTxn = {
+    if (claim) {
+      val rootFs = new Path(txnRoot).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val key = rootFs.makeQualified(new Path(txnRoot)).toString
+      val cur = readWriterFile(rootFs, txnRoot)
+      // only an existing log held by someone else needs the takeover:
+      // a virgin log auto-claims at the first commit, and re-claiming
+      // an epoch this JVM already holds would only churn the file
+      if (cur.isDefined && !cur.contains(writerEpochs.get(key))) {
+        claimWriter(spark, txnRoot); ()
+      }
+    }
+    new SnapshotTxn(spark, txnRoot)
+  }
 
   // ---------------------------------------------------- writer fencing
   /** This JVM's writer identity (stable for the process lifetime). */
   private val jvmOwner: String = java.util.UUID.randomUUID().toString
+
+  /** Injection seam for the pre-CAS fence re-verify: runs between a
+    * commit's staging-id claim and its final writer check, where a
+    * cross-process takeover is hardest to catch. Specs only. */
+  @volatile private[graft] var preCasHook: Option[() => Unit] = None
 
   /** The writer epochs THIS JVM holds, by qualified log root. */
   private val writerEpochs =

@@ -81,4 +81,72 @@ class SnapshotTxnFenceSpec extends SparkSpec {
     assert(SnapshotTxn.latestTxn(spark, root) == 4)
     ()
   }
+
+  private def writeForeignWriter(root: String, epoch: Long,
+                                 owner: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    Snapshot.writeFileAtomic(fs, s"$root/manifest/writer.txt",
+      s"$root/manifest/.writer_tmp", Seq(s"$epoch\t$owner"))
+  }
+
+  test("takeover between the fence check and the CAS: the in-flight commit refuses, nothing lands") {
+    // The r15 residual window, closed: a commit already past its entry
+    // fence check used to run to its CAS whatever landed in between.
+    // The pre-CAS re-verify (one small-file read under the log lock)
+    // catches a takeover injected at the worst point — after this
+    // commit's recovery and base verifies, right before the rename.
+    val root = tmp("graft-precas"); val a = tmp("graft-precasa")
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stagePublish(kv(1L -> "a1"), a); t1.commit()
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageAppend(kv(2L -> "a2"), a)
+    SnapshotTxn.preCasHook =
+      Some(() => writeForeignWriter(root, 99L, "foreign-driver"))
+    try {
+      val e = intercept[IllegalStateException] { t2.commit() }
+      assert(e.getMessage.contains("claimWriter"), e.getMessage)
+    } finally SnapshotTxn.preCasHook = None
+    // the refused commit published NOTHING: no txn slot, table unmoved
+    assert(SnapshotTxn.latestTxn(spark, root) == 1)
+    assert(Snapshot.latestVersion(spark, a) == 1)
+    // explicit re-claim heals; the parked staging then commits whole
+    SnapshotTxn.claimWriter(spark, root)
+    t2.commit()
+    assert(rows(SnapshotTxn.readLatest(spark, root, a).orderBy("k"))
+      .map(_.head) === Seq(1L, 2L))
+  }
+
+  test("begin(claim = true): a restarted sequential driver commits without manual claimWriter") {
+    val root = tmp("graft-bclaim"); val a = tmp("graft-bclaima")
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stagePublish(kv(1L -> "a1"), a); t1.commit()
+    // a PREVIOUS driver's epoch sits on the log (this JVM doesn't hold
+    // it) — the sequential batch-job restart shape
+    writeForeignWriter(root, 7L, "dead-driver")
+    // the claimless begin refuses at its commit point (the safe default)
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageAppend(kv(2L -> "a2"), a)
+    val e = intercept[IllegalStateException] { t2.commit() }
+    assert(e.getMessage.contains("claimWriter"), e.getMessage)
+    // begin(claim = true) performs the takeover and the commit lands
+    val t3 = SnapshotTxn.begin(spark, root, claim = true)
+    t3.stageAppend(kv(3L -> "a3"), a)
+    t3.commit()
+    assert(rows(SnapshotTxn.readLatest(spark, root, a).orderBy("k"))
+      .map(_.head) === Seq(1L, 3L))
+    // holding the epoch already: claim = true is a no-op (no churn),
+    // and the next commit still passes
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val before = Snapshot.readTextLines(fs, s"$root/manifest/writer.txt")
+    val t4 = SnapshotTxn.begin(spark, root, claim = true)
+    assert(Snapshot.readTextLines(fs,
+      s"$root/manifest/writer.txt") === before)
+    t4.stageAppend(kv(4L -> "a4"), a)
+    t4.commit()
+    // rows 1, 3, 4 — the fenced t2 append (k=2) never landed
+    assert(rows(SnapshotTxn.readLatest(spark, root, a).orderBy("k"))
+      .map(_.head) === Seq(1L, 3L, 4L))
+  }
 }

@@ -836,4 +836,67 @@ class SnapshotTxnSpec extends SparkSpec {
     tn.abort()
     ()
   }
+
+  test("bloom-indexed staged maintenance: compact keeps point-read pruning through the txn") {
+    // The r15 parity gap: stageCompact refused bloom-indexed tables —
+    // the table class that most wants compaction (hot point-read
+    // tables). The indexed lane computes fresh per-file words for the
+    // packed files at stage time; the #bloom header rides the pending
+    // manifest through the commit point and the crash window.
+    val root = tmp("graft-tbi"); val a = tmp("graft-tbia")
+    val b = tmp("graft-tbib")
+    val df = (1L to 100L).map(i => (s"key$i", i)).toDF("k", "n")
+    Snapshot.publishSnapshotBloom(df.repartition(4), a, "k")
+    val t0 = SnapshotTxn.begin(spark, root)
+    t0.stagePublish(kv(1L -> "b1"), b); t0.commit()
+    val tc = SnapshotTxn.begin(spark, root)
+    assert(tc.stageCompact(a, minRows = 50L, targetRows = 50L))
+    tc.stageAppend(kv(2L -> "b2"), b)
+    tc.commitNoFinalize() // the committer dies at the worst point
+    SnapshotTxn.recover(spark, root)
+    val vA = Snapshot.latestVersion(spark, a)
+    assert(vA == 2 && Snapshot.latestVersion(spark, b) == 2)
+    // rows intact, layout packed 4 -> 2
+    assert(Snapshot.readSnapshot(spark, a, vA).count() == 100)
+    val linesA = Snapshot.manifestLines(spark, a, vA)
+    assert(linesA.size == 2, linesA.mkString("\n"))
+    // point-read pruning SURVIVED: the packed files carry fresh words
+    assert(rows(Snapshot.readSnapshotPoint(spark, a, vA, "key7")) ===
+      Seq(Seq("key7", 7L)))
+    assert(Snapshot.filesForKey(spark, a, vA, "key7").size < linesA.size)
+    ()
+  }
+
+  test("bloom-indexed staged maintenance: reconcile keeps point-read pruning through the txn") {
+    val root = tmp("graft-tbr"); val b = tmp("graft-tbrb")
+    val c = tmp("graft-tbrc")
+    val t0 = SnapshotTxn.begin(spark, root)
+    t0.stagePublish(kv(1L -> "b1"), b); t0.commit()
+    val df = (1L to 100L).map(i => (s"k$i", i)).toDF("k", "n")
+    Snapshot.publishSnapshotBloom(df.repartition(4), c, "k")
+    // MoR life through the txn (indexed MoR commits keep their words)
+    val tm = SnapshotTxn.begin(spark, root)
+    tm.stageMerge(Seq(("k5", 500L)).toDF("k", "n"), c, "k"); tm.commit()
+    val td = SnapshotTxn.begin(spark, root)
+    td.stageDelete(Seq("k6").toDF("k"), c, "k"); td.commit()
+    // txn-atomic reconcile + dependent write; die before finalizing
+    val tr = SnapshotTxn.begin(spark, root)
+    assert(tr.stageReconcile(c))
+    tr.stageAppend(kv(2L -> "b2"), b)
+    tr.commitNoFinalize()
+    SnapshotTxn.recover(spark, root)
+    val vC = Snapshot.latestVersion(spark, c)
+    // pure copy-on-write again, content right
+    assert(!Snapshot.manifestLines(spark, c, vC).exists(_.startsWith("!")))
+    assert(Snapshot.readSnapshot(spark, c, vC).count() == 99)
+    // ...and the index is ALIVE: upserted key found, deleted key gone,
+    // admitting-file count pruned below the file count
+    assert(rows(Snapshot.readSnapshotPoint(spark, c, vC, "k5")) ===
+      Seq(Seq("k5", 500L)))
+    assert(Snapshot.readSnapshotPoint(spark, c, vC, "k6").count() == 0)
+    val linesC = Snapshot.manifestLines(spark, c, vC)
+    assert(Snapshot.filesForKey(spark, c, vC, "k5").size < linesC.size,
+      s"no pruning: ${linesC.size} files all admit")
+    ()
+  }
 }
