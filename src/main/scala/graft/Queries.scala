@@ -926,6 +926,71 @@ object Queries {
        |ORDER BY $dSum, g0.id LIMIT 10""".stripMargin
   }
 
+  // --------------------------------------------------------- Q-knn-ivfrr
+  // IVF-PQ SHORTLIST → EXACT RE-RANK (Pq.ivfPqKnnRerank): the
+  // deployable composition of the whole ANN stack — coarse IVF routing
+  // to nProbe cells, ADC over the 64x-compressed codes to a shortlist,
+  // then exact cosine over the shortlist's full vectors. Compression
+  // prunes, floats decide. The oracle replays every stage: the PQ
+  // chain (pqSubCtes, the q_knn_pq oracle), the IVF assignment/probe
+  // (the q_knn_ivf oracle), the adist shortlist restricted to probed
+  // cells, and the exact re-rank — same fold orders throughout, so the
+  // top-k hashes bit-for-bit.
+  private val IvfRrShort = 50
+
+  def knnIvfRrQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    val cb = Pq.train(emb, "vec_id", "embedding", PqM, PqK, PqIters)
+    val query = emb.filter(col("vec_id") === 0)
+    Pq.ivfPqKnnRerank(emb, "vec_id", "embedding", cb, query, 10,
+      IvfCells, IvfProbe, IvfRrShort)
+      .select("vec_id", "label", "sim")
+  }
+
+  private def knnIvfRrSql: String = {
+    def dot(x: String, y: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1, 64),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+         |  (acc, v) -> acc + v)""".stripMargin
+    val subs = (0 until PqM).map(pqSubCtes).mkString(",\n")
+    val dSum = (0 until PqM).map(j => s"ld$j.d").mkString(" + ")
+    val joins = (1 until PqM).map(j => s"JOIN g$j USING (id)").mkString(" ") +
+      (0 until PqM).map(j => s" JOIN ld$j ON ld$j.cid = g$j.cid").mkString
+    s"""WITH pq_emb AS (SELECT vec_id AS id, label,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |pq_cfg AS (SELECT greatest(1, CAST(count(*) AS BIGINT) // $PqK) AS stride
+       |        FROM pq_emb),
+       |$subs,
+       |cents AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS c
+       |  FROM embeddings
+       |  WHERE vec_id % greatest(1, (SELECT count(*) FROM embeddings) // $IvfCells) = 0
+       |  ORDER BY vec_id LIMIT $IvfCells),
+       |assigned AS (
+       |  SELECT vec_id, cid,
+       |         row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY ${dot("embedding", "c")} * -2 + ${dot("c", "c")}, cid) AS rn
+       |  FROM embeddings CROSS JOIN cents),
+       |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cid FROM cents CROSS JOIN qv
+       |  ORDER BY ${dot("c", "c")} - 2 * ${dot("c", "qv")}, cid LIMIT $IvfProbe),
+       |ad AS (SELECT g0.id, $dSum AS ad FROM g0 $joins),
+       |short AS (
+       |  SELECT ad.id FROM ad JOIN assigned a ON a.vec_id = ad.id
+       |  WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM probe)
+       |  ORDER BY ad.ad, ad.id LIMIT $IvfRrShort)
+       |SELECT e.vec_id, e.label,
+       |       round(${dot("e.embedding", "qv.qv")} /
+       |             (sqrt(${dot("e.embedding", "e.embedding")}) *
+       |              sqrt(${dot("qv.qv", "qv.qv")})), 4) AS sim
+       |FROM embeddings e JOIN short ON short.id = e.vec_id CROSS JOIN qv
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   // ------------------------------------------------------------ Q-tokens
   // Token counting: whitespace + BPE-ish subword regex.
   def tokensQ(s: SparkSession, dir: String): DataFrame = {
@@ -6730,7 +6795,7 @@ object Queries {
       Seq(MV.TxnViewAgg("n_ds", count(lit(1)), lit(0L)),
         MV.TxnViewAgg("total", sum(col("dcents").cast("long")), lit(0L)),
         MV.TxnViewAgg("mx", max(col("dcents").cast("long")), lit(0L))),
-      Some(MV.TxnViewDim(vocab, "grp", Seq("gname"))))
+      Seq(MV.TxnViewDim(vocab, "grp", Seq("gname"))))
     publishOnce(TxnMv2Out, dir) {
       wipeDir(TxnMv2Out)
       val cust = load(s, dir, "customer").select(
@@ -6804,6 +6869,112 @@ object Queries {
       |       COALESCE(g.n_ds, 0) AS n_ds, COALESCE(g.total, 0) AS total,
       |       COALESCE(g.mx, 0) AS mx
       |FROM smp LEFT JOIN v USING (grp) LEFT JOIN g USING (sid)
+      |ORDER BY sid""".stripMargin
+
+  // ------------------------------------------------------ Q-txn-mv3
+  // N-ARY TXN VIEW (chained TxnViewDims, r16): the reference design
+  // report's real THREE-LEVEL shape — sample → parent sample →
+  // vocabulary (get-experimental-design-tsv/script.py:16-54) — as a
+  // maintained txn-consistent view: dim 1 joins the samples' parent id
+  // to the parent table and PRODUCES the parent's group code; dim 2
+  // decodes that produced code against the vocabulary. Both dims
+  // broadcast; the chain recomputes per touched group exactly like a
+  // single decode. Same two crash injections as q_txn_mv2 (producer
+  // dies after its commit point; consumer dies between a view commit
+  // and its watermark). ORACLE: the committed transactions replayed as
+  // one chained left-join rollup.
+  private val TxnMv3Out = s"$FixtureRoot/txn_mv3_out"
+
+  def txnMv3Q(s: SparkSession, dir: String): DataFrame = {
+    val T = graft.operators.SnapshotTxn
+    val MV = graft.operators.MaterializedView
+    val (root, smpDir, dsDir, mvDir, ckp) =
+      (s"$TxnMv3Out/root", s"$TxnMv3Out/s", s"$TxnMv3Out/d",
+        s"$TxnMv3Out/mv", s"$TxnMv3Out/ckp")
+    val parent = load(s, dir, "nation").select(
+      col("n_nationkey").cast("long").as("pid"),
+      col("n_regionkey").cast("long").as("pgrp"))
+    val vocab = load(s, dir, "region").select(
+      col("r_regionkey").cast("long").as("pgrp"),
+      col("r_name").as("pgname"))
+    val spec = MV.TxnViewSpec("sid", Seq("cents", "pid"), "sid",
+      Seq(MV.TxnViewAgg("n_ds", count(lit(1)), lit(0L)),
+        MV.TxnViewAgg("total", sum(col("dcents").cast("long")), lit(0L))),
+      Seq(MV.TxnViewDim(parent, "pid", Seq("pgrp")),
+        MV.TxnViewDim(vocab, "pgrp", Seq("pgname"))))
+    publishOnce(TxnMv3Out, dir) {
+      wipeDir(TxnMv3Out)
+      val cust = load(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("sid"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"),
+        col("c_nationkey").cast("long").as("pid"))
+      val ord = load(s, dir, "orders").select(
+        col("o_orderkey").as("did"),
+        col("o_custkey").cast("long").as("sid"),
+        round(col("o_totalprice") * 100).cast("long").as("dcents"))
+      def dslice(r: Int) = ord.filter(col("did") % 3 === r)
+      val t1 = T.begin(s, root)
+      t1.stagePublish(cust.repartitionByRange(4, col("sid")), smpDir,
+        statsCol = Some("sid"))
+      t1.stagePublish(dslice(0).repartitionByRange(4, col("sid")),
+        dsDir, statsCol = Some("sid"))
+      t1.commit()
+      val t2 = T.begin(s, root)
+      t2.stageMerge(cust.filter(col("sid") % 10 === 0)
+        .select(col("sid"), (col("cents") + 1000).as("cents"), col("pid")),
+        smpDir, "sid")
+      t2.stageAppend(dslice(1), dsDir)
+      t2.commit()
+      val t3 = T.begin(s, root)
+      t3.stageDelete(cust.filter(col("sid") % 7 === 0).select("sid"),
+        smpDir, "sid")
+      t3.stageAppend(dslice(2), dsDir)
+      t3.commitNoFinalize() // producer dies after the commit point
+      // consumer run 1: dies between window 2's view commit and its
+      // watermark advance
+      try {
+        graft.operators.SnapshotTxnCdc.pump(s, root, ckp,
+            maxTxnsPerBatch = 1) { d =>
+          MV.applyTxnViewWindow(s, d, smpDir, dsDir, mvDir, spec)
+          if (d.toTxn == 2)
+            throw new RuntimeException("injected mid-pump crash")
+        }
+        ()
+      } catch {
+        case e: RuntimeException if e.getMessage.contains("injected") =>
+      }
+      // consumer run 2: window 2 replays (tag-skip), window 3 applies
+      MV.refreshTxnView(s, root, smpDir, dsDir, mvDir, ckp, spec,
+        maxTxnsPerBatch = 1)
+      ()
+    }
+    graft.operators.Snapshot.readSnapshot(s, mvDir,
+      graft.operators.Snapshot.latestVersion(s, mvDir))
+      .orderBy("sid")
+  }
+
+  private val txnMv3Sql =
+    """WITH c AS (SELECT c_custkey AS sid,
+      |                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+      |                  CAST(c_nationkey AS BIGINT) AS pid
+      |           FROM customer),
+      |smp AS (SELECT sid, CASE WHEN sid % 10 = 0 THEN cents + 1000
+      |                         ELSE cents END AS cents, pid
+      |        FROM c WHERE sid % 7 <> 0),
+      |p AS (SELECT CAST(n_nationkey AS BIGINT) AS pid,
+      |             CAST(n_regionkey AS BIGINT) AS pgrp FROM nation),
+      |v AS (SELECT CAST(r_regionkey AS BIGINT) AS pgrp, r_name AS pgname
+      |      FROM region),
+      |d AS (SELECT o_custkey AS sid,
+      |             CAST(round(o_totalprice * 100) AS BIGINT) AS dcents
+      |      FROM orders),
+      |g AS (SELECT sid, CAST(count(*) AS BIGINT) AS n_ds,
+      |             CAST(sum(dcents) AS BIGINT) AS total
+      |      FROM d GROUP BY sid)
+      |SELECT smp.sid, smp.cents, smp.pid, p.pgrp, v.pgname,
+      |       COALESCE(g.n_ds, 0) AS n_ds, COALESCE(g.total, 0) AS total
+      |FROM smp LEFT JOIN p USING (pid) LEFT JOIN v USING (pgrp)
+      |     LEFT JOIN g USING (sid)
       |ORDER BY sid""".stripMargin
 
   // ------------------------------------------------------ Q-txn-fold
@@ -11022,6 +11193,7 @@ object Queries {
     "q_dsir" -> (dsirQ _),
     "q_gopher" -> (gopherQ _),
     "q_knn_pq" -> (knnPqQ _),
+    "q_knn_ivfrr" -> (knnIvfRrQ _),
     "q_split" -> (splitQ _),
     "q_windows" -> (windows _),
     "q_curate" -> (curate _),
@@ -11164,6 +11336,7 @@ object Queries {
     "q_txn_cdc" -> (txnCdcQ _),
     "q_txn_mv" -> (txnMvQ _),
     "q_txn_mv2" -> (txnMv2Q _),
+    "q_txn_mv3" -> (txnMv3Q _),
     "q_txn_fold" -> (txnFoldQ _),
     "q_stream_txn" -> (streamTxnQ _),
     "q_mor_fold" -> (morFoldQ _),
@@ -11272,6 +11445,7 @@ object Queries {
     "q_dsir" -> dsirSql,
     "q_gopher" -> gopherSql,
     "q_knn_pq" -> knnPqSql,
+    "q_knn_ivfrr" -> knnIvfRrSql,
     "q_split" -> splitSql,
     "q_windows" -> windowsSql,
     "q_curate" -> curateSql,
@@ -11414,6 +11588,7 @@ object Queries {
     "q_txn_cdc" -> txnCdcSql,
     "q_txn_mv" -> txnMvSql,
     "q_txn_mv2" -> txnMv2Sql,
+    "q_txn_mv3" -> txnMv3Sql,
     "q_txn_fold" -> txnFoldSql,
     "q_stream_txn" -> streamTxnSql,
     "q_mor_fold" -> morFoldSql,

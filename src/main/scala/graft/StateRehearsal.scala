@@ -754,6 +754,7 @@ object StateRehearsal {
       df.select(idCol).collect().map(_.getLong(0)).toSet
     var rIvf, rInt8, rPq, rLsh = 0.0
     var rIvf8, rPq2, rLsh4, rPqRr = 0.0
+    var rIvfPqRr = 0.0
     var lshFound = 0.0
     qids.foreach { qid =>
       val query = emb.filter(col("vec_id") === qid)
@@ -790,6 +791,11 @@ object StateRehearsal {
         emb.filter(col("vec_id").isInCollection(shortlist)),
         "vec_id", "embedding", query, k), "vec_id")
       rPqRr += (rr & exact).size.toDouble / k
+      // the r16 deployable twin: IVF routing prunes the scan to 4/16
+      // cells, ADC shortlists inside them, exact cosine decides
+      rIvfPqRr += (topIds(Pq.ivfPqKnnRerank(emb, "vec_id", "embedding",
+        cb2, emb.filter(col("vec_id") === qid), k, 16, 4, 100),
+        "vec_id") & exact).size.toDouble / k
     }
     val n = qids.size
     cell("annrecall", "sf" -> sfDir, "queries" -> n, "k" -> k,
@@ -799,6 +805,7 @@ object StateRehearsal {
     cell("annrecall_tuned", "sf" -> sfDir, "queries" -> n, "k" -> k,
       "ivf_16c_8p" -> rIvf8 / n, "pq_m8_k64" -> rPq2 / n,
       "pq_m8_k64_shortlist100_rerank" -> rPqRr / n,
+      "ivfpq_m8k64_16c_4p_short100_rerank" -> rIvfPqRr / n,
       "lsh_4planes" -> rLsh4 / n)
   }
 

@@ -204,20 +204,30 @@ object MaterializedView {
                               cols: Seq[String])
 
   /** Declarative shape of a generalized txn-consistent view: projected
-    * sample columns, a caller-supplied dataset aggregate list, and an
-    * optional vocabulary decode — the parameterization that lets the
-    * reference's ACTUAL experimental-design report (property projection
-    * + vocabulary decode + rollup, `get-experimental-design-tsv/script
-    * .py:60-94`) run as a maintained view instead of only count+sum. */
+    * sample columns, a caller-supplied dataset aggregate list, and a
+    * CHAIN of broadcast dimension decodes — the parameterization that
+    * lets the reference's ACTUAL experimental-design report (property
+    * projection + vocabulary decode + rollup, `get-experimental-design
+    * -tsv/script.py:60-94`) run as a maintained view instead of only
+    * count+sum. `dims` chain N-ARY (r16): dim i may join on a column
+    * PRODUCED by an earlier dim — the reference's three-level shape
+    * (sample → parent sample → vocabulary, `script.py:16-54`) is a
+    * parent dimension producing the parent's code followed by the
+    * vocabulary dimension decoding it. Each dim broadcasts (dimensions
+    * are label-sized by definition) and is pinned per refresh call. */
   final case class TxnViewSpec(sampleKey: String, sampleCols: Seq[String],
                                dsSampleCol: String,
                                dsAggs: Seq[TxnViewAgg],
-                               dim: Option[TxnViewDim] = None) {
+                               dims: Seq[TxnViewDim] = Nil) {
     require(dsAggs.nonEmpty, "a TxnViewSpec needs at least one aggregate")
-    require(dim.forall(d =>
-        d.joinCol == sampleKey || sampleCols.contains(d.joinCol)),
-      "TxnViewDim.joinCol must be the sample key or a projected sample " +
-        "column")
+    dims.zipWithIndex.foldLeft(Set(sampleKey) ++ sampleCols) {
+      case (avail, (d, i)) =>
+        require(avail(d.joinCol),
+          s"TxnViewDim($i).joinCol '${d.joinCol}' must be the sample " +
+            "key, a projected sample column, or a column produced by an " +
+            "EARLIER dim (dims chain in order)")
+        avail ++ d.cols
+    }
   }
 
   /** [[refreshTxnJoinView]] generalized over a [[TxnViewSpec]]: same
@@ -261,14 +271,16 @@ object MaterializedView {
       .agg(named.head, named.tail: _*)
     val s0 = samples.select(
       (spec.sampleKey +: spec.sampleCols).map(col): _*)
-    // the vocabulary decode BROADCASTS: a dimension is label-sized by
+    // the dimension decodes BROADCAST: a dimension is label-sized by
     // definition, and a shuffle join here would re-shuffle the whole
-    // sample side every window
-    val s1 = spec.dim.fold(s0) { dm =>
-      s0.join(broadcast(dm.table.select(
+    // sample side every window. Chained in declaration order, so a
+    // later dim can join on a column an earlier one produced (the
+    // three-level sample → parent → vocabulary shape)
+    val s1 = spec.dims.foldLeft(s0) { (acc, dm) =>
+      acc.join(broadcast(dm.table.select(
         (dm.joinCol +: dm.cols).map(col): _*)), Seq(dm.joinCol), "left")
     }
-    val dimCols = spec.dim.map(_.cols).getOrElse(Nil)
+    val dimCols = spec.dims.flatMap(_.cols)
     s1.join(dGrp, Seq(spec.sampleKey), "left")
       .select(col(spec.sampleKey) +:
         ((spec.sampleCols ++ dimCols).map(col) ++

@@ -131,6 +131,32 @@ object Pq {
       .drop("__cell")
   }
 
+  /** IVF-PQ SHORTLIST → EXACT RE-RANK: the deployable read path that
+    * closes most of the quantization recall gap for the price of
+    * `shortlist` full-precision rows. Stage 1 is [[ivfPqKnn]] at
+    * k = `shortlist` — coarse IVF routing to `nProbe` cells, ADC over
+    * the codes (the 64×-compressed index is ALL that's scanned). Stage
+    * 2 fetches the shortlist's full vectors (a broadcast semi-join:
+    * the shortlist is driver-small by construction) and ranks them by
+    * EXACT cosine — compression prunes, floats decide (the PQ
+    * shortlist→re-rank shape from the annrecall scorecard, composed
+    * with IVF routing). At 100 TB: per query, codes of nProbe/nCells
+    * of the corpus + `shortlist` raw vectors read — never the corpus.
+    * Recall is bounded above by IVF's cell routing (a true neighbor in
+    * an unprobed cell is gone before ADC sees it) and below by plain
+    * IVF-PQ (re-ranking can only fix ADC's ordering, not its
+    * candidacy). */
+  def ivfPqKnnRerank(emb: DataFrame, idCol: String, vecCol: String,
+                     cb: Codebook, query: DataFrame, k: Int, nCells: Int,
+                     nProbe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val short = ivfPqKnn(emb, idCol, vecCol, cb, query, shortlist,
+      nCells, nProbe).select(col("id").as(idCol))
+    val cand = emb.join(broadcast(short), Seq(idCol), "left_semi")
+    Similarity.bruteForceKnn(cand, idCol, vecCol,
+      query.select(col(vecCol).as("qv")), k)
+  }
+
   /** The query's quantized-double image via the engine's own round —
     * ONE bounded driver row; keeps driver arithmetic out of the parity
     * surface entirely. */

@@ -109,4 +109,30 @@ class IvfPqSpec extends graft.SparkSpec {
     assert(top === Set(2L, 6L, 10L, 14L, 18L),
       s"expected the five pattern-2 rows, got $top")
   }
+
+  test("shortlist + exact re-rank: full coverage reduces to brute force; floats decide the order") {
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 2, k = 4, iters = 2)
+    val q = corpus.filter(col("vec_id") === 2)
+    // nProbe = nCells and shortlist = corpus: stage 1 prunes nothing,
+    // so the result IS exact brute-force cosine — the identity that
+    // pins the composition's semantics
+    val rr = Pq.ivfPqKnnRerank(corpus, "vec_id", "embedding", cb, q,
+        k = 8, nCells = 4, nProbe = 4, shortlist = 20)
+      .select("vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.bruteForceKnn(corpus, "vec_id", "embedding",
+        q.select(col("embedding").as("qv")), 8)
+      .select("vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rr === brute)
+    // the exact-cosine stage ranks the query's own pattern first even
+    // when the shortlist is ADC-ordered
+    assert(rr.take(5).map(_._1).toSet === Set(2L, 6L, 10L, 14L, 18L))
+    // a shortlist narrower than k refuses
+    intercept[IllegalArgumentException] {
+      Pq.ivfPqKnnRerank(corpus, "vec_id", "embedding", cb, q,
+        k = 8, nCells = 4, nProbe = 4, shortlist = 5)
+    }
+    ()
+  }
 }

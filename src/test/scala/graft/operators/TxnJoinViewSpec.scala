@@ -235,7 +235,7 @@ class TxnJoinViewSpec extends SparkSpec {
       Seq(TxnViewAgg("n_ds", count(lit(1)), lit(0L)),
         TxnViewAgg("mx", max(col("cents")), lit(0L)),
         TxnViewAgg("total", sum(col("cents")), lit(0L))),
-      Some(TxnViewDim(vocab, "code", Seq("label"))))
+      Seq(TxnViewDim(vocab, "code", Seq("label"))))
     def refresh() = MaterializedView.refreshTxnView(spark, root, sDir,
       dDir, mv, ckp, spec, maxTxnsPerBatch = 1)
     val t1 = SnapshotTxn.begin(spark, root)
@@ -272,8 +272,59 @@ class TxnJoinViewSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TxnViewSpec("sid", Seq("code"), "sid",
         Seq(TxnViewAgg("n_ds", count(lit(1)), lit(0L))),
-        Some(TxnViewDim(vocab, "nope", Seq("label"))))
+        Seq(TxnViewDim(vocab, "nope", Seq("label"))))
     }
+    ()
+  }
+
+  test("chained dims (n-ary): sample -> parent -> vocabulary, incremental windows stay exact") {
+    // The reference report's three-level shape: samples carry a PARENT
+    // id; dim 1 joins the parent table and PRODUCES the parent's code;
+    // dim 2 decodes that produced code. dims chain in order.
+    import MaterializedView.{TxnViewAgg, TxnViewDim, TxnViewSpec}
+    val out = tmp("graft-tjv6")
+    val (root, sDir, dDir, mv, ckp) =
+      (s"$out/root", s"$out/s", s"$out/d", s"$out/mv", s"$out/ckp")
+    def sdf(rows: (Long, Long)*) = rows.toSeq.toDF("sid", "pid")
+    val parent = Seq((100L, 1L), (200L, 2L)).toDF("pid", "pcode")
+    val vocab = Seq((1L, "tissue"), (2L, "blood")).toDF("pcode", "plabel")
+    val spec = TxnViewSpec("sid", Seq("pid"), "sid",
+      Seq(TxnViewAgg("n_ds", count(lit(1)), lit(0L)),
+        TxnViewAgg("total", sum(col("cents")), lit(0L))),
+      Seq(TxnViewDim(parent, "pid", Seq("pcode")),
+        TxnViewDim(vocab, "pcode", Seq("plabel"))))
+    def refresh() = MaterializedView.refreshTxnView(spark, root, sDir,
+      dDir, mv, ckp, spec, maxTxnsPerBatch = 1)
+    val t1 = SnapshotTxn.begin(spark, root)
+    t1.stagePublish(sdf(1L -> 100L, 2L -> 200L, 3L -> 999L), sDir)
+    t1.stagePublish(datasetsDf((10L, 1L, 100L), (11L, 2L, 30L)), dDir)
+    t1.commit()
+    assert(refresh() == 1)
+    // the chain decoded BOTH levels; unknown parent null-fills through
+    assert(viewRows(mv) === Seq(
+      Seq(1L, 100L, 1L, "tissue", 1L, 100L),
+      Seq(2L, 200L, 2L, "blood", 1L, 30L),
+      Seq(3L, 999L, null, null, 0L, 0L)))
+    // incremental: a sample MOVES parent (the chain recomputes), plus
+    // new datasets — one txn
+    val t2 = SnapshotTxn.begin(spark, root)
+    t2.stageMerge(sdf(1L -> 200L), sDir, "sid")
+    t2.stageAppend(datasetsDf((12L, 1L, 70L)), dDir)
+    t2.commit()
+    assert(refresh() == 1)
+    assert(viewRows(mv) === Seq(
+      Seq(1L, 200L, 2L, "blood", 2L, 170L),
+      Seq(2L, 200L, 2L, "blood", 1L, 30L),
+      Seq(3L, 999L, null, null, 0L, 0L)))
+    // chain order is validated: a dim joining on a column produced by
+    // a LATER dim refuses at construction
+    val e = intercept[IllegalArgumentException] {
+      TxnViewSpec("sid", Seq("pid"), "sid",
+        Seq(TxnViewAgg("n_ds", count(lit(1)), lit(0L))),
+        Seq(TxnViewDim(vocab, "pcode", Seq("plabel")),
+          TxnViewDim(parent, "pid", Seq("pcode"))))
+    }
+    assert(e.getMessage.contains("EARLIER dim"), e.getMessage)
     ()
   }
 }
