@@ -157,6 +157,53 @@ object Pq {
       query.select(col(vecCol).as("qv")), k)
   }
 
+  /** Publish the IVF-PQ index ON DISK: the encoded codes table written
+    * `partitionBy("cell")` — [[Similarity.ivfPublish]]'s layout at
+    * ~1/64th the bytes (m code bytes per vector instead of the raw
+    * floats). A probe reads only its nProbe cell DIRECTORIES of an
+    * already-compressed index; at 100 TB this is the deployable ANN
+    * read path end to end. Returns the centroids for probe-time cell
+    * ranking (nCells rows, driver-sized by construction; a real
+    * deployment persists them — and the codebook — next to the
+    * index). */
+  def ivfPqPublish(emb: DataFrame, idCol: String, vecCol: String,
+                   cb: Codebook, nCells: Int, dest: String,
+                   carry: Seq[String] = Nil): Seq[(Int, Seq[Double])] = {
+    val cents = Similarity.ivfCentroids(emb, idCol, vecCol, nCells)
+    val withCell = emb.withColumn("cell",
+      Similarity.ivfCell(col(vecCol), cents))
+    encode(withCell, idCol, vecCol, cb, carry = carry :+ "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(dest)
+    cents
+  }
+
+  /** Probe a published IVF-PQ index and EXACT-RE-RANK the shortlist:
+    * cells rank driver-side (nCells dot products), the codes scan
+    * reads ONLY the nProbe nearest cell partitions (the `isin` lands
+    * in the scan's PartitionFilters — IvfPqSpec asserts the plan
+    * property), ADC shortlists inside them, and the shortlist's full
+    * vectors (a broadcast semi-join against the raw corpus) rank by
+    * exact cosine. Same result contract as [[ivfPqKnnRerank]] over the
+    * same centroids/codebook. Per query: nProbe/nCells of the CODES
+    * bytes + `shortlist` raw vectors — never the corpus. */
+  def ivfPqKnnIndexedRerank(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String, cents: Seq[(Int, Seq[Double])],
+                            cb: Codebook, emb: DataFrame, idCol: String,
+                            vecCol: String, query: DataFrame, k: Int,
+                            nProbe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val qvRaw = query.select(col(vecCol).cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val probe = Similarity.ivfProbeCells(cents, qvRaw, nProbe)
+    val codes = spark.read.parquet(indexDir)
+      .filter(col("cell").isin(probe: _*))
+    val short = knnAdc(codes, cb, quantizedQuery(query, vecCol), shortlist)
+      .select(col("id").as(idCol))
+    val cand = emb.join(broadcast(short), Seq(idCol), "left_semi")
+    Similarity.bruteForceKnn(cand, idCol, vecCol,
+      query.select(col(vecCol).as("qv")), k)
+  }
+
   /** The query's quantized-double image via the engine's own round —
     * ONE bounded driver row; keeps driver arithmetic out of the parity
     * surface entirely. */

@@ -21,7 +21,10 @@ class PlanAuditSpec extends SparkSpec {
   // from bm25TopN/ivfKnnIndexed instead; the gate arm is deliberately
   // the oracle-expressible brute form.)
   private val nestedLoopExempt = Set("q_knn", "q_knn_ivf", "q_knn_int8",
-    "q_mmr", "q_rrf", "q_jlknn")
+    "q_mmr", "q_rrf", "q_jlknn",
+    // the exact re-rank stage scores a driver-small shortlist against
+    // the 1-row query — the same intended ANN fan-out as q_knn
+    "q_knn_ivfrr")
   // Streaming queries execute on construction and return memory-table
   // reads; their batch plan is not the interesting surface.
   private val streaming = Set("q_stream", "q_windows", "q_sessions", "q_upsert",

@@ -135,4 +135,33 @@ class IvfPqSpec extends graft.SparkSpec {
     }
     ()
   }
+
+  test("published IVF-PQ index: probe prunes to nProbe cell partitions, re-rank matches in-memory") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val q = emb.filter(col("vec_id") === 7)
+    val dest =
+      java.nio.file.Files.createTempDirectory("graft_ivfpq_idx_").toString
+    val cents = Pq.ivfPqPublish(emb, "vec_id", "embedding", cb, 8, dest)
+    val probed = Pq.ivfPqKnnIndexedRerank(spark, dest, cents, cb, emb,
+      "vec_id", "embedding", q, k = 10, nProbe = 3, shortlist = 50)
+    // plan property: the probe cells land in the CODES scan's
+    // PartitionFilters — the index read is directory-pruned
+    val plan = probed.queryExecution.executedPlan.toString
+    // two scans in this plan: the raw corpus (unpartitioned — empty
+    // filters) and the CODES index; the cells must land on the latter
+    val pfs = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
+    assert(pfs.exists(_.contains("cell")),
+      s"probe cells must reach the codes scan's PartitionFilters, got '$pfs':\n$plan")
+    // result contract: identical to the in-memory composition over the
+    // same centroids (ivfCentroids is deterministic) and codebook
+    val mem = Pq.ivfPqKnnRerank(emb, "vec_id", "embedding", cb, q,
+      k = 10, nCells = 8, nProbe = 3, shortlist = 50)
+    assert(rows(probed.select("vec_id", "sim").orderBy(col("sim").desc,
+        col("vec_id"))) ===
+      rows(mem.select("vec_id", "sim").orderBy(col("sim").desc,
+        col("vec_id"))))
+    ()
+  }
 }

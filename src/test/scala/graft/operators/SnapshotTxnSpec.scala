@@ -899,4 +899,42 @@ class SnapshotTxnSpec extends SparkSpec {
       s"no pruning: ${linesC.size} files all admit")
     ()
   }
+
+  test("bloom-indexed staged maintenance: fold keeps the index (morStage's words ride the txn)") {
+    // stageFold never refused bloom (morStage computes per-file words
+    // for the folded winners + delete-set); this pins it so all THREE
+    // staged maintenance primitives carry the index-parity contract.
+    val root = tmp("graft-tbf"); val b = tmp("graft-tbfb")
+    val c = tmp("graft-tbfc")
+    val t0 = SnapshotTxn.begin(spark, root)
+    t0.stagePublish(kv(1L -> "b1"), b); t0.commit()
+    val df = (1L to 100L).map(i => (s"k$i", i)).toDF("k", "n")
+    Snapshot.publishSnapshotBloom(df.repartition(4), c, "k")
+    val tm = SnapshotTxn.begin(spark, root)
+    tm.stageMerge(Seq(("k5", 500L)).toDF("k", "n"), c, "k"); tm.commit()
+    val tm2 = SnapshotTxn.begin(spark, root)
+    tm2.stageMerge(Seq(("k9", 900L)).toDF("k", "n"), c, "k"); tm2.commit()
+    val tf = SnapshotTxn.begin(spark, root)
+    assert(tf.stageFold(c))
+    tf.stageAppend(kv(2L -> "b2"), b)
+    tf.commitNoFinalize()
+    SnapshotTxn.recover(spark, root)
+    val vC = Snapshot.latestVersion(spark, c)
+    // one folded (winners, delete-set) generation, index alive: the
+    // MoR-aware point read resolves through the fold (the table is
+    // still merge-on-read, so filesForKey's CoW contract doesn't apply
+    // — point READS are the index's consumer here)
+    assert(rows(Snapshot.readSnapshotPoint(spark, c, vC, "k5")) ===
+      Seq(Seq("k5", 500L)))
+    assert(rows(Snapshot.readSnapshotPoint(spark, c, vC, "k9")) ===
+      Seq(Seq("k9", 900L)))
+    assert(Snapshot.readSnapshotPoint(spark, c, vC, "k999").count() == 0)
+    // manifest-level survival: the #bloom header rides the staged fold
+    // and EVERY line (winners + delete-set included) carries words
+    val m = Snapshot.readManifest(spark, c, vC)
+    assert(m.bloom.isDefined)
+    assert(m.lines.forall(_.split("\t").length >= 3),
+      m.lines.mkString("\n"))
+    ()
+  }
 }
