@@ -69,6 +69,7 @@ object StateRehearsal {
       case "txncdcscale" => txncdcscale(spark, work)
       case "morfoldscale" => morfoldscale(spark, work)
       case "replayscan" => replayscan(spark, work)
+      case "tablereplayscan" => tablereplayscan(spark, work)
       case "pointscale" => pointscale(spark, work)
       case "dmlscale" => dmlscale(spark, work)
       case "annrecall" => annrecall(spark)
@@ -566,6 +567,53 @@ object StateRehearsal {
         SnapshotTxn.lastTagged(spark, root, "batch="))
       require(s0.contains("batch=1"), s"post-prune probe read $s0")
       cell("replayscan", "foreign" -> f,
+        "buried_probe_sec" -> buriedSec,
+        "head_probe_sec" -> headSec,
+        "post_prune_probe_sec" -> prunedSec)
+    }
+  }
+
+  /** The TABLE-level replay guard's cost model (the txn replayscan's
+    * twin, r16): [[graft.streaming.Ingest.lastBatchTag]]'s downward
+    * scan is O(untagged maintenance commits since the stream's last
+    * batch) — normally ZERO extra (the stream's own commit is the
+    * head) — and after vacuum prunes the tag carrier the
+    * `manifest/batchwm.txt` watermark answers FLAT regardless of
+    * prune depth. */
+  private def tablereplayscan(spark: SparkSession, work: String): Unit = {
+    import graft.operators.Snapshot
+    import graft.streaming.Ingest
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(work).getFileSystem(spark.sessionState.newHadoopConf())
+    for (f <- Seq(10, 100, 1000)) {
+      val dest = s"$work/treplay_$f"
+      Snapshot.publishSnapshot(spark.range(100L)
+          .select(col("id").as("k"), lit("x").as("v")), dest,
+        tag = Some("batch=0"))
+      val dataLine = Snapshot.manifestLines(spark, dest, 1).head
+      // untagged maintenance manifests fabricated at file speed (a real
+      // compact per version would measure parquet IO, not the scan)
+      def writeVer(k: Int, tag: Option[String]): Unit = {
+        val out = fs.create(new Path(s"$dest/manifest/v$k.txt"), true)
+        out.write((tag.map(t => s"#tag=$t").toSeq :+ dataLine)
+          .mkString("\n").getBytes("UTF-8"))
+        out.close()
+      }
+      (2 to f + 1).foreach(writeVer(_, None))
+      val (b0, buriedSec) = time(Ingest.lastBatchTag(spark, dest))
+      require(b0.contains(0L), s"buried probe read $b0")
+      // steady state: the stream's own commit is the head — O(1)
+      writeVer(f + 2, Some("batch=1"))
+      val (h0, headSec) = time(Ingest.lastBatchTag(spark, dest))
+      require(h0.contains(1L), s"head probe read $h0")
+      // bury again, then prune ACROSS the carrier: the batchwm
+      // watermark answers flat however deep the pruned region is
+      (f + 3 to 2 * f + 2).foreach(writeVer(_, None))
+      Snapshot.vacuum(spark, dest,
+        keepFrom = Snapshot.latestVersion(spark, dest))
+      val (s0, prunedSec) = time(Ingest.lastBatchTag(spark, dest))
+      require(s0.contains(1L), s"post-prune probe read $s0")
+      cell("tablereplayscan", "maintenance" -> f,
         "buried_probe_sec" -> buriedSec,
         "head_probe_sec" -> headSec,
         "post_prune_probe_sec" -> prunedSec)

@@ -674,7 +674,7 @@ object Ingest {
     * REFUSES loudly — mirroring [[graft.operators.SnapshotTxn
     * .lastTagged]] — instead of reading "never committed" and silently
     * double-applying the batch. */
-  private def lastBatchTag(spark: SparkSession, destDir: String): Option[Long] = {
+  private[graft] def lastBatchTag(spark: SparkSession, destDir: String): Option[Long] = {
     val S = graft.operators.Snapshot
     val fs = new org.apache.hadoop.fs.Path(destDir).getFileSystem(
       spark.sessionState.newHadoopConf())

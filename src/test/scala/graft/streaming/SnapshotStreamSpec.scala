@@ -201,6 +201,42 @@ class SnapshotStreamSpec extends SparkSpec {
       Snapshot.latestVersion(spark, dest)).count() == 4)
   }
 
+  test("randomized soak: crashes, maintenance and vacuums in every order stay exactly-once (table guard)") {
+    // The TABLE replay guard's state space drawn at random (the txn
+    // soak's twin): each batch may replay (crash after the manifest
+    // rename, before the checkpoint advanced), untagged maintenance
+    // compacts anywhere — burying the tag — and vacuum prunes below
+    // the head at random depths, including straight across the tag
+    // carrier (the r16 watermark path). The invariant: every batch's
+    // row lands EXACTLY once, whatever order the events land in.
+    val rnd = new scala.util.Random(20260816L)
+    val dest = java.nio.file.Files.createTempDirectory("graft-snsoak").toString
+    val n = 24
+    (0 until n).foreach { i =>
+      val df = Seq((i.toLong, s"r$i")).toDF("id", "v")
+      Ingest.applySnapshotBatch(df, dest, i.toLong)
+      // events between the commit and the next batch, in random order
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 => // untagged maintenance buries the tag
+            Snapshot.compactSnapshot(spark, dest, 2L, 1000000L); ()
+          case 1 => // vacuum at a random depth (maybe across the carrier)
+            val latest = Snapshot.latestVersion(spark, dest)
+            Snapshot.vacuum(spark, dest,
+              keepFrom = 1 + rnd.nextInt(latest)); ()
+          case 2 => // crash-replay of THIS batch (only the latest can
+            // ever replay — the checkpoint serializes batches)
+            Ingest.applySnapshotBatch(df, dest, i.toLong); ()
+        }
+      }
+    }
+    val got = rows(Snapshot.readSnapshot(spark, dest,
+      Snapshot.latestVersion(spark, dest)).orderBy("id"))
+    assert(got === (0 until n).map(i => Seq(i.toLong, s"r$i")),
+      s"expected each batch exactly once, got ${got.size} rows")
+    ()
+  }
+
   test("non-numeric batch= tags refuse loudly at the guard and at vacuum") {
     val dest = java.nio.file.Files.createTempDirectory("graft-snt").toString
     Snapshot.publishSnapshot(Seq((1L, "a")).toDF("id", "v"), dest,
