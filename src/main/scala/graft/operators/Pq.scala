@@ -177,6 +177,26 @@ object Pq {
     cents
   }
 
+  /** APPEND a delta of new vectors into a published IVF-PQ index —
+    * incremental index growth (the embedding store's everyday shape:
+    * the corpus grows, the index must not rebuild). The delta encodes
+    * against the SAME centroids and codebook the index was published
+    * with (cells and codes are pure functions of them, so old and new
+    * rows live in one consistent geometry) and lands as new files
+    * inside the existing cell directories — O(delta) encode + write,
+    * zero existing bytes touched, the partition layout and every
+    * probe's directory pruning unchanged. Re-train and re-publish when
+    * drift makes the frozen centroids a bad router (the same contract
+    * as every frozen-codebook ANN deployment). */
+  def ivfPqAppend(delta: DataFrame, idCol: String, vecCol: String,
+                  cb: Codebook, cents: Seq[(Int, Seq[Double])],
+                  dest: String, carry: Seq[String] = Nil): Unit = {
+    val withCell = delta.withColumn("cell",
+      Similarity.ivfCell(col(vecCol), cents))
+    encode(withCell, idCol, vecCol, cb, carry = carry :+ "cell")
+      .write.mode("append").partitionBy("cell").parquet(dest)
+  }
+
   /** Probe a published IVF-PQ index and EXACT-RE-RANK the shortlist:
     * cells rank driver-side (nCells dot products), the codes scan
     * reads ONLY the nProbe nearest cell partitions (the `isin` lands

@@ -164,4 +164,27 @@ class IvfPqSpec extends graft.SparkSpec {
         col("vec_id"))))
     ()
   }
+
+  test("incremental index growth: appended vectors are probed without a rebuild") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val q = emb.filter(col("vec_id") === 7)
+    val dest =
+      java.nio.file.Files.createTempDirectory("graft_ivfpq_incr_").toString
+    val cents = Pq.ivfPqPublish(emb, "vec_id", "embedding", cb, 8, dest)
+    // the delta: the query's OWN vector under a fresh id — it must
+    // land in the query's probe cell and dominate the re-rank
+    val delta = q.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("label"), col("embedding"))
+    Pq.ivfPqAppend(delta, "vec_id", "embedding", cb, cents, dest)
+    val probed = Pq.ivfPqKnnIndexedRerank(spark, dest, cents, cb,
+      emb.unionByName(delta), "vec_id", "embedding", q,
+      k = 2, nProbe = 1, shortlist = 10)
+      .select("vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // both copies of the query vector found at sim 1.0, lowest id first
+    assert(probed === Seq((7L, 1.0), (1000007L, 1.0)), probed.toString)
+    ()
+  }
 }
