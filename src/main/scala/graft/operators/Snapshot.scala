@@ -3014,6 +3014,16 @@ object Snapshot {
     val latest = latestVersion(spark, destDir)
     require(keepFrom >= 1 && keepFrom <= latest,
       s"keepFrom $keepFrom outside committed versions [1, $latest]")
+    // ONE critical section per table (the r15 vacuumTxnLog rule at
+    // table granularity): two same-driver vacuums racing would tear
+    // the batch-watermark read-modify-write below — the later, staler
+    // writer could REGRESS the watermark and re-open the double-apply
+    // hole the file exists to close. The table's commit-lock key also
+    // serializes against branch-pin writes; commits themselves only
+    // take it at the manifest CAS, which never touches pruned
+    // versions. Monitors are re-entrant, so enrolled-table callers
+    // already under a lock nest safely.
+    withCommitLocks(Seq(fs.makeQualified(new Path(destDir)).toString)) {
     // earlier vacuums leave version gaps — a missing manifest is
     // already-cleaned, not an error
     def manifest(v: Int): Option[ManifestData] =
@@ -3068,6 +3078,7 @@ object Snapshot {
       ()
     }
     drop.size
+    }
   }
 
   /** Orphan reclamation (Iceberg's `remove_orphan_files` contract):

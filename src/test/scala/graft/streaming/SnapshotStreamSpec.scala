@@ -237,6 +237,34 @@ class SnapshotStreamSpec extends SparkSpec {
     ()
   }
 
+  test("concurrent vacuums never regress the batch watermark") {
+    // vacuum is ONE critical section per table (the r15 vacuumTxnLog
+    // rule): without it, two racers' watermark read-modify-writes tear
+    // and the staler writer can REGRESS manifest/batchwm.txt — re-
+    // opening the double-apply hole. Four racing vacuums at shuffled
+    // depths must leave the max pruned batch id, whatever the order.
+    val dest = java.nio.file.Files.createTempDirectory("graft-sncv").toString
+    (0 until 6).foreach(i => Ingest.applySnapshotBatch(
+      Seq((i.toLong, s"r$i")).toDF("id", "v"), dest, i.toLong))
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(4)
+    Seq(2, 5, 3, 6).foreach(k => pool.submit(new Runnable {
+      def run(): Unit = { Snapshot.vacuum(spark, dest, k); () }
+    }))
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    val fs = new org.apache.hadoop.fs.Path(dest).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // deepest vacuum pruned v1..v5 = batches 0..4; wm must read 4
+    assert(Snapshot.batchWatermark(fs, dest).contains(4L))
+    // replays of a pruned batch AND the head batch both skip
+    val head = Snapshot.latestVersion(spark, dest)
+    Ingest.applySnapshotBatch(Seq((4L, "r4")).toDF("id", "v"), dest, 4L)
+    Ingest.applySnapshotBatch(Seq((5L, "r5")).toDF("id", "v"), dest, 5L)
+    assert(Snapshot.latestVersion(spark, dest) == head)
+    assert(Snapshot.readSnapshot(spark, dest, head).count() == 6)
+  }
+
   test("non-numeric batch= tags refuse loudly at the guard and at vacuum") {
     val dest = java.nio.file.Files.createTempDirectory("graft-snt").toString
     Snapshot.publishSnapshot(Seq((1L, "a")).toDF("id", "v"), dest,
