@@ -279,4 +279,29 @@ class SnapshotStreamSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("malformed batch tag"), e2.getMessage)
   }
+
+  test("checkpoint reset against an existing destination: pre-watermark batches skip silently (the documented footgun)") {
+    // Pins Ingest.snapshotStream's CHECKPOINT-RESET SEMANTICS doc: a
+    // fresh checkpoint restarts Spark's batch ids at 0, and the replay
+    // guard reads every id at or below the destination's batch-tag
+    // watermark as already-committed (Delta's idempotent-writer
+    // behavior). Correct for a recovered feed; a silent drop for a NEW
+    // feed pointed at a recycled destDir — which is why the doc says a
+    // new feed gets a new destDir.
+    val dest = java.nio.file.Files.createTempDirectory("graft-ckr").toString
+    Ingest.applySnapshotBatch(Seq((1L, "a")).toDF("id", "v"), dest, 0L)
+    Ingest.applySnapshotBatch(Seq((2L, "b")).toDF("id", "v"), dest, 1L)
+    assert(Snapshot.latestVersion(spark, dest) == 2)
+    // "new source, recycled destination": ids restart at 0 with
+    // DIFFERENT data — both pre-watermark batches skip, nothing lands
+    Ingest.applySnapshotBatch(Seq((9L, "x")).toDF("id", "v"), dest, 0L)
+    Ingest.applySnapshotBatch(Seq((8L, "y")).toDF("id", "v"), dest, 1L)
+    assert(Snapshot.latestVersion(spark, dest) == 2)
+    assert(rows(Snapshot.readSnapshot(spark, dest, 2).orderBy("id"))
+      === Seq(Seq(1L, "a"), Seq(2L, "b")))
+    // the first id ABOVE the watermark lands normally
+    Ingest.applySnapshotBatch(Seq((3L, "c")).toDF("id", "v"), dest, 2L)
+    assert(Snapshot.latestVersion(spark, dest) == 3)
+    assert(Snapshot.readSnapshot(spark, dest, 3).count() == 3)
+  }
 }

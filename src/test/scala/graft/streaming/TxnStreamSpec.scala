@@ -263,4 +263,31 @@ class TxnStreamSpec extends SparkSpec {
     assert(SnapshotTxn.latestTxn(spark, root) == 2)
     ()
   }
+
+  test("checkpoint reset against an existing log: pre-watermark batches skip silently (the documented footgun)") {
+    // The txn-level twin of SnapshotStreamSpec's checkpoint-reset pin:
+    // a fresh checkpoint restarts batch ids at 0, and lastTagged's
+    // `j >= batchId` watermark reads them all as replays — silent skip,
+    // never a double-apply, and a silent DROP if the destination was
+    // recycled for a new feed (the doc's named footgun).
+    val out = tmp("graft-txckr")
+    val (root, sDir, dDir) = (s"$out/root", s"$out/s", s"$out/d")
+    val stage = regStage(sDir, dDir)
+    Ingest.applyTxnBatch(spark, root, Seq((1L, "a")).toDF("id", "v"), 0L)(stage)
+    Ingest.applyTxnBatch(spark, root, Seq((2L, "b")).toDF("id", "v"), 1L)(stage)
+    assert(SnapshotTxn.latestTxn(spark, root) == 2)
+    // ids restart at 0 with different data: both skip, neither table moves
+    Ingest.applyTxnBatch(spark, root, Seq((9L, "x")).toDF("id", "v"), 0L)(stage)
+    Ingest.applyTxnBatch(spark, root, Seq((8L, "y")).toDF("id", "v"), 1L)(stage)
+    assert(SnapshotTxn.latestTxn(spark, root) == 2)
+    assert(rows(SnapshotTxn.readLatest(spark, root, sDir).orderBy("k")) ===
+      Seq(Seq(1L, "a"), Seq(2L, "b")))
+    assert(SnapshotTxn.readLatest(spark, root, dDir).count() == 2)
+    // the first id above the watermark commits one txn across both tables
+    Ingest.applyTxnBatch(spark, root, Seq((3L, "c")).toDF("id", "v"), 2L)(stage)
+    assert(SnapshotTxn.latestTxn(spark, root) == 3)
+    assert(SnapshotTxn.readLatest(spark, root, sDir).count() == 3)
+    assert(SnapshotTxn.readLatest(spark, root, dDir).count() == 3)
+    ()
+  }
 }
