@@ -24,6 +24,24 @@ object Bench {
         Some(p.getAbsolutePath)
       } else None
     }
+    // r17 session tuning (optimization guide §3.1/§2.2/§9) — join-strategy
+    // and AQE knobs that change PLANS, never results (the correctness gate
+    // runs in its own default-conf JVM and stays green either way):
+    //  - preferSortMergeJoin=false + the AQE local-map threshold let the
+    //    planner pick shuffled-hash over sort-merge when a side fits in a
+    //    per-partition map — drops the per-iteration sorts in the graph/
+    //    dedup loops (guide §3.1 "often faster when one side is
+    //    moderately small per partition");
+    //  - coalescePartitions.minPartitionSize=64k lets AQE's
+    //    parallelism-first coalescing keep compute-dense sub-MB shuffles
+    //    parallel instead of collapsing them to one task (guide §2.2); at
+    //    production shuffle sizes the advisory size governs and this floor
+    //    is irrelevant, so the setting is scale-safe.
+    // All three are env-overridable so a cluster profile can retune them.
+    val shjThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "64m")
+    val minCoalesce =
+      sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -31,6 +49,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        shjThreshold)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        minCoalesce)
     shmCkpt.foreach(p =>
       builder.config("spark.sql.streaming.checkpointLocation", p))
     val spark = builder.getOrCreate()

@@ -9429,12 +9429,27 @@ object Queries {
   private val BfsSeedNation = "NATION_7"
 
   def bfsQ(s: SparkSession, dir: String): DataFrame = {
+    // r17: frontier expansion runs on LONG-encoded ids (customer → 2k,
+    // part → 2k+1); BFS layering is pure set algebra (join / distinct /
+    // anti-join), so a bijective recode cannot change any hop set, and
+    // the "c:"/"p:" strings are minted only on the final output — every
+    // per-hop exchange carries 8-byte keys (guide §2.3).
     val seeds = load(s, dir, "customer")
       .join(broadcast(load(s, dir, "nation")),
         col("c_nationkey") === col("n_nationkey"))
       .filter(col("n_name") === BfsSeedNation)
-      .select(concat(lit("c:"), col("c_custkey")).as("node"))
-    Graph.bfsDistance(coPurchaseEdges(s, dir), "a", "b", seeds, BfsHops)
+      .select((col("c_custkey").cast("long") * 2).as("node"))
+    val edges = load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(load(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("a"),
+        (col("l_partkey").cast("long") * 2 + 1).as("b"))
+      .distinct()
+    Graph.bfsDistance(edges, "a", "b", seeds, BfsHops)
+      .select(
+        concat(when(col("node") % 2 === 0, "c:").otherwise("p:"),
+          expr("node div 2").cast("string")).as("node"),
+        col("d"))
       .orderBy("d", "node")
   }
 
@@ -10689,12 +10704,23 @@ object Queries {
   private val PrTop = 20
 
   def pageRankQ(s: SparkSession, dir: String): DataFrame = {
+    // r17: the iterations run on LONG-encoded node ids (order → 2k,
+    // part → 2k+1 — a bijection, so every per-node sum is unchanged) and
+    // the decorated strings are minted only on the 20-row output; the
+    // per-round exchanges carry 8-byte keys instead of 8-char strings
+    // (guide §2.3). Rank arithmetic never orders by node id, so the
+    // encoding cannot shift a value; the final (pr, node-string) sort is
+    // computed on the SAME strings as before.
     val li = load(s, dir, "lineitem")
     val fwd = li.select(
-      concat(lit("o"), col("l_orderkey").cast("string")).as("src"),
-      concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+      (col("l_orderkey").cast("long") * 2).as("src"),
+      (col("l_partkey").cast("long") * 2 + 1).as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
     Graph.pageRank(edges, "src", "dst", PrIters, PrScale)
+      .select(
+        concat(when(col("node") % 2 === 0, "o").otherwise("p"),
+          expr("node div 2").cast("string")).as("node"),
+        col("pr"))
       .orderBy(col("pr").desc, col("node")).limit(PrTop)
   }
 

@@ -140,6 +140,12 @@ object Bpe {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     var cur = docs.select(col(sCol).as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // r17: a round is ONE job again — the next round's pair count both
+    // materializes `next` (from the still-cached parent) and caches it,
+    // so the explicit `next.count()` job per merge was pure overhead;
+    // the parent is released one round LATE (after the pass that cached
+    // its child) instead of eagerly, holding at most two generations.
+    var prev: Option[DataFrame] = None
     val merges = Seq.newBuilder[Merge]
     var step = 1
     var exhausted = false
@@ -147,6 +153,8 @@ object Bpe {
       val top = pairCounts(cur, "s")
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).collect()
+      prev.foreach(_.unpersist()) // cur is cached now; drop its parent
+      prev = None
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, c) =
@@ -154,12 +162,12 @@ object Bpe {
         merges += Merge(step, a, b, c)
         val next = cur.select(applyMerge(col("s"), a, b).as("s"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the parent
-        cur.unpersist()
+        prev = Some(cur)
         cur = next
         step += 1
       }
     }
+    prev.foreach(_.unpersist())
     cur.unpersist()
     merges.result()
   }
@@ -180,6 +188,9 @@ object Bpe {
       s"need nMerges>=1, batch>=1; got $nMerges/$batch")
     var cur = docs.select(col(sCol).as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // r17: same lazy-unpersist round shape as [[trainMerges]] — one job
+    // per round, parent released after the pass that cached its child.
+    var prev: Option[DataFrame] = None
     val merges = Seq.newBuilder[Merge]
     var step = 1
     var exhausted = false
@@ -189,6 +200,8 @@ object Bpe {
       val top = pairCounts(cur, "s")
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(want * 4).collect()
+      prev.foreach(_.unpersist())
+      prev = None
       if (top.isEmpty) exhausted = true
       else {
         var used = Set.empty[String]
@@ -208,11 +221,11 @@ object Bpe {
         }
         val next = cur.select(folded.as("s"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        cur.unpersist()
+        prev = Some(cur)
         cur = next
       }
     }
+    prev.foreach(_.unpersist())
     cur.unpersist()
     merges.result()
   }

@@ -510,18 +510,31 @@ object Dedup {
     * collision can cost an extra round but never a wrong answer. */
   def connectedComponentsStar(pairs: DataFrame): DataFrame = {
     def dedup(e: DataFrame) = e.filter(col("u") =!= col("v")).distinct()
+    // r17 exchange budget: a round used to pay ~5 exchanges (largeStar's
+    // groupBy + its output dedup, smallStar's dir distinct + groupBy +
+    // final dedup). Two cuts, provably result-identical:
+    //   - largeStar emits its rewired edges UNDEDUPED — smallStar's very
+    //     first operation distincts the (hi, lo) normal form, so the
+    //     composed round's edge set is unchanged while the intermediate
+    //     (u, v) exchange disappears;
+    //   - smallStar repartitions by `hi` BEFORE the distinct: hash(hi)
+    //     clusters (hi, lo), so the dedup aggregate, the min(lo)
+    //     aggregate and the m-join all share ONE exchange.
+    // Net: 3 exchanges per round (largeStar groupBy, smallStar
+    // repartition, final dedup), identical fixed point.
     def largeStar(e: DataFrame): DataFrame = {
       val bi = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val m = bi.groupBy("u")
         .agg(least(min(col("v")), first(col("u"))).as("m"))
-      dedup(bi.join(m, "u")
+      bi.join(m, "u")
         .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")))
+        .select(col("v").as("u"), col("m").as("v"))
     }
     def smallStar(e: DataFrame): DataFrame = {
       val dir = e.select(greatest(col("u"), col("v")).as("hi"),
           least(col("u"), col("v")).as("lo"))
-        .filter(col("hi") =!= col("lo")).distinct()
+        .filter(col("hi") =!= col("lo"))
+        .repartition(col("hi")).distinct()
       val m = dir.groupBy("hi").agg(min(col("lo")).as("m"))
       val j = dir.join(m, "hi")
       dedup(j.select(col("lo").as("u"), col("m").as("v"))

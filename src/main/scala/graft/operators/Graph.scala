@@ -36,26 +36,34 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
   /** (node, pr) after `iters` rounds over the directed multigraph
-    * `edges(srcCol, dstCol)`. */
+    * `edges(srcCol, dstCol)`. Node ids keep the caller's column type —
+    * callers with numeric ids shuffle 8-byte longs per round instead of
+    * decorated strings (guide §2.3 "narrower types"; r17). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, scale: Long = 1000000L,
                dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
     require(iters >= 1 && scale > 0 && dampNum > 0 && dampDen > dampNum,
       s"need iters>=1, scale>0, 0<dampNum<dampDen; got $iters/$scale/$dampNum/$dampDen")
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .repartition(col("src")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     try {
-      val outDeg = e.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("out"))
+      // Out-degree is folded onto the edge list ONCE (r17: it used to be
+      // joined onto the ranks EVERY round): per-edge `pr div out` is the
+      // same integer the per-node contrib computed, and the fold drops a
+      // nodes×nodes join (plus its exchange pair) from every iteration.
+      // `ew` inherits e's hash(src) layout, the ranks come back from each
+      // round's pin partitioned by node, and the renamed `dst → node`
+      // aggregate keeps its hash layout through the alias — so one round
+      // costs exactly ONE edge-sized exchange (the groupBy(dst)).
+      val ew = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("out")),
+        Seq("src")).persist()
       val base = (scale * (dampDen - dampNum)) / dampDen
       var pr = nodes.withColumn("pr", lit(scale))
       for (_ <- 1 to iters) {
-        val contrib = pr.join(outDeg, Seq("node"))
-          .select(col("node"), expr("pr div out").as("c"))
-        val inSum = e.join(contrib, e("src") === contrib("node"))
+        val inSum = ew.join(pr, ew("src") === pr("node"))
+          .select(col("dst"), expr("pr div out").as("c"))
           .groupBy(col("dst")).agg(sum("c").as("s"))
           .withColumnRenamed("dst", "node")
         pr = Checkpoints.pin(
@@ -66,6 +74,7 @@ object Graph {
                 .as("pr")))
       }
       // safe to release: pin() has eagerly materialized the final ranks
+      ew.unpersist()
       pr
     } finally { e.unpersist(); nodes.unpersist() }
   }
@@ -141,19 +150,28 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int): DataFrame = {
     require(iters >= 1, s"need iters >= 1; got $iters")
-    val adj = edges.select(col(srcCol).cast("string").as("node"),
-        col(dstCol).cast("string").as("nbr"))
-      .unionAll(edges.select(col(dstCol).cast("string").as("node"),
-        col(srcCol).cast("string").as("nbr")))
-      .distinct() // one vote per (node, neighbor) even on parallel edges
+    // repartition BEFORE distinct (r17): hash(nbr) clusters (node, nbr),
+    // so the dedup aggregate reuses the layout the per-round join needs —
+    // ONE edge-sized exchange builds the adjacency instead of two.
+    val adj = edges.select(col(srcCol).as("node"), col(dstCol).as("nbr"))
+      .unionAll(edges.select(col(dstCol).as("node"),
+        col(srcCol).as("nbr")))
       .repartition(col("nbr")) // the per-round join key: nbr → its label
+      .distinct() // one vote per (node, neighbor) even on parallel edges
       .persist()
     val nodes = adj.select("node").distinct().persist()
     try {
       var lab = nodes.withColumn("lbl", col("node"))
       for (_ <- 1 to iters) {
+        // One edge-sized exchange per round (r17): re-keying the joined
+        // votes to hash(node) up front lets BOTH aggregations and the
+        // final label join run exchange-free on that layout (hash(node)
+        // clusters (node, lbl), and the round's pin hands the ranks back
+        // still partitioned by node) — the old shape paid a second,
+        // pair-sized exchange between the two aggregations.
         val votes = adj
           .join(lab.select(col("node").as("nbr"), col("lbl")), "nbr")
+          .repartition(col("node"))
           .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
         // min(struct(-c, lbl)) = max count, then smallest label
         val best = votes.groupBy("node")
@@ -188,12 +206,14 @@ object Graph {
   def bfsDistance(edges: DataFrame, srcCol: String, dstCol: String,
                   seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1, s"need maxHops >= 1; got $maxHops")
-    val adj = edges.select(col(srcCol).cast("string").as("node"),
-        col(dstCol).cast("string").as("nbr"))
-      .unionAll(edges.select(col(dstCol).cast("string").as("node"),
-        col(srcCol).cast("string").as("nbr")))
-      .distinct()
+    // repartition-then-distinct folds the dedup's exchange into the join
+    // layout, and node ids keep the caller's type — both as in
+    // [[labelPropagation]] (r17).
+    val adj = edges.select(col(srcCol).as("node"), col(dstCol).as("nbr"))
+      .unionAll(edges.select(col(dstCol).as("node"),
+        col(srcCol).as("nbr")))
       .repartition(col("nbr"))
+      .distinct()
       .persist()
     try {
       val s0 = seeds.toDF("node").distinct()
