@@ -290,7 +290,10 @@ object Queries {
       .when(k === 4, date_format(d, "dd-MM-yyyy"))
       .when(k === 5, date_format(d, "yyyyMMdd"))
       .otherwise(date_format(d, "yyMMdd"))
-    load(s, dir, "orders")
+    // spread: the 7-format regex normalization is scan-stage compute that
+    // otherwise runs 1-task on a single-split file (r17)
+    graft.core.Tables.spread(
+        load(s, dir, "orders").select("o_orderkey", "o_orderdate"))
       .select(col("o_orderkey"), DateNorm.normalize(rendered).as("d"))
       .orderBy("o_orderkey")
   }
@@ -1135,7 +1138,9 @@ object Queries {
     val nStop = size(filter(tk,
       t => array_contains(typedLit(StopEn), t))).cast("long")
     val sumLen = aggregate(tk, lit(0L), (acc, t) => acc + length(t).cast("long"))
-    load(s, dir, "documents").select(
+    // spread: the per-token ratio expressions are scan-stage compute,
+    // 1-task on a single-split file otherwise (r17)
+    graft.core.Tables.spread(load(s, dir, "documents")).select(
         col("doc_id"), nChars.as("n_chars"), nTokens.as("n_tokens"),
         when(nChars === 0, lit(null)).otherwise(
           round(nPunct.cast("double") / nChars.cast("double"), 4)).as("punct_ratio"),
@@ -4320,7 +4325,9 @@ object Queries {
   // metadata_table.tsv (string-typed, spaces, placeholders).
   def imaging(s: SparkSession, dir: String): DataFrame = {
     import graft.pipelines.ImagingPipeline
-    val meta = load(s, dir, "part").select(
+    // spread: the per-property regex kind-detection is scan-stage compute,
+    // 1-task on a single-split file otherwise (r17)
+    val meta = graft.core.Tables.spread(load(s, dir, "part")).select(
       col("p_partkey").cast("string").as("SAMPLE NUM"),
       col("p_retailprice").cast("string").as("PRICE"),
       col("p_type").as("IMAGED TISSUE"),
@@ -4399,7 +4406,12 @@ object Queries {
       concat(lit("DP="), col("p_size").cast("string"), lit(";ANN="), ann))
     val header = s.range(1)
       .select(lit("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO").as("value"))
-    Parsers.parseVcfLines(part.select(line.as("value")).unionByName(header))
+    // spread: render + regex parse is scan-stage compute, 1-task on a
+    // single-split file otherwise (r17; the parser is header-position-
+    // independent — it filters on the '#' prefix)
+    Parsers.parseVcfLines(
+      graft.core.Tables.spread(part.select(line.as("value")))
+        .unionByName(header))
       .select(col("chrom"), col("pos"), explode(col("ann")).as("a"))
       .select(col("chrom"), col("pos"),
         col("a.gene").as("gene"), col("a.impact").as("impact"),

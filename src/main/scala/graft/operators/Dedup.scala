@@ -63,9 +63,10 @@ object Dedup {
     * empty text rather than vanishing. */
   def dropBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
                            maxDf: Long): DataFrame = {
-    val lines = docs
-      .select(col(idCol).as("id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val lines = graft.core.Tables.spread( // line split/hash parallelism (r17)
+        docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        posexplode(split(col("__text"), "\n")).as(Seq("pos", "line")))
     val hot = lines.groupBy(col("line"))
       .agg(countDistinct(col("id")).as("line_df"))
       .filter(col("line_df") > maxDf).select("line")
@@ -111,8 +112,9 @@ object Dedup {
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
                      w: Int): DataFrame = {
     require(w > 0, s"window must be positive, got $w")
-    val tk = docs.select(col(idCol).as("id"),
-      tokens(col(textCol)).as("t"))
+    val tk = graft.core.Tables.spread( // sha-per-window parallelism (r17)
+        docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), tokens(col("__text")).as("t"))
     val occ = tk
       .filter(size(col("t")) >= w)
       .select(col("id"), explode(transform(
@@ -151,7 +153,9 @@ object Dedup {
     * slower end-to-end). */
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+    graft.core.Tables.spread( // sha256-per-shingle must not run 1-task (r17)
+        docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), tokens(col("__text")).as("__toks"))
       .select(col("id"),
         explode(array_distinct(wordNgrams(col("__toks"), n))).as("sh"))
       .select(col("id"), shaHash32(col("sh")).as("h"))
@@ -332,8 +336,9 @@ object Dedup {
     * votes. One explode + one groupBy with 32 conditional-sum columns —
     * stays inside whole-stage codegen. */
   def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-        explode(tokens(col(textCol))).as("tok"))
+    val tok = graft.core.Tables.spread( // sha-per-token parallelism (r17)
+        docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), explode(tokens(col("__text"))).as("tok"))
       .select(col("id"), shaHash32(col("tok")).as("h"))
     val votes = (0 until 32).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i")
@@ -358,8 +363,9 @@ object Dedup {
     * verify, only the hash source differs). */
   def simhash64(docs: DataFrame, idCol: String, textCol: String,
                 tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"),
-        explode(tokens(col(textCol))).as("tok"))
+    val tok = graft.core.Tables.spread( // hash-per-token parallelism (r17)
+        docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), explode(tokens(col("__text"))).as("tok"))
       .select(col("id"), tokenHash(col("tok")).as("h"))
     val votes = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i")

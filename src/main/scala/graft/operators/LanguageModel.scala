@@ -164,8 +164,10 @@ object LanguageModel {
   private def trigrams(docs: DataFrame, idCol: String, textCol: String,
                        isModel: Column): DataFrame = {
     val tk = col("tk")
-    docs.select(col(idCol).as("id"), isModel.as("__model"),
-        tokens(col(textCol)).as("tk"))
+    graft.core.Tables.spread( // tokenize+gram+combine parallelism (r17)
+        docs.select(col(idCol).as("id"), isModel.as("__model"),
+          col(textCol).as("__text")))
+      .select(col("id"), col("__model"), tokens(col("__text")).as("tk"))
       .filter(size(tk) >= 3)
       .select(col("id"), col("__model"),
         explode(transform(sequence(lit(0), size(tk) - 3), i =>
@@ -193,7 +195,9 @@ object LanguageModel {
   private def bigrams(docs: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
     val tk = col("tk")
-    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+    graft.core.Tables.spread( // tokenize+gram+combine parallelism (r17)
+        docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), tokens(col("__text")).as("tk"))
       .filter(size(tk) >= 2)
       .select(col("id"),
         explode(transform(sequence(lit(0), size(tk) - 2), i =>
