@@ -91,7 +91,8 @@ object Bench {
       // partition count for stateful cells only (partitioning never
       // affects declared output, only task/store counts)
       spark.conf.set("spark.sql.shuffle.partitions",
-        if (name.startsWith("q_stream") || name.startsWith("q_tws")) "4"
+        if (name.startsWith("q_stream") || name.startsWith("q_tws"))
+          sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
         else cpus)
       val best = (1 to reps).map { _ =>
         // a fixed checkpoint ROOT + per-query stream names means a

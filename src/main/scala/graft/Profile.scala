@@ -72,7 +72,8 @@ object Profile {
         case None => println(s"== $name: NOT FOUND")
         case Some(fn) =>
           spark.conf.set("spark.sql.shuffle.partitions",
-            if (name.startsWith("q_stream") || name.startsWith("q_tws")) "4"
+            if (name.startsWith("q_stream") || name.startsWith("q_tws"))
+              sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
             else cpus)
           val best = (1 to reps).map { rep =>
             stages.synchronized { stages.clear(); jobs = 0 }

@@ -43,8 +43,24 @@ object Pq {
   }
 
   /** Train m codebooks of k centroids each with `iters` Lloyd rounds —
-    * [[Clustering.kmeansFit]] per subvector slice. dim must divide
-    * evenly (a real deployment pads; the loud require documents it). */
+    * [[Clustering.kmeansFit]]'s arithmetic per subvector slice. dim must
+    * divide evenly (a real deployment pads; the loud require documents
+    * it).
+    *
+    * r17 scale/latency shape: all m subspaces train in ONE distributed
+    * pass per Lloyd round — each row emits m (subspace, cell, sliced-q)
+    * structs and one map-side-combined groupBy(j, cell, pos) carries
+    * every codebook's update sums (m·k·subDim bounded driver rows, the
+    * kmeansFit contract per subspace). The per-subspace sequential form
+    * scanned the corpus m·(iters+1) times and paid m counts + m init
+    * collects; this pays ONE persist/count/init and `iters` jobs total.
+    * Bit-identical to the sequential form: quantize-then-slice equals
+    * slice-then-quantize, the strided init rows are the same k rows
+    * sliced driver-side, and the argmin/update arithmetic is
+    * [[Similarity.ivfCell]]'s literal fold exactly as kmeansFit's
+    * literal path (k ≤ 64, its literalCap) — PqSpec pins codebooks on
+    * both shapes. Above the literal cap the broadcast-argmin kmeansFit
+    * path takes over, unchanged. */
   def train(emb: DataFrame, idCol: String, vecCol: String,
             m: Int, k: Int, iters: Int): Codebook = {
     require(m > 0, s"m must be positive, got $m")
@@ -52,13 +68,58 @@ object Pq {
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
     val subDim = dim / m
-    val cents = (0 until m).map { j =>
-      Clustering.kmeansFit(
-        emb.select(col(idCol),
-          slice(col(vecCol), j * subDim + 1, subDim).as("__sub")),
-        idCol, "__sub", k, iters)
-    }.toIndexedSeq
-    Codebook(subDim, cents)
+    if (k > 64) { // kmeansFit's literalCap: keep its broadcast path
+      val cents = (0 until m).map { j =>
+        Clustering.kmeansFit(
+          emb.select(col(idCol),
+            slice(col(vecCol), j * subDim + 1, subDim).as("__sub")),
+          idCol, "__sub", k, iters)
+      }.toIndexedSeq
+      return Codebook(subDim, cents)
+    }
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val v = emb.select(col(idCol).cast("long").as("id"),
+        Clustering.quantize(col(vecCol)).as("q"))
+      .withColumn("vd", transform(col("q"), x => x.cast("double")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = v.count()
+      require(n >= k, s"need at least k=$k vectors, have $n")
+      val stride = math.max(1L, n / k)
+      val initRows = v.filter(pmod(col("id"), lit(stride)) === 0)
+        .orderBy("id").limit(k)
+        .collect().map(_.getSeq[Double](2).toIndexedSeq).toIndexedSeq
+      var cents: IndexedSeq[IndexedSeq[Seq[Double]]] = (0 until m).map { j =>
+        initRows.map(r => r.slice(j * subDim, (j + 1) * subDim): Seq[Double])
+      }.toIndexedSeq
+      for (_ <- 1 to iters) {
+        val parts = (0 until m).map { j =>
+          val cell = Similarity.ivfCell(
+            slice(col("vd"), j * subDim + 1, subDim),
+            cents(j).zipWithIndex.map { case (c, i) => (i, c) })
+          struct(lit(j).as("j"), cell.as("cell"),
+            slice(col("q"), j * subDim + 1, subDim).as("qs"))
+        }
+        val upd = v.select(explode(array(parts: _*)).as("s"))
+          .select(col("s.j").as("j"), col("s.cell").as("cell"),
+            posexplode(col("s.qs")).as(Seq("pos", "x")))
+          .groupBy(col("j"), col("cell"), col("pos"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+        cents = cents.zipWithIndex.map { case (cbj, j) =>
+          cbj.zipWithIndex.map { case (prev, cid) =>
+            upd.get((j, cid)) match {
+              case Some(rows) =>
+                rows.sortBy(_.getInt(2)).map(r =>
+                  r.getLong(3).toDouble / r.getLong(4)).toSeq
+              case None => prev
+            }
+          }
+        }
+      }
+      Codebook(subDim, cents)
+    } finally { v.unpersist(); () }
   }
 
   /** (id, carry..., code): each vector's m-array of subspace centroid

@@ -36,6 +36,26 @@ class PqSpec extends SparkSpec {
       s"same pattern must share one code, got $byPattern")
   }
 
+  test("fused one-pass train matches the per-subspace kmeansFit composition") {
+    // r17: train runs all m subspaces in one distributed pass per Lloyd
+    // round; the codebooks must equal the sequential per-slice kmeansFit
+    // form bit-for-bit (same strided init, same argmin, same update sums).
+    // Non-converging config (iters = 1 on a mixed corpus) so mid-Lloyd
+    // state is compared, not just the fixed point.
+    val m = 2
+    val subDim = 4
+    for (iters <- Seq(1, 2)) {
+      val fused = Pq.train(corpus, "vec_id", "embedding", m, k = 4, iters)
+      val seq = (0 until m).map { j =>
+        Clustering.kmeansFit(
+          corpus.select(col("vec_id"),
+            slice(col("embedding"), j * subDim + 1, subDim).as("__sub")),
+          "vec_id", "__sub", k = 4, iters)
+      }.toIndexedSeq
+      assert(fused.cents === seq, s"iters=$iters")
+    }
+  }
+
   test("ADC against centroid-aligned data is the true quantized distance") {
     val cb = Pq.train(corpus, "vec_id", "embedding", m = 2, k = 4, iters = 2)
     val codes = Pq.encode(corpus, "vec_id", "embedding", cb, carry = Seq("label"))
