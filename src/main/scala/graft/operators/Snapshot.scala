@@ -1813,7 +1813,20 @@ object Snapshot {
                                     destDir: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(s"$destDir/manifest/batchwm.txt")
     if (!fs.exists(p)) None
-    else readTextLines(fs, p.toString).headOption.map(_.trim.toLong)
+    else readTextLines(fs, p.toString).headOption.map { s =>
+      val t = s.trim
+      // loud, named failure (advice r16 #4): a corrupt watermark must
+      // not surface as a bare NumberFormatException from deep inside
+      // the replay guard — name the file and the heal path, exactly as
+      // parseBatchTag does for malformed tags
+      if (t.isEmpty || !t.matches("-?[0-9]+"))
+        throw new IllegalArgumentException(
+          s"corrupt pruned-batch watermark '$t' in $p — expected a " +
+            "single decimal batch id; restore the file from a backup " +
+            "or re-mint it (see Ingest.lastBatchTag's refusal message) " +
+            "before replay decisions can be answered for this table")
+      t.toLong
+    }
   }
 
   /** Read a file set under a recorded version schema when one exists
@@ -3005,7 +3018,18 @@ object Snapshot {
     * underneath fails LOUDLY (missing file or missing manifest): data
     * files are immutable and paths are never reused (claims are
     * permanent), so a stale pin can error but can never silently
-    * return wrong rows. Returns the deleted data-file count. */
+    * return wrong rows. Returns the deleted data-file count.
+    *
+    * CROSS-PROCESS OWNERSHIP (advice r16 #1): the batch-watermark
+    * read-modify-write below is serialized per table ONLY within this
+    * driver (`withCommitLocks` is a JVM monitor) and merged
+    * monotonically against the value it READ — so two vacuums from
+    * DIFFERENT driver processes can still interleave read-then-write
+    * and the staler writer can regress `batchwm.txt`. Run vacuum under
+    * a single maintenance owner per table (the standard lakehouse
+    * operational rule — Iceberg/Delta maintenance jobs are singletons
+    * per table for the same reason); concurrent READERS and concurrent
+    * writers/committers are unaffected. */
   def vacuum(spark: org.apache.spark.sql.SparkSession, destDir: String,
              keepFrom: Int): Int = {
     import org.apache.hadoop.fs.Path

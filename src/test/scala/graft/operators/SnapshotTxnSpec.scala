@@ -867,6 +867,44 @@ class SnapshotTxnSpec extends SparkSpec {
     ()
   }
 
+  test("stats+bloom staged compact: BOTH headers and both prunings survive the txn (advice r16 #2)") {
+    // A table published via publishSnapshotIndexed carries #stats AND
+    // #bloom, and its file lines use the combined
+    // `path\trows\tmn\tmx\twords` shape. stageCompact passes
+    // statsCol = None, so the staged manifest's stats list must
+    // INHERIT from the base (stage's carry-forward rule) or every
+    // carried line stops matching admittingLines' shapes and silently
+    // always admits — the degradation the r16 advice warned about.
+    // Pin that both headers ride the pending manifest through the
+    // commit point and that point AND range pruning still skip files.
+    val root = tmp("graft-tsb"); val a = tmp("graft-tsba")
+    val df = (1L to 100L).map(i => (s"key$i", i)).toDF("k", "n")
+    // range-partitioned files so min/max stats are actually selective
+    Snapshot.publishSnapshotIndexed(
+      df.repartitionByRange(4, col("n")), a, Seq("n"), "k")
+    val tc = SnapshotTxn.begin(spark, root)
+    assert(tc.stageCompact(a, minRows = 50L, targetRows = 50L))
+    tc.commit()
+    val vA = Snapshot.latestVersion(spark, a)
+    assert(vA == 2)
+    val m = Snapshot.readManifest(spark, a, vA)
+    assert(m.statsCols == Seq("n"), s"#stats dropped: ${m.statsCols}")
+    assert(m.bloom.nonEmpty, "#bloom dropped")
+    assert(Snapshot.readSnapshot(spark, a, vA).count() == 100)
+    val linesA = Snapshot.manifestLines(spark, a, vA)
+    // bloom point pruning: strictly fewer admitting files than lines
+    assert(rows(Snapshot.readSnapshotPoint(spark, a, vA, "key7")) ===
+      Seq(Seq("key7", 7L)))
+    assert(Snapshot.filesForKey(spark, a, vA, "key7").size < linesA.size,
+      s"bloom pruning lost after staged compact: all ${linesA.size} admit")
+    // stats range pruning: a narrow range opens a strict subset
+    assert(Snapshot.filesForRange(spark, a, vA, 3L, 4L).size < linesA.size,
+      s"stats pruning lost after staged compact: all ${linesA.size} admit")
+    assert(rows(Snapshot.readSnapshotRange(spark, a, vA, 3L, 4L)
+      .orderBy("n")) === Seq(Seq("key3", 3L), Seq("key4", 4L)))
+    ()
+  }
+
   test("bloom-indexed staged maintenance: reconcile keeps point-read pruning through the txn") {
     val root = tmp("graft-tbr"); val b = tmp("graft-tbrb")
     val c = tmp("graft-tbrc")
