@@ -5066,7 +5066,10 @@ object Queries {
   private val PhashMaxHamming = 10
 
   def phashQ(s: SparkSession, dir: String): DataFrame = {
-    val img = load(s, dir, "part").select(col("p_partkey").cast("long").as("id"))
+    // spread: the 64-cell sha grid is scan-stage compute (64 sha256 per
+    // row), 1-task on a single-split file otherwise (r17)
+    val img = graft.core.Tables.spread(
+      load(s, dir, "part").select(col("p_partkey").cast("long").as("id")))
     val base = when(pmod(col("id"), lit(2)) === 1, col("id") - 1).otherwise(col("id"))
     val grid = transform(sequence(lit(0), lit(63)), i => {
       val p = pmod(graft.functions.TextFunctions.shaHash32(
@@ -11012,8 +11015,17 @@ object Queries {
     .getOrElse {
     import java.nio.file.{Files, Path}
     import java.util.Comparator
-    val tmp = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    // r17 (guide §6): fixture scratch prefers tmpfs when the host has
+    // one — the snapshot/txn/index cells are many small parquet writes
+    // + atomic renames, pure scratch I/O that a disk-backed temp dir
+    // turns into fsync latency. Same mitigation class as Bench's
+    // stream-checkpoint tmpfs routing; GRAFT_FIXTURE_DIR (above) still
+    // overrides for runs that need durable or larger scratch.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val tmp =
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     // best-effort sweep: catch Exception, not just IOException — stream
     // traversal surfaces races as UncheckedIOException (a RuntimeException),
@@ -11046,7 +11058,7 @@ object Queries {
         } catch { case _: Exception => () } // per-sibling: skip and go on
       } finally siblings.close()
     } catch { case _: Exception => () }
-    Files.createTempDirectory("graft_fixtures_").toString
+    Files.createTempDirectory(tmp, "graft_fixtures_").toString
   }
 
   /** One fixture publish per (dest, source dir) per JVM: bench reps and
