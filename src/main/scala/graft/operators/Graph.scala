@@ -48,6 +48,10 @@ object Graph {
       .repartition(col("src")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
+    // declared outside the try so the finally can release it — an
+    // exception mid-iteration must not leak the largest cached frame
+    // (advice r17)
+    var ew: DataFrame = null
     try {
       // Out-degree is folded onto the edge list ONCE (r17: it used to be
       // joined onto the ranks EVERY round): per-edge `pr div out` is the
@@ -57,7 +61,7 @@ object Graph {
       // round's pin partitioned by node, and the renamed `dst → node`
       // aggregate keeps its hash layout through the alias — so one round
       // costs exactly ONE edge-sized exchange (the groupBy(dst)).
-      val ew = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("out")),
+      ew = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("out")),
         Seq("src")).persist()
       val base = (scale * (dampDen - dampNum)) / dampDen
       var pr = nodes.withColumn("pr", lit(scale))
@@ -73,10 +77,13 @@ object Graph {
                 expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
                 .as("pr")))
       }
-      // safe to release: pin() has eagerly materialized the final ranks
-      ew.unpersist()
+      // safe to release in the finally: pin() has eagerly materialized
+      // the final ranks before the loop exits
       pr
-    } finally { e.unpersist(); nodes.unpersist() }
+    } finally {
+      e.unpersist(); nodes.unpersist()
+      if (ew != null) { ew.unpersist(); () }
+    }
   }
 
   /** Per-node triangle counts of an undirected graph given as canonical

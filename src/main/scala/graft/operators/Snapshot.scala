@@ -1819,13 +1819,16 @@ object Snapshot {
       // not surface as a bare NumberFormatException from deep inside
       // the replay guard — name the file and the heal path, exactly as
       // parseBatchTag does for malformed tags
-      if (t.isEmpty || !t.matches("-?[0-9]+"))
-        throw new IllegalArgumentException(
-          s"corrupt pruned-batch watermark '$t' in $p — expected a " +
-            "single decimal batch id; restore the file from a backup " +
-            "or re-mint it (see Ingest.lastBatchTag's refusal message) " +
-            "before replay decisions can be answered for this table")
-      t.toLong
+      // toLongOption: a >19-digit value passes the regex but overflows —
+      // it must get the same named failure, not a bare
+      // NumberFormatException (advice r17)
+      val parsed = if (t.isEmpty || !t.matches("-?[0-9]+")) None
+                   else t.toLongOption
+      parsed.getOrElse(throw new IllegalArgumentException(
+        s"corrupt pruned-batch watermark '$t' in $p — expected a " +
+          "single decimal batch id; restore the file from a backup " +
+          "or re-mint it (see Ingest.lastBatchTag's refusal message) " +
+          "before replay decisions can be answered for this table"))
     }
   }
 
