@@ -62,15 +62,30 @@ object Clustering {
     * dim 1024, the SemDeDup-paper operating range). */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int, literalCap: Int = 64): DataFrame = {
-    // Quantized longs drive the exact update sums; their double image
-    // (exact: |q| << 2^53) drives the distance folds.
-    val cents = kmeansFit(emb, idCol, vecCol, k, iters, literalCap)
-    val v = emb.select(col(idCol).cast("long").as("id"),
+    // ONE quantized corpus frame feeds Lloyd AND the final assignment
+    // (r18; guide §1.2 — the old shape built and persisted it inside
+    // kmeansFit, unpersisted it, then re-quantized the corpus from
+    // scratch for the assignment pass). The assignment is pinned before
+    // the unpersist so the cache is released eagerly, not leaked to the
+    // caller's consumption order.
+    val v = quantized(emb, idCol, vecCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = fitQuantized(v, k, iters, literalCap)
+      graft.core.Checkpoints.pin(
+        assignCells(v, cents, literalCap)
+          .select(col("id"), col("cell").as("cluster")))
+    } finally { v.unpersist(); () }
+  }
+
+  /** The shared (id, q, vd) projection: quantized longs drive the exact
+    * update sums; their double image (exact: |q| << 2^53) drives the
+    * distance folds. */
+  private def quantized(emb: DataFrame, idCol: String,
+                        vecCol: String): DataFrame =
+    emb.select(col(idCol).cast("long").as("id"),
         quantize(col(vecCol)).as("q"))
       .withColumn("vd", transform(col("q"), x => x.cast("double")))
-    assignCells(v, cents, literalCap)
-      .select(col("id"), col("cell").as("cluster"))
-  }
 
   /** Argmin centroid per row, plan chosen by k (see [[kmeansAssign]]).
     * Output: the input columns plus `cell` (alias `cluster`). */
@@ -117,39 +132,46 @@ object Clustering {
   def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int,
                 literalCap: Int = 64): IndexedSeq[Seq[Double]] = {
+    val v = quantized(emb, idCol, vecCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try fitQuantized(v, k, iters, literalCap)
+    finally { v.unpersist(); () }
+  }
+
+  /** Lloyd over an already-persisted quantized frame — shared by
+    * [[kmeansFit]] (which owns its persist) and [[kmeansAssign]] (which
+    * reuses the same frame for the final assignment; r18). Identical
+    * arithmetic to the pre-split code: same strided init, same
+    * assignment fold, same BIGINT update sums. */
+  private def fitQuantized(v: DataFrame, k: Int, iters: Int,
+                           literalCap: Int): IndexedSeq[Seq[Double]] = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be non-negative, got $iters")
-    val v = emb.select(col(idCol).cast("long").as("id"),
-        quantize(col(vecCol)).as("q"))
-      .withColumn("vd", transform(col("q"), x => x.cast("double")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = v.count()
-      require(n >= k, s"need at least k=$k vectors, have $n")
-      val stride = math.max(1L, n / k)
-      var cents: IndexedSeq[Seq[Double]] = v
-        .filter(pmod(col("id"), lit(stride)) === 0)
-        .orderBy("id").limit(k)
-        .collect().map(_.getSeq[Double](2).toSeq).toIndexedSeq
-      for (_ <- 1 to iters) {
-        val assigned = assignCells(v, cents, literalCap)
-        val upd = assigned
-          .select(col("cell"), posexplode(col("q")).as(Seq("pos", "x")))
-          .groupBy(col("cell"), col("pos"))
-          .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
-          .collect()
-          .groupBy(_.getInt(0))
-        cents = cents.zipWithIndex.map { case (prev, cid) =>
-          upd.get(cid) match {
-            case Some(rows) =>
-              rows.sortBy(_.getInt(1)).map(r =>
-                r.getLong(2).toDouble / r.getLong(3)).toSeq
-            case None => prev
-          }
+    val n = v.count()
+    require(n >= k, s"need at least k=$k vectors, have $n")
+    val stride = math.max(1L, n / k)
+    var cents: IndexedSeq[Seq[Double]] = v
+      .filter(pmod(col("id"), lit(stride)) === 0)
+      .orderBy("id").limit(k)
+      .collect().map(_.getSeq[Double](2).toSeq).toIndexedSeq
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(v, cents, literalCap)
+      val upd = assigned
+        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (prev, cid) =>
+        upd.get(cid) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(r =>
+              r.getLong(2).toDouble / r.getLong(3)).toSeq
+          case None => prev
         }
       }
-      cents
-    } finally { v.unpersist(); () }
+    }
+    cents
   }
 
   /** Two-level approximate argmin against FIXED centroids: the k
@@ -170,8 +192,12 @@ object Clustering {
     graft.GraftExtensions.register(emb.sparkSession)
     val s = emb.sparkSession
     val (coarse, members) = coarseCluster(cents, math.min(nCoarse, cents.size))
+    // persisted (r18): v feeds the coarse argmin AND the fine stage's
+    // join-back — one corpus scan instead of two; the pinned (id,
+    // cluster) result below releases it eagerly
     val v = emb.select(col(idCol).cast("long").as("id"),
       transform(quantize(col(vecCol)), x => x.cast("double")).as("vd"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val coarseDf = broadcast(s.createDataFrame(
       coarse.zipWithIndex.map { case (c, j) => (j, c) }).toDF("gid", "gc"))
     val gCost = lit(-2.0) * Similarity.dot(col("vd"), col("gc")) +
@@ -191,11 +217,13 @@ object Clustering {
       }).toDF("gid", "cid", "c"))
     val cost = lit(-2.0) * Similarity.dot(col("vd"), col("c")) +
       Similarity.dot(col("c"), col("c"))
-    withGroup.join(memberDf, Seq("gid"))
-      .select(col("id"), struct(cost.as("cost"), col("cid")).as("sc"))
-      .groupBy(col("id"))
-      .agg(min(col("sc")).as("m"))
-      .select(col("id"), col("m.cid").as("cluster"))
+    try graft.core.Checkpoints.pin(
+      withGroup.join(memberDf, Seq("gid"))
+        .select(col("id"), struct(cost.as("cost"), col("cid")).as("sc"))
+        .groupBy(col("id"))
+        .agg(min(col("sc")).as("m"))
+        .select(col("id"), col("m.cid").as("cluster")))
+    finally { v.unpersist(); () }
   }
 
   /** Driver-side Lloyd over the CENTROID points (k of them — in-memory
@@ -260,10 +288,24 @@ object Clustering {
       vecCol: String, assign: DataFrame, threshold: Double,
       blocks: Int): DataFrame = {
     require(blocks > 0, s"blocks must be positive, got $blocks")
+    // Persisted (r18; guide §1.2): this frame feeds BOTH sides of the
+    // blocked triangle join AND the final anti-join — unpersisted, the
+    // corpus scan + assignment join recomputed once per consumer (3×).
+    // The survivor set is pinned before release so the cache cannot
+    // leak past the operator.
     val vecs = emb
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("nm", sqrt(Similarity.dot(col("v"), col("v"))))
       .join(assign, "id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try dedupPersistedVecs(vecs, threshold, blocks)
+    finally { vecs.unpersist(); () }
+  }
+
+  /** The triangle + anti-join tail of [[dedupWithinClusters]] over the
+    * persisted (id, v, nm, cluster) frame. */
+  private def dedupPersistedVecs(vecs: DataFrame, threshold: Double,
+                                 blocks: Int): DataFrame = {
     val g = vecs.withColumn("g", pmod(col("id"), lit(blocks)).cast("int"))
     val lhs = g
       .withColumn("bj", explode(sequence(col("g"), lit(blocks - 1))))
@@ -284,7 +326,8 @@ object Clustering {
       .filter(col("sim") >= threshold)
       .select(greatest(col("ida"), col("idb")).as("id"))
       .distinct()
-    vecs.join(dropped, Seq("id"), "left_anti").select("id", "cluster")
+    graft.core.Checkpoints.pin(
+      vecs.join(dropped, Seq("id"), "left_anti").select("id", "cluster"))
   }
 
   /** SemDeDup-style cluster-conditional near-duplicate removal: k-means
@@ -370,8 +413,12 @@ object Clustering {
     val cellSz = math.max(1L, n / cents.size)
     val planes = Similarity.hyperplanePool(bands,
       Similarity.autoR(cellSz, targetOccupancy, rMax), dim)
+    // persisted (r18): feeds the banded self-join (both sides), the two
+    // verify joins and the final anti-join — 5 consumers of one corpus
+    // scan + assignment join; pinned result releases it eagerly below
     val vecs = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .join(assign, "id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val widened = vecs.select(col("id"), col("cluster"),
       col("v").cast("array<double>").as("vd"))
     val bandStructs = planes.indices.map { b =>
@@ -404,6 +451,8 @@ object Clustering {
       .filter(col("sim") >= threshold)
       .select(greatest(col("ida"), col("idb")).as("id"))
       .distinct()
-    vecs.join(dropped, Seq("id"), "left_anti").select("id", "cluster")
+    try graft.core.Checkpoints.pin(
+      vecs.join(dropped, Seq("id"), "left_anti").select("id", "cluster"))
+    finally { vecs.unpersist(); () }
   }
 }

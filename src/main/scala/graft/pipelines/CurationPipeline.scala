@@ -53,18 +53,24 @@ object CurationPipeline {
              threshold: Double = 0.8,
              maxDf: Long = Long.MaxValue): DataFrame = {
     val annotated = annotate(docs, idCol, textCol, stopwords)
-    // Persisted: the gate feeds the dedup groupBy AND the semi join, and
-    // the survivors feed shingle-building AND the final anti-join —
-    // without this the annotate scan re-runs once per consumer.
+    // No persist here (r18): since the exact-dedup stage became one
+    // window, the gate has exactly ONE consumer — the annotate scan runs
+    // once either way, and the old persist only added a cache write.
+    // The SURVIVORS (exactKept, below) stay persisted: they feed both
+    // shingle-building and the final anti-join.
     val gated = annotated
       .filter(col("n_tokens") >= minTokens && col("lang_pred") === keepLang)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Exact dedup: keep the min id per identical text.
-    val keepers = gated.groupBy(sha2(col(textCol), 256).as("__sha"))
-      .agg(min(col(idCol)).as(idCol))
-      .drop("__sha")
-    val exactKept = gated.join(keepers, Seq(idCol), "left_semi")
+    // Exact dedup: keep the min id per identical text. One window over
+    // hash(sha) replaces the old groupBy(sha) + left-semi join back on
+    // id (r18; guide §2.4): same survivor set — rank 1 by id within a
+    // sha group IS the group's min id — for ONE exchange instead of the
+    // aggregate's narrow exchange plus the join's full-row one.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    val exactKept = gated
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Near-dup canonicalization over the exact-kept survivors: a doc in
