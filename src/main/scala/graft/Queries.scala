@@ -9409,11 +9409,61 @@ object Queries {
       |adj AS (SELECT a AS node, b AS nbr FROM e
       |        UNION SELECT b AS node, a AS nbr FROM e)""".stripMargin
 
-  def labelPropQ(s: SparkSession, dir: String): DataFrame =
-    Graph.labelPropagation(coPurchaseEdges(s, dir), "a", "b", LpIters)
-      .groupBy(col("lbl").as("community"))
+  /** Order-isomorphic long encode of the decorated node ids (r18; guide
+    * §2.3 narrower types — the last string-keyed iterative cell). The
+    * label-prop tie-break is min over label STRING order, so a plain
+    * bijection is not enough: the encode must preserve the lexicographic
+    * order of "c:<key>" / "p:<key>" exactly.
+    *
+    *   enc(kind, key) = [kind=p]·2⁶² + toLong(rpad(str(key), 17, '0'))·32
+    *                    + length(str(key))
+    *
+    * Order proof: (1) every "c:…" < every "p:…" ⇔ the 2⁶² bit; (2) for
+    * same-kind keys, zero-right-padding to a fixed width makes the
+    * numeric comparison decide at the first differing digit — exactly
+    * where the lexicographic comparison decides; (3) the only padded
+    * ties are zero-extension prefixes ("1" vs "10"), where the shorter
+    * string is lexicographically smaller — settled by the +length term
+    * (length ≤ 17 < 32, so it never carries into the padded field).
+    * Range: padded < 10¹⁷, so code < 10¹⁷·32 + 17 < 2⁶² — no overflow,
+    * and keys are non-negative with ≤ 17 digits (enforced upstream by
+    * the bigint key domain; LabelEncodeSpec property-checks the
+    * isomorphism). Bijectivity ⇒ identical vote counts; order
+    * isomorphism ⇒ identical tie-breaks ⇒ identical labels, decoded
+    * only on the final output. */
+  private[graft] val LpPBit = 1L << 62
+  private[graft] def lpEncode(key: Column, isPart: Boolean): Column = {
+    val str = key.cast("string")
+    val code = rpad(str, 17, "0").cast("long") * 32 + length(str)
+    if (isPart) code + lit(LpPBit) else code
+  }
+  private[graft] def lpDecode(code: Column): Column = {
+    val isP = code >= lit(LpPBit)
+    val base = when(isP, code - lit(LpPBit)).otherwise(code)
+    // ·32 = <<5, so the padded field is shiftright(5) and the length is
+    // the low 5 bits — exact long arithmetic, no doubles anywhere
+    val digits = lpad(shiftright(base, 5).cast("string"), 17, "0")
+    val len = base.bitwiseAND(lit(31L)).cast("int")
+    concat(when(isP, lit("p:")).otherwise(lit("c:")),
+      digits.substr(lit(1), len))
+  }
+
+  def labelPropQ(s: SparkSession, dir: String): DataFrame = {
+    // distinct co-purchase edges on the NUMERIC pair, then the order-
+    // preserving long encode — per-round exchanges carry 8-byte keys;
+    // the "c:"/"p:" strings are minted only on the final 53 communities
+    val edges = load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(load(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+      .distinct()
+      .select(lpEncode(col("ck"), isPart = false).as("a"),
+        lpEncode(col("pk"), isPart = true).as("b"))
+    Graph.labelPropagation(edges, "a", "b", LpIters)
+      .groupBy(lpDecode(col("lbl")).as("community"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("n_members").desc, col("community"))
+  }
 
   private val labelPropSql = {
     val rounds = (1 to LpIters).map { i =>
