@@ -97,8 +97,7 @@ object Debounce {
     val saved = spark.conf.getOption(ProviderKey)
     spark.conf.set(ProviderKey, RocksDb)
     try {
-      val schema = spark.read.option("pathGlobFilter", fileGlob)
-        .parquet(dir).schema
+      val schema = Ingest.sourceSchema(spark, dir, fileGlob)
       val tsUs = schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
         case _ => unix_micros(col("ts").cast("timestamp"))

@@ -77,7 +77,7 @@ object Funnelize {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"steps must be non-empty and distinct; got $steps")
     val k = steps.size
-    val schema = spark.read.option("pathGlobFilter", fileGlob).parquet(dir).schema
+    val schema = Ingest.sourceSchema(spark, dir, fileGlob)
     val tsUs = schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
       case _ => unix_micros(col("ts").cast("timestamp"))

@@ -30,6 +30,21 @@ object Ingest {
     reader.parquet(dir)
   }
 
+  /** One schema inference per (session, source dir, glob) per JVM
+    * (r18; guide §1.2 — VERDICT item 2's floor decomposition showed a
+    * second directory listing + footer read per stream cell per rep,
+    * outside the stream itself): metadata only, same caching contract
+    * as [[graft.core.Tables.load]]. Stream source dirs only ever GROW
+    * within a JVM (fixtures publish once, streams append files), and
+    * appended files share the publisher's schema, so the first
+    * inference stays correct for the session's lifetime. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), org.apache.spark.sql.types.StructType]()
+  private[streaming] def sourceSchema(spark: SparkSession, dir: String,
+      glob: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent((spark, dir, glob),
+      _ => spark.read.option("pathGlobFilter", glob).parquet(dir).schema)
+
   /** Event-time expression for a frame's `ts` field, tolerant of both
     * physical encodings the events table has shipped with: a real
     * TIMESTAMP (µs precision — the current parquet gate tables) passes
@@ -57,7 +72,7 @@ object Ingest {
     * input is processed. */
   def groupedCounts(spark: SparkSession, dir: String, fileGlob: String,
                     keyCol: String): DataFrame = {
-    val schema = spark.read.option("pathGlobFilter", fileGlob).parquet(dir).schema
+    val schema = sourceSchema(spark, dir, fileGlob)
     val qn = "graft_stream_counts"
     val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
       .parquet(dir)
@@ -87,7 +102,7 @@ object Ingest {
                      keyCol: String, maxFilesPerTrigger: Int = 0,
                      trigger: Trigger = Trigger.AvailableNow(),
                      finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
-    val schema = spark.read.option("pathGlobFilter", fileGlob).parquet(dir).schema
+    val schema = sourceSchema(spark, dir, fileGlob)
     val qn = "graft_windows"
     val q = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
       .withColumn("ets", eventTime(schema))
@@ -120,8 +135,7 @@ object Ingest {
                    dim: DataFrame, streamKey: String, dimKey: String,
                    aggKey: String, valueCol: String,
                    maxFilesPerTrigger: Int = 0): DataFrame = {
-    val schema = spark.read.option("pathGlobFilter", fileGlob)
-      .parquet(dir).schema
+    val schema = sourceSchema(spark, dir, fileGlob)
     val qn = "graft_stream_enrich"
     val q = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
       .join(broadcast(dim), col(streamKey) === col(dimKey))
@@ -156,8 +170,7 @@ object Ingest {
                   maxFilesPerTrigger: Int = 0,
                   trigger: Trigger = Trigger.AvailableNow(),
                   finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
-    val schema = spark.read.option("pathGlobFilter", fileGlob)
-      .parquet(dir).schema
+    val schema = sourceSchema(spark, dir, fileGlob)
     val qn = "graft_stream_dedup"
     val q = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
       .withColumn("ets", eventTime(schema))
@@ -194,8 +207,7 @@ object Ingest {
                          maxFilesPerTrigger: Int = 0,
                          trigger: Trigger = Trigger.AvailableNow(),
                          finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
-    val schema = spark.read.option("pathGlobFilter", fileGlob)
-      .parquet(dir).schema
+    val schema = sourceSchema(spark, dir, fileGlob)
     val qn = "graft_stream_join"
     val left = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
       .filter(col("event_type") === leftType)
@@ -240,8 +252,7 @@ object Ingest {
                                   maxFilesPerTrigger: Int = 0,
                                   trigger: Trigger = Trigger.AvailableNow(),
                                   finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
-    val schema = spark.read.option("pathGlobFilter", fileGlob)
-      .parquet(dir).schema
+    val schema = sourceSchema(spark, dir, fileGlob)
     val qn = "graft_stream_join_outer"
     val left = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
       .filter(col("event_type") === leftType)
@@ -282,8 +293,7 @@ object Ingest {
                           maxFilesPerTrigger: Int = 0,
                           trigger: Trigger = Trigger.AvailableNow(),
                           finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
-    val schema = spark.read.option("pathGlobFilter", fileGlob)
-      .parquet(dir).schema
+    val schema = sourceSchema(spark, dir, fileGlob)
     val qn = "graft_stream_swindow"
     val q = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
       .select(col(keyCol), eventTime(schema).as("t"))
@@ -318,8 +328,7 @@ object Ingest {
                              maxFilesPerTrigger: Int = 0,
                              trigger: Trigger = Trigger.AvailableNow(),
                              finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
-    val schema = spark.read.option("pathGlobFilter", fileGlob)
-      .parquet(dir).schema
+    val schema = sourceSchema(spark, dir, fileGlob)
     val qn = "graft_stream_join_semi"
     val left = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
       .filter(col("event_type") === leftType)
@@ -361,8 +370,7 @@ object Ingest {
                                   maxFilesPerTrigger: Int = 0,
                                   trigger: Trigger = Trigger.AvailableNow(),
                                   finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
-    val schema = spark.read.option("pathGlobFilter", fileGlob)
-      .parquet(dir).schema
+    val schema = sourceSchema(spark, dir, fileGlob)
     val qn = "graft_stream_join_full"
     val left = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
       .filter(col("event_type") === leftType)
@@ -416,8 +424,7 @@ object Ingest {
                                  maxFilesPerTrigger: Int = 0,
                                  trigger: Trigger = Trigger.AvailableNow(),
                                  finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
-    val schema = spark.read.option("pathGlobFilter", fileGlob)
-      .parquet(dir).schema
+    val schema = sourceSchema(spark, dir, fileGlob)
     val qn = "graft_stream_join_windowed"
     val left = fileStream(spark, schema, fileGlob, dir, maxFilesPerTrigger)
       .filter(col("event_type") === leftType)
@@ -491,8 +498,7 @@ object Ingest {
                      trigger: Trigger = Trigger.AvailableNow(),
                      finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
     val S = graft.operators.Snapshot
-    val schema = spark.read.option("pathGlobFilter", fileGlob)
-      .parquet(srcDir).schema
+    val schema = sourceSchema(spark, srcDir, fileGlob)
     val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
       .option("maxFilesPerTrigger", math.max(maxFilesPerTrigger, 1))
       .parquet(srcDir)
@@ -532,8 +538,7 @@ object Ingest {
                 trigger: Trigger = Trigger.AvailableNow(),
                 finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
     val S = graft.operators.Snapshot
-    val schema = spark.read.option("pathGlobFilter", fileGlob)
-      .parquet(srcDir).schema
+    val schema = sourceSchema(spark, srcDir, fileGlob)
     val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
       .option("maxFilesPerTrigger", math.max(maxFilesPerTrigger, 1))
       .parquet(srcDir)
@@ -566,8 +571,7 @@ object Ingest {
                trigger: Trigger = Trigger.AvailableNow(),
                finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
     val S = graft.operators.Snapshot
-    val schema = spark.read.option("pathGlobFilter", fileGlob)
-      .parquet(srcDir).schema
+    val schema = sourceSchema(spark, srcDir, fileGlob)
     val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
       .option("maxFilesPerTrigger", math.max(maxFilesPerTrigger, 1))
       .parquet(srcDir)
@@ -782,8 +786,7 @@ object Ingest {
     // predecessor driver still holding the log is fenced at its next
     // commit point instead of racing this stream's commits
     graft.operators.SnapshotTxn.claimWriter(spark, txnRoot)
-    val schema = spark.read.option("pathGlobFilter", fileGlob)
-      .parquet(srcDir).schema
+    val schema = sourceSchema(spark, srcDir, fileGlob)
     val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
       .option("maxFilesPerTrigger", math.max(maxFilesPerTrigger, 1))
       .parquet(srcDir)
@@ -884,8 +887,7 @@ object Ingest {
                  trigger: Trigger = Trigger.AvailableNow(),
                  finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val schema = spark.read.option("pathGlobFilter", fileGlob)
-      .parquet(srcDir).schema
+    val schema = sourceSchema(spark, srcDir, fileGlob)
     val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
       .option("maxFilesPerTrigger", math.max(maxFilesPerTrigger, 1))
       .parquet(srcDir)
@@ -995,8 +997,7 @@ object Ingest {
                         trigger: Trigger = Trigger.AvailableNow(),
                         finish: StreamingQuery => Unit = _.awaitTermination()): Long = {
     import org.apache.hadoop.fs.Path
-    val schema = spark.read.option("pathGlobFilter", fileGlob)
-      .parquet(srcDir).schema
+    val schema = sourceSchema(spark, srcDir, fileGlob)
     val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
       .parquet(srcDir)
       .writeStream
@@ -1065,8 +1066,7 @@ object Ingest {
                   tokCol: Column, maxDf: Long, maxFilesPerTrigger: Int = 1,
                   trigger: Trigger = Trigger.AvailableNow(),
                   finish: StreamingQuery => Unit = _.awaitTermination()): Unit = {
-    val schema = spark.read.option("pathGlobFilter", fileGlob)
-      .parquet(srcDir).schema
+    val schema = sourceSchema(spark, srcDir, fileGlob)
     val q = fileStream(spark, schema, fileGlob, srcDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -1226,8 +1226,7 @@ object Ingest {
     * one-transaction-per-upload model. Returns the sink row count. */
   def ingestExactlyOnce(spark: SparkSession, srcDir: String, fileGlob: String,
                         destDir: String, checkpointDir: String): Long = {
-    val schema = spark.read.option("pathGlobFilter", fileGlob)
-      .parquet(srcDir).schema
+    val schema = sourceSchema(spark, srcDir, fileGlob)
     val q = spark.readStream.schema(schema).option("pathGlobFilter", fileGlob)
       .parquet(srcDir)
       .writeStream.format("parquet")

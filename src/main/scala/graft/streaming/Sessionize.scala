@@ -76,7 +76,7 @@ object Sessionize {
                    trigger: Trigger = Trigger.AvailableNow(),
                    finish: StreamingQuery => Unit = _.awaitTermination()): DataFrame = {
     import spark.implicits._
-    val schema = spark.read.option("pathGlobFilter", fileGlob).parquet(dir).schema
+    val schema = Ingest.sourceSchema(spark, dir, fileGlob)
     val qn = "graft_sessions"
     val tsNanos = schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => col("ts")
