@@ -49,11 +49,13 @@ object Profile {
                         shufReadMb: Double, shufWriteMb: Double, inputMb: Double)
     val stages = mutable.ArrayBuffer.empty[StageRec]
     var jobs = 0
+    // one lock (the buffer's monitor) for listener-bus writes AND the
+    // driver's per-rep clear/read — two different locks raced (advice r17)
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
-        synchronized { jobs += 1 }
+        stages.synchronized { jobs += 1 }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-        synchronized {
+        stages.synchronized {
           val si = sc.stageInfo
           val dur = (for {s <- si.submissionTime; c <- si.completionTime}
             yield c - s).getOrElse(0L)
@@ -67,6 +69,52 @@ object Profile {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // r18 (VERDICT r17 #8): per-ACTION plan evidence. The iterative
+    // operators pin (localCheckpoint) every round, and each pin is an
+    // action that reaches QueryExecutionListener — so the per-round
+    // plan shape (exchange count, join strategy) that the final plan
+    // dump cannot see (post-pin it is just an ExistingRDD scan) is
+    // captured here round by round. SPARK_GRAFT_PLAN_ACTIONS=1 writes
+    // one summary line per action (exchange/join counts parsed from the
+    // formatted plan) to <plandir>/<cell>_actions_<tag>.txt, plus the
+    // full formatted plan for the first SPARK_GRAFT_PLAN_ACTION_MAX
+    // (default 0) actions. Measurement-only.
+    val planActions = sys.env.get("SPARK_GRAFT_PLAN_ACTIONS").contains("1")
+    val planActionMax =
+      sys.env.getOrElse("SPARK_GRAFT_PLAN_ACTION_MAX", "0").toInt
+    @volatile var currentCell = ""
+    val actionIdx = new java.util.concurrent.atomic.AtomicInteger(0)
+    if (planActions) spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        private def record(funcName: String,
+                           qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+          val cell = currentCell
+          if (cell.nonEmpty) planDir.foreach { pd =>
+            val k = actionIdx.incrementAndGet()
+            val txt = qe.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            def n(tok: String) = tok.r.findAllIn(txt).size
+            val line = f"action $k%3d [$funcName%-18s] exchanges=${n("\\bExchange\\b")}%2d " +
+              f"smj=${n("SortMergeJoin")}%2d shj=${n("ShuffledHashJoin")}%2d " +
+              f"bhj=${n("BroadcastHashJoin")}%2d aqeRead=${n("AQEShuffleRead")}%2d\n"
+            val p = java.nio.file.Paths.get(pd, s"${cell}_actions_$planTag.txt")
+            java.nio.file.Files.write(p, line.getBytes("UTF-8"),
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.APPEND)
+            if (k <= planActionMax)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(pd, s"${cell}_action${k}_$planTag.txt"),
+                txt.getBytes("UTF-8"))
+          }
+        }
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit = record(funcName, qe)
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => println(s"== $name: NOT FOUND")
@@ -75,7 +123,15 @@ object Profile {
             if (name.startsWith("q_stream") || name.startsWith("q_tws"))
               sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
             else cpus)
+          if (planActions) planDir.foreach { pd =>
+            java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(pd, s"${name}_actions_$planTag.txt")); ()
+          }
           val best = (1 to reps).map { rep =>
+            // per-action dumps only for the first rep, so re-runs don't
+            // re-append the same round lines
+            currentCell = if (rep == 1) name else ""
+            actionIdx.set(0)
             stages.synchronized { stages.clear(); jobs = 0 }
             val t0 = System.nanoTime()
             val df = fn(spark, sfDir)

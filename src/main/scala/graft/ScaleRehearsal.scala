@@ -129,7 +129,15 @@ object ScaleRehearsal {
     // while per-pair shared-word cost stays linear; q_markov's lag
     // window and q_threads' per-thread in-row sort grow with the
     // stream; q_debounce is one window shuffle by (user, type).
-    "q_overlap", "q_markov", "q_threads", "q_debounce")
+    "q_overlap", "q_markov", "q_threads", "q_debounce",
+    // r18 (VERDICT r17 item #4): the four sub-second cells chronically
+    // >2x their round-2 singles — scan-dominated text passes over
+    // documents. Their 10x rows, run under the BENCH session confs
+    // (this tool reads the same env knobs since r18), pin whether the
+    // elevation is fixed overhead (growth << 10 => exempt) or the 64k
+    // coalescing floor biting at scale too (growth ~10 on tiny data =>
+    // scope the floor).
+    "q_tokens", "q_langid", "q_quality", "q_fingerprint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -144,6 +152,16 @@ object ScaleRehearsal {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // r18: same session confs (and env knobs) as Bench, so rehearsal
+      // rows measure the exact configuration the bench runs under —
+      // in particular the 64k coalescing floor whose at-scale behavior
+      // the q_tokens/q_langid/q_quality/q_fingerprint rows exist to pin.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "64m"))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
