@@ -551,29 +551,29 @@ object Dedup {
     val nodes = Checkpoints.pin(
       pairs.select(col("id_a").as("id"))
         .union(pairs.select(col("id_b").as("id"))).distinct())
-    // The round signature (count + two independent hash sums; decimal —
-    // a long sum of 2^63-range hashes overflows under ANSI) rides the
+    // The round signature (count + two independent hash folds) rides the
     // pin's OWN materialization action via an Observation, the same
     // no-second-job pattern as [[connectedComponents]]'s convergence
-    // probe: one pass over the edge set per round, not two.
-    def pinWithSignature(e: DataFrame): (DataFrame, (Long, String, String)) = {
+    // probe: one pass over the edge set per round, not two. r18: the
+    // folds are bit_xor over xxhash64 — order-independent like the old
+    // decimal(38) sums (the edge set is DISTINCT, so multiset == set and
+    // XOR is a sound set signature), but pure 64-bit codegen arithmetic
+    // instead of 128-bit decimal per row. The signature still only
+    // decides WHEN to pay for the exact exceptAll check, so a collision
+    // costs an extra round, never a wrong answer — semantics unchanged.
+    def pinWithSignature(e: DataFrame): (DataFrame, (Long, Long, Long)) = {
       val obs = org.apache.spark.sql.Observation(
         s"graft_ccstar_${ccObsId.incrementAndGet()}")
       val cp = Checkpoints.pin(e.observe(obs,
         count(lit(1)).as("n"),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h1"),
-        sum(xxhash64(lit(31), col("v"), col("u")).cast("decimal(38,0)")).as("h2")))
+        expr("bit_xor(xxhash64(u, v))").as("h1"),
+        expr("bit_xor(xxhash64(31, v, u))").as("h2")))
       val m = obs.get
-      def dec(k: String): String = m.get(k) match {
-        case Some(d: java.math.BigDecimal) => d.toPlainString
-        case Some(d: BigDecimal) => d.bigDecimal.toPlainString
-        case _ => "0" // empty edge set: sum over zero rows is NULL
-      }
-      val n = m.get("n") match {
+      def lng(k: String): Long = m.get(k) match {
         case Some(l: java.lang.Long) => l.longValue()
-        case _ => 0L
+        case _ => 0L // empty edge set: fold over zero rows is NULL
       }
-      (cp, (n, dec("h1"), dec("h2")))
+      (cp, (lng("n"), lng("h1"), lng("h2")))
     }
     var (edges, sig) = pinWithSignature(dedup(
       pairs.select(col("id_a").as("u"), col("id_b").as("v"))))

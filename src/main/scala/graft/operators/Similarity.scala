@@ -176,8 +176,11 @@ object Similarity {
                                    vecCol: String, threshold: Double,
                                    blocks: Int = 8): DataFrame = {
     graft.GraftExtensions.register(emb.sparkSession)
-    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-        sqrt(dot(col(vecCol), col(vecCol))).as("nm"))
+    // spread (r18): the per-row norm dot + both explode fan-outs were
+    // pinned to the single scan split; no-op at production split counts
+    val vecs = graft.core.Tables.spread(
+        emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+          sqrt(dot(col(vecCol), col(vecCol))).as("nm")))
       .withColumn("g", pmod(col("id"), lit(blocks)).cast("int"))
     val lhs = vecs
       .withColumn("bj", explode(sequence(col("g"), lit(blocks - 1))))
@@ -231,8 +234,12 @@ object Similarity {
     // The banding dots run against a double-widened copy of the vector,
     // projected ONCE per row (float→double is exact, so buckets — sign
     // patterns — are unchanged), and call the native kernel directly: 32
-    // JIT'd loops per row, not 32 interpreted HOF lambdas.
-    val widened = vecs.select(col("id"), col("v").cast("array<double>").as("vd"))
+    // JIT'd loops per row, not 32 interpreted HOF lambdas. The widened
+    // frame is spread (r18): bands·r dots per row fused into a
+    // one-row-group scan ran single-task (measured 2.3 s of a 4.5 s
+    // cell); at production split counts spread is a no-op.
+    val widened = graft.core.Tables.spread(
+      vecs.select(col("id"), col("v").cast("array<double>").as("vd")))
     val bandStructs = (0 until bands).map { b =>
       val bucket = bandPlanes(b).zipWithIndex.map { case (p, i) =>
         when(dot(col("vd"), typedLit(p)) >= 0, 1L << i).otherwise(0L)
@@ -278,7 +285,10 @@ object Similarity {
     graft.GraftExtensions.register(emb.sparkSession)
     val bands = bandPlanes.size
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val widened = vecs.select(col("id"), col("v").cast("array<double>").as("vd"))
+    // spread: same single-task banding-scan rationale as
+    // [[embeddingNearDupBanded]] (r18)
+    val widened = graft.core.Tables.spread(
+      vecs.select(col("id"), col("v").cast("array<double>").as("vd")))
     val bandStructs = (0 until bands).map { b =>
       val bucket = bandPlanes(b).zipWithIndex.map { case (p, i) =>
         when(dot(col("vd"), typedLit(p)) >= 0, 1L << i).otherwise(0L)
