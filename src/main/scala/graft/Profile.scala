@@ -90,10 +90,15 @@ object Profile {
                            qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
           val cell = currentCell
           if (cell.nonEmpty) planDir.foreach { pd =>
+            java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pd))
             val k = actionIdx.incrementAndGet()
             val txt = qe.explainString(
               org.apache.spark.sql.execution.FormattedMode)
-            def n(tok: String) = tok.r.findAllIn(txt).size
+            // count only the FINAL (post-AQE) plan: the formatted dump
+            // appends the initial plan, whose pre-rewrite joins would
+            // double-count and misreport the executed strategy
+            val finalTxt = txt.split("== Initial Plan ==")(0)
+            def n(tok: String) = tok.r.findAllIn(finalTxt).size
             val line = f"action $k%3d [$funcName%-18s] exchanges=${n("\\bExchange\\b")}%2d " +
               f"smj=${n("SortMergeJoin")}%2d shj=${n("ShuffledHashJoin")}%2d " +
               f"bhj=${n("BroadcastHashJoin")}%2d aqeRead=${n("AQEShuffleRead")}%2d\n"
