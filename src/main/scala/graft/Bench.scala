@@ -90,9 +90,15 @@ object Bench {
       .map { case (name, fn) =>
       // the other half of the stream-cell fixed cost: shrink the state
       // partition count for stateful cells only (partitioning never
-      // affects declared output, only task/store counts)
+      // affects declared output, only task/store counts). r18: q_windows
+      // and q_sessions are ALSO streaming cells (Ingest.windowedCounts /
+      // Sessionize state stores) that the prefix rule missed — they ran
+      // 32 state-store instances per stateful stage while every other
+      // stream cell ran 4.
+      val streamCell = name.startsWith("q_stream") ||
+        name.startsWith("q_tws") || name == "q_windows" || name == "q_sessions"
       spark.conf.set("spark.sql.shuffle.partitions",
-        if (name.startsWith("q_stream") || name.startsWith("q_tws"))
+        if (streamCell)
           sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
         else cpus)
       val best = (1 to reps).map { _ =>

@@ -125,7 +125,8 @@ object Profile {
         case None => println(s"== $name: NOT FOUND")
         case Some(fn) =>
           spark.conf.set("spark.sql.shuffle.partitions",
-            if (name.startsWith("q_stream") || name.startsWith("q_tws"))
+            if (name.startsWith("q_stream") || name.startsWith("q_tws") ||
+              name == "q_windows" || name == "q_sessions") // same rule as Bench (r18)
               sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
             else cpus)
           if (planActions) planDir.foreach { pd =>

@@ -88,7 +88,8 @@ object StreamProfile {
         case None => println(s"== $name: NOT FOUND")
         case Some(fn) =>
           spark.conf.set("spark.sql.shuffle.partitions",
-            if (name.startsWith("q_stream") || name.startsWith("q_tws"))
+            if (name.startsWith("q_stream") || name.startsWith("q_tws") ||
+              name == "q_windows" || name == "q_sessions") // same rule as Bench (r18)
               sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
             else cpus)
           val rows = (1 to reps).map { _ =>
