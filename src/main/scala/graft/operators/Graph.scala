@@ -227,13 +227,19 @@ object Graph {
       var dist = Checkpoints.pin(s0.withColumn("d", lit(0L)))
       var frontier = dist.select("node")
       for (h <- 1 to maxHops) {
-        val cand = Checkpoints.pin(
-          adj.join(frontier.select(col("node").as("nbr")), "nbr")
-            .select("node").distinct()
-            .join(dist, Seq("node"), "left_anti")
-            .withColumn("d", lit(h.toLong)))
+        // ONE pin per hop (r18; guide §1.2): the hop's new nodes ride
+        // the distance union's own materialization, and the next
+        // frontier derives from the PINNED union by a narrow filter
+        // (d == h selects exactly this hop's candidates — cand is
+        // distinct and anti-joined, so no duplicates). The old shape
+        // pinned cand separately: a second full materialization pass
+        // per hop that bought nothing the union's pin doesn't.
+        val cand = adj.join(frontier.select(col("node").as("nbr")), "nbr")
+          .select("node").distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .withColumn("d", lit(h.toLong))
         dist = Checkpoints.pin(dist.unionByName(cand))
-        frontier = cand.select("node")
+        frontier = dist.filter(col("d") === h).select("node")
       }
       dist
     } finally { adj.unpersist(); () }
